@@ -1,0 +1,155 @@
+"""Deduplication operator family (north-star ops; ABSENT in the reference —
+SURVEY.md §2.2 row "Dedup").
+
+All variants are shuffle-conscious:
+
+- exact: hash-groupBy on the dedup key → one shuffle, map-side partial agg.
+- minhash+LSH: shingles → shared polynomial hashes → minhash signature →
+  band keys → groupBy band → pairs only within buckets. Shuffle volume is
+  O(rows × bands), never O(rows²); candidate verification (exact Jaccard)
+  touches only bucket-mates. This is the 100 TB near-dup path.
+- simhash: one 32-bit fingerprint per doc, pairs within equal fingerprint
+  blocks (or ≤ d Hamming via block-permutation at scale).
+- n-gram Jaccard: exact pairwise verification, used standalone only at small
+  scale or as the verify stage after LSH.
+- embedding cosine: near-dup via knn_join on document embeddings.
+
+Every hash here is the oracle-shared polynomial hash (functions/hashing.py),
+so each variant has a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from flink_rag_spark.functions.hashing import (
+    POLY_P,
+    minhash_params,
+    minhash_sig_expr,
+    poly_hash_expr,
+)
+
+# word-shingle array: join k consecutive lowercase tokens with single spaces
+def shingles_expr(text: str, k: int) -> str:
+    toks = f"split(trim(lower({text})), '\\\\s+')"
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {k}), ' '))"
+    )
+
+
+def shingle_hashes_expr(text: str, k: int) -> str:
+    """array<bigint> of polynomial hashes of the k-shingles of `text`."""
+    sh = shingles_expr(text, k)
+    inner = (
+        f"aggregate(split(s, ''), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {POLY_P})"
+    )
+    return f"transform({sh}, s -> {inner})"
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact dedup keeping the minimum id per key group — deterministic,
+    unlike dropDuplicates() whose survivor depends on partition order."""
+    return (df.groupBy(*keys)
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("group_size")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """id + minhash signature columns mh0..mh{n-1} (+ the shingle hash array)."""
+    params = minhash_params(cfg.lsh_num_hashes, cfg.seed)
+    out = df.select(
+        F.col(id_col),
+        F.expr(shingle_hashes_expr(text_col, cfg.shingle_size)).alias("sh"),
+    )
+    for i, (a, b) in enumerate(params):
+        out = out.withColumn(f"mh{i}", F.expr(minhash_sig_expr("sh", a, b)))
+    return out
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Candidate near-duplicate pairs from banded minhash LSH.
+
+    Docs sharing ALL rows of at least one band collide. The self-join is on
+    (band_idx, band_key) — an equi-join Catalyst executes as a shuffled hash
+    join keyed by the band, so only bucket-mates ever meet.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, cfg)
+    rows = cfg.lsh_num_hashes // cfg.lsh_bands
+    bands = []
+    for b in range(cfg.lsh_bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        bands.append(sigs.select(
+            F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")))
+    exploded = bands[0]
+    for x in bands[1:]:
+        exploded = exploded.unionByName(x)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (left.join(right, on=["band", "band_key"])
+             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float, cfg: EngineConfig = DEFAULT_CONFIG,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Without `candidates` this is an all-pairs check via shingle-hash
+    explode + equi-join on the shingle (shuffle keyed by shingle hash —
+    only docs sharing a shingle meet, never a true cross join); with
+    `candidates` (e.g. LSH output) it verifies just those pairs.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("sh"),
+    )
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    tok = sh.select(F.col(id_col), F.explode("sh").alias("h"))
+    inter = (tok.alias("a").join(tok.alias("b"), on="h")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "id_a")
+                      .withColumnRenamed("n", "n_a"), on="id_a")
+           .join(sizes.withColumnRenamed(id_col, "id_b")
+                      .withColumnRenamed("n", "n_b"), on="id_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def simhash_expr(text: str, bits: int, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Spark SQL: simhash fingerprint of `text` over whitespace tokens.
+
+    bit i of the fingerprint = majority vote of bit i across token hashes.
+    Nested HOFs (outer: bit positions; inner: token hashes) — all codegen.
+    """
+    toks = f"split(trim(lower({text})), '\\\\s+')"
+    th = (f"transform({toks}, s -> aggregate(split(s, ''), CAST(0 AS BIGINT), "
+          f"(acc, c) -> (acc * 31 + ascii(c)) % {POLY_P}))")
+    vote = (f"aggregate({th}, CAST(0 AS BIGINT), "
+            f"(s, h) -> s + CASE WHEN (h div bigpow) % 2 = 1 THEN 1 ELSE -1 END)")
+    # expand per-bit: (h >> i) & 1 == (h div 2^i) % 2
+    terms = []
+    for i in range(bits):
+        v = vote.replace("bigpow", str(1 << i))
+        terms.append(f"(CASE WHEN {v} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

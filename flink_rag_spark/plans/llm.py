@@ -1,0 +1,158 @@
+"""LLM-data-pipeline queries (north-star surface: dedup, similarity search,
+text analysis — SURVEY.md §2.2). Spark builders; oracle SQL in catalog.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from flink_rag_spark.config import DEFAULT_CONFIG
+from flink_rag_spark.functions.textfns import (
+    LANG_MARKERS,
+    punct_ratio_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
+from flink_rag_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from flink_rag_spark.operators.similarity import knn_join
+from flink_rag_spark.sources.tables import load_table
+
+
+# ---- similarity search ----
+
+def knn_single_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the data-driven query vector (vec_id=0) —
+    the batch form of the reference's one real query (RAG.java:51-63,
+    k=10 minScore=0). Single-row query side → broadcast; embeddings table
+    scanned once, TakeOrderedAndProject keeps k rows per partition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(broadcast(q)).select(
+        "vec_id",
+        F.round(F.expr(cosine_expr("embedding", "qv")), ROUND_DP).alias("score"),
+    )
+    topk = scored.orderBy(F.desc("score"), F.col("vec_id")).limit(10)
+    return topk.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.col("vec_id"))).cast("bigint"))
+
+
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN for a batch of 5 query vectors via broadcast cross join +
+    per-query ranking window (SURVEY.md §2.4 'batch of questions' path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    out = knn_join(queries, emb, k=5)
+    return out.select("query_id", "vec_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score ≥ 0.9, a < b).
+
+    Small-SF plan: self cross join pruned by the `label` block (vectors in
+    the testdata cluster by label); at 100 TB the same query runs over LSH
+    buckets (operators/similarity.with_ann_buckets) instead of labels —
+    identical verify step, sub-linear candidate set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label").alias("lbl"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lbl"),
+                   F.col("embedding").alias("eb"))
+    return (a.join(b, on="lbl")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score", F.round(F.expr(cosine_expr("ea", "eb")), ROUND_DP))
+            .filter(F.col("score") >= 0.9)
+            .select("id_a", "id_b", "score"))
+
+
+# ---- dedup family ----
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by (lang, source) with deterministic survivor (min id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, ["lang", "source"], "doc_id")
+
+
+def minhash_sig_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signatures of the first 50 documents (oracle-checkable view
+    into the LSH pipeline's intermediate state)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return minhash_signatures(d, "text", "doc_id")\
+        .drop("sh")
+
+
+def lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded minhash-LSH candidate pairs over all documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "text", "doc_id")
+
+
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs ≥ 0.4 (the verify stage of near-dedup).
+    Docs meet only through shared shingles — no cross join."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.4)
+
+
+# ---- text analysis ----
+
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring surface: token counts, punctuation ratio, stopword
+    ratio, chars-per-token — all codegen'd SQL expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(token_count_expr("text")).cast("bigint").alias("n_tokens"),
+        F.round(F.expr(punct_ratio_expr("text")), 6).alias("punct_ratio"),
+        F.round(F.expr(stopword_ratio_expr("text", LANG_MARKERS["en"])), 6)
+            .alias("en_stop_ratio"),
+        F.round(F.length("text") /
+                F.greatest(F.expr(token_count_expr("text")), F.lit(1)), 6)
+            .alias("chars_per_token"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language marker ratios,
+    deterministic tie-break by language code. Pure SQL — the scores are a
+    projection, the argmax a greatest()/CASE chain; no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        *[F.expr(stopword_ratio_expr("text", words)).alias(f"s_{code}")
+          for code, words in sorted(LANG_MARKERS.items())],
+    )
+    best = F.greatest(*[F.col(f"s_{c}") for c in sorted(LANG_MARKERS)])
+    pred = F.lit("unknown")
+    # reverse order so earlier codes win exact ties
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"s_{code}") == best, F.lit(code)).otherwise(pred)
+    return (scored.withColumn("pred_lang", F.when(best > 0, pred)
+                              .otherwise(F.lit("unknown")))
+            .select("doc_id", "lang", "pred_lang"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text polynomial rolling hash + a
+    content-defined sample (min shingle hash), both oracle-shared."""
+    from flink_rag_spark.functions.hashing import poly_hash_expr
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(poly_hash_expr("text")).alias("fp_full"),
+        F.expr("array_min(" +
+               shingle_hashes_expr("text", DEFAULT_CONFIG.shingle_size) + ")")
+            .alias("fp_min_shingle"),
+    )

@@ -1,0 +1,81 @@
+"""The flagship RAG plan — the reference's full answer path (AiJob.java:46-50
+→ RAG.java:29-99) re-expressed as ONE declarative Spark plan:
+
+    question → embed (A8) → exact cosine top-k (A9) → context join +
+    concat_ws (A10) → prompt template (A10) → chat (A11)
+
+The reference pays 3 synchronous HTTP round-trips and rebuilds every client
+per record (RAG.java:31-44,87-94 — SURVEY.md §2.1 'inconsistencies'). Here
+embedding/chat are Arrow-batched pandas UDFs with per-task provider reuse,
+retrieval is a broadcast cross join + ranking window, and context assembly
+is pure SQL (sort_array over collect_list keeps the top-k order without
+depending on aggregation order).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from flink_rag_spark.functions.providers import (
+    LocalDeterministicProvider,
+    chat_col,
+    embed_text_col,
+)
+from flink_rag_spark.operators.similarity import knn_join
+from flink_rag_spark.sources.tables import load_table
+
+
+def rag_answer(spark: SparkSession, sf_dir: str,
+               questions: DataFrame | list[str] | None = None,
+               cfg: EngineConfig = DEFAULT_CONFIG,
+               provider=None, with_chat: bool = True) -> DataFrame:
+    """Answer a batch of questions against the sf_dir corpus.
+
+    documents.doc_id aligns 1:1 with embeddings.vec_id (FIXTURES.md §B), so
+    the retrieved ids join straight back to text.
+    """
+    provider = provider or LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
+    if questions is None:
+        questions = [
+            "What do I do if it is dark?",          # README.md:192 sample
+            "What is the capital of France?",       # README.md:258 freshness q
+            "How do I sort a big table fast?",
+        ]
+    if isinstance(questions, list):
+        questions = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(questions)], "question_id long, question string")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    q_embedded = questions.withColumn(
+        "query_vec", embed_text_col(provider, cfg)(F.col("question")))
+
+    hits = knn_join(
+        q_embedded.select("question_id", "query_vec"), emb,
+        k=cfg.retrieval_k, query_id="question_id",
+        min_score=cfg.min_score)
+
+    # A10: context = top-k texts joined by the separator, in rank order.
+    with_text = hits.join(broadcast(docs.select(
+        F.col("doc_id").alias("vec_id"), "text")), on="vec_id")
+    context = (with_text.groupBy("question_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                       lambda x: x["text"]),
+                   cfg.context_separator).alias("information")))
+
+    prompted = (questions.join(context, on="question_id", how="left")
+                .withColumn("prompt", F.format_string(
+                    cfg.prompt_template.replace("{question}", "%s")
+                                       .replace("{information}", "%s"),
+                    F.col("question"), F.coalesce("information", F.lit("")))))
+    if with_chat:
+        prompted = prompted.withColumn(
+            "answer", chat_col(provider, cfg)(F.col("prompt")))
+    return prompted.select("question_id", "question", "information", "prompt",
+                           *(["answer"] if with_chat else []))

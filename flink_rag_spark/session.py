@@ -1,0 +1,106 @@
+"""SparkSession factory + runtime confs the engine depends on.
+
+The reference builds a ``StreamExecutionEnvironment`` per job
+(``AiJob.java:16-17``, ``StreamingStoreKnowledge.java:28``); here one
+SparkSession serves batch + streaming, and Catalyst/AQE replace the
+reference's manual operator-chain decisions (``.disableChaining()``,
+``AiJob.java:42,50`` — deliberately NOT reproduced, SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Confs that must hold on ANY session running this engine's queries —
+# including the driver-owned session handed to __spark_entry__.queries().
+# All of these are runtime-settable SQL confs.
+RUNTIME_CONFS = {
+    # driver testdata events.parquet stores TIMESTAMP(NANOS,false); Spark 4
+    # refuses it unless read as long (converted in sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle comparison runs against timezone-naive DuckDB timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: shuffle-partition coalescing, skew-join splitting,
+    # broadcast-join demotion — the 100 TB story relies on these.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+# appIds we've already shipped the package zip to (one addPyFile per app)
+_SHIPPED: set[str] = set()
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip this package once per process so executors can import it."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        fd, path = tempfile.mkstemp(prefix="flink_rag_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(path, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        _PKG_ZIP = path
+    return _PKG_ZIP
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make flink_rag_spark importable inside executor Python workers.
+
+    The driver harness owns the SparkSession and may run from any CWD; a
+    pandas UDF whose closure references this package would otherwise fail to
+    unpickle on the workers (ModuleNotFoundError)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    spark.sparkContext.addPyFile(_package_zip())
+    _SHIPPED.add(app_id)
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (idempotent) and ship the
+    package to executors."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-modifiable on this build — leave the session default
+            pass
+    ship_package(spark)
+    return spark
+
+
+def get_spark(app_name: str = "flink-rag-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build a local session sized from the environment.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions default to the same so small-SF runs don't pay for
+    thousands of empty tasks — at cluster scale this is instead set to
+    ~2-3× total cores and AQE coalesces from there.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow everywhere Python touches data: pandas UDFs, toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,3 @@
+from flink_rag_spark.sources.tables import TABLE_NAMES, load_table, load_tables
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables"]

@@ -1,0 +1,50 @@
+"""Batch table loaders for the driver testdata (TESTDATA.md / FIXTURES.md §B).
+
+The reference's only sources are value-only Kafka string streams
+(``AiJob.java:19-24``, ``StreamingStoreKnowledge.java:30-37``); the engine
+generalizes to schema-on-read Parquet relations. Everything stays a
+DataFrame so Catalyst gets predicate pushdown + column pruning on the scans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_rag_spark.session import ensure_runtime_confs
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Small dimension tables that should always be broadcast when joined against
+# fact tables (at sf0.1: region=5, nation=25, supplier≈1k, customer≈15k,
+# part≈20k rows — all far under any sane broadcast threshold; at 100 TB the
+# same tables stay dimension-sized while orders/lineitem/events grow).
+BROADCAST_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with engine-canonical column types."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as raw int64 nanoseconds (see
+        # session.RUNTIME_CONFS); convert with integer division — a double
+        # roundtrip at ~1.7e18 ns loses precision and can shift microseconds.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                register_views: bool = True) -> dict[str, DataFrame]:
+    """Load all testdata tables; optionally register temp views so the same
+    queries are runnable through ``spark.sql`` as through the DataFrame API."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

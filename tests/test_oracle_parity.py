@@ -1,0 +1,24 @@
+"""The correctness gate, run locally: every catalog query with an oracle must
+match DuckDB at sf0.01 exactly (rows, columns, canonical values)."""
+
+import pytest
+
+from flink_rag_spark.plans.catalog import QUERIES
+from tests.oracle_check import compare
+
+WITH_ORACLE = [q for q in QUERIES if q.oracle is not None]
+
+
+@pytest.mark.parametrize("qdef", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
+def test_oracle_parity(spark, sf_oracle, qdef):
+    df = qdef.fn(spark, sf_oracle)
+    res = compare(df, qdef.oracle, sf_oracle)
+    assert res["rows_match"], res
+    assert res["cols_match"], res
+    assert res["values_match"], {k: v for k, v in res.items() if k != "values_match"}
+
+
+def test_rows_only_queries_run(spark, sf_oracle):
+    for q in QUERIES:
+        if q.oracle is None:
+            assert q.fn(spark, sf_oracle).count() >= 0, q.name
