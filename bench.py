@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are forced with a noop write (computes every column — a count()
+would let Catalyst prune the projections being benchmarked).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_rag_spark.plans.catalog import query_fns  # noqa: E402
+from flink_rag_spark.session import get_spark  # noqa: E402
+
+# headline set: one per operator family; chosen to exercise scan-agg, joins,
+# windows, event-time, JSON, similarity, dedup (LSH path — the scale-safe
+# near-dup), text analysis, and the full provider-UDF RAG path.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "agg_orders_by_status",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "events_tumbling_5min",
+    "json_events_props",
+    "asof_error_last_purchase",
+    "knn_single_vec0",
+    "knn_batch",
+    "lsh_dup_candidates",
+    "text_quality_stats",
+    "lang_id_heuristic",
+    "doc_fingerprints",
+    "rag_answer_batch",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("flink-rag-spark-bench", cpus=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = query_fns()
+
+    # warm-up: JVM/codegen on a trivial plan, plus one tiny pandas-UDF run so
+    # the Python worker pool exists before any provider query is timed
+    force(spark.read.parquet(f"{sf_dir}/region.parquet"))
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+    force(spark.range(64).select(_warm(col("id"))))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(fns[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

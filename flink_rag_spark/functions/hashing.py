@@ -61,23 +61,29 @@ def minhash_sig_duck(hashes_arr: str, a: int, b: int) -> str:
     )
 
 
-def shingles_duck(text: str, k: int) -> str:
-    """DuckDB SQL mirror of operators.dedup.shingles_expr: array of k-word
-    shingles (space-joined lowercase whitespace tokens), 1-based inclusive
-    list_slice ≡ Spark's slice(arr, i, k)."""
+SHINGLE_BASE = 1_000_003  # keep in sync with operators.dedup.SHINGLE_BASE
+
+
+def token_hashes_duck(text: str) -> str:
+    """DuckDB SQL mirror of operators.dedup.token_hashes_expr."""
     toks = f"string_split_regex(trim(lower({text})), '\\s+')"
-    return (
-        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    inner = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_P})"
     )
+    return f"list_transform({toks}, t -> {inner})"
 
 
 def shingle_hashes_duck(text: str, k: int) -> str:
-    """DuckDB SQL mirror of operators.dedup.shingle_hashes_expr."""
-    sh = shingles_duck(text, k)
-    inner = (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split(s, ''), c -> CAST(unicode(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_P})"
+    """DuckDB SQL mirror of operators.dedup.shingle_hashes_expr (same rolling
+    combination of per-token hashes, same padding semantics)."""
+    comb = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        comb = (f"(({comb} * {SHINGLE_BASE} + "
+                f"coalesce(list_extract(th, i + {j}), CAST(0 AS BIGINT))) % {POLY_P})")
+    return (
+        f"list_transform([{token_hashes_duck(text)}], "
+        f"th -> list_transform(range(1, greatest(len(th) - {k - 1}, 1) + 1), "
+        f"i -> {comb}))[1]"
     )
-    return f"list_transform({sh}, s -> {inner})"

@@ -24,30 +24,43 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
-from flink_rag_spark.functions.hashing import (
-    POLY_P,
-    minhash_params,
-    minhash_sig_expr,
-    poly_hash_expr,
-)
+from flink_rag_spark.functions.hashing import POLY_P, minhash_params
 
-# word-shingle array: join k consecutive lowercase tokens with single spaces
-def shingles_expr(text: str, k: int) -> str:
+# combining base for rolling k-token shingle hashes (prime, big enough to
+# spread, small enough that h*B stays < 2^63 with h < POLY_P)
+SHINGLE_BASE = 1_000_003
+
+
+def token_hashes_expr(text: str) -> str:
+    """array<bigint>: polynomial hash of each whitespace token of lower(text).
+
+    Hashing per-token (not per-shingle-string) does the char-level fold ONCE
+    per token; overlapping shingles then combine token hashes in O(k) —
+    ~k× less interpreted-HOF work than hashing each shingle string."""
     toks = f"split(trim(lower({text})), '\\\\s+')"
     return (
-        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {k}), ' '))"
+        f"transform({toks}, t -> aggregate(split(t, ''), CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * 31 + ascii(c)) % {POLY_P}))"
     )
 
 
 def shingle_hashes_expr(text: str, k: int) -> str:
-    """array<bigint> of polynomial hashes of the k-shingles of `text`."""
-    sh = shingles_expr(text, k)
-    inner = (
-        f"aggregate(split(s, ''), CAST(0 AS BIGINT), "
-        f"(acc, c) -> (acc * 31 + ascii(c)) % {POLY_P})"
+    """array<bigint> of rolling hashes of the k-token shingles of `text`.
+
+    Combination: h = fold over window ((h * SHINGLE_BASE + th[i+j]) % P).
+    The token-hash array is bound ONCE as a lambda variable (the
+    transform(array(..))[1] trick) so it isn't recomputed per window slot.
+    try_element_at (ANSI-safe) + coalesce(…, 0) pads short documents, so
+    every doc yields ≥1 shingle hash."""
+    comb = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        comb = (f"(({comb} * {SHINGLE_BASE} + "
+                f"coalesce(try_element_at(th, i + {j}), CAST(0 AS BIGINT))) % {POLY_P})")
+    return (
+        f"element_at(transform(array({token_hashes_expr(text)}), "
+        f"th -> transform(sequence(1, greatest(size(th) - {k - 1}, 1)), "
+        f"i -> {comb})), 1)"
     )
-    return f"transform({sh}, s -> {inner})"
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -59,15 +72,21 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """id + minhash signature columns mh0..mh{n-1} (+ the shingle hash array)."""
+    """id + minhash signature columns mh0..mh{n-1}.
+
+    Physical shape: explode the shingle hashes, then ONE codegen'd
+    HashAggregate computing all n min((h*a+b)%P) columns — far faster than n
+    interpreted array_min(transform(...)) passes, and map-side partial
+    aggregation collapses each doc to one row per partition before the
+    shuffle (shuffle volume = rows × n ints, independent of doc length)."""
     params = minhash_params(cfg.lsh_num_hashes, cfg.seed)
-    out = df.select(
+    exploded = df.select(
         F.col(id_col),
-        F.expr(shingle_hashes_expr(text_col, cfg.shingle_size)).alias("sh"),
+        F.explode(F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("h"),
     )
-    for i, (a, b) in enumerate(params):
-        out = out.withColumn(f"mh{i}", F.expr(minhash_sig_expr("sh", a, b)))
-    return out
+    aggs = [F.expr(f"min((h * {a} + {b}) % {POLY_P})").alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -81,15 +100,18 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sigs = minhash_signatures(df, text_col, id_col, cfg)
     rows = cfg.lsh_num_hashes // cfg.lsh_bands
-    bands = []
+    # one band-struct array exploded in a single pass — a per-band UNION would
+    # recompute the (expensive) signature projection once per band branch
+    band_structs = []
     for b in range(cfg.lsh_bands):
         cols = [f"mh{b * rows + r}" for r in range(rows)]
         key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        bands.append(sigs.select(
-            F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")))
-    exploded = bands[0]
-    for x in bands[1:]:
-        exploded = exploded.unionByName(x)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    exploded = (sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key")))
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (left.join(right, on=["band", "band_key"])
