@@ -158,20 +158,50 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
-def simhash_expr(text: str, bits: int, cfg: EngineConfig = DEFAULT_CONFIG) -> str:
-    """Spark SQL: simhash fingerprint of `text` over whitespace tokens.
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                         cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(id, simhash) — 32-bit simhash over whitespace-token hashes.
 
-    bit i of the fingerprint = majority vote of bit i across token hashes.
-    Nested HOFs (outer: bit positions; inner: token hashes) — all codegen.
-    """
-    toks = f"split(trim(lower({text})), '\\\\s+')"
-    th = (f"transform({toks}, s -> aggregate(split(s, ''), CAST(0 AS BIGINT), "
-          f"(acc, c) -> (acc * 31 + ascii(c)) % {POLY_P}))")
-    vote = (f"aggregate({th}, CAST(0 AS BIGINT), "
-            f"(s, h) -> s + CASE WHEN (h div bigpow) % 2 = 1 THEN 1 ELSE -1 END)")
-    # expand per-bit: (h >> i) & 1 == (h div 2^i) % 2
-    terms = []
-    for i in range(bits):
-        v = vote.replace("bigpow", str(1 << i))
-        terms.append(f"(CASE WHEN {v} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    Physical shape mirrors minhash_signatures: explode token hashes, one
+    codegen'd HashAggregate computes all 32 bit-votes (sum of ±1 per bit),
+    then the fingerprint reassembles from the vote signs. Two narrow
+    projections + one keyed aggregate — no interpreted nested-HOF tree."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.expr(token_hashes_expr(text_col))).alias("h"),
+    )
+    votes = exploded.groupBy(id_col).agg(*[
+        F.expr(f"sum(CASE WHEN (h div {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)")
+         .alias(f"v{i}")
+        for i in range(cfg.simhash_bits)])
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(cfg.simhash_bits))
+    return votes.select(F.col(id_col), F.expr(fp).alias("simhash"))
+
+
+def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                            max_hamming: int = 3,
+                            cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Near-dup pairs by simhash: block on the 4 bytes of the fingerprint
+    (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal), verify exact
+    Hamming distance with bit_count(xor). Equi-join on (byte_idx, byte) —
+    candidates meet only inside blocks, never a cross join."""
+    fps = simhash_fingerprints(df, text_col, id_col, cfg)
+    n_blocks = cfg.simhash_bits // 8
+    blocks = fps.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.expr(f"(simhash div {1 << (8 * b)}) % 256").alias("byte"))
+            for b in range(n_blocks)])).alias("bb"))\
+        .select(id_col, "simhash", F.col("bb.blk").alias("blk"),
+                F.col("bb.byte").alias("byte"))
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (l.join(r, on=["blk", "byte"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

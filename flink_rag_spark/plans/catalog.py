@@ -31,8 +31,9 @@ from flink_rag_spark.functions.textfns import (
     stopword_ratio_duck,
     token_count_duck,
 )
+from flink_rag_spark.functions.hashing import token_hashes_duck
 from flink_rag_spark.functions.vector import cosine_duck
-from flink_rag_spark.plans import llm, relational as R
+from flink_rag_spark.plans import llm, relational as R, relational2 as R2
 from flink_rag_spark.plans.rag import rag_answer
 
 
@@ -334,6 +335,7 @@ def _oracle_text_quality() -> str:
     return f"""
 SELECT doc_id,
   CAST({token_count_duck('text')} AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
   ROUND({punct_ratio_duck('text')}, 6) AS punct_ratio,
   ROUND({stopword_ratio_duck('text', LANG_MARKERS['en'])}, 6) AS en_stop_ratio,
   ROUND(length(text) / greatest({token_count_duck('text')}, 1), 6)
@@ -362,6 +364,220 @@ def _oracle_fingerprints() -> str:
 SELECT doc_id, {poly_hash_duck('text')} AS fp_full,
        list_min({hashes}) AS fp_min_shingle
 FROM documents
+"""
+
+
+# ---- batch-2 oracles ----
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+ORACLE_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({DP}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+ORACLE_Q14 = f"""
+SELECT ROUND(100.0 *
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DP}
+                ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+  / CAST(SUM({DP}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+ORACLE_Q17 = """
+WITH avgq AS (SELECT l_partkey AS pk,
+                     SUM(l_quantity) / COUNT(*) AS aq
+              FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem JOIN avgq ON l_partkey = pk
+WHERE l_quantity < 0.2 * aq
+"""
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+ORACLE_Q19 = f"""
+SELECT CAST(SUM({DP}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+ORACLE_Q22 = f"""
+WITH avg_bal AS (
+  SELECT {_money('c_acctbal')} / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, COUNT(*) AS n_cust, {_money('c_acctbal')} AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+_PIVOT_COLS = ", ".join(
+    f'CAST(COUNT(*) FILTER (c_mktsegment = \'{s}\') AS BIGINT) AS "{s}"'
+    for s in R2.MKT_SEGMENTS)
+ORACLE_PIVOT = f"""
+SELECT r_name, {_PIVOT_COLS}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLE_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+_BAND_VALUES = ", ".join(f"({lo}, {hi}, '{name}')"
+                         for lo, hi, name in R2.PRICE_BANDS)
+ORACLE_RANGE_BANDS = f"""
+WITH bands(lo, hi, band) AS (VALUES {_BAND_VALUES})
+SELECT band, COUNT(*) AS n_orders, {_money('o_totalprice')} AS total_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+ORACLE_SESSION_BATCH = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x)
+SELECT MIN(ts) AS sess_start, MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+       user_id, COUNT(*) AS n_events, {_money('value')} AS sum_value
+FROM s GROUP BY user_id, sess
+"""
+
+ORACLE_SLIDING_BATCH = """
+SELECT ws AS win_start, ws + INTERVAL '10 minutes' AS win_end,
+       event_type, COUNT(*) AS n_events
+FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+             AS ws, event_type
+      FROM events) t
+GROUP BY ws, event_type
+"""
+
+ORACLE_WORD_COUNT = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+def _simhash_fp_duck(th: str, bits: int) -> str:
+    """DuckDB simhash fingerprint over a token-hash list expression."""
+    vote = (f"list_sum(list_transform({th}, h -> "
+            f"CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END))")
+    return (f"CAST(list_sum(list_transform(range(0, {bits}), i -> "
+            f"CASE WHEN {vote} > 0 THEN (CAST(1 AS BIGINT) << i) "
+            f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)")
+
+
+def _oracle_simhash_docs() -> str:
+    fp = _simhash_fp_duck("th", CFG.simhash_bits)
+    return f"""
+SELECT doc_id, {fp} AS simhash
+FROM (SELECT doc_id, {token_hashes_duck('text')} AS th FROM documents) t
+"""
+
+
+def _oracle_simhash_pairs() -> str:
+    fp = _simhash_fp_duck("th", CFG.simhash_bits)
+    n_blocks = CFG.simhash_bits // 8
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS blk, (simhash >> {8 * b}) & 255 AS byte FROM fps"
+        for b in range(n_blocks))
+    return f"""
+WITH fps AS (
+  SELECT doc_id, {fp} AS simhash
+  FROM (SELECT doc_id, {token_hashes_duck('text')} AS th FROM documents) t
+),
+blocks AS ({block_rows})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM blocks l JOIN blocks r
+  ON l.blk = r.blk AND l.byte = r.byte AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""
+
+
+ORACLE_SQL_UDF_COSINE = f"""
+SELECT e.vec_id, ROUND({cosine_duck('e.embedding', 'q.embedding')}, 6) AS score
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+"""
+
+_FOLD_SUM = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             "list_transform(embedding, x -> CAST(x AS DOUBLE))), "
+             "(s, x) -> s + x)")
+_FOLD_SQ = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+            "(s, x) -> s + x)")
+ORACLE_ARRAY_STATS = f"""
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dims,
+  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+  ROUND(sqrt({_FOLD_SQ}), 6) AS l2_norm,
+  ROUND({_FOLD_SUM} / len(embedding), 6) AS mean_val
+FROM embeddings
 """
 
 
@@ -400,6 +616,38 @@ QUERIES: list[QueryDef] = [
     QueryDef("text_quality_stats", llm.text_quality_stats, _oracle_text_quality(), ("text",)),
     QueryDef("lang_id_heuristic", llm.lang_id_heuristic, _oracle_lang_id(), ("text",)),
     QueryDef("doc_fingerprints", llm.doc_fingerprints, _oracle_fingerprints(), ("text",)),
+    # relational surface, batch 2 (subqueries, conditional agg, pivot,
+    # grouping sets, range join, batch windows)
+    QueryDef("q4_order_priority", R2.q4_order_priority, ORACLE_Q4, ("join", "subquery")),
+    QueryDef("q10_returned_items", R2.q10_returned_items, ORACLE_Q10, ("join", "topk")),
+    QueryDef("q12_priority_by_linestatus", R2.q12_priority_by_linestatus,
+             ORACLE_Q12, ("agg",)),
+    QueryDef("q14_promo_revenue", R2.q14_promo_revenue, ORACLE_Q14, ("agg",)),
+    QueryDef("q17_small_quantity_revenue", R2.q17_small_quantity_revenue,
+             ORACLE_Q17, ("subquery",)),
+    QueryDef("q18_large_orders", R2.q18_large_orders, ORACLE_Q18, ("subquery",)),
+    QueryDef("q19_disjunctive_revenue", R2.q19_disjunctive_revenue,
+             ORACLE_Q19, ("join",)),
+    QueryDef("q22_idle_rich_customers", R2.q22_idle_rich_customers,
+             ORACLE_Q22, ("subquery",)),
+    QueryDef("pivot_segment_by_region", R2.pivot_segment_by_region,
+             ORACLE_PIVOT, ("agg", "pivot")),
+    QueryDef("grouping_sets_orders", R2.grouping_sets_orders,
+             ORACLE_GROUPING_SETS, ("agg",)),
+    QueryDef("range_join_price_bands", R2.range_join_price_bands,
+             ORACLE_RANGE_BANDS, ("join", "range")),
+    QueryDef("session_windows_batch", R2.session_windows_batch,
+             ORACLE_SESSION_BATCH, ("window", "stream")),
+    QueryDef("sliding_window_batch", R2.sliding_window_batch,
+             ORACLE_SLIDING_BATCH, ("window", "stream")),
+    QueryDef("word_count_top50", R2.word_count_top50, ORACLE_WORD_COUNT, ("text",)),
+    QueryDef("approx_distinct_users", R2.approx_distinct_users, None, ("agg", "sketch")),
+    # simhash family + UDF surface + array functions
+    QueryDef("simhash_docs", llm.simhash_docs, _oracle_simhash_docs(), ("dedup",)),
+    QueryDef("simhash_neardup", llm.simhash_neardup, _oracle_simhash_pairs(), ("dedup",)),
+    QueryDef("sql_udf_cosine", llm.sql_udf_cosine, ORACLE_SQL_UDF_COSINE, ("udf",)),
+    QueryDef("array_embedding_stats", llm.array_embedding_stats,
+             ORACLE_ARRAY_STATS, ("scalar", "array")),
     # RAG end-to-end (pandas-UDF providers → non-SQL-expressible, rows-only)
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),

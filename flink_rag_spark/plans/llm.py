@@ -107,6 +107,34 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- text analysis ----
 
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash fingerprint per document."""
+    from flink_rag_spark.operators.dedup import simhash_fingerprints
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "text", "doc_id")
+
+
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs: byte-blocked candidates, hamming ≤ 3 verify."""
+    from flink_rag_spark.operators.dedup import simhash_candidate_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+def sql_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered-UDF surface: cosine_sim called from spark.sql, checked
+    against DuckDB's native list_cosine_similarity (both double, rounded)."""
+    from flink_rag_spark.functions.registry import register_engine_functions
+    register_engine_functions(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql("""
+        SELECT e.vec_id,
+               ROUND(cosine_sim(e.embedding, q.embedding), 6) AS score
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """)
+
+
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring surface: token counts, punctuation ratio, stopword
     ratio, chars-per-token — all codegen'd SQL expressions."""
@@ -114,6 +142,9 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.expr(token_count_expr("text")).cast("bigint").alias("n_tokens"),
+        # BPE-ish pre-tokenization: word pieces + standalone punctuation
+        F.expr(r"size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0))")
+            .cast("bigint").alias("n_bpe_tokens"),
         F.round(F.expr(punct_ratio_expr("text")), 6).alias("punct_ratio"),
         F.round(F.expr(stopword_ratio_expr("text", LANG_MARKERS["en"])), 6)
             .alias("en_stop_ratio"),
@@ -141,6 +172,22 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("pred_lang", F.when(best > 0, pred)
                               .otherwise(F.lit("unknown")))
             .select("doc_id", "lang", "pred_lang"))
+
+
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the vector column: size, element access,
+    L2 norm via HOF aggregate — all codegen-side."""
+    from flink_rag_spark.functions.vector import norm_expr
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dims"),
+        F.round(F.expr("CAST(element_at(embedding, 1) AS DOUBLE)"), 6).alias("first_val"),
+        F.round(F.expr(norm_expr("embedding")), 6).alias("l2_norm"),
+        F.round(F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
+            " / size(embedding)"), 6).alias("mean_val"),
+    )
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

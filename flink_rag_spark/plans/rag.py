@@ -31,11 +31,17 @@ from flink_rag_spark.sources.tables import load_table
 def rag_answer(spark: SparkSession, sf_dir: str,
                questions: DataFrame | list[str] | None = None,
                cfg: EngineConfig = DEFAULT_CONFIG,
-               provider=None, with_chat: bool = True) -> DataFrame:
+               provider=None, with_chat: bool = True,
+               extra_store_path: str | None = None) -> DataFrame:
     """Answer a batch of questions against the sf_dir corpus.
 
     documents.doc_id aligns 1:1 with embeddings.vec_id (FIXTURES.md §B), so
     the retrieved ids join straight back to text.
+
+    ``extra_store_path``: a live ingest store (streaming/ingest.py schema
+    vec_id/text/embedding) unioned into both the vector and text sides —
+    freshly ingested knowledge is retrievable in the same session
+    (the reference's freshness loop, README.md:241-267).
     """
     provider = provider or LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
     if questions is None:
@@ -48,8 +54,13 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         questions = spark.createDataFrame(
             [(i, q) for i, q in enumerate(questions)], "question_id long, question string")
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text")
+    if extra_store_path:
+        store = spark.read.parquet(extra_store_path)
+        emb = emb.unionByName(store.select("vec_id", "embedding"))
+        docs = docs.unionByName(store.select("vec_id", "text"))
 
     q_embedded = questions.withColumn(
         "query_vec", embed_text_col(provider, cfg)(F.col("question")))
@@ -60,8 +71,9 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         min_score=cfg.min_score)
 
     # A10: context = top-k texts joined by the separator, in rank order.
-    with_text = hits.join(broadcast(docs.select(
-        F.col("doc_id").alias("vec_id"), "text")), on="vec_id")
+    # hits is tiny (questions × k rows) — broadcast IT against the corpus
+    # text table, which is huge at scale.
+    with_text = broadcast(hits).join(docs, on="vec_id")
     context = (with_text.groupBy("question_id")
                .agg(F.array_join(
                    F.transform(

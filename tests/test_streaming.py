@@ -1,0 +1,149 @@
+"""Streaming-layer tests: the two reference jobs (ingest, answer) on file
+sources with availableNow triggers, the freshness scenario (README.md:241-267
+re-created), event-time windows checked against their batch equivalents, and
+streaming dedup."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_rag_spark.sources.streams import file_string_source
+from flink_rag_spark.sources.tables import load_table
+from flink_rag_spark.streaming.answer import run_answer_stream
+from flink_rag_spark.streaming.events import (
+    dedup_within_watermark,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+from flink_rag_spark.streaming.ingest import run_ingest
+
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "stream did not drain in time"
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_smoke, tmp_path):
+    """Copy sf0.001 events into a stream-source dir as normal-µs parquet."""
+    path = str(tmp_path / "events_src")
+    load_table(spark, sf_smoke, "events").write.parquet(path)
+    return path
+
+
+def test_ingest_idempotent_and_freshness(spark, sf_smoke, tmp_path):
+    src = tmp_path / "knowledge"
+    src.mkdir()
+    (src / "facts0.txt").write_text(
+        "The capital of France is Paris.\nThe Eiffel Tower was completed in 1889.\n")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt_ingest")
+
+    q = run_ingest(spark, file_string_source(spark, str(src)), store, ckpt,
+                   available_now=True)
+    _await(q)
+    stored = spark.read.parquet(store)
+    assert stored.count() == 2
+    row = stored.filter(F.col("text").contains("Paris")).first()
+    assert row is not None and len(row["embedding"]) == 64
+
+    # replay the same facts through a fresh checkpoint → no duplicates
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt_ingest2"), available_now=True)
+    _await(q)
+    assert spark.read.parquet(store).count() == 2
+    assert spark.read.parquet(store).select("vec_id").distinct().count() == 2
+
+    # freshness loop: the ingested fact must be retrieved for the question
+    # (the reference's manual scenario, README.md:241-267)
+    questions = tmp_path / "questions"
+    questions.mkdir()
+    (questions / "q.txt").write_text("What is the capital of France?\n")
+    out = str(tmp_path / "answers")
+    q = run_answer_stream(spark, file_string_source(spark, str(questions)),
+                          sf_smoke, out, str(tmp_path / "ckpt_answer"),
+                          available_now=True, store_path=store)
+    _await(q)
+    answers = spark.read.parquet(out)
+    assert answers.count() == 1
+    info = answers.first()["information"]
+    assert "The capital of France is Paris." in info
+
+
+def test_tumbling_matches_batch(spark, sf_smoke, events_stream_dir, tmp_path):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    result = tumbling_counts(stream)
+    q = (result.writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = spark.sql("select * from tumbling_test")
+    expected = tumbling_counts(
+        spark.read.parquet(events_stream_dir), watermark=None)
+    # append mode only emits windows the watermark closed; with availableNow
+    # over a finite source that is every window except possibly the last
+    assert got.count() > 0
+    diff = got.exceptAll(expected)
+    assert diff.count() == 0, "stream emitted a window batch disagrees with"
+
+
+def test_sliding_and_session_windows_run(spark, events_stream_dir, tmp_path):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    for i, df in enumerate([sliding_counts(stream), session_windows(stream)]):
+        q = (df.writeStream.format("memory").queryName(f"win_test_{i}")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+             .trigger(availableNow=True).start())
+        _await(q)
+        assert spark.sql(f"select * from win_test_{i}").count() >= 0
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    from flink_rag_spark.streaming.events import sessionize_stateful
+    src = tmp_path / "sess_src"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 10.0), (1, "2024-01-01 00:02:00", 5.0),
+         (1, "2024-01-01 00:20:00", 7.0),   # >5 min gap closes session 1
+         (2, "2024-01-01 00:00:30", 1.0)],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double").parquet(str(src))
+    q = (sessionize_stateful(stream).writeStream.format("memory")
+         .queryName("sess_t").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    _await(q)
+    rows = {(r["user_id"], r["n_events"], r["total_value"])
+            for r in spark.sql("select * from sess_t").collect()}
+    # user 1: first session closed by the in-data gap; user 2: closed by the
+    # event-time timeout when the watermark passed its horizon
+    assert (1, 2, 15.0) in rows
+    assert (2, 1, 1.0) in rows
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dup_src"
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01"), (1, "2024-01-01 00:00:02"),
+         (2, "2024-01-01 00:00:03"), (2, "2024-01-01 00:00:03"),
+         (3, "2024-01-01 00:01:00")],
+        "event_id bigint, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema("event_id bigint, ts timestamp").parquet(str(src))
+    out = dedup_within_watermark(stream, ["event_id"], "10 minutes")
+    q = (out.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = spark.sql("select event_id from dedup_test")
+    assert got.count() == 3
+    assert got.distinct().count() == 3
