@@ -59,7 +59,8 @@ class EngineConfig:
     lsh_bands: int = 4                 # bands for LSH bucketing (rows = 16/4)
     shingle_size: int = 3              # word-shingle width for near-dup
     simhash_bits: int = 32             # simhash fingerprint width
-    ann_num_planes: int = 8            # random-hyperplane LSH for cosine ANN
+    ann_num_planes: int = 8            # random-hyperplane bits per LSH table
+    ann_num_tables: int = 4            # independent LSH tables (recall lever)
     # deterministic seeds for all hashing — never wall-clock derived
     seed: int = 42
 

@@ -94,32 +94,117 @@ def signature_col(vec_col: str, planes: list[list[float]]) -> F.Column:
 def with_ann_buckets(embeddings: DataFrame, vec_col: str = "embedding",
                      cfg: EngineConfig = DEFAULT_CONFIG,
                      dims: int | None = None) -> DataFrame:
-    """Attach the LSH bucket column. At scale, persist this partitioned by
-    `bucket` so ANN queries prune partitions at the scan."""
+    """Attach one LSH bucket column PER HASH TABLE (bucket_0..bucket_{T-1}).
+
+    Multi-table LSH is the recall lever: a true neighbor is missed only if
+    it disagrees with the query in EVERY table. At scale, persist this once
+    (or store the exploded (table, bucket, id) index partitioned by bucket)
+    so queries prune at the scan instead of re-hashing per query."""
     if dims is None:
         dims = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dims, cfg.ann_num_planes, cfg.seed)
-    return embeddings.withColumn("bucket", signature_col(vec_col, planes))
+    out = embeddings
+    for t in range(cfg.ann_num_tables):
+        planes = hyperplanes(dims, cfg.ann_num_planes, cfg.seed + t)
+        out = out.withColumn(f"bucket_{t}", signature_col(vec_col, planes))
+    return out
+
+
+def _query_sigs(query_vec: list[float], cfg: EngineConfig) -> list[int]:
+    q = np.array(query_vec)
+    sigs = []
+    for t in range(cfg.ann_num_tables):
+        planes = hyperplanes(len(query_vec), cfg.ann_num_planes, cfg.seed + t)
+        sig = 0
+        for i, p in enumerate(planes):
+            if float(np.dot(q, np.array(p))) >= 0:
+                sig |= 1 << i
+        sigs.append(sig)
+    return sigs
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                  max_sample: int = 4096, iters: int = 8,
+                  vec_col: str = "embedding",
+                  cfg: EngineConfig = DEFAULT_CONFIG) -> list[list[float]]:
+    """Train IVF coarse centroids: k-means on a bounded driver-side sample.
+
+    The SAMPLE is bounded (max_sample rows) regardless of table size — the
+    only driver-side step in the IVF path, analogous to any ANN index's
+    training phase. Deterministic: seeded sample + seeded init."""
+    rows = (embeddings.select(vec_col).limit(max_sample).collect())
+    import numpy as _np
+    x = _np.asarray([r[0] for r in rows], dtype=_np.float64)
+    rng = _np.random.default_rng(cfg.seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = x[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def with_ivf_cells(embeddings: DataFrame, centroids: list[list[float]],
+                   vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid (cell id).
+
+    Arrow-batched numpy matmul per batch — one linear pass, no shuffle. At
+    scale, persist the result partitioned by `cell` so ANN queries prune
+    partitions at the scan."""
+    import numpy as _np
+    cent = _np.asarray(centroids, dtype=_np.float64)
+
+    @F.pandas_udf("int")
+    def _cell(vs):
+        import numpy as np
+        import pandas as pd
+        out = []
+        for v in vs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append(int(((cent - x) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out)
+
+    return embeddings.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 n_probe: int = 4, centroids: list[list[float]] | None = None,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest cells, exact re-rank
+    inside. Candidates shrink ~n_centroids/n_probe-fold; recall rises with
+    n_probe. Bench path — the oracle checks the exact operators."""
+    import numpy as _np
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, vec_col=vec_col, cfg=cfg)
+    cent = _np.asarray(centroids, dtype=_np.float64)
+    q = _np.asarray(query_vec, dtype=_np.float64)
+    probe = ((cent - q) ** 2).sum(axis=1).argsort()[:n_probe].tolist()
+    cells = with_ivf_cells(embeddings, centroids, vec_col)
+    cand = cells.filter(F.col("cell").isin([int(c) for c in probe]))
+    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
 def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  cfg: EngineConfig = DEFAULT_CONFIG,
-                 multiprobe: int = 1) -> DataFrame:
-    """Approximate top-k: restrict to the query's LSH bucket (plus buckets at
-    Hamming distance ≤ multiprobe), exact re-rank inside. Recall grows with
-    multiprobe; candidates shrink ~2^planes-fold. Bench-path only — the
-    oracle checks the exact operators."""
-    dims = len(query_vec)
-    planes = hyperplanes(dims, cfg.ann_num_planes, cfg.seed)
-    q = np.array(query_vec)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(q, np.array(p))) >= 0:
-            qsig |= 1 << i
-    probe = {qsig}
-    if multiprobe >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(cfg.ann_num_planes)}
-    bucketed = with_ann_buckets(embeddings, vec_col, cfg, dims)
-    cand = bucketed.filter(F.col("bucket").isin(list(probe)))
+                 multiprobe: int = 1,
+                 bucketed: DataFrame | None = None) -> DataFrame:
+    """Approximate top-k: candidates = union over hash tables of the query's
+    bucket (multiprobe adds the 1-bit-flip neighbor buckets per table),
+    exact cosine re-rank inside. Pass a persisted `bucketed` table to skip
+    re-hashing (the at-scale shape). Bench path — the oracle checks the
+    exact operators."""
+    if bucketed is None:
+        bucketed = with_ann_buckets(embeddings, vec_col, cfg, len(query_vec))
+    conds = None
+    for t, qsig in enumerate(_query_sigs(query_vec, cfg)):
+        probe = {qsig}
+        if multiprobe >= 1:
+            probe |= {qsig ^ (1 << i) for i in range(cfg.ann_num_planes)}
+        c = F.col(f"bucket_{t}").isin([int(x) for x in probe])
+        conds = c if conds is None else (conds | c)
+    cand = bucketed.filter(conds)
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)

@@ -66,9 +66,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: dim-filtered broadcast join chain + agg + top-k.
-    customer is broadcast (dimension-sized at any SF); the only shuffle is
-    the groupBy on l_orderkey; LIMIT plans as TakeOrderedAndProject."""
+    """TPC-H Q3 shape: dim-filtered join chain + agg + top-k.
+    Broadcast-vs-SMJ for customer is left to Catalyst/AQE statistics —
+    customer GROWS with SF, so a forced broadcast() hint would be wrong at
+    cluster scale; LIMIT plans as TakeOrderedAndProject."""
     cu = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -76,7 +77,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") > cut)
         .join(o.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+        .join(cu.filter(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
@@ -87,9 +88,11 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join with the local-supplier condition
-    (c_nationkey = s_nationkey). All dimension sides broadcast; lineitem —
-    the only table that is big at scale — is never shuffled before the final
-    small groupBy on n_name."""
+    (c_nationkey = s_nationkey). nation/region (constant 25/5 rows) carry
+    explicit broadcast hints; customer/supplier scale with SF, so their join
+    strategy is left to Catalyst/AQE (they still broadcast at test SF via
+    the size threshold). lineitem is never shuffled before the final small
+    groupBy on n_name."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     cu = load_table(spark, sf_dir, "customer")
@@ -100,8 +103,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))

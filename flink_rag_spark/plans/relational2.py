@@ -36,7 +36,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
             .join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
             .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
@@ -58,12 +58,13 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional revenue ratio; part is broadcast."""
+    """TPC-H Q14 shape: conditional revenue ratio (join strategy left to
+    Catalyst/AQE — part scales with SF)."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
-    j = li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.sum(F.when(F.col("p_type") == "PROMO",
                          F.expr(DISC_PRICE)).otherwise(F.lit(0).cast("decimal(30,4)")))
     total = F.sum(F.expr(DISC_PRICE))
@@ -73,12 +74,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar subquery (per-part avg) → aggregate
-    once, broadcast the tiny per-part result back against the fact table."""
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg) →
+    aggregate once, join the per-part result back against the fact table
+    (AQE picks broadcast when the aggregate is small enough)."""
     li = load_table(spark, sf_dir, "lineitem")
     avgq = (li.groupBy(F.col("l_partkey").alias("pk"))
             .agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("aq")))
-    return (li.join(broadcast(avgq), F.col("l_partkey") == F.col("pk"))
+    return (li.join(avgq, F.col("l_partkey") == F.col("pk"))
             .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
             .agg((F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0))
                  .alias("avg_yearly")))
@@ -95,7 +97,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(big.withColumnRenamed("l_orderkey", "bk"),
                   F.col("o_orderkey") == F.col("bk"), "left_semi")
-            .join(broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
             .agg(F.sum("l_quantity").alias("total_qty")))
 
@@ -104,7 +106,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs predicate across the join."""
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 30))

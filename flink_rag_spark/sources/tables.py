@@ -18,11 +18,11 @@ TABLE_NAMES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-# Small dimension tables that should always be broadcast when joined against
-# fact tables (at sf0.1: region=5, nation=25, supplier≈1k, customer≈15k,
-# part≈20k rows — all far under any sane broadcast threshold; at 100 TB the
-# same tables stay dimension-sized while orders/lineitem/events grow).
-BROADCAST_TABLES = {"region", "nation", "supplier", "customer", "part"}
+# Tables whose size is a CONSTANT of the schema (not the scale factor) —
+# always safe to broadcast() explicitly. Everything else (customer, supplier,
+# part, orders, lineitem, events, documents, embeddings) grows with SF, so
+# join strategy is left to Catalyst/AQE statistics.
+BROADCAST_TABLES = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

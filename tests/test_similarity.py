@@ -1,0 +1,63 @@
+"""Similarity-operator tests: exact/approximate agreement, ANN recall,
+determinism of the provider embedder."""
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.functions.providers import LocalDeterministicProvider
+from flink_rag_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+    ivf_centroids,
+    knn_join,
+)
+from flink_rag_spark.sources.tables import load_table
+
+
+def _query_vec(spark, sf_dir, vid=0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vid).first()["embedding"])
+
+
+def test_knn_join_matches_single_topk(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qv = _query_vec(spark, sf_oracle)
+    single = {r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()}
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    joined = {r["vec_id"] for r in knn_join(q, emb, k=10).collect()}
+    assert single == joined
+
+
+def test_ann_recall(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    qv = _query_vec(spark, sf_oracle, vid=7)
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()]
+    lsh = {r["vec_id"] for r in ann_lsh_topk(emb, qv, 10, multiprobe=1).collect()}
+    cents = ivf_centroids(emb)
+    ivf = {r["vec_id"] for r in
+           ann_ivf_topk(emb, qv, 10, n_probe=4, centroids=cents).collect()}
+    # approximate paths must find a solid majority of the true neighbors
+    assert len(lsh & set(exact)) >= 5, (exact, lsh)
+    assert len(ivf & set(exact)) >= 5, (exact, ivf)
+
+
+def test_ivf_centroids_deterministic(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    assert ivf_centroids(emb, n_centroids=8) == ivf_centroids(emb, n_centroids=8)
+
+
+def test_embedder_similarity_sanity(spark):
+    """The deterministic embedder puts token-overlapping texts closer than
+    disjoint ones — the property the freshness scenario depends on."""
+    p = LocalDeterministicProvider(dims=64, seed=42)
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    q = p.embed_one("what is the capital of france")
+    hit = p.embed_one("the capital of france is paris")
+    miss = p.embed_one("streaming dataflow engine benchmark results")
+    assert cos(q, hit) > cos(q, miss) + 0.2
