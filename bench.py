@@ -38,9 +38,14 @@ HEADLINE = [
     "knn_single_vec0",
     "knn_batch",
     "lsh_dup_candidates",
+    "simhash_docs",
     "text_quality_stats",
     "lang_id_heuristic",
     "doc_fingerprints",
+    "word_count_top50",
+    "interval_join_signup_clicks",
+    "session_windows_batch",
+    "stats_order_prices",
     "rag_answer_batch",
 ]
 

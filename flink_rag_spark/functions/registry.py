@@ -48,3 +48,15 @@ def register_engine_functions(spark: SparkSession,
     spark.udf.register("embed_text", embed_text)
     spark.udf.register("chat_answer", chat_answer)
     spark.udf.register("cosine_sim", cosine_sim)
+
+    # UDTF surface (Spark ≥3.5): one input row → N output rows, usable with
+    # LATERAL in SQL. Tokenization-with-position as the demonstrator.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class SplitTokens:
+        def eval(self, text: str):  # noqa: ANN001
+            for i, t in enumerate((text or "").lower().split()):
+                yield (t, i)
+
+    spark.udtf.register("split_tokens", SplitTokens)

@@ -33,7 +33,12 @@ from flink_rag_spark.functions.textfns import (
 )
 from flink_rag_spark.functions.hashing import token_hashes_duck
 from flink_rag_spark.functions.vector import cosine_duck
-from flink_rag_spark.plans import llm, relational as R, relational2 as R2
+from flink_rag_spark.plans import (
+    llm,
+    relational as R,
+    relational2 as R2,
+    relational3 as R3,
+)
 from flink_rag_spark.plans.rag import rag_answer
 
 
@@ -581,6 +586,63 @@ FROM embeddings
 """
 
 
+# ---- batch-3 oracles ----
+
+ORACLE_INTERVAL_JOIN = f"""
+SELECT s_id, user_id, s_ts, COUNT(c_ts) AS n_clicks,
+       CAST(SUM(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+FROM (SELECT event_id AS s_id, user_id, ts AS s_ts
+      FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+           FROM events WHERE event_type = 'click') c
+  ON user_id = c_user AND c_ts >= s_ts
+     AND c_ts < s_ts + INTERVAL '10 minutes'
+GROUP BY s_id, user_id, s_ts
+"""
+
+ORACLE_WINDOW_EXT = """
+SELECT o_custkey, o_orderkey,
+  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+  LAST_VALUE(o_totalprice) OVER wf AS last_price,
+  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+ORACLE_STATS = """
+WITH t AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sq,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS med,
+         ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, n AS n_orders,
+       ROUND((sq - s * s / n) / (n - 1), 4) AS var_price,
+       ROUND(sqrt((sq - s * s / n) / (n - 1)), 6) AS stddev_price,
+       med AS median_price, p90 AS p90_price
+FROM t
+"""
+
+ORACLE_UDTF_TOKENS = r"""
+SELECT u.token AS token, COUNT(*) AS n, CAST(MIN(u.pos) AS BIGINT) AS min_pos
+FROM (SELECT unnest(list_transform(range(1, len(toks) + 1),
+                    i -> {'token': toks[i], 'pos': i - 1})) AS u
+      FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents) d) t
+GROUP BY u.token
+ORDER BY n DESC, token
+LIMIT 30
+"""
+
+
 QUERIES: list[QueryDef] = [
     # relational surface (SURVEY.md §2.2 Tier B)
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, ORACLE_Q1, ("agg", "scan")),
@@ -648,6 +710,17 @@ QUERIES: list[QueryDef] = [
     QueryDef("sql_udf_cosine", llm.sql_udf_cosine, ORACLE_SQL_UDF_COSINE, ("udf",)),
     QueryDef("array_embedding_stats", llm.array_embedding_stats,
              ORACLE_ARRAY_STATS, ("scalar", "array")),
+    # relational batch 3: interval join, extended windows, exact stats
+    QueryDef("interval_join_signup_clicks", R3.interval_join_signup_clicks,
+             ORACLE_INTERVAL_JOIN, ("join", "interval")),
+    QueryDef("window_analytics_extended", R3.window_analytics_extended,
+             ORACLE_WINDOW_EXT, ("window",)),
+    QueryDef("stats_order_prices", R3.stats_order_prices, ORACLE_STATS, ("agg", "stats")),
+    # UDTF surface + approximate ANN (rows-only: approximate by design)
+    QueryDef("udtf_token_positions", llm.udtf_token_positions,
+             ORACLE_UDTF_TOKENS, ("udf", "text")),
+    QueryDef("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
+    QueryDef("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),
     # RAG end-to-end (pandas-UDF providers → non-SQL-expressible, rows-only)
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),

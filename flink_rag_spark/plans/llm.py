@@ -135,6 +135,38 @@ def sql_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF surface: LATERAL-join the registered split_tokens UDTF and
+    aggregate — checked value-exact against DuckDB unnest."""
+    from flink_rag_spark.functions.registry import register_engine_functions
+    register_engine_functions(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT t.token, COUNT(*) AS n, CAST(MIN(t.pos) AS BIGINT) AS min_pos
+        FROM documents, LATERAL split_tokens(text) t
+        GROUP BY t.token
+        ORDER BY n DESC, t.token
+        LIMIT 30
+    """)
+
+
+def ann_lsh_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (multi-table LSH) top-10 — rows-only check: results are
+    approximate by design; recall is asserted in tests/test_similarity.py."""
+    from flink_rag_spark.operators.similarity import ann_lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return ann_lsh_topk(emb, qv, k=10)
+
+
+def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (IVF) top-10 — rows-only check, same rationale."""
+    from flink_rag_spark.operators.similarity import ann_ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return ann_ivf_topk(emb, qv, k=10)
+
+
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring surface: token counts, punctuation ratio, stopword
     ratio, chars-per-token — all codegen'd SQL expressions."""

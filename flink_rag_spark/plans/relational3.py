@@ -1,0 +1,71 @@
+"""Relational surface, batch 3: interval join, extended window analytics,
+decimal-exact statistics, percentiles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_rag_spark.plans.relational import dec2
+from flink_rag_spark.sources.tables import load_table
+
+
+def interval_join_signup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: for each signup, the same user's clicks within the next
+    10 minutes. Equi-join on user_id carries the shuffle; the time-range
+    predicate filters inside each hash bucket — never a cross join. (The
+    streaming twin is a stream-stream join with watermarks on both sides.)"""
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("s_id"), F.col("user_id"),
+                 F.col("ts").alias("s_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                 F.col("value").alias("c_value")))
+    j = s.join(c, (F.col("user_id") == F.col("c_user"))
+               & (F.col("c_ts") >= F.col("s_ts"))
+               & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES")),
+               "left")
+    return (j.groupBy("s_id", "user_id", "s_ts")
+            .agg(F.count("c_ts").alias("n_clicks"),
+                 F.sum(dec2("c_value")).cast("double").alias("click_value")))
+
+
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic/frame surface beyond row_number: dense_rank, ntile,
+    percent_rank, first/last/nth value with explicit full frames."""
+    o = load_table(spark, sf_dir, "orders")
+    keys = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*keys)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics with cross-engine-exact arithmetic: variance/stddev from
+    DECIMAL sums (sum and sum-of-squares are exact integers in disguise, so
+    the only float ops are the final divisions — identical in both engines),
+    plus interpolated median (Spark percentile ≡ DuckDB quantile_cont)."""
+    o = load_table(spark, sf_dir, "orders")
+    sum_d = F.sum(dec2("o_totalprice")).cast("double")
+    sumsq_d = F.sum(F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * "
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))")).cast("double")
+    n = F.count(F.lit(1))
+    var = (sumsq_d - sum_d * sum_d / n) / (n - F.lit(1))
+    return (o.groupBy("o_orderstatus").agg(
+        n.alias("n_orders"),
+        F.round(var, 4).alias("var_price"),
+        F.round(F.sqrt(var), 6).alias("stddev_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    ))

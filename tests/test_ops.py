@@ -1,0 +1,83 @@
+"""Tests for file connectors (CSV/JSON, partitioned writes + pruning),
+salted aggregation, and vector-store compaction."""
+
+import glob
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.operators.maintenance import compact_store, store_file_count
+from flink_rag_spark.operators.skew import salted_agg
+from flink_rag_spark.plans.relational import dec2
+from flink_rag_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_pruned,
+    write_csv,
+    write_json,
+    write_partitioned,
+)
+from flink_rag_spark.sources.tables import load_table
+
+
+def test_csv_json_roundtrip(spark, sf_smoke, tmp_path):
+    n = load_table(spark, sf_smoke, "nation")
+    write_csv(n, str(tmp_path / "n_csv"))
+    back = read_csv(spark, str(tmp_path / "n_csv"),
+                    "n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(r["n_name"] for r in back.collect()) == \
+           sorted(r["n_name"] for r in n.collect())
+    write_json(n, str(tmp_path / "n_json"))
+    backj = read_json(spark, str(tmp_path / "n_json"),
+                      "n_nationkey int, n_name string, n_regionkey int")
+    assert backj.count() == n.count()
+
+
+def test_partitioned_write_prunes(spark, sf_smoke, tmp_path):
+    e = load_table(spark, sf_smoke, "events")
+    path = str(tmp_path / "events_part")
+    write_partitioned(e, path, ["event_type"])
+    # directory layout exists per partition value
+    assert glob.glob(f"{path}/event_type=click")
+    pruned = read_pruned(spark, path).filter(F.col("event_type") == "click")
+    # the physical plan must scan ONLY the matching partition directory
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    expected = e.filter(F.col("event_type") == "click").count()
+    assert pruned.count() == expected
+
+
+def test_salted_agg_matches_direct(spark, sf_smoke):
+    e = load_table(spark, sf_smoke, "events")
+    direct = {(r["user_id"], r["n"], r["total"]) for r in
+              e.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dec2("value")).cast("double").alias("total"))
+               .collect()}
+    salted = {(r["user_id"], r["n"], r["total"]) for r in
+              salted_agg(e, ["user_id"],
+                         {"n": ("count", "event_id"),
+                          "total": ("sum", dec2("value"))}, salts=8)
+              .select("user_id", "n", F.col("total").cast("double"))
+              .collect()}
+    assert direct == salted
+
+
+def test_compact_store(spark, sf_smoke, tmp_path):
+    store = str(tmp_path / "store")
+    d = load_table(spark, sf_smoke, "documents").limit(50)
+    # simulate many small micro-batch appends
+    for i in range(5):
+        (d.filter(F.col("doc_id") % 5 == i)
+         .select("doc_id", "text").repartition(4)
+         .write.mode("append").parquet(store))
+    before = store_file_count(store)
+    assert before >= 10
+    rows_before = spark.read.parquet(store).count()
+    after = compact_store(spark, store, target_partitions=2)
+    assert after == 2
+    assert spark.read.parquet(store).count() == rows_before

@@ -18,6 +18,13 @@ def test_oracle_parity(spark, sf_oracle, qdef):
     assert res["values_match"], {k: v for k, v in res.items() if k != "values_match"}
 
 
+def test_catalog_integrity():
+    names = [q.name for q in QUERIES]
+    assert len(names) == len(set(names)), "duplicate query names"
+    from flink_rag_spark.plans.catalog import oracle_sqls, query_fns
+    assert set(oracle_sqls()) <= set(query_fns())
+
+
 def test_rows_only_queries_run(spark, sf_oracle):
     for q in QUERIES:
         if q.oracle is None:
