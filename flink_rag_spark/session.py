@@ -98,6 +98,8 @@ def get_spark(app_name: str = "flink-rag-spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
         # Arrow everywhere Python touches data: pandas UDFs, toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )

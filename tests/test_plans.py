@@ -1,0 +1,104 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+These keep future edits honest: filters must reach the parquet scan, small
+dims must broadcast, top-k must not global-sort, bucketed joins must not
+shuffle. A green correctness suite with a regressed plan is still a failure
+at 100 TB.
+"""
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_rag_spark.plans.catalog import query_fns
+from flink_rag_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    """Formatted plan; NOTE each physical node appears twice (tree + detail
+    section), so node-count assertions use 2× the node count."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def fns():
+    return query_fns()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_oracle, fns):
+    plan = plan_of(fns["q1_pricing_summary"](spark, sf_oracle))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial + final HashAggregate around exactly one exchange (2 nodes ×2)
+    assert plan.count("HashAggregate") == 4
+    assert plan.count("Exchange") == 2
+    # column pruning: o_orderkey is not needed and must not be read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q5_no_lineitem_shuffle(spark, sf_oracle, fns):
+    plan = plan_of(fns["q5_region_revenue"](spark, sf_oracle))
+    # all five joins broadcast at this SF; the only exchanges are broadcasts
+    # plus the final small aggregation shuffle
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 10  # 5 joins ×2
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed to scan
+
+
+def test_topk_uses_take_ordered(spark, sf_oracle, fns):
+    plan = plan_of(fns["knn_single_vec0"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a LIMIT query
+    plan3 = plan_of(fns["q3_top_revenue_orders"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan3
+
+
+def test_semi_anti_join_types(spark, sf_oracle, fns):
+    assert "LeftSemi" in plan_of(fns["semi_join_big_spenders"](spark, sf_oracle))
+    assert "LeftAnti" in plan_of(fns["anti_join_no_orders"](spark, sf_oracle))
+
+
+def test_smj_when_broadcast_disabled(spark, sf_oracle):
+    """The engine must degrade to sort-merge join when nothing is
+    broadcastable — the plan shape big-big joins take at 100 TB."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = load_table(spark, sf_oracle, "orders")
+        li = load_table(spark, sf_oracle, "lineitem")
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")) \
+              .groupBy("o_orderstatus").count()
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_oracle, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the join plan has
+    NO shuffle exchange on either side — the pre-partitioning strategy for
+    repeatedly-joined 100 TB tables."""
+    o = load_table(spark, sf_oracle, "orders")
+    li = load_table(spark, sf_oracle, "lineitem")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("orders_b"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable("lineitem_b"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("lineitem_b")
+             .join(spark.table("orders_b"),
+                   F.col("l_orderkey") == F.col("o_orderkey")))
+        plan = plan_of(j.select("l_orderkey", "o_orderstatus"))
+        assert "SortMergeJoin" in plan
+        # the only acceptable exchange count is zero — bucketing did the work
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
