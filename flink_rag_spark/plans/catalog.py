@@ -643,6 +643,35 @@ LIMIT 30
 """
 
 
+ORACLE_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS nc FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS snk, COUNT(*) AS ns FROM supplier GROUP BY 1)
+SELECT COALESCE(nk, snk) AS nationkey,
+       COALESCE(nc, 0) AS n_customers,
+       COALESCE(ns, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON nk = snk
+"""
+
+ORACLE_GLOBAL_SORT = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+ORACLE_FROM_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(length(props) AS BIGINT) AS props_len
+FROM events
+"""
+
+ORACLE_GEOMEAN = """
+SELECT o_orderstatus,
+       ROUND(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES: list[QueryDef] = [
     # relational surface (SURVEY.md §2.2 Tier B)
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, ORACLE_Q1, ("agg", "scan")),
@@ -716,6 +745,11 @@ QUERIES: list[QueryDef] = [
     QueryDef("window_analytics_extended", R3.window_analytics_extended,
              ORACLE_WINDOW_EXT, ("window",)),
     QueryDef("stats_order_prices", R3.stats_order_prices, ORACLE_STATS, ("agg", "stats")),
+    QueryDef("full_outer_nation_presence", R3.full_outer_nation_presence,
+             ORACLE_FULL_OUTER, ("join",)),
+    QueryDef("global_sort_orders", R3.global_sort_orders, ORACLE_GLOBAL_SORT, ("sort",)),
+    QueryDef("from_json_events", R3.from_json_events, ORACLE_FROM_JSON, ("scalar", "json")),
+    QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     # UDTF surface + approximate ANN (rows-only: approximate by design)
     QueryDef("udtf_token_positions", llm.udtf_token_positions,
              ORACLE_UDTF_TOKENS, ("udf", "text")),

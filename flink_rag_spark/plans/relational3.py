@@ -4,6 +4,8 @@ decimal-exact statistics, percentiles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -48,6 +50,59 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wfull).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
     )
+
+
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregates (customers vs suppliers per nation),
+    with COALESCE over both null sides."""
+    cu = (load_table(spark, sf_dir, "customer")
+          .groupBy(F.col("c_nationkey").alias("nk"))
+          .agg(F.count(F.lit(1)).alias("nc")))
+    s = (load_table(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("snk"))
+         .agg(F.count(F.lit(1)).alias("ns")))
+    return (cu.join(s, F.col("nk") == F.col("snk"), "full_outer")
+            .select(F.coalesce("nk", "snk").alias("nationkey"),
+                    F.coalesce("nc", F.lit(0)).alias("n_customers"),
+                    F.coalesce("ns", F.lit(0)).alias("n_suppliers")))
+
+
+def global_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full global sort (no LIMIT): plans a range-partitioning exchange +
+    per-partition sort — the scalable total order (sampled range bounds, no
+    single-reducer bottleneck)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_totalprice", "o_orderdate")
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey")))
+
+
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json (schema-on-read into a struct) —
+    complements the path-extraction surface of json_events_props."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").cast("bigint").alias("k"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )
+
+
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF surface: a grouped-aggregate pandas UDF (Arrow-batched,
+    partial-aggregation-free — Spark ships each group's column slice to
+    Python). Geometric mean of order prices per status."""
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    o = load_table(spark, sf_dir, "orders")
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one agg();
+    # compute each and join on the (tiny) group key
+    gm = (o.groupBy("o_orderstatus")
+          .agg(F.round(geomean("o_totalprice"), 2).alias("geomean_price")))
+    counts = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+    return gm.join(counts, on="o_orderstatus")
 
 
 def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
