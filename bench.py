@@ -79,12 +79,29 @@ def main() -> None:
         force(fns[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # RAG throughput: the reference answers one question per synchronous
+    # record (3 HTTP round-trips each, RAG.java:47-95); here a 1000-question
+    # batch runs as ONE plan — questions/sec is the comparable number.
+    from flink_rag_spark.plans.rag import rag_answer  # noqa: PLC0415
+    n_q = 1000
+    qs = [f"question number {i} about topic {i % 37}" for i in range(n_q)]
+    t0 = time.perf_counter()
+    force(rag_answer(spark, sf_dir, questions=qs))
+    rag_wall = time.perf_counter() - t0
+    rag_qps = round(n_q / rag_wall, 1)
+    t0 = time.perf_counter()
+    force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann"))
+    rag_qps_ann = round(n_q / (time.perf_counter() - t0), 1)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "rag_questions_per_sec": rag_qps,
+        "rag_questions_per_sec_ann": rag_qps_ann,
+        "rag_batch_n": n_q,
         "sf": sf,
         "cpus": cpus,
     }))

@@ -61,6 +61,8 @@ class EngineConfig:
     simhash_bits: int = 32             # simhash fingerprint width
     ann_num_planes: int = 8            # random-hyperplane bits per LSH table
     ann_num_tables: int = 4            # independent LSH tables (recall lever)
+    ivf_n_centroids: int = 64          # IVF coarse-quantizer cells
+    ivf_n_probe: int = 16              # cells probed per query (recall lever)
     # deterministic seeds for all hashing — never wall-clock derived
     seed: int = 42
 

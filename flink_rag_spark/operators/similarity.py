@@ -187,6 +187,111 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
+                 query_id: str = "query_id", query_vec: str = "query_vec",
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 centroids: list[list[float]] | None = None,
+                 cells: DataFrame | None = None) -> DataFrame:
+    """Approximate k-NN for a query batch via IVF: probe the n_probe nearest
+    cells per query, exact re-rank inside.
+
+    Measured on the test corpus (64-dim hash-projection embeddings):
+    in-corpus query vectors recall 7-10/10 at a few % of vectors touched;
+    out-of-corpus question vectors (weak-similarity regime — neighbor
+    cosines barely above background) recall 3-8/10 at ~25% touched, ~3.5×
+    the exact path's throughput. Raise n_probe toward n_centroids to trade
+    throughput back for recall; the exact operators remain the correctness
+    path.
+
+    The query side is collected to the driver to compute probes (queries are
+    the SMALL side by definition — bounded like any broadcast), then
+    (query, cell) pairs equi-join the cell-assigned corpus: shuffle volume is
+    candidates, never |Q|×|E|. Pass persisted `cells` (+ matching
+    `centroids`) to skip re-assignment — the at-scale shape where the cell
+    index is a partitioned table."""
+    import math as _math
+
+    import numpy as _np
+    n_probe = cfg.ivf_n_probe
+    if centroids is None:
+        # adaptive geometry: ~sqrt(N) cells (balances cell size vs probe
+        # count), probing a quarter of them — measured recall ≥7/10 on both
+        # sf0.01 and sf0.1 with candidates ≈ 25% of vectors; tighten n_probe
+        # for throughput once the embedding space is cosine-concentrated
+        n = embeddings.count()
+        n_cent = min(1024, max(cfg.ivf_n_centroids, int(_math.sqrt(n))))
+        n_probe = max(cfg.ivf_n_probe, n_cent // 4)
+        centroids = ivf_centroids(embeddings, n_centroids=n_cent,
+                                  vec_col=vec_col, cfg=cfg)
+    if cells is None:
+        cells = with_ivf_cells(embeddings, centroids, vec_col)
+    cent = _np.asarray(centroids, dtype=_np.float64)
+    qrows = queries.select(query_id, query_vec).collect()
+    spark = queries.sparkSession
+    probe_rows = []
+    for r in qrows:
+        q = _np.asarray(r[query_vec], dtype=_np.float64)
+        for c in ((cent - q) ** 2).sum(axis=1).argsort()[:n_probe]:
+            probe_rows.append((r[query_id], [float(x) for x in r[query_vec]], int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id} long, {query_vec} array<double>, cell int")
+    cand = broadcast(probes).join(cells, on="cell").select(
+        query_id, query_vec, id_col, vec_col)
+    scored = cand.select(
+        F.col(query_id), F.col(id_col),
+        F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ann_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
+                 query_id: str = "query_id", query_vec: str = "query_vec",
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 cfg: EngineConfig = DEFAULT_CONFIG,
+                 bucketed: DataFrame | None = None) -> DataFrame:
+    """Approximate k-NN for a LARGE query batch: multi-table LSH bucket
+    EQUI-join replaces the exact path's cross join.
+
+    Shape: both sides explode to (table, bucket) rows; the join is keyed by
+    (table, bucket) — shuffle volume is candidates, not |Q|×|E|. Distinct
+    (query, candidate) pairs are re-ranked with exact cosine. vs knn_join's
+    |Q|×|E| cosine evaluations this does |Q|×E[bucket size]×tables — the
+    retrieval plan that survives 1000 queries × 10^9 vectors."""
+    if bucketed is None:
+        dims = len(embeddings.select(vec_col).first()[0])
+        bucketed = with_ann_buckets(embeddings, vec_col, cfg, dims)
+        q_dims = dims
+    else:
+        q_dims = len(embeddings.select(vec_col).first()[0])
+
+    def explode_buckets(df, idc, vc):
+        return (df.select(
+            F.col(idc), F.col(vc),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"bucket_{t}").alias("bkt"))
+                for t in range(cfg.ann_num_tables)])).alias("tb"))
+            .select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")))
+
+    q_bucketed = queries
+    for t in range(cfg.ann_num_tables):
+        planes = hyperplanes(q_dims, cfg.ann_num_planes, cfg.seed + t)
+        q_bucketed = q_bucketed.withColumn(f"bucket_{t}",
+                                           signature_col(query_vec, planes))
+    qx = explode_buckets(q_bucketed, query_id, query_vec)
+    ex = explode_buckets(bucketed, id_col, vec_col)
+    cand = (qx.join(ex, on=["tbl", "bkt"])
+            .select(query_id, query_vec, id_col, vec_col)
+            .dropDuplicates([query_id, id_col]))
+    scored = cand.select(
+        F.col(query_id), F.col(id_col),
+        F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  cfg: EngineConfig = DEFAULT_CONFIG,
