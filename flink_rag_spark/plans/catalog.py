@@ -672,6 +672,27 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+ORACLE_MEDIA_DIGEST = """
+SELECT doc_id AS media_id, 'text' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+"""
+
+ORACLE_ZSCORE = """
+WITH st AS (
+  SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) AS sq
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderkey, o.o_orderstatus,
+       ROUND((o_totalprice - s / n) / sqrt((sq - s * s / n) / (n - 1)), 4) AS z
+FROM orders o JOIN st ON o.o_orderstatus = st.o_orderstatus
+"""
+
+
 QUERIES: list[QueryDef] = [
     # relational surface (SURVEY.md §2.2 Tier B)
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, ORACLE_Q1, ("agg", "scan")),
@@ -755,6 +776,14 @@ QUERIES: list[QueryDef] = [
              ORACLE_UDTF_TOKENS, ("udf", "text")),
     QueryDef("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
     QueryDef("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),
+    # multimodal plumbing (digest path oracle-checked), grouped-map UDF,
+    # corpus embedding generation
+    QueryDef("media_digest_features", llm.media_digest_features,
+             ORACLE_MEDIA_DIGEST, ("multimodal", "udf")),
+    QueryDef("grouped_map_zscore", llm.grouped_map_zscore,
+             ORACLE_ZSCORE, ("udf", "stats")),
+    QueryDef("embed_documents_sample", llm.embed_documents_sample,
+             None, ("rag", "embed")),
     # RAG end-to-end (pandas-UDF providers → non-SQL-expressible, rows-only)
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),

@@ -167,6 +167,56 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qv, k=10)
 
 
+def media_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: documents as opaque binary
+    payloads through the mapInPandas feature extractor; the digest/byte
+    columns are deterministic (md5 over payload bytes) so DuckDB can verify
+    the full binary-column path. (The pseudo-feature vector is codec-seeded
+    and checked separately in tests/test_multimodal.py.)"""
+    from flink_rag_spark.operators.multimodal import extract_features
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "digest")
+
+
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas (grouped-map) surface: per-status z-scores of order
+    prices computed in pandas, checked against the SQL formula."""
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+
+    def zscore(pdf: pd.Series) -> "pd.DataFrame":
+        x = pdf["o_totalprice"].to_numpy(dtype=np.float64)
+        mu = x.sum() / len(x)
+        sd = np.sqrt(((x - mu) ** 2).sum() / (len(x) - 1)) if len(x) > 1 else 0.0
+        pdf = pdf.copy()
+        pdf["z"] = np.round((x - mu) / sd, 4) if sd else 0.0
+        return pdf[["o_orderkey", "o_orderstatus", "z"]]
+
+    return (o.groupBy("o_orderstatus")
+            .applyInPandas(zscore, "o_orderkey long, o_orderstatus string, z double"))
+
+
+def embed_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus embedding generation (the reference's ingestion embedder,
+    StreamingStoreKnowledge.java:80-97, in batch form): deterministic
+    provider over the first 200 documents. Rows-only (provider output is
+    not SQL-expressible)."""
+    from flink_rag_spark.functions.providers import embed_documents
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = embed_documents(d, "text")
+    return out.select("doc_id", F.size("embedding").cast("bigint").alias("dims"))
+
+
 def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring surface: token counts, punctuation ratio, stopword
     ratio, chars-per-token — all codegen'd SQL expressions."""
