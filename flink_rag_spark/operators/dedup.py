@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from flink_rag_spark.functions.hashing import POLY_P, minhash_params
+from flink_rag_spark.operators.util import widen_if_narrow
 
 # combining base for rolling k-token shingle hashes (prime, big enough to
 # spread, small enough that h*B stays < 2^63 with h < POLY_P)
@@ -80,7 +81,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     aggregation collapses each doc to one row per partition before the
     shuffle (shuffle volume = rows × n ints, independent of doc length)."""
     params = minhash_params(cfg.lsh_num_hashes, cfg.seed)
-    exploded = df.select(
+    exploded = widen_if_narrow(df).select(
         F.col(id_col),
         F.explode(F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("h"),
     )
@@ -132,7 +133,7 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     only docs sharing a shingle meet, never a true cross join); with
     `candidates` (e.g. LSH output) it verifies just those pairs.
     """
-    sh = df.select(
+    sh = widen_if_narrow(df).select(
         F.col(id_col),
         F.array_distinct(
             F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("sh"),
@@ -166,7 +167,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     codegen'd HashAggregate computes all 32 bit-votes (sum of ±1 per bit),
     then the fingerprint reassembles from the vote signs. Two narrow
     projections + one keyed aggregate — no interpreted nested-HOF tree."""
-    exploded = df.select(
+    exploded = widen_if_narrow(df).select(
         F.col(id_col),
         F.explode(F.expr(token_hashes_expr(text_col))).alias("h"),
     )

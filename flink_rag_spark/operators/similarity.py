@@ -27,6 +27,7 @@ from pyspark.sql.functions import broadcast
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
+from flink_rag_spark.operators.util import widen_if_narrow as _widen_if_narrow
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -60,7 +61,7 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     rows(embeddings) × rows(queries), so for large query sets use
     ann_lsh_topk instead.
     """
-    scored = embeddings.crossJoin(broadcast(queries)).select(
+    scored = _widen_if_narrow(embeddings).crossJoin(broadcast(queries)).select(
         F.col(query_id),
         F.col(id_col),
         F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"),
@@ -226,6 +227,7 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
                                   vec_col=vec_col, cfg=cfg)
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
+    cells = _widen_if_narrow(cells)
     cent = _np.asarray(centroids, dtype=_np.float64)
     qrows = queries.select(query_id, query_vec).collect()
     spark = queries.sparkSession
