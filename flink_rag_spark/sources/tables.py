@@ -25,8 +25,18 @@ TABLE_NAMES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with engine-canonical column types."""
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               widen: bool = True) -> DataFrame:
+    """Load one testdata table with engine-canonical column types.
+
+    ``widen``: the driver testdata is one single-row-group parquet file per
+    table — the row group is Spark's split unit, so the scan yields ONE
+    partition and every downstream narrow stage (filters, decimal partial
+    aggregation, hashing) runs on one core no matter the cluster size.
+    widen_if_narrow round-robins up to default parallelism ONLY in that
+    degenerate case; on a real multi-file/multi-row-group table it is a
+    no-op and the plan keeps scan-aligned partitioning. Catalyst still
+    pushes filters/pruning through the repartition to the scan."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -34,6 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.RUNTIME_CONFS); convert with integer division — a double
         # roundtrip at ~1.7e18 ns loses precision and can shift microseconds.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if widen and name not in BROADCAST_TABLES:
+        from flink_rag_spark.operators.util import widen_if_narrow
+        df = widen_if_narrow(df)
     return df
 
 
