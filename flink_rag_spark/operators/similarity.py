@@ -1,21 +1,23 @@
 """Similarity search operators — the Spark-native replacement for the
 reference's OpenSearch k-NN retrieval (``RAG.java:51-63``: k=10, minScore=0).
 
-Three tiers (SURVEY.md §2.4):
+Exact tier (the correctness path the DuckDB oracle checks):
 
-1. ``cosine_topk`` — exact top-k for ONE query vector. Plans as a narrow
-   projection + ``TakeOrderedAndProject`` (no full sort, no shuffle of data —
-   each partition keeps k rows, driver merges). This is the correctness path
-   the DuckDB oracle checks.
-2. ``knn_join`` — exact top-k for a SET of query vectors: broadcast the small
-   query side, cross-join against embeddings (narrow — no shuffle of the big
-   side), per-query window top-k. Shuffle is only (num_queries × k ×
-   candidate rows after AQE) — at 100 TB the big side never moves.
-3. ``ann_lsh_topk`` — approximate path for scale: random-hyperplane signatures
-   bucket the embeddings; candidates come from the query's bucket (and
-   optional multi-probe neighbors), then exact re-rank. Sub-linear candidate
-   sets; the bucket column doubles as a partition key so repeated queries
-   prune partitions.
+1. ``cosine_topk`` — exact top-k for ONE query vector: narrow projection +
+   ``TakeOrderedAndProject`` (no full sort; each partition keeps k rows).
+2. ``knn_join`` — exact top-k for a SET of queries: broadcast the small query
+   side, cross-join against embeddings (the big side is never shuffled),
+   per-query ranking window.
+
+Approximate tier (bench/scale paths; recall measured in tests):
+
+3. ``ann_lsh_topk`` / ``ann_knn_join`` — multi-table random-hyperplane LSH:
+   candidates = union of the query's bucket across T tables (equi-join for
+   batches), exact re-rank inside. Best when neighbor cosines are high.
+4. ``ann_ivf_topk`` / ``ivf_knn_join`` — IVF: bounded-sample k-means coarse
+   quantizer, probe the n_probe nearest cells, exact re-rank. The better
+   trade on this corpus's weak-similarity query vectors; at scale the cell
+   assignment is persisted partitioned-by-cell so probes prune at the scan.
 """
 
 from __future__ import annotations

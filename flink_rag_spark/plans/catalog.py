@@ -664,6 +664,14 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_MAP_FUNCS = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
 ORACLE_GEOMEAN = """
 SELECT o_orderstatus,
        ROUND(exp(avg(ln(o_totalprice))), 2) AS geomean_price,
@@ -770,6 +778,7 @@ QUERIES: list[QueryDef] = [
              ORACLE_FULL_OUTER, ("join",)),
     QueryDef("global_sort_orders", R3.global_sort_orders, ORACLE_GLOBAL_SORT, ("sort",)),
     QueryDef("from_json_events", R3.from_json_events, ORACLE_FROM_JSON, ("scalar", "json")),
+    QueryDef("map_funcs_events", R3.map_funcs_events, ORACLE_MAP_FUNCS, ("scalar", "map")),
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     # UDTF surface + approximate ANN (rows-only: approximate by design)
     QueryDef("udtf_token_positions", llm.udtf_token_positions,

@@ -88,6 +88,19 @@ def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface: JSON → typed map, key/value access, sorted key
+    list."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
 def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDAF surface: a grouped-aggregate pandas UDF (Arrow-batched,
     partial-aggregation-free — Spark ships each group's column slice to

@@ -66,6 +66,27 @@ def session_windows(events: DataFrame, gap: str = "5 minutes",
                     "user_id", "n_events", "sum_value"))
 
 
+def stream_interval_join(signups: DataFrame, clicks: DataFrame,
+                         window: str = "10 minutes",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: signups ⋈ same-user clicks within the
+    next `window`. Both sides carry watermarks and the join condition bounds
+    event time in both directions, so Spark can expire join state — the
+    stream-stream twin of plans/relational3.interval_join_signup_clicks
+    (identical output schema modulo grouping)."""
+    s = (signups.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("s_id"), F.col("user_id"),
+                 F.col("ts").alias("s_ts")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                 F.col("value").alias("c_value")))
+    return s.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") < F.col("s_ts") + F.expr(f"INTERVAL {window}")),
+        "inner")
+
+
 def dedup_within_watermark(events: DataFrame, keys: list[str] | None = None,
                            watermark: str = "10 minutes") -> DataFrame:
     """Streaming dedup with bounded state: duplicates arriving within the

@@ -103,6 +103,31 @@ def test_sliding_and_session_windows_run(spark, events_stream_dir, tmp_path):
         assert spark.sql(f"select * from win_test_{i}").count() >= 0
 
 
+def test_stream_stream_interval_join(spark, sf_smoke, events_stream_dir, tmp_path):
+    from flink_rag_spark.streaming.events import stream_interval_join
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    out = stream_interval_join(
+        stream.filter(F.col("event_type") == "signup"),
+        stream.filter(F.col("event_type") == "click"))
+    q = (out.writeStream.format("memory").queryName("ssj_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = spark.sql("select * from ssj_test").count()
+    # batch equivalent: same join on the static table
+    e = load_table(spark, sf_smoke, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .select(F.col("event_id").alias("s_id"), "user_id",
+                 F.col("ts").alias("s_ts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")))
+    expected = s.join(c, (F.col("user_id") == F.col("c_user"))
+                      & (F.col("c_ts") >= F.col("s_ts"))
+                      & (F.col("c_ts") < F.col("s_ts") + F.expr("INTERVAL 10 MINUTES"))).count()
+    assert got == expected and got > 0
+
+
 def test_sessionize_stateful(spark, tmp_path):
     from flink_rag_spark.streaming.events import sessionize_stateful
     src = tmp_path / "sess_src"
