@@ -48,6 +48,40 @@ def test_ivf_centroids_deterministic(spark, sf_oracle):
     assert ivf_centroids(emb, n_centroids=8) == ivf_centroids(emb, n_centroids=8)
 
 
+def test_persisted_ivf_index(spark, sf_oracle, tmp_path):
+    """Build the IVF index once, query it through ivf_knn_join with
+    partition pruning, and match the inline (index-free) results."""
+    import io
+    import contextlib
+
+    import pyspark.sql.functions as F2
+
+    from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(spark, emb, path)
+    cents2, cells = load_ivf_index(spark, path)
+    assert cents == cents2
+
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    via_index = ivf_knn_join(q, emb, k=5, centroids=cents2, cells=cells)
+    inline = ivf_knn_join(q, emb, k=5, centroids=cents,
+                          cells=None)
+    a = {(r["query_id"], r["vec_id"]) for r in via_index.collect()}
+    b = {(r["query_id"], r["vec_id"]) for r in inline.collect()}
+    assert a == b and len(a) == 15
+
+    # partition pruning: a cell filter must reach PartitionFilters
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cells.filter(F2.col("cell").isin([0, 1])).explain(True)
+    assert "PartitionFilters" in buf.getvalue()
+
+
 def test_embedder_similarity_sanity(spark):
     """The deterministic embedder puts token-overlapping texts closer than
     disjoint ones — the property the freshness scenario depends on."""
