@@ -664,6 +664,14 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_ROLLUP_CASCADE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS hour_end,
+       COUNT(*) AS n_events, {_money('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
 ORACLE_MAP_FUNCS = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
@@ -779,6 +787,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("global_sort_orders", R3.global_sort_orders, ORACLE_GLOBAL_SORT, ("sort",)),
     QueryDef("from_json_events", R3.from_json_events, ORACLE_FROM_JSON, ("scalar", "json")),
     QueryDef("map_funcs_events", R3.map_funcs_events, ORACLE_MAP_FUNCS, ("scalar", "map")),
+    QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
+             ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     # UDTF surface + approximate ANN (rows-only: approximate by design)
     QueryDef("udtf_token_positions", llm.udtf_token_positions,

@@ -88,6 +88,27 @@ def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_hourly_from_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading time rollup (the continuous-aggregate / hypertable pattern):
+    hourly aggregates computed FROM the 5-minute partials, not from raw rows.
+
+    At scale the fine level is a materialized table maintained by streaming
+    ingestion, and every coarser resolution reuses it — each cascade step
+    processes windows-per-period rows instead of events-per-period. Sums
+    stay DECIMAL through the cascade, so the result is bit-identical to
+    aggregating raw events directly (which is what the oracle does)."""
+    e = load_table(spark, sf_dir, "events")
+    m5 = (e.groupBy(F.window("ts", "5 minutes"))
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(dec2("value")).alias("sv")))
+    return (m5.groupBy(F.window(F.col("window.start"), "1 hour"))
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("sv").cast("double").alias("sum_value"))
+            .select(F.col("window.start").alias("hour_start"),
+                    F.col("window.end").alias("hour_end"),
+                    "n_events", "sum_value"))
+
+
 def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-function surface: JSON → typed map, key/value access, sorted key
     list."""
