@@ -10,7 +10,7 @@ inconsistencies": ``StreamingStoreKnowledge.java:88`` vs ``RAG.java:33``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Two-slot prompt with the same template semantics as the reference
 # (RAG.java:67-74: a system persona, a {{question}} slot, an {{information}}

@@ -17,12 +17,10 @@ the same two-method interface.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
-
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 

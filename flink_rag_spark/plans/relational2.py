@@ -8,7 +8,7 @@ Same oracle conventions as plans/relational.py.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from flink_rag_spark.plans.relational import DISC_PRICE, dec2, money_sum

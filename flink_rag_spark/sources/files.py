@@ -7,7 +7,6 @@ a full extra pass over the data — never default to it at scale).
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_rag_spark.session import ensure_runtime_confs
