@@ -664,6 +664,36 @@ SELECT event_id,
 FROM events
 """
 
+ORACLE_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         {DP} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+ORACLE_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey) t
+GROUP BY c_count
+"""
+
 ORACLE_ROLLUP_CASCADE = f"""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS hour_end,
@@ -789,6 +819,9 @@ QUERIES: list[QueryDef] = [
     QueryDef("map_funcs_events", R3.map_funcs_events, ORACLE_MAP_FUNCS, ("scalar", "map")),
     QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
              ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
+    QueryDef("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
+    QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
+             ORACLE_Q13, ("join", "agg")),
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     # UDTF surface + approximate ANN (rows-only: approximate by design)
     QueryDef("udtf_token_positions", llm.udtf_token_positions,

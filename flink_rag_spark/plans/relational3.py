@@ -88,6 +88,50 @@ def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dimension (supplier nation vs
+    customer nation — nation joined twice under different aliases), a
+    symmetric pair predicate, and year extraction. Both nation sides are
+    constant-size → broadcast."""
+    from pyspark.sql.functions import broadcast
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    from flink_rag_spark.plans.relational import DISC_PRICE
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+            .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + double aggregation (orders per
+    customer, then customers per order-count) — the histogram pattern."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cu.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
 def rollup_hourly_from_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascading time rollup (the continuous-aggregate / hypertable pattern):
     hourly aggregates computed FROM the 5-minute partials, not from raw rows.
