@@ -684,6 +684,29 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """
 
+ORACLE_Q8 = f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {DP} AS volume, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t
+GROUP BY o_year
+"""
+
 ORACLE_Q13 = """
 SELECT c_count, COUNT(*) AS custdist FROM (
   SELECT c_custkey, COUNT(o_orderkey) AS c_count
@@ -820,6 +843,7 @@ QUERIES: list[QueryDef] = [
     QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
              ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
     QueryDef("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
+    QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
     QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
              ORACLE_Q13, ("join", "agg")),
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),

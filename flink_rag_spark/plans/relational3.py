@@ -119,6 +119,41 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_lines")))
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year revenue share of one supplier nation within
+    a customer region — conditional decimal sum over a 7-table join, ratio
+    in double."""
+    from pyspark.sql.functions import broadcast
+
+    from flink_rag_spark.plans.relational import DISC_PRICE
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    cu = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.expr(DISC_PRICE)
+    target = F.when(F.col("supp_nation") == "NATION_3", vol) \
+              .otherwise(F.lit(0).cast("decimal(30,4)"))
+    return (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+            .join(broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+            .join(broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(F.round(F.sum(target).cast("double")
+                         / F.sum(vol).cast("double"), 6).alias("mkt_share"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + double aggregation (orders per
     customer, then customers per order-count) — the histogram pattern."""

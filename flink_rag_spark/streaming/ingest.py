@@ -17,10 +17,9 @@ Differences by design (SURVEY.md §2.1 known-inconsistency fixes):
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from flink_rag_spark.functions.providers import Provider, embed_text_col
@@ -52,9 +51,13 @@ def upsert_batch(batch: DataFrame, store_path: str) -> None:
     """
     spark = batch.sparkSession
     deduped = batch.dropDuplicates(["vec_id"])
-    if os.path.exists(store_path):
+    try:
+        # filesystem-agnostic existence probe (works on DFS paths too,
+        # unlike os.path) — PATH_NOT_FOUND just means first batch
         existing = spark.read.parquet(store_path).select("vec_id")
         deduped = deduped.join(existing, on="vec_id", how="left_anti")
+    except AnalysisException:
+        pass
     deduped.write.mode("append").parquet(store_path)
 
 
