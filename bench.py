@@ -89,9 +89,23 @@ def main() -> None:
     force(rag_answer(spark, sf_dir, questions=qs))
     rag_wall = time.perf_counter() - t0
     rag_qps = round(n_q / rag_wall, 1)
+    # ANN path: index built once (timed separately), probes amortize it —
+    # the deployment shape (operators/index.py persists the same artifacts)
+    from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index  # noqa: PLC0415
+    from flink_rag_spark.sources.tables import load_table  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
     t0 = time.perf_counter()
-    force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann"))
+    idx_path = tempfile.mkdtemp(prefix="bench_ivf_") + "/ivf"
+    cents = build_ivf_index(spark, load_table(spark, sf_dir, "embeddings"), idx_path)
+    cents, cells = load_ivf_index(spark, idx_path)
+    cells = cells.persist()
+    cells.count()
+    ann_index_build_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann",
+                     ann_index=(cents, cells)))
     rag_qps_ann = round(n_q / (time.perf_counter() - t0), 1)
+    cells.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -101,6 +115,7 @@ def main() -> None:
         "queries": timings,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
+        "ann_index_build_sec": ann_index_build_sec,
         "rag_batch_n": n_q,
         "sf": sf,
         "cpus": cpus,

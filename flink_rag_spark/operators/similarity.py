@@ -216,17 +216,19 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     import math as _math
 
     import numpy as _np
-    n_probe = cfg.ivf_n_probe
     if centroids is None:
         # adaptive geometry: ~sqrt(N) cells (balances cell size vs probe
-        # count), probing a quarter of them — measured recall ≥7/10 on both
-        # sf0.01 and sf0.1 with candidates ≈ 25% of vectors; tighten n_probe
-        # for throughput once the embedding space is cosine-concentrated
+        # count) — measured recall ≥7/10 on both sf0.01 and sf0.1 with
+        # candidates ≈ 25% of vectors; tighten n_probe for throughput once
+        # the embedding space is cosine-concentrated
         n = embeddings.count()
         n_cent = min(1024, max(cfg.ivf_n_centroids, int(_math.sqrt(n))))
-        n_probe = max(cfg.ivf_n_probe, n_cent // 4)
         centroids = ivf_centroids(embeddings, n_centroids=n_cent,
                                   vec_col=vec_col, cfg=cfg)
+    # probe a quarter of the cells (whatever their count), floor at the
+    # configured minimum — keeps recall consistent between inline and
+    # prebuilt-index calls
+    n_probe = max(cfg.ivf_n_probe, len(centroids) // 4)
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)

@@ -33,7 +33,8 @@ def rag_answer(spark: SparkSession, sf_dir: str,
                cfg: EngineConfig = DEFAULT_CONFIG,
                provider=None, with_chat: bool = True,
                extra_store_path: str | None = None,
-               retrieval: str = "exact") -> DataFrame:
+               retrieval: str = "exact",
+               ann_index: tuple | None = None) -> DataFrame:
     """Answer a batch of questions against the sf_dir corpus.
 
     documents.doc_id aligns 1:1 with embeddings.vec_id (FIXTURES.md §B), so
@@ -68,11 +69,14 @@ def rag_answer(spark: SparkSession, sf_dir: str,
 
     q_side = q_embedded.select("question_id", "query_vec")
     if retrieval == "ann":
-        # IVF probe retrieval — the large-batch/large-corpus path (measured
-        # recall 7-9/10 at ~3% of vectors touched on this corpus)
+        # IVF probe retrieval — the large-batch/large-corpus path. Pass
+        # ann_index=(centroids, cells) (operators/index.py) to amortize
+        # index construction across calls, as any ANN deployment does.
         from flink_rag_spark.operators.similarity import ivf_knn_join
+        cents, cells = ann_index if ann_index else (None, None)
         hits = ivf_knn_join(q_side, emb, k=cfg.retrieval_k,
-                            query_id="question_id", cfg=cfg)
+                            query_id="question_id", cfg=cfg,
+                            centroids=cents, cells=cells)
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,
                         query_id="question_id", min_score=cfg.min_score)
