@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from flink_rag_spark.plans.relational import DISC_PRICE, dec2, money_sum
-from flink_rag_spark.sources.tables import load_table, load_tables
+from flink_rag_spark.sources.tables import load_table
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +152,7 @@ def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — via spark.sql (same Catalyst path as the DataFrame
     API; the DataFrame API has no direct grouping-sets builder)."""
-    load_tables(spark, sf_dir)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
