@@ -73,11 +73,17 @@ def main() -> None:
         return s
     force(spark.range(64).select(_warm(col("id"))))
 
+    # median of 3 runs per query — the host's CPU timing is noisy (identical
+    # runs can differ ~2×); medians make round-over-round comparison real
+    REPEATS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(fns[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(REPEATS if name != "rag_answer_batch" else 1):
+            t0 = time.perf_counter()
+            force(fns[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     # RAG throughput: the reference answers one question per synchronous
     # record (3 HTTP round-trips each, RAG.java:47-95); here a 1000-question
