@@ -317,6 +317,30 @@ FROM bands l JOIN bands r
 """
 
 
+def _oracle_lsh_verified() -> str:
+    """Jaccard ≥ 0.3 restricted to LSH candidate pairs (semi join of the two
+    component oracles)."""
+    hashes = shingle_hashes_duck("text", CFG.shingle_size)
+    lsh = _oracle_lsh_pairs()
+    return f"""
+WITH cands AS ({lsh}),
+sh AS (SELECT doc_id, list_distinct({hashes}) AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM tok a JOIN tok b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT i.id_a, i.id_b,
+         ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+  FROM inter i
+  JOIN cands c ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b) t
+WHERE jaccard >= 0.3
+"""
+
+
 def _oracle_jaccard() -> str:
     hashes = shingle_hashes_duck("text", CFG.shingle_size)
     return f"""
@@ -793,6 +817,8 @@ QUERIES: list[QueryDef] = [
     QueryDef("minhash_sig_sample", llm.minhash_sig_sample, _oracle_minhash_sigs(), ("dedup",)),
     QueryDef("lsh_dup_candidates", llm.lsh_dup_candidates, _oracle_lsh_pairs(), ("dedup",)),
     QueryDef("jaccard_neardup_pairs", llm.jaccard_neardup_pairs, _oracle_jaccard(), ("dedup",)),
+    QueryDef("lsh_verified_neardup", llm.lsh_verified_neardup,
+             _oracle_lsh_verified(), ("dedup", "pipeline")),
     # text analysis (north star)
     QueryDef("text_quality_stats", llm.text_quality_stats, _oracle_text_quality(), ("text",)),
     QueryDef("lang_id_heuristic", llm.lang_id_heuristic, _oracle_lang_id(), ("text",)),

@@ -98,6 +98,16 @@ def lsh_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(d, "text", "doc_id")
 
 
+def lsh_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE at-scale near-dedup pipeline, composed end-to-end: banded
+    minhash-LSH candidate generation → exact Jaccard verification restricted
+    to candidates. Work is O(bucket collisions), never all-pairs; the
+    verify stage touches only candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(d, "text", "doc_id")
+    return jaccard_pairs(d, "text", "doc_id", threshold=0.3, candidates=cands)
+
+
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard pairs ≥ 0.4 (the verify stage of near-dedup).
     Docs meet only through shared shingles — no cross join."""
