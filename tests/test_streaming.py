@@ -92,6 +92,22 @@ def test_tumbling_matches_batch(spark, sf_smoke, events_stream_dir, tmp_path):
     assert diff.count() == 0, "stream emitted a window batch disagrees with"
 
 
+def test_complete_mode_matches_batch(spark, events_stream_dir, tmp_path):
+    """complete output mode re-emits the whole aggregate each batch — after
+    draining a finite source it must equal the batch aggregation exactly."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
+    result = tumbling_counts(stream, watermark=None)
+    q = (result.writeStream.format("memory").queryName("complete_test")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+         .trigger(availableNow=True).start())
+    _await(q)
+    got = spark.sql("select * from complete_test")
+    expected = tumbling_counts(spark.read.parquet(events_stream_dir), watermark=None)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
 def test_sliding_and_session_windows_run(spark, events_stream_dir, tmp_path):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
     for i, df in enumerate([sliding_counts(stream), session_windows(stream)]):
