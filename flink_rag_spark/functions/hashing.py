@@ -65,11 +65,17 @@ SHINGLE_BASE = 1_000_003  # keep in sync with operators.dedup.SHINGLE_BASE
 
 
 def token_hashes_duck(text: str) -> str:
-    """DuckDB SQL mirror of operators.dedup.token_hashes_expr."""
+    """DuckDB SQL mirror of operators.dedup.token_hashes_expr.
+
+    greatest(unicode(c), 0): DuckDB's unicode('') is -1 while Spark's
+    ascii('') is 0; an empty token (empty/whitespace-only document) must
+    hash to 0 in both engines or every minhash/LSH/jaccard/simhash oracle
+    breaks on such rows."""
     toks = f"string_split_regex(trim(lower({text})), '\\s+')"
     inner = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"list_transform(string_split(t, ''), "
+        f"c -> greatest(CAST(unicode(c) AS BIGINT), 0))), "
         f"(acc, x) -> (acc * {POLY_BASE} + x) % {POLY_P})"
     )
     return f"list_transform({toks}, t -> {inner})"

@@ -130,14 +130,30 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
     Without `candidates` this is an all-pairs check via shingle-hash
     explode + equi-join on the shingle (shuffle keyed by shingle hash —
-    only docs sharing a shingle meet, never a true cross join); with
-    `candidates` (e.g. LSH output) it verifies just those pairs.
+    only docs sharing a shingle meet, never a true cross join).
+
+    With `candidates` (e.g. LSH output) the work is O(|candidates|): each
+    candidate pair equi-joins to the two per-doc shingle sets and the
+    intersection is computed directly (array_intersect is a hash-set probe,
+    O(|a|+|b|) per pair) — the exploded self-join path is never built, so
+    the verify stage truly touches only candidate pairs at any scale.
     """
     sh = widen_if_narrow(df).select(
         F.col(id_col),
         F.array_distinct(
             F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("sh"),
     )
+    if candidates is not None:
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        return (candidates.join(a, on="id_a").join(b, on="id_b")
+                .withColumn("n_common",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard", F.round(
+                    F.col("n_common")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     tok = sh.select(F.col(id_col), F.explode("sh").alias("h"))
     inter = (tok.alias("a").join(tok.alias("b"), on="h")
@@ -145,8 +161,6 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("n_common")))
-    if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
     out = (inter
            .join(sizes.withColumnRenamed(id_col, "id_a")
                       .withColumnRenamed("n", "n_a"), on="id_a")

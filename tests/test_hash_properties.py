@@ -78,6 +78,20 @@ def test_duckdb_matches_python_model(duck, words):
     assert got_s == py_shingle_hashes(text, k)
 
 
+def test_duckdb_empty_token_parity(duck):
+    """DuckDB unicode('') is -1 (vs Spark ascii('') = 0); the guard in
+    token_hashes_duck must hash empty and whitespace-only text to [0] so
+    minhash/LSH/jaccard/simhash oracles survive degenerate documents."""
+    k = DEFAULT_CONFIG.shingle_size
+    for text in ["", "   "]:
+        got_t = duck.execute(
+            f"SELECT {token_hashes_duck('?')}", [text]).fetchone()[0]
+        assert got_t == [0], repr(text)
+        got_s = duck.execute(
+            f"SELECT {shingle_hashes_duck('?', k)}", [text]).fetchone()[0]
+        assert got_s == py_shingle_hashes(text, k), repr(text)
+
+
 def test_spark_matches_python_model(spark):
     """Spark side: batch of fixed adversarial cases (a Spark job per
     hypothesis example would be minutes of overhead)."""
@@ -86,6 +100,7 @@ def test_spark_matches_python_model(spark):
         "repeat repeat repeat repeat", "x" * 50,
         "punct! @#$ %^&* ()", "1 22 333 4444",
         "word " * 20,
+        "", "   ",  # empty/whitespace-only: the empty token must hash to 0
     ]
     k = DEFAULT_CONFIG.shingle_size
     df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, text string")

@@ -169,6 +169,28 @@ def test_sessionize_stateful(spark, tmp_path):
     assert (2, 1, 1.0) in rows
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's session-merge boundary semantics: an event arriving at
+    EXACTLY prev_ts + gap is merged into the running session (a new session
+    starts only when the inter-event gap is strictly greater than the gap
+    duration). The SQL gaps-and-islands oracle (catalog.ORACLE_SESSION_BATCH)
+    uses the matching strictly-greater predicate — if either side's boundary
+    convention drifted, exact-boundary timestamps would break value parity."""
+    rows = [(1, "2020-01-01 10:00:00"),
+            (2, "2020-01-01 10:05:00"),   # == prev + gap → merges
+            (3, "2020-01-01 10:11:00")]   # > prev + gap → new session
+    df = (spark.createDataFrame(rows, "id int, ts string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = (df.groupBy(F.session_window("ts", "5 minutes"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("session_window.start").cast("string").alias("s"),
+                   F.col("session_window.end").cast("string").alias("e"), "n")
+           .orderBy("s").collect())
+    got = [(r["s"], r["e"], r["n"]) for r in out]
+    assert got == [("2020-01-01 10:00:00", "2020-01-01 10:10:00", 2),
+                   ("2020-01-01 10:11:00", "2020-01-01 10:16:00", 1)]
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "dup_src"
     df = spark.createDataFrame(
