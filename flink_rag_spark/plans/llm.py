@@ -177,6 +177,19 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qv, k=10)
 
 
+def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN tiers in one graded entry: multi-table hyperplane LSH and
+    IVF top-10 for the same query vector, labeled by method. Rows-only by
+    design (approximate); per-method recall floors are asserted in
+    tests/test_similarity.py."""
+    from flink_rag_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    lsh = ann_lsh_topk(emb, qv, k=10).withColumn("method", F.lit("lsh"))
+    ivf = ann_ivf_topk(emb, qv, k=10).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
 def media_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents as opaque binary
     payloads through the mapInPandas feature extractor; the digest/byte
@@ -197,23 +210,28 @@ def media_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The applyInPandas (grouped-map) surface: per-status z-scores of order
-    prices computed in pandas, checked against the SQL formula."""
+    """The applyInPandas (grouped-map) surface: per-CUSTOMER z-scores of
+    order prices computed in pandas, checked against the SQL formula.
+
+    Keyed on o_custkey (thousands of groups) so the grouped-map actually
+    distributes — one Arrow batch per customer spread across all tasks, the
+    shape this surface has at 100 TB (a 3-value key would funnel the whole
+    table through ≤3 Python workers)."""
     import numpy as np
 
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice")
+        "o_orderkey", "o_custkey", "o_totalprice")
 
-    def zscore(pdf: pd.Series) -> "pd.DataFrame":
+    def zscore(pdf):
         x = pdf["o_totalprice"].to_numpy(dtype=np.float64)
         mu = x.sum() / len(x)
         sd = np.sqrt(((x - mu) ** 2).sum() / (len(x) - 1)) if len(x) > 1 else 0.0
         pdf = pdf.copy()
         pdf["z"] = np.round((x - mu) / sd, 4) if sd else 0.0
-        return pdf[["o_orderkey", "o_orderstatus", "z"]]
+        return pdf[["o_orderkey", "o_custkey", "z"]]
 
-    return (o.groupBy("o_orderstatus")
-            .applyInPandas(zscore, "o_orderkey long, o_orderstatus string, z double"))
+    return (o.groupBy("o_custkey")
+            .applyInPandas(zscore, "o_orderkey long, o_custkey long, z double"))
 
 
 def embed_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +298,65 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(embedding, CAST(0.0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
             " / size(embedding)"), 6).alias("mean_val"),
     )
+
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis surface in ONE scan: quality
+    scoring (token counts, BPE-ish pre-tokenization, punctuation/stopword
+    ratios), language ID (argmax of per-language marker ratios), and
+    fingerprinting (whole-text rolling hash + min-shingle) — every column a
+    codegen-side SQL expression, no Python, no shuffle. Composes the
+    text_quality_stats / lang_id_heuristic / doc_fingerprints builders'
+    columns so one graded entry covers the whole family."""
+    from flink_rag_spark.functions.hashing import poly_hash_expr
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+    d = load_table(spark, sf_dir, "documents")
+    best = F.greatest(*[F.expr(stopword_ratio_expr("text", words))
+                        for _code, words in sorted(LANG_MARKERS.items())])
+    pred = F.lit("unknown")
+    for code in sorted(LANG_MARKERS, reverse=True):  # earlier codes win ties
+        pred = F.when(F.expr(stopword_ratio_expr("text", LANG_MARKERS[code]))
+                      == best, F.lit(code)).otherwise(pred)
+    return d.select(
+        "doc_id", "lang",
+        F.expr(token_count_expr("text")).cast("bigint").alias("n_tokens"),
+        F.expr(r"size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0))")
+            .cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.expr(punct_ratio_expr("text")), 6).alias("punct_ratio"),
+        F.round(F.expr(stopword_ratio_expr("text", LANG_MARKERS["en"])), 6)
+            .alias("en_stop_ratio"),
+        F.round(F.length("text") /
+                F.greatest(F.expr(token_count_expr("text")), F.lit(1)), 6)
+            .alias("chars_per_token"),
+        F.when(best > 0, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
+        F.expr(poly_hash_expr("text")).alias("fp_full"),
+        F.expr("array_min(" +
+               shingle_hashes_expr("text", DEFAULT_CONFIG.shingle_size) + ")")
+            .alias("fp_min_shingle"),
+    )
+
+
+def udf_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-UDF + array-function surface in one entry: the SQL-callable
+    cosine_sim UDF scored against vec 0, alongside size / element access /
+    HOF-fold norm and mean over the vector column — checked value-exact
+    against DuckDB list functions."""
+    from flink_rag_spark.functions.registry import register_engine_functions
+    from flink_rag_spark.functions.vector import norm_expr
+    register_engine_functions(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(f"""
+        SELECT e.vec_id,
+               CAST(size(e.embedding) AS BIGINT) AS dims,
+               ROUND(CAST(element_at(e.embedding, 1) AS DOUBLE), 6) AS first_val,
+               ROUND({norm_expr('e.embedding')}, 6) AS l2_norm,
+               ROUND(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                               (s, x) -> s + CAST(x AS DOUBLE))
+                     / size(e.embedding), 6) AS mean_val,
+               ROUND(cosine_sim(e.embedding, q.embedding), 6) AS score
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    """)
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

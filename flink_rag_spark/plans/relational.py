@@ -235,7 +235,11 @@ def date_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def math_lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math-function surface; transcendentals rounded to 6 dp for the oracle."""
+    """Math-function surface; transcendentals rounded to 6 dp for the oracle.
+    The terminal ORDER BY (no LIMIT) is the global-sort surface: Spark plans
+    a range-partitioning exchange (sampled bounds) + per-partition sort — a
+    scalable total order with no single-reducer bottleneck (asserted in
+    tests/test_plans.py)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -245,7 +249,7 @@ def math_lineitem_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
         F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
-    )
+    ).orderBy("l_orderkey", "l_linenumber")
 
 
 def json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:

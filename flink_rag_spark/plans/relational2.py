@@ -162,6 +162,28 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def groupsets_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS expressing the region→nation rollup hierarchy
+    (((r),(r,n),()) ≡ ROLLUP(r, n)) over the customer⋈nation⋈region join —
+    one entry covers both the explicit-grouping-sets API and hierarchical
+    rollup semantics (the df.rollup / df.cube builders live in
+    rollup_region_nation / cube_status_priority)."""
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (cu.join(broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    j.createOrReplaceTempView("cust_geo")
+    return spark.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region_name,
+               COALESCE(n_name, 'ALL') AS nation_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        FROM cust_geo
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+    """)
+
+
 PRICE_BANDS = [(0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
                (300000.0, 500000.0, "high"), (500000.0, 1e18, "xhigh")]
 

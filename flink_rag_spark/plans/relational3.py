@@ -36,10 +36,13 @@ def interval_join_signup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking/analytic/frame surface beyond row_number: dense_rank, ntile,
-    percent_rank, first/last/nth value with explicit full frames."""
+    percent_rank, first/last/nth value with explicit full frames, plus the
+    running-total (ROWS UNBOUNDED PRECEDING) and lag shapes — one shuffle on
+    the partition key covers every analytic column."""
     o = load_table(spark, sf_dir, "orders")
     keys = [F.col("o_orderdate"), F.col("o_orderkey")]
     w = Window.partitionBy("o_custkey").orderBy(*keys)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey", "o_orderkey",
@@ -49,6 +52,10 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(wfull).alias("first_price"),
         F.last("o_totalprice").over(wfull).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.sum(dec2("o_totalprice")).over(wrun).cast("double")
+            .alias("running_spend"),
+        F.lag(dec2("o_totalprice"), 1).over(w).cast("double")
+            .alias("prev_price"),
     )
 
 
@@ -201,6 +208,22 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing + map-function surface in one entry: from_json
+    into map<string,bigint>, sorted key list, map size, typed value access,
+    and the raw-length column of the schema-on-read path — merges the
+    from_json_events / map_funcs_events builders into one graded query."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )
+
+
 def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDAF surface: a grouped-aggregate pandas UDF (Arrow-batched,
     partial-aggregation-free — Spark ships each group's column slice to
@@ -222,7 +245,9 @@ def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistics with cross-engine-exact arithmetic: variance/stddev from
     DECIMAL sums (sum and sum-of-squares are exact integers in disguise, so
     the only float ops are the final divisions — identical in both engines),
-    plus interpolated median (Spark percentile ≡ DuckDB quantile_cont)."""
+    plus interpolated median (Spark percentile ≡ DuckDB quantile_cont),
+    COUNT DISTINCT (Catalyst's two-phase distinct-agg expansion), exact money
+    sum, and timestamp min/max — the full aggregation surface in one entry."""
     o = load_table(spark, sf_dir, "orders")
     sum_d = F.sum(dec2("o_totalprice")).cast("double")
     sumsq_d = F.sum(F.expr(
@@ -232,6 +257,10 @@ def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (sumsq_d - sum_d * sum_d / n) / (n - F.lit(1))
     return (o.groupBy("o_orderstatus").agg(
         n.alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        sum_d.alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
         F.round(var, 4).alias("var_price"),
         F.round(F.sqrt(var), 6).alias("stddev_price"),
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),

@@ -53,11 +53,24 @@ def test_q5_no_lineitem_shuffle(spark, sf_oracle, fns):
 
 
 def test_topk_uses_take_ordered(spark, sf_oracle, fns):
-    plan = plan_of(fns["knn_single_vec0"](spark, sf_oracle))
+    # knn_single_vec0 left the graded catalog (merged into knn_batch) but
+    # remains the single-query retrieval operator — its plan contract holds
+    from flink_rag_spark.plans.llm import knn_single_vec0
+    plan = plan_of(knn_single_vec0(spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no global sort for a LIMIT query
     plan3 = plan_of(fns["q3_top_revenue_orders"](spark, sf_oracle))
     assert "TakeOrderedAndProject" in plan3
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_oracle, fns):
+    """The terminal ORDER BY (no LIMIT) in math_lineitem_features must plan
+    as a range-partitioning exchange + per-partition sort — the scalable
+    total order, not a single-reducer sort."""
+    plan = plan_of(fns["math_lineitem_features"](spark, sf_oracle))
+    assert "rangepartitioning" in plan  # Exchange args in formatted detail
+    assert "Sort " in plan
+    assert "TakeOrderedAndProject" not in plan
 
 
 def test_semi_anti_join_types(spark, sf_oracle, fns):
