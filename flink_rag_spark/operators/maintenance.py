@@ -17,7 +17,10 @@ from flink_rag_spark.session import ensure_runtime_confs
 
 
 def store_file_count(store_path: str) -> int:
-    return len(glob.glob(os.path.join(store_path, "*.parquet")))
+    # flat stores write at the root; the bucketed ingest store writes under
+    # bucket=N/ partition directories — count both layouts
+    return len(glob.glob(os.path.join(store_path, "*.parquet"))
+               + glob.glob(os.path.join(store_path, "*", "*.parquet")))
 
 
 def compact_store(spark: SparkSession, store_path: str,
@@ -34,7 +37,10 @@ def compact_store(spark: SparkSession, store_path: str,
     if target_partitions:
         df = df.coalesce(target_partitions)
     tmp = store_path.rstrip("/") + ".compact.tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if "bucket" in df.columns:  # preserve the ingest store's pruning layout
+        writer = writer.partitionBy("bucket")
+    writer.parquet(tmp)
     old = store_path.rstrip("/") + ".compact.old"
     os.rename(store_path, old)
     os.rename(tmp, store_path)

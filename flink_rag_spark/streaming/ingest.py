@@ -13,6 +13,19 @@ Differences by design (SURVEY.md §2.1 known-inconsistency fixes):
   ``foreachBatch`` with idempotent content-hash ids — replaying the source
   (the reference's earliest-offsets cold start) cannot duplicate vectors,
   upgrading the sink from at-least-once writes to effectively-once content.
+- Rows carry a ``metadata`` map<string,string> column, mirroring the
+  reference's ``TextSegment`` optional metadata
+  (``StreamingStoreKnowledge.java:47-51``); sources may supply their own
+  ``metadata`` column, which flows through to retrieval.
+
+Store layout — O(batch) upserts at any store size:
+
+The store is HASH-BUCKETED on disk: partitioned by
+``bucket = pmod(vec_id, STORE_BUCKETS)``. Each micro-batch's dedup
+anti-join reads ONLY the buckets the batch touches (partition pruning at
+the scan), so upsert cost is O(|batch| + touched-bucket size), never
+O(|store|) — a 1-row batch reads 1 bucket whatever the store holds
+(asserted in tests/test_streaming.py::test_upsert_prunes_to_touched_buckets).
 """
 
 from __future__ import annotations
@@ -29,36 +42,73 @@ from flink_rag_spark.session import ensure_runtime_confs
 # batches/runs, so re-ingesting the same fact is a no-op after the anti-join.
 VEC_ID_EXPR = "CAST(conv(substring(md5(value), 1, 15), 16, 10) AS BIGINT)"
 
+# disk buckets for the store. At 100 TB this is sized so one bucket's vec_id
+# column fits an executor (e.g. 4096); the pruning math is identical.
+STORE_BUCKETS = 64
+
+
+def _bucket_col(vec_id: str = "vec_id", buckets: int = STORE_BUCKETS) -> F.Column:
+    return F.pmod(F.col(vec_id), F.lit(buckets)).cast("int")
+
 
 def embed_stream(stream: DataFrame, provider: Provider | None = None,
                  cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """value:string stream → (vec_id, text, embedding) — the A5 Embedder."""
+    """value:string stream → (vec_id, text, embedding, metadata) — the A5
+    Embedder. A ``metadata`` map column on the source flows through
+    (TextSegment metadata analog); absent one, an empty map is stored."""
+    meta = (F.col("metadata") if "metadata" in stream.columns
+            else F.expr("map()").cast("map<string,string>"))
     return stream.select(
         F.expr(VEC_ID_EXPR).alias("vec_id"),
         F.col("value").alias("text"),
         embed_text_col(provider, cfg)(F.col("value")).alias("embedding"),
+        meta.alias("metadata"),
     )
 
 
-def upsert_batch(batch: DataFrame, store_path: str) -> None:
-    """Idempotent append of one micro-batch into the embeddings store.
+def existing_ids_pruned(spark: SparkSession, store_path: str,
+                        touched_buckets: list[int]) -> DataFrame | None:
+    """vec_ids already stored in the touched buckets — a partition-pruned
+    scan (PartitionFilters on `bucket`), never a full-store read."""
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        return None  # first batch — store doesn't exist yet
+    return (store.filter(F.col("bucket").isin(touched_buckets))
+            .select("vec_id"))
 
-    Within-batch dups collapse deterministically (min of a stable order);
-    against-store dups are dropped with a broadcast-friendly left-anti join
-    on vec_id. At real scale the store is a partitioned table (bucket by
-    vec_id) and the anti-join prunes to touched partitions; Parquet-append +
+
+def upsert_batch(batch: DataFrame, store_path: str,
+                 buckets: int = STORE_BUCKETS) -> None:
+    """Idempotent append of one micro-batch into the bucketed store.
+
+    Within-batch dups collapse deterministically; against-store dups are
+    dropped with a left-anti join against ONLY the buckets this batch
+    touches (micro-batches are small → few distinct buckets → the store
+    scan prunes to those partition directories). Parquet-append +
     content-keyed ids keeps replays idempotent without a transactional log.
     """
     spark = batch.sparkSession
-    deduped = batch.dropDuplicates(["vec_id"])
+    deduped = (batch.dropDuplicates(["vec_id"])
+               .withColumn("bucket", _bucket_col(buckets=buckets)))
+    deduped.persist()
     try:
-        # filesystem-agnostic existence probe (works on DFS paths too,
-        # unlike os.path) — PATH_NOT_FOUND just means first batch
-        existing = spark.read.parquet(store_path).select("vec_id")
-        deduped = deduped.join(existing, on="vec_id", how="left_anti")
-    except AnalysisException:
-        pass
-    deduped.write.mode("append").parquet(store_path)
+        touched = [r["bucket"] for r in
+                   deduped.select("bucket").distinct().collect()]
+        existing = existing_ids_pruned(spark, store_path, touched)
+        if existing is not None:
+            deduped = deduped.join(existing, on="vec_id", how="left_anti")
+        (deduped.write.mode("append")
+         .partitionBy("bucket").parquet(store_path))
+    finally:
+        deduped.unpersist()
+
+
+def load_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The retrieval-side view of the store:
+    (vec_id, text, embedding, metadata)."""
+    return spark.read.parquet(store_path).select(
+        "vec_id", "text", "embedding", "metadata")
 
 
 def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,

@@ -74,6 +74,67 @@ def test_ingest_idempotent_and_freshness(spark, sf_smoke, tmp_path):
     assert "The capital of France is Paris." in info
 
 
+def test_upsert_prunes_to_touched_buckets(spark, tmp_path):
+    """The O(batch) upsert contract: the anti-join's store scan must prune
+    to the buckets the batch touches — a 1-bucket probe reads 1 partition
+    directory, not the store."""
+    import contextlib
+    import glob
+    import io
+    import os
+
+    from flink_rag_spark.streaming.ingest import existing_ids_pruned, upsert_batch
+    store = str(tmp_path / "bstore")
+    rows = [(i, f"text {i}", [0.0, 1.0]) for i in range(200)]
+    df = (spark.createDataFrame(
+        rows, "vec_id long, text string, embedding array<float>")
+        .withColumn("metadata", F.expr("map()").cast("map<string,string>")))
+    upsert_batch(df, store)
+    all_files = glob.glob(os.path.join(store, "*", "*.parquet"))
+    assert len(all_files) > 10
+
+    pruned = existing_ids_pruned(spark, store, [5])
+    # partition pruning visible at the scan node ...
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # ... and real at execution: only bucket=5's files are actually read
+    read_files = {r[0] for r in
+                  spark.read.parquet(store).filter(F.col("bucket") == 5)
+                  .select(F.input_file_name()).distinct().collect()}
+    assert read_files and len(read_files) < len(all_files)
+    assert all("bucket=5" in f for f in read_files)
+
+    # replaying the identical batch across the bucketed layout adds nothing
+    upsert_batch(df, store)
+    got = spark.read.parquet(store)
+    assert got.count() == 200
+    assert got.select("vec_id").distinct().count() == 200
+
+
+def test_ingest_metadata_roundtrip(spark, tmp_path):
+    """TextSegment-metadata analog: a metadata map attached to the source
+    stream must survive embed → store → retrieval-side load."""
+    from flink_rag_spark.streaming.ingest import load_store, run_ingest
+    src = tmp_path / "meta_src"
+    src.mkdir()
+    (src / "f.txt").write_text("Metadata travels with the segment.\n")
+    store = str(tmp_path / "meta_store")
+    stream = (file_string_source(spark, str(src))
+              .withColumn("metadata", F.create_map(
+                  F.lit("origin"), F.lit("unit-test"),
+                  F.lit("topic"), F.lit("knowledge_updates"))))
+    q = run_ingest(spark, stream, store, str(tmp_path / "meta_ckpt"),
+                   available_now=True)
+    _await(q)
+    row = load_store(spark, store).first()
+    assert row["text"] == "Metadata travels with the segment."
+    assert row["metadata"]["origin"] == "unit-test"
+    assert row["metadata"]["topic"] == "knowledge_updates"
+
+
 def test_tumbling_matches_batch(spark, sf_smoke, events_stream_dir, tmp_path):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
     result = tumbling_counts(stream)
