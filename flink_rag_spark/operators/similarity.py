@@ -23,6 +23,7 @@ Approximate tier (bench/scale paths; recall measured in tests):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
@@ -82,16 +83,46 @@ def hyperplanes(dims: int, num_planes: int, seed: int) -> list[list[float]]:
     return [[float(x) for x in row] for row in h]
 
 
-def signature_col(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) >= 0. Pure SQL
-    HOFs — stays in codegen. Returns an INT bucket id."""
-    bits = []
-    for i, p in enumerate(planes):
-        plit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
-        dot = (f"aggregate(zip_with({vec_col}, {plit}, (x, y) -> CAST(x AS DOUBLE) * y), "
-               f"CAST(0.0 AS DOUBLE), (s, v) -> s + v)")
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
-    return F.expr(" + ".join(bits))
+def _plane_matrix(dims: int, cfg: EngineConfig) -> "np.ndarray":
+    """All tables' hyperplanes stacked as one (tables·planes, dims) float64
+    matrix — the broadcast payload for signature computation."""
+    return np.vstack([
+        np.asarray(hyperplanes(dims, cfg.ann_num_planes, cfg.seed + t),
+                   dtype=np.float64)
+        for t in range(cfg.ann_num_tables)])
+
+
+def attach_lsh_buckets(df: DataFrame, vec_col: str, dims: int,
+                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Attach bucket_0..bucket_{T-1} sign-bit signature columns via ONE
+    Arrow-batched matmul against a Spark-broadcast numpy plane matrix.
+
+    At the reference's dimensionality (1536 dims × 8 planes × 4 tables,
+    EmbeddingConfig.java:5) an inline-SQL-literal formulation would put ~50k
+    numeric literals into one expression tree (codegen blowup) and evaluate
+    interpreted HOF dot products per plane; here the geometry ships once per
+    executor via sparkContext.broadcast and every Arrow batch is a single
+    (batch × dims) @ (dims × T·P) product."""
+    T, P = cfg.ann_num_tables, cfg.ann_num_planes
+    bc = df.sparkSession.sparkContext.broadcast(_plane_matrix(dims, cfg))
+
+    @F.pandas_udf("array<int>")
+    def _sigs(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+        if len(vs) == 0:
+            return _pd.Series([], dtype=object)
+        m = bc.value
+        x = _np.asarray([_np.asarray(v, dtype=_np.float64) for v in vs])
+        bits = (x @ m.T >= 0).astype(_np.int64).reshape(len(vs), T, P)
+        sigs = (bits << _np.arange(P)).sum(axis=2)
+        return _pd.Series([row.tolist() for row in sigs])
+
+    out = df.withColumn("_lsh_sigs", _sigs(F.col(vec_col)))
+    for t in range(T):
+        out = out.withColumn(f"bucket_{t}",
+                             F.col("_lsh_sigs").getItem(t).cast("int"))
+    return out.drop("_lsh_sigs")
 
 
 def with_ann_buckets(embeddings: DataFrame, vec_col: str = "embedding",
@@ -105,24 +136,17 @@ def with_ann_buckets(embeddings: DataFrame, vec_col: str = "embedding",
     so queries prune at the scan instead of re-hashing per query."""
     if dims is None:
         dims = len(embeddings.select(vec_col).first()[0])
-    out = embeddings
-    for t in range(cfg.ann_num_tables):
-        planes = hyperplanes(dims, cfg.ann_num_planes, cfg.seed + t)
-        out = out.withColumn(f"bucket_{t}", signature_col(vec_col, planes))
-    return out
+    return attach_lsh_buckets(embeddings, vec_col, dims, cfg)
 
 
 def _query_sigs(query_vec: list[float], cfg: EngineConfig) -> list[int]:
-    q = np.array(query_vec)
-    sigs = []
-    for t in range(cfg.ann_num_tables):
-        planes = hyperplanes(len(query_vec), cfg.ann_num_planes, cfg.seed + t)
-        sig = 0
-        for i, p in enumerate(planes):
-            if float(np.dot(q, np.array(p))) >= 0:
-                sig |= 1 << i
-        sigs.append(sig)
-    return sigs
+    """Driver-side signatures for one query vector — same plane matrix and
+    sign convention as attach_lsh_buckets, so buckets line up exactly."""
+    T, P = cfg.ann_num_tables, cfg.ann_num_planes
+    m = _plane_matrix(len(query_vec), cfg)
+    bits = (m @ np.asarray(query_vec, dtype=np.float64) >= 0) \
+        .astype(np.int64).reshape(T, P)
+    return [int(x) for x in (bits << np.arange(P)).sum(axis=1)]
 
 
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
@@ -133,8 +157,16 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
 
     The SAMPLE is bounded (max_sample rows) regardless of table size — the
     only driver-side step in the IVF path, analogous to any ANN index's
-    training phase. Deterministic: seeded sample + seeded init."""
-    rows = (embeddings.select(vec_col).limit(max_sample).collect())
+    training phase. Deterministic: seeded Bernoulli sample + seeded init.
+    (A limit() would take the first file's rows — a biased sample at scale;
+    sample() draws uniformly across every partition.)"""
+    n = embeddings.count()
+    frac = min(1.0, (max_sample * 1.2) / max(n, 1))  # 20% headroom, capped below
+    rows = (embeddings.select(vec_col)
+            .sample(fraction=frac, seed=DEFAULT_CONFIG.seed)
+            .limit(max_sample).collect())
+    if not rows:  # degenerate tiny/empty input — fall back to whatever exists
+        rows = embeddings.select(vec_col).limit(max_sample).collect()
     import numpy as _np
     x = _np.asarray([r[0] for r in rows], dtype=_np.float64)
     rng = _np.random.default_rng(cfg.seed)
@@ -153,21 +185,26 @@ def with_ivf_cells(embeddings: DataFrame, centroids: list[list[float]],
                    vec_col: str = "embedding") -> DataFrame:
     """Assign every vector to its nearest centroid (cell id).
 
-    Arrow-batched numpy matmul per batch — one linear pass, no shuffle. At
-    scale, persist the result partitioned by `cell` so ANN queries prune
-    partitions at the scan."""
+    One Arrow-batched numpy matmul per batch — a linear pass, no shuffle —
+    with the centroid matrix shipped via sparkContext.broadcast (not closure
+    capture): at 1536 dims × 1024 cells that is a 12 MB payload sent once
+    per executor instead of once per task. At scale, persist the result
+    partitioned by `cell` so ANN queries prune partitions at the scan."""
     import numpy as _np
     cent = _np.asarray(centroids, dtype=_np.float64)
+    bc = embeddings.sparkSession.sparkContext.broadcast(cent)
 
     @F.pandas_udf("int")
-    def _cell(vs):
+    def _cell(vs: pd.Series) -> pd.Series:
         import numpy as np
-        import pandas as pd
-        out = []
-        for v in vs:
-            x = np.asarray(v, dtype=np.float64)
-            out.append(int(((cent - x) ** 2).sum(axis=1).argmin()))
-        return pd.Series(out)
+        import pandas as pd_
+        if len(vs) == 0:
+            return pd_.Series([], dtype="int32")
+        c = bc.value
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        # argmin over ||x-c||² ≡ argmin over (||c||² - 2 x·c): one matmul
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        return pd_.Series(d.argmin(axis=1).astype("int32"))
 
     return embeddings.withColumn("cell", _cell(F.col(vec_col)))
 
@@ -240,8 +277,16 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
         q = _np.asarray(r[query_vec], dtype=_np.float64)
         for c in ((cent - q) ** 2).sum(axis=1).argsort()[:n_probe]:
             probe_rows.append((r[query_id], [float(x) for x in r[query_vec]], int(c)))
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id} long, {query_vec} array<double>, cell int")
+    # the probe schema inherits the caller's id type (string question ids
+    # are as valid as bigint vec ids)
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+    probes = spark.createDataFrame(probe_rows, StructType([
+        StructField(query_id, queries.schema[query_id].dataType),
+        StructField(query_vec, ArrayType(DoubleType())),
+        StructField("cell", IntegerType()),
+    ]))
     cand = broadcast(probes).join(cells, on="cell").select(
         query_id, query_vec, id_col, vec_col)
     scored = cand.select(
@@ -265,12 +310,9 @@ def ann_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     (query, candidate) pairs are re-ranked with exact cosine. vs knn_join's
     |Q|×|E| cosine evaluations this does |Q|×E[bucket size]×tables — the
     retrieval plan that survives 1000 queries × 10^9 vectors."""
+    q_dims = len(embeddings.select(vec_col).first()[0])
     if bucketed is None:
-        dims = len(embeddings.select(vec_col).first()[0])
-        bucketed = with_ann_buckets(embeddings, vec_col, cfg, dims)
-        q_dims = dims
-    else:
-        q_dims = len(embeddings.select(vec_col).first()[0])
+        bucketed = with_ann_buckets(embeddings, vec_col, cfg, q_dims)
 
     def explode_buckets(df, idc, vc):
         return (df.select(
@@ -280,11 +322,7 @@ def ann_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
                 for t in range(cfg.ann_num_tables)])).alias("tb"))
             .select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")))
 
-    q_bucketed = queries
-    for t in range(cfg.ann_num_tables):
-        planes = hyperplanes(q_dims, cfg.ann_num_planes, cfg.seed + t)
-        q_bucketed = q_bucketed.withColumn(f"bucket_{t}",
-                                           signature_col(query_vec, planes))
+    q_bucketed = attach_lsh_buckets(queries, query_vec, q_dims, cfg)
     qx = explode_buckets(q_bucketed, query_id, query_vec)
     ex = explode_buckets(bucketed, id_col, vec_col)
     cand = (qx.join(ex, on=["tbl", "bkt"])

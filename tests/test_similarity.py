@@ -82,6 +82,48 @@ def test_persisted_ivf_index(spark, sf_oracle, tmp_path):
     assert "PartitionFilters" in buf.getvalue()
 
 
+def test_ann_high_dim_1536(spark):
+    """The reference's dimensionality (EmbeddingConfig.java:5): both ANN
+    tiers must run at 1536 dims without expression-tree blowup (geometry is
+    a broadcast numpy matrix, not SQL literals) and keep recall on a
+    clustered synthetic corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dims, n_clusters, per = 1536, 6, 40
+    centers = rng.standard_normal((n_clusters, dims))
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        v = c + 0.15 * rng.standard_normal(dims)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [float(x) for x in centers[0] + 0.05 * rng.standard_normal(dims)]
+
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, 10).collect()]
+    lsh = {r["vec_id"] for r in ann_lsh_topk(emb, qv, 10, multiprobe=1).collect()}
+    cents = ivf_centroids(emb, n_centroids=n_clusters)
+    ivf = {r["vec_id"] for r in
+           ann_ivf_topk(emb, qv, 10, n_probe=2, centroids=cents).collect()}
+    assert len(lsh & set(exact)) >= 5, (exact, lsh)
+    assert len(ivf & set(exact)) >= 8, (exact, ivf)
+
+
+def test_ivf_knn_join_string_query_ids(spark, sf_oracle):
+    """Probe construction must inherit the caller's query-id type — string
+    question ids are the RAG path's natural key."""
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.concat(F.lit("q"), F.col("vec_id").cast("string"))
+                 .alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    out = ivf_knn_join(q, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
+
+
 def test_embedder_similarity_sanity(spark):
     """The deterministic embedder puts token-overlapping texts closer than
     disjoint ones — the property the freshness scenario depends on."""
