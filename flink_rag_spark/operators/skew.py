@@ -35,8 +35,11 @@ def salted_agg(df: DataFrame, keys: list[str], metrics: dict[str, tuple[str, Col
                    {"n": ("count", "event_id"),
                     "total": ("sum", dec2("value"))})
     """
-    salt = (F.crc32(F.concat_ws("§", *[F.col(k).cast("string") for k in keys]))
-            + F.monotonically_increasing_id()) % salts
+    # Deterministic per-row salt: a pure function of the FULL row, so it is
+    # stable under task retries and repartitioning (monotonically_increasing_id
+    # is not), while still spreading a hot key's rows across `salts` buckets
+    # because the non-key columns differ row to row.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
     partial_aggs, merge_aggs = [], []
     for out, (fn, col) in metrics.items():
         p, m = _MERGEABLE[fn]

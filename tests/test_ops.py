@@ -86,6 +86,36 @@ def test_salted_agg_matches_direct(spark, sf_smoke):
     assert direct == salted
 
 
+def test_salted_agg_skewed_key_spreads_and_is_deterministic(spark, sf_smoke):
+    # one hot user owns 50% of rows: the shape salting exists for
+    e = load_table(spark, sf_smoke, "events").select("event_id", "user_id", "value")
+    hot = e.withColumn("user_id", F.when(F.col("event_id") % 2 == 0, F.lit(-1))
+                       .otherwise(F.col("user_id")))
+    direct = {(r["user_id"], r["n"], float(r["total"])) for r in
+              hot.groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(dec2("value")).cast("double").alias("total"))
+                 .collect()}
+    out = salted_agg(hot, ["user_id"],
+                     {"n": ("count", "event_id"),
+                      "total": ("sum", dec2("value"))}, salts=8)
+    salted = {(r["user_id"], r["n"], float(r["total"])) for r in
+              out.select("user_id", "n", F.col("total").cast("double")).collect()}
+    assert direct == salted
+    # the hot key's rows actually spread over multiple salt buckets
+    salt_expr = F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(8))
+    n_buckets = (hot.filter(F.col("user_id") == -1)
+                 .select(salt_expr.alias("s")).distinct().count())
+    assert n_buckets >= 4
+    # salt is a pure function of row contents: stable under repartition
+    per_bucket = lambda df: {(r["s"], r["n"]) for r in
+                             df.filter(F.col("user_id") == -1)
+                               .select(salt_expr.alias("s"))
+                               .groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+                               .collect()}
+    assert per_bucket(hot) == per_bucket(hot.repartition(13))
+
+
 def test_compact_store(spark, sf_smoke, tmp_path):
     store = str(tmp_path / "store")
     d = load_table(spark, sf_smoke, "documents").limit(50)
