@@ -441,6 +441,13 @@ FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 """
 
+
+# Gap-boundary convention (empirically confirmed; pinned by
+# tests/test_streaming.py::test_session_window_exact_gap_boundary): Spark's
+# session_window MERGES an event arriving exactly `gap` after its
+# predecessor, so the oracle must use a STRICT `>` here — an exact-boundary
+# event is NOT a new session. The custom sessionizer (streaming/events.py)
+# uses the same strict `>`.
 ORACLE_SESSION_BATCH = f"""
 WITH x AS (
   SELECT user_id, event_id, ts, value,
