@@ -66,5 +66,16 @@ class EngineConfig:
     # deterministic seeds for all hashing — never wall-clock derived
     seed: int = 42
 
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        """Config with deployment facts taken from the environment —
+        currently the Kafka bootstrap address (KAFKA_BOOTSTRAP_SERVERS),
+        so the same job code runs against any broker."""
+        import os
+        env_bootstrap = os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
+        if env_bootstrap and "kafka_bootstrap" not in overrides:
+            overrides["kafka_bootstrap"] = env_bootstrap
+        return cls(**overrides)
+
 
 DEFAULT_CONFIG = EngineConfig()

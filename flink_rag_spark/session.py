@@ -81,8 +81,17 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def kafka_package() -> str:
+    """Maven coordinate of the Structured Streaming Kafka connector matching
+    this PySpark build (Spark 4.x ships Scala 2.13). Referenced by get_spark's
+    SPARK_GRAFT_KAFKA hook and the gated integration test."""
+    import pyspark
+    return f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+
+
 def get_spark(app_name: str = "flink-rag-spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              with_kafka: bool | None = None) -> SparkSession:
     """Build a local session sized from the environment.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
@@ -103,6 +112,13 @@ def get_spark(app_name: str = "flink-rag-spark", cpus: int | None = None,
         # Arrow everywhere Python touches data: pandas UDFs, toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Kafka connector hook (A1/A2/A7): opt-in because the jar must be present
+    # at JVM launch — set SPARK_GRAFT_KAFKA=1 (or with_kafka=True) in an
+    # environment with network/maven or a pre-populated ivy cache. The test
+    # container has neither, so tests use the file stand-in sources instead.
+    if with_kafka or (with_kafka is None
+                      and os.environ.get("SPARK_GRAFT_KAFKA") == "1"):
+        builder = builder.config("spark.jars.packages", kafka_package())
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
