@@ -98,7 +98,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(REPEATS if name != "rag_answer_batch" else 1):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             force(fns[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)

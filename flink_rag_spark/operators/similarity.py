@@ -152,15 +152,17 @@ def _query_sigs(query_vec: list[float], cfg: EngineConfig) -> list[int]:
 def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
                   max_sample: int = 4096, iters: int = 8,
                   vec_col: str = "embedding",
-                  cfg: EngineConfig = DEFAULT_CONFIG) -> list[list[float]]:
+                  cfg: EngineConfig = DEFAULT_CONFIG,
+                  n_rows: int | None = None) -> list[list[float]]:
     """Train IVF coarse centroids: k-means on a bounded driver-side sample.
 
     The SAMPLE is bounded (max_sample rows) regardless of table size — the
     only driver-side step in the IVF path, analogous to any ANN index's
     training phase. Deterministic: seeded Bernoulli sample + seeded init.
     (A limit() would take the first file's rows — a biased sample at scale;
-    sample() draws uniformly across every partition.)"""
-    n = embeddings.count()
+    sample() draws uniformly across every partition.) Pass ``n_rows`` if the
+    caller already counted the table — saves a full scan."""
+    n = embeddings.count() if n_rows is None else n_rows
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))  # 20% headroom, capped below
     rows = (embeddings.select(vec_col)
             .sample(fraction=frac, seed=DEFAULT_CONFIG.seed)

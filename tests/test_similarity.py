@@ -81,6 +81,12 @@ def test_persisted_ivf_index(spark, sf_oracle, tmp_path):
         cells.filter(F2.col("cell").isin([0, 1])).explain(True)
     assert "PartitionFilters" in buf.getvalue()
 
+    # one file per cell (files_per_cell=1): no tasks×cells small-file blowup
+    import glob
+    n_cells = cells.select("cell").distinct().count()
+    files = glob.glob(str(tmp_path / "ivf" / "cells" / "cell=*" / "*.parquet"))
+    assert len(files) == n_cells
+
 
 def test_ann_high_dim_1536(spark):
     """The reference's dimensionality (EmbeddingConfig.java:5): both ANN
