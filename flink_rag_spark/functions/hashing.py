@@ -61,6 +61,61 @@ def minhash_sig_duck(hashes_arr: str, a: int, b: int) -> str:
     )
 
 
+def simhash_bit_params(bits: int, seed: int) -> list[tuple[int, int]]:
+    """Per-bit universal-hash params for the simhash fingerprint.
+
+    The polynomial token hash is mod P < 2^31, so its raw bits above ~30 are
+    always zero — a 64-bit simhash taken directly from ``(h >> i) & 1`` would
+    have 34 dead bits. Instead bit i of the fingerprint votes on
+    ``parity((h * a_i + b_i) mod P)`` — 64 independent 1-bit hashes of the
+    token, every bit carrying real entropy. The (a, b) stream is disjoint
+    from the minhash stream (different seed derivation)."""
+    return minhash_params(bits, seed + 7919)
+
+
+def _bit_lit(i: int) -> str:
+    """SQL literal for bit i of a BIGINT, valid in BOTH Spark and DuckDB.
+
+    Bit 63 is the sign bit: DuckDB raises on ``1 << 63`` and Spark's ANSI
+    parser rejects the raw min-bigint literal, so it is spelled
+    ``-9223372036854775807 - 1``."""
+    if i == 63:
+        return "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+    return f"(CAST(1 AS BIGINT) << {i})"
+
+
+def simhash_vote_spark(h: str, a: int, b: int) -> str:
+    """Spark SQL: one token's ±1 vote for one fingerprint bit."""
+    return (f"CASE WHEN (({h} * {a} + {b}) % {POLY_P}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END")
+
+
+def simhash_fp_spark_terms(bits: int, seed: int) -> tuple[list[str], str]:
+    """(vote aggregate exprs over an exploded token-hash column ``h``,
+    fingerprint reassembly expr over v0..v{bits-1}) — the Spark side of the
+    shared simhash definition."""
+    params = simhash_bit_params(bits, seed)
+    votes = [f"sum({simhash_vote_spark('h', a, b)})"
+             for (a, b) in params]
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {_bit_lit(i)} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits))
+    return votes, fp
+
+
+def simhash_fp_duck(th: str, bits: int, seed: int) -> str:
+    """DuckDB SQL mirror: simhash fingerprint over a token-hash list expr."""
+    params = simhash_bit_params(bits, seed)
+    terms = []
+    for i, (a, b) in enumerate(params):
+        vote = (f"list_sum(list_transform({th}, h -> "
+                f"CASE WHEN ((h * {a} + {b}) % {POLY_P}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {_bit_lit(i)} "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 SHINGLE_BASE = 1_000_003  # keep in sync with operators.dedup.SHINGLE_BASE
 
 

@@ -175,45 +175,55 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(id, simhash) — 32-bit simhash over whitespace-token hashes.
+    """(id, simhash) — 64-bit simhash over whitespace-token hashes.
+
+    Bit i votes on ``parity((h * a_i + b_i) mod P)`` (64 independent 1-bit
+    hashes — the polynomial token hash itself is mod P < 2^31, so its raw
+    high bits carry no entropy; see functions.hashing.simhash_bit_params).
 
     Physical shape mirrors minhash_signatures: explode token hashes, one
-    codegen'd HashAggregate computes all 32 bit-votes (sum of ±1 per bit),
+    codegen'd HashAggregate computes all 64 bit-votes (sum of ±1 per bit),
     then the fingerprint reassembles from the vote signs. Two narrow
     projections + one keyed aggregate — no interpreted nested-HOF tree."""
+    from flink_rag_spark.functions.hashing import simhash_fp_spark_terms
+    vote_exprs, fp = simhash_fp_spark_terms(cfg.simhash_bits, cfg.seed)
     exploded = widen_if_narrow(df).select(
         F.col(id_col),
         F.explode(F.expr(token_hashes_expr(text_col))).alias("h"),
     )
     votes = exploded.groupBy(id_col).agg(*[
-        F.expr(f"sum(CASE WHEN (h div {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)")
-         .alias(f"v{i}")
-        for i in range(cfg.simhash_bits)])
-    fp = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for i in range(cfg.simhash_bits))
+        F.expr(v).alias(f"v{i}") for i, v in enumerate(vote_exprs)])
     return votes.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
 def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                             max_hamming: int = 3,
                             cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """Near-dup pairs by simhash: block on the 4 bytes of the fingerprint
-    (pigeonhole: hamming ≤ 3 ⇒ at least one byte equal), verify exact
-    Hamming distance with bit_count(xor). Equi-join on (byte_idx, byte) —
-    candidates meet only inside blocks, never a cross join."""
+    """Near-dup pairs by simhash: block on the 4 16-bit quarters of the
+    fingerprint (pigeonhole: hamming ≤ 3 ⇒ at least one quarter equal),
+    verify exact Hamming distance with bit_count(xor). Equi-join on
+    (quarter_idx, quarter) — candidates meet only inside blocks, never a
+    cross join.
+
+    Scale geometry: 4 × 2^16 = 262,144 distinct join keys (vs 1,024 for the
+    old 8-bit-byte blocking) — at 10^9 docs the expected block population is
+    ~4k docs, keeping the within-block self-join bounded; and a 64-bit
+    fingerprint doesn't birthday-collide unrelated docs until ~2^32 docs."""
     fps = simhash_fingerprints(df, text_col, id_col, cfg)
-    n_blocks = cfg.simhash_bits // 8
+    n_blocks = cfg.simhash_bits // 16
     blocks = fps.select(
         F.col(id_col), F.col("simhash"),
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("blk"),
-                     F.expr(f"(simhash div {1 << (8 * b)}) % 256").alias("byte"))
+            F.struct(
+                F.lit(b).alias("blk"),
+                # arithmetic shift + mask is sign-safe for the top quarter
+                F.expr(f"shiftright(simhash, {16 * b}) & 65535")
+                 .alias("quarter"))
             for b in range(n_blocks)])).alias("bb"))\
         .select(id_col, "simhash", F.col("bb.blk").alias("blk"),
-                F.col("bb.byte").alias("byte"))
+                F.col("bb.quarter").alias("quarter"))
     l, r = blocks.alias("l"), blocks.alias("r")
-    return (l.join(r, on=["blk", "byte"])
+    return (l.join(r, on=["blk", "quarter"])
             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"),

@@ -24,6 +24,7 @@ from flink_rag_spark.functions.hashing import (
     minhash_sig_duck,
     poly_hash_duck,
     shingle_hashes_duck,
+    simhash_fp_duck,
 )
 from flink_rag_spark.functions.textfns import (
     LANG_MARKERS,
@@ -475,20 +476,12 @@ FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
 GROUP BY ws, event_type
 """
 
-def _simhash_fp_duck(th: str, bits: int) -> str:
-    """DuckDB simhash fingerprint over a token-hash list expression."""
-    vote = (f"list_sum(list_transform({th}, h -> "
-            f"CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END))")
-    return (f"CAST(list_sum(list_transform(range(0, {bits}), i -> "
-            f"CASE WHEN {vote} > 0 THEN (CAST(1 AS BIGINT) << i) "
-            f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)")
-
-
 def _oracle_simhash_pairs() -> str:
-    fp = _simhash_fp_duck("th", CFG.simhash_bits)
-    n_blocks = CFG.simhash_bits // 8
+    fp = simhash_fp_duck("th", CFG.simhash_bits, CFG.seed)
+    n_blocks = CFG.simhash_bits // 16
     block_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS blk, (simhash >> {8 * b}) & 255 AS byte FROM fps"
+        f"SELECT doc_id, simhash, {b} AS blk, "
+        f"(simhash >> {16 * b}) & 65535 AS quarter FROM fps"
         for b in range(n_blocks))
     return f"""
 WITH fps AS (
@@ -499,7 +492,7 @@ blocks AS ({block_rows})
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
 FROM blocks l JOIN blocks r
-  ON l.blk = r.blk AND l.byte = r.byte AND l.doc_id < r.doc_id
+  ON l.blk = r.blk AND l.quarter = r.quarter AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 

@@ -118,14 +118,15 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- text analysis ----
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit simhash fingerprint per document."""
+    """64-bit simhash fingerprint per document."""
     from flink_rag_spark.operators.dedup import simhash_fingerprints
     d = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "text", "doc_id")
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simhash near-dup pairs: byte-blocked candidates, hamming ≤ 3 verify."""
+    """Simhash near-dup pairs: 16-bit-quarter-blocked candidates,
+    hamming ≤ 3 verify."""
     from flink_rag_spark.operators.dedup import simhash_candidate_pairs
     d = load_table(spark, sf_dir, "documents")
     return simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)

@@ -1,0 +1,78 @@
+"""Scale-geometry guarantees of the near-dup family.
+
+Correctness of the dedup operators is pinned by the DuckDB oracles
+(test_oracle_parity); these tests pin the properties that only MATTER at
+scale — block-key cardinality (the quadratic-blowup guard for simhash) and
+bounded candidate counts on adversarial hot buckets (the LSH guard).
+"""
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.config import DEFAULT_CONFIG
+from flink_rag_spark.operators.dedup import (
+    simhash_candidate_pairs,
+    simhash_fingerprints,
+)
+from flink_rag_spark.sources.tables import load_table
+
+
+def test_simhash_block_key_space_is_16bit_quarters(spark, sf_smoke):
+    """The blocking join key space must be 4 × 2^16 = 262,144 (16-bit
+    quarters), not the old 4 × 256 byte space — at 10^8+ docs the byte
+    geometry turns every block into a quadratic hot key."""
+    cfg = DEFAULT_CONFIG
+    assert cfg.simhash_bits == 64
+    assert cfg.simhash_bits // 16 * (1 << 16) == 262_144
+
+    d = load_table(spark, sf_smoke, "documents")
+    fps = simhash_fingerprints(d, "text", "doc_id", cfg)
+    quarters = fps.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.expr(f"shiftright(simhash, {16 * b}) & 65535")
+                      .alias("quarter"))
+            for b in range(4)])).alias("bb")).select("bb.blk", "bb.quarter")
+    stats = quarters.agg(
+        F.countDistinct("blk", "quarter").alias("n_keys"),
+        F.max("quarter").alias("max_q"),
+        F.min("quarter").alias("min_q")).first()
+    n_docs = d.count()
+    # keys must spread far beyond the 1,024-key byte geometry: with 16-bit
+    # quarters, n_docs × 4 block rows should occupy ~that many distinct keys
+    assert stats["n_keys"] > min(4 * n_docs, 65_536) * 0.5, stats
+    assert stats["max_q"] > 255, "quarters never exceed a byte — still 8-bit blocks?"
+    assert 0 <= stats["min_q"] <= stats["max_q"] <= 65_535
+
+
+def test_simhash_uses_all_64_bits(spark, sf_smoke):
+    """The fingerprint must carry entropy in the high 32 bits (the raw
+    polynomial token hash is < 2^31 — without per-bit rehashing the top bits
+    would be constant zero and the top two quarters would collapse to one
+    join key)."""
+    d = load_table(spark, sf_smoke, "documents")
+    fps = simhash_fingerprints(d, "text", "doc_id")
+    hi = fps.agg(
+        F.countDistinct(F.expr("shiftright(simhash, 32) & 4294967295"))
+         .alias("n_hi"),
+        F.sum(F.expr("CASE WHEN simhash < 0 THEN 1 ELSE 0 END"))
+         .alias("n_negative")).first()
+    n_docs = d.count()
+    assert hi["n_hi"] > n_docs * 0.5, hi  # high halves are diverse
+    # bit 63 is a fair coin across docs → some fingerprints negative
+    assert 0 < hi["n_negative"] < n_docs, hi
+
+
+def test_simhash_pairs_only_near_duplicates(spark, sf_smoke):
+    """hamming ≤ 3 on 64 bits: every returned pair is a genuine near-dup
+    (identical docs → hamming 0), and candidate volume stays near the true
+    duplicate count, not the 32-bit birthday-collision volume."""
+    d = load_table(spark, sf_smoke, "documents")
+    pairs = simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
+    rows = pairs.collect()
+    exact_dups = (d.groupBy("text").count().filter(F.col("count") > 1)
+                  .agg(F.sum(F.expr("count * (count - 1) / 2"))).first()[0]) or 0
+    n_docs = d.count()
+    assert all(r["hamming"] <= 3 for r in rows)
+    # pair volume is O(true dups), never a constant fraction of n_docs²
+    assert len(rows) >= exact_dups
+    assert len(rows) < n_docs * 5
