@@ -58,6 +58,8 @@ class EngineConfig:
     lsh_num_hashes: int = 16           # minhash signature length
     lsh_bands: int = 4                 # bands for LSH bucketing (rows = 16/4)
     shingle_size: int = 3              # word-shingle width for near-dup
+    lsh_max_bucket: int = 4096         # LSH buckets above this switch from
+    #                                    all-pairs to star reduction (O(B))
     simhash_bits: int = 64             # simhash fingerprint width (16-bit
     #                                    quarter blocking → 262,144 join keys)
     ann_num_planes: int = 8            # random-hyperplane bits per LSH table

