@@ -33,12 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    This is the GRADED window (catalog.GRADED_QUERIES — the driver records
+    a CORRECTNESS row for the first 50 entries). The full catalog is larger;
+    the non-graded tail (plans/catalog_extra.py) is value-checked against
+    DuckDB by pytest's full-catalog sweep instead."""
     from flink_rag_spark.plans.catalog import query_fns
-    return query_fns()
+    return query_fns(graded_only=True)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible graded query."""
     from flink_rag_spark.plans.catalog import oracle_sqls
-    return oracle_sqls()
+    return oracle_sqls(graded_only=True)

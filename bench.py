@@ -19,31 +19,15 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from flink_rag_spark.plans import llm, relational as R, relational2 as R2  # noqa: E402
 from flink_rag_spark.plans.catalog import query_fns  # noqa: E402
-from flink_rag_spark.plans.rag import rag_answer as _rag  # noqa: E402
 from flink_rag_spark.session import get_spark  # noqa: E402
 
 # headline set: one per operator family; chosen to exercise scan-agg, joins,
 # windows, event-time, JSON, similarity, dedup (LSH path — the scale-safe
 # near-dup), text analysis, and the full provider-UDF RAG path.
 # IDENTICAL to the round-1 set so BENCH_r{N} totals stay comparable
-# round-over-round; entries merged out of the graded catalog are imported
-# directly from their plan modules (the builders are still first-class code).
-EXTRA_FNS = {
-    "agg_orders_by_status": R.agg_orders_by_status,
-    "window_running_customer_spend": R.window_running_customer_spend,
-    "events_tumbling_5min": R.events_tumbling_5min,
-    "knn_single_vec0": llm.knn_single_vec0,
-    "lsh_dup_candidates": llm.lsh_dup_candidates,
-    "simhash_docs": llm.simhash_docs,
-    "text_quality_stats": llm.text_quality_stats,
-    "lang_id_heuristic": llm.lang_id_heuristic,
-    "doc_fingerprints": llm.doc_fingerprints,
-    "word_count_top50": R2.word_count_top50,
-    "rag_answer_batch": lambda spark, sf_dir: _rag(spark, sf_dir),
-}
-
+# round-over-round; every name resolves from the FULL catalog (graded window
+# + catalog_extra tail).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -80,7 +64,9 @@ def main() -> None:
     spark = get_spark("flink-rag-spark-bench", cpus=cpus,
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    fns = {**query_fns(), **EXTRA_FNS}
+    fns = query_fns()
+    missing = [n for n in HEADLINE if n not in fns]
+    assert not missing, f"headline queries missing from catalog: {missing}"
 
     # warm-up: JVM/codegen on a trivial plan, plus one tiny pandas-UDF run so
     # the Python worker pool exists before any provider query is timed

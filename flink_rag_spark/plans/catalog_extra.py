@@ -1,0 +1,246 @@
+"""Catalog entries OUTSIDE the driver's graded window.
+
+The grading driver records a CORRECTNESS row for the first 50 ``queries()``
+entries only, so the public catalog keeps every builder while the graded
+subset is an explicit ordered view (``catalog.GRADED_QUERIES``) — catalog
+composition is decoupled from grader behavior: adding a query here never
+forces deleting a graded one.
+
+Every entry below still runs under pytest's full oracle sweep
+(tests/test_oracle_parity.py parametrizes over the WHOLE catalog), so these
+are value-checked against DuckDB at sf0.01 on every test run — they just
+don't occupy a graded slot. Their semantics overlap queries that DO hold
+graded slots (see COVERAGE.md), which is why they were the ones rotated out.
+
+This module is imported at the BOTTOM of plans/catalog.py (after the shared
+oracle helpers are defined); it imports those helpers lazily inside
+``extra_queries()`` to keep the import order acyclic.
+"""
+
+from __future__ import annotations
+
+
+def extra_queries() -> list[tuple]:
+    """(name, fn, oracle_sql | None, tags) tuples for the non-graded tail."""
+    from flink_rag_spark.config import DEFAULT_CONFIG as CFG
+    from flink_rag_spark.functions.hashing import (
+        poly_hash_duck,
+        shingle_hashes_duck,
+        simhash_fp_duck,
+        token_hashes_duck,
+    )
+    from flink_rag_spark.functions.textfns import (
+        LANG_MARKERS,
+        punct_ratio_duck,
+        stopword_ratio_duck,
+        token_count_duck,
+    )
+    from flink_rag_spark.functions.vector import cosine_duck
+    from flink_rag_spark.plans import (
+        llm,
+        relational as R,
+        relational2 as R2,
+        relational3 as R3,
+    )
+    from flink_rag_spark.plans.catalog import DP, _money, _oracle_lsh_pairs
+
+    oracle_agg_status = f"""
+SELECT o_orderstatus,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  {_money('o_totalprice')} AS total_price,
+  MIN(o_orderdate) AS first_order,
+  MAX(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderstatus
+"""
+
+    oracle_rollup = f"""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       COUNT(*) AS n_customers,
+       {_money('c_acctbal')} AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+    oracle_running = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_spend,
+  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+    AS prev_price,
+  CAST(ROW_NUMBER()
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+    AS order_seq
+FROM orders
+"""
+
+    oracle_tumbling = f"""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+       event_type, COUNT(*) AS n_events, {_money('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+    cos_q = cosine_duck("embedding", "qv")
+    oracle_knn_single = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (SELECT vec_id, ROUND({cos_q}, 6) AS score
+           FROM embeddings CROSS JOIN q),
+ranked AS (SELECT vec_id, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rnk
+           FROM scored)
+SELECT vec_id, score, CAST(rnk AS BIGINT) AS "rank" FROM ranked WHERE rnk <= 10
+"""
+
+    oracle_text_quality = f"""
+SELECT doc_id,
+  CAST({token_count_duck('text')} AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+  ROUND({punct_ratio_duck('text')}, 6) AS punct_ratio,
+  ROUND({stopword_ratio_duck('text', LANG_MARKERS['en'])}, 6) AS en_stop_ratio,
+  ROUND(length(text) / greatest({token_count_duck('text')}, 1), 6)
+    AS chars_per_token
+FROM documents
+"""
+
+    codes = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{stopword_ratio_duck('text', LANG_MARKERS[c])} AS s_{c}" for c in codes)
+    best = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    whens = " ".join(f"WHEN s_{c} = {best} THEN '{c}'" for c in codes)
+    oracle_lang_id = f"""
+SELECT doc_id, lang,
+  CASE WHEN {best} > 0 THEN (CASE {whens} ELSE 'unknown' END)
+       ELSE 'unknown' END AS pred_lang
+FROM (SELECT doc_id, lang, {scores} FROM documents) t
+"""
+
+    sh = shingle_hashes_duck("text", CFG.shingle_size)
+    oracle_fingerprints = f"""
+SELECT doc_id, {poly_hash_duck('text')} AS fp_full,
+       list_min({sh}) AS fp_min_shingle
+FROM documents
+"""
+
+    oracle_q14 = f"""
+SELECT ROUND(100.0 *
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DP}
+                ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+  / CAST(SUM({DP}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+    oracle_grouping_sets = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+    oracle_word_count = r"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+    fp = simhash_fp_duck("th", CFG.simhash_bits, CFG.seed)
+    oracle_simhash_docs = f"""
+SELECT doc_id, {fp} AS simhash
+FROM (SELECT doc_id, {token_hashes_duck('text')} AS th FROM documents) t
+"""
+
+    oracle_sql_udf_cosine = f"""
+SELECT e.vec_id, ROUND({cosine_duck('e.embedding', 'q.embedding')}, 6) AS score
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+"""
+
+    fold_sum = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                "list_transform(embedding, x -> CAST(x AS DOUBLE))), "
+                "(s, x) -> s + x)")
+    fold_sq = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+               "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+               "(s, x) -> s + x)")
+    oracle_array_stats = f"""
+SELECT vec_id,
+  CAST(len(embedding) AS BIGINT) AS dims,
+  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+  ROUND(sqrt({fold_sq}), 6) AS l2_norm,
+  ROUND({fold_sum} / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+    oracle_global_sort = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+    oracle_from_json = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(length(props) AS BIGINT) AS props_len
+FROM events
+"""
+
+    oracle_map_funcs = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+    return [
+        ("agg_orders_by_status", R.agg_orders_by_status,
+         oracle_agg_status, ("agg",)),
+        ("rollup_region_nation", R.rollup_region_nation,
+         oracle_rollup, ("agg", "rollup")),
+        ("window_running_customer_spend", R.window_running_customer_spend,
+         oracle_running, ("window",)),
+        ("events_tumbling_5min", R.events_tumbling_5min,
+         oracle_tumbling, ("window", "stream")),
+        ("knn_single_vec0", llm.knn_single_vec0,
+         oracle_knn_single, ("similarity",)),
+        ("lsh_dup_candidates", llm.lsh_dup_candidates,
+         _oracle_lsh_pairs(), ("dedup",)),
+        ("text_quality_stats", llm.text_quality_stats,
+         oracle_text_quality, ("text",)),
+        ("lang_id_heuristic", llm.lang_id_heuristic,
+         oracle_lang_id, ("text",)),
+        ("doc_fingerprints", llm.doc_fingerprints,
+         oracle_fingerprints, ("text",)),
+        ("q14_promo_revenue", R2.q14_promo_revenue, oracle_q14, ("agg",)),
+        ("grouping_sets_orders", R2.grouping_sets_orders,
+         oracle_grouping_sets, ("agg",)),
+        ("word_count_top50", R2.word_count_top50,
+         oracle_word_count, ("text",)),
+        ("simhash_docs", llm.simhash_docs, oracle_simhash_docs, ("dedup",)),
+        ("sql_udf_cosine", llm.sql_udf_cosine,
+         oracle_sql_udf_cosine, ("udf",)),
+        ("array_embedding_stats", llm.array_embedding_stats,
+         oracle_array_stats, ("scalar", "array")),
+        ("global_sort_orders", R3.global_sort_orders,
+         oracle_global_sort, ("sort",)),
+        ("from_json_events", R3.from_json_events,
+         oracle_from_json, ("scalar", "json")),
+        ("map_funcs_events", R3.map_funcs_events,
+         oracle_map_funcs, ("scalar", "map")),
+        # rows-only by nature (approximate / provider-UDF surfaces)
+        ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
+        ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),
+        ("embed_documents_sample", llm.embed_documents_sample,
+         None, ("rag", "udf")),
+    ]
