@@ -40,7 +40,11 @@ from flink_rag_spark.plans import (
     relational2 as R2,
     relational3 as R3,
 )
-from flink_rag_spark.plans.rag import rag_answer
+from flink_rag_spark.plans.rag import (
+    RAG_ORACLE_QUERY_IDS,
+    rag_answer,
+    rag_context_assembly,
+)
 
 
 @dataclass(frozen=True)
@@ -224,6 +228,39 @@ ranked AS (SELECT query_id, vec_id, score,
            FROM scored)
 SELECT query_id, vec_id, score, CAST(rnk AS BIGINT) AS "rank"
 FROM ranked WHERE rnk <= 5
+"""
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (newlines are legal inside)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# the flagship's SQL-expressible core (RAG.java:51-84): exact top-k →
+# rank-ordered context concat → two-slot template fill, from pre-embedded
+# query vectors. Template pieces and separator are the SAME config constants
+# the Spark plan uses.
+_RAG_T_PRE, _RAG_T_REST = CFG.prompt_template.split("{question}")
+_RAG_T_MID, _RAG_T_POST = _RAG_T_REST.split("{information}")
+_RAG_IDS = ", ".join(str(i) for i in RAG_ORACLE_QUERY_IDS)
+ORACLE_RAG_ASSEMBLY = f"""
+WITH q AS (SELECT vec_id AS question_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id IN ({_RAG_IDS})),
+scored AS (SELECT q.question_id, e.vec_id, ROUND({_COS_B}, 6) AS score
+           FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT question_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY question_id
+                                     ORDER BY score DESC, vec_id) AS rnk
+           FROM scored),
+ctx AS (SELECT question_id,
+               string_agg(d.text, {_sql_str(CFG.context_separator)}
+                          ORDER BY rnk) AS information
+        FROM ranked JOIN documents d ON d.doc_id = ranked.vec_id
+        WHERE rnk <= {CFG.retrieval_k}
+        GROUP BY question_id)
+SELECT c.question_id, d.text AS question, c.information,
+       {_sql_str(_RAG_T_PRE)} || d.text || {_sql_str(_RAG_T_MID)}
+         || c.information || {_sql_str(_RAG_T_POST)} AS prompt
+FROM ctx c JOIN documents d ON d.doc_id = c.question_id
 """
 
 _COS_AB = cosine_duck("a.embedding", "b.embedding")
@@ -517,6 +554,14 @@ CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 
 # ---- batch-3 oracles ----
 
+# the sketch value is engine-specific; the oracle checks the exact counts
+# and the accuracy-contract verdict (see plans/relational2.approx_distinct_users)
+ORACLE_APPROX_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
 ORACLE_INTERVAL_JOIN = f"""
 SELECT s_id, user_id, s_ts, COUNT(c_ts) AS n_clicks,
        CAST(SUM(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
@@ -704,6 +749,10 @@ _GRADED: list[QueryDef] = [
     # RAG end-to-end (pandas-UDF providers → non-SQL-expressible, rows-only)
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),
+    # the flagship's A9+A10 chain, hash-verified (rag_answer_batch minus the
+    # provider UDF: pre-embedded query vectors make it SQL-expressible)
+    QueryDef("rag_context_assembly", rag_context_assembly,
+             ORACLE_RAG_ASSEMBLY, ("rag", "similarity")),
     QueryDef("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
     QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
     QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
@@ -766,8 +815,8 @@ _GRADED: list[QueryDef] = [
     QueryDef("q10_returned_items", R2.q10_returned_items, ORACLE_Q10, ("join", "topk")),
     QueryDef("q12_priority_by_linestatus", R2.q12_priority_by_linestatus,
              ORACLE_Q12, ("agg",)),
-    QueryDef("q17_small_quantity_revenue", R2.q17_small_quantity_revenue,
-             ORACLE_Q17, ("subquery",)),
+    # q17 rotated to the non-graded tail (catalog_extra) to hold the window
+    # at 50 — its scalar-subquery shape stays covered by q18/q22/q4
     QueryDef("q18_large_orders", R2.q18_large_orders, ORACLE_Q18, ("subquery",)),
     QueryDef("q19_disjunctive_revenue", R2.q19_disjunctive_revenue,
              ORACLE_Q19, ("join",)),
@@ -781,7 +830,8 @@ _GRADED: list[QueryDef] = [
              ORACLE_SESSION_BATCH, ("window", "stream")),
     QueryDef("sliding_window_batch", R2.sliding_window_batch,
              ORACLE_SLIDING_BATCH, ("window", "stream")),
-    QueryDef("approx_distinct_users", R2.approx_distinct_users, None, ("agg", "sketch")),
+    QueryDef("approx_distinct_users", R2.approx_distinct_users,
+             ORACLE_APPROX_DISTINCT, ("agg", "sketch")),
     # relational batch 3: interval join, full aggregation-surface stats
     QueryDef("interval_join_signup_clicks", R3.interval_join_signup_clicks,
              ORACLE_INTERVAL_JOIN, ("join", "interval")),

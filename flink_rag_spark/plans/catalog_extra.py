@@ -42,7 +42,12 @@ def extra_queries() -> list[tuple]:
         relational2 as R2,
         relational3 as R3,
     )
-    from flink_rag_spark.plans.catalog import DP, _money, _oracle_lsh_pairs
+    from flink_rag_spark.plans.catalog import (
+        DP,
+        ORACLE_Q17,
+        _money,
+        _oracle_lsh_pairs,
+    )
 
     oracle_agg_status = f"""
 SELECT o_orderstatus,
@@ -223,6 +228,8 @@ FROM events
         ("doc_fingerprints", llm.doc_fingerprints,
          oracle_fingerprints, ("text",)),
         ("q14_promo_revenue", R2.q14_promo_revenue, oracle_q14, ("agg",)),
+        ("q17_small_quantity_revenue", R2.q17_small_quantity_revenue,
+         ORACLE_Q17, ("subquery",)),
         ("grouping_sets_orders", R2.grouping_sets_orders,
          oracle_grouping_sets, ("agg",)),
         ("word_count_top50", R2.word_count_top50,

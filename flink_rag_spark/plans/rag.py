@@ -28,6 +28,52 @@ from flink_rag_spark.operators.similarity import knn_join
 from flink_rag_spark.sources.tables import load_table
 
 
+# the fixed pre-embedded query set for the oracle-checked assembly entry —
+# spread across the corpus, stable at every SF (embeddings always has ≥500
+# rows, FIXTURES.md §B)
+RAG_ORACLE_QUERY_IDS = (0, 7, 13, 21, 42)
+
+
+def rag_context_assembly(spark: SparkSession, sf_dir: str,
+                         cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The flagship's retrieval+assembly chain from PRE-EMBEDDED query
+    vectors — the SQL-expressible core of ``rag_answer`` (everything
+    downstream of the question embedding), hash-verified against DuckDB.
+
+    Covers reference semantics ``RAG.java:51-84`` end to end: exact cosine
+    top-k (A9, k=10 / minScore=0), retrieved-text join, rank-ordered
+    ``\\n\\n`` concat, and two-slot template fill (A10). ``rag_answer_batch``
+    stays rows-only because its query vectors come from a provider UDF; this
+    entry pins the same downstream plan with vectors taken from the
+    ``embeddings`` table (the query doc's own text acts as the question)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text")
+    ids = list(RAG_ORACLE_QUERY_IDS)
+    queries = (emb.filter(F.col("vec_id").isin(ids))
+               .select(F.col("vec_id").alias("question_id"),
+                       F.col("embedding").alias("query_vec")))
+    hits = knn_join(queries, emb, k=cfg.retrieval_k, query_id="question_id",
+                    min_score=cfg.min_score)
+    # hits is tiny (questions × k) — broadcast it against the corpus text
+    with_text = broadcast(hits.select("question_id", "vec_id", "rank")) \
+        .join(docs, on="vec_id")
+    context = (with_text.groupBy("question_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                       lambda x: x["text"]),
+                   cfg.context_separator).alias("information")))
+    qtext = docs.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("question_id"), F.col("text").alias("question"))
+    pre, rest = cfg.prompt_template.split("{question}")
+    mid, post = rest.split("{information}")
+    return (qtext.join(context, on="question_id")
+            .select("question_id", "question", "information",
+                    F.concat(F.lit(pre), F.col("question"), F.lit(mid),
+                             F.col("information"), F.lit(post)).alias("prompt")))
+
+
 def rag_answer(spark: SparkSession, sf_dir: str,
                questions: DataFrame | list[str] | None = None,
                cfg: EngineConfig = DEFAULT_CONFIG,

@@ -226,12 +226,20 @@ def sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct vs exact — sketch aggregates are
-    engine-specific, so this is a rows-only entry (no DuckDB value oracle)."""
+    """HyperLogLog++ approximate distinct, verified against its accuracy
+    contract. The sketch VALUE is engine-specific (DuckDB can't replicate
+    Spark's HLL++ internals), so the query returns what an oracle CAN check
+    exactly: the exact distinct count per group, and a boolean verdict that
+    the sketch landed within 5× its configured 1% relative standard
+    deviation. The oracle asserts the same counts and `TRUE` — a sketch
+    drifting outside its contract hash-mismatches."""
     e = load_table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"))
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("_approx") - F.col("exact_users"))
+                     / F.col("exact_users") <= 0.05).alias("within_bound")))
 
 
 def word_count_top50(spark: SparkSession, sf_dir: str) -> DataFrame:

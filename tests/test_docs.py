@@ -26,14 +26,23 @@ def _n_oracles() -> int:
 
 
 def test_readme_and_coverage_counts_match_catalog():
-    n_q, n_o = len(QUERIES), _n_oracles()
+    from flink_rag_spark.plans.catalog import GRADED_QUERIES, oracle_sqls
+    n_q, n_graded = len(QUERIES), len(GRADED_QUERIES)
+    n_o_all, n_o_graded = len(oracle_sqls()), _n_oracles()
+    assert n_o_graded == len(oracle_sqls(graded_only=True))
     readme = open(os.path.join(REPO, "README.md")).read()
     coverage = open(os.path.join(REPO, "COVERAGE.md")).read()
-    assert f"exactly {n_q} graded queries, {n_o} with" in readme, \
-        f"README catalog counts drifted from ({n_q}, {n_o})"
-    assert f"EXACTLY {n_q} entries ({n_o} with oracles)" in coverage, \
-        f"COVERAGE.md catalog counts drifted from ({n_q}, {n_o})"
+    assert f"{n_q} catalog queries, {n_graded} graded" in readme, \
+        f"README catalog counts drifted from ({n_q}, {n_graded})"
+    assert f"{n_o_all} with value-exact" in readme, \
+        f"README oracle count drifted from {n_o_all}"
+    assert (f"EXACTLY {n_graded} entries ({n_o_graded} with oracles)"
+            in coverage), \
+        f"COVERAGE.md graded counts drifted from ({n_graded}, {n_o_graded})"
+    assert f"FULL catalog is {n_q} queries ({n_o_all} with oracles)" \
+        in coverage, f"COVERAGE.md catalog counts drifted from ({n_q}, {n_o_all})"
     # no OTHER stale query-count claims lurking ("NN queries/entries")
+    ok = {n_q, n_graded}
     for doc, name in ((readme, "README.md"), (coverage, "COVERAGE.md")):
-        for m in re.finditer(r"(\d+) (?:graded )?(?:named )?queries", doc):
-            assert int(m.group(1)) == n_q, f"{name}: stale count {m.group(0)!r}"
+        for m in re.finditer(r"(\d+) (?:catalog |graded )?(?:named )?queries", doc):
+            assert int(m.group(1)) in ok, f"{name}: stale count {m.group(0)!r}"
