@@ -2,20 +2,61 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             str(_DEFAULT_MAX_PARTITION_BYTES)))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    return int(digits) if digits else _DEFAULT_MAX_PARTITION_BYTES
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many partitions the input scan yields, WITHOUT touching
+    ``df.rdd`` (which forces a logical→RDD plan conversion per call and is
+    unsupported under Spark Connect). Uses the public ``inputFiles()``
+    listing plus local file sizes; remote files count 1 split each (their
+    size isn't cheaply knowable — an undercount, which only ever makes the
+    widen MORE eager, never skips a genuinely narrow input). Returns None
+    for purely in-memory inputs (no scan files)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    max_bytes = _max_partition_bytes(df.sparkSession)
+    est = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if os.path.isfile(path):
+            est += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+        else:
+            est += 1
+    return est
 
 
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
-    has fewer partitions than cores.
+    scan yields fewer partitions than cores.
 
     Compute-heavy narrow stages (per-row cosine, char-level hashing) are
     otherwise pinned to however many partitions the scan produced — for a
     single small parquet file that is ONE task regardless of cores. At real
-    scale the scan already yields ≥cores partitions and this is a no-op; the
-    repartition cost is only paid exactly when the input is small enough for
-    it to be cheap."""
+    scale the scan already yields ≥cores partitions (many files / many row
+    groups) and this is a no-op; the repartition cost is only paid exactly
+    when the input is small enough for it to be cheap. In-memory inputs
+    (createDataFrame/range) already default to cores partitions and are
+    left alone. Catalyst still pushes filters/pruning through the
+    repartition to the scan."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < target:
         return df.repartition(target)
     return df
