@@ -52,6 +52,34 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def _partition_topk(scored: DataFrame, query_id: str, id_col: str,
+                    k: int) -> DataFrame:
+    """Per-partition partial top-k — the map-side combine the ranking window
+    lacks. Each scan partition's contribution shrinks to ≤ k rows per query
+    BEFORE the window's shuffle, so shuffle volume is |Q| × k × partitions
+    instead of |Q| × |E|. Runs as one narrow mapInPandas pass (no shuffle of
+    its own); memory per task is bounded at |Q| × k + one Arrow batch. The
+    ordering (score desc, id asc) matches the global window's exactly, so
+    the global top-k is a subset of the union of partition top-ks — the
+    result is bit-identical to ranking the full score set."""
+    schema = scored.schema
+
+    def topk_iter(batches):
+        import pandas as pd_
+        best = None
+        for b in batches:
+            cur = b if best is None else pd_.concat([best, b],
+                                                    ignore_index=True)
+            cur = cur.sort_values([query_id, "score", id_col],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            best = cur.groupby(query_id, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(topk_iter, schema=schema)
+
+
 def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
              query_id: str = "query_id", query_vec: str = "query_vec",
              vec_col: str = "embedding", id_col: str = "vec_id",
@@ -59,10 +87,11 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     """Exact k-NN for every row of `queries` (assumed small → broadcast).
 
     The cross join is broadcast-nested-loop with the QUERY side broadcast:
-    the embeddings table is scanned once, never shuffled. The per-query
-    top-k window partitions by query_id — shuffle volume is bounded by
-    rows(embeddings) × rows(queries), so for large query sets use
-    ann_lsh_topk instead.
+    the embeddings table is scanned once, never shuffled. A per-partition
+    partial top-k (``_partition_topk``) then cuts each partition to ≤ k rows
+    per query, so the per-query ranking window shuffles |Q| × k × partitions
+    rows — NOT |Q| × |E| — making the exact path itself scale-safe. For
+    query sets too large to broadcast use ann_knn_join instead.
     """
     scored = _widen_if_narrow(embeddings).crossJoin(broadcast(queries)).select(
         F.col(query_id),
@@ -71,6 +100,7 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     )
     if min_score > 0.0:
         scored = scored.filter(F.col("score") >= min_score)
+    scored = _partition_topk(scored, query_id, id_col, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

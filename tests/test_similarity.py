@@ -5,6 +5,7 @@ import pyspark.sql.functions as F
 
 from flink_rag_spark.functions.providers import LocalDeterministicProvider
 from flink_rag_spark.operators.similarity import (
+    _partition_topk,
     ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
@@ -28,6 +29,42 @@ def test_knn_join_matches_single_topk(spark, sf_oracle):
                  F.col("embedding").alias("query_vec")))
     joined = {r["vec_id"] for r in knn_join(q, emb, k=10).collect()}
     assert single == joined
+
+
+def test_partition_topk_bounds_window_input(spark, sf_oracle):
+    """The partial top-k must cut the ranking window's input to
+    ≤ |Q| × k × partitions rows (the VERDICT's |Q|×|E| shuffle fix), while
+    leaving the final top-k bit-identical to ranking the full score set."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
+
+    emb = load_table(spark, sf_oracle, "embeddings").repartition(8)
+    n_emb = emb.count()
+    queries = (load_table(spark, sf_oracle, "embeddings")
+               .filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("query_vec")))
+    k = 10
+    scored = emb.crossJoin(broadcast(queries)).select(
+        F.col("query_id"), F.col("vec_id"),
+        F.round(F.expr(cosine_expr("embedding", "query_vec")),
+                ROUND_DP).alias("score"))
+    reduced = _partition_topk(scored, "query_id", "vec_id", k)
+    n_reduced = reduced.count()
+    assert n_reduced <= 5 * k * 8, n_reduced
+    assert n_reduced < 5 * n_emb  # strictly smaller than the unreduced set
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.col("vec_id"))
+    full = (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    via_partial = (reduced.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k))
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, via_partial.collect()))
+    assert a == b
 
 
 def test_ann_recall(spark, sf_oracle):
