@@ -123,6 +123,14 @@ class OpenAIHttpProvider(Provider):
 
     # -- transport -----------------------------------------------------
     def _post(self, path: str, payload: dict) -> dict:
+        """POST with bounded exponential-backoff retries.
+
+        Delivery semantics: retrying a timed-out request that the server
+        actually completed re-executes it — at-least-once. Harmless for
+        /embeddings (idempotent); for /chat/completions it can duplicate a
+        paid generation, matching the reference's behavior (its Flink task
+        retries replay the whole synchronous call, RAG.java:87-95). Callers
+        needing at-most-once chat should set max_retries=0."""
         import json
         import os
         import time
@@ -146,7 +154,8 @@ class OpenAIHttpProvider(Provider):
                     raise  # 4xx other than rate-limit: retrying won't help
             except (urllib.error.URLError, TimeoutError) as e:
                 last_err = e
-            time.sleep(min(0.2 * (2 ** attempt), 2.0))
+            if attempt < self.max_retries:  # no pointless sleep before raising
+                time.sleep(min(0.2 * (2 ** attempt), 2.0))
         raise RuntimeError(
             f"provider request {path} failed after "
             f"{self.max_retries + 1} attempts: {last_err}")

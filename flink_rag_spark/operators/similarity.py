@@ -190,18 +190,21 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     only driver-side step in the IVF path, analogous to any ANN index's
     training phase. Deterministic: seeded Bernoulli sample + seeded init.
     (A limit() would take the first file's rows — a biased sample at scale;
-    sample() draws uniformly across every partition.) Pass ``n_rows`` if the
-    caller already counted the table — saves a full scan."""
+    sample() draws uniformly across every partition, and the cap to
+    max_sample is applied driver-side after a seeded shuffle, so no
+    partition-order bias sneaks back in.) Pass ``n_rows`` if the caller
+    already counted the table — saves a full scan."""
     n = embeddings.count() if n_rows is None else n_rows
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))  # 20% headroom, capped below
     rows = (embeddings.select(vec_col)
-            .sample(fraction=frac, seed=DEFAULT_CONFIG.seed)
-            .limit(max_sample).collect())
+            .sample(fraction=frac, seed=cfg.seed).collect())
     if not rows:  # degenerate tiny/empty input — fall back to whatever exists
         rows = embeddings.select(vec_col).limit(max_sample).collect()
     import numpy as _np
-    x = _np.asarray([r[0] for r in rows], dtype=_np.float64)
     rng = _np.random.default_rng(cfg.seed)
+    if len(rows) > max_sample:
+        rows = [rows[i] for i in rng.permutation(len(rows))[:max_sample]]
+    x = _np.asarray([r[0] for r in rows], dtype=_np.float64)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -35,11 +35,19 @@ def salted_agg(df: DataFrame, keys: list[str], metrics: dict[str, tuple[str, Col
                    {"n": ("count", "event_id"),
                     "total": ("sum", dec2("value"))})
     """
-    # Deterministic per-row salt: a pure function of the FULL row, so it is
-    # stable under task retries and repartitioning (monotonically_increasing_id
-    # is not), while still spreading a hot key's rows across `salts` buckets
-    # because the non-key columns differ row to row.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    # Deterministic per-row salt: a pure function of the FULL row plus the
+    # input partition id, so it is stable under task retries (a retried task
+    # re-reads the same partition → same ids, unlike
+    # monotonically_increasing_id) while spreading a hot key's rows across
+    # `salts` buckets. Mixing in spark_partition_id matters for
+    # EXACTLY-duplicate rows — a common shape of hot-key skew — which a
+    # row-content hash alone would funnel into one salt bucket; duplicates
+    # in different input partitions now salt apart, and duplicates within
+    # one partition already collapse in that task's map-side partial
+    # aggregate before the shuffle.
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in df.columns]),
+        F.lit(salts))
     partial_aggs, merge_aggs = [], []
     for out, (fn, col) in metrics.items():
         p, m = _MERGEABLE[fn]

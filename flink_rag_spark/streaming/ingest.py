@@ -66,14 +66,43 @@ def embed_stream(stream: DataFrame, provider: Provider | None = None,
     )
 
 
+def migrate_flat_store(spark: SparkSession, store_path: str,
+                       buckets: int = STORE_BUCKETS) -> None:
+    """One-time rewrite of a pre-bucketing (round-1 flat) store into the
+    bucketed layout, filling a missing ``metadata`` column with empty maps.
+    Write-then-swap like operators.maintenance.compact_store, so readers
+    never see a hybrid flat+partitioned directory (Spark cannot read one)."""
+    import os
+    import shutil
+    flat = spark.read.parquet(store_path)
+    meta = (F.col("metadata") if "metadata" in flat.columns
+            else F.expr("map()").cast("map<string,string>"))
+    tmp = store_path.rstrip("/") + ".migrate.tmp"
+    (flat.select("vec_id", "text", "embedding", meta.alias("metadata"))
+     .withColumn("bucket", _bucket_col(buckets=buckets))
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    old = store_path.rstrip("/") + ".migrate.old"
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old)
+
+
 def existing_ids_pruned(spark: SparkSession, store_path: str,
                         touched_buckets: list[int]) -> DataFrame | None:
     """vec_ids already stored in the touched buckets — a partition-pruned
-    scan (PartitionFilters on `bucket`), never a full-store read."""
+    scan (PartitionFilters on `bucket`), never a full-store read.
+
+    A pre-bucketing store (round-1 flat layout, no `bucket` partition
+    column) is migrated in place first (one-time rewrite) — appending
+    ``bucket=N/`` directories into a flat store would leave an unreadable
+    hybrid layout."""
     try:
         store = spark.read.parquet(store_path)
     except AnalysisException:
         return None  # first batch — store doesn't exist yet
+    if "bucket" not in store.columns:  # legacy flat layout
+        migrate_flat_store(spark, store_path)
+        store = spark.read.parquet(store_path)
     return (store.filter(F.col("bucket").isin(touched_buckets))
             .select("vec_id"))
 
@@ -106,9 +135,13 @@ def upsert_batch(batch: DataFrame, store_path: str,
 
 def load_store(spark: SparkSession, store_path: str) -> DataFrame:
     """The retrieval-side view of the store:
-    (vec_id, text, embedding, metadata)."""
-    return spark.read.parquet(store_path).select(
-        "vec_id", "text", "embedding", "metadata")
+    (vec_id, text, embedding, metadata). Stores written before the
+    metadata column existed read back with an empty map."""
+    store = spark.read.parquet(store_path)
+    meta = (F.col("metadata") if "metadata" in store.columns
+            else F.expr("map()").cast("map<string,string>"))
+    return store.select("vec_id", "text", "embedding",
+                        meta.alias("metadata"))
 
 
 def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,

@@ -114,6 +114,37 @@ def test_upsert_prunes_to_touched_buckets(spark, tmp_path):
     assert got.select("vec_id").distinct().count() == 200
 
 
+def test_upsert_into_legacy_flat_store(spark, tmp_path):
+    """A round-1 store (flat layout — no bucket partition column, no
+    metadata column) must still accept idempotent upserts: the first upsert
+    migrates it in place to the bucketed layout (appending bucket=N/ dirs
+    into a flat store would be an unreadable hybrid), after which pruning
+    and load_store behave exactly like a born-bucketed store."""
+    from flink_rag_spark.streaming.ingest import load_store, upsert_batch
+    store = str(tmp_path / "legacy")
+    legacy = spark.createDataFrame(
+        [(i, f"old {i}", [0.0, 1.0]) for i in range(20)],
+        "vec_id long, text string, embedding array<float>")
+    legacy.write.parquet(store)  # pre-bucketing layout, written directly
+
+    batch = (spark.createDataFrame(
+        [(i, f"new {i}", [1.0, 0.0]) for i in range(10, 30)],
+        "vec_id long, text string, embedding array<float>")
+        .withColumn("metadata", F.expr("map()").cast("map<string,string>")))
+    upsert_batch(batch, store)
+
+    got = load_store(spark, store)
+    assert got.count() == 30  # 20 legacy + 10 genuinely new, 10 deduped
+    assert got.select("vec_id").distinct().count() == 30
+    assert got.columns == ["vec_id", "text", "embedding", "metadata"]
+    # legacy rows read back with an empty map, and the store is now bucketed
+    assert all(r["metadata"] == {} for r in got.collect())
+    assert "bucket" in spark.read.parquet(store).columns
+    # the migrated store keeps idempotency: replay adds nothing
+    upsert_batch(batch, store)
+    assert load_store(spark, store).count() == 30
+
+
 def test_ingest_metadata_roundtrip(spark, tmp_path):
     """TextSegment-metadata analog: a metadata map attached to the source
     stream must survive embed → store → retrieval-side load."""
