@@ -78,17 +78,27 @@ def main() -> None:
         return s
     force(spark.range(64).select(_warm(col("id"))))
 
-    # median of 3 runs per query — the host's CPU timing is noisy (identical
-    # runs can differ ~2×); medians make round-over-round comparison real
-    REPEATS = 3
+    # 5 runs per query, reporting median + min + spread — the host's CPU
+    # timing is noisy (identical runs can differ ~2×, and round-2 medians
+    # swung ±40% on sub-2s queries with untouched plans). The MIN is the
+    # best low-noise estimate of a query's true cost; the spread
+    # ((max-min)/median) says how much to trust the median before calling
+    # a regression real.
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
+    timings_spread: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             force(fns[name](spark, sf_dir))
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        runs.sort()
+        med = runs[len(runs) // 2]
+        timings[name] = round(med, 3)
+        timings_min[name] = round(runs[0], 3)
+        timings_spread[name] = round((runs[-1] - runs[0]) / med, 2)
 
     # RAG throughput: the reference answers one question per synchronous
     # record (3 HTTP round-trips each, RAG.java:47-95); here a 1000-question
@@ -124,6 +134,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "queries_spread": timings_spread,
+        "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
         "ann_index_build_sec": ann_index_build_sec,
