@@ -1,0 +1,82 @@
+"""Training-data curation operators (north-star ops; ABSENT in the
+reference — the reference ingests whole documents as single segments,
+``StreamingStoreKnowledge.java:44-52``, which caps its corpora at
+short-document scale).
+
+- ``chunk_documents``: overlapping token-window chunking — the standard
+  RAG/pre-training preprocessing step. Pure narrow projection +
+  posexplode: no shuffle, embarrassingly parallel, output rows ≈
+  tokens/stride per doc regardless of document length, so one pathological
+  100 MB document costs O(its tokens), not O(its tokens × chunks).
+- ``hash_sample``: DETERMINISTIC content-hash sampling — reproducible
+  train/holdout downsampling. Unlike ``df.sample`` (seeded per-partition
+  RNG: resampling after a repartition or file re-split changes the kept
+  set), the keep decision is a pure function of row content, so the same
+  document is kept in every run, on any cluster layout, at any scale —
+  the property training-data pipelines actually need. One narrow filter,
+  pushed to the scan.
+
+Both are value-exact oracle-checkable (shared polynomial hash / identical
+slice semantics in DuckDB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_rag_spark.functions.hashing import POLY_P, poly_hash_expr
+
+DEFAULT_CHUNK_TOKENS = 64
+DEFAULT_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    window: int = DEFAULT_CHUNK_TOKENS,
+                    stride: int = DEFAULT_CHUNK_STRIDE) -> DataFrame:
+    """(id, chunk_id, chunk_text, chunk_tokens) — overlapping token windows.
+
+    chunk i covers tokens [i·stride, i·stride + window); the last chunk
+    starts at the first stride-multiple covering the tail, so every token
+    appears in ≥1 chunk and consecutive chunks overlap by window - stride
+    tokens. Whitespace tokenization; chunks re-join with single spaces."""
+    assert 0 < stride <= window, "stride must be in (0, window]"
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    n_extra = f"CAST(ceil(greatest(size({toks}) - {window}, 0) / {stride}) AS INT)"
+    chunks = (f"transform(sequence(0, {n_extra}), "
+              f"i -> slice({toks}, i * {stride} + 1, {window}))")
+    return (df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "_chunk_toks"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join("_chunk_toks", " ").alias("chunk_text"),
+            F.size("_chunk_toks").cast("bigint").alias("chunk_tokens")))
+
+
+def hash_sample(df: DataFrame, key_col: str, keep_pct: int,
+                buckets: int = 100) -> DataFrame:
+    """Keep rows whose content-hash bucket falls below ``keep_pct`` (of
+    ``buckets``) — a reproducible ~keep_pct/buckets sample.
+
+    The bucket is ``poly_hash(key) mod buckets``: stable across runs,
+    partitionings and engines (the oracle computes the identical fold), and
+    consistent BETWEEN datasets — sampling two tables by the same key keeps
+    aligned rows, which seeded RNG sampling cannot do."""
+    assert 0 <= keep_pct <= buckets
+    bucket = F.expr(f"pmod({poly_hash_expr(key_col)}, {buckets})")
+    return (df.withColumn("sample_bucket", bucket.cast("bigint"))
+            .filter(F.col("sample_bucket") < keep_pct))
+
+
+def hash_bucket_duck(key_col: str, buckets: int = 100) -> str:
+    """DuckDB mirror of hash_sample's bucket expression (pmod semantics)."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    h = poly_hash_duck(key_col)
+    return f"((({h}) % {buckets} + {buckets}) % {buckets})"
+
+
+def hash_sample_duck(key_col: str, keep_pct: int, buckets: int = 100) -> str:
+    """DuckDB WHERE-clause mirror of hash_sample's keep decision."""
+    return f"{hash_bucket_duck(key_col, buckets)} < {keep_pct}"

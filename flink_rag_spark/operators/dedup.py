@@ -148,13 +148,17 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     if max_bucket_size is None:
         max_bucket_size = cfg.lsh_max_bucket
     exploded = lsh_band_rows(df, text_col, id_col, cfg)
-    # bucket size + representative in ONE aggregate, joined back on the
-    # band key (co-partitioned with the self-join's shuffle, so Catalyst
-    # reuses the exchange)
-    sizes = (exploded.groupBy("band", "band_key")
-             .agg(F.count(F.lit(1)).alias("_n"),
-                  F.min(id_col).alias("_rep")))
-    tagged = exploded.join(sizes, on=["band", "band_key"])
+    # bucket size + representative via a WINDOW over (band, band_key), not
+    # a groupBy+join-back: every consumer below (cold left/right, hot)
+    # shares the identical exploded→exchange(band, band_key)→window
+    # subtree, so Catalyst's ReuseExchange materializes the expensive
+    # hashing pipeline ONCE and the self-join needs no further shuffle
+    # (rows are already partitioned by the band key)
+    from pyspark.sql import Window
+    wb = Window.partitionBy("band", "band_key")
+    tagged = (exploded
+              .withColumn("_n", F.count(F.lit(1)).over(wb))
+              .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
     cold = tagged.filter(F.col("_n") <= max_bucket_size)
     left = cold.alias("l")
     right = cold.alias("r")

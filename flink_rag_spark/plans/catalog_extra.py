@@ -200,6 +200,28 @@ SELECT event_id,
 FROM events
 """
 
+    from flink_rag_spark.operators.curation import (
+        hash_bucket_duck,
+        hash_sample_duck,
+    )
+    W, S = 32, 24  # window/stride used by plans.llm.chunk_documents_overlap
+    oracle_chunks = f"""
+SELECT doc_id, i AS chunk_id,
+       array_to_string(toks[i*{S}+1 : i*{S}+{W}], ' ') AS chunk_text,
+       CAST(len(toks[i*{S}+1 : i*{S}+{W}]) AS BIGINT) AS chunk_tokens
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents) t,
+     UNNEST(range(0, CAST(ceil(greatest(len(toks) - {W}, 0) / {S}) AS BIGINT)
+                      + 1)) AS u(i)
+"""
+
+    oracle_hash_sample = f"""
+SELECT doc_id, lang, source,
+       {hash_bucket_duck('text')} AS sample_bucket
+FROM documents
+WHERE {hash_sample_duck('text', 20)}
+"""
+
     oracle_map_funcs = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
@@ -245,6 +267,10 @@ FROM events
          oracle_from_json, ("scalar", "json")),
         ("map_funcs_events", R3.map_funcs_events,
          oracle_map_funcs, ("scalar", "map")),
+        ("chunk_documents_overlap", llm.chunk_documents_overlap,
+         oracle_chunks, ("text", "curation")),
+        ("hash_sampled_documents", llm.hash_sampled_documents,
+         oracle_hash_sample, ("curation", "sampling")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

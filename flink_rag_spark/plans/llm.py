@@ -373,3 +373,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                shingle_hashes_expr("text", DEFAULT_CONFIG.shingle_size) + ")")
             .alias("fp_min_shingle"),
     )
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking of every document — the
+    RAG/pre-training preprocessing step the reference skips (it stores each
+    document as ONE segment, StreamingStoreKnowledge.java:44-52)."""
+    from flink_rag_spark.operators.curation import chunk_documents
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", window=32, stride=24)
+
+
+def hash_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% content-hash sample of the documents table —
+    reproducible train-data downsampling (same kept set on any cluster
+    layout or run, unlike seeded df.sample)."""
+    from flink_rag_spark.operators.curation import hash_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (hash_sample(d, "text", keep_pct=20)
+            .select("doc_id", "lang", "source", "sample_bucket"))

@@ -1,0 +1,74 @@
+"""Training-data curation operators: chunk coverage/overlap properties and
+the determinism contract of content-hash sampling (value parity with DuckDB
+is covered by the catalog oracle sweep)."""
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.operators.curation import chunk_documents, hash_sample
+from flink_rag_spark.sources.tables import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_covers_every_token_with_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    chunks = chunk_documents(_docs(spark, [(1, text)]), "text", "doc_id",
+                             window=32, stride=24).collect()
+    chunks.sort(key=lambda r: r["chunk_id"])
+    # ceil((100-32)/24)+1 = 4 chunks
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3]
+    toks = [r["chunk_text"].split(" ") for r in chunks]
+    # full chunks except the tail (starts at 72, holds 28)
+    assert [len(t) for t in toks] == [32, 32, 32, 28]
+    assert [r["chunk_tokens"] for r in chunks] == [32, 32, 32, 28]
+    # every token appears in >=1 chunk, in order
+    covered = set().union(*map(set, toks))
+    assert covered == {f"t{i}" for i in range(100)}
+    # consecutive chunks overlap by window - stride = 8 tokens
+    for a, b in zip(toks, toks[1:]):
+        assert a[24:] == b[:len(a) - 24]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    rows = [(1, "only three tokens"), (2, ""), (3, "   ")]
+    chunks = chunk_documents(_docs(spark, rows), "text", "doc_id",
+                             window=32, stride=24).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc yields exactly one chunk; empty text yields one empty chunk
+    assert {k: len(v) for k, v in by_doc.items()} == {1: 1, 2: 1, 3: 1}
+    assert by_doc[1][0]["chunk_text"] == "only three tokens"
+    assert by_doc[2][0]["chunk_text"] == ""
+
+
+def test_hash_sample_is_layout_independent(spark, sf_smoke):
+    """The kept set must be a pure function of content — identical across
+    partitionings (the reproducibility contract seeded df.sample lacks)."""
+    d = load_table(spark, sf_smoke, "documents")
+    a = {r["doc_id"] for r in
+         hash_sample(d, "text", keep_pct=20).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(d.repartition(13), "text", keep_pct=20)
+         .select("doc_id").collect()}
+    assert a == b and a
+    # roughly 20% kept (hash buckets are near-uniform over real text)
+    n = d.count()
+    assert 0.05 * n < len(a) < 0.45 * n
+    # monotone: a larger keep_pct strictly contains the smaller sample
+    c = {r["doc_id"] for r in
+         hash_sample(d, "text", keep_pct=50).select("doc_id").collect()}
+    assert a <= c
+
+
+def test_hash_sample_aligns_across_tables(spark, sf_smoke):
+    """Sampling two tables by the same key keeps aligned rows — the
+    cross-dataset consistency property."""
+    d = load_table(spark, sf_smoke, "documents")
+    left = d.select("doc_id", "text")
+    right = d.select(F.col("doc_id").alias("id2"), "text")
+    ka = {r["doc_id"] for r in hash_sample(left, "text", 30).collect()}
+    kb = {r["id2"] for r in hash_sample(right, "text", 30).collect()}
+    assert ka == kb
