@@ -222,6 +222,38 @@ FROM documents
 WHERE {hash_sample_duck('text', 20)}
 """
 
+    oracle_q6 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    oracle_q15 = f"""
+WITH rev AS (SELECT l_suppkey, CAST(SUM({DP}) AS DOUBLE) AS total_rev
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+    oracle_q16 = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN pairs ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
     oracle_map_funcs = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
@@ -267,6 +299,12 @@ FROM events
          oracle_from_json, ("scalar", "json")),
         ("map_funcs_events", R3.map_funcs_events,
          oracle_map_funcs, ("scalar", "map")),
+        ("q6_forecast_revenue", R3.q6_forecast_revenue,
+         oracle_q6, ("agg", "scan")),
+        ("q15_top_supplier", R3.q15_top_supplier,
+         oracle_q15, ("subquery", "argmax")),
+        ("q16_supplier_part_counts", R3.q16_supplier_part_counts,
+         oracle_q16, ("agg", "distinct")),
         ("chunk_documents_overlap", llm.chunk_documents_overlap,
          oracle_chunks, ("text", "curation")),
         ("hash_sampled_documents", llm.hash_sampled_documents,

@@ -266,3 +266,52 @@ def stats_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
     ))
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table predicate aggregate — the canonical
+    test that range filters reach the scan (PushedFilters) and the agg is
+    one partial/final HashAggregate pair with no shuffle beyond it."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+           "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))")
+    return (l.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.sum(F.expr(rev)).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines")))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + scalar-subquery max + equality
+    join back (the 'argmax via self-aggregation' pattern). The one-row max
+    side broadcasts; revenue is decimal-exact so the equality is exact."""
+    from pyspark.sql.functions import broadcast as _bc
+    from flink_rag_spark.plans.relational import DISC_PRICE
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (l.filter((F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1997-04-01"))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (s.join(rev, s.s_suppkey == rev.l_suppkey)
+            .join(_bc(mx), F.col("total_rev") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_rev"))
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp replaced by the distinct part↔supplier
+    pairs observed in lineitem — the synthetic schema has no partsupp):
+    negated filters + distinct-count of suppliers per part descriptor."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (p.filter((F.col("p_brand") != "Brand#45")
+                     & (~F.col("p_type").startswith("MEDIUM"))
+                     & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49)))
+            .join(pairs, F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
