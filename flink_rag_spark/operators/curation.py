@@ -70,6 +70,85 @@ def hash_sample(df: DataFrame, key_col: str, keep_pct: int,
             .filter(F.col("sample_bucket") < keep_pct))
 
 
+def quality_filter(df: DataFrame, text_col: str, id_col: str,
+                   min_tokens: int = 24, max_punct_ratio: float = 0.2,
+                   min_stop_ratio: float = 0.03,
+                   max_chars_per_token: float = 5.75) -> DataFrame:
+    """Composite document-quality verdict — the keep/drop decision stage of
+    a training-data pipeline, built from the engine's text signals:
+
+    - too_short: fewer than ``min_tokens`` whitespace tokens
+    - too_punctuated: punctuation ratio above ``max_punct_ratio``
+    - low_stopword: the BEST stopword ratio across all known languages
+      below ``min_stop_ratio`` (language-agnostic naturalness test —
+      gibberish scores near zero in every language)
+    - long_tokens: mean chars/token above ``max_chars_per_token``
+      (base64 blobs, URLs, code)
+
+    Returns (id, n_tokens, keep, reasons_csv) with reasons in a fixed
+    order — fully deterministic SQL, value-exact against the DuckDB
+    mirror. One narrow projection: at 100 TB this is a single scan with
+    every signal computed in one pass, no shuffle."""
+    from flink_rag_spark.functions.textfns import (
+        LANG_MARKERS,
+        punct_ratio_expr,
+        stopword_ratio_expr,
+        token_count_expr,
+    )
+    nt = token_count_expr(text_col)
+    best_stop = "greatest(" + ", ".join(
+        stopword_ratio_expr(text_col, LANG_MARKERS[c])
+        for c in sorted(LANG_MARKERS)) + ")"
+    cpt = f"length({text_col}) / greatest({nt}, 1)"
+    checks = [
+        ("too_short", f"{nt} < {min_tokens}"),
+        ("too_punctuated", f"{punct_ratio_expr(text_col)} > {max_punct_ratio}"),
+        ("low_stopword", f"{best_stop} < {min_stop_ratio}"),
+        ("long_tokens", f"{cpt} > {max_chars_per_token}"),
+    ]
+    reasons = ("filter(array(" + ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in checks)
+        + "), x -> x IS NOT NULL)")
+    return df.select(
+        F.col(id_col),
+        F.expr(nt).cast("bigint").alias("n_tokens"),
+        F.expr(f"size({reasons}) = 0").alias("keep"),
+        F.expr(f"array_join({reasons}, ',')").alias("reasons_csv"))
+
+
+def quality_filter_duck(text_col: str, min_tokens: int = 24,
+                        max_punct_ratio: float = 0.2,
+                        min_stop_ratio: float = 0.03,
+                        max_chars_per_token: float = 5.75) -> str:
+    """DuckDB SELECT-fragment mirror of quality_filter (same checks, same
+    fixed reason order); caller prepends the id column."""
+    from flink_rag_spark.functions.textfns import (
+        LANG_MARKERS,
+        punct_ratio_duck,
+        stopword_ratio_duck,
+        token_count_duck,
+    )
+    nt = token_count_duck(text_col)
+    best_stop = "greatest(" + ", ".join(
+        stopword_ratio_duck(text_col, LANG_MARKERS[c])
+        for c in sorted(LANG_MARKERS)) + ")"
+    cpt = f"length({text_col}) / greatest({nt}, 1)"
+    checks = [
+        ("too_short", f"{nt} < {min_tokens}"),
+        ("too_punctuated", f"{punct_ratio_duck(text_col)} > {max_punct_ratio}"),
+        ("low_stopword", f"{best_stop} < {min_stop_ratio}"),
+        ("long_tokens", f"{cpt} > {max_chars_per_token}"),
+    ]
+    reasons = ("list_filter([" + ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' END" for name, cond in checks)
+        + "], x -> x IS NOT NULL)")
+    # COALESCE: DuckDB's array_to_string of an empty list is NULL, Spark's
+    # array_join is ''
+    return (f"CAST({nt} AS BIGINT) AS n_tokens, "
+            f"len({reasons}) = 0 AS keep, "
+            f"COALESCE(array_to_string({reasons}, ','), '') AS reasons_csv")
+
+
 def hash_bucket_duck(key_col: str, buckets: int = 100) -> str:
     """DuckDB mirror of hash_sample's bucket expression (pmod semantics)."""
     from flink_rag_spark.functions.hashing import poly_hash_duck

@@ -203,6 +203,7 @@ FROM events
     from flink_rag_spark.operators.curation import (
         hash_bucket_duck,
         hash_sample_duck,
+        quality_filter_duck,
     )
     W, S = 32, 24  # window/stride used by plans.llm.chunk_documents_overlap
     oracle_chunks = f"""
@@ -252,6 +253,11 @@ FROM part JOIN pairs ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
   AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
 GROUP BY p_brand, p_type, p_size
+"""
+
+    oracle_quality = f"""
+SELECT doc_id, {quality_filter_duck('text')}
+FROM documents
 """
 
     oracle_map_funcs = """
@@ -309,6 +315,8 @@ FROM events
          oracle_chunks, ("text", "curation")),
         ("hash_sampled_documents", llm.hash_sampled_documents,
          oracle_hash_sample, ("curation", "sampling")),
+        ("quality_filtered_docs", llm.quality_filtered_docs,
+         oracle_quality, ("curation", "text")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

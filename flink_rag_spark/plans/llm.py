@@ -392,3 +392,11 @@ def hash_sampled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (hash_sample(d, "text", keep_pct=20)
             .select("doc_id", "lang", "source", "sample_bucket"))
+
+
+def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop quality verdict per document with per-check
+    reasons — the curation decision stage over the text-signal surface."""
+    from flink_rag_spark.operators.curation import quality_filter
+    d = load_table(spark, sf_dir, "documents")
+    return quality_filter(d, "text", "doc_id")
