@@ -149,6 +149,24 @@ def quality_filter_duck(text_col: str, min_tokens: int = 24,
             f"COALESCE(array_to_string({reasons}, ','), '') AS reasons_csv")
 
 
+def stratified_cap(df: DataFrame, group_cols: list[str], key_col: str,
+                   id_col: str, n_per_group: int) -> DataFrame:
+    """Cap every group at ``n_per_group`` rows, chosen DETERMINISTICALLY:
+    rows rank by (content-hash of ``key_col``, id) within the group, so the
+    kept set is a pure function of the data — stable across runs, layouts
+    and engines — while the hash ordering makes it an unbiased draw rather
+    than 'first N in storage order'. The balanced-per-class downsampling
+    step of training-data curation (e.g. cap every language at N docs).
+
+    One shuffle on the group key; a pathologically hot group is bounded by
+    the window's per-partition sort, and the output is ≤ groups × n rows."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.expr(poly_hash_expr(key_col)), F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per_group).drop("_rn"))
+
+
 def hash_bucket_duck(key_col: str, buckets: int = 100) -> str:
     """DuckDB mirror of hash_sample's bucket expression (pmod semantics)."""
     from flink_rag_spark.functions.hashing import poly_hash_duck

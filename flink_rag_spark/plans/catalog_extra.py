@@ -255,6 +255,15 @@ WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
 GROUP BY p_brand, p_type, p_size
 """
 
+    oracle_stratified = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {poly_hash_duck('text')}, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 30
+"""
+
     oracle_quality = f"""
 SELECT doc_id, {quality_filter_duck('text')}
 FROM documents
@@ -317,6 +326,8 @@ FROM events
          oracle_hash_sample, ("curation", "sampling")),
         ("quality_filtered_docs", llm.quality_filtered_docs,
          oracle_quality, ("curation", "text")),
+        ("stratified_sample_by_lang", llm.stratified_sample_by_lang,
+         oracle_stratified, ("curation", "sampling")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

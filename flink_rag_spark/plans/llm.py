@@ -400,3 +400,12 @@ def quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.curation import quality_filter
     d = load_table(spark, sf_dir, "documents")
     return quality_filter(d, "text", "doc_id")
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language cap (30 docs/lang), deterministically drawn by
+    content hash — the class-balancing downsampling step of curation."""
+    from flink_rag_spark.operators.curation import stratified_cap
+    d = load_table(spark, sf_dir, "documents")
+    return (stratified_cap(d, ["lang"], "text", "doc_id", 30)
+            .select("doc_id", "lang", "source"))

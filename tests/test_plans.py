@@ -118,3 +118,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_oracle, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q6_pushdown_single_agg_pair(spark, sf_oracle, fns):
+    """Q6 is THE pushdown benchmark: every range predicate reaches the
+    scan, and the whole query is one partial/final HashAggregate pair."""
+    plan = plan_of(fns["q6_forecast_revenue"](spark, sf_oracle))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+    assert plan.count("HashAggregate") == 4  # partial+final, 2x formatted
+    # column pruning: only the 4 referenced columns are read
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
+
+
+def test_rag_context_assembly_broadcasts_small_sides(spark, sf_oracle, fns):
+    """The flagship chain's joins must broadcast the tiny sides (query
+    vectors, hits) — the corpus/text side is never shuffled for a join."""
+    plan = plan_of(fns["rag_context_assembly"](spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # context aggregation is the only wide op over the doc side: no
+    # SortMergeJoin should appear anywhere in this plan at test SF
+    assert "SortMergeJoin" not in plan
