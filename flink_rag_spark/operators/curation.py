@@ -33,23 +33,27 @@ DEFAULT_CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
 
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     window: int = DEFAULT_CHUNK_TOKENS,
-                    stride: int = DEFAULT_CHUNK_STRIDE) -> DataFrame:
-    """(id, chunk_id, chunk_text, chunk_tokens) — overlapping token windows.
+                    stride: int = DEFAULT_CHUNK_STRIDE,
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry_cols, chunk_id, chunk_text, chunk_tokens) — overlapping
+    token windows.
 
     chunk i covers tokens [i·stride, i·stride + window); the last chunk
     starts at the first stride-multiple covering the tail, so every token
     appears in ≥1 chunk and consecutive chunks overlap by window - stride
-    tokens. Whitespace tokenization; chunks re-join with single spaces."""
+    tokens. Whitespace tokenization; chunks re-join with single spaces.
+    ``carry_cols`` ride along unchanged (streaming callers use this instead
+    of a join-back, which would be a stream-stream self-join)."""
     assert 0 < stride <= window, "stride must be in (0, window]"
     toks = f"split(trim({text_col}), '\\\\s+')"
     n_extra = f"CAST(ceil(greatest(size({toks}) - {window}, 0) / {stride}) AS INT)"
     chunks = (f"transform(sequence(0, {n_extra}), "
               f"i -> slice({toks}, i * {stride} + 1, {window}))")
     return (df.select(
-        F.col(id_col),
+        F.col(id_col), *[F.col(c) for c in carry_cols],
         F.posexplode(F.expr(chunks)).alias("chunk_id", "_chunk_toks"))
         .select(
-            id_col,
+            id_col, *carry_cols,
             F.col("chunk_id").cast("bigint").alias("chunk_id"),
             F.array_join("_chunk_toks", " ").alias("chunk_text"),
             F.size("_chunk_toks").cast("bigint").alias("chunk_tokens")))

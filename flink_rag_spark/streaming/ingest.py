@@ -51,6 +51,44 @@ def _bucket_col(vec_id: str = "vec_id", buckets: int = STORE_BUCKETS) -> F.Colum
     return F.pmod(F.col(vec_id), F.lit(buckets)).cast("int")
 
 
+def chunk_stream(stream: DataFrame,
+                 window: int | None = None,
+                 stride: int | None = None) -> DataFrame:
+    """value:string stream → one row per overlapping token-window chunk,
+    with provenance metadata ({parent_id, chunk_id, chunk_tokens}).
+
+    The reference embeds each document as ONE segment
+    (StreamingStoreKnowledge.java:44-52), which caps retrieval quality and
+    embedding-input length at short-document scale; chunk-level ingestion
+    is the standard RAG shape. Streaming-safe (narrow projection +
+    posexplode — no state, no watermark needed); chunk ids are
+    content-derived so the downstream content-hash upsert stays
+    replay-idempotent per CHUNK."""
+    from flink_rag_spark.operators.curation import (
+        DEFAULT_CHUNK_STRIDE,
+        DEFAULT_CHUNK_TOKENS,
+        chunk_documents,
+    )
+    window = window or DEFAULT_CHUNK_TOKENS
+    stride = stride or DEFAULT_CHUNK_STRIDE
+    base_meta = (F.col("metadata") if "metadata" in stream.columns
+                 else F.expr("map()").cast("map<string,string>"))
+    base = stream.withColumn("_parent_id", F.expr(VEC_ID_EXPR)) \
+                 .withColumn("_base_meta", base_meta)
+    chunked = chunk_documents(
+        base.select("_parent_id", "_base_meta", F.col("value")),
+        "value", "_parent_id", window=window, stride=stride,
+        carry_cols=("_base_meta",))
+    meta = F.map_concat(
+        F.col("_base_meta"),
+        F.create_map(
+            F.lit("parent_id"), F.col("_parent_id").cast("string"),
+            F.lit("chunk_id"), F.col("chunk_id").cast("string"),
+            F.lit("chunk_tokens"), F.col("chunk_tokens").cast("string")))
+    return chunked.select(F.col("chunk_text").alias("value"),
+                          meta.alias("metadata"))
+
+
 def embed_stream(stream: DataFrame, provider: Provider | None = None,
                  cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """value:string stream → (vec_id, text, embedding, metadata) — the A5
@@ -147,14 +185,21 @@ def load_store(spark: SparkSession, store_path: str) -> DataFrame:
 def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                checkpoint: str, provider: Provider | None = None,
                cfg: EngineConfig = DEFAULT_CONFIG,
-               available_now: bool = False):
-    """Wire source → embed → idempotent store sink; returns the started query.
+               available_now: bool = False,
+               chunk: bool = False):
+    """Wire source → [chunk] → embed → idempotent store sink; returns the
+    started query.
 
-    ``available_now=True`` drains everything currently in the source and
-    stops — the test/batch-backfill trigger; the default processing-time
-    trigger mirrors the reference's continuous job.
+    ``chunk=True`` splits each source document into overlapping
+    token-window chunks before embedding (chunk_stream) — one vector per
+    chunk with provenance metadata, the standard RAG ingestion shape the
+    reference lacks. ``available_now=True`` drains everything currently in
+    the source and stops — the test/batch-backfill trigger; the default
+    processing-time trigger mirrors the reference's continuous job.
     """
     ensure_runtime_confs(spark)
+    if chunk:
+        source = chunk_stream(source)
     embedded = embed_stream(source, provider, cfg)
     writer = (embedded.writeStream
               .foreachBatch(lambda b, _id: upsert_batch(b, store_path))

@@ -166,6 +166,53 @@ def test_ingest_metadata_roundtrip(spark, tmp_path):
     assert row["metadata"]["topic"] == "knowledge_updates"
 
 
+def test_chunked_ingest_stores_one_vector_per_chunk(spark, tmp_path):
+    """chunk=True ingestion: a long document lands as multiple overlapping
+    chunks, each with its own embedding, provenance metadata, and a
+    content-derived id (replay-idempotent per chunk); source metadata
+    merges into every chunk's map."""
+    from flink_rag_spark.operators.curation import (
+        DEFAULT_CHUNK_STRIDE,
+        DEFAULT_CHUNK_TOKENS,
+    )
+    from flink_rag_spark.streaming.ingest import load_store, run_ingest
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    n_tok = 200
+    long_doc = " ".join(f"word{i}" for i in range(n_tok))
+    (src / "doc.txt").write_text(long_doc + "\n")
+    store = str(tmp_path / "chunk_store")
+    stream = (file_string_source(spark, str(src))
+              .withColumn("metadata", F.create_map(
+                  F.lit("origin"), F.lit("chunk-test"))))
+    q = run_ingest(spark, stream, store, str(tmp_path / "chunk_ckpt"),
+                   available_now=True, chunk=True)
+    _await(q)
+    rows = load_store(spark, store).collect()
+    import math
+    expect_chunks = math.ceil(
+        max(n_tok - DEFAULT_CHUNK_TOKENS, 0) / DEFAULT_CHUNK_STRIDE) + 1
+    assert len(rows) == expect_chunks
+    assert len({r["vec_id"] for r in rows}) == expect_chunks
+    by_chunk = sorted(rows, key=lambda r: int(r["metadata"]["chunk_id"]))
+    parents = {r["metadata"]["parent_id"] for r in rows}
+    assert len(parents) == 1  # all chunks trace to the one source doc
+    assert all(r["metadata"]["origin"] == "chunk-test" for r in rows)
+    # first chunk starts at the document head; consecutive chunks overlap
+    assert by_chunk[0]["text"].startswith("word0 word1")
+    a, b = by_chunk[0]["text"].split(" "), by_chunk[1]["text"].split(" ")
+    overlap = DEFAULT_CHUNK_TOKENS - DEFAULT_CHUNK_STRIDE
+    assert a[-overlap:] == b[:overlap]
+    # every chunk got a real embedding
+    assert all(r["embedding"] is not None and len(r["embedding"]) > 0
+               for r in rows)
+    # replaying the same source adds nothing (content-hash ids per chunk)
+    q2 = run_ingest(spark, stream, store, str(tmp_path / "chunk_ckpt2"),
+                    available_now=True, chunk=True)
+    _await(q2)
+    assert load_store(spark, store).count() == expect_chunks
+
+
 def test_tumbling_matches_batch(spark, sf_smoke, events_stream_dir, tmp_path):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
     result = tumbling_counts(stream)
