@@ -264,6 +264,20 @@ SELECT doc_id, lang, source FROM (
 WHERE rn <= 30
 """
 
+    from flink_rag_spark.plans.catalog import _oracle_lsh_verified
+    oracle_contamination = f"""
+WITH v AS ({_oracle_lsh_verified()}),
+flags AS (SELECT doc_id, {hash_sample_duck('text', 10)} AS in_bench
+          FROM documents)
+SELECT CASE WHEN fa.in_bench THEN id_a ELSE id_b END AS bench_id,
+       CASE WHEN fa.in_bench THEN id_b ELSE id_a END AS train_id,
+       jaccard
+FROM v
+JOIN flags fa ON fa.doc_id = v.id_a
+JOIN flags fb ON fb.doc_id = v.id_b
+WHERE fa.in_bench <> fb.in_bench
+"""
+
     oracle_quality = f"""
 SELECT doc_id, {quality_filter_duck('text')}
 FROM documents
@@ -328,6 +342,8 @@ FROM events
          oracle_quality, ("curation", "text")),
         ("stratified_sample_by_lang", llm.stratified_sample_by_lang,
          oracle_stratified, ("curation", "sampling")),
+        ("contamination_neardup_overlap", llm.contamination_neardup_overlap,
+         oracle_contamination, ("curation", "dedup")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

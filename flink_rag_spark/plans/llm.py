@@ -409,3 +409,32 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (stratified_cap(d, ["lang"], "text", "doc_id", 30)
             .select("doc_id", "lang", "source"))
+
+
+def contamination_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: near-duplicate content shared
+    between a held-out 'benchmark' slice (deterministic 10% hash sample)
+    and the rest of the corpus — the contamination scan run before
+    training. Composition of the engine's own at-scale pieces: banded
+    minhash-LSH candidates → exact Jaccard verify (≥ 0.3) → keep pairs
+    that CROSS the split. Membership is recomputed per doc from the
+    content hash (a pure function — no membership join), and docs meet
+    only through shared LSH buckets, never a cross join."""
+    from flink_rag_spark.functions.hashing import POLY_P, poly_hash_expr
+    from flink_rag_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+    d = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(d, "text", "doc_id")
+    verified = jaccard_pairs(d, "text", "doc_id", threshold=0.3,
+                             candidates=cands)
+    in_bench = F.expr(f"pmod({poly_hash_expr('text')}, 100) < 10")
+    flags = d.select(F.col("doc_id"), in_bench.alias("in_bench"))
+    fa = flags.select(F.col("doc_id").alias("id_a"), F.col("in_bench").alias("ia"))
+    fb = flags.select(F.col("doc_id").alias("id_b"), F.col("in_bench").alias("ib"))
+    return (verified.join(fa, on="id_a").join(fb, on="id_b")
+            .filter(F.col("ia") != F.col("ib"))
+            .select(
+                F.when(F.col("ia"), F.col("id_a")).otherwise(F.col("id_b"))
+                 .alias("bench_id"),
+                F.when(F.col("ia"), F.col("id_b")).otherwise(F.col("id_a"))
+                 .alias("train_id"),
+                "jaccard"))
