@@ -327,6 +327,7 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     scored = cand.select(
         F.col(query_id), F.col(id_col),
         F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"))
+    scored = _partition_topk(scored, query_id, id_col, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -366,6 +367,9 @@ def ann_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     scored = cand.select(
         F.col(query_id), F.col(id_col),
         F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"))
+    # same map-side combine as knn_join: the ranking window's shuffle sees
+    # ≤ k rows per query per partition, not every scored candidate
+    scored = _partition_topk(scored, query_id, id_col, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
