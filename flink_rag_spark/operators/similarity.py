@@ -279,12 +279,17 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     throughput back for recall; the exact operators remain the correctness
     path.
 
-    The query side is collected to the driver to compute probes (queries are
-    the SMALL side by definition — bounded like any broadcast), then
-    (query, cell) pairs equi-join the cell-assigned corpus: shuffle volume is
-    candidates, never |Q|×|E|. Pass persisted `cells` (+ matching
-    `centroids`) to skip re-assignment — the at-scale shape where the cell
-    index is a partitioned table."""
+    Probes are computed DISTRIBUTED: the centroid matrix ships once per
+    executor via sparkContext.broadcast and a pandas UDF emits each query's
+    n_probe nearest cells (one matmul per Arrow batch) — no query row ever
+    touches the driver (the old driver-side probe loop collected the whole
+    query side). The (query, cell) pairs then equi-join the cell-assigned
+    corpus: shuffle volume is candidates, never |Q|×|E|. The probe side
+    still carries this operator's contract that queries are the
+    executor-broadcastable side; for query batches too big for that, drop
+    the hint (AQE picks the join) or use ann_knn_join. Pass persisted
+    `cells` (+ matching `centroids`) to skip re-assignment — the at-scale
+    shape where the cell index is a partitioned table."""
     import math as _math
 
     import numpy as _np
@@ -305,23 +310,27 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)
     cent = _np.asarray(centroids, dtype=_np.float64)
-    qrows = queries.select(query_id, query_vec).collect()
-    spark = queries.sparkSession
-    probe_rows = []
-    for r in qrows:
-        q = _np.asarray(r[query_vec], dtype=_np.float64)
-        for c in ((cent - q) ** 2).sum(axis=1).argsort()[:n_probe]:
-            probe_rows.append((r[query_id], [float(x) for x in r[query_vec]], int(c)))
-    # the probe schema inherits the caller's id type (string question ids
-    # are as valid as bigint vec ids)
-    from pyspark.sql.types import (
-        ArrayType, DoubleType, IntegerType, StructField, StructType,
-    )
-    probes = spark.createDataFrame(probe_rows, StructType([
-        StructField(query_id, queries.schema[query_id].dataType),
-        StructField(query_vec, ArrayType(DoubleType())),
-        StructField("cell", IntegerType()),
-    ]))
+    n_probe = min(n_probe, len(cent))
+    bc_cent = queries.sparkSession.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        import numpy as np_
+        import pandas as pd_
+        if len(vs) == 0:
+            return pd_.Series([], dtype=object)
+        c = bc_cent.value
+        x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
+        # argmin over ||x-c||² ≡ argmin over (||c||² - 2 x·c): one matmul
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        if n_probe >= d.shape[1]:
+            idx = np_.argsort(d, axis=1)
+        else:
+            idx = np_.argpartition(d, n_probe - 1, axis=1)[:, :n_probe]
+        return pd_.Series([row[:n_probe].tolist() for row in idx.astype("int32")])
+
+    probes = (queries.select(query_id, query_vec)
+              .withColumn("cell", F.explode(_probe_cells(F.col(query_vec)))))
     cand = broadcast(probes).join(cells, on="cell").select(
         query_id, query_vec, id_col, vec_col)
     scored = cand.select(
