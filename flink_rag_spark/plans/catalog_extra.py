@@ -283,6 +283,14 @@ SELECT doc_id, {quality_filter_duck('text')}
 FROM documents
 """
 
+    # mirror of operators.multimodal.frame_sample over synthesized videos:
+    # indices 0, 10, ... up to n_frames-1 where n_frames = len(text)%240+1
+    oracle_frames = """
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, length(text) % 240 + 1 AS n_frames FROM documents) t,
+     UNNEST(range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10)) AS u(i)
+"""
+
     oracle_map_funcs = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
@@ -344,6 +352,8 @@ FROM events
          oracle_stratified, ("curation", "sampling")),
         ("contamination_neardup_overlap", llm.contamination_neardup_overlap,
          oracle_contamination, ("curation", "dedup")),
+        ("video_frame_sample", llm.video_frame_sample,
+         oracle_frames, ("multimodal",)),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

@@ -438,3 +438,22 @@ def contamination_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.when(F.col("ia"), F.col("id_b")).otherwise(F.col("id_a"))
                  .alias("train_id"),
                 "jaccard"))
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing, oracle-checked: synthesize video
+    rows (n_frames derived from document length) and explode every 10th
+    frame index — the pure-SQL shape of video frame sampling at scale
+    (decode of each sampled frame goes through the codec seam)."""
+    from flink_rag_spark.operators.multimodal import frame_sample
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        (F.length("text") % 240 + 1).cast("int").alias("n_frames"))
+    return (frame_sample(media, every_n=10)
+            .select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")))
