@@ -457,3 +457,19 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") % 240 + 1).cast("int").alias("n_frames"))
     return (frame_sample(media, every_n=10)
             .select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")))
+
+
+def dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: LSH->Jaccard near-dup pairs become
+    connected components via iterative min-label propagation; every doc in
+    any near-dup relation gets its group's min-id representative — the
+    survivor assignment that completes the dedup pipeline. The one
+    iterative (driver-coordinated loop) operator in the engine; see
+    operators/graph.py for the at-scale convergence story."""
+    from flink_rag_spark.operators.dedup import jaccard_pairs, lsh_candidate_pairs
+    from flink_rag_spark.operators.graph import connected_components
+    d = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(d, "text", "doc_id")
+    pairs = jaccard_pairs(d, "text", "doc_id", threshold=0.3, candidates=cands)
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "group_rep"))
