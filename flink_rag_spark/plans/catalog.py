@@ -534,6 +534,23 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
 
 
+def _oracle_dedup_groups() -> str:
+    """Transitive closure over the LSH-verified near-dup pairs — DuckDB's
+    recursive CTE reaches every component member, min = the group rep."""
+    return f"""
+WITH RECURSIVE v AS ({_oracle_lsh_verified()}),
+und AS (SELECT id_a AS a, id_b AS b FROM v
+        UNION SELECT id_b, id_a FROM v),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, MIN(b)) AS group_rep
+FROM reach GROUP BY a
+"""
+
+
 _FOLD_SUM = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
              "list_transform(e.embedding, x -> CAST(x AS DOUBLE))), "
              "(s, x) -> s + x)")
@@ -790,7 +807,8 @@ _GRADED: list[QueryDef] = [
     QueryDef("date_orders_monthly", R.date_orders_monthly, ORACLE_MONTHLY, ("scalar", "agg")),
     QueryDef("math_lineitem_features", R.math_lineitem_features,
              ORACLE_MATH, ("scalar", "sort")),
-    QueryDef("json_events_props", R.json_events_props, ORACLE_JSON, ("scalar", "agg")),
+    # json_events_props rotated to the non-graded tail — JSON-function
+    # coverage stays graded via json_map_events (typed from_json + map fns)
     QueryDef("asof_error_last_purchase", R.asof_error_last_purchase, ORACLE_ASOF, ("join", "asof")),
     # similarity (reference A9 generalized, SURVEY.md §2.4; the batch form
     # includes the single-vector case — query_id 0 IS vec0)
@@ -804,6 +822,10 @@ _GRADED: list[QueryDef] = [
     QueryDef("lsh_verified_neardup", llm.lsh_verified_neardup,
              _oracle_lsh_verified(), ("dedup", "pipeline")),
     QueryDef("simhash_neardup", llm.simhash_neardup, _oracle_simhash_pairs(), ("dedup",)),
+    # the dedup pipeline's completion: near-dup pairs → duplicate groups
+    # (iterative connected components, DuckDB recursive-CTE oracle)
+    QueryDef("dedup_group_assignment", llm.dedup_group_assignment,
+             _oracle_dedup_groups(), ("dedup", "graph", "iterative")),
     # text analysis (north star): quality + lang-ID + fingerprints, one scan
     QueryDef("text_features", llm.text_features, _oracle_text_features(), ("text",)),
     # registered-UDF + array-function surface
