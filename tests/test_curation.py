@@ -72,3 +72,36 @@ def test_hash_sample_aligns_across_tables(spark, sf_smoke):
     ka = {r["doc_id"] for r in hash_sample(left, "text", 30).collect()}
     kb = {r["id2"] for r in hash_sample(right, "text", 30).collect()}
     assert ka == kb
+
+
+def test_chunk_properties_match_python_model(spark):
+    """Property sweep: for a grid of (n_tokens, window, stride) the Spark
+    chunking must equal a pure-Python model — count, coverage, content."""
+    import math
+
+    def py_chunks(tokens, window, stride):
+        n_extra = math.ceil(max(len(tokens) - window, 0) / stride)
+        return [" ".join(tokens[i * stride: i * stride + window])
+                for i in range(n_extra + 1)]
+
+    cases = []
+    cid = 0
+    for n in (0, 1, 5, 31, 32, 33, 63, 64, 65, 97, 200):
+        for w, s in ((32, 24), (32, 32), (8, 3), (64, 48)):
+            cases.append((cid, n, w, s))
+            cid += 1
+    for w, s in {(w, s) for _, _, w, s in cases}:
+        rows = [(cid, " ".join(f"t{i}" for i in range(n)))
+                for cid, n, cw, cs in cases if (cw, cs) == (w, s)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in chunk_documents(df, "text", "doc_id",
+                                 window=w, stride=s).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"]))
+        for cid, n, cw, cs in cases:
+            if (cw, cs) != (w, s):
+                continue
+            expected = py_chunks([f"t{i}" for i in range(n)], w, s)
+            chunks = [t for _, t in sorted(got.get(cid, []))]
+            assert chunks == expected, (cid, n, w, s)
