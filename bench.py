@@ -128,6 +128,20 @@ def main() -> None:
     rag_qps_ann = round(n_q / (time.perf_counter() - t0), 1)
     cells.unpersist()
 
+    # curation suite timings (separate section — the headline set stays
+    # identical to round 1 so `value` remains comparable round-over-round)
+    CURATION = ["chunk_documents_overlap", "hash_sampled_documents",
+                "quality_filtered_docs", "stratified_sample_by_lang",
+                "contamination_neardup_overlap", "dedup_group_assignment"]
+    curation_timings: dict[str, float] = {}
+    for name in CURATION:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(fns[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        curation_timings[name] = round(sorted(runs)[1], 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -136,6 +150,7 @@ def main() -> None:
         "queries": timings,
         "queries_min": timings_min,
         "queries_spread": timings_spread,
+        "curation_queries": curation_timings,
         "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
