@@ -4,19 +4,37 @@ resolution (north-star surface; the reference has no notion of dedup).
 Near-dup pairs (LSH→Jaccard, simhash, embedding-cosine) are EDGES; turning
 them into duplicate GROUPS — every doc labeled with its group representative
 — is transitive closure, the one step of the dedup pipeline the DataFrame
-API cannot express in a single plan. It runs as driver-coordinated
-min-label propagation: each round every node takes the minimum label among
-itself and its neighbors (one join + one aggregate per round, both
-shuffle-partitioned on the node id), until a round changes nothing.
+API cannot express in a single plan.
 
-Scale notes: rounds needed = graph diameter. Near-dup graphs are unions of
-near-cliques (docs sharing LSH buckets), so diameter is tiny (2-4) and the
-loop runs a handful of rounds regardless of corpus size. For adversarial
-long-chain graphs the literature's large-star/small-star alternating rounds
-(Kiveris et al., "Connected Components in MapReduce and Beyond") converge
-in O(log n) rounds with the same per-round join shape — the drop-in upgrade
-if diameter ever becomes the bottleneck. Each round persists its result and
-unpersists the previous one, so lineage stays one round deep.
+Strategy is SIZE-ADAPTIVE, the same idea as Spark's broadcast-join
+threshold: the edge set is materialized (it feeds every round anyway), and
+its now-known count picks the plan —
+
+- ``|E| ≤ driver_max_edges``: union-find on the driver. Verified near-dup
+  pairs are RARE relative to the corpus (the expensive part of dedup is
+  finding them, not clustering them): even a corpus with 10⁸ duplicate
+  docs yields edges that fit comfortably in driver memory after the
+  hot-bucket star reduction, and a microsecond-per-edge DSU beats any
+  sequence of distributed rounds by 100×. This is a bounded collect —
+  the threshold caps it exactly like autoBroadcastJoinThreshold caps a
+  broadcast.
+- larger: driver-coordinated min-label propagation. Each round every node
+  takes the minimum label among itself and its neighbors (one join + one
+  aggregate, both shuffle-partitioned on the node id), until a round
+  changes nothing. Convergence detection is FUSED into the round: the
+  new-label select carries a ``_chg`` flag and the round's single action
+  is an aggregate over the persisted new labels — one Spark job per
+  round, no separate old-vs-new comparison join.
+
+Scale notes: distributed rounds needed = graph diameter. Near-dup graphs
+are unions of near-cliques (docs sharing LSH buckets), so diameter is tiny
+(2-4) and the loop runs a handful of rounds regardless of corpus size. For
+adversarial long-chain graphs the literature's large-star/small-star
+alternating rounds (Kiveris et al., "Connected Components in MapReduce and
+Beyond") converge in O(log n) rounds with the same per-round join shape —
+the drop-in upgrade if diameter ever becomes the bottleneck. Each round
+persists its result and unpersists the previous one, so lineage stays one
+round deep.
 """
 
 from __future__ import annotations
@@ -24,34 +42,89 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+#: edge-count ceiling for the driver-side union-find fast path. 1M edges of
+#: two 64-bit ids ≈ 16 MB collected — same order as a default broadcast
+#: join's build side. Set to 0 to force the distributed loop.
+DRIVER_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows) -> list[tuple]:
+    """Union-find with path halving; group_rep = component min id."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller → root IS the min id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return [(n, find(n)) for n in parent]
+
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_max_edges: int = DRIVER_MAX_EDGES) -> DataFrame:
     """(node, group_rep) for every node appearing in ``pairs``; group_rep
     is the component's minimum id — the same deterministic survivor rule
-    as exact_dedup. Raises if not converged within ``max_iter`` rounds
+    as exact_dedup. Small edge sets (≤ ``driver_max_edges``) resolve via
+    driver-side union-find; larger ones via iterative min-label
+    propagation, raising if not converged within ``max_iter`` rounds
     (near-dup graphs converge in ~diameter rounds)."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (edges.union(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("rep", F.col("node")).persist())
+    from pyspark.sql.types import StructField, StructType
+
+    spark = pairs.sparkSession
+    node_type = pairs.schema[id_a].dataType
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("group_rep", node_type)])
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")) \
+               .persist()
+    edges = None
     try:
+        # ONE bounded action decides the strategy AND feeds the fast path:
+        # limit(threshold+1) returns every edge iff there are ≤ threshold,
+        # so a small graph pays a single evaluation of the pair pipeline —
+        # no separate count, no symmetrize/distinct shuffle (union-find
+        # needs neither)
+        head = raw.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            rows = [(r[0], r[1]) for r in head]
+            return spark.createDataFrame(_driver_union_find(rows), out_schema)
+
+        edges = (raw.union(raw.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+                 .distinct().persist())
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("rep", F.col("node")).persist())
         for _ in range(max_iter):
-            nbr_min = (edges.join(labels, edges.src == labels.node)
+            cur = labels.select("node", "rep")
+            nbr_min = (edges.join(cur, edges.src == cur.node)
                        .groupBy(F.col("dst").alias("node"))
                        .agg(F.min("rep").alias("nbr_rep")))
-            new_labels = (labels.join(nbr_min, on="node", how="left")
+            # one select computes BOTH the new label and the changed flag —
+            # convergence costs no extra join and no extra job
+            new_labels = (cur.join(nbr_min, on="node", how="left")
                           .select("node",
                                   F.least(F.col("rep"),
                                           F.coalesce("nbr_rep", "rep"))
-                                   .alias("rep"))
+                                   .alias("rep"),
+                                  (F.coalesce("nbr_rep", F.col("rep"))
+                                   < F.col("rep")).cast("int").alias("_chg"))
                           .persist())
-            changed = (labels.withColumnRenamed("rep", "old_rep")
-                       .join(new_labels, on="node")
-                       .filter(F.col("old_rep") != F.col("rep")).count())
+            changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -60,4 +133,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"connected_components did not converge in {max_iter} rounds — "
             "pathological graph diameter; switch to large-star/small-star")
     finally:
-        edges.unpersist()
+        raw.unpersist()
+        if edges is not None:
+            edges.unpersist()

@@ -81,20 +81,24 @@ def test_simhash_pairs_only_near_duplicates(spark, sf_smoke):
 
 
 def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation: a 6-node chain (diameter 5 — worst case per
-    edge count), a triangle, and an isolated pair must resolve to three
-    components labeled by their min ids."""
+    """A 6-node chain (diameter 5 — worst case per edge count), a triangle,
+    and an isolated pair must resolve to three components labeled by their
+    min ids — under BOTH strategies (driver union-find and the distributed
+    min-label loop, forced via driver_max_edges=0)."""
     from flink_rag_spark.operators.graph import connected_components
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),      # chain
          (10, 11), (11, 12), (10, 12),                # triangle
          (20, 21)],                                   # pair
         "id_a long, id_b long")
-    got = {(r["node"], r["group_rep"])
-           for r in connected_components(pairs).collect()}
-    assert got == ({(n, 1) for n in range(1, 7)}
-                   | {(n, 10) for n in (10, 11, 12)}
-                   | {(20, 20), (21, 20)})
+    want = ({(n, 1) for n in range(1, 7)}
+            | {(n, 10) for n in (10, 11, 12)}
+            | {(20, 20), (21, 20)})
+    for driver_max in (0, 10 ** 6):
+        got = {(r["node"], r["group_rep"])
+               for r in connected_components(
+                   pairs, driver_max_edges=driver_max).collect()}
+        assert got == want, f"driver_max_edges={driver_max}"
 
 
 def test_connected_components_raises_without_convergence(spark):
@@ -103,7 +107,7 @@ def test_connected_components_raises_without_convergence(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2)
+        connected_components(pairs, max_iter=2, driver_max_edges=0)
 
 
 def _identical_docs(spark, n):
