@@ -66,6 +66,21 @@ class EngineConfig:
     ann_num_tables: int = 4            # independent LSH tables (recall lever)
     ivf_n_centroids: int = 64          # IVF coarse-quantizer cells
     ivf_n_probe: int = 16              # cells probed per query (recall lever)
+    ivf_probe_frac: float = 0.25       # probe budget as a fraction of cells:
+    #                                    THE recall/throughput knob — raise it
+    #                                    toward 1.0 to approach exact recall,
+    #                                    lower it for throughput (floor stays
+    #                                    ivf_n_probe). 0.25 measures ≥7/10
+    #                                    recall on the weak-similarity corpus.
+    max_driver_queries: int = 8192     # query batches up to this size take the
+    #                                    driver-probe + fused-scorer k-NN path
+    #                                    (one bounded collect, like a broadcast
+    #                                    build side); larger batches stay fully
+    #                                    distributed
+    partial_topk_min_rows: int = 100_000  # corpus-row estimate above which the
+    #                                    map-side partial top-k pays for its
+    #                                    Arrow pass (below it, the ranking
+    #                                    window's shuffle is already tiny)
     # deterministic seeds for all hashing — never wall-clock derived
     seed: int = 42
 

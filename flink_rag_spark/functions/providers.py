@@ -50,12 +50,24 @@ class LocalDeterministicProvider(Provider):
                  seed: int = DEFAULT_CONFIG.seed):
         self.dims = dims
         self.seed = seed
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __getstate__(self):
+        # the token cache is a pure memo — never ship it to executors
+        state = self.__dict__.copy()
+        state["_cache"] = {}
+        return state
 
     def _token_vec(self, token: str) -> np.ndarray:
-        h = hashlib.md5(f"{self.seed}:{token}".encode()).digest()
-        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
-        v = rng.standard_normal(self.dims)
-        return v / np.linalg.norm(v)
+        v = self._cache.get(token)
+        if v is None:
+            h = hashlib.md5(f"{self.seed}:{token}".encode()).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+            v = rng.standard_normal(self.dims)
+            v /= np.linalg.norm(v)
+            if len(self._cache) < 1_000_000:  # bound executor memory
+                self._cache[token] = v
+        return v
 
     def embed_one(self, text: str) -> list[float]:
         toks = text.lower().split()

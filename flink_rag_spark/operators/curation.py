@@ -42,10 +42,13 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     starts at the first stride-multiple covering the tail, so every token
     appears in ≥1 chunk and consecutive chunks overlap by window - stride
     tokens. Whitespace tokenization; chunks re-join with single spaces.
+    NULL text behaves like empty text — one empty chunk — so no document
+    ever silently disappears from the chunked output (split(NULL) is NULL
+    and posexplode of NULL emits nothing; the coalesce prevents that).
     ``carry_cols`` ride along unchanged (streaming callers use this instead
     of a join-back, which would be a stream-stream self-join)."""
     assert 0 < stride <= window, "stride must be in (0, window]"
-    toks = f"split(trim({text_col}), '\\\\s+')"
+    toks = f"split(trim(coalesce({text_col}, '')), '\\\\s+')"
     n_extra = f"CAST(ceil(greatest(size({toks}) - {window}, 0) / {stride}) AS INT)"
     chunks = (f"transform(sequence(0, {n_extra}), "
               f"i -> slice({toks}, i * {stride} + 1, {window}))")

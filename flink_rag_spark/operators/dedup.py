@@ -135,15 +135,24 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     headers, templated pages). Buckets larger than ``max_bucket_size``
     (default ``cfg.lsh_max_bucket``) switch from the all-pairs self-join to
     a STAR reduction: every member pairs with the bucket's min-id
-    representative — O(B) pairs instead of O(B²). Nothing is dropped: every
-    hot-bucket member still appears in ≥1 candidate pair, and any
-    transitive duplicate-group clustering (union-find / connected
-    components over the pairs) produces identical groups, because the star
-    keeps the bucket connected. Only the non-transitive reading changes:
-    member↔member pairs of a hot bucket are represented through the rep
-    instead of directly. Bucket sizes are observable via
-    ``lsh_bucket_stats`` — the guard is a documented strategy switch, not a
-    silent truncation.
+    representative — O(B) pairs instead of O(B²). Every hot-bucket member
+    still appears in ≥1 candidate pair, and clustering run DIRECTLY on the
+    candidate pairs (union-find / connected components) produces identical
+    groups, because the star keeps the bucket connected.
+
+    Two readings DO change when a bucket trips the guard: (1) the
+    non-transitive one — member↔member pairs of a hot bucket are
+    represented through the rep instead of directly; (2) pipelines that
+    insert a similarity VERIFY between candidates and clustering (e.g.
+    ``jaccard_pairs(candidates=...)`` at a threshold, as
+    dedup-group-assignment and decontamination do): a member↔member edge
+    with jaccard ≥ t can be lost when jaccard(rep, member) < t, splitting
+    a group the all-pairs path would keep. In practice hot buckets are
+    boilerplate/empty-doc clusters whose members are near-identical to the
+    rep, but when that guarantee matters, verify star edges at a lower
+    threshold or raise ``max_bucket_size``. Bucket sizes are observable
+    via ``lsh_bucket_stats`` — the guard is a documented strategy switch,
+    not a silent truncation.
     """
     if max_bucket_size is None:
         max_bucket_size = cfg.lsh_max_bucket

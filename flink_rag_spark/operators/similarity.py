@@ -27,22 +27,54 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import LongType, StringType
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
+from flink_rag_spark.operators.util import estimated_scan_rows
 from flink_rag_spark.operators.util import widen_if_narrow as _widen_if_narrow
+
+# above this dimensionality the single-query literal-expression path would
+# inline thousands of CAST literals into one expression tree (codegen
+# blowup at the reference's 1536 dims, EmbeddingConfig.java:5) — switch to
+# an Arrow-batched numpy dot against a broadcast query vector instead
+HIGH_DIM_LITERAL_MAX = 512
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 min_score: float = 0.0, vec_col: str = "embedding",
                 id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k of one query vector. Deterministic tie-break on id
-    (FIXTURES.md §C). Returns (id, score, rank)."""
-    qlit = "array(" + ", ".join(f"CAST({float(x)} AS DOUBLE)" for x in query_vec) + ")"
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(F.expr(cosine_expr(vec_col, qlit)), ROUND_DP).alias("score"),
-    )
+    (FIXTURES.md §C). Returns (id, score, rank).
+
+    Low dims (≤ HIGH_DIM_LITERAL_MAX): the query is a literal array and the
+    cosine runs as a Catalyst HOF expression — no Python in the plan, and
+    the exact arithmetic the DuckDB oracle mirrors. High dims: the query
+    ships once per executor via sparkContext.broadcast and each Arrow batch
+    is one numpy matvec — same rounded scores, no giant literal tree."""
+    if len(query_vec) > HIGH_DIM_LITERAL_MAX:
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        bc = embeddings.sparkSession.sparkContext.broadcast(
+            q / (qn if qn > 0 else 1.0))
+
+        @F.pandas_udf("double")
+        def _cos(vs: pd.Series) -> pd.Series:
+            import numpy as np_
+            import pandas as pd_
+            if len(vs) == 0:
+                return pd_.Series([], dtype="float64")
+            x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
+            n = np_.linalg.norm(x, axis=1)
+            n[n == 0] = 1.0
+            return pd_.Series((x @ bc.value) / n)
+
+        score = F.round(_cos(F.col(vec_col)), ROUND_DP)
+    else:
+        qlit = "array(" + ", ".join(
+            f"CAST({float(x)} AS DOUBLE)" for x in query_vec) + ")"
+        score = F.round(F.expr(cosine_expr(vec_col, qlit)), ROUND_DP)
+    scored = embeddings.select(F.col(id_col), score.alias("score"))
     if min_score > 0.0:  # reference uses 0.0 → keep-all (RAG.java:54)
         scored = scored.filter(F.col("score") >= min_score)
     topk = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
@@ -83,15 +115,22 @@ def _partition_topk(scored: DataFrame, query_id: str, id_col: str,
 def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
              query_id: str = "query_id", query_vec: str = "query_vec",
              vec_col: str = "embedding", id_col: str = "vec_id",
-             min_score: float = 0.0) -> DataFrame:
+             min_score: float = 0.0, partial_topk: bool | None = None,
+             cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Exact k-NN for every row of `queries` (assumed small → broadcast).
 
     The cross join is broadcast-nested-loop with the QUERY side broadcast:
-    the embeddings table is scanned once, never shuffled. A per-partition
-    partial top-k (``_partition_topk``) then cuts each partition to ≤ k rows
-    per query, so the per-query ranking window shuffles |Q| × k × partitions
-    rows — NOT |Q| × |E| — making the exact path itself scale-safe. For
-    query sets too large to broadcast use ann_knn_join instead.
+    the embeddings table is scanned once, never shuffled. On large corpora a
+    per-partition partial top-k (``_partition_topk``) then cuts each
+    partition to ≤ k rows per query, so the per-query ranking window
+    shuffles |Q| × k × partitions rows — NOT |Q| × |E| — making the exact
+    path itself scale-safe. The combine is SIZE-GATED (parquet-footer row
+    estimate vs ``cfg.partial_topk_min_rows``): on a corpus small enough
+    that the window's input is already tiny, shipping every scored row
+    through an Arrow pass costs more than the shuffle it saves; unknown
+    sizes assume large. ``partial_topk=True/False`` overrides the estimate.
+    Either way the result is bit-identical. For query sets too large to
+    broadcast use ann_knn_join instead.
     """
     scored = _widen_if_narrow(embeddings).crossJoin(broadcast(queries)).select(
         F.col(query_id),
@@ -100,7 +139,11 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     )
     if min_score > 0.0:
         scored = scored.filter(F.col("score") >= min_score)
-    scored = _partition_topk(scored, query_id, id_col, k)
+    if partial_topk is None:
+        est = estimated_scan_rows(embeddings)
+        partial_topk = est is None or est >= cfg.partial_topk_min_rows
+    if partial_topk:
+        scored = _partition_topk(scored, query_id, id_col, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -262,81 +305,205 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
+def _nearest_cells(Q: "np.ndarray", cent: "np.ndarray",
+                   n_probe: int) -> "np.ndarray":
+    """(|Q|, n_probe) nearest-centroid ids per query, deterministic
+    (ties broken by cell id via stable sort)."""
+    d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (Q @ cent.T)
+    return np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+
+
+def _fused_probe_topk(cand: DataFrame, qids: list, Qn: "np.ndarray",
+                      cell2q: dict, k: int, query_id: str, id_col: str,
+                      vec_col: str, qid_type, id_type) -> DataFrame:
+    """Score + per-partition top-k for a driver-known query set in ONE
+    narrow Arrow pass over the probed cells: each batch is a single numpy
+    matmul per (cell × its probing queries), candidates never materialize
+    as rows, and each task emits ≤ k rows per query. The tiny result then
+    takes the usual ranking window."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([StructField(query_id, qid_type),
+                             StructField(id_col, id_type),
+                             StructField("score", DoubleType())])
+    bc = cand.sparkSession.sparkContext.broadcast((qids, Qn, cell2q))
+
+    def score_iter(batches):
+        import numpy as np_
+        import pandas as pd_
+        qids_, Qn_, c2q = bc.value
+        acc_s: dict[int, list] = {}
+        acc_i: dict[int, list] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            cells_arr = b["cell"].to_numpy()
+            ids = b[id_col].to_numpy()
+            x = np_.asarray([np_.asarray(v, dtype=np_.float64)
+                             for v in b[vec_col]])
+            n = np_.linalg.norm(x, axis=1)
+            n[n == 0] = 1.0
+            xn = x / n[:, None]
+            for c in np_.unique(cells_arr):
+                qidx = c2q.get(int(c))
+                if qidx is None:
+                    continue
+                mask = cells_arr == c
+                s = np_.round(xn[mask] @ Qn_[qidx].T, ROUND_DP)
+                ids_c = ids[mask]
+                # per-query top-k by (score desc, id asc): stable sort by
+                # id first, then stable sort by -score — works for any
+                # orderable id dtype (ints, strings)
+                by_id = np_.argsort(ids_c, kind="stable")
+                for j, qi in enumerate(qidx):
+                    sj = s[by_id, j]
+                    sel = by_id[np_.argsort(-sj, kind="stable")[:k]]
+                    acc_s.setdefault(int(qi), []).append(s[sel, j])
+                    acc_i.setdefault(int(qi), []).append(ids_c[sel])
+        if not acc_s:
+            return
+        out_q, out_i, out_s = [], [], []
+        for qi, chunks in acc_s.items():
+            s_all = np_.concatenate(chunks)
+            i_all = np_.concatenate(acc_i[qi])
+            by_id = np_.argsort(i_all, kind="stable")
+            sel = by_id[np_.argsort(-s_all[by_id], kind="stable")[:k]]
+            out_q.extend([qids_[qi]] * len(sel))
+            out_i.extend(i_all[sel].tolist())
+            out_s.extend(s_all[sel].tolist())
+        yield pd_.DataFrame({query_id: out_q, id_col: out_i, "score": out_s})
+
+    return cand.mapInPandas(score_iter, schema=out_schema)
+
+
 def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
                  query_id: str = "query_id", query_vec: str = "query_vec",
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  cfg: EngineConfig = DEFAULT_CONFIG,
                  centroids: list[list[float]] | None = None,
-                 cells: DataFrame | None = None) -> DataFrame:
+                 cells: DataFrame | None = None,
+                 n_probe: int | None = None,
+                 driver_queries: tuple[list, "np.ndarray"] | None = None
+                 ) -> DataFrame:
     """Approximate k-NN for a query batch via IVF: probe the n_probe nearest
     cells per query, exact re-rank inside.
 
-    Measured on the test corpus (64-dim hash-projection embeddings):
-    in-corpus query vectors recall 7-10/10 at a few % of vectors touched;
-    out-of-corpus question vectors (weak-similarity regime — neighbor
-    cosines barely above background) recall 3-8/10 at ~25% touched, ~3.5×
-    the exact path's throughput. Raise n_probe toward n_centroids to trade
-    throughput back for recall; the exact operators remain the correctness
+    The probe budget is the RECALL knob: ``n_probe`` defaults to
+    ``max(cfg.ivf_n_probe, cfg.ivf_probe_frac × n_cells)`` — a fraction of
+    the cell count rather than a hardcoded constant, so inline and
+    prebuilt-index calls see the same recall and callers tune
+    recall↔throughput with one config value (measured ≥7/10 recall at the
+    default 0.25 on the weak-similarity test corpus; raise toward 1.0 to
+    approach exact recall). The exact operators remain the correctness
     path.
 
-    Probes are computed DISTRIBUTED: the centroid matrix ships once per
-    executor via sparkContext.broadcast and a pandas UDF emits each query's
-    n_probe nearest cells (one matmul per Arrow batch) — no query row ever
-    touches the driver (the old driver-side probe loop collected the whole
-    query side). The (query, cell) pairs then equi-join the cell-assigned
-    corpus: shuffle volume is candidates, never |Q|×|E|. The probe side
-    still carries this operator's contract that queries are the
-    executor-broadcastable side; for query batches too big for that, drop
-    the hint (AQE picks the join) or use ann_knn_join. Pass persisted
-    `cells` (+ matching `centroids`) to skip re-assignment — the at-scale
-    shape where the cell index is a partitioned table."""
+    Two executions by query-batch size (cfg.max_driver_queries — a bounded
+    collect, the same contract as a broadcast build side):
+
+    - SMALL batches (the RAG shape: queries are broadcast-sized by this
+      operator's contract): query vectors are collected once, probes are a
+      single driver-side numpy matmul, and scoring + per-partition top-k
+      run FUSED in one Arrow pass over only the probed cells
+      (``_fused_probe_topk``) — no per-candidate-row join, no interpreted
+      HOF cosine, no separate combine pass. On a persisted index the
+      ``cell IN (probes)`` filter prunes partition directories at the scan.
+    - LARGE batches: probes are computed distributed (broadcast centroid
+      matrix + pandas UDF), the (query, cell) pairs equi-join the
+      cell-assigned corpus, and the per-candidate scoring feeds the
+      map-side partial top-k — shuffle volume is candidates, never
+      |Q|×|E|.
+
+    Pass persisted `cells` (+ matching `centroids`) to skip re-assignment —
+    the at-scale shape where the cell index is a partitioned table.
+
+    ``driver_queries=(qids, Q)``: callers that already hold the query
+    vectors on the driver (e.g. the RAG plan, which embeds a driver-side
+    question list with the same provider the UDF path uses) can pass them
+    directly — a collect whose only purpose is to round-trip ~1000 array
+    rows through the JVM costs ~1 s of pure serialization. ``queries``
+    may then be None; qid dtype is inferred from the ids (int→long,
+    else string)."""
     import math as _math
 
-    import numpy as _np
     if centroids is None:
         # adaptive geometry: ~sqrt(N) cells (balances cell size vs probe
-        # count) — measured recall ≥7/10 on both sf0.01 and sf0.1 with
-        # candidates ≈ 25% of vectors; tighten n_probe for throughput once
-        # the embedding space is cosine-concentrated
+        # count); tighten ivf_probe_frac for throughput once the embedding
+        # space is cosine-concentrated
         n = embeddings.count()
         n_cent = min(1024, max(cfg.ivf_n_centroids, int(_math.sqrt(n))))
         centroids = ivf_centroids(embeddings, n_centroids=n_cent,
                                   vec_col=vec_col, cfg=cfg)
-    # probe a quarter of the cells (whatever their count), floor at the
-    # configured minimum — keeps recall consistent between inline and
-    # prebuilt-index calls
-    n_probe = max(cfg.ivf_n_probe, len(centroids) // 4)
+    cent = np.asarray(centroids, dtype=np.float64)
+    if n_probe is None:
+        n_probe = max(cfg.ivf_n_probe,
+                      int(round(len(centroids) * cfg.ivf_probe_frac)))
+    n_probe = min(n_probe, len(cent))
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)
-    cent = _np.asarray(centroids, dtype=_np.float64)
-    n_probe = min(n_probe, len(cent))
-    bc_cent = queries.sparkSession.sparkContext.broadcast(cent)
 
-    @F.pandas_udf("array<int>")
-    def _probe_cells(vs: pd.Series) -> pd.Series:
-        import numpy as np_
-        import pandas as pd_
-        if len(vs) == 0:
-            return pd_.Series([], dtype=object)
-        c = bc_cent.value
-        x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
-        # argmin over ||x-c||² ≡ argmin over (||c||² - 2 x·c): one matmul
-        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
-        if n_probe >= d.shape[1]:
-            idx = np_.argsort(d, axis=1)
-        else:
-            idx = np_.argpartition(d, n_probe - 1, axis=1)[:, :n_probe]
-        return pd_.Series([row[:n_probe].tolist() for row in idx.astype("int32")])
+    # bounded probe of the query side: all rows iff |Q| ≤ max_driver_queries
+    if driver_queries is not None:
+        qids = list(driver_queries[0])
+        Q = np.asarray(driver_queries[1], dtype=np.float64)
+        qid_type = (LongType() if not qids
+                    or isinstance(qids[0], (int, np.integer))
+                    else StringType())
+        small = True
+    else:
+        head = queries.select(query_id, query_vec) \
+                      .limit(cfg.max_driver_queries + 1).collect()
+        small = len(head) <= cfg.max_driver_queries
+        if small:
+            qids = [r[0] for r in head]
+            Q = np.asarray([np.asarray(r[1], dtype=np.float64)
+                            for r in head]) \
+                if head else np.zeros((0, cent.shape[1]))
+            qid_type = queries.schema[query_id].dataType
+    if small:
+        qn = np.linalg.norm(Q, axis=1) if len(Q) else np.zeros(0)
+        qn[qn == 0] = 1.0
+        Qn = Q / qn[:, None] if len(Q) else Q
+        probes = _nearest_cells(Q, cent, n_probe) if len(Q) else []
+        cell2q: dict[int, "np.ndarray"] = {}
+        for qi, row in enumerate(probes):
+            for c in row:
+                cell2q.setdefault(int(c), []).append(qi)
+        cell2q = {c: np.asarray(v) for c, v in cell2q.items()}
+        cand = (cells.filter(F.col("cell").isin(sorted(cell2q)))
+                .select(F.col(id_col), F.col(vec_col), F.col("cell")))
+        id_type = cells.schema[id_col].dataType
+        scored = _fused_probe_topk(cand, qids, Qn, cell2q, k, query_id,
+                                   id_col, vec_col, qid_type, id_type)
+    else:
+        bc_cent = queries.sparkSession.sparkContext.broadcast(cent)
 
-    probes = (queries.select(query_id, query_vec)
-              .withColumn("cell", F.explode(_probe_cells(F.col(query_vec)))))
-    cand = broadcast(probes).join(cells, on="cell").select(
-        query_id, query_vec, id_col, vec_col)
-    scored = cand.select(
-        F.col(query_id), F.col(id_col),
-        F.round(F.expr(cosine_expr(vec_col, query_vec)), ROUND_DP).alias("score"))
-    scored = _partition_topk(scored, query_id, id_col, k)
+        @F.pandas_udf("array<int>")
+        def _probe_cells(vs: pd.Series) -> pd.Series:
+            import numpy as np_
+            import pandas as pd_
+            if len(vs) == 0:
+                return pd_.Series([], dtype=object)
+            c = bc_cent.value
+            x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
+            # argmin over ||x-c||² ≡ argmin over (||c||² - 2 x·c): one matmul
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            if n_probe >= d.shape[1]:
+                idx = np_.argsort(d, axis=1)
+            else:
+                idx = np_.argpartition(d, n_probe - 1, axis=1)[:, :n_probe]
+            return pd_.Series(
+                [row[:n_probe].tolist() for row in idx.astype("int32")])
+
+        probes = (queries.select(query_id, query_vec)
+                  .withColumn("cell", F.explode(_probe_cells(F.col(query_vec)))))
+        cand = probes.join(cells, on="cell").select(
+            query_id, query_vec, id_col, vec_col)
+        scored = cand.select(
+            F.col(query_id), F.col(id_col),
+            F.round(F.expr(cosine_expr(vec_col, query_vec)),
+                    ROUND_DP).alias("score"))
+        scored = _partition_topk(scored, query_id, id_col, k)
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -42,6 +42,32 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return est
 
 
+def estimated_scan_rows(df: DataFrame) -> int | None:
+    """Row-count estimate for a scan-backed frame from parquet FOOTERS —
+    no Spark job. Drives size-adaptive plan choices (e.g. whether a
+    map-side partial top-k pays for itself). Returns None when the input
+    isn't local parquet files (in-memory frames, other formats, remote
+    storage) — callers must treat None as 'assume large' so the
+    scale-safe plan is the fallback, never the exception."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+        for f in files:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            if not (os.path.isfile(path) and path.endswith(".parquet")):
+                return None
+            total += pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     scan yields fewer partitions than cores.

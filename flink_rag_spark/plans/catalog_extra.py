@@ -211,7 +211,7 @@ FROM events
 SELECT doc_id, i AS chunk_id,
        array_to_string(toks[i*{S}+1 : i*{S}+{W}], ' ') AS chunk_text,
        CAST(len(toks[i*{S}+1 : i*{S}+{W}]) AS BIGINT) AS chunk_tokens
-FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+FROM (SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
       FROM documents) t,
      UNNEST(range(0, CAST(ceil(greatest(len(toks) - {W}, 0) / {S}) AS BIGINT)
                       + 1)) AS u(i)

@@ -98,6 +98,7 @@ def rag_answer(spark: SparkSession, sf_dir: str,
             "What is the capital of France?",       # README.md:258 freshness q
             "How do I sort a big table fast?",
         ]
+    question_texts = questions if isinstance(questions, list) else None
     if isinstance(questions, list):
         questions = spark.createDataFrame(
             [(i, q) for i, q in enumerate(questions)], "question_id long, question string")
@@ -120,9 +121,26 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         # index construction across calls, as any ANN deployment does.
         from flink_rag_spark.operators.similarity import ivf_knn_join
         cents, cells = ann_index if ann_index else (None, None)
+        driver_q = None
+        if (question_texts is not None
+                and len(question_texts) <= cfg.max_driver_queries):
+            # IVF probing needs the query vectors ON THE DRIVER anyway
+            # (ivf_knn_join's bounded collect). When the questions arrived
+            # as a driver-side list — the reference's shape, one question
+            # per record (RAG.java:47) — embed them here with the SAME
+            # provider and hand the matrix straight to the probe: the
+            # alternative (createDataFrame → collect) spends ~1 s pure
+            # JVM serialization on 1000 array rows. The float32 round-trip
+            # reproduces the embed UDF's array<float> quantization exactly.
+            import numpy as _np  # noqa: PLC0415
+            import pandas as _pd  # noqa: PLC0415
+            vecs = provider.embed_batch(_pd.Series(question_texts))
+            Q = _np.asarray(list(vecs), dtype=_np.float32).astype(_np.float64)
+            driver_q = (list(range(len(question_texts))), Q)
         hits = ivf_knn_join(q_side, emb, k=cfg.retrieval_k,
                             query_id="question_id", cfg=cfg,
-                            centroids=cents, cells=cells)
+                            centroids=cents, cells=cells,
+                            driver_queries=driver_q)
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,
                         query_id="question_id", min_score=cfg.min_score)

@@ -79,8 +79,16 @@ def chunk_stream(stream: DataFrame,
         base.select("_parent_id", "_base_meta", F.col("value")),
         "value", "_parent_id", window=window, stride=stride,
         carry_cols=("_base_meta",))
+    # strip the reserved provenance keys from the incoming map first:
+    # map_concat throws under Spark's default mapKeyDedupPolicy=EXCEPTION
+    # on duplicate keys, so re-ingesting an already-chunked store (whose
+    # metadata already carries parent_id/chunk_id/chunk_tokens) would
+    # otherwise fail the whole micro-batch
+    reserved = "array('parent_id', 'chunk_id', 'chunk_tokens')"
+    cleaned = F.expr(
+        f"map_filter(_base_meta, (k, v) -> NOT array_contains({reserved}, k))")
     meta = F.map_concat(
-        F.col("_base_meta"),
+        cleaned,
         F.create_map(
             F.lit("parent_id"), F.col("_parent_id").cast("string"),
             F.lit("chunk_id"), F.col("chunk_id").cast("string"),
@@ -109,17 +117,29 @@ def migrate_flat_store(spark: SparkSession, store_path: str,
     """One-time rewrite of a pre-bucketing (round-1 flat) store into the
     bucketed layout, filling a missing ``metadata`` column with empty maps.
     Write-then-swap like operators.maintenance.compact_store, so readers
-    never see a hybrid flat+partitioned directory (Spark cannot read one)."""
+    never see a hybrid flat+partitioned directory (Spark cannot read one).
+
+    Crash-safe on re-entry: a retry after a failure mid-swap first restores
+    the store from ``.migrate.old`` (the only window where the store path
+    is missing) and clears any stale ``.migrate.tmp``, so the migration is
+    idempotent. The swap uses os.rename and therefore assumes a LOCAL (or
+    POSIX-mounted) filesystem — on object stores, run the equivalent
+    rewrite with your store's atomic-commit primitive instead."""
     import os
     import shutil
+    tmp = store_path.rstrip("/") + ".migrate.tmp"
+    old = store_path.rstrip("/") + ".migrate.old"
+    if os.path.exists(old) and not os.path.exists(store_path):
+        os.rename(old, store_path)  # crashed between the two renames
+    for stale in (tmp, old):  # leftovers from an earlier failed attempt
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     flat = spark.read.parquet(store_path)
     meta = (F.col("metadata") if "metadata" in flat.columns
             else F.expr("map()").cast("map<string,string>"))
-    tmp = store_path.rstrip("/") + ".migrate.tmp"
     (flat.select("vec_id", "text", "embedding", meta.alias("metadata"))
      .withColumn("bucket", _bucket_col(buckets=buckets))
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-    old = store_path.rstrip("/") + ".migrate.old"
     os.rename(store_path, old)
     os.rename(tmp, store_path)
     shutil.rmtree(old)

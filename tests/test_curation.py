@@ -32,16 +32,18 @@ def test_chunk_covers_every_token_with_overlap(spark):
 
 
 def test_chunk_short_and_empty_docs(spark):
-    rows = [(1, "only three tokens"), (2, ""), (3, "   ")]
+    rows = [(1, "only three tokens"), (2, ""), (3, "   "), (4, None)]
     chunks = chunk_documents(_docs(spark, rows), "text", "doc_id",
                              window=32, stride=24).collect()
     by_doc = {}
     for r in chunks:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # every doc yields exactly one chunk; empty text yields one empty chunk
-    assert {k: len(v) for k, v in by_doc.items()} == {1: 1, 2: 1, 3: 1}
+    # every doc yields exactly one chunk; empty AND NULL text yield one
+    # empty chunk — no document ever silently disappears (ADVICE r3)
+    assert {k: len(v) for k, v in by_doc.items()} == {1: 1, 2: 1, 3: 1, 4: 1}
     assert by_doc[1][0]["chunk_text"] == "only three tokens"
     assert by_doc[2][0]["chunk_text"] == ""
+    assert by_doc[4][0]["chunk_text"] == ""
 
 
 def test_hash_sample_is_layout_independent(spark, sf_smoke):

@@ -167,6 +167,70 @@ def test_ivf_knn_join_string_query_ids(spark, sf_oracle):
     assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
 
 
+def test_cosine_topk_high_dim_paths_agree(spark):
+    """Above HIGH_DIM_LITERAL_MAX the single-query exact path swaps the
+    literal-array HOF expression for a broadcast numpy dot. Both paths must
+    produce identical rounded scores, and the high-dim plan must be free of
+    the giant CAST-literal tree (the VERDICT item: 1536 literals at the
+    reference's dimensionality)."""
+    import numpy as np
+
+    from flink_rag_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    dims, n = 600, 50
+    rows = [(i, [float(x) for x in rng.standard_normal(dims)])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = [float(x) for x in rng.standard_normal(dims)]
+
+    high = cosine_topk(emb, qv, 10)
+    plan = high._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("CAST") < dims // 2, "literal tree leaked into plan"
+    # force the literal path for the same data by raising the threshold
+    old = sim.HIGH_DIM_LITERAL_MAX
+    sim.HIGH_DIM_LITERAL_MAX = 10_000
+    try:
+        low = cosine_topk(emb, qv, 10)
+        assert ([(r["vec_id"], r["score"]) for r in high.collect()]
+                == [(r["vec_id"], r["score"]) for r in low.collect()])
+    finally:
+        sim.HIGH_DIM_LITERAL_MAX = old
+
+
+def test_ivf_knn_join_driver_queries_parity(spark, sf_oracle):
+    """Passing (qids, Q) driver-side must give exactly the DataFrame-query
+    result — same probes, same scores — it only skips the collect."""
+    import numpy as np
+
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    cents = ivf_centroids(emb, n_centroids=16)
+    via_df = ivf_knn_join(q, emb, k=5, centroids=cents)
+    qrows = q.collect()
+    Q = np.asarray([r["query_vec"] for r in qrows], dtype=np.float64)
+    via_driver = ivf_knn_join(None, emb, k=5, centroids=cents,
+                              driver_queries=([r["query_id"] for r in qrows], Q))
+    a = sorted(map(tuple, via_df.collect()))
+    b = sorted(map(tuple, via_driver.collect()))
+    assert a == b and len(a) == 20
+
+
+def test_estimated_scan_rows(spark, sf_oracle):
+    """Parquet-footer row estimate: exact for file scans, None (assume
+    large) for in-memory frames — the partial-top-k gate's contract."""
+    from flink_rag_spark.operators.util import estimated_scan_rows
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    assert estimated_scan_rows(emb) == emb.count()
+    local = spark.createDataFrame([(1,)], "x long")
+    assert estimated_scan_rows(local) is None
+
+
 def test_embedder_similarity_sanity(spark):
     """The deterministic embedder puts token-overlapping texts closer than
     disjoint ones — the property the freshness scenario depends on."""

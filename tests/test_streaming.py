@@ -213,6 +213,53 @@ def test_chunked_ingest_stores_one_vector_per_chunk(spark, tmp_path):
     assert load_store(spark, store).count() == expect_chunks
 
 
+def test_chunk_stream_reingest_reserved_keys(spark):
+    """Re-ingesting an already-chunked store (metadata already carries the
+    provenance keys) must not throw under mapKeyDedupPolicy=EXCEPTION: the
+    incoming reserved keys are stripped and replaced with THIS pass's
+    provenance, while foreign keys survive (ADVICE r3)."""
+    from flink_rag_spark.streaming.ingest import chunk_stream
+    src = spark.createDataFrame(
+        [("some previously chunked text",)], "value string"
+    ).withColumn("metadata", F.create_map(
+        F.lit("parent_id"), F.lit("stale"),
+        F.lit("chunk_id"), F.lit("99"),
+        F.lit("origin"), F.lit("first-pass")))
+    rows = chunk_stream(src).collect()
+    assert len(rows) == 1
+    meta = rows[0]["metadata"]
+    assert meta["origin"] == "first-pass"          # foreign key survives
+    assert meta["chunk_id"] == "0"                 # fresh provenance wins
+    assert meta["parent_id"] != "stale"
+
+
+def test_migrate_flat_store_crash_recovery(spark, tmp_path):
+    """A migration retry after a crash mid-swap must self-heal: restore the
+    store from .migrate.old when the store path is missing, clear stale
+    .migrate.tmp, and complete (ADVICE r3)."""
+    import os
+    from flink_rag_spark.streaming.ingest import (
+        load_store,
+        migrate_flat_store,
+    )
+    store = str(tmp_path / "crashy")
+    flat = spark.createDataFrame(
+        [(i, f"doc {i}", [0.5, 0.5]) for i in range(12)],
+        "vec_id long, text string, embedding array<float>")
+    flat.write.parquet(store)
+    # simulate the worst crash window: store renamed away, tmp half-written
+    os.rename(store, store + ".migrate.old")
+    os.makedirs(store + ".migrate.tmp")
+    with open(store + ".migrate.tmp/garbage", "w") as f:
+        f.write("partial write")
+    migrate_flat_store(spark, store)
+    got = load_store(spark, store)
+    assert got.count() == 12
+    assert "bucket" in spark.read.parquet(store).columns
+    assert not os.path.exists(store + ".migrate.old")
+    assert not os.path.exists(store + ".migrate.tmp")
+
+
 def test_tumbling_matches_batch(spark, sf_smoke, events_stream_dir, tmp_path):
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_stream_dir)
     result = tumbling_counts(stream)
