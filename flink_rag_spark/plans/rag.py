@@ -74,6 +74,26 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str,
                              F.col("information"), F.lit(post)).alias("prompt")))
 
 
+def rag_answer_oracle(spark: SparkSession, sf_dir: str,
+                      cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The FULL RAG chain hash-verified: ``rag_context_assembly`` (A9+A10)
+    extended through the chat step (A11) to the ``answer`` column.
+
+    The chat call is the REAL A11 path — the same Arrow-batched
+    ``chat_col`` pandas UDF ``rag_answer`` uses (reference semantics
+    RAG.java:86-95) — with the deterministic local provider, whose reply is
+    a pure string function of the prompt
+    (``'[answer:' + md5(prompt)[:8] + '] ' + prompt[:200]``,
+    functions/providers.py:85-89). DuckDB mirrors it with
+    ``md5()``/``substr``, so the driver's value hash now covers
+    embed-free retrieval → assembly → template → chat end to end; only the
+    question-embedding UDF (graded via its own entries) stays outside the
+    SQL-expressible span."""
+    provider = LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
+    return (rag_context_assembly(spark, sf_dir, cfg)
+            .withColumn("answer", chat_col(provider, cfg)(F.col("prompt"))))
+
+
 def rag_answer(spark: SparkSession, sf_dir: str,
                questions: DataFrame | list[str] | None = None,
                cfg: EngineConfig = DEFAULT_CONFIG,
