@@ -57,6 +57,53 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     return cents
 
 
+def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
+                        path: str, vec_col: str = "embedding") -> int:
+    """Incremental index maintenance: assign ``new_vectors`` to cells with
+    the STORED centroids (no retrain) and append into the partitioned
+    layout — probes see them immediately through the same partition
+    pruning. Returns the number of cells loaded (for callers sizing the
+    write).
+
+    Each append adds ≤ one file per touched cell (the repartition keys the
+    write by cell), so file count grows by O(appends × touched cells);
+    ``compact_ivf_index`` on the store-compaction cadence
+    (operators/maintenance.py) restores one-file-per-cell. Centroid DRIFT
+    is deliberate: appended vectors join their nearest EXISTING cell, so
+    recall for them matches an in-index vector; a full ``build_ivf_index``
+    rebuild re-trains geometry when the corpus distribution moves."""
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = json.load(f)
+    assigned = with_ivf_cells(new_vectors, cents, vec_col)
+    (assigned.repartition(len(cents), F.col("cell"))
+     .write.mode("append").partitionBy("cell").parquet(
+         os.path.join(path, "cells")))
+    return len(cents)
+
+
+def compact_ivf_index(spark: SparkSession, path: str,
+                      files_per_cell: int = 1) -> int:
+    """Rewrite the cells table to ``files_per_cell`` files per cell after a
+    run of appends, write-then-swap (readers never see a half layout; local
+    or POSIX-mounted filesystem assumed, like migrate_flat_store). Keeps
+    the trained centroids untouched. Returns the data-file count after."""
+    import shutil
+    cells_path = os.path.join(path, "cells")
+    cells = spark.read.parquet(cells_path)
+    n_cells = cells.agg(F.countDistinct("cell")).collect()[0][0] or 1
+    cols = [c for c in cells.columns if c != "cell"]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                  F.lit(files_per_cell))
+    tmp, old = cells_path + ".compact.tmp", cells_path + ".compact.old"
+    (cells.repartition(n_cells * files_per_cell, F.col("cell"), salt)
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    os.rename(cells_path, old)
+    os.rename(tmp, cells_path)
+    shutil.rmtree(old)
+    return sum(1 for _, _, files in os.walk(cells_path)
+               for f in files if f.endswith(".parquet"))
+
+
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[list[list[float]], DataFrame]:
     """(centroids, cells DataFrame). A `cell IN (probes)` filter on the
     returned frame prunes partition directories at the scan."""

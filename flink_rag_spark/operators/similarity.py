@@ -383,8 +383,8 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
                  centroids: list[list[float]] | None = None,
                  cells: DataFrame | None = None,
                  n_probe: int | None = None,
-                 driver_queries: tuple[list, "np.ndarray"] | None = None
-                 ) -> DataFrame:
+                 driver_queries: tuple[list, "np.ndarray"] | None = None,
+                 tail: DataFrame | None = None) -> DataFrame:
     """Approximate k-NN for a query batch via IVF: probe the n_probe nearest
     cells per query, exact re-rank inside.
 
@@ -415,6 +415,11 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
 
     Pass persisted `cells` (+ matching `centroids`) to skip re-assignment —
     the at-scale shape where the cell index is a partitioned table.
+    ``tail``: vectors NOT in ``cells`` (ingested since the last index
+    build) — scored EXACTLY for every query (it is one rebuild cadence of
+    ingest, small by contract), so freshness never waits on a rebuild and
+    fresh vectors never pay the ANN recall loss
+    (operators/index.py:11-14).
 
     ``driver_queries=(qids, Q)``: callers that already hold the query
     vectors on the driver (e.g. the RAG plan, which embeds a driver-side
@@ -441,6 +446,20 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)
+    if tail is not None:
+        # the UN-INDEXED TAIL (operators/index.py: vectors ingested since
+        # the last index build) enters under sentinel cell -1, which EVERY
+        # query probes: the tail is small by contract (one rebuild cadence
+        # of ingest), so it is scored exactly — fresh vectors never pay
+        # the ANN recall loss, and freshness is deterministic rather than
+        # probe-dependent. Ids present in BOTH index and tail must carry
+        # identical vectors (the ingest store is content-addressed,
+        # streaming/ingest.py) — the duplicate-id guard before the final
+        # ranking keeps one copy.
+        tail_cells = (tail.select(id_col, vec_col)
+                      .withColumn("cell", F.lit(-1)))
+        cells = (cells.select(id_col, vec_col, "cell")
+                 .unionByName(tail_cells))
 
     # bounded probe of the query side: all rows iff |Q| ≤ max_driver_queries
     if driver_queries is not None:
@@ -469,6 +488,8 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
         for qi, row in enumerate(probes):
             for c in row:
                 cell2q.setdefault(int(c), []).append(qi)
+        if tail is not None and qids:
+            cell2q[-1] = list(range(len(qids)))   # every query scans the tail
         cell2q = {c: np.asarray(v) for c, v in cell2q.items()}
         cand = (cells.filter(F.col("cell").isin(sorted(cell2q)))
                 .select(F.col(id_col), F.col(vec_col), F.col("cell")))
@@ -497,6 +518,10 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
 
         probes = (queries.select(query_id, query_vec)
                   .withColumn("cell", F.explode(_probe_cells(F.col(query_vec)))))
+        if tail is not None:
+            probes = probes.unionByName(
+                queries.select(query_id, query_vec)
+                .withColumn("cell", F.lit(-1)))
         cand = probes.join(cells, on="cell").select(
             query_id, query_vec, id_col, vec_col)
         scored = cand.select(
@@ -504,6 +529,10 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
             F.round(F.expr(cosine_expr(vec_col, query_vec)),
                     ROUND_DP).alias("score"))
         scored = _partition_topk(scored, query_id, id_col, k)
+    if tail is not None:
+        # index+tail may both carry an id (identical vectors by contract):
+        # dedupe on the tiny pre-ranking frame (≤ k × partitions per query)
+        scored = scored.dropDuplicates([query_id, id_col])
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

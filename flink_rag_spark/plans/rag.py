@@ -157,10 +157,17 @@ def rag_answer(spark: SparkSession, sf_dir: str,
             vecs = provider.embed_batch(_pd.Series(question_texts))
             Q = _np.asarray(list(vecs), dtype=_np.float32).astype(_np.float64)
             driver_q = (list(range(len(question_texts))), Q)
+        # freshness (README.md:241-267): a prebuilt index predates the live
+        # store, so the store IS the un-indexed tail — probed alongside the
+        # index cells, no rebuild. Without a prebuilt index the centroids
+        # are trained on emb, which already unions the store.
+        ann_tail = None
+        if ann_index and extra_store_path:
+            ann_tail = store.select("vec_id", "embedding")
         hits = ivf_knn_join(q_side, emb, k=cfg.retrieval_k,
                             query_id="question_id", cfg=cfg,
                             centroids=cents, cells=cells,
-                            driver_queries=driver_q)
+                            driver_queries=driver_q, tail=ann_tail)
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,
                         query_id="question_id", min_score=cfg.min_score)

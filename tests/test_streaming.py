@@ -213,6 +213,35 @@ def test_chunked_ingest_stores_one_vector_per_chunk(spark, tmp_path):
     assert load_store(spark, store).count() == expect_chunks
 
 
+def test_ann_retrieval_sees_live_store_without_rebuild(spark, sf_smoke,
+                                                       tmp_path):
+    """Freshness for the ANN path (VERDICT r3 item 5): with a PREBUILT IVF
+    index and a live ingest store, retrieval='ann' must cite a
+    just-ingested fact with no index rebuild — the store is the un-indexed
+    tail, cell-assigned on the fly and probed alongside the index cells."""
+    from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index
+    from flink_rag_spark.plans.rag import rag_answer
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, path)          # index BEFORE the ingest
+    cents, cells = load_ivf_index(spark, path)
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.txt").write_text("The capital of France is Paris.\n")
+    store = str(tmp_path / "store")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt_fresh"), available_now=True)
+    _await(q)
+
+    out = rag_answer(spark, sf_smoke, ["What is the capital of France?"],
+                     retrieval="ann", ann_index=(cents, cells),
+                     extra_store_path=store, with_chat=False).collect()
+    assert len(out) == 1
+    assert "The capital of France is Paris." in out[0]["information"]
+
+
 def test_chunk_stream_reingest_reserved_keys(spark):
     """Re-ingesting an already-chunked store (metadata already carries the
     provenance keys) must not throw under mapKeyDedupPolicy=EXCEPTION: the
