@@ -256,6 +256,23 @@ WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
 GROUP BY p_brand, p_type, p_size
 """
 
+    oracle_q21 = """
+SELECT n_name, s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders
+                        WHERE o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY n_name, s_name
+"""
+
     oracle_stratified = f"""
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
@@ -343,6 +360,8 @@ FROM events
          oracle_q15, ("subquery", "argmax")),
         ("q16_supplier_part_counts", R3.q16_supplier_part_counts,
          oracle_q16, ("agg", "distinct")),
+        ("q21_suppliers_kept_waiting", R3.q21_suppliers_kept_waiting,
+         oracle_q21, ("join", "subquery", "exists")),
         ("chunk_documents_overlap", llm.chunk_documents_overlap,
          oracle_chunks, ("text", "curation")),
         ("hash_sampled_documents", llm.hash_sampled_documents,

@@ -302,6 +302,37 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey", "s_name", "total_rev"))
 
 
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS self-join pair (the
+    synthetic lineitem has no receipt/commit dates, so 'kept the order
+    waiting' = this supplier's line shipped LAST in a multi-supplier 'F'
+    order): a left_semi self-join proves another supplier exists on the
+    order, a left_anti self-join proves nobody shipped later. Both
+    self-joins are equi-keyed on l_orderkey (one shuffle key), nation
+    broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    l1 = l.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = l.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    waited = (l1
+              .join(o.select("o_orderkey"),
+                    F.col("l1.l_orderkey") == F.col("o_orderkey"), "left_semi")
+              .join(l2, (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+                    & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+                    "left_semi")
+              .join(l3, (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+                    & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+                    & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+                    "left_anti"))
+    return (waited.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name", "s_name")
+            .agg(F.countDistinct(F.col("l1.l_orderkey")).alias("numwait")))
+
+
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (partsupp replaced by the distinct part↔supplier
     pairs observed in lineitem — the synthetic schema has no partsupp):
