@@ -1,0 +1,361 @@
+"""Real, dependency-free media codecs for the multimodal seam.
+
+The reference has no multimodal surface (payloads are UTF-8 strings,
+AiJob.java:23); ``operators/multimodal.py`` added the Spark-side plumbing
+with a pluggable codec. This module fills the seam with REAL decoders built
+only on the stdlib + numpy (the container has no PIL/ffmpeg):
+
+- PNG: full pixel decode — chunk parse, zlib-inflate of IDAT, scanline
+  unfiltering (filter types 0-4 incl. Paeth), palette expansion — plus a
+  minimal encoder (filter 0) so tests and queries can round-trip real bytes.
+- JPEG: header probe (dimensions/precision/components from the SOF marker).
+  Full JPEG entropy decode is out of scope for a stdlib codec; a real
+  deployment plugs libjpeg-turbo into the same seam.
+- GIF: header probe (logical screen dimensions).
+- WAV: full sample decode via the stdlib ``wave`` module (8/16/24/32-bit
+  PCM, any channel count).
+
+Scale notes: these run inside Arrow-batched ``mapInPandas`` tasks —
+embarrassingly parallel, no shuffle. The pure-Python unfilter loop is
+correctness-grade (fine for thumbnails/fixtures); at 100 TB the decode
+kernel is swapped for a native codec behind the exact same ``decode()``
+contract, which is the point of the seam. ``StdlibCodec(strict=False)``
+maps corrupt/unsupported payloads to a null feature instead of failing the
+task — one bad file must never kill a 1000-executor job.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# colortype → samples per pixel (palette counts as 1 until expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit, filter 0, one IDAT. Accepts (H, W) gray
+    or (H, W, C) with C in {1, 2, 3, 4}."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _png_chunks(payload: bytes):
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        yield typ, data
+        pos += 12 + length
+        if typ == b"IEND":
+            break
+
+
+def probe_png(payload: bytes) -> dict:
+    if not payload.startswith(PNG_SIG) or len(payload) < 33:
+        raise ValueError("not a PNG")
+    w, h, depth, colortype, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", payload, 16)
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG colortype {colortype}")
+    channels = 3 if colortype == 3 else _PNG_CHANNELS[colortype]
+    return {"detected": "png", "width": w, "height": h,
+            "channels": channels, "bit_depth": depth,
+            "interlaced": bool(interlace)}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Full PNG pixel decode → (H, W, C) uint8. Supports bit depth 8,
+    colortypes 0/2/3/4/6, non-interlaced (the overwhelmingly common file
+    shape; interlaced/16-bit raise so strict=False can skip them)."""
+    meta = probe_png(payload)
+    if meta["bit_depth"] != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if meta["interlaced"]:
+        raise ValueError("interlaced PNG not supported")
+    w, h = meta["width"], meta["height"]
+    colortype = payload[25]
+    bpp = _PNG_CHANNELS[colortype]
+
+    palette = None
+    idat = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 2:  # Up — fully vectorized
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        else:  # Sub / Average / Paeth are sequential along the scanline
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + b) >> 1)
+                elif ft == 4:
+                    v = line[x] + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad PNG filter {ft}")
+                cur[x] = v & 0xFF
+        out[y] = cur
+        prev = cur
+
+    img = out.reshape(h, w, bpp)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        img = palette[img[:, :, 0]]
+    return img
+
+
+# ---------------------------------------------------------------- JPEG
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def probe_jpeg(payload: bytes) -> dict:
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        if marker in _JPEG_SOF:
+            precision = payload[i + 4]
+            height, width = struct.unpack_from(">HH", payload, i + 5)
+            ncomp = payload[i + 9]
+            return {"detected": "jpeg", "width": width, "height": height,
+                    "channels": ncomp, "bit_depth": precision}
+        if marker == 0xDA:  # SOS before any SOF → malformed
+            break
+        i += 2 + seglen
+    raise ValueError("JPEG without SOF marker")
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def probe_gif(payload: bytes) -> dict:
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    return {"detected": "gif", "width": w, "height": h,
+            "channels": 3, "bit_depth": 8}
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Full PCM decode via stdlib ``wave`` → ((n_samples, n_channels)
+    float32 in [-1, 1], sample_rate). Handles 8-bit unsigned, 16/32-bit
+    signed, and 24-bit packed."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
+                                  wf.getframerate(), wf.getnframes())
+        frames = wf.readframes(nframes)
+    if sw == 1:
+        x = (np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, "<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:
+        raw = np.frombuffer(frames, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v & 0x800000, v - 0x1000000, v)
+        x = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return x.reshape(-1, nch), rate
+
+
+def probe_wav(payload: bytes) -> dict:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        return {"detected": "wav", "channels": wf.getnchannels(),
+                "bit_depth": wf.getsampwidth() * 8,
+                "sample_rate": wf.getframerate(),
+                "n_samples": wf.getnframes(),
+                "duration": (wf.getnframes() / wf.getframerate()
+                             if wf.getframerate() else None)}
+
+
+# ---------------------------------------------------------------- sniffing
+
+
+def probe_bytes(payload: bytes) -> dict:
+    """Sniff the container from magic bytes and return its metadata.
+    Raises ValueError for unknown/corrupt payloads (callers decide whether
+    that skips the row or fails the job)."""
+    if payload is None:
+        raise ValueError("null payload")
+    if payload.startswith(PNG_SIG):
+        return probe_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return probe_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return probe_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return probe_wav(payload)
+    raise ValueError("unknown media format")
+
+
+# ---------------------------------------------------------------- codec
+
+FEATURE_DIMS = 16
+
+
+class StdlibCodec:
+    """A REAL codec behind the multimodal seam: decodes actual pixels and
+    samples (see module docstring for format support) and summarizes them
+    into the seam's fixed 16-dim feature vector.
+
+    Feature layout (images, via PNG decode / JPEG-GIF probe):
+        [width, height, channels, bit_depth,
+         mean, std, min, max, mean_c0..c3 (0-padded),
+         row_gradient, col_gradient, 0, 0]
+    JPEG/GIF (probe-only) fill dims 0-3 and leave pixel stats 0.
+    Feature layout (WAV audio):
+        [n_channels, sample_rate, n_samples, duration,
+         rms, peak, zero_crossing_rate, mean, std,
+         e0..e6 (mean |x| over 7 equal time segments)]
+
+    ``strict=False`` (the at-scale default) returns None for
+    corrupt/unsupported payloads; ``extract_features`` writes a null
+    feature for those rows instead of failing the task.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    # -- internal ------------------------------------------------------
+
+    def _image_feature(self, meta: dict, img: np.ndarray | None) -> np.ndarray:
+        f = np.zeros(FEATURE_DIMS, dtype=np.float32)
+        f[0], f[1] = meta["width"], meta["height"]
+        f[2], f[3] = meta.get("channels") or 0, meta.get("bit_depth") or 0
+        if img is not None:
+            x = img.astype(np.float32)
+            f[4], f[5] = x.mean(), x.std()
+            f[6], f[7] = x.min(), x.max()
+            for c in range(min(img.shape[2], 4)):
+                f[8 + c] = x[:, :, c].mean()
+            if img.shape[0] > 1:
+                f[12] = np.abs(np.diff(x, axis=0)).mean()
+            if img.shape[1] > 1:
+                f[13] = np.abs(np.diff(x, axis=1)).mean()
+        return f
+
+    def _audio_feature(self, meta: dict, x: np.ndarray) -> np.ndarray:
+        f = np.zeros(FEATURE_DIMS, dtype=np.float32)
+        f[0], f[1] = meta["channels"], meta["sample_rate"]
+        f[2], f[3] = meta["n_samples"], meta["duration"] or 0.0
+        mono = x.mean(axis=1)
+        if len(mono):
+            f[4] = float(np.sqrt((mono ** 2).mean()))
+            f[5] = float(np.abs(mono).max())
+            if len(mono) > 1:
+                f[6] = float((np.diff(np.signbit(mono)) != 0).mean())
+            f[7], f[8] = float(mono.mean()), float(mono.std())
+            for i, seg in enumerate(np.array_split(mono, 7)):
+                f[9 + i] = float(np.abs(seg).mean()) if len(seg) else 0.0
+        return f
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        meta = probe_bytes(payload)
+        if meta["detected"] == "png":
+            return self._image_feature(meta, decode_png(payload))
+        if meta["detected"] in ("jpeg", "gif"):
+            return self._image_feature(meta, None)
+        return self._audio_feature(meta, decode_wav(payload)[0])
+
+    # -- seam contract -------------------------------------------------
+
+    def decode(self, kind: str, payload: bytes):
+        """multimodal.extract_features contract: payload → feature vector
+        (the container is sniffed from magic bytes, not trusted from
+        ``kind``). Returns None for bad payloads unless strict."""
+        try:
+            return self._decode(payload)
+        except (ValueError, wave.Error, zlib.error, struct.error, EOFError):
+            if self.strict:
+                raise
+            return None
+
+    def resize(self, kind: str, payload: bytes, width: int, height: int):
+        """Real resize: PNG decode → nearest-neighbor resample → feature of
+        the resized image. Non-PNG payloads fall back to decode() (probes
+        can't resample)."""
+        try:
+            meta = probe_bytes(payload)
+            if meta["detected"] != "png":
+                return self.decode(kind, payload)
+            img = decode_png(payload)
+            ys = np.linspace(0, img.shape[0] - 1, height).round().astype(int)
+            xs = np.linspace(0, img.shape[1] - 1, width).round().astype(int)
+            resized = img[ys][:, xs]
+            meta = dict(meta, width=width, height=height)
+            return self._image_feature(meta, resized)
+        except (ValueError, zlib.error, struct.error):
+            if self.strict:
+                raise
+            return None

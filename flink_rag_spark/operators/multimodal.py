@@ -3,11 +3,12 @@ with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 No multimodal capability exists in the reference (its only payloads are
 UTF-8 strings, ``AiJob.java:23``); this is north-star surface for a
-training-data pipeline. The container has no image/audio codecs, so the
-DECODE step is a pluggable codec: ``StubCodec`` raises NotImplementedError
-(the clearly-marked integration point for a real libjpeg/ffmpeg-backed
-codec), ``FakeCodec`` produces deterministic synthetic features so the
-Spark-side plumbing — schema, batching, partition flow — is fully testable.
+training-data pipeline. The DECODE step is a pluggable codec:
+``operators/codecs.StdlibCodec`` is a REAL decoder (full PNG pixel decode,
+full WAV sample decode, JPEG/GIF header probes — stdlib + numpy only),
+``FakeCodec`` produces deterministic synthetic features for plumbing tests,
+and ``StubCodec`` remains the explicit integration point for native codecs
+(PIL/libjpeg-turbo/ffmpeg) absent from this container.
 
 Scale notes: binary payloads ride the columnar Arrow path in batches;
 ``mapInPandas`` streams record batches so one task never materializes its
@@ -67,7 +68,10 @@ def extract_features(media: DataFrame, codec=None,
     """media (MEDIA_SCHEMA) → per-item digest + feature vector.
 
     mapInPandas: codec constructed ONCE per task (the RichFunction.open
-    analog), applied per Arrow batch."""
+    analog), applied per Arrow batch. A codec may return None for a payload
+    it cannot decode (StdlibCodec's non-strict mode) — that row keeps its
+    digest/size but gets a null feature, so one corrupt file never fails
+    the task."""
     codec = codec or FakeCodec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,7 +81,9 @@ def extract_features(media: DataFrame, codec=None,
                 b = bytes(payload) if payload is not None else b""
                 digests.append(hashlib.md5(b).hexdigest())
                 sizes.append(len(b))
-                feats.append([float(x) for x in codec.decode(kind, b)])
+                vec = codec.decode(kind, b)
+                feats.append(None if vec is None
+                             else [float(x) for x in vec])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -87,6 +93,48 @@ def extract_features(media: DataFrame, codec=None,
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+PROBE_SCHEMA = (
+    "media_id bigint, detected string, width int, height int, "
+    "channels int, bit_depth int, sample_rate int, n_samples bigint, "
+    "duration double"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Real container metadata extraction: sniff each payload's magic bytes
+    and parse its header (PNG IHDR, JPEG SOF, GIF screen descriptor, WAV
+    fmt) — no trust in the caller-supplied ``kind`` or metadata columns.
+    Unknown/corrupt payloads yield detected='unknown' with null fields
+    rather than failing the task (the at-scale contract: bad files are
+    data, not errors). Header-only parsing, so cost is O(1) per row no
+    matter the payload size."""
+    from flink_rag_spark.operators.codecs import probe_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = probe_bytes(
+                        bytes(payload) if payload is not None else None)
+                except Exception:
+                    m = {"detected": "unknown"}
+                rows.append({
+                    "media_id": mid,
+                    "detected": m.get("detected"),
+                    "width": m.get("width"),
+                    "height": m.get("height"),
+                    "channels": m.get("channels"),
+                    "bit_depth": m.get("bit_depth"),
+                    "sample_rate": m.get("sample_rate"),
+                    "n_samples": m.get("n_samples"),
+                    "duration": m.get("duration"),
+                })
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -108,18 +156,26 @@ class ResizeSpec:
 
 
 def resize_plan(media: DataFrame, spec: ResizeSpec, codec=None) -> DataFrame:
-    """Resize = decode → (real codec's resample) → feature of the resized
-    signal. With FakeCodec the 'resize' deterministically mixes target dims
-    into the seed, proving the spec reaches the worker."""
+    """Resize = decode → resample → feature of the resized signal. A codec
+    exposing ``resize()`` (StdlibCodec: real nearest-neighbor resample of
+    decoded PNG pixels) is used directly; otherwise the FakeCodec path
+    deterministically mixes target dims into the decode seed, proving the
+    spec reaches the worker."""
     codec = codec or FakeCodec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real_resize = getattr(codec, "resize", None)
         for pdf in batches:
             feats = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
-                sized = b + f":{spec.width}x{spec.height}".encode()
-                feats.append([float(x) for x in codec.decode(kind, sized)])
+                if real_resize is not None:
+                    vec = real_resize(kind, b, spec.width, spec.height)
+                else:
+                    sized = b + f":{spec.width}x{spec.height}".encode()
+                    vec = codec.decode(kind, sized)
+                feats.append(None if vec is None
+                             else [float(x) for x in vec])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "width": spec.width, "height": spec.height,

@@ -309,6 +309,18 @@ FROM (SELECT doc_id, length(text) % 240 + 1 AS n_frames FROM documents) t,
      UNNEST(range(0, CAST(greatest(n_frames - 1, 0) AS BIGINT) + 1, 10)) AS u(i)
 """
 
+    # arithmetic prediction of the REAL PNG encode→probe round trip
+    # (plans/llm.py media_probe_roundtrip): dims are pure functions of
+    # doc_id, so a value-hash match proves the worker-encoded bytes are
+    # valid PNGs whose IHDR parses back to the intended metadata
+    oracle_media_probe = """
+SELECT doc_id AS media_id, 'png' AS detected,
+       CAST(doc_id % 16 + 1 AS INT) AS width,
+       CAST(doc_id % 13 + 1 AS INT) AS height,
+       1 AS channels, 8 AS bit_depth
+FROM documents WHERE doc_id < 500
+"""
+
     oracle_map_funcs = """
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
@@ -374,6 +386,8 @@ FROM events
          oracle_contamination, ("curation", "dedup")),
         ("video_frame_sample", llm.video_frame_sample,
          oracle_frames, ("multimodal",)),
+        ("media_probe_roundtrip", llm.media_probe_roundtrip,
+         oracle_media_probe, ("multimodal", "codec")),
         # rotated out of the graded window in favor of dedup_group_assignment
         # (JSON-function coverage stays graded via json_map_events)
         ("json_events_props", R.json_events_props, ORACLE_JSON,

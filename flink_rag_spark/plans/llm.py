@@ -440,6 +440,43 @@ def contamination_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                 "jaccard"))
 
 
+def media_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary round trip, oracle-checked: an Arrow-batched UDF encodes
+    an actual PNG per document (grayscale, dimensions a pure function of
+    doc_id), then ``probe_media`` sniffs the magic bytes and parses the
+    IHDR back out. The DuckDB oracle predicts the metadata arithmetically,
+    so a hash match proves the worker wrote VALID PNGs whose headers decode
+    to exactly the intended values — the codec path is executed, not
+    stubbed (codecs.py: stdlib zlib/struct only)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from flink_rag_spark.operators.multimodal import probe_media
+
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 500).select("doc_id"))
+
+    def encode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as np
+
+        from flink_rag_spark.operators.codecs import encode_png
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 16 + 1, int(did) % 13 + 1
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((int(did) * 31 + yy * w + xx) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(encode, schema="media_id bigint, payload binary")
+    return (probe_media(media)
+            .select("media_id", "detected", "width", "height",
+                    "channels", "bit_depth"))
+
+
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing, oracle-checked: synthesize video
     rows (n_frames derived from document length) and explode every 10th
