@@ -273,6 +273,86 @@ WHERE l1.l_orderkey IN (SELECT o_orderkey FROM orders
 GROUP BY n_name, s_name
 """
 
+    # derived partsupp shared by the Q2/Q9/Q11/Q20 oracles — mirrors
+    # relational3._derived_supply (raw-double min for cost, exact-decimal
+    # sum for availqty)
+    ps_cte = """
+ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+              MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS ps_availqty
+       FROM lineitem GROUP BY 1, 2)
+"""
+
+    oracle_q2 = f"""
+WITH {ps_cte},
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE'),
+c AS (SELECT ps_partkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM ps JOIN eu ON ps_suppkey = s_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+FROM part JOIN c ON p_partkey = ps_partkey
+WHERE p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
+  AND ps_supplycost = (SELECT MIN(c2.ps_supplycost) FROM c c2
+                       WHERE c2.ps_partkey = p_partkey)
+"""
+
+    # exact integer micro-dollars (see relational3.q9 docstring): round/
+    # floor of IDENTICAL doubles is engine-agnostic, integer sums have no
+    # fold-order or decimal-cast-tie ambiguity
+    oracle_q9 = """
+WITH cost AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(FLOOR(l_extendedprice * 100 / l_quantity) AS BIGINT))
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2)
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)
+                - cost_cents * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+            AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+JOIN cost ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+    oracle_q11 = f"""
+WITH {ps_cte},
+v AS (SELECT ps_partkey,
+             CAST(ps_supplycost * ps_availqty AS DECIMAL(18,2)) AS val
+      FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7')
+SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS value
+FROM v GROUP BY ps_partkey
+HAVING CAST(SUM(val) AS DOUBLE) >
+       (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001
+"""
+
+    oracle_q20 = f"""
+WITH {ps_cte},
+recent AS (SELECT l_partkey AS r_partkey, l_suppkey AS r_suppkey,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    AS recent_qty
+           FROM lineitem WHERE EXTRACT(year FROM l_shipdate) >= 1998
+           GROUP BY 1, 2),
+cand AS (SELECT DISTINCT ps_suppkey
+         FROM ps
+         JOIN recent ON ps_partkey = r_partkey AND ps_suppkey = r_suppkey
+         WHERE ps_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+           AND ps_availqty > 0.5 * recent_qty)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+"""
+
     oracle_stratified = f"""
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
@@ -374,6 +454,14 @@ FROM events
          oracle_q16, ("agg", "distinct")),
         ("q21_suppliers_kept_waiting", R3.q21_suppliers_kept_waiting,
          oracle_q21, ("join", "subquery", "exists")),
+        ("q2_min_cost_supplier", R3.q2_min_cost_supplier,
+         oracle_q2, ("join", "subquery", "window")),
+        ("q9_product_type_profit", R3.q9_product_type_profit,
+         oracle_q9, ("join", "agg")),
+        ("q11_important_stock", R3.q11_important_stock,
+         oracle_q11, ("agg", "subquery")),
+        ("q20_excess_stock_suppliers", R3.q20_excess_stock_suppliers,
+         oracle_q20, ("join", "subquery", "semi")),
         ("chunk_documents_overlap", llm.chunk_documents_overlap,
          oracle_chunks, ("text", "curation")),
         ("hash_sampled_documents", llm.hash_sampled_documents,

@@ -333,6 +333,137 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct(F.col("l1.l_orderkey")).alias("numwait")))
 
 
+def _derived_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp substitute shared by the Q2/Q9/Q11/Q20 shapes (the
+    synthetic schema has no partsupp): supply facts derived from observed
+    lineitem — supplycost = min unit price (raw double: identical IEEE
+    divisions and min on both engines), availqty = exact-decimal sum of
+    shipped quantity (float-fold-order-proof). One shuffle on
+    (partkey, suppkey) with map-side partial agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                      F.col("l_suppkey").alias("ps_suppkey"))
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("ps_supplycost"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("ps_availqty")))
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each EUROPE-supplied part of a given size/type,
+    the supplier(s) offering the minimum supply cost (the correlated-min
+    subquery, expressed as a per-part window min — one extra shuffle keyed
+    the same as the join, so AQE coalesces). Supplier/nation/region dims
+    broadcast; ties (equal min cost) keep all suppliers, as in the spec."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45)
+        & (F.col("p_type") == "LARGE"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    costs = (_derived_supply(spark, sf_dir)
+             .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey")))
+    w = Window.partitionBy("ps_partkey")
+    return (costs.withColumn("min_cost", F.min("ps_supplycost").over(w))
+            .filter(F.col("ps_supplycost") == F.col("min_cost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    "ps_supplycost"))
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over parts whose name
+    contains 'gear', with supply cost from the derived partsupp. The
+    part filter broadcasts; the lineitem↔derived-supply join shuffles on
+    (partkey, suppkey) once — both sides already aggregate/scan to that
+    key.
+
+    Profit is computed in exact integer micro-dollars (price and discount
+    are cent-aligned, quantity is integral, and the derived cost floors to
+    whole cents), so the SUM is bit-exact on any engine in any fold order
+    — double→decimal cast ties, which Spark and DuckDB break differently,
+    never arise."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    cost = (l.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                      F.col("l_suppkey").alias("ps_suppkey"))
+            .agg(F.min(F.floor(F.col("l_extendedprice") * 100
+                               / F.col("l_quantity")).cast("bigint"))
+                 .alias("cost_cents")))
+    profit_micro = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        * F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        - F.col("cost_cents")
+        * F.round(F.col("l_quantity"), 0).cast("bigint") * 100)
+    return (l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .join(cost, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").cast("bigint").alias("o_year"))
+            .agg((F.sum(profit_micro).cast("double") / 10000.0)
+                 .alias("sum_profit")))
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value held by one nation's
+    suppliers, kept only when above a fraction of that nation's total —
+    the global-total scalar subquery expressed as a broadcast cross join
+    of a one-row aggregate (no driver collect, stays declarative)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7")
+    sup = (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    vals = (_derived_supply(spark, sf_dir)
+            .join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+            .withColumn("val", (F.col("ps_supplycost")
+                                * F.col("ps_availqty")).cast("decimal(18,2)")))
+    grouped = vals.groupBy("ps_partkey").agg(F.sum("val").alias("value_dec"))
+    total = vals.agg(F.sum("val").alias("total_dec"))
+    return (grouped.join(F.broadcast(total))
+            .filter(F.col("value_dec").cast("double")
+                    > F.col("total_dec").cast("double") * 0.001)
+            .select("ps_partkey",
+                    F.col("value_dec").cast("double").alias("value")))
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of 'red' parts whose derived availability
+    exceeds half of what they shipped from 1998 on, restricted to one
+    nation — the nested IN/scalar-subquery chain as semi joins + an inner
+    join against the recent-shipment aggregate (inner ≡ the spec's NULL
+    scalar-subquery exclusion when a pair has no recent shipments)."""
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    recent = (l.filter(F.year("l_shipdate") >= 1998)
+              .groupBy(F.col("l_partkey").alias("r_partkey"),
+                       F.col("l_suppkey").alias("r_suppkey"))
+              .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                   .cast("double").alias("recent_qty")))
+    cand = (_derived_supply(spark, sf_dir)
+            .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"),
+                  "left_semi")
+            .join(recent, (F.col("ps_partkey") == F.col("r_partkey"))
+                  & (F.col("ps_suppkey") == F.col("r_suppkey")))
+            .filter(F.col("ps_availqty") > 0.5 * F.col("recent_qty"))
+            .select("ps_suppkey"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    return (s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+            .select("s_name", "s_acctbal"))
+
+
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (partsupp replaced by the distinct part↔supplier
     pairs observed in lineitem — the synthetic schema has no partsupp):
