@@ -182,6 +182,25 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     return cold_pairs.unionByName(hot_pairs).distinct()
 
 
+def verify_jaccard_candidates(candidates: DataFrame, sh: DataFrame,
+                              id_col: str, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
+    per-doc shingle-set frame ``sh`` (id_col, sh array<bigint>). O(|pairs|):
+    each pair equi-joins to its two shingle sets and array_intersect is a
+    hash-set probe — no exploded self-join at any scale. The shingle frame
+    may come from live computation or a persisted index (incremental.py)."""
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (candidates.join(a, on="id_a").join(b, on="id_b")
+            .withColumn("n_common",
+                        F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("jaccard", F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float, cfg: EngineConfig = DEFAULT_CONFIG,
                   candidates: DataFrame | None = None) -> DataFrame:
@@ -203,16 +222,7 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("sh"),
     )
     if candidates is not None:
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        return (candidates.join(a, on="id_a").join(b, on="id_b")
-                .withColumn("n_common",
-                            F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("jaccard", F.round(
-                    F.col("n_common")
-                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")), 6))
-                .filter(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+        return verify_jaccard_candidates(candidates, sh, id_col, threshold)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
     tok = sh.select(F.col(id_col), F.explode("sh").alias("h"))
     inter = (tok.alias("a").join(tok.alias("b"), on="h")

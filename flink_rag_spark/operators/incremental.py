@@ -1,0 +1,150 @@
+"""Incremental near-duplicate detection against a persisted dedup index.
+
+The at-scale problem the batch path can't solve: a 100 TB corpus ingests a
+few million new documents a day. Re-running LSH over the whole corpus per
+batch is O(corpus) compute; the right shape is O(batch + matched buckets).
+(The reference has no dedup at all — this extends the north-star dedup
+family in ``operators/dedup.py`` the same way ``operators/index.py``
+makes ANN retrieval incremental.)
+
+The index persisted at ``<path>/`` holds two partition-pruned tables:
+
+- ``bands/``  — (doc_id, band, band_key) partitioned by
+  ``bkp = pmod(hash(band, band_key), n_parts)``. A new batch's band rows
+  land in a bounded set of bkp values; filtering the store scan to that
+  set is PARTITION pruning — the untouched corpus partitions are never
+  read.
+- ``shingles/`` — (doc_id, sh: array<bigint>) partitioned by
+  ``sbp = pmod(doc_id, n_parts)``, so the Jaccard verify stage reads only
+  the partitions holding candidate old docs, not every corpus shingle set.
+
+Everything derives from the same seeded minhash/shingle machinery as the
+batch path, so for corpora without hot buckets the incremental result is
+EXACTLY the batch result restricted to batch-involving pairs (asserted in
+tests/test_incremental.py). Divergence note: the batch path's hot-bucket
+star reduction (dedup.py lsh_candidate_pairs) is a candidate-generation
+guard for buckets > ``lsh_max_bucket``; the incremental path joins raw
+bucket-mates, so a new doc hitting a hot bucket pairs with every stored
+member — bound it by monitoring ``lsh_bucket_stats`` on ingest, the same
+observability surface the batch guard uses.
+
+At 1000-executor scale: n_parts should be O(cluster parallelism × a few);
+the two collects below are bounded by n_parts (pruning keys), never by
+data size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from flink_rag_spark.operators.dedup import (
+    lsh_band_rows,
+    lsh_candidate_pairs,
+    shingle_hashes_expr,
+    verify_jaccard_candidates,
+)
+from flink_rag_spark.operators.util import widen_if_narrow
+
+DEFAULT_PARTS = 64
+
+
+def _band_rows_with_pkey(df: DataFrame, text_col: str, id_col: str,
+                         cfg: EngineConfig, n_parts: int) -> DataFrame:
+    return (lsh_band_rows(df, text_col, id_col, cfg)
+            .withColumn("bkp", F.pmod(F.hash("band", "band_key"),
+                                      F.lit(n_parts))))
+
+
+def _shingle_sets_with_pkey(df: DataFrame, text_col: str, id_col: str,
+                            cfg: EngineConfig, n_parts: int) -> DataFrame:
+    return (widen_if_narrow(df).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(shingle_hashes_expr(text_col, cfg.shingle_size)))
+        .alias("sh"))
+        .withColumn("sbp", F.pmod(F.col(id_col), F.lit(n_parts))))
+
+
+def build_dedup_index(spark: SparkSession, docs: DataFrame, text_col: str,
+                      id_col: str, path: str,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      n_parts: int = DEFAULT_PARTS) -> None:
+    """Full index build (the once-per-corpus cost). Writes are repartitioned
+    on the partition column first so each output partition is one task's
+    file, not a small-file explosion of tasks × partitions."""
+    bands = _band_rows_with_pkey(docs, text_col, id_col, cfg, n_parts)
+    (bands.repartition("bkp").write.mode("overwrite")
+     .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
+    sh = _shingle_sets_with_pkey(docs, text_col, id_col, cfg, n_parts)
+    (sh.repartition("sbp").write.mode("overwrite")
+     .partitionBy("sbp").parquet(path.rstrip("/") + "/shingles"))
+
+
+def append_to_dedup_index(spark: SparkSession, new_docs: DataFrame,
+                          text_col: str, id_col: str, path: str,
+                          cfg: EngineConfig = DEFAULT_CONFIG,
+                          n_parts: int = DEFAULT_PARTS) -> None:
+    """O(batch) index maintenance: the new docs' band rows and shingle sets
+    append into their partitions (same layout, so future incremental runs
+    see them). Compaction of small appended files follows the
+    ``operators/maintenance.compact_store`` pattern."""
+    bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
+    (bands.repartition("bkp").write.mode("append")
+     .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
+    sh = _shingle_sets_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
+    (sh.repartition("sbp").write.mode("append")
+     .partitionBy("sbp").parquet(path.rstrip("/") + "/shingles"))
+
+
+def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
+                              text_col: str, id_col: str, path: str,
+                              threshold: float,
+                              cfg: EngineConfig = DEFAULT_CONFIG,
+                              n_parts: int = DEFAULT_PARTS) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jaccard ≥ threshold) between a NEW batch
+    and the indexed corpus, plus within the batch itself — without reading
+    corpus text or recomputing corpus signatures.
+
+    Work: O(batch) signature compute + a partition-pruned equi-join on
+    (band, band_key) + O(candidates) verify. Both collects are pruning-key
+    sets bounded by n_parts, independent of corpus and batch size.
+    """
+    root = path.rstrip("/")
+    nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
+
+    # partition pruning: only store partitions hosting a new band key
+    hit_bkps = [r["bkp"] for r in nb.select("bkp").distinct().collect()]
+    store_bands = (spark.read.parquet(root + "/bands")
+                   .filter(F.col("bkp").isin(hit_bkps)))
+
+    new_side = nb.select(F.col(id_col).alias("id_new"), "band", "band_key")
+    old_side = store_bands.select(F.col(id_col).alias("id_old"),
+                                  "band", "band_key")
+    cross = (new_side.join(old_side, on=["band", "band_key"])
+             .filter(F.col("id_new") != F.col("id_old"))
+             .select(F.least("id_new", "id_old").alias("id_a"),
+                     F.greatest("id_new", "id_old").alias("id_b"))
+             .distinct())
+    within = lsh_candidate_pairs(new_docs, text_col, id_col, cfg)
+    candidates = cross.unionByName(within).distinct()
+
+    # shingle sets: batch side computed live, corpus side read pruned
+    sh_new = (_shingle_sets_with_pkey(new_docs, text_col, id_col,
+                                      cfg, n_parts)
+              .select(id_col, "sh"))
+    old_ids = (cross.select(F.col("id_a").alias("cid"))
+               .unionByName(cross.select(F.col("id_b").alias("cid")))
+               .distinct())
+    hit_sbps = [r["sbp"] for r in
+                old_ids.select(F.pmod("cid", F.lit(n_parts)).alias("sbp"))
+                .distinct().collect()]
+    sh_old = (spark.read.parquet(root + "/shingles")
+              .filter(F.col("sbp").isin(hit_sbps))
+              .join(old_ids, F.col(id_col) == F.col("cid"), "left_semi")
+              .select(id_col, "sh"))
+    # batch docs win on id collision (re-ingest of an updated doc)
+    sh = sh_new.unionByName(
+        sh_old.join(sh_new.select(id_col), on=id_col, how="left_anti"))
+    return verify_jaccard_candidates(candidates, sh, id_col, threshold)

@@ -440,6 +440,29 @@ def contamination_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
                 "jaccard"))
 
 
+def incremental_neardup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup, oracle-checked: documents split into an indexed
+    corpus (19/20) and a 'nightly batch' (doc_id % 20 == 0); the batch is
+    near-dup'd against the PERSISTED index (operators/incremental.py) —
+    partition-pruned band join + pruned shingle reads, no corpus text
+    recompute. The oracle is the full-corpus LSH→Jaccard pipeline
+    restricted to batch-involving pairs: equality proves the incremental
+    path loses nothing vs recomputing everything."""
+    import tempfile
+
+    from flink_rag_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_neardup_pairs,
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    batch = d.filter(F.col("doc_id") % 20 == 0)
+    path = tempfile.mkdtemp(prefix="spark_dedup_idx_")
+    build_dedup_index(spark, corpus, "text", "doc_id", path, n_parts=32)
+    return incremental_neardup_pairs(
+        spark, batch, "text", "doc_id", path, threshold=0.3, n_parts=32)
+
+
 def media_probe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary round trip, oracle-checked: an Arrow-batched UDF encodes
     an actual PNG per document (grayscale, dimensions a pure function of
