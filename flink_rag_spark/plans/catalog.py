@@ -836,7 +836,15 @@ _GRADED: list[QueryDef] = [
     # dedup family (north star)
     QueryDef("dedup_exact_docs", llm.dedup_exact_docs, ORACLE_DEDUP_EXACT, ("dedup",)),
     QueryDef("minhash_sig_sample", llm.minhash_sig_sample, _oracle_minhash_sigs(), ("dedup",)),
-    QueryDef("jaccard_neardup_pairs", llm.jaccard_neardup_pairs, _oracle_jaccard(), ("dedup",)),
+    # jaccard_neardup_pairs rotated to the non-graded tail — its all-pairs
+    # Jaccard shape is the verify SUB-STAGE of lsh_verified_neardup (still
+    # graded); the slot instead grades the incremental path: batch vs
+    # PERSISTED index, oracle = full recompute restricted to the batch
+    # (operators/incremental.py — the O(batch) nightly-ingest dedup shape)
+    QueryDef("incremental_neardup_batch", llm.incremental_neardup_batch,
+             f"""SELECT id_a, id_b, jaccard FROM ({_oracle_lsh_verified()}) v
+WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
+             ("dedup", "incremental")),
     QueryDef("lsh_verified_neardup", llm.lsh_verified_neardup,
              _oracle_lsh_verified(), ("dedup", "pipeline")),
     QueryDef("simhash_neardup", llm.simhash_neardup, _oracle_simhash_pairs(), ("dedup",)),

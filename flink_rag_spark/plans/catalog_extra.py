@@ -47,6 +47,7 @@ def extra_queries() -> list[tuple]:
         ORACLE_JSON,
         ORACLE_Q17,
         _money,
+        _oracle_jaccard,
         _oracle_lsh_pairs,
         _oracle_lsh_verified,
     )
@@ -477,10 +478,11 @@ FROM events
          oracle_frames, ("multimodal",)),
         ("media_probe_roundtrip", llm.media_probe_roundtrip,
          oracle_media_probe, ("multimodal", "codec")),
-        ("incremental_neardup_batch", llm.incremental_neardup_batch,
-         f"""SELECT id_a, id_b, jaccard FROM ({_oracle_lsh_verified()}) v
-WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
-         ("dedup", "incremental")),
+        # rotated out of the graded window in favor of
+        # incremental_neardup_batch (all-pairs Jaccard stays covered as the
+        # verify sub-stage of the graded lsh_verified_neardup)
+        ("jaccard_neardup_pairs", llm.jaccard_neardup_pairs,
+         _oracle_jaccard(), ("dedup",)),
         # rotated out of the graded window in favor of dedup_group_assignment
         # (JSON-function coverage stays graded via json_map_events)
         ("json_events_props", R.json_events_props, ORACLE_JSON,
