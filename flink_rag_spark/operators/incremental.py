@@ -111,13 +111,26 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     (band, band_key) + O(candidates) verify. Both collects are pruning-key
     sets bounded by n_parts, independent of corpus and batch size.
     """
+    from pyspark.errors import AnalysisException
+
     root = path.rstrip("/")
     nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
 
+    try:
+        store = spark.read.parquet(root + "/bands")
+    except AnalysisException:
+        store = None  # first batch — no index yet (streaming cold start)
+
+    within = lsh_candidate_pairs(new_docs, text_col, id_col, cfg)
+    sh_new = (_shingle_sets_with_pkey(new_docs, text_col, id_col,
+                                      cfg, n_parts)
+              .select(id_col, "sh"))
+    if store is None:
+        return verify_jaccard_candidates(within, sh_new, id_col, threshold)
+
     # partition pruning: only store partitions hosting a new band key
     hit_bkps = [r["bkp"] for r in nb.select("bkp").distinct().collect()]
-    store_bands = (spark.read.parquet(root + "/bands")
-                   .filter(F.col("bkp").isin(hit_bkps)))
+    store_bands = store.filter(F.col("bkp").isin(hit_bkps))
 
     new_side = nb.select(F.col(id_col).alias("id_new"), "band", "band_key")
     old_side = store_bands.select(F.col(id_col).alias("id_old"),
@@ -127,13 +140,10 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
              .select(F.least("id_new", "id_old").alias("id_a"),
                      F.greatest("id_new", "id_old").alias("id_b"))
              .distinct())
-    within = lsh_candidate_pairs(new_docs, text_col, id_col, cfg)
     candidates = cross.unionByName(within).distinct()
 
-    # shingle sets: batch side computed live, corpus side read pruned
-    sh_new = (_shingle_sets_with_pkey(new_docs, text_col, id_col,
-                                      cfg, n_parts)
-              .select(id_col, "sh"))
+    # corpus shingle sets read pruned; dropDuplicates makes an at-least-once
+    # appended index (streaming replay re-appends rows) read effectively-once
     old_ids = (cross.select(F.col("id_a").alias("cid"))
                .unionByName(cross.select(F.col("id_b").alias("cid")))
                .distinct())
@@ -143,6 +153,7 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     sh_old = (spark.read.parquet(root + "/shingles")
               .filter(F.col("sbp").isin(hit_sbps))
               .join(old_ids, F.col(id_col) == F.col("cid"), "left_semi")
+              .dropDuplicates([id_col])
               .select(id_col, "sh"))
     # batch docs win on id collision (re-ingest of an updated doc)
     sh = sh_new.unionByName(

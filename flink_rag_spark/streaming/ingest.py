@@ -191,6 +191,42 @@ def upsert_batch(batch: DataFrame, store_path: str,
         deduped.unpersist()
 
 
+def neardup_filter_batch(batch: DataFrame, index_path: str,
+                         threshold: float = 0.3,
+                         cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Streaming near-dup suppression: drop batch rows that near-duplicate
+    an already-INDEXED doc (first writer wins) or a kept batch-mate
+    (min-id wins), using the persisted incremental dedup index
+    (operators/incremental.py) — O(batch + matched buckets) per
+    micro-batch, never O(corpus).
+
+    Greedy pair-wise semantics: each near-dup pair drops its loser
+    independently, so a chain a–b, b–c with no a–c pair drops both b and c.
+    The batch pipeline's connected-components grouping
+    (operators/graph.py) is the precise offline resolution; at ingest
+    time greedy is the right latency/cost point."""
+    from flink_rag_spark.operators.incremental import incremental_neardup_pairs
+
+    spark = batch.sparkSession
+    docs = (batch.select(F.col("vec_id").alias("doc_id"), F.col("text"))
+            .dropDuplicates(["doc_id"]))
+    pairs = incremental_neardup_pairs(
+        spark, docs, "text", "doc_id", index_path, threshold, cfg)
+    new_ids = docs.select("doc_id")
+    flagged = (pairs
+               .join(new_ids.select(F.col("doc_id").alias("id_a"),
+                                    F.lit(True).alias("a_new")),
+                     on="id_a", how="left")
+               .join(new_ids.select(F.col("doc_id").alias("id_b"),
+                                    F.lit(True).alias("b_new")),
+                     on="id_b", how="left"))
+    drop = (flagged.select(
+        F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))     # both new
+        .when(F.col("a_new") & F.col("b_new").isNull(), F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("vec_id")).distinct())     # new loses
+    return batch.join(drop, on="vec_id", how="left_anti")
+
+
 def load_store(spark: SparkSession, store_path: str) -> DataFrame:
     """The retrieval-side view of the store:
     (vec_id, text, embedding, metadata). Stores written before the
@@ -206,9 +242,11 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                checkpoint: str, provider: Provider | None = None,
                cfg: EngineConfig = DEFAULT_CONFIG,
                available_now: bool = False,
-               chunk: bool = False):
-    """Wire source → [chunk] → embed → idempotent store sink; returns the
-    started query.
+               chunk: bool = False,
+               neardup_index: str | None = None,
+               neardup_threshold: float = 0.3):
+    """Wire source → [chunk] → embed → [near-dup filter] → idempotent
+    store sink; returns the started query.
 
     ``chunk=True`` splits each source document into overlapping
     token-window chunks before embedding (chunk_stream) — one vector per
@@ -216,13 +254,38 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     reference lacks. ``available_now=True`` drains everything currently in
     the source and stops — the test/batch-backfill trigger; the default
     processing-time trigger mirrors the reference's continuous job.
-    """
+
+    ``neardup_index=<path>`` turns on streaming near-dup suppression:
+    each micro-batch is filtered against the persisted dedup index
+    (neardup_filter_batch), survivors are appended to the index so LATER
+    batches see them, then upserted to the store. Index appends are
+    at-least-once under replay; reads dedup (effectively-once), and a
+    replayed survivor rejoins the store idempotently via its content-hash
+    id — same delivery contract as the store itself."""
     ensure_runtime_confs(spark)
     if chunk:
         source = chunk_stream(source)
     embedded = embed_stream(source, provider, cfg)
+
+    def _sink(b: DataFrame, _id: int) -> None:
+        if neardup_index is not None:
+            from flink_rag_spark.operators.incremental import (
+                append_to_dedup_index,
+            )
+            b = neardup_filter_batch(b, neardup_index, neardup_threshold, cfg)
+            b.persist()
+            append_to_dedup_index(
+                b.sparkSession,
+                b.select(F.col("vec_id").alias("doc_id"), "text"),
+                "text", "doc_id", neardup_index, cfg)
+        try:
+            upsert_batch(b, store_path)
+        finally:
+            if neardup_index is not None:
+                b.unpersist()
+
     writer = (embedded.writeStream
-              .foreachBatch(lambda b, _id: upsert_batch(b, store_path))
+              .foreachBatch(_sink)
               .option("checkpointLocation", checkpoint)
               .outputMode("update"))
     if available_now:

@@ -104,3 +104,70 @@ def test_reingested_doc_uses_new_text(spark, tmp_path):
     # and the OLD text of doc 1 must not produce a self-ish match with id 2
     for r in out.collect():
         assert r["jaccard"] >= THRESHOLD
+
+
+# ------------------------------------------------------- streaming ingest
+
+
+def _await(query, timeout=120):
+    assert query.awaitTermination(timeout), "stream did not drain in time"
+
+
+def test_streaming_neardup_suppression(spark, tmp_path):
+    """run_ingest(neardup_index=...): near-dups of already-ingested facts
+    are suppressed at ingest time; the index makes batch N visible to
+    batch N+1 without any full-corpus recompute."""
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    idx = str(tmp_path / "dedup_idx")
+    store = str(tmp_path / "store")
+    fact = ("The quick brown fox jumps over the lazy dog while the "
+            "sun sets slowly behind the distant purple mountains")
+
+    src1 = tmp_path / "k1"
+    src1.mkdir()
+    (src1 / "a.txt").write_text(
+        fact + "\nCompletely unrelated statement about train schedules "
+               "and morning commutes in large cities\n")
+    q = run_ingest(spark, file_string_source(spark, str(src1)), store,
+                   str(tmp_path / "c1"), available_now=True,
+                   neardup_index=idx)
+    _await(q)
+    assert spark.read.parquet(store).count() == 2
+
+    # batch 2: one near-dup of the first fact (few words changed), one new
+    src2 = tmp_path / "k2"
+    src2.mkdir()
+    (src2 / "b.txt").write_text(
+        fact.replace("lazy dog", "sleepy dog")
+        + "\nA genuinely novel fact about deep sea creatures and "
+          "bioluminescent displays in total darkness\n")
+    q = run_ingest(spark, file_string_source(spark, str(src2)), store,
+                   str(tmp_path / "c2"), available_now=True,
+                   neardup_index=idx)
+    _await(q)
+    texts = [r["text"] for r in spark.read.parquet(store).collect()]
+    assert len(texts) == 3  # near-dup suppressed, novel fact kept
+    assert not any("sleepy dog" in t for t in texts)
+    assert any("bioluminescent" in t for t in texts)
+
+
+def test_streaming_neardup_within_batch(spark, tmp_path):
+    """Within one micro-batch the min-id survivor of a near-dup pair is
+    kept and its mate dropped (greedy pair-wise semantics)."""
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    fact = ("Eleven players take the field for each side at the start "
+            "of every regulation association football match worldwide")
+    src = tmp_path / "k"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        fact + "\n" + fact.replace("Eleven", "11") + "\n")
+    store = str(tmp_path / "store")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "c"), available_now=True,
+                   neardup_index=str(tmp_path / "idx"))
+    _await(q)
+    assert spark.read.parquet(store).count() == 1
