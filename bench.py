@@ -142,6 +142,33 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         curation_timings[name] = round(sorted(runs)[1], 3)
 
+    # incremental dedup: the index BUILD is the once-per-corpus cost; what
+    # matters per nightly batch is the PROBE (partition-pruned match +
+    # verify) — time them separately
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_neardup_pairs,
+    )
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    batch = d.filter(F.col("doc_id") % 20 == 0)
+    idx = tempfile.mkdtemp(prefix="bench_dedup_idx_")
+    t0 = time.perf_counter()
+    build_dedup_index(spark, corpus, "text", "doc_id", idx, n_parts=32)
+    dedup_index_build_sec = round(time.perf_counter() - t0, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(incremental_neardup_pairs(
+            spark, batch, "text", "doc_id", idx, threshold=0.3, n_parts=32))
+        runs.append(time.perf_counter() - t0)
+    curation_timings["incremental_neardup_probe"] = round(sorted(runs)[1], 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -155,6 +182,7 @@ def main() -> None:
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
         "ann_index_build_sec": ann_index_build_sec,
+        "dedup_index_build_sec": dedup_index_build_sec,
         "rag_batch_n": n_q,
         "sf": sf,
         "cpus": cpus,

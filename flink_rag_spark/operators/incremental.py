@@ -114,7 +114,12 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     from pyspark.errors import AnalysisException
 
     root = path.rstrip("/")
-    nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
+    # batch-side frames are persisted: they are batch-bounded (never
+    # corpus-sized) and each feeds 2+ downstream jobs (the pruning-key
+    # collects plus the joins) — without caching the whole signature
+    # pipeline re-runs per job
+    nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg,
+                              n_parts).persist()
 
     try:
         store = spark.read.parquet(root + "/bands")
@@ -139,7 +144,7 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
              .filter(F.col("id_new") != F.col("id_old"))
              .select(F.least("id_new", "id_old").alias("id_a"),
                      F.greatest("id_new", "id_old").alias("id_b"))
-             .distinct())
+             .distinct()).persist()
     candidates = cross.unionByName(within).distinct()
 
     # corpus shingle sets read pruned; dropDuplicates makes an at-least-once

@@ -141,3 +141,23 @@ def test_rag_context_assembly_broadcasts_small_sides(spark, sf_oracle, fns):
     # context aggregation is the only wide op over the doc side: no
     # SortMergeJoin should appear anywhere in this plan at test SF
     assert "SortMergeJoin" not in plan
+
+
+def test_q9_broadcasts_dims_and_prunes(spark, sf_oracle, fns):
+    """Q9's part filter must push to the scan, its dims must broadcast, and
+    the fact scan must be column-pruned to what profit needs."""
+    plan = plan_of(fns["q9_product_type_profit"](spark, sf_oracle))
+    assert "Contains(p_name,gear)" in plan        # pushed filter
+    assert "SortMergeJoin" not in plan            # dims + small agg broadcast
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read               # pruned fact columns
+    assert plan.count("HashAggregate") >= 4       # derived-supply + final agg
+
+
+def test_q2_single_window_shuffle(spark, sf_oracle, fns):
+    """Q2's correlated min is a window keyed like the aggregation — the
+    plan must stay broadcast-joined with no SMJ and exactly one window."""
+    plan = plan_of(fns["q2_min_cost_supplier"](spark, sf_oracle))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 2              # one node ×2 (tree+detail)
+    assert "EqualTo(p_type,LARGE)" in plan        # part filter pushed
