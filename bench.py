@@ -106,10 +106,16 @@ def main() -> None:
     from flink_rag_spark.plans.rag import rag_answer  # noqa: PLC0415
     n_q = 1000
     qs = [f"question number {i} about topic {i % 37}" for i in range(n_q)]
-    t0 = time.perf_counter()
+    # same rigor as the headline set: one untimed warm-up (first execution
+    # pays codegen + Python-worker spin-up; a cold single run under-reported
+    # throughput by ~2× on this host) then median of 3
     force(rag_answer(spark, sf_dir, questions=qs))
-    rag_wall = time.perf_counter() - t0
-    rag_qps = round(n_q / rag_wall, 1)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(rag_answer(spark, sf_dir, questions=qs))
+        runs.append(time.perf_counter() - t0)
+    rag_qps = round(n_q / sorted(runs)[1], 1)
     # ANN path: index built once (timed separately), probes amortize it —
     # the deployment shape (operators/index.py persists the same artifacts)
     from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index  # noqa: PLC0415
@@ -122,10 +128,13 @@ def main() -> None:
     cells = cells.persist()
     cells.count()
     ann_index_build_sec = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann",
-                     ann_index=(cents, cells)))
-    rag_qps_ann = round(n_q / (time.perf_counter() - t0), 1)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann",
+                         ann_index=(cents, cells)))
+        runs.append(time.perf_counter() - t0)
+    rag_qps_ann = round(n_q / sorted(runs)[1], 1)
     cells.unpersist()
 
     # curation suite timings (separate section — the headline set stays
