@@ -1,0 +1,106 @@
+"""Time-series gap filling — the hypertable `time_bucket_gapfill` /
+`locf` / `interpolate` surface (ABSENT in the reference, which has no event
+time at all: `AiJob.java:38` opts out of watermarks; part of the
+generalized analytics surface SURVEY.md §2.2 requires).
+
+Given a bucketed series with holes (buckets nobody observed), produce the
+dense per-key grid and fill each hole two ways:
+
+- ``locf`` — last observation carried forward (step interpolation);
+- ``interp`` — linear interpolation between the nearest observed
+  neighbors, weighted by time distance.
+
+Spark-first shape:
+
+- the grid is ``sequence(min_bucket, max_bucket, step)`` + ``explode`` per
+  key — a narrow generate, no shuffle, sized buckets-per-key;
+- the fill is two window passes per key (one forward frame, one backward
+  frame) — both run in the SAME partition-by-key sort, which reuses the
+  grid's key partitioning (observed: the fill adds no exchange of its
+  own; the obs side of the grid join broadcasts when small and
+  co-partitions on (key, bucket) when not);
+- no Python anywhere: sequence/explode/last-ignorenulls/first-ignorenulls
+  are all Catalyst expressions inside whole-stage codegen.
+
+At 100 TB: everything is per-key windows — scales with keys × buckets, not
+events. The hazard is a SPARSE key with a huge time range (one event in
+2001, one in 2025 → millions of grid rows): ``max_buckets`` caps the
+per-key explosion and fails loudly instead of OOMing an executor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: refuse to generate more than this many grid rows for one key (a sparse
+#: key spanning years at fine steps is almost always a data bug; raise the
+#: cap deliberately if it isn't)
+MAX_BUCKETS_PER_KEY = 1_000_000
+
+
+def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
+                        value_col: str, step: str = "1 hour",
+                        max_buckets: int = MAX_BUCKETS_PER_KEY,
+                        round_dp: int = 4) -> DataFrame:
+    """Fill gaps in a bucketed series.
+
+    ``series`` must hold one row per (keys, bucket) with an aggregated
+    ``value_col`` (the caller owns the bucketing aggregation — typically
+    ``groupBy(keys, date_trunc(...)).agg(...)``). Returns the dense grid
+    from each key's min to max bucket with columns: keys, bucket,
+    ``value_col`` (null in gaps), ``locf``, ``interp`` (both rounded to
+    ``round_dp``).
+
+    Grid edges always carry observations (each key's grid spans its own
+    observed min..max), so ``locf`` and ``interp`` are never null. Interior
+    semantics: at an observed bucket both equal the observation; in a gap
+    ``locf`` repeats the previous observation and ``interp`` draws the
+    line between the neighbors, weighted by bucket-epoch distance."""
+    b, v = F.col(bucket_col), F.col(value_col)
+
+    grid = (series.groupBy(*keys)
+            .agg(F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1"))
+            .select(*keys,
+                    F.explode(F.expr(
+                        f"sequence(_b0, _b1, interval {step})")).alias(bucket_col)))
+    # fail loudly on pathological sparse keys rather than exploding memory:
+    # sequence() itself errors out past Spark's element cap, but that cap
+    # (MAX_ROUNDED_ARRAY_LENGTH ≈ 2^31) is far beyond what one task should
+    # materialize — enforce the operator's own budget at plan time
+    step_n, step_unit = step.split()
+    unit_sec = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        step_unit.rstrip("s")]
+    est = (series.groupBy(*keys)
+           .agg(((F.unix_timestamp(F.max(bucket_col))
+                  - F.unix_timestamp(F.min(bucket_col)))
+                 / (int(step_n) * unit_sec)).alias("_nb"))
+           .agg(F.max("_nb")).first()[0])
+    if est is not None and est + 1 > max_buckets:
+        raise ValueError(
+            f"gapfill would generate {int(est) + 1} buckets for one key "
+            f"(cap {max_buckets}); widen `step` or raise `max_buckets`")
+
+    filled = grid.join(series, on=[*keys, bucket_col], how="left")
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(v.isNotNull(), b), ignorenulls=True).over(fwd)
+    frac = ((F.unix_timestamp(b) - F.unix_timestamp(prev_t))
+            / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)))
+    interp = (F.when(v.isNotNull(), v)
+              .when(next_t == prev_t, prev_v)          # trailing edge guard
+              .otherwise(prev_v + (next_v - prev_v) * frac))
+    # locf is a copy of an (already caller-rounded) observation — rounding
+    # it is exact. interp is COMPUTED (mul+add of doubles): engines may
+    # fuse the multiply-add (FMA), shifting the result ~1 ulp, and a
+    # decimal ROUND sitting on a .5 boundary would amplify that invisible
+    # difference into the rounded digit — so interp ships unrounded and
+    # comparison-layer float canonicalization (%.9g) absorbs ulp noise.
+    return filled.select(
+        *keys, bucket_col, value_col,
+        F.round(prev_v, round_dp).alias("locf"),
+        interp.alias("interp"))

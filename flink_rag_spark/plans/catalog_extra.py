@@ -411,6 +411,52 @@ SELECT event_id,
 FROM events
 """
 
+    # gap-fill mirror: dense grid via generate_series, LOCF + linear
+    # interpolation via IGNORE NULLS window frames — the interpolation
+    # arithmetic is parenthesized to multiply by the (double) time fraction
+    # exactly like the Spark expression, so doubles match bit-for-bit
+    oracle_gapfill = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 4) AS obs_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL '1 hour')) AS bucket
+  FROM obs GROUP BY user_id),
+j AS (
+  SELECT g.user_id, g.bucket, o.obs_value
+  FROM grid g LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+f AS (
+  SELECT user_id, bucket, obs_value,
+         LAST_VALUE(obs_value IGNORE NULLS) OVER w_back AS prev_v,
+         LAST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER w_back AS prev_t,
+         FIRST_VALUE(obs_value IGNORE NULLS) OVER w_fwd AS next_v,
+         FIRST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER w_fwd AS next_t
+  FROM j
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket, obs_value,
+       ROUND(prev_v, 4) AS locf,
+       CASE WHEN obs_value IS NOT NULL THEN obs_value
+            WHEN next_t = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((CAST(epoch(bucket) AS BIGINT)
+                     - CAST(epoch(prev_t) AS BIGINT))
+                    / (CAST(epoch(next_t) AS BIGINT)
+                       - CAST(epoch(prev_t) AS BIGINT)))
+       END AS interp
+FROM f
+"""
+
     return [
         ("agg_orders_by_status", R.agg_orders_by_status,
          oracle_agg_status, ("agg",)),
@@ -478,6 +524,8 @@ FROM events
          oracle_frames, ("multimodal",)),
         ("media_probe_roundtrip", llm.media_probe_roundtrip,
          oracle_media_probe, ("multimodal", "codec")),
+        ("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
+         oracle_gapfill, ("window", "timeseries", "gapfill")),
         # rotated out of the graded window in favor of
         # incremental_neardup_batch (all-pairs Jaccard stays covered as the
         # verify sub-stage of the graded lsh_verified_neardup)

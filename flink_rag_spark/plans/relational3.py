@@ -477,3 +477,26 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(pairs, F.col("p_partkey") == F.col("l_partkey"))
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable `time_bucket_gapfill` + `locf` +
+    `interpolate` surface; the reference has no event time at all,
+    AiJob.java:38): hourly purchase-value series per user, dense grid over
+    each user's observed span, gaps filled by last-observation-carried-
+    forward AND linear interpolation (operators/timeseries.py — grid via
+    sequence+explode, fill via two ignore-nulls window frames in one
+    per-key sort; no Python, one shuffle).
+
+    The observed value is an exact decimal mean (decimal sum / count) so
+    Spark and DuckDB agree bit-for-bit before rounding."""
+    from flink_rag_spark.operators.timeseries import gapfill_locf_interp
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    obs = (e.groupBy("user_id", F.window("ts", "1 hour"))
+           .agg(F.round(F.sum(dec2("value")).cast("double")
+                        / F.count(F.lit(1)), 4).alias("obs_value"))
+           .select("user_id", F.col("window.start").alias("bucket"),
+                   "obs_value"))
+    return gapfill_locf_interp(obs, ["user_id"], "bucket", "obs_value",
+                               step="1 hour")

@@ -1,0 +1,58 @@
+"""Unit tests for the gap-fill operator (operators/timeseries.py): exact
+LOCF / linear-interpolation values on a crafted series, single-observation
+keys, and the sparse-key bucket cap."""
+
+import datetime as dt
+
+import pytest
+
+from flink_rag_spark.operators.timeseries import gapfill_locf_interp
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, h), v) for u, h, v in rows],
+        "user_id int, bucket timestamp, obs double")
+
+
+def test_gapfill_locf_and_linear_values(spark):
+    # user 1: obs at hour 0 (10.0) and hour 4 (30.0) — three gap buckets
+    filled = gapfill_locf_interp(
+        _series(spark, [(1, 0, 10.0), (1, 4, 30.0)]),
+        ["user_id"], "bucket", "obs", step="1 hour")
+    rows = {r["bucket"].hour: r for r in filled.collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert [rows[h]["locf"] for h in range(5)] == [10.0, 10.0, 10.0, 10.0, 30.0]
+    assert [round(rows[h]["interp"], 6) for h in range(5)] == \
+           [10.0, 15.0, 20.0, 25.0, 30.0]
+    # observed buckets keep their observation; gaps have null obs
+    assert rows[0]["obs"] == 10.0 and rows[2]["obs"] is None
+
+
+def test_gapfill_single_observation_key(spark):
+    filled = gapfill_locf_interp(
+        _series(spark, [(7, 3, 5.5)]),
+        ["user_id"], "bucket", "obs", step="1 hour").collect()
+    assert len(filled) == 1
+    r = filled[0]
+    assert r["locf"] == 5.5 and r["interp"] == 5.5 and r["obs"] == 5.5
+
+
+def test_gapfill_multiple_keys_are_independent(spark):
+    filled = gapfill_locf_interp(
+        _series(spark, [(1, 0, 1.0), (1, 2, 3.0), (2, 5, 9.0), (2, 6, 11.0)]),
+        ["user_id"], "bucket", "obs", step="1 hour")
+    got = {(r["user_id"], r["bucket"].hour): r["interp"]
+           for r in filled.collect()}
+    # user 1 grid is hours 0-2, user 2 grid is hours 5-6 — no bleed
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 5), (2, 6)}
+    assert got[(1, 1)] == 2.0
+
+
+def test_gapfill_sparse_key_cap_raises(spark):
+    wide = _series(spark, [(1, 0, 1.0)]).union(spark.createDataFrame(
+        [(1, dt.datetime(2030, 1, 1), 2.0)],
+        "user_id int, bucket timestamp, obs double"))
+    with pytest.raises(ValueError, match="buckets for one key"):
+        gapfill_locf_interp(wide, ["user_id"], "bucket", "obs",
+                            step="1 hour", max_buckets=1000)
