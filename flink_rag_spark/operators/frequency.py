@@ -1,0 +1,90 @@
+"""Heavy hitters (frequent items) with bounded shuffle — exact results via
+the two-phase sketch pattern (part of the approximate/sketch aggregate
+family SURVEY.md §2.2 requires; ABSENT in the reference, which has no
+aggregation at all).
+
+The problem with `groupBy(key).count()` for "items above φ·N frequency"
+at 100 TB is not the counting — it's that the shuffle carries EVERY
+distinct key (billions of groups for, say, URL or token keys) to compute a
+result with at most ⌊1/φ⌋ rows. The classic fix:
+
+1. **Per-partition Misra-Gries summaries** (one narrow Arrow pass, no
+   shuffle): each task keeps m = ⌈1/φ⌉ counters; merging a batch in and
+   compacting to m counters subtracts the (m+1)-th largest count from all
+   — the standard mergeable-summary step. Guarantee: an item whose
+   partition count exceeds n_p/(m+1) survives that partition's summary, so
+   an item with GLOBAL count > N/(m+1) ≥ φ·N must survive in at least one
+   partition (if it were dropped everywhere, its total count would be
+   ≤ Σ n_p/(m+1) = N/(m+1) < φ·N + 1 — contradiction). Candidates are
+   therefore a SUPERSET of the true heavy hitters, and there are at most
+   partitions × m of them.
+2. **Exact recount of candidates only**: broadcast the candidate set, semi
+   join (the big side is scanned, never shuffled on the full key space),
+   and aggregate — the shuffle now carries ≤ partitions × m keys.
+
+The result is EXACT (phase 2 uses true counts; phase 1 can only
+over-include), unlike count-min/space-saving used alone. Total cost: two
+scans, one bounded shuffle — vs one scan and one unbounded shuffle for the
+naive plan. The per-partition row count rides along in the summary pass as
+a sentinel row, so N needs no extra job and the whole operator stays one
+declarative plan (no driver-side collect).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries: emits (item, np) rows where
+    candidate rows carry (value, null) and one sentinel per partition
+    carries (null, partition_row_count)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    item_type = items.schema[col].dataType
+    schema = StructType([StructField(col, item_type),
+                         StructField("_np", LongType())])
+
+    def summarize(batches):
+        import pandas as pd_
+        acc: dict = {}
+        n_rows = 0
+        for b in batches:
+            s = b[col].dropna()
+            n_rows += len(b)
+            for val, cnt in s.value_counts().items():
+                acc[val] = acc.get(val, 0) + int(cnt)
+            if len(acc) > m:
+                # compact: subtract the (m+1)-th largest, keep positive —
+                # the mergeable-summaries step (Agarwal et al.)
+                cut = sorted(acc.values(), reverse=True)[m]
+                acc = {k: v - cut for k, v in acc.items() if v > cut}
+        out = pd_.DataFrame({col: list(acc.keys()),
+                             "_np": [None] * len(acc)})
+        sentinel = pd_.DataFrame({col: [None], "_np": [n_rows]})
+        yield pd_.concat([out, sentinel], ignore_index=True)
+
+    return items.select(col).mapInPandas(summarize, schema=schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
+                  m: int | None = None) -> DataFrame:
+    """Exactly the items with count > ``threshold_frac`` × N (N = row
+    count of ``df``), as (col, cnt, frac) — without shuffling the full
+    distinct-key space. ``m`` defaults to ⌈1/threshold_frac⌉, the smallest
+    summary satisfying the no-false-negative guarantee."""
+    import math
+
+    if m is None:
+        m = int(math.ceil(1.0 / threshold_frac))
+    summ = _mg_summaries(df, col, m).persist()
+    cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
+    n_df = summ.agg(F.sum("_np").alias("_n"))
+    return (df.join(broadcast(cands), on=col, how="left_semi")
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(broadcast(n_df))
+            .filter(F.col("cnt") > F.col("_n") * F.lit(threshold_frac))
+            .select(col, "cnt", (F.col("cnt") / F.col("_n")).alias("frac")))

@@ -457,6 +457,16 @@ SELECT user_id, bucket, obs_value,
 FROM f
 """
 
+    # exact heavy hitters (two-phase Misra-Gries + recount): the plain
+    # GROUP BY / HAVING form IS the semantics, so it is also the oracle
+    oracle_heavy = """
+WITH t AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, COUNT(*) AS cnt,
+       COUNT(*) / (SELECT n FROM t) AS frac
+FROM events GROUP BY user_id
+HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
+"""
+
     return [
         ("agg_orders_by_status", R.agg_orders_by_status,
          oracle_agg_status, ("agg",)),
@@ -526,6 +536,8 @@ FROM f
          oracle_media_probe, ("multimodal", "codec")),
         ("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
          oracle_gapfill, ("window", "timeseries", "gapfill")),
+        ("heavy_hitters_users", R3.heavy_hitters_users,
+         oracle_heavy, ("agg", "sketch", "frequency")),
         # rotated out of the graded window in favor of
         # incremental_neardup_batch (all-pairs Jaccard stays covered as the
         # verify sub-stage of the graded lsh_verified_neardup)

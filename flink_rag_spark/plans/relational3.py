@@ -500,3 +500,16 @@ def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "obs_value"))
     return gapfill_locf_interp(obs, ["user_id"], "bucket", "obs_value",
                                step="1 hour")
+
+
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item surface: users contributing > 1/128 of all events,
+    via per-partition Misra-Gries summaries + an exact recount of the
+    bounded candidate set (operators/frequency.py) — the shuffle carries
+    ≤ partitions × 128 keys instead of the full distinct-user space. The
+    result is exact, so the oracle is the plain GROUP BY / HAVING form.
+    1/128 is a negative power of two — exactly representable, so the
+    threshold comparison is bit-identical across engines."""
+    from flink_rag_spark.operators.frequency import heavy_hitters
+    e = load_table(spark, sf_dir, "events")
+    return heavy_hitters(e, "user_id", threshold_frac=1.0 / 128)

@@ -1,0 +1,58 @@
+"""Unit tests for exact heavy hitters (operators/frequency.py): equality
+with the brute-force groupBy on skewed data, the no-false-negative
+candidate guarantee under a deliberately tiny summary, and the candidate
+bound."""
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.operators.frequency import _mg_summaries, heavy_hitters
+
+
+def _skewed(spark):
+    # key k appears (k+1)*50 times for k in 0..9, plus 3000 unique keys:
+    # N = 2750 + 3000 = 5750; frequencies range 50..500
+    rows = [(k,) for k in range(10) for _ in range((k + 1) * 50)]
+    rows += [(1000 + i,) for i in range(3000)]
+    return spark.createDataFrame(rows, "key long").repartition(8)
+
+
+def test_heavy_hitters_matches_bruteforce(spark):
+    df = _skewed(spark)
+    phi = 1.0 / 16
+    got = {(r["key"], r["cnt"]) for r in
+           heavy_hitters(df, "key", phi).collect()}
+    n = df.count()
+    want = {(r["key"], r["cnt"]) for r in
+            df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > n * phi).collect()}
+    assert got == want and got  # non-empty: 5750/16 ≈ 359 → keys 7,8,9
+
+
+def test_heavy_hitters_tiny_summary_still_exact(spark):
+    # m barely above 1/phi — the compaction path runs constantly (3010
+    # distinct keys vs 20 counters) yet the result must stay exact
+    df = _skewed(spark)
+    phi = 1.0 / 16
+    got = sorted(r["key"] for r in
+                 heavy_hitters(df, "key", phi, m=20).collect())
+    n = df.count()
+    want = sorted(r["key"] for r in
+                  df.groupBy("key").count()
+                  .filter(F.col("count") > n * phi).collect())
+    assert got == want
+
+
+def test_candidate_set_is_bounded(spark):
+    df = _skewed(spark)
+    m = 16
+    summ = _mg_summaries(df, "key", m).collect()
+    cands = [r for r in summ if r["key"] is not None]
+    sentinels = [r for r in summ if r["key"] is None]
+    n_parts = len(sentinels)  # one sentinel row per partition
+    assert len(cands) <= n_parts * m
+    assert sum(r["_np"] for r in sentinels) == df.count()
+
+
+def test_heavy_hitters_empty_input(spark):
+    df = spark.createDataFrame([], "key long")
+    assert heavy_hitters(df, "key", 0.25).collect() == []
