@@ -184,3 +184,36 @@ def hash_bucket_duck(key_col: str, buckets: int = 100) -> str:
 def hash_sample_duck(key_col: str, keep_pct: int, buckets: int = 100) -> str:
     """DuckDB WHERE-clause mirror of hash_sample's keep decision."""
     return f"{hash_bucket_duck(key_col, buckets)} < {keep_pct}"
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    n: int, id_col: str | None = None) -> DataFrame:
+    """DETERMINISTIC weighted sampling without replacement (temperature /
+    quality-weighted corpus selection): keep the ``n`` rows with the
+    largest ``ln(u) / w`` where ``u`` is a content-hash uniform in (0, 1]
+    and ``w`` the row's weight — the A-Res (Efraimidis-Spirakis) reservoir
+    key, under which row i wins with probability proportional to w_i.
+
+    Same contract as ``hash_sample``: the keep decision is a pure function
+    of row content + weight, so the kept set survives repartitioning,
+    re-runs and engine changes (the oracle computes the identical key).
+    ``orderBy(...).limit(n)`` plans as TakeOrderedAndProject — each
+    partition ships only its local top-n, never a full sort.
+
+    At 100 TB: one narrow projection + a size-n per-partition heap; the
+    driver merges partitions × n candidate rows. For n beyond driver
+    comfort, swap the limit for a quantile-threshold two-pass (same key,
+    approx_quantile cutoff + filter) — the key stays identical.
+    """
+    u = f"(({poly_hash_expr(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE)"
+    k = F.expr(f"ln({u})") / F.col(weight_col)
+    out = df.withColumn("samp_key", k)
+    order = [F.desc("samp_key")] + ([F.col(id_col)] if id_col else [])
+    return out.orderBy(*order).limit(n)
+
+
+def weighted_sample_key_duck(key_col: str, weight_col: str) -> str:
+    """DuckDB mirror of weighted_sample's ranking key."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    return (f"ln((({poly_hash_duck(key_col)}) + 1) "
+            f"/ CAST({POLY_P + 1} AS DOUBLE)) / {weight_col}")

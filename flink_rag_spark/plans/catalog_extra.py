@@ -457,6 +457,19 @@ SELECT user_id, bucket, obs_value,
 FROM f
 """
 
+    # deterministic weighted sampling: the A-Res key is a pure function of
+    # content hash + weight, so the oracle computes the identical key and
+    # takes the same top-50 (ln/divide agree to ~1 ulp across engines —
+    # far below both the selection margins and the 9-sig-digit canon)
+    from flink_rag_spark.operators.curation import weighted_sample_key_duck
+    oracle_weighted = f"""
+SELECT doc_id, lang, n_chars,
+       {weighted_sample_key_duck('text', 'n_chars')} AS samp_key
+FROM documents
+ORDER BY samp_key DESC, doc_id
+LIMIT 50
+"""
+
     # exact heavy hitters (two-phase Misra-Gries + recount): the plain
     # GROUP BY / HAVING form IS the semantics, so it is also the oracle
     oracle_heavy = """
@@ -538,6 +551,8 @@ HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
          oracle_gapfill, ("window", "timeseries", "gapfill")),
         ("heavy_hitters_users", R3.heavy_hitters_users,
          oracle_heavy, ("agg", "sketch", "frequency")),
+        ("weighted_sample_docs", llm.weighted_sample_docs,
+         oracle_weighted, ("curation", "sampling")),
         # rotated out of the graded window in favor of
         # incremental_neardup_batch (all-pairs Jaccard stays covered as the
         # verify sub-stage of the graded lsh_verified_neardup)

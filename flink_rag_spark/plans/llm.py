@@ -533,3 +533,15 @@ def dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(d, "text", "doc_id", threshold=0.3, candidates=cands)
     return (connected_components(pairs)
             .select(F.col("node").alias("doc_id"), "group_rep"))
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (temperature-style corpus
+    selection): 50 documents drawn with probability proportional to
+    length (n_chars), via the content-hash A-Res key
+    (operators/curation.py:weighted_sample) — reproducible across runs,
+    layouts and engines, unlike RNG sampling."""
+    from flink_rag_spark.operators.curation import weighted_sample
+    d = load_table(spark, sf_dir, "documents")
+    return (weighted_sample(d, "text", "n_chars", n=50, id_col="doc_id")
+            .select("doc_id", "lang", "n_chars", "samp_key"))

@@ -107,3 +107,32 @@ def test_chunk_properties_match_python_model(spark):
             expected = py_chunks([f"t{i}" for i in range(n)], w, s)
             chunks = [t for _, t in sorted(got.get(cid, []))]
             assert chunks == expected, (cid, n, w, s)
+
+
+def test_weighted_sample_matches_model_and_survives_repartition(spark):
+    import math
+
+    from flink_rag_spark.functions.hashing import POLY_BASE, POLY_P
+    from flink_rag_spark.operators.curation import weighted_sample
+
+    rows = [(i, f"document body {i} {'x' * (i % 11)}", (i % 7) + 1)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "text", "w", n=20, id_col="doc_id").collect()]
+
+    def poly(s):
+        acc = 0
+        for c in s:
+            acc = (acc * POLY_BASE + ord(c)) % POLY_P
+        return acc
+
+    key = {i: math.log((poly(t) + 1) / (POLY_P + 1)) / w for i, t, w in rows}
+    want = [i for i, _, _ in
+            sorted(rows, key=lambda r: (-key[r[0]], r[0]))][:20]
+    assert got == want
+    # layout-independence: same kept set (and order) after a repartition
+    got2 = [r["doc_id"] for r in
+            weighted_sample(df.repartition(7), "text", "w",
+                            n=20, id_col="doc_id").collect()]
+    assert got2 == got
