@@ -457,6 +457,19 @@ SELECT user_id, bucket, obs_value,
 FROM f
 """
 
+    # bloom-prefiltered exact decontamination: the bloom stage is pure
+    # optimization (no false negatives), so the plain NOT EXISTS form is
+    # the full semantics
+    sh3 = shingle_hashes_duck("text", CFG.shingle_size)
+    oracle_bloom_decon = f"""
+WITH fp AS (SELECT doc_id, lang, source, list_min({sh3}) AS fp
+            FROM documents)
+SELECT doc_id, lang, source, fp FROM fp d
+WHERE doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM fp b
+                  WHERE b.doc_id % 10 = 0 AND b.fp = d.fp)
+"""
+
     # deterministic weighted sampling: the A-Res key is a pure function of
     # content hash + weight, so the oracle computes the identical key and
     # takes the same top-50 (ln/divide agree to ~1 ulp across engines —
@@ -553,6 +566,8 @@ HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
          oracle_heavy, ("agg", "sketch", "frequency")),
         ("weighted_sample_docs", llm.weighted_sample_docs,
          oracle_weighted, ("curation", "sampling")),
+        ("bloom_decontaminated_docs", llm.bloom_decontaminated_docs,
+         oracle_bloom_decon, ("curation", "membership", "bloom")),
         # rotated out of the graded window in favor of
         # incremental_neardup_batch (all-pairs Jaccard stays covered as the
         # verify sub-stage of the graded lsh_verified_neardup)

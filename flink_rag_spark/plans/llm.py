@@ -545,3 +545,23 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (weighted_sample(d, "text", "n_chars", n=50, id_col="doc_id")
             .select("doc_id", "lang", "n_chars", "samp_key"))
+
+
+def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-membership decontamination, bloom-prefiltered
+    (operators/membership.py): remove every train-split document whose
+    min-shingle fingerprint appears in the benchmark split (doc_id % 10 ==
+    0 — the same split convention as contamination_neardup_overlap). The
+    bloom pass short-circuits non-suspects at the scan; the exact anti
+    join runs only over bloom positives, so the result is EXACT and the
+    oracle is the plain NOT EXISTS form."""
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+    from flink_rag_spark.operators.membership import decontaminate_exact
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.expr("array_min(" +
+                     shingle_hashes_expr("text", DEFAULT_CONFIG.shingle_size)
+                     + ")"))
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return (decontaminate_exact(train, bench, "fp")
+            .select("doc_id", "lang", "source", "fp"))
