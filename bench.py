@@ -178,6 +178,20 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     curation_timings["incremental_neardup_probe"] = round(sorted(runs)[1], 3)
 
+    # round-4 operator families (separate section for the same
+    # comparability reason): gap fill, heavy hitters, bloom
+    # decontamination, weighted sampling
+    EXTRA = ["gapfill_hourly_user_values", "heavy_hitters_users",
+             "bloom_decontaminated_docs", "weighted_sample_docs"]
+    extra_timings: dict[str, float] = {}
+    for name in EXTRA:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(fns[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        extra_timings[name] = round(sorted(runs)[1], 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -187,6 +201,7 @@ def main() -> None:
         "queries_min": timings_min,
         "queries_spread": timings_spread,
         "curation_queries": curation_timings,
+        "extra_queries": extra_timings,
         "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,

@@ -59,11 +59,13 @@ def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
     line between the neighbors, weighted by bucket-epoch distance."""
     b, v = F.col(bucket_col), F.col(value_col)
 
-    grid = (series.groupBy(*keys)
-            .agg(F.min(bucket_col).alias("_b0"), F.max(bucket_col).alias("_b1"))
-            .select(*keys,
-                    F.explode(F.expr(
-                        f"sequence(_b0, _b1, interval {step})")).alias(bucket_col)))
+    # one row per key — tiny; persisted so the sparse-key guard action and
+    # the grid explode share a single evaluation of the bounds aggregate
+    # (without it the guard would cost one extra full scan of `series`)
+    bounds = (series.groupBy(*keys)
+              .agg(F.min(bucket_col).alias("_b0"),
+                   F.max(bucket_col).alias("_b1"))
+              .persist())
     # fail loudly on pathological sparse keys rather than exploding memory:
     # sequence() itself errors out past Spark's element cap, but that cap
     # (MAX_ROUNDED_ARRAY_LENGTH ≈ 2^31) is far beyond what one task should
@@ -71,15 +73,18 @@ def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
     step_n, step_unit = step.split()
     unit_sec = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
         step_unit.rstrip("s")]
-    est = (series.groupBy(*keys)
-           .agg(((F.unix_timestamp(F.max(bucket_col))
-                  - F.unix_timestamp(F.min(bucket_col)))
-                 / (int(step_n) * unit_sec)).alias("_nb"))
-           .agg(F.max("_nb")).first()[0])
+    est = (bounds.agg(F.max(
+        (F.unix_timestamp("_b1") - F.unix_timestamp("_b0"))
+        / (int(step_n) * unit_sec))).first()[0])
     if est is not None and est + 1 > max_buckets:
+        bounds.unpersist()
         raise ValueError(
             f"gapfill would generate {int(est) + 1} buckets for one key "
             f"(cap {max_buckets}); widen `step` or raise `max_buckets`")
+    grid = bounds.select(*keys,
+                         F.explode(F.expr(
+                             f"sequence(_b0, _b1, interval {step})"))
+                         .alias(bucket_col))
 
     filled = grid.join(series, on=[*keys, bucket_col], how="left")
     w = Window.partitionBy(*keys).orderBy(bucket_col)

@@ -774,8 +774,90 @@ FROM orders o JOIN st ON o.o_custkey = st.o_custkey
 # a catalog entry never forces deleting a graded one. Previously-graded
 # entries keep their slots; previously-ungraded entries lead, hedging
 # against any time-based cutoff.
+# -- round-4 additions (oracles shared with the graded window) --
+
+# gap-fill mirror: dense grid via generate_series, LOCF + linear
+# interpolation via IGNORE NULLS window frames — the interpolation
+# arithmetic is parenthesized to multiply by the (double) time fraction
+# exactly like the Spark expression; interp ships unrounded because
+# engines may fuse the multiply-add (FMA) and a decimal ROUND at a .5
+# boundary would amplify the ~1-ulp difference into the rounded digit
+ORACLE_GAPFILL = """
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 4) AS obs_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(bucket), max(bucket),
+                                INTERVAL '1 hour')) AS bucket
+  FROM obs GROUP BY user_id),
+j AS (
+  SELECT g.user_id, g.bucket, o.obs_value
+  FROM grid g LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.bucket = o.bucket),
+f AS (
+  SELECT user_id, bucket, obs_value,
+         LAST_VALUE(obs_value IGNORE NULLS) OVER w_back AS prev_v,
+         LAST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER w_back AS prev_t,
+         FIRST_VALUE(obs_value IGNORE NULLS) OVER w_fwd AS next_v,
+         FIRST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER w_fwd AS next_t
+  FROM j
+  WINDOW w_back AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY user_id ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket, obs_value,
+       ROUND(prev_v, 4) AS locf,
+       CASE WHEN obs_value IS NOT NULL THEN obs_value
+            WHEN next_t = prev_t THEN prev_v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((CAST(epoch(bucket) AS BIGINT)
+                     - CAST(epoch(prev_t) AS BIGINT))
+                    / (CAST(epoch(next_t) AS BIGINT)
+                       - CAST(epoch(prev_t) AS BIGINT)))
+       END AS interp
+FROM f
+"""
+
+# exact heavy hitters (two-phase Misra-Gries + recount): the plain
+# GROUP BY / HAVING form IS the semantics, so it is also the oracle
+ORACLE_HEAVY_HITTERS = """
+WITH t AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, COUNT(*) AS cnt,
+       COUNT(*) / (SELECT n FROM t) AS frac
+FROM events GROUP BY user_id
+HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
+"""
+
+# bloom-prefiltered exact decontamination: the bloom stage is pure
+# optimization (no false negatives), so the plain NOT EXISTS form is the
+# full semantics
+ORACLE_BLOOM_DECON = f"""
+WITH fp AS (SELECT doc_id, lang, source,
+            list_min({shingle_hashes_duck('text', CFG.shingle_size)}) AS fp
+            FROM documents)
+SELECT doc_id, lang, source, fp FROM fp d
+WHERE doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM fp b
+                  WHERE b.doc_id % 10 = 0 AND b.fp = d.fp)
+"""
+
+
 _GRADED: list[QueryDef] = [
     # --- entries with no round-1 driver row first ---
+    # round-4 operator families (previously-ungraded entries lead):
+    # time-series gap fill, exact heavy hitters, bloom membership
+    QueryDef("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
+             ORACLE_GAPFILL, ("window", "timeseries", "gapfill")),
+    QueryDef("heavy_hitters_users", R3.heavy_hitters_users,
+             ORACLE_HEAVY_HITTERS, ("agg", "sketch", "frequency")),
+    QueryDef("bloom_decontaminated_docs", llm.bloom_decontaminated_docs,
+             ORACLE_BLOOM_DECON, ("curation", "membership", "bloom")),
     # RAG hash-verified through the CHAT step (A9+A10+A11): the real chat
     # pandas UDF over pre-embedded query vectors — took rag_answer_batch's
     # graded slot (that full-with-embed path stays in the catalog tail,
@@ -811,8 +893,12 @@ _GRADED: list[QueryDef] = [
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, ORACLE_Q1, ("agg", "scan")),
     QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3, ("join", "topk")),
     QueryDef("q5_region_revenue", R.q5_region_revenue, ORACLE_Q5, ("join",)),
-    QueryDef("semi_join_big_spenders", R.semi_join_big_spenders, ORACLE_SEMI, ("join",)),
-    QueryDef("anti_join_no_orders", R.anti_join_no_orders, ORACLE_ANTI, ("join",)),
+    # semi_join_big_spenders / anti_join_no_orders rotated to the
+    # non-graded tail for the round-4 families above: the semi shape
+    # stays graded via q4/q18/q20 (and q21's EXISTS/NOT-EXISTS pair), the
+    # anti shape via q21/q22 and bloom_decontaminated_docs itself (an
+    # exact anti join with 31 removed rows vs anti_join_no_orders' 0-row
+    # result — strictly stronger evidence)
     QueryDef("cube_status_priority", R.cube_status_priority, ORACLE_CUBE, ("agg",)),
     QueryDef("groupsets_rollup_region_nation", R2.groupsets_rollup_region_nation,
              ORACLE_GS_ROLLUP, ("agg", "rollup")),
@@ -876,8 +962,10 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
              ORACLE_RANGE_BANDS, ("join", "range")),
     QueryDef("session_windows_batch", R2.session_windows_batch,
              ORACLE_SESSION_BATCH, ("window", "stream")),
-    QueryDef("sliding_window_batch", R2.sliding_window_batch,
-             ORACLE_SLIDING_BATCH, ("window", "stream")),
+    # sliding_window_batch rotated to the non-graded tail (round-4
+    # families took its slot): the stream-window family stays graded via
+    # session_windows_batch + rollup_hourly_from_5min (tumbling base),
+    # and the sliding shape keeps its pytest oracle sweep
     QueryDef("approx_distinct_users", R2.approx_distinct_users,
              ORACLE_APPROX_DISTINCT, ("agg", "sketch")),
     # relational batch 3: interval join, full aggregation-surface stats

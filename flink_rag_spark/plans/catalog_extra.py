@@ -44,8 +44,11 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.plans.catalog import (
         DP,
+        ORACLE_ANTI,
         ORACLE_JSON,
         ORACLE_Q17,
+        ORACLE_SEMI,
+        ORACLE_SLIDING_BATCH,
         _money,
         _oracle_jaccard,
         _oracle_lsh_pairs,
@@ -411,65 +414,6 @@ SELECT event_id,
 FROM events
 """
 
-    # gap-fill mirror: dense grid via generate_series, LOCF + linear
-    # interpolation via IGNORE NULLS window frames — the interpolation
-    # arithmetic is parenthesized to multiply by the (double) time fraction
-    # exactly like the Spark expression, so doubles match bit-for-bit
-    oracle_gapfill = """
-WITH obs AS (
-  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*), 4) AS obs_value
-  FROM events WHERE event_type = 'purchase'
-  GROUP BY 1, 2),
-grid AS (
-  SELECT user_id,
-         unnest(generate_series(min(bucket), max(bucket),
-                                INTERVAL '1 hour')) AS bucket
-  FROM obs GROUP BY user_id),
-j AS (
-  SELECT g.user_id, g.bucket, o.obs_value
-  FROM grid g LEFT JOIN obs o
-    ON g.user_id = o.user_id AND g.bucket = o.bucket),
-f AS (
-  SELECT user_id, bucket, obs_value,
-         LAST_VALUE(obs_value IGNORE NULLS) OVER w_back AS prev_v,
-         LAST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
-                    IGNORE NULLS) OVER w_back AS prev_t,
-         FIRST_VALUE(obs_value IGNORE NULLS) OVER w_fwd AS next_v,
-         FIRST_VALUE(CASE WHEN obs_value IS NOT NULL THEN bucket END
-                     IGNORE NULLS) OVER w_fwd AS next_t
-  FROM j
-  WINDOW w_back AS (PARTITION BY user_id ORDER BY bucket
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         w_fwd AS (PARTITION BY user_id ORDER BY bucket
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-SELECT user_id, bucket, obs_value,
-       ROUND(prev_v, 4) AS locf,
-       CASE WHEN obs_value IS NOT NULL THEN obs_value
-            WHEN next_t = prev_t THEN prev_v
-            ELSE prev_v + (next_v - prev_v)
-                 * ((CAST(epoch(bucket) AS BIGINT)
-                     - CAST(epoch(prev_t) AS BIGINT))
-                    / (CAST(epoch(next_t) AS BIGINT)
-                       - CAST(epoch(prev_t) AS BIGINT)))
-       END AS interp
-FROM f
-"""
-
-    # bloom-prefiltered exact decontamination: the bloom stage is pure
-    # optimization (no false negatives), so the plain NOT EXISTS form is
-    # the full semantics
-    sh3 = shingle_hashes_duck("text", CFG.shingle_size)
-    oracle_bloom_decon = f"""
-WITH fp AS (SELECT doc_id, lang, source, list_min({sh3}) AS fp
-            FROM documents)
-SELECT doc_id, lang, source, fp FROM fp d
-WHERE doc_id % 10 <> 0
-  AND NOT EXISTS (SELECT 1 FROM fp b
-                  WHERE b.doc_id % 10 = 0 AND b.fp = d.fp)
-"""
-
     # deterministic weighted sampling: the A-Res key is a pure function of
     # content hash + weight, so the oracle computes the identical key and
     # takes the same top-50 (ln/divide agree to ~1 ulp across engines —
@@ -481,16 +425,6 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 ORDER BY samp_key DESC, doc_id
 LIMIT 50
-"""
-
-    # exact heavy hitters (two-phase Misra-Gries + recount): the plain
-    # GROUP BY / HAVING form IS the semantics, so it is also the oracle
-    oracle_heavy = """
-WITH t AS (SELECT COUNT(*) AS n FROM events)
-SELECT user_id, COUNT(*) AS cnt,
-       COUNT(*) / (SELECT n FROM t) AS frac
-FROM events GROUP BY user_id
-HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
 """
 
     return [
@@ -560,14 +494,17 @@ HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
          oracle_frames, ("multimodal",)),
         ("media_probe_roundtrip", llm.media_probe_roundtrip,
          oracle_media_probe, ("multimodal", "codec")),
-        ("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
-         oracle_gapfill, ("window", "timeseries", "gapfill")),
-        ("heavy_hitters_users", R3.heavy_hitters_users,
-         oracle_heavy, ("agg", "sketch", "frequency")),
         ("weighted_sample_docs", llm.weighted_sample_docs,
          oracle_weighted, ("curation", "sampling")),
-        ("bloom_decontaminated_docs", llm.bloom_decontaminated_docs,
-         oracle_bloom_decon, ("curation", "membership", "bloom")),
+        # rotated out of the graded window for the round-4 families
+        # (gapfill / heavy hitters / bloom decontamination); see the
+        # rotation notes in catalog.py _GRADED
+        ("semi_join_big_spenders", R.semi_join_big_spenders,
+         ORACLE_SEMI, ("join",)),
+        ("anti_join_no_orders", R.anti_join_no_orders,
+         ORACLE_ANTI, ("join",)),
+        ("sliding_window_batch", R2.sliding_window_batch,
+         ORACLE_SLIDING_BATCH, ("window", "stream")),
         # rotated out of the graded window in favor of
         # incremental_neardup_batch (all-pairs Jaccard stays covered as the
         # verify sub-stage of the graded lsh_verified_neardup)
