@@ -29,12 +29,15 @@ its now-known count picks the plan —
 Scale notes: distributed rounds needed = graph diameter. Near-dup graphs
 are unions of near-cliques (docs sharing LSH buckets), so diameter is tiny
 (2-4) and the loop runs a handful of rounds regardless of corpus size. For
-adversarial long-chain graphs the literature's large-star/small-star
-alternating rounds (Kiveris et al., "Connected Components in MapReduce and
-Beyond") converge in O(log n) rounds with the same per-round join shape —
-the drop-in upgrade if diameter ever becomes the bottleneck. Each round
-persists its result and unpersists the previous one, so lineage stays one
-round deep.
+adversarial long-chain graphs, ``star_components`` implements the
+literature's alternating large-star/small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond"): edge-set rewrites
+that halve long paths each alternation — O(log n) rounds with the same
+per-round groupBy+join shape. ``connected_components`` escalates to it
+automatically when label propagation hasn't converged within the expected
+near-clique diameter, so pathological inputs degrade to the O(log n) path
+instead of failing. Each round persists its result and unpersists the
+previous one, so lineage stays one round deep.
 """
 
 from __future__ import annotations
@@ -46,6 +49,11 @@ from pyspark.sql import DataFrame
 #: two 64-bit ids ≈ 16 MB collected — same order as a default broadcast
 #: join's build side. Set to 0 to force the distributed loop.
 DRIVER_MAX_EDGES = 1_000_000
+
+#: label-propagation round budget before escalating to star contraction:
+#: near-dup graphs (near-cliques) converge in 2-4 rounds, so anything
+#: still moving after 8 has long paths and belongs on the O(log n) path
+LABEL_PROP_MAX_ROUNDS = 8
 
 
 def _driver_union_find(edge_rows) -> list[tuple]:
@@ -74,6 +82,81 @@ def _driver_union_find(edge_rows) -> list[tuple]:
     return [(n, find(n)) for n in parent]
 
 
+def _canon_edges(df: DataFrame, x: str, y: str) -> DataFrame:
+    """(a, b) with a < b, no self loops, distinct — the canonical
+    undirected edge set every star round starts from."""
+    return (df.select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def star_components(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b",
+                    max_iter: int = 40) -> DataFrame:
+    """(node, group_rep) via alternating large-star/small-star contraction
+    (Kiveris et al.) — O(log n) rounds on ANY graph shape, including the
+    long chains that defeat per-hop label propagation.
+
+    Each round is two edge-set rewrites, both one groupBy + one join over
+    the symmetrized edges:
+
+    - large-star: every node's LARGER neighbors re-attach to the minimum
+      of its closed neighborhood;
+    - small-star: every node and its smaller neighbors re-attach to its
+      minimum smaller neighbor.
+
+    Both preserve connectivity; stars (every node edged to its component
+    min) are the joint fixed point, detected with one exceptAll probe per
+    round. The final edge set IS the labeling — it stays persisted (and
+    already materialized by the convergence probe) so the returned frame
+    never recomputes the round chain."""
+    cur = _canon_edges(pairs, id_a, id_b).persist()
+    try:
+        cur_n = cur.count()
+        for _ in range(max_iter):
+            sym = cur.union(cur.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+            # large-star: m = min(N(a) ∪ {a}); larger neighbors → m
+            mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+                    .select("a", F.least("a", "mn").alias("m")))
+            large = (sym.filter(F.col("b") > F.col("a"))
+                     .join(mins, on="a")
+                     .select(F.col("b").alias("x"), F.col("m").alias("y")))
+            mid = _canon_edges(large, "x", "y")
+
+            sym2 = mid.union(mid.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+            # small-star: m = min smaller neighbor; smaller neighbors and
+            # the node itself → m
+            smaller = sym2.filter(F.col("b") < F.col("a"))
+            mins2 = smaller.groupBy("a").agg(F.min("b").alias("m"))
+            small = (smaller.join(mins2, on="a")
+                     .select(F.col("b").alias("x"), F.col("m").alias("y"))
+                     .union(mins2.select(F.col("a").alias("x"),
+                                         F.col("m").alias("y"))))
+            nxt = _canon_edges(small, "x", "y").persist()
+            # set equality needs BOTH probes: equal counts rule out pure
+            # shrinkage, the exceptAll probe rules out replacement
+            nxt_n = nxt.count()
+            changed = (nxt_n != cur_n
+                       or nxt.exceptAll(cur).limit(1).count() > 0)
+            cur.unpersist()
+            cur, cur_n = nxt, nxt_n
+            if not changed:
+                # converged: every edge is (root=a, node=b)
+                roots = cur.select(F.col("a")).distinct() \
+                           .select(F.col("a").alias("node"),
+                                   F.col("a").alias("group_rep"))
+                return (cur.select(F.col("b").alias("node"),
+                                   F.col("a").alias("group_rep"))
+                        .union(roots))
+    except Exception:
+        cur.unpersist()
+        raise
+    cur.unpersist()
+    raise RuntimeError(
+        f"star_components did not converge in {max_iter} rounds")
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25,
@@ -82,8 +165,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     is the component's minimum id — the same deterministic survivor rule
     as exact_dedup. Small edge sets (≤ ``driver_max_edges``) resolve via
     driver-side union-find; larger ones via iterative min-label
-    propagation, raising if not converged within ``max_iter`` rounds
-    (near-dup graphs converge in ~diameter rounds)."""
+    propagation (near-dup graphs converge in ~diameter rounds). If label
+    propagation hasn't converged within ``LABEL_PROP_MAX_ROUNDS`` the
+    graph is not near-clique-shaped and per-hop propagation would need
+    diameter rounds — escalate to ``star_components`` (O(log n) rounds)
+    for the remaining budget."""
     from pyspark.sql.types import StructField, StructType
 
     spark = pairs.sparkSession
@@ -109,7 +195,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                  .distinct().persist())
         labels = (edges.select(F.col("src").alias("node")).distinct()
                   .withColumn("rep", F.col("node")).persist())
-        for _ in range(max_iter):
+        for _ in range(min(max_iter, LABEL_PROP_MAX_ROUNDS)):
             cur = labels.select("node", "rep")
             nbr_min = (edges.join(cur, edges.src == cur.node)
                        .groupBy(F.col("dst").alias("node"))
@@ -129,9 +215,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             labels = new_labels
             if changed == 0:
                 return labels.select("node", F.col("rep").alias("group_rep"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "pathological graph diameter; switch to large-star/small-star")
+        # still moving after the near-clique budget: the graph has long
+        # paths, where per-hop propagation needs diameter rounds — restart
+        # on the O(log n) star-contraction path (the handful of spent label
+        # rounds is a bounded constant)
+        labels.unpersist()
+        return star_components(raw, "src", "dst", max_iter=max_iter)
     finally:
         raw.unpersist()
         if edges is not None:
