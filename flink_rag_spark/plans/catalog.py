@@ -231,6 +231,33 @@ SELECT query_id, vec_id, score, CAST(rnk AS BIGINT) AS "rank"
 FROM ranked WHERE rnk <= 5
 """
 
+# the ANN accuracy contract (plans/llm.ann_methods_vec7): DuckDB recomputes
+# the exact top-10 for vec_id=7 with the identical formula/tie-break, plus
+# the expected contract rows — meets_floor TRUE and n_results = k are what a
+# correct ANN implementation must produce (same pattern as
+# ORACLE_APPROX_DISTINCT's within_bound).
+_COS_Q7 = cosine_duck("e.embedding", "q.embedding")
+_ANN_CONTRACT_ROWS = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS method, CAST(NULL AS BIGINT) AS \"rank\", "
+    f"CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score, "
+    f"CAST({floor} AS DOUBLE) AS recall_floor, TRUE AS meets_floor, "
+    f"CAST(10 AS BIGINT) AS n_results"
+    for m, floor in sorted(llm.ANN_RECALL_FLOORS.items()))
+ORACLE_ANN_METHODS = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+scored AS (SELECT e.vec_id, ROUND({_COS_Q7}, 6) AS score
+           FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT vec_id, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rnk
+           FROM scored)
+SELECT 'exact' AS method, CAST(rnk AS BIGINT) AS "rank", vec_id, score,
+       CAST(NULL AS DOUBLE) AS recall_floor, CAST(NULL AS BOOLEAN) AS meets_floor,
+       CAST(NULL AS BIGINT) AS n_results
+FROM ranked WHERE rnk <= 10
+UNION ALL
+{_ANN_CONTRACT_ROWS}
+"""
+
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal (newlines are legal inside)."""
     return "'" + s.replace("'", "''") + "'"
@@ -887,8 +914,10 @@ _GRADED: list[QueryDef] = [
              ORACLE_MEDIA_DIGEST, ("multimodal", "udf")),
     QueryDef("grouped_map_zscore", llm.grouped_map_zscore,
              ORACLE_ZSCORE, ("udf", "stats")),
-    # both ANN tiers in one entry (rows-only: approximate by design)
-    QueryDef("ann_methods_vec7", llm.ann_methods_vec7, None, ("similarity", "ann")),
+    # both ANN tiers as an oracle-checked accuracy contract (exact top-10
+    # hash-verified; recall floors + result-size graded via boolean rows)
+    QueryDef("ann_methods_vec7", llm.ann_methods_vec7, ORACLE_ANN_METHODS,
+             ("similarity", "ann")),
     # --- relational surface (SURVEY.md §2.2 Tier B) ---
     QueryDef("q1_pricing_summary", R.q1_pricing_summary, ORACLE_Q1, ("agg", "scan")),
     QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3, ("join", "topk")),

