@@ -26,8 +26,16 @@ The result is EXACT (phase 2 uses true counts; phase 1 can only
 over-include), unlike count-min/space-saving used alone. Total cost: two
 scans, one bounded shuffle — vs one scan and one unbounded shuffle for the
 naive plan. The per-partition row count rides along in the summary pass as
-a sentinel row, so N needs no extra job and the whole operator stays one
-declarative plan (no driver-side collect).
+a sentinel row, so N needs no extra job: the summaries are COLLECTED
+(bounded by partitions × (m+1) rows — the same driver budget the
+candidate broadcast costs anyway, since a broadcast is a collect plus a
+re-ship) and the candidate set + threshold become literals in the recount
+plan, so nothing is persisted and the summary pass runs exactly once.
+
+NULL-key contract: NULL keys are ignored entirely — excluded from N and
+never a heavy hitter (matching ``WHERE key IS NOT NULL`` + COUNT(key)
+semantics). A column where NULL itself might be frequent needs an explicit
+sentinel value before calling this.
 """
 
 from __future__ import annotations
@@ -53,7 +61,7 @@ def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
         n_rows = 0
         for b in batches:
             s = b[col].dropna()
-            n_rows += len(b)
+            n_rows += len(s)  # NULL keys excluded from N (see module doc)
             for val, cnt in s.value_counts().items():
                 acc[val] = acc.get(val, 0) + int(cnt)
             if len(acc) > m:
@@ -71,20 +79,40 @@ def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
 
 def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
                   m: int | None = None) -> DataFrame:
-    """Exactly the items with count > ``threshold_frac`` × N (N = row
-    count of ``df``), as (col, cnt, frac) — without shuffling the full
+    """Exactly the items with count > ``threshold_frac`` × N (N = non-NULL
+    row count of ``col``), as (col, cnt, frac) — without shuffling the full
     distinct-key space. ``m`` defaults to ⌈1/threshold_frac⌉, the smallest
     summary satisfying the no-false-negative guarantee."""
     import math
 
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     if m is None:
         m = int(math.ceil(1.0 / threshold_frac))
-    summ = _mg_summaries(df, col, m).persist()
-    cands = summ.filter(F.col(col).isNotNull()).select(col).distinct()
-    n_df = summ.agg(F.sum("_np").alias("_n"))
+    # one bounded driver step: ≤ partitions × m candidates + one sentinel
+    # per partition — the candidate BROADCAST below collects this to the
+    # driver regardless, so materializing it here costs nothing extra and
+    # lets the summary pass run once with no persist
+    rows = _mg_summaries(df, col, m).collect()
+    n_total = sum(r["_np"] for r in rows if r["_np"] is not None)
+    cand_vals = sorted({r[col] for r in rows if r[col] is not None})
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(v,) for v in cand_vals],
+        StructType([StructField(col, df.schema[col].dataType)]))
+    if n_total == 0:  # all-NULL or empty input: no item can exceed 0·frac
+        return spark.createDataFrame([], StructType(
+            list(cands.schema.fields)
+            + [StructField("cnt", LongType()),
+               StructField("frac", DoubleType())]))
     return (df.join(broadcast(cands), on=col, how="left_semi")
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .crossJoin(broadcast(n_df))
-            .filter(F.col("cnt") > F.col("_n") * F.lit(threshold_frac))
-            .select(col, "cnt", (F.col("cnt") / F.col("_n")).alias("frac")))
+            .filter(F.col("cnt") > F.lit(float(n_total) * threshold_frac))
+            .select(col, "cnt",
+                    (F.col("cnt") / F.lit(float(n_total))).alias("frac")))

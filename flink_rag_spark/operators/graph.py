@@ -109,6 +109,18 @@ def star_components(pairs: DataFrame, id_a: str = "id_a",
     round. The final edge set IS the labeling — it stays persisted (and
     already materialized by the convergence probe) so the returned frame
     never recomputes the round chain."""
+    # nodes appearing ONLY in self pairs have no canonical edge and would
+    # vanish from the contraction — carry them through as their own
+    # component, matching what driver union-find and label propagation
+    # emit (the output node set must not depend on which strategy ran)
+    non_self = pairs.filter(F.col(id_a) != F.col(id_b))
+    edge_nodes = (non_self.select(F.col(id_a).alias("node"))
+                  .union(non_self.select(F.col(id_b).alias("node")))
+                  .distinct())
+    self_only = (pairs.filter(F.col(id_a) == F.col(id_b))
+                 .select(F.col(id_a).alias("node")).distinct()
+                 .join(edge_nodes, on="node", how="left_anti")
+                 .select("node", F.col("node").alias("group_rep")))
     cur = _canon_edges(pairs, id_a, id_b).persist()
     try:
         cur_n = cur.count()
@@ -148,7 +160,8 @@ def star_components(pairs: DataFrame, id_a: str = "id_a",
                                    F.col("a").alias("group_rep"))
                 return (cur.select(F.col("b").alias("node"),
                                    F.col("a").alias("group_rep"))
-                        .union(roots))
+                        .union(roots)
+                        .union(self_only))
     except Exception:
         cur.unpersist()
         raise

@@ -21,12 +21,17 @@ The index persisted at ``<path>/`` holds two partition-pruned tables:
 Everything derives from the same seeded minhash/shingle machinery as the
 batch path, so for corpora without hot buckets the incremental result is
 EXACTLY the batch result restricted to batch-involving pairs (asserted in
-tests/test_incremental.py). Divergence note: the batch path's hot-bucket
-star reduction (dedup.py lsh_candidate_pairs) is a candidate-generation
-guard for buckets > ``lsh_max_bucket``; the incremental path joins raw
-bucket-mates, so a new doc hitting a hot bucket pairs with every stored
-member — bound it by monitoring ``lsh_bucket_stats`` on ingest, the same
-observability surface the batch guard uses.
+tests/test_incremental.py). The store-side join carries the SAME hot-bucket
+guard as the batch path (dedup.py lsh_candidate_pairs): stored buckets
+larger than ``lsh_max_bucket`` contribute only their min-id representative
+as a join partner, so a new doc hitting a boilerplate bucket with 10⁶
+stored members emits ONE candidate pair, not 10⁶. Bucket sizes are
+computed at probe time with a window over the PRUNED store scan — the same
+rows the join reads anyway, and append-proof (a build-time size column
+would go stale on every append). Divergence semantics mirror the batch
+guard exactly: connectivity through the representative is preserved, but a
+verify stage can lose a member↔member edge when jaccard(rep, new) < t —
+see the batch guard's docstring for when that matters.
 
 At 1000-executor scale: n_parts should be O(cluster parallelism × a few);
 the two collects below are bounded by n_parts (pruning keys), never by
@@ -45,7 +50,7 @@ from flink_rag_spark.operators.dedup import (
     shingle_hashes_expr,
     verify_jaccard_candidates,
 )
-from flink_rag_spark.operators.util import widen_if_narrow
+from flink_rag_spark.operators.util import track_cached_deps, widen_if_narrow
 
 DEFAULT_PARTS = 64
 
@@ -102,17 +107,28 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
                               text_col: str, id_col: str, path: str,
                               threshold: float,
                               cfg: EngineConfig = DEFAULT_CONFIG,
-                              n_parts: int = DEFAULT_PARTS) -> DataFrame:
+                              n_parts: int = DEFAULT_PARTS,
+                              max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard ≥ threshold) between a NEW batch
     and the indexed corpus, plus within the batch itself — without reading
     corpus text or recomputing corpus signatures.
 
     Work: O(batch) signature compute + a partition-pruned equi-join on
     (band, band_key) + O(candidates) verify. Both collects are pruning-key
-    sets bounded by n_parts, independent of corpus and batch size.
+    sets bounded by n_parts, independent of corpus and batch size. Stored
+    buckets larger than ``max_bucket_size`` (default ``cfg.lsh_max_bucket``)
+    star-reduce to their min-id representative before the join — the same
+    guard, same default, same divergence semantics as the batch path's
+    ``lsh_candidate_pairs``.
+
+    The returned frame's lineage holds two persisted batch-bounded
+    intermediates; looping callers (streaming ingest) must release them via
+    ``operators.util.unpersist_cached_deps(result)`` after materializing.
     """
     from pyspark.errors import AnalysisException
 
+    if max_bucket_size is None:
+        max_bucket_size = cfg.lsh_max_bucket
     root = path.rstrip("/")
     # batch-side frames are persisted: they are batch-bounded (never
     # corpus-sized) and each feeds 2+ downstream jobs (the pruning-key
@@ -131,15 +147,32 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
                                       cfg, n_parts)
               .select(id_col, "sh"))
     if store is None:
-        return verify_jaccard_candidates(within, sh_new, id_col, threshold)
+        return track_cached_deps(
+            verify_jaccard_candidates(within, sh_new, id_col, threshold),
+            [nb])
 
     # partition pruning: only store partitions hosting a new band key
     hit_bkps = [r["bkp"] for r in nb.select("bkp").distinct().collect()]
     store_bands = store.filter(F.col("bkp").isin(hit_bkps))
 
+    # hot-bucket guard on the STORE side: size every pruned bucket with a
+    # window over the rows the join reads anyway (append-proof, unlike a
+    # build-time size column), keep cold-bucket members as join partners,
+    # and collapse each hot bucket to its min-id representative — a new doc
+    # landing in a degenerate boilerplate bucket yields ONE candidate pair
+    from pyspark.sql import Window
+    wb = Window.partitionBy("band", "band_key")
+    tagged = (store_bands
+              .withColumn("_n", F.count(F.lit(1)).over(wb))
+              .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
+    cold_old = (tagged.filter(F.col("_n") <= max_bucket_size)
+                .select(F.col(id_col).alias("id_old"), "band", "band_key"))
+    hot_old = (tagged.filter(F.col("_n") > max_bucket_size)
+               .select(F.col("_rep").alias("id_old"), "band", "band_key")
+               .distinct())
+    old_side = cold_old.unionByName(hot_old)
+
     new_side = nb.select(F.col(id_col).alias("id_new"), "band", "band_key")
-    old_side = store_bands.select(F.col(id_col).alias("id_old"),
-                                  "band", "band_key")
     cross = (new_side.join(old_side, on=["band", "band_key"])
              .filter(F.col("id_new") != F.col("id_old"))
              .select(F.least("id_new", "id_old").alias("id_a"),
@@ -163,4 +196,6 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     # batch docs win on id collision (re-ingest of an updated doc)
     sh = sh_new.unionByName(
         sh_old.join(sh_new.select(id_col), on=id_col, how="left_anti"))
-    return verify_jaccard_candidates(candidates, sh, id_col, threshold)
+    return track_cached_deps(
+        verify_jaccard_candidates(candidates, sh, id_col, threshold),
+        [nb, cross])

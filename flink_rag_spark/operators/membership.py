@@ -15,14 +15,19 @@ The bloom shape short-circuits almost all of it:
    ``groupBy(word).agg(bit_or(mask))`` — a sparse bitmap bounded by
    m/64 words, collected once and broadcast (~1.2 MB per million keys at
    1% fpp; the same budget as Spark's own runtime bloom join filter);
-2. probe each corpus row with a vectorized Arrow batch lookup (the row's
-   poly-hash is computed JVM-side; Python only does the k modular
-   position checks against the broadcast bitmap) — a narrow map, no
-   shuffle, no join;
-3. only bloom-POSITIVE rows (true matches + fpp false positives — a few
-   percent of the corpus) enter the exact anti join that makes the final
-   result EXACT. Bloom filters have no false negatives, so no true match
-   can escape the suspect set.
+2. probe the corpus KEY COLUMN ONLY with a vectorized Arrow batch lookup
+   (a column-pruned scan; Python only does the k modular position checks
+   against the broadcast bitmap) — a narrow map, no shuffle, no join.
+   Suspect keys (true matches + fpp false positives) are distinct-ed and
+   exact-joined against the benchmark keys, yielding the CONFIRMED
+   contaminated key set — bounded by the true contamination, which is
+   tiny at real contamination rates;
+3. the confirmed keys broadcast into a plain JVM anti join over the full
+   corpus — no Python in that pass, no shuffle of the corpus, and no
+   union of two branches re-running the probe (Catalyst cannot share an
+   opaque map stage across union arms, so the earlier two-branch shape
+   paid the bloom probe twice). Bloom filters have no false negatives, so
+   no true match can escape the suspect set — the result is EXACT.
 
 Everything is deterministic: hash positions come from the shared seeded
 polynomial family (functions/hashing.py), so build and probe agree
@@ -132,15 +137,26 @@ def decontaminate_exact(train: DataFrame, bench: DataFrame, key_col: str,
                         fpp: float = 0.01,
                         cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """EXACT anti join of ``train`` against ``bench`` keys, bloom-
-    prefiltered: bloom-negative rows (the overwhelming majority at real
-    contamination rates) short-circuit at the scan with no shuffle and no
-    join; only suspects take the exact anti join. Result is identical to
+    prefiltered. Result is identical to
     ``train.join(bench, key, "left_anti")`` — proven in
-    tests/test_membership.py."""
+    tests/test_membership.py.
+
+    Plan shape (module doc): one column-pruned probe pass over the key
+    column distills the CONFIRMED contaminated key set (suspects ∩ bench —
+    bounded by true contamination), then one pure-JVM broadcast anti join
+    removes those rows from the full corpus. The bloom probe runs exactly
+    once (the earlier clean/suspects union re-executed the opaque map stage
+    per branch). If contamination could approach |bench| at a scale where
+    the confirmed set itself won't broadcast, drop the broadcast hint and
+    let AQE pick the join — the suspects-only shuffle is still bounded by
+    the bloom positives."""
+    from pyspark.sql.functions import broadcast
+
     bloom = build_bloom(bench.select(key_col), key_col, fpp=fpp, cfg=cfg)
-    flagged = with_bloom_maybe(train, key_col, bloom, "_maybe")
-    clean = flagged.filter(~F.col("_maybe")).drop("_maybe")
-    suspects = flagged.filter(F.col("_maybe")).drop("_maybe")
-    confirmed = suspects.join(bench.select(key_col).distinct(),
-                              on=key_col, how="left_anti")
-    return clean.unionByName(confirmed)
+    suspect_keys = (with_bloom_maybe(train.select(key_col), key_col,
+                                     bloom, "_maybe")
+                    .filter(F.col("_maybe")).select(key_col).distinct())
+    confirmed_keys = suspect_keys.join(bench.select(key_col).distinct(),
+                                       on=key_col, how="left_semi")
+    return train.join(broadcast(confirmed_keys), on=key_col,
+                      how="left_anti")

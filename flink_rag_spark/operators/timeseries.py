@@ -59,31 +59,37 @@ def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
     line between the neighbors, weighted by bucket-epoch distance."""
     b, v = F.col(bucket_col), F.col(value_col)
 
-    # one row per key — tiny; persisted so the sparse-key guard action and
-    # the grid explode share a single evaluation of the bounds aggregate
-    # (without it the guard would cost one extra full scan of `series`)
     bounds = (series.groupBy(*keys)
               .agg(F.min(bucket_col).alias("_b0"),
-                   F.max(bucket_col).alias("_b1"))
-              .persist())
+                   F.max(bucket_col).alias("_b1")))
     # fail loudly on pathological sparse keys rather than exploding memory:
     # sequence() itself errors out past Spark's element cap, but that cap
     # (MAX_ROUNDED_ARRAY_LENGTH ≈ 2^31) is far beyond what one task should
-    # materialize — enforce the operator's own budget at plan time
+    # materialize. The budget check rides INSIDE the grid expression
+    # (raise_error folded into the sequence end bound), so it costs no
+    # extra job / scan / persisted frame — the plan stays one pass and the
+    # guard fires on exactly the offending key.
     step_n, step_unit = step.split()
-    unit_sec = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
-        step_unit.rstrip("s")]
-    est = (bounds.agg(F.max(
-        (F.unix_timestamp("_b1") - F.unix_timestamp("_b0"))
-        / (int(step_n) * unit_sec))).first()[0])
-    if est is not None and est + 1 > max_buckets:
-        bounds.unpersist()
+    unit_sec_map = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800}
+    unit = step_unit.rstrip("s")
+    if unit not in unit_sec_map:
         raise ValueError(
-            f"gapfill would generate {int(est) + 1} buckets for one key "
-            f"(cap {max_buckets}); widen `step` or raise `max_buckets`")
+            f"unsupported gapfill step unit {step_unit!r}; supported: "
+            f"{sorted(unit_sec_map)} (singular or plural)")
+    step_sec = int(step_n) * unit_sec_map[unit]
+    n_buckets = (f"((unix_timestamp(_b1) - unix_timestamp(_b0)) "
+                 f"DIV {step_sec} + 1)")
+    guarded_end = (
+        f"CASE WHEN {n_buckets} > {max_buckets} THEN "
+        f"raise_error(concat('gapfill would generate ', "
+        f"CAST({n_buckets} AS STRING), ' buckets for one key (cap "
+        f"{max_buckets}); widen `step` or raise `max_buckets`')) "
+        f"ELSE _b1 END")
     grid = bounds.select(*keys,
                          F.explode(F.expr(
-                             f"sequence(_b0, _b1, interval {step})"))
+                             f"sequence(_b0, {guarded_end}, "
+                             f"interval {step})"))
                          .alias(bucket_col))
 
     filled = grid.join(series, on=[*keys, bucket_col], how="left")

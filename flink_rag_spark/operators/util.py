@@ -68,6 +68,28 @@ def estimated_scan_rows(df: DataFrame) -> int | None:
     return total
 
 
+def track_cached_deps(out: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Record persisted frames the returned frame's lineage depends on.
+
+    Some operators persist an intermediate (e.g. a batch signature frame
+    feeding both a bounded pruning-key collect and the returned plan) that
+    CANNOT be unpersisted before the caller materializes the result. For
+    one-shot callers the session's LRU block manager reclaims the cache;
+    LOOPING callers (streaming foreachBatch, repeated bench runs) must call
+    ``unpersist_cached_deps(result)`` after their action or cached blocks
+    accumulate for the session lifetime."""
+    out._cached_deps = list(deps)
+    return out
+
+
+def unpersist_cached_deps(df: DataFrame, blocking: bool = False) -> None:
+    """Release every persisted dependency recorded by ``track_cached_deps``
+    — call AFTER the frame has been materialized (collected/written)."""
+    for d in getattr(df, "_cached_deps", []):
+        d.unpersist(blocking)
+    df._cached_deps = []
+
+
 def widen_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     scan yields fewer partitions than cores.

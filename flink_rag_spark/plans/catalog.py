@@ -852,12 +852,16 @@ FROM f
 """
 
 # exact heavy hitters (two-phase Misra-Gries + recount): the plain
-# GROUP BY / HAVING form IS the semantics, so it is also the oracle
+# GROUP BY / HAVING form IS the semantics, so it is also the oracle.
+# NULL keys are outside the contract on both sides (COUNT(user_id) +
+# IS NOT NULL — operators/frequency.py module doc).
 ORACLE_HEAVY_HITTERS = """
-WITH t AS (SELECT COUNT(*) AS n FROM events)
+WITH t AS (SELECT COUNT(user_id) AS n FROM events)
 SELECT user_id, COUNT(*) AS cnt,
        COUNT(*) / (SELECT n FROM t) AS frac
-FROM events GROUP BY user_id
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
 HAVING COUNT(*) > (SELECT n FROM t) * (1.0 / 128)
 """
 

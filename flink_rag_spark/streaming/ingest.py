@@ -36,6 +36,10 @@ from pyspark.errors import AnalysisException
 
 from flink_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from flink_rag_spark.functions.providers import Provider, embed_text_col
+from flink_rag_spark.operators.util import (
+    track_cached_deps,
+    unpersist_cached_deps,
+)
 from flink_rag_spark.session import ensure_runtime_confs
 
 # content-addressed id: first 60 bits of md5(text) — deterministic across
@@ -224,7 +228,10 @@ def neardup_filter_batch(batch: DataFrame, index_path: str,
         F.when(F.col("a_new") & F.col("b_new"), F.col("id_b"))     # both new
         .when(F.col("a_new") & F.col("b_new").isNull(), F.col("id_a"))
         .otherwise(F.col("id_b")).alias("vec_id")).distinct())     # new loses
-    return batch.join(drop, on="vec_id", how="left_anti")
+    out = batch.join(drop, on="vec_id", how="left_anti")
+    # propagate the incremental path's persisted intermediates so the
+    # per-micro-batch loop can release them after its action
+    return track_cached_deps(out, getattr(pairs, "_cached_deps", []))
 
 
 def load_store(spark: SparkSession, store_path: str) -> DataFrame:
@@ -283,6 +290,10 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
         finally:
             if neardup_index is not None:
                 b.unpersist()
+                # release the incremental dedup path's persisted
+                # intermediates — per-micro-batch frames that would
+                # otherwise accumulate cached blocks across the stream
+                unpersist_cached_deps(b)
 
     writer = (embedded.writeStream
               .foreachBatch(_sink)

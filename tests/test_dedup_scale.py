@@ -182,3 +182,16 @@ def test_lsh_star_preserves_duplicate_groups(spark):
     unguarded = lsh_candidate_pairs(docs, "text", "doc_id",
                                     max_bucket_size=10_000)
     assert components(guarded) == components(unguarded)
+
+
+def test_star_components_keeps_self_loop_only_nodes(spark):
+    """A node appearing only as a self pair must come out as its own
+    component from EVERY strategy — the output node set cannot depend on
+    which path ran (round-4 ADVICE: star_components dropped them)."""
+    from flink_rag_spark.operators.graph import star_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7)], "id_a long, id_b long")
+    got = {(r["node"], r["group_rep"])
+           for r in star_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7)}

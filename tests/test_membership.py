@@ -59,3 +59,15 @@ def test_null_keys_are_kept_and_probe_false(spark):
     kept = sorted(r["row_id"] for r in
                   decontaminate_exact(train, bench, "key").collect())
     assert kept == [2, 3]  # row 1 is a member; the null-key row survives
+
+
+def test_probe_pass_runs_once_in_plan(spark):
+    """The bloom probe (an opaque MapInPandas stage) must appear exactly
+    once in the executed plan — the round-4 two-branch union executed the
+    full probe pass per branch (ADVICE medium)."""
+    train, bench = _frames(spark)
+    out = decontaminate_exact(train, bench, "key")
+    out.collect()  # materialize so the adaptive plan is final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("MapInPandas") == 1

@@ -50,9 +50,30 @@ def test_gapfill_multiple_keys_are_independent(spark):
 
 
 def test_gapfill_sparse_key_cap_raises(spark):
+    """The budget guard rides inside the grid expression (raise_error in
+    the sequence bound), so it fires at execution time on the offending
+    key — no extra pre-scan job."""
     wide = _series(spark, [(1, 0, 1.0)]).union(spark.createDataFrame(
         [(1, dt.datetime(2030, 1, 1), 2.0)],
         "user_id int, bucket timestamp, obs double"))
-    with pytest.raises(ValueError, match="buckets for one key"):
-        gapfill_locf_interp(wide, ["user_id"], "bucket", "obs",
-                            step="1 hour", max_buckets=1000)
+    out = gapfill_locf_interp(wide, ["user_id"], "bucket", "obs",
+                              step="1 hour", max_buckets=1000)
+    with pytest.raises(Exception, match="buckets for one key"):
+        out.collect()
+
+
+def test_gapfill_week_step_and_bad_unit(spark):
+    """'1 week' must work (ADVICE round 4: the unit map ended at day) and
+    an unknown unit must raise a descriptive ValueError, not a KeyError."""
+    s = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0),
+         (1, dt.datetime(2024, 1, 29), 5.0)],
+        "user_id int, bucket timestamp, obs double")
+    filled = gapfill_locf_interp(s, ["user_id"], "bucket", "obs",
+                                 step="1 week")
+    rows = sorted(filled.collect(), key=lambda r: r["bucket"])
+    assert len(rows) == 5  # Jan 1, 8, 15, 22, 29
+    assert rows[2]["interp"] == 3.0  # midpoint of the linear fill
+    with pytest.raises(ValueError, match="unsupported gapfill step unit"):
+        gapfill_locf_interp(s, ["user_id"], "bucket", "obs",
+                            step="1 fortnight")
