@@ -186,8 +186,16 @@ def hash_sample_duck(key_col: str, keep_pct: int, buckets: int = 100) -> str:
     return f"{hash_bucket_duck(key_col, buckets)} < {keep_pct}"
 
 
+#: above this n the TakeOrderedAndProject driver merge (partitions × n
+#: rows) stops being "driver comfort" and the quantile two-pass kicks in
+TWO_PASS_SAMPLE_MIN_N = 100_000
+
+
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
-                    n: int, id_col: str | None = None) -> DataFrame:
+                    n: int, id_col: str | None = None,
+                    two_pass: bool | None = None,
+                    margin: float = 1.5,
+                    rel_err: float = 1e-4) -> DataFrame:
     """DETERMINISTIC weighted sampling without replacement (temperature /
     quality-weighted corpus selection): keep the ``n`` rows with the
     largest ``ln(u) / w`` where ``u`` is a content-hash uniform in (0, 1]
@@ -197,18 +205,36 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     Same contract as ``hash_sample``: the keep decision is a pure function
     of row content + weight, so the kept set survives repartitioning,
     re-runs and engine changes (the oracle computes the identical key).
-    ``orderBy(...).limit(n)`` plans as TakeOrderedAndProject — each
-    partition ships only its local top-n, never a full sort.
 
-    At 100 TB: one narrow projection + a size-n per-partition heap; the
-    driver merges partitions × n candidate rows. For n beyond driver
-    comfort, swap the limit for a quantile-threshold two-pass (same key,
-    approx_quantile cutoff + filter) — the key stays identical.
+    Small n (the default path): ``orderBy(...).limit(n)`` plans as
+    TakeOrderedAndProject — each partition ships only its local top-n,
+    never a full sort; the driver merges partitions × n candidate rows.
+
+    Large n (``two_pass=True``, auto above ``TWO_PASS_SAMPLE_MIN_N``): the
+    driver merge itself is the bottleneck, so an approx-quantile cutoff on
+    the SAME key first filters to ~``margin``·n candidates distributed
+    across executors, and only that bounded set enters the top-n. The
+    margin makes an undershoot (approx quantile slightly too selective)
+    statistically negligible; if it still happens the operator falls back
+    to the exact single-pass path, so the result set is IDENTICAL either
+    way (asserted in tests/test_curation.py). Costs two extra bounded
+    jobs (count + quantile sketch), the standard trade at corpus scale.
     """
     u = f"(({poly_hash_expr(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE)"
     k = F.expr(f"ln({u})") / F.col(weight_col)
     out = df.withColumn("samp_key", k)
     order = [F.desc("samp_key")] + ([F.col(id_col)] if id_col else [])
+    if two_pass is None:
+        two_pass = n >= TWO_PASS_SAMPLE_MIN_N
+    if two_pass:
+        total = out.count()
+        if total > n:
+            frac = min(1.0, (n * margin) / total)
+            (cut,) = out.stat.approxQuantile(
+                "samp_key", [max(0.0, 1.0 - frac)], rel_err)
+            cand = out.filter(F.col("samp_key") >= cut)
+            if cand.count() >= n:
+                out = cand
     return out.orderBy(*order).limit(n)
 
 

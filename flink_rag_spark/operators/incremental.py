@@ -93,14 +93,45 @@ def append_to_dedup_index(spark: SparkSession, new_docs: DataFrame,
                           n_parts: int = DEFAULT_PARTS) -> None:
     """O(batch) index maintenance: the new docs' band rows and shingle sets
     append into their partitions (same layout, so future incremental runs
-    see them). Compaction of small appended files follows the
-    ``operators/maintenance.compact_store`` pattern."""
+    see them). ``compact_dedup_index`` restores one-file-per-partition on
+    the store-compaction cadence."""
     bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
     (bands.repartition("bkp").write.mode("append")
      .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
     sh = _shingle_sets_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
     (sh.repartition("sbp").write.mode("append")
      .partitionBy("sbp").parquet(path.rstrip("/") + "/shingles"))
+
+
+def compact_dedup_index(spark: SparkSession, path: str,
+                        files_per_part: int = 1) -> dict[str, int]:
+    """Rewrite ``bands/`` and ``shingles/`` to ``files_per_part`` files per
+    partition after a run of appends (each append adds ≤ one file per
+    touched partition, so file counts grow O(appends × touched parts)).
+    Write-then-swap per table, mirroring ``index.compact_ivf_index`` —
+    readers never see a half layout (local/POSIX-mounted filesystem
+    assumed). Probe results are bit-identical before/after (asserted in
+    tests/test_incremental.py). Returns the data-file count per table."""
+    import os
+    import shutil
+
+    counts: dict[str, int] = {}
+    for sub, pcol in (("bands", "bkp"), ("shingles", "sbp")):
+        t_path = os.path.join(path, sub)
+        df = spark.read.parquet(t_path)
+        n_parts = df.agg(F.countDistinct(pcol)).collect()[0][0] or 1
+        cols = [c for c in df.columns if c != pcol]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
+                      F.lit(files_per_part))
+        tmp, old = t_path + ".compact.tmp", t_path + ".compact.old"
+        (df.repartition(n_parts * files_per_part, F.col(pcol), salt)
+         .write.mode("overwrite").partitionBy(pcol).parquet(tmp))
+        os.rename(t_path, old)
+        os.rename(tmp, t_path)
+        shutil.rmtree(old)
+        counts[sub] = sum(1 for _, _, files in os.walk(t_path)
+                          for f in files if f.endswith(".parquet"))
+    return counts
 
 
 def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,

@@ -136,3 +136,44 @@ def test_weighted_sample_matches_model_and_survives_repartition(spark):
             weighted_sample(df.repartition(7), "text", "w",
                             n=20, id_col="doc_id").collect()]
     assert got2 == got
+
+
+def test_weighted_sample_two_pass_identical_and_bounded_plan(spark):
+    """The large-n quantile two-pass must return the IDENTICAL kept set as
+    the single-pass path, and its top-n must consume a pre-filtered
+    candidate set (Filter on samp_key under TakeOrderedAndProject), never
+    a global sort (round-4 verdict item 5)."""
+    from flink_rag_spark.operators.curation import weighted_sample
+
+    rows = [(i, f"two pass sample doc {i} {'y' * (i % 13)}", (i % 5) + 1)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long") \
+        .repartition(8)
+    one = [r["doc_id"] for r in
+           weighted_sample(df, "text", "w", n=60, id_col="doc_id",
+                           two_pass=False).collect()]
+    two_df = weighted_sample(df, "text", "w", n=60, id_col="doc_id",
+                             two_pass=True)
+    two = [r["doc_id"] for r in two_df.collect()]
+    assert two == one
+
+    plan = two_df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final  # per-partition heap, no sort
+    assert "samp_key" in final.split("TakeOrderedAndProject")[1].split(
+        "Scan")[0]  # the quantile cutoff filter feeds the top-n
+
+
+def test_weighted_sample_two_pass_undershoot_falls_back(spark):
+    """A margin too small to cover the quantile error must fall back to the
+    exact path, not return fewer than n rows."""
+    from flink_rag_spark.operators.curation import weighted_sample
+
+    rows = [(i, f"fallback doc {i}", 1 + (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = weighted_sample(df, "text", "w", n=100, id_col="doc_id",
+                          two_pass=True, margin=1.0, rel_err=0.5)
+    exact = weighted_sample(df, "text", "w", n=100, id_col="doc_id",
+                            two_pass=False)
+    assert [r["doc_id"] for r in out.collect()] == \
+        [r["doc_id"] for r in exact.collect()]

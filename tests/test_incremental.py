@@ -245,3 +245,48 @@ def test_incremental_cached_deps_release(spark, tmp_path):
         out.collect()
         unpersist_cached_deps(out)
     assert n_cached() == baseline
+
+
+def test_compact_dedup_index_restores_one_file_and_results(spark, tmp_path):
+    """N appends grow the index's file counts; compaction restores one
+    file per partition and probe results are bit-identical."""
+    import glob
+
+    from flink_rag_spark.operators.incremental import compact_dedup_index
+
+    docs = spark.createDataFrame(
+        [(i, f"base corpus doc {i} alpha beta gamma delta {i % 3}")
+         for i in range(30)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, "text", "doc_id", path, n_parts=8)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(100 + 10 * b + j,
+              f"base corpus doc {100 + 10 * b + j} alpha beta gamma "
+              f"delta {j % 3}") for j in range(5)],
+            "doc_id long, text string")
+        append_to_dedup_index(spark, batch, "text", "doc_id", path,
+                              n_parts=8)
+
+    probe = spark.createDataFrame(
+        [(999, "base corpus doc 101 alpha beta gamma delta 1")],
+        "doc_id long, text string")
+    before = _pairs_set(incremental_neardup_pairs(
+        spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))
+
+    def files(sub):
+        return glob.glob(f"{path}/{sub}/*/*.parquet")
+
+    n_bands_before = len(files("bands"))
+    counts = compact_dedup_index(spark, path)
+    assert len(files("bands")) == counts["bands"] < n_bands_before
+    # one file per live partition directory
+    for sub, pcol in (("bands", "bkp"), ("shingles", "sbp")):
+        parts = glob.glob(f"{path}/{sub}/{pcol}=*")
+        assert counts[sub] == len(parts)
+        for p in parts:
+            assert len(glob.glob(f"{p}/*.parquet")) == 1
+
+    after = _pairs_set(incremental_neardup_pairs(
+        spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))
+    assert before == after and len(after) > 0
