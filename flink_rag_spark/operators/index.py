@@ -111,3 +111,68 @@ def load_ivf_index(spark: SparkSession, path: str) -> tuple[list[list[float]], D
         cents = json.load(f)
     cells = spark.read.parquet(os.path.join(path, "cells"))
     return cents, cells
+
+
+# ------------------------------------------------ streaming maintenance
+
+PENDING_DIR = "pending"
+FLUSHING_DIR = "pending.flushing"
+
+
+def stage_pending(spark: SparkSession, vectors: DataFrame, path: str,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> None:
+    """Stage freshly-ingested vectors into ``path/pending/`` — the
+    un-indexed tail a probe must exactly-score. Called per micro-batch by
+    the ingest loop; ``flush_pending`` drains it into the cell partitions
+    on the configured cadence, so the tail stays ≤ one cadence of ingest
+    BY CONSTRUCTION (round-4 verdict item 8) rather than by rebuild
+    convention."""
+    (vectors.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"))
+     .write.mode("append").parquet(os.path.join(path, PENDING_DIR)))
+
+
+def flush_pending(spark: SparkSession, path: str) -> int:
+    """Drain ``pending/`` into the partitioned cells via
+    ``append_to_ivf_index``. Returns the number of vectors flushed.
+
+    Cold start: before the first ``build_ivf_index`` there are no trained
+    centroids to assign cells with — the flush is a no-op and vectors stay
+    in the tail (exactly-scored, so freshness never regresses).
+
+    Crash safety is at-least-once: pending is renamed to a flushing dir
+    first, so a crash mid-flush re-appends on the next cadence instead of
+    losing vectors; replayed ids are dropped by the probe-side duplicate
+    guard (ivf_knn_join dedupes (query, id) on the tiny pre-ranking frame)
+    and physically removed at the next ``compact_ivf_index``."""
+    import shutil
+
+    pend = os.path.join(path, PENDING_DIR)
+    flush = os.path.join(path, FLUSHING_DIR)
+    if not os.path.exists(os.path.join(path, "centroids.json")):
+        return 0
+    if not os.path.exists(flush):
+        if not os.path.exists(pend):
+            return 0
+        os.rename(pend, flush)
+    vecs = spark.read.parquet(flush).dropDuplicates(["vec_id"])
+    n = vecs.count()
+    if n:
+        append_to_ivf_index(spark, vecs, path)
+    shutil.rmtree(flush)
+    return n
+
+
+def load_ivf_tail(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current un-indexed tail (pending + any interrupted flush) to
+    pass as ``tail=`` to ``ivf_knn_join``; None when fully drained."""
+    parts = [p for p in (os.path.join(path, PENDING_DIR),
+                         os.path.join(path, FLUSHING_DIR))
+             if os.path.exists(p)]
+    if not parts:
+        return None
+    out = spark.read.parquet(parts[0])
+    for p in parts[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out.dropDuplicates(["vec_id"])

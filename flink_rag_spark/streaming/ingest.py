@@ -251,7 +251,9 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                available_now: bool = False,
                chunk: bool = False,
                neardup_index: str | None = None,
-               neardup_threshold: float = 0.3):
+               neardup_threshold: float = 0.3,
+               ivf_index: str | None = None,
+               ivf_append_every: int = 1):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
     store sink; returns the started query.
 
@@ -268,13 +270,25 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     batches see them, then upserted to the store. Index appends are
     at-least-once under replay; reads dedup (effectively-once), and a
     replayed survivor rejoins the store idempotently via its content-hash
-    id — same delivery contract as the store itself."""
+    id — same delivery contract as the store itself.
+
+    ``ivf_index=<path>`` keeps a persisted IVF ANN index fresh from the
+    stream: each micro-batch's vectors stage into the index's pending
+    tail, and every ``ivf_append_every`` batches the tail flushes into the
+    cell partitions (operators/index.py:flush_pending) — so the exactly-
+    scored tail a probe must union (``load_ivf_tail``) is ≤ one cadence of
+    ingest BY CONSTRUCTION, not by rebuild convention. Before the first
+    ``build_ivf_index`` the flush is a no-op and vectors simply stay in
+    the tail."""
     ensure_runtime_confs(spark)
     if chunk:
         source = chunk_stream(source)
     embedded = embed_stream(source, provider, cfg)
 
     def _sink(b: DataFrame, _id: int) -> None:
+        # persist whenever >1 action consumes the batch (the embed UDF
+        # must not run once per sink write)
+        multi_action = neardup_index is not None or ivf_index is not None
         if neardup_index is not None:
             from flink_rag_spark.operators.incremental import (
                 append_to_dedup_index,
@@ -285,10 +299,21 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                 b.sparkSession,
                 b.select(F.col("vec_id").alias("doc_id"), "text"),
                 "text", "doc_id", neardup_index, cfg)
+        elif multi_action:
+            b.persist()
         try:
             upsert_batch(b, store_path)
+            if ivf_index is not None:
+                from flink_rag_spark.operators.index import (
+                    flush_pending,
+                    stage_pending,
+                )
+                stage_pending(b.sparkSession, b.select("vec_id", "embedding"),
+                              ivf_index)
+                if (_id + 1) % max(1, ivf_append_every) == 0:
+                    flush_pending(b.sparkSession, ivf_index)
         finally:
-            if neardup_index is not None:
+            if multi_action:
                 b.unpersist()
                 # release the incremental dedup path's persisted
                 # intermediates — per-micro-batch frames that would

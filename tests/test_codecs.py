@@ -272,3 +272,49 @@ def test_resize_real_nearest_neighbor(spark):
     assert abs(f[8] - (255 + 0 + 0 + 255) / 4) < 1e-3
     assert abs(f[9] - (0 + 255 + 0 + 255) / 4) < 1e-3
     assert abs(f[10] - (0 + 0 + 255 + 255) / 4) < 1e-3
+
+
+def test_best_codec_matches_environment():
+    from flink_rag_spark.operators.codecs import (
+        PilCodec,
+        StdlibCodec,
+        best_codec,
+        pil_available,
+    )
+    codec = best_codec()
+    if pil_available():
+        assert isinstance(codec, PilCodec)
+    else:
+        assert type(codec) is StdlibCodec
+
+
+def test_pil_codec_decodes_jpeg_pixels():
+    """Gate-open path: a real JPEG round-trips through the PIL tier with
+    real pixel statistics (auto-skips in images without PIL)."""
+    import io as _io
+
+    import numpy as np
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from flink_rag_spark.operators.codecs import PilCodec
+
+    arr = np.zeros((8, 12, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200  # red field — mean pixel stats are predictable
+    buf = _io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="JPEG")
+    feat = PilCodec().decode("image", buf.getvalue())
+    assert feat is not None and feat[0] == 12 and feat[1] == 8
+    # real pixel stats present (the stdlib probe-only tier leaves them 0)
+    assert feat[4] > 0 and abs(feat[8] - 200) < 10
+
+
+def test_pil_codec_without_pil_raises():
+    import pytest
+
+    from flink_rag_spark.operators.codecs import PilCodec, pil_available
+
+    if pil_available():
+        pytest.skip("PIL present — constructor cannot fail")
+    with pytest.raises(ImportError):
+        PilCodec()

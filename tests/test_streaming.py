@@ -425,3 +425,80 @@ def test_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("select event_id from dedup_test")
     assert got.count() == 3
     assert got.distinct().count() == 3
+
+
+def test_streaming_ivf_append_bounds_tail(spark, tmp_path):
+    """run_ingest(ivf_index=...): new vectors reach probes through the
+    INDEX partitions on the flush cadence, and the exactly-scored tail
+    stays bounded by construction (round-4 verdict item 8)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        load_ivf_index,
+        load_ivf_tail,
+    )
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    idx = str(tmp_path / "ivf")
+    store = str(tmp_path / "store")
+
+    # seed corpus → initial index build (without it the flush is a no-op)
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "s.txt").write_text(
+        "".join(f"seed fact number {i} about topic {i % 4}\n"
+                for i in range(12)))
+    q = run_ingest(spark, file_string_source(spark, str(seed)), store,
+                   str(tmp_path / "c0"), available_now=True)
+    assert q.awaitTermination(120)
+    build_ivf_index(spark, spark.read.parquet(store)
+                    .select("vec_id", "embedding"), idx, n_centroids=4)
+    assert load_ivf_tail(spark, idx) is None
+
+    # stream 3 more files as 3 micro-batches, flushing every 2 batches
+    newdir = tmp_path / "new"
+    newdir.mkdir()
+    for j in range(3):
+        (newdir / f"n{j}.txt").write_text(
+            f"fresh streamed fact {j} about entirely new topics\n")
+    q = run_ingest(spark,
+                   file_string_source(spark, str(newdir),
+                                      max_files_per_trigger=1),
+                   store, str(tmp_path / "c1"), available_now=True,
+                   ivf_index=idx, ivf_append_every=2)
+    assert q.awaitTermination(180)
+
+    store_df = spark.read.parquet(store)
+    n_all = store_df.count()
+    assert n_all == 15
+
+    cents, cells = load_ivf_index(spark, idx)
+    tail = load_ivf_tail(spark, idx)
+    indexed = {r["vec_id"] for r in cells.select("vec_id").collect()}
+    tail_ids = ({r["vec_id"] for r in tail.select("vec_id").collect()}
+                if tail is not None else set())
+    fresh = {r["vec_id"] for r in
+             store_df.filter(F.col("text").contains("fresh"))
+             .select("vec_id").collect()}
+    # cadence 2 over 3 batches: at least one flush happened, so some fresh
+    # vectors are served from index PARTITIONS; the un-flushed tail is
+    # bounded by one cadence of ingest (< all fresh vectors)
+    assert fresh & indexed
+    assert len(tail_ids) < len(fresh)
+    assert fresh <= indexed | tail_ids  # nothing is invisible to probes
+
+    # a probe over index+tail sees a fresh vector exactly
+    target = store_df.filter(F.col("text").contains("streamed fact 1"))
+    qvec = [list(r["embedding"]) for r in target.collect()][0]
+    qdf = spark.createDataFrame([(0, qvec)],
+                                "query_id long, query_vec array<float>")
+    hits = ivf_knn_join(qdf, None, k=3, centroids=cents, cells=cells,
+                        tail=tail)
+    top = sorted(hits.collect(), key=lambda r: r["rank"])[0]
+    assert top["vec_id"] == [r["vec_id"] for r in target.collect()][0]
+    assert top["score"] == 1.0
