@@ -44,6 +44,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import broadcast
 
+#: candidate sets up to this size recount via an InSet scan predicate
+#: (pushed to parquet); larger ones via broadcast semi join
+MAX_ISIN_CANDIDATES = 10_000
+
 
 def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
     """Per-partition Misra-Gries summaries: emits (item, np) rows where
@@ -95,22 +99,32 @@ def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
     if m is None:
         m = int(math.ceil(1.0 / threshold_frac))
     # one bounded driver step: ≤ partitions × m candidates + one sentinel
-    # per partition — the candidate BROADCAST below collects this to the
-    # driver regardless, so materializing it here costs nothing extra and
-    # lets the summary pass run once with no persist
+    # per partition — the candidate set reaches the recount as a predicate
+    # or broadcast either way, so materializing it here costs nothing
+    # extra and lets the summary pass run once with no persist
     rows = _mg_summaries(df, col, m).collect()
     n_total = sum(r["_np"] for r in rows if r["_np"] is not None)
     cand_vals = sorted({r[col] for r in rows if r[col] is not None})
     spark = df.sparkSession
-    cands = spark.createDataFrame(
-        [(v,) for v in cand_vals],
-        StructType([StructField(col, df.schema[col].dataType)]))
     if n_total == 0:  # all-NULL or empty input: no item can exceed 0·frac
         return spark.createDataFrame([], StructType(
-            list(cands.schema.fields)
-            + [StructField("cnt", LongType()),
-               StructField("frac", DoubleType())]))
-    return (df.join(broadcast(cands), on=col, how="left_semi")
+            [StructField(col, df.schema[col].dataType),
+             StructField("cnt", LongType()),
+             StructField("frac", DoubleType())]))
+    if len(cand_vals) <= MAX_ISIN_CANDIDATES:
+        # small candidate sets become an InSet predicate: pure JVM, no
+        # extra frame/exchange, and the In filter PUSHES DOWN to the
+        # parquet scan — the recount reads only row groups that can
+        # contain a candidate
+        recount = df.filter(F.col(col).isin(cand_vals))
+    else:
+        # wide clusters (many partitions × m) would bloat the plan as
+        # literals — fall back to a broadcast semi join
+        cands = spark.createDataFrame(
+            [(v,) for v in cand_vals],
+            StructType([StructField(col, df.schema[col].dataType)]))
+        recount = df.join(broadcast(cands), on=col, how="left_semi")
+    return (recount
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") > F.lit(float(n_total) * threshold_frac))

@@ -141,11 +141,13 @@ def flush_pending(spark: SparkSession, path: str) -> int:
     centroids to assign cells with — the flush is a no-op and vectors stay
     in the tail (exactly-scored, so freshness never regresses).
 
-    Crash safety is at-least-once: pending is renamed to a flushing dir
-    first, so a crash mid-flush re-appends on the next cadence instead of
-    losing vectors; replayed ids are dropped by the probe-side duplicate
-    guard (ivf_knn_join dedupes (query, id) on the tiny pre-ranking frame)
-    and physically removed at the next ``compact_ivf_index``."""
+    Crash safety is EFFECTIVELY-ONCE into the index: pending is renamed to
+    a flushing dir first (a crash mid-flush re-appends on the next cadence
+    instead of losing vectors), and the append anti-joins against the ids
+    already stored in the touched cells — a partition-pruned read, the
+    same guard upsert_batch uses — so a replayed flush inserts nothing
+    twice and probes never pay a dedupe shuffle for the index itself."""
+    import json as _json
     import shutil
 
     pend = os.path.join(path, PENDING_DIR)
@@ -156,10 +158,20 @@ def flush_pending(spark: SparkSession, path: str) -> int:
         if not os.path.exists(pend):
             return 0
         os.rename(pend, flush)
-    vecs = spark.read.parquet(flush).dropDuplicates(["vec_id"])
-    n = vecs.count()
+    with open(os.path.join(path, "centroids.json")) as f:
+        cents = _json.load(f)
+    assigned = with_ivf_cells(
+        spark.read.parquet(flush).dropDuplicates(["vec_id"]), cents)
+    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    cells_path = os.path.join(path, "cells")
+    existing = (spark.read.parquet(cells_path)
+                .filter(F.col("cell").isin(touched))
+                .select("vec_id"))
+    fresh = assigned.join(existing, on="vec_id", how="left_anti")
+    n = fresh.count()
     if n:
-        append_to_ivf_index(spark, vecs, path)
+        (fresh.repartition(len(cents), F.col("cell"))
+         .write.mode("append").partitionBy("cell").parquet(cells_path))
     shutil.rmtree(flush)
     return n
 

@@ -443,9 +443,6 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
         n_probe = max(cfg.ivf_n_probe,
                       int(round(len(centroids) * cfg.ivf_probe_frac)))
     n_probe = min(n_probe, len(cent))
-    # a persisted index can carry at-least-once replayed ids (streaming
-    # append crash recovery, index.flush_pending) — dedupe like the tail
-    persisted_index = cells is not None
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)
@@ -532,10 +529,12 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
             F.round(F.expr(cosine_expr(vec_col, query_vec)),
                     ROUND_DP).alias("score"))
         scored = _partition_topk(scored, query_id, id_col, k)
-    if tail is not None or persisted_index:
-        # index+tail (or replayed appends) may both carry an id (identical
-        # vectors by contract): dedupe on the tiny pre-ranking frame
-        # (≤ k × partitions per query)
+    if tail is not None:
+        # index+tail may both carry an id (identical vectors by contract):
+        # dedupe on the tiny pre-ranking frame (≤ k × partitions per
+        # query). The persisted index itself is duplicate-free —
+        # index.flush_pending anti-joins appends against the stored ids —
+        # so the probe pays no dedupe shuffle in the no-tail fast path.
         scored = scored.dropDuplicates([query_id, id_col])
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -502,3 +502,39 @@ def test_streaming_ivf_append_bounds_tail(spark, tmp_path):
     top = sorted(hits.collect(), key=lambda r: r["rank"])[0]
     assert top["vec_id"] == [r["vec_id"] for r in target.collect()][0]
     assert top["score"] == 1.0
+
+
+def test_ivf_flush_replay_inserts_nothing_twice(spark, tmp_path):
+    """A crash between append and cleanup replays the flush — the
+    partition-pruned anti join must keep the index duplicate-free
+    (effectively-once), so probes never need a dedupe shuffle."""
+    import shutil
+
+    from flink_rag_spark.operators.index import (
+        FLUSHING_DIR,
+        build_ivf_index,
+        flush_pending,
+        stage_pending,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 150"), idx, n_centroids=4)
+
+    fresh = emb.filter("vec_id >= 150").select("vec_id", "embedding")
+    stage_pending(spark, fresh, idx)
+    # snapshot the staged files, flush, then simulate the replay of a
+    # crashed flush by restoring the flushing dir and flushing again
+    import glob
+    pend = f"{idx}/pending"
+    snap = str(tmp_path / "snap")
+    shutil.copytree(pend, snap)
+    n1 = flush_pending(spark, idx)
+    assert n1 == fresh.count() and n1 > 0
+    shutil.copytree(snap, f"{idx}/{FLUSHING_DIR}")
+    n2 = flush_pending(spark, idx)
+    assert n2 == 0  # replay inserted nothing
+
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == cells.select("vec_id").distinct().count()
