@@ -1,0 +1,187 @@
+"""Lexical (BM25) ranking and hybrid rank fusion — the OTHER half of the
+reference's retrieval backend, re-expressed Spark-first.
+
+The reference delegates retrieval to OpenSearch (``RAG.java:51-63``), whose
+text scoring is Lucene BM25 and whose production deployments pair that
+lexical tier with the k-NN tier in a hybrid query. This engine already has
+the k-NN half (``operators/similarity.py``); this module adds:
+
+- ``bm25_topk`` — classic Okapi BM25 (Lucene's variant of Robertson's idf)
+  over whitespace tokens, as pure declarative aggregation: one explode of
+  the corpus filtered to the QUERY'S terms before any shuffle (so shuffle
+  volume is matching postings, never the full token stream), document
+  lengths and the average length as broadcast aggregates, score assembled
+  in one whole-stage-codegen projection. No Python anywhere.
+- ``rrf_fuse`` — Reciprocal Rank Fusion (Cormack et al.): each input
+  ranking contributes 1/(k0 + rank); rankings are tiny top-k frames, so
+  the fusion is a union + one aggregate over ≤ Σk rows.
+- ``hybrid_topk`` — BM25 ∪ cosine top-k fused by RRF — the OpenSearch
+  hybrid-query shape on plain DataFrames.
+
+At 100 TB: the postings filter (``term IN query_terms``) pushes to the
+scan; tf/df aggregates are partial-agg friendly; every per-query frame is
+k-bounded. The whole pipeline has exact DuckDB oracle SQL (same tokens,
+same formula, same tie-breaks) — see plans/catalog_extra.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from flink_rag_spark.functions.textfns import TOKENS_DUCK, TOKENS_SPARK
+
+#: standard Okapi defaults (and Lucene's)
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: the RRF constant from Cormack et al. (and OpenSearch's default)
+RRF_K0 = 60
+
+ROUND_DP = 6
+
+
+def _norm_terms(query_terms: list[str]) -> list[str]:
+    """Lowercased, deduped, order-stable query terms."""
+    seen: dict[str, None] = {}
+    for t in query_terms:
+        seen.setdefault(t.strip().lower(), None)
+    return [t for t in seen if t]
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """(id, score) — Okapi BM25 of every document that matches ≥1 query
+    term. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    variant); tf normalized by k1/b with length ratio dl/avgdl.
+
+    Plan shape: tokens explode ONCE, filtered to the query's terms before
+    the (id, term) aggregate — the shuffle carries matching postings only.
+    N / avgdl ride as a broadcast 1-row aggregate; df per term is a
+    |terms|-row aggregate joined back on the term.
+    """
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    tokens = docs.select(F.col(id_col),
+                         F.explode(F.expr(toks)).alias("term"))
+    postings = (tokens.filter(F.col("term").isin(terms))
+                .groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    dl = docs.select(F.col(id_col),
+                     F.expr(f"size({toks})").cast("double").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.expr(f"size({toks})")).alias("avgdl"))
+    dfreq = (postings.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (postings
+              .join(dl, on=id_col)
+              .join(F.broadcast(dfreq), on="term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (scored.withColumn("term_score", idf * tf_part)
+            .groupBy(id_col)
+            .agg(F.round(F.sum("term_score"), ROUND_DP).alias("score")))
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """Top-k by BM25, deterministic tie-break on id. Returns
+    (id, score, rank) — the lexical twin of similarity.cosine_topk."""
+    scored = bm25_scores(docs, query_terms, text_col, id_col, k1, b)
+    topk = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col))))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k0: int = RRF_K0, k: int | None = None) -> DataFrame:
+    """Reciprocal Rank Fusion over (id, rank) frames:
+    score(d) = Σ_r 1/(k0 + rank_r(d)). Frames are k-bounded per source, so
+    the union + aggregate touches ≤ Σk rows. Returns (id, rrf_score, rank)
+    ordered by fused score (tie-break on id)."""
+    parts = [r.select(F.col(id_col),
+                      (1.0 / (F.lit(float(k0)) + F.col("rank")))
+                      .alias("contrib"))
+             for r in rankings]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = (allp.groupBy(id_col)
+             .agg(F.round(F.sum("contrib"), ROUND_DP).alias("rrf_score")))
+    out = fused.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("rrf_score"), F.col(id_col))))
+    return out.filter(F.col("rank") <= k) if k else out
+
+
+def hybrid_topk(docs: DataFrame, embeddings: DataFrame,
+                query_terms: list[str], query_vec: list[float],
+                k: int = 10, text_col: str = "text",
+                doc_id: str = "doc_id", vec_id: str = "vec_id",
+                k0: int = RRF_K0) -> DataFrame:
+    """The OpenSearch hybrid-query shape: lexical BM25 top-k ∪ cosine
+    top-k, fused with RRF. ``embeddings.vec_id`` must align with
+    ``docs.doc_id`` (the ingest contract, streaming/ingest.py). Both arms
+    retrieve 2k candidates so a document ranked k+1 in one arm can still
+    win the fusion."""
+    from flink_rag_spark.operators.similarity import cosine_topk
+
+    lex = (bm25_topk(docs, query_terms, k=2 * k,
+                     text_col=text_col, id_col=doc_id)
+           .select(F.col(doc_id), "rank"))
+    vec = (cosine_topk(embeddings, query_vec, k=2 * k, id_col=vec_id)
+           .select(F.col(vec_id).alias(doc_id), "rank"))
+    return rrf_fuse([lex, vec], id_col=doc_id, k0=k0, k=k)
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def bm25_scores_duck(query_terms: list[str], text_col: str = "text",
+                     id_col: str = "doc_id", k1: float = BM25_K1,
+                     b: float = BM25_B,
+                     table: str = "documents") -> str:
+    """DuckDB mirror of bm25_scores — same tokens, same formula, same
+    rounding — as a SELECT returning (id, score)."""
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({toks}) AS term FROM {table}
+),
+postings AS (
+  SELECT {id_col}, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({in_list})
+  GROUP BY {id_col}, term
+),
+dl AS (
+  SELECT {id_col}, CAST(len({toks}) AS DOUBLE) AS dl FROM {table}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(len({toks}) AS DOUBLE)) AS avgdl
+  FROM {table}
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY term
+)
+SELECT p.{id_col},
+       ROUND(SUM(
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * (p.tf * ({k1} + 1.0)
+            / (p.tf + {k1} * (1.0 - {b} + {b} * d.dl / s.avgdl)))
+       ), {ROUND_DP}) AS score
+FROM postings p
+JOIN dl d ON d.{id_col} = p.{id_col}
+JOIN dfreq f ON f.term = p.term
+CROSS JOIN stats s
+GROUP BY p.{id_col}
+"""

@@ -258,6 +258,56 @@ UNION ALL
 {_ANN_CONTRACT_ROWS}
 """
 
+
+def _oracle_bm25(k: int) -> str:
+    """BM25 top-k mirror (operators/ranking.py formula, shared tokens)."""
+    from flink_rag_spark.operators.ranking import bm25_scores_duck
+    from flink_rag_spark.plans.llm import BM25_QUERY_TERMS
+    return f"""
+WITH scores AS ({bm25_scores_duck(BM25_QUERY_TERMS)})
+SELECT doc_id, score, "rank" FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS "rank"
+  FROM scores) t
+WHERE "rank" <= {k}
+"""
+
+
+def _oracle_hybrid_rrf(k: int, k0: int = 60) -> str:
+    """RRF(BM25 top-2k, cosine top-2k) mirror — both arms rank on rounded
+    scores with id tie-breaks, exactly like the Spark plan, so the fused
+    scores agree bit-for-bit."""
+    from flink_rag_spark.operators.ranking import bm25_scores_duck
+    from flink_rag_spark.plans.llm import BM25_QUERY_TERMS
+    cos = cosine_duck("e.embedding", "q.embedding")
+    return f"""
+WITH bm AS ({bm25_scores_duck(BM25_QUERY_TERMS)}),
+bm_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM bm),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+cos AS (SELECT e.vec_id AS doc_id, ROUND({cos}, 6) AS score
+        FROM embeddings e CROSS JOIN qv q),
+cos_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM cos),
+parts AS (
+  SELECT doc_id, 1.0 / ({k0} + rnk) AS contrib
+  FROM bm_rank WHERE rnk <= {2 * k}
+  UNION ALL
+  SELECT doc_id, 1.0 / ({k0} + rnk) FROM cos_rank WHERE rnk <= {2 * k}),
+fused AS (
+  SELECT doc_id, ROUND(SUM(contrib), 6) AS rrf_score
+  FROM parts GROUP BY doc_id)
+SELECT doc_id, rrf_score, "rank" FROM (
+  SELECT doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS "rank"
+  FROM fused) t
+WHERE "rank" <= {k}
+"""
+
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal (newlines are legal inside)."""
     return "'" + s.replace("'", "''") + "'"
@@ -901,7 +951,12 @@ _GRADED: list[QueryDef] = [
     # pre-chat intermediate)
     QueryDef("rag_context_assembly", rag_context_assembly,
              ORACLE_RAG_ASSEMBLY, ("rag", "similarity")),
-    QueryDef("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
+    # hybrid retrieval (the OpenSearch BM25+kNN hybrid-query shape behind
+    # the reference's RAG.java:51 retrieval) — q7_nation_volume rotated to
+    # the non-graded tail to make room: its multi-join+agg shape stays
+    # graded via q5/q8/q9/q10
+    QueryDef("hybrid_rrf_vec7", llm.hybrid_rrf_vec7, _oracle_hybrid_rrf(10),
+             ("similarity", "ranking", "hybrid")),
     QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
     QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
              ORACLE_Q13, ("join", "agg")),

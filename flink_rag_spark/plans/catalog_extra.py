@@ -46,10 +46,12 @@ def extra_queries() -> list[tuple]:
         DP,
         ORACLE_ANTI,
         ORACLE_JSON,
+        ORACLE_Q7,
         ORACLE_Q17,
         ORACLE_SEMI,
         ORACLE_SLIDING_BATCH,
         _money,
+        _oracle_bm25,
         _oracle_jaccard,
         _oracle_lsh_pairs,
         _oracle_lsh_verified,
@@ -514,6 +516,12 @@ LIMIT 50
         # (JSON-function coverage stays graded via json_map_events)
         ("json_events_props", R.json_events_props, ORACLE_JSON,
          ("scalar", "agg", "json")),
+        # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
+        ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
+         ("ranking", "text")),
+        # rotated out of the graded window for hybrid_rrf_vec7 (multi-join
+        # + agg shape stays graded via q5/q8/q9/q10)
+        ("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

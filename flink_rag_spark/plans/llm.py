@@ -599,3 +599,36 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 10 == 0)
     return (decontaminate_exact(train, bench, "fp")
             .select("doc_id", "lang", "source", "fp"))
+
+
+#: the shared lexical query for the BM25/hybrid entries — terms with
+#: distinct document frequencies in the synthetic corpus
+BM25_QUERY_TERMS = ["spark", "join", "vector", "window"]
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-15 for a fixed term query — the
+    text-scoring half of the reference's OpenSearch backend (RAG.java:51
+    retrieves from an OpenSearch index whose text tier is Lucene BM25),
+    re-expressed as declarative aggregation (operators/ranking.py)."""
+    from flink_rag_spark.operators.ranking import bm25_topk
+    d = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(d, BM25_QUERY_TERMS, k=15)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def hybrid_rrf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — the OpenSearch hybrid-query shape the reference's
+    backend serves in production (lexical BM25 + k-NN over the same corpus,
+    fused): BM25 top-20 ∪ exact cosine top-20 for query vector 7, fused by
+    Reciprocal Rank Fusion. Fully oracle-checkable: both arms rank on
+    ROUNDED scores with id tie-breaks, so DuckDB reproduces the ranks and
+    therefore the fused scores bit-for-bit."""
+    from flink_rag_spark.operators.ranking import hybrid_topk
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    out = hybrid_topk(d, emb, BM25_QUERY_TERMS, qv, k=10)
+    return out.select("doc_id", "rrf_score",
+                      F.col("rank").cast("bigint").alias("rank"))

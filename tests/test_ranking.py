@@ -1,0 +1,117 @@
+"""BM25 / RRF hybrid ranking tests (operators/ranking.py): hand-computed
+BM25 on a tiny corpus, fusion arithmetic, determinism, and the postings
+pushdown plan shape."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_rag_spark.operators.ranking import (
+    BM25_B,
+    BM25_K1,
+    bm25_scores,
+    bm25_topk,
+    hybrid_topk,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "spark join spark window"),
+    (1, "join join join filter"),
+    (2, "window sort merge"),
+    (3, "the quick brown fox"),
+]
+
+
+def _py_bm25(docs, terms, k1=BM25_K1, b=BM25_B):
+    toks = {i: t.split() for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_hand_model(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(df, ["spark", "join", "window"]).collect()}
+    want = _py_bm25(DOCS, ["spark", "join", "window"])
+    assert got == want
+    assert 3 not in got  # no matching term → no row
+
+
+def test_bm25_topk_deterministic_rank(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = sorted(bm25_topk(df, ["spark", "join", "window"], k=3).collect(),
+                  key=lambda r: r["rank"])
+    want = sorted(_py_bm25(DOCS, ["spark", "join", "window"]).items(),
+                  key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["score"]) for r in rows] == want
+
+
+def test_bm25_query_terms_case_and_dupes(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = {(r["doc_id"], r["score"]) for r in
+         bm25_scores(df, ["SPARK", "spark", " Spark "]).collect()}
+    b = {(r["doc_id"], r["score"]) for r in
+         bm25_scores(df, ["spark"]).collect()}
+    assert a == b  # dedup + lowercase + strip
+
+
+def test_rrf_fusion_arithmetic(spark):
+    r1 = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    r2 = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in
+           rrf_fuse([r1, r2], k0=60).collect()}
+    s20 = round(1 / 62 + 1 / 61, 6)
+    s10, s30 = round(1 / 61, 6), round(1 / 62, 6)
+    assert got == {20: (s20, 1), 10: (s10, 2), 30: (s30, 3)}
+
+
+def test_hybrid_unions_both_arms(spark):
+    """A doc findable only lexically and one findable only by vector must
+    BOTH surface in the fused top-k."""
+    docs = spark.createDataFrame(
+        [(0, "spark join window vector"), (1, "quick brown fox"),
+         (2, "lorem ipsum dolor")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (7, [1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = hybrid_topk(docs, emb, ["spark"], [1.0, 0.0], k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    ids = [r["doc_id"] for r in rows]
+    assert 0 in ids   # lexical-only hit
+    assert 1 in ids   # vector-only hit (identical direction to the query)
+
+
+def test_bm25_postings_filter_reaches_scan(spark, sf_oracle, tmp_path):
+    """The term IN (...) filter must prune BEFORE the (id, term) aggregate
+    — the shuffle carries matching postings, never the full token stream.
+    (The filter sits above an explode of a projected column, so it prunes
+    at the first narrow stage rather than the parquet row-group level.)"""
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    out = bm25_scores(d, ["spark", "join"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    gen_idx = final.find("Generate explode")
+    fil_idx = final.find("Filter term#")
+    assert gen_idx != -1 and fil_idx != -1
+    # tree printing is top-down: the filter printing ABOVE the Generate
+    # means it executes between the explode and the aggregate — i.e. the
+    # postings are filtered before any shuffle
+    assert fil_idx < gen_idx
+    assert " IN (" in final[fil_idx:gen_idx] or "spark" in final[fil_idx:gen_idx]
