@@ -1,0 +1,127 @@
+"""Gopher-style repetition signals — the document-quality heuristics a
+training-data pipeline filters on (Rae et al. 2021 §A1.1: repetitious
+documents correlate with low quality; ABSENT in the reference, north-star
+text-analysis surface SURVEY.md §2.2).
+
+Per document:
+
+- ``n_tokens`` / ``distinct_ratio`` — vocabulary coverage;
+- ``top_word_frac`` — most frequent token's share of all tokens;
+- ``top_bigram_frac`` — most frequent word-bigram's share of all bigrams;
+- ``dup_line_frac`` — fraction of newline-lines that repeat an earlier
+  line.
+
+Plan shape: the token and bigram passes are wordcount-shaped —
+explode → (doc, gram) partial-agg → per-doc aggregate — so shuffle volume
+is distinct grams per doc (map-side combine collapses repeats, which is
+exactly what repetitious documents have most of); the line signal is a
+pure narrow projection. This keeps per-doc work LINEAR in document length
+— the no-shuffle alternative (a higher-order-function count per distinct
+token inside one projection) is O(len²) per row and melts on 100k-token
+documents. Everything has an exact DuckDB mirror (same tokens, same
+rounding)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_rag_spark.functions.textfns import TOKENS_DUCK, TOKENS_SPARK
+
+ROUND_DP = 6
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, distinct_ratio, top_word_frac, top_bigram_frac,
+    dup_line_frac) — all rounded to 6 dp."""
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    # the token array binds ONCE as a lambda variable (the
+    # transform(array(..))[1] trick shingle_hashes_expr uses) so it isn't
+    # recomputed per bigram slot; the size guard matters because Spark's
+    # sequence(1, 0) counts DOWN instead of returning empty
+    bigrams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() ELSE "
+        f"element_at(transform(array({toks}), t -> "
+        f"transform(sequence(1, size(t) - 1), "
+        f"i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))), 1) END"
+    )
+    tok = docs.select(F.col(id_col), F.explode(F.expr(toks)).alias("g"))
+    word_agg = (tok.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+                .groupBy(id_col)
+                .agg(F.sum("c").alias("n_tokens"),
+                     F.max("c").alias("top_word"),
+                     F.count(F.lit(1)).alias("n_distinct")))
+    big = docs.select(F.col(id_col),
+                      F.explode(F.expr(bigrams)).alias("g"))
+    big_agg = (big.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.sum("c").alias("n_bigrams"),
+                    F.max("c").alias("top_bigram")))
+    lines = f"split({text_col}, '\\n')"
+    per_row = docs.select(
+        F.col(id_col),
+        F.round(F.lit(1.0)
+                - F.expr(f"size(array_distinct({lines}))")
+                / F.expr(f"size({lines})"), ROUND_DP).alias("dup_line_frac"))
+    return (word_agg
+            .join(big_agg, on=id_col, how="left")
+            .join(per_row, on=id_col)
+            .select(
+                F.col(id_col),
+                F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                F.round(F.col("n_distinct") / F.col("n_tokens"),
+                        ROUND_DP).alias("distinct_ratio"),
+                F.round(F.col("top_word") / F.col("n_tokens"),
+                        ROUND_DP).alias("top_word_frac"),
+                F.round(F.coalesce(F.col("top_bigram") / F.col("n_bigrams"),
+                                   F.lit(0.0)),
+                        ROUND_DP).alias("top_bigram_frac"),
+                F.col("dup_line_frac")))
+
+
+def repetition_signals_duck(text_col: str = "text", id_col: str = "doc_id",
+                            table: str = "documents") -> str:
+    """DuckDB mirror (same tokens, bigrams, rounding)."""
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({toks}) AS g FROM {table}
+),
+word_agg AS (
+  SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_word,
+         COUNT(*) AS n_distinct
+  FROM (SELECT {id_col}, g, COUNT(*) AS c FROM tok GROUP BY {id_col}, g) t
+  GROUP BY {id_col}
+),
+big AS (
+  SELECT {id_col}, unnest(
+    list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM (SELECT {id_col}, {toks} AS t FROM {table}) s
+),
+big_agg AS (
+  SELECT {id_col}, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+  FROM (SELECT {id_col}, g, COUNT(*) AS c FROM big GROUP BY {id_col}, g) t
+  GROUP BY {id_col}
+),
+per_row AS (
+  SELECT {id_col},
+         ROUND(1.0 - CAST(len(list_distinct(string_split({text_col}, chr(10))))
+                          AS DOUBLE)
+                   / len(string_split({text_col}, chr(10))), {ROUND_DP})
+           AS dup_line_frac
+  FROM {table}
+)
+SELECT w.{id_col}, w.n_tokens,
+       ROUND(CAST(w.n_distinct AS DOUBLE) / w.n_tokens, {ROUND_DP})
+         AS distinct_ratio,
+       ROUND(CAST(w.top_word AS DOUBLE) / w.n_tokens, {ROUND_DP})
+         AS top_word_frac,
+       ROUND(COALESCE(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 0.0),
+             {ROUND_DP}) AS top_bigram_frac,
+       p.dup_line_frac
+FROM word_agg w
+LEFT JOIN big_agg b ON b.{id_col} = w.{id_col}
+JOIN per_row p ON p.{id_col} = w.{id_col}
+"""

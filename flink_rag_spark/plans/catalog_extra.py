@@ -57,6 +57,27 @@ def extra_queries() -> list[tuple]:
         _oracle_lsh_verified,
     )
 
+    from flink_rag_spark.operators.quality import repetition_signals_duck
+    from flink_rag_spark.operators.redaction import (
+        pii_counts_duck,
+        redact_duck,
+    )
+
+    # mirrors plans/llm.pii_redacted_docs' deterministic PII injection
+    _pii_counts = ",\n       ".join(pii_counts_duck("text"))
+    oracle_pii = f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7' AS text
+  FROM documents)
+SELECT doc_id,
+       {_pii_counts},
+       {redact_duck('text')} AS redacted
+FROM salted
+"""
+
     oracle_agg_status = f"""
 SELECT o_orderstatus,
   COUNT(*) AS n_orders,
@@ -519,6 +540,13 @@ LIMIT 50
         # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
         ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
          ("ranking", "text")),
+        # Gopher-style repetition quality signals
+        ("repetition_signals_docs", llm.repetition_signals_docs,
+         repetition_signals_duck(), ("text", "curation", "quality")),
+        # PII scrub pass (deterministically salted so the redaction and
+        # counts are non-trivial on the PII-free synthetic corpus)
+        ("pii_redacted_docs", llm.pii_redacted_docs,
+         oracle_pii, ("text", "curation", "redaction")),
         # rotated out of the graded window for hybrid_rrf_vec7 (multi-join
         # + agg shape stays graded via q5/q8/q9/q10)
         ("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),

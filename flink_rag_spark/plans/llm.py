@@ -632,3 +632,30 @@ def hybrid_rrf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hybrid_topk(d, emb, BM25_QUERY_TERMS, qv, k=10)
     return out.select("doc_id", "rrf_score",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals (operators/quality.py)
+    over the documents table — the quality-filter features a training-data
+    pipeline thresholds on."""
+    from flink_rag_spark.operators.quality import repetition_signals
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (operators/redaction.py). The synthetic corpus is
+    PII-free, so the entry INJECTS deterministic PII (an email + an IPv4
+    derived from doc_id) before redacting — the oracle injects identically,
+    proving real replacements and counts, not a no-op."""
+    from flink_rag_spark.operators.redaction import redact_pii
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7")).alias("text"))
+    out = redact_pii(salted, "text")
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
