@@ -178,11 +178,14 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     curation_timings["incremental_neardup_probe"] = round(sorted(runs)[1], 3)
 
-    # round-4 operator families (separate section for the same
+    # round-4/5 operator families (separate section for the same
     # comparability reason): gap fill, heavy hitters, bloom
-    # decontamination, weighted sampling
+    # decontamination, weighted sampling, BM25/hybrid retrieval,
+    # repetition signals, PII redaction
     EXTRA = ["gapfill_hourly_user_values", "heavy_hitters_users",
-             "bloom_decontaminated_docs", "weighted_sample_docs"]
+             "bloom_decontaminated_docs", "weighted_sample_docs",
+             "bm25_topk_docs", "hybrid_rrf_vec7",
+             "repetition_signals_docs", "pii_redacted_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -182,13 +182,21 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
             verify_jaccard_candidates(within, sh_new, id_col, threshold),
             [nb])
 
-    # partition pruning: only store partitions hosting a new band key
+    # partition pruning: only store partitions hosting a new band key;
+    # then a broadcast semi join (the batch's distinct band keys — batch-
+    # bounded by construction) cuts the pruned partitions down to exactly
+    # the buckets this batch collides with, BEFORE the sizing window and
+    # the equi-join ever see them
     hit_bkps = [r["bkp"] for r in nb.select("bkp").distinct().collect()]
-    store_bands = store.filter(F.col("bkp").isin(hit_bkps))
+    batch_keys = nb.select("band", "band_key").distinct()
+    store_bands = (store.filter(F.col("bkp").isin(hit_bkps))
+                   .join(F.broadcast(batch_keys),
+                         on=["band", "band_key"], how="left_semi"))
 
-    # hot-bucket guard on the STORE side: size every pruned bucket with a
+    # hot-bucket guard on the STORE side: size every matched bucket with a
     # window over the rows the join reads anyway (append-proof, unlike a
-    # build-time size column), keep cold-bucket members as join partners,
+    # build-time size column; a bucket is matched whole, so the size is
+    # the full bucket size), keep cold-bucket members as join partners,
     # and collapse each hot bucket to its min-id representative — a new doc
     # landing in a degenerate boilerplate bucket yields ONE candidate pair
     from pyspark.sql import Window
