@@ -78,6 +78,16 @@ SELECT doc_id,
 FROM salted
 """
 
+    # exact interpolated percentiles (both engines: linear interpolation
+    # over order statistics) + the expected contract verdicts
+    oracle_quantiles = """
+SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+       COUNT(*) AS n,
+       TRUE AS p50_in_bound, TRUE AS p95_in_bound
+FROM orders
+"""
+
     oracle_agg_status = f"""
 SELECT o_orderstatus,
   COUNT(*) AS n_orders,
@@ -540,6 +550,11 @@ LIMIT 50
         # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
         ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
          ("ranking", "text")),
+        # quantile-sketch accuracy contract (the approx_distinct trick for
+        # percentiles: exact interpolated values hash-verify, the sketch's
+        # rank error grades as booleans)
+        ("approx_quantiles_prices", R2.approx_quantiles_prices,
+         oracle_quantiles, ("agg", "sketch")),
         # Gopher-style repetition quality signals
         ("repetition_signals_docs", llm.repetition_signals_docs,
          repetition_signals_duck(), ("text", "curation", "quality")),

@@ -251,3 +251,36 @@ def word_count_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.col("word"))
             .limit(50))
+
+
+def approx_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (the KLL/GK-style sketch surface) verified
+    against their accuracy contract — the approx_distinct_users trick for
+    quantiles. approx_percentile's value is sketch-internal, so the query
+    outputs what an oracle CAN check exactly: the exact interpolated
+    p50/p95 (both engines define percentile as linear interpolation over
+    order statistics) and a boolean per quantile asserting the sketch's
+    result sits within its configured rank-error budget (n/accuracy,
+    checked by RANKING the sketch value against the real data in the same
+    plan — rank error is the contract approx_percentile actually makes,
+    unlike value error)."""
+    acc = 1000  # rank error <= n/acc = 0.1% of rows
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("ex"),
+        F.expr(f"approx_percentile(o_totalprice, array(0.5, 0.95), {acc})")
+         .alias("ap"),
+        F.count(F.lit(1)).alias("n"))
+    ranks = (o.crossJoin(F.broadcast(agg))
+             .agg(F.first("ex").alias("ex"), F.first("n").alias("n"),
+                  F.sum(F.when(F.col("o_totalprice") <= F.expr("ap[0]"), 1)
+                        .otherwise(0)).alias("r50"),
+                  F.sum(F.when(F.col("o_totalprice") <= F.expr("ap[1]"), 1)
+                        .otherwise(0)).alias("r95")))
+    tol = F.col("n") / acc + 1
+    return ranks.select(
+        F.round(F.expr("ex[0]"), 4).alias("p50_exact"),
+        F.round(F.expr("ex[1]"), 4).alias("p95_exact"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol).alias("p50_in_bound"),
+        (F.abs(F.col("r95") - 0.95 * F.col("n")) <= tol).alias("p95_in_bound"))
