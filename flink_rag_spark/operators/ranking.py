@@ -185,3 +185,97 @@ JOIN dfreq f ON f.term = p.term
 CROSS JOIN stats s
 GROUP BY p.{id_col}
 """
+
+
+# ------------------------------------------------------- persisted index
+
+#: partition count for the postings layout (term-hash partitions)
+TEXT_INDEX_PARTS = 64
+
+
+def build_text_index(spark, docs: DataFrame, path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_parts: int = TEXT_INDEX_PARTS) -> None:
+    """Materialize the inverted-index shape BM25 deployments actually
+    query (the inline ``bm25_topk`` scans the corpus text per query —
+    right for ad-hoc, wrong at 100 TB):
+
+    - ``postings/`` — (term, doc_id, tf) partitioned by
+      ``tp = pmod(hash(term), n_parts)``: a query's terms map to a bounded
+      set of tp values, so the scan prunes to ≤ |terms| partitions;
+    - ``doclens/``  — (doc_id, dl);
+    - ``stats.json`` — corpus row count and average doc length.
+
+    Same write discipline as the dedup/IVF indexes: repartition on the
+    partition column first (no tasks × partitions small-file blowup)."""
+    import json
+    import os
+
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    tokens = docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(F.expr(toks)).alias("term"))
+    postings = (tokens.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tp", F.pmod(F.hash("term"), F.lit(n_parts))))
+    (postings.repartition("tp").write.mode("overwrite")
+     .partitionBy("tp").parquet(os.path.join(path, "postings")))
+    doclens = docs.select(F.col(id_col).alias("doc_id"),
+                          F.expr(f"size({toks})").cast("double").alias("dl"))
+    (doclens.repartition(1).write.mode("overwrite")
+     .parquet(os.path.join(path, "doclens")))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.expr(f"size({toks})")).alias("avgdl")).first()
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump({"n_docs": stats["n_docs"], "avgdl": stats["avgdl"],
+                   "n_parts": n_parts}, f)
+
+
+def bm25_topk_indexed(spark, path: str, query_terms: list[str],
+                      k: int = 10, k1: float = BM25_K1,
+                      b: float = BM25_B) -> DataFrame:
+    """BM25 top-k against the persisted index: work is O(postings of the
+    query's terms) — the postings scan partition-prunes on the terms' hash
+    partitions, df per term is a tiny aggregate over those postings, and
+    the doclen join is pre-filtered by a broadcast semi join on the
+    matched doc ids (bounded by the matched postings). Results are
+    bit-identical to the inline ``bm25_topk`` (asserted in
+    tests/test_ranking.py)."""
+    import json
+    import os
+
+    terms = _norm_terms(query_terms)
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    n_parts = int(st["n_parts"])
+    # driver-side mirror of pmod(hash(term), n_parts) is not available
+    # without the JVM hash — prune with a one-row Spark job instead
+    # (bounded: |terms| values)
+    tps = [r["tp"] for r in spark.range(1).select(
+        F.explode(F.array(*[
+            F.pmod(F.hash(F.lit(t)), F.lit(n_parts)) for t in terms]))
+        .alias("tp")).distinct().collect()]
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                .filter(F.col("tp").isin(tps))
+                .filter(F.col("term").isin(terms)))
+    matched_ids = postings.select("doc_id").distinct()
+    doclens = (spark.read.parquet(os.path.join(path, "doclens"))
+               .join(F.broadcast(matched_ids), on="doc_id", how="left_semi"))
+    dfreq = (postings.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (postings
+              .join(doclens, on="doc_id")
+              .join(F.broadcast(dfreq), on="term"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(st["n_docs"]) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf")
+                  + k1 * (1.0 - b + b * F.col("dl") / F.lit(st["avgdl"]))))
+    topk = (scored.withColumn("term_score", idf * tf_part)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), ROUND_DP).alias("score"))
+            .orderBy(F.desc("score"), F.col("doc_id")).limit(k))
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id"))))

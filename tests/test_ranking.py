@@ -115,3 +115,30 @@ def test_bm25_postings_filter_reaches_scan(spark, sf_oracle, tmp_path):
     # postings are filtered before any shuffle
     assert fil_idx < gen_idx
     assert " IN (" in final[fil_idx:gen_idx] or "spark" in final[fil_idx:gen_idx]
+
+
+def test_text_index_matches_inline_and_prunes(spark, sf_oracle, tmp_path):
+    """The persisted inverted index must return bit-identical top-k to the
+    inline path, and the postings scan must partition-prune on the query
+    terms' hash partitions."""
+    from flink_rag_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, d, path, n_parts=16)
+
+    terms = ["spark", "join", "vector", "window"]
+    inline = bm25_topk(d, terms, k=15)
+    indexed = bm25_topk_indexed(spark, path, terms, k=15)
+    a = [(r["doc_id"], r["score"], r["rank"]) for r in inline.collect()]
+    b = [(r["doc_id"], r["score"], r["rank"]) for r in indexed.collect()]
+    assert a == b and len(a) == 15
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "tp" in seg
