@@ -279,3 +279,87 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
     return topk.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id"))))
+
+
+# ------------------------------------------------------------ batch form
+
+
+def bm25_join(queries: DataFrame, docs: DataFrame, k: int = 10,
+              query_id: str = "query_id", query_text: str = "query_text",
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+    """BM25 top-k for EVERY row of ``queries`` — the lexical twin of
+    similarity.knn_join. Each query's UNIQUE terms (classic BM25: query
+    term multiplicity does not re-weight) equi-join the corpus postings,
+    so shuffle volume is matching postings across the batch, never
+    |Q| × corpus. df per term is global (computed from the postings before
+    the query join). Returns (query_id, id, score, rank ≤ k)."""
+    qtoks = TOKENS_SPARK.format(s=f"lower({query_text})")
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    qterms = (queries.select(F.col(query_id),
+                             F.explode(F.expr(qtoks)).alias("term"))
+              .distinct())
+    tokens = docs.select(F.col(id_col),
+                         F.explode(F.expr(toks)).alias("term"))
+    # postings restricted to terms ANY query uses (semi join before the
+    # aggregate — the wordcount shuffle carries queried terms only)
+    postings = (tokens.join(F.broadcast(qterms.select("term").distinct()),
+                            on="term", how="left_semi")
+                .groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    dl = docs.select(F.col(id_col),
+                     F.expr(f"size({toks})").cast("double").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.expr(f"size({toks})")).alias("avgdl"))
+    dfreq = (postings.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (postings
+              .join(F.broadcast(qterms), on="term")
+              .join(dl, on=id_col)
+              .join(F.broadcast(dfreq), on="term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    per_q = (scored.withColumn("term_score", idf * tf_part)
+             .groupBy(query_id, id_col)
+             .agg(F.round(F.sum("term_score"), ROUND_DP).alias("score")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.col(id_col))
+    return (per_q.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hybrid_knn_join(queries: DataFrame, docs: DataFrame,
+                    embeddings: DataFrame, k: int = 10,
+                    query_id: str = "query_id",
+                    query_text: str = "query_text",
+                    query_vec: str = "query_vec",
+                    text_col: str = "text", doc_id: str = "doc_id",
+                    vec_id: str = "vec_id", k0: int = RRF_K0) -> DataFrame:
+    """Batch hybrid retrieval: per-query BM25 arm (bm25_join) ∪ per-query
+    exact cosine arm (similarity.knn_join), fused by RRF per query —
+    the full OpenSearch hybrid-query shape for a question BATCH. Each arm
+    retrieves 2k; returns (query_id, doc_id, rrf_score, rank ≤ k)."""
+    from flink_rag_spark.operators.similarity import knn_join
+
+    lex = (bm25_join(queries, docs, k=2 * k, query_id=query_id,
+                     query_text=query_text, text_col=text_col,
+                     id_col=doc_id)
+           .select(query_id, F.col(doc_id), "rank"))
+    vec = (knn_join(queries.select(query_id, query_vec), embeddings,
+                    k=2 * k, query_id=query_id, query_vec=query_vec,
+                    id_col=vec_id)
+           .select(query_id, F.col(vec_id).alias(doc_id), "rank"))
+    both = (lex.select(query_id, doc_id, "rank")
+            .unionByName(vec.select(query_id, doc_id, "rank")))
+    contrib = both.select(
+        query_id, doc_id,
+        (1.0 / (F.lit(float(k0)) + F.col("rank"))).alias("contrib"))
+    fused = (contrib.groupBy(query_id, doc_id)
+             .agg(F.round(F.sum("contrib"), ROUND_DP).alias("rrf_score")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("rrf_score"),
+                                             F.col(doc_id))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

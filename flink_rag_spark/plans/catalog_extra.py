@@ -63,6 +63,75 @@ def extra_queries() -> list[tuple]:
         redact_duck,
     )
 
+    # batch hybrid retrieval mirror: per-query BM25 (unique query terms,
+    # global df) + cosine ranks, RRF-fused — same rounding/tie-breaks as
+    # operators/ranking.py, so ranks and fused scores agree exactly
+    _toks_doc = "string_split_regex(trim(lower(text)), '\\s+')"
+    _cos_q = cosine_duck("e.embedding", "q.embedding")
+    oracle_hybrid_batch = f"""
+WITH queries AS (
+  SELECT doc_id AS query_id, text AS query_text FROM documents
+  WHERE doc_id < 3),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split_regex(trim(lower(query_text)), '\\s+')) AS term
+  FROM queries),
+tok AS (SELECT doc_id, unnest({_toks_doc}) AS term FROM documents),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len({_toks_doc}) AS DOUBLE) AS dl
+       FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(len({_toks_doc}) AS DOUBLE)) AS avgdl
+          FROM documents),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM postings GROUP BY term),
+bm AS (
+  SELECT qt.query_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))),
+               6) AS score
+  FROM postings p
+  JOIN qterms qt ON qt.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id),
+bm_rank AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bm),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < 3),
+cosr AS (
+  SELECT q.query_id, e.vec_id AS doc_id, ROUND({_cos_q}, 6) AS score
+  FROM embeddings e CROSS JOIN qv q),
+cos_rank AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM cosr),
+parts AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rnk) AS contrib
+  FROM bm_rank WHERE rnk <= 10
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rnk) FROM cos_rank WHERE rnk <= 10),
+fused AS (
+  SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS rrf_score
+  FROM parts GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_score, "rank" FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+           AS "rank"
+  FROM fused) t
+WHERE "rank" <= 5
+"""
+
     # mirrors plans/llm.pii_redacted_docs' deterministic PII injection
     _pii_counts = ",\n       ".join(pii_counts_duck("text"))
     oracle_pii = f"""
@@ -550,6 +619,10 @@ LIMIT 50
         # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
         ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
          ("ranking", "text")),
+        # batch hybrid retrieval (the OpenSearch hybrid shape for a
+        # question batch; per-query BM25 arm + cosine arm, RRF-fused)
+        ("hybrid_batch_retrieval", llm.hybrid_batch_retrieval,
+         oracle_hybrid_batch, ("similarity", "ranking", "hybrid")),
         # quantile-sketch accuracy contract (the approx_distinct trick for
         # percentiles: exact interpolated values hash-verify, the sketch's
         # rank error grades as booleans)

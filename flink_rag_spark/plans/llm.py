@@ -659,3 +659,23 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(".7")).alias("text"))
     out = redact_pii(salted, "text")
     return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+
+
+def hybrid_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH hybrid retrieval (operators/ranking.py:hybrid_knn_join): three
+    queries — text from documents 0-2, vectors from the aligned embeddings
+    — each retrieving BM25 top-10 ∪ cosine top-10, RRF-fused to a per-query
+    top-5. The batch generalization of the reference's per-record retrieval
+    (RAG.java:47-63), with the lexical arm its OpenSearch backend serves."""
+    from flink_rag_spark.operators.ranking import hybrid_knn_join
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (d.filter(F.col("doc_id") < 3)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("text").alias("query_text"))
+               .join(emb.select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("query_vec")),
+                     on="query_id"))
+    out = hybrid_knn_join(queries, d, emb, k=5)
+    return out.select("query_id", "doc_id", "rrf_score",
+                      F.col("rank").cast("bigint").alias("rank"))

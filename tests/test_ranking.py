@@ -142,3 +142,55 @@ def test_text_index_matches_inline_and_prunes(spark, sf_oracle, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "tp" in seg
+
+
+def test_bm25_join_matches_single_query_path(spark):
+    """The batch form restricted to one query must equal bm25_topk (unique
+    query terms; same formula, rounding, tie-breaks)."""
+    from flink_rag_spark.operators.ranking import bm25_join
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "spark join window")],
+                              "query_id long, query_text string")
+    batch = {(r["doc_id"], r["score"], r["rank"]) for r in
+             bm25_join(q, df, k=3).collect()}
+    single = {(r["doc_id"], r["score"], r["rank"]) for r in
+              bm25_topk(df, ["spark", "join", "window"], k=3).collect()}
+    assert batch == single
+
+
+def test_bm25_join_query_term_multiplicity_ignored(spark):
+    """Classic BM25: repeating a term in the query must not re-weight it."""
+    from flink_rag_spark.operators.ranking import bm25_join
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q1 = spark.createDataFrame([(0, "spark spark spark")],
+                               "query_id long, query_text string")
+    q2 = spark.createDataFrame([(0, "spark")],
+                               "query_id long, query_text string")
+    a = {(r["doc_id"], r["score"]) for r in bm25_join(q1, df, k=5).collect()}
+    b = {(r["doc_id"], r["score"]) for r in bm25_join(q2, df, k=5).collect()}
+    assert a == b
+
+
+def test_hybrid_knn_join_per_query_fusion(spark):
+    """Each query fuses its OWN arms: a lexical-only hit for q0 must not
+    leak into q1's result."""
+    from flink_rag_spark.operators.ranking import hybrid_knn_join
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(100, "alpha", [0.0, 1.0]), (200, "epsilon", [1.0, 0.0])],
+        "query_id long, query_text string, query_vec array<float>")
+    out = hybrid_knn_join(queries, docs, emb, k=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # q100: lexical hit doc0 + vector hit doc1; q200: lexical doc2 + vector doc0
+    assert 0 in by_q[100] and 1 in by_q[100]
+    assert 2 in by_q[200] and 0 in by_q[200]
