@@ -184,7 +184,7 @@ def main() -> None:
     # repetition signals, PII redaction
     EXTRA = ["gapfill_hourly_user_values", "heavy_hitters_users",
              "bloom_decontaminated_docs", "weighted_sample_docs",
-             "bm25_topk_docs", "hybrid_rrf_vec7",
+             "bm25_topk_docs", "hybrid_rrf_vec7", "hybrid_batch_retrieval",
              "repetition_signals_docs", "pii_redacted_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:

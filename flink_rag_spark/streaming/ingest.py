@@ -252,6 +252,7 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                chunk: bool = False,
                neardup_index: str | None = None,
                neardup_threshold: float = 0.3,
+               neardup_compact_every: int | None = None,
                ivf_index: str | None = None,
                ivf_append_every: int = 1):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
@@ -299,6 +300,13 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                 b.sparkSession,
                 b.select(F.col("vec_id").alias("doc_id"), "text"),
                 "text", "doc_id", neardup_index, cfg)
+            if neardup_compact_every and (_id + 1) % neardup_compact_every == 0:
+                # bound the small-file growth the per-batch appends cause;
+                # write-then-swap, so the next batch reads a whole layout
+                from flink_rag_spark.operators.incremental import (
+                    compact_dedup_index,
+                )
+                compact_dedup_index(b.sparkSession, neardup_index)
         elif multi_action:
             b.persist()
         try:

@@ -290,3 +290,29 @@ def test_compact_dedup_index_restores_one_file_and_results(spark, tmp_path):
     after = _pairs_set(incremental_neardup_pairs(
         spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))
     assert before == after and len(after) > 0
+
+
+def test_streaming_compaction_cadence(spark, tmp_path):
+    """run_ingest(neardup_compact_every=1): after the drain the index sits
+    at one file per live partition and keeps filtering correctly."""
+    import glob
+
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    idx = str(tmp_path / "idx")
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "a wholly distinctive sentence about glaciers and morning light\n"
+        "another wholly distinctive sentence about deserts at dusk\n")
+    q = run_ingest(spark, file_string_source(spark, str(src)),
+                   str(tmp_path / "store"), str(tmp_path / "c"),
+                   available_now=True, neardup_index=idx,
+                   neardup_compact_every=1)
+    assert q.awaitTermination(120)
+    for sub, pcol in (("bands", "bkp"), ("shingles", "sbp")):
+        parts = glob.glob(f"{idx}/{sub}/{pcol}=*")
+        assert parts
+        for p in parts:
+            assert len(glob.glob(f"{p}/*.parquet")) == 1
