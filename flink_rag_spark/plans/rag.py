@@ -168,6 +168,18 @@ def rag_answer(spark: SparkSession, sf_dir: str,
                             query_id="question_id", cfg=cfg,
                             centroids=cents, cells=cells,
                             driver_queries=driver_q, tail=ann_tail)
+    elif retrieval == "hybrid":
+        # lexical BM25 arm + exact cosine arm, RRF-fused per question —
+        # the hybrid query the reference's OpenSearch backend serves
+        # (operators/ranking.py); docs/emb already union the live store,
+        # so freshness carries through both arms
+        from flink_rag_spark.operators.ranking import hybrid_knn_join
+        q_hyb = q_embedded.select(
+            "question_id", F.col("question").alias("query_text"), "query_vec")
+        hits = (hybrid_knn_join(q_hyb, docs, emb, k=cfg.retrieval_k,
+                                query_id="question_id", text_col="text",
+                                doc_id="vec_id", vec_id="vec_id")
+                .select("question_id", "vec_id", "rank"))
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,
                         query_id="question_id", min_score=cfg.min_score)

@@ -538,3 +538,25 @@ def test_ivf_flush_replay_inserts_nothing_twice(spark, tmp_path):
 
     cells = spark.read.parquet(f"{idx}/cells")
     assert cells.count() == cells.select("vec_id").distinct().count()
+
+
+def test_hybrid_rag_retrieval_cites_fresh_fact(spark, sf_smoke, tmp_path):
+    """retrieval='hybrid': the RAG chain fuses the lexical and vector arms
+    per question, and a just-ingested fact reaches the context through
+    BOTH arms (the store unions into docs and embeddings before either arm
+    runs)."""
+    from flink_rag_spark.plans.rag import rag_answer
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.txt").write_text("The capital of France is Paris.\n")
+    store = str(tmp_path / "store")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt_h"), available_now=True)
+    _await(q)
+
+    out = rag_answer(spark, sf_smoke, ["What is the capital of France?"],
+                     retrieval="hybrid", extra_store_path=store,
+                     with_chat=False).collect()
+    assert len(out) == 1
+    assert "The capital of France is Paris." in out[0]["information"]
