@@ -353,6 +353,97 @@ SELECT question_id, question, information, prompt,
 FROM ({ORACLE_RAG_ASSEMBLY})
 """
 
+# the hybrid twin of ORACLE_RAG_ASSEMBLY (plans/rag.rag_hybrid_context):
+# per-question BM25 ∪ cosine ranks fused by RRF, then the same
+# rank-ordered context concat + template fill — fully deterministic, so
+# fused ranks, context order and prompts hash-verify
+_TOKS_DOC_DUCK = "string_split_regex(trim(lower(text)), '\\s+')"
+ORACLE_RAG_HYBRID = f"""
+WITH queries AS (
+  SELECT doc_id AS question_id, text AS query_text FROM documents
+  WHERE doc_id IN ({{ids}})),
+qterms AS (
+  SELECT DISTINCT question_id,
+         unnest(string_split_regex(trim(lower(query_text)), '\\s+')) AS term
+  FROM queries),
+tok AS (SELECT doc_id, unnest({_TOKS_DOC_DUCK}) AS term FROM documents),
+postings AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(len({_TOKS_DOC_DUCK}) AS DOUBLE) AS dl
+       FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(len({_TOKS_DOC_DUCK}) AS DOUBLE)) AS avgdl
+          FROM documents),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM postings GROUP BY term),
+bm AS (
+  SELECT qt.question_id, p.doc_id,
+         ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))),
+               6) AS score
+  FROM postings p
+  JOIN qterms qt ON qt.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  JOIN dfreq f ON f.term = p.term
+  CROSS JOIN stats s
+  GROUP BY qt.question_id, p.doc_id),
+bm_rank AS (
+  SELECT question_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY question_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM bm),
+qv AS (SELECT vec_id AS question_id, embedding FROM embeddings
+       WHERE vec_id IN ({{ids}})),
+cosr AS (
+  SELECT q.question_id, e.vec_id AS doc_id,
+         ROUND({{cos}}, 6) AS score
+  FROM embeddings e CROSS JOIN qv q),
+cos_rank AS (
+  SELECT question_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY question_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM cosr),
+parts AS (
+  SELECT question_id, doc_id, 1.0 / (60 + rnk) AS contrib
+  FROM bm_rank WHERE rnk <= {{arm_k}}
+  UNION ALL
+  SELECT question_id, doc_id, 1.0 / (60 + rnk)
+  FROM cos_rank WHERE rnk <= {{arm_k}}),
+fused AS (
+  SELECT question_id, doc_id, ROUND(SUM(contrib), 6) AS rrf_score
+  FROM parts GROUP BY question_id, doc_id),
+franked AS (
+  SELECT question_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY question_id
+                            ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM fused),
+ctx AS (
+  SELECT question_id,
+         string_agg(d.text, {{sep}} ORDER BY rnk) AS information
+  FROM franked JOIN documents d ON d.doc_id = franked.doc_id
+  WHERE rnk <= {{k}}
+  GROUP BY question_id)
+SELECT c.question_id, d.text AS question, c.information,
+       {{pre}} || d.text || {{mid}} || c.information || {{post}} AS prompt
+FROM ctx c JOIN documents d ON d.doc_id = c.question_id
+"""
+
+
+def _oracle_rag_hybrid() -> str:
+    return ORACLE_RAG_HYBRID.format(
+        ids=_RAG_IDS,
+        cos=cosine_duck("e.embedding", "q.embedding"),
+        arm_k=2 * CFG.retrieval_k,
+        k=CFG.retrieval_k,
+        sep=_sql_str(CFG.context_separator),
+        pre=_sql_str(_RAG_T_PRE),
+        mid=_sql_str(_RAG_T_MID),
+        post=_sql_str(_RAG_T_POST))
+
+
 _COS_AB = cosine_duck("a.embedding", "b.embedding")
 ORACLE_NEARDUP_EMB = f"""
 SELECT id_a, id_b, score FROM (

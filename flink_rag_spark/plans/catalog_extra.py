@@ -55,7 +55,9 @@ def extra_queries() -> list[tuple]:
         _oracle_jaccard,
         _oracle_lsh_pairs,
         _oracle_lsh_verified,
+        _oracle_rag_hybrid,
     )
+    from flink_rag_spark.plans.rag import rag_hybrid_context
 
     from flink_rag_spark.operators.quality import repetition_signals_duck
     from flink_rag_spark.operators.redaction import (
@@ -623,6 +625,10 @@ LIMIT 50
         # question batch; per-query BM25 arm + cosine arm, RRF-fused)
         ("hybrid_batch_retrieval", llm.hybrid_batch_retrieval,
          oracle_hybrid_batch, ("similarity", "ranking", "hybrid")),
+        # the hybrid RAG assembly chain (fused retrieval → rank-ordered
+        # context → prompt), hash-verified end to end
+        ("rag_hybrid_context", rag_hybrid_context,
+         _oracle_rag_hybrid(), ("rag", "ranking", "hybrid")),
         # quantile-sketch accuracy contract (the approx_distinct trick for
         # percentiles: exact interpolated values hash-verify, the sketch's
         # rank error grades as booleans)

@@ -205,3 +205,45 @@ def rag_answer(spark: SparkSession, sf_dir: str,
             "answer", chat_col(provider, cfg)(F.col("prompt")))
     return prompted.select("question_id", "question", "information", "prompt",
                            *(["answer"] if with_chat else []))
+
+
+def rag_hybrid_context(spark: SparkSession, sf_dir: str,
+                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The HYBRID twin of ``rag_context_assembly``: retrieval is
+    BM25 ∪ exact-cosine fused by RRF (operators/ranking.py — the hybrid
+    query the reference's OpenSearch backend serves), then the same
+    rank-ordered context concat and two-slot template fill. Query text
+    comes from the query docs themselves and vectors from the aligned
+    embeddings, so every stage is deterministic and the DuckDB oracle
+    reproduces fused ranks, context order, and prompts exactly."""
+    from flink_rag_spark.operators.ranking import hybrid_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text")
+    ids = list(RAG_ORACLE_QUERY_IDS)
+    queries = (docs.filter(F.col("vec_id").isin(ids))
+               .select(F.col("vec_id").alias("question_id"),
+                       F.col("text").alias("query_text"))
+               .join(emb.select(F.col("vec_id").alias("question_id"),
+                                F.col("embedding").alias("query_vec")),
+                     on="question_id"))
+    hits = (hybrid_knn_join(queries, docs, emb, k=cfg.retrieval_k,
+                            query_id="question_id", text_col="text",
+                            doc_id="vec_id", vec_id="vec_id")
+            .select("question_id", "vec_id", "rank"))
+    with_text = broadcast(hits).join(docs, on="vec_id")
+    context = (with_text.groupBy("question_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                       lambda x: x["text"]),
+                   cfg.context_separator).alias("information")))
+    qtext = docs.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("question_id"), F.col("text").alias("question"))
+    pre, rest = cfg.prompt_template.split("{question}")
+    mid, post = rest.split("{information}")
+    return (qtext.join(context, on="question_id")
+            .select("question_id", "question", "information",
+                    F.concat(F.lit(pre), F.col("question"), F.lit(mid),
+                             F.col("information"), F.lit(post)).alias("prompt")))
