@@ -284,45 +284,70 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
 # ------------------------------------------------------------ batch form
 
 
-def bm25_join(queries: DataFrame, docs: DataFrame, k: int = 10,
+def bm25_join(queries: DataFrame, docs: DataFrame | None, k: int = 10,
               query_id: str = "query_id", query_text: str = "query_text",
               text_col: str = "text", id_col: str = "doc_id",
-              k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
+              k1: float = BM25_K1, b: float = BM25_B,
+              index_path: str | None = None) -> DataFrame:
     """BM25 top-k for EVERY row of ``queries`` — the lexical twin of
     similarity.knn_join. Each query's UNIQUE terms (classic BM25: query
     term multiplicity does not re-weight) equi-join the corpus postings,
     so shuffle volume is matching postings across the batch, never
     |Q| × corpus. df per term is global (computed from the postings before
-    the query join). Returns (query_id, id, score, rank ≤ k)."""
+    the query join). Returns (query_id, id, score, rank ≤ k).
+
+    ``index_path``: read postings/doclens/stats from a persisted
+    ``build_text_index`` layout instead of recomputing them from corpus
+    text — the at-scale shape (``docs`` may then be None); results are
+    bit-identical (tests/test_ranking.py)."""
+    import json
+    import os
+
     qtoks = TOKENS_SPARK.format(s=f"lower({query_text})")
-    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
     qterms = (queries.select(F.col(query_id),
                              F.explode(F.expr(qtoks)).alias("term"))
               .distinct())
-    tokens = docs.select(F.col(id_col),
-                         F.explode(F.expr(toks)).alias("term"))
-    # postings restricted to terms ANY query uses (semi join before the
-    # aggregate — the wordcount shuffle carries queried terms only)
-    postings = (tokens.join(F.broadcast(qterms.select("term").distinct()),
-                            on="term", how="left_semi")
-                .groupBy(id_col, "term")
-                .agg(F.count(F.lit(1)).alias("tf")))
-    dl = docs.select(F.col(id_col),
-                     F.expr(f"size({toks})").cast("double").alias("dl"))
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.expr(f"size({toks})")).alias("avgdl"))
+    all_terms = F.broadcast(qterms.select("term").distinct())
+    if index_path is not None:
+        spark = queries.sparkSession
+        with open(os.path.join(index_path, "stats.json")) as f:
+            st = json.load(f)
+        # no per-term partition pruning here (terms live in a frame, not a
+        # driver list) — the semi join still prunes at the first stage
+        postings = (spark.read.parquet(os.path.join(index_path, "postings"))
+                    .join(all_terms, on="term", how="left_semi")
+                    .select(F.col("doc_id").alias(id_col), "term", "tf"))
+        dl = (spark.read.parquet(os.path.join(index_path, "doclens"))
+              .select(F.col("doc_id").alias(id_col), "dl"))
+        n_docs, avgdl = F.lit(st["n_docs"]), F.lit(st["avgdl"])
+        stats = None
+    else:
+        toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+        tokens = docs.select(F.col(id_col),
+                             F.explode(F.expr(toks)).alias("term"))
+        # postings restricted to terms ANY query uses (semi join before the
+        # aggregate — the wordcount shuffle carries queried terms only)
+        postings = (tokens.join(all_terms, on="term", how="left_semi")
+                    .groupBy(id_col, "term")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+        dl = docs.select(F.col(id_col),
+                         F.expr(f"size({toks})").cast("double").alias("dl"))
+        stats = docs.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.expr(f"size({toks})")).alias("avgdl"))
+        n_docs, avgdl = F.col("n_docs"), F.col("avgdl")
     dfreq = (postings.groupBy("term")
              .agg(F.count(F.lit(1)).cast("double").alias("df")))
     scored = (postings
               .join(F.broadcast(qterms), on="term")
               .join(dl, on=id_col)
-              .join(F.broadcast(dfreq), on="term")
-              .crossJoin(F.broadcast(stats)))
+              .join(F.broadcast(dfreq), on="term"))
+    if stats is not None:
+        scored = scored.crossJoin(F.broadcast(stats))
     idf = F.log(F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1.0)
-               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
     per_q = (scored.withColumn("term_score", idf * tf_part)
              .groupBy(query_id, id_col)
              .agg(F.round(F.sum("term_score"), ROUND_DP).alias("score")))
@@ -331,22 +356,25 @@ def bm25_join(queries: DataFrame, docs: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def hybrid_knn_join(queries: DataFrame, docs: DataFrame,
+def hybrid_knn_join(queries: DataFrame, docs: DataFrame | None,
                     embeddings: DataFrame, k: int = 10,
                     query_id: str = "query_id",
                     query_text: str = "query_text",
                     query_vec: str = "query_vec",
                     text_col: str = "text", doc_id: str = "doc_id",
-                    vec_id: str = "vec_id", k0: int = RRF_K0) -> DataFrame:
+                    vec_id: str = "vec_id", k0: int = RRF_K0,
+                    text_index: str | None = None) -> DataFrame:
     """Batch hybrid retrieval: per-query BM25 arm (bm25_join) ∪ per-query
     exact cosine arm (similarity.knn_join), fused by RRF per query —
     the full OpenSearch hybrid-query shape for a question BATCH. Each arm
-    retrieves 2k; returns (query_id, doc_id, rrf_score, rank ≤ k)."""
+    retrieves 2k; returns (query_id, doc_id, rrf_score, rank ≤ k).
+    ``text_index`` routes the lexical arm through a persisted
+    ``build_text_index`` layout (``docs`` may then be None)."""
     from flink_rag_spark.operators.similarity import knn_join
 
     lex = (bm25_join(queries, docs, k=2 * k, query_id=query_id,
                      query_text=query_text, text_col=text_col,
-                     id_col=doc_id)
+                     id_col=doc_id, index_path=text_index)
            .select(query_id, F.col(doc_id), "rank"))
     vec = (knn_join(queries.select(query_id, query_vec), embeddings,
                     k=2 * k, query_id=query_id, query_vec=query_vec,

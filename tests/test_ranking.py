@@ -194,3 +194,25 @@ def test_hybrid_knn_join_per_query_fusion(spark):
     # q100: lexical hit doc0 + vector hit doc1; q200: lexical doc2 + vector doc0
     assert 0 in by_q[100] and 1 in by_q[100]
     assert 2 in by_q[200] and 0 in by_q[200]
+
+
+def test_bm25_join_index_backed_matches_inline(spark, sf_oracle, tmp_path):
+    """bm25_join(index_path=...) must be bit-identical to the inline path
+    — including for the hybrid batch fusion downstream."""
+    from flink_rag_spark.operators.ranking import (
+        bm25_join,
+        build_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    path = str(tmp_path / "tidx")
+    build_text_index(spark, d, path, n_parts=16)
+    q = spark.createDataFrame(
+        [(0, "spark join vector"), (1, "window merge batch")],
+        "query_id long, query_text string")
+    inline = {(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in
+              bm25_join(q, d, k=8).collect()}
+    indexed = {(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in
+               bm25_join(q, None, k=8, index_path=path).collect()}
+    assert inline == indexed and len(inline) == 16
