@@ -105,6 +105,8 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
     score(d) = Σ_r 1/(k0 + rank_r(d)). Frames are k-bounded per source, so
     the union + aggregate touches ≤ Σk rows. Returns (id, rrf_score, rank)
     ordered by fused score (tie-break on id)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
     parts = [r.select(F.col(id_col),
                       (1.0 / (F.lit(float(k0)) + F.col("rank")))
                       .alias("contrib"))

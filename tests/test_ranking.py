@@ -216,3 +216,15 @@ def test_bm25_join_index_backed_matches_inline(spark, sf_oracle, tmp_path):
     indexed = {(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in
                bm25_join(q, None, k=8, index_path=path).collect()}
     assert inline == indexed and len(inline) == 16
+
+
+def test_ranking_edge_inputs(spark):
+    """Empty query terms yield an empty (not wrong) result; fusing zero
+    rankings fails loudly."""
+    from flink_rag_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert bm25_scores(df, []).count() == 0
+    assert bm25_scores(df, ["zzz_not_present"]).count() == 0
+    with pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse([])
