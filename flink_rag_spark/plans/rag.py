@@ -110,6 +110,12 @@ def rag_answer(spark: SparkSession, sf_dir: str,
     vec_id/text/embedding) unioned into both the vector and text sides —
     freshly ingested knowledge is retrievable in the same session
     (the reference's freshness loop, README.md:241-267).
+
+    ``ann_index``: for retrieval='ann', either a (centroids, cells) tuple
+    (store-predating index: the whole live store probes as the tail) or
+    the PATH of a persisted index maintained by
+    ``run_ingest(ivf_index=...)`` — then freshness comes from the index's
+    own pending tail, bounded by the flush cadence by construction.
     """
     provider = provider or LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
     if questions is None:
@@ -140,7 +146,20 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         # ann_index=(centroids, cells) (operators/index.py) to amortize
         # index construction across calls, as any ANN deployment does.
         from flink_rag_spark.operators.similarity import ivf_knn_join
-        cents, cells = ann_index if ann_index else (None, None)
+        idx_tail = None
+        if isinstance(ann_index, str):
+            # a persisted index DIRECTORY: load centroids + cells and serve
+            # freshness from the index's own pending tail (bounded by the
+            # ingest flush cadence — operators/index.py), instead of
+            # treating the whole live store as un-indexed
+            from flink_rag_spark.operators.index import (
+                load_ivf_index,
+                load_ivf_tail,
+            )
+            cents, cells = load_ivf_index(spark, ann_index)
+            idx_tail = load_ivf_tail(spark, ann_index)
+        else:
+            cents, cells = ann_index if ann_index else (None, None)
         driver_q = None
         if (question_texts is not None
                 and len(question_texts) <= cfg.max_driver_queries):
@@ -161,8 +180,10 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         # store, so the store IS the un-indexed tail — probed alongside the
         # index cells, no rebuild. Without a prebuilt index the centroids
         # are trained on emb, which already unions the store.
-        ann_tail = None
-        if ann_index and extra_store_path:
+        ann_tail = idx_tail
+        if ann_tail is None and ann_index and extra_store_path:
+            # tuple-style prebuilt index that predates the live store: the
+            # whole store is the un-indexed tail (no rebuild needed)
             ann_tail = store.select("vec_id", "embedding")
         hits = ivf_knn_join(q_side, emb, k=cfg.retrieval_k,
                             query_id="question_id", cfg=cfg,

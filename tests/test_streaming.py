@@ -560,3 +560,44 @@ def test_hybrid_rag_retrieval_cites_fresh_fact(spark, sf_smoke, tmp_path):
                      with_chat=False).collect()
     assert len(out) == 1
     assert "The capital of France is Paris." in out[0]["information"]
+
+
+def test_rag_ann_with_index_path_and_pending_tail(spark, sf_smoke, tmp_path):
+    """retrieval='ann' with ann_index=<path>: freshness is served from the
+    index's own pending tail (bounded by flush cadence), both before a
+    flush (fact in pending/) and after (fact in the cell partitions)."""
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        flush_pending,
+        load_ivf_tail,
+    )
+    from flink_rag_spark.plans.rag import rag_answer
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx)
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.txt").write_text("The capital of France is Paris.\n")
+    store = str(tmp_path / "store")
+    # cadence 10 >> 1 batch: the fact stays in the pending tail
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "c"), available_now=True,
+                   ivf_index=idx, ivf_append_every=10)
+    _await(q)
+    assert load_ivf_tail(spark, idx) is not None
+
+    question = ["What is the capital of France?"]
+    out = rag_answer(spark, sf_smoke, question, retrieval="ann",
+                     ann_index=idx, extra_store_path=store,
+                     with_chat=False).collect()
+    assert "The capital of France is Paris." in out[0]["information"]
+
+    # drain the tail into the cells: same answer, now through partitions
+    assert flush_pending(spark, idx) > 0
+    assert load_ivf_tail(spark, idx) is None
+    out = rag_answer(spark, sf_smoke, question, retrieval="ann",
+                     ann_index=idx, extra_store_path=store,
+                     with_chat=False).collect()
+    assert "The capital of France is Paris." in out[0]["information"]
