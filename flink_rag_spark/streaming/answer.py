@@ -27,13 +27,20 @@ def run_answer_stream(spark: SparkSession, questions: DataFrame,
                       provider: Provider | None = None,
                       cfg: EngineConfig = DEFAULT_CONFIG,
                       available_now: bool = False,
-                      store_path: str | None = None):
+                      store_path: str | None = None,
+                      retrieval: str = "exact",
+                      ann_index=None):
     """questions (value:string stream) → answered parquet at out_path.
 
     ``store_path`` optionally points at a live ingest store (streaming/
     ingest.py) that is unioned with the static corpus — this closes the
     reference's freshness loop (README.md:241-267: ingest a fact, ask,
     see it in the answer) with micro-batch latency.
+
+    ``retrieval``/``ann_index`` pass straight through to the batch plan:
+    'exact' (default), 'ann' (with a (centroids, cells) tuple or a
+    persisted-index path whose pending tail serves freshness), or
+    'hybrid' (BM25 + cosine, RRF-fused per question).
     """
 
     def answer_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -43,7 +50,8 @@ def run_answer_stream(spark: SparkSession, questions: DataFrame,
               .withColumn("question_id", F.monotonically_increasing_id()))
         out = rag_answer(spark, corpus_sf_dir, questions=qs,
                          cfg=cfg, provider=provider,
-                         extra_store_path=store_path)
+                         extra_store_path=store_path,
+                         retrieval=retrieval, ann_index=ann_index)
         (out.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append").parquet(out_path))
 

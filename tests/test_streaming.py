@@ -601,3 +601,32 @@ def test_rag_ann_with_index_path_and_pending_tail(spark, sf_smoke, tmp_path):
                      ann_index=idx, extra_store_path=store,
                      with_chat=False).collect()
     assert "The capital of France is Paris." in out[0]["information"]
+
+
+def test_answer_stream_hybrid_retrieval(spark, sf_smoke, tmp_path):
+    """The question→answer job (AiJob re-expression) with the hybrid
+    retrieval tier: a streamed question is answered with fused
+    lexical+vector context."""
+    from flink_rag_spark.streaming.answer import run_answer_stream
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.txt").write_text("The capital of France is Paris.\n")
+    store = str(tmp_path / "store")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ci"), available_now=True)
+    _await(q)
+
+    qdir = tmp_path / "questions"
+    qdir.mkdir()
+    (qdir / "q.txt").write_text("What is the capital of France?\n")
+    out = str(tmp_path / "answers")
+    q = run_answer_stream(spark, file_string_source(spark, str(qdir)),
+                          sf_smoke, out, str(tmp_path / "ca"),
+                          available_now=True, store_path=store,
+                          retrieval="hybrid")
+    _await(q)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert "The capital of France is Paris." in rows[0]["information"]
+    assert rows[0]["answer"].startswith("[answer:")
