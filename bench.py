@@ -208,6 +208,12 @@ def main() -> None:
         "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
+        # methodology is part of the number (round-4 verdict: a silent
+        # warm-up change flattered a cross-round comparison) — state it
+        # so cross-round readers know when it shifts
+        "methodology": ("headline: median+min+spread of 5 timed runs; "
+                        "RAG qps: 1 untimed warm-up then median of 3 "
+                        "(since r4); curation/extra: median of 3"),
         "ann_index_build_sec": ann_index_build_sec,
         "dedup_index_build_sec": dedup_index_build_sec,
         "rag_batch_n": n_q,

@@ -365,23 +365,35 @@ def hybrid_knn_join(queries: DataFrame, docs: DataFrame | None,
                     query_vec: str = "query_vec",
                     text_col: str = "text", doc_id: str = "doc_id",
                     vec_id: str = "vec_id", k0: int = RRF_K0,
-                    text_index: str | None = None) -> DataFrame:
+                    text_index: str | None = None,
+                    ann_index: tuple | None = None) -> DataFrame:
     """Batch hybrid retrieval: per-query BM25 arm (bm25_join) ∪ per-query
     exact cosine arm (similarity.knn_join), fused by RRF per query —
     the full OpenSearch hybrid-query shape for a question BATCH. Each arm
     retrieves 2k; returns (query_id, doc_id, rrf_score, rank ≤ k).
     ``text_index`` routes the lexical arm through a persisted
-    ``build_text_index`` layout (``docs`` may then be None)."""
-    from flink_rag_spark.operators.similarity import knn_join
+    ``build_text_index`` layout (``docs`` may then be None);
+    ``ann_index=(centroids, cells)`` routes the vector arm through the
+    persisted IVF index (approximate — the fused result then inherits the
+    ANN recall contract; hybrid fusion is naturally tolerant since a
+    neighbor missed by one arm can still arrive through the other)."""
+    from flink_rag_spark.operators.similarity import ivf_knn_join, knn_join
 
     lex = (bm25_join(queries, docs, k=2 * k, query_id=query_id,
                      query_text=query_text, text_col=text_col,
                      id_col=doc_id, index_path=text_index)
            .select(query_id, F.col(doc_id), "rank"))
-    vec = (knn_join(queries.select(query_id, query_vec), embeddings,
-                    k=2 * k, query_id=query_id, query_vec=query_vec,
-                    id_col=vec_id)
-           .select(query_id, F.col(vec_id).alias(doc_id), "rank"))
+    if ann_index is not None:
+        cents, cells = ann_index
+        vec = (ivf_knn_join(queries.select(query_id, query_vec), embeddings,
+                            k=2 * k, query_id=query_id, query_vec=query_vec,
+                            id_col=vec_id, centroids=cents, cells=cells)
+               .select(query_id, F.col(vec_id).alias(doc_id), "rank"))
+    else:
+        vec = (knn_join(queries.select(query_id, query_vec), embeddings,
+                        k=2 * k, query_id=query_id, query_vec=query_vec,
+                        id_col=vec_id)
+               .select(query_id, F.col(vec_id).alias(doc_id), "rank"))
     both = (lex.select(query_id, doc_id, "rank")
             .unionByName(vec.select(query_id, doc_id, "rank")))
     contrib = both.select(

@@ -228,3 +228,42 @@ def test_ranking_edge_inputs(spark):
     assert bm25_scores(df, ["zzz_not_present"]).count() == 0
     with pytest.raises(ValueError, match="at least one ranking"):
         rrf_fuse([])
+
+
+def test_hybrid_fully_indexed_arms(spark, sf_oracle, tmp_path):
+    """Both arms can run off persisted indexes (text postings + IVF
+    cells): results stay k-per-query and overlap the fully-exact hybrid
+    heavily (the vector arm is approximate; fusion tolerates arm misses)."""
+    from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index
+    from flink_rag_spark.operators.ranking import (
+        build_text_index,
+        hybrid_knn_join,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    tpath = str(tmp_path / "tidx")
+    build_text_index(spark, d, tpath, n_parts=16)
+    vpath = str(tmp_path / "vidx")
+    build_ivf_index(spark, emb, vpath)
+    cents, cells = load_ivf_index(spark, vpath)
+
+    queries = (d.filter(F.col("doc_id") < 2)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("text").alias("query_text"))
+               .join(emb.select(F.col("vec_id").alias("query_id"),
+                                F.col("embedding").alias("query_vec")),
+                     on="query_id"))
+    exact = hybrid_knn_join(queries, d, emb, k=10)
+    indexed = hybrid_knn_join(queries, None, emb, k=10,
+                              text_index=tpath, ann_index=(cents, cells))
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["doc_id"])
+    ix = {}
+    for r in indexed.collect():
+        ix.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid in ex:
+        assert len(ix[qid]) == 10
+        assert len(ex[qid] & ix[qid]) >= 7  # ANN arm recall tolerance
