@@ -267,3 +267,30 @@ def test_hybrid_fully_indexed_arms(spark, sf_oracle, tmp_path):
     for qid in ex:
         assert len(ix[qid]) == 10
         assert len(ex[qid] & ix[qid]) >= 7  # ANN arm recall tolerance
+
+
+def test_bm25_property_random_corpora(spark):
+    """Property-based parity with the pure-Python BM25 model on random
+    ASCII word corpora (the hash-properties pattern): if the Spark
+    expression drifts from the model, every BM25/hybrid oracle would
+    silently flap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=6)
+    terms = st.lists(word, min_size=1, max_size=3)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=corpus, qterms=terms)
+    def check(texts, qterms):
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: r["score"] for r in
+               bm25_scores(df, qterms).collect()}
+        assert got == _py_bm25(docs, sorted({t for t in qterms}))
+
+    check()
