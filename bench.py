@@ -136,6 +136,14 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     rag_qps_ann = round(n_q / sorted(runs)[1], 1)
     cells.unpersist()
+    # hybrid tier (BM25 arm + cosine arm, RRF-fused per question)
+    force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
+        runs.append(time.perf_counter() - t0)
+    rag_qps_hybrid = round(n_q / sorted(runs)[1], 1)
 
     # curation suite timings (separate section — the headline set stays
     # identical to round 1 so `value` remains comparable round-over-round)
@@ -208,6 +216,7 @@ def main() -> None:
         "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
+        "rag_questions_per_sec_hybrid": rag_qps_hybrid,
         # methodology is part of the number (round-4 verdict: a silent
         # warm-up change flattered a cross-round comparison) — state it
         # so cross-round readers know when it shifts
