@@ -77,3 +77,15 @@ def test_gapfill_week_step_and_bad_unit(spark):
     with pytest.raises(ValueError, match="unsupported gapfill step unit"):
         gapfill_locf_interp(s, ["user_id"], "bucket", "obs",
                             step="1 fortnight")
+
+
+def test_gapfill_plan_has_no_quadratic_frame(spark):
+    """Regression pin for the round-5 fix: the fill must use RUNNING
+    frames only — a (currentRow -> unboundedFollowing) frame re-aggregates
+    the tail per row (O(buckets^2) per key, measured 10x at sf0.1)."""
+    filled = gapfill_locf_interp(
+        _series(spark, [(1, 0, 1.0), (1, 5, 2.0)]),
+        ["user_id"], "bucket", "obs", step="1 hour")
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower()
+    assert "unboundedpreceding" in plan.lower()  # the running frames
