@@ -32,6 +32,16 @@ candidate broadcast costs anyway, since a broadcast is a collect plus a
 re-ship) and the candidate set + threshold become literals in the recount
 plan, so nothing is persisted and the summary pass runs exactly once.
 
+The two-phase shape only pays for itself when the full distinct-key
+shuffle would actually hurt. For a table the parquet footers say is small
+(≤ ``DIRECT_MAX_ROWS``), the direct plan — ONE scan: groupBy + a scalar
+total over the (already tiny) grouped frame — is strictly cheaper than two
+scans plus an Arrow crossing, and its shuffle is bounded by the row count
+anyway. ``strategy="auto"`` (the default) makes that call from the footer
+estimate, treating "unknown size" as "large" so the scale-safe plan is
+the fallback, never the exception — the same size-gated plan switch the
+k-NN top-k uses (operators/similarity.py).
+
 NULL-key contract: NULL keys are ignored entirely — excluded from N and
 never a heavy hitter (matching ``WHERE key IS NOT NULL`` + COUNT(key)
 semantics). A column where NULL itself might be frequent needs an explicit
@@ -47,6 +57,15 @@ from pyspark.sql.functions import broadcast
 #: candidate sets up to this size recount via an InSet scan predicate
 #: (pushed to parquet); larger ones via broadcast semi join
 MAX_ISIN_CANDIDATES = 10_000
+
+#: strategy="auto" runs the direct one-scan plan when the footer estimate
+#: says the input has at most this many rows. The direct plan funnels the
+#: GROUPED frame (≤ distinct keys ≤ rows) through a single-partition
+#: window to derive N without a second base-table scan, so the gate is
+#: sized to keep that buffer ~100 MB even in the worst all-keys-distinct
+#: case. Above it (or when the size is unknowable: in-memory frames,
+#: non-parquet sources) the Misra-Gries path runs.
+DIRECT_MAX_ROWS = 4_000_000
 
 
 def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
@@ -81,12 +100,34 @@ def _mg_summaries(items: DataFrame, col: str, m: int) -> DataFrame:
     return items.select(col).mapInPandas(summarize, schema=schema)
 
 
+def _heavy_hitters_direct(df: DataFrame, col: str,
+                          threshold_frac: float) -> DataFrame:
+    """One-scan exact plan for small inputs: group, then derive N as an
+    unordered full-partition window sum over the GROUPED frame (≤
+    distinct-key rows — never a second pass over the base table; a
+    broadcast-scalar subtree would re-run the groupBy as a separate job,
+    doubling the scan). No ORDER BY means no sort — just one bounded
+    single-partition buffer, which the DIRECT_MAX_ROWS gate keeps small."""
+    from pyspark.sql import Window
+
+    g = (df.filter(F.col(col).isNotNull())
+         .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+    return (g.withColumn("_n", F.sum("cnt").over(Window.partitionBy()))
+            .filter(F.col("cnt") > F.col("_n") * F.lit(threshold_frac))
+            .select(col, "cnt",
+                    (F.col("cnt") / F.col("_n")).alias("frac")))
+
+
 def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
-                  m: int | None = None) -> DataFrame:
+                  m: int | None = None,
+                  strategy: str = "auto") -> DataFrame:
     """Exactly the items with count > ``threshold_frac`` × N (N = non-NULL
     row count of ``col``), as (col, cnt, frac) — without shuffling the full
-    distinct-key space. ``m`` defaults to ⌈1/threshold_frac⌉, the smallest
-    summary satisfying the no-false-negative guarantee."""
+    distinct-key space when the input is large. ``m`` defaults to
+    ⌈1/threshold_frac⌉, the smallest summary satisfying the
+    no-false-negative guarantee. ``strategy``: "auto" (footer-estimate
+    gated), "direct" (one-scan groupBy), or "mg" (two-phase Misra-Gries);
+    all three return identical results."""
     import math
 
     from pyspark.sql.types import (
@@ -95,6 +136,16 @@ def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
         StructField,
         StructType,
     )
+
+    if strategy not in ("auto", "direct", "mg"):
+        raise ValueError(f"unknown heavy_hitters strategy: {strategy!r}")
+    if strategy == "auto":
+        from flink_rag_spark.operators.util import estimated_scan_rows
+        est = estimated_scan_rows(df)
+        strategy = "direct" if (est is not None
+                                and est <= DIRECT_MAX_ROWS) else "mg"
+    if strategy == "direct":
+        return _heavy_hitters_direct(df, col, threshold_frac)
 
     if m is None:
         m = int(math.ceil(1.0 / threshold_frac))

@@ -503,13 +503,19 @@ def gapfill_hourly_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-item surface: users contributing > 1/128 of all events,
-    via per-partition Misra-Gries summaries + an exact recount of the
-    bounded candidate set (operators/frequency.py) — the shuffle carries
-    ≤ partitions × 128 keys instead of the full distinct-user space. The
-    result is exact, so the oracle is the plain GROUP BY / HAVING form.
-    1/128 is a negative power of two — exactly representable, so the
-    threshold comparison is bit-identical across engines."""
+    """Frequent-item surface: users contributing > 1/128 of all events.
+    strategy="auto" (operators/frequency.py) picks the plan from the
+    parquet-footer row estimate: a one-scan groupBy + scalar-total filter
+    at test scales, or per-partition Misra-Gries summaries + an exact
+    recount of the bounded candidate set when the table is large/unknown
+    (the shuffle then carries ≤ partitions × 128 keys instead of the full
+    distinct-user space). Both plans are exact, so the oracle is the plain
+    GROUP BY / HAVING form. 1/128 is a negative power of two — exactly
+    representable, so the threshold comparison is bit-identical across
+    engines."""
     from flink_rag_spark.operators.frequency import heavy_hitters
-    e = load_table(spark, sf_dir, "events")
+    # widen=False: the plan is scan-bound (group-count, no compute-heavy
+    # narrow stage), so the single-row-group widening exchange would be
+    # pure overhead here
+    e = load_table(spark, sf_dir, "events", widen=False)
     return heavy_hitters(e, "user_id", threshold_frac=1.0 / 128)

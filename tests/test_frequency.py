@@ -71,6 +71,49 @@ def test_null_keys_ignored_entirely(spark):
     assert got == {(1, 30)}
 
 
+def test_direct_and_mg_strategies_agree(spark):
+    """All three strategies are the same operator: identical (key, cnt,
+    frac) rows on skewed data."""
+    df = _skewed(spark)
+    phi = 1.0 / 16
+    outs = [
+        {(r["key"], r["cnt"], r["frac"]) for r in
+         heavy_hitters(df, "key", phi, strategy=s).collect()}
+        for s in ("direct", "mg", "auto")
+    ]
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+
+
+def test_auto_picks_direct_on_small_parquet(spark, tmp_path):
+    """auto + a small parquet input must run the one-scan plan: no
+    mapInPandas (Arrow crossing) in the physical plan. In-memory frames
+    (unknown size) keep the scale-safe MG path — covered implicitly by
+    the tests above, which run MG via auto on createDataFrame inputs."""
+    p = str(tmp_path / "ev")
+    _skewed(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = heavy_hitters(df, "key", 1.0 / 16, strategy="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    n = df.count()
+    want = {(r["key"], r["count"]) for r in
+            df.groupBy("key").count()
+            .filter(F.col("count") > n / 16).collect()}
+    assert {(r["key"], r["cnt"]) for r in out.collect()} == want
+
+
+def test_direct_null_and_empty_contracts(spark):
+    """The direct plan honors the same NULL/empty contracts as MG."""
+    rows = [(1,)] * 30 + [(2,)] * 5 + [(None,)] * 65
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    got = {(r["key"], r["cnt"]) for r in
+           heavy_hitters(df, "key", 0.5, strategy="direct").collect()}
+    assert got == {(1, 30)}
+    empty = spark.createDataFrame([], "key long")
+    assert heavy_hitters(empty, "key", 0.25,
+                         strategy="direct").collect() == []
+
+
 def test_heavy_hitters_no_cached_rdd_growth(spark):
     """The operator no longer persists anything — repeated calls leave the
     session's cached-RDD count unchanged (round-4 verdict hygiene)."""
