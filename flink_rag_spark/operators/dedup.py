@@ -72,31 +72,46 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                       cfg: EngineConfig = DEFAULT_CONFIG,
+                       shingle_sets: DataFrame | None = None) -> DataFrame:
     """id + minhash signature columns mh0..mh{n-1}.
 
     Physical shape: explode the shingle hashes, then ONE codegen'd
     HashAggregate computing all n min((h*a+b)%P) columns — far faster than n
     interpreted array_min(transform(...)) passes, and map-side partial
     aggregation collapses each doc to one row per partition before the
-    shuffle (shuffle volume = rows × n ints, independent of doc length)."""
+    shuffle (shuffle volume = rows × n ints, independent of doc length).
+
+    ``shingle_sets``: optional precomputed (id_col, sh: array<bigint>)
+    frame — callers that also need the shingle sets (e.g. a downstream
+    Jaccard verify) hash the text ONCE and derive the signatures from the
+    array. Bit-identical to the text path: min() is insensitive to the
+    duplicate shingles that array_distinct removed."""
     params = minhash_params(cfg.lsh_num_hashes, cfg.seed)
-    exploded = widen_if_narrow(df).select(
-        F.col(id_col),
-        F.explode(F.expr(shingle_hashes_expr(text_col, cfg.shingle_size))).alias("h"),
-    )
+    if shingle_sets is not None:
+        exploded = shingle_sets.select(
+            F.col(id_col), F.explode("sh").alias("h"))
+    else:
+        exploded = widen_if_narrow(df).select(
+            F.col(id_col),
+            F.explode(F.expr(
+                shingle_hashes_expr(text_col, cfg.shingle_size))).alias("h"),
+        )
     aggs = [F.expr(f"min((h * {a} + {b}) % {POLY_P})").alias(f"mh{i}")
             for i, (a, b) in enumerate(params)]
     return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_rows(df: DataFrame, text_col: str, id_col: str,
-                  cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                  cfg: EngineConfig = DEFAULT_CONFIG,
+                  shingle_sets: DataFrame | None = None) -> DataFrame:
     """(id, band, band_key) — one row per doc per LSH band.
 
     One band-struct array exploded in a single pass — a per-band UNION would
-    recompute the (expensive) signature projection once per band branch."""
-    sigs = minhash_signatures(df, text_col, id_col, cfg)
+    recompute the (expensive) signature projection once per band branch.
+    ``shingle_sets`` passes through to ``minhash_signatures``."""
+    sigs = minhash_signatures(df, text_col, id_col, cfg,
+                              shingle_sets=shingle_sets)
     rows = cfg.lsh_num_hashes // cfg.lsh_bands
     band_structs = []
     for b in range(cfg.lsh_bands):
@@ -122,7 +137,8 @@ def lsh_bucket_stats(df: DataFrame, text_col: str, id_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         cfg: EngineConfig = DEFAULT_CONFIG,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        band_rows: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs from banded minhash LSH.
 
     Docs sharing ALL rows of at least one band collide. The self-join is on
@@ -153,10 +169,17 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     threshold or raise ``max_bucket_size``. Bucket sizes are observable
     via ``lsh_bucket_stats`` — the guard is a documented strategy switch,
     not a silent truncation.
+
+    ``band_rows``: precomputed (id, band, band_key) rows — pass them when
+    the caller already materialized (e.g. persisted) the same frame, so
+    the expensive minhash projection isn't rebuilt from text
+    (incremental.py's probe reuses its batch signature cache this way).
     """
     if max_bucket_size is None:
         max_bucket_size = cfg.lsh_max_bucket
-    exploded = lsh_band_rows(df, text_col, id_col, cfg)
+    exploded = (band_rows.select(id_col, "band", "band_key")
+                if band_rows is not None
+                else lsh_band_rows(df, text_col, id_col, cfg))
     # bucket size + representative via a WINDOW over (band, band_key), not
     # a groupBy+join-back: every consumer below (cold left/right, hot)
     # shares the identical exploded→exchange(band, band_key)→window

@@ -17,6 +17,13 @@ The index persisted at ``<path>/`` holds two partition-pruned tables:
 - ``shingles/`` — (doc_id, sh: array<bigint>) partitioned by
   ``sbp = pmod(doc_id, n_parts)``, so the Jaccard verify stage reads only
   the partitions holding candidate old docs, not every corpus shingle set.
+- ``sizes/``  — (band, band_key, n, rep) partitioned by the same ``bkp``:
+  a log-structured per-bucket summary. ``build`` writes one row per
+  bucket; every ``append`` adds DELTA rows for the buckets it touched
+  (n = batch members, rep = batch min id); ``compact`` merges back to one
+  row per bucket. Because the merge is (sum n, min rep) — both
+  commutative-associative — readers aggregate the delta log on the fly
+  and always see exact totals, with no read-modify-write at append time.
 
 Everything derives from the same seeded minhash/shingle machinery as the
 batch path, so for corpora without hot buckets the incremental result is
@@ -25,10 +32,12 @@ tests/test_incremental.py). The store-side join carries the SAME hot-bucket
 guard as the batch path (dedup.py lsh_candidate_pairs): stored buckets
 larger than ``lsh_max_bucket`` contribute only their min-id representative
 as a join partner, so a new doc hitting a boilerplate bucket with 10⁶
-stored members emits ONE candidate pair, not 10⁶. Bucket sizes are
-computed at probe time with a window over the PRUNED store scan — the same
-rows the join reads anyway, and append-proof (a build-time size column
-would go stale on every append). Divergence semantics mirror the batch
+stored members emits ONE candidate pair, not 10⁶. Bucket sizes come from
+the ``sizes/`` summary table (pruned to the matched partitions and
+aggregated — a frame bounded by the MATCHED bucket count, i.e. by the
+batch), so the probe never pays a window shuffle+sort over the store scan;
+indexes built before ``sizes/`` existed fall back to exactly that window
+(equivalence asserted in tests). Divergence semantics mirror the batch
 guard exactly: connectivity through the representative is preserved, but a
 verify stage can lose a member↔member edge when jaccard(rep, new) < t —
 see the batch guard's docstring for when that matters.
@@ -54,10 +63,19 @@ from flink_rag_spark.operators.util import track_cached_deps, widen_if_narrow
 
 DEFAULT_PARTS = 64
 
+#: the probe collects the batch's distinct (band, band_key, bkp) triples
+#: driver-side when there are at most this many — broadcast-threshold-like
+#: budget (~10 MB at 100 B/key) that turns every pruning/guard broadcast
+#: into a local relation with no cluster sub-job. Bigger batches keep the
+#: subtree-broadcast plan; results are identical either way.
+MAX_LOCAL_KEYS = 100_000
+
 
 def _band_rows_with_pkey(df: DataFrame, text_col: str, id_col: str,
-                         cfg: EngineConfig, n_parts: int) -> DataFrame:
-    return (lsh_band_rows(df, text_col, id_col, cfg)
+                         cfg: EngineConfig, n_parts: int,
+                         shingle_sets: DataFrame | None = None) -> DataFrame:
+    return (lsh_band_rows(df, text_col, id_col, cfg,
+                          shingle_sets=shingle_sets)
             .withColumn("bkp", F.pmod(F.hash("band", "band_key"),
                                       F.lit(n_parts))))
 
@@ -72,6 +90,17 @@ def _shingle_sets_with_pkey(df: DataFrame, text_col: str, id_col: str,
         .withColumn("sbp", F.pmod(F.col(id_col), F.lit(n_parts))))
 
 
+def _bucket_size_deltas(bands: DataFrame, id_col: str) -> DataFrame:
+    """Per-bucket summary rows for one write's band rows: (band, band_key,
+    n = member rows written, rep = min id written, bkp). Counts physical
+    rows — matching what the window fallback counts over an
+    at-least-once-appended store, so the two sizing paths agree even
+    under streaming replay."""
+    return (bands.groupBy("band", "band_key", "bkp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col(id_col)).alias("rep")))
+
+
 def build_dedup_index(spark: SparkSession, docs: DataFrame, text_col: str,
                       id_col: str, path: str,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -79,9 +108,14 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame, text_col: str,
     """Full index build (the once-per-corpus cost). Writes are repartitioned
     on the partition column first so each output partition is one task's
     file, not a small-file explosion of tasks × partitions."""
-    bands = _band_rows_with_pkey(docs, text_col, id_col, cfg, n_parts)
+    bands = _band_rows_with_pkey(docs, text_col, id_col, cfg,
+                                 n_parts).persist()
     (bands.repartition("bkp").write.mode("overwrite")
      .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
+    (_bucket_size_deltas(bands, id_col).repartition("bkp")
+     .write.mode("overwrite")
+     .partitionBy("bkp").parquet(path.rstrip("/") + "/sizes"))
+    bands.unpersist()
     sh = _shingle_sets_with_pkey(docs, text_col, id_col, cfg, n_parts)
     (sh.repartition("sbp").write.mode("overwrite")
      .partitionBy("sbp").parquet(path.rstrip("/") + "/shingles"))
@@ -91,13 +125,20 @@ def append_to_dedup_index(spark: SparkSession, new_docs: DataFrame,
                           text_col: str, id_col: str, path: str,
                           cfg: EngineConfig = DEFAULT_CONFIG,
                           n_parts: int = DEFAULT_PARTS) -> None:
-    """O(batch) index maintenance: the new docs' band rows and shingle sets
-    append into their partitions (same layout, so future incremental runs
-    see them). ``compact_dedup_index`` restores one-file-per-partition on
-    the store-compaction cadence."""
-    bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
+    """O(batch) index maintenance: the new docs' band rows, shingle sets,
+    and per-bucket size DELTAS append into their partitions (same layout,
+    so future incremental runs see them — no read-modify-write against the
+    existing summary). ``compact_dedup_index`` restores
+    one-file-per-partition and re-merges the size log on the
+    store-compaction cadence."""
+    bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg,
+                                 n_parts).persist()
     (bands.repartition("bkp").write.mode("append")
      .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
+    (_bucket_size_deltas(bands, id_col).repartition("bkp")
+     .write.mode("append")
+     .partitionBy("bkp").parquet(path.rstrip("/") + "/sizes"))
+    bands.unpersist()
     sh = _shingle_sets_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
     (sh.repartition("sbp").write.mode("append")
      .partitionBy("sbp").parquet(path.rstrip("/") + "/shingles"))
@@ -107,13 +148,33 @@ def compact_dedup_index(spark: SparkSession, path: str,
                         files_per_part: int = 1) -> dict[str, int]:
     """Rewrite ``bands/`` and ``shingles/`` to ``files_per_part`` files per
     partition after a run of appends (each append adds ≤ one file per
-    touched partition, so file counts grow O(appends × touched parts)).
-    Write-then-swap per table, mirroring ``index.compact_ivf_index`` —
-    readers never see a half layout (local/POSIX-mounted filesystem
-    assumed). Probe results are bit-identical before/after (asserted in
-    tests/test_incremental.py). Returns the data-file count per table."""
+    touched partition, so file counts grow O(appends × touched parts)),
+    and merge the ``sizes/`` delta log back to one row per bucket.
+    Write-then-swap per table, mirroring ``index.compact_ivf_index``.
+
+    Concurrency boundary: the two-rename swap leaves a window where the
+    table path does not exist, and appends racing a compaction would be
+    dropped — the index assumes a SINGLE writer/reader process (the
+    streaming ingest loop, which runs compaction between its own
+    micro-batches; see README "Single-writer boundary"). Probe results are
+    bit-identical before/after (asserted in tests/test_incremental.py).
+    Returns the data-file count per table."""
     import os
     import shutil
+
+    def swap_in(df_out, t_path: str, pcol: str, n_files: int,
+                salt_cols: list[str]) -> int:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                      F.lit(files_per_part))
+        tmp, old = t_path + ".compact.tmp", t_path + ".compact.old"
+        (df_out.repartition(n_files, F.col(pcol), salt)
+         .write.mode("overwrite").partitionBy(pcol).parquet(tmp))
+        if os.path.exists(t_path):
+            os.rename(t_path, old)
+        os.rename(tmp, t_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return sum(1 for _, _, files in os.walk(t_path)
+                   for f in files if f.endswith(".parquet"))
 
     counts: dict[str, int] = {}
     for sub, pcol in (("bands", "bkp"), ("shingles", "sbp")):
@@ -121,16 +182,27 @@ def compact_dedup_index(spark: SparkSession, path: str,
         df = spark.read.parquet(t_path)
         n_parts = df.agg(F.countDistinct(pcol)).collect()[0][0] or 1
         cols = [c for c in df.columns if c != pcol]
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]),
-                      F.lit(files_per_part))
-        tmp, old = t_path + ".compact.tmp", t_path + ".compact.old"
-        (df.repartition(n_parts * files_per_part, F.col(pcol), salt)
-         .write.mode("overwrite").partitionBy(pcol).parquet(tmp))
-        os.rename(t_path, old)
-        os.rename(tmp, t_path)
-        shutil.rmtree(old)
-        counts[sub] = sum(1 for _, _, files in os.walk(t_path)
-                          for f in files if f.endswith(".parquet"))
+        counts[sub] = swap_in(df, t_path, pcol,
+                              n_parts * files_per_part, cols)
+
+    # sizes: merge the delta log to one exact row per bucket ((sum n,
+    # min rep) — the same totals readers compute on the fly). A legacy
+    # index without sizes/ gets one REBUILT from the compacted bands —
+    # compaction doubles as the migration path.
+    s_path = os.path.join(path, "sizes")
+    if os.path.exists(s_path):
+        merged = (spark.read.parquet(s_path)
+                  .groupBy("band", "band_key", "bkp")
+                  .agg(F.sum("n").alias("n"), F.min("rep").alias("rep")))
+    else:
+        bands = spark.read.parquet(os.path.join(path, "bands"))
+        id_col = [c for c in bands.columns
+                  if c not in ("band", "band_key", "bkp")][0]
+        merged = _bucket_size_deltas(bands, id_col)
+    n_parts = merged.agg(F.countDistinct("bkp")).collect()[0][0] or 1
+    counts["sizes"] = swap_in(merged, s_path, "bkp",
+                              n_parts * files_per_part,
+                              ["band", "band_key"])
     return counts
 
 
@@ -145,14 +217,16 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     corpus text or recomputing corpus signatures.
 
     Work: O(batch) signature compute + a partition-pruned equi-join on
-    (band, band_key) + O(candidates) verify. Both collects are pruning-key
-    sets bounded by n_parts, independent of corpus and batch size. Stored
+    (band, band_key) + O(candidates) verify. Driver-side steps are capped:
+    the band-key collect by MAX_LOCAL_KEYS (falling back to distributed
+    broadcasts above it), the sbp pruning-key collect by n_parts —
+    independent of corpus size. Stored
     buckets larger than ``max_bucket_size`` (default ``cfg.lsh_max_bucket``)
     star-reduce to their min-id representative before the join — the same
     guard, same default, same divergence semantics as the batch path's
     ``lsh_candidate_pairs``.
 
-    The returned frame's lineage holds two persisted batch-bounded
+    The returned frame's lineage holds a few persisted batch-bounded
     intermediates; looping callers (streaming ingest) must release them via
     ``operators.util.unpersist_cached_deps(result)`` after materializing.
     """
@@ -164,51 +238,122 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     # batch-side frames are persisted: they are batch-bounded (never
     # corpus-sized) and each feeds 2+ downstream jobs (the pruning-key
     # collects plus the joins) — without caching the whole signature
-    # pipeline re-runs per job
-    nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg,
-                              n_parts).persist()
+    # pipeline re-runs per job. The expensive char-level text hashing runs
+    # ONCE: the shingle-set cache seeds the minhash derivation (identical
+    # signatures — min() ignores the duplicates array_distinct removed),
+    # the within-batch candidates, AND the verify stage.
+    sh_batch = _shingle_sets_with_pkey(new_docs, text_col, id_col,
+                                       cfg, n_parts).persist()
+    nb = _band_rows_with_pkey(new_docs, text_col, id_col, cfg, n_parts,
+                              shingle_sets=sh_batch).persist()
 
     try:
         store = spark.read.parquet(root + "/bands")
     except AnalysisException:
         store = None  # first batch — no index yet (streaming cold start)
 
-    within = lsh_candidate_pairs(new_docs, text_col, id_col, cfg)
-    sh_new = (_shingle_sets_with_pkey(new_docs, text_col, id_col,
-                                      cfg, n_parts)
-              .select(id_col, "sh"))
+    within = lsh_candidate_pairs(new_docs, text_col, id_col, cfg,
+                                 band_rows=nb)
+    sh_new = sh_batch.select(id_col, "sh")
     if store is None:
         return track_cached_deps(
             verify_jaccard_candidates(within, sh_new, id_col, threshold),
-            [nb])
+            [sh_batch, nb])
 
     # partition pruning: only store partitions hosting a new band key;
-    # then a broadcast semi join (the batch's distinct band keys — batch-
-    # bounded by construction) cuts the pruned partitions down to exactly
-    # the buckets this batch collides with, BEFORE the sizing window and
-    # the equi-join ever see them
-    hit_bkps = [r["bkp"] for r in nb.select("bkp").distinct().collect()]
-    batch_keys = nb.select("band", "band_key").distinct()
+    # then a semi join on the batch's distinct band keys (batch-bounded by
+    # construction) cuts the pruned partitions down to exactly the buckets
+    # this batch collides with, BEFORE the sizing and the equi-join ever
+    # see them. When the distinct-key set fits MAX_LOCAL_KEYS, ONE collect
+    # over the cached signature frame yields the bkp pruning set AND the
+    # key set as a driver-local relation — every downstream broadcast then
+    # ships local data with no cluster sub-job behind it (the alternative,
+    # broadcasting a subtree over nb, re-runs a job per broadcast site).
+    # Oversized batches fall back to subtree broadcasts: correctness never
+    # depends on the collect, only the probe's fixed job count does.
+    key_schema = nb.select("band", "band_key").schema
+    key_rows = (nb.select("band", "band_key", "bkp").distinct()
+                .limit(MAX_LOCAL_KEYS + 1).collect())
+    local_keys = len(key_rows) <= MAX_LOCAL_KEYS
+    if local_keys:
+        hit_bkps = sorted({r["bkp"] for r in key_rows})
+        batch_keys = spark.createDataFrame(
+            [(r["band"], r["band_key"]) for r in key_rows], key_schema)
+    else:
+        hit_bkps = [r["bkp"] for r in
+                    nb.select("bkp").distinct().collect()]
+        batch_keys = nb.select("band", "band_key").distinct()
     store_bands = (store.filter(F.col("bkp").isin(hit_bkps))
                    .join(F.broadcast(batch_keys),
                          on=["band", "band_key"], how="left_semi"))
 
-    # hot-bucket guard on the STORE side: size every matched bucket with a
-    # window over the rows the join reads anyway (append-proof, unlike a
-    # build-time size column; a bucket is matched whole, so the size is
-    # the full bucket size), keep cold-bucket members as join partners,
-    # and collapse each hot bucket to its min-id representative — a new doc
-    # landing in a degenerate boilerplate bucket yields ONE candidate pair
-    from pyspark.sql import Window
-    wb = Window.partitionBy("band", "band_key")
-    tagged = (store_bands
-              .withColumn("_n", F.count(F.lit(1)).over(wb))
-              .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
-    cold_old = (tagged.filter(F.col("_n") <= max_bucket_size)
-                .select(F.col(id_col).alias("id_old"), "band", "band_key"))
-    hot_old = (tagged.filter(F.col("_n") > max_bucket_size)
-               .select(F.col("_rep").alias("id_old"), "band", "band_key")
-               .distinct())
+    # hot-bucket guard on the STORE side: size every matched bucket, keep
+    # cold-bucket members as join partners, and collapse each hot bucket
+    # to its min-id representative — a new doc landing in a degenerate
+    # boilerplate bucket yields ONE candidate pair. Sizing reads the
+    # persisted per-bucket summary log (pruned to the matched bkp
+    # partitions, then aggregated — exact under appends because the merge
+    # is sum/min over deltas), so the probe pays a tiny summary scan
+    # instead of a window shuffle+sort over the store rows. The stats are
+    # bounded by the MATCHED bucket count (batch-bounded): collected and
+    # re-shipped as local relations so the cold/hot split adds no further
+    # jobs. Legacy indexes without sizes/ fall back to the equivalent
+    # window over the pruned scan.
+    sizes = None
+    try:
+        sizes = spark.read.parquet(root + "/sizes")
+    except AnalysisException:
+        pass
+    size_deps: list[DataFrame] = []
+    if sizes is not None:
+        stats = (sizes.filter(F.col("bkp").isin(hit_bkps))
+                 .join(F.broadcast(batch_keys),
+                       on=["band", "band_key"], how="left_semi")
+                 .groupBy("band", "band_key")
+                 .agg(F.sum("n").alias("_n"), F.min("rep").alias("_rep")))
+        if local_keys:
+            # matched-bucket stats ≤ the (already collected) key set —
+            # ship them back as local relations: no persist, no
+            # broadcast sub-jobs
+            stat_rows = stats.collect()
+            cold_keys = spark.createDataFrame(
+                [(r["band"], r["band_key"]) for r in stat_rows
+                 if r["_n"] <= max_bucket_size], key_schema)
+            cold_filter = F.broadcast(cold_keys)
+            from pyspark.sql.types import StructField, StructType
+            hot_schema = StructType(
+                [StructField("id_old", nb.schema[id_col].dataType)]
+                + list(key_schema.fields))
+            hot_old = spark.createDataFrame(
+                [(r["_rep"], r["band"], r["band_key"]) for r in stat_rows
+                 if r["_n"] > max_bucket_size], hot_schema)
+        else:
+            stats = stats.persist()
+            size_deps.append(stats)
+            cold_filter = F.broadcast(
+                stats.filter(F.col("_n") <= max_bucket_size)
+                .select("band", "band_key"))
+            hot_old = (stats.filter(F.col("_n") > max_bucket_size)
+                       .select(F.col("_rep").alias("id_old"),
+                               "band", "band_key"))
+        cold_old = (store_bands
+                    .join(cold_filter,
+                          on=["band", "band_key"], how="left_semi")
+                    .select(F.col(id_col).alias("id_old"),
+                            "band", "band_key"))
+    else:
+        from pyspark.sql import Window
+        wb = Window.partitionBy("band", "band_key")
+        tagged = (store_bands
+                  .withColumn("_n", F.count(F.lit(1)).over(wb))
+                  .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
+        cold_old = (tagged.filter(F.col("_n") <= max_bucket_size)
+                    .select(F.col(id_col).alias("id_old"),
+                            "band", "band_key"))
+        hot_old = (tagged.filter(F.col("_n") > max_bucket_size)
+                   .select(F.col("_rep").alias("id_old"),
+                           "band", "band_key")
+                   .distinct())
     old_side = cold_old.unionByName(hot_old)
 
     new_side = nb.select(F.col(id_col).alias("id_new"), "band", "band_key")
@@ -237,4 +382,4 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
         sh_old.join(sh_new.select(id_col), on=id_col, how="left_anti"))
     return track_cached_deps(
         verify_jaccard_candidates(candidates, sh, id_col, threshold),
-        [nb, cross])
+        [sh_batch, nb, cross] + size_deps)

@@ -220,6 +220,101 @@ def test_store_cold_buckets_unaffected_by_guard(spark, tmp_path):
     assert len(_pairs_set(guarded)) > 0
 
 
+def test_sizes_summary_matches_window_fallback(spark, tmp_path):
+    """The persisted per-bucket size log and the legacy window-over-scan
+    sizing are the same guard: identical pairs with identical hot-bucket
+    behavior, across a build plus appends."""
+    import shutil
+
+    boiler = "identical boilerplate navigation footer text on every page"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100 + i, f"unique article body number {100 + i} words {i % 5}")
+           for i in range(20)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, "text", "doc_id", path, n_parts=8)
+    extra = spark.createDataFrame(
+        [(200, boiler), (201, "unique article body number 103 words 3")],
+        "doc_id long, text string")
+    append_to_dedup_index(spark, extra, "text", "doc_id", path, n_parts=8)
+
+    batch = spark.createDataFrame(
+        [(999, boiler), (998, "unique article body number 101 words 1")],
+        "doc_id long, text string")
+
+    def probe():
+        return _pairs_set(incremental_neardup_pairs(
+            spark, batch, "text", "doc_id", path, threshold=0.5,
+            n_parts=8, max_bucket_size=10))
+
+    with_sizes = probe()
+    shutil.rmtree(f"{path}/sizes")  # legacy-index shape
+    with_window = probe()
+    assert with_sizes == with_window and with_sizes
+    # the hot boilerplate bucket (41 stored members > cap 10) star-reduced:
+    # doc 999 pairs only with the bucket representative, doc 0
+    assert {(a, b) for (a, b, _) in with_sizes
+            if b == 999} == {(0, 999)}
+
+
+def test_probe_with_sizes_drops_store_window(spark, tmp_path):
+    """With the summary table present, the probe plan must not window the
+    STORE scan — the sizing shuffle+sort over store rows is exactly what
+    the summary removes. (The batch-side guard inside lsh_candidate_pairs
+    legitimately keeps ITS window — batch-bounded input — so the assertion
+    compares operator counts against the legacy fallback, which pays one
+    extra Window.)"""
+    import shutil
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i % 4}")
+         for i in range(30)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, "text", "doc_id", path, n_parts=8)
+    batch = spark.createDataFrame(
+        [(500, "alpha beta gamma delta epsilon doc 2")],
+        "doc_id long, text string")
+
+    def n_windows():
+        out = incremental_neardup_pairs(
+            spark, batch, "text", "doc_id", path, THRESHOLD, n_parts=8)
+        return out._jdf.queryExecution().executedPlan() \
+            .toString().count("Window [")
+
+    with_sizes = n_windows()
+    shutil.rmtree(f"{path}/sizes")
+    legacy = n_windows()
+    # strict inequality, not an exact count: the plan's toString repeats
+    # shared subtrees, so the store window shows up many times in legacy
+    assert with_sizes < legacy
+
+
+def test_compact_rebuilds_sizes_for_legacy_index(spark, tmp_path):
+    """Compaction doubles as the migration path: a legacy index without
+    sizes/ gets one rebuilt from bands, and probes agree before/after."""
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.incremental import compact_dedup_index
+
+    docs = spark.createDataFrame(
+        [(i, f"legacy corpus doc {i} alpha beta gamma {i % 3}")
+         for i in range(25)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, "text", "doc_id", path, n_parts=8)
+    shutil.rmtree(f"{path}/sizes")
+    probe = spark.createDataFrame(
+        [(999, "legacy corpus doc 7 alpha beta gamma 1")],
+        "doc_id long, text string")
+    before = _pairs_set(incremental_neardup_pairs(
+        spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))
+    counts = compact_dedup_index(spark, path)
+    assert os.path.exists(f"{path}/sizes") and counts["sizes"] > 0
+    after = _pairs_set(incremental_neardup_pairs(
+        spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))
+    assert before == after and len(after) > 0
+
+
 def test_incremental_cached_deps_release(spark, tmp_path):
     """Looping callers must be able to return the session to its baseline
     cached-RDD count via unpersist_cached_deps — no net growth across N
