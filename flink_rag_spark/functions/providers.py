@@ -120,7 +120,8 @@ class OpenAIHttpProvider(Provider):
                  max_concurrency: int = 4,
                  temperature: float = 0.25,     # RAG.java:90
                  top_p: float = 0.9,            # RAG.java:91
-                 max_tokens: int = 256):        # RAG.java:92
+                 max_tokens: int = 256,         # RAG.java:92
+                 chat_on_error: str = "raise"):
         self.base_url = base_url.rstrip("/")
         self.embed_model = embed_model
         self.chat_model = chat_model
@@ -132,6 +133,19 @@ class OpenAIHttpProvider(Provider):
         self.temperature = temperature
         self.top_p = top_p
         self.max_tokens = max_tokens
+        if chat_on_error not in ("raise", "null"):
+            raise ValueError(
+                f"chat_on_error must be 'raise' or 'null', got "
+                f"{chat_on_error!r}")
+        # per-row failure policy for chat: "raise" fails the Spark task
+        # (and with it the batch — Spark's retry then re-runs the whole
+        # partition); "null" converts a row whose request exhausted its
+        # bounded retries (incl. a HUNG upstream, cut by timeout_s per
+        # attempt) into a NULL answer so one bad row can't poison a
+        # 10k-row Arrow batch. Either way the executor is never wedged:
+        # every attempt carries timeout_s, so worst-case wall per row is
+        # (max_retries+1) × timeout_s + backoff.
+        self.chat_on_error = chat_on_error
 
     # -- transport -----------------------------------------------------
     def _post(self, path: str, payload: dict) -> dict:
@@ -188,14 +202,19 @@ class OpenAIHttpProvider(Provider):
         from concurrent.futures import ThreadPoolExecutor
         vals = prompts.fillna("").tolist()
 
-        def one(prompt: str) -> str:
-            resp = self._post("/chat/completions", {
-                "model": self.chat_model,
-                "messages": [{"role": "user", "content": prompt}],
-                "temperature": self.temperature,
-                "top_p": self.top_p,
-                "max_tokens": self.max_tokens,
-            })
+        def one(prompt: str) -> str | None:
+            try:
+                resp = self._post("/chat/completions", {
+                    "model": self.chat_model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "temperature": self.temperature,
+                    "top_p": self.top_p,
+                    "max_tokens": self.max_tokens,
+                })
+            except Exception:
+                if self.chat_on_error == "raise":
+                    raise
+                return None  # surfaced as a NULL answer for THIS row only
             return resp["choices"][0]["message"]["content"]
 
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as ex:

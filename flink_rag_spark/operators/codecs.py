@@ -336,7 +336,12 @@ class StdlibCodec:
         ``kind``). Returns None for bad payloads unless strict."""
         try:
             return self._decode(payload)
-        except (ValueError, wave.Error, zlib.error, struct.error, EOFError):
+        except (ValueError, wave.Error, zlib.error, struct.error, EOFError,
+                OSError):
+            # OSError covers the PilCodec subclass tier: PIL raises
+            # UnidentifiedImageError (an OSError) / OSError on payloads
+            # that probe as jpeg/gif but are truncated past the header —
+            # strict=False must degrade those to None, not crash the task
             if self.strict:
                 raise
             return None
@@ -355,7 +360,7 @@ class StdlibCodec:
             resized = img[ys][:, xs]
             meta = dict(meta, width=width, height=height)
             return self._image_feature(meta, resized)
-        except (ValueError, zlib.error, struct.error):
+        except (ValueError, zlib.error, struct.error, OSError):
             if self.strict:
                 raise
             return None
@@ -412,7 +417,8 @@ class PilCodec(StdlibCodec):
             xs = np.linspace(0, img.shape[1] - 1, width).round().astype(int)
             meta = dict(meta, width=width, height=height)
             return self._image_feature(meta, img[ys][:, xs])
-        except (ValueError, zlib.error, struct.error):
+        except (ValueError, zlib.error, struct.error, OSError):
+            # incl. PIL's UnidentifiedImageError — see StdlibCodec.decode
             if self.strict:
                 raise
             return None

@@ -236,7 +236,14 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16,
     sample() draws uniformly across every partition, and the cap to
     max_sample is applied driver-side after a seeded shuffle, so no
     partition-order bias sneaks back in.) Pass ``n_rows`` if the caller
-    already counted the table — saves a full scan."""
+    already counted the table; otherwise the parquet-footer estimate
+    (operators/util.estimated_scan_rows — no Spark job) sizes the sample
+    fraction, and only non-scan inputs pay a count(). A footer estimate
+    over a FILTERED scan overestimates n, which only shrinks the sample —
+    the empty-sample fallback below still guards the degenerate case."""
+    if n_rows is None:
+        from flink_rag_spark.operators.util import estimated_scan_rows
+        n_rows = estimated_scan_rows(embeddings)
     n = embeddings.count() if n_rows is None else n_rows
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))  # 20% headroom, capped below
     rows = (embeddings.select(vec_col)

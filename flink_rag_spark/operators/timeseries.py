@@ -73,16 +73,17 @@ def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
     # extra job / scan / persisted frame — the plan stays one pass and the
     # guard fires on exactly the offending key.
     step_n, step_unit = step.split()
-    unit_sec_map = {"second": 1, "minute": 60, "hour": 3600,
-                    "day": 86400, "week": 604800}
+    supported_units = ("second", "minute", "hour", "day", "week")
     unit = step_unit.rstrip("s")
-    if unit not in unit_sec_map:
+    if unit not in supported_units:
         raise ValueError(
             f"unsupported gapfill step unit {step_unit!r}; supported: "
-            f"{sorted(unit_sec_map)} (singular or plural)")
-    step_sec = int(step_n) * unit_sec_map[unit]
-    n_buckets = (f"((unix_timestamp(_b1) - unix_timestamp(_b0)) "
-                 f"DIV {step_sec} + 1)")
+            f"{sorted(supported_units)} (singular or plural)")
+    # count in the SAME calendar units sequence() steps in (timestampdiff
+    # is ChronoUnit-based): unix-second arithmetic would drift off by one
+    # at the cap boundary across DST transitions for day/week steps
+    n_buckets = (f"(timestampdiff({unit.upper()}, _b0, _b1) "
+                 f"DIV {int(step_n)} + 1)")
     guarded_end = (
         f"CASE WHEN {n_buckets} > {max_buckets} THEN "
         f"raise_error(concat('gapfill would generate ', "

@@ -220,6 +220,21 @@ def test_stdlib_codec_nonstrict_skips_garbage():
         StdlibCodec(strict=True).decode("image", b"garbage")
 
 
+def test_nonstrict_degrades_oserror_decoders():
+    """strict=False must degrade OSError-family failures (what PIL raises —
+    UnidentifiedImageError subclasses OSError — on payloads that probe as
+    jpeg/gif but are truncated past the header) to None instead of crashing
+    the task; strict=True re-raises. Simulated on the seam so the contract
+    is pinned even without PIL in the image."""
+    class OsErrorCodec(StdlibCodec):
+        def _decode(self, payload):
+            raise OSError("truncated file read")
+
+    assert OsErrorCodec().decode("image", b"\xff\xd8\xff\xe0JFIF") is None
+    with pytest.raises(OSError):
+        OsErrorCodec(strict=True).decode("image", b"\xff\xd8\xff\xe0JFIF")
+
+
 # ------------------------------------------------------------------ Spark paths
 
 

@@ -28,6 +28,7 @@ class _FakeOpenAI(BaseHTTPRequestHandler):
     # class-level state, reset per fixture
     requests: list[dict] = []
     fail_next: list[int] = []  # HTTP codes to emit before succeeding
+    hang_next: list[float] = []  # seconds to sleep (hung upstream) first
     auth_headers: list[str | None] = []
 
     def do_POST(self):  # noqa: N802 (http.server API)
@@ -35,6 +36,9 @@ class _FakeOpenAI(BaseHTTPRequestHandler):
         cls = _FakeOpenAI
         cls.requests.append({"path": self.path, "body": body})
         cls.auth_headers.append(self.headers.get("Authorization"))
+        if cls.hang_next:
+            import time
+            time.sleep(cls.hang_next.pop(0))
         if cls.fail_next:
             code = cls.fail_next.pop(0)
             self.send_response(code)
@@ -69,6 +73,7 @@ class _FakeOpenAI(BaseHTTPRequestHandler):
 def fake_server():
     _FakeOpenAI.requests = []
     _FakeOpenAI.fail_next = []
+    _FakeOpenAI.hang_next = []
     _FakeOpenAI.auth_headers = []
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeOpenAI)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -160,3 +165,34 @@ def test_provider_is_picklable_and_holds_no_secrets(fake_server):
         assert out.iloc[0] == "echo:roundtrip"
     finally:
         del os.environ["SOME_KEY_ENV"]
+
+
+def test_hung_upstream_times_out_bounded(fake_server):
+    """The reference bounds every chat call (RAG.java:93, 60 s). A hung
+    upstream must be cut by timeout_s per attempt and surface as a bounded
+    failure — never wedge the executor thread."""
+    import time
+
+    _FakeOpenAI.hang_next = [30.0]  # far beyond the timeout budget
+    p = _provider(fake_server, timeout_s=0.5, max_retries=0)
+    t0 = time.perf_counter()
+    with pytest.raises(RuntimeError, match="failed after 1 attempts"):
+        p.chat_batch(pd.Series(["will hang"]))
+    assert time.perf_counter() - t0 < 5.0  # one timeout, not a 30 s hang
+
+
+def test_chat_on_error_null_fails_only_the_hung_row(fake_server):
+    """chat_on_error='null': the row whose request hung (timed out through
+    its retries) becomes a NULL answer; the rest of the batch still gets
+    real completions."""
+    _FakeOpenAI.hang_next = [30.0]  # only the FIRST request hangs
+    p = _provider(fake_server, timeout_s=0.5, max_retries=0,
+                  chat_on_error="null", max_concurrency=1)
+    out = p.chat_batch(pd.Series(["hung row", "good row"]))
+    assert out.iloc[0] is None
+    assert out.iloc[1] == "echo:good row"
+
+
+def test_chat_on_error_rejects_unknown_policy(fake_server):
+    with pytest.raises(ValueError, match="chat_on_error"):
+        _provider(fake_server, chat_on_error="ignore")

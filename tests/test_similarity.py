@@ -85,6 +85,25 @@ def test_ivf_centroids_deterministic(spark, sf_oracle):
     assert ivf_centroids(emb, n_centroids=8) == ivf_centroids(emb, n_centroids=8)
 
 
+def test_ivf_centroids_footer_estimate_skips_count(spark, sf_oracle,
+                                                   monkeypatch):
+    """With a parquet-backed input and no n_rows, training must size its
+    sample from the footer estimate — never a count() job — and produce
+    the same centroids as an explicit row count (the footer total IS the
+    row count for an unfiltered scan)."""
+    from pyspark.sql import DataFrame
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    want = ivf_centroids(emb, n_centroids=8, n_rows=emb.count())
+
+    def _no_count(self):
+        raise AssertionError("ivf_centroids ran a count() job on the "
+                             "footer path")
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    got = ivf_centroids(emb, n_centroids=8)
+    assert got == want
+
+
 def test_persisted_ivf_index(spark, sf_oracle, tmp_path):
     """Build the IVF index once, query it through ivf_knn_join with
     partition pruning, and match the inline (index-free) results."""
