@@ -203,6 +203,41 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         extra_timings[name] = round(sorted(runs)[1], 3)
 
+    # scale-curve rehearsal (round-5 verdict #6): run each headline query
+    # ONCE against a k× FK-consistent replication of this scale dir
+    # (sources/scaleup.py) and record time(k×)/median(1×). A factor ≈ k
+    # is linear scaling; >> k flags a plan for audit; << k means fixed
+    # overhead still dominates at this size. Single runs — read factors
+    # with the headline spread in mind. rag_answer_batch is excluded
+    # (provider-bound; its throughput is the qps metrics above).
+    # SPARK_GRAFT_SCALE_REHEARSAL=0 skips (e.g. for quick local loops).
+    scale_rehearsal: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SCALE_REHEARSAL", "1") != "0":
+        import shutil
+
+        from flink_rag_spark.sources.scaleup import scale_up_tables
+        k = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
+        dst = tempfile.mkdtemp(prefix="bench_scale_")
+        t0 = time.perf_counter()
+        scale_up_tables(spark, sf_dir, dst, k=k)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        rq: dict[str, float] = {}
+        for name in HEADLINE:
+            if name == "rag_answer_batch":
+                continue
+            t0 = time.perf_counter()
+            force(fns[name](spark, dst))
+            rq[name] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(dst, ignore_errors=True)
+        scale_rehearsal = {
+            "k": k,
+            "gen_sec": gen_sec,
+            "queries": rq,
+            "factor_vs_median": {
+                n: round(t / max(timings[n], 1e-9), 2)
+                for n, t in rq.items()},
+        }
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -225,6 +260,7 @@ def main() -> None:
                         "(since r4); curation/extra: median of 3"),
         "ann_index_build_sec": ann_index_build_sec,
         "dedup_index_build_sec": dedup_index_build_sec,
+        "scale_rehearsal": scale_rehearsal,
         "rag_batch_n": n_q,
         "sf": sf,
         "cpus": cpus,
