@@ -193,7 +193,11 @@ def main() -> None:
     EXTRA = ["gapfill_hourly_user_values", "heavy_hitters_users",
              "bloom_decontaminated_docs", "weighted_sample_docs",
              "bm25_topk_docs", "hybrid_rrf_vec7", "hybrid_batch_retrieval",
-             "repetition_signals_docs", "pii_redacted_docs"]
+             "repetition_signals_docs", "pii_redacted_docs",
+             # round-6 additions: incremental rollup maintenance, sequence
+             # packing, mixture sampling, time-weighted average
+             "rollup_incremental_hourly", "packed_documents",
+             "mixture_sampled_docs", "time_weighted_daily_value"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

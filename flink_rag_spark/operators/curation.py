@@ -243,3 +243,66 @@ def weighted_sample_key_duck(key_col: str, weight_col: str) -> str:
     from flink_rag_spark.functions.hashing import poly_hash_duck
     return (f"ln((({poly_hash_duck(key_col)}) + 1) "
             f"/ CAST({POLY_P + 1} AS DOUBLE)) / {weight_col}")
+
+
+def mixture_sample(df: DataFrame, domain_col: str, key_col: str,
+                   target_weights: dict[str, float]) -> DataFrame:
+    """Downsample domains so the OUTPUT mixture matches ``target_weights``
+    — the data-mixing stage of a training pipeline (e.g. re-weight web vs
+    books vs code before tokenization).
+
+    No domain is upsampled: the output total T is the largest achievable
+    under the targets, T = min_d(n_d / w_d), and each domain keeps rows
+    with probability p_d = (w_d · T) / n_d via the shared content-hash
+    uniform — deterministic across runs/partitionings/engines, and
+    consistent BETWEEN datasets like hash_sample. The bottleneck domain
+    (the arg-min) keeps everything (p = 1 exactly). Domains absent from
+    ``target_weights`` are dropped (weight 0); weights need not sum to 1
+    (only ratios matter). Per-domain realized counts are binomial around
+    w_d · T — exact-count mixing would need a per-domain rank, one more
+    shuffle, for no practical gain at corpus scale.
+
+    Cost: one bounded groupBy-collect (rows = |domains|) + one narrow
+    filtered scan. The p_d thresholds enter the plan as literals, so the
+    scan stays a single pass with a pushable domain filter.
+    """
+    if not target_weights or any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target_weights must be non-empty and positive")
+    counts = {r["d"]: r["n"] for r in
+              (df.groupBy(F.col(domain_col).alias("d"))
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    missing = [d for d in target_weights if counts.get(d, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"target domains absent from the data: {sorted(missing)}")
+    # float expression order mirrors the DuckDB oracle exactly:
+    # T = min(n/w); p = (w * T) / n  — IEEE-identical on both engines
+    total = min(float(counts[d]) / w for d, w in target_weights.items())
+    u = f"(({poly_hash_expr(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE)"
+    keep = None
+    for d, w in sorted(target_weights.items()):
+        p = (w * total) / float(counts[d])
+        cond = (F.col(domain_col) == d) & (F.expr(u) < F.lit(p))
+        keep = cond if keep is None else (keep | cond)
+    return df.filter(keep)
+
+
+def mixture_sample_duck(table: str, domain_col: str, key_col: str,
+                        target_weights: dict[str, float],
+                        select_cols: str) -> str:
+    """DuckDB mirror of mixture_sample: same T/p arithmetic (n cast to
+    DOUBLE, p = (w * T) / n), same content-hash uniform."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    vals = ", ".join(f"('{d}', {w!r})"
+                     for d, w in sorted(target_weights.items()))
+    u = f"((({poly_hash_duck(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE))"
+    return f"""
+WITH w({domain_col}, wt) AS (VALUES {vals}),
+c AS (SELECT {domain_col}, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM {table} GROUP BY {domain_col}),
+t AS (SELECT MIN(n / wt) AS total FROM c JOIN w USING ({domain_col})),
+p AS (SELECT {domain_col}, (wt * (SELECT total FROM t)) / n AS p
+      FROM c JOIN w USING ({domain_col}))
+SELECT {select_cols} FROM {table} d JOIN p USING ({domain_col})
+WHERE {u} < p.p
+"""

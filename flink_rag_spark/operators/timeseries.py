@@ -127,3 +127,48 @@ def gapfill_locf_interp(series: DataFrame, keys: list[str], bucket_col: str,
         *keys, bucket_col, value_col,
         F.round(prev_v, round_dp).alias("locf"),
         interp.alias("interp"))
+
+
+def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
+                      keys: list[str], bucket: str = "1 day",
+                      order_tiebreak: str | None = None,
+                      round_dp: int = 4) -> DataFrame:
+    """Time-weighted average per (keys, bucket) for IRREGULAR samples —
+    the hypertable ``time_weight('LOCF')`` surface. A plain AVG
+    over-weights bursts; here each observation's value holds until the
+    next observation (step/LOCF semantics), so its weight is the seconds
+    until that next sample — the bucket's last sample extends to the
+    bucket edge.
+
+    Shape: one window (lead over the key+bucket sort — the same single
+    exchange the gap-fill frames use) + one groupBy. The weighted sum
+    accumulates in DECIMAL (value is decimal-cast, the weight is integer
+    seconds), so partial-aggregate merge order can't drift the result —
+    bit-stable against the SQL oracle like operators/rollup.py.
+
+    ``order_tiebreak``: extra column breaking equal-timestamp ties so the
+    per-row weights are deterministic (required whenever ts alone isn't
+    unique per key).
+
+    Returns (keys..., bucket_ts, twa, n_samples, covered_sec).
+    """
+    win = F.window(F.col(ts_col), bucket)
+    b_start = win["start"].alias("bucket_ts")
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(*keys, "bucket_ts").orderBy(*order)
+    extra = [order_tiebreak] if order_tiebreak else []
+    rows = (df.select(*keys, ts_col, value_col, *extra, b_start,
+                      win["end"].alias("_b_end"))
+            .withColumn(
+                "_next", F.coalesce(F.lead(ts_col).over(w),
+                                    F.col("_b_end")))
+            .withColumn(
+                "_dt", (F.unix_timestamp("_next")
+                        - F.unix_timestamp(ts_col)).cast("bigint")))
+    vdec = F.col(value_col).cast("decimal(18,2)")
+    return (rows.groupBy(*keys, "bucket_ts")
+            .agg(F.round((F.sum(vdec * F.col("_dt")).cast("double")
+                          / F.sum("_dt")), round_dp).alias("twa"),
+                 F.count(F.lit(1)).alias("n_samples"),
+                 F.sum("_dt").alias("covered_sec")))

@@ -36,6 +36,7 @@ def extra_queries() -> list[tuple]:
         token_count_duck,
     )
     from flink_rag_spark.functions.vector import cosine_duck
+    from flink_rag_spark.operators.curation import mixture_sample_duck
     from flink_rag_spark.plans import (
         llm,
         relational as R,
@@ -644,6 +645,76 @@ LIMIT 50
         # rotated out of the graded window for hybrid_rrf_vec7 (multi-join
         # + agg shape stays graded via q5/q8/q9/q10)
         ("q7_nation_volume", R3.q7_nation_volume, ORACLE_Q7, ("join",)),
+        # incrementally-maintained rollup (operators/rollup.py): build on
+        # history + append the last day via dynamic partition overwrite;
+        # oracle = plain GROUP BY over ALL events (the merge is exact:
+        # decimal sums are associative)
+        ("rollup_incremental_hourly", R3.rollup_incremental_hourly,
+         """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""", ("window", "rollup", "incremental")),
+        # sequence packing: per-shard greedy first-fit fold (applyInPandas)
+        # replayed exactly by a DuckDB recursive CTE — the sequential
+        # operator is value-verified, not just row-counted
+        ("packed_documents", llm.packed_documents, f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST({token_count_duck('text')} AS BIGINT) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+g AS (
+  SELECT shard, doc_id, tok, rn,
+         CAST(0 AS BIGINT) AS local_pack, tok AS pack_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.tok, d.rn,
+         CASE WHEN g.pack_tokens + d.tok > 512
+              THEN g.local_pack + 1 ELSE g.local_pack END,
+         CASE WHEN g.pack_tokens + d.tok > 512
+              THEN d.tok ELSE g.pack_tokens + d.tok END
+  FROM docs d JOIN g ON d.shard = g.shard AND d.rn = g.rn + 1)
+SELECT doc_id, shard, tok,
+       CAST(shard AS VARCHAR) || '_' || CAST(local_pack AS VARCHAR)
+         AS pack_id,
+       pack_tokens
+FROM g
+""", ("curation", "packing", "udf")),
+        # domain mixture sampling (the data-mixing stage): deterministic
+        # content-hash thresholds, shared T/p arithmetic with the oracle
+        ("mixture_sampled_docs", llm.mixture_sampled_docs,
+         mixture_sample_duck(
+             "documents", "lang", "text",
+             {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1},
+             "d.doc_id, d.lang, d.source"),
+         ("curation", "sampling", "mixture")),
+        # time-weighted average for irregular samples (LOCF weighting,
+        # decimal-exact weighted sums)
+        ("time_weighted_daily_value", R3.time_weighted_daily_value, """
+WITH r AS (
+  SELECT user_id, ts, value, event_id,
+         time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id,
+                                 time_bucket(INTERVAL '1 day', ts)
+                                 ORDER BY ts, event_id),
+                  time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY)
+           AS nxt
+  FROM events WHERE user_id IS NOT NULL),
+d AS (
+  SELECT *, CAST(floor(epoch(nxt)) AS BIGINT)
+            - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+  FROM r)
+SELECT user_id, bucket_ts,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
+             / SUM(dt), 4) AS twa,
+       COUNT(*) AS n_samples, SUM(dt) AS covered_sec
+FROM d GROUP BY user_id, bucket_ts
+""", ("window", "timeseries", "twa")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

@@ -679,3 +679,30 @@ def hybrid_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hybrid_knn_join(queries, d, emb, k=5)
     return out.select("query_id", "doc_id", "rrf_score",
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def packed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents greedily
+    first-fit into 512-token packs within pmod(doc_id, 8) shards — the
+    context-window packing stage of a training pipeline. The shard split
+    is engine-portable on purpose: DuckDB's recursive CTE replays the
+    identical per-shard greedy fold as the oracle, so the sequential
+    applyInPandas packing is value-verified, not just row-counted."""
+    from flink_rag_spark.operators.packing import pack_documents
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_documents(d, "text", "doc_id", budget=512, n_shards=8,
+                          shard_expr=F.pmod(F.col("doc_id"), F.lit(8)))
+
+
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture sampling (operators/curation.py:mixture_sample):
+    re-weight the documents corpus to a 40/20/20/10/10 language mix
+    (en/de/es/fr/zh) without upsampling — the data-mixing stage run
+    before tokenization in a training pipeline. Deterministic content-hash
+    thresholds make the kept set value-exact against the SQL oracle."""
+    from flink_rag_spark.operators.curation import mixture_sample
+    d = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "lang", "text",
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1})
+    return out.select("doc_id", "lang", "source")

@@ -519,3 +519,44 @@ def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure overhead here
     e = load_table(spark, sf_dir, "events", widen=False)
     return heavy_hitters(e, "user_id", threshold_frac=1.0 / 128)
+
+
+def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate surface (operators/rollup.py), oracle-checked:
+    events are split at the last calendar day present — history builds the
+    materialized hourly rollup, the final day appends as the 'nightly
+    batch' touching only its own pday partitions (dynamic partition
+    overwrite). The oracle is a plain GROUP BY over ALL events: equality
+    proves the partial-merge maintenance is exact (decimal sums are
+    associative), i.e. the incremental view loses nothing vs recomputing
+    history every run."""
+    import tempfile
+
+    from flink_rag_spark.operators.rollup import (
+        append_to_rollup,
+        build_rollup,
+        read_rollup,
+    )
+    e = load_table(spark, sf_dir, "events", widen=False)
+    cutoff = e.agg(F.date_trunc("day", F.max("ts")).alias("c")) \
+        .collect()[0]["c"]
+    path = tempfile.mkdtemp(prefix="spark_rollup_") + "/hourly"
+    build_rollup(spark, e.filter(F.col("ts") < F.lit(cutoff)), path,
+                 keys=["user_id"])
+    append_to_rollup(spark, e.filter(F.col("ts") >= F.lit(cutoff)), path,
+                     keys=["user_id"])
+    return read_rollup(spark, path, keys=["user_id"])
+
+
+def time_weighted_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily average of event values per user
+    (operators/timeseries.py:time_weighted_avg): LOCF weighting by the
+    seconds until the next sample, last sample held to the day edge —
+    the irregular-sampling statistic a plain AVG gets wrong. event_id
+    breaks equal-timestamp ties so the per-row weights (and thus the
+    decimal-exact weighted sum) are engine-deterministic."""
+    from flink_rag_spark.operators.timeseries import time_weighted_avg
+    e = load_table(spark, sf_dir, "events", widen=False)
+    return time_weighted_avg(e.filter(F.col("user_id").isNotNull()),
+                             "ts", "value", keys=["user_id"],
+                             bucket="1 day", order_tiebreak="event_id")
