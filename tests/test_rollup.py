@@ -116,3 +116,61 @@ def test_empty_batch_is_a_noop(spark, three_days, tmp_path):
         spark, three_days.filter(F.lit(False)), path, keys=["user_id"])
     assert touched == []
     assert _rows(read_rollup(spark, path, keys=["user_id"])) == before
+
+
+# ---------------------------------------------------- streaming maintenance
+
+
+def test_streaming_rollup_matches_batch(spark, three_days, tmp_path):
+    """run_rollup over a file stream drains to the same rollup a one-shot
+    batch build produces; a second drain with new files merges them in."""
+    from flink_rag_spark.streaming.rollup_job import run_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "roll")
+    full = str(tmp_path / "full")
+    d12 = three_days.filter(F.col("ts") < "2024-03-03")
+    d3 = three_days.filter(F.col("ts") >= "2024-03-03")
+    d12.write.parquet(str(src / "b1"))
+
+    cp = str(tmp_path / "cp")  # ONE checkpoint across drains: the second
+    # run is a restart of the same job and must only see the new files
+
+    def drain():
+        stream = (spark.readStream.schema(three_days.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(src / "*")))
+        q = run_rollup(spark, stream, path, cp, keys=["user_id"],
+                       bucket="1 hour", available_now=True)
+        assert q.awaitTermination(120)
+
+    drain()
+    d3.write.parquet(str(src / "b2"))
+    drain()
+
+    build_rollup(spark, three_days, full, keys=["user_id"])
+    got = _rows(read_rollup(spark, path, keys=["user_id"]))
+    want = _rows(read_rollup(spark, full, keys=["user_id"]))
+    assert got == want and got
+
+
+def test_streaming_rollup_replay_marker_skips(spark, three_days, tmp_path):
+    """The idempotent-foreachBatch guard: a batch id whose marker already
+    exists is skipped, so a replayed micro-batch cannot double-count."""
+    import os
+
+    from flink_rag_spark.streaming.rollup_job import run_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    three_days.write.parquet(str(src / "b1"))
+    path = str(tmp_path / "roll")
+    os.makedirs(path + "_applied", exist_ok=True)
+    open(path + "_applied/0", "w").write("applied")  # pretend batch 0 ran
+
+    stream = spark.readStream.schema(three_days.schema).parquet(str(src / "*"))
+    q = run_rollup(spark, stream, path, str(tmp_path / "cp"),
+                   keys=["user_id"], available_now=True)
+    assert q.awaitTermination(120)
+    assert not os.path.exists(path)  # merge skipped — nothing written
