@@ -144,6 +144,29 @@ def main() -> None:
         force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
         runs.append(time.perf_counter() - t0)
     rag_qps_hybrid = round(n_q / sorted(runs)[1], 1)
+    # SERVING-shape hybrid: persisted inverted index behind the lexical
+    # arm + the persisted IVF index behind the vector arm — both builds
+    # amortize across calls, which is how a deployment runs the tier
+    from flink_rag_spark.operators.ranking import build_text_index  # noqa: PLC0415
+    t0 = time.perf_counter()
+    tix = tempfile.mkdtemp(prefix="bench_tix_") + "/tix"
+    build_text_index(
+        spark, load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text"), tix)
+    text_index_build_sec = round(time.perf_counter() - t0, 2)
+    cents2, cells2 = load_ivf_index(spark, idx_path)
+    cells2 = cells2.persist()
+    cells2.count()
+    force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid",
+                     text_index=tix, ann_index=(cents2, cells2)))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid",
+                         text_index=tix, ann_index=(cents2, cells2)))
+        runs.append(time.perf_counter() - t0)
+    rag_qps_hybrid_indexed = round(n_q / sorted(runs)[1], 1)
+    cells2.unpersist()
 
     # curation suite timings (separate section — the headline set stays
     # identical to round 1 so `value` remains comparable round-over-round)
@@ -256,6 +279,8 @@ def main() -> None:
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
         "rag_questions_per_sec_hybrid": rag_qps_hybrid,
+        "rag_questions_per_sec_hybrid_indexed": rag_qps_hybrid_indexed,
+        "text_index_build_sec": text_index_build_sec,
         # methodology is part of the number (round-4 verdict: a silent
         # warm-up change flattered a cross-round comparison) — state it
         # so cross-round readers know when it shifts

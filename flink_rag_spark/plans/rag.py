@@ -100,7 +100,8 @@ def rag_answer(spark: SparkSession, sf_dir: str,
                provider=None, with_chat: bool = True,
                extra_store_path: str | None = None,
                retrieval: str = "exact",
-               ann_index: tuple | None = None) -> DataFrame:
+               ann_index: tuple | None = None,
+               text_index: str | None = None) -> DataFrame:
     """Answer a batch of questions against the sf_dir corpus.
 
     documents.doc_id aligns 1:1 with embeddings.vec_id (FIXTURES.md §B), so
@@ -116,6 +117,15 @@ def rag_answer(spark: SparkSession, sf_dir: str,
     the PATH of a persisted index maintained by
     ``run_ingest(ivf_index=...)`` — then freshness comes from the index's
     own pending tail, bounded by the flush cadence by construction.
+
+    ``text_index``: for retrieval='hybrid', the path of a persisted
+    ``build_text_index`` layout — the lexical arm then reads pruned
+    postings instead of re-tokenizing the corpus per batch (the serving
+    shape; a (centroids, cells) ``ann_index`` tuple likewise routes the
+    vector arm through IVF). Indexed arms serve the INDEXED corpus: with
+    ``extra_store_path`` the fresh tail is only guaranteed through
+    non-indexed arms, so pair indexes with their own maintenance cadence
+    (run_ingest) rather than a live store.
     """
     provider = provider or LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
     if questions is None:
@@ -197,9 +207,14 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         from flink_rag_spark.operators.ranking import hybrid_knn_join
         q_hyb = q_embedded.select(
             "question_id", F.col("question").alias("query_text"), "query_vec")
-        hits = (hybrid_knn_join(q_hyb, docs, emb, k=cfg.retrieval_k,
+        hits = (hybrid_knn_join(q_hyb,
+                                None if text_index else docs, emb,
+                                k=cfg.retrieval_k,
                                 query_id="question_id", text_col="text",
-                                doc_id="vec_id", vec_id="vec_id")
+                                doc_id="vec_id", vec_id="vec_id",
+                                text_index=text_index,
+                                ann_index=(ann_index if isinstance(
+                                    ann_index, tuple) else None))
                 .select("question_id", "vec_id", "rank"))
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,

@@ -294,3 +294,25 @@ def test_bm25_property_random_corpora(spark):
         assert got == _py_bm25(docs, sorted({t for t in qterms}))
 
     check()
+
+
+def test_rag_answer_hybrid_indexed_matches_inline(spark, sf_oracle,
+                                                  tmp_path):
+    """rag_answer(retrieval='hybrid', text_index=...) — the serving shape
+    with the persisted inverted index behind the lexical arm — must
+    produce bit-identical answers to the inline hybrid plan (the vector
+    arm is exact in both)."""
+    from flink_rag_spark.operators.ranking import build_text_index
+    from flink_rag_spark.plans.rag import rag_answer
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    path = str(tmp_path / "tix")
+    build_text_index(spark, d, path, n_parts=16)
+    qs = ["what do i do if it is dark", "sorting big tables quickly"]
+    inline = rag_answer(spark, sf_oracle, list(qs),
+                        retrieval="hybrid").collect()
+    indexed = rag_answer(spark, sf_oracle, list(qs), retrieval="hybrid",
+                         text_index=path).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, indexed))
+    assert all(r["answer"] for r in indexed)
