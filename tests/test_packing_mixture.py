@@ -99,3 +99,45 @@ def test_time_weighted_avg_hand_computed(spark):
     # (10·6 + 20·12 + 40·6) / 24 = 540/24 = 22.5  — plain AVG says 23.33
     assert r["twa"] == 22.5
     assert r["n_samples"] == 3 and r["covered_sec"] == 86400
+
+
+def test_packing_property_matches_python_model(spark):
+    """Property test: for random token-length sequences and budgets, the
+    distributed per-shard fold equals a pure-Python greedy model exactly
+    (assignment AND running totals), and global invariants hold — nothing
+    dropped, multi-doc packs within budget, pack ids contiguous from 0."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    toks = st.lists(st.integers(min_value=1, max_value=120),
+                    min_size=1, max_size=40)
+    budgets = st.integers(min_value=10, max_value=200)
+
+    def model(ts, budget):
+        packs, totals, pack, acc = [], [], 0, 0
+        for t in ts:
+            if acc > 0 and acc + t > budget:
+                pack += 1
+                acc = 0
+            acc += t
+            packs.append(pack)
+            totals.append(acc)
+        return packs, totals
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(ts=toks, budget=budgets)
+    def check(ts, budget):
+        df = _docs(spark, ts)
+        out = sorted(
+            pack_documents(df, "text", "doc_id", budget=budget,
+                           n_shards=1, shard_expr=F.lit(0)).collect(),
+            key=lambda r: r["doc_id"])
+        packs, totals = model(ts, budget)
+        assert [r["pack_id"] for r in out] == [f"0_{p}" for p in packs]
+        assert [r["pack_tokens"] for r in out] == totals
+        assert len(out) == len(ts)
+        assert sorted({r["pack_id"] for r in out}) == sorted(
+            {f"0_{p}" for p in range(packs[-1] + 1)})
+
+    check()
