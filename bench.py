@@ -220,7 +220,8 @@ def main() -> None:
              # round-6 additions: incremental rollup maintenance, sequence
              # packing, mixture sampling, time-weighted average
              "rollup_incremental_hourly", "packed_documents",
-             "mixture_sampled_docs", "time_weighted_daily_value"]
+             "mixture_sampled_docs", "time_weighted_daily_value",
+             "profile_documents"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

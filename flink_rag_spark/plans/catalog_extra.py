@@ -37,6 +37,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.functions.vector import cosine_duck
     from flink_rag_spark.operators.curation import mixture_sample_duck
+    from flink_rag_spark.operators.profiling import profile_columns_duck
     from flink_rag_spark.plans import (
         llm,
         relational as R,
@@ -715,6 +716,12 @@ SELECT user_id, bucket_ts,
        COUNT(*) AS n_samples, SUM(dt) AS covered_sec
 FROM d GROUP BY user_id, bucket_ts
 """, ("window", "timeseries", "twa")),
+        # per-column profiling (ANALYZE-style data-quality pass): one
+        # aggregate + stack unpivot; oracle = per-column UNION ALL
+        ("profile_documents", llm.profile_documents,
+         profile_columns_duck("documents",
+                              ["doc_id", "lang", "source", "n_chars"]),
+         ("agg", "profiling", "quality")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

@@ -706,3 +706,13 @@ def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", "text",
         {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1})
     return out.select("doc_id", "lang", "source")
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling surface (operators/profiling.py): per-column row /
+    null / distinct counts and native-typed extremes for the documents
+    table, one aggregate pass — the trust-a-new-drop check a pipeline
+    runs before training on it."""
+    from flink_rag_spark.operators.profiling import profile_columns
+    d = load_table(spark, sf_dir, "documents", widen=False)
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
