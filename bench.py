@@ -256,6 +256,36 @@ def main() -> None:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
             rq[name] = round(time.perf_counter() - t0, 3)
+
+        # corpus-size independence of the incremental dedup probe (the
+        # north-star O(batch) claim, MEASURED): the same sf-sized batch
+        # probes a 1× index and a k× index; the ratio should sit near 1,
+        # not near k. One untimed warm-up each (the first minhash
+        # execution pays heavy codegen), then min of 2.
+        from flink_rag_spark.operators.util import unpersist_cached_deps
+        d1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        probe_batch = d1.filter(F.col("doc_id") % 20 == 0)
+        probe_secs: dict[str, float] = {}
+        for label, src in (("1x", sf_dir), (f"{k}x", dst)):
+            dcorp = (load_table(spark, src, "documents")
+                     .select("doc_id", "text")
+                     .filter(F.col("doc_id") % 20 != 0))
+            pidx = tempfile.mkdtemp(prefix=f"bench_idx_{label}_")
+            build_dedup_index(spark, dcorp, "text", "doc_id", pidx,
+                              n_parts=32)
+            runs = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                out = incremental_neardup_pairs(
+                    spark, probe_batch, "text", "doc_id", pidx,
+                    threshold=0.3, n_parts=32)
+                force(out)
+                unpersist_cached_deps(out)
+                if i > 0:  # drop the warm-up
+                    runs.append(time.perf_counter() - t0)
+            probe_secs[label] = round(min(runs), 3)
+            shutil.rmtree(pidx, ignore_errors=True)
+
         shutil.rmtree(dst, ignore_errors=True)
         scale_rehearsal = {
             "k": k,
@@ -264,6 +294,9 @@ def main() -> None:
             "factor_vs_median": {
                 n: round(t / max(timings[n], 1e-9), 2)
                 for n, t in rq.items()},
+            "dedup_probe_same_batch_sec": probe_secs,
+            "dedup_probe_corpus_factor": round(
+                probe_secs[f"{k}x"] / max(probe_secs["1x"], 1e-9), 2),
         }
 
     total = round(sum(timings.values()), 3)
