@@ -29,7 +29,8 @@ def run_answer_stream(spark: SparkSession, questions: DataFrame,
                       available_now: bool = False,
                       store_path: str | None = None,
                       retrieval: str = "exact",
-                      ann_index=None):
+                      ann_index=None,
+                      text_index: str | None = None):
     """questions (value:string stream) → answered parquet at out_path.
 
     ``store_path`` optionally points at a live ingest store (streaming/
@@ -37,10 +38,12 @@ def run_answer_stream(spark: SparkSession, questions: DataFrame,
     reference's freshness loop (README.md:241-267: ingest a fact, ask,
     see it in the answer) with micro-batch latency.
 
-    ``retrieval``/``ann_index`` pass straight through to the batch plan:
-    'exact' (default), 'ann' (with a (centroids, cells) tuple or a
-    persisted-index path whose pending tail serves freshness), or
-    'hybrid' (BM25 + cosine, RRF-fused per question).
+    ``retrieval``/``ann_index``/``text_index`` pass straight through to
+    the batch plan: 'exact' (default), 'ann' (with a (centroids, cells)
+    tuple or a persisted-index path whose pending tail serves freshness),
+    or 'hybrid' (BM25 + cosine, RRF-fused per question; ``text_index``
+    routes its lexical arm through the persisted inverted index — the
+    serving shape).
     """
 
     def answer_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -51,7 +54,8 @@ def run_answer_stream(spark: SparkSession, questions: DataFrame,
         out = rag_answer(spark, corpus_sf_dir, questions=qs,
                          cfg=cfg, provider=provider,
                          extra_store_path=store_path,
-                         retrieval=retrieval, ann_index=ann_index)
+                         retrieval=retrieval, ann_index=ann_index,
+                         text_index=text_index)
         (out.withColumn("epoch_id", F.lit(epoch_id))
             .write.mode("append").parquet(out_path))
 

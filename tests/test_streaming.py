@@ -630,3 +630,34 @@ def test_answer_stream_hybrid_retrieval(spark, sf_smoke, tmp_path):
     assert len(rows) == 1
     assert "The capital of France is Paris." in rows[0]["information"]
     assert rows[0]["answer"].startswith("[answer:")
+
+
+def test_answer_stream_hybrid_indexed_lexical_arm(spark, sf_smoke, tmp_path):
+    """The serving shape of the hybrid tier inside the streaming job: the
+    lexical arm reads the persisted inverted index; answers match the
+    inline-hybrid stream bit-for-bit on the same questions (the corpus is
+    fully indexed and the vector arm is exact)."""
+    from flink_rag_spark.operators.ranking import build_text_index
+    from flink_rag_spark.sources.tables import load_table
+    from flink_rag_spark.streaming.answer import run_answer_stream
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    tix = str(tmp_path / "tix")
+    build_text_index(spark, d, tix, n_parts=8)
+
+    qdir = tmp_path / "questions"
+    qdir.mkdir()
+    (qdir / "q.txt").write_text("what do i do if it is dark\n")
+
+    outs = {}
+    for label, kw in (("inline", {}), ("indexed", {"text_index": tix})):
+        out = str(tmp_path / f"answers_{label}")
+        q = run_answer_stream(spark,
+                              file_string_source(spark, str(qdir)),
+                              sf_smoke, out, str(tmp_path / f"c_{label}"),
+                              available_now=True, retrieval="hybrid", **kw)
+        _await(q)
+        outs[label] = sorted(
+            (r["question"], r["information"], r["answer"])
+            for r in spark.read.parquet(out).collect())
+    assert outs["inline"] == outs["indexed"] and outs["indexed"]
