@@ -227,10 +227,105 @@ def build_text_index(spark, docs: DataFrame, path: str,
      .parquet(os.path.join(path, "doclens")))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg(F.expr(f"size({toks})")).alias("avgdl")).first()
+        F.sum(F.expr(f"size({toks})")).cast("double")
+        .alias("total_len")).first()
+    n_docs, total_len = stats["n_docs"], stats["total_len"] or 0.0
     with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump({"n_docs": stats["n_docs"], "avgdl": stats["avgdl"],
+        # total_len makes the stats MERGEABLE for append_to_text_index:
+        # doc lengths are integers, so double sums of them are exact
+        # (≤ 2^53) and avgdl = total_len / n_docs is bit-identical no
+        # matter how batches split the corpus
+        json.dump({"n_docs": n_docs,
+                   "avgdl": (total_len / n_docs) if n_docs else 0.0,
+                   "total_len": total_len,
                    "n_parts": n_parts}, f)
+
+
+def append_to_text_index(spark, new_docs: DataFrame, path: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """O(batch) inverted-index maintenance: the batch's postings and doc
+    lengths append into the existing layout and the mergeable stats
+    update (n_docs/total_len sum exactly — see build_text_index), so
+    indexed BM25 after N appends is BIT-IDENTICAL to a full rebuild
+    (asserted in tests/test_ranking.py). Assumes NEW doc ids (re-ingest
+    of an updated doc needs a compaction-cadence rebuild — appending a
+    duplicate id would double its postings); ``compact_text_index``
+    restores one-file-per-partition on the same cadence as the other
+    persisted indexes."""
+    import json
+    import os
+
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    n_parts = int(st["n_parts"])
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    tokens = new_docs.select(F.col(id_col).alias("doc_id"),
+                             F.explode(F.expr(toks)).alias("term"))
+    postings = (tokens.groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("tp", F.pmod(F.hash("term"), F.lit(n_parts))))
+    (postings.repartition("tp").write.mode("append")
+     .partitionBy("tp").parquet(os.path.join(path, "postings")))
+    doclens = new_docs.select(F.col(id_col).alias("doc_id"),
+                              F.expr(f"size({toks})").cast("double")
+                              .alias("dl"))
+    (doclens.repartition(1).write.mode("append")
+     .parquet(os.path.join(path, "doclens")))
+    batch = new_docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.expr(f"size({toks})")).cast("double").alias("tl")).first()
+    if "total_len" not in st:  # legacy index: derive exactly from doclens
+        st["total_len"] = (spark.read.parquet(os.path.join(path, "doclens"))
+                           .agg(F.sum("dl")).first()[0] or 0.0) \
+            - (batch["tl"] or 0.0)
+    st["n_docs"] += batch["n"]
+    st["total_len"] += batch["tl"] or 0.0
+    st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(st, f)
+
+
+def compact_text_index(spark, path: str) -> dict[str, int]:
+    """Rewrite ``postings/`` to one file per tp partition and ``doclens/``
+    to one file after a run of appends; stats are recomputed exactly from
+    the compacted doclens. Write-then-swap, same single-writer boundary
+    as the other indexes (README). Returns data-file counts."""
+    import json
+    import os
+    import shutil
+
+    counts: dict[str, int] = {}
+    p_path = os.path.join(path, "postings")
+    df = spark.read.parquet(p_path)
+    tmp, old = p_path + ".compact.tmp", p_path + ".compact.old"
+    (df.repartition(F.col("tp")).write.mode("overwrite")
+     .partitionBy("tp").parquet(tmp))
+    os.rename(p_path, old)
+    os.rename(tmp, p_path)
+    shutil.rmtree(old)
+    counts["postings"] = sum(1 for _, _, fs in os.walk(p_path)
+                             for x in fs if x.endswith(".parquet"))
+    d_path = os.path.join(path, "doclens")
+    dl = spark.read.parquet(d_path)
+    tmp, old = d_path + ".compact.tmp", d_path + ".compact.old"
+    dl.repartition(1).write.mode("overwrite").parquet(tmp)
+    os.rename(d_path, old)
+    os.rename(tmp, d_path)
+    shutil.rmtree(old)
+    counts["doclens"] = sum(1 for _, _, fs in os.walk(d_path)
+                            for x in fs if x.endswith(".parquet"))
+    stats = (spark.read.parquet(d_path)
+             .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                  F.sum("dl").cast("double").alias("tl")).first())
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    st["n_docs"] = stats["n"]
+    st["total_len"] = stats["tl"] or 0.0
+    st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(st, f)
+    return counts
 
 
 def bm25_topk_indexed(spark, path: str, query_terms: list[str],

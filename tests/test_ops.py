@@ -130,3 +130,71 @@ def test_compact_store(spark, sf_smoke, tmp_path):
     after = compact_store(spark, store, target_partitions=2)
     assert after == 2
     assert spark.read.parquet(store).count() == rows_before
+
+
+def _bucketed_store(spark, tmp_path, ids):
+    """A store with the ingest layout: partitioned by
+    bucket = pmod(vec_id, STORE_BUCKETS)."""
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+    store = str(tmp_path / "bstore")
+    df = spark.createDataFrame([(i, f"text {i}") for i in ids],
+                               "vec_id long, text string")
+    (df.withColumn("bucket",
+                   F.pmod(F.col("vec_id"), F.lit(STORE_BUCKETS)).cast("int"))
+     .repartition("bucket").write.partitionBy("bucket").parquet(store))
+    return store
+
+
+def test_delete_from_store_prunes_to_touched_buckets(spark, tmp_path):
+    """Deletion rewrites ONLY the buckets holding the ids: other bucket
+    files stay byte-identical in place (O(touched), not O(store))."""
+    import glob
+    import os
+
+    from flink_rag_spark.operators.maintenance import delete_from_store
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+
+    ids = list(range(200))
+    store = _bucketed_store(spark, tmp_path, ids)
+    victims = [3, 3 + STORE_BUCKETS]  # both in bucket 3
+
+    def snapshot(b):
+        return {f: os.path.getmtime(f) for f in
+                glob.glob(f"{store}/bucket={b}/*.parquet")}
+
+    untouched = {b: snapshot(b) for b in (0, 1, 2, 4, 5)}
+    n = delete_from_store(spark, store, victims)
+    assert n == 2
+    left = {r["vec_id"] for r in spark.read.parquet(store).collect()}
+    assert left == set(ids) - set(victims)
+    for b, snap in untouched.items():
+        assert snapshot(b) == snap, f"bucket {b} was rewritten"
+
+
+def test_delete_from_store_empties_whole_bucket(spark, tmp_path):
+    """Deleting every row of a bucket removes its directory (dynamic
+    overwrite alone would leave the stale files in place)."""
+    import os
+
+    from flink_rag_spark.operators.maintenance import delete_from_store
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+
+    # bucket 7 holds exactly two ids; everything else lives elsewhere
+    ids = [7, 7 + STORE_BUCKETS, 1, 2, 3]
+    store = _bucketed_store(spark, tmp_path, ids)
+    n = delete_from_store(spark, store, [7, 7 + STORE_BUCKETS])
+    assert n == 2
+    assert not os.path.exists(f"{store}/bucket=7")
+    assert {r["vec_id"] for r in spark.read.parquet(store).collect()} \
+        == {1, 2, 3}
+
+
+def test_delete_from_store_flat_fallback(spark, tmp_path):
+    from flink_rag_spark.operators.maintenance import delete_from_store
+
+    store = str(tmp_path / "flat")
+    spark.createDataFrame([(i, f"t{i}") for i in range(20)],
+                          "vec_id long, text string").write.parquet(store)
+    assert delete_from_store(spark, store, [4, 5]) == 2
+    assert spark.read.parquet(store).count() == 18
+    assert delete_from_store(spark, store, []) == 0

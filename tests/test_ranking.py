@@ -316,3 +316,47 @@ def test_rag_answer_hybrid_indexed_matches_inline(spark, sf_oracle,
                          text_index=path).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, indexed))
     assert all(r["answer"] for r in indexed)
+
+
+def test_text_index_append_matches_rebuild(spark, sf_oracle, tmp_path):
+    """Indexed BM25 after appends must be bit-identical to a full rebuild
+    (mergeable stats: integer doc lengths → exact double sums), and
+    compaction restores one file per partition without changing results."""
+    import glob
+
+    from flink_rag_spark.operators.ranking import (
+        append_to_text_index,
+        bm25_topk_indexed,
+        build_text_index,
+        compact_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_text_index(spark, base, inc, n_parts=8)
+    append_to_text_index(spark, b1, inc)
+    append_to_text_index(spark, b2, inc)
+    build_text_index(spark, d, full, n_parts=8)
+
+    terms = ["the", "data", "model", "training"]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, inc, terms, k=15).collect()]
+    want = [tuple(r) for r in
+            bm25_topk_indexed(spark, full, terms, k=15).collect()]
+    assert got == want and len(got) == 15
+
+    counts = compact_text_index(spark, inc)
+    parts = glob.glob(f"{inc}/postings/tp=*")
+    assert counts["postings"] == len(parts)
+    for p in parts:
+        assert len(glob.glob(f"{p}/*.parquet")) == 1
+    assert counts["doclens"] == 1
+    after = [tuple(r) for r in
+             bm25_topk_indexed(spark, inc, terms, k=15).collect()]
+    assert after == want
