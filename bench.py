@@ -221,7 +221,7 @@ def main() -> None:
              # packing, mixture sampling, time-weighted average
              "rollup_incremental_hourly", "packed_documents",
              "mixture_sampled_docs", "time_weighted_daily_value",
-             "profile_documents"]
+             "profile_documents", "quantized_similarity_vec7"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

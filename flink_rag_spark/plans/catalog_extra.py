@@ -36,6 +36,10 @@ def extra_queries() -> list[tuple]:
         token_count_duck,
     )
     from flink_rag_spark.functions.vector import cosine_duck
+    from flink_rag_spark.operators.compression import (
+        dequantize_duck,
+        quantize_scale_duck,
+    )
     from flink_rag_spark.operators.curation import mixture_sample_duck
     from flink_rag_spark.operators.profiling import profile_columns_duck
     from flink_rag_spark.plans import (
@@ -722,6 +726,22 @@ FROM d GROUP BY user_id, bucket_ts
          profile_columns_duck("documents",
                               ["doc_id", "lang", "source", "n_chars"]),
          ("agg", "profiling", "quality")),
+        # int8 embedding compression: the full quantize→dequantize→score
+        # chain recomputed by the oracle + a tolerance contract
+        ("quantized_similarity_vec7", llm.quantized_similarity_vec7, f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+s AS (SELECT e.vec_id, e.embedding, q.qv,
+             {quantize_scale_duck('e.embedding')} AS sc
+      FROM embeddings e, q),
+r AS (SELECT vec_id, ROUND(sc, 9) AS qscale,
+             ROUND({cosine_duck('embedding', 'qv')}, 6) AS score_exact,
+             ROUND({cosine_duck(dequantize_duck('embedding', 'sc'), 'qv')},
+                   6) AS score_q
+      FROM s)
+SELECT vec_id, qscale, score_exact, score_q,
+       abs(score_exact - score_q) <= 0.01 AS within_tol
+FROM r
+""", ("similarity", "compression")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

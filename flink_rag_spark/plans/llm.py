@@ -716,3 +716,31 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.profiling import profile_columns
     d = load_table(spark, sf_dir, "documents", widen=False)
     return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+def quantized_similarity_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-compression surface (operators/compression.py): every
+    vector's int8 quantization scale plus its exact and
+    stored-compressed/query-full-precision cosine against vec 7, with a
+    1e-2 accuracy-contract boolean. The oracle recomputes the WHOLE
+    quantize→dequantize→score chain in SQL, so the compression arithmetic
+    is hash-verified end to end, not sampled."""
+    from flink_rag_spark.operators.compression import (
+        dequantize_expr,
+        with_quantized,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("qv"))
+    quant = with_quantized(emb)
+    deq = dequantize_expr("qvec", "qscale")
+    return (quant.crossJoin(broadcast(q)).select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.round(F.expr(cosine_expr("embedding", "qv")), ROUND_DP)
+        .alias("score_exact"),
+        F.round(F.expr(cosine_expr(deq, "qv")), ROUND_DP)
+        .alias("score_q"))
+        .withColumn("within_tol",
+                    (F.abs(F.col("score_exact") - F.col("score_q"))
+                     <= F.lit(0.01))))

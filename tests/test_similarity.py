@@ -303,3 +303,32 @@ def test_embedder_similarity_sanity(spark):
     hit = p.embed_one("the capital of france is paris")
     miss = p.embed_one("streaming dataflow engine benchmark results")
     assert cos(q, hit) > cos(q, miss) + 0.2
+
+
+def test_int8_quantization_roundtrip_and_contract(spark, sf_oracle):
+    """Quantization semantics: max|v| maps to ±127 exactly, per-element
+    reconstruction error ≤ scale/2, zero vectors round-trip exactly, and
+    on the real embeddings every vec-7 cosine stays within the 1e-2
+    contract."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.compression import (
+        dequantize_expr,
+        with_quantized,
+    )
+    from flink_rag_spark.plans.llm import quantized_similarity_vec7
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           with_quantized(df).withColumn(
+               "deq", F.expr(dequantize_expr())).collect()}
+    assert out[1]["qvec"] == [64, -127, 32]  # max|v|=1.0 → code -127
+    scale = out[1]["qscale"]
+    for orig, rec in zip([0.5, -1.0, 0.25], out[1]["deq"]):
+        assert abs(orig - rec) <= scale / 2 + 1e-12
+    assert out[2]["qvec"] == [0, 0, 0] and out[2]["deq"] == [0.0, 0.0, 0.0]
+
+    rows = quantized_similarity_vec7(spark, sf_oracle).collect()
+    assert rows and all(r["within_tol"] for r in rows)
