@@ -9,9 +9,27 @@ from tests.oracle_check import compare
 WITH_ORACLE = [q for q in QUERIES if q.oracle is not None]
 
 
+def _plan_lint(df, name: str) -> None:
+    """Engine-wide physical-plan invariants, enforced on EVERY swept
+    query: no CartesianProduct (a cross join that isn't broadcast-nested-
+    loop means a small side was missed and the plan dies at scale) and no
+    BatchEvalPython (a row-at-a-time Python UDF in place of an
+    Arrow-batched one — the 10-100× slow path)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, \
+        f"{name}: CartesianProduct in physical plan"
+    # BatchEvalPythonUDTF is exempt: Spark has no Arrow execution for
+    # Python UDTFs, so that node IS the UDTF surface (udtf_token_positions)
+    assert not re.search(r"BatchEvalPython(?!UDTF)", plan), \
+        f"{name}: row-at-a-time Python UDF in physical plan"
+
+
 @pytest.mark.parametrize("qdef", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
 def test_oracle_parity(spark, sf_oracle, qdef):
     df = qdef.fn(spark, sf_oracle)
+    _plan_lint(df, qdef.name)
     res = compare(df, qdef.oracle, sf_oracle)
     assert res["rows_match"], res
     assert res["cols_match"], res
@@ -51,4 +69,6 @@ def test_doc_counts_in_sync():
 def test_rows_only_queries_run(spark, sf_oracle):
     for q in QUERIES:
         if q.oracle is None:
-            assert q.fn(spark, sf_oracle).count() >= 0, q.name
+            df = q.fn(spark, sf_oracle)
+            _plan_lint(df, q.name)
+            assert df.count() >= 0, q.name
