@@ -43,8 +43,9 @@ verify stage can lose a member↔member edge when jaccard(rep, new) < t —
 see the batch guard's docstring for when that matters.
 
 At 1000-executor scale: n_parts should be O(cluster parallelism × a few);
-the two collects below are bounded by n_parts (pruning keys), never by
-data size.
+every driver-side step below is capped — the band-key collect by
+MAX_LOCAL_KEYS (with a distributed-broadcast fallback above it), the sbp
+pruning collect by n_parts — never by corpus size.
 """
 
 from __future__ import annotations

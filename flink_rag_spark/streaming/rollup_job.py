@@ -14,8 +14,12 @@ is not naturally idempotent. Structured Streaming's checkpointed
 BATCH IDS, so the job skips batch ids it has already applied (the standard
 idempotent-foreachBatch pattern: a tiny ``_applied/`` marker directory per
 batch id next to the rollup, written AFTER the merge commits — replay of a
-committed batch sees its marker and no-ops). Single-writer assumptions as
-per README "Single-writer boundary".
+committed batch sees its marker and no-ops). Boundary stated honestly: a
+crash in the instant between the merge's file commit and the marker write
+would double-count that one batch on replay — closing that last window
+needs an atomic data+marker commit, i.e. a transactional table format
+(README "Single-writer boundary"). Single-writer assumptions as per the
+same section.
 """
 
 from __future__ import annotations
