@@ -201,11 +201,16 @@ def main() -> None:
     t0 = time.perf_counter()
     build_dedup_index(spark, corpus, "text", "doc_id", idx, n_parts=32)
     dedup_index_build_sec = round(time.perf_counter() - t0, 3)
+    from flink_rag_spark.operators.util import unpersist_cached_deps
     runs = []
     for _ in range(3):
         t0 = time.perf_counter()
-        force(incremental_neardup_pairs(
-            spark, batch, "text", "doc_id", idx, threshold=0.3, n_parts=32))
+        out = incremental_neardup_pairs(
+            spark, batch, "text", "doc_id", idx, threshold=0.3, n_parts=32)
+        force(out)
+        # release per-probe caches between runs — the looping-caller
+        # contract (otherwise three probes' batch caches accumulate)
+        unpersist_cached_deps(out)
         runs.append(time.perf_counter() - t0)
     curation_timings["incremental_neardup_probe"] = round(sorted(runs)[1], 3)
 
