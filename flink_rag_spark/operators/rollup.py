@@ -129,3 +129,26 @@ def read_rollup(spark: SparkSession, path: str,
         F.col("vsum").cast("double").alias("sum_value"),
         F.round(F.col("vsum").cast("double") / F.col("cnt"), 4)
         .alias("avg_value"))
+
+
+def rollup_cascade(spark: SparkSession, path: str, bucket: str,
+                   keys: list[str] | None = None,
+                   finalize: bool = True) -> DataFrame:
+    """Serve a COARSER rollup from the stored partials — the cascade query
+    (daily from stored hourly) that never re-reads raw events: cnt/vsum
+    are commutative-associative, so re-bucketing the partials is exact
+    (same decimal argument as the append merge). Cost is O(rollup rows),
+    which at 100 TB is orders of magnitude below O(events)."""
+    keys = keys or []
+    p = read_rollup(spark, path, keys=keys, finalize=False)
+    b = F.window(F.col("bucket_ts"), bucket)["start"].alias("bucket_ts")
+    out = (p.groupBy(b, *keys)
+           .agg(F.sum("cnt").alias("cnt"),
+                F.sum("vsum").cast("decimal(28,2)").alias("vsum")))
+    if not finalize:
+        return out
+    return out.select(
+        "bucket_ts", *keys, "cnt",
+        F.col("vsum").cast("double").alias("sum_value"),
+        F.round(F.col("vsum").cast("double") / F.col("cnt"), 4)
+        .alias("avg_value"))

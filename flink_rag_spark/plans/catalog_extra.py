@@ -663,6 +663,16 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
              / COUNT(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """, ("window", "rollup", "incremental")),
+        # the cascade over the same store: DAILY served from stored hourly
+        # partials alone; oracle recomputes from raw events
+        ("rollup_cascade_daily", R3.rollup_cascade_daily, """
+SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_ts, user_id,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""", ("window", "rollup", "cascade")),
         # sequence packing: per-shard greedy first-fit fold (applyInPandas)
         # replayed exactly by a DuckDB recursive CTE — the sequential
         # operator is value-verified, not just row-counted

@@ -560,3 +560,28 @@ def time_weighted_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(e.filter(F.col("user_id").isNotNull()),
                              "ts", "value", keys=["user_id"],
                              bucket="1 day", order_tiebreak="event_id")
+
+
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade over the incrementally-maintained rollup: build the
+    hourly store (history + appended last day, as rollup_incremental_
+    hourly), then serve DAILY per-user aggregates from the stored hourly
+    partials alone — the oracle recomputes from raw events, so equality
+    proves the cascade loses nothing while reading O(rollup) instead of
+    O(events)."""
+    import tempfile
+
+    from flink_rag_spark.operators.rollup import (
+        append_to_rollup,
+        build_rollup,
+        rollup_cascade,
+    )
+    e = load_table(spark, sf_dir, "events", widen=False)
+    cutoff = e.agg(F.date_trunc("day", F.max("ts")).alias("c")) \
+        .collect()[0]["c"]
+    path = tempfile.mkdtemp(prefix="spark_rollup_") + "/hourly"
+    build_rollup(spark, e.filter(F.col("ts") < F.lit(cutoff)), path,
+                 keys=["user_id"])
+    append_to_rollup(spark, e.filter(F.col("ts") >= F.lit(cutoff)), path,
+                     keys=["user_id"])
+    return rollup_cascade(spark, path, "1 day", keys=["user_id"])

@@ -174,3 +174,19 @@ def test_streaming_rollup_replay_marker_skips(spark, three_days, tmp_path):
                    keys=["user_id"], available_now=True)
     assert q.awaitTermination(120)
     assert not os.path.exists(path)  # merge skipped — nothing written
+
+
+def test_cascade_from_partials_matches_direct(spark, three_days, tmp_path):
+    """Daily-from-stored-hourly must equal a direct daily rollup built
+    from raw events (the cascade is exact: sums of sums)."""
+    from flink_rag_spark.operators.rollup import rollup_cascade
+
+    hourly = str(tmp_path / "h")
+    daily = str(tmp_path / "d")
+    build_rollup(spark, three_days, hourly, keys=["user_id"],
+                 bucket="1 hour")
+    build_rollup(spark, three_days, daily, keys=["user_id"],
+                 bucket="1 day")
+    got = _rows(rollup_cascade(spark, hourly, "1 day", keys=["user_id"]))
+    want = _rows(read_rollup(spark, daily, keys=["user_id"]))
+    assert got == want and len(got) == 3 * 2  # days × users
