@@ -306,3 +306,55 @@ p AS (SELECT {domain_col}, (wt * (SELECT total FROM t)) / n AS p
 SELECT {select_cols} FROM {table} d JOIN p USING ({domain_col})
 WHERE {u} < p.p
 """
+
+
+def split_assignments(df: DataFrame, key_col: str,
+                      fractions: dict[str, float],
+                      buckets: int = 10_000) -> DataFrame:
+    """Deterministic dataset splitting (train/val/test): assign every row
+    a split label from its content-hash bucket, with cumulative-fraction
+    thresholds over ``buckets`` — the splitting stage of a training
+    pipeline.
+
+    Hash-based (like ``hash_sample``), so the assignment is stable across
+    runs, partitionings, engines AND datasets: any table split by the
+    same key puts aligned rows in the same split — the property that
+    keeps a document and its embedding row on the same side of the
+    train/test wall, which RNG splitting cannot guarantee. Fractions
+    need not sum to 1 (the remainder gets no label → dropped);
+    thresholds are integer bucket counts (floor), so realized sizes are
+    exact to 1/buckets. Split names assign in sorted order — stable
+    under dict reordering.
+    """
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-empty and non-negative")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions sum above 1")
+    bucket = F.expr(f"pmod({poly_hash_expr(key_col)}, {buckets})")
+    out = df.withColumn("_sb", bucket)
+    expr = None
+    lo = 0
+    for name in sorted(fractions):
+        hi = lo + int(fractions[name] * buckets)
+        cond = (F.col("_sb") >= lo) & (F.col("_sb") < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    out = (out.withColumn("split", expr)
+           .filter(F.col("split").isNotNull()).drop("_sb"))
+    return out
+
+
+def split_assignments_duck(key_col: str, fractions: dict[str, float],
+                           buckets: int = 10_000) -> str:
+    """DuckDB mirror of split_assignments' CASE thresholds (same floor
+    arithmetic, same sorted-name order); yields a `split` expression to
+    select alongside the row."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    b = f"(({poly_hash_duck(key_col)}) % {buckets} + {buckets}) % {buckets}"
+    cases = []
+    lo = 0
+    for name in sorted(fractions):
+        hi = lo + int(fractions[name] * buckets)
+        cases.append(f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'")
+        lo = hi
+    return "CASE " + " ".join(cases) + " END"

@@ -40,7 +40,10 @@ def extra_queries() -> list[tuple]:
         dequantize_duck,
         quantize_scale_duck,
     )
-    from flink_rag_spark.operators.curation import mixture_sample_duck
+    from flink_rag_spark.operators.curation import (
+        mixture_sample_duck,
+        split_assignments_duck,
+    )
     from flink_rag_spark.operators.profiling import profile_columns_duck
     from flink_rag_spark.plans import (
         llm,
@@ -752,6 +755,18 @@ SELECT vec_id, qscale, score_exact, score_q,
        abs(score_exact - score_q) <= 0.01 AS within_tol
 FROM r
 """, ("similarity", "compression")),
+        # deterministic train/val/test splitting (content-hash thresholds,
+        # cross-table aligned); oracle shares the CASE arithmetic
+        ("split_documents_tvt", llm.split_documents_tvt, f"""
+SELECT doc_id, lang,
+       {split_assignments_duck('text',
+                               {'train': 0.8, 'val': 0.1, 'test': 0.1})}
+         AS split
+FROM documents
+WHERE {split_assignments_duck('text',
+                              {'train': 0.8, 'val': 0.1, 'test': 0.1})}
+      IS NOT NULL
+""", ("curation", "splitting")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

@@ -744,3 +744,14 @@ def quantized_similarity_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("within_tol",
                     (F.abs(F.col("score_exact") - F.col("score_q"))
                      <= F.lit(0.01))))
+
+
+def split_documents_tvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset splitting surface (curation.split_assignments): 80/10/10
+    train/val/test over documents by content hash — deterministic,
+    cross-table aligned, value-exact against the SQL mirror."""
+    from flink_rag_spark.operators.curation import split_assignments
+    d = load_table(spark, sf_dir, "documents")
+    out = split_assignments(d, "text",
+                            {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "lang", "split")

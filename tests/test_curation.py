@@ -177,3 +177,48 @@ def test_weighted_sample_two_pass_undershoot_falls_back(spark):
                             two_pass=False)
     assert [r["doc_id"] for r in out.collect()] == \
         [r["doc_id"] for r in exact.collect()]
+
+
+def test_split_assignments_partition_disjoint_and_aligned(spark):
+    """Splits are a partition (each kept row gets exactly one label),
+    sizes track fractions, assignments are deterministic, and two tables
+    sharing the key split IDENTICALLY (the doc↔embedding alignment
+    property RNG splits can't give)."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.curation import split_assignments
+
+    rows = [(i, f"document body number {i} with words") for i in range(3000)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    sa = split_assignments(a, "text", fr)
+    assert sa.count() == 3000  # fractions sum to 1 → nothing dropped
+    counts = {r["split"]: r["n"] for r in
+              sa.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert abs(counts["train"] - 2400) < 150
+    assert abs(counts["val"] - 300) < 80 and abs(counts["test"] - 300) < 80
+    # cross-table alignment: a second frame with the same key column
+    b = spark.createDataFrame(
+        [(i, t, i * 2) for (i, t) in rows],
+        "doc_id long, text string, extra long")
+    sb = split_assignments(b, "text", fr)
+    assert ({(r["doc_id"], r["split"]) for r in sa.collect()}
+            == {(r["doc_id"], r["split"]) for r in sb.collect()})
+
+
+def test_split_assignments_validation_and_remainder(spark):
+    import pytest as pt
+
+    from flink_rag_spark.operators.curation import split_assignments
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(2000)],
+                               "doc_id long, text string")
+    with pt.raises(ValueError, match="sum above 1"):
+        split_assignments(df, "text", {"a": 0.9, "b": 0.2})
+    with pt.raises(ValueError, match="non-empty"):
+        split_assignments(df, "text", {})
+    # fractions summing below 1: remainder dropped
+    kept = split_assignments(df, "text", {"sample": 0.5})
+    assert 0 < kept.count() < 2000
+    assert kept.select("split").distinct().collect()[0]["split"] == "sample"
