@@ -132,13 +132,30 @@ def append_to_dedup_index(spark: SparkSession, new_docs: DataFrame,
     existing summary). ``compact_dedup_index`` restores
     one-file-per-partition and re-merges the size log on the
     store-compaction cadence."""
+    import os
+
+    root = path.rstrip("/")
+    # Legacy-index migration: an index built before sizes/ existed must get
+    # a FULL summary backfilled from its stored bands BEFORE the first
+    # delta lands. Appending deltas alone would leave sizes/ holding only
+    # the touched buckets, and the probe (which trusts sizes/ whenever the
+    # path exists) would silently drop every pre-append bucket from the
+    # candidate join — missing near-dup pairs against the old corpus.
+    # O(stored bands) once, same cost as compact's rebuild path.
+    if os.path.exists(root + "/bands") and not os.path.exists(root + "/sizes"):
+        store = spark.read.parquet(root + "/bands")
+        store_id = [c for c in store.columns
+                    if c not in ("band", "band_key", "bkp")][0]
+        (_bucket_size_deltas(store, store_id).repartition("bkp")
+         .write.mode("overwrite")
+         .partitionBy("bkp").parquet(root + "/sizes"))
     bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg,
                                  n_parts).persist()
     (bands.repartition("bkp").write.mode("append")
-     .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
+     .partitionBy("bkp").parquet(root + "/bands"))
     (_bucket_size_deltas(bands, id_col).repartition("bkp")
      .write.mode("append")
-     .partitionBy("bkp").parquet(path.rstrip("/") + "/sizes"))
+     .partitionBy("bkp").parquet(root + "/sizes"))
     bands.unpersist()
     sh = _shingle_sets_with_pkey(new_docs, text_col, id_col, cfg, n_parts)
     (sh.repartition("sbp").write.mode("append")

@@ -33,6 +33,17 @@ The merged frame is localCheckpoint()ed before the overwrite: Spark
 (correctly) refuses to overwrite a path its own plan is reading, and the
 checkpoint — bounded by the touched partitions' aggregate rows, not by
 events — cuts that lineage.
+
+Replay idempotency (streaming maintenance): when the caller passes a
+``batch_id``, each rewritten ``pday`` partition carries ONE marker row
+(``bids`` = array of every batch id applied to that partition; data rows
+have ``bids`` NULL). Because the marker lives in the same parquet files
+as the data it accounts for, a partition's data and its applied-batch
+record commit in the SAME directory swap — replaying an already-merged
+batch finds its id in ``bids`` and skips those partitions entirely, with
+no separate marker write to race against (the round-6 design's honest
+gap). Readers (``read_rollup``/``rollup_cascade``) filter the marker
+rows out.
 """
 
 from __future__ import annotations
@@ -67,19 +78,30 @@ def build_rollup(spark: SparkSession, events: DataFrame, path: str,
     """Full build (the once-per-history cost): one repartition per pday so
     each partition is one task's file."""
     keys = keys or []
-    p = rollup_partials(events, ts_col, keys, value_col, bucket)
+    p = (rollup_partials(events, ts_col, keys, value_col, bucket)
+         # uniform schema with append's marker rows (module doc): data
+         # rows carry a NULL applied-batch list
+         .withColumn("bids", F.lit(None).cast("array<bigint>")))
     (p.repartition("pday").write.mode("overwrite")
      .partitionBy("pday").parquet(path))
 
 
 def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
                      ts_col: str = "ts", keys: list[str] | None = None,
-                     value_col: str = "value",
-                     bucket: str = "1 hour") -> list[str]:
-    """O(batch + touched partitions) maintenance; returns the touched
-    pdays. Work never scales with rollup history: the batch's partials
-    are merged with ONLY the pruned partitions they land in, and dynamic
-    partition overwrite rewrites only those directories."""
+                     value_col: str = "value", bucket: str = "1 hour",
+                     batch_id: int | None = None) -> list[str]:
+    """O(batch + touched partitions) maintenance; returns the pdays
+    actually rewritten. Work never scales with rollup history: the
+    batch's partials are merged with ONLY the pruned partitions they land
+    in, and dynamic partition overwrite rewrites only those directories.
+
+    With ``batch_id`` set (streaming maintenance), the merge is
+    IDEMPOTENT: partitions whose in-file marker row already lists this
+    batch id are skipped untouched, and rewritten partitions get the id
+    appended to their marker — data and applied-record commit together
+    (module doc)."""
+    from pyspark.errors import AnalysisException
+
     keys = keys or []
     np_ = rollup_partials(new_events, ts_col, keys, value_col,
                           bucket).persist()
@@ -89,28 +111,100 @@ def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
         np_.unpersist()
         return []
     try:
-        existing = (spark.read.parquet(path)
-                    .filter(F.col("pday").isin(touched)))
-        merged_src = existing.unionByName(np_)
-    except Exception:  # first batch — nothing to merge (cold start)
-        merged_src = np_
-    merged = (merged_src
-              .groupBy("bucket_ts", *keys, "pday")
-              .agg(F.sum("cnt").alias("cnt"),
-                   F.sum("vsum").cast("decimal(28,2)").alias("vsum"))
-              .repartition("pday")
-              # cut the self-read lineage so the dynamic overwrite of the
-              # same path is legal; size = touched partitions' aggregate
-              # rows (bounded by distinct (bucket, keys) per day — never
-              # raw events)
-              .localCheckpoint(eager=True))
-    prev = spark.conf.get(_OVERWRITE_MODE, "static")
-    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+        # mergeSchema: a pre-bids rollup generation reads cleanly next to
+        # marker-carrying partitions. pday comes back as DATE (partition
+        # type inference) — normalize to the string form rollup_partials
+        # writes so pday comparisons below are type-stable.
+        existing = (spark.read.option("mergeSchema", "true").parquet(path)
+                    # prune on the RAW partition column (string literals
+                    # coerce to the inferred date type), THEN normalize
+                    .filter(F.col("pday").isin(touched))
+                    .withColumn("pday",
+                                F.date_format("pday", "yyyy-MM-dd")))
+        if "bids" not in existing.columns:
+            existing = existing.withColumn(
+                "bids", F.lit(None).cast("array<bigint>"))
+        existing = existing.persist()
+    except AnalysisException:  # first batch — nothing to merge (cold
+        existing = None        # start); other read errors must PROPAGATE,
+        # or the overwrite below would replace surviving history with
+        # batch-only partials
     try:
-        (merged.write.mode("overwrite").partitionBy("pday").parquet(path))
+        if existing is not None and batch_id is not None:
+            # replay guard: pdays whose marker already lists this batch id
+            # were committed by a previous attempt — drop them from the
+            # rewrite set entirely (their directories stay byte-untouched)
+            done = {r["pday"] for r in
+                    existing.filter(F.array_contains("bids",
+                                                     F.lit(batch_id)))
+                    .select("pday").distinct().collect()}
+            touched = sorted(set(touched) - done)
+            if not touched:
+                return []
+            existing = existing.filter(F.col("pday").isin(touched))
+            np_live = np_.filter(F.col("pday").isin(touched))
+        else:
+            np_live = np_
+
+        data_src = (np_live if existing is None
+                    else existing.filter(F.col("bids").isNull())
+                    .drop("bids").unionByName(np_live))
+        merged = (data_src
+                  .groupBy("bucket_ts", *keys, "pday")
+                  .agg(F.sum("cnt").alias("cnt"),
+                       F.sum("vsum").cast("decimal(28,2)").alias("vsum"))
+                  .withColumn("bids", F.lit(None).cast("array<bigint>")))
+
+        # marker rows: one per rewritten pday, carrying every batch id
+        # applied so far (prior marker's list, plus this batch's id when
+        # given). Bounded by |touched| rows.
+        prior = None
+        if existing is not None:
+            prior = (existing.filter(F.col("bids").isNotNull())
+                     .groupBy("pday")
+                     .agg(F.flatten(F.collect_list("bids")).alias("_pb")))
+        if batch_id is not None or prior is not None:
+            pdays = merged.select("pday").distinct()
+            if prior is not None:
+                pdays = pdays.join(prior, on="pday", how="left")
+            else:
+                pdays = pdays.withColumn(
+                    "_pb", F.lit(None).cast("array<bigint>"))
+            bids_col = F.coalesce(F.col("_pb"),
+                                  F.lit(None).cast("array<bigint>"))
+            if batch_id is not None:
+                bids_col = F.array_union(
+                    F.coalesce(F.col("_pb"), F.array().cast("array<bigint>")),
+                    F.array(F.lit(batch_id).cast("bigint")))
+            markers = pdays.select(
+                F.lit(None).cast(merged.schema["bucket_ts"].dataType)
+                .alias("bucket_ts"),
+                *[F.lit(None).cast(merged.schema[k].dataType).alias(k)
+                  for k in keys],
+                F.lit(0).cast("bigint").alias("cnt"),
+                F.lit(None).cast("decimal(28,2)").alias("vsum"),
+                F.col("pday"), bids_col.alias("bids"))
+            # a pday with no prior marker and no batch_id needs no marker
+            markers = markers.filter(F.col("bids").isNotNull())
+            merged = merged.unionByName(markers)
+
+        merged = (merged.repartition("pday")
+                  # cut the self-read lineage so the dynamic overwrite of
+                  # the same path is legal; size = touched partitions'
+                  # aggregate rows (bounded by distinct (bucket, keys) per
+                  # day — never raw events)
+                  .localCheckpoint(eager=True))
+        prev = spark.conf.get(_OVERWRITE_MODE, "static")
+        spark.conf.set(_OVERWRITE_MODE, "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy("pday")
+             .parquet(path))
+        finally:
+            spark.conf.set(_OVERWRITE_MODE, prev)
     finally:
-        spark.conf.set(_OVERWRITE_MODE, prev)
         np_.unpersist()
+        if existing is not None:
+            existing.unpersist()
     return touched
 
 
@@ -121,7 +215,9 @@ def read_rollup(spark: SparkSession, path: str,
     (cnt, sum, avg) from the stored partials; finalize=False exposes the
     raw partials (what a coarser re-rollup or a cascade would merge)."""
     keys = keys or []
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if "bids" in df.columns:  # drop per-partition applied-batch markers
+        df = df.filter(F.col("bids").isNull()).drop("bids")
     if not finalize:
         return df
     return df.select(

@@ -205,6 +205,12 @@ def rag_answer(spark: SparkSession, sf_dir: str,
         # (operators/ranking.py); docs/emb already union the live store,
         # so freshness carries through both arms
         from flink_rag_spark.operators.ranking import hybrid_knn_join
+        if isinstance(ann_index, str):
+            # a persisted-index DIRECTORY is as valid here as in 'ann'
+            # mode — load it rather than silently degrading the vector
+            # arm to exact cosine
+            from flink_rag_spark.operators.index import load_ivf_index
+            ann_index = load_ivf_index(spark, ann_index)
         q_hyb = q_embedded.select(
             "question_id", F.col("question").alias("query_text"), "query_vec")
         hits = (hybrid_knn_join(q_hyb,
@@ -213,8 +219,7 @@ def rag_answer(spark: SparkSession, sf_dir: str,
                                 query_id="question_id", text_col="text",
                                 doc_id="vec_id", vec_id="vec_id",
                                 text_index=text_index,
-                                ann_index=(ann_index if isinstance(
-                                    ann_index, tuple) else None))
+                                ann_index=ann_index)
                 .select("question_id", "vec_id", "rank"))
     else:
         hits = knn_join(q_side, emb, k=cfg.retrieval_k,

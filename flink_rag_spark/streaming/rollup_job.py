@@ -7,19 +7,17 @@ materialized rollup stays fresh while every write touches only the day
 partitions the micro-batch lands in (dynamic partition overwrite — never
 O(history)).
 
-Delivery: the merge is additive, so REPLAYING a micro-batch would
-double-count — unlike the content-hash vector store, a partial aggregate
-is not naturally idempotent. Structured Streaming's checkpointed
-``foreachBatch`` gives at-least-once batch delivery with exactly-once
-BATCH IDS, so the job skips batch ids it has already applied (the standard
-idempotent-foreachBatch pattern: a tiny ``_applied/`` marker directory per
-batch id next to the rollup, written AFTER the merge commits — replay of a
-committed batch sees its marker and no-ops). Boundary stated honestly: a
-crash in the instant between the merge's file commit and the marker write
-would double-count that one batch on replay — closing that last window
-needs an atomic data+marker commit, i.e. a transactional table format
-(README "Single-writer boundary"). Single-writer assumptions as per the
-same section.
+Delivery: the merge is additive, so replaying a micro-batch must not
+double-count. Correctness comes from ``append_to_rollup``'s in-partition
+batch-id markers: every rewritten ``pday`` partition carries the list of
+batch ids applied to it IN THE SAME FILES as the data, so a replayed
+batch finds its id and skips those partitions — idempotent by
+construction, with no data-vs-marker commit race (the round-6 design's
+documented gap, now closed). The ``_applied/`` file here is only a
+fast-path: it records the highest fully-applied batch id (batch ids are
+monotonically increasing under one checkpoint) so a replay can no-op
+without even computing the batch's partials. Losing or lagging it is
+safe. Single-writer assumptions per README "Single-writer boundary".
 """
 
 from __future__ import annotations
@@ -30,6 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_rag_spark.operators.rollup import append_to_rollup
 from flink_rag_spark.session import ensure_runtime_confs
+
+
+def _last_applied(marker_dir: str) -> int | None:
+    try:
+        with open(os.path.join(marker_dir, "latest")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _record_applied(marker_dir: str, batch_id: int) -> None:
+    tmp = os.path.join(marker_dir, "latest.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(marker_dir, "latest"))
+    # prune legacy one-file-per-batch markers (pre-round-7 layout) so the
+    # directory stays O(1) instead of growing per micro-batch forever
+    for name in os.listdir(marker_dir):
+        if name not in ("latest", "latest.tmp"):
+            p = os.path.join(marker_dir, name)
+            if os.path.isfile(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 def run_rollup(spark: SparkSession, events_stream: DataFrame, path: str,
@@ -45,13 +68,13 @@ def run_rollup(spark: SparkSession, events_stream: DataFrame, path: str,
     os.makedirs(marker_dir, exist_ok=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(marker_dir, str(batch_id))
-        if os.path.exists(marker):  # replayed, already merged — no-op
-            return
+        last = _last_applied(marker_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed, already merged — fast no-op
         append_to_rollup(spark, batch_df, path, ts_col=ts_col, keys=keys,
-                         value_col=value_col, bucket=bucket)
-        with open(marker, "w") as f:
-            f.write("applied")
+                         value_col=value_col, bucket=bucket,
+                         batch_id=batch_id)
+        _record_applied(marker_dir, batch_id)
 
     writer = (events_stream.writeStream
               .foreachBatch(process)

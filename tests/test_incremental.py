@@ -289,6 +289,48 @@ def test_probe_with_sizes_drops_store_window(spark, tmp_path):
     assert with_sizes < legacy
 
 
+def test_append_to_legacy_index_backfills_sizes(spark, tmp_path):
+    """Appending to a legacy index (no sizes/) must backfill the FULL
+    summary first, not write a delta-only sizes/ table. A partial sizes/
+    would make the probe silently drop every pre-append bucket from the
+    candidate join (the store's members match neither the cold semi join
+    nor the hot representative set) — near-dups against the old corpus
+    would be missed."""
+    import shutil
+
+    base = "alpha beta gamma delta epsilon zeta eta theta common phrase"
+    corpus = spark.createDataFrame(
+        [(1, base)] + [(10 + i, f"unrelated filler text number {i} entirely")
+                       for i in range(10)], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_dedup_index(spark, corpus, "text", "doc_id", path, n_parts=8)
+    shutil.rmtree(f"{path}/sizes")  # legacy-index shape
+
+    # append a batch UNRELATED to doc 1 — its deltas touch none of doc 1's
+    # buckets, so a delta-only sizes/ would orphan them
+    extra = spark.createDataFrame(
+        [(50, "some new appended document about other topics")],
+        "doc_id long, text string")
+    append_to_dedup_index(spark, extra, "text", "doc_id", path, n_parts=8)
+
+    probe = spark.createDataFrame(
+        [(999, base + " tail")], "doc_id long, text string")
+    pairs = {(a, b) for (a, b, _) in _pairs_set(incremental_neardup_pairs(
+        spark, probe, "text", "doc_id", path, THRESHOLD, n_parts=8))}
+    assert (1, 999) in pairs  # pre-append corpus doc still found
+
+    # and the backfilled summary must equal a from-scratch rebuild's totals
+    sizes = (spark.read.parquet(f"{path}/sizes")
+             .groupBy("band", "band_key")
+             .agg(F.sum("n").alias("n"), F.min("rep").alias("rep")))
+    bands = spark.read.parquet(f"{path}/bands")
+    expect = (bands.groupBy("band", "band_key")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.min("doc_id").alias("rep")))
+    assert {tuple(r) for r in sizes.collect()} == \
+           {tuple(r) for r in expect.collect()}
+
+
 def test_compact_rebuilds_sizes_for_legacy_index(spark, tmp_path):
     """Compaction doubles as the migration path: a legacy index without
     sizes/ gets one rebuilt from bands, and probes agree before/after."""

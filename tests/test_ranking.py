@@ -318,6 +318,26 @@ def test_rag_answer_hybrid_indexed_matches_inline(spark, sf_oracle,
     assert all(r["answer"] for r in indexed)
 
 
+def test_rag_answer_hybrid_accepts_index_path(spark, sf_oracle, tmp_path):
+    """A persisted-IVF-index PATH passed as ann_index in hybrid mode must
+    be loaded (mirroring the 'ann' branch), not silently dropped back to
+    exact cosine: results must equal the tuple-loaded form exactly."""
+    from flink_rag_spark.operators.index import build_ivf_index, load_ivf_index
+    from flink_rag_spark.plans.rag import rag_answer
+    from flink_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    vpath = str(tmp_path / "vidx")
+    build_ivf_index(spark, emb, vpath)
+    qs = ["what do i do if it is dark", "sorting big tables quickly"]
+    by_tuple = rag_answer(spark, sf_oracle, list(qs), retrieval="hybrid",
+                          ann_index=load_ivf_index(spark, vpath)).collect()
+    by_path = rag_answer(spark, sf_oracle, list(qs), retrieval="hybrid",
+                         ann_index=vpath).collect()
+    assert sorted(map(tuple, by_tuple)) == sorted(map(tuple, by_path))
+    assert all(r["answer"] for r in by_path)
+
+
 def test_text_index_append_matches_rebuild(spark, sf_oracle, tmp_path):
     """Indexed BM25 after appends must be bit-identical to a full rebuild
     (mergeable stats: integer doc lengths → exact double sums), and

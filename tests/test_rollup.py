@@ -156,8 +156,8 @@ def test_streaming_rollup_matches_batch(spark, three_days, tmp_path):
 
 
 def test_streaming_rollup_replay_marker_skips(spark, three_days, tmp_path):
-    """The idempotent-foreachBatch guard: a batch id whose marker already
-    exists is skipped, so a replayed micro-batch cannot double-count."""
+    """The fast-path guard: a batch id at or below the recorded
+    last-applied id is skipped without even computing partials."""
     import os
 
     from flink_rag_spark.streaming.rollup_job import run_rollup
@@ -167,13 +167,69 @@ def test_streaming_rollup_replay_marker_skips(spark, three_days, tmp_path):
     three_days.write.parquet(str(src / "b1"))
     path = str(tmp_path / "roll")
     os.makedirs(path + "_applied", exist_ok=True)
-    open(path + "_applied/0", "w").write("applied")  # pretend batch 0 ran
+    open(path + "_applied/latest", "w").write("0")  # pretend batch 0 ran
 
     stream = spark.readStream.schema(three_days.schema).parquet(str(src / "*"))
     q = run_rollup(spark, stream, path, str(tmp_path / "cp"),
                    keys=["user_id"], available_now=True)
     assert q.awaitTermination(120)
     assert not os.path.exists(path)  # merge skipped — nothing written
+
+
+def test_replay_without_marker_is_idempotent(spark, three_days, tmp_path):
+    """The round-7 guarantee: replaying a committed batch id with NO
+    fast-path marker present (the crash-between-commit-and-marker window)
+    is a no-op, because the applied ids live in the rollup partitions
+    themselves. The replayed pdays' files are not even rewritten."""
+    e = three_days
+    path = str(tmp_path / "r")
+    build_rollup(spark, e.filter(F.col("ts") < "2024-03-03"), path,
+                 keys=["user_id"])
+    d3 = e.filter(F.col("ts") >= "2024-03-03")
+    touched = append_to_rollup(spark, d3, path, keys=["user_id"],
+                               batch_id=7)
+    assert touched == ["2024-03-03"]
+    want = _rows(read_rollup(spark, path, keys=["user_id"]))
+    files = {f: os.path.getmtime(f) for f in
+             glob.glob(f"{path}/pday=2024-03-03/*.parquet")}
+
+    # replay the same batch id — marker file does not exist in this test
+    retouched = append_to_rollup(spark, d3, path, keys=["user_id"],
+                                 batch_id=7)
+    assert retouched == []
+    assert _rows(read_rollup(spark, path, keys=["user_id"])) == want
+    assert {f: os.path.getmtime(f) for f in
+            glob.glob(f"{path}/pday=2024-03-03/*.parquet")} == files
+
+    # a genuinely new batch id over the same pday still merges, and its
+    # marker accumulates both ids
+    append_to_rollup(spark, d3, path, keys=["user_id"], batch_id=8)
+    after = read_rollup(spark, path, keys=["user_id"])
+    assert all(r["cnt"] == 6 for r in
+               after.filter(F.col("bucket_ts") >= "2024-03-03").collect())
+    marks = (spark.read.option("mergeSchema", "true").parquet(path)
+             .filter(F.col("bids").isNotNull())
+             .filter(F.col("pday") == "2024-03-03").collect())
+    assert len(marks) == 1 and sorted(marks[0]["bids"]) == [7, 8]
+
+
+def test_replay_partial_pday_overlap(spark, three_days, tmp_path):
+    """A replayed batch spanning several pdays no-ops per PARTITION: pdays
+    it already committed are skipped, genuinely new pdays still merge —
+    matching the full-history oracle either way."""
+    e = three_days
+    path = str(tmp_path / "r")
+    full = str(tmp_path / "full")
+    d23 = e.filter(F.col("ts") >= "2024-03-02")
+    append_to_rollup(spark, e.filter(F.col("ts") < "2024-03-02"), path,
+                     keys=["user_id"], batch_id=1)
+    append_to_rollup(spark, d23, path, keys=["user_id"], batch_id=2)
+    # replay batch 2 — both its pdays already carry id 2
+    assert append_to_rollup(spark, d23, path, keys=["user_id"],
+                            batch_id=2) == []
+    build_rollup(spark, e, full, keys=["user_id"])
+    assert _rows(read_rollup(spark, path, keys=["user_id"])) == \
+        _rows(read_rollup(spark, full, keys=["user_id"]))
 
 
 def test_cascade_from_partials_matches_direct(spark, three_days, tmp_path):
