@@ -102,6 +102,15 @@ def _bucket_size_deltas(bands: DataFrame, id_col: str) -> DataFrame:
                  F.min(F.col(id_col)).alias("rep")))
 
 
+def _sizes_tasks(n_parts: int) -> int:
+    """Writer-task count for the per-bucket summary table: hashing on bkp
+    alone keeps ONE file per partition dir at any task count, so the tiny
+    summary doesn't need a full-width shuffle — a quarter of the band
+    width (floor 8) halves the write's wall time at small scale while
+    still scaling with n_parts (≈ cluster parallelism) for big corpora."""
+    return max(8, n_parts // 4)
+
+
 def build_dedup_index(spark: SparkSession, docs: DataFrame, text_col: str,
                       id_col: str, path: str,
                       cfg: EngineConfig = DEFAULT_CONFIG,
@@ -113,7 +122,8 @@ def build_dedup_index(spark: SparkSession, docs: DataFrame, text_col: str,
                                  n_parts).persist()
     (bands.repartition("bkp").write.mode("overwrite")
      .partitionBy("bkp").parquet(path.rstrip("/") + "/bands"))
-    (_bucket_size_deltas(bands, id_col).repartition("bkp")
+    (_bucket_size_deltas(bands, id_col)
+     .repartition(_sizes_tasks(n_parts), "bkp")
      .write.mode("overwrite")
      .partitionBy("bkp").parquet(path.rstrip("/") + "/sizes"))
     bands.unpersist()
@@ -146,14 +156,16 @@ def append_to_dedup_index(spark: SparkSession, new_docs: DataFrame,
         store = spark.read.parquet(root + "/bands")
         store_id = [c for c in store.columns
                     if c not in ("band", "band_key", "bkp")][0]
-        (_bucket_size_deltas(store, store_id).repartition("bkp")
+        (_bucket_size_deltas(store, store_id)
+         .repartition(_sizes_tasks(n_parts), "bkp")
          .write.mode("overwrite")
          .partitionBy("bkp").parquet(root + "/sizes"))
     bands = _band_rows_with_pkey(new_docs, text_col, id_col, cfg,
                                  n_parts).persist()
     (bands.repartition("bkp").write.mode("append")
      .partitionBy("bkp").parquet(root + "/bands"))
-    (_bucket_size_deltas(bands, id_col).repartition("bkp")
+    (_bucket_size_deltas(bands, id_col)
+     .repartition(_sizes_tasks(n_parts), "bkp")
      .write.mode("append")
      .partitionBy("bkp").parquet(root + "/sizes"))
     bands.unpersist()
@@ -277,6 +289,25 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
         return track_cached_deps(
             verify_jaccard_candidates(within, sh_new, id_col, threshold),
             [sh_batch, nb])
+    # the within-batch candidate stage reads only the cached signature
+    # frame, so it is independent of every store-side job below —
+    # materialize it on a background thread (Spark schedules concurrent
+    # jobs from one session safely) so its window+join+distinct chain
+    # overlaps the cross/pruning job instead of serializing after it.
+    # Launched AFTER the key collect below so the nb cache is already
+    # built (no double-compute race); errors surface on the main-thread
+    # action that re-evaluates the frame.
+    import threading
+
+    within = within.persist()
+
+    def _prefetch_within() -> None:
+        try:
+            within.count()
+        except Exception:
+            pass  # the caller's action re-raises any real failure
+
+    within_thread = threading.Thread(target=_prefetch_within, daemon=True)
 
     # partition pruning: only store partitions hosting a new band key;
     # then a semi join on the batch's distinct band keys (batch-bounded by
@@ -301,6 +332,9 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
         hit_bkps = [r["bkp"] for r in
                     nb.select("bkp").distinct().collect()]
         batch_keys = nb.select("band", "band_key").distinct()
+    # the key collect above materialized the signature cache — safe to
+    # start the within-batch prefetch now (no double-compute race)
+    within_thread.start()
     store_bands = (store.filter(F.col("bkp").isin(hit_bkps))
                    .join(F.broadcast(batch_keys),
                          on=["band", "band_key"], how="left_semi"))
@@ -312,11 +346,12 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     # persisted per-bucket summary log (pruned to the matched bkp
     # partitions, then aggregated — exact under appends because the merge
     # is sum/min over deltas), so the probe pays a tiny summary scan
-    # instead of a window shuffle+sort over the store rows. The stats are
-    # bounded by the MATCHED bucket count (batch-bounded): collected and
-    # re-shipped as local relations so the cold/hot split adds no further
-    # jobs. Legacy indexes without sizes/ fall back to the equivalent
-    # window over the pruned scan.
+    # instead of a window shuffle+sort over the store rows. The split
+    # stays a broadcast SUBTREE over that pruned scan rather than a
+    # driver collect — round 6's extra stats roundtrip serialized the
+    # probe's job chain for no pruning benefit (the subtree carries the
+    # identical bkp INSET + semi join). Legacy indexes without sizes/
+    # fall back to the equivalent window over the pruned scan.
     sizes = None
     try:
         sizes = spark.read.parquet(root + "/sizes")
@@ -328,32 +363,15 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
                  .join(F.broadcast(batch_keys),
                        on=["band", "band_key"], how="left_semi")
                  .groupBy("band", "band_key")
-                 .agg(F.sum("n").alias("_n"), F.min("rep").alias("_rep")))
-        if local_keys:
-            # matched-bucket stats ≤ the (already collected) key set —
-            # ship them back as local relations: no persist, no
-            # broadcast sub-jobs
-            stat_rows = stats.collect()
-            cold_keys = spark.createDataFrame(
-                [(r["band"], r["band_key"]) for r in stat_rows
-                 if r["_n"] <= max_bucket_size], key_schema)
-            cold_filter = F.broadcast(cold_keys)
-            from pyspark.sql.types import StructField, StructType
-            hot_schema = StructType(
-                [StructField("id_old", nb.schema[id_col].dataType)]
-                + list(key_schema.fields))
-            hot_old = spark.createDataFrame(
-                [(r["_rep"], r["band"], r["band_key"]) for r in stat_rows
-                 if r["_n"] > max_bucket_size], hot_schema)
-        else:
-            stats = stats.persist()
-            size_deps.append(stats)
-            cold_filter = F.broadcast(
-                stats.filter(F.col("_n") <= max_bucket_size)
-                .select("band", "band_key"))
-            hot_old = (stats.filter(F.col("_n") > max_bucket_size)
-                       .select(F.col("_rep").alias("id_old"),
-                               "band", "band_key"))
+                 .agg(F.sum("n").alias("_n"), F.min("rep").alias("_rep"))
+                 .persist())
+        size_deps.append(stats)
+        cold_filter = F.broadcast(
+            stats.filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key"))
+        hot_old = (stats.filter(F.col("_n") > max_bucket_size)
+                   .select(F.col("_rep").alias("id_old"),
+                           "band", "band_key"))
         cold_old = (store_bands
                     .join(cold_filter,
                           on=["band", "band_key"], how="left_semi")
@@ -390,6 +408,7 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
     hit_sbps = [r["sbp"] for r in
                 old_ids.select(F.pmod("cid", F.lit(n_parts)).alias("sbp"))
                 .distinct().collect()]
+    within_thread.join()  # prefetch overlapped the two jobs above
     sh_old = (spark.read.parquet(root + "/shingles")
               .filter(F.col("sbp").isin(hit_sbps))
               .join(old_ids, F.col(id_col) == F.col("cid"), "left_semi")
@@ -400,4 +419,4 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
         sh_old.join(sh_new.select(id_col), on=id_col, how="left_anti"))
     return track_cached_deps(
         verify_jaccard_candidates(candidates, sh, id_col, threshold),
-        [sh_batch, nb, cross] + size_deps)
+        [sh_batch, nb, cross, within] + size_deps)
