@@ -128,13 +128,16 @@ def main() -> None:
     cells = cells.persist()
     cells.count()
     ann_index_build_sec = round(time.perf_counter() - t0, 2)
+    # the ANN tier finishes in ~2 s, where this host shows ±20-40%
+    # run-to-run spread (confirmed: 7 identical runs spanned 367-613 q/s
+    # in round 7) — median of 5 instead of 3 to stabilize the number
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         force(rag_answer(spark, sf_dir, questions=qs, retrieval="ann",
                          ann_index=(cents, cells)))
         runs.append(time.perf_counter() - t0)
-    rag_qps_ann = round(n_q / sorted(runs)[1], 1)
+    rag_qps_ann = round(n_q / sorted(runs)[2], 1)
     cells.unpersist()
     # hybrid tier (BM25 arm + cosine arm, RRF-fused per question)
     force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
@@ -302,6 +305,16 @@ def main() -> None:
             "dedup_probe_same_batch_sec": probe_secs,
             "dedup_probe_corpus_factor": round(
                 probe_secs[f"{k}x"] / max(probe_secs["1x"], 1e-9), 2),
+            # round-7 audit of the two worst round-6 factors: both are
+            # compute-bound saturation, not partition cliffs — at 10x,
+            # text_quality_stats runs its regex scan 32-wide (paired
+            # warm runs: 0.52s -> 1.71s, factor ~3.3) and
+            # stats_order_prices' per-group percentile sort stays fully
+            # parallel (1.49s -> 4.58s, ~3.1); the rehearsal's larger
+            # single-run factors fold in headline-median noise
+            "audit_notes": ("text_quality_stats & stats_order_prices "
+                            "factors are CPU saturation (32-wide heavy "
+                            "stages), not partition cliffs — r7 audit"),
         }
 
     total = round(sum(timings.values()), 3)
@@ -325,7 +338,11 @@ def main() -> None:
         # so cross-round readers know when it shifts
         "methodology": ("headline: median+min+spread of 5 timed runs; "
                         "RAG qps: 1 untimed warm-up then median of 3 "
-                        "(since r4); curation/extra: median of 3"),
+                        "(since r4); ANN qps: median of 5 (since r7 — "
+                        "sub-2s runs show +-20-40% host noise, e.g. "
+                        "367-613 q/s over 7 identical runs, so r5's 567 "
+                        "vs r6's 500 was spread, not regression); "
+                        "curation/extra: median of 3"),
         "ann_index_build_sec": ann_index_build_sec,
         "dedup_index_build_sec": dedup_index_build_sec,
         "scale_rehearsal": scale_rehearsal,

@@ -630,6 +630,11 @@ LIMIT 50
         # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
         ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
          ("ranking", "text")),
+        # the persisted-inverted-index READ path under oracle coverage:
+        # build in a tempdir, probe, compare to the same inline-BM25 SQL
+        # (indexed scoring is bit-identical — r7 verdict item #7)
+        ("bm25_topk_indexed_docs", llm.bm25_topk_indexed_docs,
+         _oracle_bm25(15), ("ranking", "text", "index")),
         # batch hybrid retrieval (the OpenSearch hybrid shape for a
         # question batch; per-query BM25 arm + cosine arm, RRF-fused)
         ("hybrid_batch_retrieval", llm.hybrid_batch_retrieval,

@@ -618,6 +618,29 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-shape lexical path: BM25 top-15 answered from a
+    PERSISTED inverted index (term-hash-pruned postings + doclens +
+    stats — operators/ranking.py build_text_index), not from a corpus
+    text scan. Indexed scoring is bit-identical to the inline
+    ``bm25_topk``, so it shares bm25_topk_docs' DuckDB oracle — putting
+    the persisted-index READ path itself under oracle coverage (round-7
+    verdict item #7), the way rollup_incremental_hourly grades its
+    materialized store."""
+    import tempfile
+
+    from flink_rag_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="bm25_idx_") + "/tix"
+    build_text_index(spark, d, path, n_parts=16)
+    out = bm25_topk_indexed(spark, path, BM25_QUERY_TERMS, k=15)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def hybrid_rrf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval — the OpenSearch hybrid-query shape the reference's
     backend serves in production (lexical BM25 + k-NN over the same corpus,
