@@ -229,7 +229,13 @@ def main() -> None:
              # packing, mixture sampling, time-weighted average
              "rollup_incremental_hourly", "packed_documents",
              "mixture_sampled_docs", "time_weighted_daily_value",
-             "profile_documents", "quantized_similarity_vec7"]
+             "profile_documents", "quantized_similarity_vec7",
+             # round-7 additions: indexed BM25 serving, clustering +
+             # SemDeDup, 13-gram decontamination, JL projection, store
+             # upsert
+             "bm25_topk_indexed_docs", "kmeans_assign_cells",
+             "semantic_dedup_docs", "ngram_decontaminated_docs",
+             "projected_knn_vec7", "upserted_documents"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -358,3 +358,35 @@ def split_assignments_duck(key_col: str, fractions: dict[str, float],
         cases.append(f"WHEN {b} >= {lo} AND {b} < {hi} THEN '{name}'")
         lo = hi
     return "CASE " + " ".join(cases) + " END"
+
+
+#: the canonical n-gram size for benchmark decontamination (the GPT-3
+#: recipe removed training text sharing any 13-gram with an eval set)
+DECON_NGRAM = 13
+
+
+def ngram_decontaminate(train: DataFrame, bench: DataFrame, text_col: str,
+                        id_col: str, n: int = DECON_NGRAM) -> DataFrame:
+    """ANY-overlap n-gram decontamination: drop every train document that
+    shares at least one n-token shingle with the benchmark set — the
+    GPT-3-style contamination rule, stricter than the single-fingerprint
+    membership pass (``membership.decontaminate_exact`` matches whole-doc
+    min-fingerprints; this matches any shared PASSAGE).
+
+    Plan at 100 TB: the benchmark n-gram set is aggregated once and
+    BROADCAST (eval sets are small by nature), the train side's explode →
+    semi join runs map-side against that broadcast — no shuffle ever
+    carries the exploded n-grams — and the contaminated-id set (bounded
+    by true contamination) anti-joins the corpus. Shares the rolling
+    shingle hash (and its short-doc padding semantics) with the dedup
+    family, so the DuckDB oracle replays it exactly."""
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+
+    grams = F.array_distinct(F.expr(shingle_hashes_expr(text_col, n)))
+    bench_grams = (bench.select(F.explode(grams).alias("_g")).distinct())
+    contaminated = (train
+                    .select(id_col, F.explode(grams).alias("_g"))
+                    .join(F.broadcast(bench_grams), on="_g",
+                          how="left_semi")
+                    .select(id_col).distinct())
+    return train.join(contaminated, on=id_col, how="left_anti")

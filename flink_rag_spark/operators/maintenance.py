@@ -48,6 +48,74 @@ def compact_store(spark: SparkSession, store_path: str,
     return store_file_count(store_path)
 
 
+def upsert_into_store(spark: SparkSession, store_path: str, updates,
+                      id_col: str = "vec_id") -> dict[str, int]:
+    """Keyed MERGE (upsert): rows whose id matches an update row are
+    replaced, unmatched update rows are inserted — the mutable-store
+    primitive a re-ingest pipeline needs (an updated source document must
+    overwrite its old version, not duplicate it). The reference got this
+    from OpenSearch's per-doc index-add semantics
+    (StreamingStoreKnowledge.java:69-71); on a parquet store it has to be
+    a partition-level rewrite.
+
+    O(touched buckets) against the bucketed ingest store: every update
+    key's bucket is derivable (same pmod layout streaming/ingest.py
+    writes), so the merge reads ONLY those bucket partitions, anti-joins
+    the stale versions out, unions the updates in, and dynamic partition
+    overwrite rewrites just those directories — untouched buckets stay
+    byte-identical (asserted in tests/test_ops.py). Flat stores fall back
+    to a full write-then-swap. Updates must carry the store's data columns
+    (minus the derived ``bucket``). Single-writer boundary per README.
+
+    Returns {"updated": n, "inserted": n}."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(store_path)
+    if "bucket" in df.columns:
+        up = updates.withColumn(
+            "bucket", F.pmod(F.col(id_col), F.lit(STORE_BUCKETS)))
+        # touched buckets: bounded by STORE_BUCKETS, never by update size
+        buckets = sorted(r["bucket"] for r in
+                         up.select("bucket").distinct().collect())
+        existing = df.filter(F.col("bucket").isin(buckets))
+        n_before = existing.count()
+        survivors = existing.join(
+            up.select(F.col(id_col)), on=id_col, how="left_anti")
+        merged = (survivors.unionByName(up.select(*existing.columns))
+                  .repartition("bucket")
+                  .localCheckpoint(eager=True))  # cut self-read lineage
+        n_after = merged.count()
+        n_new = n_after - n_before  # inserts grow the touched buckets
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy("bucket")
+             .parquet(store_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        n_updates = up.count()
+        return {"updated": int(n_updates - n_new), "inserted": int(n_new)}
+    # flat store: full anti-join + union, write-then-swap
+    n_before = df.count()
+    merged = (df.join(updates.select(F.col(id_col)), on=id_col,
+                      how="left_anti")
+              .unionByName(updates.select(*df.columns)))
+    tmp = store_path.rstrip("/") + ".upsert.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = store_path.rstrip("/") + ".upsert.old"
+    os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old)
+    n_after = spark.read.parquet(store_path).count()
+    n_updates = updates.count()
+    return {"updated": int(n_updates - (n_after - n_before)),
+            "inserted": int(n_after - n_before)}
+
+
 def delete_from_store(spark: SparkSession, store_path: str,
                       ids: list[int], id_col: str = "vec_id") -> int:
     """Targeted deletion (the right-to-be-forgotten pass): remove the

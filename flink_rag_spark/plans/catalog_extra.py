@@ -74,6 +74,72 @@ def extra_queries() -> list[tuple]:
         redact_duck,
     )
 
+    # clustering-family mirrors: the codebook is the embeddings of
+    # llm.CLUSTER_CENTROID_IDS ordered by id, assignment is rank-1 of
+    # rounded cosine with lower-cell tie-break — both replayed exactly
+    _cent_ids = ",".join(str(i) for i in llm.CLUSTER_CENTROID_IDS)
+    _cent_cte = f"""cent AS (
+  SELECT embedding AS cvec, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM embeddings WHERE vec_id IN ({_cent_ids}))"""
+    _asg_cte = f"""a AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROUND({cosine_duck('e.embedding', 'c.cvec')}, 6) AS score
+  FROM embeddings e CROSS JOIN cent c),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY score DESC, cell ASC) AS rn
+      FROM a),
+asg AS (SELECT vec_id, embedding, cell, score FROM r WHERE rn = 1)"""
+
+    def _oracle_projected_knn() -> str:
+        from flink_rag_spark.operators.compression import (
+            random_projection_duck,
+        )
+        rp = random_projection_duck("embedding", llm.RP_OUT_DIM)
+        return f"""
+WITH pr AS (SELECT vec_id, {rp} AS p FROM embeddings),
+q AS (SELECT p AS qp FROM pr WHERE vec_id = 7),
+s AS (SELECT pr.vec_id, ROUND({cosine_duck('pr.p', 'q.qp')}, 6) AS pscore
+      FROM pr CROSS JOIN q),
+r AS (SELECT vec_id, pscore,
+             ROW_NUMBER() OVER (ORDER BY pscore DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT vec_id, pscore, rank FROM r WHERE rank <= 10
+"""
+
+    def _oracle_ngram_decon() -> str:
+        from flink_rag_spark.operators.curation import DECON_NGRAM
+        sh = shingle_hashes_duck("text", DECON_NGRAM)
+        return f"""
+WITH sh AS (SELECT doc_id, {sh} AS g FROM documents),
+bg AS (SELECT DISTINCT unnest(g) AS h FROM sh WHERE doc_id % 10 = 0),
+bad AS (SELECT DISTINCT s.doc_id
+        FROM (SELECT doc_id, unnest(g) AS h FROM sh
+              WHERE doc_id % 10 <> 0) s
+        JOIN bg ON s.h = bg.h)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 10 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+    def _oracle_kmeans_assign() -> str:
+        return f"""
+WITH {_cent_cte},
+{_asg_cte}
+SELECT vec_id, cell, score FROM asg
+"""
+
+    def _oracle_semantic_dedup() -> str:
+        return f"""
+WITH {_cent_cte},
+{_asg_cte},
+rm AS (SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+       ON x.cell = y.cell AND y.vec_id < x.vec_id
+       WHERE ROUND({cosine_duck('x.embedding', 'y.embedding')}, 6)
+             >= {llm.SEMANTIC_DEDUP_T})
+SELECT vec_id, cell FROM asg
+WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+"""
+
     # batch hybrid retrieval mirror: per-query BM25 (unique query terms,
     # global df) + cosine ranks, RRF-fused — same rounding/tie-breaks as
     # operators/ranking.py, so ranks and fused scores agree exactly
@@ -772,6 +838,38 @@ WHERE {split_assignments_duck('text',
                               {'train': 0.8, 'val': 0.1, 'test': 0.1})}
       IS NOT NULL
 """, ("curation", "splitting")),
+        # round-7: keyed MERGE (upsert) against the bucketed store —
+        # update-wins + inserts, bucket-pruned rewrite; oracle is the
+        # CASE/UNION statement of merge semantics
+        ("upserted_documents", llm.upserted_documents, """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 7 = 0 THEN 'updated' ELSE source END AS source,
+       length(text) + CASE WHEN doc_id % 7 = 0 THEN 5 ELSE 0 END
+         AS n_chars_out
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000, lang, 'inserted', length(text)
+FROM documents WHERE doc_id % 97 = 0
+""", ("maintenance", "upsert", "store")),
+        # round-7: k-NN in a seeded JL random-projection space — the
+        # projection matrix is a pure function of (i, j), so projected
+        # vectors, scores and ranks replay exactly
+        ("projected_knn_vec7", llm.projected_knn_vec7,
+         _oracle_projected_knn(), ("similarity", "compression",
+                                   "projection")),
+        # round-7: passage-level decontamination — ANY shared 13-gram
+        # with the benchmark split drops the train doc (the GPT-3 rule;
+        # same rolling shingle hash + padding as the dedup family)
+        ("ngram_decontaminated_docs", llm.ngram_decontaminated_docs,
+         _oracle_ngram_decon(), ("curation", "decontamination")),
+        # round-7: embedding-space clustering + SemDeDup. The codebook is
+        # the embeddings of fixed vec_ids (ordered by id), so the oracle
+        # reconstructs clustering AND the within-cell pairwise dedup
+        # exactly (rounded scores, lower-cell / min-id tie-breaks)
+        ("kmeans_assign_cells", llm.kmeans_assign_cells,
+         _oracle_kmeans_assign(), ("similarity", "clustering")),
+        ("semantic_dedup_docs", llm.semantic_dedup_docs,
+         _oracle_semantic_dedup(), ("dedup", "clustering", "semantic")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

@@ -601,6 +601,125 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source", "fp"))
 
 
+def upserted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE against the bucketed document store
+    (operators/maintenance.py upsert_into_store): build the store, apply
+    one update batch (docs with doc_id % 7 == 0 get re-ingested with new
+    text + source, docs with doc_id % 97 == 0 arrive as brand-new ids),
+    read back. The oracle is the CASE/UNION form of merge semantics —
+    update-wins-over-stale, inserts appended — so the bucket-pruned
+    rewrite path itself is value-verified, the same way
+    rollup_incremental_hourly verifies its materialized store."""
+    import tempfile
+
+    from flink_rag_spark.operators.maintenance import upsert_into_store
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    path = tempfile.mkdtemp(prefix="upsert_store_") + "/store"
+    (d.withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(STORE_BUCKETS)))
+     .repartition("bucket").write.partitionBy("bucket").parquet(path))
+    updates = (d.filter(F.col("doc_id") % 7 == 0)
+               .withColumn("source", F.lit("updated"))
+               .withColumn("text", F.concat("text", F.lit(" [v2]")))
+               .unionByName(
+                   d.filter(F.col("doc_id") % 97 == 0)
+                   .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                           "lang", F.lit("inserted").alias("source"),
+                           "text")))
+    upsert_into_store(spark, path, updates, id_col="doc_id")
+    return (spark.read.parquet(path)
+            .select("doc_id", "lang", "source",
+                    F.length("text").cast("bigint").alias("n_chars_out")))
+
+
+#: output dims for the JL random-projection query (from the fixture's 64)
+RP_OUT_DIM = 16
+
+
+def projected_knn_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN in a seeded random-projection space
+    (operators/compression.py random_projection_expr — Achlioptas ±1/√k
+    JL projection, no stored matrix): project every embedding 64→16
+    dims, then exact cosine top-10 for query vec 7 in the REDUCED space.
+    The scale story: projection is a one-off O(d_in×d_out) codegen pass
+    that cuts every downstream distance computation 4×; the projection
+    matrix is a pure function of (i, j), so the oracle reproduces the
+    projected vectors, scores, and ranks bit-for-bit."""
+    from flink_rag_spark.operators.compression import random_projection_expr
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select("vec_id", F.expr(
+        random_projection_expr("embedding", RP_OUT_DIM)).alias("p"))
+    q = (p.filter(F.col("vec_id") == 7)
+         .select(F.col("p").alias("qp")))
+    scored = (p.crossJoin(F.broadcast(q))
+              .withColumn("pscore",
+                          F.round(F.expr(cosine_expr("p", "qp")), ROUND_DP))
+              .select("vec_id", "pscore"))
+    out = scored.orderBy(F.desc("pscore"), F.asc("vec_id")).limit(10)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("pscore"), F.asc("vec_id"))
+    return out.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def ngram_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-overlap n-gram decontamination (operators/curation.py
+    ngram_decontaminate, the GPT-3 13-gram rule): keep train-split docs
+    (doc_id % 10 != 0) sharing NO 13-token shingle with the benchmark
+    split — the passage-level contamination pass that complements the
+    whole-doc fingerprint membership check (bloom_decontaminated_docs)."""
+    from flink_rag_spark.operators.curation import ngram_decontaminate
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return (ngram_decontaminate(train, bench, "text", "doc_id")
+            .select("doc_id", "lang", "source"))
+
+
+#: fixed, data-independent centroid seeds for the clustering family:
+#: the embeddings of these vec_ids (ordered by id) are the centroids, so
+#: the DuckDB oracle can reconstruct the exact same codebook
+CLUSTER_CENTROID_IDS = [3, 17, 42, 91, 128, 263, 333, 480]
+
+#: SemDeDup threshold tuned to the synthetic embedding space (max
+#: pairwise cosine ≈ 0.51 — real embeddings cluster much tighter, where
+#: the published recipe uses ~0.95+)
+SEMANTIC_DEDUP_T = 0.4
+
+
+def _fixed_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (emb.filter(F.col("vec_id").isin(CLUSTER_CENTROID_IDS))
+            .orderBy("vec_id").select("embedding").collect())
+    return [list(r["embedding"]) for r in rows]
+
+
+def kmeans_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment over the embeddings table
+    (operators/clustering.py) with a fixed, oracle-reconstructible
+    codebook: the corpus-organization pass a training pipeline runs
+    before semantic dedup, curriculum bucketing, or IVF indexing."""
+    from flink_rag_spark.operators.clustering import assign_clusters
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = assign_clusters(emb, _fixed_centroids(spark, sf_dir))
+    return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"),
+                      "score")
+
+
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py): cluster the embedding space,
+    then drop every doc whose within-cluster cosine to a lower-id doc
+    meets the threshold — the semantic-redundancy pruning pass that
+    complements the lexical minhash/simhash dedup family. Min-id
+    survivor, rounded scores: the oracle replays clustering AND the
+    within-cell pairwise check exactly."""
+    from flink_rag_spark.operators.clustering import semantic_dedup_keep
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_keep(emb, _fixed_centroids(spark, sf_dir),
+                              SEMANTIC_DEDUP_T)
+    return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+
+
 #: the shared lexical query for the BM25/hybrid entries — terms with
 #: distinct document frequencies in the synthetic corpus
 BM25_QUERY_TERMS = ["spark", "join", "vector", "window"]
