@@ -1086,8 +1086,10 @@ _GRADED: list[QueryDef] = [
              ORACLE_GS_ROLLUP, ("agg", "rollup")),
     QueryDef("window_top3_orders_per_customer", R.window_top3_orders_per_customer,
              ORACLE_TOP3, ("window",)),
-    QueryDef("window_analytics_extended", R3.window_analytics_extended,
-             ORACLE_WINDOW_EXT, ("window",)),
+    # window_analytics_extended rotated to the non-graded tail (round 7)
+    # for the round-7 families: rank/frame/lag coverage stays graded via
+    # window_top3 + gapfill's running frames + session_windows_batch +
+    # the rollup windows; the extended query keeps its pytest oracle
     # setops_nation_presence / string_part_features / date_orders_monthly
     # rotated to the non-graded tail (round 7) for the round-6 training-
     # data-pipeline families: the set-op result is the same nation-presence
@@ -1103,11 +1105,14 @@ _GRADED: list[QueryDef] = [
     # similarity (reference A9 generalized, SURVEY.md §2.4; the batch form
     # includes the single-vector case — query_id 0 IS vec0)
     QueryDef("knn_batch", llm.knn_batch, ORACLE_KNN_BATCH, ("similarity",)),
-    QueryDef("embedding_neardup_pairs", llm.embedding_neardup_pairs,
-             ORACLE_NEARDUP_EMB, ("similarity", "dedup")),
+    # embedding_neardup_pairs / minhash_sig_sample rotated to the
+    # non-graded tail (round 7): the embedding-similarity dedup family is
+    # graded by the strictly-stronger semantic_dedup_docs (clustered
+    # cosine prune) promoted below, and minhash signatures are the
+    # sub-stage of the still-graded lsh_verified_neardup. Both keep
+    # their pytest oracles.
     # dedup family (north star)
     QueryDef("dedup_exact_docs", llm.dedup_exact_docs, ORACLE_DEDUP_EXACT, ("dedup",)),
-    QueryDef("minhash_sig_sample", llm.minhash_sig_sample, _oracle_minhash_sigs(), ("dedup",)),
     # jaccard_neardup_pairs rotated to the non-graded tail — its all-pairs
     # Jaccard shape is the verify SUB-STAGE of lsh_verified_neardup (still
     # graded); the slot instead grades the incremental path: batch vs
@@ -1143,9 +1148,9 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
     # q3/q5/q8/q13 + range/interval/asof, scalar subqueries via q4/q18,
     # and the pivot CASE-agg shape via q8_market_share + groupsets. All
     # four keep their DuckDB oracles in the pytest sweep.
-    # q17 rotated to the non-graded tail (catalog_extra) to hold the window
-    # at 50 — its scalar-subquery shape stays covered by q18/q4
-    QueryDef("q18_large_orders", R2.q18_large_orders, ORACLE_Q18, ("subquery",)),
+    # q17 / q18 rotated to the non-graded tail (q18 in round 7 for the
+    # round-7 families): the scalar/IN-subquery shape stays graded via
+    # q4_order_priority; both keep their pytest oracles
     QueryDef("range_join_price_bands", R2.range_join_price_bands,
              ORACLE_RANGE_BANDS, ("join", "range")),
     QueryDef("session_windows_batch", R2.session_windows_batch,
@@ -1176,6 +1181,10 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: cascade, sequence packing, mixture sampling, train/val/test splitting,
 #: time-weighted averages, column profiling, int8 embedding compression)
 #: so each earns a driver CORRECTNESS row.
+#: Round 7 additionally promotes four round-7 families (semantic dedup,
+#: passage decontamination, store upsert, JL-projected knn) in place of
+#: four redundantly-covered slots (q18, window_analytics_extended,
+#: minhash_sig_sample, embedding_neardup_pairs — rotation notes inline).
 _PROMOTED = [
     "hybrid_batch_retrieval",
     "rollup_incremental_hourly",
@@ -1186,6 +1195,10 @@ _PROMOTED = [
     "time_weighted_daily_value",
     "profile_documents",
     "quantized_similarity_vec7",
+    "semantic_dedup_docs",
+    "ngram_decontaminated_docs",
+    "upserted_documents",
+    "projected_knn_vec7",
 ]
 
 #: the graded window — exactly what __spark_entry__.queries() exposes first
@@ -1218,6 +1231,13 @@ QUERIES: list[QueryDef] = GRADED_QUERIES + [
              ORACLE_Q22, ("subquery",)),
     QueryDef("pivot_segment_by_region", R2.pivot_segment_by_region,
              ORACLE_PIVOT, ("agg", "pivot")),
+    QueryDef("q18_large_orders", R2.q18_large_orders, ORACLE_Q18, ("subquery",)),
+    QueryDef("window_analytics_extended", R3.window_analytics_extended,
+             ORACLE_WINDOW_EXT, ("window",)),
+    QueryDef("minhash_sig_sample", llm.minhash_sig_sample,
+             _oracle_minhash_sigs(), ("dedup",)),
+    QueryDef("embedding_neardup_pairs", llm.embedding_neardup_pairs,
+             ORACLE_NEARDUP_EMB, ("similarity", "dedup")),
 ] + [q for q in _EXTRA if q.name not in _PROMOTED]
 
 

@@ -23,6 +23,12 @@ SENSITIVE = [
     "packed_documents",
     "heavy_hitters_users",
     "rollup_incremental_hourly",
+    # round-7 families: survivor choice (semantic dedup), store rewrite
+    # (upsert), rank tie-breaks (projected knn), any-overlap drop set
+    "semantic_dedup_docs",
+    "upserted_documents",
+    "projected_knn_vec7",
+    "ngram_decontaminated_docs",
 ]
 
 
