@@ -235,7 +235,8 @@ def main() -> None:
              # upsert
              "bm25_topk_indexed_docs", "kmeans_assign_cells",
              "semantic_dedup_docs", "ngram_decontaminated_docs",
-             "projected_knn_vec7", "upserted_documents"]
+             "projected_knn_vec7", "upserted_documents",
+             "rollup_hll_users_hourly"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

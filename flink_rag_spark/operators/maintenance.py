@@ -67,6 +67,11 @@ def upsert_into_store(spark: SparkSession, store_path: str, updates,
     to a full write-then-swap. Updates must carry the store's data columns
     (minus the derived ``bucket``). Single-writer boundary per README.
 
+    Update ids must be unique within the batch: two update rows with the
+    same id both land (the stale store row is removed, both new rows
+    append) — pre-aggregate to one row per key (e.g. latest-by-timestamp
+    via a window) before calling, as any MERGE requires.
+
     Returns {"updated": n, "inserted": n}."""
     import pyspark.sql.functions as F
 

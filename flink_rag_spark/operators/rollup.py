@@ -55,30 +55,45 @@ _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
 
 def rollup_partials(events: DataFrame, ts_col: str, keys: list[str],
-                    value_col: str, bucket: str = "1 hour") -> DataFrame:
+                    value_col: str, bucket: str = "1 hour",
+                    distinct_col: str | None = None) -> DataFrame:
     """Partial-aggregate one batch of events: (bucket_ts, *keys, cnt,
-    vsum, pday). Epoch-aligned buckets via window() — the same alignment
-    DuckDB's time_bucket uses, so oracles line up."""
+    vsum[, hsk], pday). Epoch-aligned buckets via window() — the same
+    alignment DuckDB's time_bucket uses, so oracles line up.
+
+    ``distinct_col`` adds an HLL SKETCH partial (``hsk`` binary,
+    Spark's datasketches HLL): sketches are the mergeable form of
+    COUNT(DISTINCT) — union is commutative/associative/idempotent and
+    order-insensitive (register maxima), so incremental maintenance and
+    cascades keep working exactly like the sum partials, where a stored
+    exact distinct count could never merge. The estimate is approximate
+    by nature; the graded query carries an accuracy contract instead of
+    a value hash on the estimate itself."""
     b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_ts")
+    aggs = [F.count(F.lit(1)).alias("cnt"),
+            # pin the stored type: Spark widens sum(decimal(p,s)) to
+            # decimal(p+10,s), so without the cast every merge
+            # generation would write a different parquet type and
+            # mixed-generation partitions would fail to read
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(28,2)").alias("vsum")]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hsk"))
     return (events
             .groupBy(b, *keys)
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 # pin the stored type: Spark widens sum(decimal(p,s)) to
-                 # decimal(p+10,s), so without the cast every merge
-                 # generation would write a different parquet type and
-                 # mixed-generation partitions would fail to read
-                 F.sum(F.col(value_col).cast("decimal(18,2)"))
-                 .cast("decimal(28,2)").alias("vsum"))
+            .agg(*aggs)
             .withColumn("pday", F.date_format("bucket_ts", "yyyy-MM-dd")))
 
 
 def build_rollup(spark: SparkSession, events: DataFrame, path: str,
                  ts_col: str = "ts", keys: list[str] | None = None,
-                 value_col: str = "value", bucket: str = "1 hour") -> None:
+                 value_col: str = "value", bucket: str = "1 hour",
+                 distinct_col: str | None = None) -> None:
     """Full build (the once-per-history cost): one repartition per pday so
     each partition is one task's file."""
     keys = keys or []
-    p = (rollup_partials(events, ts_col, keys, value_col, bucket)
+    p = (rollup_partials(events, ts_col, keys, value_col, bucket,
+                         distinct_col=distinct_col)
          # uniform schema with append's marker rows (module doc): data
          # rows carry a NULL applied-batch list
          .withColumn("bids", F.lit(None).cast("array<bigint>")))
@@ -89,7 +104,8 @@ def build_rollup(spark: SparkSession, events: DataFrame, path: str,
 def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
                      ts_col: str = "ts", keys: list[str] | None = None,
                      value_col: str = "value", bucket: str = "1 hour",
-                     batch_id: int | None = None) -> list[str]:
+                     batch_id: int | None = None,
+                     distinct_col: str | None = None) -> list[str]:
     """O(batch + touched partitions) maintenance; returns the pdays
     actually rewritten. Work never scales with rollup history: the
     batch's partials are merged with ONLY the pruned partitions they land
@@ -103,8 +119,8 @@ def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
     from pyspark.errors import AnalysisException
 
     keys = keys or []
-    np_ = rollup_partials(new_events, ts_col, keys, value_col,
-                          bucket).persist()
+    np_ = rollup_partials(new_events, ts_col, keys, value_col, bucket,
+                          distinct_col=distinct_col).persist()
     touched = sorted(r["pday"] for r in
                      np_.select("pday").distinct().collect())
     if not touched:
@@ -149,10 +165,14 @@ def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
         data_src = (np_live if existing is None
                     else existing.filter(F.col("bids").isNull())
                     .drop("bids").unionByName(np_live))
+        has_hsk = "hsk" in data_src.columns
+        aggs = [F.sum("cnt").alias("cnt"),
+                F.sum("vsum").cast("decimal(28,2)").alias("vsum")]
+        if has_hsk:  # sketch union — the mergeable distinct partial
+            aggs.append(F.hll_union_agg("hsk").alias("hsk"))
         merged = (data_src
                   .groupBy("bucket_ts", *keys, "pday")
-                  .agg(F.sum("cnt").alias("cnt"),
-                       F.sum("vsum").cast("decimal(28,2)").alias("vsum"))
+                  .agg(*aggs)
                   .withColumn("bids", F.lit(None).cast("array<bigint>")))
 
         # marker rows: one per rewritten pday, carrying every batch id
@@ -183,6 +203,8 @@ def append_to_rollup(spark: SparkSession, new_events: DataFrame, path: str,
                   for k in keys],
                 F.lit(0).cast("bigint").alias("cnt"),
                 F.lit(None).cast("decimal(28,2)").alias("vsum"),
+                *([F.lit(None).cast("binary").alias("hsk")]
+                  if has_hsk else []),
                 F.col("pday"), bids_col.alias("bids"))
             # a pday with no prior marker and no batch_id needs no marker
             markers = markers.filter(F.col("bids").isNotNull())
@@ -224,7 +246,9 @@ def read_rollup(spark: SparkSession, path: str,
         "bucket_ts", *keys, "cnt",
         F.col("vsum").cast("double").alias("sum_value"),
         F.round(F.col("vsum").cast("double") / F.col("cnt"), 4)
-        .alias("avg_value"))
+        .alias("avg_value"),
+        *([F.hll_sketch_estimate("hsk").alias("approx_distinct")]
+          if "hsk" in df.columns else []))
 
 
 def rollup_cascade(spark: SparkSession, path: str, bucket: str,
@@ -237,14 +261,19 @@ def rollup_cascade(spark: SparkSession, path: str, bucket: str,
     which at 100 TB is orders of magnitude below O(events)."""
     keys = keys or []
     p = read_rollup(spark, path, keys=keys, finalize=False)
+    has_hsk = "hsk" in p.columns
     b = F.window(F.col("bucket_ts"), bucket)["start"].alias("bucket_ts")
-    out = (p.groupBy(b, *keys)
-           .agg(F.sum("cnt").alias("cnt"),
-                F.sum("vsum").cast("decimal(28,2)").alias("vsum")))
+    aggs = [F.sum("cnt").alias("cnt"),
+            F.sum("vsum").cast("decimal(28,2)").alias("vsum")]
+    if has_hsk:  # sketches re-merge exactly like sums (union is assoc.)
+        aggs.append(F.hll_union_agg("hsk").alias("hsk"))
+    out = p.groupBy(b, *keys).agg(*aggs)
     if not finalize:
         return out
     return out.select(
         "bucket_ts", *keys, "cnt",
         F.col("vsum").cast("double").alias("sum_value"),
         F.round(F.col("vsum").cast("double") / F.col("cnt"), 4)
-        .alias("avg_value"))
+        .alias("avg_value"),
+        *([F.hll_sketch_estimate("hsk").alias("approx_distinct")]
+          if has_hsk else []))

@@ -747,6 +747,16 @@ SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_ts, user_id,
              / COUNT(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """, ("window", "rollup", "cascade")),
+        # round-7: distinct counts as a continuous aggregate — HLL sketch
+        # partials maintained incrementally in the rollup store; oracle
+        # checks exact per-bucket distincts + the 5% accuracy contract
+        ("rollup_hll_users_hourly", R3.rollup_hll_users_hourly, """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""", ("window", "rollup", "sketch", "incremental")),
         # sequence packing: per-shard greedy first-fit fold (applyInPandas)
         # replayed exactly by a DuckDB recursive CTE — the sequential
         # operator is value-verified, not just row-counted

@@ -548,6 +548,49 @@ def rollup_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(spark, path, keys=["user_id"])
 
 
+def rollup_hll_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct counts as a CONTINUOUS aggregate: the incrementally-
+    maintained rollup stores an HLL sketch partial per bucket
+    (operators/rollup.py distinct_col) — the mergeable form of
+    COUNT(DISTINCT user_id), which a stored exact count could never be
+    (distinct doesn't merge; sketches union). History builds, the last
+    day appends, and the estimate is read from the maintained store.
+
+    Oracle contract (the approx_distinct_users pattern): the estimate is
+    engine-specific, so the query emits what the oracle CAN check — the
+    exact per-bucket distinct count recomputed from raw events, and a
+    boolean that the maintained sketch landed within 5% of it."""
+    import tempfile
+
+    from flink_rag_spark.operators.rollup import (
+        append_to_rollup,
+        build_rollup,
+        read_rollup,
+    )
+    e = load_table(spark, sf_dir, "events", widen=False)
+    cutoff = e.agg(F.date_trunc("day", F.max("ts")).alias("c")) \
+        .collect()[0]["c"]
+    path = tempfile.mkdtemp(prefix="spark_rollup_hll_") + "/hourly"
+    build_rollup(spark, e.filter(F.col("ts") < F.lit(cutoff)), path,
+                 distinct_col="user_id")
+    append_to_rollup(spark, e.filter(F.col("ts") >= F.lit(cutoff)), path,
+                     distinct_col="user_id")
+    r = read_rollup(spark, path).select("bucket_ts", "cnt",
+                                        "approx_distinct")
+    exact = (e.groupBy(F.window("ts", "1 hour")["start"]
+                       .alias("bucket_ts"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (r.join(exact, on="bucket_ts")
+            .select("bucket_ts", "cnt", "exact_users",
+                    F.when(F.col("exact_users") == 0,
+                           F.col("approx_distinct") == 0)
+                    .otherwise(
+                        F.abs(F.col("approx_distinct")
+                              - F.col("exact_users"))
+                        / F.col("exact_users") <= 0.05)
+                    .alias("within_bound")))
+
+
 def time_weighted_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted daily average of event values per user
     (operators/timeseries.py:time_weighted_avg): LOCF weighting by the

@@ -29,6 +29,7 @@ SENSITIVE = [
     "upserted_documents",
     "projected_knn_vec7",
     "ngram_decontaminated_docs",
+    "rollup_hll_users_hourly",
 ]
 
 

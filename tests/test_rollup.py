@@ -246,3 +246,38 @@ def test_cascade_from_partials_matches_direct(spark, three_days, tmp_path):
     got = _rows(rollup_cascade(spark, hourly, "1 day", keys=["user_id"]))
     want = _rows(read_rollup(spark, daily, keys=["user_id"]))
     assert got == want and len(got) == 3 * 2  # days × users
+
+
+def test_hll_sketch_partials_merge_exactly(spark, three_days, tmp_path):
+    """Incremental sketch maintenance must equal a from-scratch build:
+    HLL union is associative/idempotent, so the estimate served from the
+    maintained store matches the full rebuild's, and the daily cascade
+    re-merges the stored hourly sketches."""
+    from flink_rag_spark.operators.rollup import (
+        append_to_rollup,
+        build_rollup,
+        read_rollup,
+        rollup_cascade,
+    )
+    e = three_days
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_rollup(spark, e.filter(F.col("ts") < "2024-03-03"), inc,
+                 keys=["user_id"], distinct_col="event_id")
+    append_to_rollup(spark, e.filter(F.col("ts") >= "2024-03-03"), inc,
+                     keys=["user_id"], distinct_col="event_id")
+    build_rollup(spark, e, full, keys=["user_id"],
+                 distinct_col="event_id")
+
+    def rows(path):
+        return {(r["bucket_ts"], r["user_id"], r["cnt"],
+                 r["approx_distinct"]) for r in
+                read_rollup(spark, path, keys=["user_id"]).collect()}
+
+    got, want = rows(inc), rows(full)
+    assert got == want and got
+    # distinct event ids per (hour, user) is exactly 3 in the fixture —
+    # at this cardinality the sketch is exact
+    assert all(a == 3 for (_, _, _, a) in got)
+    # the cascade re-merges sketches: daily distinct = 9 per user-day
+    daily = rollup_cascade(spark, inc, "1 day", keys=["user_id"])
+    assert all(r["approx_distinct"] == 9 for r in daily.collect())
