@@ -109,16 +109,26 @@ def semantic_dedup_keep(embeddings: DataFrame,
     operator's scaling knob (k ≈ N/target_cell makes it O(N×target_cell)).
     The within-cell self-join is an equi-join on cell, so bucket-mates
     meet on the cell shuffle key; no cross join exists in the plan."""
+    from flink_rag_spark.functions.vector import dot_expr, norm_expr
+
     assigned = assign_clusters(embeddings, centroids, vec_col, id_col)
-    tagged = assigned.join(embeddings.select(id_col, vec_col), on=id_col)
+    # precompute each doc's norm ONCE — the pairwise stage then pays one
+    # dot product per pair instead of dot + two norms (same doubles, same
+    # operation order as cosine_expr, so scores stay bit-identical to the
+    # oracle's dot/(na*nb) form)
+    tagged = assigned.join(
+        embeddings.select(id_col, vec_col,
+                          F.expr(norm_expr(vec_col)).alias("_n")),
+        on=id_col)
     a = tagged.select(F.col(id_col).alias("_ia"), "cell",
-                      F.col(vec_col).alias("_va"))
+                      F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
     b = tagged.select(F.col(id_col).alias("_ib"), "cell",
-                      F.col(vec_col).alias("_vb"))
+                      F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
     removed = (a.join(b, on="cell")
                .filter(F.col("_ib") < F.col("_ia"))
                .withColumn("_s", F.round(
-                   F.expr(cosine_expr("_va", "_vb")), ROUND_DP))
+                   F.expr(dot_expr("_va", "_vb"))
+                   / (F.col("_na") * F.col("_nb")), ROUND_DP))
                .filter(F.col("_s") >= threshold)
                .select(F.col("_ia").alias(id_col)).distinct())
     return (assigned.join(removed, on=id_col, how="left_anti")
