@@ -59,7 +59,8 @@ def run_rollup(spark: SparkSession, events_stream: DataFrame, path: str,
                checkpoint_dir: str, ts_col: str = "ts",
                keys: list[str] | None = None, value_col: str = "value",
                bucket: str = "1 hour",
-               available_now: bool = False):
+               available_now: bool = False,
+               distinct_col: str | None = None):
     """Maintain the materialized rollup at ``path`` from a streaming
     events frame. Returns the StreamingQuery."""
     ensure_runtime_confs(spark)
@@ -73,7 +74,7 @@ def run_rollup(spark: SparkSession, events_stream: DataFrame, path: str,
             return  # replayed, already merged — fast no-op
         append_to_rollup(spark, batch_df, path, ts_col=ts_col, keys=keys,
                          value_col=value_col, bucket=bucket,
-                         batch_id=batch_id)
+                         batch_id=batch_id, distinct_col=distinct_col)
         _record_applied(marker_dir, batch_id)
 
     writer = (events_stream.writeStream

@@ -281,3 +281,34 @@ def test_hll_sketch_partials_merge_exactly(spark, three_days, tmp_path):
     # the cascade re-merges sketches: daily distinct = 9 per user-day
     daily = rollup_cascade(spark, inc, "1 day", keys=["user_id"])
     assert all(r["approx_distinct"] == 9 for r in daily.collect())
+
+
+def test_streaming_rollup_with_sketches(spark, three_days, tmp_path):
+    """The streaming maintenance path carries the HLL sketch partial too:
+    the drained rollup's per-bucket estimate equals a batch build's."""
+    from flink_rag_spark.operators.rollup import rollup_cascade
+    from flink_rag_spark.streaming.rollup_job import run_rollup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    three_days.write.parquet(str(src / "b1"))
+    path = str(tmp_path / "roll")
+    stream = (spark.readStream.schema(three_days.schema)
+              .parquet(str(src / "*")))
+    q = run_rollup(spark, stream, path, str(tmp_path / "cp"),
+                   keys=["user_id"], available_now=True,
+                   distinct_col="event_id")
+    assert q.awaitTermination(120)
+    full = str(tmp_path / "full")
+    build_rollup(spark, three_days, full, keys=["user_id"],
+                 distinct_col="event_id")
+
+    def est(p):
+        return {(r["bucket_ts"], r["user_id"], r["approx_distinct"])
+                for r in read_rollup(spark, p, keys=["user_id"]).collect()}
+
+    assert est(path) == est(full) and est(path)
+    # cascade over the streamed store still re-merges sketches
+    assert all(r["approx_distinct"] == 9 for r in
+               rollup_cascade(spark, path, "1 day",
+                              keys=["user_id"]).collect())
