@@ -236,7 +236,7 @@ def main() -> None:
              "bm25_topk_indexed_docs", "kmeans_assign_cells",
              "semantic_dedup_docs", "ngram_decontaminated_docs",
              "projected_knn_vec7", "upserted_documents",
-             "rollup_hll_users_hourly"]
+             "rollup_hll_users_hourly", "curated_packed_training_set"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

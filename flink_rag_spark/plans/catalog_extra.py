@@ -90,6 +90,53 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       FROM a),
 asg AS (SELECT vec_id, embedding, cell, score FROM r WHERE rn = 1)"""
 
+    def _oracle_curated_pipeline() -> str:
+        from flink_rag_spark.operators.curation import (
+            DECON_NGRAM,
+            quality_filter_duck,
+        )
+        sh13 = shingle_hashes_duck("text", DECON_NGRAM)
+        split = split_assignments_duck(
+            "text", {"train": 0.8, "val": 0.1, "test": 0.1})
+        return f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, {quality_filter_duck('text')} FROM documents),
+kept AS (SELECT doc_id, text FROM q WHERE keep),
+sh AS (SELECT doc_id, {sh13} AS g FROM documents),
+bg AS (SELECT DISTINCT unnest(g) AS h FROM sh WHERE doc_id % 10 = 0),
+bad AS (SELECT DISTINCT s.doc_id
+        FROM (SELECT doc_id, unnest(g) AS h FROM sh
+              WHERE doc_id % 10 <> 0) s
+        JOIN bg ON s.h = bg.h),
+train AS (
+  SELECT doc_id, text FROM kept
+  WHERE doc_id % 10 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM bad)
+    AND ({split}) = 'train'),
+docs AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST({token_count_duck('text')} AS BIGINT) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id) AS rn
+  FROM train),
+g AS (
+  SELECT shard, doc_id, tok, rn,
+         CAST(0 AS BIGINT) AS local_pack, tok AS pack_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.tok, d.rn,
+         CASE WHEN g.pack_tokens + d.tok > 512
+              THEN g.local_pack + 1 ELSE g.local_pack END,
+         CASE WHEN g.pack_tokens + d.tok > 512
+              THEN d.tok ELSE g.pack_tokens + d.tok END
+  FROM docs d JOIN g ON d.shard = g.shard AND d.rn = g.rn + 1)
+SELECT doc_id, shard, tok,
+       CAST(shard AS VARCHAR) || '_' || CAST(local_pack AS VARCHAR)
+         AS pack_id,
+       pack_tokens
+FROM g
+"""
+
     def _oracle_projected_knn() -> str:
         from flink_rag_spark.operators.compression import (
             random_projection_duck,
@@ -848,6 +895,12 @@ WHERE {split_assignments_duck('text',
                               {'train': 0.8, 'val': 0.1, 'test': 0.1})}
       IS NOT NULL
 """, ("curation", "splitting")),
+        # round-7 flagship composition: the curation pipeline END TO END
+        # (quality filter → 13-gram decontamination → train split →
+        # sequence packing) as one plan, value-verified as a whole
+        ("curated_packed_training_set", llm.curated_packed_training_set,
+         _oracle_curated_pipeline(),
+         ("curation", "pipeline", "packing", "decontamination")),
         # round-7: keyed MERGE (upsert) against the bucketed store —
         # update-wins + inserts, bucket-pruned rewrite; oracle is the
         # CASE/UNION statement of merge semantics

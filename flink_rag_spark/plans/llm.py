@@ -601,6 +601,34 @@ def bloom_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source", "fp"))
 
 
+def curated_packed_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END TO END as one declarative plan:
+    quality filter → 13-gram benchmark decontamination → deterministic
+    train split → greedy sequence packing — the four curation stages a
+    pre-training run chains, composed here exactly as a user would chain
+    them, and value-verified as a WHOLE (the oracle replays every stage
+    including the recursive packing fold). Each stage is one narrow pass
+    or a broadcast semi join; nothing shuffles until the per-shard pack,
+    so the composition inherits every stage's at-scale plan."""
+    from flink_rag_spark.operators.curation import (
+        ngram_decontaminate,
+        quality_filter,
+        split_assignments,
+    )
+    from flink_rag_spark.operators.packing import pack_documents
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qf = quality_filter(d, "text", "doc_id")
+    kept = d.join(qf.filter(F.col("keep")).select("doc_id"), on="doc_id")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    clean = ngram_decontaminate(kept.filter(F.col("doc_id") % 10 != 0),
+                                bench, "text", "doc_id")
+    train = (split_assignments(clean, "text",
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+             .filter(F.col("split") == "train"))
+    return pack_documents(train, "text", "doc_id", budget=512, n_shards=8,
+                          shard_expr=F.pmod(F.col("doc_id"), F.lit(8)))
+
+
 def upserted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed MERGE against the bucketed document store
     (operators/maintenance.py upsert_into_store): build the store, apply

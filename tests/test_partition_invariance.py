@@ -30,6 +30,7 @@ SENSITIVE = [
     "projected_knn_vec7",
     "ngram_decontaminated_docs",
     "rollup_hll_users_hourly",
+    "curated_packed_training_set",
 ]
 
 
