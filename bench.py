@@ -232,7 +232,10 @@ def main() -> None:
              "profile_documents", "quantized_similarity_vec7",
              # round-7 additions: indexed BM25 serving, clustering +
              # SemDeDup, 13-gram decontamination, JL projection, store
-             # upsert
+             # upsert. NOTE: the *_indexed / upserted / rollup_* entries
+             # time the DEMO end-to-end (tempdir build + maintenance +
+             # read), not a served-query cost — the build amortizes in a
+             # deployment
              "bm25_topk_indexed_docs", "kmeans_assign_cells",
              "semantic_dedup_docs", "ngram_decontaminated_docs",
              "projected_knn_vec7", "upserted_documents",

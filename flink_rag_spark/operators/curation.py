@@ -80,7 +80,8 @@ def hash_sample(df: DataFrame, key_col: str, keep_pct: int,
 def quality_filter(df: DataFrame, text_col: str, id_col: str,
                    min_tokens: int = 24, max_punct_ratio: float = 0.2,
                    min_stop_ratio: float = 0.03,
-                   max_chars_per_token: float = 5.75) -> DataFrame:
+                   max_chars_per_token: float = 5.75,
+                   carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Composite document-quality verdict — the keep/drop decision stage of
     a training-data pipeline, built from the engine's text signals:
 
@@ -116,8 +117,12 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str,
     reasons = ("filter(array(" + ", ".join(
         f"CASE WHEN {cond} THEN '{name}' END" for name, cond in checks)
         + "), x -> x IS NOT NULL)")
+    # carry_cols: composed pipelines keep original columns in the SAME
+    # one-pass scan instead of joining the verdict back to the source
+    # (which would scan the text twice at 100 TB)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.expr(nt).cast("bigint").alias("n_tokens"),
         F.expr(f"size({reasons}) = 0").alias("keep"),
         F.expr(f"array_join({reasons}, ',')").alias("reasons_csv"))

@@ -617,8 +617,9 @@ def curated_packed_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_rag_spark.operators.packing import pack_documents
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qf = quality_filter(d, "text", "doc_id")
-    kept = d.join(qf.filter(F.col("keep")).select("doc_id"), on="doc_id")
+    # carry_cols keeps the filter a single text pass (no verdict join-back)
+    kept = (quality_filter(d, "text", "doc_id", carry_cols=("text",))
+            .filter(F.col("keep")).select("doc_id", "text"))
     bench = d.filter(F.col("doc_id") % 10 == 0)
     clean = ngram_decontaminate(kept.filter(F.col("doc_id") % 10 != 0),
                                 bench, "text", "doc_id")
