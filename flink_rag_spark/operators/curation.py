@@ -395,3 +395,107 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, text_col: str,
                           how="left_semi")
                     .select(id_col).distinct())
     return train.join(contaminated, on=id_col, how="left_anti")
+
+
+def temperature_mixture_sample(df: DataFrame, domain_col: str,
+                               key_col: str,
+                               alpha: float = 0.7) -> DataFrame:
+    """Temperature-based mixture re-weighting: downsample so the output
+    domain shares follow p_d ∝ n_d^α — the multilingual/multi-domain
+    sampling rule of mT5/XLM-R (α < 1 flattens the head domains toward
+    the tail without ever upsampling; α = 1 keeps natural proportions).
+    ``mixture_sample`` takes explicit target weights; this derives them
+    from the data itself, which is how mixing is actually configured when
+    the domain histogram is not known in advance.
+
+    Fully declarative (no driver collect): the |domains|-row count/weight
+    table and its 1-row Σ n^α summary broadcast back onto the scan, and
+    each row keeps when the shared content-hash uniform falls below
+    p_d = (w_d · T) / (n_d · S) with w_d = n_d^α, S = Σ w_d and
+    T = min_d(n_d · S / w_d) — the largest output with no upsampled
+    domain (the arg-min domain keeps everything). One narrow scan + two
+    tiny broadcast joins; deterministic across runs, partitionings and
+    engines, like every content-hash sampler in this family.
+    """
+    c = (df.groupBy(F.col(domain_col).alias("_d"))
+         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+         .withColumn("_w", F.pow(F.col("_n"), F.lit(alpha))))
+    # T = min over domains of n_d * S / w_d (computed against the same S
+    # every engine derives from the same doubles, same operation order)
+    cs = c.crossJoin(F.broadcast(c.agg(F.sum("_w").alias("_s"))))
+    t = cs.agg(F.min(F.col("_n") * F.col("_s") / F.col("_w")).alias("_t"))
+    p = (cs.crossJoin(F.broadcast(t))
+         .select(F.col("_d"),
+                 ((F.col("_w") * F.col("_t"))
+                  / (F.col("_n") * F.col("_s"))).alias("_p")))
+    u = f"(({poly_hash_expr(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE)"
+    return (df.join(F.broadcast(p), df[domain_col] == F.col("_d"))
+            .filter(F.expr(u) < F.col("_p"))
+            .drop("_d", "_p"))
+
+
+def temperature_mixture_duck(table: str, domain_col: str, key_col: str,
+                             alpha: float, select_cols: str) -> str:
+    """DuckDB mirror of ``temperature_mixture_sample`` — same w = n^α,
+    S, T = min(n·S/w) and p = (w·T)/(n·S) arithmetic over doubles, same
+    content-hash uniform."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    u = f"((({poly_hash_duck(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE))"
+    return f"""
+WITH c AS (SELECT {domain_col} AS d, CAST(COUNT(*) AS DOUBLE) AS n,
+                  POW(CAST(COUNT(*) AS DOUBLE), {alpha!r}) AS w
+           FROM {table} GROUP BY {domain_col}),
+s AS (SELECT SUM(w) AS s FROM c),
+t AS (SELECT MIN(c.n * s.s / c.w) AS t FROM c, s),
+p AS (SELECT c.d, (c.w * t.t) / (c.n * s.s) AS p FROM c, s, t)
+SELECT {select_cols} FROM {table} x JOIN p ON x.{domain_col} = p.d
+WHERE {u} < p.p
+"""
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0,
+                          buckets: int = 1024) -> DataFrame:
+    """Seeded, layout-independent global shuffle order for training:
+    adds (shuffle_bucket, shuffle_pos) such that sorting by
+    (shuffle_bucket, shuffle_pos) is a deterministic pseudo-random
+    permutation of the rows — the corpus-shuffling stage before
+    tokenization/packing, where epoch order must be reproducible and
+    independent of file layout (an RNG ``orderBy(rand())`` is neither).
+
+    Each row's mix hash h = poly_hash(seed || ':' || key) drives both
+    coordinates: bucket = h mod ``buckets`` and pos = rank within the
+    bucket by (h, key). At 100 TB the write is
+    ``repartition(buckets, shuffle_bucket)`` + ``sortWithinPartitions``
+    — every bucket's rank computes in parallel and NO single-task global
+    sort ever exists; ``buckets`` should be O(cluster parallelism × a
+    few). Ties on h break by key, so the permutation is total even under
+    hash collisions.
+    """
+    from pyspark.sql import Window
+    h = F.expr(poly_hash_expr(
+        f"concat('{seed}', ':', cast({key_col} as string))"))
+    out = df.withColumn("_h", h).withColumn(
+        "shuffle_bucket", F.pmod(F.col("_h"), F.lit(buckets)))
+    w = (Window.partitionBy("shuffle_bucket")
+         .orderBy(F.col("_h"), F.col(key_col)))
+    return (out.withColumn("shuffle_pos", F.row_number().over(w))
+            .drop("_h"))
+
+
+def deterministic_shuffle_duck(table: str, key_col: str, seed: int = 0,
+                               buckets: int = 1024,
+                               select_cols: str = "*") -> str:
+    """DuckDB mirror of ``deterministic_shuffle`` — same mix hash, same
+    bucket/rank coordinates."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    h = poly_hash_duck(f"concat('{seed}', ':', CAST({key_col} AS VARCHAR))")
+    return f"""
+WITH h AS (SELECT *, ({h}) AS _h FROM {table}),
+b AS (SELECT *, _h % {buckets} AS shuffle_bucket FROM h)
+SELECT {select_cols},
+       shuffle_bucket,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_bucket
+                               ORDER BY _h, {key_col}) AS INT)
+         AS shuffle_pos
+FROM b
+"""

@@ -322,3 +322,82 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def span_pairs(df: DataFrame, text_col: str, id_col: str,
+               span_tokens: int = 8,
+               max_span_docs: int = 64) -> DataFrame:
+    """Exact-substring dedup: (id_a, id_b, n_spans) for every document pair
+    sharing at least one identical run of ``span_tokens`` consecutive
+    tokens, where ``n_spans`` counts the distinct shared spans.
+
+    This is the substring-level dedup family (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): unlike
+    minhash/Jaccard — which score WHOLE-document set overlap — a single
+    long verbatim quotation inside two otherwise-different documents is
+    caught here, because any shared ≥span_tokens run yields a shared span
+    hash. Reuses the family's rolling shingle hash (and its short-document
+    padding semantics), so the DuckDB oracle replays it exactly.
+
+    Plan at 100 TB: one explode of per-doc DISTINCT span hashes, one
+    window + one self-equi-join, both shuffling on the span hash (the
+    window's exchange is reused by the join sides). The hot-span guard
+    mirrors ``lsh_candidate_pairs``: a span present in more than
+    ``max_span_docs`` documents (license boilerplate, navigation chrome)
+    is star-reduced — each member pairs only with the span's min-id
+    representative — so a span shared by 10^6 docs emits O(10^6) pairs,
+    never O(10^12). Output is bounded by true-duplicate mass plus the
+    star edges; the final pair aggregation map-side-combines per
+    partition.
+    """
+    spans = widen_if_narrow(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.expr(shingle_hashes_expr(text_col, span_tokens)))).alias("sp"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("sp")
+    sized = (spans
+             .withColumn("_n", F.count(F.lit(1)).over(w))
+             .withColumn("_rep", F.min(F.col(id_col)).over(w)))
+    cold = sized.filter(F.col("_n") <= max_span_docs).select("sp", id_col)
+    l = cold.select("sp", F.col(id_col).alias("id_a"))
+    r = cold.select("sp", F.col(id_col).alias("id_b"))
+    cold_pairs = (l.join(r, on="sp")
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("sp", "id_a", "id_b"))
+    # rep = min id in the span's doc set, so rep < member always holds
+    hot_pairs = (sized.filter((F.col("_n") > max_span_docs)
+                              & (F.col(id_col) != F.col("_rep")))
+                 .select("sp", F.col("_rep").alias("id_a"),
+                         F.col(id_col).alias("id_b")))
+    return (cold_pairs.unionByName(hot_pairs)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_spans")))
+
+
+def span_pairs_duck(table: str, text_col: str, id_col: str,
+                    span_tokens: int = 8,
+                    max_span_docs: int = 64) -> str:
+    """DuckDB mirror of ``span_pairs`` — same span hashes (family rolling
+    shingle hash), same hot-span star-reduction, same distinct-span count."""
+    from flink_rag_spark.functions.hashing import shingle_hashes_duck
+    sh = shingle_hashes_duck(text_col, span_tokens)
+    return f"""
+WITH sp AS (
+  SELECT {id_col}, unnest(list_distinct({sh})) AS sp FROM {table}),
+sized AS (
+  SELECT {id_col}, sp,
+         COUNT(*) OVER (PARTITION BY sp) AS n,
+         MIN({id_col}) OVER (PARTITION BY sp) AS rep
+  FROM sp),
+cold AS (SELECT sp, {id_col} FROM sized WHERE n <= {max_span_docs}),
+pairs AS (
+  SELECT a.sp, a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM cold a JOIN cold b USING (sp)
+  WHERE a.{id_col} < b.{id_col}
+  UNION ALL
+  SELECT sp, rep AS id_a, {id_col} AS id_b
+  FROM sized WHERE n > {max_span_docs} AND {id_col} <> rep)
+SELECT id_a, id_b, COUNT(*) AS n_spans
+FROM pairs GROUP BY id_a, id_b
+"""

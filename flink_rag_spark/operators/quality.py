@@ -125,3 +125,99 @@ FROM word_agg w
 LEFT JOIN big_agg b ON b.{id_col} = w.{id_col}
 JOIN per_row p ON p.{id_col} = w.{id_col}
 """
+
+
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", vocab_size: int = 30_000,
+                      alpha: float = 0.5,
+                      model_docs: DataFrame | None = None) -> DataFrame:
+    """Statistical quality scoring: per-document mean log-probability under
+    an add-α-smoothed unigram language model — the perplexity-proxy filter
+    of CCNet-style curation (Wenzek et al. 2020 score documents with a
+    corpus LM and drop the high-perplexity tail; the heuristics in
+    ``repetition_signals``/``text_features`` are rule-based, this is the
+    model-based complement). The model trains on ``model_docs`` (a clean
+    reference corpus) or, self-supervised, on ``docs`` itself.
+
+    Tokens are the family's polynomial token hashes (frequencies over
+    hashes equal frequencies over tokens), the vocabulary is the top
+    ``vocab_size`` tokens by (count DESC, hash ASC) — a total order, so
+    boundary ties resolve identically on any engine — and every
+    out-of-vocabulary token scores ln(α/D) with
+    D = N_vocab + α·(V+1).
+
+    Plan at 100 TB: the vocabulary aggregation is wordcount-shaped
+    (map-side combine → |distinct tokens| rows → TakeOrdered top-K) and
+    the resulting codebook + its 1-row (V, N) summary BROADCAST to the
+    scoring scan, which is one explode → map-side broadcast join → one
+    per-doc aggregate: token traffic never crosses a shuffle carrying the
+    model. The scoring identity Σ ln((c+α)/D) = Σ ln(c+α) + oov·ln(α)
+    − n·ln(D) keeps the per-token work to one conditional log.
+
+    Returns (id, n_tokens, oov_ratio, avg_logprob) rounded to 6 dp.
+    """
+    from flink_rag_spark.operators.dedup import token_hashes_expr
+
+    model = docs if model_docs is None else model_docs
+    th = token_hashes_expr(text_col)
+    freq = (model.select(F.explode(F.expr(th)).alias("h"))
+            .groupBy("h").agg(F.count(F.lit(1)).alias("c")))
+    vocab = (freq.orderBy(F.desc("c"), F.asc("h")).limit(vocab_size)
+             .persist())
+    vstats = vocab.agg(F.count(F.lit(1)).alias("_V"),
+                       F.sum("c").alias("_N"))
+    toks = docs.select(F.col(id_col), F.explode(F.expr(th)).alias("h"))
+    per_doc = (toks.join(F.broadcast(vocab), on="h", how="left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+                     .alias("_oov"),
+                    F.sum(F.when(F.col("c").isNotNull(),
+                                 F.log(F.col("c") + F.lit(alpha)))
+                          .otherwise(F.lit(0.0))).alias("_sk")))
+    d = F.log(F.col("_N") + F.lit(alpha) * (F.col("_V") + F.lit(1)))
+    out = (per_doc.crossJoin(F.broadcast(vstats))
+           .select(
+               F.col(id_col), F.col("n_tokens"),
+               F.round(F.col("_oov") / F.col("n_tokens").cast("double"),
+                       ROUND_DP).alias("oov_ratio"),
+               F.round((F.col("_sk")
+                        + F.col("_oov") * F.lit(float(__import__("math").log(alpha)))
+                        - F.col("n_tokens") * d) / F.col("n_tokens"),
+                       ROUND_DP).alias("avg_logprob")))
+    from flink_rag_spark.operators.util import track_cached_deps
+    return track_cached_deps(out, [vocab])
+
+
+def unigram_lm_scores_duck(table: str, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           vocab_size: int = 30_000,
+                           alpha: float = 0.5) -> str:
+    """DuckDB mirror of the self-supervised ``unigram_lm_scores``: same
+    token hashes, same (count DESC, hash ASC) vocabulary order, same
+    scoring identity and rounding."""
+    import math
+
+    from flink_rag_spark.functions.hashing import token_hashes_duck
+    th = token_hashes_duck(text_col)
+    ln_alpha = repr(math.log(alpha))
+    return f"""
+WITH tok AS (SELECT {id_col}, unnest({th}) AS h FROM {table}),
+freq AS (SELECT h, COUNT(*) AS c FROM tok GROUP BY h),
+vocab AS (SELECT h, c FROM freq ORDER BY c DESC, h ASC LIMIT {vocab_size}),
+vs AS (SELECT COUNT(*) AS v, SUM(c) AS n FROM vocab),
+per AS (
+  SELECT t.{id_col},
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END) AS oov,
+         SUM(CASE WHEN v.c IS NOT NULL THEN ln(v.c + {alpha!r})
+                  ELSE 0.0 END) AS sk
+  FROM tok t LEFT JOIN vocab v USING (h)
+  GROUP BY t.{id_col})
+SELECT per.{id_col}, per.n_tokens,
+       ROUND(oov / CAST(n_tokens AS DOUBLE), {ROUND_DP}) AS oov_ratio,
+       ROUND((sk + oov * {ln_alpha}
+              - n_tokens * ln(vs.n + {alpha!r} * (vs.v + 1)))
+             / n_tokens, {ROUND_DP}) AS avg_logprob
+FROM per, vs
+"""

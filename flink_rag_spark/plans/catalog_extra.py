@@ -41,9 +41,13 @@ def extra_queries() -> list[tuple]:
         quantize_scale_duck,
     )
     from flink_rag_spark.operators.curation import (
+        deterministic_shuffle_duck,
         mixture_sample_duck,
         split_assignments_duck,
+        temperature_mixture_duck,
     )
+    from flink_rag_spark.operators.dedup import span_pairs_duck
+    from flink_rag_spark.operators.quality import unigram_lm_scores_duck
     from flink_rag_spark.operators.profiling import profile_columns_duck
     from flink_rag_spark.plans import (
         llm,
@@ -933,6 +937,35 @@ FROM documents WHERE doc_id % 97 = 0
          _oracle_kmeans_assign(), ("similarity", "clustering")),
         ("semantic_dedup_docs", llm.semantic_dedup_docs,
          _oracle_semantic_dedup(), ("dedup", "clustering", "semantic")),
+        # round-7: exact-substring span dedup (Lee et al. 2022) — pairs
+        # sharing any identical 8-token run, distinct-span counts; same
+        # rolling shingle hash + hot-span star-reduction both engines
+        ("span_neardup_docs", llm.span_neardup_docs,
+         span_pairs_duck("documents", "text", "doc_id",
+                         llm.SPAN_TOKENS, llm.SPAN_MAX_DOCS),
+         ("dedup", "span", "substring")),
+        # round-7: model-based quality scoring — add-α unigram LM
+        # (CCNet perplexity proxy), self-trained; vocabulary order,
+        # scoring identity and rounding replay exactly in SQL
+        ("unigram_lm_quality", llm.unigram_lm_quality,
+         unigram_lm_scores_duck("documents", "text", "doc_id",
+                                llm.UNIGRAM_VOCAB, llm.UNIGRAM_ALPHA),
+         ("quality", "text", "lm")),
+        # round-7: temperature mixture sampling (mT5 α-rule) — shares
+        # follow n^0.7, no upsampling; w/S/T/p double arithmetic and the
+        # content-hash uniform replay exactly
+        ("temperature_mixture_docs", llm.temperature_mixture_docs,
+         temperature_mixture_duck("documents", "source", "text",
+                                  llm.TEMP_MIXTURE_ALPHA,
+                                  "x.doc_id, x.source, x.lang"),
+         ("curation", "sampling", "mixture")),
+        # round-7: deterministic corpus shuffle — seeded
+        # (bucket, pos) coordinates, layout-independent, no global sort
+        ("shuffled_documents", llm.shuffled_documents,
+         deterministic_shuffle_duck("documents", "doc_id",
+                                    llm.SHUFFLE_SEED, llm.SHUFFLE_BUCKETS,
+                                    "doc_id"),
+         ("curation", "shuffle", "sampling")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),

