@@ -43,9 +43,16 @@ verify stage can lose a member↔member edge when jaccard(rep, new) < t —
 see the batch guard's docstring for when that matters.
 
 At 1000-executor scale: n_parts should be O(cluster parallelism × a few);
-every driver-side step below is capped — the band-key collect by
-MAX_LOCAL_KEYS (with a distributed-broadcast fallback above it), the sbp
-pruning collect by n_parts — never by corpus size.
+every driver-side step below is capped — the fused key+stats collect by
+MAX_LOCAL_KEYS + the matched-bucket count (≤ the key count; with a
+distributed-broadcast fallback above it), the sbp pruning collect by
+n_parts — never by corpus size. The probe's serialized driver chain is
+three jobs: (1) one FUSED collect returning the batch's distinct band
+keys AND the matched buckets' summary stats (the sizes scan is
+runtime-partition-pruned via a dynamicpruning subquery reusing the key
+broadcast), (2) the candidate materialization + shingle-partition
+pruning collect, (3) the Jaccard verify — with the within-batch
+candidate stage prefetching on a background thread across (2).
 """
 
 from __future__ import annotations
@@ -309,88 +316,133 @@ def incremental_neardup_pairs(spark: SparkSession, new_docs: DataFrame,
 
     within_thread = threading.Thread(target=_prefetch_within, daemon=True)
 
-    # partition pruning: only store partitions hosting a new band key;
-    # then a semi join on the batch's distinct band keys (batch-bounded by
-    # construction) cuts the pruned partitions down to exactly the buckets
-    # this batch collides with, BEFORE the sizing and the equi-join ever
-    # see them. When the distinct-key set fits MAX_LOCAL_KEYS, ONE collect
-    # over the cached signature frame yields the bkp pruning set AND the
-    # key set as a driver-local relation — every downstream broadcast then
-    # ships local data with no cluster sub-job behind it (the alternative,
-    # broadcasting a subtree over nb, re-runs a job per broadcast site).
-    # Oversized batches fall back to subtree broadcasts: correctness never
-    # depends on the collect, only the probe's fixed job count does.
-    key_schema = nb.select("band", "band_key").schema
-    key_rows = (nb.select("band", "band_key", "bkp").distinct()
-                .limit(MAX_LOCAL_KEYS + 1).collect())
-    local_keys = len(key_rows) <= MAX_LOCAL_KEYS
-    if local_keys:
-        hit_bkps = sorted({r["bkp"] for r in key_rows})
-        batch_keys = spark.createDataFrame(
-            [(r["band"], r["band_key"]) for r in key_rows], key_schema)
-    else:
-        hit_bkps = [r["bkp"] for r in
-                    nb.select("bkp").distinct().collect()]
-        batch_keys = nb.select("band", "band_key").distinct()
-    # the key collect above materialized the signature cache — safe to
-    # start the within-batch prefetch now (no double-compute race)
-    within_thread.start()
-    store_bands = (store.filter(F.col("bkp").isin(hit_bkps))
-                   .join(F.broadcast(batch_keys),
-                         on=["band", "band_key"], how="left_semi"))
-
-    # hot-bucket guard on the STORE side: size every matched bucket, keep
-    # cold-bucket members as join partners, and collapse each hot bucket
-    # to its min-id representative — a new doc landing in a degenerate
-    # boilerplate bucket yields ONE candidate pair. Sizing reads the
-    # persisted per-bucket summary log (pruned to the matched bkp
-    # partitions, then aggregated — exact under appends because the merge
-    # is sum/min over deltas), so the probe pays a tiny summary scan
-    # instead of a window shuffle+sort over the store rows. The split
-    # stays a broadcast SUBTREE over that pruned scan rather than a
-    # driver collect — round 6's extra stats roundtrip serialized the
-    # probe's job chain for no pruning benefit (the subtree carries the
-    # identical bkp INSET + semi join). Legacy indexes without sizes/
-    # fall back to the equivalent window over the pruned scan.
+    # hot-bucket sizing reads the persisted per-bucket summary log (exact
+    # under appends because the merge is sum/min over deltas); legacy
+    # indexes without sizes/ fall back to the equivalent window over the
+    # pruned store scan.
     sizes = None
     try:
         sizes = spark.read.parquet(root + "/sizes")
     except AnalysisException:
         pass
     size_deps: list[DataFrame] = []
+    key_schema = nb.select("band", "band_key").schema
+    local_stats = None
     if sizes is not None:
-        stats = (sizes.filter(F.col("bkp").isin(hit_bkps))
-                 .join(F.broadcast(batch_keys),
-                       on=["band", "band_key"], how="left_semi")
-                 .groupBy("band", "band_key")
-                 .agg(F.sum("n").alias("_n"), F.min("rep").alias("_rep"))
-                 .persist())
-        size_deps.append(stats)
-        cold_filter = F.broadcast(
-            stats.filter(F.col("_n") <= max_bucket_size)
-            .select("band", "band_key"))
-        hot_old = (stats.filter(F.col("_n") > max_bucket_size)
-                   .select(F.col("_rep").alias("id_old"),
-                           "band", "band_key"))
-        cold_old = (store_bands
-                    .join(cold_filter,
+        # ONE fused collect returns the batch's distinct band keys AND the
+        # matched buckets' (size, min-id) stats: the summary scan
+        # semi-joins the broadcast key set and unions under the same
+        # action, so the probe's front half is a single driver job instead
+        # of a key collect followed by a stats subtree (whose broadcast
+        # sites each ran their own cluster job). The redundant comparison
+        # filter on the broadcast side is semantically a no-op (band ≥ 0
+        # always) but marks the subtree "selective" for Spark's
+        # PartitionPruning rule, so the sizes scan carries a
+        # dynamicpruning IN-subquery on bkp — runtime partition pruning
+        # with no driver roundtrip, reusing the key broadcast. Stats rows
+        # are bounded by the matched-bucket count ≤ the key count, so the
+        # collect stays batch-bounded.
+        keys = (nb.select("band", "band_key", "bkp").distinct()
+                .limit(MAX_LOCAL_KEYS + 1))
+        marked = keys.filter(F.col("band") >= 0)
+        stats_arm = (sizes.join(F.broadcast(marked),
+                                on=["band", "band_key", "bkp"],
+                                how="left_semi")
+                     .groupBy("band", "band_key", "bkp")
+                     .agg(F.sum("n").alias("_n"), F.min("rep").alias("_rep"))
+                     .select(F.lit(1).alias("_kind"), "band", "band_key",
+                             "bkp", "_n", "_rep"))
+        key_arm = keys.select(F.lit(0).alias("_kind"), "band", "band_key",
+                              "bkp", F.lit(None).cast("long").alias("_n"),
+                              F.lit(None).cast("long").alias("_rep"))
+        fused = [r.asDict() for r in
+                 key_arm.unionByName(stats_arm).collect()]
+        key_rows = [r for r in fused if r["_kind"] == 0]
+        local_keys = len(key_rows) <= MAX_LOCAL_KEYS
+        if local_keys:
+            local_stats = [r for r in fused if r["_kind"] == 1]
+    else:
+        key_rows = (nb.select("band", "band_key", "bkp").distinct()
+                    .limit(MAX_LOCAL_KEYS + 1).collect())
+        local_keys = len(key_rows) <= MAX_LOCAL_KEYS
+
+    if local_stats is not None:
+        # everything downstream of the fused collect is DRIVER-LOCAL: the
+        # hot side becomes a literal relation of representatives, and the
+        # store scan prunes to the matched COLD buckets only (a bucket
+        # with no stats row has no store rows at all — the backfill in
+        # append_to_dedup_index guarantees summary completeness), which is
+        # strictly tighter than pruning by every batch key. No broadcast
+        # here has a cluster sub-job behind it.
+        from pyspark.sql import types as T
+        within_thread.start()
+        cold = [(r["band"], r["band_key"]) for r in local_stats
+                if r["_n"] <= max_bucket_size]
+        cold_bkps = sorted({r["bkp"] for r in local_stats
+                            if r["_n"] <= max_bucket_size})
+        hot = [(r["_rep"], r["band"], r["band_key"]) for r in local_stats
+               if r["_n"] > max_bucket_size]
+        id_type = nb.schema[id_col].dataType
+        cold_keys = spark.createDataFrame(cold, key_schema)
+        hot_old = spark.createDataFrame(
+            hot, T.StructType([T.StructField("id_old", id_type)]
+                              + list(key_schema.fields)))
+        cold_old = (store.filter(F.col("bkp").isin(cold_bkps))
+                    .join(F.broadcast(cold_keys),
                           on=["band", "band_key"], how="left_semi")
                     .select(F.col(id_col).alias("id_old"),
                             "band", "band_key"))
+        old_side = cold_old.unionByName(hot_old)
     else:
-        from pyspark.sql import Window
-        wb = Window.partitionBy("band", "band_key")
-        tagged = (store_bands
-                  .withColumn("_n", F.count(F.lit(1)).over(wb))
-                  .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
-        cold_old = (tagged.filter(F.col("_n") <= max_bucket_size)
-                    .select(F.col(id_col).alias("id_old"),
-                            "band", "band_key"))
-        hot_old = (tagged.filter(F.col("_n") > max_bucket_size)
-                   .select(F.col("_rep").alias("id_old"),
-                           "band", "band_key")
-                   .distinct())
-    old_side = cold_old.unionByName(hot_old)
+        # oversized batch (or legacy index): partition pruning + key semi
+        # join as broadcast subtrees — correctness never depends on the
+        # local collect, only the probe's fixed job count does
+        if local_keys:
+            hit_bkps = sorted({r["bkp"] for r in key_rows})
+            batch_keys = spark.createDataFrame(
+                [(r["band"], r["band_key"]) for r in key_rows], key_schema)
+        else:
+            hit_bkps = [r["bkp"] for r in
+                        nb.select("bkp").distinct().collect()]
+            batch_keys = nb.select("band", "band_key").distinct()
+        within_thread.start()
+        store_bands = (store.filter(F.col("bkp").isin(hit_bkps))
+                       .join(F.broadcast(batch_keys),
+                             on=["band", "band_key"], how="left_semi"))
+        if sizes is not None:
+            stats = (sizes.filter(F.col("bkp").isin(hit_bkps))
+                     .join(F.broadcast(batch_keys),
+                           on=["band", "band_key"], how="left_semi")
+                     .groupBy("band", "band_key")
+                     .agg(F.sum("n").alias("_n"),
+                          F.min("rep").alias("_rep"))
+                     .persist())
+            size_deps.append(stats)
+            cold_filter = F.broadcast(
+                stats.filter(F.col("_n") <= max_bucket_size)
+                .select("band", "band_key"))
+            hot_old = (stats.filter(F.col("_n") > max_bucket_size)
+                       .select(F.col("_rep").alias("id_old"),
+                               "band", "band_key"))
+            cold_old = (store_bands
+                        .join(cold_filter,
+                              on=["band", "band_key"], how="left_semi")
+                        .select(F.col(id_col).alias("id_old"),
+                                "band", "band_key"))
+        else:
+            from pyspark.sql import Window
+            wb = Window.partitionBy("band", "band_key")
+            tagged = (store_bands
+                      .withColumn("_n", F.count(F.lit(1)).over(wb))
+                      .withColumn("_rep", F.min(F.col(id_col)).over(wb)))
+            cold_old = (tagged.filter(F.col("_n") <= max_bucket_size)
+                        .select(F.col(id_col).alias("id_old"),
+                                "band", "band_key"))
+            hot_old = (tagged.filter(F.col("_n") > max_bucket_size)
+                       .select(F.col("_rep").alias("id_old"),
+                               "band", "band_key")
+                       .distinct())
+        old_side = cold_old.unionByName(hot_old)
 
     new_side = nb.select(F.col(id_col).alias("id_new"), "band", "band_key")
     cross = (new_side.join(old_side, on=["band", "band_key"])
