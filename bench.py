@@ -239,7 +239,11 @@ def main() -> None:
              "bm25_topk_indexed_docs", "kmeans_assign_cells",
              "semantic_dedup_docs", "ngram_decontaminated_docs",
              "projected_knn_vec7", "upserted_documents",
-             "rollup_hll_users_hourly", "curated_packed_training_set"]
+             "rollup_hll_users_hourly", "curated_packed_training_set",
+             # round-7 batch 2: exact-substring span dedup, unigram-LM
+             # quality scoring, temperature mixture, deterministic shuffle
+             "span_neardup_docs", "unigram_lm_quality",
+             "temperature_mixture_docs", "shuffled_documents"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

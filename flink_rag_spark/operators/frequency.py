@@ -51,7 +51,7 @@ sentinel value before calling this.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 #: candidate sets up to this size recount via an InSet scan predicate
@@ -181,3 +181,54 @@ def heavy_hitters(df: DataFrame, col: str, threshold_frac: float,
             .filter(F.col("cnt") > F.lit(float(n_total) * threshold_frac))
             .select(col, "cnt",
                     (F.col("cnt") / F.lit(float(n_total))).alias("frac")))
+
+
+def cms_build(df: DataFrame, col: str, eps: float = 0.001,
+              confidence: float = 0.99, seed: int = 42,
+              group_col: str | None = None) -> DataFrame:
+    """Count-min sketches of ``col`` as MERGEABLE binary partials — the
+    point-frequency-estimation member of the sketch-aggregate family
+    (HLL covers distinct counts, Misra-Gries covers top-k; CMS answers
+    "how often does THIS item occur" in O(1/eps) space at any scale).
+
+    One row per ``group_col`` value (or one total row): (group?, sketch
+    binary, n). Spark's ``count_min_sketch`` aggregate computes the
+    sketch with map-side partial merges — the shuffle carries
+    O(groups × sketch_size), never the key space — and the binaries
+    re-merge associatively (``cms_merge``), so stored per-partition/
+    per-day sketches roll up exactly like the rollup family's HLL
+    partials."""
+    agg = [F.expr(f"count_min_sketch({col}, {eps}d, {confidence}d, "
+                  f"{seed})").alias("cms"),
+           F.count(F.col(col)).alias("n")]
+    if group_col is not None:
+        return df.groupBy(group_col).agg(*agg)
+    return df.agg(*agg)
+
+
+def _jvm_cms(spark: SparkSession, blob: bytes):
+    bio = spark._jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    return spark._jvm.org.apache.spark.util.sketch.CountMinSketch \
+        .readFrom(bio)
+
+
+def cms_merge(spark: SparkSession, blobs: list[bytes]) -> "object":
+    """Merge sketch binaries (same eps/confidence/seed) into one JVM
+    CountMinSketch — associative and lossless, the property that makes
+    stored partials maintainable."""
+    if not blobs:
+        raise ValueError("nothing to merge")
+    base = _jvm_cms(spark, blobs[0])
+    for b in blobs[1:]:
+        base.mergeInPlace(_jvm_cms(spark, b))
+    return base
+
+
+def cms_estimate(spark: SparkSession, blobs: list[bytes],
+                 items: list) -> dict:
+    """Point-frequency estimates for ``items`` from (merged) sketch
+    binaries. Guarantee: estimate ≥ true count always, and
+    estimate ≤ true + eps·N with probability ≥ confidence (the
+    contract tests/test_round7b_ops.py pins)."""
+    sk = cms_merge(spark, blobs)
+    return {it: sk.estimateCount(it) for it in items}

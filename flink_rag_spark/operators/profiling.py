@@ -73,3 +73,55 @@ SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
        CAST(MAX({c}) AS VARCHAR) AS max_value
 FROM {table}""")
     return "\nUNION ALL\n".join(branches)
+
+
+def quantile_bins(df: DataFrame, value_col: str, n_bins: int = 10,
+                  out_col: str = "bin", exact: bool = True) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-discretization
+    stage of a training pipeline: every row gets the 1-based index of its
+    value's decile/quantile bucket, with boundaries computed from the
+    data itself.
+
+    Two-pass by nature (boundaries, then assignment), but each pass is
+    one scan: the n_bins−1 boundaries aggregate to a SINGLE row that
+    broadcasts back onto the assignment scan, where the bin index is
+    1 + Σ (value > boundary_i) — a codegen'd conditional sum, no join
+    per boundary, no shuffle beyond the boundary aggregation's own.
+    Ties sit in the LOWER bin (strict >), so assignment is deterministic.
+
+    ``exact=True`` uses interpolated ``percentile`` (≡ DuckDB
+    quantile_cont — the engine-parity tier); at 100 TB pass
+    ``exact=False`` for ``approx_percentile`` (t-digest-backed, one
+    pass, mergeable partials) — identical plan shape, approximate
+    boundaries."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fn = "percentile" if exact else "approx_percentile"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(*[
+        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
+        for i, p in enumerate(ps)])
+    idx = F.lit(1)
+    for i in range(len(ps)):
+        idx = idx + F.when(F.col(value_col) > F.col(f"_qb{i}"), 1) \
+                     .otherwise(0)
+    return (df.crossJoin(F.broadcast(bounds))
+            .withColumn(out_col, idx.cast("int"))
+            .drop(*[f"_qb{i}" for i in range(len(ps))]))
+
+
+def quantile_bins_duck(table: str, value_col: str, n_bins: int,
+                       select_cols: str, out_col: str = "bin") -> str:
+    """DuckDB mirror of the exact path: quantile_cont boundaries, same
+    strict-> conditional sum, same 1-based index."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bs = ", ".join(f"quantile_cont({value_col}, {p!r}) AS _qb{i}"
+                   for i, p in enumerate(ps))
+    terms = " + ".join(
+        f"(CASE WHEN {value_col} > _qb{i} THEN 1 ELSE 0 END)"
+        for i in range(len(ps)))
+    return f"""
+WITH b AS (SELECT {bs} FROM {table})
+SELECT {select_cols}, CAST(1 + {terms} AS INT) AS {out_col}
+FROM {table}, b
+"""

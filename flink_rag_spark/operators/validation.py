@@ -1,0 +1,79 @@
+"""Rule-based data validation — the expectation-check stage of a data
+pipeline (Great-Expectations-shaped; ABSENT in the reference): evaluate a
+set of named boolean rules over a table and report, per rule, how many
+rows violate it — plus table-level expectations (key uniqueness) that no
+row-local predicate can express.
+
+Plan at 100 TB: ALL row-local rules evaluate in ONE aggregate pass over
+one scan (each rule is a conditional count — no per-rule jobs, no
+shuffle beyond the single final-aggregation exchange), and the
+uniqueness check rides the same pass as count - countDistinct over the
+key. The per-rule report unpivots from that single row via stack —
+|rules| output rows, never a second scan. ``violating_rows`` is the
+debugging companion: one filtered scan returning offending rows with the
+list of rules each breaks (pushdown-friendly OR of the negated rules).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def validate(df: DataFrame, rules: dict[str, str],
+             unique_key: str | None = None) -> DataFrame:
+    """(rule, violations, passed) — one aggregate pass for every rule.
+
+    ``rules`` maps rule name → SQL boolean expression that must hold for
+    every row (NULL counts as a violation: an unevaluable expectation is
+    a failed one). ``unique_key``: also check that the column's values
+    are unique (violations = n_rows − n_distinct, the number of surplus
+    duplicate rows)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.sum(F.when(F.expr(expr), 0).otherwise(1)).alias(name)
+            for name, expr in rules.items()]
+    if unique_key is not None:
+        aggs.append((F.count(F.col(unique_key))
+                     - F.countDistinct(F.col(unique_key)))
+                    .alias(f"unique_{unique_key}"))
+    one = df.agg(*aggs)
+    names = list(rules) + ([f"unique_{unique_key}"]
+                           if unique_key is not None else [])
+    stack = ", ".join(f"'{n}', cast(`{n}` as bigint)" for n in names)
+    return (one.select(F.expr(
+        f"stack({len(names)}, {stack}) as (rule, violations)"))
+        .withColumn("passed", F.col("violations") == 0))
+
+
+def violating_rows(df: DataFrame, rules: dict[str, str],
+                   id_col: str) -> DataFrame:
+    """(id, failed_rules array<string>) for rows breaking ≥1 rule — the
+    drill-down companion to ``validate``; the filter is the OR of the
+    negated rules, so clean tables scan once and return nothing."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    flags = [F.when(~F.coalesce(F.expr(e), F.lit(False)), F.lit(n))
+             for n, e in rules.items()]
+    arr = F.array_compact(F.array(*flags)).alias("failed_rules")
+    return (df.select(F.col(id_col), arr)
+            .filter(F.size("failed_rules") > 0))
+
+
+def validate_duck(table: str, rules: dict[str, str],
+                  unique_key: str | None = None) -> str:
+    """DuckDB mirror of ``validate`` — same one-pass conditional counts,
+    same NULL-is-violation semantics, same unique-key surplus count."""
+    parts = [
+        f"SELECT '{n}' AS rule, "
+        f"CAST(SUM(CASE WHEN ({e}) THEN 0 ELSE 1 END) AS BIGINT) "
+        f"AS violations FROM {table}"
+        for n, e in rules.items()]
+    if unique_key is not None:
+        parts.append(
+            f"SELECT 'unique_{unique_key}' AS rule, "
+            f"COUNT({unique_key}) - COUNT(DISTINCT {unique_key}) "
+            f"AS violations FROM {table}")
+    union = " UNION ALL ".join(parts)
+    return (f"SELECT rule, violations, violations = 0 AS passed "
+            f"FROM ({union})")

@@ -47,8 +47,13 @@ def extra_queries() -> list[tuple]:
         temperature_mixture_duck,
     )
     from flink_rag_spark.operators.dedup import span_pairs_duck
+    from flink_rag_spark.operators.encoding import encoded_documents_duck
     from flink_rag_spark.operators.quality import unigram_lm_scores_duck
-    from flink_rag_spark.operators.profiling import profile_columns_duck
+    from flink_rag_spark.operators.validation import validate_duck
+    from flink_rag_spark.operators.profiling import (
+        profile_columns_duck,
+        quantile_bins_duck,
+    )
     from flink_rag_spark.plans import (
         llm,
         relational as R,
@@ -966,7 +971,27 @@ FROM documents WHERE doc_id % 97 = 0
                                     llm.SHUFFLE_SEED, llm.SHUFFLE_BUCKETS,
                                     "doc_id"),
          ("curation", "shuffle", "sampling")),
+        # round-7: vocabulary induction + token-id encoding — the
+        # text-to-trainer-input stage; stable (count DESC, token ASC)
+        # ids, UNK=0, position-ordered arrays replay exactly
+        ("encoded_documents", llm.encoded_documents,
+         encoded_documents_duck("documents", "text", "doc_id",
+                                llm.ENCODE_VOCAB, llm.ENCODE_MIN_COUNT),
+         ("text", "encoding", "curation")),
+        # round-7: rule-based validation report — every row-local rule in
+        # ONE aggregate pass + key uniqueness; rules are portable SQL
+        # evaluated verbatim by both engines
+        ("validated_documents", llm.validated_documents,
+         validate_duck("documents", llm.VALIDATION_RULES, "doc_id"),
+         ("quality", "validation", "profiling")),
+        # round-7: equal-frequency decile binning — exact percentile_cont
+        # boundaries broadcast onto one assignment scan
+        ("binned_order_prices", R3.binned_order_prices,
+         quantile_bins_duck("orders", "o_totalprice", 10, "o_orderkey"),
+         ("agg", "stats", "binning")),
         # rows-only by nature (approximate / provider-UDF surfaces)
+        ("cms_user_counts", llm.cms_user_counts, None,
+         ("agg", "sketch", "frequency")),
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),
         ("ann_ivf_vec7", llm.ann_ivf_vec7, None, ("similarity", "ann")),
         ("embed_documents_sample", llm.embed_documents_sample,

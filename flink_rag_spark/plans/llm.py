@@ -993,3 +993,69 @@ def shuffled_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = deterministic_shuffle(d, "doc_id", seed=SHUFFLE_SEED,
                                 buckets=SHUFFLE_BUCKETS)
     return out.select("doc_id", "shuffle_bucket", "shuffle_pos")
+
+
+#: small vocabulary (with UNK coverage) for the encoding query — the
+#: synthetic corpus has a tiny token inventory; real runs use 10^4-10^5
+ENCODE_VOCAB = 48
+ENCODE_MIN_COUNT = 2
+
+
+def encoded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization surface (operators/encoding.py): corpus-derived
+    vocabulary (top-K by count, stable id order) + every document encoded
+    as a position-ordered token-id array with OOV→0 — the
+    text-to-trainer-input stage of a training pipeline."""
+    from flink_rag_spark.operators.encoding import (
+        build_vocab,
+        encode_documents,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", vocab_size=ENCODE_VOCAB,
+                        min_count=ENCODE_MIN_COUNT)
+    out = encode_documents(d, "text", "doc_id", vocab)
+    # the id sequence serializes to one string for the value-hash compare
+    # (engines disagree on ARRAY cell repr, not on the values)
+    return out.select("doc_id", "n_tokens",
+                      F.array_join("token_ids", " ").alias("token_ids_str"))
+
+
+#: expectation rules for the validation query — portable SQL (evaluated
+#: verbatim by Spark AND DuckDB); min_100_chars intentionally fails for
+#: short documents so the report exercises a nonzero violation count
+VALIDATION_RULES = {
+    "doc_id_nonneg": "doc_id >= 0",
+    "text_nonempty": "length(text) > 0",
+    "n_chars_consistent": "n_chars = length(text)",
+    "lang_known": "lang IN ('en', 'de', 'fr', 'es', 'zh')",
+    "min_100_chars": "length(text) >= 100",
+}
+
+
+def validated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation surface (operators/validation.py): the
+    expectation-check report over documents — every row-local rule in one
+    aggregate pass plus key-uniqueness, (rule, violations, passed)."""
+    from flink_rag_spark.operators.validation import validate
+    d = load_table(spark, sf_dir, "documents")
+    return validate(d, VALIDATION_RULES, unique_key="doc_id")
+
+
+#: fixed probe users for the CMS frequency-estimation query
+CMS_PROBE_USERS = [1, 7, 42, 99, 123]
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch surface (frequency.cms_build/cms_estimate):
+    per-source sketch partials over event user ids, merged associatively,
+    then point-frequency estimates for fixed probe users — approximate
+    by nature (rows-only here; the ≥true / ≤true+eps·N contract is
+    pinned by tests/test_round7b_ops.py)."""
+    from flink_rag_spark.operators.frequency import cms_build, cms_estimate
+    e = load_table(spark, sf_dir, "events")
+    parts = cms_build(e, "user_id", group_col="event_type")
+    blobs = [bytes(r["cms"]) for r in parts.collect()]
+    est = cms_estimate(spark, blobs, CMS_PROBE_USERS)
+    return spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in est.items()),
+        "user_id long, est_count long")

@@ -628,3 +628,15 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_to_rollup(spark, e.filter(F.col("ts") >= F.lit(cutoff)), path,
                      keys=["user_id"])
     return rollup_cascade(spark, path, "1 day", keys=["user_id"])
+
+
+def binned_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-discretization surface (profiling.quantile_bins):
+    equal-frequency decile binning of order prices — exact
+    percentile_cont boundaries broadcast onto one assignment scan,
+    strict-> tie-breaking; the approx_percentile variant is the same
+    plan at 100 TB."""
+    from flink_rag_spark.operators.profiling import quantile_bins
+    o = load_table(spark, sf_dir, "orders")
+    return (quantile_bins(o, "o_totalprice", n_bins=10)
+            .select("o_orderkey", "bin"))

@@ -160,3 +160,130 @@ def test_shuffle_actually_permutes(spark):
     head = [r["doc_id"] for r in
             out.orderBy("shuffle_bucket", "shuffle_pos").limit(100).collect()]
     assert head != sorted(head) or head != list(range(100))
+
+
+# ---------------------------------------------- vocab + id encoding
+
+
+def test_encode_ids_stable_and_positional(spark):
+    from flink_rag_spark.operators.encoding import (
+        UNK_ID,
+        build_vocab,
+        encode_documents,
+    )
+    d = _docs(spark, [(1, "b a b c b a"), (2, "a zzz b")])
+    vocab = build_vocab(d, "text", vocab_size=2, min_count=2)
+    ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # b(4) id 1, a(3) id 2; c and zzz fall out (cap / min_count)
+    assert ids == {"b": 1, "a": 2}
+    enc = {r["doc_id"]: r for r in
+           encode_documents(d, "text", "doc_id", vocab).collect()}
+    assert enc[1]["token_ids"] == [1, 2, 1, UNK_ID, 1, 2]
+    assert enc[2]["token_ids"] == [2, UNK_ID, 1]
+    assert enc[1]["n_tokens"] == 6
+
+
+def test_encode_is_layout_independent(spark):
+    from flink_rag_spark.operators.encoding import (
+        build_vocab,
+        encode_documents,
+    )
+    d = _docs(spark, [(i, f"tok{i % 7} tok{i % 3} filler words here")
+                      for i in range(200)])
+    v = build_vocab(d, "text", vocab_size=5)
+    a = encode_documents(d, "text", "doc_id", v)
+    b = encode_documents(d.repartition(13), "text", "doc_id",
+                         build_vocab(d.repartition(5), "text",
+                                     vocab_size=5))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --------------------------------------------------- validation
+
+
+def test_validate_counts_and_uniqueness(spark):
+    from flink_rag_spark.operators.validation import (
+        validate,
+        violating_rows,
+    )
+    d = spark.createDataFrame(
+        [(1, "ok", 5), (2, "", 0), (2, "dup", 3), (3, None, 9)],
+        "id long, t string, n long")
+    rules = {"t_nonempty": "length(t) > 0", "n_small": "n < 9"}
+    rep = {r["rule"]: (r["violations"], r["passed"])
+           for r in validate(d, rules, unique_key="id").collect()}
+    # empty-string row fails t_nonempty; NULL t is also a violation
+    assert rep["t_nonempty"] == (2, False)
+    assert rep["n_small"] == (1, False)
+    assert rep["unique_id"] == (1, False)  # one surplus duplicate row
+    bad = {(r["id"], tuple(r["failed_rules"]))
+           for r in violating_rows(d, rules, "id").collect()}
+    assert (2, ("t_nonempty",)) in bad
+    assert (3, ("t_nonempty", "n_small")) in bad
+
+
+def test_validate_clean_table_passes(spark):
+    from flink_rag_spark.operators.validation import validate
+    d = spark.createDataFrame([(i, "x") for i in range(10)],
+                              "id long, t string")
+    rep = validate(d, {"t_ok": "t = 'x'"}, unique_key="id").collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+
+
+# ------------------------------------------------ quantile binning
+
+
+def test_quantile_bins_equal_frequency(spark):
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.profiling import quantile_bins
+    d = spark.range(0, 1000).withColumn("v", F.col("id").cast("double"))
+    out = quantile_bins(d, "v", n_bins=4)
+    counts = {r["bin"]: r["n"] for r in
+              out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {1, 2, 3, 4}
+    assert all(200 <= c <= 300 for c in counts.values())
+    # monotone: every value in bin k is <= every value in bin k+1
+    mx = {r["bin"]: (r["lo"], r["hi"]) for r in
+          out.groupBy("bin").agg(F.min("v").alias("lo"),
+                                 F.max("v").alias("hi")).collect()}
+    assert mx[1][1] <= mx[2][0] and mx[2][1] <= mx[3][0] \
+        and mx[3][1] <= mx[4][0]
+
+
+def test_quantile_bins_approx_path_runs(spark):
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.profiling import quantile_bins
+    d = spark.range(0, 500).withColumn("v", (F.col("id") % 50).cast("double"))
+    out = quantile_bins(d, "v", n_bins=5, exact=False)
+    assert out.count() == 500
+    assert out.select("bin").distinct().count() <= 5
+
+
+# ------------------------------------------------ count-min sketch
+
+
+def test_cms_contract_and_mergeability(spark):
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.frequency import (
+        cms_build,
+        cms_estimate,
+    )
+    rows = [(i % 5, "g%d" % (i % 3)) for i in range(3000)] \
+        + [(999, "g0")] * 7
+    d = spark.createDataFrame(rows, "k long, g string")
+    true = {r["k"]: r["n"] for r in
+            d.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(true.values())
+    eps = 0.001
+    # grouped partials merge to the same answer as one global sketch
+    parts = [bytes(r["cms"]) for r in
+             cms_build(d, "k", eps=eps, group_col="g").collect()]
+    whole = [bytes(r["cms"]) for r in cms_build(d, "k", eps=eps).collect()]
+    probes = [0, 1, 4, 999, 12345]
+    est_m = cms_estimate(spark, parts, probes)
+    est_w = cms_estimate(spark, whole, probes)
+    assert est_m == est_w
+    for p in probes:
+        t = true.get(p, 0)
+        assert est_m[p] >= t  # CMS never underestimates
+        assert est_m[p] <= t + eps * n_total + 1
