@@ -287,3 +287,115 @@ def test_cms_contract_and_mergeability(spark):
         t = true.get(p, 0)
         assert est_m[p] >= t  # CMS never underestimates
         assert est_m[p] <= t + eps * n_total + 1
+
+
+# --------------------------------------------------- z-order layout
+
+
+def _file_stat_widths(path, col):
+    """Per-file (max-min)/global_range for one column, from parquet
+    footer statistics — the exact information a scan's file skipping
+    uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+    widths, los, his = [], [], []
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        widths.append(hi - lo)
+        los.append(lo)
+        his.append(hi)
+    rng = max(his) - min(los)
+    return [w / rng for w in widths]
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.layout import write_zordered
+    # two independent uniform dimensions — the worst case for any
+    # single-column sort
+    d = (spark.range(0, 40_000)
+         .select((F.col("id") % 200).alias("x"),
+                 F.floor(F.col("id") / 200).alias("y"),
+                 F.col("id").alias("payload")))
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(d, zpath, ["x", "y"], n_files=16)
+    (d.repartitionByRange(16, F.col("x"))
+     .sortWithinPartitions("x").write.mode("overwrite").parquet(lpath))
+    # same rows either way
+    assert (spark.read.parquet(zpath).exceptAll(d).count() == 0
+            and d.exceptAll(spark.read.parquet(zpath)).count() == 0)
+    zx = sum(_file_stat_widths(zpath, "x")) / 16
+    zy = sum(_file_stat_widths(zpath, "y")) / 16
+    lx = sum(_file_stat_widths(lpath, "x")) / 16
+    ly = sum(_file_stat_widths(lpath, "y")) / 16
+    # linear layout: razor-sharp on x, useless on y
+    assert lx < 0.15 and ly > 0.8
+    # z-order: BOTH dimensions prunable — every file covers a small
+    # fraction of each dimension's range (16 files → ~4x4 curve tiles,
+    # expected width ~0.25-0.35 per dimension)
+    assert zx < 0.5 and zy < 0.5
+    # and far better than the linear layout's bad dimension
+    assert zy < ly / 2
+
+
+# ---------------------------------------------- streaming quality gate
+
+
+def test_streaming_quality_gate_routes_and_reports(spark, tmp_path):
+    from flink_rag_spark.streaming.quality_gate import run_quality_gate
+    rules = {"t_nonempty": "length(t) > 0", "v_pos": "v > 0"}
+    rows = [(1, "ok", 5), (2, "", 3), (3, "fine", -1), (4, "good", 2),
+            (5, "", -9)]
+    src = tmp_path / "src"
+    src.mkdir()
+    d = spark.createDataFrame(rows, "id long, t string, v long")
+    d.write.parquet(str(src / "b1"))
+    clean, quar, mets = (str(tmp_path / p)
+                         for p in ("clean", "quar", "mets"))
+    stream = spark.readStream.schema(d.schema).parquet(str(src / "*"))
+    q = run_quality_gate(spark, stream, rules, "id", clean, quar, mets,
+                         str(tmp_path / "cp"), available_now=True)
+    assert q.awaitTermination(120)
+    got_clean = {r["id"] for r in spark.read.parquet(clean).collect()}
+    assert got_clean == {1, 4}
+    bad = {r["id"]: sorted(r["failed_rules"])
+           for r in spark.read.parquet(quar).collect()}
+    assert bad == {2: ["t_nonempty"], 3: ["v_pos"],
+                   5: ["t_nonempty", "v_pos"]}
+    m = {r["rule"]: (r["violations"], r["n_rows"])
+         for r in spark.read.parquet(mets).collect()}
+    assert m == {"t_nonempty": (2, 5), "v_pos": (2, 5)}
+
+
+def test_streaming_quality_gate_replay_idempotent(spark, tmp_path):
+    """Replaying a committed micro-batch dynamic-overwrites its own
+    batch_id partitions — no duplicate rows in any sink."""
+    from flink_rag_spark.streaming.quality_gate import run_quality_gate
+    rules = {"v_pos": "v > 0"}
+    src = tmp_path / "src"
+    src.mkdir()
+    d = spark.createDataFrame([(i, i - 2) for i in range(6)],
+                              "id long, v long")
+    d.write.parquet(str(src / "b1"))
+    clean, quar, mets = (str(tmp_path / p)
+                         for p in ("clean", "quar", "mets"))
+
+    def drain(cp):
+        stream = spark.readStream.schema(d.schema).parquet(str(src / "*"))
+        q = run_quality_gate(spark, stream, rules, "id", clean, quar,
+                             mets, cp, available_now=True)
+        assert q.awaitTermination(120)
+
+    drain(str(tmp_path / "cp1"))
+    # fresh checkpoint: the SAME files replay as batch 0 again
+    drain(str(tmp_path / "cp2"))
+    assert spark.read.parquet(clean).count() == 3   # v in {1,2,3}
+    assert spark.read.parquet(quar).count() == 3    # v in {-2,-1,0}
+    assert spark.read.parquet(mets).count() == 1
