@@ -35,6 +35,12 @@ class Provider:
     def chat_batch(self, prompts: "pd.Series") -> "pd.Series":  # -> Series[str]
         raise NotImplementedError
 
+    def rerank_batch(self, questions: "pd.Series",
+                     texts: "pd.Series") -> "pd.Series":  # -> Series[float]
+        """Cross-encoder seam: relevance score per (question, text) pair.
+        Batch-in, batch-out like the other two calls."""
+        raise NotImplementedError
+
 
 class LocalDeterministicProvider(Provider):
     """Seeded hash-projection embedder + template-echo chat.
@@ -88,6 +94,22 @@ class LocalDeterministicProvider(Provider):
             digest = hashlib.md5(p.encode()).hexdigest()[:8]
             return f"[answer:{digest}] {p[:200]}"
         return prompts.fillna("").map(answer)
+
+    def rerank_batch(self, questions: pd.Series,
+                     texts: pd.Series) -> pd.Series:
+        """Deterministic cross-encoder stand-in: distinct-token overlap
+        |q ∩ t| / |q| — an UNROUNDED int/int IEEE division, so the DuckDB
+        oracle's len()/len() division produces the bit-identical double
+        (rounding here would re-open the banker's-vs-half-away gap; ties
+        resolve downstream by first-stage score, then id)."""
+        def score(q: str, t: str) -> float:
+            qt = set(q.lower().split())
+            if not qt:
+                return 0.0
+            return len(qt & set(t.lower().split())) / len(qt)
+        return pd.Series([score(q or "", t or "")
+                          for q, t in zip(questions, texts)],
+                         index=questions.index, dtype="float64")
 
 
 class OpenAIHttpProvider(Provider):
@@ -221,6 +243,26 @@ class OpenAIHttpProvider(Provider):
             out = list(ex.map(one, vals))
         return pd.Series(out, index=prompts.index)
 
+    def rerank_batch(self, questions: pd.Series,
+                     texts: pd.Series) -> pd.Series:
+        """Cohere/Jina-style ``/rerank``: one request per distinct
+        question carrying that question's candidate documents (the API's
+        natural batch unit), scores realigned by the returned indexes.
+        Same transport/retry/timeout policy as the other calls."""
+        import pandas as _pd
+        df = _pd.DataFrame({"q": questions.fillna(""),
+                            "t": texts.fillna("")})
+        scores = _pd.Series(0.0, index=questions.index, dtype="float64")
+        for q, grp in df.groupby("q", sort=False):
+            resp = self._post("/rerank", {
+                "model": self.chat_model,
+                "query": q,
+                "documents": grp["t"].tolist(),
+            })
+            for r in resp["results"]:
+                scores.loc[grp.index[r["index"]]] = r["relevance_score"]
+        return scores
+
 
 def embed_text_col(provider: Provider | None = None,
                    cfg: EngineConfig = DEFAULT_CONFIG):
@@ -257,3 +299,18 @@ def embed_documents(df: DataFrame, text_col: str = "text",
     """Attach an embedding column to a document DataFrame (batch analog of
     the reference's ingestion embedder, StreamingStoreKnowledge.java:80-97)."""
     return df.withColumn(out_col, embed_text_col(provider, cfg)(F.col(text_col)))
+
+
+def rerank_col(provider: Provider | None = None,
+               cfg: EngineConfig = DEFAULT_CONFIG):
+    """pandas UDF: rerank_score(question, text) -> double — the
+    second-stage (cross-encoder) scorer of a retrieve-then-rerank
+    pipeline, Arrow-batched with the provider shipped once per task."""
+    provider = provider or LocalDeterministicProvider(cfg.embedding_dims,
+                                                     cfg.seed)
+
+    @F.pandas_udf("double")
+    def _rerank(questions: pd.Series, texts: pd.Series) -> pd.Series:
+        return provider.rerank_batch(questions, texts)
+
+    return _rerank

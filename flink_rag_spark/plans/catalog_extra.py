@@ -196,6 +196,44 @@ SELECT vec_id, cell FROM asg
 WHERE vec_id NOT IN (SELECT vec_id FROM rm)
 """
 
+    def _oracle_reranked() -> str:
+        """Retrieve-then-rerank mirror: cosine top-30 (same rounding and
+        tie-break as knn_join), then the local provider's rerank score —
+        distinct-token overlap |q∩t|/|q| as an unrounded int/int double
+        division, bit-identical to Python's len/len — then top-10 by
+        (rr_score, score, vec_id)."""
+        from flink_rag_spark.plans.llm import RERANK_K0
+        from flink_rag_spark.plans.rag import RAG_ORACLE_QUERY_IDS
+        ids = ", ".join(str(i) for i in RAG_ORACLE_QUERY_IDS)
+        cos = cosine_duck("e.embedding", "q.query_vec")
+        tok = "list_distinct(string_split_regex(trim(lower({s})), '\\s+'))"
+        qtok, dtok = tok.format(s="d.text"), tok.format(s="dd.text")
+        return f"""
+WITH q AS (SELECT vec_id AS question_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (SELECT q.question_id, e.vec_id, ROUND({cos}, 6) AS score
+           FROM embeddings e CROSS JOIN q),
+hits AS (SELECT question_id, vec_id, score FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id
+                     ORDER BY score DESC, vec_id) AS rnk FROM scored) t
+         WHERE rnk <= {RERANK_K0}),
+qt AS (SELECT d.doc_id AS question_id, {qtok} AS qtok
+       FROM documents d WHERE d.doc_id IN ({ids})),
+pairs AS (
+  SELECT h.question_id, h.vec_id, h.score,
+         len(list_intersect(qt.qtok, {dtok}))
+           / CAST(len(qt.qtok) AS DOUBLE) AS rr_score
+  FROM hits h
+  JOIN qt ON qt.question_id = h.question_id
+  JOIN documents dd ON dd.doc_id = h.vec_id)
+SELECT question_id, vec_id, rr_score, score, final_rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY question_id
+            ORDER BY rr_score DESC, score DESC, vec_id) AS INT)
+            AS final_rank
+  FROM pairs) t
+WHERE final_rank <= 10
+"""
+
     # batch hybrid retrieval mirror: per-query BM25 (unique query terms,
     # global df) + cosine ranks, RRF-fused — same rounding/tie-breaks as
     # operators/ranking.py, so ranks and fused scores agree exactly
@@ -989,6 +1027,12 @@ FROM documents WHERE doc_id % 97 = 0
         ("binned_order_prices", R3.binned_order_prices,
          quantile_bins_duck("orders", "o_totalprice", 10, "o_orderkey"),
          ("agg", "stats", "binning")),
+        # round-7: retrieve-then-rerank — cosine top-30 per question, the
+        # provider rerank seam (deterministic local scorer = distinct-
+        # token overlap |q∩t|/|q|, an UNROUNDED int/int division both
+        # engines compute bit-identically), final top-10
+        ("reranked_retrieval", llm.reranked_retrieval,
+         _oracle_reranked(), ("similarity", "ranking", "rerank", "rag")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("cms_user_counts", llm.cms_user_counts, None,
          ("agg", "sketch", "frequency")),

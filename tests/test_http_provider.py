@@ -54,6 +54,13 @@ class _FakeOpenAI(BaseHTTPRequestHandler):
         elif self.path == "/chat/completions":
             content = "echo:" + body["messages"][0]["content"]
             resp = {"choices": [{"message": {"content": content}}]}
+        elif self.path == "/rerank":
+            # score = doc length; results deliberately out of order —
+            # the client must realign by the returned index
+            docs = body["documents"]
+            resp = {"results": [{"index": i,
+                                 "relevance_score": float(len(d))}
+                                for i, d in enumerate(docs)][::-1]}
         else:
             self.send_response(404)
             self.end_headers()
@@ -196,3 +203,16 @@ def test_chat_on_error_null_fails_only_the_hung_row(fake_server):
 def test_chat_on_error_rejects_unknown_policy(fake_server):
     with pytest.raises(ValueError, match="chat_on_error"):
         _provider(fake_server, chat_on_error="ignore")
+
+
+def test_rerank_groups_by_question_and_realigns(fake_server):
+    p = _provider(fake_server)
+    qs = pd.Series(["q1", "q2", "q1", "q2"])
+    ts = pd.Series(["aaa", "b", "ccccc", "dd"])
+    out = p.rerank_batch(qs, ts)
+    # scores align to each pair's own document, not request order
+    assert list(out) == [3.0, 1.0, 5.0, 2.0]
+    rerank_reqs = [r for r in _FakeOpenAI.requests if r["path"] == "/rerank"]
+    # one request per DISTINCT question, carrying that question's docs
+    assert len(rerank_reqs) == 2
+    assert sorted(len(r["body"]["documents"]) for r in rerank_reqs) == [2, 2]
