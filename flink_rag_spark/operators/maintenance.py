@@ -181,3 +181,164 @@ def delete_from_store(spark: SparkSession, store_path: str,
     os.rename(tmp, store_path)
     shutil.rmtree(old)
     return int(n_before - spark.read.parquet(store_path).count())
+
+
+def _overwrite_partitions(spark: SparkSession, kept, path: str,
+                          pcol: str, touched: list) -> None:
+    """Dynamic-overwrite the ``touched`` partitions of ``path`` with
+    ``kept`` (already checkpointed), removing any partition directory the
+    deletion emptied (dynamic overwrite only replaces partitions PRESENT
+    in the write)."""
+    import pyspark.sql.functions as F
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (kept.write.mode("overwrite").partitionBy(pcol).parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    kept_parts = {r[pcol] for r in kept.select(pcol).distinct().collect()}
+    for p in set(touched) - kept_parts:
+        shutil.rmtree(os.path.join(path, f"{pcol}={p}"),
+                      ignore_errors=True)
+
+
+def forget_in_text_index(spark: SparkSession, path: str,
+                         ids: list[int]) -> int:
+    """Remove documents from a persisted inverted text index
+    (``ranking.build_text_index`` layout) so indexed BM25 afterwards is
+    BIT-IDENTICAL to an index rebuilt without them: postings rows go,
+    doc lengths go, and the mergeable stats decrement EXACTLY (doc
+    lengths are integers, so the double sums subtract without error —
+    same avgdl the rebuild computes). Term df needs no bookkeeping: the
+    query derives it from the surviving postings.
+
+    Cost: one postings scan to FIND the docs' rows (an inverted index is
+    partitioned by term, so a doc's rows are scattered — by design: the
+    read path's pruning matters, deletion is an audit-scale batch job),
+    then a rewrite of only the touched term partitions. Returns postings
+    rows removed."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    ensure_runtime_confs(spark)
+    if not ids:
+        return 0
+    p_path = os.path.join(path, "postings")
+    postings = spark.read.parquet(p_path)
+    tps = [r["tp"] for r in
+           (postings.filter(F.col("doc_id").isin(ids))
+            .select("tp").distinct().collect())]
+    if tps:
+        touched = postings.filter(F.col("tp").isin(tps))
+        n_before = touched.count()
+        kept = (touched.filter(~F.col("doc_id").isin(ids))
+                .repartition("tp").localCheckpoint(eager=True))
+        removed = n_before - kept.count()
+        _overwrite_partitions(spark, kept, p_path, "tp", tps)
+    else:
+        removed = 0
+    d_path = os.path.join(path, "doclens")
+    dl = spark.read.parquet(d_path)
+    gone = (dl.filter(F.col("doc_id").isin(ids))
+            .agg(F.count(F.lit(1)).cast("double").alias("n"),
+                 F.sum("dl").alias("tl")).first())
+    if gone["n"]:
+        kept_dl = (dl.filter(~F.col("doc_id").isin(ids))
+                   .repartition(1).localCheckpoint(eager=True))
+        kept_dl.write.mode("overwrite").parquet(d_path)
+        with open(os.path.join(path, "stats.json")) as f:
+            st = json.load(f)
+        st["n_docs"] -= gone["n"]
+        st["total_len"] -= gone["tl"] or 0.0
+        st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] \
+            else 0.0
+        with open(os.path.join(path, "stats.json"), "w") as f:
+            json.dump(st, f)
+    return int(removed)
+
+
+def forget_in_dedup_index(spark: SparkSession, path: str, ids: list[int],
+                          n_parts: int | None = None) -> int:
+    """Remove documents from a persisted dedup index
+    (``incremental.build_dedup_index`` layout) so later probes behave as
+    if the docs were never indexed: band rows go (touched ``bkp``
+    partitions rewritten), shingle sets go (``sbp`` partitions PRUNED
+    from the ids — sbp = id mod n_parts), and the touched buckets'
+    ``sizes/`` partitions are REBUILT exactly from the surviving bands
+    (a sum/min log can absorb additive deltas but not retractions of the
+    min — rebuilding the touched partitions is the exact correction, and
+    it is bounded by the docs' bucket set). Returns band rows removed."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.incremental import (
+        DEFAULT_PARTS,
+        _bucket_size_deltas,
+        _sizes_tasks,
+    )
+
+    ensure_runtime_confs(spark)
+    if not ids:
+        return 0
+    if n_parts is None:
+        n_parts = DEFAULT_PARTS
+    b_path = os.path.join(path, "bands")
+    bands = spark.read.parquet(b_path)
+    id_col = [c for c in bands.columns
+              if c not in ("band", "band_key", "bkp")][0]
+    bkps = [r["bkp"] for r in
+            (bands.filter(F.col(id_col).isin(ids))
+             .select("bkp").distinct().collect())]
+    removed = 0
+    if bkps:
+        touched = bands.filter(F.col("bkp").isin(bkps))
+        n_before = touched.count()
+        kept = (touched.filter(~F.col(id_col).isin(ids))
+                .repartition("bkp").localCheckpoint(eager=True))
+        removed = n_before - kept.count()
+        _overwrite_partitions(spark, kept, b_path, "bkp", bkps)
+        s_path = os.path.join(path, "sizes")
+        if os.path.exists(s_path):
+            corrected = (_bucket_size_deltas(kept, id_col)
+                         .repartition(_sizes_tasks(n_parts), "bkp")
+                         .localCheckpoint(eager=True))
+            _overwrite_partitions(
+                spark, corrected, s_path, "bkp",
+                [b for b in bkps
+                 if os.path.exists(os.path.join(s_path, f"bkp={b}"))])
+    sh_path = os.path.join(path, "shingles")
+    if os.path.exists(sh_path):
+        sbps = sorted({i % n_parts for i in ids})
+        sh = spark.read.parquet(sh_path)
+        touched_sh = sh.filter(F.col("sbp").isin(sbps))
+        kept_sh = (touched_sh.filter(~F.col(id_col).isin(ids))
+                   .repartition("sbp").localCheckpoint(eager=True))
+        _overwrite_partitions(spark, kept_sh, sh_path, "sbp", sbps)
+    return int(removed)
+
+
+def forget_documents(spark: SparkSession, ids: list[int],
+                     store_path: str | None = None,
+                     text_index_path: str | None = None,
+                     dedup_index_path: str | None = None,
+                     store_id_col: str = "vec_id",
+                     n_parts: int | None = None) -> dict[str, int]:
+    """Right-to-be-forgotten across EVERY artifact holding a document:
+    the bucketed vector store, the inverted text index, and the dedup
+    index — one call, each pass touching only the partitions that can
+    contain the ids (see the per-artifact functions for the exact
+    pruning). The reference delegates this to OpenSearch's delete API;
+    an engine owning its storage has to own deletion too."""
+    out: dict[str, int] = {}
+    if store_path is not None:
+        out["store_rows"] = delete_from_store(spark, store_path, ids,
+                                              store_id_col)
+    if text_index_path is not None:
+        out["posting_rows"] = forget_in_text_index(spark, text_index_path,
+                                                   ids)
+    if dedup_index_path is not None:
+        out["band_rows"] = forget_in_dedup_index(spark, dedup_index_path,
+                                                 ids, n_parts)
+    return out

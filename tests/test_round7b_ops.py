@@ -399,3 +399,89 @@ def test_streaming_quality_gate_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(clean).count() == 3   # v in {1,2,3}
     assert spark.read.parquet(quar).count() == 3    # v in {-2,-1,0}
     assert spark.read.parquet(mets).count() == 1
+
+
+# -------------------------------------------- right to be forgotten
+
+
+def test_forget_in_text_index_equals_rebuild(spark, tmp_path):
+    import glob
+
+    from flink_rag_spark.operators.maintenance import forget_in_text_index
+    from flink_rag_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    rows = [(i, f"shared term plus unique{i} word body number {i}")
+            for i in range(30)]
+    d = _docs(spark, rows)
+    forgotten, remaining = [3, 17], d.filter(~F.col("doc_id").isin(3, 17))
+    full, fresh = str(tmp_path / "full"), str(tmp_path / "fresh")
+    build_text_index(spark, d, full)
+    build_text_index(spark, remaining, fresh)
+
+    n = forget_in_text_index(spark, full, forgotten)
+    assert n > 0
+    # indexed BM25 after deletion is bit-identical to the rebuild
+    for terms in (["shared", "term"], ["unique3"], ["body", "number"]):
+        got = sorted(map(tuple, bm25_topk_indexed(
+            spark, full, terms, k=10).collect()))
+        want = sorted(map(tuple, bm25_topk_indexed(
+            spark, fresh, terms, k=10).collect()))
+        assert got == want
+        assert not any(r[0] in (3, 17) for r in got)
+    # stats decremented exactly
+    import json
+    sa = json.load(open(f"{full}/stats.json"))
+    sb = json.load(open(f"{fresh}/stats.json"))
+    assert (sa["n_docs"], sa["total_len"], sa["avgdl"]) == \
+        (sb["n_docs"], sb["total_len"], sb["avgdl"])
+    assert glob.glob(f"{full}/postings/tp=*/*.parquet")
+
+
+def test_forget_in_dedup_index_equals_rebuild(spark, tmp_path):
+    from flink_rag_spark.operators.incremental import (
+        build_dedup_index,
+        incremental_neardup_pairs,
+    )
+    from flink_rag_spark.operators.maintenance import forget_in_dedup_index
+    from flink_rag_spark.operators.util import unpersist_cached_deps
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus_rows = [(i, f"{base} filler{i} more{i} words{i} here{i}")
+                   for i in range(20)]
+    d = _docs(spark, corpus_rows)
+    n_parts = 8
+    full, fresh = str(tmp_path / "full"), str(tmp_path / "fresh")
+    build_dedup_index(spark, d, "text", "doc_id", full, n_parts=n_parts)
+    build_dedup_index(spark, d.filter(F.col("doc_id") != 5), "text",
+                      "doc_id", fresh, n_parts=n_parts)
+    removed = forget_in_dedup_index(spark, full, [5], n_parts=n_parts)
+    assert removed > 0
+
+    batch = _docs(spark, [(100, f"{base} filler5 more5 words5 here5")])
+
+    def probe(path):
+        out = incremental_neardup_pairs(spark, batch, "text", "doc_id",
+                                        path, 0.5, n_parts=n_parts)
+        rows = sorted(map(tuple, out.collect()))
+        unpersist_cached_deps(out)
+        return rows
+
+    got, want = probe(full), probe(fresh)
+    assert got == want
+    assert not any(5 in (a, b) for a, b, _ in got)
+
+
+def test_forget_documents_composition(spark, tmp_path):
+    from flink_rag_spark.operators.maintenance import forget_documents
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+    store = str(tmp_path / "store")
+    d = spark.createDataFrame([(i, f"payload {i}") for i in range(20)],
+                              "vec_id long, payload string")
+    (d.withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(STORE_BUCKETS)))
+     .repartition("bucket").write.partitionBy("bucket").parquet(store))
+    out = forget_documents(spark, [4, 9], store_path=store)
+    assert out == {"store_rows": 2}
+    left = {r["vec_id"] for r in spark.read.parquet(store).collect()}
+    assert left == set(range(20)) - {4, 9}
