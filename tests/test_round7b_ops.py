@@ -485,3 +485,62 @@ def test_forget_documents_composition(spark, tmp_path):
     assert out == {"store_rows": 2}
     left = {r["vec_id"] for r in spark.read.parquet(store).collect()}
     assert left == set(range(20)) - {4, 9}
+
+
+# -------------------------------------- span dedup property test
+
+
+def test_span_pairs_property_matches_python_model(spark):
+    """Property test: span_pairs over random small-alphabet corpora
+    equals a pure-Python replay of the SAME rolling shingle hash (token
+    polynomial hash + SHINGLE_BASE combination + short-doc padding) —
+    pair set AND distinct-shared-span counts, guard off."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_rag_spark.functions.hashing import POLY_BASE, POLY_P
+    from flink_rag_spark.operators.dedup import SHINGLE_BASE
+
+    K = 3  # small spans so tiny docs can collide
+
+    def tok_hash(t):
+        h = 0
+        for c in t:
+            h = (h * POLY_BASE + ord(c)) % POLY_P
+        return h
+
+    def spans(text):
+        th = [tok_hash(t) for t in text.lower().strip().split()]
+        out = set()
+        for i in range(max(len(th) - K + 1, 1)):
+            h = 0
+            for j in range(K):
+                v = th[i + j] if i + j < len(th) else 0
+                h = (h * SHINGLE_BASE + v) % POLY_P
+            out.add(h)
+        return out
+
+    def model(texts):
+        sp = {i: spans(t) for i, t in enumerate(texts)}
+        pairs = {}
+        for a in sp:
+            for b in sp:
+                if a < b and sp[a] & sp[b]:
+                    pairs[(a, b)] = len(sp[a] & sp[b])
+        return pairs
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(texts=corpus)
+    def check(texts):
+        d = _docs(spark, list(enumerate(texts)))
+        got = {(r["id_a"], r["id_b"]): r["n_spans"]
+               for r in span_pairs(d, "text", "doc_id", K,
+                                   max_span_docs=1000).collect()}
+        assert got == model(texts)
+
+    check()
