@@ -75,7 +75,10 @@ def extra_queries() -> list[tuple]:
         _oracle_lsh_verified,
         _oracle_rag_hybrid,
     )
-    from flink_rag_spark.plans.rag import rag_hybrid_context
+    from flink_rag_spark.plans.rag import (
+        rag_hybrid_context,
+        rag_reranked_answer_oracle,
+    )
 
     from flink_rag_spark.operators.quality import repetition_signals_duck
     from flink_rag_spark.operators.redaction import (
@@ -232,6 +235,35 @@ SELECT question_id, vec_id, rr_score, score, final_rank FROM (
             AS final_rank
   FROM pairs) t
 WHERE final_rank <= 10
+"""
+
+    def _oracle_reranked_answer() -> str:
+        """End-to-end mirror of rag_reranked_answer_oracle: the reranked
+        top-k (same CTEs as _oracle_reranked), context concat ordered by
+        the RERANKED rank, two-slot template, md5 chat echo."""
+        from flink_rag_spark.plans.catalog import (
+            _RAG_T_MID,
+            _RAG_T_POST,
+            _RAG_T_PRE,
+            _sql_str,
+        )
+        sep = _sql_str(CFG.context_separator)
+        return f"""
+WITH base AS ({_oracle_reranked()}),
+ctx AS (
+  SELECT question_id,
+         string_agg(d.text, {sep} ORDER BY base.final_rank)
+           AS information
+  FROM base JOIN documents d ON d.doc_id = base.vec_id
+  GROUP BY question_id)
+SELECT question_id, question, information, prompt,
+       '[answer:' || substr(md5(prompt), 1, 8) || '] '
+         || substr(prompt, 1, 200) AS answer
+FROM (
+  SELECT c.question_id, d.text AS question, c.information,
+         {_sql_str(_RAG_T_PRE)} || d.text || {_sql_str(_RAG_T_MID)}
+           || c.information || {_sql_str(_RAG_T_POST)} AS prompt
+  FROM ctx c JOIN documents d ON d.doc_id = c.question_id) t
 """
 
     # batch hybrid retrieval mirror: per-query BM25 (unique query terms,
@@ -1033,6 +1065,11 @@ FROM documents WHERE doc_id % 97 = 0
         # engines compute bit-identically), final top-10
         ("reranked_retrieval", llm.reranked_retrieval,
          _oracle_reranked(), ("similarity", "ranking", "rerank", "rag")),
+        # round-7: the two-stage serving chain END TO END — retrieve(30)
+        # → rerank → re-ranked context assembly → template → chat, the
+        # whole thing under one value hash
+        ("rag_reranked_answer", rag_reranked_answer_oracle,
+         _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("cms_user_counts", llm.cms_user_counts, None,
          ("agg", "sketch", "frequency")),

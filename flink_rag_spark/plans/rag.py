@@ -288,3 +288,60 @@ def rag_hybrid_context(spark: SparkSession, sf_dir: str,
             .select("question_id", "question", "information",
                     F.concat(F.lit(pre), F.col("question"), F.lit(mid),
                              F.col("information"), F.lit(post)).alias("prompt")))
+
+
+def rag_reranked_answer_oracle(spark: SparkSession, sf_dir: str,
+                               cfg: EngineConfig = DEFAULT_CONFIG
+                               ) -> DataFrame:
+    """The full two-stage serving chain hash-verified END TO END:
+    exact cosine top-30 per question (A9 at rerank depth) → the provider
+    cross-encoder seam (functions/providers.py rerank_col — deterministic
+    local scorer, an unrounded int/int overlap both engines compute
+    bit-identically) → top-k re-ranked context assembly (A10, ordered by
+    the RERANKED rank) → template fill → deterministic chat (A11). The
+    DuckDB oracle replays retrieval, rerank scores, final ranks, context
+    order, prompts AND answers — the complete production RAG shape under
+    one value hash."""
+    from flink_rag_spark.functions.providers import rerank_col
+    from flink_rag_spark.operators.similarity import knn_join
+    from flink_rag_spark.plans.llm import RERANK_K0
+
+    provider = LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id",
+                                                         "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text")
+    ids = list(RAG_ORACLE_QUERY_IDS)
+    queries = (emb.filter(F.col("vec_id").isin(ids))
+               .select(F.col("vec_id").alias("question_id"),
+                       F.col("embedding").alias("query_vec")))
+    hits = knn_join(queries, emb, k=RERANK_K0, query_id="question_id")
+    qtext = (docs.filter(F.col("vec_id").isin(ids))
+             .select(F.col("vec_id").alias("question_id"),
+                     F.col("text").alias("question")))
+    pairs = (broadcast(hits.join(broadcast(qtext), on="question_id"))
+             .join(docs, on="vec_id")
+             .withColumn("rr_score",
+                         rerank_col(provider, cfg)(F.col("question"),
+                                                   F.col("text"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("question_id").orderBy(
+        F.desc("rr_score"), F.desc("score"), F.asc("vec_id"))
+    top = (pairs.withColumn("final_rank", F.row_number().over(w))
+           .filter(F.col("final_rank") <= cfg.retrieval_k))
+    context = (top.groupBy("question_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("final_rank", "text"))),
+                       lambda x: x["text"]),
+                   cfg.context_separator).alias("information")))
+    prompted = (qtext.join(context, on="question_id")
+                .withColumn("prompt", F.format_string(
+                    cfg.prompt_template.replace("{question}", "%s")
+                                       .replace("{information}", "%s"),
+                    F.col("question"), F.col("information"))))
+    return (prompted
+            .withColumn("answer", chat_col(provider, cfg)(F.col("prompt")))
+            .select("question_id", "question", "information", "prompt",
+                    "answer"))
