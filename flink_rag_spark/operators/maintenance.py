@@ -226,8 +226,17 @@ def forget_in_text_index(spark: SparkSession, path: str,
     ensure_runtime_confs(spark)
     if not ids:
         return 0
+    with open(os.path.join(path, "stats.json")) as f:
+        dirty = bool(json.load(f).get("dedup_on_read"))
     p_path = os.path.join(path, "postings")
     postings = spark.read.parquet(p_path)
+    if dirty:
+        # a streaming-maintained index inside its replay window may hold
+        # exact-duplicate rows (ranking.maintain_text_index contract) —
+        # collapse the frames this job counts/rewrites so the removed
+        # count and the stats decrement stay exact. Untouched term
+        # partitions may keep duplicates, so the flag itself stays set.
+        postings = postings.dropDuplicates(["doc_id", "term"])
     tps = [r["tp"] for r in
            (postings.filter(F.col("doc_id").isin(ids))
             .select("tp").distinct().collect())]
@@ -242,6 +251,8 @@ def forget_in_text_index(spark: SparkSession, path: str,
         removed = 0
     d_path = os.path.join(path, "doclens")
     dl = spark.read.parquet(d_path)
+    if dirty:
+        dl = dl.dropDuplicates(["doc_id"])
     gone = (dl.filter(F.col("doc_id").isin(ids))
             .agg(F.count(F.lit(1)).cast("double").alias("n"),
                  F.sum("dl").alias("tl")).first())

@@ -241,24 +241,27 @@ def build_text_index(spark, docs: DataFrame, path: str,
                    "n_parts": n_parts}, f)
 
 
-def append_to_text_index(spark, new_docs: DataFrame, path: str,
-                         text_col: str = "text",
-                         id_col: str = "doc_id") -> None:
-    """O(batch) inverted-index maintenance: the batch's postings and doc
-    lengths append into the existing layout and the mergeable stats
-    update (n_docs/total_len sum exactly — see build_text_index), so
-    indexed BM25 after N appends is BIT-IDENTICAL to a full rebuild
-    (asserted in tests/test_ranking.py). Assumes NEW doc ids (re-ingest
-    of an updated doc needs a compaction-cadence rebuild — appending a
-    duplicate id would double its postings); ``compact_text_index``
-    restores one-file-per-partition on the same cadence as the other
-    persisted indexes."""
+def _write_stats(path: str, st: dict) -> None:
+    """Atomic stats.json replace — a reader never sees a torn write, and
+    the streaming maintainer's (stats merge + last_batch_id) pair commits
+    as one unit (the idempotency guard and the totals can't diverge)."""
     import json
     import os
 
-    with open(os.path.join(path, "stats.json")) as f:
-        st = json.load(f)
-    n_parts = int(st["n_parts"])
+    tmp = os.path.join(path, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(tmp, os.path.join(path, "stats.json"))
+
+
+def _append_postings_doclens(new_docs: DataFrame, path: str, n_parts: int,
+                             text_col: str, id_col: str) -> tuple:
+    """Shared file-append step for batch and streaming maintenance:
+    the batch's postings and doc lengths append into the existing
+    partition layout; returns the batch's (row count, total token
+    length) for the caller's mergeable-stats update."""
+    import os
+
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
     tokens = new_docs.select(F.col(id_col).alias("doc_id"),
                              F.explode(F.expr(toks)).alias("term"))
@@ -275,15 +278,111 @@ def append_to_text_index(spark, new_docs: DataFrame, path: str,
     batch = new_docs.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(F.expr(f"size({toks})")).cast("double").alias("tl")).first()
+    return batch["n"], batch["tl"] or 0.0
+
+
+def append_to_text_index(spark, new_docs: DataFrame, path: str,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """O(batch) inverted-index maintenance: the batch's postings and doc
+    lengths append into the existing layout and the mergeable stats
+    update (n_docs/total_len sum exactly — see build_text_index), so
+    indexed BM25 after N appends is BIT-IDENTICAL to a full rebuild
+    (asserted in tests/test_ranking.py). Assumes NEW doc ids (re-ingest
+    of an updated doc needs a compaction-cadence rebuild — appending a
+    duplicate id would double its postings); ``compact_text_index``
+    restores one-file-per-partition on the same cadence as the other
+    persisted indexes. For per-micro-batch maintenance under streaming
+    replay, use ``maintain_text_index`` (batch-id guarded)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    n, tl = _append_postings_doclens(new_docs, path, int(st["n_parts"]),
+                                     text_col, id_col)
     if "total_len" not in st:  # legacy index: derive exactly from doclens
         st["total_len"] = (spark.read.parquet(os.path.join(path, "doclens"))
-                           .agg(F.sum("dl")).first()[0] or 0.0) \
-            - (batch["tl"] or 0.0)
-    st["n_docs"] += batch["n"]
-    st["total_len"] += batch["tl"] or 0.0
+                           .agg(F.sum("dl")).first()[0] or 0.0) - tl
+    st["n_docs"] += n
+    st["total_len"] += tl
     st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump(st, f)
+    _write_stats(path, st)
+
+
+def maintain_text_index(spark, new_docs: DataFrame, path: str,
+                        batch_id: int, stream_id: str | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_parts: int = TEXT_INDEX_PARTS) -> bool:
+    """Replay-idempotent per-micro-batch maintenance of the inverted
+    index — the streaming twin of ``append_to_text_index``, built for
+    ``foreachBatch`` where a crashed micro-batch is re-delivered with the
+    SAME batch id (the reference's store-knowledge job is exactly this
+    at-least-once shape, `StreamingStoreKnowledge.java:30-37` — this
+    extends it to the lexical arm of hybrid serving). Returns False when
+    the batch was already applied (replay skip).
+
+    Delivery contract, without a transactional table format:
+
+    - the (stats merge + ``last_batch_id``) pair commits atomically in
+      one ``stats.json`` replace, so corpus totals apply EXACTLY once no
+      matter how often the batch replays;
+    - a crash between the file append and the stats commit leaves
+      duplicated postings/doclens rows for one batch. Before the first
+      append the maintainer sets ``dedup_on_read`` in stats.json (its own
+      atomic write, ahead of the data files), and every reader
+      (``bm25_topk_indexed``, ``bm25_join``) collapses exact-duplicate
+      rows when the flag is set — legitimate appends never duplicate a
+      (doc_id, term), so the collapse only ever removes replay copies.
+      ``compact_text_index`` dedupes physically and clears the flag, so
+      steady-state probes pay nothing;
+    - ``stream_id`` scopes the guard to one checkpointed stream: a NEW
+      checkpoint restarts batch ids at 0, and a stale ``last_batch_id``
+      from a previous stream must not swallow its batches.
+
+    Single-writer boundary (README): compaction must run from the same
+    loop, AFTER the batch's stats commit — compacting an index whose
+    last append crashed pre-commit would fold the uncommitted rows into
+    the recomputed stats and the replay would then add them again.
+    ``run_ingest`` orders the two correctly; don't compact a crashed
+    stream's index until it has replayed.
+
+    Cold start (no index at ``path``) builds one from the batch."""
+    import json
+    import os
+
+    stats_p = os.path.join(path, "stats.json")
+    if not os.path.exists(stats_p):
+        build_text_index(spark, new_docs, path, text_col, id_col, n_parts)
+        with open(stats_p) as f:
+            st = json.load(f)
+        st["last_batch_id"], st["stream_id"] = batch_id, stream_id
+        _write_stats(path, st)
+        return True
+    with open(stats_p) as f:
+        st = json.load(f)
+    same_stream = st.get("stream_id") == stream_id
+    if (same_stream and st.get("last_batch_id") is not None
+            and batch_id <= st["last_batch_id"]):
+        return False
+    if not st.get("dedup_on_read"):
+        # flag lands BEFORE the data files: a crash mid-append can only
+        # leave duplicates readers already know to collapse
+        pre = dict(st)
+        pre["dedup_on_read"] = True
+        _write_stats(path, pre)
+    n, tl = _append_postings_doclens(new_docs, path, int(st["n_parts"]),
+                                     text_col, id_col)
+    if "total_len" not in st:  # legacy index: derive exactly from doclens
+        st["total_len"] = (spark.read.parquet(os.path.join(path, "doclens"))
+                           .agg(F.sum("dl")).first()[0] or 0.0) - tl
+    st["dedup_on_read"] = True
+    st["n_docs"] += n
+    st["total_len"] += tl
+    st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
+    st["last_batch_id"], st["stream_id"] = batch_id, stream_id
+    _write_stats(path, st)
+    return True
 
 
 def compact_text_index(spark, path: str) -> dict[str, int]:
@@ -295,9 +394,17 @@ def compact_text_index(spark, path: str) -> dict[str, int]:
     import os
     import shutil
 
+    with open(os.path.join(path, "stats.json")) as f:
+        pre_st = json.load(f)
+    dirty = bool(pre_st.get("dedup_on_read"))
     counts: dict[str, int] = {}
     p_path = os.path.join(path, "postings")
     df = spark.read.parquet(p_path)
+    if dirty:
+        # physically collapse the replay-window duplicates a streaming
+        # maintainer may have left (maintain_text_index contract), so the
+        # flag — and the per-probe dedupe it demands — can clear below
+        df = df.dropDuplicates(["doc_id", "term"])
     tmp, old = p_path + ".compact.tmp", p_path + ".compact.old"
     (df.repartition(F.col("tp")).write.mode("overwrite")
      .partitionBy("tp").parquet(tmp))
@@ -308,6 +415,8 @@ def compact_text_index(spark, path: str) -> dict[str, int]:
                              for x in fs if x.endswith(".parquet"))
     d_path = os.path.join(path, "doclens")
     dl = spark.read.parquet(d_path)
+    if dirty:
+        dl = dl.dropDuplicates(["doc_id"])
     tmp, old = d_path + ".compact.tmp", d_path + ".compact.old"
     dl.repartition(1).write.mode("overwrite").parquet(tmp)
     os.rename(d_path, old)
@@ -323,8 +432,8 @@ def compact_text_index(spark, path: str) -> dict[str, int]:
     st["n_docs"] = stats["n"]
     st["total_len"] = stats["tl"] or 0.0
     st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump(st, f)
+    st.pop("dedup_on_read", None)  # layout is physically exact again
+    _write_stats(path, st)
     return counts
 
 
@@ -355,9 +464,18 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
     postings = (spark.read.parquet(os.path.join(path, "postings"))
                 .filter(F.col("tp").isin(tps))
                 .filter(F.col("term").isin(terms)))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    if st.get("dedup_on_read"):
+        # streaming-maintained index that hasn't compacted since a crash
+        # window may hold exact-duplicate rows from one replayed batch
+        # (maintain_text_index contract) — collapse them AFTER the
+        # pruning filters, so the extra aggregate is bounded by the
+        # query's matched postings
+        postings = postings.dropDuplicates(["doc_id", "term"])
+        doclens = doclens.dropDuplicates(["doc_id"])
     matched_ids = postings.select("doc_id").distinct()
-    doclens = (spark.read.parquet(os.path.join(path, "doclens"))
-               .join(F.broadcast(matched_ids), on="doc_id", how="left_semi"))
+    doclens = doclens.join(F.broadcast(matched_ids),
+                           on="doc_id", how="left_semi")
     dfreq = (postings.groupBy("term")
              .agg(F.count(F.lit(1)).cast("double").alias("df")))
     scored = (postings
@@ -416,6 +534,11 @@ def bm25_join(queries: DataFrame, docs: DataFrame | None, k: int = 10,
                     .select(F.col("doc_id").alias(id_col), "term", "tf"))
         dl = (spark.read.parquet(os.path.join(index_path, "doclens"))
               .select(F.col("doc_id").alias(id_col), "dl"))
+        if st.get("dedup_on_read"):
+            # replay-window duplicates (maintain_text_index contract) —
+            # collapse after the term semi join bounds the frame
+            postings = postings.dropDuplicates([id_col, "term"])
+            dl = dl.dropDuplicates([id_col])
         n_docs, avgdl = F.lit(st["n_docs"]), F.lit(st["avgdl"])
         stats = None
     else:

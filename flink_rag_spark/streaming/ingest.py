@@ -170,7 +170,8 @@ def existing_ids_pruned(spark: SparkSession, store_path: str,
 
 
 def upsert_batch(batch: DataFrame, store_path: str,
-                 buckets: int = STORE_BUCKETS) -> None:
+                 buckets: int = STORE_BUCKETS,
+                 on_new=None) -> None:
     """Idempotent append of one micro-batch into the bucketed store.
 
     Within-batch dups collapse deterministically; against-store dups are
@@ -178,21 +179,31 @@ def upsert_batch(batch: DataFrame, store_path: str,
     touches (micro-batches are small → few distinct buckets → the store
     scan prunes to those partition directories). Parquet-append +
     content-keyed ids keeps replays idempotent without a transactional log.
-    """
+
+    ``on_new``: callback invoked with the genuinely-new rows (deduped,
+    anti-joined vs the store) BEFORE the store write — the hook point for
+    secondary-index maintenance that must precede the store commit: a
+    crash between the hook and the store write replays with the SAME
+    new-row set (the store is unchanged), so a batch-id-guarded index
+    applies it exactly once; a crash after the store write replays with
+    an EMPTY new-row set and touches nothing."""
     spark = batch.sparkSession
-    deduped = (batch.dropDuplicates(["vec_id"])
-               .withColumn("bucket", _bucket_col(buckets=buckets)))
-    deduped.persist()
+    cached = (batch.dropDuplicates(["vec_id"])
+              .withColumn("bucket", _bucket_col(buckets=buckets)))
+    cached.persist()
     try:
+        deduped = cached
         touched = [r["bucket"] for r in
                    deduped.select("bucket").distinct().collect()]
         existing = existing_ids_pruned(spark, store_path, touched)
         if existing is not None:
             deduped = deduped.join(existing, on="vec_id", how="left_anti")
+        if on_new is not None:
+            on_new(deduped)
         (deduped.write.mode("append")
          .partitionBy("bucket").parquet(store_path))
     finally:
-        deduped.unpersist()
+        cached.unpersist()
 
 
 def neardup_filter_batch(batch: DataFrame, index_path: str,
@@ -254,7 +265,9 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                neardup_threshold: float = 0.3,
                neardup_compact_every: int | None = None,
                ivf_index: str | None = None,
-               ivf_append_every: int = 1):
+               ivf_append_every: int = 1,
+               text_index: str | None = None,
+               text_compact_every: int | None = None):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
     store sink; returns the started query.
 
@@ -280,7 +293,17 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     scored tail a probe must union (``load_ivf_tail``) is ≤ one cadence of
     ingest BY CONSTRUCTION, not by rebuild convention. Before the first
     ``build_ivf_index`` the flush is a no-op and vectors simply stay in
-    the tail."""
+    the tail.
+
+    ``text_index=<path>`` keeps the persisted BM25 inverted index fresh
+    from the same stream (ranking.maintain_text_index): each batch's
+    genuinely-NEW docs (vs the store — the upsert's own anti-join, so the
+    index never double-counts a re-ingested content hash) append their
+    postings BEFORE the store commit, batch-id-guarded for replay. With
+    ``ivf_index`` too, one streaming job maintains the FULL hybrid
+    serving stack — store, vector index, lexical index (+ optional dedup
+    index) — where the reference's job maintained only the OpenSearch
+    store (`StreamingStoreKnowledge.java:30-37`)."""
     ensure_runtime_confs(spark)
     if chunk:
         source = chunk_stream(source)
@@ -289,7 +312,8 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     def _sink(b: DataFrame, _id: int) -> None:
         # persist whenever >1 action consumes the batch (the embed UDF
         # must not run once per sink write)
-        multi_action = neardup_index is not None or ivf_index is not None
+        multi_action = (neardup_index is not None or ivf_index is not None
+                        or text_index is not None)
         if neardup_index is not None:
             from flink_rag_spark.operators.incremental import (
                 append_to_dedup_index,
@@ -310,7 +334,24 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
         elif multi_action:
             b.persist()
         try:
-            upsert_batch(b, store_path)
+            on_new = None
+            if text_index is not None:
+                def on_new(new_rows, _bid=_id):
+                    from flink_rag_spark.operators.ranking import (
+                        maintain_text_index,
+                    )
+                    maintain_text_index(
+                        new_rows.sparkSession,
+                        new_rows.select(F.col("vec_id").alias("doc_id"),
+                                        "text"),
+                        text_index, batch_id=_bid, stream_id=checkpoint)
+            upsert_batch(b, store_path, on_new=on_new)
+            if text_index is not None and text_compact_every \
+                    and (_id + 1) % text_compact_every == 0:
+                from flink_rag_spark.operators.ranking import (
+                    compact_text_index,
+                )
+                compact_text_index(b.sparkSession, text_index)
             if ivf_index is not None:
                 from flink_rag_spark.operators.index import (
                     flush_pending,

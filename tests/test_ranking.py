@@ -380,3 +380,113 @@ def test_text_index_append_matches_rebuild(spark, sf_oracle, tmp_path):
     after = [tuple(r) for r in
              bm25_topk_indexed(spark, inc, terms, k=15).collect()]
     assert after == want
+
+
+def test_maintain_text_index_replay_contract(spark, sf_oracle, tmp_path):
+    """Streaming maintenance (maintain_text_index) must deliver each batch
+    effectively once: full replays skip on the batch-id guard, a crash
+    between the file append and the stats commit leaves duplicates the
+    readers collapse (dedup_on_read), a NEW stream's batch 0 is not
+    swallowed by a stale guard, and compaction physically dedupes and
+    clears the flag."""
+    import glob
+    import json
+
+    from flink_rag_spark.operators.ranking import (
+        _append_postings_doclens,
+        bm25_topk_indexed,
+        build_text_index,
+        compact_text_index,
+        maintain_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    terms = ["the", "data", "model", "training"]
+
+    # cold start builds; second batch appends; a full replay of it skips
+    assert maintain_text_index(spark, base, inc, batch_id=0,
+                               stream_id="s1", n_parts=8)
+    assert maintain_text_index(spark, b1, inc, batch_id=1, stream_id="s1")
+    assert not maintain_text_index(spark, b1, inc, batch_id=1,
+                                   stream_id="s1")
+
+    # crash window: files re-appended, stats NOT (the guarded commit
+    # never ran) — readers must still be bit-identical to a rebuild
+    _append_postings_doclens(b1, inc, 8, "text", "doc_id")
+    build_text_index(spark, base.unionByName(b1), full, n_parts=8)
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, inc, terms, k=15).collect()]
+    want = [tuple(r) for r in
+            bm25_topk_indexed(spark, full, terms, k=15).collect()]
+    assert got == want
+    with open(f"{inc}/stats.json") as f:
+        st = json.load(f)
+    assert st["dedup_on_read"] and st["n_docs"] == base.unionByName(b1).count()
+
+    # a NEW stream (fresh checkpoint → ids restart at 0) must not be
+    # swallowed by the old stream's guard
+    assert maintain_text_index(spark, b2, inc, batch_id=0, stream_id="s2")
+    build_text_index(spark, d, full, n_parts=8)
+    want_all = [tuple(r) for r in
+                bm25_topk_indexed(spark, full, terms, k=15).collect()]
+    got_all = [tuple(r) for r in
+               bm25_topk_indexed(spark, inc, terms, k=15).collect()]
+    assert got_all == want_all
+
+    # compaction dedupes physically, clears the flag, keeps results
+    compact_text_index(spark, inc)
+    with open(f"{inc}/stats.json") as f:
+        st = json.load(f)
+    assert "dedup_on_read" not in st and st["last_batch_id"] == 0
+    assert st["n_docs"] == d.count()
+    for p in glob.glob(f"{inc}/postings/tp=*"):
+        assert len(glob.glob(f"{p}/*.parquet")) == 1
+    dup = (spark.read.parquet(f"{inc}/postings")
+           .groupBy("doc_id", "term").count().filter("count > 1").count())
+    assert dup == 0
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc, terms, k=15).collect()] == want_all
+
+
+def test_forget_on_dirty_streamed_index(spark, sf_oracle, tmp_path):
+    """Right-to-be-forgotten on a streaming-maintained index inside its
+    replay window (duplicated rows present, dedup_on_read set) must still
+    decrement stats exactly — indexed BM25 afterwards matches an index
+    rebuilt without the forgotten docs."""
+    from flink_rag_spark.operators.maintenance import forget_in_text_index
+    from flink_rag_spark.operators.ranking import (
+        _append_postings_doclens,
+        bm25_topk_indexed,
+        build_text_index,
+        maintain_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 3 != 0)
+    b1 = d.filter(F.col("doc_id") % 3 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    maintain_text_index(spark, base, inc, batch_id=0, stream_id="s1",
+                        n_parts=8)
+    maintain_text_index(spark, b1, inc, batch_id=1, stream_id="s1")
+    _append_postings_doclens(b1, inc, 8, "text", "doc_id")  # crash replay
+
+    ids = [r["doc_id"] for r in d.filter(F.col("doc_id") % 7 == 0)
+           .select("doc_id").collect()]
+    removed = forget_in_text_index(spark, inc, ids)
+    assert removed > 0
+    keep = d.filter(~F.col("doc_id").isin(ids))
+    build_text_index(spark, keep, full, n_parts=8)
+    terms = ["the", "data", "model", "training"]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, inc, terms, k=15).collect()]
+    want = [tuple(r) for r in
+            bm25_topk_indexed(spark, full, terms, k=15).collect()]
+    assert got == want

@@ -661,3 +661,61 @@ def test_answer_stream_hybrid_indexed_lexical_arm(spark, sf_smoke, tmp_path):
             (r["question"], r["information"], r["answer"])
             for r in spark.read.parquet(out).collect())
     assert outs["inline"] == outs["indexed"] and outs["indexed"]
+
+
+def test_ingest_maintains_text_index(spark, tmp_path):
+    """run_ingest(text_index=...) keeps the persisted BM25 index fresh
+    from the stream: after the drain, indexed BM25 is bit-identical to
+    inline BM25 over the store text; re-ingesting the same facts through
+    a FRESH checkpoint (new stream id, batch ids restart) leaves the
+    index untouched — the upsert's anti-join hands the maintainer an
+    empty new-row set."""
+    from flink_rag_spark.operators.ranking import bm25_topk, bm25_topk_indexed
+
+    src = tmp_path / "knowledge"
+    src.mkdir()
+    (src / "facts0.txt").write_text(
+        "spark shuffles data across executors\n"
+        "broadcast joins avoid the shuffle for small tables\n"
+        "parquet footers carry column statistics\n")
+    store = str(tmp_path / "store")
+    idx = str(tmp_path / "text_idx")
+
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt1"), available_now=True,
+                   text_index=idx)
+    _await(q)
+
+    docs = (spark.read.parquet(store)
+            .select(F.col("vec_id").alias("doc_id"), "text"))
+    terms = ["shuffle", "parquet", "executors"]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, idx, terms, k=5).collect()]
+    assert got == want and len(got) == 3
+
+    rows_before = spark.read.parquet(f"{idx}/postings").count()
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt2"), available_now=True,
+                   text_index=idx)
+    _await(q)
+    assert spark.read.parquet(f"{idx}/postings").count() == rows_before
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, idx, terms, k=5).collect()] == want
+
+    # a genuinely new fact through yet another checkpoint lands in the
+    # index (stale guard must not swallow the new stream's batch 0)
+    (src / "facts1.txt").write_text("codegen fuses operators into one stage\n")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt3"), available_now=True,
+                   text_index=idx)
+    _await(q)
+    docs = (spark.read.parquet(store)
+            .select(F.col("vec_id").alias("doc_id"), "text"))
+    assert docs.count() == 4
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, idx, ["codegen", "shuffle"], k=5)
+           .collect()]
+    want = [tuple(r) for r in
+            bm25_topk(docs, ["codegen", "shuffle"], k=5).collect()]
+    assert got == want
