@@ -336,7 +336,13 @@ def main() -> None:
                             "one-off large doc_fingerprints factors are "
                             "bench-tail GC artifacts — isolated paired "
                             "runs measure ~1.4x at k=10 (scaled table "
-                            "is 8-file, scan stays parallel)"),
+                            "is 8-file, scan stays parallel); "
+                            "dedup_probe_corpus_factor is a RATIO of "
+                            "min-of-2 runs — the r7 probe fusion cut the "
+                            "1x denominator ~35%, so the ratio can read "
+                            "higher than r6 even though the 10x "
+                            "ABSOLUTE time also dropped (what matters "
+                            "for corpus-independence)"),
         }
 
     total = round(sum(timings.values()), 3)
