@@ -719,3 +719,41 @@ def test_ingest_maintains_text_index(spark, tmp_path):
     want = [tuple(r) for r in
             bm25_topk(docs, ["codegen", "shuffle"], k=5).collect()]
     assert got == want
+
+
+def test_fresh_fact_served_through_maintained_text_index(spark, sf_smoke,
+                                                         tmp_path):
+    """The full serving loop with a streaming-maintained lexical index:
+    build the inverted index over the static corpus once, let run_ingest
+    maintain it as facts arrive, and serve hybrid retrieval whose lexical
+    arm reads ONLY the index — the fresh fact must surface with no
+    rebuild, and the answers must be bit-identical to the inline-hybrid
+    plan over the same corpus+store (mergeable stats keep the maintained
+    index exact)."""
+    from flink_rag_spark.operators.ranking import build_text_index
+    from flink_rag_spark.plans.rag import rag_answer
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    tix = str(tmp_path / "tix")
+    build_text_index(spark, d, tix, n_parts=8)
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    (src / "f.txt").write_text("The capital of France is Paris.\n")
+    store = str(tmp_path / "store")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt_tix"), available_now=True,
+                   text_index=tix)
+    _await(q)
+
+    question = ["What is the capital of France?"]
+    indexed = rag_answer(spark, sf_smoke, question, retrieval="hybrid",
+                         extra_store_path=store, text_index=tix,
+                         with_chat=False).collect()
+    assert len(indexed) == 1
+    assert "The capital of France is Paris." in indexed[0]["information"]
+
+    inline = rag_answer(spark, sf_smoke, question, retrieval="hybrid",
+                        extra_store_path=store, with_chat=False).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
