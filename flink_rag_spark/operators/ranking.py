@@ -328,14 +328,18 @@ def maintain_text_index(spark, new_docs: DataFrame, path: str,
       one ``stats.json`` replace, so corpus totals apply EXACTLY once no
       matter how often the batch replays;
     - a crash between the file append and the stats commit leaves
-      duplicated postings/doclens rows for one batch. Before the first
-      append the maintainer sets ``dedup_on_read`` in stats.json (its own
-      atomic write, ahead of the data files), and every reader
-      (``bm25_topk_indexed``, ``bm25_join``) collapses exact-duplicate
-      rows when the flag is set — legitimate appends never duplicate a
-      (doc_id, term), so the collapse only ever removes replay copies.
-      ``compact_text_index`` dedupes physically and clears the flag, so
-      steady-state probes pay nothing;
+      duplicated postings/doclens rows once the batch replays. The
+      maintainer writes an ``intent.json`` marker BEFORE every append and
+      removes it only AFTER the stats commit, so a surviving intent whose
+      batch is ahead of ``last_batch_id`` (or from another stream) is
+      proof a partial append may linger; only then does the replay set
+      ``dedup_on_read`` in stats.json (atomically, ahead of its own
+      re-append), and every reader (``bm25_topk_indexed``, ``bm25_join``)
+      collapses exact-duplicate rows while the flag is set — legitimate
+      appends never duplicate a (doc_id, term), so the collapse only
+      ever removes replay copies. A stream that never crashes never sets
+      the flag and its probes pay nothing; ``compact_text_index``
+      dedupes physically and clears the flag after a crash did;
     - ``stream_id`` scopes the guard to one checkpointed stream: a NEW
       checkpoint restarts batch ids at 0, and a stale ``last_batch_id``
       from a previous stream must not swallow its batches.
@@ -352,36 +356,73 @@ def maintain_text_index(spark, new_docs: DataFrame, path: str,
     import os
 
     stats_p = os.path.join(path, "stats.json")
+    intent_p = os.path.join(path, "intent.json")
+
+    def write_intent() -> None:
+        os.makedirs(path, exist_ok=True)  # cold start: dir precedes build
+        tmp = intent_p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stream_id": stream_id, "batch_id": batch_id}, f)
+        os.replace(tmp, intent_p)
+
+    def clear_intent() -> None:
+        if os.path.exists(intent_p):
+            os.remove(intent_p)
+
     if not os.path.exists(stats_p):
+        # cold start: build is mode("overwrite") throughout, so a crashed
+        # partial build replays clean — but a crash AFTER the build's
+        # writes and BEFORE the marker commit would replay down the
+        # APPEND path (stats.json exists by then), so the intent must
+        # cover the build too
+        write_intent()
         build_text_index(spark, new_docs, path, text_col, id_col, n_parts)
         with open(stats_p) as f:
             st = json.load(f)
         st["last_batch_id"], st["stream_id"] = batch_id, stream_id
         _write_stats(path, st)
+        clear_intent()
         return True
     with open(stats_p) as f:
         st = json.load(f)
     same_stream = st.get("stream_id") == stream_id
     if (same_stream and st.get("last_batch_id") is not None
             and batch_id <= st["last_batch_id"]):
+        clear_intent()  # fully-committed replay — any marker is stale
         return False
-    if not st.get("dedup_on_read"):
-        # flag lands BEFORE the data files: a crash mid-append can only
-        # leave duplicates readers already know to collapse
+    # a surviving intent ahead of the committed batch (or from another
+    # stream) proves an earlier append may have landed without its stats
+    # commit — THIS run's re-append will duplicate those rows
+    risk = False
+    if os.path.exists(intent_p):
+        try:
+            with open(intent_p) as f:
+                it = json.load(f)
+            risk = (it.get("stream_id") != st.get("stream_id")
+                    or st.get("last_batch_id") is None
+                    or it.get("batch_id", float("inf"))
+                    > st["last_batch_id"])
+        except (OSError, ValueError):
+            risk = True  # unreadable marker: assume the worst
+    if risk and not st.get("dedup_on_read"):
+        # flag lands BEFORE the re-append: readers collapse the
+        # duplicates from the moment they can exist
         pre = dict(st)
         pre["dedup_on_read"] = True
         _write_stats(path, pre)
+        st["dedup_on_read"] = True
+    write_intent()
     n, tl = _append_postings_doclens(new_docs, path, int(st["n_parts"]),
                                      text_col, id_col)
     if "total_len" not in st:  # legacy index: derive exactly from doclens
         st["total_len"] = (spark.read.parquet(os.path.join(path, "doclens"))
                            .agg(F.sum("dl")).first()[0] or 0.0) - tl
-    st["dedup_on_read"] = True
     st["n_docs"] += n
     st["total_len"] += tl
     st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] else 0.0
     st["last_batch_id"], st["stream_id"] = batch_id, stream_id
     _write_stats(path, st)
+    clear_intent()
     return True
 
 

@@ -384,11 +384,12 @@ def test_text_index_append_matches_rebuild(spark, sf_oracle, tmp_path):
 
 def test_maintain_text_index_replay_contract(spark, sf_oracle, tmp_path):
     """Streaming maintenance (maintain_text_index) must deliver each batch
-    effectively once: full replays skip on the batch-id guard, a crash
-    between the file append and the stats commit leaves duplicates the
-    readers collapse (dedup_on_read), a NEW stream's batch 0 is not
-    swallowed by a stale guard, and compaction physically dedupes and
-    clears the flag."""
+    effectively once: full replays skip on the batch-id guard and a clean
+    stream NEVER sets dedup_on_read (probes pay nothing); a crash between
+    the file append and the stats commit leaves an intent marker, so the
+    replay flags the index and readers collapse the duplicates; a NEW
+    stream's batch 0 is not swallowed by a stale guard; compaction
+    physically dedupes and clears the flag."""
     import glob
     import json
 
@@ -402,47 +403,63 @@ def test_maintain_text_index_replay_contract(spark, sf_oracle, tmp_path):
     from flink_rag_spark.sources.tables import load_table
 
     d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
-    base = d.filter(F.col("doc_id") % 3 != 0)
-    b1 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 0)
-    b2 = d.filter(F.col("doc_id") % 3 == 0).filter(F.col("doc_id") % 2 == 1)
+    base = d.filter(F.col("doc_id") % 4 == 0)
+    b1 = d.filter(F.col("doc_id") % 4 == 1)
+    b2 = d.filter(F.col("doc_id") % 4 == 2)
+    b3 = d.filter(F.col("doc_id") % 4 == 3)
     inc = str(tmp_path / "inc")
     full = str(tmp_path / "full")
     terms = ["the", "data", "model", "training"]
 
-    # cold start builds; second batch appends; a full replay of it skips
+    def stats():
+        with open(f"{inc}/stats.json") as f:
+            return json.load(f)
+
+    # cold start builds; second batch appends; a full replay of it skips;
+    # the clean path never sets the flag
     assert maintain_text_index(spark, base, inc, batch_id=0,
                                stream_id="s1", n_parts=8)
+    assert "dedup_on_read" not in stats()
     assert maintain_text_index(spark, b1, inc, batch_id=1, stream_id="s1")
     assert not maintain_text_index(spark, b1, inc, batch_id=1,
                                    stream_id="s1")
-
-    # crash window: files re-appended, stats NOT (the guarded commit
-    # never ran) — readers must still be bit-identical to a rebuild
-    _append_postings_doclens(b1, inc, 8, "text", "doc_id")
+    assert "dedup_on_read" not in stats()
     build_text_index(spark, base.unionByName(b1), full, n_parts=8)
-    got = [tuple(r) for r in
-           bm25_topk_indexed(spark, inc, terms, k=15).collect()]
     want = [tuple(r) for r in
             bm25_topk_indexed(spark, full, terms, k=15).collect()]
-    assert got == want
-    with open(f"{inc}/stats.json") as f:
-        st = json.load(f)
-    assert st["dedup_on_read"] and st["n_docs"] == base.unionByName(b1).count()
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc, terms, k=15).collect()] == want
+
+    # crashed batch 2: intent written, files appended, stats commit never
+    # ran — the replay must detect the marker, flag the index, and end
+    # bit-identical to a rebuild (stats counted once, files twice)
+    with open(f"{inc}/intent.json", "w") as f:
+        json.dump({"stream_id": "s1", "batch_id": 2}, f)
+    _append_postings_doclens(b2, inc, 8, "text", "doc_id")
+    assert maintain_text_index(spark, b2, inc, batch_id=2, stream_id="s1")
+    st = stats()
+    assert st["dedup_on_read"]
+    assert st["n_docs"] == base.unionByName(b1).unionByName(b2).count()
+    assert not (tmp_path / "inc" / "intent.json").exists()
+    build_text_index(spark, base.unionByName(b1).unionByName(b2), full,
+                     n_parts=8)
+    want = [tuple(r) for r in
+            bm25_topk_indexed(spark, full, terms, k=15).collect()]
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc, terms, k=15).collect()] == want
 
     # a NEW stream (fresh checkpoint → ids restart at 0) must not be
     # swallowed by the old stream's guard
-    assert maintain_text_index(spark, b2, inc, batch_id=0, stream_id="s2")
+    assert maintain_text_index(spark, b3, inc, batch_id=0, stream_id="s2")
     build_text_index(spark, d, full, n_parts=8)
     want_all = [tuple(r) for r in
                 bm25_topk_indexed(spark, full, terms, k=15).collect()]
-    got_all = [tuple(r) for r in
-               bm25_topk_indexed(spark, inc, terms, k=15).collect()]
-    assert got_all == want_all
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc, terms, k=15).collect()] == want_all
 
     # compaction dedupes physically, clears the flag, keeps results
     compact_text_index(spark, inc)
-    with open(f"{inc}/stats.json") as f:
-        st = json.load(f)
+    st = stats()
     assert "dedup_on_read" not in st and st["last_batch_id"] == 0
     assert st["n_docs"] == d.count()
     for p in glob.glob(f"{inc}/postings/tp=*"):
@@ -468,6 +485,8 @@ def test_forget_on_dirty_streamed_index(spark, sf_oracle, tmp_path):
     )
     from flink_rag_spark.sources.tables import load_table
 
+    import json
+
     d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
     base = d.filter(F.col("doc_id") % 3 != 0)
     b1 = d.filter(F.col("doc_id") % 3 == 0)
@@ -475,8 +494,12 @@ def test_forget_on_dirty_streamed_index(spark, sf_oracle, tmp_path):
     full = str(tmp_path / "full")
     maintain_text_index(spark, base, inc, batch_id=0, stream_id="s1",
                         n_parts=8)
+    # batch 1 crashes after its append, before the stats commit, then
+    # replays — files twice, stats once, dedup_on_read set
+    with open(f"{inc}/intent.json", "w") as f:
+        json.dump({"stream_id": "s1", "batch_id": 1}, f)
+    _append_postings_doclens(b1, inc, 8, "text", "doc_id")
     maintain_text_index(spark, b1, inc, batch_id=1, stream_id="s1")
-    _append_postings_doclens(b1, inc, 8, "text", "doc_id")  # crash replay
 
     ids = [r["doc_id"] for r in d.filter(F.col("doc_id") % 7 == 0)
            .select("doc_id").collect()]
