@@ -266,8 +266,11 @@ def forget_in_text_index(spark: SparkSession, path: str,
         st["total_len"] -= gone["tl"] or 0.0
         st["avgdl"] = (st["total_len"] / st["n_docs"]) if st["n_docs"] \
             else 0.0
-        with open(os.path.join(path, "stats.json"), "w") as f:
-            json.dump(st, f)
+        # atomic replace: stats.json carries the streaming replay guard
+        # and the dedup_on_read flag — a torn write here would wedge
+        # every reader and the maintainer's next replay
+        from flink_rag_spark.operators.ranking import _write_stats
+        _write_stats(path, st)
     return int(removed)
 
 

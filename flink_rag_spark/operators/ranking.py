@@ -197,7 +197,8 @@ TEXT_INDEX_PARTS = 64
 
 def build_text_index(spark, docs: DataFrame, path: str,
                      text_col: str = "text", id_col: str = "doc_id",
-                     n_parts: int = TEXT_INDEX_PARTS) -> None:
+                     n_parts: int = TEXT_INDEX_PARTS,
+                     extra_stats: dict | None = None) -> None:
     """Materialize the inverted-index shape BM25 deployments actually
     query (the inline ``bm25_topk`` scans the corpus text per query —
     right for ad-hoc, wrong at 100 TB):
@@ -210,7 +211,6 @@ def build_text_index(spark, docs: DataFrame, path: str,
 
     Same write discipline as the dedup/IVF indexes: repartition on the
     partition column first (no tasks × partitions small-file blowup)."""
-    import json
     import os
 
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
@@ -230,15 +230,22 @@ def build_text_index(spark, docs: DataFrame, path: str,
         F.sum(F.expr(f"size({toks})")).cast("double")
         .alias("total_len")).first()
     n_docs, total_len = stats["n_docs"], stats["total_len"] or 0.0
-    with open(os.path.join(path, "stats.json"), "w") as f:
-        # total_len makes the stats MERGEABLE for append_to_text_index:
-        # doc lengths are integers, so double sums of them are exact
-        # (≤ 2^53) and avgdl = total_len / n_docs is bit-identical no
-        # matter how batches split the corpus
-        json.dump({"n_docs": n_docs,
-                   "avgdl": (total_len / n_docs) if n_docs else 0.0,
-                   "total_len": total_len,
-                   "n_parts": n_parts}, f)
+    # total_len makes the stats MERGEABLE for append_to_text_index:
+    # doc lengths are integers, so double sums of them are exact
+    # (≤ 2^53) and avgdl = total_len / n_docs is bit-identical no
+    # matter how batches split the corpus. The write is a single atomic
+    # replace (tmp + os.replace): stats.json is the index's commit
+    # record, and extra_stats lets a streaming cold start land its
+    # replay guard (last_batch_id/stream_id) IN that one commit — a
+    # separate guard write would reopen a crash window where stats
+    # exist without the guard and a replay double-counts the batch.
+    st = {"n_docs": n_docs,
+          "avgdl": (total_len / n_docs) if n_docs else 0.0,
+          "total_len": total_len,
+          "n_parts": n_parts}
+    if extra_stats:
+        st.update(extra_stats)
+    _write_stats(path, st)
 
 
 def _write_stats(path: str, st: dict) -> None:
@@ -370,17 +377,18 @@ def maintain_text_index(spark, new_docs: DataFrame, path: str,
             os.remove(intent_p)
 
     if not os.path.exists(stats_p):
-        # cold start: build is mode("overwrite") throughout, so a crashed
-        # partial build replays clean — but a crash AFTER the build's
-        # writes and BEFORE the marker commit would replay down the
-        # APPEND path (stats.json exists by then), so the intent must
-        # cover the build too
+        # cold start: build is mode("overwrite") throughout and commits
+        # stats.json ONCE, atomically, already carrying the replay guard
+        # (extra_stats) — so every crash point replays clean: before the
+        # stats commit there is no stats.json and the replay rebuilds
+        # from scratch; after it the guard skips the batch. A separate
+        # guard write here would leave a window where stats exist
+        # WITHOUT last_batch_id and a replay falls into the append path,
+        # double-counting the batch's corpus totals.
         write_intent()
-        build_text_index(spark, new_docs, path, text_col, id_col, n_parts)
-        with open(stats_p) as f:
-            st = json.load(f)
-        st["last_batch_id"], st["stream_id"] = batch_id, stream_id
-        _write_stats(path, st)
+        build_text_index(spark, new_docs, path, text_col, id_col, n_parts,
+                         extra_stats={"last_batch_id": batch_id,
+                                      "stream_id": stream_id})
         clear_intent()
         return True
     with open(stats_p) as f:
@@ -509,14 +517,19 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
     if st.get("dedup_on_read"):
         # streaming-maintained index that hasn't compacted since a crash
         # window may hold exact-duplicate rows from one replayed batch
-        # (maintain_text_index contract) — collapse them AFTER the
-        # pruning filters, so the extra aggregate is bounded by the
-        # query's matched postings
+        # (maintain_text_index contract) — collapse the postings AFTER
+        # the tp/term pruning filters, so that aggregate is bounded by
+        # the query's matched postings
         postings = postings.dropDuplicates(["doc_id", "term"])
-        doclens = doclens.dropDuplicates(["doc_id"])
     matched_ids = postings.select("doc_id").distinct()
     doclens = doclens.join(F.broadcast(matched_ids),
                            on="doc_id", how="left_semi")
+    if st.get("dedup_on_read"):
+        # doclens dedup runs on the ALREADY semi-joined frame: the
+        # broadcast semi join prunes to matched ids first, making the
+        # bounded cost explicit rather than relying on Catalyst to push
+        # the join below a dedup aggregate over the full corpus
+        doclens = doclens.dropDuplicates(["doc_id"])
     dfreq = (postings.groupBy("term")
              .agg(F.count(F.lit(1)).cast("double").alias("df")))
     scored = (postings

@@ -937,7 +937,7 @@ d AS (
 SELECT user_id, bucket_ts,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt) AS DOUBLE)
              / SUM(dt), 4) AS twa,
-       COUNT(*) AS n_samples, SUM(dt) AS covered_sec
+       COUNT(*) AS n_samples, CAST(SUM(dt) AS BIGINT) AS covered_sec
 FROM d GROUP BY user_id, bucket_ts
 """, ("window", "timeseries", "twa")),
         # per-column profiling (ANALYZE-style data-quality pass): one

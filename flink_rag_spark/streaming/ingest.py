@@ -299,12 +299,36 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     from the same stream (ranking.maintain_text_index): each batch's
     genuinely-NEW docs (vs the store — the upsert's own anti-join, so the
     index never double-counts a re-ingested content hash) append their
-    postings BEFORE the store commit, batch-id-guarded for replay. With
+    postings BEFORE the store commit, batch-id-guarded for replay. The
+    maintained index only ever sees store-NEW rows, so enabling it over
+    a PRE-EXISTING populated store would silently miss every document
+    already stored — run_ingest closes that gap itself: a cold index
+    (no stats.json) plus a non-empty store triggers a one-time
+    ``build_text_index`` backfill over current store contents BEFORE the
+    stream starts (build is overwrite + single atomic stats commit, so a
+    crash mid-backfill just rebuilds on the next start). With
     ``ivf_index`` too, one streaming job maintains the FULL hybrid
     serving stack — store, vector index, lexical index (+ optional dedup
     index) — where the reference's job maintained only the OpenSearch
     store (`StreamingStoreKnowledge.java:30-37`)."""
     ensure_runtime_confs(spark)
+    if text_index is not None:
+        import os
+        if not os.path.exists(os.path.join(text_index, "stats.json")):
+            try:
+                existing = load_store(spark, store_path)
+                has_rows = existing.limit(1).count() > 0
+            except Exception:
+                has_rows = False  # no store yet: nothing to backfill
+            if has_rows:
+                from flink_rag_spark.operators.ranking import (
+                    build_text_index,
+                )
+                build_text_index(
+                    spark,
+                    existing.select(F.col("vec_id").alias("doc_id"),
+                                    "text"),
+                    text_index)
     if chunk:
         source = chunk_stream(source)
     embedded = embed_stream(source, provider, cfg)

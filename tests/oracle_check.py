@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from flink_rag_spark.sources.tables import TABLE_NAMES
@@ -29,11 +30,32 @@ def _canon_cell(v):
         if math.isnan(v):
             return "NULL"
         # normalize -0.0 and float noise at a precision far below the
-        # catalog's own ROUND()ing, far above double noise
-        return f"{v + 0.0:.9g}"
+        # catalog's own ROUND()ing, far above double noise. The "f:"
+        # prefix keeps float 75042.0 distinct from int 75042: the
+        # driver's stricter hash distinguishes them (DuckDB HUGEINT →
+        # float64 while Spark emits int64), so the replica must too —
+        # this exact class slipped through round 7 when %.9g collapsed
+        # both to "75042".
+        return f"f:{v + 0.0:.9g}"
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return f"i:{v}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
+
+
+def _dtype_class(dtype) -> str:
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "ts"
+    return "other"
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
@@ -52,6 +74,19 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> dict:
     }
     res["rows_match"] = res["rows_spark"] == res["rows_duck"]
     res["cols_match"] = res["cols_spark"] == res["cols_duck"]
+    if res["cols_match"]:
+        # dtype-CLASS parity per column (int vs float vs other): the
+        # driver's value hash is dtype-sensitive, so a column that is
+        # int64 under Spark and float64 under DuckDB fails there even
+        # when every value agrees. Surface it here first. "other" is
+        # not compared against numeric classes because object-dtype
+        # columns (strings, arrays) legitimately differ in box type.
+        mism = []
+        for c in res["cols_spark"]:
+            a, b = _dtype_class(sp[c].dtype), _dtype_class(du[c].dtype)
+            if a != b and not (sp[c].isna().all() or du[c].isna().all()):
+                mism.append((c, a, b))
+        res["dtype_mismatches"] = mism
     if res["rows_match"] and res["cols_match"]:
         a, b = canon(sp), canon(du)
         res["values_match"] = a == b

@@ -513,3 +513,65 @@ def test_forget_on_dirty_streamed_index(spark, sf_oracle, tmp_path):
     want = [tuple(r) for r in
             bm25_topk_indexed(spark, full, terms, k=15).collect()]
     assert got == want
+
+
+def test_maintain_cold_start_crash_single_commit(spark, sf_oracle, tmp_path):
+    """The cold-start crash window (ADVICE r7): stats.json must commit
+    ONCE, atomically, already carrying the replay guard — so no crash
+    point leaves stats that include the batch's totals without
+    last_batch_id (the state whose replay used to re-add n_docs/total_len
+    and permanently skew idf). Two crash points are simulated:
+
+    - after the build's writes and stats commit, before clear_intent —
+      exactly the old double-count window: the replay must SKIP (guard is
+      in the same commit as the totals) and stay bit-identical to a
+      rebuild, with no dedup_on_read flag;
+    - after write_intent, before the build reached its stats commit —
+      the replay must take the cold path again and rebuild clean."""
+    import json
+
+    from flink_rag_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_text_index,
+        maintain_text_index,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    b0 = d.filter(F.col("doc_id") % 3 == 0)
+    terms = ["the", "data", "model", "training"]
+    full = str(tmp_path / "full")
+    build_text_index(spark, b0, full, n_parts=8)
+    want = [tuple(r) for r in
+            bm25_topk_indexed(spark, full, terms, k=15).collect()]
+
+    # crash point 1: build + single stats commit done, intent not cleared
+    inc = str(tmp_path / "inc1")
+    import os
+    os.makedirs(inc)
+    with open(f"{inc}/intent.json", "w") as f:
+        json.dump({"stream_id": "s1", "batch_id": 0}, f)
+    build_text_index(spark, b0, inc, n_parts=8,
+                     extra_stats={"last_batch_id": 0, "stream_id": "s1"})
+    assert not maintain_text_index(spark, b0, inc, batch_id=0,
+                                   stream_id="s1", n_parts=8)
+    with open(f"{inc}/stats.json") as f:
+        st = json.load(f)
+    assert st["n_docs"] == b0.count()          # counted exactly once
+    assert "dedup_on_read" not in st           # no reader tax either
+    assert not os.path.exists(f"{inc}/intent.json")
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc, terms, k=15).collect()] == want
+
+    # crash point 2: intent written, build never reached its stats commit
+    inc2 = str(tmp_path / "inc2")
+    os.makedirs(inc2)
+    with open(f"{inc2}/intent.json", "w") as f:
+        json.dump({"stream_id": "s1", "batch_id": 0}, f)
+    assert maintain_text_index(spark, b0, inc2, batch_id=0,
+                               stream_id="s1", n_parts=8)
+    with open(f"{inc2}/stats.json") as f:
+        st = json.load(f)
+    assert st["n_docs"] == b0.count() and st["last_batch_id"] == 0
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, inc2, terms, k=15).collect()] == want

@@ -757,3 +757,45 @@ def test_fresh_fact_served_through_maintained_text_index(spark, sf_smoke,
     inline = rag_answer(spark, sf_smoke, question, retrieval="hybrid",
                         extra_store_path=store, with_chat=False).collect()
     assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
+
+
+def test_ingest_backfills_cold_text_index(spark, tmp_path):
+    """Enabling text_index=... on a stream over a PRE-EXISTING populated
+    store must not silently skip already-stored docs (ADVICE r7):
+    run_ingest detects the cold index + non-empty store and backfills it
+    from store contents before the stream starts, so after the drain the
+    index covers OLD and NEW docs alike — bit-identical to inline BM25
+    over the whole store."""
+    from flink_rag_spark.operators.ranking import bm25_topk, bm25_topk_indexed
+
+    src = tmp_path / "knowledge"
+    src.mkdir()
+    (src / "facts0.txt").write_text(
+        "spark shuffles data across executors\n"
+        "broadcast joins avoid the shuffle for small tables\n")
+    store = str(tmp_path / "store")
+
+    # phase 1: populate the store with NO text index
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt1"), available_now=True)
+    _await(q)
+    assert spark.read.parquet(store).count() == 2
+
+    # phase 2: new facts arrive and the operator turns the index on
+    (src / "facts1.txt").write_text(
+        "parquet footers carry column statistics\n")
+    idx = str(tmp_path / "text_idx")
+    q = run_ingest(spark, file_string_source(spark, str(src)), store,
+                   str(tmp_path / "ckpt2"), available_now=True,
+                   text_index=idx)
+    _await(q)
+
+    docs = (spark.read.parquet(store)
+            .select(F.col("vec_id").alias("doc_id"), "text"))
+    assert docs.count() == 3
+    terms = ["shuffle", "parquet", "executors"]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, idx, terms, k=5).collect()]
+    # the pre-existing docs (phase 1) must be retrievable via the index
+    assert got == want and len(got) == 3
