@@ -1046,7 +1046,10 @@ _GRADED: list[QueryDef] = [
     # the BM25+RRF hybrid family stays graded via hybrid_batch_retrieval
     # (the batch bm25_join + hybrid_knn_join serving shape — a strict
     # superset of the single-query RRF chain); keeps its pytest oracle
-    QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
+    # q8_market_share rotated to the non-graded tail (round 8) for the
+    # round-7 families: the multi-join + conditional-agg shape stays
+    # graded via q3/q5 (joins) and q1/q4 (conditional aggregation);
+    # keeps its pytest oracle
     # q13_customer_distribution rotated to the non-graded tail (round 7,
     # batch 2): left-outer grading stays via full_outer_nation_presence,
     # the join+agg histogram shape via q8 + window_top3; pytest oracle kept
@@ -1062,10 +1065,13 @@ _GRADED: list[QueryDef] = [
     QueryDef("udaf_geomean_price", R3.udaf_geomean_price, ORACLE_GEOMEAN, ("udf", "agg")),
     QueryDef("udtf_token_positions", llm.udtf_token_positions,
              ORACLE_UDTF_TOKENS, ("udf", "text")),
-    QueryDef("media_digest_features", llm.media_digest_features,
-             ORACLE_MEDIA_DIGEST, ("multimodal", "udf")),
-    QueryDef("grouped_map_zscore", llm.grouped_map_zscore,
-             ORACLE_ZSCORE, ("udf", "stats")),
+    # media_digest_features + grouped_map_zscore rotated to the
+    # non-graded tail (round 8; the r7 verdict flagged the pair as
+    # overlapping pandas-UDF slots): the multimodal digest family was
+    # driver-graded green in rounds 6-7 and keeps its oracle in the
+    # sweep; the grouped-map shape stays graded via packed_documents
+    # (applyInPandas) and the UDF surface via udf_array_stats /
+    # udaf_geomean_price / udtf_token_positions
     # both ANN tiers as an oracle-checked accuracy contract (exact top-10
     # hash-verified; recall floors + result-size graded via boolean rows)
     QueryDef("ann_methods_vec7", llm.ann_methods_vec7, ORACLE_ANN_METHODS,
@@ -1086,8 +1092,10 @@ _GRADED: list[QueryDef] = [
     # cube desugars to); the cube query keeps its pytest oracle
     QueryDef("groupsets_rollup_region_nation", R2.groupsets_rollup_region_nation,
              ORACLE_GS_ROLLUP, ("agg", "rollup")),
-    QueryDef("window_top3_orders_per_customer", R.window_top3_orders_per_customer,
-             ORACLE_TOP3, ("window",)),
+    # window_top3_orders_per_customer rotated to the non-graded tail
+    # (round 8): ranking windows stay graded via gapfill's IGNORE NULLS
+    # frames, session_windows_batch, time_weighted_daily_value's LEAD,
+    # and the reranked chain's per-question row_number; pytest oracle kept
     # window_analytics_extended rotated to the non-graded tail (round 7)
     # for the round-7 families: rank/frame/lag coverage stays graded via
     # window_top3 + gapfill's running frames + session_windows_batch +
@@ -1099,14 +1107,19 @@ _GRADED: list[QueryDef] = [
     # graded via text_features + udtf_token_positions, and date functions
     # via gapfill/rollup buckets + q1/q3/q5 date predicates. All three
     # keep their DuckDB oracles in the pytest sweep.
-    QueryDef("math_lineitem_features", R.math_lineitem_features,
-             ORACLE_MATH, ("scalar", "sort")),
+    # math_lineitem_features rotated to the non-graded tail (round 8):
+    # scalar math stays graded via quantized_similarity_vec7 /
+    # projected_knn_vec7 (dot products, sqrt, rounding) and
+    # stats_order_prices; the sort/limit shape via q3; pytest oracle kept
     # json_events_props rotated to the non-graded tail — JSON-function
     # coverage stays graded via json_map_events (typed from_json + map fns)
     QueryDef("asof_error_last_purchase", R.asof_error_last_purchase, ORACLE_ASOF, ("join", "asof")),
     # similarity (reference A9 generalized, SURVEY.md §2.4; the batch form
     # includes the single-vector case — query_id 0 IS vec0)
-    QueryDef("knn_batch", llm.knn_batch, ORACLE_KNN_BATCH, ("similarity",)),
+    # knn_batch rotated to the non-graded tail (round 8): the exact k-NN
+    # family (reference A9) stays graded via ann_methods_vec7 (whose
+    # exact tier is hash-verified top-10) plus projected_knn_vec7 and the
+    # promoted reranked chain's cosine top-30 stage; pytest oracle kept
     # embedding_neardup_pairs / minhash_sig_sample rotated to the
     # non-graded tail (round 7): the embedding-similarity dedup family is
     # graded by the strictly-stronger semantic_dedup_docs (clustered
@@ -1126,7 +1139,10 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
              ("dedup", "incremental")),
     QueryDef("lsh_verified_neardup", llm.lsh_verified_neardup,
              _oracle_lsh_verified(), ("dedup", "pipeline")),
-    QueryDef("simhash_neardup", llm.simhash_neardup, _oracle_simhash_pairs(), ("dedup",)),
+    # simhash_neardup rotated to the non-graded tail (round 8): the
+    # near-dup family stays graded four ways (exact, lsh_verified,
+    # incremental-vs-index, span, semantic); simhash keeps its pytest
+    # oracle
     # the dedup pipeline's completion: near-dup pairs → duplicate groups
     # (iterative connected components, DuckDB recursive-CTE oracle)
     QueryDef("dedup_group_assignment", llm.dedup_group_assignment,
@@ -1161,8 +1177,11 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
     # families took its slot): the stream-window family stays graded via
     # session_windows_batch + rollup_hourly_from_5min (tumbling base),
     # and the sliding shape keeps its pytest oracle sweep
-    QueryDef("approx_distinct_users", R2.approx_distinct_users,
-             ORACLE_APPROX_DISTINCT, ("agg", "sketch")),
+    # approx_distinct_users rotated to the non-graded tail (round 8):
+    # the HLL-sketch family is graded by the strictly-stronger
+    # rollup_hll_users_hourly promoted above (same approx_count_distinct
+    # accuracy contract PLUS mergeable sketch partials maintained
+    # incrementally); keeps its pytest oracle
     # relational batch 3: interval join, full aggregation-surface stats
     QueryDef("interval_join_signup_clicks", R3.interval_join_signup_clicks,
              ORACLE_INTERVAL_JOIN, ("join", "interval")),
@@ -1191,7 +1210,22 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: quality scoring, vocab/token-id encoding, rule-based validation) in
 #: place of rag_context_assembly / hybrid_rrf_vec7 /
 #: q13_customer_distribution / rollup_hourly_from_5min (notes inline).
+#: Round 8 promotes the remaining eight swept round-7 families so each
+#: earns a driver CORRECTNESS row (r7 verdict #2): temperature mixture,
+#: deterministic shuffle, quantile bins, HLL rollup, the end-to-end
+#: curated pipeline, the reranked answer chain, indexed BM25 serving and
+#: k-means cell assignment. Eight redundantly-covered slots rotate to the
+#: tail (notes at their _GRADED sites); every demoted query keeps its
+#: DuckDB oracle in pytest's sweep.
 _PROMOTED = [
+    "temperature_mixture_docs",
+    "shuffled_documents",
+    "binned_order_prices",
+    "rollup_hll_users_hourly",
+    "curated_packed_training_set",
+    "rag_reranked_answer",
+    "bm25_topk_indexed_docs",
+    "kmeans_assign_cells",
     "span_neardup_docs",
     "unigram_lm_quality",
     "encoded_documents",
@@ -1258,6 +1292,22 @@ QUERIES: list[QueryDef] = GRADED_QUERIES + [
              ORACLE_Q13, ("join", "agg")),
     QueryDef("rollup_hourly_from_5min", R3.rollup_hourly_from_5min,
              ORACLE_ROLLUP_CASCADE, ("window", "stream", "rollup")),
+    # demoted in the round-8 rotation for the remaining round-7 families
+    # (notes at their former _GRADED sites); all eight keep their DuckDB
+    # oracles and stay in pytest's sweep
+    QueryDef("q8_market_share", R3.q8_market_share, ORACLE_Q8, ("join", "agg")),
+    QueryDef("media_digest_features", llm.media_digest_features,
+             ORACLE_MEDIA_DIGEST, ("multimodal", "udf")),
+    QueryDef("grouped_map_zscore", llm.grouped_map_zscore,
+             ORACLE_ZSCORE, ("udf", "stats")),
+    QueryDef("window_top3_orders_per_customer", R.window_top3_orders_per_customer,
+             ORACLE_TOP3, ("window",)),
+    QueryDef("math_lineitem_features", R.math_lineitem_features,
+             ORACLE_MATH, ("scalar", "sort")),
+    QueryDef("knn_batch", llm.knn_batch, ORACLE_KNN_BATCH, ("similarity",)),
+    QueryDef("simhash_neardup", llm.simhash_neardup, _oracle_simhash_pairs(), ("dedup",)),
+    QueryDef("approx_distinct_users", R2.approx_distinct_users,
+             ORACLE_APPROX_DISTINCT, ("agg", "sketch")),
 ] + [q for q in _EXTRA if q.name not in _PROMOTED]
 
 
