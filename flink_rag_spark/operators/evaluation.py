@@ -1,0 +1,108 @@
+"""Retrieval-quality evaluation: recall@k, MRR@k, nDCG@k as relational ops.
+
+Every retrieval stack the reference fronts (OpenSearch k-NN,
+`RAG.java:51-59`) gets evaluated offline before serving changes ship —
+swap the index type, re-run the eval, compare. The reference has no eval
+surface at all; this module makes the metrics themselves engine queries,
+so a 100 TB run-vs-qrels join is just another partitioned aggregate
+instead of a driver-side script looping over queries.
+
+Shape: ``eval_ranking(run, qrels, k)`` where ``run`` is a system's ranked
+output (query_id, doc_id, rank) and ``qrels`` the relevance labels
+(query_id, doc_id). One equi-join on (query_id, doc_id) marks hits, one
+groupBy(query_id) folds them into the three metrics, one broadcast-sized
+join attaches per-query relevant counts. Everything shuffles on query_id
+— at any corpus size the cost is O(|run| + |qrels|), never per-query
+jobs. Binary relevance (the qrels shape TREC/BEIR publish); graded gain
+would only change the DCG numerator.
+
+Metric definitions (k fixed up front, binary gains):
+
+- recall@k   = |hits in top-k| / |qrels for the query|
+- MRR@k      = 1 / rank of the first hit (0 when no hit in top-k)
+- nDCG@k     = DCG@k / IDCG@k,  DCG = Σ_hits 1/log2(rank+1),
+               IDCG = Σ_{i=1..min(|qrels|,k)} 1/log2(i+1)
+
+Scores are ROUND()ed (vector.ROUND_DP) like every oracle-checked double.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from flink_rag_spark.functions.vector import ROUND_DP
+
+
+def _idcg_expr(n_rel: str, k: int) -> str:
+    """SQL: ideal DCG for ``n_rel`` relevant docs at cutoff k — a
+    sequential fold over the first min(n_rel, k) ideal ranks."""
+    return (
+        f"aggregate(sequence(1, least(CAST({n_rel} AS INT), {k})), "
+        f"CAST(0.0 AS DOUBLE), (s, i) -> s + 1.0 / log2(i + 1))"
+    )
+
+
+def eval_ranking(run: DataFrame, qrels: DataFrame, k: int = 10,
+                 query_col: str = "query_id", doc_col: str = "doc_id",
+                 rank_col: str = "rank") -> DataFrame:
+    """Per-query retrieval metrics: (query_id, n_rel, n_hits, recall_at_k,
+    mrr_at_k, ndcg_at_k). Queries with qrels but an empty run still
+    appear (all-zero metrics) — silent query loss is the classic eval
+    bug, so the output is keyed by the QRELS' query set."""
+    topk = run.filter(F.col(rank_col) <= k)
+    per_q_rel = qrels.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_rel"))
+    hits = (topk.join(qrels.select(query_col, doc_col).withColumn(
+        "_rel", F.lit(1)), on=[query_col, doc_col], how="inner"))
+    folded = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min(rank_col).alias("_first_hit"),
+        F.sum(1.0 / F.log2(F.col(rank_col) + 1.0)).alias("_dcg"))
+    out = (per_q_rel.join(folded, on=query_col, how="left")
+           .fillna({"n_hits": 0}))
+    idcg = F.expr(_idcg_expr("n_rel", k))
+    return out.select(
+        query_col, "n_rel",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.round(F.col("n_hits") / F.col("n_rel"), ROUND_DP)
+        .alias("recall_at_k"),
+        F.round(F.coalesce(1.0 / F.col("_first_hit"), F.lit(0.0)),
+                ROUND_DP).alias("mrr_at_k"),
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, ROUND_DP)
+        .alias("ndcg_at_k"))
+
+
+def eval_ranking_duck(run_sql: str, qrels_sql: str, k: int = 10,
+                      query_col: str = "query_id",
+                      doc_col: str = "doc_id",
+                      rank_col: str = "rank") -> str:
+    """DuckDB mirror of ``eval_ranking`` — same joins, folds, and the same
+    sequential IDCG fold (list_reduce over generate_series)."""
+    idcg = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, least(CAST(n_rel AS INT), {k})), "
+        f"i -> 1.0 / log2(i + 1))), (s, x) -> s + x)"
+    )
+    return f"""
+WITH run AS ({run_sql}),
+qrels AS ({qrels_sql}),
+per_q AS (
+  SELECT {query_col}, COUNT(*) AS n_rel FROM qrels GROUP BY 1),
+hits AS (
+  SELECT r.{query_col}, r.{rank_col}
+  FROM run r JOIN qrels q
+    ON r.{query_col} = q.{query_col} AND r.{doc_col} = q.{doc_col}
+  WHERE r.{rank_col} <= {k}),
+folded AS (
+  SELECT {query_col}, COUNT(*) AS n_hits, MIN({rank_col}) AS first_hit,
+         SUM(1.0 / log2({rank_col} + 1.0)) AS dcg
+  FROM hits GROUP BY 1)
+SELECT p.{query_col}, p.n_rel,
+       CAST(COALESCE(f.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(f.n_hits, 0) / CAST(p.n_rel AS DOUBLE),
+             {ROUND_DP}) AS recall_at_k,
+       ROUND(COALESCE(1.0 / f.first_hit, 0.0), {ROUND_DP}) AS mrr_at_k,
+       ROUND(COALESCE(f.dcg, 0.0) / ({idcg}), {ROUND_DP}) AS ndcg_at_k
+FROM per_q p LEFT JOIN folded f ON p.{query_col} = f.{query_col}
+"""

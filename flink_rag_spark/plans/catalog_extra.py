@@ -732,6 +732,39 @@ ORDER BY samp_key DESC, doc_id
 LIMIT 50
 """
 
+    # round-8: retrieval-quality evaluation — the oracle replays the JL
+    # projection, BOTH rankings (exact + projected cosine, rounded score,
+    # min-id tie break) and the recall/MRR/nDCG folds in SQL
+    def _oracle_eval_metrics() -> str:
+        from flink_rag_spark.operators.compression import (
+            random_projection_duck,
+        )
+        from flink_rag_spark.operators.evaluation import eval_ranking_duck
+        base = f"""
+WITH proj AS (
+  SELECT vec_id, embedding,
+         {random_projection_duck('embedding', llm.RP_OUT_DIM)} AS p
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, p AS qp
+      FROM proj WHERE vec_id % {llm.EVAL_QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.qid AS query_id, e.vec_id AS doc_id,
+         ROUND({cosine_duck('e.embedding', 'q.qv')}, 6) AS es,
+         ROUND({cosine_duck('e.p', 'q.qp')}, 6) AS ps
+  FROM proj e CROSS JOIN q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY es DESC, doc_id ASC) AS er,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ps DESC, doc_id ASC) AS pr
+  FROM pairs)"""
+        qrels_sql = (base + f"""
+SELECT query_id, doc_id FROM ranked WHERE er <= {llm.EVAL_K}""")
+        run_sql = (base + f"""
+SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
+        return eval_ranking_duck(run_sql, qrels_sql, k=llm.EVAL_K)
+
     return [
         ("agg_orders_by_status", R.agg_orders_by_status,
          oracle_agg_status, ("agg",)),
@@ -1070,6 +1103,11 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: retrieval evaluation as an engine query — recall@10 /
+        # MRR@10 / nDCG@10 of the JL-projected ranking vs exact cosine
+        # ground truth, both rankings + metric folds replayed in SQL
+        ("retrieval_eval_metrics", llm.retrieval_eval_metrics,
+         _oracle_eval_metrics(), ("similarity", "eval", "ranking")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         ("cms_user_counts", llm.cms_user_counts, None,
          ("agg", "sketch", "frequency")),

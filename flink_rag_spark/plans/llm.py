@@ -1102,3 +1102,57 @@ def reranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("final_rank") <= 10)
             .select("question_id", "vec_id", "rr_score", "score",
                     "final_rank"))
+
+
+# ---------------------------------------------------------------------------
+# round-8: retrieval-quality evaluation as an engine query
+
+#: eval-family parameters — queries are every 25th vector (20 queries at
+#: sf0.01, 200 at sf0.1), graded at cutoff 10 (the reference's serving k,
+#: RAG.java:55)
+EVAL_K = 10
+EVAL_QUERY_MOD = 25
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation (operators/evaluation.py): grade the
+    JL-projected (16-dim) ANN ranking against exact full-precision
+    cosine ground truth with recall@10 / MRR@10 / nDCG@10 — the eval
+    harness any retrieval-stack swap needs before a serving change
+    ships (the reference swaps OpenSearch index types with no eval
+    surface at all). Queries are every ``EVAL_QUERY_MOD``-th vector;
+    qrels = exact top-10 (rounded score, min-id tie break); run =
+    top-10 in the reduced space. ONE embeddings scan + ONE broadcast
+    cross join computes BOTH scoring spaces; the two rankings share a
+    single query_id shuffle (two windows over the same partitioning);
+    the metrics are one more groupBy(query_id). At 100 TB the cost is
+    O(|Q|·N) scoring with |Q| broadcast — the same shape as knn_batch —
+    and the metric fold never exceeds O(|run|+|qrels|) rows."""
+    from flink_rag_spark.operators.compression import random_projection_expr
+    from flink_rag_spark.operators.evaluation import eval_ranking
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", "embedding",
+        F.expr(random_projection_expr("embedding", RP_OUT_DIM)).alias("p"))
+    q = (proj.filter(F.col("vec_id") % EVAL_QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"), F.col("p").alias("qp")))
+    pairs = (proj.crossJoin(broadcast(q))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", F.col("vec_id").alias("doc_id"),
+                     F.round(F.expr(cosine_expr("embedding", "qv")),
+                             ROUND_DP).alias("es"),
+                     F.round(F.expr(cosine_expr("p", "qp")),
+                             ROUND_DP).alias("ps")))
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("es"), F.asc("doc_id"))
+    w_proj = Window.partitionBy("query_id").orderBy(
+        F.desc("ps"), F.asc("doc_id"))
+    ranked = (pairs.withColumn("er", F.row_number().over(w_exact))
+              .withColumn("pr", F.row_number().over(w_proj)))
+    qrels = (ranked.filter(F.col("er") <= EVAL_K)
+             .select("query_id", "doc_id"))
+    run = (ranked.filter(F.col("pr") <= EVAL_K)
+           .select("query_id", "doc_id", F.col("pr").alias("rank")))
+    return eval_ranking(run, qrels, k=EVAL_K).orderBy("query_id")

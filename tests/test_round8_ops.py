@@ -1,0 +1,96 @@
+"""Round-8 operator contracts: retrieval evaluation metrics.
+
+`test_oracle_parity.py` already value-hashes every catalog entry against
+DuckDB; these tests pin the METRIC DEFINITIONS themselves on hand-built
+inputs where recall/MRR/nDCG are computable by hand, so an
+implementation-and-oracle that drifted together would still fail.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+
+from flink_rag_spark.operators.evaluation import eval_ranking
+
+
+def _metrics_by_query(df):
+    return {r["query_id"]: r.asDict() for r in df.collect()}
+
+
+def test_eval_ranking_hand_computed(spark):
+    # q1: 3 relevant, run hits 2 of them at ranks 1 and 3
+    # q2: 2 relevant, run hits none in top-k
+    # q3: 1 relevant, hit at rank 4
+    run = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+         ("q2", "x", 1), ("q2", "y", 2),
+         ("q3", "x", 1), ("q3", "y", 2), ("q3", "z", 3), ("q3", "c", 4)],
+        "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"),
+         ("q2", "a"), ("q2", "b"),
+         ("q3", "c")],
+        "query_id string, doc_id string")
+    out = _metrics_by_query(eval_ranking(run, qrels, k=10))
+    assert set(out) == {"q1", "q2", "q3"}
+
+    q1 = out["q1"]
+    assert q1["n_rel"] == 3 and q1["n_hits"] == 2
+    assert q1["recall_at_k"] == round(2 / 3, 6)
+    assert q1["mrr_at_k"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert q1["ndcg_at_k"] == round(dcg / idcg, 6)
+
+    q2 = out["q2"]
+    assert (q2["n_hits"], q2["recall_at_k"], q2["mrr_at_k"],
+            q2["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
+
+    q3 = out["q3"]
+    assert q3["mrr_at_k"] == 0.25
+    assert q3["recall_at_k"] == 1.0
+    # single relevant doc: IDCG = 1/log2(2) = 1, DCG = 1/log2(5)
+    assert q3["ndcg_at_k"] == round(1 / math.log2(5), 6)
+
+
+def test_eval_ranking_cutoff_and_query_loss(spark):
+    # a hit at rank 11 does not count at k=10; a query whose run is
+    # entirely missing still appears with zero metrics (keyed by qrels)
+    run = spark.createDataFrame(
+        [("q1", "a", 11)], "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q2", "b")], "query_id string, doc_id string")
+    out = _metrics_by_query(eval_ranking(run, qrels, k=10))
+    assert set(out) == {"q1", "q2"}
+    assert out["q1"]["n_hits"] == 0 and out["q1"]["ndcg_at_k"] == 0.0
+    assert out["q2"]["n_hits"] == 0 and out["q2"]["mrr_at_k"] == 0.0
+
+
+def test_eval_ranking_perfect_run_is_all_ones(spark):
+    # identical run and qrels at any k -> recall = mrr = ndcg = 1
+    rows = [("q", f"d{i}", i) for i in range(1, 6)]
+    run = spark.createDataFrame(
+        rows, "query_id string, doc_id string, rank int")
+    qrels = run.select("query_id", "doc_id")
+    out = _metrics_by_query(eval_ranking(run, qrels, k=5))["q"]
+    assert (out["recall_at_k"], out["mrr_at_k"], out["ndcg_at_k"]) == \
+        (1.0, 1.0, 1.0)
+
+
+def test_retrieval_eval_metrics_shape(spark, sf_oracle):
+    from flink_rag_spark.plans.llm import (
+        EVAL_QUERY_MOD,
+        retrieval_eval_metrics,
+    )
+    out = retrieval_eval_metrics(spark, sf_oracle).collect()
+    # one row per query vector, metrics in [0, 1]
+    n_q = len([r for r in out])
+    assert n_q > 0 and all(r["n_rel"] == 10 for r in out)
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in out)
+    assert all(0.0 <= r["ndcg_at_k"] <= 1.0 for r in out)
+    assert all(r["query_id"] % EVAL_QUERY_MOD == 0 for r in out)
+    # the 16-dim projection preserves SOME signal: macro recall well
+    # above chance (10 random picks of 500 would give ~0.02; measured
+    # 0.135 at sf0.01)
+    macro = sum(r["recall_at_k"] for r in out) / n_q
+    assert macro > 0.05
