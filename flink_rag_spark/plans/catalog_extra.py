@@ -47,6 +47,7 @@ def extra_queries() -> list[tuple]:
         temperature_mixture_duck,
     )
     from flink_rag_spark.operators.dedup import span_pairs_duck
+    from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.encoding import encoded_documents_duck
     from flink_rag_spark.operators.quality import unigram_lm_scores_duck
     from flink_rag_spark.operators.validation import validate_duck
@@ -1103,6 +1104,23 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: snapshot diff / CDC — the oracle derives the same next
+        # version and replays the full-outer-join delta with identical
+        # null-safe semantics and changed-column order
+        ("snapshot_diff_docs", llm.snapshot_diff_docs,
+         snapshot_diff_duck(
+             "SELECT doc_id, lang, source, n_chars FROM documents",
+             """SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END AS lang,
+       source,
+       CASE WHEN doc_id % 11 = 0 THEN n_chars + 5 ELSE n_chars
+       END AS n_chars
+FROM documents WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT doc_id + 1000000, lang, source, n_chars
+FROM documents WHERE doc_id % 17 = 0""",
+             ["doc_id"], ["lang", "source", "n_chars"]),
+         ("maintenance", "diff", "cdc")),
         # round-8: retrieval evaluation as an engine query — recall@10 /
         # MRR@10 / nDCG@10 of the JL-projected ranking vs exact cosine
         # ground truth, both rankings + metric folds replayed in SQL

@@ -1156,3 +1156,32 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = (ranked.filter(F.col("pr") <= EVAL_K)
            .select("query_id", "doc_id", F.col("pr").alias("rank")))
     return eval_ranking(run, qrels, k=EVAL_K).orderBy("query_id")
+
+
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between corpus versions
+    (operators/diffing.py snapshot_diff): diff `documents` against a
+    deterministically-derived next version (every 13th doc removed,
+    every remaining 11th re-labeled + re-sized, every 17th re-ingested
+    under a shifted id) — ONE full outer join on the key emitting only
+    the delta with per-row changed-column lists. The re-curation audit
+    query every upsert/forget cycle needs; the reference's store
+    mutations are unobservable after the fact."""
+    from flink_rag_spark.operators.diffing import snapshot_diff
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source", "n_chars")
+    kept = (old.filter(F.col("doc_id") % 13 != 0)
+            .select("doc_id",
+                    F.when(F.col("doc_id") % 11 == 0, F.lit("xx"))
+                    .otherwise(F.col("lang")).alias("lang"),
+                    "source",
+                    F.when(F.col("doc_id") % 11 == 0,
+                           F.col("n_chars") + 5)
+                    .otherwise(F.col("n_chars")).alias("n_chars")))
+    added = (old.filter(F.col("doc_id") % 17 == 0)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     "lang", "source", "n_chars"))
+    new = kept.unionByName(added)
+    return (snapshot_diff(old, new, ["doc_id"],
+                          ["lang", "source", "n_chars"])
+            .orderBy("doc_id"))

@@ -94,3 +94,31 @@ def test_retrieval_eval_metrics_shape(spark, sf_oracle):
     # 0.135 at sf0.01)
     macro = sum(r["recall_at_k"] for r in out) / n_q
     assert macro > 0.05
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from flink_rag_spark.operators.diffing import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id bigint, s string, v int")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> dropped
+         (2, "B", 20),          # s changed
+         (3, "c", 30),          # v NULL -> 30: changed (null-safe)
+         (5, "e", 50)],         # added; 4 removed
+        "id bigint, s string, v int")
+    out = {r["id"]: (r["status"], r["changed_csv"])
+           for r in snapshot_diff(old, new, ["id"], ["s", "v"]).collect()}
+    assert out == {2: ("changed", "s"), 3: ("changed", "v"),
+                   4: ("removed", ""), 5: ("added", "")}
+
+
+def test_snapshot_diff_multi_column_change_order(spark):
+    from flink_rag_spark.operators.diffing import snapshot_diff
+    old = spark.createDataFrame([(1, "a", 1)], "id bigint, s string, v int")
+    new = spark.createDataFrame([(1, "b", 2)], "id bigint, s string, v int")
+    [r] = snapshot_diff(old, new, ["id"], ["s", "v"]).collect()
+    # changed columns listed in compare_cols order
+    assert (r["status"], r["changed_csv"]) == ("changed", "s,v")
+    # identical snapshots diff to empty
+    assert snapshot_diff(old, old, ["id"], ["s", "v"]).count() == 0
