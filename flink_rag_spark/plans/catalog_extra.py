@@ -48,6 +48,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
+    from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.encoding import encoded_documents_duck
     from flink_rag_spark.operators.quality import unigram_lm_scores_duck
     from flink_rag_spark.operators.validation import validate_duck
@@ -1104,6 +1105,12 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: dataset integrity manifest — per-bucket counts +
+        # content-hash XOR + key range; XOR/COUNT/SUM replay exactly
+        ("dataset_manifest_docs", llm.dataset_manifest_docs,
+         dataset_manifest_duck("documents", "doc_id", "text",
+                               llm.MANIFEST_BUCKETS),
+         ("maintenance", "integrity", "agg")),
         # round-8: snapshot diff / CDC — the oracle derives the same next
         # version and replays the full-outer-join delta with identical
         # null-safe semantics and changed-column order

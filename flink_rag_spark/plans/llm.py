@@ -1185,3 +1185,22 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (snapshot_diff(old, new, ["doc_id"],
                           ["lang", "source", "n_chars"])
             .orderBy("doc_id"))
+
+
+#: manifest-family bucket count for the catalog query — 32 buckets keeps
+#: the graded result readable while exercising the full aggregate shape
+MANIFEST_BUCKETS = 32
+
+
+def dataset_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity manifest over the corpus (operators/integrity.py):
+    per key-hash bucket row counts, order-independent content-hash XOR,
+    key range, and total bytes — the |buckets|-row fingerprint that
+    makes replica comparison and divergence localization O(buckets)
+    instead of O(rows). Layout-independent: any re-partitioned copy
+    manifests identically."""
+    from flink_rag_spark.operators.integrity import dataset_manifest
+    d = load_table(spark, sf_dir, "documents")
+    return (dataset_manifest(d, "doc_id", "text",
+                             buckets=MANIFEST_BUCKETS)
+            .orderBy("bucket"))

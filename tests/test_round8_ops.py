@@ -122,3 +122,38 @@ def test_snapshot_diff_multi_column_change_order(spark):
     assert (r["status"], r["changed_csv"]) == ("changed", "s,v")
     # identical snapshots diff to empty
     assert snapshot_diff(old, old, ["id"], ["s", "v"]).count() == 0
+
+
+def _manifest_rows(df):
+    return {r["bucket"]: (r["n_rows"], r["content_xor"], r["min_key"],
+                          r["max_key"], r["total_len"])
+            for r in df.collect()}
+
+
+def test_dataset_manifest_layout_independent(spark, sf_smoke):
+    from flink_rag_spark.operators.integrity import dataset_manifest
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_smoke, "documents")
+    base = _manifest_rows(dataset_manifest(d, "doc_id", "text", buckets=8))
+    # a re-partitioned, re-sorted copy manifests identically
+    shuffled = d.repartition(13).sortWithinPartitions("n_chars")
+    again = _manifest_rows(
+        dataset_manifest(shuffled, "doc_id", "text", buckets=8))
+    assert base == again
+
+
+def test_dataset_manifest_localizes_divergence(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.integrity import dataset_manifest
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_smoke, "documents")
+    corrupt = d.withColumn(
+        "text", F.when(F.col("doc_id") == 3,
+                       F.concat(F.col("text"), F.lit("!")))
+        .otherwise(F.col("text")))
+    a = _manifest_rows(dataset_manifest(d, "doc_id", "text", buckets=8))
+    b = _manifest_rows(dataset_manifest(corrupt, "doc_id", "text",
+                                        buckets=8))
+    diff = [k for k in a if a[k] != b[k]]
+    assert len(diff) == 1  # exactly one bucket flags the corrupt row
