@@ -49,6 +49,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
+    from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import encoded_documents_duck
     from flink_rag_spark.operators.quality import unigram_lm_scores_duck
     from flink_rag_spark.operators.validation import validate_duck
@@ -1105,6 +1106,27 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: text normalization — the oracle derives the SAME
+        # dirtied input and replays the canonicalization chain (regex
+        # subset chosen so Java regex and RE2 agree)
+        ("normalized_documents", llm.normalized_documents,
+         f"""
+WITH s1 AS (SELECT doc_id, text,
+  CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END AS s
+  FROM documents),
+s2 AS (SELECT doc_id, text,
+  CASE WHEN doc_id % 5 = 0 THEN chr(9) || ' ' || s || '  ' ELSE s END AS s
+  FROM s1),
+dirty AS (SELECT doc_id, text,
+  CASE WHEN doc_id % 7 = 0
+       THEN regexp_replace(s, ' ', '   ', 'g') ELSE s END AS s
+  FROM s2)
+SELECT doc_id, {normalize_text_duck('s')} AS norm_text,
+       s <> {normalize_text_duck('s')} AS changed,
+       {normalize_text_duck('s')} = {normalize_text_duck('text')}
+         AS roundtrip_ok
+FROM dirty""",
+         ("text", "normalization", "curation")),
         # round-8: dataset integrity manifest — per-bucket counts +
         # content-hash XOR + key range; XOR/COUNT/SUM replay exactly
         ("dataset_manifest_docs", llm.dataset_manifest_docs,

@@ -1204,3 +1204,28 @@ def dataset_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dataset_manifest(d, "doc_id", "text",
                              buckets=MANIFEST_BUCKETS)
             .orderBy("bucket"))
+
+
+def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization surface (operators/normalization.py): docs are
+    deterministically dirtied (every 3rd upper-cased, every 5th wrapped
+    in tab/space padding, every 7th space-tripled — all
+    normalization-invariant edits, so ``roundtrip_ok`` must come back
+    TRUE) and then canonicalized — control-char strip, lowercase,
+    whitespace squeeze, trim, all in codegen. The pre-dedup /
+    pre-tokenize pass every corpus pipeline runs; one shuffle-free map
+    stage at any scale."""
+    from flink_rag_spark.operators.normalization import normalize_text
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.when(did % 3 == 0, F.upper(F.col("text"))) \
+        .otherwise(F.col("text"))
+    s = F.when(did % 5 == 0,
+               F.concat(F.lit("\t "), s, F.lit("  "))).otherwise(s)
+    s = F.when(did % 7 == 0,
+               F.regexp_replace(s, " ", "   ")).otherwise(s)
+    norm = normalize_text(s)
+    return d.select(
+        "doc_id", norm.alias("norm_text"),
+        (s != norm).alias("changed"),
+        (norm == normalize_text(F.col("text"))).alias("roundtrip_ok"))

@@ -157,3 +157,47 @@ def test_dataset_manifest_localizes_divergence(spark, sf_smoke):
                                         buckets=8))
     diff = [k for k in a if a[k] != b[k]]
     assert len(diff) == 1  # exactly one bucket flags the corrupt row
+
+
+def test_normalize_text_core(spark):
+    from flink_rag_spark.operators.normalization import normalize_text
+    df = spark.createDataFrame(
+        [("  Foo\t\tBAR  baz\x01qux  ",), ("already clean",), (None,)],
+        "t string")
+    out = [r["n"] for r in
+           df.select(normalize_text("t").alias("n")).collect()]
+    assert out == ["foo bar baz qux", "already clean", None]
+
+
+def test_normalize_text_matches_duck(spark):
+    import duckdb
+
+    from flink_rag_spark.operators.normalization import (
+        normalize_text,
+        normalize_text_duck,
+    )
+    samples = ["  A\tB ", "x\x07y", "MiXeD   CaSe", "", "\x1f\x00lead"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [r["n"] for r in
+           df.select(normalize_text("t").alias("n")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {normalize_text_duck('?')}", [s]).fetchone()[0]
+        for s in samples]
+    assert got == want
+
+
+def test_nfc_normalize_matches_duck(spark):
+    import duckdb
+
+    from flink_rag_spark.operators.normalization import nfc_normalize_col
+    # e + combining acute vs precomposed e-acute; A + ring; ASCII noop
+    samples = ["éclair", "café", "Å", "plain"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    nfc = nfc_normalize_col()
+    got = [r["n"] for r in df.select(nfc("t").alias("n")).collect()]
+    con = duckdb.connect()
+    want = [con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+            for s in samples]
+    assert got == want
+    assert got[0] == "éclair"  # actually composed
