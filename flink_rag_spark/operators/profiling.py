@@ -125,3 +125,153 @@ WITH b AS (SELECT {bs} FROM {table})
 SELECT {select_cols}, CAST(1 + {terms} AS INT) AS {out_col}
 FROM {table}, b
 """
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     top_n: int = 20) -> DataFrame:
+    """Join-key skew diagnostic — the first thing to look at before
+    shuffling 100 TB on a key: per-key frequencies reduced to the top-N
+    hot keys plus whole-distribution shape measures (max/avg skew
+    ratio, max share, Gini coefficient of the count distribution).
+
+    Physical shape: groupBy(key).count() is the only full-data pass
+    (map-side combined); everything after runs on the |distinct keys|
+    COUNT rows. The Gini rank is a total-order window over that reduced
+    frame — fine for any realistic key cardinality at test scale; for
+    billions of distinct keys swap the exact rank for a
+    ``quantile_bins``-histogram Gini (same output column, approximate)
+    rather than paying a single-task sort. The rank×count sum stays in
+    exact BIGINT arithmetic (cast to DECIMAL at extreme cardinality ×
+    frequency products).
+
+    Output: one row per top-N key — (rank, key, cnt, share, skew_ratio)
+    — with the global (n_keys, avg_cnt, max_share, gini) repeated on
+    every row so the result is self-contained."""
+    from pyspark.sql import Window
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w_asc = Window.orderBy(F.asc("cnt"), F.asc("key"))
+    ranked = counts.withColumn("_i", F.row_number().over(w_asc))
+    glob = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("_tot"),
+        F.max("cnt").alias("_max"),
+        F.sum(F.col("_i") * F.col("cnt")).alias("_s_ic"))
+    glob = glob.select(
+        "n_keys", "_tot",
+        F.round(F.col("_tot") / F.col("n_keys"), 6).alias("avg_cnt"),
+        F.round(F.col("_max") / F.col("_tot"), 6).alias("max_share"),
+        F.round(2.0 * F.col("_s_ic")
+                / (F.col("n_keys") * F.col("_tot"))
+                - (F.col("n_keys") + 1.0) / F.col("n_keys"), 6)
+        .alias("gini"))
+    w_desc = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    top = (counts.withColumn("rank", F.row_number().over(w_desc))
+           .filter(F.col("rank") <= top_n))
+    return (top.crossJoin(F.broadcast(glob))
+            .select("rank", "key", "cnt",
+                    F.round(F.col("cnt") / F.col("_tot"), 6)
+                    .alias("share"),
+                    F.round(F.col("cnt") * F.col("n_keys")
+                            / F.col("_tot"), 6).alias("skew_ratio"),
+                    "n_keys", "avg_cnt", "max_share", "gini"))
+
+
+def key_skew_profile_duck(table: str, key_col: str,
+                          top_n: int = 20) -> str:
+    """DuckDB mirror of ``key_skew_profile`` — same rank orders, same
+    exact-integer Gini numerator, same rounding."""
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY 1),
+ranked AS (
+  SELECT key, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt ASC, key ASC) AS i
+  FROM counts),
+tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(MAX(cnt) AS BIGINT) AS maxc,
+         CAST(SUM(i * cnt) AS BIGINT) AS s_ic
+  FROM ranked),
+g2 AS (
+  SELECT n_keys, tot,
+         ROUND(tot / CAST(n_keys AS DOUBLE), 6) AS avg_cnt,
+         ROUND(maxc / CAST(tot AS DOUBLE), 6) AS max_share,
+         ROUND(2.0 * s_ic / (CAST(n_keys AS DOUBLE) * tot)
+               - (n_keys + 1.0) / n_keys, 6) AS gini
+  FROM tots),
+top AS (
+  SELECT key, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS INT)
+           AS rank
+  FROM counts)
+SELECT rank, key, cnt,
+       ROUND(cnt / CAST(tot AS DOUBLE), 6) AS share,
+       ROUND(cnt * CAST(n_keys AS DOUBLE) / tot, 6) AS skew_ratio,
+       n_keys, avg_cnt, max_share, gini
+FROM top, g2 WHERE rank <= {top_n}
+"""
+
+
+def winsorized_stats(df: DataFrame, value_col: str, group_col: str,
+                     p_lo: float = 0.01, p_hi: float = 0.99,
+                     dp: int = 4) -> DataFrame:
+    """Per-group robust stats with percentile clipping (winsorization) —
+    the outlier-tolerant profiling pass feeding quality thresholds:
+    boundaries at (p_lo, p_hi) per group, values clipped into them,
+    mean/stddev reported before and after plus how many rows were
+    clipped.
+
+    Two passes, each one scan: (1) per-group exact interpolated
+    ``percentile`` boundaries — a |groups|-row frame that BROADCASTS
+    back onto (2) the clip-and-aggregate scan. No per-group jobs, no
+    second shuffle beyond the group-key aggregation itself. At 100 TB
+    swap ``percentile`` for ``approx_percentile`` (mergeable t-digest,
+    same plan shape) exactly as in ``quantile_bins``."""
+    b = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {p_lo!r})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {p_hi!r})").alias("_hi"))
+    j = df.join(F.broadcast(b), on=group_col)
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when((v < F.col("_lo")) | (v > F.col("_hi")), 1)
+              .otherwise(0)).alias("n_clipped"),
+        F.round(F.min("_lo"), dp).alias("p_lo_value"),
+        F.round(F.min("_hi"), dp).alias("p_hi_value"),
+        F.round(F.avg(v), dp).alias("mean_raw"),
+        F.round(F.avg(clipped), dp).alias("mean_wins"),
+        F.round(F.stddev_samp(v), dp).alias("std_raw"),
+        F.round(F.stddev_samp(clipped), dp).alias("std_wins"))
+
+
+def winsorized_stats_duck(table: str, value_col: str, group_col: str,
+                          p_lo: float = 0.01, p_hi: float = 0.99,
+                          dp: int = 4) -> str:
+    """DuckDB mirror — quantile_cont ≡ Spark's interpolated percentile,
+    same clip expression, same sample stddev."""
+    return f"""
+WITH b AS (
+  SELECT {group_col},
+         quantile_cont({value_col}, {p_lo!r}) AS lo,
+         quantile_cont({value_col}, {p_hi!r}) AS hi
+  FROM {table} GROUP BY 1),
+j AS (
+  SELECT t.{group_col}, t.{value_col} AS v, b.lo, b.hi,
+         LEAST(GREATEST(t.{value_col}, b.lo), b.hi) AS cv
+  FROM {table} t JOIN b USING ({group_col}))
+SELECT {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       ROUND(MIN(lo), {dp}) AS p_lo_value,
+       ROUND(MIN(hi), {dp}) AS p_hi_value,
+       ROUND(AVG(v), {dp}) AS mean_raw,
+       ROUND(AVG(cv), {dp}) AS mean_wins,
+       ROUND(STDDEV_SAMP(v), {dp}) AS std_raw,
+       ROUND(STDDEV_SAMP(cv), {dp}) AS std_wins
+FROM j GROUP BY 1
+"""

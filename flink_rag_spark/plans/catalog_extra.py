@@ -54,8 +54,10 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.quality import unigram_lm_scores_duck
     from flink_rag_spark.operators.validation import validate_duck
     from flink_rag_spark.operators.profiling import (
+        key_skew_profile_duck,
         profile_columns_duck,
         quantile_bins_duck,
+        winsorized_stats_duck,
     )
     from flink_rag_spark.plans import (
         llm,
@@ -1106,6 +1108,17 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: join-key skew diagnostic — same rank orders, same
+        # exact-integer Gini numerator, same rounding in both engines
+        ("skew_profile_orders", R3.skew_profile_orders,
+         key_skew_profile_duck("orders", "o_custkey", 20),
+         ("agg", "profiling", "skew")),
+        # round-8: winsorized per-group robust stats — quantile_cont ≡
+        # Spark interpolated percentile, same clip + sample stddev
+        ("winsorized_order_prices", R3.winsorized_order_prices,
+         winsorized_stats_duck("orders", "o_totalprice",
+                               "o_orderpriority"),
+         ("agg", "profiling", "stats")),
         # round-8: text normalization — the oracle derives the SAME
         # dirtied input and replays the canonicalization chain (regex
         # subset chosen so Java regex and RE2 agree)

@@ -640,3 +640,27 @@ def binned_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (quantile_bins(o, "o_totalprice", n_bins=10)
             .select("o_orderkey", "bin"))
+
+
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (profiling.key_skew_profile) over the
+    orders→customer key: top-20 hot customers with per-key share and
+    skew ratio plus whole-distribution Gini — the pre-shuffle check
+    that decides whether a 100 TB join needs salting or AQE skew
+    handling. One full-data pass; everything else runs on the reduced
+    per-key count frame."""
+    from flink_rag_spark.operators.profiling import key_skew_profile
+    o = load_table(spark, sf_dir, "orders")
+    return (key_skew_profile(o, "o_custkey", top_n=20)
+            .orderBy("rank"))
+
+
+def winsorized_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-stats surface (profiling.winsorized_stats): per-priority
+    order prices clipped at the in-group [p1, p99] with mean/stddev
+    before and after — percentile boundaries broadcast onto one
+    clip-and-aggregate scan."""
+    from flink_rag_spark.operators.profiling import winsorized_stats
+    o = load_table(spark, sf_dir, "orders")
+    return (winsorized_stats(o, "o_totalprice", "o_orderpriority")
+            .orderBy("o_orderpriority"))

@@ -201,3 +201,53 @@ def test_nfc_normalize_matches_duck(spark):
             for s in samples]
     assert got == want
     assert got[0] == "éclair"  # actually composed
+
+
+def test_key_skew_profile_uniform_and_skewed(spark):
+    from flink_rag_spark.operators.profiling import key_skew_profile
+    # uniform: 4 keys x 3 rows -> gini 0, every skew_ratio 1
+    uni = spark.createDataFrame(
+        [(k,) for k in [1, 2, 3, 4] for _ in range(3)], "k bigint")
+    rows = key_skew_profile(uni, "k", top_n=10).collect()
+    assert all(r["gini"] == 0.0 and r["skew_ratio"] == 1.0 for r in rows)
+    assert rows[0]["n_keys"] == 4 and rows[0]["avg_cnt"] == 3.0
+
+    # skewed: key 1 has 9 rows, keys 2..4 have 1 -> top key flagged
+    sk = spark.createDataFrame(
+        [(1,)] * 9 + [(2,), (3,), (4,)], "k bigint")
+    top = key_skew_profile(sk, "k", top_n=2).collect()
+    assert top[0]["key"] == 1 and top[0]["rank"] == 1
+    assert top[0]["cnt"] == 9 and top[0]["share"] == 0.75
+    assert top[0]["skew_ratio"] == 3.0  # 9 / (12/4)
+    # hand-computed gini: counts asc [1,1,1,9], i*c = 1+2+3+36 = 42
+    # 2*42/(4*12) - 5/4 = 1.75 - 1.25 = 0.5
+    assert top[0]["gini"] == 0.5
+    assert len(top) == 2  # top_n respected
+
+
+def test_winsorized_stats_hand_computed(spark):
+    from flink_rag_spark.operators.profiling import winsorized_stats
+    # one group, values 1..9 plus outlier 1000; p10/p90 clip
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, v double")
+    [r] = winsorized_stats(df, "v", "grp", p_lo=0.1, p_hi=0.9).collect()
+    # interpolated percentiles over 10 pts: p10 = 1 + 0.9*(2-1) = 1.9,
+    # p90 = 9 + 0.1*(1000-9) = 108.1
+    assert r["p_lo_value"] == 1.9
+    assert r["p_hi_value"] == 108.1
+    assert r["n_rows"] == 10
+    # both tails clip: 1.0 < 1.9 and 1000 > 108.1
+    assert r["n_clipped"] == 2
+    assert r["mean_wins"] < r["mean_raw"]
+    assert r["std_wins"] <= r["std_raw"]
+
+
+def test_winsorized_stats_clip_both_tails(spark):
+    from flink_rag_spark.operators.profiling import winsorized_stats
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(0, 101)], "grp string, v double")
+    [r] = winsorized_stats(df, "v", "grp", p_lo=0.05, p_hi=0.95).collect()
+    assert r["p_lo_value"] == 5.0 and r["p_hi_value"] == 95.0
+    assert r["n_clipped"] == 10  # 0..4 and 96..100
+    assert r["mean_raw"] == 50.0 and r["mean_wins"] == 50.0  # symmetric
