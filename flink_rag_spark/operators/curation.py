@@ -499,3 +499,28 @@ SELECT {select_cols},
          AS shuffle_pos
 FROM b
 """
+
+
+def curriculum_order(scored: DataFrame, score_col: str, key_col: str,
+                     n_bands: int = 4, seed: int = 0,
+                     buckets: int = 1024) -> DataFrame:
+    """Curriculum ordering (Bengio et al. 2009 applied to corpus prep):
+    arrange training data from highest- to lowest-quality BANDS while
+    keeping each band internally pseudo-random — sorting by
+    (band, shuffle_bucket, shuffle_pos) is the epoch order.
+
+    Deliberately a composition of two existing scale-safe pieces, not a
+    new physical op: equal-frequency bands come from broadcast
+    ``quantile_bins`` boundaries over ``score_col`` (band 1 = highest
+    score; NO global sort — the naive ntile-over-everything window
+    would be a single-task sort at 100 TB), and the within-band order
+    is ``deterministic_shuffle``'s seeded (bucket, pos) coordinates —
+    layout-independent and reproducible across runs/engines."""
+    from flink_rag_spark.operators.profiling import quantile_bins
+    binned = quantile_bins(scored, score_col, n_bins=n_bands,
+                           out_col="_qb")
+    banded = (binned.withColumn(
+        "band", (F.lit(n_bands + 1) - F.col("_qb")).cast("int"))
+        .drop("_qb"))
+    return deterministic_shuffle(banded, key_col, seed=seed,
+                                 buckets=buckets)

