@@ -524,3 +524,49 @@ def curriculum_order(scored: DataFrame, score_col: str, key_col: str,
         .drop("_qb"))
     return deterministic_shuffle(banded, key_col, seed=seed,
                                  buckets=buckets)
+
+
+def decontamination_report(train: DataFrame, bench: DataFrame,
+                           text_col: str, id_col: str,
+                           bench_id_col: str = "bench_id",
+                           n: int = DECON_NGRAM) -> DataFrame:
+    """Per-benchmark contamination audit — the REPORT companion to
+    ``ngram_decontaminate``'s filter: for EVERY benchmark in ``bench``
+    (tagged by ``bench_id_col``) in one pass, how many train documents
+    share ≥1 n-gram with it, how many of its grams leak, and the
+    contamination rate. The eval-integrity dashboard a lab publishes
+    next to its training runs (GPT-3 appendix C ships exactly this
+    table); running B benchmarks through B separate filter passes would
+    scan the corpus B times — this scans it once.
+
+    Plan at 100 TB: the (bench_id, gram) set aggregates once and
+    BROADCASTS (eval suites are small by nature); the train side's
+    explode joins map-side against it, so only true hits — bounded by
+    contamination, not corpus size — reach the per-bench distinct
+    aggregation. Corpus totals ride a separate 1-row aggregate."""
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+
+    grams = F.array_distinct(F.expr(shingle_hashes_expr(text_col, n)))
+    bg = (bench.select(bench_id_col, F.explode(grams).alias("_g"))
+          .distinct())
+    bench_docs = bench.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_docs"))
+    bench_grams = bg.groupBy(bench_id_col).agg(
+        F.count(F.lit(1)).alias("n_bench_grams"))
+    hits = (train.select(id_col, F.explode(grams).alias("_g"))
+            .join(F.broadcast(bg), on="_g"))
+    per_bench = hits.groupBy(bench_id_col).agg(
+        F.countDistinct(id_col).alias("n_contaminated"),
+        F.countDistinct("_g").alias("n_hit_grams"))
+    tot = train.agg(F.count(F.lit(1)).alias("n_train"))
+    return (bench_docs
+            .join(bench_grams, on=bench_id_col, how="left")
+            .join(per_bench, on=bench_id_col, how="left")
+            .fillna({"n_bench_grams": 0, "n_contaminated": 0,
+                     "n_hit_grams": 0})
+            .crossJoin(F.broadcast(tot))
+            .select(bench_id_col, "n_bench_docs", "n_bench_grams",
+                    "n_hit_grams", "n_contaminated", "n_train",
+                    F.round(F.col("n_contaminated")
+                            / F.col("n_train").cast("double"), 6)
+                    .alias("contamination_rate")))

@@ -1108,6 +1108,43 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: multi-benchmark decontamination report — same shingle
+        # hashes, same distinct-gram sets, same per-bench aggregates
+        ("decontamination_report_docs", llm.decontamination_report_docs,
+         f"""
+WITH b AS (
+  SELECT CASE WHEN doc_id % 10 = 0 THEN 'benchA' ELSE 'benchB' END
+           AS bench_id, doc_id, text
+  FROM documents WHERE doc_id % 5 = 0),
+t AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+bg AS (SELECT DISTINCT bench_id, g
+       FROM (SELECT bench_id,
+                    unnest(list_distinct({shingle_hashes_duck('text', 13)}))
+                      AS g FROM b)),
+tg AS (SELECT doc_id,
+              unnest(list_distinct({shingle_hashes_duck('text', 13)})) AS g
+       FROM t),
+hits AS (SELECT bg.bench_id, tg.doc_id, tg.g
+         FROM tg JOIN bg ON tg.g = bg.g),
+pb AS (SELECT bench_id,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+              CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hit_grams
+       FROM hits GROUP BY 1),
+bs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_docs
+       FROM b GROUP BY 1),
+gs AS (SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench_grams
+       FROM bg GROUP BY 1),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM t)
+SELECT bs.bench_id, n_bench_docs,
+       CAST(COALESCE(n_bench_grams, 0) AS BIGINT) AS n_bench_grams,
+       CAST(COALESCE(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       n_train,
+       ROUND(COALESCE(n_contaminated, 0) / CAST(n_train AS DOUBLE), 6)
+         AS contamination_rate
+FROM bs LEFT JOIN gs USING (bench_id) LEFT JOIN pb USING (bench_id), tt
+""",
+         ("curation", "decontamination", "profiling")),
         # round-8: curriculum ordering — LM-quality bands (broadcast
         # quantile boundaries, band 1 = best) + seeded within-band
         # shuffle coordinates; all three composed stages replay in SQL

@@ -1256,3 +1256,22 @@ def curriculum_ordered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            seed=SHUFFLE_SEED, buckets=SHUFFLE_BUCKETS)
     return out.select("doc_id", "avg_logprob", "band",
                       "shuffle_bucket", "shuffle_pos")
+
+
+def decontamination_report_docs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination audit
+    (curation.decontamination_report): two benchmark splits (doc_id%10
+    ∈ {0 → benchA, 5 → benchB}) audited against the remaining train
+    split IN ONE PASS — per bench: doc/gram counts, leaked grams,
+    contaminated train docs, contamination rate. The corpus is scanned
+    once however many benchmarks ride along."""
+    from flink_rag_spark.operators.curation import decontamination_report
+    d = load_table(spark, sf_dir, "documents")
+    bench = (d.filter(F.col("doc_id") % 5 == 0)
+             .select(F.when(F.col("doc_id") % 10 == 0, "benchA")
+                     .otherwise("benchB").alias("bench_id"),
+                     "doc_id", "text"))
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    return (decontamination_report(train, bench, "text", "doc_id")
+            .orderBy("bench_id"))

@@ -281,3 +281,46 @@ def test_curriculum_order_band_direction_and_determinism(spark):
     b1 = sorted((r["shuffle_bucket"], r["shuffle_pos"], r["s"])
                 for r in rows if r["band"] == 1)
     assert [t[2] for t in b1] != sorted((t[2] for t in b1), reverse=True)
+
+
+def test_decontamination_report_hand_built(spark):
+    from flink_rag_spark.operators.curation import decontamination_report
+    # 6-token docs, 3-gram rule. train doc 1 copies benchA's passage;
+    # train doc 2 is clean; benchB shares nothing with train.
+    bench = spark.createDataFrame(
+        [("A", 100, "w1 w2 w3 w4 w5 w6"),
+         ("B", 200, "x1 x2 x3 x4 x5 x6")],
+        "bench_id string, doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [(1, "zz w2 w3 w4 yy qq"),   # shares gram (w2 w3 w4) with A
+         (2, "a b c d e f")],
+        "doc_id bigint, text string")
+    out = {r["bench_id"]: r.asDict()
+           for r in decontamination_report(train, bench, "text",
+                                           "doc_id", n=3).collect()}
+    a, b = out["A"], out["B"]
+    assert a["n_bench_docs"] == 1 and a["n_bench_grams"] == 4
+    assert a["n_contaminated"] == 1 and a["n_hit_grams"] == 1
+    assert a["n_train"] == 2 and a["contamination_rate"] == 0.5
+    assert b["n_contaminated"] == 0 and b["n_hit_grams"] == 0
+    assert b["contamination_rate"] == 0.0
+
+
+def test_decontamination_report_consistent_with_filter(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.curation import (
+        decontamination_report,
+        ngram_decontaminate,
+    )
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_oracle, "documents")
+    bench = (d.filter(F.col("doc_id") % 10 == 0)
+             .select(F.lit("A").alias("bench_id"), "doc_id", "text"))
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    [rep] = decontamination_report(train, bench, "text",
+                                   "doc_id").collect()
+    kept = ngram_decontaminate(train, bench.drop("bench_id"), "text",
+                               "doc_id").count()
+    # report's contaminated count == docs the filter removes
+    assert rep["n_train"] - rep["n_contaminated"] == kept
