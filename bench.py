@@ -243,7 +243,15 @@ def main() -> None:
              # round-7 batch 2: exact-substring span dedup, unigram-LM
              # quality scoring, temperature mixture, deterministic shuffle
              "span_neardup_docs", "unigram_lm_quality",
-             "temperature_mixture_docs", "shuffled_documents"]
+             "temperature_mixture_docs", "shuffled_documents",
+             # round-8 additions: retrieval eval metrics, snapshot diff,
+             # integrity manifest, text normalization, skew diagnostic,
+             # winsorized stats, curriculum ordering, multi-bench
+             # decontamination report
+             "retrieval_eval_metrics", "snapshot_diff_docs",
+             "dataset_manifest_docs", "normalized_documents",
+             "skew_profile_orders", "winsorized_order_prices",
+             "curriculum_ordered_docs", "decontamination_report_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -275,8 +283,16 @@ def main() -> None:
         # + two round-7 text-pipeline ops whose scale behavior matters
         # (span self-join, LM vocab broadcast) — timed at 1× in the
         # extra section, so their factors read the same way
+        # + round-8 ops whose scale behavior matters (manifest XOR agg,
+        # decon broadcast join, skew count pass). retrieval_eval_metrics
+        # is deliberately NOT rehearsed: replication grows queries AND
+        # corpus 10x each, so its O(|Q|*N) scoring is ~100x by design —
+        # the factor would read as a plan flaw when it's the metric's
+        # contract (|Q| is an eval-suite constant in a deployment).
         rehearse = [n for n in HEADLINE if n != "rag_answer_batch"] \
-            + ["span_neardup_docs", "unigram_lm_quality"]
+            + ["span_neardup_docs", "unigram_lm_quality",
+               "dataset_manifest_docs", "decontamination_report_docs",
+               "skew_profile_orders"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
