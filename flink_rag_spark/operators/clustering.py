@@ -133,3 +133,56 @@ def semantic_dedup_keep(embeddings: DataFrame,
                .select(F.col("_ia").alias(id_col)).distinct())
     return (assigned.join(removed, on=id_col, how="left_anti")
             .select(id_col, "cell"))
+
+
+def kmeans_minibatch(batch: DataFrame, centroids: list[list[float]],
+                     counts: list[int] | None = None,
+                     vec_col: str = "embedding"
+                     ) -> tuple[list[list[float]], list[int]]:
+    """One mini-batch k-means update (Sculley 2010, web-scale k-means):
+    assign the batch to the current codebook, then move each centroid to
+    the RUNNING MEAN of everything it has ever absorbed —
+    ``c' = (n_old·c + Σ_batch) / (n_old + n_batch)`` per cell, which is
+    exactly Sculley's per-center learning rate 1/n schedule. With
+    ``counts=None`` (all zero) a single call over a full table equals
+    one distributed Lloyd's iteration (``kmeans_refine``).
+
+    This is the codebook-maintenance path for a STREAMING store: the
+    IVF index's centroids (operators/index.py) can absorb each ingest
+    micro-batch via one call from foreachBatch — no full-corpus re-train
+    — and re-partitioning of existing cells stays unnecessary until
+    drift warrants a rebuild (compaction-style, like the text index).
+
+    Distribution shape: assignment is the Arrow matmul path
+    (``with_ivf_cells``); the batch reduces to (cell, dim) partial SUMS
+    plus per-cell counts — map-side combined, shuffle carries k×dim
+    rows, collect bounded by k×dim. Empty cells keep their centroid and
+    count. Returns (new_centroids, new_counts)."""
+    from flink_rag_spark.operators.similarity import with_ivf_cells
+
+    cent = [list(map(float, c)) for c in centroids]
+    n_old = list(counts) if counts is not None else [0] * len(cent)
+    if len(n_old) != len(cent):
+        raise ValueError("counts must align with centroids")
+    assigned = with_ivf_cells(batch, cent, vec_col)
+    sums = (assigned
+            .select("cell", F.posexplode(
+                F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect())
+    got: dict[int, dict[int, float]] = {}
+    bn: dict[int, int] = {}
+    for r in sums:
+        got.setdefault(r["cell"], {})[r["dim"]] = r["s"]
+        bn[r["cell"]] = r["c"]
+    new_cent = [list(c) for c in cent]
+    new_counts = list(n_old)
+    for cell, dims in got.items():
+        nb = bn[cell]
+        tot = n_old[cell] + nb
+        new_cent[cell] = [
+            (n_old[cell] * cent[cell][d] + dims[d]) / tot
+            for d in range(len(cent[cell]))]
+        new_counts[cell] = tot
+    return new_cent, new_counts

@@ -221,3 +221,68 @@ SELECT per.{id_col}, per.n_tokens,
              / n_tokens, {ROUND_DP}) AS avg_logprob
 FROM per, vs
 """
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 13) -> DataFrame:
+    """Per-document n-gram duplication/novelty score — the
+    "fraction of duplicate n-grams" signal corpus reports publish
+    (Gopher's repetition analysis and Dolma's dedup stats both report
+    it): for each document, what share of its distinct n-gram shingles
+    occurs in at least one OTHER document. High dup_fraction = boilerplate
+    or near-copied text; complements the pairwise dedup families with a
+    per-doc scalar that needs no pair enumeration at all.
+
+    Plan at 100 TB: wordcount-shaped — explode each doc's DISTINCT
+    shingle hashes once, count per-gram document frequency (map-side
+    combined), and join the df frame back on the gram hash; both sides
+    shuffle on the same gram key, and the per-doc fold is one more
+    groupBy(id). No pairwise work anywhere: cost is O(total grams), not
+    O(dup_pairs). When only the boolean df>1 matters at extreme scale,
+    the df frame compresses to a bloom filter exactly like
+    ``membership.decontaminate_exact``'s bitmap.
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction, max_gram_df):
+    dup_fraction rounded to 6 dp; max_gram_df = how many documents share
+    the doc's most-duplicated gram (1 = fully novel)."""
+    from flink_rag_spark.operators.dedup import shingle_hashes_expr
+
+    grams = (docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.expr(shingle_hashes_expr(text_col, n)))).alias("_g")))
+    df_counts = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_df"))
+    return (grams.join(df_counts, on="_g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
+                 .alias("n_dup_grams"),
+                 F.max("_df").alias("max_gram_df"))
+            .select(id_col, "n_grams", "n_dup_grams",
+                    F.round(F.col("n_dup_grams")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("dup_fraction"),
+                    "max_gram_df"))
+
+
+def ngram_novelty_duck(table: str, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 13) -> str:
+    """DuckDB mirror of ``ngram_novelty`` — same shingle hashes, same
+    distinct-per-doc gram sets, same df fold."""
+    from flink_rag_spark.functions.hashing import shingle_hashes_duck
+    sh = shingle_hashes_duck(text_col, n)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, unnest(list_distinct({sh})) AS _g FROM {table}),
+dfc AS (SELECT _g, CAST(COUNT(*) AS BIGINT) AS _df FROM g GROUP BY 1)
+SELECT g.{id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction,
+       CAST(MAX(_df) AS BIGINT) AS max_gram_df
+FROM g JOIN dfc USING (_g)
+GROUP BY g.{id_col}
+"""

@@ -51,7 +51,10 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import encoded_documents_duck
-    from flink_rag_spark.operators.quality import unigram_lm_scores_duck
+    from flink_rag_spark.operators.quality import (
+        ngram_novelty_duck,
+        unigram_lm_scores_duck,
+    )
     from flink_rag_spark.operators.validation import validate_duck
     from flink_rag_spark.operators.profiling import (
         key_skew_profile_duck,
@@ -1108,6 +1111,12 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: per-doc n-gram novelty — same shingles, same
+        # distinct-per-doc sets, same df fold in both engines
+        ("ngram_novelty_docs", llm.ngram_novelty_docs,
+         ngram_novelty_duck("documents", "text", "doc_id",
+                            llm.NOVELTY_NGRAM),
+         ("quality", "dedup", "text")),
         # round-8: multi-benchmark decontamination report — same shingle
         # hashes, same distinct-gram sets, same per-bench aggregates
         ("decontamination_report_docs", llm.decontamination_report_docs,
@@ -1225,6 +1234,10 @@ FROM documents WHERE doc_id % 17 = 0""",
         ("retrieval_eval_metrics", llm.retrieval_eval_metrics,
          _oracle_eval_metrics(), ("similarity", "eval", "ranking")),
         # rows-only by nature (approximate / provider-UDF surfaces)
+        # round-8: mini-batch codebook update — matmul-argmin float ties
+        # make exact SQL replay inappropriate, like the ANN tiers
+        ("kmeans_minibatch_cells", llm.kmeans_minibatch_cells, None,
+         ("similarity", "clustering", "incremental")),
         ("cms_user_counts", llm.cms_user_counts, None,
          ("agg", "sketch", "frequency")),
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),

@@ -1275,3 +1275,40 @@ def decontamination_report_docs(spark: SparkSession,
     train = d.filter(F.col("doc_id") % 5 != 0)
     return (decontamination_report(train, bench, "text", "doc_id")
             .orderBy("bench_id"))
+
+
+#: novelty-family shingle width — 8 tokens matches the span-dedup family
+#: (the synthetic corpus's duplicated passages are detectable at 8), so
+#: the per-doc novelty scores correlate with the pairwise span findings
+NOVELTY_NGRAM = 8
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication/novelty scoring (quality.ngram_novelty):
+    the share of each doc's distinct 8-token shingles that occur in
+    other documents, plus the document frequency of its most-shared
+    gram — the per-doc scalar complement of the pairwise dedup
+    families, computed wordcount-shaped with no pair enumeration."""
+    from flink_rag_spark.operators.quality import ngram_novelty
+    d = load_table(spark, sf_dir, "documents")
+    return (ngram_novelty(d, "text", "doc_id", n=NOVELTY_NGRAM)
+            .orderBy("doc_id"))
+
+
+def kmeans_minibatch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental codebook maintenance (clustering.kmeans_minibatch,
+    Sculley 2010): the fixed seed codebook absorbs a simulated ingest
+    batch (every 3rd vector) as ONE running-mean mini-batch update, and
+    the result is the full corpus re-assigned under the UPDATED
+    codebook. Rows-only by nature: the update path is the Arrow matmul
+    argmin (float ties), like the ANN tiers."""
+    from flink_rag_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_minibatch,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _fixed_centroids(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    new_cent, _counts = kmeans_minibatch(batch, cent)
+    return (assign_clusters(emb, new_cent)
+            .orderBy("vec_id"))

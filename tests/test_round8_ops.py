@@ -324,3 +324,68 @@ def test_decontamination_report_consistent_with_filter(spark, sf_oracle):
                                "doc_id").count()
     # report's contaminated count == docs the filter removes
     assert rep["n_train"] - rep["n_contaminated"] == kept
+
+
+def test_ngram_novelty_hand_built(spark):
+    from flink_rag_spark.operators.quality import ngram_novelty
+    # 3-grams over 5-token docs: doc 1 and 2 share one passage
+    # (w2 w3 w4); doc 3 is fully novel.
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"),
+         (2, "x1 w2 w3 w4 x5"),
+         (3, "a b c d e")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in ngram_novelty(docs, "text", "doc_id", n=3).collect()}
+    # each doc has 3 distinct 3-grams; docs 1/2 share exactly one
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[1]["max_gram_df"] == 2
+    assert out[1]["dup_fraction"] == round(1 / 3, 6)
+    assert out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0 and out[3]["max_gram_df"] == 1
+    assert out[3]["dup_fraction"] == 0.0
+
+
+def test_ngram_novelty_duplicate_doc_saturates(spark):
+    from flink_rag_spark.operators.quality import ngram_novelty
+    docs = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "p q r s t u")],
+        "doc_id bigint, text string")
+    out = ngram_novelty(docs, "text", "doc_id", n=3).collect()
+    # verbatim copies: every gram duplicated in both docs
+    assert all(r["dup_fraction"] == 1.0 and r["max_gram_df"] == 2
+               for r in out)
+
+
+def test_kmeans_minibatch_equals_lloyd_iteration_when_cold(spark):
+    from flink_rag_spark.operators.clustering import (
+        kmeans_minibatch,
+        kmeans_refine,
+    )
+    data = [(i, [float(i % 5), float((i * 3) % 7), float(i % 2)])
+            for i in range(60)]
+    df = spark.createDataFrame(data, "vec_id bigint, embedding array<float>")
+    seeds = [[0.0, 0.0, 0.0], [4.0, 6.0, 1.0]]
+    # cold (counts=0) mini-batch over the FULL table == one Lloyd's step
+    mb, counts = kmeans_minibatch(df, seeds)
+    ll = kmeans_refine(df, seeds, iters=1)
+    assert sum(counts) == 60
+    for a, b in zip(mb, ll):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_kmeans_minibatch_running_mean_weighting(spark):
+    from flink_rag_spark.operators.clustering import kmeans_minibatch
+    # all points land in cell 0; two sequential batches must yield the
+    # running mean of everything absorbed, whatever the split
+    b1 = spark.createDataFrame([(1, [1.0, 1.0]), (2, [3.0, 3.0])],
+                               "vec_id bigint, embedding array<float>")
+    b2 = spark.createDataFrame([(3, [11.0, 11.0])],
+                               "vec_id bigint, embedding array<float>")
+    seeds = [[0.0, 0.0], [100.0, 100.0]]
+    c1, n1 = kmeans_minibatch(b1, seeds)
+    assert n1 == [2, 0] and c1[0] == [2.0, 2.0]
+    assert c1[1] == seeds[1]  # empty cell untouched
+    c2, n2 = kmeans_minibatch(b2, c1, n1)
+    # (2*2 + 11) / 3 = 5.0 — the mean of all three points
+    assert n2 == [3, 0] and c2[0] == [5.0, 5.0]
