@@ -188,3 +188,114 @@ def load_ivf_tail(spark: SparkSession, path: str) -> DataFrame | None:
     for p in parts[1:]:
         out = out.unionByName(spark.read.parquet(p))
     return out.dropDuplicates(["vec_id"])
+
+
+# ------------------------------------------------ codebook maintenance
+
+NEXT_CODEBOOK = "next_codebook.json"
+
+
+def maintain_codebook(spark: SparkSession, batch: DataFrame, path: str,
+                      batch_id: int | None = None,
+                      stream_id: str | None = None,
+                      vec_col: str = "embedding") -> float | None:
+    """Warm-start codebook maintenance from a stream: absorb a
+    micro-batch into a NEXT codebook stored BESIDE the live one
+    (``next_codebook.json``, running-mean mini-batch k-means —
+    clustering.kmeans_minibatch), never touching the serving centroids.
+
+    Mutating ``centroids.json`` in place would silently invalidate every
+    existing cell assignment (cells are partitioned by argmin against
+    the OLD geometry), so drift correction is split in two: this
+    function tracks where the centroids WANT to move and how far
+    (``drift`` = max centroid L2 displacement vs the live codebook), and
+    ``promote_next_codebook`` performs the rebuild — which, seeded with
+    the warmed-up codebook, skips centroid training entirely (the
+    sample-k-means phase of ``build_ivf_index``) and is ONE assignment
+    pass. The drift value is the rebuild trigger a maintenance loop
+    polls, exactly like compaction cadences elsewhere in this repo.
+
+    Replay-idempotent: (stream_id, batch_id) rides in the JSON; a
+    replayed batch is a no-op returning the stored drift. The state
+    commit is a single tmp+os.replace. No-op (returns None) before the
+    first ``build_ivf_index`` — there is no live geometry to drift
+    from. Cost per batch: one matmul assignment of the batch + a k×dim
+    collect."""
+    import math
+
+    from flink_rag_spark.operators.clustering import kmeans_minibatch
+
+    cents_file = os.path.join(path, "centroids.json")
+    if not os.path.exists(cents_file):
+        return None
+    with open(cents_file) as f:
+        live = json.load(f)
+    nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    if os.path.exists(nxt_file):
+        with open(nxt_file) as f:
+            st = json.load(f)
+        if (stream_id is not None and st.get("stream_id") == stream_id
+                and batch_id is not None
+                and st.get("last_batch_id") is not None
+                and batch_id <= st["last_batch_id"]):
+            return st.get("drift")
+        cur, counts = st["centroids"], st["counts"]
+    else:
+        cur, counts = live, [0] * len(live)
+    new_cent, new_counts = kmeans_minibatch(
+        batch, cur, counts, vec_col=vec_col)
+    drift = max(
+        math.sqrt(sum((a - b) ** 2 for a, b in zip(lc, nc)))
+        for lc, nc in zip(live, new_cent))
+    tmp = nxt_file + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"centroids": new_cent, "counts": new_counts,
+                   "drift": drift, "stream_id": stream_id,
+                   "last_batch_id": batch_id}, f)
+    os.replace(tmp, nxt_file)
+    return drift
+
+
+def codebook_drift(path: str) -> float | None:
+    """The staged codebook's displacement vs the live one (None if no
+    update has been absorbed yet) — the rebuild-trigger signal."""
+    nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    if not os.path.exists(nxt_file):
+        return None
+    with open(nxt_file) as f:
+        return json.load(f).get("drift")
+
+
+def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
+                          path: str) -> list[list[float]]:
+    """Rebuild the index under the staged codebook: ONE full assignment
+    pass of ``embeddings`` against ``next_codebook.json`` (no centroid
+    training — the stream already did it incrementally), cells
+    re-partitioned and swapped in, ``centroids.json`` replaced, the
+    staged file consumed. The warm-start rebuild a drift threshold
+    triggers; compare ``build_ivf_index``, whose training phase this
+    skips."""
+    import shutil
+
+    nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    with open(nxt_file) as f:
+        cents = json.load(f)["centroids"]
+    cells_new = os.path.join(path, "cells.rebuilding")
+    if os.path.exists(cells_new):
+        shutil.rmtree(cells_new)
+    assigned = with_ivf_cells(embeddings, cents)
+    (assigned.repartition(len(cents), F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(cells_new))
+    cells_live = os.path.join(path, "cells")
+    old = os.path.join(path, "cells.old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(cells_live, old)
+    os.rename(cells_new, cells_live)
+    shutil.rmtree(old)
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(cents, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    os.remove(nxt_file)
+    return cents

@@ -266,6 +266,7 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                neardup_compact_every: int | None = None,
                ivf_index: str | None = None,
                ivf_append_every: int = 1,
+               ivf_codebook: bool = False,
                text_index: str | None = None,
                text_compact_every: int | None = None):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
@@ -294,6 +295,14 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     ingest BY CONSTRUCTION, not by rebuild convention. Before the first
     ``build_ivf_index`` the flush is a no-op and vectors simply stay in
     the tail.
+
+    ``ivf_codebook=True`` additionally absorbs each micro-batch into the
+    IVF index's staged NEXT codebook (index.maintain_codebook —
+    running-mean mini-batch k-means, replay-guarded by (stream, batch)
+    id): the serving centroids are never touched, but the staged
+    codebook's ``drift`` signal tells a maintenance loop when the
+    geometry has moved enough to warrant a ``promote_next_codebook``
+    rebuild — which then skips centroid training entirely.
 
     ``text_index=<path>`` keeps the persisted BM25 inverted index fresh
     from the same stream (ranking.maintain_text_index): each batch's
@@ -385,6 +394,15 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                               ivf_index)
                 if (_id + 1) % max(1, ivf_append_every) == 0:
                     flush_pending(b.sparkSession, ivf_index)
+                if ivf_codebook:
+                    # warm-start drift tracking only — never mutates the
+                    # serving centroids (see index.maintain_codebook)
+                    from flink_rag_spark.operators.index import (
+                        maintain_codebook,
+                    )
+                    maintain_codebook(
+                        b.sparkSession, b.select("vec_id", "embedding"),
+                        ivf_index, batch_id=_id, stream_id=checkpoint)
         finally:
             if multi_action:
                 b.unpersist()

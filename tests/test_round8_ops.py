@@ -389,3 +389,83 @@ def test_kmeans_minibatch_running_mean_weighting(spark):
     c2, n2 = kmeans_minibatch(b2, c1, n1)
     # (2*2 + 11) / 3 = 5.0 — the mean of all three points
     assert n2 == [3, 0] and c2[0] == [5.0, 5.0]
+
+
+def _tiny_emb(spark):
+    data = [(i, [float(i % 4), float((i * 7) % 5), float(i % 3)])
+            for i in range(40)]
+    return spark.createDataFrame(data,
+                                 "vec_id bigint, embedding array<float>")
+
+
+def test_maintain_codebook_absorbs_and_guards(spark, tmp_path):
+    import json
+    import os
+
+    from flink_rag_spark.operators.clustering import kmeans_minibatch
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        codebook_drift,
+        maintain_codebook,
+    )
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(spark, emb, idx, n_centroids=2)
+
+    b0 = emb.filter("vec_id < 20")
+    b1 = emb.filter("vec_id >= 20")
+    d0 = maintain_codebook(spark, b0, idx, batch_id=0, stream_id="s")
+    assert d0 is not None and d0 >= 0.0
+    assert codebook_drift(idx) == d0
+    st = json.load(open(os.path.join(idx, "next_codebook.json")))
+    assert sum(st["counts"]) == 20
+
+    # replayed batch: no-op, state unchanged
+    assert maintain_codebook(spark, b0, idx, batch_id=0,
+                             stream_id="s") == d0
+    st2 = json.load(open(os.path.join(idx, "next_codebook.json")))
+    assert st2 == st
+
+    # next batch accumulates; staged centroids equal the direct
+    # sequential mini-batch composition
+    maintain_codebook(spark, b1, idx, batch_id=1, stream_id="s")
+    st3 = json.load(open(os.path.join(idx, "next_codebook.json")))
+    assert sum(st3["counts"]) == 40
+    c_direct, n_direct = kmeans_minibatch(b0, cents)
+    c_direct, n_direct = kmeans_minibatch(b1, c_direct, n_direct)
+    assert n_direct == st3["counts"]
+    for a, b in zip(c_direct, st3["centroids"]):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+    # the LIVE codebook was never touched
+    assert json.load(open(os.path.join(idx, "centroids.json"))) == cents
+
+
+def test_promote_next_codebook_warm_rebuild(spark, tmp_path):
+    import json
+    import os
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        load_ivf_index,
+        maintain_codebook,
+        promote_next_codebook,
+    )
+    from flink_rag_spark.operators.similarity import with_ivf_cells
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx, n_centroids=2)
+    maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s")
+    staged = json.load(
+        open(os.path.join(idx, "next_codebook.json")))["centroids"]
+
+    promoted = promote_next_codebook(spark, emb, idx)
+    assert promoted == staged
+    assert not os.path.exists(os.path.join(idx, "next_codebook.json"))
+    cents, cells = load_ivf_index(spark, idx)
+    assert cents == staged
+    # cells were reassigned under the NEW geometry, nothing lost
+    want = {(r["vec_id"], r["cell"])
+            for r in with_ivf_cells(emb, staged).collect()}
+    got = {(r["vec_id"], r["cell"])
+           for r in cells.select("vec_id", "cell").collect()}
+    assert got == want and len(got) == 40

@@ -799,3 +799,52 @@ def test_ingest_backfills_cold_text_index(spark, tmp_path):
            bm25_topk_indexed(spark, idx, terms, k=5).collect()]
     # the pre-existing docs (phase 1) must be retrievable via the index
     assert got == want and len(got) == 3
+
+
+def test_ingest_maintains_codebook(spark, tmp_path):
+    """run_ingest(ivf_codebook=True): every micro-batch is absorbed into
+    the staged NEXT codebook with a drift signal, while the serving
+    centroids stay untouched."""
+    import json
+    import os
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        codebook_drift,
+    )
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    idx = str(tmp_path / "ivf")
+    store = str(tmp_path / "store")
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "s.txt").write_text(
+        "".join(f"seed fact number {i} about topic {i % 4}\n"
+                for i in range(12)))
+    q = run_ingest(spark, file_string_source(spark, str(seed)), store,
+                   str(tmp_path / "c0"), available_now=True)
+    assert q.awaitTermination(120)
+    cents0 = build_ivf_index(spark, spark.read.parquet(store)
+                             .select("vec_id", "embedding"), idx,
+                             n_centroids=4)
+    assert codebook_drift(idx) is None  # nothing staged yet
+
+    newdir = tmp_path / "new"
+    newdir.mkdir()
+    for j in range(3):
+        (newdir / f"n{j}.txt").write_text(
+            f"fresh streamed fact {j} about entirely new topics\n")
+    q = run_ingest(spark,
+                   file_string_source(spark, str(newdir),
+                                      max_files_per_trigger=1),
+                   store, str(tmp_path / "c1"), available_now=True,
+                   ivf_index=idx, ivf_codebook=True)
+    assert q.awaitTermination(180)
+
+    st = json.load(open(os.path.join(idx, "next_codebook.json")))
+    assert sum(st["counts"]) == 3          # all fresh vectors absorbed
+    assert st["last_batch_id"] is not None
+    assert codebook_drift(idx) is not None
+    # serving geometry untouched until an explicit promote
+    assert json.load(open(os.path.join(idx, "centroids.json"))) == cents0
