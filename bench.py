@@ -251,7 +251,8 @@ def main() -> None:
              "retrieval_eval_metrics", "snapshot_diff_docs",
              "dataset_manifest_docs", "normalized_documents",
              "skew_profile_orders", "winsorized_order_prices",
-             "curriculum_ordered_docs", "decontamination_report_docs"]
+             "curriculum_ordered_docs", "decontamination_report_docs",
+             "ngram_novelty_docs", "kmeans_minibatch_cells"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -164,25 +164,34 @@ def kmeans_minibatch(batch: DataFrame, centroids: list[list[float]],
     n_old = list(counts) if counts is not None else [0] * len(cent)
     if len(n_old) != len(cent):
         raise ValueError("counts must align with centroids")
-    assigned = with_ivf_cells(batch, cent, vec_col)
-    sums = (assigned
-            .select("cell", F.posexplode(
-                F.col(vec_col).cast("array<double>")).alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect())
+    assigned = with_ivf_cells(batch, cent, vec_col).persist()
+    try:
+        # per-cell row counts DIRECTLY (a (cell, dim) group's count can
+        # disagree with the row count when a vector carries a NULL
+        # element — the running-mean denominator must be rows, not
+        # non-null dim entries)
+        bn = {r["cell"]: r["n"] for r in
+              assigned.groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        sums = (assigned
+                .select("cell", F.posexplode(
+                    F.col(vec_col).cast("array<double>"))
+                    .alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.sum("x").alias("s"))
+                .collect())
+    finally:
+        assigned.unpersist()
     got: dict[int, dict[int, float]] = {}
-    bn: dict[int, int] = {}
     for r in sums:
         got.setdefault(r["cell"], {})[r["dim"]] = r["s"]
-        bn[r["cell"]] = r["c"]
     new_cent = [list(c) for c in cent]
     new_counts = list(n_old)
-    for cell, dims in got.items():
-        nb = bn[cell]
+    for cell, nb in bn.items():
+        dims = got.get(cell, {})
         tot = n_old[cell] + nb
         new_cent[cell] = [
-            (n_old[cell] * cent[cell][d] + dims[d]) / tot
+            (n_old[cell] * cent[cell][d] + (dims.get(d) or 0.0)) / tot
             for d in range(len(cent[cell]))]
         new_counts[cell] = tot
     return new_cent, new_counts

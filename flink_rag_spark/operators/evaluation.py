@@ -53,8 +53,8 @@ def eval_ranking(run: DataFrame, qrels: DataFrame, k: int = 10,
     topk = run.filter(F.col(rank_col) <= k)
     per_q_rel = qrels.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("n_rel"))
-    hits = (topk.join(qrels.select(query_col, doc_col).withColumn(
-        "_rel", F.lit(1)), on=[query_col, doc_col], how="inner"))
+    hits = (topk.join(qrels.select(query_col, doc_col),
+                      on=[query_col, doc_col], how="inner"))
     folded = hits.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min(rank_col).alias("_first_hit"),

@@ -54,6 +54,12 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
          os.path.join(path, "cells")))
     with open(os.path.join(path, "centroids.json"), "w") as f:
         json.dump(cents, f)
+    # a full retrain invalidates any codebook updates staged against the
+    # PREVIOUS geometry — promoting them afterwards would clobber this
+    # rebuild (and k may have changed); drop the stale staging state
+    stale = os.path.join(path, NEXT_CODEBOOK)
+    if os.path.exists(stale):
+        os.remove(stale)
     return cents
 
 
@@ -72,6 +78,7 @@ def append_to_ivf_index(spark: SparkSession, new_vectors: DataFrame,
     is deliberate: appended vectors join their nearest EXISTING cell, so
     recall for them matches an in-index vector; a full ``build_ivf_index``
     rebuild re-trains geometry when the corpus distribution moves."""
+    _recover_promote(path)
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
     assigned = with_ivf_cells(new_vectors, cents, vec_col)
@@ -107,6 +114,7 @@ def compact_ivf_index(spark: SparkSession, path: str,
 def load_ivf_index(spark: SparkSession, path: str) -> tuple[list[list[float]], DataFrame]:
     """(centroids, cells DataFrame). A `cell IN (probes)` filter on the
     returned frame prunes partition directories at the scan."""
+    _recover_promote(path)
     with open(os.path.join(path, "centroids.json")) as f:
         cents = json.load(f)
     cells = spark.read.parquet(os.path.join(path, "cells"))
@@ -150,6 +158,7 @@ def flush_pending(spark: SparkSession, path: str) -> int:
     import json as _json
     import shutil
 
+    _recover_promote(path)
     pend = os.path.join(path, PENDING_DIR)
     flush = os.path.join(path, FLUSHING_DIR)
     if not os.path.exists(os.path.join(path, "centroids.json")):
@@ -230,18 +239,23 @@ def maintain_codebook(spark: SparkSession, batch: DataFrame, path: str,
         return None
     with open(cents_file) as f:
         live = json.load(f)
+    _recover_promote(path)
     nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    cur, counts = live, [0] * len(live)
     if os.path.exists(nxt_file):
         with open(nxt_file) as f:
             st = json.load(f)
-        if (stream_id is not None and st.get("stream_id") == stream_id
-                and batch_id is not None
-                and st.get("last_batch_id") is not None
-                and batch_id <= st["last_batch_id"]):
-            return st.get("drift")
-        cur, counts = st["centroids"], st["counts"]
-    else:
-        cur, counts = live, [0] * len(live)
+        if len(st["centroids"]) != len(live):
+            # staged against a codebook a retrain has since replaced
+            # with different k — discard and reseed from the live one
+            os.remove(nxt_file)
+        else:
+            if (stream_id is not None and st.get("stream_id") == stream_id
+                    and batch_id is not None
+                    and st.get("last_batch_id") is not None
+                    and batch_id <= st["last_batch_id"]):
+                return st.get("drift")
+            cur, counts = st["centroids"], st["counts"]
     new_cent, new_counts = kmeans_minibatch(
         batch, cur, counts, vec_col=vec_col)
     drift = max(
@@ -266,6 +280,44 @@ def codebook_drift(path: str) -> float | None:
         return json.load(f).get("drift")
 
 
+PROMOTE_INTENT = "promote.intent.json"
+
+
+def _recover_promote(path: str) -> None:
+    """Finish an interrupted ``promote_next_codebook``. The intent
+    marker is written only AFTER the rebuilt cells are fully on disk, so
+    its presence means the staged centroids are authoritative and every
+    remaining step is an idempotent rename/replace — redo whichever the
+    crash skipped. Without the marker, a leftover ``cells.rebuilding``
+    is pre-commit garbage the next promote simply overwrites."""
+    import shutil
+
+    intent = os.path.join(path, PROMOTE_INTENT)
+    if not os.path.exists(intent):
+        return
+    with open(intent) as f:
+        cents = json.load(f)["centroids"]
+    cells_live = os.path.join(path, "cells")
+    cells_new = os.path.join(path, "cells.rebuilding")
+    old = os.path.join(path, "cells.old")
+    if os.path.exists(cells_new):
+        if os.path.exists(cells_live):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(cells_live, old)
+        os.rename(cells_new, cells_live)
+    tmp = os.path.join(path, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(cents, f)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    if os.path.exists(nxt_file):
+        os.remove(nxt_file)
+    os.remove(intent)
+
+
 def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
                           path: str) -> list[list[float]]:
     """Rebuild the index under the staged codebook: ONE full assignment
@@ -274,9 +326,17 @@ def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
     re-partitioned and swapped in, ``centroids.json`` replaced, the
     staged file consumed. The warm-start rebuild a drift threshold
     triggers; compare ``build_ivf_index``, whose training phase this
-    skips."""
+    skips.
+
+    Crash-safe: the rebuilt cells land in ``cells.rebuilding`` first,
+    then a ``promote.intent.json`` marker (atomic write) marks the
+    commit point — from there every step is an idempotent rename/
+    replace that ``_recover_promote`` (invoked by the index readers and
+    maintainers) redoes after a crash, so probes can never observe
+    cells and centroids from DIFFERENT geometries."""
     import shutil
 
+    _recover_promote(path)
     nxt_file = os.path.join(path, NEXT_CODEBOOK)
     with open(nxt_file) as f:
         cents = json.load(f)["centroids"]
@@ -286,16 +346,10 @@ def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
     assigned = with_ivf_cells(embeddings, cents)
     (assigned.repartition(len(cents), F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(cells_new))
-    cells_live = os.path.join(path, "cells")
-    old = os.path.join(path, "cells.old")
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(cells_live, old)
-    os.rename(cells_new, cells_live)
-    shutil.rmtree(old)
-    tmp = os.path.join(path, "centroids.json.tmp")
+    intent = os.path.join(path, PROMOTE_INTENT)
+    tmp = intent + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(cents, f)
-    os.replace(tmp, os.path.join(path, "centroids.json"))
-    os.remove(nxt_file)
+        json.dump({"centroids": cents}, f)
+    os.replace(tmp, intent)        # commit point
+    _recover_promote(path)         # the swap itself, crash-redoable
     return cents

@@ -296,13 +296,17 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     ``build_ivf_index`` the flush is a no-op and vectors simply stay in
     the tail.
 
-    ``ivf_codebook=True`` additionally absorbs each micro-batch into the
+    ``ivf_codebook=True`` additionally absorbs each micro-batch's
+    genuinely store-NEW rows (the upsert's own anti-join, via the same
+    ``on_new`` hook as the text index — so a re-ingest of stored content
+    absorbs nothing and the running-mean counts never double) into the
     IVF index's staged NEXT codebook (index.maintain_codebook —
     running-mean mini-batch k-means, replay-guarded by (stream, batch)
     id): the serving centroids are never touched, but the staged
     codebook's ``drift`` signal tells a maintenance loop when the
     geometry has moved enough to warrant a ``promote_next_codebook``
-    rebuild — which then skips centroid training entirely.
+    rebuild — which then skips centroid training entirely. Requires
+    ``ivf_index``.
 
     ``text_index=<path>`` keeps the persisted BM25 inverted index fresh
     from the same stream (ranking.maintain_text_index): each batch's
@@ -321,6 +325,9 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     index) — where the reference's job maintained only the OpenSearch
     store (`StreamingStoreKnowledge.java:30-37`)."""
     ensure_runtime_confs(spark)
+    if ivf_codebook and ivf_index is None:
+        raise ValueError("ivf_codebook=True requires ivf_index=<path> — "
+                         "the staged codebook lives inside the index")
     if text_index is not None:
         import os
         if not os.path.exists(os.path.join(text_index, "stats.json")):
@@ -367,9 +374,9 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
         elif multi_action:
             b.persist()
         try:
-            on_new = None
+            hooks = []
             if text_index is not None:
-                def on_new(new_rows, _bid=_id):
+                def _text_hook(new_rows, _bid=_id):
                     from flink_rag_spark.operators.ranking import (
                         maintain_text_index,
                     )
@@ -378,6 +385,26 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                         new_rows.select(F.col("vec_id").alias("doc_id"),
                                         "text"),
                         text_index, batch_id=_bid, stream_id=checkpoint)
+                hooks.append(_text_hook)
+            if ivf_index is not None and ivf_codebook:
+                # absorb only genuinely store-NEW rows (a re-ingest under
+                # a fresh checkpoint replays with an empty new-row set, so
+                # the codebook's running-mean counts never double); drift
+                # tracking only — never mutates the serving centroids
+                def _codebook_hook(new_rows, _bid=_id):
+                    from flink_rag_spark.operators.index import (
+                        maintain_codebook,
+                    )
+                    maintain_codebook(
+                        new_rows.sparkSession,
+                        new_rows.select("vec_id", "embedding"),
+                        ivf_index, batch_id=_bid, stream_id=checkpoint)
+                hooks.append(_codebook_hook)
+            on_new = None
+            if hooks:
+                def on_new(new_rows, _hooks=tuple(hooks)):
+                    for h in _hooks:
+                        h(new_rows)
             upsert_batch(b, store_path, on_new=on_new)
             if text_index is not None and text_compact_every \
                     and (_id + 1) % text_compact_every == 0:
@@ -394,15 +421,6 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                               ivf_index)
                 if (_id + 1) % max(1, ivf_append_every) == 0:
                     flush_pending(b.sparkSession, ivf_index)
-                if ivf_codebook:
-                    # warm-start drift tracking only — never mutates the
-                    # serving centroids (see index.maintain_codebook)
-                    from flink_rag_spark.operators.index import (
-                        maintain_codebook,
-                    )
-                    maintain_codebook(
-                        b.sparkSession, b.select("vec_id", "embedding"),
-                        ivf_index, batch_id=_id, stream_id=checkpoint)
         finally:
             if multi_action:
                 b.unpersist()

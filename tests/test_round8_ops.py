@@ -469,3 +469,87 @@ def test_promote_next_codebook_warm_rebuild(spark, tmp_path):
     got = {(r["vec_id"], r["cell"])
            for r in cells.select("vec_id", "cell").collect()}
     assert got == want and len(got) == 40
+
+
+def test_build_ivf_index_drops_stale_staged_codebook(spark, tmp_path):
+    import os
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        codebook_drift,
+        maintain_codebook,
+    )
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx, n_centroids=2)
+    maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s")
+    assert os.path.exists(os.path.join(idx, "next_codebook.json"))
+    # a full retrain (possibly different k) invalidates the staging
+    build_ivf_index(spark, emb, idx, n_centroids=3)
+    assert not os.path.exists(os.path.join(idx, "next_codebook.json"))
+    assert codebook_drift(idx) is None
+    # and a fresh absorb reseeds cleanly against the NEW k
+    d = maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s2")
+    assert d is not None
+
+
+def test_promote_crash_recovery_from_intent(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        load_ivf_index,
+        maintain_codebook,
+        promote_next_codebook,
+    )
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx, n_centroids=2)
+    maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s")
+    staged = json.load(
+        open(os.path.join(idx, "next_codebook.json")))["centroids"]
+    # run a full promote to materialize the rebuilt cells, then rewind
+    # to the exact crash window: intent written, swap not yet done
+    promote_next_codebook(spark, emb, idx)
+    cells = os.path.join(idx, "cells")
+    shutil.copytree(cells, os.path.join(idx, "cells.rebuilding"))
+    with open(os.path.join(idx, "promote.intent.json"), "w") as f:
+        json.dump({"centroids": staged}, f)
+    with open(os.path.join(idx, "centroids.json"), "w") as f:
+        json.dump([[9e9] * len(staged[0])] * len(staged), f)  # "old" junk
+    # any reader finishes the promote: centroids match the intent again
+    cents, cells_df = load_ivf_index(spark, idx)
+    assert cents == staged
+    assert not os.path.exists(os.path.join(idx, "promote.intent.json"))
+    assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
+    assert cells_df.count() == 40
+
+
+def test_kmeans_minibatch_null_element_uses_row_counts(spark):
+    from flink_rag_spark.operators.clustering import kmeans_minibatch
+    # one vector carries a NULL element: the running-mean denominator
+    # must still be the ROW count (2), with the null dim summed as-is
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0]), (2, [None, 8.0])],
+        "vec_id bigint, embedding array<double>")
+    seeds = [[0.0, 0.0], [100.0, 100.0]]
+    cents, counts = kmeans_minibatch(df, seeds)
+    assert counts == [2, 0]
+    # dim 0: sum=2.0 over 2 rows -> 1.0 ; dim 1: (4+8)/2 = 6.0
+    assert cents[0] == [1.0, 6.0]
+
+
+def test_run_ingest_rejects_codebook_without_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("hello\n")
+    with _pytest.raises(ValueError, match="ivf_codebook"):
+        run_ingest(spark, file_string_source(spark, str(src)),
+                   str(tmp_path / "store"), str(tmp_path / "c"),
+                   available_now=True, ivf_codebook=True)

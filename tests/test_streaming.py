@@ -848,3 +848,14 @@ def test_ingest_maintains_codebook(spark, tmp_path):
     assert codebook_drift(idx) is not None
     # serving geometry untouched until an explicit promote
     assert json.load(open(os.path.join(idx, "centroids.json"))) == cents0
+
+    # re-ingesting the SAME content under a fresh checkpoint absorbs
+    # nothing (the hook only sees store-new rows) — counts never double
+    q = run_ingest(spark,
+                   file_string_source(spark, str(newdir),
+                                      max_files_per_trigger=1),
+                   store, str(tmp_path / "c2"), available_now=True,
+                   ivf_index=idx, ivf_codebook=True)
+    assert q.awaitTermination(180)
+    st2 = json.load(open(os.path.join(idx, "next_codebook.json")))
+    assert sum(st2["counts"]) == 3
