@@ -252,7 +252,8 @@ def main() -> None:
              "dataset_manifest_docs", "normalized_documents",
              "skew_profile_orders", "winsorized_order_prices",
              "curriculum_ordered_docs", "decontamination_report_docs",
-             "ngram_novelty_docs", "kmeans_minibatch_cells"]
+             "ngram_novelty_docs", "kmeans_minibatch_cells",
+             "released_corpus_manifest"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -1111,6 +1111,26 @@ FROM documents WHERE doc_id % 97 = 0
         # whole thing under one value hash
         ("rag_reranked_answer", rag_reranked_answer_oracle,
          _oracle_reranked_answer(), ("rag", "rerank", "ranking")),
+        # round-8: the corpus-RELEASE pipeline composed end to end —
+        # normalize → novelty filter → train split → manifest, ONE hash
+        ("released_corpus_manifest", llm.released_corpus_manifest,
+         f"""
+WITH normalized AS (
+  SELECT doc_id, {normalize_text_duck('text')} AS text FROM documents),
+nov AS ({ngram_novelty_duck('normalized', 'text', 'doc_id',
+                            llm.NOVELTY_NGRAM)}),
+kept AS (
+  SELECT n.doc_id, n.text FROM normalized n
+  JOIN nov ON nov.doc_id = n.doc_id
+  WHERE nov.dup_fraction <= {llm.RELEASE_DUP_MAX!r}),
+train AS (
+  SELECT doc_id, text FROM kept
+  WHERE ({split_assignments_duck('text',
+                                 {'train': 0.8, 'val': 0.1,
+                                  'test': 0.1})}) = 'train')
+SELECT * FROM ({dataset_manifest_duck('train', 'doc_id', 'text',
+                                      llm.MANIFEST_BUCKETS)})""",
+         ("curation", "pipeline", "integrity", "normalization")),
         # round-8: per-doc n-gram novelty — same shingles, same
         # distinct-per-doc sets, same df fold in both engines
         ("ngram_novelty_docs", llm.ngram_novelty_docs,

@@ -1312,3 +1312,40 @@ def kmeans_minibatch_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_cent, _counts = kmeans_minibatch(batch, cent)
     return (assign_clusters(emb, new_cent)
             .orderBy("vec_id"))
+
+
+#: release-pipeline parameters — docs whose normalized text shares more
+#: than half its 8-token shingles with other docs are boilerplate/copies
+RELEASE_DUP_MAX = 0.5
+
+
+def released_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-RELEASE pipeline composed as ONE plan: normalize text
+    (operators/normalization.py) → score n-gram novelty over the
+    NORMALIZED text and drop boilerplate (dup_fraction >
+    ``RELEASE_DUP_MAX``, quality.ngram_novelty) → keep the deterministic
+    train split (curation.split_assignments on the normalized content)
+    → emit the integrity manifest of what ships
+    (integrity.dataset_manifest). The output is the |buckets|-row
+    artifact a release publishes next to its data: counts + content
+    checksums of exactly the released rows. Like
+    curated_packed_training_set, the point is that four round-8
+    primitives COMPOSE declaratively — Catalyst sees one plan, stages
+    share scans where possible, and the whole chain hash-verifies
+    against a single SQL replay."""
+    from flink_rag_spark.operators.curation import split_assignments
+    from flink_rag_spark.operators.integrity import dataset_manifest
+    from flink_rag_spark.operators.normalization import normalize_text
+    from flink_rag_spark.operators.quality import ngram_novelty
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text("text").alias("text"))
+    nov = ngram_novelty(norm, "text", "doc_id", n=NOVELTY_NGRAM)
+    kept = (norm.join(nov.filter(
+        F.col("dup_fraction") <= RELEASE_DUP_MAX)
+        .select("doc_id"), on="doc_id"))
+    train = (split_assignments(kept, "text",
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+             .filter(F.col("split") == "train"))
+    return (dataset_manifest(train, "doc_id", "text",
+                             buckets=MANIFEST_BUCKETS)
+            .orderBy("bucket"))

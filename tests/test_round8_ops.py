@@ -553,3 +553,32 @@ def test_run_ingest_rejects_codebook_without_index(spark, tmp_path):
         run_ingest(spark, file_string_source(spark, str(src)),
                    str(tmp_path / "store"), str(tmp_path / "c"),
                    available_now=True, ivf_codebook=True)
+
+
+def test_released_corpus_manifest_consistency(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.curation import split_assignments
+    from flink_rag_spark.operators.normalization import normalize_text
+    from flink_rag_spark.operators.quality import ngram_novelty
+    from flink_rag_spark.plans.llm import (
+        NOVELTY_NGRAM,
+        RELEASE_DUP_MAX,
+        released_corpus_manifest,
+    )
+    from flink_rag_spark.sources.tables import load_table
+    man = released_corpus_manifest(spark, sf_oracle).collect()
+    total = sum(r["n_rows"] for r in man)
+    # recompute the released row count stage by stage
+    d = load_table(spark, sf_oracle, "documents")
+    norm = d.select("doc_id", normalize_text("text").alias("text"))
+    nov = ngram_novelty(norm, "text", "doc_id", n=NOVELTY_NGRAM)
+    kept = norm.join(
+        nov.filter(F.col("dup_fraction") <= RELEASE_DUP_MAX)
+        .select("doc_id"), on="doc_id")
+    n_train = (split_assignments(kept, "text",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1})
+               .filter(F.col("split") == "train").count())
+    assert total == n_train and 0 < total < 500
+    # the filter actually dropped boilerplate (9.4% > 0.5 at sf0.01)
+    assert kept.count() < 500
