@@ -253,7 +253,8 @@ def main() -> None:
              "skew_profile_orders", "winsorized_order_prices",
              "curriculum_ordered_docs", "decontamination_report_docs",
              "ngram_novelty_docs", "kmeans_minibatch_cells",
-             "released_corpus_manifest"]
+             "released_corpus_manifest", "diversified_retrieval",
+             "mmr_reranked_retrieval"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

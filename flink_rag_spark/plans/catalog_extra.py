@@ -740,6 +740,26 @@ ORDER BY samp_key DESC, doc_id
 LIMIT 50
 """
 
+    def _oracle_diversified() -> str:
+        from flink_rag_spark.operators.diversity import (
+            cluster_diversified_topk_duck,
+        )
+        from flink_rag_spark.plans.llm import DIVERSIFY_K, RERANK_K0
+        from flink_rag_spark.plans.rag import RAG_ORACLE_QUERY_IDS
+        ids = ", ".join(str(i) for i in RAG_ORACLE_QUERY_IDS)
+        cos = cosine_duck("e.embedding", "q.query_vec")
+        cand_sql = f"""
+WITH q AS (SELECT vec_id AS question_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (SELECT q.question_id, e.vec_id, ROUND({cos}, 6) AS score
+           FROM embeddings e CROSS JOIN q),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY question_id
+                     ORDER BY score DESC, vec_id) AS rnk FROM scored)
+SELECT question_id, vec_id, score FROM ranked WHERE rnk <= {RERANK_K0}"""
+        return cluster_diversified_topk_duck(
+            cand_sql, _cent_cte, _asg_cte, DIVERSIFY_K,
+            query_col="question_id")
+
     # round-8: retrieval-quality evaluation — the oracle replays the JL
     # projection, BOTH rankings (exact + projected cosine, rounded score,
     # min-id tie break) and the recall/MRR/nDCG folds in SQL
@@ -1253,11 +1273,20 @@ FROM documents WHERE doc_id % 17 = 0""",
         # ground truth, both rankings + metric folds replayed in SQL
         ("retrieval_eval_metrics", llm.retrieval_eval_metrics,
          _oracle_eval_metrics(), ("similarity", "eval", "ranking")),
+        # round-8: cluster-diversified retrieval — the oracle shares the
+        # clustering family's cent/asg CTEs and the rerank family's
+        # first-stage top-30, then replays both diversification windows
+        ("diversified_retrieval", llm.diversified_retrieval,
+         _oracle_diversified(), ("similarity", "ranking", "diversity")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers
         ("kmeans_minibatch_cells", llm.kmeans_minibatch_cells, None,
          ("similarity", "clustering", "incremental")),
+        # round-8: greedy MMR — sequential argmax over an evolving
+        # selected set; numpy path, greedy contract pinned by pytest
+        ("mmr_reranked_retrieval", llm.mmr_reranked_retrieval, None,
+         ("similarity", "ranking", "diversity")),
         ("cms_user_counts", llm.cms_user_counts, None,
          ("agg", "sketch", "frequency")),
         ("ann_lsh_vec7", llm.ann_lsh_vec7, None, ("similarity", "ann")),

@@ -1349,3 +1349,53 @@ def released_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dataset_manifest(train, "doc_id", "text",
                              buckets=MANIFEST_BUCKETS)
             .orderBy("bucket"))
+
+
+#: diversification parameters — final k and the MMR relevance/diversity
+#: trade-off (λ=0.5 is the Carbonell & Goldstein midpoint)
+DIVERSIFY_K = 10
+MMR_LAMBDA = 0.5
+
+
+def _retrieval_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared first stage for the diversification family: exact cosine
+    top-``RERANK_K0`` per oracle question, with candidate embeddings
+    re-attached for the second-stage geometry."""
+    from flink_rag_spark.plans.rag import RAG_ORACLE_QUERY_IDS
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids = list(RAG_ORACLE_QUERY_IDS)
+    queries = (emb.filter(F.col("vec_id").isin(q_ids))
+               .select(F.col("vec_id").alias("question_id"),
+                       F.col("embedding").alias("query_vec")))
+    hits = knn_join(queries, emb, k=RERANK_K0, query_id="question_id")
+    return hits.join(emb.select("vec_id", "embedding"), on="vec_id")
+
+
+def diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-diversified top-k (operators/diversity.py): first-stage
+    cosine top-30 per question, candidates assigned to the fixed
+    codebook's cells, then (cell_rank, score) ordering guarantees the
+    final 10 spans distinct cells before any cell repeats — the
+    redundancy fix the reference's raw first-stage serving lacks. Fully
+    relational; the oracle replays assignment and both windows."""
+    from flink_rag_spark.operators.diversity import cluster_diversified_topk
+    cand = _retrieval_candidates(spark, sf_dir)
+    cent = _fixed_centroids(spark, sf_dir)
+    return (cluster_diversified_topk(cand, cent, k=DIVERSIFY_K,
+                                     query_col="question_id")
+            .orderBy("question_id", "rank"))
+
+
+def mmr_reranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank (operators/diversity.py
+    mmr_rerank, Carbonell & Goldstein 1998): greedy λ·relevance −
+    (1−λ)·max-similarity-to-selected over the same first-stage
+    candidates. Sequential by nature → Arrow-batched applyInPandas per
+    question group (30 rows each); rows-only like the other
+    numpy-argmin surfaces, with the greedy contract pinned by pytest
+    against a pure-Python model."""
+    from flink_rag_spark.operators.diversity import mmr_rerank
+    cand = _retrieval_candidates(spark, sf_dir)
+    return (mmr_rerank(cand, k=DIVERSIFY_K, lam=MMR_LAMBDA,
+                       query_col="question_id")
+            .orderBy("question_id", "rank"))

@@ -582,3 +582,90 @@ def test_released_corpus_manifest_consistency(spark, sf_oracle):
     assert total == n_train and 0 < total < 500
     # the filter actually dropped boilerplate (9.4% > 0.5 at sf0.01)
     assert kept.count() < 500
+
+
+def test_cluster_diversified_topk_spans_cells(spark):
+    from flink_rag_spark.operators.diversity import cluster_diversified_topk
+    # two tight clusters on orthogonal axes; relevance favors cluster A
+    cands = []
+    for q in [100]:
+        for i, (x, y, s) in enumerate(
+                [(1.0, 0.01, 0.99), (1.0, 0.02, 0.98), (1.0, 0.03, 0.97),
+                 (0.01, 1.0, 0.50), (0.02, 1.0, 0.49)]):
+            cands.append((q, i, [x, y], s))
+    df = spark.createDataFrame(
+        cands, "query_id bigint, vec_id bigint, embedding array<double>, "
+               "score double")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = cluster_diversified_topk(df, cents, k=3).orderBy("rank").collect()
+    # rank 1 and 2 must come from DIFFERENT cells (best of each cell
+    # precedes any second-best), rank 3 returns to the better cell
+    assert out[0]["cell"] != out[1]["cell"]
+    assert {out[0]["vec_id"], out[1]["vec_id"]} == {0, 3}
+    assert out[2]["vec_id"] == 1
+    # plain top-3 by score would have been {0,1,2} — single cluster
+    assert {r["cell"] for r in out} == {0, 1}
+
+
+def _mmr_python_model(vecs, scores, ids, k, lam):
+    import numpy as np
+    unit = np.asarray(vecs, dtype=float)
+    unit = unit / np.linalg.norm(unit, axis=1)[:, None]
+    order = np.lexsort((ids, -np.asarray(scores, dtype=float)))
+    unit = unit[order]
+    scores = np.asarray(scores, dtype=float)[order]
+    ids = [ids[i] for i in order]
+    sel, out = [], []
+    max_sim = [None] * len(ids)
+    for _ in range(min(k, len(ids))):
+        best, best_obj = None, None
+        for i in range(len(ids)):
+            if i in sel:
+                continue
+            pen = max_sim[i] or 0.0
+            obj = lam * scores[i] - (1 - lam) * pen
+            if best_obj is None or obj > best_obj:
+                best, best_obj = i, obj
+        sel.append(best)
+        out.append((ids[best], round(best_obj, 6)))
+        for i in range(len(ids)):
+            s = float(unit[i] @ unit[best])
+            max_sim[i] = s if max_sim[i] is None else max(max_sim[i], s)
+    return out
+
+
+def test_mmr_rerank_matches_python_model(spark):
+    import random
+
+    from flink_rag_spark.operators.diversity import mmr_rerank
+    rng = random.Random(42)
+    rows, expect = [], {}
+    for q in [1, 2]:
+        vecs = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(12)]
+        scores = [round(rng.uniform(0, 1), 6) for _ in range(12)]
+        ids = list(range(12))
+        rows += [(q, i, vecs[i], scores[i]) for i in ids]
+        expect[q] = _mmr_python_model(vecs, scores, ids, k=5, lam=0.5)
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, embedding array<double>, "
+              "score double")
+    out = mmr_rerank(df, k=5, lam=0.5).orderBy("query_id", "rank").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["mmr_score"]))
+    assert got == expect
+
+
+def test_mmr_rerank_diversifies_duplicates(spark):
+    from flink_rag_spark.operators.diversity import mmr_rerank
+    # three identical top vectors + one orthogonal lower-scored one:
+    # MMR must pick the orthogonal doc second
+    rows = [(1, 0, [1.0, 0.0], 0.9), (1, 1, [1.0, 0.0], 0.89),
+            (1, 2, [1.0, 0.0], 0.88), (1, 3, [0.0, 1.0], 0.3)]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, embedding array<double>, "
+              "score double")
+    out = [r["vec_id"] for r in
+           mmr_rerank(df, k=2, lam=0.5).orderBy("rank").collect()]
+    assert out == [0, 3]
