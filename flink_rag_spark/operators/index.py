@@ -40,6 +40,16 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     per-cell write parallelism: 1 locally; on a cluster raise it so each
     task writes ~128-512 MB (e.g. 100 TB / 1024 cells / 256 MB ≈ 400)."""
     import math
+    import shutil
+
+    # settle any in-flight promote first (a crashed promote's intent +
+    # rebuilt cells must not resurrect AFTER this retrain overwrites the
+    # index — reproduced: stale k would clobber the fresh geometry), then
+    # clear pre-commit rebuild garbage; the retrain supersedes both
+    _recover_promote(path)
+    rebuilding = os.path.join(path, "cells.rebuilding")
+    if os.path.exists(rebuilding):
+        shutil.rmtree(rebuilding)
     n = None
     if n_centroids is None:
         n = embeddings.count()
@@ -228,18 +238,32 @@ def maintain_codebook(spark: SparkSession, batch: DataFrame, path: str,
     replayed batch is a no-op returning the stored drift. The state
     commit is a single tmp+os.replace. No-op (returns None) before the
     first ``build_ivf_index`` — there is no live geometry to drift
-    from. Cost per batch: one matmul assignment of the batch + a k×dim
-    collect."""
+    from; an EMPTY batch (a re-ingest whose rows are all already
+    stored) returns without touching state or running jobs. Cost per
+    non-empty batch: one matmul assignment + a k×dim collect.
+
+    Single-maintainer contract (same as every persisted artifact here):
+    the codebook staging and ``promote_next_codebook`` must run from
+    ONE maintenance context — e.g. promote from inside the ingest
+    stream's cadence or with the stream stopped. The recovery renames
+    are idempotent against crashes, not against two live processes
+    racing them."""
     import math
 
     from flink_rag_spark.operators.clustering import kmeans_minibatch
 
+    _recover_promote(path)
     cents_file = os.path.join(path, "centroids.json")
     if not os.path.exists(cents_file):
         return None
     with open(cents_file) as f:
         live = json.load(f)
-    _recover_promote(path)
+    if batch.isEmpty():
+        nxt0 = os.path.join(path, NEXT_CODEBOOK)
+        if os.path.exists(nxt0):
+            with open(nxt0) as f:
+                return json.load(f).get("drift")
+        return 0.0
     nxt_file = os.path.join(path, NEXT_CODEBOOK)
     cur, counts = live, [0] * len(live)
     if os.path.exists(nxt_file):
@@ -338,6 +362,12 @@ def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
 
     _recover_promote(path)
     nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    if not os.path.exists(nxt_file):
+        # nothing staged (or the recovery above just finished a crashed
+        # promote and consumed it) — no-op with the live codebook, so a
+        # drift-polling loop that raced a recovery doesn't crash
+        with open(os.path.join(path, "centroids.json")) as f:
+            return json.load(f)
     with open(nxt_file) as f:
         cents = json.load(f)["centroids"]
     cells_new = os.path.join(path, "cells.rebuilding")

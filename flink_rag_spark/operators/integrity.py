@@ -88,8 +88,13 @@ def merge_manifests(base: DataFrame, delta: DataFrame,
     removes they remain valid conservative BOUNDS (a removed extremum
     can't be retracted without a rescan — same caveat as the dedup
     index's sizes/ min log), so equality checks between manifests should
-    compare the three exact columns. Buckets that end empty
-    (n_rows = 0) are dropped."""
+    compare the three exact columns. Buckets that end exactly empty
+    (n_rows = 0) are dropped; a NEGATIVE count is kept visible — it can
+    only mean a delta was folded twice (or removed without being added)
+    and an integrity artifact must surface that, not filter it away.
+    Replay protection is the CALLER's batch-id guard (the codebook and
+    text-index paths show the pattern): fold each ingest batch's delta
+    exactly once."""
     cols = ["n_rows", "content_xor", "min_key", "max_key", "total_len"]
     b = base.select("bucket",
                     *[F.col(c).alias(f"_b_{c}") for c in cols])
@@ -113,4 +118,4 @@ def merge_manifests(base: DataFrame, delta: DataFrame,
         (F.coalesce(F.col("_b_total_len"), zero)
          + sign * F.coalesce(F.col("_d_total_len"), zero))
         .alias("total_len"))
-    return out.filter(F.col("n_rows") > 0)
+    return out.filter(F.col("n_rows") != 0)

@@ -1141,8 +1141,8 @@ nov AS ({ngram_novelty_duck('normalized', 'text', 'doc_id',
                             llm.NOVELTY_NGRAM)}),
 kept AS (
   SELECT n.doc_id, n.text FROM normalized n
-  JOIN nov ON nov.doc_id = n.doc_id
-  WHERE nov.dup_fraction <= {llm.RELEASE_DUP_MAX!r}),
+  LEFT JOIN nov ON nov.doc_id = n.doc_id
+  WHERE COALESCE(nov.dup_fraction, 0.0) <= {llm.RELEASE_DUP_MAX!r}),
 train AS (
   SELECT doc_id, text FROM kept
   WHERE ({split_assignments_duck('text',

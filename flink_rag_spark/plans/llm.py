@@ -1340,9 +1340,16 @@ def released_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = d.select("doc_id", normalize_text("text").alias("text"))
     nov = ngram_novelty(norm, "text", "doc_id", n=NOVELTY_NGRAM)
-    kept = (norm.join(nov.filter(
-        F.col("dup_fraction") <= RELEASE_DUP_MAX)
-        .select("doc_id"), on="doc_id"))
+    # LEFT join + default 0: a doc with no novelty row has zero
+    # duplication evidence and must NOT be silently dropped from the
+    # release (the padded shingle hash means ngram_novelty currently
+    # covers every doc, but the release must not depend on that
+    # operator-internal detail)
+    kept = (norm.join(nov.select("doc_id", "dup_fraction"),
+                      on="doc_id", how="left")
+            .filter(F.coalesce(F.col("dup_fraction"), F.lit(0.0))
+                    <= RELEASE_DUP_MAX)
+            .select("doc_id", "text"))
     train = (split_assignments(kept, "text",
                                {"train": 0.8, "val": 0.1, "test": 0.1})
              .filter(F.col("split") == "train"))

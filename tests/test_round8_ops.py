@@ -700,3 +700,45 @@ def test_merge_manifests_add_and_remove_identities(spark, sf_smoke):
     # removing EVERYTHING in a bucket drops the bucket row
     all_gone = merge_manifests(m(d), m(d), remove=True)
     assert all_gone.count() == 0
+
+    # a double-fold (replay without the caller's batch-id guard) leaves
+    # NEGATIVE counts visible instead of silently vanishing
+    twice = merge_manifests(all_gone, m(d), remove=True)
+    assert twice.count() > 0
+    assert all(r["n_rows"] < 0 for r in twice.collect())
+
+
+def test_retrain_supersedes_crashed_promote(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        load_ivf_index,
+        maintain_codebook,
+        promote_next_codebook,
+    )
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx, n_centroids=2)
+    maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s")
+    staged = json.load(
+        open(os.path.join(idx, "next_codebook.json")))["centroids"]
+    promote_next_codebook(spark, emb, idx)
+    # recreate the crash window: intent + rebuilt cells on disk
+    shutil.copytree(os.path.join(idx, "cells"),
+                    os.path.join(idx, "cells.rebuilding"))
+    with open(os.path.join(idx, "promote.intent.json"), "w") as f:
+        json.dump({"centroids": staged}, f)
+    # a FULL retrain with different k supersedes the crashed promote:
+    # nothing stale may resurrect afterwards
+    cents3 = build_ivf_index(spark, emb, idx, n_centroids=3)
+    assert len(cents3) == 3
+    got, cells = load_ivf_index(spark, idx)
+    assert got == cents3 and len(got) == 3
+    assert cells.count() == 40
+    assert not os.path.exists(os.path.join(idx, "promote.intent.json"))
+    assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
+    # a promote with nothing staged is a no-op, not a crash
+    assert promote_next_codebook(spark, emb, idx) == cents3
