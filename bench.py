@@ -254,7 +254,7 @@ def main() -> None:
              "curriculum_ordered_docs", "decontamination_report_docs",
              "ngram_novelty_docs", "kmeans_minibatch_cells",
              "released_corpus_manifest", "diversified_retrieval",
-             "mmr_reranked_retrieval"]
+             "mmr_reranked_retrieval", "rm3_expanded_bm25_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

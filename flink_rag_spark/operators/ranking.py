@@ -677,3 +677,172 @@ def hybrid_knn_join(queries: DataFrame, docs: DataFrame | None,
                                              F.col(doc_id))
     return (fused.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# --------------------------------------------- pseudo-relevance feedback
+
+#: RM3-family defaults: feedback depth, expansion width, and the weight
+#: of the expansion arm relative to the original query
+RM3_N_FB = 10
+RM3_N_TERMS = 5
+RM3_BETA = 0.4
+
+
+def rm3_expansion_terms(docs: DataFrame, query_terms: list[str],
+                        n_fb: int = RM3_N_FB,
+                        n_terms: int = RM3_N_TERMS,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM1 relevance
+    model of Lavrenko & Croft 2001, as used by RM3): take the BM25
+    top-``n_fb`` feedback documents, weight every term they contain by
+    ``Σ_fb tf(t,d)/|d| × idf(t)`` (uniform feedback-doc prior × the
+    corpus idf, which suppresses stopwords without a stoplist), drop
+    the original query terms, and return the ``n_terms`` heaviest as
+    (term, weight, erank). Deterministic: weights rounded before the
+    (weight DESC, term ASC) rank.
+
+    Scale shape: the feedback side is n_fb documents (broadcast); the
+    only corpus-wide work is the candidates' document frequencies — a
+    semi-join of the token explode against the (tiny, broadcast)
+    candidate set, the same pruned-postings discipline as bm25_scores."""
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    fb_ids = (bm25_topk(docs, terms, k=n_fb, text_col=text_col,
+                        id_col=id_col).select(id_col))
+    fb = docs.join(F.broadcast(fb_ids), on=id_col)
+    fb_tok = fb.select(F.col(id_col),
+                       F.explode(F.expr(toks)).alias("term"))
+    fb_dl = fb.select(F.col(id_col),
+                      F.expr(f"size({toks})").cast("double").alias("dl"))
+    cand = (fb_tok.filter(~F.col("term").isin(terms))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .join(fb_dl, on=id_col)
+            .groupBy("term")
+            .agg(F.sum(F.col("tf") / F.col("dl")).alias("fbw")))
+    corpus_tok = (docs.select(F.col(id_col),
+                              F.explode(F.expr(toks)).alias("term"))
+                  .join(F.broadcast(cand.select("term")), on="term")
+                  .distinct())
+    dfreq = corpus_tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    w = (cand.join(F.broadcast(dfreq), on="term")
+         .crossJoin(F.broadcast(n))
+         .select("term", F.round(F.col("fbw") * idf, ROUND_DP)
+                 .alias("weight")))
+    win = Window.orderBy(F.desc("weight"), F.asc("term"))
+    return (w.withColumn("erank", F.row_number().over(win))
+            .filter(F.col("erank") <= n_terms))
+
+
+def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
+                      k: int = 10, n_fb: int = RM3_N_FB,
+                      n_terms: int = RM3_N_TERMS,
+                      beta: float = RM3_BETA,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """RM3-style expanded retrieval: final score = BM25(original query)
+    + β·BM25(expansion terms), top-k with id tie-break. The n_terms
+    expansion terms are collected to the driver (bounded metadata, like
+    pruning keys elsewhere) so the second arm reuses the stock
+    ``bm25_scores`` plan unchanged."""
+    terms = _norm_terms(query_terms)
+    exp = [r["term"] for r in
+           rm3_expansion_terms(docs, terms, n_fb, n_terms,
+                               text_col, id_col).collect()]
+    orig = bm25_scores(docs, terms, text_col, id_col) \
+        .withColumnRenamed("score", "s_o")
+    if exp:
+        es = bm25_scores(docs, exp, text_col, id_col) \
+            .withColumnRenamed("score", "s_e")
+        j = orig.join(es, on=id_col, how="full")
+    else:
+        j = orig.withColumn("s_e", F.lit(None).cast("double"))
+    comb = j.select(
+        id_col,
+        F.round(F.coalesce(F.col("s_o"), F.lit(0.0))
+                + beta * F.coalesce(F.col("s_e"), F.lit(0.0)),
+                ROUND_DP).alias("score"))
+    win = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (comb.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def rm3_expanded_topk_duck(query_terms: list[str], k: int = 10,
+                           n_fb: int = RM3_N_FB,
+                           n_terms: int = RM3_N_TERMS,
+                           beta: float = RM3_BETA,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           table: str = "documents") -> str:
+    """DuckDB mirror of the WHOLE RM3 chain — feedback selection, term
+    weighting, expansion-term choice, and the weighted second pass all
+    replay in SQL, so the data-dependent expansion is hash-verified."""
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    orig = bm25_scores_duck(terms, text_col, id_col, table=table)
+    return f"""
+WITH orig AS ({orig}),
+fb AS (SELECT {id_col} FROM orig
+       ORDER BY score DESC, {id_col} LIMIT {n_fb}),
+tok AS (SELECT {id_col}, unnest({toks}) AS term FROM {table}),
+dl AS (SELECT {id_col}, CAST(len({toks}) AS DOUBLE) AS dl FROM {table}),
+fbtf AS (
+  SELECT t.{id_col}, t.term, COUNT(*) AS tf
+  FROM tok t JOIN fb USING ({id_col})
+  WHERE t.term NOT IN ({in_list})
+  GROUP BY t.{id_col}, t.term),
+cand AS (
+  SELECT f.term, SUM(f.tf / d.dl) AS fbw
+  FROM fbtf f JOIN dl d USING ({id_col}) GROUP BY f.term),
+dfq AS (
+  SELECT term, CAST(COUNT(DISTINCT {id_col}) AS DOUBLE) AS df
+  FROM tok JOIN cand USING (term) GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM {table}),
+w AS (
+  SELECT c.term,
+         ROUND(c.fbw * ln(1.0 + (nn.n_docs - dfq.df + 0.5)
+                          / (dfq.df + 0.5)), {ROUND_DP}) AS weight
+  FROM cand c JOIN dfq USING (term) CROSS JOIN nn),
+exp_terms AS (SELECT term FROM w
+              ORDER BY weight DESC, term LIMIT {n_terms}),
+postx AS (
+  SELECT t.{id_col}, t.term, COUNT(*) AS tf
+  FROM tok t JOIN exp_terms USING (term)
+  GROUP BY t.{id_col}, t.term),
+dfx AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        FROM postx GROUP BY term),
+statsx AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(len({toks}) AS DOUBLE)) AS avgdl
+  FROM {table}),
+expsc AS (
+  SELECT p.{id_col},
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * ({BM25_K1} + 1.0)
+              / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                 + {BM25_B} * d.dl / s.avgdl)))
+         ), {ROUND_DP}) AS score
+  FROM postx p
+  JOIN dl d USING ({id_col})
+  JOIN dfx f USING (term)
+  CROSS JOIN statsx s
+  GROUP BY p.{id_col}),
+comb AS (
+  SELECT COALESCE(o.{id_col}, e.{id_col}) AS {id_col},
+         ROUND(COALESCE(o.score, 0.0)
+               + {beta!r} * COALESCE(e.score, 0.0), {ROUND_DP}) AS score
+  FROM orig o FULL OUTER JOIN expsc e ON o.{id_col} = e.{id_col}),
+ranked AS (
+  SELECT {id_col}, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col}) AS INT)
+           AS rank
+  FROM comb)
+SELECT {id_col}, score, rank FROM ranked WHERE rank <= {k}
+"""

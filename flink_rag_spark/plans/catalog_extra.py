@@ -89,6 +89,7 @@ def extra_queries() -> list[tuple]:
     )
 
     from flink_rag_spark.operators.quality import repetition_signals_duck
+    from flink_rag_spark.operators.ranking import rm3_expanded_topk_duck
     from flink_rag_spark.operators.redaction import (
         pii_counts_duck,
         redact_duck,
@@ -1285,6 +1286,12 @@ FROM documents WHERE doc_id % 17 = 0""",
         # ground truth, both rankings + metric folds replayed in SQL
         ("retrieval_eval_metrics", llm.retrieval_eval_metrics,
          _oracle_eval_metrics(), ("similarity", "eval", "ranking")),
+        # round-8: RM3 pseudo-relevance feedback — the ENTIRE
+        # data-dependent chain (feedback top-10, term election, weighted
+        # second pass) replays in SQL
+        ("rm3_expanded_bm25_docs", llm.rm3_expanded_bm25_docs,
+         rm3_expanded_topk_duck(llm.BM25_QUERY_TERMS, k=15),
+         ("ranking", "text", "feedback")),
         # round-8: cluster-diversified retrieval — the oracle shares the
         # clustering family's cent/asg CTEs and the rerank family's
         # first-stage top-30, then replays both diversification windows

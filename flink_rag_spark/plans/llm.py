@@ -1431,3 +1431,17 @@ def incremental_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             remove=True)
     return (after.select("bucket", "n_rows", "content_xor", "total_len")
             .orderBy("bucket"))
+
+
+def rm3_expanded_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (ranking.rm3_expanded_topk,
+    Lavrenko & Croft RM1 weights under the RM3 interpolation): BM25
+    top-10 feedback docs elect 5 expansion terms, and the final ranking
+    interpolates the original and expansion BM25 arms. The whole
+    data-dependent chain — feedback selection, term election, weighted
+    second pass — replays in the oracle, so the expansion itself is
+    hash-verified, not just the final scores."""
+    from flink_rag_spark.operators.ranking import rm3_expanded_topk
+    d = load_table(spark, sf_dir, "documents")
+    return (rm3_expanded_topk(d, BM25_QUERY_TERMS, k=15)
+            .orderBy("rank"))

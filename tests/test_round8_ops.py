@@ -742,3 +742,42 @@ def test_retrain_supersedes_crashed_promote(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
     # a promote with nothing staged is a no-op, not a crash
     assert promote_next_codebook(spark, emb, idx) == cents3
+
+
+def test_rm3_expansion_elects_feedback_terms(spark):
+    from flink_rag_spark.operators.ranking import (
+        rm3_expanded_topk,
+        rm3_expansion_terms,
+    )
+    # docs 1-2 match "alpha" and carry "beta" heavily; doc 3 has beta
+    # only; the filler docs keep beta's idf high enough that the
+    # fbw×idf weight elects it (in a 4-doc corpus idf correctly
+    # suppresses beta as too common — verified by hand).
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta beta delta"),
+         (3, "beta epsilon zeta"), (4, "omega psi chi"),
+         (5, "rho sigma tau"), (6, "mu nu xi"), (7, "eta theta iota")],
+        "doc_id bigint, text string")
+    exp = rm3_expansion_terms(docs, ["alpha"], n_fb=2, n_terms=1)
+    [t] = exp.collect()
+    assert t["term"] == "beta" and t["erank"] == 1
+
+    out = rm3_expanded_topk(docs, ["alpha"], k=4, n_fb=2, n_terms=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 3 (no query term at all) is retrieved via the expansion arm
+    assert 3 in rows and rows[3]["score"] > 0
+    # unrelated doc 4 matches neither arm
+    assert 4 not in rows
+    # original-arm docs still lead: beta-only doc ranks below alpha docs
+    assert rows[3]["rank"] > max(rows[1]["rank"], rows[2]["rank"])
+
+
+def test_rm3_query_terms_never_self_expand(spark):
+    from flink_rag_spark.operators.ranking import rm3_expansion_terms
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "alpha gamma")],
+        "doc_id bigint, text string")
+    terms = [r["term"] for r in
+             rm3_expansion_terms(docs, ["alpha"], n_fb=2,
+                                 n_terms=5).collect()]
+    assert "alpha" not in terms and len(terms) > 0
