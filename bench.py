@@ -377,7 +377,12 @@ def main() -> None:
                             "ngram_novelty_docs r8 baseline (isolated "
                             "paired min-of-2 at k=10): factor 1.66 — "
                             "the wordcount-shaped gram-df join stays "
-                            "fixed-overhead-dominated at this size"),
+                            "fixed-overhead-dominated at this size; "
+                            "agg_orders_by_status one-off 6.9x reading "
+                            "(r8): isolated paired min-of-3 measures "
+                            "1.27 — sub-second queries in the rehearsal "
+                            "tail inherit whatever GC/compaction the "
+                            "preceding heavy query left behind"),
         }
 
     total = round(sum(timings.values()), 3)
