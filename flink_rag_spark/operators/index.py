@@ -38,7 +38,19 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     every cell directory — tasks × cells small files (measured 1271 files
     vs 64 at sf0.1, and a ~4× slower commit). ``files_per_cell`` is the
     per-cell write parallelism: 1 locally; on a cluster raise it so each
-    task writes ~128-512 MB (e.g. 100 TB / 1024 cells / 256 MB ≈ 400)."""
+    task writes ~128-512 MB (e.g. 100 TB / 1024 cells / 256 MB ≈ 400).
+
+    The retrain commits through the SAME intent/swap protocol as
+    ``promote_next_codebook``: new cells land in ``cells.rebuilding``,
+    then the intent marker is the atomic commit point from which
+    ``_recover_promote`` redoes the swap, the ``centroids.json``
+    replace, and the staged-``next_codebook.json`` removal. A crash at
+    ANY point therefore leaves either the old index fully intact
+    (pre-intent — including any staged codebook, which is still valid
+    against the old geometry) or the new index fully committed with
+    stale staging consumed; readers can never pair cells and centroids
+    from different geometries, and a leftover staged file can never
+    clobber a fresh retrain."""
     import math
     import shutil
 
@@ -60,16 +72,16 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in embeddings.columns]),
                   F.lit(files_per_cell))
     (cells.repartition(n_centroids * files_per_cell, F.col("cell"), salt)
-     .write.mode("overwrite").partitionBy("cell").parquet(
-         os.path.join(path, "cells")))
-    with open(os.path.join(path, "centroids.json"), "w") as f:
-        json.dump(cents, f)
-    # a full retrain invalidates any codebook updates staged against the
-    # PREVIOUS geometry — promoting them afterwards would clobber this
-    # rebuild (and k may have changed); drop the stale staging state
-    stale = os.path.join(path, NEXT_CODEBOOK)
-    if os.path.exists(stale):
-        os.remove(stale)
+     .write.mode("overwrite").partitionBy("cell").parquet(rebuilding))
+    # commit point: from here _recover_promote finishes the swap, the
+    # centroids replace, AND drops next_codebook.json (staged against
+    # the pre-retrain geometry) — all idempotent, crash-redoable steps
+    intent = os.path.join(path, PROMOTE_INTENT)
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cents}, f)
+    os.replace(tmp, intent)
+    _recover_promote(path)
     return cents
 
 
@@ -370,6 +382,16 @@ def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
             return json.load(f)
     with open(nxt_file) as f:
         cents = json.load(f)["centroids"]
+    with open(os.path.join(path, "centroids.json")) as f:
+        live = json.load(f)
+    if len(cents) != len(live) or (cents and live
+                                   and len(cents[0]) != len(live[0])):
+        # staged against a geometry a retrain has since replaced (can't
+        # happen with the intent-protocol retrain, which consumes the
+        # staged file atomically with its commit — this guards legacy
+        # trees and manual edits): discard rather than clobber
+        os.remove(nxt_file)
+        return live
     cells_new = os.path.join(path, "cells.rebuilding")
     if os.path.exists(cells_new):
         shutil.rmtree(cells_new)

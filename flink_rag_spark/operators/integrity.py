@@ -89,9 +89,12 @@ def merge_manifests(base: DataFrame, delta: DataFrame,
     can't be retracted without a rescan — same caveat as the dedup
     index's sizes/ min log), so equality checks between manifests should
     compare the three exact columns. Buckets that end exactly empty
-    (n_rows = 0) are dropped; a NEGATIVE count is kept visible — it can
-    only mean a delta was folded twice (or removed without being added)
-    and an integrity artifact must surface that, not filter it away.
+    (n_rows = 0 AND content_xor = 0) are dropped; anything else stays
+    visible — a NEGATIVE count, or a zero count with a NON-ZERO residual
+    XOR (a remove-delta folded twice can net the count to 0 while the
+    XOR re-adds the removed hashes), can only mean a delta was folded
+    twice (or removed without being added) and an integrity artifact
+    must surface that, not filter it away.
     Replay protection is the CALLER's batch-id guard (the codebook and
     text-index paths show the pattern): fold each ingest batch's delta
     exactly once."""
@@ -118,4 +121,4 @@ def merge_manifests(base: DataFrame, delta: DataFrame,
         (F.coalesce(F.col("_b_total_len"), zero)
          + sign * F.coalesce(F.col("_d_total_len"), zero))
         .alias("total_len"))
-    return out.filter(F.col("n_rows") != 0)
+    return out.filter((F.col("n_rows") != 0) | (F.col("content_xor") != 0))

@@ -48,24 +48,34 @@ def _norm_terms(query_terms: list[str]) -> list[str]:
     return [t for t in seen if t]
 
 
-def bm25_scores(docs: DataFrame, query_terms: list[str],
+def bm25_scores(docs: DataFrame, query_terms: list[str] | DataFrame,
                 text_col: str = "text", id_col: str = "doc_id",
                 k1: float = BM25_K1, b: float = BM25_B) -> DataFrame:
     """(id, score) — Okapi BM25 of every document that matches ≥1 query
     term. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
     variant); tf normalized by k1/b with length ratio dl/avgdl.
 
+    ``query_terms`` is either a literal list (pushed to the scan as an
+    ``IN`` filter) or a small single-column ``(term)`` DataFrame
+    (filtered by a broadcast join) — the latter lets DATA-DEPENDENT term
+    sets (e.g. RM3 expansion election) stay inside one Spark job instead
+    of round-tripping through a driver collect.
+
     Plan shape: tokens explode ONCE, filtered to the query's terms before
     the (id, term) aggregate — the shuffle carries matching postings only.
     N / avgdl ride as a broadcast 1-row aggregate; df per term is a
     |terms|-row aggregate joined back on the term.
     """
-    terms = _norm_terms(query_terms)
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
     tokens = docs.select(F.col(id_col),
                          F.explode(F.expr(toks)).alias("term"))
-    postings = (tokens.filter(F.col("term").isin(terms))
-                .groupBy(id_col, "term")
+    if isinstance(query_terms, DataFrame):
+        matched = tokens.join(F.broadcast(query_terms.select("term")),
+                              on="term")
+    else:
+        matched = tokens.filter(
+            F.col("term").isin(_norm_terms(query_terms)))
+    postings = (matched.groupBy(id_col, "term")
                 .agg(F.count(F.lit(1)).alias("tf")))
     dl = docs.select(F.col(id_col),
                      F.expr(f"size({toks})").cast("double").alias("dl"))
@@ -154,7 +164,10 @@ def bm25_scores_duck(query_terms: list[str], text_col: str = "text",
     rounding — as a SELECT returning (id, score)."""
     terms = _norm_terms(query_terms)
     toks = TOKENS_DUCK.format(s=f"lower({text_col})")
-    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    # empty term list → `IN (NULL)` (matches nothing, like Spark's
+    # isin([])) rather than the syntactically invalid `IN ()`
+    in_list = (", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+               or "NULL")
     return f"""
 WITH tok AS (
   SELECT {id_col}, unnest({toks}) AS term FROM {table}
@@ -692,7 +705,8 @@ def rm3_expansion_terms(docs: DataFrame, query_terms: list[str],
                         n_fb: int = RM3_N_FB,
                         n_terms: int = RM3_N_TERMS,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        scored: DataFrame | None = None) -> DataFrame:
     """Pseudo-relevance-feedback expansion terms (the RM1 relevance
     model of Lavrenko & Croft 2001, as used by RM3): take the BM25
     top-``n_fb`` feedback documents, weight every term they contain by
@@ -705,11 +719,17 @@ def rm3_expansion_terms(docs: DataFrame, query_terms: list[str],
     Scale shape: the feedback side is n_fb documents (broadcast); the
     only corpus-wide work is the candidates' document frequencies — a
     semi-join of the token explode against the (tiny, broadcast)
-    candidate set, the same pruned-postings discipline as bm25_scores."""
+    candidate set, the same pruned-postings discipline as bm25_scores.
+    Pass ``scored`` (a precomputed ``bm25_scores`` frame for the same
+    query) to derive feedback selection from it instead of scoring
+    again — ``rm3_expanded_topk`` does, so the original-query corpus
+    pass appears once in its plan."""
     terms = _norm_terms(query_terms)
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
-    fb_ids = (bm25_topk(docs, terms, k=n_fb, text_col=text_col,
-                        id_col=id_col).select(id_col))
+    if scored is None:
+        scored = bm25_scores(docs, terms, text_col, id_col)
+    fb_ids = (scored.orderBy(F.desc("score"), F.col(id_col))
+              .limit(n_fb).select(id_col))
     fb = docs.join(F.broadcast(fb_ids), on=id_col)
     fb_tok = fb.select(F.col(id_col),
                        F.explode(F.expr(toks)).alias("term"))
@@ -746,30 +766,35 @@ def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """RM3-style expanded retrieval: final score = BM25(original query)
-    + β·BM25(expansion terms), top-k with id tie-break. The n_terms
-    expansion terms are collected to the driver (bounded metadata, like
-    pruning keys elsewhere) so the second arm reuses the stock
-    ``bm25_scores`` plan unchanged."""
+    + β·BM25(expansion terms), top-k with id tie-break.
+
+    ONE Spark job end to end: the expansion terms stay a (≤ n_terms)-row
+    frame that the second arm consumes through ``bm25_scores``'
+    broadcast-join path (no driver collect), feedback selection derives
+    from the SAME scored frame the final combination uses (the
+    original-query corpus pass appears once, so its postings exchange is
+    reusable), and the final top-k is orderBy().limit(k) — a parallel
+    TakeOrdered — with row_number windowed over only the k survivors,
+    never an all-to-one-partition sort (same shape as ``bm25_topk``)."""
     terms = _norm_terms(query_terms)
-    exp = [r["term"] for r in
-           rm3_expansion_terms(docs, terms, n_fb, n_terms,
-                               text_col, id_col).collect()]
-    orig = bm25_scores(docs, terms, text_col, id_col) \
-        .withColumnRenamed("score", "s_o")
-    if exp:
-        es = bm25_scores(docs, exp, text_col, id_col) \
-            .withColumnRenamed("score", "s_e")
-        j = orig.join(es, on=id_col, how="full")
-    else:
-        j = orig.withColumn("s_e", F.lit(None).cast("double"))
+    orig = bm25_scores(docs, terms, text_col, id_col)
+    exp_terms = rm3_expansion_terms(docs, terms, n_fb, n_terms,
+                                    text_col, id_col,
+                                    scored=orig).select("term")
+    es = bm25_scores(docs, exp_terms, text_col, id_col) \
+        .withColumnRenamed("score", "s_e")
+    j = orig.withColumnRenamed("score", "s_o").join(es, on=id_col,
+                                                    how="full")
     comb = j.select(
         id_col,
         F.round(F.coalesce(F.col("s_o"), F.lit(0.0))
                 + beta * F.coalesce(F.col("s_e"), F.lit(0.0)),
                 ROUND_DP).alias("score"))
-    win = Window.orderBy(F.desc("score"), F.col(id_col))
-    return (comb.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= k))
+    topk = comb.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.col(id_col))))
 
 
 def rm3_expanded_topk_duck(query_terms: list[str], k: int = 10,
@@ -784,7 +809,12 @@ def rm3_expanded_topk_duck(query_terms: list[str], k: int = 10,
     replay in SQL, so the data-dependent expansion is hash-verified."""
     terms = _norm_terms(query_terms)
     toks = TOKENS_DUCK.format(s=f"lower({text_col})")
-    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    # with no query terms every candidate term survives the original-term
+    # exclusion (Spark's ~isin([]) keeps all rows) — emit a vacuous
+    # predicate instead of the invalid `NOT IN ()`
+    not_orig = ("t.term NOT IN ({})".format(
+        ", ".join("'" + t.replace("'", "''") + "'" for t in terms))
+        if terms else "TRUE")
     orig = bm25_scores_duck(terms, text_col, id_col, table=table)
     return f"""
 WITH orig AS ({orig}),
@@ -795,7 +825,7 @@ dl AS (SELECT {id_col}, CAST(len({toks}) AS DOUBLE) AS dl FROM {table}),
 fbtf AS (
   SELECT t.{id_col}, t.term, COUNT(*) AS tf
   FROM tok t JOIN fb USING ({id_col})
-  WHERE t.term NOT IN ({in_list})
+  WHERE {not_orig}
   GROUP BY t.{id_col}, t.term),
 cand AS (
   SELECT f.term, SUM(f.tf / d.dl) AS fbw

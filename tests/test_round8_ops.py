@@ -781,3 +781,103 @@ def test_rm3_query_terms_never_self_expand(spark):
              rm3_expansion_terms(docs, ["alpha"], n_fb=2,
                                  n_terms=5).collect()]
     assert "alpha" not in terms and len(terms) > 0
+
+
+def test_merge_manifests_net_zero_double_fold_stays_visible(spark):
+    """A remove-delta folded twice can net a bucket's count to exactly
+    zero while the XOR re-adds the removed hashes — that residual must
+    stay visible (n_rows=0, content_xor≠0), not be dropped with the
+    legitimately-emptied buckets."""
+    from flink_rag_spark.operators.integrity import (
+        dataset_manifest,
+        merge_manifests,
+    )
+    d = spark.createDataFrame([(1, "aaa"), (2, "bbb")],
+                              "doc_id bigint, text string")
+    m = lambda df: dataset_manifest(df, "doc_id", "text", buckets=1)  # noqa: E731
+    delta = m(d.filter(F.col("doc_id") == 1))
+    once = merge_manifests(m(d), delta, remove=True)
+    assert once.count() == 1
+    twice = merge_manifests(once, delta, remove=True)
+    [r] = twice.collect()
+    assert r["n_rows"] == 0 and r["content_xor"] != 0
+    # whereas removing the true complement empties the bucket cleanly
+    clean = merge_manifests(once, m(d.filter(F.col("doc_id") == 2)),
+                            remove=True)
+    assert clean.count() == 0
+
+
+def test_retrain_crash_windows_leave_consistent_geometry(spark, tmp_path):
+    """build_ivf_index commits through the intent/swap protocol: a crash
+    BEFORE the intent leaves the old index (and any codebook staged
+    against it) fully intact; a promote can never pair a staged codebook
+    with a mismatched live geometry."""
+    import json
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.index import (
+        build_ivf_index,
+        load_ivf_index,
+        maintain_codebook,
+        promote_next_codebook,
+    )
+    emb = _tiny_emb(spark)
+    idx = str(tmp_path / "ivf")
+    cents2 = build_ivf_index(spark, emb, idx, n_centroids=2)
+    maintain_codebook(spark, emb, idx, batch_id=0, stream_id="s")
+
+    # pre-intent retrain crash: rebuilt cells on disk, no intent marker
+    shutil.copytree(os.path.join(idx, "cells"),
+                    os.path.join(idx, "cells.rebuilding"))
+    got, cells = load_ivf_index(spark, idx)
+    assert got == cents2 and cells.count() == 40  # old index intact
+    # ...and the staged codebook is still valid against it: promote works
+    promoted = promote_next_codebook(spark, emb, idx)
+    assert len(promoted) == 2
+    assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
+
+    # geometry guard: a stale staged file with the wrong k (legacy tree /
+    # manual edit) is discarded by promote, never clobbers the live index
+    live = json.load(open(os.path.join(idx, "centroids.json")))
+    with open(os.path.join(idx, "next_codebook.json"), "w") as f:
+        json.dump({"centroids": [[0.0, 0.0, 0.0]] * 5,
+                   "counts": [1] * 5, "drift": 9.9}, f)
+    kept = promote_next_codebook(spark, emb, idx)
+    assert kept == live
+    assert not os.path.exists(os.path.join(idx, "next_codebook.json"))
+    got2, cells2 = load_ivf_index(spark, idx)
+    assert got2 == live and cells2.count() == 40
+
+
+def test_rm3_empty_query_terms_edge(spark):
+    """Empty/blank query terms: the Spark chain returns an empty frame
+    (no crash) and the DuckDB oracle SQL still parses and runs."""
+    import duckdb
+
+    from flink_rag_spark.operators.ranking import (
+        rm3_expanded_topk,
+        rm3_expanded_topk_duck,
+    )
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "gamma")],
+                                 "doc_id bigint, text string")
+    out = rm3_expanded_topk(docs, ["  "], k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score", "rank"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'alpha beta'), (2, 'gamma')) t(doc_id, text)")
+    assert con.execute(rm3_expanded_topk_duck(["  "], k=5)).fetchall() == []
+
+
+def test_rm3_topk_plan_is_take_ordered(spark):
+    """The final RM3 ranking must be a parallel TakeOrdered over the
+    combined scores, not an all-to-one-partition global window sort."""
+    from flink_rag_spark.operators.ranking import rm3_expanded_topk
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 3}") for i in range(30)],
+        "doc_id bigint, text string")
+    plan = rm3_expanded_topk(docs, ["alpha"], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
