@@ -254,7 +254,12 @@ def main() -> None:
              "curriculum_ordered_docs", "decontamination_report_docs",
              "ngram_novelty_docs", "kmeans_minibatch_cells",
              "released_corpus_manifest", "diversified_retrieval",
-             "mmr_reranked_retrieval", "rm3_expanded_bm25_docs"]
+             "mmr_reranked_retrieval", "rm3_expanded_bm25_docs",
+             # round-8c additions: PMI phrase mining, tokenizer coverage,
+             # PSI drift, hard-negative mining, fuzzy decontamination
+             "pmi_collocations_docs", "vocab_coverage_docs",
+             "psi_value_drift", "hard_negatives_vec7",
+             "fuzzy_decontaminated_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -295,7 +300,14 @@ def main() -> None:
         rehearse = [n for n in HEADLINE if n != "rag_answer_batch"] \
             + ["span_neardup_docs", "unigram_lm_quality",
                "dataset_manifest_docs", "decontamination_report_docs",
-               "skew_profile_orders", "ngram_novelty_docs"]
+               "skew_profile_orders", "ngram_novelty_docs",
+               # round-8c: PMI's pair-vocab join, fuzzy decon's
+               # cross-corpus LSH, and hard-negative mining's partial
+               # top-k are the scale-sensitive new plans (the fixed
+               # anchor ids survive replication's id shift, so the
+               # anchor set stays constant and the scan grows k×)
+               "pmi_collocations_docs", "fuzzy_decontaminated_docs",
+               "hard_negatives_vec7"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

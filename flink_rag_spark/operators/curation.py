@@ -397,6 +397,130 @@ def ngram_decontaminate(train: DataFrame, bench: DataFrame, text_col: str,
     return train.join(contaminated, on=id_col, how="left_anti")
 
 
+def fuzzy_decontaminate(train: DataFrame, bench: DataFrame,
+                        text_col: str, id_col: str,
+                        threshold: float = 0.5,
+                        cfg=None) -> DataFrame:
+    """FUZZY benchmark decontamination: drop every train document whose
+    n-gram Jaccard similarity to ANY benchmark document reaches
+    ``threshold`` — the near-duplicate contamination rule (GPT-2's 8-gram
+    overlap heuristic generalized; Dolma/RedPajama ship the same
+    MinHash-based variant) that catches paraphrased or lightly-edited
+    benchmark leakage the exact 13-gram pass (``ngram_decontaminate``)
+    misses.
+
+    Plan at 100 TB — the dedup family's machinery pointed ACROSS corpora,
+    which removes its hardest scaling problem: candidates come from
+    joining the train side's LSH band rows against the BENCHMARK side's
+    band rows (eval sets are small by nature → broadcast), so there is
+    NO train-side self-join, no O(bucket²) blowup, no hot-bucket guard
+    needed — per train doc the work is its colliding bench docs. The
+    verify stage is exact Jaccard over candidate pairs only
+    (array_intersect hash-set probes, O(|sh_a|+|sh_b|) per pair), and
+    both sides hash their text ONCE (the shingle frame feeds signatures
+    AND verification, dedup.minhash_signatures' shingle_sets seam).
+    Same shingle hash and band layout as the dedup family, so the DuckDB
+    oracle replays candidates and verification exactly."""
+    from flink_rag_spark.config import DEFAULT_CONFIG
+    from flink_rag_spark.operators.dedup import (
+        lsh_band_rows,
+        shingle_hashes_expr,
+    )
+    from flink_rag_spark.operators.util import widen_if_narrow
+    if cfg is None:
+        cfg = DEFAULT_CONFIG
+    sh_arr = F.array_distinct(
+        F.expr(shingle_hashes_expr(text_col, cfg.shingle_size)))
+    t_sh = widen_if_narrow(train).select(F.col(id_col), sh_arr.alias("sh"))
+    b_sh = widen_if_narrow(bench).select(F.col(id_col), sh_arr.alias("sh"))
+    t_bands = lsh_band_rows(train, text_col, id_col, cfg,
+                            shingle_sets=t_sh)
+    b_bands = (lsh_band_rows(bench, text_col, id_col, cfg,
+                             shingle_sets=b_sh)
+               .select("band", "band_key", F.col(id_col).alias("_bid")))
+    cand = (t_bands.join(F.broadcast(b_bands), on=["band", "band_key"])
+            .select(F.col(id_col), F.col("_bid")).distinct())
+    ver = (cand
+           .join(t_sh.select(F.col(id_col), F.col("sh").alias("sh_a")),
+                 on=id_col)
+           .join(F.broadcast(b_sh.select(F.col(id_col).alias("_bid"),
+                                         F.col("sh").alias("sh_b"))),
+                 on="_bid")
+           .withColumn("n_common",
+                       F.size(F.array_intersect("sh_a", "sh_b")))
+           .withColumn("jaccard", F.round(
+               F.col("n_common")
+               / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+               6))
+           .filter(F.col("jaccard") >= threshold))
+    contaminated = ver.select(id_col).distinct()
+    return train.join(contaminated, on=id_col, how="left_anti")
+
+
+def fuzzy_decontaminate_duck(train_pred: str, bench_pred: str,
+                             threshold: float,
+                             select_cols: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             table: str = "documents",
+                             cfg=None) -> str:
+    """DuckDB mirror: cross-corpus LSH candidates + exact-Jaccard verify
+    + anti join, with the two corpora defined by SQL predicates over one
+    table. Same minhash params, band layout, rounding, threshold."""
+    from flink_rag_spark.config import DEFAULT_CONFIG
+    from flink_rag_spark.functions.hashing import (
+        minhash_params,
+        minhash_sig_duck,
+        shingle_hashes_duck,
+    )
+    if cfg is None:
+        cfg = DEFAULT_CONFIG
+    params = minhash_params(cfg.lsh_num_hashes, cfg.seed)
+    hashes = shingle_hashes_duck(text_col, cfg.shingle_size)
+    mh_cols = ", ".join(
+        f"{minhash_sig_duck('hs', a, b)} AS mh{i}"
+        for i, (a, b) in enumerate(params))
+    rows = cfg.lsh_num_hashes // cfg.lsh_bands
+    band_selects = []
+    for b in range(cfg.lsh_bands):
+        cols = ", ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_selects.append(
+            f"SELECT {id_col}, side, {b} AS band, "
+            f"concat_ws('_', {cols}) AS band_key FROM sigs")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH corp AS (
+  SELECT {id_col}, {text_col}, 't' AS side FROM {table}
+  WHERE {train_pred}
+  UNION ALL
+  SELECT {id_col}, {text_col}, 'b' AS side FROM {table}
+  WHERE {bench_pred}),
+shs AS (SELECT {id_col}, side,
+               list_distinct({hashes}) AS sh FROM corp),
+sigs AS (
+  SELECT {id_col}, side, {mh_cols}
+  FROM (SELECT {id_col}, side, sh AS hs FROM shs) t),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT l.{id_col} AS tid, r.{id_col} AS bid
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.side = 't' AND r.side = 'b'),
+ver AS (
+  SELECT c.tid
+  FROM cand c
+  JOIN shs a ON a.{id_col} = c.tid AND a.side = 't'
+  JOIN shs b ON b.{id_col} = c.bid AND b.side = 'b'
+  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh)
+                 - len(list_intersect(a.sh, b.sh))), 6) >= {threshold!r})
+SELECT {select_cols} FROM {table}
+WHERE ({train_pred})
+  AND {id_col} NOT IN (SELECT tid FROM ver)
+"""
+
+
 def temperature_mixture_sample(df: DataFrame, domain_col: str,
                                key_col: str,
                                alpha: float = 0.7) -> DataFrame:

@@ -1,0 +1,120 @@
+"""Distribution-drift monitoring — Population Stability Index (PSI).
+
+A pipeline feeding a trained model needs to know when the data moved:
+PSI between a REFERENCE sample (training-time distribution) and the
+CURRENT window is the standard production drift score (credit-risk
+lineage; same quantity as the discrete KL symmetrization
+Σ (p_cur − p_ref)·ln(p_cur/p_ref) over a fixed binning). Rule of thumb:
+< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+Spark-first shape, both passes scan-shaped:
+
+- bin boundaries come from the REFERENCE side only (equal-frequency,
+  the same interpolated ``percentile`` 1-row aggregate as
+  profiling.quantile_bins — swap to ``approx_percentile`` at 100 TB via
+  ``exact=False``, identical plan, t-digest mergeable partials);
+- both frames get their bin via the broadcast-boundaries conditional
+  sum (codegen, no join, no shuffle);
+- per-bin counts are map-side-combined aggregates over ≤ n_bins groups;
+  everything after (probability floors, the PSI fold) is arithmetic
+  over an n_bins-row frame.
+
+The ε floor keeps empty bins finite (standard PSI practice) and makes
+the score defined even under total support shift.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+ROUND_DP = 6
+PSI_EPS = 1e-6
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              n_bins: int = 10, eps: float = PSI_EPS,
+              exact: bool = True) -> DataFrame:
+    """Per-bin PSI decomposition between ``ref`` and ``cur`` on
+    ``value_col``: (bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+    psi_total) — one row per occupied bin, ``psi_total`` (the headline
+    score) repeated on every row so the result is self-contained.
+    Boundaries are ``ref``'s equal-frequency quantiles; ties bin LOW
+    (strict >) exactly like profiling.quantile_bins, so assignment is
+    deterministic and engine-replayable."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fn = "percentile" if exact else "approx_percentile"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(*[
+        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
+        for i, p in enumerate(ps)])
+
+    def binned_counts(df: DataFrame, out: str) -> DataFrame:
+        idx = F.lit(1)
+        for i in range(len(ps)):
+            idx = idx + F.when(F.col(value_col) > F.col(f"_qb{i}"), 1) \
+                         .otherwise(0)
+        return (df.crossJoin(F.broadcast(bounds))
+                .select(idx.cast("int").alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
+
+    rc = binned_counts(ref, "n_ref")
+    cc = binned_counts(cur, "n_cur")
+    j = (rc.join(cc, on="bin", how="full")
+         .select("bin",
+                 F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = j.agg(F.sum("n_ref").cast("double").alias("t_ref"),
+                F.sum("n_cur").cast("double").alias("t_cur"))
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    terms = (j.crossJoin(F.broadcast(tot))
+             .select("bin", "n_ref", "n_cur",
+                     F.round(p_ref, ROUND_DP).alias("p_ref"),
+                     F.round(p_cur, ROUND_DP).alias("p_cur"),
+                     F.round((p_cur - p_ref) * F.log(p_cur / p_ref),
+                             ROUND_DP).alias("psi_term")))
+    return terms.withColumn(
+        "psi_total",
+        F.round(F.sum("psi_term").over(
+            Window.partitionBy(F.lit(1))), ROUND_DP))
+
+
+def psi_drift_duck(ref_sql: str, cur_sql: str, value_col: str,
+                   n_bins: int = 10, eps: float = PSI_EPS) -> str:
+    """DuckDB mirror of the exact path: quantile_cont boundaries from
+    the reference CTE, same strict-> binning, same ε floor, rounding,
+    and windowed total. ``ref_sql``/``cur_sql`` are SELECTs producing
+    ``value_col``."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bs = ", ".join(f"quantile_cont({value_col}, {p!r}) AS _qb{i}"
+                   for i, p in enumerate(ps))
+    terms = " + ".join(
+        f"(CASE WHEN {value_col} > _qb{i} THEN 1 ELSE 0 END)"
+        for i in range(len(ps)))
+    pr = f"greatest(n_ref / t.t_ref, {eps!r})"
+    pc = f"greatest(n_cur / t.t_cur, {eps!r})"
+    return f"""
+WITH refv AS ({ref_sql}), curv AS ({cur_sql}),
+b AS (SELECT {bs} FROM refv),
+rc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_ref
+       FROM refv, b GROUP BY 1),
+cc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_cur
+       FROM curv, b GROUP BY 1),
+j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
+             CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+      FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+             CAST(SUM(n_cur) AS DOUBLE) AS t_cur FROM j),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         ROUND({pr}, {ROUND_DP}) AS p_ref,
+         ROUND({pc}, {ROUND_DP}) AS p_cur,
+         ROUND(({pc} - {pr}) * ln({pc} / {pr}), {ROUND_DP}) AS psi_term
+  FROM j, t)
+SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+       ROUND(SUM(psi_term) OVER (), {ROUND_DP}) AS psi_total
+FROM terms
+"""

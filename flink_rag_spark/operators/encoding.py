@@ -70,6 +70,59 @@ def encode_documents(docs: DataFrame, text_col: str, id_col: str,
                         "tid))), x -> x.tid)").alias("token_ids")))
 
 
+def vocab_coverage(docs: DataFrame, text_col: str, id_col: str,
+                   vocab: DataFrame) -> DataFrame:
+    """(id, n_tokens, n_oov, oov_rate) — per-document tokenizer
+    coverage: how much of each document the induced vocabulary fails to
+    express. The gating statistic for vocab sizing (raise vocab_size /
+    lower min_count until the corpus-wide OOV mass is acceptable) and a
+    per-doc quality signal (high OOV ⇒ non-linguistic or wrong-language
+    content).
+
+    Same plan skeleton as ``encode_documents`` minus the order-restoring
+    re-aggregation: one explode, one broadcast-hash join against the
+    vocabulary (OOV = no match), one count aggregate per document — the
+    token stream never shuffles carrying the vocab, and the groupBy is
+    map-side combined. At 100 TB this is strictly cheaper than encoding
+    (no position structs, no array_sort)."""
+    toks = (docs.select(
+        F.col(id_col),
+        F.explode(F.expr(_TOKS.format(s=text_col))).alias("token")))
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       on="token", how="left")
+    return (mapped.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum(F.when(F.col("token_id").isNull(), 1)
+                       .otherwise(0)).cast("bigint").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6)))
+
+
+def vocab_coverage_duck(table: str, text_col: str, id_col: str,
+                        vocab_size: int = 30_000,
+                        min_count: int = 1) -> str:
+    """DuckDB mirror of build_vocab + vocab_coverage over one corpus —
+    same tokenization, same (count DESC, token ASC) top-K vocabulary,
+    same per-doc OOV fold."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({toks}) AS token FROM {table}),
+freq AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+         HAVING COUNT(*) >= {min_count}),
+vocab AS (SELECT token FROM freq
+          ORDER BY n DESC, token ASC LIMIT {vocab_size}),
+mapped AS (
+  SELECT tok.{id_col},
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok LEFT JOIN vocab v USING (token))
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM mapped GROUP BY {id_col}
+"""
+
+
 def encoded_documents_duck(table: str, text_col: str, id_col: str,
                            vocab_size: int = 30_000,
                            min_count: int = 1) -> str:

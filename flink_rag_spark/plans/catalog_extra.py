@@ -40,17 +40,24 @@ def extra_queries() -> list[tuple]:
         dequantize_duck,
         quantize_scale_duck,
     )
+    from flink_rag_spark.operators.contrastive import hard_negatives_duck
     from flink_rag_spark.operators.curation import (
         deterministic_shuffle_duck,
+        fuzzy_decontaminate_duck,
         mixture_sample_duck,
         split_assignments_duck,
         temperature_mixture_duck,
     )
+    from flink_rag_spark.operators.drift import psi_drift_duck
+    from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
-    from flink_rag_spark.operators.encoding import encoded_documents_duck
+    from flink_rag_spark.operators.encoding import (
+        encoded_documents_duck,
+        vocab_coverage_duck,
+    )
     from flink_rag_spark.operators.quality import (
         ngram_novelty_duck,
         unigram_lm_scores_duck,
@@ -1297,6 +1304,38 @@ FROM documents WHERE doc_id % 17 = 0""",
         # first-stage top-30, then replays both diversification windows
         ("diversified_retrieval", llm.diversified_retrieval,
          _oracle_diversified(), ("similarity", "ranking", "diversity")),
+        # round-8c: corpus collocation mining — PMI over adjacent word
+        # pairs, min-count floored, full formula + tie-breaks replayed
+        ("pmi_collocations_docs", llm.pmi_collocations_docs,
+         pmi_collocations_duck("text", llm.PMI_MIN_COUNT, llm.PMI_TOP_N),
+         ("text", "phrases", "agg")),
+        # round-8c: tokenizer-coverage audit — vocab induction + per-doc
+        # OOV fold, one SQL replay of both stages
+        ("vocab_coverage_docs", llm.vocab_coverage_docs,
+         vocab_coverage_duck("documents", "text", "doc_id",
+                             llm.COVERAGE_VOCAB_SIZE,
+                             llm.COVERAGE_MIN_COUNT),
+         ("text", "encoding", "quality")),
+        # round-8c: PSI drift between the two event_id parities — bin
+        # boundaries, counts, ε floors, and the folded total all replay
+        ("psi_value_drift", llm.psi_value_drift,
+         psi_drift_duck("SELECT value FROM events WHERE event_id % 2 = 0",
+                        "SELECT value FROM events WHERE event_id % 2 = 1",
+                        "value", 10),
+         ("agg", "drift", "profiling")),
+        # round-8c: contrastive hard-negative mining — label-filtered
+        # exact cosine top-k per fixed anchor, brute-force SQL replay
+        ("hard_negatives_vec7", llm.hard_negatives_vec7,
+         hard_negatives_duck(llm.HN_ANCHOR_IDS, k=llm.HN_K),
+         ("similarity", "contrastive", "training")),
+        # round-8c: fuzzy (MinHash-Jaccard) benchmark decontamination —
+        # cross-corpus LSH candidates + exact-Jaccard verify + anti join,
+        # entire chain replayed over the split predicates
+        ("fuzzy_decontaminated_docs", llm.fuzzy_decontaminated_docs,
+         fuzzy_decontaminate_duck("doc_id % 10 != 0", "doc_id % 10 = 0",
+                                  llm.FUZZY_DECON_T,
+                                  "doc_id, lang, source"),
+         ("dedup", "curation", "decontamination")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

@@ -1445,3 +1445,96 @@ def rm3_expanded_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (rm3_expanded_topk(d, BM25_QUERY_TERMS, k=15)
             .orderBy("rank"))
+
+
+#: phrase-mining parameters — pairs seen ≥ 5× keep PMI stable on the
+#: synthetic corpus; 40 rows is a readable collocation report
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 40
+
+
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining (operators/phrases.py, Church & Hanks
+    PMI / the word2vec phrase pass): top-40 adjacent word pairs by
+    pointwise mutual information with a min-count floor — the phrase
+    stage feeding tokenizer vocab induction. Wordcount-shaped end to
+    end; the final top-n is a parallel TakeOrdered."""
+    from flink_rag_spark.operators.phrases import pmi_collocations
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, "text", min_count=PMI_MIN_COUNT,
+                            top_n=PMI_TOP_N)
+
+
+#: coverage-family vocabulary: small enough that OOV mass is non-trivial
+#: on the synthetic corpus (the sizing decision this operator informs)
+COVERAGE_VOCAB_SIZE = 500
+COVERAGE_MIN_COUNT = 2
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit (encoding.vocab_coverage): per-document
+    token counts, OOV counts, and OOV rate against a 500-term induced
+    vocabulary — the statistic that drives vocab_size/min_count sizing
+    and flags non-linguistic documents."""
+    from flink_rag_spark.operators.encoding import (
+        build_vocab,
+        vocab_coverage,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", vocab_size=COVERAGE_VOCAB_SIZE,
+                        min_count=COVERAGE_MIN_COUNT)
+    return vocab_coverage(d, "text", "doc_id", vocab).orderBy("doc_id")
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (operators/drift.py): PSI of the
+    events table's value column between a reference half (even
+    event_id) and a current half (odd event_id), 10 equal-frequency
+    bins from the reference side. The production check a pipeline runs
+    before trusting a week's data against last month's model."""
+    from flink_rag_spark.operators.drift import psi_drift
+    e = load_table(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "value", n_bins=10).orderBy("bin")
+
+
+#: anchors for the contrastive-mining family — fixed ids so the oracle
+#: reconstructs the exact anchor set
+HN_ANCHOR_IDS = [7, 21, 77, 210]
+HN_K = 5
+
+
+def hard_negatives_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/contrastive.py): for each of four
+    fixed anchor embeddings, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the contrastive-training pair construction (DPR,
+    Karpukhin et al. 2020). Exact tier: broadcast anchors, one unshuffled
+    corpus scan, size-gated partial top-k."""
+    from flink_rag_spark.operators.contrastive import hard_negative_mine
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(HN_ANCHOR_IDS))
+    return (hard_negative_mine(anchors, emb, k=HN_K)
+            .orderBy("anchor_id", "rank"))
+
+
+#: fuzzy-decontamination threshold — the synthetic corpus's planted
+#: near-dupes sit well above it while unrelated docs sit near 0
+FUZZY_DECON_T = 0.4
+
+
+def fuzzy_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (curation.fuzzy_decontaminate):
+    keep train-split docs (doc_id % 10 != 0) whose n-gram Jaccard to
+    every benchmark doc stays below 0.4 — the near-duplicate
+    contamination rule that catches paraphrased benchmark leakage the
+    exact any-13-gram pass misses. Candidates via cross-corpus LSH
+    (bench bands broadcast, no train self-join), exact-Jaccard verified."""
+    from flink_rag_spark.operators.curation import fuzzy_decontaminate
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return (fuzzy_decontaminate(train, bench, "text", "doc_id",
+                                threshold=FUZZY_DECON_T)
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id"))

@@ -1,0 +1,112 @@
+"""Round-8c operator contracts: phrase mining, tokenizer coverage, PSI
+drift, hard-negative mining, fuzzy decontamination.
+
+`test_oracle_parity.py` value-hashes the catalog entries against DuckDB;
+these tests pin the DEFINITIONS on hand-built inputs where the expected
+values are computable by hand, so an implementation-and-oracle that
+drifted together would still fail.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from flink_rag_spark.operators.phrases import pmi_collocations
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")],
+        "doc_id bigint, text string")
+    out = pmi_collocations(docs, "text", min_count=2, top_n=5).collect()
+    # unigrams: a=3 b=2 c=1 (T=6); pairs: "a b"=2 "a c"=1 (TB=3);
+    # min_count=2 keeps only "a b": pmi = ln((2/3)/((3/6)(2/6))) = ln 4
+    assert len(out) == 1
+    [r] = out
+    assert (r["w1"], r["w2"], r["n_pair"], r["rank"]) == ("a", "b", 2, 1)
+    assert r["pmi"] == round(math.log(4.0), 6)
+
+
+def test_pmi_min_count_and_tiebreak(spark):
+    from flink_rag_spark.operators.phrases import pmi_collocations
+    # two pairs with IDENTICAL pmi -> tie-break on (w1, w2) ascending
+    docs = spark.createDataFrame(
+        [(1, "p q"), (2, "p q"), (3, "x y"), (4, "x y")],
+        "doc_id bigint, text string")
+    out = pmi_collocations(docs, "text", min_count=2, top_n=5).collect()
+    assert [(r["w1"], r["w2"], r["rank"]) for r in out] == \
+        [("p", "q", 1), ("x", "y", 2)]
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from flink_rag_spark.operators.encoding import (
+        build_vocab,
+        vocab_coverage,
+    )
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "z")], "doc_id bigint, text string")
+    vocab = build_vocab(docs, "text", vocab_size=1)  # keeps only "x"
+    rows = {r["doc_id"]: r for r in
+            vocab_coverage(docs, "text", "doc_id", vocab).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_oov"] == 1
+    assert rows[1]["oov_rate"] == round(1 / 3, 6)
+    assert rows[2]["n_tokens"] == 1 and rows[2]["n_oov"] == 1
+    assert rows[2]["oov_rate"] == 1.0
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from flink_rag_spark.operators.drift import psi_drift
+    vals = [(float(i),) for i in range(1, 101)]
+    ref = spark.createDataFrame(vals, "value double")
+    same = psi_drift(ref, ref, "value", n_bins=5).collect()
+    assert len(same) == 5
+    assert all(r["psi_term"] == 0.0 for r in same)
+    assert all(r["psi_total"] == 0.0 for r in same)
+    # total shift: every current row lands in the top reference bin
+    cur = spark.createDataFrame([(200.0,)] * 50, "value double")
+    shifted = psi_drift(ref, cur, "value", n_bins=5).collect()
+    assert all(r["psi_total"] > 0.25 for r in shifted)  # "shifted" band
+    top = max(shifted, key=lambda r: r["bin"])
+    assert top["n_cur"] == 50 and top["p_cur"] == 1.0
+    # reference-side probabilities floor at eps, never 0/ln(0)
+    assert all(math.isfinite(r["psi_term"]) for r in shifted)
+
+
+def test_hard_negative_mine_excludes_same_label_and_self(spark):
+    from flink_rag_spark.operators.contrastive import hard_negative_mine
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0),     # anchor
+         (2, [1.0, 0.0], 0),     # same label, identical vector -> excluded
+         (3, [0.9, 0.1], 1),     # hard negative (most similar, other label)
+         (4, [0.0, 1.0], 1),     # easy negative
+         (5, [0.5, 0.5], 2)],
+        "vec_id bigint, embedding array<float>, label int")
+    anchors = emb.filter(F.col("vec_id") == 1)
+    out = hard_negative_mine(anchors, emb, k=2).collect()
+    assert [(r["anchor_id"], r["vec_id"], r["rank"]) for r in out] == \
+        [(1, 3, 1), (1, 5, 2)]
+    assert all(r["label"] != 0 and r["vec_id"] != 1 for r in out)
+    # scores descend and the same-label twin never appears
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_fuzzy_decontaminate_drops_near_dupes_only(spark):
+    from flink_rag_spark.operators.curation import fuzzy_decontaminate
+    leak = ("the quick brown fox jumps over the lazy dog "
+            "while the cat watches from the fence nearby today")
+    near = leak.replace("today", "tonight")  # one-token paraphrase
+    clean = ("completely unrelated text about spark partitions and "
+             "shuffle boundaries in distributed aggregation plans")
+    train = spark.createDataFrame(
+        [(1, leak), (2, near), (3, clean)], "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, leak)], "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in
+                  fuzzy_decontaminate(train, bench, "text", "doc_id",
+                                      threshold=0.4).collect())
+    # exact copy AND the paraphrase are dropped; unrelated text survives
+    assert kept == [3]
+    # at an impossible threshold nothing is dropped
+    kept_all = sorted(r["doc_id"] for r in
+                      fuzzy_decontaminate(train, bench, "text", "doc_id",
+                                          threshold=1.01).collect())
+    assert kept_all == [1, 2, 3]
