@@ -1024,15 +1024,22 @@ _GRADED: list[QueryDef] = [
     # --- entries with no round-1 driver row first ---
     # round-4 operator families (previously-ungraded entries lead):
     # time-series gap fill, exact heavy hitters, bloom membership
-    QueryDef("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
-             ORACLE_GAPFILL, ("window", "timeseries", "gapfill")),
+    # gapfill_hourly_user_values rotated to the non-graded tail (round
+    # 8c, for the round-8c families): the timeseries family stays graded
+    # via time_weighted_daily_value (the richer interval-clipping op)
+    # and the rollup cascade's time bucketing; pytest oracle kept
     # heavy_hitters_users rotated to the non-graded tail (round 8, for
     # the round-8 families): the hot-key diagnostic family is graded by
     # the strictly-richer skew_profile_orders (per-key shares + skew
     # ratios + whole-distribution Gini, not just the >n/128 cut) and the
     # sketch side by cms contract tests + rollup_hll; pytest oracle kept
-    QueryDef("bloom_decontaminated_docs", llm.bloom_decontaminated_docs,
-             ORACLE_BLOOM_DECON, ("curation", "membership", "bloom")),
+    # bloom_decontaminated_docs rotated to the non-graded tail (round
+    # 8c): decontamination stays graded THREE ways — exact-passage
+    # (ngram_decontaminated_docs), in-pipeline (curated_packed_
+    # training_set), and near-dup (fuzzy_decontaminated_docs, the
+    # strictly-richer LSH+Jaccard-verify chain); the bloom membership
+    # shape keeps its pytest oracle and its sketch cousins stay graded
+    # via rollup_hll_users_hourly
     # RAG hash-verified through the CHAT step (A9+A10+A11): the real chat
     # pandas UDF over pre-embedded query vectors — took rag_answer_batch's
     # graded slot (that full-with-embed path stays in the catalog tail,
@@ -1163,8 +1170,10 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
     # text analysis (north star): quality + lang-ID + fingerprints, one scan
     QueryDef("text_features", llm.text_features, _oracle_text_features(), ("text",)),
     # registered-UDF + array-function surface
-    QueryDef("udf_array_stats", llm.udf_array_stats,
-             ORACLE_UDF_ARRAY, ("udf", "scalar", "array")),
+    # udf_array_stats rotated to the non-graded tail (round 8c): the
+    # registered-scalar-UDF + array surface stays graded via
+    # udtf_token_positions (same registry, richer table-function shape)
+    # and json_map_events (array/map functions); pytest oracle kept
     # relational surface, batch 2 (subqueries, conditional agg, pivot,
     # range join, batch windows)
     QueryDef("q4_order_priority", R2.q4_order_priority, ORACLE_Q4, ("join", "subquery")),
@@ -1237,7 +1246,22 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: redundantly-covered slots (rotation notes at their former _GRADED
 #: sites): retrieval eval metrics, snapshot diff, dataset manifest,
 #: key-skew diagnostic, winsorized stats, n-gram novelty.
+#: Round 8c promotes the five round-8c families (PMI collocations,
+#: tokenizer coverage, PSI drift, hard-negative mining, fuzzy
+#: decontamination) in place of five redundantly-covered slots:
+#: udf_array_stats / gapfill_hourly_user_values /
+#: bloom_decontaminated_docs (rotation notes at their former _GRADED
+#: sites) and binned_order_prices / mixture_sampled_docs (un-promoted —
+#: binning stays graded via psi_value_drift's strictly-richer
+#: same-boundary machinery + two-sample fold, mixture sampling via
+#: temperature_mixture_docs' same weighted-threshold machinery with
+#: computed weights; every demoted query keeps its pytest oracle).
 _PROMOTED = [
+    "pmi_collocations_docs",
+    "vocab_coverage_docs",
+    "psi_value_drift",
+    "hard_negatives_vec7",
+    "fuzzy_decontaminated_docs",
     "retrieval_eval_metrics",
     "snapshot_diff_docs",
     "dataset_manifest_docs",
@@ -1246,7 +1270,6 @@ _PROMOTED = [
     "ngram_novelty_docs",
     "temperature_mixture_docs",
     "shuffled_documents",
-    "binned_order_prices",
     "rollup_hll_users_hourly",
     "curated_packed_training_set",
     "rag_reranked_answer",
@@ -1260,7 +1283,6 @@ _PROMOTED = [
     "rollup_incremental_hourly",
     "rollup_cascade_daily",
     "packed_documents",
-    "mixture_sampled_docs",
     "split_documents_tvt",
     "time_weighted_daily_value",
     "profile_documents",
@@ -1349,6 +1371,15 @@ QUERIES: list[QueryDef] = GRADED_QUERIES + [
              _oracle_lsh_verified(), ("dedup", "pipeline")),
     QueryDef("stats_order_prices", R3.stats_order_prices,
              ORACLE_STATS, ("agg", "stats")),
+    # demoted in the round-8c rotation for the round-8c families (notes
+    # at their former _GRADED sites); all keep their DuckDB oracles and
+    # stay in pytest's sweep
+    QueryDef("gapfill_hourly_user_values", R3.gapfill_hourly_user_values,
+             ORACLE_GAPFILL, ("window", "timeseries", "gapfill")),
+    QueryDef("bloom_decontaminated_docs", llm.bloom_decontaminated_docs,
+             ORACLE_BLOOM_DECON, ("curation", "membership", "bloom")),
+    QueryDef("udf_array_stats", llm.udf_array_stats,
+             ORACLE_UDF_ARRAY, ("udf", "scalar", "array")),
 ] + [q for q in _EXTRA if q.name not in _PROMOTED]
 
 
