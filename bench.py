@@ -259,7 +259,7 @@ def main() -> None:
              # PSI drift, hard-negative mining, fuzzy decontamination
              "pmi_collocations_docs", "vocab_coverage_docs",
              "psi_value_drift", "hard_negatives_vec7",
-             "fuzzy_decontaminated_docs"]
+             "fuzzy_decontaminated_docs", "fuzzy_part_name_matches"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

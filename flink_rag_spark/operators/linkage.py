@@ -1,0 +1,110 @@
+"""Approximate string matching — blocked fuzzy joins for record linkage.
+
+Entity resolution across noisy sources (vendor names, product titles,
+user-typed fields) needs a similarity join on STRINGS the way the dedup
+family needs one on documents — and the same scale discipline applies:
+never all-pairs; candidates from an equi-join on a cheap BLOCKING key,
+then an exact edit-distance verify on candidates only (the classic
+blocking/windowing recipe of the record-linkage literature,
+Fellegi-Sunter lineage).
+
+Spark-first shape:
+
+- the blocking key is any SQL expression over the string (default: the
+  2-char lowercase prefix; pass e.g. the last token for
+  structured names) — the candidate join is a plain shuffled equi-join
+  on it, so only block-mates ever meet;
+- a LENGTH-BAND prune (|len(a) − len(b)| ≤ d is a necessary condition
+  for levenshtein ≤ d) cuts candidates before any edit distance runs —
+  a codegen'd filter;
+- the verify is Spark's built-in ``levenshtein`` WITH the threshold
+  argument, which abandons a pair as soon as the running distance
+  exceeds ``max_distance`` (O(d·min(m,n)) instead of O(m·n) per pair) —
+  JVM codegen, no Python anywhere.
+
+Like LSH bucketing, blocking trades recall for tractability: two
+strings in different blocks are never compared (choose the key so true
+matches share it — prefixes for typo workloads, a token for
+structured names). ``block_stats`` is the observability surface for hot
+blocks, the analog of dedup's ``lsh_bucket_stats``; a degenerate block
+(every row blocking to one key) degrades to the all-pairs join blocking
+exists to avoid, so watch it, then tighten the key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: 2-char lowercase prefix — the standard typo-workload blocking key
+DEFAULT_BLOCK = "substring(lower({s}), 1, 2)"
+
+
+def fuzzy_join_pairs(left: DataFrame, right: DataFrame,
+                     left_id: str, left_str: str,
+                     right_id: str, right_str: str,
+                     max_distance: int = 2,
+                     block_expr: str = DEFAULT_BLOCK) -> DataFrame:
+    """(id_a, id_b, str_a, str_b, distance) — every cross-frame pair
+    sharing a block whose Levenshtein distance ≤ ``max_distance``.
+    ``block_expr`` is a SQL template over ``{s}``; both sides use the
+    same expression so the join key is comparable."""
+    lb = left.select(F.col(left_id).alias("id_a"),
+                     F.col(left_str).alias("str_a"),
+                     F.expr(block_expr.format(s=left_str)).alias("_blk"))
+    rb = right.select(F.col(right_id).alias("id_b"),
+                      F.col(right_str).alias("str_b"),
+                      F.expr(block_expr.format(s=right_str)).alias("_blk"))
+    cand = (lb.join(rb, on="_blk")
+            .filter(F.abs(F.length("str_a") - F.length("str_b"))
+                    <= max_distance))
+    # threshold form early-abandons above max_distance (returns -1)
+    out = (cand.withColumn(
+        "distance", F.levenshtein("str_a", "str_b", max_distance))
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "str_a", "str_b", "distance"))
+    return out
+
+
+def fuzzy_self_pairs(df: DataFrame, str_col: str,
+                     max_distance: int = 2,
+                     block_expr: str = DEFAULT_BLOCK) -> DataFrame:
+    """(str_a, str_b, distance) over the DISTINCT values of ``str_col``,
+    str_a < str_b — the near-miss report for one column (variant
+    spellings, typo clusters). Distinct first: the self-join runs over
+    the value VOCABULARY, not the row count, so a 100 TB column with
+    10^5 distinct values verifies ≤ blocked |V|² pairs."""
+    vals = df.select(F.col(str_col).alias("v")).distinct()
+    pairs = fuzzy_join_pairs(vals, vals, "v", "v", "v", "v",
+                             max_distance=max_distance,
+                             block_expr=block_expr)
+    return (pairs.filter(F.col("str_a") < F.col("str_b"))
+            .select("str_a", "str_b", "distance"))
+
+
+def block_stats(df: DataFrame, str_col: str,
+                block_expr: str = DEFAULT_BLOCK) -> DataFrame:
+    """(block, n) sizes of every block — run before a big fuzzy join to
+    catch degenerate keys (the hot-bucket guard's observability twin)."""
+    return (df.select(F.expr(block_expr.format(s=str_col)).alias("block"))
+            .groupBy("block").agg(F.count(F.lit(1)).alias("n")))
+
+
+def fuzzy_self_pairs_duck(table: str, str_col: str,
+                          max_distance: int = 2,
+                          block_sql: str | None = None) -> str:
+    """DuckDB mirror of ``fuzzy_self_pairs`` — same blocking, length
+    prune, threshold semantics (DuckDB's levenshtein has no early-exit
+    arg; the ≤ filter is value-equivalent)."""
+    if block_sql is None:
+        block_sql = "substring(lower({s}), 1, 2)"
+    blk = block_sql.format(s="v")
+    return f"""
+WITH vals AS (SELECT DISTINCT {str_col} AS v FROM {table}),
+b AS (SELECT v, {blk} AS blk FROM vals)
+SELECT a.v AS str_a, c.v AS str_b,
+       CAST(levenshtein(a.v, c.v) AS INT) AS distance
+FROM b a JOIN b c ON a.blk = c.blk AND a.v < c.v
+WHERE abs(length(a.v) - length(c.v)) <= {max_distance}
+  AND levenshtein(a.v, c.v) <= {max_distance}
+"""

@@ -49,6 +49,7 @@ def extra_queries() -> list[tuple]:
         temperature_mixture_duck,
     )
     from flink_rag_spark.operators.drift import psi_drift_duck
+    from flink_rag_spark.operators.linkage import fuzzy_self_pairs_duck
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
@@ -1336,6 +1337,13 @@ FROM documents WHERE doc_id % 17 = 0""",
                                   llm.FUZZY_DECON_T,
                                   "doc_id, lang, source"),
          ("dedup", "curation", "decontamination")),
+        # round-8c: blocked fuzzy string self-join — last-token blocking
+        # + thresholded Levenshtein verify over the name vocabulary
+        ("fuzzy_part_name_matches", llm.fuzzy_part_name_matches,
+         fuzzy_self_pairs_duck("part", "p_name",
+                               llm.FUZZY_MATCH_DISTANCE,
+                               "string_split({s}, ' ')[-1]"),
+         ("join", "linkage", "fuzzy")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

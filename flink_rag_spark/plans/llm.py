@@ -1538,3 +1538,25 @@ def fuzzy_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 threshold=FUZZY_DECON_T)
             .select("doc_id", "lang", "source")
             .orderBy("doc_id"))
+
+
+#: fuzzy-matching parameters — block on the LAST token (the noun of the
+#: "adjective noun" part names) so variant adjectives of the same noun
+#: meet; edit distance ≤ 2 catches cold/old (1) and new/red (2)
+FUZZY_MATCH_DISTANCE = 2
+FUZZY_MATCH_BLOCK = "element_at(split({s}, ' '), -1)"
+
+
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string self-join (operators/linkage.py
+    fuzzy_self_pairs — record-linkage blocking + thresholded Levenshtein
+    verify): near-miss pairs among the DISTINCT part names, blocked by
+    their last token. The self-join runs over the 64-value name
+    vocabulary, never the row count — the blocking discipline that makes
+    entity resolution tractable at 100 TB."""
+    from flink_rag_spark.operators.linkage import fuzzy_self_pairs
+    p = load_table(spark, sf_dir, "part")
+    return (fuzzy_self_pairs(p, "p_name",
+                             max_distance=FUZZY_MATCH_DISTANCE,
+                             block_expr=FUZZY_MATCH_BLOCK)
+            .orderBy("str_a", "str_b"))

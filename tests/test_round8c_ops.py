@@ -110,3 +110,55 @@ def test_fuzzy_decontaminate_drops_near_dupes_only(spark):
                       fuzzy_decontaminate(train, bench, "text", "doc_id",
                                           threshold=1.01).collect())
     assert kept_all == [1, 2, 3]
+
+
+def test_fuzzy_join_blocking_and_threshold(spark):
+    from flink_rag_spark.operators.linkage import (
+        block_stats,
+        fuzzy_join_pairs,
+        fuzzy_self_pairs,
+    )
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zenith ltd")], "id bigint, name string")
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "acme inc"), (12, "apex corp")],
+        "id bigint, name string")
+    out = fuzzy_join_pairs(left, right, "id", "name", "id", "name",
+                           max_distance=2).collect()
+    # "acme corp." (d=1) matches; "acme inc" (d=5) and "apex corp" (d=2
+    # but in block "ap" != "ac") do not
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in out] == \
+        [(1, 10, 1)]
+
+    # self-pairs over distinct values, ordered, no self-match
+    df = spark.createDataFrame(
+        [("color",), ("color",), ("colour",), ("colder",), ("zzz",)],
+        "v string")
+    pairs = fuzzy_self_pairs(df, "v", max_distance=1).collect()
+    assert [(r["str_a"], r["str_b"], r["distance"]) for r in pairs] == \
+        [("color", "colour", 1)]
+
+    # block observability: "co" holds 3 distinct-value rows, "zz" 1
+    stats = {r["block"]: r["n"] for r in
+             block_stats(df.distinct(), "v").collect()}
+    assert stats == {"co": 3, "zz": 1}
+
+
+def test_fuzzy_join_threshold_equals_untresholded_filter(spark):
+    """The early-abandon threshold form must keep exactly the pairs a
+    plain levenshtein <= d filter keeps (the oracle's formulation)."""
+    import pyspark.sql.functions as FF
+    from flink_rag_spark.operators.linkage import fuzzy_join_pairs
+    vals = [(i, w) for i, w in enumerate(
+        ["spark", "spork", "sparse", "spade", "spray", "sprat"])]
+    df = spark.createDataFrame(vals, "id bigint, v string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           fuzzy_join_pairs(df, df, "id", "v", "id", "v",
+                            max_distance=2).collect()
+           if r["id_a"] < r["id_b"]}
+    ref = df.select(FF.col("id").alias("ia"), FF.col("v").alias("va")) \
+        .crossJoin(df.select(FF.col("id").alias("ib"),
+                             FF.col("v").alias("vb"))) \
+        .filter((FF.col("ia") < FF.col("ib"))
+                & (FF.levenshtein("va", "vb") <= 2)).collect()
+    assert got == {(r["ia"], r["ib"]) for r in ref}
