@@ -1,0 +1,158 @@
+"""Streaming distribution-drift monitor: score every micro-batch's PSI
+against a stored reference profile and gate on it.
+
+The batch operator (``operators/drift.py psi_drift``) compares two
+frames; a production ingest wants the same question asked CONTINUOUSLY —
+"has this stream drifted from the distribution the model was trained
+on?" — without rescanning the reference each batch. So the reference is
+profiled ONCE into a tiny artifact (bin boundaries + ε-floored bin
+probabilities, a JSON of 2·n_bins numbers — the same shape a trained
+model's feature-stats sidecar has), and each micro-batch pays one scan:
+bin assignment against literal boundaries (codegen conditional sum,
+no join), an ≤ n_bins-row count aggregate, and a driver-side fold of
+the PSI formula over those n_bins numbers.
+
+Same foreachBatch discipline as ``streaming/quality_gate.py``:
+
+- metrics rows (batch_id, n_rows, psi, drifted) partition by
+  ``batch_id`` and dynamic-partition-overwrite their own partition, so
+  a replayed batch rewrites identical bytes — no marker files;
+- optional whole-batch routing: a drifted batch lands in
+  ``quarantine_path`` instead of ``pass_path`` (drift is a BATCH
+  property — individual rows aren't "wrong", the distribution is — so
+  the gate quarantines the batch, unlike the per-row quality gate);
+- an empty batch records psi NULL / drifted false (no distribution to
+  compare) rather than dividing by zero.
+
+At 100 TB: per-batch cost is one scan of the micro-batch; the reference
+is never re-read beyond one JSON open; nothing reads history.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_rag_spark.operators.drift import PSI_EPS
+from flink_rag_spark.session import ensure_runtime_confs
+
+REFERENCE_FILE = "drift_reference.json"
+ROUND_DP = 6
+
+
+def build_drift_reference(ref_df: DataFrame, value_col: str, path: str,
+                          n_bins: int = 10, eps: float = PSI_EPS,
+                          exact: bool = True) -> dict:
+    """Profile the reference distribution into ``path``/drift_reference
+    .json: equal-frequency bin boundaries (n_bins−1 numbers) and the
+    ε-floored per-bin probabilities. Two scans of the reference (the
+    same boundary-then-assign shape as psi_drift / quantile_bins;
+    ``exact=False`` swaps approx_percentile in at scale), then the
+    artifact is bounded driver metadata. Atomic write (tmp+replace)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fn = "percentile" if exact else "approx_percentile"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    [brow] = ref_df.agg(*[
+        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
+        for i, p in enumerate(ps)]).collect()
+    bounds = [float(brow[f"_qb{i}"]) for i in range(len(ps))]
+    counts = {r["bin"]: r["n"] for r in
+              _binned(ref_df, value_col, bounds).collect()}
+    total = float(sum(counts.values())) or 1.0
+    p_ref = [max(counts.get(b, 0) / total, eps)
+             for b in range(1, n_bins + 1)]
+    ref = {"value_col": value_col, "n_bins": n_bins, "eps": eps,
+           "boundaries": bounds, "p_ref": p_ref}
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, REFERENCE_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(ref, f)
+    os.replace(tmp, os.path.join(path, REFERENCE_FILE))
+    return ref
+
+
+def load_drift_reference(path: str) -> dict:
+    with open(os.path.join(path, REFERENCE_FILE)) as f:
+        return json.load(f)
+
+
+def _binned(df: DataFrame, value_col: str,
+            boundaries: list[float]) -> DataFrame:
+    """(bin, n) counts with bin = 1 + Σ(value > boundary) — literal
+    boundaries, codegen conditional sum, ties LOW like psi_drift."""
+    idx = F.lit(1)
+    for b in boundaries:
+        idx = idx + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    return (df.select(idx.cast("int").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+def batch_psi(batch_df: DataFrame, ref: dict,
+              value_col: str | None = None) -> tuple[float | None, int]:
+    """(psi, n_rows) of one frame against a loaded reference — the same
+    ε-floored Σ(p_cur−p_ref)·ln(p_cur/p_ref) fold as psi_drift, with
+    p_ref fixed from the stored profile. psi is None for an empty
+    frame."""
+    vc = value_col or ref["value_col"]
+    counts = {r["bin"]: r["n"] for r in
+              _binned(batch_df, vc, ref["boundaries"]).collect()}
+    n = int(sum(counts.values()))
+    if n == 0:
+        return None, 0
+    eps = ref["eps"]
+    psi = 0.0
+    for b in range(1, ref["n_bins"] + 1):
+        pc = max(counts.get(b, 0) / n, eps)
+        pr = ref["p_ref"][b - 1]
+        psi += (pc - pr) * math.log(pc / pr)
+    return round(psi, ROUND_DP), n
+
+
+def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
+                      ref_path: str, metrics_path: str,
+                      checkpoint_dir: str,
+                      threshold: float = 0.25,
+                      pass_path: str | None = None,
+                      quarantine_path: str | None = None,
+                      value_col: str | None = None,
+                      available_now: bool = False):
+    """Monitor a streaming frame against the stored reference. Metrics
+    rows (batch_id, n_rows, psi, drifted) land under ``metrics_path``
+    partitioned by batch_id (replay-idempotent overwrite). With
+    ``pass_path``/``quarantine_path`` set, each batch is additionally
+    routed WHOLE to one side by ``psi > threshold``. Returns the
+    StreamingQuery."""
+    ensure_runtime_confs(spark)
+    ref = load_drift_reference(ref_path)
+    _MODE = "spark.sql.sources.partitionOverwriteMode"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        psi, n = batch_psi(batch_df, ref, value_col)
+        drifted = psi is not None and psi > threshold
+        metrics = spark.createDataFrame(
+            [(int(n), psi, bool(drifted), int(batch_id))],
+            "n_rows bigint, psi double, drifted boolean, batch_id bigint")
+        routed = batch_df.withColumn("batch_id", F.lit(batch_id))
+        prev = spark.conf.get(_MODE, "static")
+        spark.conf.set(_MODE, "dynamic")
+        try:
+            (metrics.write.mode("overwrite").partitionBy("batch_id")
+             .parquet(metrics_path))
+            if pass_path is not None and quarantine_path is not None:
+                dst = quarantine_path if drifted else pass_path
+                (routed.write.mode("overwrite").partitionBy("batch_id")
+                 .parquet(dst))
+        finally:
+            spark.conf.set(_MODE, prev)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

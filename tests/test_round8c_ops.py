@@ -162,3 +162,84 @@ def test_fuzzy_join_threshold_equals_untresholded_filter(spark):
         .filter((FF.col("ia") < FF.col("ib"))
                 & (FF.levenshtein("va", "vb") <= 2)).collect()
     assert got == {(r["ia"], r["ib"]) for r in ref}
+
+
+# ------------------------------------------- streaming drift monitor
+
+
+def test_drift_reference_and_batch_psi_agree_with_batch_operator(
+        spark, tmp_path):
+    """batch_psi against the stored profile must agree with the batch
+    operator psi_drift on the same two frames (same bins, floors,
+    formula) — the streaming tier is the batch operator's fold, not a
+    reimplementation that can drift."""
+    from flink_rag_spark.operators.drift import psi_drift
+    from flink_rag_spark.streaming.drift_monitor import (
+        batch_psi,
+        build_drift_reference,
+        load_drift_reference,
+    )
+    ref_df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "value double")
+    cur_df = spark.createDataFrame([(float(i),) for i in range(40, 80)],
+                                   "value double")
+    path = str(tmp_path / "ref")
+    built = build_drift_reference(ref_df, "value", path, n_bins=5)
+    assert load_drift_reference(path) == built
+    assert len(built["boundaries"]) == 4 and len(built["p_ref"]) == 5
+
+    psi_same, n_same = batch_psi(ref_df, built)
+    assert n_same == 100 and psi_same == 0.0
+    psi_cur, n_cur = batch_psi(cur_df, built)
+    batch_op = psi_drift(ref_df, cur_df, "value", n_bins=5).collect()
+    assert abs(psi_cur - batch_op[0]["psi_total"]) < 1e-5
+    assert psi_cur > 0.25  # concentrated sample = shifted
+    # empty frame: no distribution to score
+    assert batch_psi(cur_df.filter("value > 999"), built) == (None, 0)
+
+
+def test_streaming_drift_monitor_routes_and_is_idempotent(
+        spark, tmp_path):
+    from flink_rag_spark.streaming.drift_monitor import (
+        build_drift_reference,
+        run_drift_monitor,
+    )
+    ref_df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "value double")
+    ref_path = str(tmp_path / "ref")
+    build_drift_reference(ref_df, "value", ref_path, n_bins=5)
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch A: a fresh uniform sample (stable); batch B: total shift
+    stable = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "value double")
+    shifted = spark.createDataFrame([(999.0,)] * 50, "value double")
+    stable.coalesce(1).write.parquet(str(src / "a"))
+    shifted.coalesce(1).write.parquet(str(src / "b"))
+    mets, ok, quar = (str(tmp_path / p) for p in ("mets", "ok", "quar"))
+
+    def drain(cp):
+        stream = (spark.readStream.schema(stable.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src / "*")))
+        q = run_drift_monitor(spark, stream, ref_path, mets,
+                              cp, threshold=0.25, pass_path=ok,
+                              quarantine_path=quar, available_now=True)
+        assert q.awaitTermination(120)
+
+    drain(str(tmp_path / "cp1"))
+    m = {r["batch_id"]: r for r in spark.read.parquet(mets).collect()}
+    assert len(m) == 2
+    drifted = {bid: r["drifted"] for bid, r in m.items()}
+    assert sorted(drifted.values()) == [False, True]
+    assert spark.read.parquet(ok).count() == 100     # the stable batch
+    assert spark.read.parquet(quar).count() == 50    # the shifted batch
+    psis = sorted(r["psi"] for r in m.values())
+    assert psis[0] == 0.0 and psis[1] > 0.25
+
+    # fresh checkpoint: the same files replay under the same batch ids —
+    # every sink overwrites its own partitions, counts unchanged
+    drain(str(tmp_path / "cp2"))
+    assert spark.read.parquet(mets).count() == 2
+    assert spark.read.parquet(ok).count() == 100
+    assert spark.read.parquet(quar).count() == 50
