@@ -416,11 +416,16 @@ def fuzzy_decontaminate(train: DataFrame, bench: DataFrame,
     NO train-side self-join, no O(bucket²) blowup, no hot-bucket guard
     needed — per train doc the work is its colliding bench docs. The
     verify stage is exact Jaccard over candidate pairs only
-    (array_intersect hash-set probes, O(|sh_a|+|sh_b|) per pair), and
-    both sides hash their text ONCE (the shingle frame feeds signatures
-    AND verification, dedup.minhash_signatures' shingle_sets seam).
-    Same shingle hash and band layout as the dedup family, so the DuckDB
-    oracle replays candidates and verification exactly."""
+    (array_intersect hash-set probes, O(|sh_a|+|sh_b|) per pair); its
+    train-side shingles are recomputed for CANDIDATE docs only (the
+    tiny collision set broadcast into a second id+text scan) rather
+    than re-deriving the corpus-sized shingle frame a second time — a
+    100 TB corpus can't persist its shingles, so full-corpus hashing
+    happens exactly once, in the band pass. The small bench side reuses
+    one shingle frame for signatures AND verification
+    (dedup.minhash_signatures' shingle_sets seam). Same shingle hash
+    and band layout as the dedup family, so the DuckDB oracle replays
+    candidates and verification exactly."""
     from flink_rag_spark.config import DEFAULT_CONFIG
     from flink_rag_spark.operators.dedup import (
         lsh_band_rows,
@@ -440,9 +445,11 @@ def fuzzy_decontaminate(train: DataFrame, bench: DataFrame,
                .select("band", "band_key", F.col(id_col).alias("_bid")))
     cand = (t_bands.join(F.broadcast(b_bands), on=["band", "band_key"])
             .select(F.col(id_col), F.col("_bid")).distinct())
-    ver = (cand
-           .join(t_sh.select(F.col(id_col), F.col("sh").alias("sh_a")),
-                 on=id_col)
+    cand_sh = (widen_if_narrow(train)
+               .select(F.col(id_col), F.col(text_col))
+               .join(F.broadcast(cand), on=id_col)
+               .select(F.col(id_col), F.col("_bid"), sh_arr.alias("sh_a")))
+    ver = (cand_sh
            .join(F.broadcast(b_sh.select(F.col(id_col).alias("_bid"),
                                          F.col("sh").alias("sh_b"))),
                  on="_bid")

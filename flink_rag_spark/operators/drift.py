@@ -32,6 +32,42 @@ ROUND_DP = 6
 PSI_EPS = 1e-6
 
 
+def quantile_boundaries(df: DataFrame, value_col: str, n_bins: int,
+                        exact: bool = True) -> list[float]:
+    """Equal-frequency bin boundaries (n_bins−1 numbers) of ``df``'s
+    ``value_col`` as driver metadata — one 1-row aggregate scan, the
+    same interpolated ``percentile`` (or ``approx_percentile`` at
+    scale) as profiling.quantile_bins. Raises on an empty frame: NULL
+    boundaries would silently bin everything into bucket 1 and produce
+    a finite-looking garbage PSI instead of an error."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fn = "percentile" if exact else "approx_percentile"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    [brow] = df.agg(*[
+        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
+        for i, p in enumerate(ps)]).collect()
+    if any(brow[f"_qb{i}"] is None for i in range(len(ps))):
+        raise ValueError(
+            f"reference frame has no non-NULL {value_col!r} values — "
+            "cannot profile bin boundaries")
+    return [float(brow[f"_qb{i}"]) for i in range(len(ps))]
+
+
+def binned_counts(df: DataFrame, value_col: str,
+                  boundaries: list[float], out: str = "n") -> DataFrame:
+    """(bin, ``out``) counts with bin = 1 + Σ(value > boundary) —
+    literal boundaries, codegen conditional sum, ties LOW. The ONE
+    binning convention shared by psi_drift, the streaming monitor's
+    reference profile, and per-batch scoring — change it here and every
+    PSI surface moves together."""
+    idx = F.lit(1)
+    for b in boundaries:
+        idx = idx + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    return (df.select(idx.cast("int").alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
               n_bins: int = 10, eps: float = PSI_EPS,
               exact: bool = True) -> DataFrame:
@@ -39,28 +75,14 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     ``value_col``: (bin, n_ref, n_cur, p_ref, p_cur, psi_term,
     psi_total) — one row per occupied bin, ``psi_total`` (the headline
     score) repeated on every row so the result is self-contained.
-    Boundaries are ``ref``'s equal-frequency quantiles; ties bin LOW
-    (strict >) exactly like profiling.quantile_bins, so assignment is
-    deterministic and engine-replayable."""
-    if n_bins < 2:
-        raise ValueError("n_bins must be >= 2")
-    fn = "percentile" if exact else "approx_percentile"
-    ps = [i / n_bins for i in range(1, n_bins)]
-    bounds = ref.agg(*[
-        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
-        for i, p in enumerate(ps)])
-
-    def binned_counts(df: DataFrame, out: str) -> DataFrame:
-        idx = F.lit(1)
-        for i in range(len(ps)):
-            idx = idx + F.when(F.col(value_col) > F.col(f"_qb{i}"), 1) \
-                         .otherwise(0)
-        return (df.crossJoin(F.broadcast(bounds))
-                .select(idx.cast("int").alias("bin"))
-                .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
-
-    rc = binned_counts(ref, "n_ref")
-    cc = binned_counts(cur, "n_cur")
+    Boundaries are ``ref``'s equal-frequency quantiles, collected as
+    driver metadata (n_bins−1 numbers — same broadcast-boundaries
+    pattern as profiling.quantile_bins; raises on an empty reference);
+    ties bin LOW (strict >) exactly like quantile_bins, so assignment
+    is deterministic and engine-replayable."""
+    bounds = quantile_boundaries(ref, value_col, n_bins, exact=exact)
+    rc = binned_counts(ref, value_col, bounds, "n_ref")
+    cc = binned_counts(cur, value_col, bounds, "n_cur")
     j = (rc.join(cc, on="bin", how="full")
          .select("bin",
                  F.coalesce("n_ref", F.lit(0)).alias("n_ref"),

@@ -11,11 +11,16 @@ the same family as vocab induction (operators/encoding.py).
 
 Spark-first shape — everything is wordcount:
 
-- unigram counts: one token explode → partial-agg ``groupBy(term)``;
-- adjacent-pair counts: one bigram explode (the same bound-once
-  ``transform(sequence(...))`` trick as quality.repetition_signals) →
-  partial-agg ``groupBy(pair)``;
-- corpus totals: 1-row aggregates OVER THE GROUPED frames (vocabulary-
+- ONE corpus scan: each document's token array binds once and emits a
+  tagged union of unigram structs and adjacent-bigram structs (the
+  same bound-once ``transform(sequence(...))`` trick as
+  quality.repetition_signals); one explode → partial-agg
+  ``groupBy(tag, term)`` produces both count frames, and the
+  vocabulary-sized grouped result is persisted so its four consumers
+  (unigram join ×2, pair filter, totals) never re-tokenize the corpus
+  — the same persist-the-small-derived-frame discipline as
+  quality.unigram_lm_quality's vocab;
+- corpus totals: 1-row aggregates OVER THE GROUPED frame (vocabulary-
   sized inputs, never a second corpus pass), broadcast;
 - the PMI join attaches the two unigram counts to the ``min_count``-
   filtered pair vocabulary — both sides shuffle on the word, the same
@@ -60,12 +65,31 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
     (w1, w2). ``min_count`` is the scale knob: it bounds the join input
     to the frequent-pair vocabulary."""
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
-    uni = (docs.select(F.explode(F.expr(toks)).alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("cu")))
+    # One corpus scan: tag 0 = unigram, tag 1 = adjacent bigram. The
+    # token array binds ONCE as the lambda variable t (CollapseProject
+    # would inline a projected alias and re-split; a lambda binding it
+    # cannot); both term streams ride one explode into one (tag, term)
+    # aggregate, and the vocabulary-sized grouped frame is persisted
+    # for its four downstream consumers. slice(.., 1, 0) is the
+    # correctly-typed empty struct array for single-token docs.
+    tagged = (
+        f"element_at(transform(array({toks}), t -> concat("
+        "transform(t, w -> named_struct('tag', 0, 'term', w)), "
+        "CASE WHEN size(t) < 2 THEN "
+        "slice(transform(t, w -> named_struct('tag', 1, 'term', w)), 1, 0) "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> named_struct('tag', 1, 'term', "
+        "concat(element_at(t, i), ' ', element_at(t, i + 1)))) END)), 1)")
+    counts = (docs.select(F.explode(F.expr(tagged)).alias("x"))
+              .groupBy(F.col("x.tag").alias("tag"),
+                       F.col("x.term").alias("term"))
+              .agg(F.count(F.lit(1)).alias("c"))
+              .persist())
+    uni = counts.filter(F.col("tag") == 0).select(
+        F.col("term").alias("w"), F.col("c").alias("cu"))
+    pair_counts = counts.filter(F.col("tag") == 1).select(
+        F.col("term").alias("g"), F.col("c").alias("n_pair"))
     total_u = uni.agg(F.sum("cu").cast("double").alias("t_tokens"))
-    pair_counts = (docs.select(
-        F.explode(F.expr(_bigrams_spark(toks))).alias("g"))
-        .groupBy("g").agg(F.count(F.lit(1)).alias("n_pair")))
     total_p = pair_counts.agg(F.sum("n_pair").cast("double")
                               .alias("t_pairs"))
     pairs = (pair_counts.filter(F.col("n_pair") >= min_count)

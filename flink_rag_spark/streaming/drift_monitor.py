@@ -37,7 +37,8 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_rag_spark.operators.drift import PSI_EPS
+from flink_rag_spark.operators.drift import (PSI_EPS, binned_counts,
+                                             quantile_boundaries)
 from flink_rag_spark.session import ensure_runtime_confs
 
 REFERENCE_FILE = "drift_reference.json"
@@ -52,18 +53,13 @@ def build_drift_reference(ref_df: DataFrame, value_col: str, path: str,
     ε-floored per-bin probabilities. Two scans of the reference (the
     same boundary-then-assign shape as psi_drift / quantile_bins;
     ``exact=False`` swaps approx_percentile in at scale), then the
-    artifact is bounded driver metadata. Atomic write (tmp+replace)."""
-    if n_bins < 2:
-        raise ValueError("n_bins must be >= 2")
-    fn = "percentile" if exact else "approx_percentile"
-    ps = [i / n_bins for i in range(1, n_bins)]
-    [brow] = ref_df.agg(*[
-        F.expr(f"{fn}({value_col}, {p!r})").alias(f"_qb{i}")
-        for i, p in enumerate(ps)]).collect()
-    bounds = [float(brow[f"_qb{i}"]) for i in range(len(ps))]
+    artifact is bounded driver metadata. Raises on an empty reference
+    (via quantile_boundaries — NULL boundaries would profile garbage).
+    Atomic write (tmp+replace)."""
+    bounds = quantile_boundaries(ref_df, value_col, n_bins, exact=exact)
     counts = {r["bin"]: r["n"] for r in
-              _binned(ref_df, value_col, bounds).collect()}
-    total = float(sum(counts.values())) or 1.0
+              binned_counts(ref_df, value_col, bounds).collect()}
+    total = float(sum(counts.values()))
     p_ref = [max(counts.get(b, 0) / total, eps)
              for b in range(1, n_bins + 1)]
     ref = {"value_col": value_col, "n_bins": n_bins, "eps": eps,
@@ -81,17 +77,6 @@ def load_drift_reference(path: str) -> dict:
         return json.load(f)
 
 
-def _binned(df: DataFrame, value_col: str,
-            boundaries: list[float]) -> DataFrame:
-    """(bin, n) counts with bin = 1 + Σ(value > boundary) — literal
-    boundaries, codegen conditional sum, ties LOW like psi_drift."""
-    idx = F.lit(1)
-    for b in boundaries:
-        idx = idx + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
-    return (df.select(idx.cast("int").alias("bin"))
-            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
-
-
 def batch_psi(batch_df: DataFrame, ref: dict,
               value_col: str | None = None) -> tuple[float | None, int]:
     """(psi, n_rows) of one frame against a loaded reference — the same
@@ -100,7 +85,7 @@ def batch_psi(batch_df: DataFrame, ref: dict,
     frame."""
     vc = value_col or ref["value_col"]
     counts = {r["bin"]: r["n"] for r in
-              _binned(batch_df, vc, ref["boundaries"]).collect()}
+              binned_counts(batch_df, vc, ref["boundaries"]).collect()}
     n = int(sum(counts.values()))
     if n == 0:
         return None, 0
@@ -125,8 +110,11 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
     rows (batch_id, n_rows, psi, drifted) land under ``metrics_path``
     partitioned by batch_id (replay-idempotent overwrite). With
     ``pass_path``/``quarantine_path`` set, each batch is additionally
-    routed WHOLE to one side by ``psi > threshold``. Returns the
-    StreamingQuery."""
+    routed WHOLE to one side by ``psi > threshold``. Each side is
+    independent: setting only ``quarantine_path`` captures drifted
+    batches and intentionally discards passing ones (and vice versa) —
+    a batch is never silently dropped because the OTHER side's path
+    was left unset. Returns the StreamingQuery."""
     ensure_runtime_confs(spark)
     ref = load_drift_reference(ref_path)
     _MODE = "spark.sql.sources.partitionOverwriteMode"
@@ -143,8 +131,8 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
         try:
             (metrics.write.mode("overwrite").partitionBy("batch_id")
              .parquet(metrics_path))
-            if pass_path is not None and quarantine_path is not None:
-                dst = quarantine_path if drifted else pass_path
+            dst = quarantine_path if drifted else pass_path
+            if dst is not None:
                 (routed.write.mode("overwrite").partitionBy("batch_id")
                  .parquet(dst))
         finally:
