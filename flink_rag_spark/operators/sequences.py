@@ -1,0 +1,269 @@
+"""Event-sequence analytics: CEP-style funnels, transition matrices,
+retention cohorts.
+
+The reference runs on Flink, whose flagship non-relational capability is
+CEP — ordered-pattern detection over a keyed event stream (FlinkCEP's
+``followedBy`` relaxed contiguity / SQL MATCH_RECOGNIZE). Spark has no
+MATCH_RECOGNIZE, so ``sequence_funnel`` re-expresses the standard
+skip-till-next-match earliest-completion semantics as STACKED WINDOW
+LAYERS: layer i's running value r_i = "earliest timestamp at which steps
+1..i have completed, looking at events up to this row". Each layer is
+``min(CASE WHEN <step-i event> AND ts > r_{i-1} THEN ts END)`` over the
+same (key, ts)-ordered unbounded-preceding frame, so completion requires
+each step STRICTLY after the previous — exactly the first-match funnel
+every product-analytics store (and FlinkCEP with greedy earliest match)
+computes.
+
+Scale shape — the whole k-step pattern costs ONE shuffle:
+
+- the scan pre-filters to rows matching ANY step (predicate pushed to
+  parquet) and projects only (key, seq, ts, type);
+- all k window layers share one partitioning (key) and one ordering
+  (ts, seq), so Catalyst plans ONE Exchange + ONE Sort and pipelines the
+  k Window operators over it — adding funnel steps adds per-row
+  arithmetic, never another shuffle;
+- the per-key reduction (min of each r_i — each r_i is non-increasing
+  along the frame, so the group min IS the final running value) is a
+  partial-aggregated groupBy, and the step-count summary is arithmetic
+  over k rows.
+
+``within`` bounds the funnel window from the step-1 anchor (greedy
+first-entry semantics: the clock starts at the EARLIEST step-1 event,
+the standard analytics definition — a funnel that would only complete
+from a later anchor does not count, and the docstring says so rather
+than hiding it).
+
+``event_transitions`` (the order-1 Markov matrix, lag + count) and
+``cohort_retention`` (week-cohort survival) round out the family; both
+are one-window / one-join plans with |event-types|²- and
+|cohorts×weeks|-bounded outputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+ROUND_DP = 6
+
+
+def funnel_times(events: DataFrame, steps: list[str],
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", seq_col: str = "event_id",
+                 within_seconds: int | None = None) -> DataFrame:
+    """Per-key earliest completion timestamp of each funnel step:
+    (key, t1..tk) where t_i is the earliest time steps 1..i complete
+    in order (each strictly after the previous; NULL = never). Ties in
+    ``ts_col`` order by ``seq_col`` for a deterministic frame, but the
+    result depends only on timestamp VALUES (running mins), so it is
+    replay-stable. ``within_seconds`` additionally requires every step
+    to land within that window of the step-1 anchor."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df = (events.filter(F.col(type_col).isin(steps))
+          .select(key_col, seq_col, ts_col, type_col))
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if i > 1:
+            cond = cond & (F.col(ts_col) > F.col(f"_r{i - 1}"))
+        if within_seconds is not None and i > 1:
+            cond = cond & (F.col(ts_col) <= F.col("_r1")
+                           + F.expr(f"INTERVAL {within_seconds} SECOND"))
+        df = df.withColumn(
+            f"_r{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+    return df.groupBy(key_col).agg(*[
+        F.min(f"_r{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)])
+
+
+def funnel_summary(events: DataFrame, steps: list[str],
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type", seq_col: str = "event_id",
+                   within_seconds: int | None = None) -> DataFrame:
+    """Step-level funnel report: (step, step_type, n_keys,
+    conv_from_first, conv_from_prev) — one row per step, counts of keys
+    reaching it, conversion vs step 1 and vs the previous step (NULL
+    when the denominator is zero). The k-row report is arithmetic over
+    funnel_times' per-key frame: one shuffle total."""
+    ft = funnel_times(events, steps, key_col, ts_col, type_col,
+                      seq_col, within_seconds)
+    counts = ft.agg(*[
+        F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)])
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("step"),
+                 F.lit(steps[i - 1]).alias("step_type"),
+                 F.col(f"n{i}").alias("n_keys"),
+                 F.col(f"n{max(i - 1, 1)}").alias("_n_prev"))
+        for i in range(1, len(steps) + 1)])
+    e = counts.select(F.explode(rows).alias("r"),
+                      F.col("n1").alias("_n1")).select("r.*", "_n1")
+    safe = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num) / F.col(den), ROUND_DP))
+    return e.select(
+        "step", "step_type", "n_keys",
+        safe("n_keys", "_n1").alias("conv_from_first"),
+        safe("n_keys", "_n_prev").alias("conv_from_prev"))
+
+
+def funnel_summary_duck(steps: list[str], within_seconds: int | None = None,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        seq_col: str = "event_id",
+                        table: str = "events") -> str:
+    """DuckDB mirror of funnel_summary: same stacked running-min window
+    layers, strict-after chaining, within-anchor bound, rounding and
+    zero-denominator NULLs."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    layers = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    for i, step in enumerate(steps, start=1):
+        cond = f"{type_col} = '{step}'"
+        if i > 1:
+            cond += f" AND {ts_col} > _r{i - 1}"
+            if within_seconds is not None:
+                cond += (f" AND {ts_col} <= _r1 + "
+                         f"INTERVAL {within_seconds} SECOND")
+        layers.append(
+            f"l{i} AS (SELECT {prev_cols}, "
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} AS _r{i} "
+            f"FROM {src})")
+        prev_cols += f", _r{i}"
+        src = f"l{i}"
+    n_cols = ", ".join(f"COUNT(t{i}) AS n{i}"
+                       for i in range(1, len(steps) + 1))
+    t_cols = ", ".join(f"MIN(_r{i}) AS t{i}"
+                       for i in range(1, len(steps) + 1))
+    step_rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{steps[i - 1]}' AS step_type, "
+        f"n{i} AS n_keys, n{max(i - 1, 1)} AS _n_prev, n1 AS _n1 FROM c"
+        for i in range(1, len(steps) + 1))
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(layers)},
+ft AS (SELECT {key_col}, {t_cols} FROM {src} GROUP BY {key_col}),
+c AS (SELECT {n_cols} FROM ft),
+s AS ({step_rows})
+SELECT step, step_type, CAST(n_keys AS BIGINT) AS n_keys,
+       CASE WHEN _n1 > 0 THEN ROUND(n_keys / CAST(_n1 AS DOUBLE), {ROUND_DP})
+            END AS conv_from_first,
+       CASE WHEN _n_prev > 0
+            THEN ROUND(n_keys / CAST(_n_prev AS DOUBLE), {ROUND_DP})
+            END AS conv_from_prev
+FROM s
+"""
+
+
+def event_transitions(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      seq_col: str = "event_id") -> DataFrame:
+    """Order-1 Markov transition matrix of the per-key event stream:
+    (prev_type, next_type, n_pairs, p_next) with p_next = row-normalized
+    transition probability. One lag window (same single exchange shape
+    as the funnel) + one |types|²-bounded aggregate; the normalizing
+    window runs over that tiny frame. Ties in ts order by ``seq_col``,
+    which IS semantically load-bearing here (unlike the funnel's running
+    mins) — documented, deterministic, and replayed identically by the
+    oracle."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    pairs = (events
+             .select(key_col, ts_col, seq_col, type_col)
+             .withColumn("_prev", F.lag(type_col).over(w))
+             .filter(F.col("_prev").isNotNull())
+             .groupBy(F.col("_prev").alias("prev_type"),
+                      F.col(type_col).alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("n_pairs")))
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type", "next_type", "n_pairs",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(norm),
+                ROUND_DP).alias("p_next"))
+
+
+def event_transitions_duck(key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           seq_col: str = "event_id",
+                           table: str = "events") -> str:
+    """DuckDB mirror of event_transitions."""
+    return f"""
+WITH p AS (
+  SELECT LAG({type_col}) OVER (PARTITION BY {key_col}
+                               ORDER BY {ts_col}, {seq_col}) AS prev_type,
+         {type_col} AS next_type
+  FROM {table}),
+c AS (SELECT prev_type, next_type, COUNT(*) AS n_pairs
+      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(n_pairs / CAST(SUM(n_pairs) OVER (PARTITION BY prev_type)
+                            AS DOUBLE), {ROUND_DP}) AS p_next
+FROM c
+"""
+
+
+def cohort_retention(events: DataFrame, signup_type: str = "signup",
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """Weekly retention cohorts: keys cohorted by the Monday week of
+    their FIRST ``signup_type`` event; for each (cohort_week,
+    week_offset) the count of cohort keys active that week and the
+    retention ratio vs the cohort's week-0 size (week 0 always exists —
+    the signup event itself is activity at offset 0).
+
+    Shape: one |keys|-bounded aggregate for anchors, one shuffle join on
+    the key (both sides key-partitioned — no broadcast assumption, keys
+    are corpus-scale), one distinct-count aggregate over (cohort, week),
+    and a window over the |cohorts × weeks| result. countDistinct is
+    exact because the oracle demands exact values; at 100 TB the same
+    plan runs with approx_count_distinct or the rollup family's HLL
+    partials (operators/rollup.py) as the documented swap."""
+    anchors = (events.filter(F.col(type_col) == signup_type)
+               .groupBy(key_col).agg(F.min(ts_col).alias("_t0")))
+    act = (events.select(key_col, ts_col)
+           .join(anchors, on=key_col)
+           .filter(F.col(ts_col) >= F.col("_t0"))
+           .select(F.date_trunc("week", F.col("_t0")).alias("cohort_week"),
+                   F.floor(F.datediff(F.to_date(ts_col), F.to_date("_t0"))
+                           / 7).cast("int").alias("week_offset"),
+                   F.col(key_col)))
+    grp = (act.groupBy("cohort_week", "week_offset")
+           .agg(F.countDistinct(key_col).alias("n_active")))
+    w0 = Window.partitionBy("cohort_week")
+    return grp.select(
+        "cohort_week", "week_offset", "n_active",
+        F.round(F.col("n_active")
+                / F.max(F.when(F.col("week_offset") == 0,
+                               F.col("n_active"))).over(w0),
+                ROUND_DP).alias("retention"))
+
+
+def cohort_retention_duck(signup_type: str = "signup",
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          table: str = "events") -> str:
+    """DuckDB mirror of cohort_retention (Monday-start date_trunc in
+    both engines; day-level date difference floored to weeks)."""
+    return f"""
+WITH a AS (SELECT {key_col}, MIN({ts_col}) AS _t0
+           FROM {table} WHERE {type_col} = '{signup_type}'
+           GROUP BY {key_col}),
+act AS (
+  SELECT date_trunc('week', a._t0) AS cohort_week,
+         CAST(floor(date_diff('day', CAST(a._t0 AS DATE),
+                              CAST(e.{ts_col} AS DATE)) / 7.0) AS INT)
+           AS week_offset,
+         e.{key_col} AS k
+  FROM {table} e JOIN a ON e.{key_col} = a.{key_col}
+  WHERE e.{ts_col} >= a._t0),
+g AS (SELECT cohort_week, week_offset, COUNT(DISTINCT k) AS n_active
+      FROM act GROUP BY 1, 2)
+SELECT cohort_week, week_offset, CAST(n_active AS BIGINT) AS n_active,
+       ROUND(n_active / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active
+                                      END) OVER (PARTITION BY cohort_week)
+                             AS DOUBLE), {ROUND_DP}) AS retention
+FROM g
+"""

@@ -50,6 +50,11 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.drift import psi_drift_duck
     from flink_rag_spark.operators.linkage import fuzzy_self_pairs_duck
+    from flink_rag_spark.operators.sequences import (
+        cohort_retention_duck,
+        event_transitions_duck,
+        funnel_summary_duck,
+    )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
@@ -1344,6 +1349,20 @@ FROM documents WHERE doc_id % 17 = 0""",
                                llm.FUZZY_MATCH_DISTANCE,
                                "string_split({s}, ' ')[-1]"),
          ("join", "linkage", "fuzzy")),
+        # round-8d: CEP-style sequence funnel — FlinkCEP followedBy /
+        # MATCH_RECOGNIZE earliest-match semantics as stacked running-min
+        # window layers over ONE exchange; within-anchor time bound
+        ("funnel_view_click_purchase", llm.funnel_view_click_purchase,
+         funnel_summary_duck(llm.FUNNEL_STEPS, llm.FUNNEL_WITHIN_SECONDS),
+         ("streaming", "cep", "window")),
+        # round-8d: order-1 Markov transition matrix over per-user
+        # event streams — lag window + |types|²-bounded aggregate
+        ("event_transition_matrix", llm.event_transition_matrix,
+         event_transitions_duck(), ("streaming", "cep", "agg")),
+        # round-8d: weekly retention cohorts — first-signup anchors,
+        # key-partitioned activity join, exact distinct actives
+        ("retention_weekly_cohorts", llm.retention_weekly_cohorts,
+         cohort_retention_duck(), ("streaming", "cohort", "agg")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

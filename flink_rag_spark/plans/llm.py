@@ -1560,3 +1560,43 @@ def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_distance=FUZZY_MATCH_DISTANCE,
                              block_expr=FUZZY_MATCH_BLOCK)
             .orderBy("str_a", "str_b"))
+
+
+#: funnel definition — the classic view → click → purchase conversion
+#: path over the events stream, with a 3-day completion window from the
+#: first view (skip-till-next-match earliest-anchor semantics)
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_SECONDS = 3 * 86400
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence funnel (operators/sequences.py funnel_summary):
+    per-user earliest ordered completion of view → click → purchase
+    within 3 days of the first view, reported as step-level counts and
+    conversion rates. FlinkCEP ``followedBy`` / MATCH_RECOGNIZE
+    semantics re-expressed as stacked running-min window layers sharing
+    ONE exchange — the pattern Spark lacks natively."""
+    from flink_rag_spark.operators.sequences import funnel_summary
+    e = load_table(spark, sf_dir, "events")
+    return funnel_summary(e, FUNNEL_STEPS,
+                          within_seconds=FUNNEL_WITHIN_SECONDS).orderBy("step")
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 Markov transition matrix (operators/sequences.py
+    event_transitions): per-user event streams → (prev, next) counts and
+    row-normalized probabilities. One lag window + one |types|²-bounded
+    aggregate."""
+    from flink_rag_spark.operators.sequences import event_transitions
+    e = load_table(spark, sf_dir, "events")
+    return event_transitions(e).orderBy("prev_type", "next_type")
+
+
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (operators/sequences.py
+    cohort_retention): users cohorted by first-signup week; per
+    (cohort_week, week_offset) active-user counts and retention vs the
+    cohort's week-0 size."""
+    from flink_rag_spark.operators.sequences import cohort_retention
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e).orderBy("cohort_week", "week_offset")

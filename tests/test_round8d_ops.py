@@ -1,0 +1,145 @@
+"""Round-8d operator contracts: CEP-style sequence funnel, event
+transition matrix, retention cohorts.
+
+`test_oracle_parity.py` value-hashes the catalog entries against DuckDB;
+these tests pin the DEFINITIONS on hand-built event streams where the
+expected funnel/transition/retention values are computable by hand, so
+an implementation-and-oracle that drifted together would still fail.
+"""
+
+from datetime import datetime
+
+EV = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, d, h, m), u, t)
+         for i, (d, h, m, u, t) in enumerate(rows)], EV)
+
+
+def test_funnel_strict_order_and_skip(spark):
+    from flink_rag_spark.operators.sequences import funnel_times
+    # u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    # view (click must not count); u3 views only.
+    e = _ev(spark, [
+        (1, 0, 0, 1, "view"), (1, 1, 0, 1, "click"),
+        (1, 2, 0, 1, "purchase"),
+        (2, 0, 0, 2, "click"), (2, 1, 0, 2, "view"),
+        (3, 0, 0, 3, "view"),
+    ])
+    rows = {r["user_id"]: r for r in
+            funnel_times(e, ["view", "click", "purchase"]).collect()}
+    assert rows[1]["t3"] == datetime(2024, 1, 1, 2, 0)
+    assert rows[2]["t1"] == datetime(2024, 1, 2, 1, 0)
+    assert rows[2]["t2"] is None and rows[2]["t3"] is None
+    assert rows[3]["t2"] is None
+
+
+def test_funnel_skip_till_next_match_takes_earliest(spark):
+    from flink_rag_spark.operators.sequences import funnel_times
+    # view@0, noise click before view ignored, click@2, click@5 ->
+    # earliest valid click (2) anchors purchase search
+    e = _ev(spark, [
+        (1, 0, 0, 7, "view"), (1, 2, 0, 7, "click"),
+        (1, 5, 0, 7, "click"), (1, 6, 0, 7, "purchase"),
+    ])
+    [r] = funnel_times(e, ["view", "click", "purchase"]).collect()
+    assert r["t2"] == datetime(2024, 1, 1, 2, 0)
+    assert r["t3"] == datetime(2024, 1, 1, 6, 0)
+
+
+def test_funnel_within_window_bounds_from_first_anchor(spark):
+    from flink_rag_spark.operators.sequences import funnel_times
+    # click 2 hours after the first view: excluded under within=3600 s,
+    # included under within=86400 s — greedy first-anchor clock.
+    e = _ev(spark, [
+        (1, 0, 0, 5, "view"), (1, 2, 0, 5, "click"),
+    ])
+    [tight] = funnel_times(e, ["view", "click"],
+                           within_seconds=3600).collect()
+    assert tight["t2"] is None
+    [loose] = funnel_times(e, ["view", "click"],
+                           within_seconds=86400).collect()
+    assert loose["t2"] == datetime(2024, 1, 1, 2, 0)
+
+
+def test_funnel_summary_counts_and_rates(spark):
+    from flink_rag_spark.operators.sequences import funnel_summary
+    # 2 users view, 1 converts to click
+    e = _ev(spark, [
+        (1, 0, 0, 1, "view"), (1, 1, 0, 1, "click"),
+        (2, 0, 0, 2, "view"),
+    ])
+    rows = {r["step"]: r for r in
+            funnel_summary(e, ["view", "click"]).collect()}
+    assert rows[1]["n_keys"] == 2 and rows[1]["conv_from_first"] == 1.0
+    assert rows[2]["n_keys"] == 1
+    assert rows[2]["conv_from_first"] == 0.5
+    assert rows[2]["conv_from_prev"] == 0.5
+
+
+def test_event_transitions_probabilities(spark):
+    from flink_rag_spark.operators.sequences import event_transitions
+    # u1: a b a b ; u2: a b  -> from a: b x3 (p=1); from b: a x1 (p=1)
+    e = _ev(spark, [
+        (1, 0, 0, 1, "a"), (1, 1, 0, 1, "b"),
+        (1, 2, 0, 1, "a"), (1, 3, 0, 1, "b"),
+        (2, 0, 0, 2, "a"), (2, 1, 0, 2, "b"),
+    ])
+    rows = {(r["prev_type"], r["next_type"]): r
+            for r in event_transitions(e).collect()}
+    assert rows[("a", "b")]["n_pairs"] == 3
+    assert rows[("a", "b")]["p_next"] == 1.0
+    assert rows[("b", "a")]["n_pairs"] == 1
+    assert ("b", "b") not in rows
+
+
+def test_event_transitions_tie_breaks_on_seq(spark):
+    from flink_rag_spark.operators.sequences import event_transitions
+    # two events at the SAME ts: order by event_id -> x then y
+    e = _ev(spark, [
+        (1, 0, 0, 9, "x"), (1, 0, 1, 9, "y"),
+    ])
+    # same minute? no: rows differ in event_id only when (d,h,m) equal
+    e = _ev(spark, [(1, 0, 0, 9, "x"), (1, 0, 0, 9, "y")])
+    rows = [(r["prev_type"], r["next_type"])
+            for r in event_transitions(e).collect()]
+    assert rows == [("x", "y")]
+
+
+def test_cohort_retention_offsets_and_ratio(spark):
+    from flink_rag_spark.operators.sequences import cohort_retention
+    # Mon 2024-01-01 week: u1 signs up day 1, active day 9 (offset 1);
+    # u2 signs up day 2, never returns. Week-0 size = 2.
+    e = _ev(spark, [
+        (1, 0, 0, 1, "signup"), (9, 0, 0, 1, "view"),
+        (2, 0, 0, 2, "signup"),
+    ])
+    rows = {r["week_offset"]: r for r in cohort_retention(e).collect()}
+    assert rows[0]["n_active"] == 2 and rows[0]["retention"] == 1.0
+    assert rows[1]["n_active"] == 1 and rows[1]["retention"] == 0.5
+    # all in the same Monday-start cohort week
+    assert rows[0]["cohort_week"] == datetime(2024, 1, 1)
+
+
+def test_cohort_retention_pre_signup_activity_excluded(spark):
+    from flink_rag_spark.operators.sequences import cohort_retention
+    # activity BEFORE the signup anchor must not count anywhere
+    e = _ev(spark, [
+        (1, 0, 0, 4, "view"), (3, 0, 0, 4, "signup"),
+    ])
+    rows = {r["week_offset"]: r for r in cohort_retention(e).collect()}
+    assert set(rows) == {0} and rows[0]["n_active"] == 1
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The k-step funnel must cost ONE shuffle: all window layers and the
+    final per-key aggregate share the key partitioning."""
+    from flink_rag_spark.operators.sequences import funnel_times
+    e = _ev(spark, [(1, 0, 0, 1, "view"), (1, 1, 0, 1, "click"),
+                    (1, 2, 0, 1, "purchase")])
+    ft = funnel_times(e, ["view", "click", "purchase"])
+    plan = ft._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 3
