@@ -49,6 +49,7 @@ def extra_queries() -> list[tuple]:
         temperature_mixture_duck,
     )
     from flink_rag_spark.operators.drift import psi_drift_duck
+    from flink_rag_spark.operators.importance import dsir_select_duck
     from flink_rag_spark.operators.linkage import fuzzy_self_pairs_duck
     from flink_rag_spark.operators.sequences import (
         cohort_retention_duck,
@@ -1363,6 +1364,14 @@ FROM documents WHERE doc_id % 17 = 0""",
         # key-partitioned activity join, exact distinct actives
         ("retention_weekly_cohorts", llm.retention_weekly_cohorts,
          cohort_retention_duck(), ("streaming", "cohort", "agg")),
+        # round-8d: DSIR importance-weighted data selection — two
+        # B-bounded hashed-n-gram estimators, broadcast λ table,
+        # deterministic top-n (the paper's Gumbel twist documented)
+        ("dsir_selected_docs", llm.dsir_selected_docs,
+         dsir_select_duck("1=1", "lang = 'en'", llm.DSIR_TOP_N,
+                          n_buckets=llm.DSIR_BUCKETS,
+                          keep_cols="lang, source"),
+         ("curation", "importance", "training")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

@@ -1600,3 +1600,24 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.sequences import cohort_retention
     e = load_table(spark, sf_dir, "events")
     return cohort_retention(e).orderBy("cohort_week", "week_offset")
+
+
+#: DSIR selection parameters — target domain = English documents,
+#: raw = the whole multilingual corpus; 512 hashed-n-gram buckets
+DSIR_TOP_N = 60
+DSIR_BUCKETS = 512
+
+
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/importance.py, arXiv:2302.03169):
+    the 60 corpus documents whose hashed unigram+bigram bags look most
+    like the ENGLISH subset's distribution — two B-bounded bag-of-ngrams
+    estimators, a broadcast λ table, two scan-shaped corpus passes,
+    deterministic top-n."""
+    from flink_rag_spark.operators.importance import dsir_select
+    d = load_table(spark, sf_dir, "documents")
+    return (dsir_select(d, d.filter(F.col("lang") == "en"),
+                        "text", "doc_id", top_n=DSIR_TOP_N,
+                        n_buckets=DSIR_BUCKETS,
+                        keep_cols=["lang", "source"])
+            .orderBy("rank"))

@@ -98,10 +98,6 @@ def test_event_transitions_probabilities(spark):
 def test_event_transitions_tie_breaks_on_seq(spark):
     from flink_rag_spark.operators.sequences import event_transitions
     # two events at the SAME ts: order by event_id -> x then y
-    e = _ev(spark, [
-        (1, 0, 0, 9, "x"), (1, 0, 1, 9, "y"),
-    ])
-    # same minute? no: rows differ in event_id only when (d,h,m) equal
     e = _ev(spark, [(1, 0, 0, 9, "x"), (1, 0, 0, 9, "y")])
     rows = [(r["prev_type"], r["next_type"])
             for r in event_transitions(e).collect()]
@@ -143,3 +139,69 @@ def test_funnel_single_exchange_plan(spark):
     plan = ft._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window ") == 3
+
+
+# ---- DSIR importance selection (operators/importance.py) ----
+
+def _poly(tok):
+    h = 0
+    for c in tok:
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    return h
+
+
+def _dsir_feats(text, B):
+    toks = text.lower().split()
+    uni = [_poly(t) for t in toks]
+    big = []
+    n = max(len(uni) - 1, 1)
+    for i in range(n):
+        h = 0
+        for j in (i, i + 1):
+            th = uni[j] if j < len(uni) else 0
+            h = (h * 1_000_003 + th) % 1_000_000_007
+        big.append(h)
+    return [h % B for h in uni + big]
+
+
+def _dsir_expected(raw, tgt, B, alpha=1.0):
+    import math
+    from collections import Counter
+    cr = Counter(b for _, t in raw for b in _dsir_feats(t, B))
+    ct = Counter(b for _, t in tgt for b in _dsir_feats(t, B))
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lam = {b: math.log((ct.get(b, 0) + alpha) / (nt + alpha * B))
+           - math.log((cr.get(b, 0) + alpha) / (nr + alpha * B))
+           for b in set(cr) | set(ct)}
+    out = {}
+    for i, t in raw:
+        fs = _dsir_feats(t, B)
+        out[i] = round(sum(lam[b] for b in fs), 6)
+    return out
+
+
+def test_dsir_log_weights_match_pure_python_replica(spark):
+    from flink_rag_spark.operators.importance import dsir_log_weights
+    raw = [(1, "aa aa bb"), (2, "bb cc"), (3, "aa cc aa")]
+    tgt = [(1, "aa aa bb"), (3, "aa cc aa")]
+    B = 64
+    rdf = spark.createDataFrame(raw, "doc_id bigint, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["log_weight"] for r in
+           dsir_log_weights(rdf, tdf, "text", "doc_id",
+                            n_buckets=B).collect()}
+    assert got == _dsir_expected(raw, tgt, B)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from flink_rag_spark.operators.importance import dsir_select
+    # target speaks "aa"; raw doc 1 is pure "aa", doc 2 pure "zz"
+    raw = [(1, "aa aa aa"), (2, "zz zz zz")]
+    tgt = [(9, "aa aa")]
+    rdf = spark.createDataFrame(raw, "doc_id bigint, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id bigint, text string")
+    out = dsir_select(rdf, tdf, "text", "doc_id", top_n=2,
+                      n_buckets=64).orderBy("rank").collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["log_weight"] > out[1]["log_weight"]
+    assert [r["rank"] for r in out] == [1, 2]
