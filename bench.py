@@ -259,7 +259,11 @@ def main() -> None:
              # PSI drift, hard-negative mining, fuzzy decontamination
              "pmi_collocations_docs", "vocab_coverage_docs",
              "psi_value_drift", "hard_negatives_vec7",
-             "fuzzy_decontaminated_docs", "fuzzy_part_name_matches"]
+             "fuzzy_decontaminated_docs", "fuzzy_part_name_matches",
+             # round-8d additions: CEP funnel, transition matrix,
+             # retention cohorts, DSIR selection
+             "funnel_view_click_purchase", "event_transition_matrix",
+             "retention_weekly_cohorts", "dsir_selected_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -307,7 +311,12 @@ def main() -> None:
                # anchor ids survive replication's id shift, so the
                # anchor set stays constant and the scan grows k×)
                "pmi_collocations_docs", "fuzzy_decontaminated_docs",
-               "hard_negatives_vec7"]
+               "hard_negatives_vec7",
+               # round-8d: the funnel's single-exchange window stack and
+               # DSIR's two-pass estimator+scoring are the
+               # scale-sensitive new plans (transition matrix and
+               # retention share the funnel's exchange shape)
+               "funnel_view_click_purchase", "dsir_selected_docs"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
