@@ -1,0 +1,147 @@
+"""Streaming CEP: the sequence funnel as a keyed stateful operator.
+
+FlinkCEP's core loop — buffer out-of-order events per key until the
+event-time watermark passes, process them in event-time order against a
+pattern automaton, emit a match — re-expressed with
+``applyInPandasWithState``. The pattern here is the same
+skip-till-next-match earliest-completion funnel as the batch operator
+(``operators/sequences.py funnel_times``): state per key is the k
+running-min completion timestamps plus the not-yet-finalizable event
+buffer, and a key emits EXACTLY ONE row (its earliest completion) the
+moment step k's running min becomes final.
+
+Why the emitted completion is final even though later events keep
+arriving: the fold only consumes events with ts ≤ watermark, in event-
+time order, so when t_k first gets set every future event has a larger
+timestamp than t_k and can never lower it (running mins only fall via
+EARLIER candidates, which the watermark contract has already ruled
+out). Events later than the watermark are dropped — the standard CEP
+lateness contract, and the documented bound on batch-equivalence:
+``streaming completions ≡ batch funnel_times completions`` whenever
+per-key disorder stays within the watermark delay (pinned by test).
+
+State size per key: k + |buffered events within the watermark horizon|
++ 3 scalars — bounded by the watermark, reclaimed for completed keys by
+keeping only a ``done`` marker (a second completion for the same key
+must never emit, so the marker outlives the buffers).
+
+At 100 TB: the stream pre-filters to pattern-relevant event types
+(pushed to the source scan), state shuffles once on the key — the same
+single-exchange discipline as the batch twin — and the per-batch python
+work is one sort + one linear fold over each key's small buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_NONE = -1  # sentinel for "step not yet completed" in the mins array
+
+
+def _funnel_state_schema() -> str:
+    return ("mins array<bigint>, buf_ts array<bigint>, "
+            "buf_type array<string>, wm_us bigint, done boolean")
+
+
+def _funnel_out_schema(n_steps: int, key_field: str = "user_id bigint") -> str:
+    ts = ", ".join(f"t{i} timestamp" for i in range(1, n_steps + 1))
+    return f"{key_field}, {ts}"
+
+
+def _make_funnel_fn(steps: list[str], within_us: int | None):
+    """Build the applyInPandasWithState body. The closure captures only
+    plain python values (shippable without the test module)."""
+    k = len(steps)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins, buf_ts, buf_type, wm_us, done = state.get
+            mins, buf_ts, buf_type = list(mins), list(buf_ts), list(buf_type)
+        else:
+            mins, buf_ts, buf_type, wm_us, done = \
+                [_NONE] * k, [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    # watermark-late events are dropped (CEP contract):
+                    # folding them now would break event-time order
+                    if int(t) > wm_us:
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                for s in range(k):
+                    if typ != steps[s]:
+                        continue
+                    if s == 0:
+                        if mins[0] == _NONE or t < mins[0]:
+                            mins[0] = t
+                    elif mins[s - 1] != _NONE and t > mins[s - 1]:
+                        if (within_us is not None
+                                and t > mins[0] + within_us):
+                            continue
+                        if mins[s] == _NONE or t < mins[s]:
+                            mins[s] = t
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+
+        if not done and mins[k - 1] != _NONE:
+            done = True
+            buf_ts, buf_type = [], []  # match found — buffers reclaimed
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                **{f"t{i + 1}": [pd.Timestamp(mins[i], unit="us")]
+                   for i in range(k)}})
+
+        state.update((mins, buf_ts, buf_type, wm_us, done))
+        if buf_ts and not done:
+            # wake when the watermark can finalize the earliest buffered
+            # event (timeout must sit strictly above the watermark)
+            state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
+
+    return fn
+
+
+def funnel_monitor(events: DataFrame, steps: list[str],
+                   watermark: str = "10 minutes",
+                   within_seconds: int | None = None,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Streaming funnel completions: one append-mode row per key —
+    (key, t1..tk) — at its earliest in-order completion of ``steps``,
+    with out-of-order events buffered until the event-time watermark
+    (disorder beyond the watermark delay is dropped). Semantics match
+    the batch ``funnel_times`` completions under that lateness bound."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
+    filtered = (events.filter(F.col(type_col).isin(steps))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_funnel_fn(steps, within_us),
+                outputStructType=_funnel_out_schema(len(steps)),
+                stateStructType=_funnel_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -205,3 +205,93 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert [r["doc_id"] for r in out] == [1, 2]
     assert out[0]["log_weight"] > out[1]["log_weight"]
     assert [r["rank"] for r in out] == [1, 2]
+
+
+# ---- streaming CEP funnel (streaming/cep.py) ----
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, u, t) for i, (ts, u, t) in enumerate(rows)],
+        "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                 "user_id", "event_type"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    # one file per logical batch: maxFilesPerTrigger=1 + mtime ordering
+    # make trigger order == write order, so the disorder stays within
+    # the watermark instead of racing on part-file pickup order
+    import time
+    time.sleep(1.1)
+
+
+def test_streaming_funnel_matches_batch_with_bounded_disorder(spark, tmp_path):
+    """Out-of-order arrival ACROSS micro-batches (within the watermark)
+    must not change completions: streaming emissions ≡ batch funnel_times
+    completions on the same events."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.sequences import funnel_times
+    from flink_rag_spark.streaming.cep import funnel_monitor
+    src = str(tmp_path / "cep_src")
+    steps = ["view", "click", "purchase"]
+    # batch 1: u1's click+purchase arrive BEFORE its view (sent in b2);
+    # u2 completes in order; u3 never purchases
+    _write_batch(spark, src, [
+        ("2024-01-01 00:10:00", 1, "click"),
+        ("2024-01-01 00:20:00", 1, "purchase"),
+        ("2024-01-01 00:05:00", 2, "view"),
+        ("2024-01-01 00:06:00", 2, "click"),
+        ("2024-01-01 00:07:00", 2, "purchase"),
+        ("2024-01-01 00:01:00", 3, "view"),
+    ])
+    # batch 2: u1's view, EARLIER than its batch-1 events (disorder
+    # bounded by the 1h watermark); plus a far-future flush event that
+    # pushes the watermark past everything
+    _write_batch(spark, src, [
+        ("2024-01-01 00:02:00", 1, "view"),
+        ("2024-01-10 00:00:00", 99, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (funnel_monitor(stream, steps, watermark="1 hour")
+         .writeStream.format("memory").queryName("cep_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cep"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"])
+           for r in spark.sql("select * from cep_t").collect()}
+    batch = (funnel_times(
+        spark.read.parquet(src), steps)
+        .filter(F.col("t3").isNotNull()).collect())
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in batch}
+    assert got == want and len(got) == 2  # u1 and u2 complete
+
+
+def test_streaming_funnel_emits_once_per_key(spark, tmp_path):
+    """A second completing sequence for an already-done key must not
+    re-emit (the done marker outlives the buffers)."""
+    from flink_rag_spark.streaming.cep import funnel_monitor
+    src = str(tmp_path / "cep_once")
+    _write_batch(spark, src, [
+        ("2024-01-01 00:01:00", 1, "view"),
+        ("2024-01-01 00:02:00", 1, "click"),
+    ])
+    _write_batch(spark, src, [
+        ("2024-01-02 00:01:00", 1, "view"),
+        ("2024-01-02 00:02:00", 1, "click"),
+        ("2024-01-12 00:00:00", 99, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (funnel_monitor(stream, ["view", "click"], watermark="1 hour")
+         .writeStream.format("memory").queryName("cep_once_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cep_once"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.sql("select * from cep_once_t").collect()
+    assert len(rows) == 1
+    assert rows[0]["t1"].isoformat() == "2024-01-01T00:01:00"
