@@ -263,7 +263,12 @@ def main() -> None:
              # round-8d additions: CEP funnel, transition matrix,
              # retention cohorts, DSIR selection
              "funnel_view_click_purchase", "event_transition_matrix",
-             "retention_weekly_cohorts", "dsir_selected_docs"]
+             "retention_weekly_cohorts", "dsir_selected_docs",
+             # BPE: 12 vocab-bounded merge iterations; job overhead
+             # prices it at demo scale, NOT data volume, so it is
+             # timed here but not scale-rehearsed (the one corpus
+             # scan's behavior is covered by the other text ops)
+             "bpe_merges_docs"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -1372,6 +1372,12 @@ FROM documents WHERE doc_id % 17 = 0""",
                           n_buckets=llm.DSIR_BUCKETS,
                           keep_cols="lang, source"),
          ("curation", "importance", "training")),
+        # round-8d: BPE tokenizer induction — iterative merge learning
+        # (each step depends on the last argmax), rows-only by the
+        # driver contract; exact merge sequence pinned by the
+        # pure-python replica in tests/test_round8d_ops.py
+        ("bpe_merges_docs", llm.bpe_merges_docs, None,
+         ("text", "encoding", "training")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

@@ -1621,3 +1621,25 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_buckets=DSIR_BUCKETS,
                         keep_cols=["lang", "source"])
             .orderBy("rank"))
+
+
+#: BPE training depth for the catalog demo — enough merges to fuse the
+#: corpus's frequent subwords while keeping the demo fast (each merge is
+#: two vocab-bounded jobs; fixed job overhead, not data volume, prices
+#: an iteration at demo scale)
+BPE_N_MERGES = 12
+
+
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction (operators/bpe.py, arXiv:1508.07909): the
+    12-merge sequence learned over the documents corpus — one corpus
+    scan into a word-frequency table, then vocab-bounded iterations
+    (pair-count argmax + Catalyst-fold merge application). Rows-only by
+    the driver contract (iterative algorithm); the exact merge sequence
+    is pinned by a pure-python replica test."""
+    from flink_rag_spark.operators.bpe import train_bpe
+    d = load_table(spark, sf_dir, "documents")
+    merges, ws = train_bpe(d, "text", n_merges=BPE_N_MERGES)
+    ws.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint")

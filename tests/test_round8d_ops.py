@@ -295,3 +295,84 @@ def test_streaming_funnel_emits_once_per_key(spark, tmp_path):
     rows = spark.sql("select * from cep_once_t").collect()
     assert len(rows) == 1
     assert rows[0]["t1"].isoformat() == "2024-01-01T00:01:00"
+
+
+# ---- BPE tokenizer induction (operators/bpe.py) ----
+
+def _bpe_replica(word_counts, n_merges, min_pair_count=2):
+    """Pure-python reference BPE (Sennrich alg. 1) with the operator's
+    tie-break: (count DESC, l ASC, r ASC)."""
+    from collections import Counter
+    syms = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_pair_count:
+            break
+        merges.append((rank, l, r, n))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_matches_pure_python_replica(spark):
+    from flink_rag_spark.operators.bpe import train_bpe
+    texts = [(1, "low low low lower lowest"),
+             (2, "new newer newest low"),
+             (3, "wider wide wide")]
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    wc = {}
+    for _, t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_syms = _bpe_replica(wc, 8)
+    merges, ws = train_bpe(docs, n_merges=8)
+    got_syms = {r["word"]: list(r["syms"]) for r in ws.collect()}
+    ws.unpersist()
+    assert merges == want_merges
+    assert got_syms == want_syms
+
+
+def test_bpe_encode_roundtrip_and_oov_fallback(spark):
+    from flink_rag_spark.operators.bpe import bpe_encode, train_bpe
+    train = spark.createDataFrame(
+        [(1, "ab ab ab cd")], "doc_id bigint, text string")
+    merges, ws = train_bpe(train, n_merges=4)
+    # encoding a doc with a train word and an UNSEEN word: the unseen
+    # word falls back to chars + </w>; concatenating pieces and
+    # stripping markers reconstructs the text
+    docs = spark.createDataFrame(
+        [(7, "ab zz")], "doc_id bigint, text string")
+    [r] = bpe_encode(docs, ws, "text", "doc_id").collect()
+    ws.unpersist()
+    pieces = list(r["pieces"])
+    assert "".join(pieces).replace("</w>", " ").strip() == "ab zz"
+    # trained word is fused; unseen word is characters
+    assert pieces[0] == "ab</w>"
+    assert pieces[1:] == ["z", "z", "</w>"]
+
+
+def test_bpe_stops_below_min_pair_count(spark):
+    from flink_rag_spark.operators.bpe import train_bpe
+    docs = spark.createDataFrame(
+        [(1, "xy")], "doc_id bigint, text string")
+    # every pair occurs once -> no merge reaches min_pair_count=2
+    merges, ws = train_bpe(docs, n_merges=5)
+    ws.unpersist()
+    assert merges == []
