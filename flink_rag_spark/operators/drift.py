@@ -83,10 +83,14 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     bounds = quantile_boundaries(ref, value_col, n_bins, exact=exact)
     rc = binned_counts(ref, value_col, bounds, "n_ref")
     cc = binned_counts(cur, value_col, bounds, "n_cur")
+    # persisted: the ≤ n_bins-row joined frame feeds BOTH the totals
+    # aggregate and the per-bin terms — unpersisted, each consumer
+    # re-runs both binning scans, doubling the operator's I/O
     j = (rc.join(cc, on="bin", how="full")
          .select("bin",
                  F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+         .persist())
     tot = j.agg(F.sum("n_ref").cast("double").alias("t_ref"),
                 F.sum("n_cur").cast("double").alias("t_cur"))
     p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))

@@ -23,10 +23,10 @@ Spark-first shape, every pass scan-shaped:
   DuckDB oracle replays features bit-identically;
 - the importance estimator is ONE aggregate per corpus: explode
   features → groupBy(bucket) count — B-bounded results. The two
-  B-row count frames join into a λ(b) = ln p_t(b) − ln p_r(b) table
-  that is persisted and BROADCAST (2·B numbers — the "trained
-  estimator" is driver-metadata-sized, like the drift monitor's
-  reference profile);
+  B-row count frames join into one persisted frame (two consumers:
+  totals + ratios) whose λ(b) = ln p_t(b) − ln p_r(b) projection is
+  BROADCAST (2·B numbers — the "trained estimator" is
+  driver-metadata-sized, like the drift monitor's reference profile);
 - scoring is a second corpus scan: explode → map-side broadcast join
   against λ → per-doc sum. No shuffle ever carries text; the exchanges
   carry (bucket, count) and (id, partial-sum) rows;
@@ -78,8 +78,9 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
                      alpha: float = DSIR_ALPHA) -> DataFrame:
     """Per-document DSIR log importance weights of ``raw`` documents
     toward ``target``'s hashed-n-gram distribution: (id, n_feats,
-    log_weight). The λ table (B rows) is persisted and broadcast; raw is
-    scanned once for the estimator and once for scoring."""
+    log_weight). The B-row bucket-count frame is persisted (two
+    consumers) and the derived λ table broadcast; raw is scanned once
+    for the estimator and once for scoring."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     feats = F.expr(_features_expr(text_col, n_buckets))
@@ -92,11 +93,15 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
     tc = bucket_counts(target, "c_tgt")
     # smoothed log ratio per bucket; totals are 1-row aggregates over the
     # B-row frames. A full outer join keeps buckets seen on one side only
-    # (their counts smooth to α).
+    # (their counts smooth to α). The joined B-row frame is PERSISTED
+    # because it has two consumers (the totals aggregate and the λ
+    # projection) — unpersisted, each would re-run both corpus-stats
+    # scans, doubling the estimator's I/O.
     j = (rc.join(tc, on="b", how="full")
          .select("b",
                  F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
-                 F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")))
+                 F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
+         .persist())
     tot = j.agg(F.sum("c_raw").cast("double").alias("n_raw"),
                 F.sum("c_tgt").cast("double").alias("n_tgt"))
     lam = (j.crossJoin(F.broadcast(tot))
@@ -105,8 +110,7 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
                      / (F.col("n_tgt") + alpha * n_buckets))
                - F.log((F.col("c_raw") + alpha)
                        / (F.col("n_raw") + alpha * n_buckets))
-           ).alias("lam"))
-           .persist())
+           ).alias("lam")))
     scored = (raw.select(F.col(id_col), F.explode(feats).alias("b"))
               .join(F.broadcast(lam), on="b")
               .groupBy(id_col)
@@ -121,14 +125,17 @@ def dsir_select(raw: DataFrame, target: DataFrame, text_col: str,
                 keep_cols: list[str] | None = None) -> DataFrame:
     """Deterministic top-``top_n`` DSIR selection: the ``top_n`` raw
     documents most target-like by log importance weight, tie-broken on
-    id. Returns (id, keep_cols..., n_feats, log_weight, rank)."""
+    id. Returns (id, keep_cols..., n_feats, log_weight, rank). The
+    keep_cols join runs AFTER the top-n cut, so raw's extra scan joins
+    against a broadcast of top_n rows instead of shuffling the corpus a
+    second time."""
     lw = dsir_log_weights(raw, target, text_col, id_col,
                           n_buckets=n_buckets, alpha=alpha)
-    cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
-    sel = (raw.select(*cols).join(lw, on=id_col)
-           .orderBy(F.desc("log_weight"), F.asc(id_col)).limit(top_n))
     w = Window.orderBy(F.desc("log_weight"), F.asc(id_col))
-    return sel.withColumn("rank", F.row_number().over(w))
+    top = (lw.orderBy(F.desc("log_weight"), F.asc(id_col)).limit(top_n)
+           .withColumn("rank", F.row_number().over(w)))
+    cols = [F.col(id_col)] + [F.col(c) for c in (keep_cols or [])]
+    return raw.select(*cols).join(F.broadcast(top), on=id_col)
 
 
 def dsir_select_duck(raw_pred: str, target_pred: str, top_n: int,
