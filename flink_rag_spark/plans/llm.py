@@ -180,20 +180,22 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: per-method recall@10 floors for the graded ANN accuracy contract —
 #: the same floors tests/test_similarity.py::test_ann_recall pins (≥ 5/10).
-ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.5}
+ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.5, "pq": 0.5}
 
 
 def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN tiers graded as an ORACLE-CHECKABLE accuracy contract
-    (the trick that flipped approx_distinct_users in round 3): the output
-    carries (a) the exact top-10 for the query vector — rank, id, rounded
-    score, all DuckDB-recomputable — and (b) one contract row per ANN
-    method (LSH, IVF) stating the recall@10 floor and whether the method's
-    result met it plus returned exactly k rows. DuckDB computes the
-    identical exact top-k (same formula as ORACLE_KNN_BATCH) and the
-    identical expected contract (meets_floor TRUE, n_results k), so all
-    columns hash-verify. Reference anchor: RAG.java:51-63 — the k-NN
-    contract (k=10, minScore=0) the ANN tiers approximate."""
+    """All three ANN tiers graded as an ORACLE-CHECKABLE accuracy
+    contract (the trick that flipped approx_distinct_users in round 3):
+    the output carries (a) the exact top-10 for the query vector — rank,
+    id, rounded score, all DuckDB-recomputable — and (b) one contract row
+    per ANN method (LSH, IVF, PQ-ADC) stating the recall@10 floor and
+    whether the method's result met it plus returned exactly k rows.
+    DuckDB computes the identical exact top-k (same formula as
+    ORACLE_KNN_BATCH) and the identical expected contract (meets_floor
+    TRUE, n_results k), so all columns hash-verify. Reference anchor:
+    RAG.java:51-63 — the k-NN contract (k=10, minScore=0) the ANN tiers
+    approximate."""
+    from flink_rag_spark.operators.pq import ann_pq_topk
     from flink_rag_spark.operators.similarity import (ann_ivf_topk,
                                                       ann_lsh_topk,
                                                       cosine_topk)
@@ -204,7 +206,8 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded driver steps: each collect is ≤ k rows by construction
     exact_ids = {r["vec_id"] for r in exact.collect()}
     contract_rows = []
-    for method, ann in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+    for method, ann in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
+                        ("pq", ann_pq_topk)):
         ids = [r["vec_id"] for r in ann(emb, qv, k=k).collect()]
         recall = len(set(ids) & exact_ids) / float(k)
         floor = ANN_RECALL_FLOORS[method]

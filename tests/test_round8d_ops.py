@@ -376,3 +376,46 @@ def test_bpe_stops_below_min_pair_count(spark):
     merges, ws = train_bpe(docs, n_merges=5)
     ws.unpersist()
     assert merges == []
+
+
+# ---- product quantization (operators/pq.py) ----
+
+def _clustered_vecs(n_per, dim=16, centers=((0.0, 5.0), (5.0, 0.0))):
+    rows = []
+    vid = 0
+    for cx, cy in centers:
+        for i in range(n_per):
+            # deterministic jitter, alternating dims around the center
+            v = [(cx if d % 2 == 0 else cy) + ((vid * 31 + d * 7) % 10) / 50.0
+                 for d in range(dim)]
+            rows.append((vid, v))
+            vid += 1
+    return rows
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from flink_rag_spark.operators.pq import pq_encode, train_pq
+    emb = spark.createDataFrame(_clustered_vecs(12, dim=16),
+                                "vec_id bigint, embedding array<double>")
+    cb1 = train_pq(emb, m=4, k=4, iters=3)
+    cb2 = train_pq(emb, m=4, k=4, iters=3)
+    assert cb1 == cb2  # deterministic init + tie-breaks
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, cb1).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c)
+               for c in codes.values())
+
+
+def test_pq_topk_recall_contract(spark):
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.pq import ann_pq_topk
+    from flink_rag_spark.operators.similarity import cosine_topk
+    emb = spark.createDataFrame(_clustered_vecs(20, dim=16),
+                                "vec_id bigint, embedding array<double>")
+    qv = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") == 3).collect()][0]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    got = [r["vec_id"] for r in
+           ann_pq_topk(emb, qv, k=10, m=4, kc=4, iters=3).collect()]
+    assert len(got) == 10
+    assert len(set(got) & exact) / 10.0 >= 0.5  # the graded floor
