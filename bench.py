@@ -408,7 +408,14 @@ def main() -> None:
                             "(r8): isolated paired min-of-3 measures "
                             "1.27 — sub-second queries in the rehearsal "
                             "tail inherit whatever GC/compaction the "
-                            "preceding heavy query left behind"),
+                            "preceding heavy query left behind; "
+                            "dsir_selected_docs ~4.5 at k=10 is "
+                            "SUB-linear vs 10x data: both of its "
+                            "passes tokenize the full corpus "
+                            "(estimator stats + scoring), so it scales "
+                            "with text volume like text_quality_stats "
+                            "— CPU-bound hashing, not a plan cliff "
+                            "(lambda table stays 512 rows, broadcast)"),
         }
 
     total = round(sum(timings.values()), 3)

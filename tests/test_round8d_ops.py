@@ -419,3 +419,90 @@ def test_pq_topk_recall_contract(spark):
            ann_pq_topk(emb, qv, k=10, m=4, kc=4, iters=3).collect()]
     assert len(got) == 10
     assert len(set(got) & exact) / 10.0 >= 0.5  # the graded floor
+
+
+# ---- streaming DSIR importance gate (streaming/importance_gate.py) ----
+
+def _gate_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_importance_gate_scoring_equals_batch_operator(spark, tmp_path):
+    """score_batch under a saved sidecar ≡ dsir_log_weights on the same
+    frames — same features, λ, rounding."""
+    from flink_rag_spark.operators.importance import dsir_log_weights
+    from flink_rag_spark.streaming.importance_gate import (
+        save_estimator,
+        score_batch,
+    )
+    raw = _gate_docs(spark, [(1, "aa aa bb"), (2, "bb cc"),
+                             (3, "aa cc aa"), (4, "dd dd")])
+    tgt = _gate_docs(spark, [(1, "aa aa bb"), (3, "aa cc aa")])
+    est = save_estimator(raw, tgt, "text", str(tmp_path / "est"),
+                         n_buckets=64)
+    want = {(r["doc_id"], r["n_feats"], r["log_weight"]) for r in
+            dsir_log_weights(raw, tgt, "text", "doc_id",
+                             n_buckets=64).collect()}
+    got = {(r["doc_id"], r["n_feats"], r["log_weight"]) for r in
+           score_batch(raw, est, "text", "doc_id").collect()}
+    assert got == want
+    # a doc unseen at fit time scores each feature through the sidecar's
+    # λ map with lam_default for absent buckets — replayed exactly by
+    # the pure-python feature replica (buckets MAY collide with fitted
+    # ones at B=64; the lookup, not bucket freshness, is the contract)
+    unseen = _gate_docs(spark, [(9, "zz qq")])
+    [r] = score_batch(unseen, est, "text", "doc_id").collect()
+    want_lw = round(sum(est["lam"].get(str(b), est["lam_default"])
+                        for b in _dsir_feats("zz qq", 64)), 6)
+    assert r["log_weight"] == want_lw and r["n_feats"] == 3
+
+
+def test_importance_gate_routes_and_replays_idempotently(spark, tmp_path):
+    from flink_rag_spark.streaming.importance_gate import (
+        run_importance_gate,
+        save_estimator,
+    )
+    from flink_rag_spark.streaming.importance_gate import (
+        load_estimator,
+        score_batch,
+    )
+    raw = _gate_docs(spark, [(1, "aa aa"), (2, "zz zz"),
+                             (3, "aa bb"), (4, "zz qq")])
+    tgt = _gate_docs(spark, [(1, "aa aa")])
+    est_path = str(tmp_path / "est")
+    save_estimator(raw, tgt, "text", est_path, n_buckets=64)
+    # pick the threshold from the actual scores so BOTH sides are
+    # provably non-empty: midway between doc 1 (most target-like) and
+    # doc 2 (pure off-domain)
+    sc = {r["doc_id"]: r["log_weight"] for r in
+          score_batch(raw, load_estimator(est_path),
+                      "text", "doc_id").collect()}
+    assert sc[1] > sc[2]
+    thr = (sc[1] + sc[2]) / 2.0
+    src = tmp_path / "src"
+    src.mkdir()
+    raw.coalesce(1).write.parquet(str(src / "b1"))
+    pas, rej = str(tmp_path / "pass"), str(tmp_path / "rej")
+
+    def drain(cp):
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string").parquet(str(src / "*"))
+        q = run_importance_gate(spark, stream, est_path,
+                                str(tmp_path / cp), threshold=thr,
+                                pass_path=pas, reject_path=rej,
+                                available_now=True)
+        assert q.awaitTermination(120)
+
+    drain("cp1")
+    passed = {r["doc_id"] for r in spark.read.parquet(pas).collect()}
+    rejected = {r["doc_id"] for r in spark.read.parquet(rej).collect()}
+    assert passed | rejected == {1, 2, 3, 4}
+    assert passed & rejected == set()
+    assert 1 in passed and 2 in rejected  # target-speak in, off-domain out
+    # rows carry provenance
+    cols = set(spark.read.parquet(pas).columns)
+    assert {"n_feats", "log_weight", "batch_id"} <= cols
+    # fresh checkpoint: the same file replays as batch 0 — identical rows
+    drain("cp2")
+    assert spark.read.parquet(pas).count() == len(passed)
+    assert spark.read.parquet(rej).count() == len(rejected)
