@@ -106,3 +106,70 @@ SELECT p.{query_col}, p.n_rel,
        ROUND(COALESCE(f.dcg, 0.0) / ({idcg}), {ROUND_DP}) AS ndcg_at_k
 FROM per_q p LEFT JOIN folded f ON p.{query_col} = f.{query_col}
 """
+
+
+def roc_auc(scored: DataFrame, score_col: str,
+            label_col: str) -> DataFrame:
+    """ROC-AUC of ``score_col`` separating ``label_col`` (boolean/0-1),
+    with the Mann-Whitney tie correction — one row (n_pos, n_neg, auc).
+
+    Scale shape — the classifier-eval metric WITHOUT a global sort:
+    scores aggregate to a (score, n_pos, n_neg) histogram first
+    (map-side combined; the exchange carries the score VOCABULARY, not
+    rows), then AUC folds over that histogram with one cumulative
+    window: AUC = Σ_s pos_s · (cum_neg_below + neg_s/2) / (n_pos·n_neg)
+    — ties contribute half, exactly the trapezoidal/U-statistic value.
+    A 100 TB eval costs one aggregate; only distinct scores are sorted.
+    NULL scores/labels are excluded (count them upstream if they matter).
+    AUC is NULL when either class is empty."""
+    from pyspark.sql import Window
+    hist = (scored
+            .filter(F.col(score_col).isNotNull()
+                    & F.col(label_col).isNotNull())
+            .select(F.col(score_col).alias("s"),
+                    F.col(label_col).cast("int").alias("y"))
+            .groupBy("s")
+            .agg(F.sum("y").alias("n_pos"),
+                 F.sum(1 - F.col("y")).alias("n_neg")))
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    contrib = hist.select(
+        "n_pos", "n_neg",
+        (F.col("n_pos")
+         * (F.sum("n_neg").over(w) - F.col("n_neg")
+            + F.col("n_neg") / 2.0)).alias("_u"))
+    return contrib.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.round(F.when(
+            (F.sum("n_pos") > 0) & (F.sum("n_neg") > 0),
+            F.sum("_u") / (F.sum("n_pos") * F.sum("n_neg"))),
+            ROUND_DP).alias("auc"))
+
+
+def roc_auc_duck(scored_sql: str, score_col: str = "s",
+                 label_col: str = "y") -> str:
+    """DuckDB mirror of roc_auc — same histogram fold, tie handling,
+    rounding, empty-class NULL. ``scored_sql`` yields (score, label)."""
+    return f"""
+WITH src AS ({scored_sql}),
+hist AS (
+  SELECT {score_col} AS s,
+         SUM(CAST({label_col} AS INT)) AS n_pos,
+         SUM(1 - CAST({label_col} AS INT)) AS n_neg
+  FROM src
+  WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+  GROUP BY 1),
+c AS (
+  SELECT n_pos, n_neg,
+         n_pos * (SUM(n_neg) OVER (ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING)
+                  - n_neg + n_neg / 2.0) AS _u
+  FROM hist)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN SUM(n_pos) > 0 AND SUM(n_neg) > 0
+                  THEN SUM(_u) / (SUM(n_pos) * SUM(n_neg)) END,
+             {ROUND_DP}) AS auc
+FROM c
+"""

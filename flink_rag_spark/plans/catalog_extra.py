@@ -59,6 +59,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
+    from flink_rag_spark.operators.evaluation import roc_auc_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import (
@@ -1372,6 +1373,20 @@ FROM documents WHERE doc_id % 17 = 0""",
                           n_buckets=llm.DSIR_BUCKETS,
                           keep_cols="lang, source"),
          ("curation", "importance", "training")),
+        # round-8d: ROC-AUC without a global sort — per-score histogram
+        # + one cumulative window, Mann-Whitney tie correction; the
+        # score is cosine-to-the-class-0-centroid (AUC ≈ 0.79 — real
+        # separation, unlike text-vs-lang in this synthetic corpus)
+        ("auc_label_centroid", llm.auc_label_centroid,
+         roc_auc_duck(f"""
+SELECT ROUND({cosine_duck('e.embedding', 'c.cent')}, 6) AS s,
+       (e.label = {llm.AUC_LABEL}) AS y
+FROM embeddings e CROSS JOIN (
+  SELECT list(mu ORDER BY dim) AS cent FROM (
+    SELECT n.i AS dim, AVG(embedding[n.i]) AS mu
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) n
+    WHERE label = {llm.AUC_LABEL} GROUP BY 1)) c"""),
+         ("eval", "agg", "similarity")),
         # round-8d: BPE tokenizer induction — iterative merge learning
         # (each step depends on the last argmax), rows-only by the
         # driver contract; exact merge sequence pinned by the

@@ -1646,3 +1646,32 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint")
+
+
+#: the class whose centroid anchors the AUC demo
+AUC_LABEL = 0
+
+
+def auc_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality evaluation (operators/evaluation.py roc_auc):
+    ROC-AUC of cosine-to-the-class-centroid at retrieving class-0
+    embeddings — the standard "does my embedding space separate this
+    class" check, computed WITHOUT a global sort (per-score histogram +
+    one cumulative window over the score vocabulary, Mann-Whitney tie
+    correction). The centroid is a 1-row broadcast frame (element-wise
+    mean via posexplode — the shuffle carries (dim, partial) scalars),
+    so both the centroid and the scoring are scan-shaped."""
+    from flink_rag_spark.operators.evaluation import roc_auc
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (emb.filter(F.col("label") == AUC_LABEL)
+            .select(F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("dim").agg(F.avg("x").alias("mu"))
+            .groupBy().agg(F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('d', dim, 'm', mu))), x -> x.m)")
+                .alias("cent")))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .select(F.round(F.expr(cosine_expr("embedding", "cent")),
+                              6).alias("s"),
+                      (F.col("label") == AUC_LABEL).alias("y")))
+    return roc_auc(scored, "s", "y")

@@ -506,3 +506,31 @@ def test_importance_gate_routes_and_replays_idempotently(spark, tmp_path):
     drain("cp2")
     assert spark.read.parquet(pas).count() == len(passed)
     assert spark.read.parquet(rej).count() == len(rejected)
+
+
+# ---- ROC-AUC (operators/evaluation.py roc_auc) ----
+
+def test_roc_auc_hand_computed_with_ties(spark):
+    from flink_rag_spark.operators.evaluation import roc_auc
+    # scores: pos {3, 2}, neg {2, 1} — pairs: (3>2)=1, (3>1)=1,
+    # (2=2)=0.5, (2>1)=1 -> U=3.5 of 4 -> AUC 0.875
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (2.0, 0), (1.0, 0)], "s double, y int")
+    [r] = roc_auc(df, "s", "y").collect()
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 0.875)
+
+
+def test_roc_auc_perfect_random_and_empty_class(spark):
+    from flink_rag_spark.operators.evaluation import roc_auc
+    perfect = spark.createDataFrame(
+        [(2.0, 1), (3.0, 1), (0.5, 0), (1.0, 0)], "s double, y int")
+    [p] = roc_auc(perfect, "s", "y").collect()
+    assert p["auc"] == 1.0
+    # every score tied -> AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (1.0, 1), (1.0, 0)], "s double, y int")
+    [t] = roc_auc(tied, "s", "y").collect()
+    assert t["auc"] == 0.5
+    onesided = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    [o] = roc_auc(onesided, "s", "y").collect()
+    assert o["auc"] is None and o["n_neg"] == 0
