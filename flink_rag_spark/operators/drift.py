@@ -57,14 +57,19 @@ def quantile_boundaries(df: DataFrame, value_col: str, n_bins: int,
 def binned_counts(df: DataFrame, value_col: str,
                   boundaries: list[float], out: str = "n") -> DataFrame:
     """(bin, ``out``) counts with bin = 1 + Σ(value > boundary) —
-    literal boundaries, codegen conditional sum, ties LOW. The ONE
-    binning convention shared by psi_drift, the streaming monitor's
-    reference profile, and per-batch scoring — change it here and every
-    PSI surface moves together."""
+    literal boundaries, codegen conditional sum, ties LOW. NULL values
+    are EXCLUDED (they would otherwise silently land in bin 1 and
+    distort every probability, while the boundaries were profiled from
+    non-NULL values only — a mostly-NULL batch should be caught by a
+    completeness rule, not misread as low-value drift). The ONE binning
+    convention shared by psi_drift, the streaming monitor's reference
+    profile, and per-batch scoring — change it here and every PSI
+    surface moves together."""
     idx = F.lit(1)
     for b in boundaries:
         idx = idx + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
-    return (df.select(idx.cast("int").alias("bin"))
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(idx.cast("int").alias("bin"))
             .groupBy("bin").agg(F.count(F.lit(1)).alias(out)))
 
 
@@ -125,9 +130,9 @@ def psi_drift_duck(ref_sql: str, cur_sql: str, value_col: str,
 WITH refv AS ({ref_sql}), curv AS ({cur_sql}),
 b AS (SELECT {bs} FROM refv),
 rc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_ref
-       FROM refv, b GROUP BY 1),
+       FROM refv, b WHERE {value_col} IS NOT NULL GROUP BY 1),
 cc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_cur
-       FROM curv, b GROUP BY 1),
+       FROM curv, b WHERE {value_col} IS NOT NULL GROUP BY 1),
 j AS (SELECT COALESCE(rc.bin, cc.bin) AS bin,
              CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
              CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur

@@ -73,14 +73,13 @@ def _features_duck(text_col: str, n_buckets: int) -> str:
             f"h -> h % {n_buckets})")
 
 
-def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
-                     id_col: str, n_buckets: int = 512,
-                     alpha: float = DSIR_ALPHA) -> DataFrame:
-    """Per-document DSIR log importance weights of ``raw`` documents
-    toward ``target``'s hashed-n-gram distribution: (id, n_feats,
-    log_weight). The B-row bucket-count frame is persisted (two
-    consumers) and the derived λ table broadcast; raw is scanned once
-    for the estimator and once for scoring."""
+def bucket_joint_counts(raw: DataFrame, target: DataFrame, text_col: str,
+                        n_buckets: int) -> DataFrame:
+    """(b, c_raw, c_tgt) joined B-row bucket counts — the estimator's
+    sufficient statistics, shared by the batch operator and the
+    streaming sidecar fitter (streaming/importance_gate.py) so the two
+    can never drift. A full outer join keeps buckets seen on one side
+    only (their counts smooth to α downstream)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     feats = F.expr(_features_expr(text_col, n_buckets))
@@ -89,19 +88,25 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
         return (df.select(F.explode(feats).alias("b"))
                 .groupBy("b").agg(F.count(F.lit(1)).alias(out)))
 
-    rc = bucket_counts(raw, "c_raw")
-    tc = bucket_counts(target, "c_tgt")
-    # smoothed log ratio per bucket; totals are 1-row aggregates over the
-    # B-row frames. A full outer join keeps buckets seen on one side only
-    # (their counts smooth to α). The joined B-row frame is PERSISTED
-    # because it has two consumers (the totals aggregate and the λ
-    # projection) — unpersisted, each would re-run both corpus-stats
-    # scans, doubling the estimator's I/O.
-    j = (rc.join(tc, on="b", how="full")
-         .select("b",
-                 F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
-                 F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
-         .persist())
+    return (bucket_counts(raw, "c_raw")
+            .join(bucket_counts(target, "c_tgt"), on="b", how="full")
+            .select("b",
+                    F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+                    F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")))
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame, text_col: str,
+                     id_col: str, n_buckets: int = 512,
+                     alpha: float = DSIR_ALPHA) -> DataFrame:
+    """Per-document DSIR log importance weights of ``raw`` documents
+    toward ``target``'s hashed-n-gram distribution: (id, n_feats,
+    log_weight). The B-row bucket-count frame is persisted (two
+    consumers: the totals aggregate and the λ projection — unpersisted,
+    each would re-run both corpus-stats scans) and the derived λ table
+    broadcast; raw is scanned once for the estimator and once for
+    scoring."""
+    feats = F.expr(_features_expr(text_col, n_buckets))
+    j = bucket_joint_counts(raw, target, text_col, n_buckets).persist()
     tot = j.agg(F.sum("c_raw").cast("double").alias("n_raw"),
                 F.sum("c_tgt").cast("double").alias("n_tgt"))
     lam = (j.crossJoin(F.broadcast(tot))

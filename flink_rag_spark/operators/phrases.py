@@ -44,16 +44,6 @@ from flink_rag_spark.functions.textfns import TOKENS_DUCK, TOKENS_SPARK
 ROUND_DP = 6
 
 
-def _bigrams_spark(toks: str) -> str:
-    """'w1 w2' adjacent-pair array; the token array binds once."""
-    return (
-        f"CASE WHEN size({toks}) < 2 THEN array() ELSE "
-        f"element_at(transform(array({toks}), t -> "
-        f"transform(sequence(1, size(t) - 1), "
-        f"i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))), 1) END"
-    )
-
-
 def pmi_collocations(docs: DataFrame, text_col: str = "text",
                      min_count: int = 5,
                      top_n: int = 50) -> DataFrame:
@@ -80,6 +70,11 @@ def pmi_collocations(docs: DataFrame, text_col: str = "text",
         "ELSE transform(sequence(1, size(t) - 1), "
         "i -> named_struct('tag', 1, 'term', "
         "concat(element_at(t, i), ' ', element_at(t, i + 1)))) END)), 1)")
+    # persisted for the life of the returned (lazy) plan: a catalog
+    # operator can't unpersist what its caller hasn't collected yet, so
+    # the vocabulary-sized cache stays pinned until Spark's LRU evicts
+    # it — the same accepted tradeoff as quality.unigram_lm_quality's
+    # vocab (both are the smallest frame that stops corpus re-scans)
     counts = (docs.select(F.explode(F.expr(tagged)).alias("x"))
               .groupBy(F.col("x.tag").alias("tag"),
                        F.col("x.term").alias("term"))

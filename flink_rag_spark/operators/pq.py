@@ -96,6 +96,10 @@ def train_pq(embeddings: DataFrame, vec_col: str = "embedding",
         seed_ids = [r[id_col] for r in
                     embeddings.select(id_col).orderBy(id_col)
                     .limit(k).collect()]
+        if len(seed_ids) < k:
+            raise ValueError(
+                f"PQ training needs at least k={k} vectors, got "
+                f"{len(seed_ids)} — lower k or supply more data")
         seeds = (subvecs.filter(F.col(id_col).isin(seed_ids))
                  .orderBy(id_col, "s").collect())
         codebook = [[None] * k for _ in range(m)]

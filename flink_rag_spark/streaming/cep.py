@@ -48,9 +48,9 @@ def _funnel_state_schema() -> str:
             "buf_type array<string>, wm_us bigint, done boolean")
 
 
-def _funnel_out_schema(n_steps: int, key_field: str = "user_id bigint") -> str:
+def _funnel_out_schema(n_steps: int, key_type: str = "bigint") -> str:
     ts = ", ".join(f"t{i} timestamp" for i in range(1, n_steps + 1))
-    return f"{key_field}, {ts}"
+    return f"user_id {key_type}, {ts}"
 
 
 def _make_funnel_fn(steps: list[str], within_us: int | None):
@@ -69,11 +69,17 @@ def _make_funnel_fn(steps: list[str], within_us: int | None):
 
         if not state.hasTimedOut:
             for pdf in pdfs:
+                if done:
+                    break  # completed key: only the done marker lives on
                 ts_us = pdf["ts"].astype("int64") // 1000
                 for t, typ in zip(ts_us, pdf["event_type"]):
-                    # watermark-late events are dropped (CEP contract):
-                    # folding them now would break event-time order
-                    if int(t) > wm_us:
+                    # events STRICTLY before the folded watermark are
+                    # late and dropped (CEP contract): folding them now
+                    # would break event-time order. ts == watermark is
+                    # on-time in Spark's semantics and order-safe here
+                    # (equal-ts events never interact — strict > in the
+                    # step conditions), so it is kept.
+                    if int(t) >= wm_us:
                         buf_ts.append(int(t))
                         buf_type.append(str(typ))
 
@@ -133,6 +139,7 @@ def funnel_monitor(events: DataFrame, steps: list[str],
     if not steps:
         raise ValueError("steps must be non-empty")
     within_us = None if within_seconds is None else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]  # output key mirrors the input
     filtered = (events.filter(F.col(type_col).isin(steps))
                 .select(F.col(key_col).alias("user_id"),
                         F.col(ts_col).alias("ts"),
@@ -141,7 +148,7 @@ def funnel_monitor(events: DataFrame, steps: list[str],
             .groupBy("user_id")
             .applyInPandasWithState(
                 _make_funnel_fn(steps, within_us),
-                outputStructType=_funnel_out_schema(len(steps)),
+                outputStructType=_funnel_out_schema(len(steps), key_type),
                 stateStructType=_funnel_state_schema(),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -34,6 +34,7 @@ from flink_rag_spark.operators.importance import (
     DSIR_ALPHA,
     ROUND_DP,
     _features_expr,
+    bucket_joint_counts,
 )
 from flink_rag_spark.session import ensure_runtime_confs
 
@@ -45,21 +46,13 @@ def save_estimator(raw: DataFrame, target: DataFrame, text_col: str,
                    alpha: float = DSIR_ALPHA) -> dict:
     """Fit the DSIR estimator and persist it as a JSON sidecar:
     {bucket → λ} plus the (n_buckets, alpha, text_col) it was fit with.
-    Buckets never seen on either side are absent — their λ is the
-    smoothing-only constant, stored once as ``lam_default``. Atomic
-    write (tmp+replace)."""
-    feats = F.expr(_features_expr(text_col, n_buckets))
-
-    def counts(df, out):
-        return (df.select(F.explode(feats).alias("b"))
-                .groupBy("b").agg(F.count(F.lit(1)).alias(out)))
-
-    j = (counts(raw, "c_raw")
-         .join(counts(target, "c_tgt"), on="b", how="full")
-         .select("b",
-                 F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
-                 F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
-         .collect())  # ≤ n_buckets rows — bounded driver metadata
+    The sufficient statistics come from the batch operator's OWN
+    ``bucket_joint_counts`` (one shared fit path — the sidecar cannot
+    drift from ``dsir_log_weights``). Buckets never seen on either side
+    are absent — their λ is the smoothing-only constant, stored once as
+    ``lam_default``. Atomic write (tmp+replace)."""
+    j = bucket_joint_counts(raw, target, text_col, n_buckets) \
+        .collect()  # ≤ n_buckets rows — bounded driver metadata
     import math
     n_raw = float(sum(r["c_raw"] for r in j))
     n_tgt = float(sum(r["c_tgt"] for r in j))
@@ -118,29 +111,38 @@ def run_importance_gate(spark: SparkSession, stream_df: DataFrame,
     ``reject_path`` — each side independent (an unset side is an
     intentional discard, never a silent one), rows carrying their
     (n_feats, log_weight) provenance, batch_id-partitioned idempotent
-    overwrite. A batch whose split leaves one side EMPTY writes no
-    files for that side (readers of a possibly-empty sink should pass
-    an explicit schema). Returns the StreamingQuery."""
+    overwrite. Docs that CANNOT be scored (NULL/empty text → no
+    features) route to the reject side with NULL provenance — never
+    silently dropped. A batch whose split leaves one side EMPTY writes
+    no files for that side (readers of a possibly-empty sink should
+    pass an explicit schema). Returns the StreamingQuery."""
     ensure_runtime_confs(spark)
     est = load_estimator(est_path)
     _MODE = "spark.sql.sources.partitionOverwriteMode"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # LEFT join: a doc whose text is NULL/empty yields no feature
+        # rows, so an inner join would silently drop it from BOTH sinks.
+        # Unscorable docs keep NULL (n_feats, log_weight) and route to
+        # the reject side — visible, never vanished.
         scored = (batch_df.join(
-            score_batch(batch_df, est, text_col, id_col), on=id_col)
-            .withColumn("batch_id", F.lit(batch_id)))
+            score_batch(batch_df, est, text_col, id_col),
+            on=id_col, how="left")
+            .withColumn("batch_id", F.lit(batch_id))
+            .persist())  # two sink writes share one scoring pass
+        passes = F.coalesce(F.col("log_weight") >= threshold,
+                            F.lit(False))
         prev = spark.conf.get(_MODE, "static")
         spark.conf.set(_MODE, "dynamic")
         try:
-            for dst, keep in ((pass_path,
-                               F.col("log_weight") >= threshold),
-                              (reject_path,
-                               F.col("log_weight") < threshold)):
+            for dst, keep in ((pass_path, passes),
+                              (reject_path, ~passes)):
                 if dst is not None:
                     (scored.filter(keep).write.mode("overwrite")
                      .partitionBy("batch_id").parquet(dst))
         finally:
             spark.conf.set(_MODE, prev)
+            scored.unpersist()
 
     writer = (stream_df.writeStream
               .foreachBatch(process)

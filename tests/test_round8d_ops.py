@@ -466,8 +466,10 @@ def test_importance_gate_routes_and_replays_idempotently(spark, tmp_path):
         load_estimator,
         score_batch,
     )
+    # doc 5 has NULL text: unscorable -> must land in reject with
+    # NULL provenance, never silently vanish
     raw = _gate_docs(spark, [(1, "aa aa"), (2, "zz zz"),
-                             (3, "aa bb"), (4, "zz qq")])
+                             (3, "aa bb"), (4, "zz qq"), (5, None)])
     tgt = _gate_docs(spark, [(1, "aa aa")])
     est_path = str(tmp_path / "est")
     save_estimator(raw, tgt, "text", est_path, n_buckets=64)
@@ -495,10 +497,12 @@ def test_importance_gate_routes_and_replays_idempotently(spark, tmp_path):
 
     drain("cp1")
     passed = {r["doc_id"] for r in spark.read.parquet(pas).collect()}
-    rejected = {r["doc_id"] for r in spark.read.parquet(rej).collect()}
-    assert passed | rejected == {1, 2, 3, 4}
+    rej_rows = {r["doc_id"]: r for r in spark.read.parquet(rej).collect()}
+    rejected = set(rej_rows)
+    assert passed | rejected == {1, 2, 3, 4, 5}
     assert passed & rejected == set()
     assert 1 in passed and 2 in rejected  # target-speak in, off-domain out
+    assert 5 in rejected and rej_rows[5]["log_weight"] is None
     # rows carry provenance
     cols = set(spark.read.parquet(pas).columns)
     assert {"n_feats", "log_weight", "batch_id"} <= cols
