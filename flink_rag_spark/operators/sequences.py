@@ -57,15 +57,31 @@ def funnel_times(events: DataFrame, steps: list[str],
     ``ts_col`` order by ``seq_col`` for a deterministic frame, but the
     result depends only on timestamp VALUES (running mins), so it is
     replay-stable. ``within_seconds`` additionally requires every step
-    to land within that window of the step-1 anchor."""
+    to land within that window of the step-1 anchor.
+
+    Each step is either an event-type STRING (matched as equality on
+    ``type_col`` — the funnel shape) or a pyspark ``Column`` boolean
+    predicate over any event columns (the general MATCH_RECOGNIZE
+    shape, e.g. ``(F.col("event_type") == "purchase") &
+    (F.col("value") > 30)``). String-only funnels keep the narrow
+    pre-filtered projection; predicate steps pre-filter on the OR of
+    all step predicates and let Catalyst prune the columns the
+    predicates actually reference — still one exchange either way."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
     w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df = (events.filter(F.col(type_col).isin(steps))
-          .select(key_col, seq_col, ts_col, type_col))
-    for i, step in enumerate(steps, start=1):
-        cond = F.col(type_col) == step
+    if all(isinstance(s, str) for s in steps):
+        df = (events.filter(F.col(type_col).isin(steps))
+              .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    for i, (step, cond) in enumerate(zip(steps, conds), start=1):
         if i > 1:
             cond = cond & (F.col(ts_col) > F.col(f"_r{i - 1}"))
         if within_seconds is not None and i > 1:
@@ -88,11 +104,13 @@ def funnel_summary(events: DataFrame, steps: list[str],
     funnel_times' per-key frame: one shuffle total."""
     ft = funnel_times(events, steps, key_col, ts_col, type_col,
                       seq_col, within_seconds)
+    labels = [s if isinstance(s, str) else f"step{i}"
+              for i, s in enumerate(steps, start=1)]
     counts = ft.agg(*[
         F.count(f"t{i}").alias(f"n{i}") for i in range(1, len(steps) + 1)])
     rows = F.array(*[
         F.struct(F.lit(i).alias("step"),
-                 F.lit(steps[i - 1]).alias("step_type"),
+                 F.lit(labels[i - 1]).alias("step_type"),
                  F.col(f"n{i}").alias("n_keys"),
                  F.col(f"n{max(i - 1, 1)}").alias("_n_prev"))
         for i in range(1, len(steps) + 1)])

@@ -538,3 +538,24 @@ def test_roc_auc_perfect_random_and_empty_class(spark):
     onesided = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
     [o] = roc_auc(onesided, "s", "y").collect()
     assert o["auc"] is None and o["n_neg"] == 0
+
+
+def test_funnel_predicate_steps(spark):
+    """Steps can be arbitrary Column predicates (MATCH_RECOGNIZE shape),
+    not just event types: a view followed by a HIGH-VALUE purchase."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.sequences import funnel_times
+    rows = [(0, datetime(2024, 1, 1, 0, 0), 1, "view", 1.0),
+            (1, datetime(2024, 1, 1, 1, 0), 1, "purchase", 5.0),
+            (2, datetime(2024, 1, 1, 2, 0), 1, "purchase", 50.0),
+            (3, datetime(2024, 1, 1, 0, 0), 2, "view", 1.0),
+            (4, datetime(2024, 1, 1, 1, 0), 2, "purchase", 5.0)]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    steps = ["view",
+             (F.col("event_type") == "purchase") & (F.col("value") > 30)]
+    got = {r["user_id"]: r for r in funnel_times(e, steps).collect()}
+    # u1's cheap purchase is skipped; the 50.0 one completes step 2
+    assert got[1]["t2"] == datetime(2024, 1, 1, 2, 0)
+    assert got[2]["t2"] is None
