@@ -60,6 +60,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.evaluation import roc_auc_duck
+    from flink_rag_spark.operators.percolate import percolate_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import (
@@ -1373,6 +1374,11 @@ FROM documents WHERE doc_id % 17 = 0""",
                           n_buckets=llm.DSIR_BUCKETS,
                           keep_cols="lang, source"),
          ("curation", "importance", "training")),
+        # round-8d: percolation / reverse search — standing queries
+        # matched against every doc: one tokenize scan + broadcast join
+        ("percolated_documents", llm.percolated_documents,
+         percolate_duck(llm.PERCOLATE_QUERIES),
+         ("text", "percolate", "alerting")),
         # round-8d: ROC-AUC without a global sort — per-score histogram
         # + one cumulative window, Mann-Whitney tie correction; the
         # score is cosine-to-the-class-0-centroid (AUC ≈ 0.79 — real

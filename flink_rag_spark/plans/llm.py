@@ -1675,3 +1675,27 @@ def auc_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                               6).alias("s"),
                       (F.col("label") == AUC_LABEL).alias("y")))
     return roc_auc(scored, "s", "y")
+
+
+#: standing percolator queries over the synthetic corpus vocabulary:
+#: (query_id, terms, min_match — None = ALL terms)
+PERCOLATE_QUERIES = [
+    (1, ["fast", "table"], None),      # AND: both terms
+    (2, ["slow", "scan"], 1),          # OR: either term
+    (3, ["merge", "batch", "value"], 2),  # 2-of-3
+]
+
+
+def percolated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search / percolation (operators/percolate.py): every
+    (document, standing query) pair sharing a term, with the
+    match verdict under AND / OR / m-of-n semantics. One tokenize scan
+    + a broadcast join of the exploded query table — the alerting
+    primitive the reference's OpenSearch backend calls a percolator."""
+    from flink_rag_spark.operators.percolate import match_stored_queries
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(i, t, m) for i, t, m in PERCOLATE_QUERIES],
+        "query_id int, terms array<string>, min_match int")
+    return (match_stored_queries(d, q)
+            .orderBy("doc_id", "query_id"))

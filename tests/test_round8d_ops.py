@@ -586,3 +586,40 @@ def test_ivfpq_index_recall_and_pruning(spark, tmp_path):
              .filter(F.col("cell").isin([0, 1])))
     plan = codes._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[.*cell.* IN \(0,1\)", plan)
+
+
+# ---- percolation / reverse search (operators/percolate.py) ----
+
+def test_percolate_and_or_and_m_of_n(spark):
+    from flink_rag_spark.operators.percolate import match_stored_queries
+    docs = spark.createDataFrame(
+        [(1, "Fast red table"), (2, "fast boat"), (3, "slow boat"),
+         (4, "merge the batch"), (5, "merge value stream")],
+        "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["fast", "table"], None),       # AND
+         (2, ["slow", "scan"], 1),           # OR
+         (3, ["merge", "batch", "value"], 2)],  # 2-of-3
+        "query_id int, terms array<string>, min_match int")
+    out = {(r["doc_id"], r["query_id"]): r for r in
+           match_stored_queries(docs, q).collect()}
+    assert out[(1, 1)]["matched"]            # both terms (case-folded)
+    assert not out[(2, 1)]["matched"]        # fast alone fails AND
+    assert out[(3, 2)]["matched"]            # OR: one term suffices
+    assert out[(4, 3)]["matched"]            # merge+batch = 2 of 3
+    assert out[(5, 3)]["matched"]            # merge+value = 2 of 3
+    assert (2, 3) not in out or not out[(2, 3)]["matched"]
+    # a doc sharing no term with a query yields NO row at all
+    assert (3, 1) not in out
+
+
+def test_percolate_term_frequency_does_not_count(spark):
+    """Set semantics: repeating a query term in the doc matches it once."""
+    from flink_rag_spark.operators.percolate import match_stored_queries
+    docs = spark.createDataFrame(
+        [(1, "fast fast fast")], "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["fast", "table"], None)],
+        "query_id int, terms array<string>, min_match int")
+    [r] = match_stored_queries(docs, q).collect()
+    assert r["n_matched"] == 1 and not r["matched"]
