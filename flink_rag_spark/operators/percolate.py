@@ -15,8 +15,10 @@ Spark-first shape:
   broadcast join on the term → per-(doc, query) matched-term count —
   the exchange carries only (doc, query, count) rows for doc/query
   pairs that share at least one term, never full text;
-- the match predicate is count ≥ min_match (min_match = n_terms is AND
-  semantics; a fraction gives Elasticsearch's minimum_should_match).
+- the match predicate is count ≥ min_match, an ABSOLUTE matched-term
+  count (n_terms = AND, 1 = OR, m = m-of-n — Elasticsearch's
+  minimum_should_match with an absolute value; percentage forms are
+  one ceil(frac·n_terms) away and deliberately not guessed at here).
 
 At 100 TB/day the cost is the tokenize scan plus a broadcast join —
 the same shape as the 13-gram decontaminator (curation.py), pointed at
@@ -39,26 +41,31 @@ def match_stored_queries(docs: DataFrame, queries: DataFrame,
     """(doc id, query_id, n_matched, n_terms, matched) for every
     (document, stored query) pair sharing at least one term, with
     ``matched`` = n_matched ≥ min_match. ``queries`` carries
-    (query_id, terms array<string>, min_match int — NULL/absent means
-    ALL terms). Terms match against the document's DISTINCT lowercase
-    token set (set semantics — term frequency doesn't count, exactly
-    the percolator's boolean contract)."""
+    (query_id, terms array<string>, min_match int — an ABSOLUTE matched-
+    term count: NULL/absent means ALL terms (AND), 1 means any (OR), m
+    gives m-of-n). Both sides compare DISTINCT LOWERCASE term sets:
+    query terms dedupe AFTER case-folding (so ["Fast","fast"] is one
+    term, not two), and a document's tokens dedupe per document id even
+    when the id spans multiple rows — set semantics, term frequency
+    never counts, exactly the percolator's boolean contract."""
     qcols = queries.columns
     mm = (F.col("min_match") if "min_match" in qcols
           else F.lit(None).cast("int"))
+    terms_lc = F.array_distinct(F.expr("transform(terms, t -> lower(t))"))
     qx = (queries
           .select("query_id",
-                  F.size(F.array_distinct("terms")).alias("n_terms"),
+                  F.size(terms_lc).alias("n_terms"),
                   mm.alias("_mm"),
-                  F.explode(F.array_distinct("terms")).alias("term"))
+                  F.explode(terms_lc).alias("term"))
           .select("query_id", "n_terms",
                   F.coalesce("_mm", "n_terms").alias("min_match"),
-                  F.lower(F.col("term")).alias("term")))
+                  "term"))
     toks = TOKENS_SPARK.format(s=f"lower({text_col})")
     dx = (docs.select(F.col(id_col),
                       F.explode(F.array_distinct(F.expr(toks)))
                       .alias("term"))
-          .filter(F.col("term") != ""))
+          .filter(F.col("term") != "")
+          .distinct())  # ids spanning rows still count each term once
     return (dx.join(F.broadcast(qx), on="term")
             .groupBy(id_col, "query_id")
             .agg(F.count(F.lit(1)).alias("n_matched"),
@@ -73,14 +80,16 @@ def percolate_duck(queries: list[tuple], text_col: str = "text",
                    id_col: str = "doc_id",
                    table: str = "documents") -> str:
     """DuckDB mirror with the stored queries inlined as VALUES rows.
-    ``queries`` = [(query_id, [terms...], min_match | None)]."""
+    ``queries`` = [(query_id, [terms...], min_match | None)]. Terms
+    dedupe after case-folding, like the operator."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
     rows = []
     for qid, terms, mm in queries:
+        uniq = list(dict.fromkeys(t.lower() for t in terms))
         arr = "[" + ", ".join(
-            "'" + t.replace("'", "''").lower() + "'"
-            for t in dict.fromkeys(terms)) + "]"
-        n = len(dict.fromkeys(terms))
-        rows.append(f"({qid}, {arr}, {mm if mm is not None else n})")
+            "'" + t.replace("'", "''") + "'" for t in uniq) + "]"
+        rows.append(f"({qid}, {arr}, {mm if mm is not None else len(uniq)})")
     toks = TOKENS_DUCK.format(s=f"lower({text_col})")
     return f"""
 WITH q(query_id, terms, min_match) AS (VALUES {", ".join(rows)}),

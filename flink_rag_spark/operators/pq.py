@@ -180,10 +180,23 @@ def ann_pq_topk(embeddings: DataFrame, query_vec: list[float],
                        / (F.lit(qn) * F.sqrt(F.greatest(
                            F.col("_sn"), F.lit(1e-12)))))
                       .alias("approx_score")))
+    return _rerank_exact(approx, embeddings, query_vec, k,
+                         rerank_factor, vec_col, id_col)
+
+
+def _rerank_exact(approx: DataFrame, rerank_with: DataFrame,
+                  query_vec: list[float], k: int, rerank_factor: int,
+                  vec_col: str, id_col: str) -> DataFrame:
+    """The ONE rerank tail shared by every ADC path (ann_pq_topk,
+    ivfpq_topk): keep the rerank_factor·k best by (approx_score DESC,
+    id), broadcast those ids into the full-precision side, finish with
+    cosine_topk's exact rounding/tie-break — change the budget or the
+    tie-break here and every PQ serving path moves together."""
+    from flink_rag_spark.operators.similarity import cosine_topk
     cand_ids = (approx.orderBy(F.desc("approx_score"), F.asc(id_col))
                 .limit(rerank_factor * k))
-    cand = embeddings.join(F.broadcast(cand_ids.select(id_col)),
-                           on=id_col)
+    cand = rerank_with.join(F.broadcast(cand_ids.select(id_col)),
+                            on=id_col)
     return cosine_topk(cand, query_vec, k=k, vec_col=vec_col,
                        id_col=id_col)
 
@@ -301,10 +314,5 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
                   / (F.lit(qn) * F.sqrt(F.greatest(
                       F.col("cn") + 2 * F.col("_b") + F.col("_n"),
                       F.lit(1e-12))))).alias("approx_score")))
-    cand_ids = (approx.orderBy(F.desc("approx_score"), F.asc(id_col))
-                .limit(rerank_factor * k))
-    from flink_rag_spark.operators.similarity import cosine_topk
-    cand = rerank_with.join(F.broadcast(cand_ids.select(id_col)),
-                            on=id_col)
-    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col,
-                       id_col=id_col)
+    return _rerank_exact(approx, rerank_with, query_vec, k,
+                         rerank_factor, vec_col, id_col)

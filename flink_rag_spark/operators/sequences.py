@@ -42,12 +42,12 @@ are one-window / one-join plans with |event-types|²- and
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 ROUND_DP = 6
 
 
-def funnel_times(events: DataFrame, steps: list[str],
+def funnel_times(events: DataFrame, steps: list[str | Column],
                  key_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type", seq_col: str = "event_id",
                  within_seconds: int | None = None) -> DataFrame:
@@ -93,7 +93,8 @@ def funnel_times(events: DataFrame, steps: list[str],
         F.min(f"_r{i}").alias(f"t{i}") for i in range(1, len(steps) + 1)])
 
 
-def funnel_summary(events: DataFrame, steps: list[str],
+def funnel_summary(events: DataFrame,
+                   steps: list[str | Column],
                    key_col: str = "user_id", ts_col: str = "ts",
                    type_col: str = "event_type", seq_col: str = "event_id",
                    within_seconds: int | None = None) -> DataFrame:
@@ -132,7 +133,14 @@ def funnel_summary_duck(steps: list[str], within_seconds: int | None = None,
                         table: str = "events") -> str:
     """DuckDB mirror of funnel_summary: same stacked running-min window
     layers, strict-after chaining, within-anchor bound, rounding and
-    zero-denominator NULLs."""
+    zero-denominator NULLs. Accepts event-type STRING steps only —
+    Column predicate steps have no SQL string to interpolate, so they
+    raise here instead of silently generating always-false SQL."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError(
+            "funnel_summary_duck only mirrors string (event-type) steps; "
+            f"got non-string steps: {bad!r}")
     in_list = ", ".join(f"'{s}'" for s in steps)
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
