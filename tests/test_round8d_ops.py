@@ -623,3 +623,19 @@ def test_percolate_term_frequency_does_not_count(spark):
         "query_id int, terms array<string>, min_match int")
     [r] = match_stored_queries(docs, q).collect()
     assert r["n_matched"] == 1 and not r["matched"]
+
+
+def test_percolate_dedupes_across_rows_and_case_variant_terms(spark):
+    """An id spanning multiple rows still counts each term once, and
+    case-variant duplicate query terms collapse to one term."""
+    from flink_rag_spark.operators.percolate import match_stored_queries
+    docs = spark.createDataFrame(
+        [(1, "fast cat"), (1, "fast dog")], "doc_id bigint, text string")
+    q = spark.createDataFrame(
+        [(1, ["Fast", "fast", "table"], 2)],
+        "query_id int, terms array<string>, min_match int")
+    [r] = match_stored_queries(docs, q).collect()
+    # terms dedupe to {fast, table} (n_terms=2); 'fast' matches ONCE
+    # despite two doc rows -> 1 < min_match=2
+    assert r["n_terms"] == 2 and r["n_matched"] == 1
+    assert not r["matched"]
