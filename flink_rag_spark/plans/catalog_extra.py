@@ -1374,6 +1374,29 @@ FROM documents WHERE doc_id % 17 = 0""",
                           n_buckets=llm.DSIR_BUCKETS,
                           keep_cols="lang, source"),
          ("curation", "importance", "training")),
+        # round-8d: end-to-end entity resolution — fuzzy blocking join
+        # → connected components (min-id survivor) → labeled entities;
+        # the oracle replays the components via a RECURSIVE
+        # reachability CTE, so the iterative step is value-checked
+        ("resolved_part_entities", llm.resolved_part_entities,
+         f"""
+WITH RECURSIVE
+prs AS ({fuzzy_self_pairs_duck("part", "p_name",
+                               llm.FUZZY_MATCH_DISTANCE,
+                               "string_split({s}, ' ')[-1]")}),
+nodes AS (SELECT DISTINCT p_name AS name FROM part),
+edges AS (SELECT str_a AS u, str_b AS v FROM prs
+          UNION SELECT str_b, str_a FROM prs),
+walk(node, rep) AS (
+  SELECT name, name FROM nodes
+  UNION
+  SELECT e.v, walk.rep FROM walk JOIN edges e ON e.u = walk.node),
+lbl AS (SELECT node, MIN(rep) AS entity_rep FROM walk GROUP BY node)
+SELECT node AS name, entity_rep,
+       COUNT(*) OVER (PARTITION BY entity_rep) AS n_variants
+FROM lbl
+""",
+         ("join", "linkage", "graph")),
         # round-8d: percolation / reverse search — standing queries
         # matched against every doc: one tokenize scan + broadcast join
         ("percolated_documents", llm.percolated_documents,

@@ -1699,3 +1699,32 @@ def percolated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>, min_match int")
     return (match_stored_queries(d, q)
             .orderBy("doc_id", "query_id"))
+
+
+def resolved_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution (the record-linkage pipeline as ONE
+    composed plan): blocked fuzzy self-join over the part-name
+    vocabulary (operators/linkage.py) → connected components with the
+    min-id survivor rule (operators/graph.py) → every distinct name
+    labeled with its entity representative and variant count
+    (singletons represent themselves). The DuckDB oracle replays the
+    whole chain, components included, via a recursive reachability
+    CTE — the iterative step is value-checked, not just rows-counted."""
+    from flink_rag_spark.operators.graph import connected_components
+    from flink_rag_spark.operators.linkage import fuzzy_self_pairs
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(p, "p_name",
+                             max_distance=FUZZY_MATCH_DISTANCE,
+                             block_expr=FUZZY_MATCH_BLOCK)
+    cc = connected_components(pairs, "str_a", "str_b")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    resolved = (names.join(cc.withColumnRenamed("node", "name"),
+                           on="name", how="left")
+                .select("name",
+                        F.coalesce("group_rep", F.col("name"))
+                        .alias("entity_rep")))
+    w = Window.partitionBy("entity_rep")
+    return (resolved
+            .select("name", "entity_rep",
+                    F.count(F.lit(1)).over(w).alias("n_variants"))
+            .orderBy("entity_rep", "name"))

@@ -639,3 +639,25 @@ def test_percolate_dedupes_across_rows_and_case_variant_terms(spark):
     # despite two doc rows -> 1 < min_match=2
     assert r["n_terms"] == 2 and r["n_matched"] == 1
     assert not r["matched"]
+
+
+def test_entity_resolution_chain_and_singleton(spark, monkeypatch):
+    """Transitive variants (A~B, B~C but A never within distance of C)
+    still resolve to ONE entity via the min-id representative;
+    untouched names represent themselves."""
+    import flink_rag_spark.plans.llm as llm
+    from flink_rag_spark.operators.graph import connected_components
+    from flink_rag_spark.operators.linkage import fuzzy_self_pairs
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [("aaaa cat",), ("aaab cat",), ("aabb cat",), ("zzzz dog",)],
+        "p_name string")
+    pairs = fuzzy_self_pairs(df, "p_name", max_distance=1,
+                             block_expr=llm.FUZZY_MATCH_BLOCK)
+    # chain: aaaa~aaab (1), aaab~aabb (1); aaaa~aabb distance 2 -> no edge
+    got = {(r["str_a"], r["str_b"]) for r in pairs.collect()}
+    assert got == {("aaaa cat", "aaab cat"), ("aaab cat", "aabb cat")}
+    cc = {r["node"]: r["group_rep"] for r in
+          connected_components(pairs, "str_a", "str_b").collect()}
+    assert cc == {"aaaa cat": "aaaa cat", "aaab cat": "aaaa cat",
+                  "aabb cat": "aaaa cat"}
