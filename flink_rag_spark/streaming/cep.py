@@ -73,12 +73,17 @@ def _make_funnel_fn(steps: list[str], within_us: int | None):
                     break  # completed key: only the done marker lives on
                 ts_us = pdf["ts"].astype("int64") // 1000
                 for t, typ in zip(ts_us, pdf["event_type"]):
-                    # events STRICTLY before the folded watermark are
-                    # late and dropped (CEP contract): folding them now
-                    # would break event-time order. ts == watermark is
-                    # on-time in Spark's semantics and order-safe here
-                    # (equal-ts events never interact — strict > in the
-                    # step conditions), so it is kept.
+                    # Defense in depth: Spark's stateful-operator late
+                    # filter drops rows strictly below the CURRENT
+                    # watermark before they reach this function, and a
+                    # row at EXACTLY the watermark may or may not be
+                    # delivered (observed order-sensitive). Whenever a
+                    # boundary-equal row IS delivered, this ≥ check
+                    # keeps it — order-safe, since equal-ts events
+                    # never interact under the strict-> step
+                    # conditions — so delivery implies correct folding
+                    # either way, including under future
+                    # allowed-lateness configs.
                     if int(t) >= wm_us:
                         buf_ts.append(int(t))
                         buf_type.append(str(typ))

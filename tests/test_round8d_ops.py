@@ -661,3 +661,49 @@ def test_entity_resolution_chain_and_singleton(spark, monkeypatch):
           connected_components(pairs, "str_a", "str_b").collect()}
     assert cc == {"aaaa cat": "aaaa cat", "aaab cat": "aaaa cat",
                   "aabb cat": "aaaa cat"}
+
+
+def test_streaming_funnel_watermark_boundary_semantics(spark, tmp_path):
+    """Pin the stable part of the lateness boundary: an event one
+    second ABOVE the watermark is always delivered and completes the
+    funnel, and a boundary-EQUAL event either completes with the exact
+    boundary timestamp or is engine-dropped (Spark's equality behavior
+    is order-sensitive; the operator's >= check makes delivery imply
+    correct folding — see cep.py)."""
+    from flink_rag_spark.streaming.cep import funnel_monitor
+    src = str(tmp_path / "cep_wm")
+    # b1: two views + a setter pinning max event time at 11:00
+    # -> the watermark stays 10:00 for every later batch until the flush
+    _write_batch(spark, src, [
+        ("2024-01-01 09:00:00", 1, "view"),
+        ("2024-01-01 09:00:00", 2, "view"),
+        ("2024-01-01 11:00:00", 9, "view"),
+    ])
+    # b2: u1 clicks at EXACTLY the watermark (dropped by the engine);
+    # u2 clicks one second above it (delivered)
+    _write_batch(spark, src, [
+        ("2024-01-01 10:00:00", 1, "click"),
+        ("2024-01-01 10:00:01", 2, "click"),
+    ])
+    # b3: far-future flush drains buffers
+    _write_batch(spark, src, [
+        ("2024-01-10 00:00:00", 9, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (funnel_monitor(stream, ["view", "click"], watermark="1 hour")
+         .writeStream.format("memory").queryName("cep_wm_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cep_wm"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in
+            spark.sql("select * from cep_wm_t").collect()}
+    assert 2 in rows
+    assert rows[2]["t2"].isoformat() == "2024-01-01T10:00:01"
+    # boundary-equal click: engine-dropped OR folded at exactly 10:00 —
+    # never a wrong value, never a crash
+    if 1 in rows:
+        assert rows[1]["t2"].isoformat() == "2024-01-01T10:00:00"
