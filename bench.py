@@ -265,7 +265,7 @@ def main() -> None:
              "funnel_view_click_purchase", "event_transition_matrix",
              "retention_weekly_cohorts", "dsir_selected_docs",
              "auc_label_centroid", "percolated_documents",
-             "resolved_part_entities",
+             "resolved_part_entities", "pagerank_copurchase",
              # BPE: 12 vocab-bounded merge iterations; job overhead
              # prices it at demo scale, NOT data volume, so it is
              # timed here but not scale-rehearsed (the one corpus

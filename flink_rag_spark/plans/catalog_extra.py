@@ -60,6 +60,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.evaluation import roc_auc_duck
+    from flink_rag_spark.operators.graph import pagerank_duck
     from flink_rag_spark.operators.percolate import percolate_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
@@ -1374,6 +1375,19 @@ FROM documents WHERE doc_id % 17 = 0""",
                           n_buckets=llm.DSIR_BUCKETS,
                           keep_cols="lang, source"),
          ("curation", "importance", "training")),
+        # round-8d: fixed-iteration PageRank — the oracle unrolls all
+        # power iterations as chained CTEs (dangling mass, degree
+        # division, damping), value-checking the ITERATIVE computation
+        ("pagerank_copurchase", llm.pagerank_copurchase,
+         pagerank_duck(iters=llm.PAGERANK_ITERS, edges_sql=
+             "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+             "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+             "UNION "
+             "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR), "
+             "'c' || CAST(o_custkey AS VARCHAR) "
+             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
+         ("graph", "iterative", "join")),
         # round-8d: end-to-end entity resolution — fuzzy blocking join
         # → connected components (min-id survivor) → labeled entities;
         # the oracle replays the components via a RECURSIVE

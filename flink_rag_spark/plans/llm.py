@@ -1728,3 +1728,31 @@ def resolved_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("name", "entity_rep",
                     F.count(F.lit(1)).over(w).alias("n_variants"))
             .orderBy("entity_rep", "name"))
+
+
+#: catalog demo depth — enough iterations to exercise the unrolled
+#: oracle check without dominating the sweep's wall time
+PAGERANK_ITERS = 6
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics on relational data (operators/graph.py
+    pagerank): PageRank over the symmetric customer↔supplier
+    co-purchase graph (distinct pairs from lineitem⋈orders). The DuckDB
+    oracle replays ALL six power iterations as unrolled CTEs — dangling
+    mass, degree division, damping — so the iterative computation is
+    value-checked end to end."""
+    from flink_rag_spark.operators.graph import pagerank
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                   .alias("c"),
+                   F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                   .alias("s"))
+           .distinct())
+    edges = (raw.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .union(raw.select(F.col("s").alias("src"),
+                               F.col("c").alias("dst"))))
+    return (pagerank(edges, iters=PAGERANK_ITERS)
+            .orderBy(F.desc("pr"), "node"))

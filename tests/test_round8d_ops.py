@@ -707,3 +707,31 @@ def test_streaming_funnel_watermark_boundary_semantics(spark, tmp_path):
     # never a wrong value, never a crash
     if 1 in rows:
         assert rows[1]["t2"].isoformat() == "2024-01-01T10:00:00"
+
+
+# ---- PageRank (operators/graph.py) ----
+
+def test_pagerank_matches_pure_python_replica_with_dangling(spark):
+    from flink_rag_spark.operators.graph import pagerank
+    # a->b, a->c, b->c ; c dangles
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(e, iters=4).collect()}
+    d, n = 0.85, 3
+    pr = {k: 1.0 / n for k in "abc"}
+    deg = {"a": 2, "b": 1}
+    for _ in range(4):
+        dm = pr["c"]
+        base = (1 - d) / n + d * dm / n
+        pr = {"a": base,
+              "b": base + d * pr["a"] / deg["a"],
+              "c": base + d * (pr["a"] / deg["a"] + pr["b"] / deg["b"])}
+    assert got == {k: round(v, 6) for k, v in pr.items()}
+
+
+def test_pagerank_symmetric_triangle_is_uniform(spark):
+    from flink_rag_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    out = {r["pr"] for r in pagerank(e, iters=5).collect()}
+    assert out == {0.333333}
