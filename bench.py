@@ -411,13 +411,16 @@ def main() -> None:
                             "1.27 — sub-second queries in the rehearsal "
                             "tail inherit whatever GC/compaction the "
                             "preceding heavy query left behind; "
-                            "dsir_selected_docs ~4.5 at k=10 is "
-                            "SUB-linear vs 10x data: both of its "
-                            "passes tokenize the full corpus "
-                            "(estimator stats + scoring), so it scales "
-                            "with text volume like text_quality_stats "
-                            "— CPU-bound hashing, not a plan cliff "
-                            "(lambda table stays 512 rows, broadcast)"),
+                            "dsir_selected_docs reads 4.5-9.2 in the "
+                            "rehearsal tail but ISOLATED paired "
+                            "min-of-2 at k=10 measures factor 1.40 "
+                            "(0.93s -> 1.31s, r8 audit) — broadcast "
+                            "lambda table, scan-shaped passes, "
+                            "decisively sub-linear; "
+                            "doc_fingerprints r8 re-audit: isolated "
+                            "paired min-of-2 factor 1.70 (0.31s -> "
+                            "0.52s) — tail readings up to 21x are "
+                            "contention artifacts, not plan behavior"),
         }
 
     total = round(sum(timings.values()), 3)
