@@ -1256,7 +1256,47 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: same-boundary machinery + two-sample fold, mixture sampling via
 #: temperature_mixture_docs' same weighted-threshold machinery with
 #: computed weights; every demoted query keeps its pytest oracle).
+#: Round 8d promotes the eleven round-8d/8b families so each earns a
+#: driver CORRECTNESS row: CEP funnel, cohort retention, DSIR selection,
+#: sort-free ROC-AUC, percolation, end-to-end entity resolution,
+#: fixed-iteration PageRank, text normalization, curriculum ordering,
+#: decontamination audit report, and the released-corpus manifest
+#: (event_transition_matrix stays swept — it is the simplest member of
+#: the sequence family, whose machinery funnel + retention grade;
+#: fuzzy_part_name_matches stays swept — it is the verify SUB-STAGE of
+#: resolved_part_entities). Eleven round-7-graded-GREEN slots rotate to
+#: the tail, each with its evidence already in CORRECTNESS_r07 and its
+#: shape still graded: span_neardup_docs (dedup graded via incremental
+#: -vs-index + group resolution + semantic + fuzzy_decontaminated),
+#: unigram_lm_quality (LM scoring graded via dsir_selected_docs' two-LM
+#: importance ratio — strictly richer machinery), encoded_documents
+#: (vocab machinery graded via vocab_coverage_docs; BPE pytest),
+#: hybrid_batch_retrieval (serving graded via bm25_topk_indexed_docs +
+#: rag_reranked_answer), rollup_incremental_hourly (incremental
+#: maintenance graded via rollup_cascade_daily + rollup_hll, both of
+#: which run the same append path), packed_documents +
+#: split_documents_tvt (both are stages INSIDE the graded
+#: curated_packed_training_set), profile_documents (profiling graded
+#: via skew_profile_orders + winsorized + psi), quantized_similarity_
+#: vec7 (quantization graded via ann_methods_vec7's PQ contract row —
+#: residual quantization, strictly richer), ngram_decontaminated_docs
+#: (decontamination graded via fuzzy_decontaminated_docs +
+#: decontamination_report_docs + the curated pipeline), and
+#: upserted_documents (store maintenance graded via dataset_manifest +
+#: snapshot_diff + released_corpus_manifest). time_weighted_daily_value
+#: deliberately STAYS graded to prove the r7 oracle-dtype fix green.
 _PROMOTED = [
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
+    "dsir_selected_docs",
+    "auc_label_centroid",
+    "percolated_documents",
+    "resolved_part_entities",
+    "pagerank_copurchase",
+    "normalized_documents",
+    "curriculum_ordered_docs",
+    "decontamination_report_docs",
+    "released_corpus_manifest",
     "pmi_collocations_docs",
     "vocab_coverage_docs",
     "psi_value_drift",
@@ -1275,21 +1315,10 @@ _PROMOTED = [
     "rag_reranked_answer",
     "bm25_topk_indexed_docs",
     "kmeans_assign_cells",
-    "span_neardup_docs",
-    "unigram_lm_quality",
-    "encoded_documents",
     "validated_documents",
-    "hybrid_batch_retrieval",
-    "rollup_incremental_hourly",
     "rollup_cascade_daily",
-    "packed_documents",
-    "split_documents_tvt",
     "time_weighted_daily_value",
-    "profile_documents",
-    "quantized_similarity_vec7",
     "semantic_dedup_docs",
-    "ngram_decontaminated_docs",
-    "upserted_documents",
     "projected_knn_vec7",
 ]
 
