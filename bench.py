@@ -270,7 +270,13 @@ def main() -> None:
              # prices it at demo scale, NOT data volume, so it is
              # timed here but not scale-rehearsed (the one corpus
              # scan's behavior is covered by the other text ops)
-             "bpe_merges_docs"]
+             "bpe_merges_docs",
+             # round-8e additions: per-group OLS trend, SCD2 history,
+             # distributed-ECDF KS test, exponential time decay,
+             # categorical association grid
+             "trend_nation_order_value", "scd2_customer_status_history",
+             "ks_order_price_regions", "decayed_user_event_value",
+             "association_segment_region"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -1,0 +1,103 @@
+"""Categorical association — contingency grid, PMI and chi-square terms.
+
+Feature auditing over a corpus asks "are these two labels independent?"
+— language vs source, market segment vs region, license vs domain. The
+primitive is the contingency table with its independence diagnostics:
+per-cell observed count, expected count under independence, pointwise
+mutual information, and the chi-square contribution. (Token-level PMI
+for collocations lives in `operators/phrases.py`; this is the
+column-level analogue.)
+
+Plan at 100 TB: ONE partial+final aggregate over (a, b) collapses the
+corpus to at most |A|·|B| cells; marginals and the grand total are
+re-aggregations of that tiny frame, joined back broadcast. The full
+grid (including empty cells — chi-square needs them) is a cross join of
+the two marginal frames, which is |A|·|B| rows by construction. Nothing
+after the first aggregate touches data-scale rows.
+
+Determinism: all counts are exact integers; expected/PMI/chi² are the
+same IEEE-double expressions in both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+EXPECTED_DP = 4
+PMI_DP = 6
+CHI2_DP = 6
+
+
+def categorical_association(df: DataFrame, col_a: str,
+                            col_b: str) -> DataFrame:
+    """Contingency diagnostics for ``col_a`` × ``col_b``.
+
+    Returns one row per grid cell (col_a, col_b, n_xy, n_x, n_y,
+    expected, pmi, chi2_term): ``expected`` = n_x·n_y/n, ``pmi`` =
+    ln(n_xy·n/(n_x·n_y)) (NULL for empty cells), ``chi2_term`` =
+    (n_xy−expected)²/expected — sum it for the chi-square statistic
+    with (|A|−1)(|B|−1) degrees of freedom. Rows with NULL in either
+    column are excluded."""
+    base = (df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # the corpus-scale scan happens ONCE: joint is the |A|·|B|-cell
+    # aggregate, pinned so the marginal/total re-aggregations below read
+    # the cells, not the corpus
+    joint = (base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_xy"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    ma = joint.groupBy("a").agg(F.sum("n_xy").alias("n_x"))
+    mb = joint.groupBy("b").agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    grid = (ma.crossJoin(F.broadcast(mb))
+            .join(joint, ["a", "b"], "left")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("n_xy", F.coalesce("n_xy", F.lit(0))))
+    nd = F.col("n").cast("double")
+    nxd = F.col("n_x").cast("double")
+    nyd = F.col("n_y").cast("double")
+    nxyd = F.col("n_xy").cast("double")
+    expected = nxd * nyd / nd
+    pmi = F.when(F.col("n_xy") > 0, F.log(nxyd * nd / (nxd * nyd)))
+    chi2 = (nxyd - expected) * (nxyd - expected) / expected
+    return grid.select(
+        F.col("a").alias(col_a), F.col("b").alias(col_b),
+        "n_xy", "n_x", "n_y",
+        F.round(expected, EXPECTED_DP).alias("expected"),
+        F.round(pmi, PMI_DP).alias("pmi"),
+        F.round(chi2, CHI2_DP).alias("chi2_term"))
+
+
+def categorical_association_duck(inner_sql: str, col_a: str,
+                                 col_b: str) -> str:
+    """DuckDB mirror of :func:`categorical_association` — same grid
+    construction, same exact counts, same double expressions."""
+    return f"""
+WITH base AS (
+  SELECT {col_a} AS a, {col_b} AS b FROM ({inner_sql})
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL),
+joint AS (SELECT a, b, COUNT(*) AS n_xy FROM base GROUP BY a, b),
+ma AS (SELECT a, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY a),
+mb AS (SELECT b, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY b),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+grid AS (
+  SELECT ma.a, mb.b, ma.n_x, mb.n_y, tot.n,
+         COALESCE(joint.n_xy, 0) AS n_xy
+  FROM ma CROSS JOIN mb CROSS JOIN tot
+  LEFT JOIN joint ON joint.a = ma.a AND joint.b = mb.b)
+SELECT a AS {col_a}, b AS {col_b}, n_xy, n_x, n_y,
+       ROUND(CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE),
+             {EXPECTED_DP}) AS expected,
+       ROUND(CASE WHEN n_xy > 0 THEN LN(
+               CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) END,
+             {PMI_DP}) AS pmi,
+       ROUND((CAST(n_xy AS DOUBLE)
+              - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_xy AS DOUBLE)
+              - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                / CAST(n AS DOUBLE)), {CHI2_DP}) AS chi2_term
+FROM grid
+"""

@@ -1,0 +1,166 @@
+"""Two-sample hypothesis testing — Kolmogorov–Smirnov over distributed ECDFs.
+
+Distribution drift between two corpus slices (old vs new crawl, source A
+vs source B, train vs eval) is the question behind every re-curation
+decision; PSI (`operators/drift.py`) answers it with fixed bins, the KS
+statistic answers it bin-free: D = sup |F_a(x) − F_b(x)| over the
+empirical CDFs. The reference has no statistics surface (`AiJob.java`);
+this is the classic sort-based test re-expressed so the sort never
+happens on one node.
+
+Plan at 100 TB: the raw rows collapse to one row per DISTINCT value
+first (partial+final agg — the only full-data shuffle), then the ECDF
+is a *distributed prefix sum*: range-repartition the distinct values,
+cumsum inside each range partition (sort is per-partition), and add
+per-partition offsets computed from a tiny |partitions|-row frame. No
+global single-task window, no collect of data rows; the final D is one
+aggregate. The distinct-value frame is persisted (MEMORY_AND_DISK)
+because range partition ids must stay stable across its two consumers
+(offsets + cumsum) — it is the smallest frame in the plan.
+
+Determinism: cumulative counts are exact integers whatever the
+partitioning, and every double op after them is the same IEEE
+expression in both engines, so D is bit-stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
+
+#: KS critical-value coefficient at alpha = 0.05: sqrt(-ln(alpha/2)/2)
+KS_ALPHA = 0.05
+KS_DP = 6
+
+
+def ks_two_sample(a: DataFrame, b: DataFrame, value_col: str,
+                  n_partitions: int | None = None) -> DataFrame:
+    """Two-sample KS test of ``value_col`` in ``a`` vs ``b``.
+
+    Returns ONE row: (ks_d, n_a, n_b, crit_value, reject) where
+    ``crit_value`` is the large-sample alpha=0.05 threshold
+    c(α)·sqrt((n_a+n_b)/(n_a·n_b)) and ``reject`` compares the
+    UNROUNDED statistic against it. NULL values are excluded from both
+    samples.
+
+    When both samples are slices of ONE source, use
+    :func:`ks_two_sample_split` instead — this union shape scans each
+    input separately."""
+    tagged = (
+        a.select(F.col(value_col).cast("double").alias("v"),
+                 F.lit(1).alias("wa"), F.lit(0).alias("wb"))
+        .unionAll(
+            b.select(F.col(value_col).cast("double").alias("v"),
+                     F.lit(0).alias("wa"), F.lit(1).alias("wb"))))
+    return _ks_from_tagged(tagged, n_partitions)
+
+
+def ks_two_sample_split(df: DataFrame, value_col: str, a_pred, b_pred,
+                        n_partitions: int | None = None) -> DataFrame:
+    """KS test between two predicate-defined slices of ONE frame — the
+    single-scan form (rows matching neither predicate are dropped at the
+    scan; a row matching both would be counted in both samples, so make
+    the predicates disjoint). Same result contract as
+    :func:`ks_two_sample`."""
+    tagged = (df.select(
+        F.col(value_col).cast("double").alias("v"),
+        a_pred.cast("int").alias("wa"),
+        b_pred.cast("int").alias("wb"))
+        .filter((F.col("wa") + F.col("wb")) > 0))
+    return _ks_from_tagged(tagged, n_partitions)
+
+
+def _ks_from_tagged(tagged: DataFrame,
+                    n_partitions: int | None = None) -> DataFrame:
+    """Distributed-ECDF KS statistic over (v, wa, wb) tagged rows."""
+    spark = tagged.sparkSession
+    nparts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    per_v = (tagged.filter(F.col("v").isNotNull())
+             .groupBy("v").agg(
+                 F.sum("wa").alias("na"), F.sum("wb").alias("nb")))
+    # pid must be identical for both consumers below: repartitionByRange
+    # samples boundaries nondeterministically, so pin the frame
+    part = (per_v.repartitionByRange(nparts, "v")
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    # |partitions|-row frame: exclusive prefix offsets + grand totals
+    # (range partition i holds strictly smaller values than i+1, so
+    # ordering by pid IS ordering by value)
+    w_pid = Window.orderBy("pid")
+    offs = (part.groupBy("pid")
+            .agg(F.sum("na").alias("pa"), F.sum("nb").alias("pb"))
+            .select(
+                "pid",
+                F.coalesce(F.sum("pa").over(
+                    w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)).alias("off_a"),
+                F.coalesce(F.sum("pb").over(
+                    w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)).alias("off_b"),
+                F.sum("pa").over(w_pid.rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing)).alias("n_a"),
+                F.sum("pb").over(w_pid.rowsBetween(
+                    Window.unboundedPreceding,
+                    Window.unboundedFollowing)).alias("n_b")))
+    w_local = (Window.partitionBy("pid").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cdf = (part
+           .withColumn("ca", F.sum("na").over(w_local))
+           .withColumn("cb", F.sum("nb").over(w_local))
+           .join(F.broadcast(offs), "pid")
+           .select(
+               ((F.col("ca") + F.col("off_a")).cast("double")
+                / F.col("n_a").cast("double")).alias("fa"),
+               ((F.col("cb") + F.col("off_b")).cast("double")
+                / F.col("n_b").cast("double")).alias("fb"),
+               "n_a", "n_b"))
+    nad = F.max("n_a").cast("double")
+    nbd = F.max("n_b").cast("double")
+    d = F.max(F.abs(F.col("fa") - F.col("fb")))
+    crit = (F.sqrt(F.lit(-1.0) * F.log(F.lit(KS_ALPHA / 2.0)) / F.lit(2.0))
+            * F.sqrt((nad + nbd) / (nad * nbd)))
+    return cdf.agg(
+        F.round(d, KS_DP).alias("ks_d"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(crit, KS_DP).alias("crit_value"),
+        (d > crit).alias("reject"))
+
+
+def ks_two_sample_duck(a_sql: str, b_sql: str, value_col: str) -> str:
+    """DuckDB mirror of :func:`ks_two_sample` — one global ECDF window
+    (the single-node equivalent of the distributed prefix sum), the same
+    exact-count / double arithmetic, the same alpha."""
+    return f"""
+WITH tagged AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v, 1 AS wa, 0 AS wb FROM ({a_sql})
+  UNION ALL
+  SELECT CAST({value_col} AS DOUBLE) AS v, 0 AS wa, 1 AS wb FROM ({b_sql})),
+per_v AS (
+  SELECT v, SUM(wa) AS na, SUM(wb) AS nb
+  FROM tagged WHERE v IS NOT NULL GROUP BY v),
+cdf AS (
+  SELECT
+    CAST(SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      / CAST((SELECT SUM(na) FROM per_v) AS DOUBLE) AS fa,
+    CAST(SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      / CAST((SELECT SUM(nb) FROM per_v) AS DOUBLE) AS fb,
+    CAST((SELECT SUM(na) FROM per_v) AS BIGINT) AS n_a,
+    CAST((SELECT SUM(nb) FROM per_v) AS BIGINT) AS n_b
+  FROM per_v)
+SELECT ROUND(MAX(ABS(fa - fb)), {KS_DP}) AS ks_d,
+       MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+       ROUND(SQRT(-1.0 * LN({KS_ALPHA / 2.0}) / 2.0)
+             * SQRT((CAST(MAX(n_a) AS DOUBLE) + CAST(MAX(n_b) AS DOUBLE))
+                    / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE))),
+             {KS_DP}) AS crit_value,
+       MAX(ABS(fa - fb)) >
+         SQRT(-1.0 * LN({KS_ALPHA / 2.0}) / 2.0)
+         * SQRT((CAST(MAX(n_a) AS DOUBLE) + CAST(MAX(n_b) AS DOUBLE))
+                / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)))
+         AS reject
+FROM cdf
+"""

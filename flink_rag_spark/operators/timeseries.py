@@ -172,3 +172,82 @@ def time_weighted_avg(df: DataFrame, ts_col: str, value_col: str,
                           / F.sum("_dt")), round_dp).alias("twa"),
                  F.count(F.lit(1)).alias("n_samples"),
                  F.sum("_dt").alias("covered_sec")))
+
+
+#: term-level quantization for decayed sums: each value·weight term is
+#: rounded to this many decimals and summed as DECIMAL, so the partial-
+#: aggregate merge order can't drift the result (same discipline as
+#: time_weighted_avg's DECIMAL accumulation)
+DECAY_TERM_DP = 6
+DECAY_OUT_DP = 4
+
+
+def time_decayed_stats(df: DataFrame, keys: list[str], ts_col: str,
+                       value_col: str, ref_ts: str,
+                       half_life_days: float = 7.0) -> DataFrame:
+    """Exponentially time-decayed aggregates per key — the "recency
+    weighting" primitive (retrieval freshness boosts, decayed activity
+    scores, recency-weighted quality). Each observation contributes
+    weight 2^(−age/half_life) where age is measured back from ``ref_ts``
+    (a FIXED reference instant, so the result is reproducible — pass
+    e.g. the snapshot watermark, never wall-clock now()).
+
+    Returns (keys..., n_events, decayed_sum, decayed_weight,
+    decayed_avg): ``decayed_sum`` = Σ value·w, ``decayed_weight`` = Σ w
+    (the effective sample size), ``decayed_avg`` their ratio.
+
+    Shape: ONE partial+final aggregate — the weight is a scalar
+    expression on the scan (whole-stage codegen), each term is
+    quantized to DECIMAL before summing so the sum is order-independent,
+    and the only shuffle is the groupBy. Observations after ``ref_ts``
+    are excluded (their weight would exceed 1)."""
+    hl_us = half_life_days * 86_400_000_000.0
+    # timestamp_diff is timezone-independent on TIMESTAMP_NTZ columns
+    # (events loads as NTZ), unlike unix_micros which demands TIMESTAMP
+    ref = F.lit(ref_ts).cast("timestamp_ntz")
+    age_us = F.timestamp_diff("MICROSECOND", F.col(ts_col), ref)
+    w = F.pow(F.lit(0.5), age_us.cast("double") / F.lit(hl_us))
+    term = F.round(F.col(value_col).cast("double") * w,
+                   DECAY_TERM_DP).cast("decimal(28,6)")
+    wq = F.round(w, DECAY_TERM_DP).cast("decimal(28,6)")
+    return (df.filter(F.col(ts_col) <= ref)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(term).cast("double"),
+                         DECAY_OUT_DP).alias("decayed_sum"),
+                 F.round(F.sum(wq).cast("double"),
+                         DECAY_OUT_DP).alias("decayed_weight"),
+                 F.round(F.sum(term).cast("double")
+                         / F.sum(wq).cast("double"),
+                         DECAY_OUT_DP).alias("decayed_avg")))
+
+
+def time_decayed_stats_duck(inner_sql: str, keys: list[str], ts_col: str,
+                            value_col: str, ref_ts: str,
+                            half_life_days: float = 7.0) -> str:
+    """DuckDB mirror of :func:`time_decayed_stats` — same microsecond
+    ages, same 0.5^x weights, same DECIMAL term quantization."""
+    ks = ", ".join(keys)
+    hl_us = half_life_days * 86_400_000_000.0
+    return f"""
+WITH src AS (
+  SELECT {ks},
+         CAST(epoch_us(TIMESTAMP '{ref_ts}')
+              - epoch_us({ts_col}) AS DOUBLE) AS age_us,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM ({inner_sql})
+  WHERE {ts_col} <= TIMESTAMP '{ref_ts}'),
+terms AS (
+  SELECT {ks},
+         CAST(ROUND(v * POWER(0.5, age_us / {hl_us!r}),
+                    {DECAY_TERM_DP}) AS DECIMAL(28,6)) AS term,
+         CAST(ROUND(POWER(0.5, age_us / {hl_us!r}),
+                    {DECAY_TERM_DP}) AS DECIMAL(28,6)) AS wq
+  FROM src)
+SELECT {ks}, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(term) AS DOUBLE), {DECAY_OUT_DP}) AS decayed_sum,
+       ROUND(CAST(SUM(wq) AS DOUBLE), {DECAY_OUT_DP}) AS decayed_weight,
+       ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE),
+             {DECAY_OUT_DP}) AS decayed_avg
+FROM terms GROUP BY {ks}
+"""

@@ -1,0 +1,101 @@
+"""Analytics surface, round 8e: per-group OLS trends, SCD Type-2
+history, two-sample KS testing, exponential time decay, categorical
+association. Each builder pairs with a DuckDB oracle assembled from the
+operator's ``*_duck`` twin (plans/catalog_extra.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_rag_spark.operators.association import categorical_association
+from flink_rag_spark.operators.hypothesis import ks_two_sample_split
+from flink_rag_spark.operators.regression import group_ols
+from flink_rag_spark.operators.scd import scd2_history
+from flink_rag_spark.operators.timeseries import time_decayed_stats
+from flink_rag_spark.sources.tables import load_table
+
+#: fixed reference instant for decayed aggregates (just past the events
+#: table's horizon) — a parameter, never wall-clock, so runs reproduce
+DECAY_REF_TS = "2024-01-31 00:00:00"
+DECAY_HALF_LIFE_DAYS = 7.0
+
+
+def _orders_with_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → customer → nation → region, dimensions broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+            .select("c_custkey", "n_name", "r_name"))
+    # customer is data-scale: equi-join on the key (AQE picks broadcast
+    # when a filtered dim side turns out small), never a forced broadcast
+    return o.join(dims, o.o_custkey == F.col("c_custkey"))
+
+
+_ORDERS_REGION_SQL = """
+SELECT o.*, n.n_name, r.r_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def trend_nation_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of order value over time
+    (operators/regression.py): y = o_totalprice, x = days since epoch.
+    The REGR_SLOPE/REGR_R2 aggregate family from exact sums — one
+    partial+final aggregate after the broadcast dimension join."""
+    df = _orders_with_region(spark, sf_dir)
+    x = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return group_ols(df, ["n_name"], x, "o_totalprice")
+
+
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 fold of each customer's order-status change log
+    (operators/scd.py): consecutive equal-status runs become versioned
+    validity intervals — the warehouse dimension-history shape. One
+    shuffle on the customer key shared by every window."""
+    o = load_table(spark, sf_dir, "orders")
+    return scd2_history(o, key="o_custkey", ts_col="o_orderdate",
+                        attr_col="o_orderstatus", tiebreak="o_orderkey")
+
+
+def ks_order_price_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (operators/hypothesis.py):
+    are EUROPE and ASIA order-price distributions the same? Distributed
+    ECDF — ONE scan tags both samples, distinct-value collapse,
+    range-partitioned prefix sums, one final aggregate."""
+    j = _orders_with_region(spark, sf_dir)
+    return ks_two_sample_split(j, "o_totalprice",
+                               F.col("r_name") == "EUROPE",
+                               F.col("r_name") == "ASIA")
+
+
+def decayed_user_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user activity
+    (operators/timeseries.py time_decayed_stats): recency-weighted value
+    sums with a 7-day half-life measured back from the snapshot
+    watermark — the freshness-boost primitive. One aggregate; weights
+    are scan-side scalar expressions."""
+    e = load_table(spark, sf_dir, "events")
+    return time_decayed_stats(e, ["user_id"], "ts", "value",
+                              ref_ts=DECAY_REF_TS,
+                              half_life_days=DECAY_HALF_LIFE_DAYS)
+
+
+def association_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association grid (operators/association.py): market
+    segment × region contingency table with expected counts, PMI and
+    chi-square terms — the label-independence audit. The corpus
+    collapses to |segments|·|regions| cells in one aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return categorical_association(j, "c_mktsegment", "r_name")

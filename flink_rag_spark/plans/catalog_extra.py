@@ -79,12 +79,21 @@ def extra_queries() -> list[tuple]:
         quantile_bins_duck,
         winsorized_stats_duck,
     )
+    from flink_rag_spark.operators.association import (
+        categorical_association_duck,
+    )
+    from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
+    from flink_rag_spark.operators.regression import group_ols_duck
+    from flink_rag_spark.operators.scd import scd2_history_duck
+    from flink_rag_spark.operators.timeseries import time_decayed_stats_duck
     from flink_rag_spark.plans import (
+        analytics as A,
         llm,
         relational as R,
         relational2 as R2,
         relational3 as R3,
     )
+    from flink_rag_spark.plans.analytics import _ORDERS_REGION_SQL
     from flink_rag_spark.plans.catalog import (
         DP,
         ORACLE_ANTI,
@@ -1436,6 +1445,52 @@ FROM embeddings e CROSS JOIN (
         # pure-python replica in tests/test_round8d_ops.py
         ("bpe_merges_docs", llm.bpe_merges_docs, None,
          ("text", "encoding", "training")),
+        # round-8e: per-group OLS trend from exact sums — the
+        # REGR_SLOPE/REGR_R2 family (operators/regression.py)
+        ("trend_nation_order_value", A.trend_nation_order_value,
+         group_ols_duck(
+             "SELECT n_name, o_orderdate, o_totalprice FROM ("
+             + _ORDERS_REGION_SQL + ")",
+             ["n_name"],
+             "datediff('day', DATE '1970-01-01', o_orderdate)",
+             "o_totalprice"),
+         ("agg", "regression", "stats")),
+        # round-8e: SCD Type-2 validity intervals from a change log —
+        # gaps-and-islands fold, ONE key exchange (operators/scd.py)
+        ("scd2_customer_status_history", A.scd2_customer_status_history,
+         scd2_history_duck("SELECT * FROM orders", "o_custkey",
+                           "o_orderdate", "o_orderstatus", "o_orderkey"),
+         ("window", "scd", "history")),
+        # round-8e: two-sample KS test via a DISTRIBUTED ECDF — range-
+        # partitioned prefix sums, no global window
+        # (operators/hypothesis.py)
+        ("ks_order_price_regions", A.ks_order_price_regions,
+         ks_two_sample_duck(
+             "SELECT o_totalprice FROM (" + _ORDERS_REGION_SQL
+             + ") WHERE r_name = 'EUROPE'",
+             "SELECT o_totalprice FROM (" + _ORDERS_REGION_SQL
+             + ") WHERE r_name = 'ASIA'",
+             "o_totalprice"),
+         ("stats", "hypothesis", "drift")),
+        # round-8e: exponential time-decay aggregates — recency
+        # weighting from a fixed reference instant
+        # (operators/timeseries.py time_decayed_stats)
+        ("decayed_user_event_value", A.decayed_user_event_value,
+         time_decayed_stats_duck("SELECT * FROM events", ["user_id"],
+                                 "ts", "value", A.DECAY_REF_TS,
+                                 A.DECAY_HALF_LIFE_DAYS),
+         ("agg", "timeseries", "decay")),
+        # round-8e: categorical association grid — contingency table
+        # with expected / PMI / chi-square terms, empty cells included
+        # (operators/association.py)
+        ("association_segment_region", A.association_segment_region,
+         categorical_association_duck(
+             """SELECT c.c_mktsegment, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey""",
+             "c_mktsegment", "r_name"),
+         ("agg", "stats", "association")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

@@ -1,0 +1,183 @@
+"""Round-8e operator contracts: per-group OLS, SCD Type-2 history,
+two-sample KS, exponential time decay, categorical association.
+
+`test_oracle_parity.py` value-hashes the catalog entries against DuckDB;
+these tests pin the DEFINITIONS on hand-built inputs where the expected
+values are computable by hand, so an implementation-and-oracle that
+drifted together would still fail.
+"""
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------- OLS
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "g string, x bigint, y double")
+
+
+def test_group_ols_exact_line(spark):
+    from flink_rag_spark.operators.regression import group_ols
+    # y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+    df = _pts(spark, [("a", x, 2.0 * x + 1.0) for x in range(5)])
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert r["n_points"] == 5
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0 and r["r2"] == 1.0
+
+
+def test_group_ols_known_scatter(spark):
+    from flink_rag_spark.operators.regression import group_ols
+    # hand-computed: x=[0,1,2], y=[0,1,3] -> slope 1.5, intercept -1/6,
+    # r2 = cov²/(varx·vary) = (n·sxy-sx·sy)²/... = (3·7-3·4)²/((3·5-9)(3·10-16))
+    df = _pts(spark, [("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 3.0)])
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] == 1.5
+    assert r["intercept"] == round(-1.0 / 6.0, 4)
+    assert r["r2"] == round(81.0 / (6.0 * 14.0), 6)
+
+
+def test_group_ols_degenerate_groups(spark):
+    from flink_rag_spark.operators.regression import group_ols
+    # one point, and a zero-x-variance pair -> NULL stats, n still counted;
+    # constant-y group -> slope 0, r2 NULL (no y variance)
+    df = _pts(spark, [("single", 3, 9.0),
+                      ("novar", 5, 1.0), ("novar", 5, 2.0),
+                      ("flat", 0, 7.0), ("flat", 1, 7.0)])
+    rows = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert rows["single"]["slope"] is None and rows["single"]["n_points"] == 1
+    assert rows["novar"]["slope"] is None and rows["novar"]["r2"] is None
+    assert rows["flat"]["slope"] == 0.0 and rows["flat"]["intercept"] == 7.0
+    assert rows["flat"]["r2"] is None
+
+
+# --------------------------------------------------------------- SCD2
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [(k, datetime(2024, 1, d), v, seq) for k, d, v, seq in rows],
+        "k bigint, ts timestamp, attr string, seq bigint")
+
+
+def test_scd2_runs_and_intervals(spark):
+    from flink_rag_spark.operators.scd import scd2_history
+    # k=1: A,A,B,A -> three runs; k=2: single run
+    log = _log(spark, [(1, 1, "A", 0), (1, 2, "A", 1), (1, 3, "B", 2),
+                       (1, 5, "A", 3), (2, 4, "X", 0)])
+    out = scd2_history(log, "k", "ts", "attr", "seq").collect()
+    k1 = sorted([r for r in out if r["k"] == 1], key=lambda r: r["version"])
+    assert [r["attr"] for r in k1] == ["A", "B", "A"]
+    assert [r["n_changes"] for r in k1] == [2, 1, 1]
+    # half-open contiguity: each valid_to is the next valid_from
+    assert k1[0]["valid_to"] == k1[1]["valid_from"] == datetime(2024, 1, 3)
+    assert k1[1]["valid_to"] == k1[2]["valid_from"] == datetime(2024, 1, 5)
+    assert k1[2]["valid_to"] is None and k1[2]["is_current"]
+    assert sum(r["is_current"] for r in out if r["k"] == 1) == 1
+    k2 = [r for r in out if r["k"] == 2]
+    assert len(k2) == 1 and k2[0]["is_current"] and k2[0]["version"] == 1
+
+
+def test_scd2_same_timestamp_tiebreak(spark):
+    from flink_rag_spark.operators.scd import scd2_history
+    # two same-day flips: the seq column orders them A(0) -> B(1), so the
+    # history is A then B, deterministically
+    log = _log(spark, [(7, 1, "A", 0), (7, 1, "B", 1)])
+    out = sorted(scd2_history(log, "k", "ts", "attr", "seq").collect(),
+                 key=lambda r: r["version"])
+    assert [r["attr"] for r in out] == ["A", "B"]
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+
+
+# ----------------------------------------------------------------- KS
+
+def _sample(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def test_ks_identical_and_disjoint(spark):
+    from flink_rag_spark.operators.hypothesis import ks_two_sample
+    a = _sample(spark, range(50))
+    same = ks_two_sample(a, _sample(spark, range(50)), "v").collect()[0]
+    assert same["ks_d"] == 0.0 and not same["reject"]
+    assert same["n_a"] == same["n_b"] == 50
+    apart = ks_two_sample(a, _sample(spark, range(100, 150)), "v").collect()[0]
+    assert apart["ks_d"] == 1.0 and apart["reject"]
+
+
+def test_ks_hand_computed_and_split_equivalence(spark):
+    from flink_rag_spark.operators.hypothesis import (
+        ks_two_sample, ks_two_sample_split)
+    # a=[1,2,3,4], b=[3,4,5,6]: max CDF gap is at v=2 -> |2/4 - 0| = 0.5
+    a, b = [1, 2, 3, 4], [3, 4, 5, 6]
+    two = ks_two_sample(_sample(spark, a), _sample(spark, b), "v").collect()[0]
+    assert two["ks_d"] == 0.5
+    tagged = spark.createDataFrame(
+        [(float(v), "a") for v in a] + [(float(v), "b") for v in b],
+        "v double, s string")
+    one = ks_two_sample_split(tagged, "v", F.col("s") == "a",
+                              F.col("s") == "b").collect()[0]
+    assert one == two
+
+
+def test_ks_partition_invariance(spark):
+    from flink_rag_spark.operators.hypothesis import ks_two_sample
+    # the distributed prefix sum must not depend on the range partition
+    # count (1 partition == the single-window plan)
+    a = _sample(spark, [v * 7 % 101 for v in range(80)])
+    b = _sample(spark, [v * 13 % 97 for v in range(60)])
+    r1 = ks_two_sample(a, b, "v", n_partitions=1).collect()[0]
+    r32 = ks_two_sample(a, b, "v", n_partitions=32).collect()[0]
+    assert r1 == r32
+
+
+# -------------------------------------------------------------- decay
+
+def test_time_decayed_stats_hand_values(spark):
+    from flink_rag_spark.operators.timeseries import time_decayed_stats
+    rows = [
+        (1, datetime(2024, 1, 31), 10.0),   # age 0 -> w=1
+        (1, datetime(2024, 1, 24), 10.0),   # age = half-life -> w=0.5
+        (1, datetime(2024, 1, 10), 8.0),    # age 21d -> w=0.125
+        (2, datetime(2024, 2, 5), 99.0),    # after ref -> excluded
+        (2, datetime(2024, 1, 17), 4.0),    # age 14d -> w=0.25
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    out = {r["user_id"]: r for r in time_decayed_stats(
+        df, ["user_id"], "ts", "value",
+        ref_ts="2024-01-31 00:00:00", half_life_days=7.0).collect()}
+    assert out[1]["n_events"] == 3
+    assert out[1]["decayed_sum"] == 10.0 + 5.0 + 1.0
+    assert out[1]["decayed_weight"] == 1.0 + 0.5 + 0.125
+    assert out[1]["decayed_avg"] == round(16.0 / 1.625, 4)
+    assert out[2]["n_events"] == 1 and out[2]["decayed_sum"] == 1.0
+
+
+# --------------------------------------------------------- association
+
+def test_categorical_association_grid(spark):
+    from flink_rag_spark.operators.association import categorical_association
+    import math
+    # 2x2 with an empty (y,p) cell: x:q=2 x:p=2 y:q=2
+    df = spark.createDataFrame(
+        [("x", "q"), ("x", "q"), ("x", "p"), ("x", "p"), ("y", "q"),
+         ("y", "q"), (None, "q")], "a string, b string")
+    out = {(r["a"], r["b"]): r
+           for r in categorical_association(df, "a", "b").collect()}
+    assert len(out) == 4                       # full grid incl. empty cell
+    assert out[("y", "p")]["n_xy"] == 0
+    assert out[("y", "p")]["pmi"] is None      # ln 0 cell -> NULL
+    assert out[("y", "p")]["expected"] == round(2 * 2 / 6.0, 4)
+    assert out[("x", "q")]["n_xy"] == 2 and out[("x", "q")]["n_x"] == 4
+    assert out[("x", "q")]["pmi"] == round(math.log(2 * 6 / (4.0 * 4.0)), 6)
+    # NULL-keyed row excluded from every count
+    assert sum(r["n_xy"] for r in out.values()) == 6
+    # chi2 terms: (obs-exp)^2/exp summed = 6·(1/8 + 1/24 + ...) hand value
+    chi2 = sum(r["chi2_term"] for r in out.values())
+    exp = {("x", "q"): 8 / 3, ("x", "p"): 4 / 3,
+           ("y", "q"): 4 / 3, ("y", "p"): 2 / 3}
+    want = sum((obs - exp[c]) ** 2 / exp[c] for c, obs in
+               [(("x", "q"), 2), (("x", "p"), 2), (("y", "q"), 2),
+                (("y", "p"), 0)])
+    assert chi2 == pytest.approx(want, abs=2e-6)
