@@ -276,7 +276,12 @@ def main() -> None:
              # categorical association grid
              "trend_nation_order_value", "scd2_customer_status_history",
              "ks_order_price_regions", "decayed_user_event_value",
-             "association_segment_region"]
+             "association_segment_region",
+             # round-8e wave 2: degree-oriented triangle counting,
+             # k-anonymity audit, TF-IDF keyword extraction, anchored
+             # decay (the streaming decay monitor's batch twin)
+             "part_triangle_stats", "k_anonymity_customers",
+             "keywords_tfidf_docs", "decayed_at_latest_user_value"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 #: edge-count ceiling for the driver-side union-find fast path. 1M edges of
 #: two 64-bit ids ≈ 16 MB collected — same order as a default broadcast
@@ -348,3 +349,95 @@ def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
             f"FROM nodes LEFT JOIN c{i} USING (node), nn, dm{i})")
     return ("WITH " + ",\n".join(cte)
             + f"\nSELECT node, ROUND(pr, 6) AS pr FROM pr{iters}")
+
+
+def triangle_counts(pairs: DataFrame, x: str = "u",
+                    y: str = "v") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    community-density diagnostic over a relational co-occurrence graph.
+
+    Returns (node, degree, triangles, clustering_coeff) for every node
+    with at least one edge; ``clustering_coeff`` = 2T/(d(d−1)) (NULL for
+    degree-1 nodes).
+
+    Plan at 100 TB — the degree-orientation ("node-iterator++") scheme:
+    each canonical edge is ORIENTED from its (degree, id)-smaller
+    endpoint to the larger, so every wedge is enumerated exactly once at
+    its smallest vertex and a node's out-degree is O(√m) on any graph —
+    the skewed hub that would explode a naive wedge join fans out only
+    to higher-degree peers. Three equi-joins total (degrees onto edges,
+    wedge self-join on the apex, closing-edge probe on the oriented
+    pair); the oriented edge set feeds two consumers and is the
+    smallest frame in the plan, so it is pinned. No cross join, no
+    driver-side graph state."""
+    e = _canon_edges(pairs, x, y)
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    oriented = (ranked.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dt"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    o1 = oriented.select(F.col("s"), F.col("t").alias("t1"),
+                         F.col("dt").alias("dt1"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("t2"),
+                         F.col("dt").alias("dt2"))
+    wedges = (o1.join(o2, "s")
+              .filter(F.struct("dt1", "t1") < F.struct("dt2", "t2"))
+              .select("s", "t1", "t2"))
+    closing = oriented.select(F.col("s").alias("t1"),
+                              F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"])
+    members = (tri.select(F.col("s").alias("node"))
+               .unionAll(tri.select(F.col("t1").alias("node")))
+               .unionAll(tri.select(F.col("t2").alias("node"))))
+    cnt = members.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    dd = F.col("degree").cast("double")
+    return (deg.join(cnt, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.round(F.when(
+                        F.col("degree") >= 2,
+                        (F.lit(2.0) * F.coalesce("triangles", F.lit(0))
+                         .cast("double")) / (dd * (dd - F.lit(1.0)))),
+                        6).alias("clustering_coeff")))
+
+
+def triangle_counts_duck(edges_sql: str, x: str = "u",
+                         y: str = "v") -> str:
+    """DuckDB mirror of :func:`triangle_counts` — the canonical-id
+    three-way join form (each triangle x<y<z found once), same grid and
+    coefficient arithmetic. Orientation is a distributed-execution
+    concern; on identical edge sets both forms count identical
+    triangles."""
+    return f"""
+WITH raw AS (SELECT {x} AS x0, {y} AS y0 FROM ({edges_sql})),
+e AS (SELECT DISTINCT LEAST(x0, y0) AS a, GREATEST(x0, y0) AS b
+      FROM raw WHERE x0 <> y0),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+members AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM members GROUP BY node),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+SELECT d.node, d.degree,
+       COALESCE(c.triangles, 0) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2 THEN
+               (2.0 * CAST(COALESCE(c.triangles, 0) AS DOUBLE))
+               / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+             END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+"""

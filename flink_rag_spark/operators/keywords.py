@@ -1,0 +1,89 @@
+"""Per-document keyword extraction — TF-IDF top-N terms.
+
+The classic corpus-statistics summarizer: a document's most
+characteristic terms are the ones frequent in it and rare elsewhere.
+BM25 (`operators/ranking.py`) scores documents FOR a query; this is the
+query-free inverse — per-document salient terms for tagging, faceting,
+weak labels, and index-time term boosting. Tokenization matches the
+engine's word-level family (`operators/encoding.py` `_TOKS`), so
+keyword terms align with the induced vocabulary.
+
+Plan at 100 TB: wordcount-shaped — explode → (doc, token) partial+final
+aggregate for TF, a vocabulary-sized re-aggregation for DF, the
+(token, idf) table joined back BROADCAST (a vocabulary is bounded at
+any corpus size; `min_df` prunes the hapax tail before the join), and
+the per-document top-N is a window over each document's OWN terms —
+partitioned by doc id, never a global sort.
+
+Determinism: idf = ln((1+N)/(1+df)) + 1 (the sklearn smooth-idf form)
+over exact integer counts; score ties broken by token ASC, so the rank
+cut is total."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from flink_rag_spark.operators.encoding import _TOKS
+
+SCORE_DP = 6
+
+
+def tfidf_keywords(docs: DataFrame, text_col: str, id_col: str,
+                   top_n: int = 5, min_df: int = 2) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document: (id, token, tf,
+    doc_freq, score, rank). Terms appearing in fewer than ``min_df``
+    documents are excluded (they are typos/noise, and pruning them
+    bounds the broadcast idf table)."""
+    tf = (docs.select(F.col(id_col),
+                      F.explode(F.expr(_TOKS.format(s=text_col)))
+                      .alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+             .filter(F.col("doc_freq") >= min_df)
+             .crossJoin(F.broadcast(n_docs))
+             .select("token", "doc_freq",
+                     (F.log((F.lit(1.0) + F.col("n_docs").cast("double"))
+                            / (F.lit(1.0) + F.col("doc_freq").cast("double")))
+                      + F.lit(1.0)).alias("idf")))
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .withColumn("score", F.col("tf").cast("double") * F.col("idf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(id_col, "token", "tf", "doc_freq",
+                    F.round("score", SCORE_DP).alias("score"), "rank"))
+
+
+def tfidf_keywords_duck(inner_sql: str, text_col: str, id_col: str,
+                        top_n: int = 5, min_df: int = 2) -> str:
+    """DuckDB mirror of :func:`tfidf_keywords` — same tokenizer, same
+    smooth idf, same (score DESC, token ASC) total rank order."""
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql})),
+tf AS (
+  SELECT {id_col}, t.token, COUNT(*) AS tf
+  FROM src, UNNEST(string_split_regex(trim(lower({text_col})), '\\s+'))
+       AS t(token)
+  WHERE t.token <> ''
+  GROUP BY {id_col}, t.token),
+nd AS (SELECT COUNT(*) AS n_docs FROM src),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         LN((1.0 + CAST((SELECT n_docs FROM nd) AS DOUBLE))
+            / (1.0 + CAST(COUNT(*) AS DOUBLE))) + 1.0 AS idf
+  FROM tf GROUP BY token HAVING COUNT(*) >= {min_df}),
+scored AS (
+  SELECT tf.{id_col}, tf.token, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf AS DOUBLE) * dfreq.idf AS score
+  FROM tf JOIN dfreq USING (token)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+                               ORDER BY score DESC, token ASC) AS rank
+  FROM scored)
+SELECT {id_col}, token, tf, doc_freq, ROUND(score, {SCORE_DP}) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {top_n}
+"""

@@ -1,0 +1,68 @@
+"""Privacy auditing — k-anonymity over quasi-identifier combinations.
+
+Regex PII redaction (`operators/redaction.py`) scrubs direct
+identifiers; the remaining re-identification risk in a released corpus
+is the QUASI-identifier combination (segment × nation × age band …)
+that is rare enough to single someone out. The k-anonymity audit is the
+standard measure: every QI combination must be shared by ≥ k rows.
+
+Plan at 100 TB: the audit is ONE partial+final aggregate over the QI
+columns (map-side combine collapses the corpus to the QI-combination
+cardinality); the suppression pass is a broadcast semi join of the
+at-risk combinations back onto the scan — at-risk groups are small *by
+definition* (each has < k rows), so the broadcast side is bounded by
+k · |at-risk combinations|. No window, no second full shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
+                      k: int) -> DataFrame:
+    """Per-QI-combination audit: (qi..., group_size, at_risk).
+
+    ``at_risk`` marks combinations with fewer than ``k`` rows — the rows
+    a release would have to suppress or generalize. NULL QI values are
+    audited as their own combination (a NULL segment still identifies).
+    The overall k-anonymity level of the table is
+    ``min(group_size)`` over this result."""
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .withColumn("at_risk", F.col("group_size") < k))
+
+
+def suppress_below_k(df: DataFrame, qi_cols: list[str],
+                     k: int) -> DataFrame:
+    """The enforcement twin: drop every row whose QI combination has
+    fewer than ``k`` occurrences, leaving a table that IS k-anonymous
+    on ``qi_cols``. Anti join against the (broadcast-small) at-risk
+    combination set."""
+    risky = (k_anonymity_audit(df, qi_cols, k)
+             .filter(F.col("at_risk")).select(*qi_cols))
+    return df.join(F.broadcast(risky), qi_cols, "left_anti")
+
+
+def k_anonymity_audit_duck(inner_sql: str, qi_cols: list[str],
+                           k: int) -> str:
+    """DuckDB mirror of :func:`k_anonymity_audit`."""
+    qs = ", ".join(qi_cols)
+    return f"""
+SELECT {qs}, COUNT(*) AS group_size, COUNT(*) < {k} AS at_risk
+FROM ({inner_sql}) GROUP BY {qs}
+"""
+
+
+def suppress_below_k_duck(inner_sql: str, qi_cols: list[str],
+                          k: int) -> str:
+    """DuckDB mirror of :func:`suppress_below_k`."""
+    qs = ", ".join(qi_cols)
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql})),
+sizes AS (SELECT {qs}, COUNT(*) AS n FROM src GROUP BY {qs})
+SELECT src.* FROM src
+JOIN sizes USING ({qs})
+WHERE sizes.n >= {k}
+"""

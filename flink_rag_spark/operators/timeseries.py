@@ -213,10 +213,10 @@ def time_decayed_stats(df: DataFrame, keys: list[str], ts_col: str,
     return (df.filter(F.col(ts_col) <= ref)
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum(term).cast("double"),
-                         DECAY_OUT_DP).alias("decayed_sum"),
-                 F.round(F.sum(wq).cast("double"),
-                         DECAY_OUT_DP).alias("decayed_weight"),
+                 F.round(F.sum(term), DECAY_OUT_DP).cast("double")
+                 .alias("decayed_sum"),
+                 F.round(F.sum(wq), DECAY_OUT_DP).cast("double")
+                 .alias("decayed_weight"),
                  F.round(F.sum(term).cast("double")
                          / F.sum(wq).cast("double"),
                          DECAY_OUT_DP).alias("decayed_avg")))
@@ -245,9 +245,71 @@ terms AS (
                     {DECAY_TERM_DP}) AS DECIMAL(28,6)) AS wq
   FROM src)
 SELECT {ks}, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(term) AS DOUBLE), {DECAY_OUT_DP}) AS decayed_sum,
-       ROUND(CAST(SUM(wq) AS DOUBLE), {DECAY_OUT_DP}) AS decayed_weight,
+       CAST(ROUND(SUM(term), {DECAY_OUT_DP}) AS DOUBLE) AS decayed_sum,
+       CAST(ROUND(SUM(wq), {DECAY_OUT_DP}) AS DOUBLE) AS decayed_weight,
        ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(wq) AS DOUBLE),
              {DECAY_OUT_DP}) AS decayed_avg
+FROM terms GROUP BY {ks}
+"""
+
+
+def time_decayed_at_latest(df: DataFrame, keys: list[str], ts_col: str,
+                           value_col: str,
+                           half_life_days: float = 7.0) -> DataFrame:
+    """Per-key decayed aggregates anchored at EACH KEY'S OWN latest
+    event (ref = max ts within the key) — the state a streaming decay
+    monitor (`streaming/decay.py`) holds after folding the key's
+    history: s = Σ value·0.5^((t_latest − t)/half_life).
+
+    Shape: one window max over the key partitioning + the same
+    quantized-DECIMAL aggregate as :func:`time_decayed_stats` — the
+    window and the groupBy share a single key exchange.
+
+    Returns (keys..., n_events, decayed_sum, decayed_weight, last_ts).
+    """
+    hl_us = half_life_days * 86_400_000_000.0
+    w_key = Window.partitionBy(*keys)
+    ref = F.max(ts_col).over(w_key)
+    age_us = F.timestamp_diff("MICROSECOND", F.col(ts_col), ref)
+    w = F.pow(F.lit(0.5), age_us.cast("double") / F.lit(hl_us))
+    src = df.select(*keys, ts_col, value_col,
+                    F.round(F.col(value_col).cast("double") * w,
+                            DECAY_TERM_DP).cast("decimal(28,6)").alias("_t"),
+                    F.round(w, DECAY_TERM_DP)
+                    .cast("decimal(28,6)").alias("_w"))
+    return (src.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("_t"), DECAY_OUT_DP).cast("double")
+                 .alias("decayed_sum"),
+                 F.round(F.sum("_w"), DECAY_OUT_DP).cast("double")
+                 .alias("decayed_weight"),
+                 F.max(ts_col).alias("last_ts")))
+
+
+def time_decayed_at_latest_duck(inner_sql: str, keys: list[str],
+                                ts_col: str, value_col: str,
+                                half_life_days: float = 7.0) -> str:
+    """DuckDB mirror of :func:`time_decayed_at_latest`."""
+    ks = ", ".join(keys)
+    hl_us = half_life_days * 86_400_000_000.0
+    return f"""
+WITH src AS (
+  SELECT {ks}, {ts_col} AS ts,
+         CAST({value_col} AS DOUBLE) AS v,
+         MAX({ts_col}) OVER (PARTITION BY {ks}) AS ref
+  FROM ({inner_sql})),
+terms AS (
+  SELECT {ks}, ts,
+         CAST(ROUND(v * POWER(0.5,
+               CAST(epoch_us(ref) - epoch_us(ts) AS DOUBLE) / {hl_us!r}),
+               {DECAY_TERM_DP}) AS DECIMAL(28,6)) AS t,
+         CAST(ROUND(POWER(0.5,
+               CAST(epoch_us(ref) - epoch_us(ts) AS DOUBLE) / {hl_us!r}),
+               {DECAY_TERM_DP}) AS DECIMAL(28,6)) AS w
+  FROM src)
+SELECT {ks}, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(t), {DECAY_OUT_DP}) AS DOUBLE) AS decayed_sum,
+       CAST(ROUND(SUM(w), {DECAY_OUT_DP}) AS DOUBLE) AS decayed_weight,
+       MAX(ts) AS last_ts
 FROM terms GROUP BY {ks}
 """

@@ -13,7 +13,10 @@ from flink_rag_spark.operators.association import categorical_association
 from flink_rag_spark.operators.hypothesis import ks_two_sample_split
 from flink_rag_spark.operators.regression import group_ols
 from flink_rag_spark.operators.scd import scd2_history
-from flink_rag_spark.operators.timeseries import time_decayed_stats
+from flink_rag_spark.operators.timeseries import (
+    time_decayed_at_latest,
+    time_decayed_stats,
+)
 from flink_rag_spark.sources.tables import load_table
 
 #: fixed reference instant for decayed aggregates (just past the events
@@ -99,3 +102,73 @@ def association_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
          .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
     return categorical_association(j, "c_mktsegment", "r_name")
+
+
+#: restrict the co-purchase graph demo to recent orders — the operator is
+#: general; the query keeps the edge set presentation-sized
+TRIANGLE_SINCE = "1998-01-01"
+K_ANON_K = 10
+
+
+def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient
+    (operators/graph.py triangle_counts) over the part co-purchase
+    graph (parts sharing a recent order). Degree-oriented wedge
+    enumeration — each wedge generated once at its smallest vertex,
+    hub fan-out bounded O(√m)."""
+    from flink_rag_spark.operators.graph import triangle_counts
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (li.join(o.filter(F.col("o_orderdate") >= TRIANGLE_SINCE)
+                    .select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .select("l_orderkey", "l_partkey"))
+    a = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("u"))
+    b = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("v"))
+    pairs = (a.join(b, "k").filter(F.col("u") < F.col("v"))
+             .select("u", "v"))
+    return triangle_counts(pairs, "u", "v")
+
+
+_TRIANGLE_EDGES_SQL = f"""
+SELECT l1.l_partkey AS u, l2.l_partkey AS v
+FROM lineitem l1
+JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                AND l1.l_partkey < l2.l_partkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderdate >= DATE '{TRIANGLE_SINCE}'
+"""
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py) over the customer
+    quasi-identifier (market segment, nation): per-combination group
+    sizes with the below-k risk flag. One aggregate over the QI
+    columns."""
+    from flink_rag_spark.operators.privacy import k_anonymity_audit
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return k_anonymity_audit(j, ["c_mktsegment", "n_name"], k=K_ANON_K)
+
+
+def keywords_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (operators/keywords.py):
+    top-5 salient terms per document with smooth idf over exact counts.
+    Wordcount-shaped; the idf table broadcasts; top-N is a per-document
+    window, never a global sort."""
+    from flink_rag_spark.operators.keywords import tfidf_keywords
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d, "text", "doc_id", top_n=5, min_df=2)
+
+
+def decayed_at_latest_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user decayed activity anchored at each user's OWN latest
+    event (operators/timeseries.py time_decayed_at_latest) — the exact
+    state the streaming decay monitor (streaming/decay.py) converges to.
+    One key exchange shared by the anchor window and the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return time_decayed_at_latest(e, ["user_id"], "ts", "value",
+                                  half_life_days=DECAY_HALF_LIFE_DAYS)

@@ -82,10 +82,16 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
     )
+    from flink_rag_spark.operators.graph import triangle_counts_duck
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
+    from flink_rag_spark.operators.keywords import tfidf_keywords_duck
+    from flink_rag_spark.operators.privacy import k_anonymity_audit_duck
     from flink_rag_spark.operators.regression import group_ols_duck
     from flink_rag_spark.operators.scd import scd2_history_duck
-    from flink_rag_spark.operators.timeseries import time_decayed_stats_duck
+    from flink_rag_spark.operators.timeseries import (
+        time_decayed_at_latest_duck,
+        time_decayed_stats_duck,
+    )
     from flink_rag_spark.plans import (
         analytics as A,
         llm,
@@ -1491,6 +1497,34 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "c_mktsegment", "r_name"),
          ("agg", "stats", "association")),
+        # round-8e: the anchored-decay twin — per-key reference instant
+        # (= the streaming decay monitor's converged state,
+        # streaming/decay.py)
+        ("decayed_at_latest_user_value", A.decayed_at_latest_user_value,
+         time_decayed_at_latest_duck("SELECT * FROM events", ["user_id"],
+                                     "ts", "value",
+                                     A.DECAY_HALF_LIFE_DAYS),
+         ("agg", "timeseries", "decay", "stream")),
+        # round-8e wave 2: degree-oriented triangle counting + local
+        # clustering coefficient (operators/graph.py triangle_counts;
+        # the oracle counts via the canonical three-way join)
+        ("part_triangle_stats", A.part_triangle_stats,
+         triangle_counts_duck(A._TRIANGLE_EDGES_SQL),
+         ("graph", "join", "analytics")),
+        # round-8e wave 2: k-anonymity audit over quasi-identifiers
+        # (operators/privacy.py)
+        ("k_anonymity_customers", A.k_anonymity_customers,
+         k_anonymity_audit_duck(
+             """SELECT c.c_mktsegment, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+             ["c_mktsegment", "n_name"], A.K_ANON_K),
+         ("privacy", "agg", "audit")),
+        # round-8e wave 2: per-document TF-IDF keyword extraction
+        # (operators/keywords.py — encoding-family tokenizer)
+        ("keywords_tfidf_docs", A.keywords_tfidf_docs,
+         tfidf_keywords_duck("SELECT doc_id, text FROM documents",
+                             "text", "doc_id", top_n=5, min_df=2),
+         ("text", "keywords", "ranking")),
         # rows-only by nature (approximate / provider-UDF surfaces)
         # round-8: mini-batch codebook update — matmul-argmin float ties
         # make exact SQL replay inappropriate, like the ANN tiers

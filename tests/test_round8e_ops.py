@@ -181,3 +181,169 @@ def test_categorical_association_grid(spark):
                [(("x", "q"), 2), (("x", "p"), 2), (("y", "q"), 2),
                 (("y", "p"), 0)])
     assert chi2 == pytest.approx(want, abs=2e-6)
+
+
+# ------------------------------------------------------------ triangles
+
+def test_triangle_counts_hand_graph(spark):
+    from flink_rag_spark.operators.graph import triangle_counts
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5-1
+    # and an isolated edge 6-7; duplicate/reversed inputs must collapse
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 1), (1, 5), (6, 7), (2, 1)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    out = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert out[1]["degree"] == 4 and out[1]["triangles"] == 3
+    for n in (2, 3, 4):
+        assert out[n]["degree"] == 3 and out[n]["triangles"] == 3
+        assert out[n]["clustering_coeff"] == 1.0
+    assert out[1]["clustering_coeff"] == 0.5       # 2*3/(4*3)
+    assert out[5]["triangles"] == 0 and out[5]["clustering_coeff"] is None
+    assert out[6]["triangles"] == 0 and out[7]["degree"] == 1
+    # total triangle count: each of the 4 K4-triangles counted at 3 nodes
+    assert sum(r["triangles"] for r in out.values()) == 12
+
+
+def test_triangle_counts_star_has_none(spark):
+    from flink_rag_spark.operators.graph import triangle_counts
+    # a hub star has wedges but zero triangles — the wedge join must not
+    # overcount
+    df = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                               "u bigint, v bigint")
+    out = triangle_counts(df).collect()
+    assert all(r["triangles"] == 0 for r in out)
+    assert {r["degree"] for r in out} == {1, 8}
+
+
+# ------------------------------------------------------------- privacy
+
+def test_k_anonymity_audit_and_suppression(spark):
+    from flink_rag_spark.operators.privacy import (
+        k_anonymity_audit, suppress_below_k)
+    rows = ([("a", "x")] * 5 + [("a", "y")] * 2 + [("b", None)] * 3
+            + [("b", "x")])
+    df = spark.createDataFrame(rows, "s string, n string")
+    audit = {(r["s"], r["n"]): r
+             for r in k_anonymity_audit(df, ["s", "n"], k=3).collect()}
+    assert audit[("a", "x")]["group_size"] == 5
+    assert not audit[("a", "x")]["at_risk"]
+    assert audit[("a", "y")]["at_risk"]
+    assert audit[("b", None)]["group_size"] == 3        # NULL is a QI value
+    assert not audit[("b", None)]["at_risk"]
+    kept = suppress_below_k(df, ["s", "n"], k=3)
+    assert kept.count() == 8                            # 5 + 3 survive
+    # the suppressed table IS k-anonymous: re-audit finds no risk
+    re_audit = k_anonymity_audit(kept, ["s", "n"], k=3).collect()
+    assert not any(r["at_risk"] for r in re_audit)
+
+
+# ------------------------------------------------------------ keywords
+
+def test_tfidf_keywords_hand_values(spark):
+    import math
+    from flink_rag_spark.operators.keywords import tfidf_keywords
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "cherry cherry common common")],
+        "doc_id bigint, text string")
+    out = tfidf_keywords(df, "text", "doc_id", top_n=2, min_df=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    idf2 = math.log(4.0 / 3.0) + 1.0      # df=2 terms (apple excluded: df=1)
+    idf3 = math.log(4.0 / 4.0) + 1.0      # 'common' in all 3 docs
+    # doc 1: apple is OOV by min_df, so banana (1·idf2) beats common (1·idf3)
+    assert rows[(1, 1)]["token"] == "banana"
+    assert rows[(1, 1)]["score"] == round(idf2, 6)
+    assert rows[(1, 2)]["token"] == "common"
+    # doc 3: cherry tf=2 -> 2·idf2 tops common tf=2 -> 2·idf3
+    assert rows[(3, 1)]["token"] == "cherry"
+    assert rows[(3, 1)]["score"] == round(2 * idf2, 6)
+    # doc 2: banana and cherry tie at 1·idf2 -> token ASC breaks the tie
+    assert rows[(2, 1)]["token"] == "banana"
+    assert rows[(2, 2)]["token"] == "cherry"
+    assert all(r["doc_freq"] >= 2 for r in rows.values())
+
+
+# -------------------------------------------- streaming decay monitor
+
+def _write_vbatch(spark, path, rows):
+    spark.createDataFrame(
+        [(ts, u, v) for ts, u, v in rows],
+        "ts_s string, user_id bigint, value double"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    import time
+    time.sleep(1.1)
+
+
+def test_streaming_decay_matches_batch_anchor(spark, tmp_path):
+    """The streaming fold's final per-key state must equal the batch
+    anchored aggregate over the same events, including out-of-order
+    arrival ACROSS micro-batches (within the watermark)."""
+    import pytest as _pt
+    from flink_rag_spark.operators.timeseries import time_decayed_at_latest
+    from flink_rag_spark.streaming.decay import decay_monitor
+    src = str(tmp_path / "decay_src")
+    # batch 1: u1 out of order inside the batch; u2 single event
+    _write_vbatch(spark, src, [
+        ("2024-01-08 00:00:00", 1, 10.0),
+        ("2024-01-01 00:00:00", 1, 4.0),
+        ("2024-01-05 00:00:00", 2, 6.0),
+    ])
+    # batch 2: u1 gets an event EARLIER than its batch-1 max (disorder
+    # bounded by the 30-day watermark) + a flush event far in the future
+    _write_vbatch(spark, src, [
+        ("2024-01-04 00:00:00", 1, 2.0),
+        ("2024-01-15 00:00:00", 1, 1.0),
+        ("2024-06-01 00:00:00", 99, 0.0),
+    ])
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id bigint, value double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (decay_monitor(stream, half_life_days=7.0, watermark="30 days")
+         .writeStream.format("memory").queryName("decay_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_decay"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    emitted = spark.sql("select * from decay_t").collect()
+    # latest emission per key (update mode re-emits as state evolves)
+    last = {}
+    for r in emitted:
+        if r["user_id"] not in last or r["n_events"] > last[r["user_id"]]["n_events"]:
+            last[r["user_id"]] = r
+    batch = {r["user_id"]: r for r in time_decayed_at_latest(
+        spark.read.parquet(src).filter("user_id < 99"),
+        ["user_id"], "ts", "value", half_life_days=7.0).collect()}
+    # u99 is the flush key: the watermark never passes its own event, so
+    # it stays buffered and must NOT emit
+    assert set(last) == {1, 2}
+    for uid in (1, 2):
+        assert last[uid]["n_events"] == batch[uid]["n_events"]
+        assert last[uid]["last_ts"] == batch[uid]["last_ts"]
+        assert last[uid]["decayed_sum"] == _pt.approx(
+            batch[uid]["decayed_sum"], rel=1e-6, abs=1e-4)
+        assert last[uid]["decayed_weight"] == _pt.approx(
+            batch[uid]["decayed_weight"], rel=1e-6, abs=1e-4)
+    # hand value for u1: events (1/1, 4), (1/4, 2), (1/8, 10), (1/15, 1)
+    # folded at 7d half-life anchored at 1/15:
+    # 4*2^-2 + 2*2^(-11/7) + 10*2^-1 + 1
+    import math
+    want = (4 * 2 ** (-2.0) + 2 * 2 ** (-11.0 / 7.0)
+            + 10 * 2 ** (-1.0) + 1.0)
+    assert last[1]["decayed_sum"] == _pt.approx(want, rel=1e-9)
+
+
+def test_batch_decay_at_latest_anchor_is_per_key(spark):
+    """Each key anchors at ITS OWN latest event, not the global max."""
+    from datetime import datetime
+    from flink_rag_spark.operators.timeseries import time_decayed_at_latest
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 8.0), (1, datetime(2024, 1, 8), 2.0),
+         (2, datetime(2024, 2, 1), 5.0)],
+        "user_id bigint, ts timestamp, value double")
+    out = {r["user_id"]: r for r in time_decayed_at_latest(
+        df, ["user_id"], "ts", "value", half_life_days=7.0).collect()}
+    assert out[1]["decayed_sum"] == 8 * 0.5 + 2    # anchored at 1/8, not 2/1
+    assert out[1]["last_ts"] == datetime(2024, 1, 8)
+    assert out[2]["decayed_sum"] == 5.0
