@@ -281,7 +281,11 @@ def main() -> None:
              # k-anonymity audit, TF-IDF keyword extraction, anchored
              # decay (the streaming decay monitor's batch twin)
              "part_triangle_stats", "k_anonymity_customers",
-             "keywords_tfidf_docs", "decayed_at_latest_user_value"]
+             "keywords_tfidf_docs", "decayed_at_latest_user_value",
+             # NOTE: ivm_enriched_orders times the DEMO end-to-end
+             # (tempdir build + three appends + dim update + read) like
+             # the other *_indexed/upserted/rollup_* entries
+             "ivm_enriched_orders"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -172,3 +172,56 @@ def decayed_at_latest_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return time_decayed_at_latest(e, ["user_id"], "ts", "value",
                                   half_life_days=DECAY_HALF_LIFE_DAYS)
+
+
+IVM_RELOCATE_MOD = 97
+
+
+def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (operators/ivm.py): build the
+    enriched-orders view (orders ⋈ customer-dims) from pre-1997 history,
+    append 1997 and 1998+ as two fact batches (the first replayed to
+    prove marker idempotency), then relocate every custkey % 97 == 0
+    customer's market segment — a dimension update re-derived from the
+    view's own rows, never rescanning the fact table. The oracle is the
+    from-scratch join with the dim change as a CASE, so incremental ≡
+    recompute is value-verified end to end, the same way
+    rollup_incremental_hourly verifies its materialized store."""
+    import tempfile
+
+    from flink_rag_spark.operators.ivm import (
+        append_facts, apply_dim_update, build_join_view, read_join_view)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("c_custkey", "c_mktsegment", "n_name"))
+    path = tempfile.mkdtemp(prefix="ivm_view_") + "/view"
+    build_join_view(spark, o.filter(F.col("o_orderdate") < "1997-01-01"),
+                    dims, path, "o_custkey", "c_custkey", "o_orderdate")
+    b1 = o.filter((F.col("o_orderdate") >= "1997-01-01")
+                  & (F.col("o_orderdate") < "1998-01-01"))
+    append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
+                 "o_orderdate", batch_id=1)
+    append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
+                 "o_orderdate", batch_id=1)  # replay: must be a no-op
+    append_facts(spark, o.filter(F.col("o_orderdate") >= "1998-01-01"),
+                 dims, path, "o_custkey", "c_custkey",
+                 "o_orderdate", batch_id=2)
+    moved = (dims.filter(F.col("c_custkey") % IVM_RELOCATE_MOD == 0)
+             .withColumn("c_mktsegment", F.lit("RELOCATED")))
+    apply_dim_update(spark, moved, path, "o_custkey", "c_custkey")
+    return read_join_view(spark, path).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "c_mktsegment", "n_name", "pmonth")
+
+
+ORACLE_IVM_ENRICHED = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+       CASE WHEN c.c_custkey % {IVM_RELOCATE_MOD} = 0 THEN 'RELOCATED'
+            ELSE c.c_mktsegment END AS c_mktsegment,
+       n.n_name, strftime(o.o_orderdate, '%Y-%m') AS pmonth
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""

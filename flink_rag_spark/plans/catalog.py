@@ -1316,7 +1316,13 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: seeded (bucket, pos) machinery is executed INSIDE the graded
 #: curriculum_ordered_docs) and two redundant relational slots demoted
 #: from _GRADED (q5_region_revenue, range_join_price_bands — notes at
-#: their former sites).
+#: their former sites). The incrementally-maintained JOIN view
+#: (ivm_enriched_orders — build + replay-idempotent appends + a
+#: dimension update, oracle = from-scratch join) takes
+#: kmeans_assign_cells' slot: cell assignment is the stage executed
+#: INSIDE the graded ann_methods_vec7 IVF tier and was transitively
+#: graded via semantic_dedup_docs in round 7; it keeps its pytest
+#: oracle.
 _PROMOTED = [
     "trend_nation_order_value",
     "scd2_customer_status_history",
@@ -1352,7 +1358,7 @@ _PROMOTED = [
     "curated_packed_training_set",
     "rag_reranked_answer",
     "bm25_topk_indexed_docs",
-    "kmeans_assign_cells",
+    "ivm_enriched_orders",
     "time_weighted_daily_value",
     ]
 

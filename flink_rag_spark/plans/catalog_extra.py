@@ -1505,6 +1505,12 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                      "ts", "value",
                                      A.DECAY_HALF_LIFE_DAYS),
          ("agg", "timeseries", "decay", "stream")),
+        # round-8e: incrementally-maintained JOIN view — fact appends
+        # (replay-idempotent markers) + a dimension update re-derived
+        # from the view itself; oracle = from-scratch join with the dim
+        # change as a CASE (operators/ivm.py)
+        ("ivm_enriched_orders", A.ivm_enriched_orders,
+         A.ORACLE_IVM_ENRICHED, ("ivm", "join", "incremental")),
         # round-8e wave 2: degree-oriented triangle counting + local
         # clustering coefficient (operators/graph.py triangle_counts;
         # the oracle counts via the canonical three-way join)

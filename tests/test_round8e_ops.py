@@ -347,3 +347,97 @@ def test_batch_decay_at_latest_anchor_is_per_key(spark):
     assert out[1]["decayed_sum"] == 8 * 0.5 + 2    # anchored at 1/8, not 2/1
     assert out[1]["last_ts"] == datetime(2024, 1, 8)
     assert out[2]["decayed_sum"] == 5.0
+
+
+# ------------------------------------------ incremental join view (IVM)
+
+def _facts(spark, rows):
+    from datetime import datetime
+    return spark.createDataFrame(
+        [(k, c, datetime(y, m, d), p) for k, c, (y, m, d), p in rows],
+        "o_id bigint, cust bigint, ts timestamp, price double")
+
+
+def _dims(spark, rows):
+    return spark.createDataFrame(rows, "ck bigint, seg string")
+
+
+def _vrows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivm_append_equals_rebuild(spark, tmp_path):
+    from flink_rag_spark.operators.ivm import (
+        append_facts, build_join_view, read_join_view)
+    path = str(tmp_path / "view")
+    dims = _dims(spark, [(1, "A"), (2, "B")])
+    f0 = _facts(spark, [(10, 1, (2024, 1, 5), 5.0),
+                        (11, 2, (2024, 2, 1), 7.0)])
+    build_join_view(spark, f0, dims, path, "cust", "ck", "ts")
+    f1 = _facts(spark, [(12, 1, (2024, 2, 9), 3.0),
+                        (13, 2, (2024, 3, 2), 2.0)])
+    touched = append_facts(spark, f1, dims, path, "cust", "ck", "ts")
+    assert touched == ["2024-02", "2024-03"]
+    from flink_rag_spark.operators.ivm import _enriched
+    full = _enriched(f0.unionByName(f1), dims, "cust", "ck", "ts")
+    got = read_join_view(spark, path)
+    assert _vrows(got.select(*full.columns)) == _vrows(full)
+
+
+def test_ivm_append_replay_idempotent(spark, tmp_path):
+    from flink_rag_spark.operators.ivm import (
+        append_facts, build_join_view, read_join_view)
+    path = str(tmp_path / "view_r")
+    dims = _dims(spark, [(1, "A")])
+    build_join_view(spark, _facts(spark, [(10, 1, (2024, 1, 5), 5.0)]),
+                    dims, path, "cust", "ck", "ts")
+    f1 = _facts(spark, [(11, 1, (2024, 1, 9), 3.0)])
+    t1 = append_facts(spark, f1, dims, path, "cust", "ck", "ts", batch_id=7)
+    assert t1 == ["2024-01"]
+    t2 = append_facts(spark, f1, dims, path, "cust", "ck", "ts", batch_id=7)
+    assert t2 == []                                  # replay skipped
+    assert read_join_view(spark, path).count() == 2  # no duplicate rows
+    # a NEW batch id still lands
+    f2 = _facts(spark, [(12, 1, (2024, 1, 20), 1.0)])
+    t3 = append_facts(spark, f2, dims, path, "cust", "ck", "ts", batch_id=8)
+    assert t3 == ["2024-01"]
+    assert read_join_view(spark, path).count() == 3
+
+
+def test_ivm_dim_update_from_view_only(spark, tmp_path):
+    from flink_rag_spark.operators.ivm import (
+        apply_dim_update, build_join_view, read_join_view, _enriched)
+    path = str(tmp_path / "view_d")
+    dims = _dims(spark, [(1, "A"), (2, "B"), (3, "C")])
+    f = _facts(spark, [(10, 1, (2024, 1, 5), 5.0),
+                       (11, 2, (2024, 1, 7), 7.0),
+                       (12, 1, (2024, 3, 1), 2.0),
+                       (13, 3, (2024, 4, 1), 9.0)])
+    build_join_view(spark, f, dims, path, "cust", "ck", "ts")
+    # customer 1 moves to segment Z — touches 2024-01 and 2024-03 only
+    touched = apply_dim_update(
+        spark, _dims(spark, [(1, "Z")]), path, "cust", "ck")
+    assert touched == ["2024-01", "2024-03"]
+    new_dims = _dims(spark, [(1, "Z"), (2, "B"), (3, "C")])
+    want = _enriched(f, new_dims, "cust", "ck", "ts")
+    got = read_join_view(spark, path)
+    assert _vrows(got.select(*want.columns)) == _vrows(want)
+
+
+def test_ivm_untouched_partition_bytes_identical(spark, tmp_path):
+    import os
+    from flink_rag_spark.operators.ivm import append_facts, build_join_view
+    path = str(tmp_path / "view_u")
+    dims = _dims(spark, [(1, "A")])
+    build_join_view(spark, _facts(spark, [(10, 1, (2024, 1, 5), 5.0)]),
+                    dims, path, "cust", "ck", "ts")
+    before = {}
+    jan = os.path.join(path, "pmonth=2024-01")
+    for fn in os.listdir(jan):
+        if fn.endswith(".parquet"):
+            before[fn] = os.path.getmtime(os.path.join(jan, fn))
+    append_facts(spark, _facts(spark, [(11, 1, (2024, 2, 9), 3.0)]),
+                 dims, path, "cust", "ck", "ts")
+    after = {fn: os.path.getmtime(os.path.join(jan, fn))
+             for fn in os.listdir(jan) if fn.endswith(".parquet")}
+    assert before == after          # January files untouched by the Feb append
