@@ -435,7 +435,17 @@ def main() -> None:
                             "doc_fingerprints r8 re-audit: isolated "
                             "paired min-of-2 factor 1.70 (0.31s -> "
                             "0.52s) — tail readings up to 21x are "
-                            "contention artifacts, not plan behavior"),
+                            "contention artifacts, not plan behavior; "
+                            "round-8e ops (isolated paired min-of-2, "
+                            "sf0.01 -> sf0.1 = 10x data): trend 0.96, "
+                            "scd2 1.56, ks 1.07, decayed 1.06, "
+                            "decayed_at_latest 1.66, association 0.74, "
+                            "k_anonymity 1.14, triangles 1.53 (after "
+                            "moving TRIANGLE_SINCE to 2001 — the 1998 "
+                            "cutoff benched a 650k-edge graph at "
+                            "9.7s/run), keywords 1.34, ivm 0.92 — all "
+                            "fixed-overhead-dominated, none near "
+                            "linear"),
         }
 
     total = round(sum(timings.values()), 3)
