@@ -83,19 +83,25 @@ def append_facts(spark: SparkSession, new_facts: DataFrame,
     """
     delta = _enriched(new_facts, dims, fact_key, dim_key,
                       part_src).persist()
-    touched = sorted(r["pmonth"] for r in
-                     delta.select("pmonth").distinct().collect())
-    if not touched:
-        delta.unpersist()
-        return []
     try:
-        existing = (_read_raw(spark, path)
-                    .filter(F.col("pmonth").isin(touched)).persist())
-        existing.first()
-    except Exception:
-        raise RuntimeError(
-            f"append_facts: view at {path} is unreadable — build it "
-            "first (build_join_view); refusing to overwrite blindly")
+        touched = sorted(r["pmonth"] for r in
+                         delta.select("pmonth").distinct().collect())
+        if not touched:
+            return []
+        try:
+            existing0 = (_read_raw(spark, path)
+                         .filter(F.col("pmonth").isin(touched)).persist())
+            existing0.first()
+        except Exception:
+            raise RuntimeError(
+                f"append_facts: view at {path} is unreadable — build it "
+                "first (build_join_view); refusing to overwrite blindly")
+    except BaseException:
+        delta.unpersist()
+        raise
+    # existing0 is the frame the cache manager knows; later filters
+    # rebind `existing`, so the finally below unpersists existing0
+    existing = existing0
     try:
         if batch_id is not None:
             done = {r["pmonth"] for r in
@@ -142,7 +148,7 @@ def append_facts(spark: SparkSession, new_facts: DataFrame,
         return list(touched)
     finally:
         delta.unpersist()
-        existing.unpersist()
+        existing0.unpersist()
 
 
 def apply_dim_update(spark: SparkSession, changed_dims: DataFrame,

@@ -39,10 +39,17 @@ def suppress_below_k(df: DataFrame, qi_cols: list[str],
     """The enforcement twin: drop every row whose QI combination has
     fewer than ``k`` occurrences, leaving a table that IS k-anonymous
     on ``qi_cols``. Anti join against the (broadcast-small) at-risk
-    combination set."""
+    combination set — NULL-SAFE on every QI column, because the audit
+    treats NULL as a combination value and a plain equality anti join
+    would let an at-risk NULL-QI group slip through."""
     risky = (k_anonymity_audit(df, qi_cols, k)
-             .filter(F.col("at_risk")).select(*qi_cols))
-    return df.join(F.broadcast(risky), qi_cols, "left_anti")
+             .filter(F.col("at_risk"))
+             .select(*[F.col(c).alias(f"_r_{c}") for c in qi_cols]))
+    cond = None
+    for c in qi_cols:
+        eq = df[c].eqNullSafe(F.col(f"_r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(risky), cond, "left_anti")
 
 
 def k_anonymity_audit_duck(inner_sql: str, qi_cols: list[str],
@@ -57,12 +64,17 @@ FROM ({inner_sql}) GROUP BY {qs}
 
 def suppress_below_k_duck(inner_sql: str, qi_cols: list[str],
                           k: int) -> str:
-    """DuckDB mirror of :func:`suppress_below_k`."""
-    qs = ", ".join(qi_cols)
+    """DuckDB mirror of :func:`suppress_below_k` — the join is
+    IS NOT DISTINCT FROM on every QI column (USING would silently drop
+    every NULL-QI row, even safe ones), and the count alias is
+    collision-proofed against QI columns named ``n``."""
+    on = " AND ".join(
+        f"src.{c} IS NOT DISTINCT FROM sizes.{c}" for c in qi_cols)
+    gs = ", ".join(qi_cols)
     return f"""
 WITH src AS (SELECT * FROM ({inner_sql})),
-sizes AS (SELECT {qs}, COUNT(*) AS n FROM src GROUP BY {qs})
+sizes AS (SELECT {gs}, COUNT(*) AS __grp_n FROM src GROUP BY {gs})
 SELECT src.* FROM src
-JOIN sizes USING ({qs})
-WHERE sizes.n >= {k}
+JOIN sizes ON {on}
+WHERE sizes.__grp_n >= {k}
 """

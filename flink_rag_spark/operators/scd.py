@@ -39,8 +39,12 @@ def scd2_history(df: DataFrame, key: str, ts_col: str, attr_col: str,
     run's log rows."""
     order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
     w_row = Window.partitionBy(key).orderBy(*order)
+    # the lag of a literal marks "there IS a previous row": without it,
+    # an entity whose FIRST attribute value is NULL would match
+    # lag(attr) null-safely (NULL ≡ NULL) and start numbering at 0
+    has_prev = F.lag(F.lit(1)).over(w_row).isNotNull()
     changed = F.when(
-        F.lag(attr_col).over(w_row).eqNullSafe(F.col(attr_col)),
+        has_prev & F.lag(attr_col).over(w_row).eqNullSafe(F.col(attr_col)),
         F.lit(0)).otherwise(F.lit(1))
     runs = (df
             .withColumn("_version", F.sum(changed).over(
@@ -71,7 +75,8 @@ WITH log AS (SELECT {key}, {ts_col}, {attr_col}, {tiebreak}
              FROM ({inner_sql})),
 flagged AS (
   SELECT *,
-         CASE WHEN LAG({attr_col}) OVER w IS NOT DISTINCT FROM {attr_col}
+         CASE WHEN LAG(1) OVER w IS NOT NULL
+               AND LAG({attr_col}) OVER w IS NOT DISTINCT FROM {attr_col}
               THEN 0 ELSE 1 END AS chg
   FROM log
   WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col}, {tiebreak})),

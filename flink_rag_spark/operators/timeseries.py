@@ -202,8 +202,9 @@ def time_decayed_stats(df: DataFrame, keys: list[str], ts_col: str,
     and the only shuffle is the groupBy. Observations after ``ref_ts``
     are excluded (their weight would exceed 1)."""
     hl_us = half_life_days * 86_400_000_000.0
-    # timestamp_diff is timezone-independent on TIMESTAMP_NTZ columns
-    # (events loads as NTZ), unlike unix_micros which demands TIMESTAMP
+    # timestamp_diff accepts both TIMESTAMP and TIMESTAMP_NTZ columns
+    # (events loads as NTZ under the oracle harness), unlike
+    # unix_micros which rejects NTZ outright
     ref = F.lit(ref_ts).cast("timestamp_ntz")
     age_us = F.timestamp_diff("MICROSECOND", F.col(ts_col), ref)
     w = F.pow(F.lit(0.5), age_us.cast("double") / F.lit(hl_us))

@@ -189,6 +189,8 @@ def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from-scratch join with the dim change as a CASE, so incremental ≡
     recompute is value-verified end to end, the same way
     rollup_incremental_hourly verifies its materialized store."""
+    import os
+    import shutil
     import tempfile
 
     from flink_rag_spark.operators.ivm import (
@@ -213,9 +215,15 @@ def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     moved = (dims.filter(F.col("c_custkey") % IVM_RELOCATE_MOD == 0)
              .withColumn("c_mktsegment", F.lit("RELOCATED")))
     apply_dim_update(spark, moved, path, "o_custkey", "c_custkey")
-    return read_join_view(spark, path).select(
+    out = (read_join_view(spark, path).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
         "c_mktsegment", "n_name", "pmonth")
+        # materialize before deleting the demo view directory — the
+        # returned frame must not depend on the tempdir (which would
+        # otherwise leak a full view copy per invocation)
+        .localCheckpoint())
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
 
 
 ORACLE_IVM_ENRICHED = f"""

@@ -441,3 +441,53 @@ def test_ivm_untouched_partition_bytes_identical(spark, tmp_path):
     after = {fn: os.path.getmtime(os.path.join(jan, fn))
              for fn in os.listdir(jan) if fn.endswith(".parquet")}
     assert before == after          # January files untouched by the Feb append
+
+
+# ------------------------------------- review-pass regression pins
+
+def test_suppress_below_k_null_qi_groups(spark):
+    """NULL QI combinations must be suppressed when at risk and KEPT
+    when safe — a plain equality anti join gets both wrong."""
+    from flink_rag_spark.operators.privacy import (
+        k_anonymity_audit, suppress_below_k)
+    rows = ([("a", "x")] * 3 + [("b", None)] * 3 + [("c", None)])
+    df = spark.createDataFrame(rows, "s string, n string")
+    kept = suppress_below_k(df, ["s", "n"], k=3)
+    got = sorted((r["s"], r["n"]) for r in kept.collect())
+    # ('c', NULL) is a size-1 at-risk group -> suppressed;
+    # ('b', NULL) is size 3 -> kept
+    assert got == [("a", "x")] * 3 + [("b", None)] * 3
+    assert not any(r["at_risk"] for r in
+                   k_anonymity_audit(kept, ["s", "n"], k=3).collect())
+
+
+def test_suppress_below_k_duck_twin_null_and_alias(spark):
+    """The DuckDB twin must match the Spark fix (IS NOT DISTINCT FROM
+    join) and survive a QI column literally named ``n``."""
+    import duckdb
+    from flink_rag_spark.operators.privacy import suppress_below_k_duck
+    inner = ("SELECT * FROM (VALUES ('a','x'), ('a','x'), ('a','x'), "
+             "('b',NULL), ('b',NULL), ('b',NULL), ('c',NULL)) t(s, n)")
+    sql = suppress_below_k_duck(inner, ["s", "n"], k=3)
+    got = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == [("a", "x")] * 3 + [("b", None)] * 3
+
+
+def test_scd2_null_first_value_versions_start_at_one(spark):
+    """An entity whose FIRST attribute value is NULL must still number
+    its runs 1..k (the lag-NULL ≡ NULL trap), in BOTH engines."""
+    import duckdb
+    from flink_rag_spark.operators.scd import scd2_history, scd2_history_duck
+    log = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), None, 0), (1, datetime(2024, 1, 2), "A", 1)],
+        "k bigint, ts timestamp, attr string, seq bigint")
+    out = sorted(scd2_history(log, "k", "ts", "attr", "seq").collect(),
+                 key=lambda r: r["version"])
+    assert [r["version"] for r in out] == [1, 2]
+    assert out[0]["attr"] is None and out[1]["attr"] == "A"
+    sql = scd2_history_duck(
+        "SELECT * FROM (VALUES (1, TIMESTAMP '2024-01-01', NULL, 0), "
+        "(1, TIMESTAMP '2024-01-02', 'A', 1)) t(k, ts, attr, seq)",
+        "k", "ts", "attr", "seq")
+    duck = sorted(duckdb.connect().execute(sql).fetchall())
+    assert [r[1] for r in duck] == [1, 2]
