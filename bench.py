@@ -285,7 +285,10 @@ def main() -> None:
              # NOTE: ivm_enriched_orders times the DEMO end-to-end
              # (tempdir build + three appends + dim update + read) like
              # the other *_indexed/upserted/rollup_* entries
-             "ivm_enriched_orders"]
+             "ivm_enriched_orders",
+             # round-8e: generation-side grounding eval over the full
+             # RAG chain (retrieval + assembly + chat + metric)
+             "rag_answer_grounding"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -173,3 +173,94 @@ SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
              {ROUND_DP}) AS auc
 FROM c
 """
+
+
+GROUND_DP = 6
+UNGROUNDED_SAMPLE = 5
+
+
+def answer_grounding(df: DataFrame, id_col: str, answer_col: str,
+                     context_col: str) -> DataFrame:
+    """Generation-side eval: how much of each answer is GROUNDED in its
+    retrieved context — the token-overlap faithfulness audit run before
+    any RAG serving change ships (the retrieval twin is
+    :func:`eval_ranking`). A hallucination shows up as answer tokens
+    absent from the context.
+
+    Returns (id, n_answer_tokens, grounded_tokens, grounded_frac,
+    ungrounded_sample): distinct-token counts, their ratio, and the
+    first ``UNGROUNDED_SAMPLE`` missing tokens in lexical order (a
+    deterministic debugging handle). Empty answers yield NULL frac.
+
+    Shape at 100 TB: two explodes collapse to DISTINCT (id, token)
+    frames (wordcount-shaped, map-side combined), one equi-join on
+    (id, token) marks grounding, one groupBy(id) folds the metrics —
+    everything shuffles on the id, no per-question work."""
+    atoks = (df.select(F.col(id_col),
+                       F.explode(F.split(F.trim(F.lower(answer_col)),
+                                         r"\s+")).alias("tok"))
+             .filter(F.col("tok") != "").distinct())
+    ctoks = (df.select(F.col(id_col),
+                       F.explode(F.split(F.trim(F.lower(context_col)),
+                                         r"\s+")).alias("tok"))
+             .filter(F.col("tok") != "").distinct()
+             .withColumn("_in_ctx", F.lit(True)))
+    marked = atoks.join(ctoks, [id_col, "tok"], "left")
+    agg = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_answer_tokens"),
+                F.count("_in_ctx").alias("grounded_tokens"),
+                F.concat_ws(",", F.slice(F.array_sort(F.collect_list(
+                    F.when(F.col("_in_ctx").isNull(), F.col("tok")))),
+                    1, UNGROUNDED_SAMPLE)).alias("ungrounded_sample")))
+    return (df.select(id_col).distinct()
+            .join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_answer_tokens", F.lit(0))
+                    .alias("n_answer_tokens"),
+                    F.coalesce("grounded_tokens", F.lit(0))
+                    .alias("grounded_tokens"),
+                    F.round(F.col("grounded_tokens").cast("double")
+                            / F.col("n_answer_tokens").cast("double"),
+                            GROUND_DP).alias("grounded_frac"),
+                    F.coalesce("ungrounded_sample", F.lit(""))
+                    .alias("ungrounded_sample")))
+
+
+def answer_grounding_duck(inner_sql: str, id_col: str, answer_col: str,
+                          context_col: str) -> str:
+    """DuckDB mirror of :func:`answer_grounding` — same tokenizer, same
+    distinct-token sets, same lexical missing-token sample."""
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql})),
+atoks AS (
+  SELECT DISTINCT {id_col}, t.tok
+  FROM src, UNNEST(string_split_regex(trim(lower({answer_col})), '\\s+'))
+       AS t(tok)
+  WHERE t.tok <> ''),
+ctoks AS (
+  SELECT DISTINCT {id_col}, t.tok
+  FROM src, UNNEST(string_split_regex(trim(lower({context_col})), '\\s+'))
+       AS t(tok)
+  WHERE t.tok <> ''),
+marked AS (
+  SELECT a.{id_col}, a.tok, (c.tok IS NOT NULL) AS in_ctx
+  FROM atoks a LEFT JOIN ctoks c
+    ON c.{id_col} = a.{id_col} AND c.tok = a.tok),
+agg AS (
+  SELECT {id_col},
+         COUNT(*) AS n_answer_tokens,
+         COUNT(*) FILTER (WHERE in_ctx) AS grounded_tokens,
+         array_to_string(
+           list_sort(list(tok) FILTER (WHERE NOT in_ctx))
+             [1:{UNGROUNDED_SAMPLE}], ',') AS ungrounded_sample
+  FROM marked GROUP BY {id_col})
+SELECT s.{id_col},
+       CAST(COALESCE(a.n_answer_tokens, 0) AS BIGINT) AS n_answer_tokens,
+       CAST(COALESCE(a.grounded_tokens, 0) AS BIGINT) AS grounded_tokens,
+       ROUND(CAST(a.grounded_tokens AS DOUBLE)
+             / CAST(a.n_answer_tokens AS DOUBLE),
+             {GROUND_DP}) AS grounded_frac,
+       COALESCE(a.ungrounded_sample, '') AS ungrounded_sample
+FROM (SELECT DISTINCT {id_col} FROM src) s
+LEFT JOIN agg a USING ({id_col})
+"""

@@ -235,3 +235,15 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
+
+
+def rag_answer_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-side RAG eval (operators/evaluation.py
+    answer_grounding): per-question token-overlap faithfulness of the
+    full chain's answers against their retrieved contexts — the audit a
+    serving change runs next to retrieval_eval_metrics. Wordcount-
+    shaped; shuffles on the question id only."""
+    from flink_rag_spark.operators.evaluation import answer_grounding
+    from flink_rag_spark.plans.rag import rag_answer_oracle
+    chain = rag_answer_oracle(spark, sf_dir)
+    return answer_grounding(chain, "question_id", "answer", "information")

@@ -59,7 +59,10 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
-    from flink_rag_spark.operators.evaluation import roc_auc_duck
+    from flink_rag_spark.operators.evaluation import (
+        answer_grounding_duck,
+        roc_auc_duck,
+    )
     from flink_rag_spark.operators.graph import pagerank_duck
     from flink_rag_spark.operators.percolate import percolate_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
@@ -106,6 +109,7 @@ def extra_queries() -> list[tuple]:
         ORACLE_JSON,
         ORACLE_Q7,
         ORACLE_Q17,
+        ORACLE_RAG_ANSWER,
         ORACLE_SEMI,
         ORACLE_SLIDING_BATCH,
         _money,
@@ -1505,6 +1509,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                      "ts", "value",
                                      A.DECAY_HALF_LIFE_DAYS),
          ("agg", "timeseries", "decay", "stream")),
+        # round-8e: generation-side RAG eval — token-overlap grounding
+        # of the full chain's answers against their retrieved contexts
+        # (operators/evaluation.py answer_grounding); the oracle replays
+        # retrieval + assembly + chat + the metric
+        ("rag_answer_grounding", A.rag_answer_grounding,
+         answer_grounding_duck(ORACLE_RAG_ANSWER, "question_id",
+                               "answer", "information"),
+         ("rag", "eval", "text")),
         # round-8e: incrementally-maintained JOIN view — fact appends
         # (replay-idempotent markers) + a dimension update re-derived
         # from the view itself; oracle = from-scratch join with the dim

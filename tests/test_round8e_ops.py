@@ -491,3 +491,92 @@ def test_scd2_null_first_value_versions_start_at_one(spark):
         "k", "ts", "attr", "seq")
     duck = sorted(duckdb.connect().execute(sql).fetchall())
     assert [r[1] for r in duck] == [1, 2]
+
+
+# ----------------------------------------------------- answer grounding
+
+def test_answer_grounding_hand_values(spark):
+    from flink_rag_spark.operators.evaluation import answer_grounding
+    df = spark.createDataFrame(
+        [(1, "the cat sat", "the cat sat on the mat"),     # fully grounded
+         (2, "dogs bark loudly", "cats purr softly"),      # nothing grounded
+         (3, "alpha beta GAMMA beta", "alpha delta"),      # partial + dedup + case
+         (4, "", "some context")],                         # empty answer
+        "qid bigint, answer string, ctx string")
+    out = {r["qid"]: r for r in
+           answer_grounding(df, "qid", "answer", "ctx").collect()}
+    assert out[1]["grounded_frac"] == 1.0 and out[1]["n_answer_tokens"] == 3
+    assert out[2]["grounded_frac"] == 0.0
+    assert out[2]["ungrounded_sample"] == "bark,dogs,loudly"  # lexical order
+    # doc 3: distinct tokens {alpha, beta, gamma}; only alpha grounded
+    assert out[3]["n_answer_tokens"] == 3
+    assert out[3]["grounded_tokens"] == 1
+    assert out[3]["grounded_frac"] == round(1.0 / 3.0, 6)
+    assert out[3]["ungrounded_sample"] == "beta,gamma"
+    # empty answer: zero tokens, NULL frac, question still reported
+    assert out[4]["n_answer_tokens"] == 0
+    assert out[4]["grounded_frac"] is None
+
+
+# ------------------------------------- streaming heavy-hitter monitor
+
+def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
+    """The bucketed-MG stream must (a) keep every true heavy hitter in
+    its candidate fold and (b) bracket every surviving item's true count
+    with [lo, hi]."""
+    from collections import Counter
+    from flink_rag_spark.streaming.frequency_monitor import (
+        heavy_hitter_monitor, mg_candidates)
+    b1 = ["hot"] * 60 + [f"cold{i}" for i in range(40)]
+    b2 = ["hot"] * 40 + ["warm"] * 30 + [f"cold{i}" for i in range(40, 70)]
+    src = str(tmp_path / "hh_src")
+    for batch in (b1, b2):
+        (spark.createDataFrame([(x,) for x in batch], "event_type string")
+         .coalesce(1).write.mode("append").parquet(src))
+        import time
+        time.sleep(1.1)
+    stream = (spark.readStream.schema("event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (heavy_hitter_monitor(stream, "event_type", m=8, n_buckets=4)
+         .writeStream.format("memory").queryName("hh_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    emissions = spark.sql("select * from hh_t")
+    cands = {r["item"]: r for r in
+             mg_candidates(emissions, threshold_frac=0.10).collect()}
+    true = Counter(b1 + b2)
+    n = sum(true.values())
+    # superset: every true >10% item is a candidate
+    for item, c in true.items():
+        if c > 0.10 * n:
+            assert item in cands, f"missing true heavy hitter {item}"
+    # bounds: lo <= true <= hi for every candidate
+    for item, r in cands.items():
+        assert r["lo"] <= true[item] <= r["hi"], (item, dict(r.asDict()))
+    assert "hot" in cands and "warm" in cands
+    # total is the full stream length (every bucket's latest total)
+    assert next(iter(cands.values()))["n_total"] == n
+
+
+def test_streaming_heavy_hitters_state_bounded(spark, tmp_path):
+    """State (and therefore each bucket's emission) stays within the MG
+    capacity m no matter how many distinct items flow through."""
+    from flink_rag_spark.streaming.frequency_monitor import (
+        heavy_hitter_monitor)
+    rows = [(f"item{i % 500}",) for i in range(2000)]
+    src = str(tmp_path / "hh_cap")
+    spark.createDataFrame(rows, "event_type string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (heavy_hitter_monitor(stream, "event_type", m=10, n_buckets=4)
+         .writeStream.format("memory").queryName("hh_cap_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_hh_cap"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    per_bucket = (spark.sql("select bucket, count(*) c from hh_cap_t "
+                            "group by bucket").collect())
+    assert all(r["c"] <= 10 for r in per_bucket)
