@@ -287,8 +287,9 @@ def main() -> None:
              # the other *_indexed/upserted/rollup_* entries
              "ivm_enriched_orders",
              # round-8e: generation-side grounding eval over the full
-             # RAG chain (retrieval + assembly + chat + metric)
-             "rag_answer_grounding"]
+             # RAG chain (retrieval + assembly + chat + metric), and
+             # robust median/MAD outlier detection
+             "rag_answer_grounding", "event_value_outliers"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

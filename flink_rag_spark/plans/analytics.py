@@ -247,3 +247,15 @@ def rag_answer_grounding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.plans.rag import rag_answer_oracle
     chain = rag_answer_oracle(spark, sf_dir)
     return answer_grounding(chain, "question_id", "answer", "information")
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection (operators/anomaly.py): events
+    whose value sits beyond 3.5 robust z-scores of their event type's
+    median — the median/MAD rule a quality gate can trust because the
+    statistics themselves resist the outliers. Two key-partitioned
+    aggregates + joins; exact percentile swaps for approx_percentile at
+    extreme group cardinality."""
+    from flink_rag_spark.operators.anomaly import robust_outliers
+    e = load_table(spark, sf_dir, "events")
+    return robust_outliers(e, ["event_type"], "value")

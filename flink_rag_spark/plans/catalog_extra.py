@@ -82,6 +82,7 @@ def extra_queries() -> list[tuple]:
         quantile_bins_duck,
         winsorized_stats_duck,
     )
+    from flink_rag_spark.operators.anomaly import robust_outliers_duck
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
     )
@@ -1509,6 +1510,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                      "ts", "value",
                                      A.DECAY_HALF_LIFE_DAYS),
          ("agg", "timeseries", "decay", "stream")),
+        # round-8e: robust median/MAD outlier detection — the
+        # quality-gate rule that survives the outliers it hunts
+        # (operators/anomaly.py)
+        ("event_value_outliers", A.event_value_outliers,
+         robust_outliers_duck("SELECT * FROM events", ["event_type"],
+                              "value"),
+         ("stats", "anomaly", "quality")),
         # round-8e: generation-side RAG eval — token-overlap grounding
         # of the full chain's answers against their retrieved contexts
         # (operators/evaluation.py answer_grounding); the oracle replays

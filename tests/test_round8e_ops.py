@@ -580,3 +580,36 @@ def test_streaming_heavy_hitters_state_bounded(spark, tmp_path):
     per_bucket = (spark.sql("select bucket, count(*) c from hh_cap_t "
                             "group by bucket").collect())
     assert all(r["c"] <= 10 for r in per_bucket)
+
+
+# ------------------------------------------------------ robust outliers
+
+def test_robust_outliers_hand_values(spark):
+    from flink_rag_spark.operators.anomaly import robust_outliers
+    # group g: symmetric cluster at 10 +- 1 with one wild point; median
+    # 10, MAD 1 -> z(100) = 90/1.4826 = 60.7...; z(11) = 0.67 (kept in)
+    rows = [("g", 9.0), ("g", 10.0), ("g", 10.0), ("g", 11.0),
+            ("g", 100.0),
+            # zero-spread group: any deviation flags, z is NULL
+            ("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 7.0),
+            # NULL value never flags
+            ("g", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = robust_outliers(df, ["k"], "v", z_thresh=3.5).collect()
+    flagged = {(r["k"], r["v"]): r for r in out}
+    assert set(flagged) == {("g", 100.0), ("z", 7.0)}
+    g = flagged[("g", 100.0)]
+    assert g["group_median"] == 10.0 and g["group_mad"] == 1.0
+    assert g["robust_z"] == round(90.0 / 1.4826, 4)
+    z = flagged[("z", 7.0)]
+    assert z["group_mad"] == 0.0 and z["robust_z"] is None
+
+
+def test_robust_outliers_resist_mean_drag(spark):
+    """The defining property: a huge outlier must not mask itself by
+    dragging the center (as it would for mean/stddev z-scores)."""
+    from flink_rag_spark.operators.anomaly import robust_outliers
+    vals = [float(v) for v in range(100)] + [1e6]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    out = robust_outliers(df, ["k"], "v").collect()
+    assert [r["v"] for r in out] == [1e6]
