@@ -103,7 +103,11 @@ def mmr_rerank(candidates: DataFrame, k: int = 10, lam: float = 0.5,
     list, so per-group work is bounded by the first stage's k0."""
     import numpy as np
 
-    out_schema = (f"{query_col} long, {id_col} long, "
+    # id/query types ride through from the candidate frame (string keys
+    # work the same as longs) — only the computed columns are pinned
+    dtypes = dict(candidates.dtypes)
+    out_schema = (f"{query_col} {dtypes[query_col]}, "
+                  f"{id_col} {dtypes[id_col]}, "
                   f"mmr_score double, rank int")
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -9,7 +9,12 @@ re-joining history. The delta algebra is the classic IVM split:
 - dim update:    ΔV = σ_affected(V) re-joined against the NEW dim rows
                  — recomputed FROM THE VIEW ITSELF (view rows carry all
                  fact columns), so a dimension change never rescans the
-                 fact table.
+                 fact table. This makes dim maintenance UPDATES-ONLY by
+                 contract: a dim key the inner-join build dropped fact
+                 rows for has no view rows to re-derive from, so a dim
+                 INSERT cannot restore them (apply_dim_update warns).
+                 Handle dim inserts by replaying the affected fact rows
+                 through apply_fact_append — the fact-side delta path.
 
 Storage mirrors the rollup idiom exactly: parquet partitioned by a
 fact-derived calendar column (``pmonth``), dynamic partition overwrite
@@ -157,10 +162,32 @@ def apply_dim_update(spark: SparkSession, changed_dims: DataFrame,
     affected keys from the VIEW'S OWN fact columns joined to the new
     dim rows — the fact table is never rescanned. Returns the rewritten
     pmonths (every partition containing an affected key, found via a
-    column-pruned scan)."""
+    column-pruned scan).
+
+    UPDATES-ONLY contract (module header): a changed key with NO view
+    rows is either a benign never-referenced dim key or a dim INSERT
+    whose fact rows the inner-join build dropped — the view alone
+    cannot tell them apart, and the second case would silently diverge
+    from a from-scratch re-join. Such keys trigger a warning; route
+    genuine dim inserts through ``apply_fact_append`` with the affected
+    fact rows instead."""
+    import warnings
+
     changed = changed_dims.persist()
     keys_df = changed.select(F.col(dim_key).alias("_ck"))
     raw = _read_raw(spark, path)
+    data_keys = raw.filter(F.col("bids").isNull()).select(fact_key)
+    n_absent = (keys_df.join(data_keys,
+                             F.col("_ck") == F.col(fact_key), "left_anti")
+                .count())
+    if n_absent:
+        warnings.warn(
+            f"apply_dim_update: {n_absent} changed dim key(s) have no "
+            "rows in the view — if these are dim INSERTS whose fact "
+            "rows were dropped at build time, the view will diverge "
+            "from a from-scratch re-join; replay those fact rows via "
+            "apply_fact_append instead (updates-only contract)",
+            stacklevel=2)
     touched = sorted(
         r["pmonth"] for r in
         raw.filter(F.col("bids").isNull())

@@ -9,32 +9,47 @@ engine's word-level family (`operators/encoding.py` `_TOKS`), so
 keyword terms align with the induced vocabulary.
 
 Plan at 100 TB: wordcount-shaped — explode → (doc, token) partial+final
-aggregate for TF, a vocabulary-sized re-aggregation for DF, the
-(token, idf) table joined back BROADCAST (a vocabulary is bounded at
-any corpus size; `min_df` prunes the hapax tail before the join), and
-the per-document top-N is a window over each document's OWN terms —
-partitioned by doc id, never a global sort.
+aggregate for TF, a vocabulary-sized re-aggregation for DF, and the
+(token, idf) table joined back BROADCAST. The broadcast is BOUNDED BY
+CONSTRUCTION, not by hope: the idf table is capped at the ``max_vocab``
+highest-df terms (the same 30k discipline as `encoding.build_vocab`
+and the unigram-LM vocab), because a web-scale corpus's min_df≥2
+vocabulary is 10⁸+ tokens — several GB per executor if broadcast raw.
+`min_df` prunes the hapax tail first; the top-``max_vocab`` cut is a
+TakeOrderedAndProject (K-bounded, never a global sort of the corpus).
+The per-document top-N is a window over each document's OWN terms —
+partitioned by doc id.
+
+Semantics of the cap: terms outside the top-``max_vocab`` by df simply
+don't participate as keywords — the same contract as every other
+vocab-capped operator in this engine (OOV tokens in encoding, unscored
+tail in the unigram LM). Rarest-term salience is preserved because the
+cap keeps the HIGHEST-df terms only as idf candidates; a document's
+below-cap rare terms were exactly the ones min_df already gated.
 
 Determinism: idf = ln((1+N)/(1+df)) + 1 (the sklearn smooth-idf form)
-over exact integer counts; score ties broken by token ASC, so the rank
-cut is total."""
+over exact integer counts; the vocab cut orders by (df DESC, token
+ASC) and score ties break by token ASC, so both cuts are total."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from flink_rag_spark.operators.encoding import _TOKS
-
 SCORE_DP = 6
+MAX_VOCAB = 30_000
 
 
 def tfidf_keywords(docs: DataFrame, text_col: str, id_col: str,
-                   top_n: int = 5, min_df: int = 2) -> DataFrame:
+                   top_n: int = 5, min_df: int = 2,
+                   max_vocab: int = MAX_VOCAB) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document: (id, token, tf,
     doc_freq, score, rank). Terms appearing in fewer than ``min_df``
-    documents are excluded (they are typos/noise, and pruning them
-    bounds the broadcast idf table)."""
+    documents are excluded (typos/noise), and the idf table is capped
+    at the ``max_vocab`` highest-df terms (ties by token ASC) so the
+    broadcast join is ≤ max_vocab rows at ANY corpus size."""
+    from flink_rag_spark.operators.encoding import _TOKS
+
     tf = (docs.select(F.col(id_col),
                       F.explode(F.expr(_TOKS.format(s=text_col)))
                       .alias("token"))
@@ -43,6 +58,8 @@ def tfidf_keywords(docs: DataFrame, text_col: str, id_col: str,
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     dfreq = (tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
              .filter(F.col("doc_freq") >= min_df)
+             # K-bounded cut (TakeOrderedAndProject), the broadcast bound
+             .orderBy(F.desc("doc_freq"), F.asc("token")).limit(max_vocab)
              .crossJoin(F.broadcast(n_docs))
              .select("token", "doc_freq",
                      (F.log((F.lit(1.0) + F.col("n_docs").cast("double"))
@@ -58,9 +75,11 @@ def tfidf_keywords(docs: DataFrame, text_col: str, id_col: str,
 
 
 def tfidf_keywords_duck(inner_sql: str, text_col: str, id_col: str,
-                        top_n: int = 5, min_df: int = 2) -> str:
+                        top_n: int = 5, min_df: int = 2,
+                        max_vocab: int = MAX_VOCAB) -> str:
     """DuckDB mirror of :func:`tfidf_keywords` — same tokenizer, same
-    smooth idf, same (score DESC, token ASC) total rank order."""
+    smooth idf, same (df DESC, token ASC) vocab cut, same
+    (score DESC, token ASC) total rank order."""
     return f"""
 WITH src AS (SELECT * FROM ({inner_sql})),
 tf AS (
@@ -70,11 +89,15 @@ tf AS (
   WHERE t.token <> ''
   GROUP BY {id_col}, t.token),
 nd AS (SELECT COUNT(*) AS n_docs FROM src),
-dfreq AS (
+dfreq_all AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
          LN((1.0 + CAST((SELECT n_docs FROM nd) AS DOUBLE))
             / (1.0 + CAST(COUNT(*) AS DOUBLE))) + 1.0 AS idf
   FROM tf GROUP BY token HAVING COUNT(*) >= {min_df}),
+dfreq AS (
+  SELECT token, doc_freq, idf FROM dfreq_all
+  QUALIFY ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC)
+          <= {max_vocab}),
 scored AS (
   SELECT tf.{id_col}, tf.token, tf.tf, dfreq.doc_freq,
          CAST(tf.tf AS DOUBLE) * dfreq.idf AS score

@@ -38,10 +38,16 @@ def suppress_below_k(df: DataFrame, qi_cols: list[str],
                      k: int) -> DataFrame:
     """The enforcement twin: drop every row whose QI combination has
     fewer than ``k`` occurrences, leaving a table that IS k-anonymous
-    on ``qi_cols``. Anti join against the (broadcast-small) at-risk
-    combination set — NULL-SAFE on every QI column, because the audit
-    treats NULL as a combination value and a plain equality anti join
-    would let an at-risk NULL-QI group slip through."""
+    on ``qi_cols``. Anti join against the at-risk combination set —
+    NULL-SAFE on every QI column, because the audit treats NULL as a
+    combination value and a plain equality anti join would let an
+    at-risk NULL-QI group slip through.
+
+    The at-risk set is k-bounded per combination but NOT corpus-bounded
+    in combination count (near-unique QIs make it corpus-scale), so the
+    join strategy is deliberately left to AQE: it broadcasts when the
+    runtime size fits and falls back to a shuffle join when it doesn't —
+    no forced hint that could OOM the driver at 100 TB."""
     risky = (k_anonymity_audit(df, qi_cols, k)
              .filter(F.col("at_risk"))
              .select(*[F.col(c).alias(f"_r_{c}") for c in qi_cols]))
@@ -49,7 +55,7 @@ def suppress_below_k(df: DataFrame, qi_cols: list[str],
     for c in qi_cols:
         eq = df[c].eqNullSafe(F.col(f"_r_{c}"))
         cond = eq if cond is None else (cond & eq)
-    return df.join(F.broadcast(risky), cond, "left_anti")
+    return df.join(risky, cond, "left_anti")
 
 
 def k_anonymity_audit_duck(inner_sql: str, qi_cols: list[str],

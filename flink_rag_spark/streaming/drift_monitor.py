@@ -107,8 +107,12 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
                       value_col: str | None = None,
                       available_now: bool = False):
     """Monitor a streaming frame against the stored reference. Metrics
-    rows (batch_id, n_rows, psi, drifted) land under ``metrics_path``
-    partitioned by batch_id (replay-idempotent overwrite). With
+    rows (batch_id, n_rows, n_scored, psi, drifted) land under
+    ``metrics_path`` partitioned by batch_id (replay-idempotent
+    overwrite). ``n_rows`` is the batch's full row count; ``n_scored``
+    is the rows that actually entered the PSI bins (non-NULL values) —
+    a non-empty batch whose value column is all NULL reports
+    ``n_rows > 0, n_scored = 0`` instead of masquerading as empty. With
     ``pass_path``/``quarantine_path`` set, each batch is additionally
     routed WHOLE to one side by ``psi > threshold``. Each side is
     independent: setting only ``quarantine_path`` captures drifted
@@ -120,11 +124,14 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
     _MODE = "spark.sql.sources.partitionOverwriteMode"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        psi, n = batch_psi(batch_df, ref, value_col)
+        psi, n_scored = batch_psi(batch_df, ref, value_col)
+        n_rows = batch_df.count()
         drifted = psi is not None and psi > threshold
         metrics = spark.createDataFrame(
-            [(int(n), psi, bool(drifted), int(batch_id))],
-            "n_rows bigint, psi double, drifted boolean, batch_id bigint")
+            [(int(n_rows), int(n_scored), psi, bool(drifted),
+              int(batch_id))],
+            "n_rows bigint, n_scored bigint, psi double, "
+            "drifted boolean, batch_id bigint")
         routed = batch_df.withColumn("batch_id", F.lit(batch_id))
         prev = spark.conf.get(_MODE, "static")
         spark.conf.set(_MODE, "dynamic")

@@ -264,6 +264,37 @@ def test_tfidf_keywords_hand_values(spark):
     assert all(r["doc_freq"] >= 2 for r in rows.values())
 
 
+def test_tfidf_keywords_vocab_cap_bounds_the_broadcast(spark):
+    """The idf table is capped at the max_vocab highest-df terms
+    (df DESC, token ASC) — the broadcast-bound contract, and DuckDB's
+    mirror applies the identical cut."""
+    import duckdb
+    from flink_rag_spark.operators.keywords import (tfidf_keywords,
+                                                    tfidf_keywords_duck)
+    rows = [(1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry common common")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # dfs: common=3, banana=2, cherry=2 (apple df=1 gated by min_df).
+    # max_vocab=2 keeps common then banana (token ASC tie) — cherry out.
+    out = tfidf_keywords(df, "text", "doc_id", top_n=5, min_df=2,
+                         max_vocab=2)
+    toks = {r["token"] for r in out.collect()}
+    assert toks == {"common", "banana"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") AS v(doc_id, text)")
+    sql = tfidf_keywords_duck("SELECT doc_id, text FROM d",
+                              "text", "doc_id", top_n=5, min_df=2,
+                              max_vocab=2)
+    duck = con.execute(sql).fetchdf()
+    spk = out.toPandas()
+    key = lambda f: sorted(map(tuple, f[["doc_id", "token", "tf",
+                                         "doc_freq", "score"]].values))
+    assert key(duck) == key(spk)
+
+
 # -------------------------------------------- streaming decay monitor
 
 def _write_vbatch(spark, path, rows):
