@@ -29,9 +29,15 @@ from flink_rag_spark.operators.similarity import ivf_centroids, with_ivf_cells
 def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
                     n_centroids: int | None = None,
                     cfg: EngineConfig = DEFAULT_CONFIG,
-                    files_per_cell: int = 1) -> list[list[float]]:
+                    files_per_cell: int = 1,
+                    centroids: list[list[float]] | None = None
+                    ) -> list[list[float]]:
     """Train centroids, assign cells, write `path/cells/` (partitioned by
     cell) + `path/centroids.json`. Returns the centroids.
+
+    ``centroids`` pins the geometry and skips training entirely — the
+    reproducible-rebuild path (rebuild a shard under a fleet-shared
+    geometry, or rebuild-equivalence checks after a deletion pass).
 
     The write is repartitioned on (cell, salt) first: a naive
     ``partitionBy("cell")`` write has every upstream task emit a file into
@@ -62,12 +68,17 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     rebuilding = os.path.join(path, "cells.rebuilding")
     if os.path.exists(rebuilding):
         shutil.rmtree(rebuilding)
-    n = None
-    if n_centroids is None:
-        n = embeddings.count()
-        n_centroids = min(1024, max(cfg.ivf_n_centroids, int(math.sqrt(n))))
-    cents = ivf_centroids(embeddings, n_centroids=n_centroids, cfg=cfg,
-                          n_rows=n)
+    if centroids is not None:
+        cents = [[float(x) for x in c] for c in centroids]
+        n_centroids = len(cents)
+    else:
+        n = None
+        if n_centroids is None:
+            n = embeddings.count()
+            n_centroids = min(1024, max(cfg.ivf_n_centroids,
+                                        int(math.sqrt(n))))
+        cents = ivf_centroids(embeddings, n_centroids=n_centroids, cfg=cfg,
+                              n_rows=n)
     cells = with_ivf_cells(embeddings, cents)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in embeddings.columns]),
                   F.lit(files_per_cell))

@@ -333,19 +333,171 @@ def forget_in_dedup_index(spark: SparkSession, path: str, ids: list[int],
     return int(removed)
 
 
+def _forget_cells(spark: SparkSession, cells_path: str, ids: list[int],
+                  id_col: str, probe_cells: list[int] | None) -> int:
+    """Shared cell-partition deletion for the IVF and IVF-PQ layouts:
+    rewrite only the ``cell=`` directories that can contain the ids.
+    ``probe_cells`` (derived from the ids' vectors against the stored
+    centroids) prunes the FIND scan too; without it the find falls back
+    to one full scan of the cells table — the same contract as the text
+    index's postings scan. Returns rows removed."""
+    import pyspark.sql.functions as F
+
+    if not os.path.exists(cells_path):
+        return 0
+    cells = spark.read.parquet(cells_path)
+    if probe_cells is not None:
+        cells = cells.filter(F.col("cell").isin(probe_cells))
+    touched = [r["cell"] for r in
+               (cells.filter(F.col(id_col).isin(ids))
+                .select("cell").distinct().collect())]
+    if not touched:
+        return 0
+    hit = spark.read.parquet(cells_path).filter(F.col("cell").isin(touched))
+    n_before = hit.count()
+    kept = (hit.filter(~F.col(id_col).isin(ids))
+            .repartition("cell").localCheckpoint(eager=True))
+    removed = n_before - kept.count()
+    _overwrite_partitions(spark, kept, cells_path, "cell", touched)
+    return int(removed)
+
+
+def _rewrite_flat_dir(spark: SparkSession, path: str, ids: list[int],
+                      id_col: str) -> int:
+    """Filter the ids out of a small flat parquet dir (the IVF pending
+    tail — ≤ one ingest cadence by construction), write-then-swap.
+    Returns rows removed."""
+    import pyspark.sql.functions as F
+
+    if not os.path.exists(path):
+        return 0
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    kept = (df.filter(~F.col(id_col).isin(ids))
+            .coalesce(1).localCheckpoint(eager=True))
+    removed = n_before - kept.count()
+    if removed:
+        tmp = path.rstrip("/") + ".forget.tmp"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + ".forget.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    return int(removed)
+
+
+def _probe_cells_for(path: str, vectors, centroids_file: str,
+                     vec_col: str) -> list[int] | None:
+    """The ids' candidate cells under the index's STORED centroids —
+    driver-bounded (deletions are audit-scale by the delete_from_store
+    contract). None when no vectors were supplied (callers then pay the
+    find scan instead)."""
+    import json
+
+    from flink_rag_spark.operators.similarity import with_ivf_cells
+
+    if vectors is None:
+        return None
+    cents_path = os.path.join(path, centroids_file)
+    if not os.path.exists(cents_path):
+        return None
+    with open(cents_path) as f:
+        cents = json.load(f)
+    return [r["cell"] for r in (with_ivf_cells(vectors, cents, vec_col)
+                                .select("cell").distinct().collect())]
+
+
+def forget_in_ivf_index(spark: SparkSession, path: str, ids: list[int],
+                        vectors=None, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> int:
+    """Remove documents from a persisted IVF index
+    (``index.build_ivf_index`` layout) so later probes behave as if the
+    docs were never indexed: their rows leave the touched ``cell=``
+    partitions AND the un-indexed pending/flushing tail (a forgotten
+    doc must not keep serving from either side of the union a probe
+    reads). The trained centroids stay — they are corpus-level
+    aggregates, not per-document data, exactly like the text index's
+    decremented stats; geometry refresh happens on the normal rebuild
+    cadence.
+
+    ``vectors`` (a (id, embedding) frame of the docs being forgotten,
+    e.g. fetched bucket-pruned from the store BEFORE its own delete)
+    makes the pass fully pruned: the ids' cells are recomputed from the
+    stored centroids, so only those directories are read or written.
+    Without it, one full find-scan locates the cells first (the text
+    index's contract). Returns rows removed (cells + tail)."""
+    from flink_rag_spark.operators.index import _recover_promote
+
+    ensure_runtime_confs(spark)
+    if not ids:
+        return 0
+    _recover_promote(path)          # settle any in-flight promote first
+    probe = _probe_cells_for(path, vectors, "centroids.json", vec_col)
+    removed = _forget_cells(spark, os.path.join(path, "cells"), ids,
+                            id_col, probe)
+    for tail_dir in ("pending", "pending.flushing"):
+        removed += _rewrite_flat_dir(
+            spark, os.path.join(path, tail_dir), ids, id_col)
+    return int(removed)
+
+
+def forget_in_ivfpq_index(spark: SparkSession, path: str, ids: list[int],
+                          vectors=None, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> int:
+    """Remove documents from a persisted IVF-PQ index
+    (``pq.build_ivfpq_index`` layout): their code rows leave the
+    touched ``cell=`` partitions, after which ``ivfpq_topk`` can never
+    surface them (the ADC scan reads only code rows; the exact re-rank
+    only re-fetches ids the scan produced). The coarse centroids and
+    the PQ codebook stay — corpus-level trained aggregates, same
+    stance as :func:`forget_in_ivf_index`. ``vectors`` prunes the find
+    scan via the stored COARSE centroids (code assignment uses the
+    same argmin, so the ids' cells are exactly recoverable). Returns
+    code rows removed."""
+    from flink_rag_spark.operators.pq import IVFPQ_CENTROIDS_FILE
+
+    ensure_runtime_confs(spark)
+    if not ids:
+        return 0
+    probe = _probe_cells_for(path, vectors, IVFPQ_CENTROIDS_FILE, vec_col)
+    return _forget_cells(spark, os.path.join(path, "cells"), ids,
+                         id_col, probe)
+
+
 def forget_documents(spark: SparkSession, ids: list[int],
                      store_path: str | None = None,
                      text_index_path: str | None = None,
                      dedup_index_path: str | None = None,
+                     ivf_index_path: str | None = None,
+                     ivfpq_index_path: str | None = None,
                      store_id_col: str = "vec_id",
                      n_parts: int | None = None) -> dict[str, int]:
     """Right-to-be-forgotten across EVERY artifact holding a document:
-    the bucketed vector store, the inverted text index, and the dedup
-    index — one call, each pass touching only the partitions that can
-    contain the ids (see the per-artifact functions for the exact
-    pruning). The reference delegates this to OpenSearch's delete API;
-    an engine owning its storage has to own deletion too."""
+    the bucketed vector store, the inverted text index, the dedup
+    index, and the IVF / IVF-PQ vector indexes — one call, each pass
+    touching only the partitions that can contain the ids (see the
+    per-artifact functions for the exact pruning). When the store is
+    part of the call, the ids' vectors are fetched from it (bucket-
+    pruned) BEFORE its delete and handed to the vector-index passes, so
+    those prune their cell directories instead of find-scanning. The
+    reference delegates this to OpenSearch's delete API; an engine
+    owning its storage has to own deletion too."""
+    import pyspark.sql.functions as F
+
     out: dict[str, int] = {}
+    vectors = None
+    if store_path is not None and (ivf_index_path is not None
+                                   or ivfpq_index_path is not None):
+        store = spark.read.parquet(store_path)
+        if "embedding" in store.columns:
+            from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+            if "bucket" in store.columns:   # pruned fetch, like the delete
+                store = store.filter(F.col("bucket").isin(
+                    sorted({i % STORE_BUCKETS for i in ids})))
+            vectors = (store.filter(F.col(store_id_col).isin(ids))
+                       .select(F.col(store_id_col).alias("vec_id"),
+                               "embedding")
+                       .localCheckpoint(eager=True))  # survives the delete
     if store_path is not None:
         out["store_rows"] = delete_from_store(spark, store_path, ids,
                                               store_id_col)
@@ -355,4 +507,10 @@ def forget_documents(spark: SparkSession, ids: list[int],
     if dedup_index_path is not None:
         out["band_rows"] = forget_in_dedup_index(spark, dedup_index_path,
                                                  ids, n_parts)
+    if ivf_index_path is not None:
+        out["ivf_rows"] = forget_in_ivf_index(spark, ivf_index_path, ids,
+                                              vectors)
+    if ivfpq_index_path is not None:
+        out["ivfpq_rows"] = forget_in_ivfpq_index(spark, ivfpq_index_path,
+                                                  ids, vectors)
     return out

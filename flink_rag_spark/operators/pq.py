@@ -211,7 +211,9 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
                       n_centroids: int | None = None, m: int = PQ_M,
                       kc: int = PQ_K, iters: int = PQ_ITERS,
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> None:
+                      id_col: str = "vec_id",
+                      coarse_centroids: list[list[float]] | None = None,
+                      codebook: list | None = None) -> None:
     """The production vector-store layout (Jégou et al. 2011 §IV): IVF
     cells bound WHICH vectors a probe touches, PQ codes bound the BYTES
     per touched vector. Vectors assign to IVF cells; the PQ codebook is
@@ -223,15 +225,23 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
 
     Demo-scale lifecycle: plain overwrite build. A deployment would
     commit through index.py's intent/swap protocol and retrain on the
-    compaction cadence — deliberately not duplicated here."""
+    compaction cadence — deliberately not duplicated here.
+
+    ``coarse_centroids`` / ``codebook`` pin the trained geometry and
+    skip the corresponding training phase — the reproducible-rebuild
+    path (same use as build_ivf_index's ``centroids=``)."""
     import json
     import os
 
     from flink_rag_spark.operators.similarity import (ivf_centroids,
                                                       with_ivf_cells)
-    cents = ivf_centroids(embeddings, vec_col=vec_col) \
-        if n_centroids is None else \
-        ivf_centroids(embeddings, n_centroids=n_centroids, vec_col=vec_col)
+    if coarse_centroids is not None:
+        cents = [[float(x) for x in c] for c in coarse_centroids]
+    else:
+        cents = ivf_centroids(embeddings, vec_col=vec_col) \
+            if n_centroids is None else \
+            ivf_centroids(embeddings, n_centroids=n_centroids,
+                          vec_col=vec_col)
     cent_df = spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
         "cell int, _cent array<double>")
@@ -242,8 +252,9 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
                           "(a, b) -> CAST(a AS DOUBLE) - b)").alias("res"))
            .persist())  # feeds PQ training AND encoding
     try:
-        codebook = train_pq(res, vec_col="res", id_col=id_col,
-                            m=m, k=kc, iters=iters)
+        if codebook is None:
+            codebook = train_pq(res, vec_col="res", id_col=id_col,
+                                m=m, k=kc, iters=iters)
         codes = (pq_encode(res, codebook, vec_col="res", id_col=id_col)
                  .join(res.select(id_col, "cell"), on=id_col))
         (codes.repartition(len(cents), F.col("cell"))

@@ -1,0 +1,212 @@
+"""Round-9 operator contracts: right-to-be-forgotten across the VECTOR
+indexes (IVF and IVF-PQ), completing the deletion surface the text and
+dedup indexes already honor (tests/test_round7b_ops.py).
+
+The rebuild-equivalence contract here is geometry-pinned: an IVF
+geometry (coarse centroids, PQ codebook) is a TRAINED corpus-level
+aggregate — like the text index's avgdl, it legitimately survives a
+deletion and is refreshed on the rebuild cadence, not per delete. So
+"forget ≡ rebuild" means: after forgetting ids, the index is
+bit-identical (artifact AND probe results) to an index built from the
+surviving corpus UNDER THE SAME GEOMETRY (build_ivf_index(centroids=) /
+build_ivfpq_index(coarse_centroids=, codebook=)).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _clustered(spark, n_per=15, dim=16, dtype="double"):
+    rows = []
+    vid = 0
+    for cx, cy in ((0.0, 5.0), (5.0, 0.0)):
+        for _ in range(n_per):
+            v = [(cx if d % 2 == 0 else cy)
+                 + ((vid * 31 + d * 7) % 10) / 50.0 for d in range(dim)]
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(
+        rows, f"vec_id bigint, embedding array<{dtype}>")
+
+
+def _cells_content(spark, path):
+    return sorted(
+        (r["vec_id"], r["cell"]) for r in
+        spark.read.parquet(f"{path}/cells").select("vec_id", "cell")
+        .collect())
+
+
+# ------------------------------------------------------- IVF forget
+
+@pytest.mark.parametrize("pass_vectors", [False, True],
+                         ids=["find-scan", "vector-pruned"])
+def test_forget_in_ivf_index_equals_rebuild(spark, tmp_path, pass_vectors):
+    import json
+
+    from flink_rag_spark.operators.index import (build_ivf_index,
+                                                 load_ivf_index)
+    from flink_rag_spark.operators.maintenance import forget_in_ivf_index
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+
+    emb = _clustered(spark)
+    forgotten = [3, 17]
+    survivors = emb.filter(~F.col("vec_id").isin(forgotten))
+    full, fresh = str(tmp_path / "full"), str(tmp_path / "fresh")
+    cents = build_ivf_index(spark, emb, full, n_centroids=4)
+    build_ivf_index(spark, survivors, fresh, centroids=cents)
+
+    vectors = (emb.filter(F.col("vec_id").isin(forgotten))
+               .select("vec_id", "embedding")) if pass_vectors else None
+    removed = forget_in_ivf_index(spark, full, forgotten, vectors=vectors)
+    assert removed == 2
+
+    # artifact-identical: same cell assignments, same centroids
+    assert _cells_content(spark, full) == _cells_content(spark, fresh)
+    assert json.load(open(f"{full}/centroids.json")) == \
+        json.load(open(f"{fresh}/centroids.json"))
+
+    # probe-identical, and the forgotten ids never surface
+    q = spark.createDataFrame(
+        [(0, [r["embedding"] for r in
+              emb.filter(F.col("vec_id") == 4).collect()][0])],
+        "query_id bigint, query_vec array<double>")
+
+    def probe(path):
+        cents_p, cells_p = load_ivf_index(spark, path)
+        return sorted(map(tuple, ivf_knn_join(
+            q, None, k=5, centroids=cents_p, cells=cells_p).collect()))
+
+    got, want = probe(full), probe(fresh)
+    assert got == want
+    assert not any(r[1] in forgotten for r in got)
+
+
+def test_forget_in_ivf_index_purges_pending_tail(spark, tmp_path):
+    from flink_rag_spark.operators.index import (build_ivf_index,
+                                                 load_ivf_tail,
+                                                 stage_pending)
+    from flink_rag_spark.operators.maintenance import forget_in_ivf_index
+
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 20"), idx, n_centroids=4)
+    # two fresh vectors land in the tail; one of them is then forgotten
+    stage_pending(spark, emb.filter(F.col("vec_id").isin(25, 26)), idx)
+    removed = forget_in_ivf_index(spark, idx, [25])
+    assert removed == 1                       # tail row only — no cell hit
+    tail = {r["vec_id"] for r in load_ivf_tail(spark, idx).collect()}
+    assert tail == {26}                       # the other tail row survives
+
+
+def test_forget_in_ivf_index_missing_ids_noop(spark, tmp_path):
+    from flink_rag_spark.operators.index import build_ivf_index
+    from flink_rag_spark.operators.maintenance import forget_in_ivf_index
+
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, idx, n_centroids=4)
+    before = _cells_content(spark, idx)
+    assert forget_in_ivf_index(spark, idx, [999]) == 0
+    assert forget_in_ivf_index(spark, idx, []) == 0
+    assert _cells_content(spark, idx) == before
+
+
+# ----------------------------------------------------- IVF-PQ forget
+
+@pytest.mark.parametrize("pass_vectors", [False, True],
+                         ids=["find-scan", "vector-pruned"])
+def test_forget_in_ivfpq_index_equals_rebuild(spark, tmp_path,
+                                              pass_vectors):
+    import json
+
+    from flink_rag_spark.operators.maintenance import forget_in_ivfpq_index
+    from flink_rag_spark.operators.pq import (IVFPQ_CENTROIDS_FILE,
+                                              IVFPQ_CODEBOOK_FILE,
+                                              build_ivfpq_index,
+                                              ivfpq_topk)
+
+    emb = _clustered(spark)
+    forgotten = [3, 17]
+    survivors = emb.filter(~F.col("vec_id").isin(forgotten))
+    full, fresh = str(tmp_path / "full"), str(tmp_path / "fresh")
+    build_ivfpq_index(spark, emb, full, n_centroids=4, m=4, kc=4, iters=3)
+    cents = json.load(open(f"{full}/{IVFPQ_CENTROIDS_FILE}"))
+    cb = json.load(open(f"{full}/{IVFPQ_CODEBOOK_FILE}"))
+    build_ivfpq_index(spark, survivors, fresh, coarse_centroids=cents,
+                      codebook=cb, m=4, kc=4, iters=3)
+
+    vectors = (emb.filter(F.col("vec_id").isin(forgotten))
+               .select("vec_id", "embedding")) if pass_vectors else None
+    removed = forget_in_ivfpq_index(spark, full, forgotten,
+                                    vectors=vectors)
+    assert removed == 2
+
+    # artifact-identical: same (id, cell, codes) rows, same geometry
+    def codes(path):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+            spark.read.parquet(f"{path}/cells").collect())
+    assert codes(full) == codes(fresh)
+
+    # probe-identical, forgotten ids never surface (rerank against the
+    # surviving corpus — the store's own delete already ran by contract)
+    qv = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") == 4).collect()][0]
+
+    def probe(path):
+        return sorted(map(tuple, ivfpq_topk(
+            spark, path, qv, survivors, k=5, n_probe=2).collect()))
+
+    got, want = probe(full), probe(fresh)
+    assert got == want
+    assert not any(r[0] in forgotten for r in got)
+
+
+# -------------------------------------------------- composition
+
+def test_forget_documents_spans_vector_indexes(spark, tmp_path):
+    """One forget_documents call wipes the store AND both vector
+    indexes; the store's vectors are fetched before its delete so the
+    index passes run cell-pruned."""
+    from flink_rag_spark.operators.index import build_ivf_index
+    from flink_rag_spark.operators.maintenance import forget_documents
+    from flink_rag_spark.operators.pq import build_ivfpq_index, ivfpq_topk
+    from flink_rag_spark.operators.similarity import ivf_knn_join
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+
+    emb = _clustered(spark)
+    store = str(tmp_path / "store")
+    (emb.withColumn("text", F.concat(F.lit("doc "), F.col("vec_id")))
+     .withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(STORE_BUCKETS))
+                 .cast("int"))
+     .repartition("bucket").write.partitionBy("bucket").parquet(store))
+    ivf, ivfpq = str(tmp_path / "ivf"), str(tmp_path / "ivfpq")
+    build_ivf_index(spark, emb, ivf, n_centroids=4)
+    build_ivfpq_index(spark, emb, ivfpq, n_centroids=4, m=4, kc=4,
+                      iters=3)
+
+    out = forget_documents(spark, [3, 17], store_path=store,
+                           ivf_index_path=ivf, ivfpq_index_path=ivfpq)
+    assert out == {"store_rows": 2, "ivf_rows": 2, "ivfpq_rows": 2}
+
+    left = {r["vec_id"] for r in spark.read.parquet(store).collect()}
+    assert left == set(range(30)) - {3, 17}
+    for path in (ivf, ivfpq):
+        ids = {r["vec_id"] for r in
+               spark.read.parquet(f"{path}/cells").collect()}
+        assert ids == set(range(30)) - {3, 17}
+
+    # serving paths come back clean
+    qv = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") == 4).collect()][0]
+    q = spark.createDataFrame([(0, qv)],
+                              "query_id bigint, query_vec array<double>")
+    import json
+    cents = json.load(open(f"{ivf}/centroids.json"))
+    cells = spark.read.parquet(f"{ivf}/cells")
+    got_ivf = {r["vec_id"] for r in ivf_knn_join(
+        q, None, k=10, centroids=cents, cells=cells).collect()}
+    rerank = spark.read.parquet(store).select("vec_id", "embedding")
+    got_pq = {r["vec_id"] for r in ivfpq_topk(
+        spark, ivfpq, qv, rerank, k=10, n_probe=2).collect()}
+    assert not ({3, 17} & (got_ivf | got_pq))
