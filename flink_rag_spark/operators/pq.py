@@ -271,19 +271,7 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
         os.replace(tmp, os.path.join(path, fname))
 
 
-def ivfpq_topk(spark, path: str, query_vec: list[float],
-               rerank_with: DataFrame, k: int = 10, n_probe: int = 4,
-               rerank_factor: int = PQ_RERANK_FACTOR,
-               vec_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
-    """Probe the IVF-PQ index: ADC-score the codes of the ``n_probe``
-    nearest cells (partition-pruned scan), keep rerank_factor·k, re-rank
-    those exactly against ``rerank_with`` (the full-precision store —
-    only the finalists' vectors are ever fetched). Residual ADC cosine:
-    dot(q, x̂) = dot(q, cent) + Σ dot(q_s, r̂_s) and ‖x̂‖² = ‖cent‖²
-    + 2Σ dot(cent_s, r̂_s) + Σ‖r̂_s‖², all from a broadcast
-    (cell, s, code)-keyed lookup table of n_probe·m·k rows computed
-    driver-side from the query."""
+def _load_geometry(path: str) -> tuple[list, list]:
     import json
     import os
 
@@ -291,6 +279,132 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
         cents = json.load(f)
     with open(os.path.join(path, IVFPQ_CODEBOOK_FILE)) as f:
         codebook = json.load(f)
+    return cents, codebook
+
+
+def _cent_df(spark, cents: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
+        "cell int, _cent array<double>")
+
+
+def _residuals(assigned: DataFrame, cent_df: DataFrame, vec_col: str,
+               id_col: str) -> DataFrame:
+    """(id, cell, res) — vectors minus their assigned cell centroid."""
+    return (assigned.join(F.broadcast(cent_df), on="cell")
+            .select(id_col, "cell",
+                    F.expr(f"zip_with({vec_col}, _cent, "
+                           "(a, b) -> CAST(a AS DOUBLE) - b)")
+                    .alias("res")))
+
+
+def append_to_ivfpq_index(spark, new_vectors: DataFrame, path: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> int:
+    """Incremental IVF-PQ maintenance: encode ``new_vectors`` with the
+    FROZEN geometry (stored coarse centroids + PQ codebook — no
+    retraining, so appended codes are BIT-IDENTICAL to what a rebuild
+    under the same geometry would produce) and append into their cell
+    partitions. Idempotent under replay: new ids anti-join against the
+    ids already coded in the touched cells — a partition-pruned read,
+    the same guard as index.flush_pending — so a replayed batch appends
+    nothing twice. Geometry DRIFT is handled exactly like plain IVF:
+    the codebook-maintenance/promotion discipline retrains on the
+    rebuild cadence, not per append. Returns vectors appended."""
+    import os
+
+    from flink_rag_spark.operators.similarity import with_ivf_cells
+
+    cents, codebook = _load_geometry(path)
+    assigned = with_ivf_cells(
+        new_vectors.select(id_col, vec_col).dropDuplicates([id_col]),
+        cents, vec_col)
+    touched = [r["cell"] for r in
+               assigned.select("cell").distinct().collect()]
+    if not touched:
+        return 0
+    cells_path = os.path.join(path, "cells")
+    existing = (spark.read.parquet(cells_path)
+                .filter(F.col("cell").isin(touched))
+                .select(id_col))
+    fresh = (assigned.join(existing, on=id_col, how="left_anti")
+             .persist())  # counted AND encoded
+    try:
+        n = fresh.count()
+        if not n:
+            return 0
+        res = _residuals(fresh, _cent_df(spark, cents), vec_col, id_col)
+        codes = (pq_encode(res, codebook, vec_col="res", id_col=id_col)
+                 .join(res.select(id_col, "cell"), on=id_col))
+        (codes.repartition(len(cents), F.col("cell"))
+         .write.mode("append").partitionBy("cell").parquet(cells_path))
+        return int(n)
+    finally:
+        fresh.unpersist()
+
+
+def flush_pending_ivfpq(spark, path: str) -> int:
+    """Drain the index's ``pending/`` tail (staged per micro-batch by
+    ``index.stage_pending`` — the layout is shared with plain IVF) into
+    the code partitions via :func:`append_to_ivfpq_index`. Crash-safe
+    the same way as ``index.flush_pending``: pending renames to a
+    flushing dir first, and the append's anti-join makes a replayed
+    flush a no-op. No-op before the first build (no geometry to encode
+    with — vectors stay in the tail, where probes exact-score them).
+    Returns vectors flushed."""
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.index import FLUSHING_DIR, PENDING_DIR
+
+    pend = os.path.join(path, PENDING_DIR)
+    flush = os.path.join(path, FLUSHING_DIR)
+    if not (os.path.exists(os.path.join(path, IVFPQ_CENTROIDS_FILE))
+            and os.path.exists(os.path.join(path, IVFPQ_CODEBOOK_FILE))):
+        return 0
+    if not os.path.exists(flush):
+        if not os.path.exists(pend):
+            return 0
+        os.rename(pend, flush)
+    n = append_to_ivfpq_index(
+        spark, spark.read.parquet(flush).dropDuplicates(["vec_id"]), path)
+    shutil.rmtree(flush)
+    return n
+
+
+def compact_ivfpq_index(spark, path: str, files_per_cell: int = 1) -> int:
+    """Rewrite the code partitions to ``files_per_cell`` files per cell
+    after a run of appends — the layout is identical to plain IVF's, so
+    this IS ``index.compact_ivf_index`` (write-then-swap, geometry
+    untouched). Returns the data-file count after."""
+    from flink_rag_spark.operators.index import compact_ivf_index
+
+    return compact_ivf_index(spark, path, files_per_cell)
+
+
+def ivfpq_topk(spark, path: str, query_vec: list[float],
+               rerank_with: DataFrame, k: int = 10, n_probe: int = 4,
+               rerank_factor: int = PQ_RERANK_FACTOR,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id",
+               tail: DataFrame | None = None) -> DataFrame:
+    """Probe the IVF-PQ index: ADC-score the codes of the ``n_probe``
+    nearest cells (partition-pruned scan), keep rerank_factor·k, re-rank
+    those exactly against ``rerank_with`` (the full-precision store —
+    only the finalists' vectors are ever fetched). Residual ADC cosine:
+    dot(q, x̂) = dot(q, cent) + Σ dot(q_s, r̂_s) and ‖x̂‖² = ‖cent‖²
+    + 2Σ dot(cent_s, r̂_s) + Σ‖r̂_s‖², all from a broadcast
+    (cell, s, code)-keyed lookup table of n_probe·m·k rows computed
+    driver-side from the query.
+
+    ``tail``: freshly-ingested vectors not yet flushed into the code
+    partitions (``index.load_ivf_tail`` over this index's pending dirs)
+    — scored EXACTLY and merged into the rerank candidate pool, the
+    same freshness contract as ``ivf_knn_join``'s tail. Tail ids must
+    resolve in ``rerank_with`` (they do: it is the live store)."""
+    import os
+
+    cents, codebook = _load_geometry(path)
     m, dsub = len(codebook), len(codebook[0][0])
     C = np.asarray(cents, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -325,5 +439,18 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
                   / (F.lit(qn) * F.sqrt(F.greatest(
                       F.col("cn") + 2 * F.col("_b") + F.col("_n"),
                       F.lit(1e-12))))).alias("approx_score")))
+    if tail is not None:
+        from flink_rag_spark.operators.similarity import cosine_topk
+        # exact scores for the un-indexed tail (small by the flush
+        # cadence's construction); max() collapses any id racing an
+        # in-flight flush that already coded it
+        tail_scored = (cosine_topk(tail, query_vec,
+                                   k=rerank_factor * k,
+                                   vec_col=vec_col, id_col=id_col)
+                       .select(id_col, F.col("score")
+                               .alias("approx_score")))
+        approx = (approx.unionByName(tail_scored)
+                  .groupBy(id_col)
+                  .agg(F.max("approx_score").alias("approx_score")))
     return _rerank_exact(approx, rerank_with, query_vec, k,
                          rerank_factor, vec_col, id_col)

@@ -267,6 +267,8 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                ivf_index: str | None = None,
                ivf_append_every: int = 1,
                ivf_codebook: bool = False,
+               ivfpq_index: str | None = None,
+               ivfpq_append_every: int = 1,
                text_index: str | None = None,
                text_compact_every: int | None = None):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
@@ -295,6 +297,16 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     ingest BY CONSTRUCTION, not by rebuild convention. Before the first
     ``build_ivf_index`` the flush is a no-op and vectors simply stay in
     the tail.
+
+    ``ivfpq_index=<path>`` maintains a persisted IVF-PQ index
+    (operators/pq.py) with the SAME staging discipline as ``ivf_index``:
+    vectors stage into the index's pending tail per batch, and every
+    ``ivfpq_append_every`` batches the tail flushes — encoded with the
+    FROZEN geometry (pq.flush_pending_ivfpq → append_to_ivfpq_index,
+    whose anti-join makes replays no-ops) into the cell partitions.
+    Before the first ``build_ivfpq_index`` the flush is a no-op and the
+    tail keeps the vectors for probes to exact-score
+    (``ivfpq_topk(tail=...)``).
 
     ``ivf_codebook=True`` additionally absorbs each micro-batch's
     genuinely store-NEW rows (the upsert's own anti-join, via the same
@@ -353,6 +365,7 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
         # persist whenever >1 action consumes the batch (the embed UDF
         # must not run once per sink write)
         multi_action = (neardup_index is not None or ivf_index is not None
+                        or ivfpq_index is not None
                         or text_index is not None)
         if neardup_index is not None:
             from flink_rag_spark.operators.incremental import (
@@ -421,6 +434,13 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                               ivf_index)
                 if (_id + 1) % max(1, ivf_append_every) == 0:
                     flush_pending(b.sparkSession, ivf_index)
+            if ivfpq_index is not None:
+                from flink_rag_spark.operators.index import stage_pending
+                from flink_rag_spark.operators.pq import flush_pending_ivfpq
+                stage_pending(b.sparkSession,
+                              b.select("vec_id", "embedding"), ivfpq_index)
+                if (_id + 1) % max(1, ivfpq_append_every) == 0:
+                    flush_pending_ivfpq(b.sparkSession, ivfpq_index)
         finally:
             if multi_action:
                 b.unpersist()

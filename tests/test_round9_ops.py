@@ -21,8 +21,9 @@ def _clustered(spark, n_per=15, dim=16, dtype="double"):
     vid = 0
     for cx, cy in ((0.0, 5.0), (5.0, 0.0)):
         for _ in range(n_per):
+            # jitter period 23 over vid — no two of the 30 vectors tie
             v = [(cx if d % 2 == 0 else cy)
-                 + ((vid * 31 + d * 7) % 10) / 50.0 for d in range(dim)]
+                 + ((vid * 13 + d * 7) % 23) / 50.0 for d in range(dim)]
             rows.append((vid, v))
             vid += 1
     return spark.createDataFrame(
@@ -160,6 +161,155 @@ def test_forget_in_ivfpq_index_equals_rebuild(spark, tmp_path,
     got, want = probe(full), probe(fresh)
     assert got == want
     assert not any(r[0] in forgotten for r in got)
+
+
+# ------------------------------------------- IVF-PQ append / flush
+
+def test_append_to_ivfpq_index_equals_rebuild_and_replays_noop(
+        spark, tmp_path):
+    """Appended codes are encoded with the FROZEN geometry, so the
+    maintained index is bit-identical to a from-scratch build of the
+    full corpus under that geometry; a replayed append inserts
+    nothing."""
+    import json
+
+    from flink_rag_spark.operators.pq import (IVFPQ_CENTROIDS_FILE,
+                                              IVFPQ_CODEBOOK_FILE,
+                                              append_to_ivfpq_index,
+                                              build_ivfpq_index)
+
+    emb = _clustered(spark)
+    base = emb.filter("vec_id < 20")
+    fresh = emb.filter("vec_id >= 20")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ivfpq_index(spark, base, inc, n_centroids=4, m=4, kc=4, iters=3)
+    cents = json.load(open(f"{inc}/{IVFPQ_CENTROIDS_FILE}"))
+    cb = json.load(open(f"{inc}/{IVFPQ_CODEBOOK_FILE}"))
+
+    assert append_to_ivfpq_index(spark, fresh, inc) == 10
+    build_ivfpq_index(spark, emb, full, coarse_centroids=cents,
+                      codebook=cb, m=4, kc=4, iters=3)
+
+    def codes(path):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+            spark.read.parquet(f"{path}/cells").collect())
+    assert codes(inc) == codes(full)
+
+    # replay: the partition-pruned anti join absorbs the whole batch
+    assert append_to_ivfpq_index(spark, fresh, inc) == 0
+    assert codes(inc) == codes(full)
+
+
+def test_ivfpq_flush_pending_and_tail_probe(spark, tmp_path):
+    """flush_pending_ivfpq drains the staged tail through the replay
+    guard; before the flush, ivfpq_topk(tail=...) serves the staged
+    vectors exactly."""
+    from flink_rag_spark.operators.index import (load_ivf_tail,
+                                                 stage_pending)
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              flush_pending_ivfpq,
+                                              ivfpq_topk)
+
+    emb = _clustered(spark)
+    base = emb.filter("vec_id < 20")
+    fresh = emb.filter("vec_id >= 20")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, base, idx, n_centroids=4, m=4, kc=4, iters=3)
+    stage_pending(spark, fresh, idx)
+
+    # pre-flush: a fresh vector is only reachable through the tail
+    qv = [r["embedding"] for r in
+          emb.filter(F.col("vec_id") == 25).collect()][0]
+    tail = load_ivf_tail(spark, idx)
+    no_tail = {r["vec_id"] for r in
+               ivfpq_topk(spark, idx, qv, emb, k=3, n_probe=2).collect()}
+    with_tail = ivfpq_topk(spark, idx, qv, emb, k=3, n_probe=2,
+                           tail=tail).collect()
+    assert 25 not in no_tail
+    top = sorted(with_tail, key=lambda r: r["rank"])[0]
+    assert top["vec_id"] == 25 and top["score"] == 1.0
+
+    # flush drains the tail into the partitions; a replayed flush
+    # (crash between append and cleanup) inserts nothing twice
+    assert flush_pending_ivfpq(spark, idx) == 10
+    assert load_ivf_tail(spark, idx) is None
+    ids = [r["vec_id"] for r in
+           spark.read.parquet(f"{idx}/cells").collect()]
+    assert sorted(ids) == list(range(30))
+    post = {r["vec_id"] for r in
+            ivfpq_topk(spark, idx, qv, emb, k=3, n_probe=2).collect()}
+    assert 25 in post
+
+
+def test_ivfpq_flush_noop_before_first_build(spark, tmp_path):
+    from flink_rag_spark.operators.index import (load_ivf_tail,
+                                                 stage_pending)
+    from flink_rag_spark.operators.pq import flush_pending_ivfpq
+
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivfpq")
+    stage_pending(spark, emb.filter("vec_id < 5"), idx)
+    assert flush_pending_ivfpq(spark, idx) == 0    # no geometry yet
+    assert load_ivf_tail(spark, idx).count() == 5  # nothing lost
+
+
+def test_streaming_ingest_maintains_ivfpq_index(spark, tmp_path):
+    """run_ingest(ivfpq_index=...): streamed vectors reach the code
+    partitions on the flush cadence; the maintained index is
+    bit-identical to a from-scratch build of the full store under the
+    same geometry."""
+    import json
+
+    from flink_rag_spark.operators.pq import (IVFPQ_CENTROIDS_FILE,
+                                              IVFPQ_CODEBOOK_FILE,
+                                              build_ivfpq_index)
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    idx, store = str(tmp_path / "ivfpq"), str(tmp_path / "store")
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "s.txt").write_text(
+        "".join(f"seed fact number {i} about topic {i % 4}\n"
+                for i in range(16)))
+    q = run_ingest(spark, file_string_source(spark, str(seed)), store,
+                   str(tmp_path / "c0"), available_now=True)
+    assert q.awaitTermination(120)
+    emb0 = spark.read.parquet(store).select("vec_id", "embedding")
+    # embeddings are provider-dim; pick m that divides it
+    dim = len(emb0.first()["embedding"])
+    m = 4 if dim % 4 == 0 else (2 if dim % 2 == 0 else 1)
+    build_ivfpq_index(spark, emb0, idx, n_centroids=4, m=m, kc=4,
+                      iters=3)
+
+    newdir = tmp_path / "new"
+    newdir.mkdir()
+    for j in range(2):
+        (newdir / f"n{j}.txt").write_text(
+            f"fresh streamed fact {j} about entirely new topics\n")
+    q = run_ingest(spark,
+                   file_string_source(spark, str(newdir),
+                                      max_files_per_trigger=1),
+                   store, str(tmp_path / "c1"), available_now=True,
+                   ivfpq_index=idx, ivfpq_append_every=1)
+    assert q.awaitTermination(180)
+
+    cents = json.load(open(f"{idx}/{IVFPQ_CENTROIDS_FILE}"))
+    cb = json.load(open(f"{idx}/{IVFPQ_CODEBOOK_FILE}"))
+    full = str(tmp_path / "full")
+    build_ivfpq_index(spark,
+                      spark.read.parquet(store)
+                      .select("vec_id", "embedding"),
+                      full, coarse_centroids=cents, codebook=cb, m=m,
+                      kc=4, iters=3)
+
+    def codes(path):
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+            spark.read.parquet(f"{path}/cells").collect())
+    assert codes(idx) == codes(full)
+    assert len(codes(idx)) == 18
 
 
 # -------------------------------------------------- composition
