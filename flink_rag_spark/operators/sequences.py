@@ -185,6 +185,108 @@ FROM s
 """
 
 
+def expand_quantified_steps(steps: list) -> tuple[list, list[int]]:
+    """Desugar quantified pattern entries — FlinkCEP ``times(n)`` /
+    ``timesOrMore(n)`` / ``oneOrMore`` (MATCH_RECOGNIZE ``B{n,}`` /
+    ``B+``) — into the flat strict-after expansion the window layers
+    run. An entry is a plain step (string or Column) or a ``(step, n)``
+    tuple meaning "n or more repetitions".
+
+    Under the funnel's earliest-completion (skip-till-next-match)
+    semantics, ``timesOrMore(n)`` and ``times(n)`` complete at the SAME
+    instant — the n-th repetition; later repetitions are permitted by
+    relaxed contiguity but cannot move an earliest completion. So one
+    expansion (the step repeated n times, each strictly after the last)
+    serves all three quantifiers, with ``B+`` = ``(B, 1)`` ≡ a plain
+    step. Repetitions chain on STRICT timestamp order: two matches at
+    the same timestamp count once (the engine's documented tie
+    behavior; FlinkCEP on a serialized stream has no simultaneity).
+
+    Returns (flat_steps, last_layer_index_per_original_step)."""
+    flat: list = []
+    last: list[int] = []
+    for s in steps:
+        if isinstance(s, tuple):
+            step, n = s
+            if not isinstance(n, int) or n < 1:
+                raise ValueError(f"quantifier must be an int >= 1, got {n!r}")
+            flat.extend([step] * n)
+        else:
+            flat.append(s)
+        last.append(len(flat))
+    return flat, last
+
+
+def quantified_funnel_times(events: DataFrame, steps: list,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            within_seconds: int | None = None) -> DataFrame:
+    """``funnel_times`` with Kleene/looping pattern steps: each
+    ``(step, n)`` entry requires n+ repetitions of the step (strictly
+    time-increasing) before the pattern advances — FlinkCEP's
+    ``timesOrMore`` / MATCH_RECOGNIZE ``A B{n,} C``. Output is one
+    column per ORIGINAL step: t_j = the earliest instant steps 1..j
+    complete, a quantified step completing at its n-th repetition.
+
+    Same scale shape as the flat funnel — the expansion adds window
+    LAYERS over the single (key, ts) exchange, never another shuffle,
+    so ``B{100,}`` costs 100 running-min columns on one sort, not 100
+    joins."""
+    flat, last = expand_quantified_steps(steps)
+    ft = funnel_times(events, flat, key_col, ts_col, type_col, seq_col,
+                      within_seconds)
+    return ft.select(key_col, *[
+        F.col(f"t{li}").alias(f"t{j}")
+        for j, li in enumerate(last, start=1)])
+
+
+def quantified_funnel_times_duck(steps: list,
+                                 within_seconds: int | None = None,
+                                 key_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 seq_col: str = "event_id",
+                                 table: str = "events") -> str:
+    """DuckDB mirror of :func:`quantified_funnel_times` — the same
+    desugaring feeding the same stacked running-min layer SQL as
+    ``funnel_summary_duck``, collapsed to one t-column per original
+    step. String steps only (the Column caveat of the flat mirror)."""
+    flat, last = expand_quantified_steps(steps)
+    bad = [s for s in flat if not isinstance(s, str)]
+    if bad:
+        raise TypeError(
+            "quantified_funnel_times_duck only mirrors string steps; "
+            f"got non-string steps: {bad!r}")
+    in_list = ", ".join(f"'{s}'" for s in set(flat))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    layers = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    for i, step in enumerate(flat, start=1):
+        cond = f"{type_col} = '{step}'"
+        if i > 1:
+            cond += f" AND {ts_col} > _r{i - 1}"
+            if within_seconds is not None:
+                cond += (f" AND {ts_col} <= _r1 + "
+                         f"INTERVAL {within_seconds} SECOND")
+        layers.append(
+            f"l{i} AS (SELECT {prev_cols}, "
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} AS _r{i} "
+            f"FROM {src})")
+        prev_cols += f", _r{i}"
+        src = f"l{i}"
+    t_cols = ", ".join(f"MIN(_r{li}) AS t{j}"
+                       for j, li in enumerate(last, start=1))
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(layers)}
+SELECT {key_col}, {t_cols} FROM {src} GROUP BY {key_col}
+"""
+
+
 def event_transitions(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       seq_col: str = "event_id") -> DataFrame:

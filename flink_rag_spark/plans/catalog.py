@@ -1344,6 +1344,12 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: INSIDE the graded ann_methods_vec7 IVF tier and was transitively
 #: graded via semantic_dedup_docs in round 7; it keeps its pytest
 #: oracle.
+#: Round 9 also promotes kleene_funnel_users (quantified/looping CEP
+#: steps — the r8 verdict's named next capability) in place of
+#: time_weighted_daily_value, which stayed graded in round 8 ONLY to
+#: prove the r7 oracle-dtype fix green (it did: hash-green in
+#: CORRECTNESS_r08); its interval-clipping shape stays covered via the
+#: decay family and gapfill's pytest oracle.
 #: Round 9 promotes the nine remaining swept round-8 families so each
 #: earns a driver CORRECTNESS row (r8 verdict item 4): event transition
 #: matrix, RM3 query expansion, MMR/cell-diversified retrieval, the
@@ -1355,6 +1361,7 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: udtf_token_positions, text_features — every one keeps its DuckDB
 #: oracle in pytest's sweep.
 _PROMOTED = [
+    "kleene_funnel_users",
     "event_transition_matrix",
     "rm3_expanded_bm25_docs",
     "diversified_retrieval",
@@ -1399,7 +1406,6 @@ _PROMOTED = [
     "rag_reranked_answer",
     "bm25_topk_indexed_docs",
     "ivm_enriched_orders",
-    "time_weighted_daily_value",
     ]
 
 #: the graded window — exactly what __spark_entry__.queries() exposes first

@@ -55,6 +55,7 @@ def extra_queries() -> list[tuple]:
         cohort_retention_duck,
         event_transitions_duck,
         funnel_summary_duck,
+        quantified_funnel_times_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
@@ -1379,6 +1380,13 @@ FROM documents WHERE doc_id % 17 = 0""",
         ("funnel_view_click_purchase", llm.funnel_view_click_purchase,
          funnel_summary_duck(llm.FUNNEL_STEPS, llm.FUNNEL_WITHIN_SECONDS),
          ("streaming", "cep", "window")),
+        # round-9: quantified/Kleene CEP steps — FlinkCEP timesOrMore /
+        # MATCH_RECOGNIZE A B{3,} C, desugared into extra running-min
+        # layers over the flat funnel's single exchange
+        ("kleene_funnel_users", llm.kleene_funnel_users,
+         quantified_funnel_times_duck(llm.KLEENE_STEPS,
+                                      llm.KLEENE_WITHIN_SECONDS),
+         ("streaming", "cep", "window", "kleene")),
         # round-8d: order-1 Markov transition matrix over per-user
         # event streams — lag window + |types|²-bounded aggregate
         ("event_transition_matrix", llm.event_transition_matrix,

@@ -1585,6 +1585,27 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                           within_seconds=FUNNEL_WITHIN_SECONDS).orderBy("step")
 
 
+#: Kleene pattern: view → 3+ clicks → purchase, all within 2 days of
+#: the first view (MATCH_RECOGNIZE ``A B{3,} C`` / FlinkCEP timesOrMore)
+KLEENE_STEPS = ["view", ("click", 3), "purchase"]
+KLEENE_WITHIN_SECONDS = 2 * 86400
+
+
+def kleene_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified CEP funnel (operators/sequences.py
+    quantified_funnel_times): per-user earliest completion of
+    view → click{3,} → purchase within 2 days of the first view —
+    FlinkCEP's looping ``timesOrMore`` pattern, desugared into extra
+    running-min window layers over the SAME single exchange as the flat
+    funnel (cites FlinkCEP Pattern.timesOrMore semantics; Spark has no
+    MATCH_RECOGNIZE)."""
+    from flink_rag_spark.operators.sequences import quantified_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return quantified_funnel_times(
+        e, KLEENE_STEPS,
+        within_seconds=KLEENE_WITHIN_SECONDS).orderBy("user_id")
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-1 Markov transition matrix (operators/sequences.py
     event_transitions): per-user event streams → (prev, next) counts and

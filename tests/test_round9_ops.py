@@ -312,6 +312,79 @@ def test_streaming_ingest_maintains_ivfpq_index(spark, tmp_path):
     assert len(codes(idx)) == 18
 
 
+# ----------------------------------------- quantified (Kleene) CEP
+
+def _ev(spark, rows):
+    from datetime import datetime
+    return spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, h, m), u, t)
+         for i, (h, m, u, t) in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string")
+
+
+def test_quantified_funnel_hand_values(spark):
+    """A B{3,} C: the pattern advances at the 3rd strictly-later B;
+    repeats before the anchor don't count; same-timestamp repeats
+    count once (strict-after chaining)."""
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import quantified_funnel_times
+    e = _ev(spark, [
+        # u1: clean completion — 4 clicks, completes at the 3rd
+        (0, 0, 1, "view"), (0, 1, 1, "click"), (0, 2, 1, "click"),
+        (0, 3, 1, "click"), (0, 4, 1, "click"), (0, 5, 1, "purchase"),
+        # u2: only 2 clicks — quantified step never completes
+        (1, 0, 2, "view"), (1, 1, 2, "click"), (1, 2, 2, "click"),
+        (1, 3, 2, "purchase"),
+        # u3: clicks BEFORE the view don't count toward the repeat
+        (2, 0, 3, "click"), (2, 1, 3, "click"), (2, 2, 3, "view"),
+        (2, 3, 3, "click"), (2, 4, 3, "click"), (2, 5, 3, "click"),
+        (2, 6, 3, "purchase"),
+    ])
+    got = {r["user_id"]: r for r in quantified_funnel_times(
+        e, ["view", ("click", 3), "purchase"]).collect()}
+    d = lambda h, m: datetime(2024, 1, 1, h, m)
+    assert got[1]["t1"] == d(0, 0)
+    assert got[1]["t2"] == d(0, 3)          # the 3rd click, not the 4th
+    assert got[1]["t3"] == d(0, 5)
+    assert got[2]["t2"] is None and got[2]["t3"] is None
+    assert got[3]["t1"] == d(2, 2)
+    assert got[3]["t2"] == d(2, 5)
+    assert got[3]["t3"] == d(2, 6)
+
+
+def test_quantified_funnel_same_ts_counts_once_and_validates(spark):
+    import pytest as _pytest
+
+    from flink_rag_spark.operators.sequences import (
+        expand_quantified_steps,
+        quantified_funnel_times,
+    )
+    # two clicks at the SAME minute: strict-after chaining counts one
+    e = _ev(spark, [
+        (0, 0, 1, "view"), (0, 1, 1, "click"), (0, 1, 1, "click"),
+        (0, 2, 1, "click"), (0, 3, 1, "purchase")])
+    got = quantified_funnel_times(
+        e, ["view", ("click", 3), "purchase"]).collect()[0]
+    assert got["t2"] is None                 # only 2 distinct instants
+    flat, last = expand_quantified_steps(["a", ("b", 3), "c"])
+    assert flat == ["a", "b", "b", "b", "c"] and last == [1, 4, 5]
+    with _pytest.raises(ValueError):
+        expand_quantified_steps([("b", 0)])
+
+
+def test_quantified_funnel_duck_mirror_rejects_columns(spark):
+    import pyspark.sql.functions as F2
+    import pytest as _pytest
+
+    from flink_rag_spark.operators.sequences import (
+        quantified_funnel_times_duck,
+    )
+    with _pytest.raises(TypeError):
+        quantified_funnel_times_duck([(F2.col("x") > 1, 2)])
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
