@@ -289,7 +289,10 @@ def main() -> None:
              # round-8e: generation-side grounding eval over the full
              # RAG chain (retrieval + assembly + chat + metric), and
              # robust median/MAD outlier detection
-             "rag_answer_grounding", "event_value_outliers"]
+             "rag_answer_grounding", "event_value_outliers",
+             # round-9: quantified/Kleene CEP (5 window layers on the
+             # funnel's single exchange)
+             "kleene_funnel_users"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -342,7 +345,11 @@ def main() -> None:
                # DSIR's two-pass estimator+scoring are the
                # scale-sensitive new plans (transition matrix and
                # retention share the funnel's exchange shape)
-               "funnel_view_click_purchase", "dsir_selected_docs"]
+               "funnel_view_click_purchase", "dsir_selected_docs",
+               # round-9: the Kleene expansion stacks 5 running-min
+               # layers on the funnel's exchange — rehearse that the
+               # extra layers stay per-row arithmetic, not a new shuffle
+               "kleene_funnel_users"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
@@ -462,6 +469,11 @@ def main() -> None:
     summary = {
         "headline_total_sec": total,
         "headline_medians": timings,
+        # per-op medians for every post-round-1 family (round-8 verdict
+        # item 7: r-over-r comparisons of the newer ops previously
+        # survived only as audit-note prose) — median of 3, see
+        # methodology
+        "extra_medians": extra_timings,
         "rag_qps": {"exact": rag_qps, "ann": rag_qps_ann,
                     "hybrid": rag_qps_hybrid,
                     "hybrid_indexed": rag_qps_hybrid_indexed},
