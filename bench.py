@@ -291,8 +291,12 @@ def main() -> None:
              # robust median/MAD outlier detection
              "rag_answer_grounding", "event_value_outliers",
              # round-9: quantified/Kleene CEP (5 window layers on the
-             # funnel's single exchange)
-             "kleene_funnel_users"]
+             # funnel's single exchange), synchronous label propagation,
+             # closed-form CUSUM, SCD2 time travel, positional phrase
+             # search
+             "kleene_funnel_users", "part_communities",
+             "cusum_user_value_shifts", "customer_status_as_of",
+             "phrase_matched_documents"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -348,8 +352,13 @@ def main() -> None:
                "funnel_view_click_purchase", "dsir_selected_docs",
                # round-9: the Kleene expansion stacks 5 running-min
                # layers on the funnel's exchange — rehearse that the
-               # extra layers stay per-row arithmetic, not a new shuffle
-               "kleene_funnel_users"]
+               # extra layers stay per-row arithmetic, not a new shuffle.
+               # LPA's per-round labels⋈edges join and the phrase
+               # matcher's token join are the other scale-sensitive new
+               # plans (CUSUM shares the funnel's window shape; the
+               # as-of read is one filtered scan)
+               "kleene_funnel_users", "part_communities",
+               "phrase_matched_documents"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

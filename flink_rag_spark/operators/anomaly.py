@@ -1,4 +1,5 @@
-"""Robust outlier detection — per-group median/MAD flagging.
+"""Robust outlier detection (per-group median/MAD flagging) and CUSUM
+change-point detection.
 
 Quality gates need an outlier rule that survives the outliers it hunts:
 mean/stddev z-scores (the `grouped_map_zscore` shape) are dragged by the
@@ -96,4 +97,116 @@ WHERE t.{value_col} IS NOT NULL
         abs(CAST(t.{value_col} AS DOUBLE) - med.group_median)
           / ({MAD_SIGMA!r} * mad.group_mad) > {z_thresh!r}
       ELSE abs(CAST(t.{value_col} AS DOUBLE) - med.group_median) > 0 END
+"""
+
+
+# ------------------------------------------------------------- CUSUM
+
+CUSUM_DP = 6
+
+
+def cusum_scores(df: DataFrame, keys: list[str], ts_col: str,
+                 value_col: str, target: float, slack: float,
+                 seq_col: str | None = None) -> DataFrame:
+    """Two-sided CUSUM (Page 1954) per key, fully declarative: the
+    textbook recurrence s_i = max(0, s_{i-1} + d_i) has the closed form
+
+        s_i = C_i − min(0, min_{j≤i} C_j),   C = running sum of d
+
+    so both one-sided statistics (d = x−target−slack for upward shifts,
+    d = target−x−slack for downward) are ONE running sum + ONE running
+    min over the same (key, ts)-ordered frame — no recursion, no UDF,
+    one exchange for all four windows. Deviations are quantized to
+    DECIMAL(20,6) BEFORE accumulating (the decay-family discipline), so
+    the running sums are exact integers-in-decimal and the scores are
+    bit-identical in any engine and under any partitioning.
+
+    Returns the input rows plus (cusum_hi, cusum_lo) rounded to 6dp.
+    An alarm is ``cusum > h``; see :func:`cusum_first_alarms` for the
+    per-key change-point summary."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    x = F.col(value_col).cast("double")
+    d_hi = (x - F.lit(float(target)) - F.lit(float(slack))) \
+        .cast("decimal(20,6)")
+    d_lo = (F.lit(float(target)) - x - F.lit(float(slack))) \
+        .cast("decimal(20,6)")
+    out = df
+    for name, d in (("hi", d_hi), ("lo", d_lo)):
+        out = out.withColumn(f"_c_{name}", F.sum(d).over(w))
+        out = out.withColumn(
+            f"cusum_{name}",
+            (F.col(f"_c_{name}")
+             - F.least(F.lit(0).cast("decimal(20,6)"),
+                       F.min(f"_c_{name}").over(w))).cast("double"))
+    return (out.drop("_c_hi", "_c_lo")
+            .withColumn("cusum_hi", F.round("cusum_hi", CUSUM_DP))
+            .withColumn("cusum_lo", F.round("cusum_lo", CUSUM_DP)))
+
+
+def cusum_first_alarms(df: DataFrame, keys: list[str], ts_col: str,
+                       value_col: str, target: float, slack: float,
+                       h: float, seq_col: str | None = None) -> DataFrame:
+    """Per-key change-point summary over :func:`cusum_scores`:
+    (keys..., first_hi_ts, first_lo_ts, max_cusum_hi, max_cusum_lo,
+    n_alarms) — the earliest instant each one-sided statistic crossed
+    the decision threshold ``h`` (NULL = never), the statistics' peaks,
+    and the total alarm-row count. One aggregate over the scored frame:
+    the whole detector is one exchange + one partial+final groupBy."""
+    scored = cusum_scores(df, keys, ts_col, value_col, target, slack,
+                          seq_col)
+    hi = F.col("cusum_hi") > h
+    lo = F.col("cusum_lo") > h
+    return (scored.groupBy(*keys).agg(
+        F.min(F.when(hi, F.col(ts_col))).alias("first_hi_ts"),
+        F.min(F.when(lo, F.col(ts_col))).alias("first_lo_ts"),
+        F.max("cusum_hi").alias("max_cusum_hi"),
+        F.max("cusum_lo").alias("max_cusum_lo"),
+        F.sum(F.when(hi | lo, 1).otherwise(0)).cast("bigint")
+        .alias("n_alarms")))
+
+
+def cusum_first_alarms_duck(inner_sql: str, keys: list[str], ts_col: str,
+                            value_col: str, target: float, slack: float,
+                            h: float,
+                            seq_col: str | None = None) -> str:
+    """DuckDB mirror of :func:`cusum_first_alarms` — the same closed
+    form over the same DECIMAL-quantized deviations, so the running
+    statistics replay bit-identically."""
+    ks = ", ".join(keys)
+    order = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    over = (f"OVER (PARTITION BY {ks} ORDER BY {order} "
+            "ROWS UNBOUNDED PRECEDING)")
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql})),
+d AS (
+  SELECT *,
+         CAST(CAST({value_col} AS DOUBLE) - {target!r} - {slack!r}
+              AS DECIMAL(20,6)) AS d_hi,
+         CAST({target!r} - CAST({value_col} AS DOUBLE) - {slack!r}
+              AS DECIMAL(20,6)) AS d_lo
+  FROM src),
+c AS (
+  SELECT *, SUM(d_hi) {over} AS c_hi, SUM(d_lo) {over} AS c_lo
+  FROM d),
+s AS (
+  SELECT *,
+         ROUND(CAST(c_hi - LEAST(CAST(0 AS DECIMAL(20,6)),
+                                 MIN(c_hi) {over}) AS DOUBLE),
+               {CUSUM_DP}) AS cusum_hi,
+         ROUND(CAST(c_lo - LEAST(CAST(0 AS DECIMAL(20,6)),
+                                 MIN(c_lo) {over}) AS DOUBLE),
+               {CUSUM_DP}) AS cusum_lo
+  FROM c)
+SELECT {ks},
+       MIN(CASE WHEN cusum_hi > {h!r} THEN {ts_col} END) AS first_hi_ts,
+       MIN(CASE WHEN cusum_lo > {h!r} THEN {ts_col} END) AS first_lo_ts,
+       MAX(cusum_hi) AS max_cusum_hi,
+       MAX(cusum_lo) AS max_cusum_lo,
+       CAST(SUM(CASE WHEN cusum_hi > {h!r} OR cusum_lo > {h!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+FROM s GROUP BY {ks}
 """

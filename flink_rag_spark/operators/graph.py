@@ -351,6 +351,90 @@ def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
             + f"\nSELECT node, ROUND(pr, 6) AS pr FROM pr{iters}")
 
 
+LPA_ITERS = 4
+
+
+def community_labels(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b",
+                     iters: int = LPA_ITERS) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, "Near linear time algorithm to detect community
+    structures") over an undirected edge list: (node, label) after
+    ``iters`` rounds of "adopt the most frequent label among your
+    neighbors" (ties: smallest label; isolated rounds keep the own
+    label). Labels init to node ids.
+
+    Unlike ``connected_components`` (reachability — one label per
+    component), LPA splits a component into densely-connected regions:
+    the dedup-graph triage view (which near-clique inside a giant
+    component does a doc belong to) and the product-graph community
+    view. The classic algorithm is randomized; this variant is
+    DETERMINISTIC — synchronous updates, fixed iteration count, total
+    (count DESC, label ASC) tie order — so the oracle can replay it
+    round by round. Synchronous LPA can oscillate on bipartite
+    structures instead of converging; a fixed ``iters`` makes the
+    output well-defined regardless (the standard mitigation, and the
+    reason the round count is part of the operator's contract).
+
+    Scale shape: one |E|-bounded symmetric edge frame persisted once;
+    each round is ONE labels⋈edges shuffle join + a (node, label)
+    partial+final count + a struct-max argmax — all partitioned on the
+    node id; labels localCheckpoint per round (constant plan depth, the
+    PageRank discipline)."""
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(pairs.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v")))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        labels = (sym.select(F.col("u").alias("node")).distinct()
+                  .select("node", F.col("node").alias("label"))
+                  .localCheckpoint())
+        try:
+            for _ in range(iters):
+                votes = (sym.join(labels,
+                                  sym["v"] == labels["node"])
+                         .groupBy(F.col("u").alias("n"),
+                                  F.col("label").alias("l"))
+                         .agg(F.count(F.lit(1)).alias("c")))
+                nxt = (votes.groupBy(F.col("n").alias("node"))
+                       .agg(F.max(F.struct(F.col("c"),
+                                           (-F.col("l")).alias("nl")))
+                            .alias("_m"))
+                       .select("node", (-F.col("_m.nl")).alias("label"))
+                       .localCheckpoint())
+                labels.unpersist()
+                labels = nxt
+            return labels
+        except Exception:
+            labels.unpersist()
+            raise
+    finally:
+        sym.unpersist()
+
+
+def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB mirror: the SAME synchronous rounds unrolled as chained
+    MATERIALIZED CTEs (l0..lN), most-frequent-neighbor argmax replayed
+    with the identical (count DESC, label ASC) total order — the oracle
+    checks every round, not just the fixed point. ``edges_sql`` yields
+    (u, v) one row per undirected edge."""
+    cte = [f"e0 AS MATERIALIZED ({edges_sql})",
+           "e AS MATERIALIZED (SELECT u, v FROM e0 UNION "
+           "SELECT v, u FROM e0)",
+           "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        cte.append(
+            f"v{i} AS (SELECT e.u AS n, p.label AS l, COUNT(*) AS c "
+            f"FROM e JOIN {p} p ON e.v = p.node GROUP BY 1, 2)")
+        cte.append(
+            f"l{i} AS MATERIALIZED (SELECT n AS node, l AS label FROM ("
+            f"SELECT n, l, ROW_NUMBER() OVER (PARTITION BY n "
+            f"ORDER BY c DESC, l ASC) AS r FROM v{i}) WHERE r = 1)")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node, label FROM l{iters}")
+
+
 def triangle_counts(pairs: DataFrame, x: str = "u",
                     y: str = "v") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient — the

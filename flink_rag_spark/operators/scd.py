@@ -97,3 +97,31 @@ SELECT {key}, CAST(version AS BIGINT) AS version, {attr_col}, valid_from,
 FROM runs
 WINDOW wv AS (PARTITION BY {key} ORDER BY version)
 """
+
+
+def as_of_snapshot(history: DataFrame, at_ts, ts_from: str = "valid_from",
+                   ts_to: str = "valid_to") -> DataFrame:
+    """Time-travel read over an SCD2 history: the one version of each
+    entity valid AT ``at_ts`` under the half-open interval contract
+    (``valid_from <= t < valid_to``, NULL valid_to = current). The
+    filter is scan-side codegen — over a history PARTITIONED by a
+    valid_from calendar column it also prunes partitions — so a
+    point-in-time dimension read costs one filtered scan, never a
+    window or join. Entities whose first version starts after ``at_ts``
+    are absent (they did not exist yet)."""
+    t = F.lit(at_ts).cast("timestamp")
+    return history.filter(
+        (F.col(ts_from) <= t)
+        & (F.col(ts_to).isNull() | (t < F.col(ts_to))))
+
+
+def as_of_snapshot_duck(history_sql: str, at_ts: str,
+                        ts_from: str = "valid_from",
+                        ts_to: str = "valid_to") -> str:
+    """DuckDB mirror of :func:`as_of_snapshot`; ``at_ts`` is an ISO
+    timestamp string."""
+    return f"""
+SELECT * FROM ({history_sql})
+WHERE {ts_from} <= TIMESTAMP '{at_ts}'
+  AND ({ts_to} IS NULL OR TIMESTAMP '{at_ts}' < {ts_to})
+"""

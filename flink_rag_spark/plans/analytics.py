@@ -68,6 +68,22 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         attr_col="o_orderstatus", tiebreak="o_orderkey")
 
 
+#: time-travel instant for the SCD2 snapshot demo — mid-history, so
+#: some entities resolve to an old version and late-starting ones are
+#: absent entirely
+SCD2_AS_OF = "1995-06-01 00:00:00"
+
+
+def customer_status_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (operators/scd.py as_of_snapshot):
+    each customer's order-status version valid AT the snapshot instant
+    under the half-open interval contract — the time-travel query an
+    SCD2 store exists to answer. One filtered scan over the history."""
+    from flink_rag_spark.operators.scd import as_of_snapshot
+    hist = scd2_customer_status_history(spark, sf_dir)
+    return as_of_snapshot(hist, SCD2_AS_OF)
+
+
 def ks_order_price_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test (operators/hypothesis.py):
     are EUROPE and ASIA order-price distributions the same? Distributed
@@ -142,6 +158,54 @@ JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
 JOIN orders o ON o.o_orderkey = l1.l_orderkey
 WHERE o.o_orderdate >= DATE '{TRIANGLE_SINCE}'
 """
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str):
+    """The shared part co-purchase edge list (parts sharing a recent
+    order, u < v) — feeds triangles AND community labels."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (li.join(o.filter(F.col("o_orderdate") >= TRIANGLE_SINCE)
+                    .select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .select("l_orderkey", "l_partkey"))
+    a = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("u"))
+    b = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("v"))
+    return (a.join(b, "k").filter(F.col("u") < F.col("v"))
+            .select("u", "v").distinct())
+
+
+#: CUSUM tuning for the per-user event-value monitor: target ≈ the
+#: corpus mean, slack = half a σ-ish allowance, h = the decision bound
+CUSUM_TARGET = 50.0
+CUSUM_SLACK = 10.0
+CUSUM_H = 400.0
+
+
+def cusum_user_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (operators/anomaly.py, Page 1954)
+    over per-user event values: earliest upward/downward mean-shift
+    alarms, statistic peaks and alarm counts per user. The recurrence
+    runs as its running-sum − running-min closed form — one exchange,
+    four windows, zero recursion — with DECIMAL-quantized deviations so
+    the statistics replay bit-identically in the oracle."""
+    from flink_rag_spark.operators.anomaly import cusum_first_alarms
+    e = load_table(spark, sf_dir, "events")
+    return cusum_first_alarms(e, ["user_id"], "ts", "value",
+                              target=CUSUM_TARGET, slack=CUSUM_SLACK,
+                              h=CUSUM_H, seq_col="event_id")
+
+
+def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection (operators/graph.py community_labels —
+    deterministic synchronous label propagation, Raghavan et al. 2007)
+    over the part co-purchase graph: (node, label) after 4
+    most-frequent-neighbor rounds. The dense-region refinement of the
+    reachability view connected_components gives."""
+    from flink_rag_spark.operators.graph import community_labels
+    return community_labels(_copurchase_pairs(spark, sf_dir), "u", "v")
 
 
 def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,6 +66,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.graph import pagerank_duck
     from flink_rag_spark.operators.percolate import percolate_duck
+    from flink_rag_spark.operators.positional import phrase_match_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import (
@@ -83,16 +84,19 @@ def extra_queries() -> list[tuple]:
         quantile_bins_duck,
         winsorized_stats_duck,
     )
-    from flink_rag_spark.operators.anomaly import robust_outliers_duck
+    from flink_rag_spark.operators.anomaly import (cusum_first_alarms_duck,
+                                                   robust_outliers_duck)
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
     )
-    from flink_rag_spark.operators.graph import triangle_counts_duck
+    from flink_rag_spark.operators.graph import (community_labels_duck,
+                                                 triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.privacy import k_anonymity_audit_duck
     from flink_rag_spark.operators.regression import group_ols_duck
-    from flink_rag_spark.operators.scd import scd2_history_duck
+    from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
+                                               scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
         time_decayed_at_latest_duck,
         time_decayed_stats_duck,
@@ -1444,6 +1448,15 @@ FROM lbl
         ("percolated_documents", llm.percolated_documents,
          percolate_duck(llm.PERCOLATE_QUERIES),
          ("text", "percolate", "alerting")),
+        # round-9: positional phrase search — adjacent in-order token
+        # runs via ONE anchor-count aggregate (operators/positional.py)
+        ("phrase_matched_documents", llm.phrase_matched_documents,
+         phrase_match_duck(
+             "SELECT doc_id, text FROM documents",
+             "SELECT * FROM (VALUES "
+             + ", ".join(f"({i}, '{p}')" for i, p in llm.PHRASE_QUERIES)
+             + ") AS v(phrase_id, phrase)"),
+         ("text", "phrase", "positional")),
         # round-8d: ROC-AUC without a global sort — per-score histogram
         # + one cumulative window, Mann-Whitney tie correction; the
         # score is cosine-to-the-class-0-centroid (AUC ≈ 0.79 — real
@@ -1480,6 +1493,15 @@ FROM embeddings e CROSS JOIN (
          scd2_history_duck("SELECT * FROM orders", "o_custkey",
                            "o_orderdate", "o_orderstatus", "o_orderkey"),
          ("window", "scd", "history")),
+        # round-9: time-travel read over the SCD2 history — the
+        # point-in-time filter under the half-open interval contract
+        ("customer_status_as_of", A.customer_status_as_of,
+         as_of_snapshot_duck(
+             scd2_history_duck("SELECT * FROM orders", "o_custkey",
+                               "o_orderdate", "o_orderstatus",
+                               "o_orderkey"),
+             A.SCD2_AS_OF),
+         ("scd", "timetravel", "scan")),
         # round-8e: two-sample KS test via a DISTRIBUTED ECDF — range-
         # partitioned prefix sums, no global window
         # (operators/hypothesis.py)
@@ -1545,6 +1567,21 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("part_triangle_stats", A.part_triangle_stats,
          triangle_counts_duck(A._TRIANGLE_EDGES_SQL),
          ("graph", "join", "analytics")),
+        # round-9: deterministic synchronous label propagation — the
+        # oracle unrolls every most-frequent-neighbor round as chained
+        # MATERIALIZED CTEs (graph.community_labels_duck)
+        ("part_communities", A.part_communities,
+         community_labels_duck(A._TRIANGLE_EDGES_SQL),
+         ("graph", "iterative", "analytics")),
+        # round-9: CUSUM change-point detection — the max(0, s+d)
+        # recurrence as its running-sum − running-min closed form over
+        # DECIMAL-quantized deviations (anomaly.cusum_first_alarms)
+        ("cusum_user_value_shifts", A.cusum_user_value_shifts,
+         cusum_first_alarms_duck(
+             "SELECT event_id, ts, user_id, value FROM events",
+             ["user_id"], "ts", "value", A.CUSUM_TARGET, A.CUSUM_SLACK,
+             A.CUSUM_H, seq_col="event_id"),
+         ("timeseries", "anomaly", "window")),
         # round-8e wave 2: k-anonymity audit over quasi-identifiers
         # (operators/privacy.py)
         ("k_anonymity_customers", A.k_anonymity_customers,

@@ -1722,6 +1722,32 @@ def percolated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "query_id"))
 
 
+#: standing phrases for the positional matcher — multi-word, in-order,
+#: adjacent; chosen from the synthetic corpus vocabulary so matches are
+#: non-trivial but not universal
+PHRASE_QUERIES = [
+    (1, "fast table"),
+    (2, "value table part"),
+    (3, "scan slow fast"),
+    (4, "window table table"),
+]
+
+
+def phrase_matched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators/positional.py): every
+    (document, phrase) pair where the phrase's tokens occur ADJACENT
+    and IN ORDER, with occurrence counts and the earliest position —
+    the Lucene capability the bag-of-words BM25 tier and the term-set
+    percolator both lack. One tokenize scan + a broadcast offset join
+    + ONE anchor-count aggregate regardless of phrase length."""
+    from flink_rag_spark.operators.positional import phrase_match
+    d = load_table(spark, sf_dir, "documents")
+    p = spark.createDataFrame(PHRASE_QUERIES,
+                              "phrase_id int, phrase string")
+    return (phrase_match(d, p)
+            .orderBy("doc_id", "phrase_id"))
+
+
 def resolved_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END entity resolution (the record-linkage pipeline as ONE
     composed plan): blocked fuzzy self-join over the part-name

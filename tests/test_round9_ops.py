@@ -385,6 +385,158 @@ def test_quantified_funnel_duck_mirror_rejects_columns(spark):
         quantified_funnel_times_duck([(F2.col("x") > 1, 2)])
 
 
+# ------------------------------------------- label propagation
+
+def test_community_labels_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique
+    its min-id label; the single bridge cannot outvote 3 in-clique
+    neighbors, so the communities stay separate — exactly where
+    connected_components would merge them into one."""
+    from flink_rag_spark.operators.graph import (community_labels,
+                                                 connected_components)
+    edges = ([(a, b) for a in range(4) for b in range(a + 1, 4)]
+             + [(a, b) for a in range(10, 14)
+                for b in range(a + 1, 14)]
+             + [(3, 10)])                      # the bridge
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["label"] for r in
+           community_labels(df, iters=4).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+    cc = connected_components(df)
+    labels = {r[1] for r in cc.collect()}
+    assert len(labels) == 1                    # reachability merges them
+
+
+def test_community_labels_deterministic_tiebreak(spark):
+    """A node with equal votes takes the SMALLEST label — pinned on a
+    path graph where the middle node sees one neighbor of each label."""
+    from flink_rag_spark.operators.graph import community_labels
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    # round 1 (sync): n1<-l2, n2<-min(l1,l3)=1, n3<-l2. round 2:
+    # n1<-l(n2)=1, n2<-min(l1,l3)=min(2,2)=2, n3<-1 ... fixed 4 rounds
+    got = {r["node"]: r["label"] for r in
+           community_labels(df, iters=4).collect()}
+    # replay by hand: l0={1:1,2:2,3:3}; l1={1:2,2:1,3:2};
+    # l2={1:1,2:2,3:1}; l3={1:2,2:1,3:2}; l4={1:1,2:2,3:1}
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+# ------------------------------------------------------- CUSUM
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The running-sum − running-min closed form must equal the
+    textbook fold s_i = max(0, s_{i-1} + d_i) exactly."""
+    from datetime import datetime
+
+    from flink_rag_spark.operators.anomaly import cusum_scores
+    vals = [10.0, 12.5, 7.0, 30.0, 31.5, 2.0, 2.0, 55.25, 9.0]
+    rows = [(i, datetime(2024, 1, 1, 0, i), 1, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    target, slack = 10.0, 2.0
+    got = [ (r["cusum_hi"], r["cusum_lo"]) for r in
+            cusum_scores(df, ["user_id"], "ts", "value", target, slack,
+                         seq_col="event_id").orderBy("ts").collect()]
+    s_hi = s_lo = 0.0
+    want = []
+    for v in vals:
+        s_hi = max(0.0, s_hi + (v - target - slack))
+        s_lo = max(0.0, s_lo + (target - v - slack))
+        want.append((round(s_hi, 6), round(s_lo, 6)))
+    assert got == want
+
+
+def test_cusum_first_alarms_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.anomaly import cusum_first_alarms
+    rows = ([(i, datetime(2024, 1, 1, 0, i), 1, 20.0) for i in range(3)]
+            # u1 shifts up at minute 3: d_hi = +9/row, crosses h=20 at
+            # the 3rd shifted row (minute 5)
+            + [(i, datetime(2024, 1, 1, 0, i), 1, 30.0)
+               for i in range(3, 8)]
+            # u2 never shifts
+            + [(10 + i, datetime(2024, 1, 1, 0, i), 2, 20.0)
+               for i in range(6)])
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+    got = {r["user_id"]: r for r in cusum_first_alarms(
+        df, ["user_id"], "ts", "value", target=20.0, slack=1.0, h=20.0,
+        seq_col="event_id").collect()}
+    assert got[1]["first_hi_ts"] == datetime(2024, 1, 1, 0, 5)
+    assert got[1]["first_lo_ts"] is None
+    assert got[1]["max_cusum_hi"] == 45.0      # 5 rows × 9
+    assert got[1]["n_alarms"] == 3             # minutes 5, 6, 7
+    assert got[2]["first_hi_ts"] is None and got[2]["n_alarms"] == 0
+
+
+# ------------------------------------------- positional phrase search
+
+def test_phrase_match_hand_values(spark):
+    from flink_rag_spark.operators.positional import phrase_match
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "quick brown quick brown fox"),     # overlapping repeats
+         (3, "brown quick fox"),                 # right words, wrong order
+         (4, "the QUICK   Brown fox")],          # case + whitespace folding
+        "doc_id bigint, text string")
+    phrases = spark.createDataFrame(
+        [(1, "quick brown"), (2, "brown fox"), (3, "fox jumps over")],
+        "phrase_id int, phrase string")
+    got = {(r["doc_id"], r["phrase_id"]): (r["n_occurrences"],
+                                           r["first_pos"])
+           for r in phrase_match(docs, phrases).collect()}
+    assert got[(1, 1)] == (1, 1)
+    assert got[(2, 1)] == (2, 0)                 # both occurrences
+    assert got[(2, 2)] == (1, 3)
+    assert got[(4, 1)] == (1, 1)                 # folded
+    assert (3, 1) not in got                     # order matters
+    assert not any(p == 3 for _, p in got)       # partial phrase ≠ match
+    assert got[(1, 2)] == (1, 2)
+
+
+def test_phrase_match_single_token_and_adjacency(spark):
+    from flink_rag_spark.operators.positional import phrase_match
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha gamma beta")],
+        "doc_id bigint, text string")
+    phrases = spark.createDataFrame(
+        [(1, "beta"), (2, "alpha beta")], "phrase_id int, phrase string")
+    got = {(r["doc_id"], r["phrase_id"]) for r in
+           phrase_match(docs, phrases).collect()}
+    assert (1, 1) in got and (2, 1) in got       # term lookup degenerate
+    assert (1, 2) in got
+    assert (2, 2) not in got                     # gap breaks adjacency
+
+
+# ------------------------------------------- SCD2 time travel
+
+def test_as_of_snapshot_half_open_contract(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.scd import as_of_snapshot, scd2_history
+    log = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "A", 1),
+         (1, datetime(2024, 3, 1), "B", 2),
+         (2, datetime(2024, 2, 1), "X", 3)],
+        "k bigint, ts timestamp, attr string, seq bigint")
+    hist = scd2_history(log, "k", "ts", "attr", "seq")
+    # at the exact boundary instant the NEW version is valid (half-open)
+    snap = {r["k"]: r["attr"] for r in
+            as_of_snapshot(hist, "2024-03-01 00:00:00").collect()}
+    assert snap == {1: "B", 2: "X"}
+    # one instant earlier: the old version
+    snap = {r["k"]: r["attr"] for r in
+            as_of_snapshot(hist, "2024-02-28 23:59:59").collect()}
+    assert snap == {1: "A", 2: "X"}
+    # before an entity existed: absent
+    snap = {r["k"]: r["attr"] for r in
+            as_of_snapshot(hist, "2024-01-15 00:00:00").collect()}
+    assert snap == {1: "A"}
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
