@@ -537,6 +537,75 @@ def test_as_of_snapshot_half_open_contract(spark):
     assert snap == {1: "A"}
 
 
+# --------------------------------------------- streaming CUSUM
+
+def _write_vbatch(spark, path, rows):
+    spark.createDataFrame(
+        [(ts, u, v) for ts, u, v in rows],
+        "ts_s string, user_id bigint, value double"
+    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    import time
+    time.sleep(1.1)
+
+
+def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
+    """The streaming fold's final per-key state equals the batch
+    closed form's last row over the same events, including
+    cross-batch disorder inside the watermark; the first alarm_hi
+    emission is the change-point alert."""
+    from flink_rag_spark.operators.anomaly import cusum_scores
+    from flink_rag_spark.streaming.cusum_monitor import cusum_monitor
+    src = str(tmp_path / "cusum_src")
+    target, slack, h = 10.0, 2.0, 15.0
+    # u1 shifts upward; u2 stays on target; arrival disorder in batch 2
+    _write_vbatch(spark, src, [
+        ("2024-01-01 00:10:00", 1, 30.0),
+        ("2024-01-01 00:00:00", 1, 10.0),
+        ("2024-01-01 00:05:00", 2, 10.0),
+    ])
+    _write_vbatch(spark, src, [
+        ("2024-01-01 00:05:00", 1, 25.0),       # earlier than batch-1 max
+        ("2024-01-01 00:20:00", 1, 28.0),
+        ("2024-01-01 00:20:00", 2, 11.0),
+        ("2024-06-01 00:00:00", 99, 0.0),       # flush key, never emits
+    ])
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id bigint, value double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (cusum_monitor(stream, target, slack, h, watermark="30 days")
+         .writeStream.format("memory").queryName("cusum_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    emitted = spark.sql("select * from cusum_t").collect()
+    last = {}
+    for r in emitted:
+        if (r["user_id"] not in last
+                or r["n_events"] > last[r["user_id"]]["n_events"]):
+            last[r["user_id"]] = r
+    assert set(last) == {1, 2}
+    batch = cusum_scores(
+        spark.read.parquet(src).filter("user_id < 99"),
+        ["user_id"], "ts", "value", target, slack)
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+    final = {r["user_id"]: r for r in batch.withColumn(
+        "_rn", F2.row_number().over(
+            W2.partitionBy("user_id").orderBy(F2.desc("ts"))))
+        .filter("_rn = 1").collect()}
+    for uid in (1, 2):
+        assert last[uid]["cusum_hi"] == final[uid]["cusum_hi"]
+        assert last[uid]["cusum_lo"] == final[uid]["cusum_lo"]
+    # u1 fold: d_hi = v-12 → 0-2→0, 25-12=13, 30-12=18→31, 28-12=16→47
+    assert last[1]["cusum_hi"] == 47.0 and last[1]["alarm_hi"]
+    assert last[2]["cusum_hi"] == 0.0 and not last[2]["alarm_hi"]
+    # the alert: earliest alarm_hi emission for u1 exists
+    alarms = [r for r in emitted if r["user_id"] == 1 and r["alarm_hi"]]
+    assert alarms
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
