@@ -108,3 +108,116 @@ FROM b a JOIN b c ON a.blk = c.blk AND a.v < c.v
 WHERE abs(length(a.v) - length(c.v)) <= {max_distance}
   AND levenshtein(a.v, c.v) <= {max_distance}
 """
+
+
+# ------------------------------------------------- golden records
+
+def golden_records(df: DataFrame, entity_col: str,
+                   rules: dict[str, str],
+                   ts_col: str | None = None,
+                   tiebreak: str | None = None) -> DataFrame:
+    """Survivorship: collapse each entity's variant records into ONE
+    golden row — the step after entity resolution turns clusters into a
+    master table. ``rules`` maps each surviving column to its merge
+    rule:
+
+    - ``most_frequent``: the value appearing on the most variant rows;
+      ties break on the smaller value — deterministic, the consensus
+      rule for categorical attributes;
+    - ``latest``: the non-NULL value of the most recent row by
+      (``ts_col``, ``tiebreak``) — the freshness rule (requires
+      ts_col);
+    - ``min`` / ``max``: plain extremes.
+
+    NULLs never win: a rule only considers rows where the column is
+    non-NULL (an entity whose column is all-NULL stays NULL). Output:
+    (entity_col, n_records, <one column per rule>).
+
+    Plan at 100 TB: every rule is an aggregate keyed on the entity —
+    min/max/latest fold in ONE shared groupBy (latest = struct-max of
+    (ts, tiebreak, value) over non-NULL rows); each most_frequent
+    column needs its own (entity, value) pre-count + argmax, joined
+    back on the entity key. r frequency rules cost r extra key-local
+    aggregates — bounded by the schema, never the data."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_records")]
+    freq_cols = []
+    for col, rule in rules.items():
+        if rule == "most_frequent":
+            freq_cols.append(col)
+        elif rule == "latest":
+            if ts_col is None:
+                raise ValueError(f"rule 'latest' for {col!r} needs ts_col")
+            order = [F.col(ts_col)] + \
+                ([F.col(tiebreak)] if tiebreak else [])
+            aggs.append(
+                F.max(F.when(F.col(col).isNotNull(),
+                             F.struct(*order, F.col(col).alias("v"))))
+                ["v"].alias(col))
+        elif rule in ("min", "max"):
+            aggs.append(getattr(F, rule)(col).alias(col))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    out = df.groupBy(entity_col).agg(*aggs)
+    for col in freq_cols:
+        counts = (df.filter(F.col(col).isNotNull())
+                  .groupBy(entity_col, col)
+                  .agg(F.count(F.lit(1)).alias("_c")))
+        # argmax (count DESC, value ASC): min-struct over (-count, value)
+        best = (counts.groupBy(entity_col)
+                .agg(F.min(F.struct((-F.col("_c")).alias("_nc"),
+                                    F.col(col).alias("v")))["v"]
+                     .alias(col)))
+        out = out.join(best, on=entity_col, how="left")
+    return out.select(entity_col, "n_records", *rules.keys())
+
+
+def golden_records_duck(inner_sql: str, entity_col: str,
+                        rules: dict[str, str],
+                        ts_col: str | None = None,
+                        tiebreak: str | None = None) -> str:
+    """DuckDB mirror of :func:`golden_records` — same per-rule
+    semantics, same (count DESC, value ASC) consensus tie order; the
+    latest rule replays as a (ts DESC, tiebreak DESC) row_number cut
+    over non-NULL rows (DuckDB's MAX_BY takes no composite order)."""
+    sel = [entity_col, "CAST(COUNT(*) AS BIGINT) AS n_records"]
+    joins = []
+    for col, rule in rules.items():
+        if rule == "most_frequent":
+            joins.append(f"""
+LEFT JOIN (
+  SELECT {entity_col}, {col} FROM (
+    SELECT {entity_col}, {col},
+           ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                              ORDER BY COUNT(*) DESC, {col} ASC) AS r
+    FROM src WHERE {col} IS NOT NULL GROUP BY {entity_col}, {col})
+  WHERE r = 1) AS mf_{col} USING ({entity_col})""")
+        elif rule == "latest":
+            if ts_col is None:
+                raise ValueError(f"rule 'latest' for {col!r} needs ts_col")
+            tb = f", {tiebreak} DESC" if tiebreak else ""
+            joins.append(f"""
+LEFT JOIN (
+  SELECT {entity_col}, {col} FROM (
+    SELECT {entity_col}, {col},
+           ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                              ORDER BY {ts_col} DESC{tb}) AS r
+    FROM src WHERE {col} IS NOT NULL)
+  WHERE r = 1) AS lt_{col} USING ({entity_col})""")
+        else:
+            sel.append(f"{rule.upper()}({col}) AS {col}")
+    join_sel = ", ".join(
+        f"{'mf' if r == 'most_frequent' else 'lt'}_{c}.{c} AS {c}"
+        for c, r in rules.items() if r in ("most_frequent", "latest"))
+    base_cols = ", ".join(
+        [f"b.{entity_col}", "b.n_records"]
+        + [f"b.{c} AS {c}" for c, r in rules.items()
+           if r not in ("most_frequent", "latest")])
+    order_cols = ", ".join([f"{entity_col}", "n_records"]
+                           + list(rules.keys()))
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql})),
+base AS (SELECT {", ".join(sel)} FROM src GROUP BY {entity_col})
+SELECT {order_cols} FROM (
+  SELECT {base_cols}{", " + join_sel if join_sel else ""}
+  FROM base b {"".join(joins)})
+"""

@@ -20,6 +20,30 @@ oracle helpers are defined); it imports those helpers lazily inside
 from __future__ import annotations
 
 
+def _golden_part_labeled_sql() -> str:
+    """Every part row labeled with its resolved entity representative —
+    the inner relation golden_records_duck survives on. Replays the
+    resolved_part_entities chain (fuzzy pairs → recursive reachability
+    → min-rep labels)."""
+    from flink_rag_spark.operators.linkage import fuzzy_self_pairs_duck
+    from flink_rag_spark.plans import llm
+    prs = fuzzy_self_pairs_duck("part", "p_name",
+                                llm.FUZZY_MATCH_DISTANCE,
+                                "string_split({s}, ' ')[-1]")
+    return f"""
+WITH RECURSIVE
+prs AS ({prs}),
+edges AS (SELECT str_a AS u, str_b AS v FROM prs
+          UNION SELECT str_b, str_a FROM prs),
+walk(node, rep) AS (
+  SELECT DISTINCT p_name, p_name FROM part
+  UNION
+  SELECT e.v, walk.rep FROM walk JOIN edges e ON e.u = walk.node),
+lbl AS (SELECT node, MIN(rep) AS entity_rep FROM walk GROUP BY node)
+SELECT part.*, lbl.entity_rep
+FROM part JOIN lbl ON part.p_name = lbl.node"""
+
+
 def extra_queries() -> list[tuple]:
     """(name, fn, oracle_sql | None, tags) tuples for the non-graded tail."""
     from flink_rag_spark.config import DEFAULT_CONFIG as CFG
@@ -50,7 +74,8 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.drift import psi_drift_duck
     from flink_rag_spark.operators.importance import dsir_select_duck
-    from flink_rag_spark.operators.linkage import fuzzy_self_pairs_duck
+    from flink_rag_spark.operators.linkage import (fuzzy_self_pairs_duck,
+                                                   golden_records_duck)
     from flink_rag_spark.operators.sequences import (
         cohort_retention_duck,
         event_transitions_duck,
@@ -1443,6 +1468,14 @@ SELECT node AS name, entity_rep,
 FROM lbl
 """,
          ("join", "linkage", "graph")),
+        # round-9: golden-record survivorship composed onto the
+        # resolved entities (linkage.golden_records) — the oracle
+        # replays recursive components + every merge rule
+        ("golden_part_entities", llm.golden_part_entities,
+         golden_records_duck(
+             _golden_part_labeled_sql(), "entity_rep",
+             llm.GOLDEN_PART_RULES),
+         ("linkage", "survivorship", "agg")),
         # round-8d: percolation / reverse search — standing queries
         # matched against every doc: one tokenize scan + broadcast join
         ("percolated_documents", llm.percolated_documents,

@@ -1777,6 +1777,37 @@ def resolved_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_rep", "name"))
 
 
+#: survivorship rules for the golden part record: consensus for
+#: categoricals, extremes for the numerics
+GOLDEN_PART_RULES = {"p_brand": "most_frequent",
+                     "p_type": "most_frequent",
+                     "p_retailprice": "max",
+                     "p_size": "min"}
+
+
+def golden_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/linkage.py
+    golden_records) composed onto the resolved entities: every part row
+    joins its name's entity representative, then each entity collapses
+    to ONE master row — consensus brand/type (most frequent, ties
+    to the smaller value), max retail price, min size. The master-table
+    step that makes entity resolution actionable; the oracle replays
+    the full chain (recursive components + survivorship rules)."""
+    from flink_rag_spark.operators.graph import connected_components
+    from flink_rag_spark.operators.linkage import (fuzzy_self_pairs,
+                                                   golden_records)
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_pairs(p, "p_name",
+                             max_distance=FUZZY_MATCH_DISTANCE,
+                             block_expr=FUZZY_MATCH_BLOCK)
+    cc = connected_components(pairs, "str_a", "str_b")
+    labeled = (p.join(cc.withColumnRenamed("node", "p_name"),
+                      on="p_name", how="left")
+               .withColumn("entity_rep",
+                           F.coalesce("group_rep", F.col("p_name"))))
+    return golden_records(labeled, "entity_rep", GOLDEN_PART_RULES)
+
+
 #: catalog demo depth — enough iterations to exercise the unrolled
 #: oracle check without dominating the sweep's wall time
 PAGERANK_ITERS = 6

@@ -606,6 +606,49 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
     assert alarms
 
 
+# --------------------------------------------- golden records
+
+def test_golden_records_rules_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.linkage import golden_records
+    df = spark.createDataFrame(
+        [(1, "acme", "x@a",  10.0, datetime(2024, 1, 1), 1),
+         (1, "acme", None,   12.0, datetime(2024, 1, 3), 2),
+         (1, "ACME", "y@a",  11.0, datetime(2024, 1, 2), 3),
+         (2, "zeta", "z@b",   5.0, datetime(2024, 1, 1), 4),
+         (2, None,   None,    7.0, datetime(2024, 1, 9), 5)],
+        "ent bigint, brand string, email string, price double, "
+        "ts timestamp, seq bigint")
+    out = {r["ent"]: r for r in golden_records(
+        df, "ent",
+        {"brand": "most_frequent", "email": "latest", "price": "max"},
+        ts_col="ts", tiebreak="seq").collect()}
+    assert out[1]["n_records"] == 3
+    assert out[1]["brand"] == "acme"       # 2-vs-1 consensus
+    # latest NON-NULL email: the 1/3 row is NULL, so 1/2 wins
+    assert out[1]["email"] == "y@a"
+    assert out[1]["price"] == 12.0
+    # entity 2: brand NULL never wins; all-NULL email stays NULL
+    assert out[2]["brand"] == "zeta"
+    assert out[2]["email"] == "z@b"
+    assert out[2]["price"] == 7.0
+
+
+def test_golden_records_consensus_tiebreak_and_validation(spark):
+    import pytest as _pt
+
+    from flink_rag_spark.operators.linkage import golden_records
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a")], "ent bigint, v string")
+    out = golden_records(df, "ent", {"v": "most_frequent"}).collect()[0]
+    assert out["v"] == "a"                 # 1-1 tie → smaller value
+    with _pt.raises(ValueError):
+        golden_records(df, "ent", {"v": "latest"})     # needs ts_col
+    with _pt.raises(ValueError):
+        golden_records(df, "ent", {"v": "mode"})       # unknown rule
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
