@@ -296,7 +296,9 @@ def main() -> None:
              # search
              "kleene_funnel_users", "part_communities",
              "cusum_user_value_shifts", "customer_status_as_of",
-             "phrase_matched_documents", "golden_part_entities"]
+             "phrase_matched_documents", "golden_part_entities",
+             "order_value_histogram", "lineitem_corr_matrix",
+             "basket_pair_rules"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

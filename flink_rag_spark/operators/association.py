@@ -101,3 +101,87 @@ SELECT a AS {col_a}, b AS {col_b}, n_xy, n_x, n_y,
                 / CAST(n AS DOUBLE)), {CHI2_DP}) AS chi2_term
 FROM grid
 """
+
+
+# -------------------------------------------- market-basket pair rules
+
+RULE_DP = 6
+
+
+def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
+                       min_pair_count: int = 2) -> DataFrame:
+    """Market-basket association rules over item PAIRS (the depth-2
+    slice of Apriori — at corpus scale pair rules are what basket
+    analyses actually ship; deeper itemsets explode combinatorially
+    and are mined on the pruned pair output): for every ordered rule
+    a → b with the pair occurring in ≥ ``min_pair_count`` baskets,
+
+        support    = n_ab / N           (pair frequency)
+        confidence = n_ab / n_a         (P(b | a))
+        lift       = confidence / (n_b / N)
+
+    Plan at 100 TB: baskets dedup to distinct (basket, item) once; the
+    pair frame is the degree-bounded self-join on the basket key (the
+    triangle/co-purchase shape — hub baskets are the skew bound, and
+    the min count prunes before the rule math); item supports are one
+    |items|-bounded aggregate joined back on the item key (AQE
+    broadcasts when the catalog is small); N is a 1-row broadcast.
+    Exact integer counts; ratios rounded at 6dp."""
+    bi = df.select(F.col(basket_col).alias("b"),
+                   F.col(item_col).alias("i")).distinct()
+    n_baskets = bi.select(F.countDistinct("b").alias("_nb"))
+    item_n = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
+    a = bi.select(F.col("b"), F.col("i").alias("item_a"))
+    b = bi.select(F.col("b"), F.col("i").alias("item_b"))
+    pairs = (a.join(b, on="b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= min_pair_count))
+    directed = pairs.unionByName(
+        pairs.select(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b"), "n_pair"))
+    out = (directed
+           .join(item_n.select(F.col("i").alias("item_a"),
+                               F.col("n_item").alias("_na")), "item_a")
+           .join(item_n.select(F.col("i").alias("item_b"),
+                               F.col("n_item").alias("_nb_item")), "item_b")
+           .crossJoin(F.broadcast(n_baskets)))
+    nb = F.col("_nb").cast("double")
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round(F.col("n_pair") / nb, RULE_DP).alias("support"),
+        F.round(F.col("n_pair") / F.col("_na").cast("double"),
+                RULE_DP).alias("confidence"),
+        F.round((F.col("n_pair") / F.col("_na").cast("double"))
+                / (F.col("_nb_item") / nb), RULE_DP).alias("lift"))
+
+
+def itemset_pair_rules_duck(inner_sql: str, basket_col: str,
+                            item_col: str,
+                            min_pair_count: int = 2) -> str:
+    """DuckDB mirror of :func:`itemset_pair_rules`."""
+    return f"""
+WITH bi AS (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
+            FROM ({inner_sql})),
+nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+item_n AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_count}),
+directed AS (
+  SELECT item_a, item_b, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_pair FROM pairs)
+SELECT d.item_a, d.item_b, CAST(d.n_pair AS BIGINT) AS n_pair,
+       ROUND(d.n_pair / CAST(nb.n AS DOUBLE), {RULE_DP}) AS support,
+       ROUND(d.n_pair / CAST(na.n_item AS DOUBLE), {RULE_DP})
+         AS confidence,
+       ROUND((d.n_pair / CAST(na.n_item AS DOUBLE))
+             / (nbi.n_item / CAST(nb.n AS DOUBLE)), {RULE_DP}) AS lift
+FROM directed d
+JOIN item_n na ON na.i = d.item_a
+JOIN item_n nbi ON nbi.i = d.item_b, nb
+"""

@@ -275,3 +275,63 @@ SELECT {group_col},
        ROUND(STDDEV_SAMP(cv), {dp}) AS std_wins
 FROM j GROUP BY 1
 """
+
+
+def equiwidth_histogram(df: DataFrame, value_col: str, n_bins: int = 20,
+                        lo: float | None = None,
+                        hi: float | None = None) -> DataFrame:
+    """Equi-width histogram: (bin, bin_lo, bin_hi, n) with EVERY bin
+    present (empty bins carry n = 0 — a histogram with holes silently
+    reads as a different distribution). The profiling staple next to
+    ``quantile_bins``' equi-frequency cut.
+
+    ``lo``/``hi`` default to the column's min/max (one 1-row aggregate);
+    pass them to pin a fleet-wide binning. Values land in
+    ``floor((x − lo) / width)`` clamped to [0, n_bins−1] (so x = hi
+    falls in the last bin); NULLs and out-of-range values are excluded.
+    Plan: one scan-side bin expression + a partial+final count, plus an
+    n_bins-row generated frame outer-joined to materialize empties —
+    the exchange carries ≤ n_bins rows."""
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        [r] = (df.filter(v.isNotNull())
+               .agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect())
+        lo = float(r["lo"]) if lo is None else lo
+        hi = float(r["hi"]) if hi is None else hi
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_col = F.least(F.floor((v - F.lit(lo)) / F.lit(width)),
+                      F.lit(n_bins - 1)).cast("int")
+    counts = (df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+              .select(bin_col.alias("bin"))
+              .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    return (bins.join(counts, on="bin", how="left")
+            .select("bin",
+                    F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6)
+                    .alias("bin_lo"),
+                    F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6)
+                    .alias("bin_hi"),
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
+
+
+def equiwidth_histogram_duck(inner_sql: str, value_col: str,
+                             n_bins: int, lo: float, hi: float) -> str:
+    """DuckDB mirror of :func:`equiwidth_histogram` with PINNED lo/hi
+    (the data-derived default is a driver-side 1-row aggregate the
+    caller replays by passing the same bounds)."""
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    return f"""
+WITH src AS (SELECT CAST({value_col} AS DOUBLE) AS v FROM ({inner_sql})),
+c AS (
+  SELECT CAST(LEAST(FLOOR((v - {lo!r}) / {width!r}), {n_bins - 1})
+              AS INT) AS bin, COUNT(*) AS n
+  FROM src WHERE v IS NOT NULL AND v >= {lo!r} AND v <= {hi!r}
+  GROUP BY 1),
+bins AS (SELECT CAST(range AS INT) AS bin FROM range({n_bins}))
+SELECT bins.bin,
+       ROUND({lo!r} + bins.bin * {width!r}, 6) AS bin_lo,
+       ROUND({lo!r} + (bins.bin + 1) * {width!r}, 6) AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM bins LEFT JOIN c USING (bin)
+"""

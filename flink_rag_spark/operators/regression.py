@@ -128,3 +128,86 @@ SELECT {ks}, n AS n_points,
              {R2_DP}) AS r2
 FROM forms
 """
+
+
+# --------------------------------------------------- correlation matrix
+
+CORR_DP = 6
+CORR_DEC = "decimal(20,6)"
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation matrix over ``cols`` from EXACT sums: every
+    pair's Σx, Σy, Σxy, Σx², Σy² accumulates in DECIMAL(20,6)-quantized
+    terms inside ONE partial+final aggregate pass (k columns → k(k+1)/2
+    product sums, all in the same scan), so the statistics are
+    bit-stable under any partitioning — the same discipline as
+    ``group_ols``, vs the built-in ``corr`` whose centered float
+    moments drift with partition order.
+
+    Rows with a NULL in ANY of ``cols`` are excluded (complete-case,
+    documented — pairwise deletion would make each cell's n differ).
+    Output: (col_a, col_b, n, corr) for a <= b pairs; corr is NULL when
+    either side has zero variance."""
+    import itertools
+
+    dec = {c: F.col(c).cast("double").cast(CORR_DEC) for c in cols}
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    src = df.filter(cond)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"_s_{c}"))
+    pairs = list(itertools.combinations_with_replacement(cols, 2))
+    for a, b in pairs:
+        aggs.append(F.sum((dec[a] * dec[b])).alias(f"_p_{a}_{b}"))
+    stats = src.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def var_term(a, b):
+        return (n * F.col(f"_p_{a}_{b}").cast("double")
+                - F.col(f"_s_{a}").cast("double")
+                * F.col(f"_s_{b}").cast("double"))
+
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col("_n").cast("bigint").alias("n"),
+                 F.when((var_term(a, a) > 0) & (var_term(b, b) > 0),
+                        F.round(var_term(a, b)
+                                / F.sqrt(var_term(a, a) * var_term(b, b)),
+                                CORR_DP)).alias("corr"))
+        for a, b in pairs])
+    return stats.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def corr_matrix_duck(inner_sql: str, cols: list[str]) -> str:
+    """DuckDB mirror of :func:`corr_matrix` — identical quantization,
+    identical n·Σxy − ΣxΣy forms."""
+    import itertools
+
+    dec = {c: f"CAST(CAST({c} AS DOUBLE) AS DECIMAL(20,6))" for c in cols}
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sums = ["COUNT(*) AS _n"]
+    for c in cols:
+        sums.append(f"SUM({dec[c]}) AS _s_{c}")
+    pairs = list(itertools.combinations_with_replacement(cols, 2))
+    for a, b in pairs:
+        sums.append(f"SUM({dec[a]} * {dec[b]}) AS _p_{a}_{b}")
+
+    def vt(a, b):
+        return (f"(CAST(_n AS DOUBLE) * CAST(_p_{a}_{b} AS DOUBLE) "
+                f"- CAST(_s_{a} AS DOUBLE) * CAST(_s_{b} AS DOUBLE))")
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"CAST(_n AS BIGINT) AS n, "
+        f"CASE WHEN {vt(a, a)} > 0 AND {vt(b, b)} > 0 THEN "
+        f"ROUND({vt(a, b)} / SQRT({vt(a, a)} * {vt(b, b)}), {CORR_DP}) "
+        f"END AS corr FROM s"
+        for a, b in pairs)
+    return f"""
+WITH s AS (SELECT {", ".join(sums)} FROM ({inner_sql}) WHERE {nn})
+{rows}
+"""

@@ -177,6 +177,47 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str):
             .select("u", "v").distinct())
 
 
+#: pinned histogram bounds (order totals at any SF live inside them) —
+#: pinning makes the fleet-wide binning reproducible AND lets the
+#: oracle replay without the 1-row min/max aggregate
+HIST_BINS, HIST_LO, HIST_HI = 25, 0.0, 500_000.0
+#: correlation demo columns (quantized DECIMAL terms — exact sums)
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+#: basket rules: pairs must co-occur in at least this many orders
+RULES_MIN_PAIR = 3
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/profiling.py) of order totals:
+    25 pinned-width bins, every bin present including empties. One
+    scan-side bin expression + one ≤25-row aggregate."""
+    from flink_rag_spark.operators.profiling import equiwidth_histogram
+    o = load_table(spark, sf_dir, "orders")
+    return equiwidth_histogram(o, "o_totalprice", n_bins=HIST_BINS,
+                               lo=HIST_LO, hi=HIST_HI)
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (operators/regression.py corr_matrix)
+    over lineitem numerics from EXACT decimal-quantized sums — one
+    aggregate pass, bit-stable under any partitioning (the group_ols
+    discipline, vs built-in corr's drifting float moments)."""
+    from flink_rag_spark.operators.regression import corr_matrix
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, CORR_COLS)
+
+
+def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/association.py
+    itemset_pair_rules): support / confidence / lift for part pairs
+    co-occurring in ≥3 orders — the depth-2 Apriori slice over the
+    co-purchase baskets."""
+    from flink_rag_spark.operators.association import itemset_pair_rules
+    li = load_table(spark, sf_dir, "lineitem")
+    return itemset_pair_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=RULES_MIN_PAIR)
+
+
 #: CUSUM tuning for the per-user event-value monitor: target ≈ the
 #: corpus mean, slack = half a σ-ish allowance, h = the decision bound
 CUSUM_TARGET = 50.0

@@ -104,6 +104,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.validation import validate_duck
     from flink_rag_spark.operators.profiling import (
+        equiwidth_histogram_duck,
         key_skew_profile_duck,
         profile_columns_duck,
         quantile_bins_duck,
@@ -113,13 +114,15 @@ def extra_queries() -> list[tuple]:
                                                    robust_outliers_duck)
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
+        itemset_pair_rules_duck,
     )
     from flink_rag_spark.operators.graph import (community_labels_duck,
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.privacy import k_anonymity_audit_duck
-    from flink_rag_spark.operators.regression import group_ols_duck
+    from flink_rag_spark.operators.regression import (corr_matrix_duck,
+                                                      group_ols_duck)
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
@@ -1609,6 +1612,23 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # round-9: CUSUM change-point detection — the max(0, s+d)
         # recurrence as its running-sum − running-min closed form over
         # DECIMAL-quantized deviations (anomaly.cusum_first_alarms)
+        # round-9: profiling + mining wave — equi-width histogram with
+        # materialized empty bins, exact-sum Pearson matrix, and the
+        # depth-2 Apriori basket rules
+        ("order_value_histogram", A.order_value_histogram,
+         equiwidth_histogram_duck("SELECT o_totalprice FROM orders",
+                                  "o_totalprice", A.HIST_BINS,
+                                  A.HIST_LO, A.HIST_HI),
+         ("profiling", "agg", "histogram")),
+        ("lineitem_corr_matrix", A.lineitem_corr_matrix,
+         corr_matrix_duck("SELECT * FROM lineitem", A.CORR_COLS),
+         ("stats", "agg", "profiling")),
+        ("basket_pair_rules", A.basket_pair_rules,
+         itemset_pair_rules_duck("SELECT l_orderkey, l_partkey "
+                                 "FROM lineitem",
+                                 "l_orderkey", "l_partkey",
+                                 A.RULES_MIN_PAIR),
+         ("association", "mining", "join")),
         ("cusum_user_value_shifts", A.cusum_user_value_shifts,
          cusum_first_alarms_duck(
              "SELECT event_id, ts, user_id, value FROM events",

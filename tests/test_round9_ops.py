@@ -649,6 +649,61 @@ def test_golden_records_consensus_tiebreak_and_validation(spark):
         golden_records(df, "ent", {"v": "mode"})       # unknown rule
 
 
+# ------------------------------------- histogram / corr / basket rules
+
+def test_equiwidth_histogram_hand_values(spark):
+    from flink_rag_spark.operators.profiling import equiwidth_histogram
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (4.9,), (5.0,), (10.0,), (None,), (11.0,)],
+        "v double")
+    out = {r["bin"]: r for r in equiwidth_histogram(
+        df, "v", n_bins=2, lo=0.0, hi=10.0).collect()}
+    assert len(out) == 2
+    assert (out[0]["bin_lo"], out[0]["bin_hi"]) == (0.0, 5.0)
+    assert out[0]["n"] == 3                    # 0, 2.5, 4.9
+    assert out[1]["n"] == 2                    # 5.0 (boundary), 10.0 (= hi)
+    # empty bins materialize
+    out = {r["bin"]: r["n"] for r in equiwidth_histogram(
+        df.filter("v = 0.0"), "v", n_bins=4, lo=0.0, hi=10.0).collect()}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_corr_matrix_hand_values(spark):
+    from flink_rag_spark.operators.regression import corr_matrix
+    # y = 2x exactly -> corr 1; z anti-correlates; c constant -> NULL
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0),
+         (3.0, 6.0, 1.0, 5.0), (None, 1.0, 1.0, 5.0)],
+        "x double, y double, z double, c double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert all(r["n"] == 3 for r in out.values())   # complete-case
+    assert out[("x", "x")]["corr"] == 1.0
+    assert out[("x", "y")]["corr"] == 1.0
+    assert out[("x", "z")]["corr"] == -1.0
+    assert out[("x", "c")]["corr"] is None          # zero variance
+    assert len(out) == 10                           # 4*(4+1)/2 pairs
+
+
+def test_itemset_pair_rules_hand_values(spark):
+    from flink_rag_spark.operators.association import itemset_pair_rules
+    # baskets: {a,b,c}, {a,b}, {a,c}, {b} -> N=4, n_a=3, n_b=3, n_c=2,
+    # n_ab=2, n_ac=2, n_bc=1 (pruned at min 2)
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b"), (1, "a")]   # dup (1,a) collapses
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           itemset_pair_rules(df, "b", "i", min_pair_count=2).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+    r = out[("a", "b")]
+    assert r["n_pair"] == 2
+    assert r["support"] == 0.5                 # 2/4
+    assert abs(r["confidence"] - 2 / 3) < 1e-6
+    assert abs(r["lift"] - (2 / 3) / (3 / 4)) < 1e-6
+    # direction matters in confidence: c -> a is 2/2
+    assert out[("c", "a")]["confidence"] == 1.0
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
