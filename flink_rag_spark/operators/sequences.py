@@ -395,3 +395,86 @@ SELECT cohort_week, week_offset, CAST(n_active AS BIGINT) AS n_active,
                              AS DOUBLE), {ROUND_DP}) AS retention
 FROM g
 """
+
+
+# ------------------------------------------------ revenue attribution
+
+ATTR_DEC = "decimal(20,6)"
+
+
+def last_touch_attribution(events: DataFrame, touch_types: list[str],
+                           conversion_type: str,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           seq_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch revenue attribution: every conversion's value is
+    credited to the key's most recent PRIOR touch event (the standard
+    product-analytics attribution model; first-touch is the same plan
+    with ``first`` over the frame). Conversions with no prior touch
+    land in the NULL bucket (reported as unattributed rather than
+    silently dropped). Output: (touch_type, n_conversions,
+    attributed_value, value_share).
+
+    Plan: the funnel family's single exchange — one (key, ts, seq)
+    window carrying ``last(touch, ignorenulls)`` over the
+    unbounded-preceding frame, then one |touch types|-bounded
+    aggregate; the share window runs over that tiny frame. Values
+    quantize to DECIMAL(20,6) before summing (order-independent
+    aggregate, the decay discipline). Same-timestamp touch-then-convert
+    pairs resolve by ``seq_col`` — the deterministic tie the transition
+    matrix also uses."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    relevant = events.filter(
+        F.col(type_col).isin(list(touch_types) + [conversion_type]))
+    tagged = relevant.withColumn(
+        "_touch",
+        F.last(F.when(F.col(type_col).isin(touch_types), F.col(type_col)),
+               ignorenulls=True).over(w))
+    conv = (tagged.filter(F.col(type_col) == conversion_type)
+            .select(F.col("_touch").alias("touch_type"),
+                    F.col(value_col).cast("double").cast(ATTR_DEC)
+                    .alias("_v")))
+    agg = (conv.groupBy("touch_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+                F.sum("_v").alias("_sv")))
+    w_tot = Window.partitionBy()
+    return agg.select(
+        "touch_type", "n_conversions",
+        F.col("_sv").cast("double").alias("attributed_value"),
+        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+                6).alias("value_share"))
+
+
+def last_touch_attribution_duck(touch_types: list[str],
+                                conversion_type: str,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                type_col: str = "event_type",
+                                seq_col: str = "event_id",
+                                value_col: str = "value",
+                                table: str = "events") -> str:
+    """DuckDB mirror of :func:`last_touch_attribution`."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH rel AS (
+  SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
+         CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS v
+  FROM {table}
+  WHERE {type_col} IN ({touches}, '{conversion_type}')),
+tagged AS (
+  SELECT *, LAST_VALUE(CASE WHEN {type_col} IN ({touches})
+                            THEN {type_col} END IGNORE NULLS)
+            OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col}
+                  ROWS UNBOUNDED PRECEDING) AS touch_type
+  FROM rel),
+agg AS (
+  SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         SUM(v) AS sv
+  FROM tagged WHERE {type_col} = '{conversion_type}' GROUP BY 1)
+SELECT touch_type, n_conversions,
+       CAST(sv AS DOUBLE) AS attributed_value,
+       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+FROM agg
+"""

@@ -218,6 +218,22 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                               min_pair_count=RULES_MIN_PAIR)
 
 
+#: attribution model: purchases credit the most recent prior touch
+ATTR_TOUCHES = ["view", "click", "signup"]
+ATTR_CONVERSION = "purchase"
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (operators/sequences.py
+    last_touch_attribution): every purchase's value credited to the
+    user's most recent prior view/click/signup, with the unattributed
+    NULL bucket reported; per-touch totals and value shares. One
+    funnel-family exchange + a |touch types|-bounded aggregate."""
+    from flink_rag_spark.operators.sequences import last_touch_attribution
+    e = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
+
+
 #: CUSUM tuning for the per-user event-value monitor: target ≈ the
 #: corpus mean, slack = half a σ-ish allowance, h = the decision bound
 CUSUM_TARGET = 50.0

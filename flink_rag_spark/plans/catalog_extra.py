@@ -80,6 +80,7 @@ def extra_queries() -> list[tuple]:
         cohort_retention_duck,
         event_transitions_duck,
         funnel_summary_duck,
+        last_touch_attribution_duck,
         quantified_funnel_times_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
@@ -1629,6 +1630,11 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                  "l_orderkey", "l_partkey",
                                  A.RULES_MIN_PAIR),
          ("association", "mining", "join")),
+        # round-9: last-touch revenue attribution — one funnel-family
+        # exchange carrying last(touch, ignorenulls), DECIMAL sums
+        ("purchase_attribution", A.purchase_attribution,
+         last_touch_attribution_duck(A.ATTR_TOUCHES, A.ATTR_CONVERSION),
+         ("sequence", "attribution", "window")),
         ("cusum_user_value_shifts", A.cusum_user_value_shifts,
          cusum_first_alarms_duck(
              "SELECT event_id, ts, user_id, value FROM events",

@@ -704,6 +704,42 @@ def test_itemset_pair_rules_hand_values(spark):
     assert out[("c", "a")]["confidence"] == 1.0
 
 
+# --------------------------------------------------- attribution
+
+def test_last_touch_attribution_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import last_touch_attribution
+    rows = [
+        # u1: view -> click -> purchase(10): credit click
+        (0, datetime(2024, 1, 1, 0, 0), 1, "view", 0.0),
+        (1, datetime(2024, 1, 1, 0, 1), 1, "click", 0.0),
+        (2, datetime(2024, 1, 1, 0, 2), 1, "purchase", 10.0),
+        # u1 again: purchase(5) with no NEW touch: still last click
+        (3, datetime(2024, 1, 1, 0, 3), 1, "purchase", 5.0),
+        # u2: view -> purchase(20): credit view
+        (4, datetime(2024, 1, 1, 0, 0), 2, "view", 0.0),
+        (5, datetime(2024, 1, 1, 0, 1), 2, "purchase", 20.0),
+        # u3: purchase(7) with no prior touch -> unattributed
+        (6, datetime(2024, 1, 1, 0, 0), 3, "purchase", 7.0),
+        # u4: same-ts touch then purchase, seq breaks the tie
+        (7, datetime(2024, 1, 1, 0, 0), 4, "click", 0.0),
+        (8, datetime(2024, 1, 1, 0, 0), 4, "purchase", 8.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {r["touch_type"]: r for r in last_touch_attribution(
+        e, ["view", "click"], "purchase").collect()}
+    assert out["click"]["n_conversions"] == 3      # u1 twice + u4
+    assert out["click"]["attributed_value"] == 23.0
+    assert out["view"]["attributed_value"] == 20.0
+    assert out[None]["attributed_value"] == 7.0    # unattributed bucket
+    total = 50.0
+    assert out["click"]["value_share"] == round(23.0 / total, 6)
+    assert sum(r["value_share"] for r in out.values()) == 1.0
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
