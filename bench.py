@@ -467,7 +467,26 @@ def main() -> None:
                             "cutoff benched a 650k-edge graph at "
                             "9.7s/run), keywords 1.34, ivm 0.92 — all "
                             "fixed-overhead-dominated, none near "
-                            "linear"),
+                            "linear; "
+                            "round-9 plan audit (executedPlan exchange "
+                            "counts at sf0.01): cusum 1 shuffle (the "
+                            "closed form shares one window exchange), "
+                            "as-of read 1, kleene 2 (window + "
+                            "presentation sort — quantifier layers add "
+                            "NO exchange), attribution 2, histogram 1 "
+                            "+ broadcast bins, corr_matrix single "
+                            "global partial+final agg (0 hash "
+                            "exchanges), phrase 4 with both query-side "
+                            "joins broadcast, basket/golden shuffle "
+                            "counts owned by their self-join / "
+                            "iterative-CC shapes; "
+                            "round-9 uncontended sf0.1 run (builder): "
+                            "headline total 13.19, qps 300/622/228/302, "
+                            "builds 3.01/2.81/2.03, probe 3.03/3.49 "
+                            "factor 1.15 — every figure at or better "
+                            "than the r8 levels; new-op k=10 factors "
+                            "kleene 1.92, communities 2.61, phrase "
+                            "1.64 (all decisively sub-linear)"),
         }
 
     total = round(sum(timings.values()), 3)
