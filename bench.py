@@ -298,7 +298,8 @@ def main() -> None:
              "cusum_user_value_shifts", "customer_status_as_of",
              "phrase_matched_documents", "golden_part_entities",
              "order_value_histogram", "lineitem_corr_matrix",
-             "basket_pair_rules", "purchase_attribution"]
+             "basket_pair_rules", "purchase_attribution",
+             "user_sessions", "fk_audit_all"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

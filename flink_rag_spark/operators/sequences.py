@@ -478,3 +478,81 @@ SELECT touch_type, n_conversions,
        ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
 FROM agg
 """
+
+
+# ------------------------------------------------------ sessionization
+
+def sessionize(events: DataFrame, gap_seconds: int,
+               key_col: str = "user_id", ts_col: str = "ts",
+               seq_col: str = "event_id") -> DataFrame:
+    """Assign explicit session ids to EVENTS: a new session starts at a
+    key's first event and wherever the gap since the previous event
+    exceeds ``gap_seconds`` (the strict->/<= boundary matches Spark's
+    ``session_window``: a gap of exactly ``gap_seconds`` stays in the
+    session). The per-ROW labeling twin of the session_window aggregate
+    — joins, attribution and path analysis need the label on the event,
+    not just the window bounds. Output: input columns + ``session_id``
+    (1-based per key, time order).
+
+    Gaps-and-islands on the funnel family's single (key, ts, seq)
+    exchange: one lag + one running sum, zero joins."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    # timestampdiff(MICROSECOND), not unix_timestamp: exact integer
+    # arithmetic that NTZ timestamps accept, timezone- and DST-free
+    # (unix_timestamp on NTZ is timezone-applied), and sub-second-exact
+    # (a SECOND-granularity diff would truncate fractional gaps)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
+    new_s = F.when(F.col("_prev_ts").isNull()
+                   | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return (events.withColumn("_prev_ts", prev)
+            .withColumn(
+                "session_id",
+                F.sum(new_s).over(
+                    w.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)).cast("bigint"))
+            .drop("_prev_ts"))
+
+
+def session_stats(events: DataFrame, gap_seconds: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  seq_col: str = "event_id") -> DataFrame:
+    """Per-session summary over :func:`sessionize`: (key, session_id,
+    session_start, session_end, n_events, duration_s). One aggregate
+    reusing the sessionize exchange."""
+    s = sessionize(events, gap_seconds, key_col, ts_col, seq_col)
+    return (s.groupBy(key_col, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .withColumn("duration_s",
+                        F.round(F.expr(
+                            "timestampdiff(MICROSECOND, session_start, "
+                            "session_end)") / 1e6, 6)))
+
+
+def session_stats_duck(gap_seconds: int, key_col: str = "user_id",
+                       ts_col: str = "ts", seq_col: str = "event_id",
+                       table: str = "events") -> str:
+    """DuckDB mirror of :func:`session_stats` — same boundary contract,
+    same (ts, seq) order."""
+    return f"""
+WITH g AS (
+  SELECT *, CASE WHEN epoch_us({ts_col})
+                      - LAG(epoch_us({ts_col})) OVER w
+                      > {gap_seconds} * 1000000
+                 OR LAG({ts_col}) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col})),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY {key_col}
+                          ORDER BY {ts_col}, {seq_col}
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT {key_col}, CAST(session_id AS BIGINT) AS session_id,
+       MIN({ts_col}) AS session_start, MAX({ts_col}) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND((epoch_us(MAX({ts_col})) - epoch_us(MIN({ts_col})))
+             / 1e6, 6) AS duration_s
+FROM s GROUP BY {key_col}, session_id
+"""

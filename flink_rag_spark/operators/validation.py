@@ -77,3 +77,58 @@ def validate_duck(table: str, rules: dict[str, str],
     union = " UNION ALL ".join(parts)
     return (f"SELECT rule, violations, violations = 0 AS passed "
             f"FROM ({union})")
+
+
+# --------------------------------------------- referential integrity
+
+def fk_integrity_audit(relations) -> "DataFrame":
+    """Referential-integrity audit across tables: for each named
+    relationship ``(name, facts, fact_key, dims, dim_key)``, count the
+    fact rows whose key resolves nowhere in the dimension — the orphan
+    check every warehouse load gate runs (the cross-TABLE complement of
+    this module's row-local expectations). NULL fact keys are counted
+    separately (a NULL is a missing link, not an orphan). Output: one
+    row per relationship — (relation, n_rows, n_null_keys, n_orphans,
+    orphan_rate).
+
+    Plan: each relationship is one anti join on its key (AQE broadcasts
+    dimension-sized sides) + a count — |relations| bounded jobs whose
+    results union into a |relations|-row frame."""
+    import pyspark.sql.functions as F
+
+    out = None
+    for name, facts, fact_key, dims, dim_key in relations:
+        n_rows = facts.count()
+        n_null = facts.filter(F.col(fact_key).isNull()).count()
+        orphans = (facts.filter(F.col(fact_key).isNotNull())
+                   .join(dims.select(F.col(dim_key).alias("_dk"))
+                         .distinct(),
+                         F.col(fact_key) == F.col("_dk"), "left_anti")
+                   .count())
+        spark = facts.sparkSession
+        row = spark.createDataFrame(
+            [(name, n_rows, n_null, orphans,
+              round(orphans / n_rows, 6) if n_rows else 0.0)],
+            "relation string, n_rows bigint, n_null_keys bigint, "
+            "n_orphans bigint, orphan_rate double")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def fk_integrity_audit_duck(relations: list[tuple]) -> str:
+    """DuckDB mirror of :func:`fk_integrity_audit`; ``relations`` is a
+    list of (name, fact_table, fact_key, dim_table, dim_key)."""
+    parts = []
+    for name, ft, fk, dt, dk in relations:
+        parts.append(f"""
+SELECT '{name}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER ({fk} IS NULL) AS BIGINT) AS n_null_keys,
+       CAST(COUNT(*) FILTER ({fk} IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM {dt} d WHERE d.{dk} = f.{fk})) AS BIGINT)
+         AS n_orphans,
+       ROUND(COUNT(*) FILTER ({fk} IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM {dt} d WHERE d.{dk} = f.{fk}))
+             / CAST(COUNT(*) AS DOUBLE), 6) AS orphan_rate
+FROM {ft} f""")
+    return " UNION ALL ".join(parts)

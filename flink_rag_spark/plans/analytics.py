@@ -218,6 +218,41 @@ def basket_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                               min_pair_count=RULES_MIN_PAIR)
 
 
+SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit per-event sessionization folded to session summaries
+    (operators/sequences.py sessionize/session_stats): 30-minute
+    inactivity gap, 1-based session ids per user, start/end/count/
+    duration per session. One exchange, gaps-and-islands."""
+    from flink_rag_spark.operators.sequences import session_stats
+    e = load_table(spark, sf_dir, "events")
+    return session_stats(e, SESSION_GAP_S)
+
+
+#: every FK edge of the TPC-H-ish schema the driver ships
+FK_RELATIONS = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation",
+     "n_nationkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def fk_audit_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (operators/validation.py
+    fk_integrity_audit) across every FK edge of the schema: orphan and
+    NULL-key counts per relationship — the cross-table load gate."""
+    from flink_rag_spark.operators.validation import fk_integrity_audit
+    rels = [(name, load_table(spark, sf_dir, ft), fk,
+             load_table(spark, sf_dir, dt), dk)
+            for name, ft, fk, dt, dk in FK_RELATIONS]
+    return fk_integrity_audit(rels)
+
+
 #: attribution model: purchases credit the most recent prior touch
 ATTR_TOUCHES = ["view", "click", "signup"]
 ATTR_CONVERSION = "purchase"

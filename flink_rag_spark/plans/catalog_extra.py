@@ -82,6 +82,7 @@ def extra_queries() -> list[tuple]:
         funnel_summary_duck,
         last_touch_attribution_duck,
         quantified_funnel_times_duck,
+        session_stats_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import span_pairs_duck
@@ -93,6 +94,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.graph import pagerank_duck
     from flink_rag_spark.operators.percolate import percolate_duck
     from flink_rag_spark.operators.positional import phrase_match_duck
+    from flink_rag_spark.operators.validation import fk_integrity_audit_duck
     from flink_rag_spark.operators.integrity import dataset_manifest_duck
     from flink_rag_spark.operators.normalization import normalize_text_duck
     from flink_rag_spark.operators.encoding import (
@@ -1630,6 +1632,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                  "l_orderkey", "l_partkey",
                                  A.RULES_MIN_PAIR),
          ("association", "mining", "join")),
+        # round-9: explicit sessionization (per-event ids folded to
+        # session summaries) and the cross-table FK orphan audit
+        ("user_sessions", A.user_sessions,
+         session_stats_duck(A.SESSION_GAP_S),
+         ("sequence", "session", "window")),
+        ("fk_audit_all", A.fk_audit_all,
+         fk_integrity_audit_duck(A.FK_RELATIONS),
+         ("validation", "join", "audit")),
         # round-9: last-touch revenue attribution — one funnel-family
         # exchange carrying last(touch, ignorenulls), DECIMAL sums
         ("purchase_attribution", A.purchase_attribution,

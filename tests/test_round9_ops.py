@@ -740,6 +740,46 @@ def test_last_touch_attribution_hand_values(spark):
     assert sum(r["value_share"] for r in out.values()) == 1.0
 
 
+# ------------------------------------------ sessionize / FK audit
+
+def test_sessionize_and_stats_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import (session_stats,
+                                                     sessionize)
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 0, 10, 0), 1),   # 600s gap: same session
+        (2, datetime(2024, 1, 1, 0, 40, 0), 1),   # exactly 1800s: SAME
+        (3, datetime(2024, 1, 1, 1, 10, 1), 1),   # 1801s: new session
+        (4, datetime(2024, 1, 1, 5, 0, 0), 2),    # other key
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint")
+    s = {r["event_id"]: r["session_id"] for r in
+         sessionize(e, 1800).collect()}
+    assert s == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1}
+    st = {(r["user_id"], r["session_id"]): r for r in
+          session_stats(e, 1800).collect()}
+    assert st[(1, 1)]["n_events"] == 3
+    assert st[(1, 1)]["duration_s"] == 2400.0
+    assert st[(1, 2)]["n_events"] == 1 and st[(1, 2)]["duration_s"] == 0.0
+
+
+def test_fk_integrity_audit_hand_values(spark):
+    from flink_rag_spark.operators.validation import fk_integrity_audit
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id bigint, fk bigint")
+    dims = spark.createDataFrame([(10,), (20,)], "k bigint")
+    out = {r["relation"]: r for r in fk_integrity_audit(
+        [("f_d", facts, "fk", dims, "k")]).collect()}
+    r = out["f_d"]
+    assert r["n_rows"] == 4
+    assert r["n_null_keys"] == 1          # NULL is missing, not orphan
+    assert r["n_orphans"] == 1            # fk=99
+    assert r["orphan_rate"] == 0.25
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
