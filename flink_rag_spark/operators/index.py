@@ -416,3 +416,38 @@ def promote_next_codebook(spark: SparkSession, embeddings: DataFrame,
     os.replace(tmp, intent)        # commit point
     _recover_promote(path)         # the swap itself, crash-redoable
     return cents
+
+
+def ivf_cell_stats(spark: SparkSession, path: str) -> dict:
+    """Index observability — the rebuild-trigger's companion signal to
+    ``codebook_drift``: per-cell occupancy of a persisted IVF (or
+    IVF-PQ — same layout) index, summarized driver-side. A probe's cost
+    is proportional to its probed cells' sizes, so a skewed assignment
+    (hot cells) degrades tail latency even when drift is low; the
+    ``imbalance`` factor (max cell / mean cell) is the signal a
+    maintenance loop thresholds alongside drift, exactly like
+    ``dedup.lsh_bucket_stats`` / ``linkage.block_stats`` watch their
+    hot buckets.
+
+    One |cells|-bounded aggregate (count per cell partition — column-
+    pruned scan) + the pending-tail file count. Returns {n_cells,
+    n_vectors, min_cell, max_cell, mean_cell, imbalance, tail_rows}."""
+    import os
+
+    cells = (spark.read.parquet(os.path.join(path, "cells"))
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
+    rows = cells.collect()
+    sizes = [r["n"] for r in rows]
+    tail = load_ivf_tail(spark, path)
+    tail_rows = tail.count() if tail is not None else 0
+    n_vec = sum(sizes)
+    mean = n_vec / len(sizes) if sizes else 0.0
+    return {
+        "n_cells": len(sizes),
+        "n_vectors": int(n_vec),
+        "min_cell": int(min(sizes)) if sizes else 0,
+        "max_cell": int(max(sizes)) if sizes else 0,
+        "mean_cell": round(mean, 3),
+        "imbalance": round(max(sizes) / mean, 3) if sizes else 0.0,
+        "tail_rows": int(tail_rows),
+    }

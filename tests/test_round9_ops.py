@@ -780,6 +780,25 @@ def test_fk_integrity_audit_hand_values(spark):
     assert r["orphan_rate"] == 0.25
 
 
+# --------------------------------------------- index observability
+
+def test_ivf_cell_stats(spark, tmp_path):
+    from flink_rag_spark.operators.index import (build_ivf_index,
+                                                 ivf_cell_stats,
+                                                 stage_pending)
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 24"), idx, n_centroids=4)
+    stage_pending(spark, emb.filter("vec_id >= 24"), idx)
+    st = ivf_cell_stats(spark, idx)
+    assert st["n_cells"] == 4
+    assert st["n_vectors"] == 24
+    assert st["tail_rows"] == 6
+    assert st["min_cell"] >= 1
+    assert abs(st["mean_cell"] - 6.0) < 1e-9
+    assert st["imbalance"] == round(st["max_cell"] / 6.0, 3)
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
