@@ -120,24 +120,37 @@ def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
         confidence = n_ab / n_a         (P(b | a))
         lift       = confidence / (n_b / N)
 
-    Plan at 100 TB: baskets dedup to distinct (basket, item) once; the
-    pair frame is the degree-bounded self-join on the basket key (the
-    triangle/co-purchase shape — hub baskets are the skew bound, and
-    the min count prunes before the rule math); item supports are one
-    |items|-bounded aggregate joined back on the item key (AQE
-    broadcasts when the catalog is small); N is a 1-row broadcast.
-    Exact integer counts; ratios rounded at 6dp."""
-    bi = df.select(F.col(basket_col).alias("b"),
-                   F.col(item_col).alias("i")).distinct()
-    n_baskets = bi.select(F.countDistinct("b").alias("_nb"))
-    item_n = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
-    a = bi.select(F.col("b"), F.col("i").alias("item_a"))
-    b = bi.select(F.col("b"), F.col("i").alias("item_b"))
-    pairs = (a.join(b, on="b")
-             .filter(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b")
-             .agg(F.count(F.lit(1)).alias("n_pair"))
-             .filter(F.col("n_pair") >= min_pair_count))
+    Plan at 100 TB: baskets dedup to distinct (basket, item) ONCE — the
+    frame is persisted, because four consumers (basket count, item
+    supports, both self-join sides) would otherwise each re-run the
+    scan + distinct shuffle; the pair frame is the degree-bounded
+    self-join on the basket key (the triangle/co-purchase shape — hub
+    baskets are the skew bound, and the min count prunes before the
+    rule math); item supports are one |items|-bounded aggregate joined
+    back on the item key (AQE broadcasts when the catalog is small);
+    N is a 1-row broadcast. Exact integer counts; ratios rounded at
+    6dp. The pruned pair table and the tiny support frames are
+    checkpointed so ``bi`` can be unpersisted before returning."""
+    from pyspark.storagelevel import StorageLevel
+
+    bi = (df.select(F.col(basket_col).alias("b"),
+                    F.col(item_col).alias("i"))
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        n_baskets = (bi.select(F.countDistinct("b").alias("_nb"))
+                     .localCheckpoint(eager=True))
+        item_n = (bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
+                  .localCheckpoint(eager=True))
+        a = bi.select(F.col("b"), F.col("i").alias("item_a"))
+        b = bi.select(F.col("b"), F.col("i").alias("item_b"))
+        pairs = (a.join(b, on="b")
+                 .filter(F.col("item_a") < F.col("item_b"))
+                 .groupBy("item_a", "item_b")
+                 .agg(F.count(F.lit(1)).alias("n_pair"))
+                 .filter(F.col("n_pair") >= min_pair_count)
+                 .localCheckpoint(eager=True))
+    finally:
+        bi.unpersist()
     directed = pairs.unionByName(
         pairs.select(F.col("item_b").alias("item_a"),
                      F.col("item_a").alias("item_b"), "n_pair"))

@@ -430,24 +430,31 @@ def ivf_cell_stats(spark: SparkSession, path: str) -> dict:
     hot buckets.
 
     One |cells|-bounded aggregate (count per cell partition — column-
-    pruned scan) + the pending-tail file count. Returns {n_cells,
-    n_vectors, min_cell, max_cell, mean_cell, imbalance, tail_rows}."""
+    pruned scan) + the pending-tail file count. ``n_cells`` comes from
+    the stored geometry, NOT the populated partitions: an EMPTY cell is
+    a size-0 entry (dropping holes would understate imbalance — the
+    same silent-holes failure an equi-width histogram has). Returns
+    {n_cells, n_vectors, min_cell, max_cell, mean_cell, imbalance,
+    tail_rows}."""
     import os
 
-    cells = (spark.read.parquet(os.path.join(path, "cells"))
-             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")))
-    rows = cells.collect()
-    sizes = [r["n"] for r in rows]
+    with open(os.path.join(path, "centroids.json")) as f:
+        n_cells = len(json.load(f))
+    counted = {r["cell"]: r["n"] for r in
+               (spark.read.parquet(os.path.join(path, "cells"))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .collect())}
+    sizes = [counted.get(c, 0) for c in range(n_cells)]
     tail = load_ivf_tail(spark, path)
     tail_rows = tail.count() if tail is not None else 0
     n_vec = sum(sizes)
-    mean = n_vec / len(sizes) if sizes else 0.0
+    mean = n_vec / n_cells if n_cells else 0.0
     return {
-        "n_cells": len(sizes),
+        "n_cells": n_cells,
         "n_vectors": int(n_vec),
         "min_cell": int(min(sizes)) if sizes else 0,
         "max_cell": int(max(sizes)) if sizes else 0,
         "mean_cell": round(mean, 3),
-        "imbalance": round(max(sizes) / mean, 3) if sizes else 0.0,
+        "imbalance": round(max(sizes) / mean, 3) if sizes and mean else 0.0,
         "tail_rows": int(tail_rows),
     }

@@ -20,12 +20,17 @@ TakeOrderedAndProject (K-bounded, never a global sort of the corpus).
 The per-document top-N is a window over each document's OWN terms —
 partitioned by doc id.
 
-Semantics of the cap: terms outside the top-``max_vocab`` by df simply
-don't participate as keywords — the same contract as every other
-vocab-capped operator in this engine (OOV tokens in encoding, unscored
-tail in the unigram LM). Rarest-term salience is preserved because the
-cap keeps the HIGHEST-df terms only as idf candidates; a document's
-below-cap rare terms were exactly the ones min_df already gated.
+Semantics of the cap — stated honestly: it is the sklearn
+``max_features`` cut (keep the ``max_vocab`` HIGHEST-df terms), so
+terms that passed ``min_df`` but fall outside the cap — the rare,
+high-idf end of the vocabulary — do not participate as keywords. That
+biases the output toward more common terms when the corpus vocabulary
+exceeds the cap; it is the price of a construction-bounded broadcast,
+the same contract as every other vocab-capped operator here (OOV
+tokens in encoding, the unigram LM's unscored tail). Deployments that
+need deeper rare-term coverage raise ``max_vocab`` (the broadcast
+budget, not the data, is the constraint) or raise ``min_df`` so the
+cap stops binding.
 
 Determinism: idf = ln((1+N)/(1+df)) + 1 (the sklearn smooth-idf form)
 over exact integer counts; the vocab cut orders by (df DESC, token

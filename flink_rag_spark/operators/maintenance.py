@@ -366,9 +366,22 @@ def _rewrite_flat_dir(spark: SparkSession, path: str, ids: list[int],
                       id_col: str) -> int:
     """Filter the ids out of a small flat parquet dir (the IVF pending
     tail — ≤ one ingest cadence by construction), write-then-swap.
-    Returns rows removed."""
+    Crash-reentrant: a leftover ``.forget.old`` with the live dir
+    missing means the previous run died between the two renames — the
+    old data is restored first (the delete simply re-runs); with the
+    live dir present it is completed-swap garbage and is dropped, as
+    is any stale ``.forget.tmp``. Returns rows removed."""
     import pyspark.sql.functions as F
 
+    tmp = path.rstrip("/") + ".forget.tmp"
+    old = path.rstrip("/") + ".forget.old"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)     # crashed mid-swap: restore, redo
+        else:
+            shutil.rmtree(old)       # completed swap's leftover
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)           # pre-commit garbage
     if not os.path.exists(path):
         return 0
     df = spark.read.parquet(path)
@@ -377,9 +390,7 @@ def _rewrite_flat_dir(spark: SparkSession, path: str, ids: list[int],
             .coalesce(1).localCheckpoint(eager=True))
     removed = n_before - kept.count()
     if removed:
-        tmp = path.rstrip("/") + ".forget.tmp"
         kept.write.mode("overwrite").parquet(tmp)
-        old = path.rstrip("/") + ".forget.old"
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)
@@ -387,12 +398,18 @@ def _rewrite_flat_dir(spark: SparkSession, path: str, ids: list[int],
 
 
 def _probe_cells_for(path: str, vectors, centroids_file: str,
-                     vec_col: str) -> list[int] | None:
+                     vec_col: str, ids: list[int],
+                     id_col: str) -> list[int] | None:
     """The ids' candidate cells under the index's STORED centroids —
     driver-bounded (deletions are audit-scale by the delete_from_store
-    contract). None when no vectors were supplied (callers then pay the
-    find scan instead)."""
+    contract). None (→ the caller pays the find scan) when no vectors
+    were supplied OR when they don't cover EVERY id: a partial cover —
+    e.g. a retried forget whose store delete already removed the rows —
+    would silently prune the uncovered ids' cells out of the pass and
+    under-delete."""
     import json
+
+    import pyspark.sql.functions as F
 
     from flink_rag_spark.operators.similarity import with_ivf_cells
 
@@ -400,6 +417,10 @@ def _probe_cells_for(path: str, vectors, centroids_file: str,
         return None
     cents_path = os.path.join(path, centroids_file)
     if not os.path.exists(cents_path):
+        return None
+    covered = vectors.filter(F.col(id_col).isin(ids)) \
+        .select(id_col).distinct().count()
+    if covered < len(set(ids)):
         return None
     with open(cents_path) as f:
         cents = json.load(f)
@@ -432,7 +453,8 @@ def forget_in_ivf_index(spark: SparkSession, path: str, ids: list[int],
     if not ids:
         return 0
     _recover_promote(path)          # settle any in-flight promote first
-    probe = _probe_cells_for(path, vectors, "centroids.json", vec_col)
+    probe = _probe_cells_for(path, vectors, "centroids.json", vec_col,
+                             ids, id_col)
     removed = _forget_cells(spark, os.path.join(path, "cells"), ids,
                             id_col, probe)
     for tail_dir in ("pending", "pending.flushing"):
@@ -446,22 +468,28 @@ def forget_in_ivfpq_index(spark: SparkSession, path: str, ids: list[int],
                           vec_col: str = "embedding") -> int:
     """Remove documents from a persisted IVF-PQ index
     (``pq.build_ivfpq_index`` layout): their code rows leave the
-    touched ``cell=`` partitions, after which ``ivfpq_topk`` can never
-    surface them (the ADC scan reads only code rows; the exact re-rank
-    only re-fetches ids the scan produced). The coarse centroids and
-    the PQ codebook stay — corpus-level trained aggregates, same
+    touched ``cell=`` partitions AND the pending/flushing tail (a
+    streaming-maintained index stages vectors there, and a forgotten
+    doc must not keep serving through ``ivfpq_topk(tail=...)`` or be
+    re-encoded into the cells by the next flush). The coarse centroids
+    and the PQ codebook stay — corpus-level trained aggregates, same
     stance as :func:`forget_in_ivf_index`. ``vectors`` prunes the find
     scan via the stored COARSE centroids (code assignment uses the
     same argmin, so the ids' cells are exactly recoverable). Returns
-    code rows removed."""
+    rows removed (codes + tail)."""
     from flink_rag_spark.operators.pq import IVFPQ_CENTROIDS_FILE
 
     ensure_runtime_confs(spark)
     if not ids:
         return 0
-    probe = _probe_cells_for(path, vectors, IVFPQ_CENTROIDS_FILE, vec_col)
-    return _forget_cells(spark, os.path.join(path, "cells"), ids,
-                         id_col, probe)
+    probe = _probe_cells_for(path, vectors, IVFPQ_CENTROIDS_FILE, vec_col,
+                             ids, id_col)
+    removed = _forget_cells(spark, os.path.join(path, "cells"), ids,
+                            id_col, probe)
+    for tail_dir in ("pending", "pending.flushing"):
+        removed += _rewrite_flat_dir(
+            spark, os.path.join(path, tail_dir), ids, id_col)
+    return int(removed)
 
 
 def forget_documents(spark: SparkSession, ids: list[int],

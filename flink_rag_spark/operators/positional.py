@@ -37,8 +37,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-#: the encoding-family tokenizer (split on whitespace, lowercased)
-_TOKS = "split(trim(lower({s})), '\\\\s+')"
+#: the encoding-family tokenizer — IMPORTED, not re-declared, so phrase
+#: terms can never drift from the induced vocabulary's tokenization
+from flink_rag_spark.operators.encoding import _TOKS  # noqa: E402
 
 
 def phrase_match(docs: DataFrame, phrases: DataFrame,

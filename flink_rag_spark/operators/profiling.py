@@ -297,6 +297,15 @@ def equiwidth_histogram(df: DataFrame, value_col: str, n_bins: int = 20,
     if lo is None or hi is None:
         [r] = (df.filter(v.isNotNull())
                .agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect())
+        if r["lo"] is None:
+            # empty / all-NULL column: report an all-zero histogram over
+            # NULL bounds rather than crashing a profiling pass
+            bins = spark.range(n_bins).select(
+                F.col("id").cast("int").alias("bin"))
+            return bins.select(
+                "bin", F.lit(None).cast("double").alias("bin_lo"),
+                F.lit(None).cast("double").alias("bin_hi"),
+                F.lit(0).cast("bigint").alias("n"))
         lo = float(r["lo"]) if lo is None else lo
         hi = float(r["hi"]) if hi is None else hi
     width = (hi - lo) / n_bins if hi > lo else 1.0

@@ -135,19 +135,10 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration — each wedge generated once at its smallest vertex,
     hub fan-out bounded O(√m)."""
     from flink_rag_spark.operators.graph import triangle_counts
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    keys = (li.join(o.filter(F.col("o_orderdate") >= TRIANGLE_SINCE)
-                    .select("o_orderkey"),
-                    li.l_orderkey == F.col("o_orderkey"))
-            .select("l_orderkey", "l_partkey"))
-    a = keys.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("u"))
-    b = keys.select(F.col("l_orderkey").alias("k"),
-                    F.col("l_partkey").alias("v"))
-    pairs = (a.join(b, "k").filter(F.col("u") < F.col("v"))
-             .select("u", "v"))
-    return triangle_counts(pairs, "u", "v")
+    # the shared builder emits DISTINCT pairs; triangle_counts
+    # canonicalizes+dedups internally anyway (_canon_edges), so the
+    # result is identical and the edge definition lives in ONE place
+    return triangle_counts(_copurchase_pairs(spark, sf_dir), "u", "v")
 
 
 _TRIANGLE_EDGES_SQL = f"""

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _STATE_SCHEMA = ("s_hi double, s_lo double, n bigint, last_us bigint, "
-                 "buf_ts array<bigint>, buf_v array<double>, wm_us bigint")
+                 "buf_ts array<bigint>, buf_seq array<bigint>, "
+                 "buf_v array<double>, wm_us bigint")
 _NONE = -1
 
 
@@ -43,29 +44,38 @@ def _make_cusum_fn(target: float, slack: float, h: float):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            s_hi, s_lo, n, last_us, buf_ts, buf_v, wm_us = state.get
-            buf_ts, buf_v = list(buf_ts), list(buf_v)
+            (s_hi, s_lo, n, last_us, buf_ts, buf_seq, buf_v,
+             wm_us) = state.get
+            buf_ts, buf_seq, buf_v = \
+                list(buf_ts), list(buf_seq), list(buf_v)
         else:
-            s_hi, s_lo, n, last_us, buf_ts, buf_v, wm_us = \
-                0.0, 0.0, 0, _NONE, [], [], _NONE
+            s_hi, s_lo, n, last_us, buf_ts, buf_seq, buf_v, wm_us = \
+                0.0, 0.0, 0, _NONE, [], [], [], _NONE
 
         if not state.hasTimedOut:
             for pdf in pdfs:
                 ts_us = pdf["ts"].astype("int64") // 1000
-                for t, v in zip(ts_us, pdf["value"]):
+                for t, q, v in zip(ts_us, pdf["seq"], pdf["value"]):
                     if int(t) >= wm_us:
                         buf_ts.append(int(t))
+                        buf_seq.append(int(q))
                         buf_v.append(float(v))
 
         new_wm_us = state.getCurrentWatermarkMs() * 1000
         folded = False
         if new_wm_us > wm_us and buf_ts:
-            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
-            keep_ts, keep_v = [], []
+            # (ts, seq) order — the batch twin's deterministic tie-break
+            # (the clamp makes same-ts fold order observable); seq ties
+            # across the already-folded frontier remain subject to the
+            # watermark lateness contract, like every monitor here
+            order = sorted(range(len(buf_ts)),
+                           key=lambda i: (buf_ts[i], buf_seq[i]))
+            keep_ts, keep_seq, keep_v = [], [], []
             for i in order:
-                t, v = buf_ts[i], buf_v[i]
+                t, q, v = buf_ts[i], buf_seq[i], buf_v[i]
                 if t > new_wm_us:
                     keep_ts.append(t)
+                    keep_seq.append(q)
                     keep_v.append(v)
                     continue
                 if last_us != _NONE and t < last_us:
@@ -75,7 +85,7 @@ def _make_cusum_fn(target: float, slack: float, h: float):
                 n += 1
                 last_us = t
                 folded = True
-            buf_ts, buf_v = keep_ts, keep_v
+            buf_ts, buf_seq, buf_v = keep_ts, keep_seq, keep_v
         wm_us = max(wm_us, new_wm_us)
 
         if folded:
@@ -88,7 +98,7 @@ def _make_cusum_fn(target: float, slack: float, h: float):
                 "n_events": [n],
                 "last_ts": [pd.Timestamp(last_us, unit="us")]})
 
-        state.update((s_hi, s_lo, n, last_us, buf_ts, buf_v, wm_us))
+        state.update((s_hi, s_lo, n, last_us, buf_ts, buf_seq, buf_v, wm_us))
         if buf_ts:
             wm_ms = wm_us // 1000
             state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
@@ -99,7 +109,8 @@ def _make_cusum_fn(target: float, slack: float, h: float):
 def cusum_monitor(events: DataFrame, target: float, slack: float,
                   h: float, watermark: str = "10 minutes",
                   key_col: str = "user_id", ts_col: str = "ts",
-                  value_col: str = "value") -> DataFrame:
+                  value_col: str = "value",
+                  seq_col: str = "event_id") -> DataFrame:
     """Streaming per-key CUSUM state: update-mode rows (key, cusum_hi,
     cusum_lo, alarm_hi, alarm_lo, n_events, last_ts) emitted every time
     a key folds new events. After any prefix of the stream, a key's
@@ -109,6 +120,7 @@ def cusum_monitor(events: DataFrame, target: float, slack: float,
     key_type = dict(events.dtypes)[key_col]
     filtered = events.select(F.col(key_col).alias("user_id"),
                              F.col(ts_col).alias("ts"),
+                             F.col(seq_col).cast("bigint").alias("seq"),
                              F.col(value_col).alias("value"))
     out_schema = (f"user_id {key_type}, cusum_hi double, cusum_lo double, "
                   "alarm_hi boolean, alarm_lo boolean, n_events bigint, "

@@ -539,12 +539,23 @@ def test_as_of_snapshot_half_open_contract(spark):
 
 # --------------------------------------------- streaming CUSUM
 
+_VSEQ = [0]
+
+
 def _write_vbatch(spark, path, rows):
+    """rows: (ts, user, value) with auto seq, or (seq, ts, user, value)
+    to pin the tie-break explicitly."""
+    out = []
+    for r in rows:
+        if len(r) == 4:
+            out.append(r)
+        else:
+            out.append((_VSEQ[0], *r))
+            _VSEQ[0] += 1
     spark.createDataFrame(
-        [(ts, u, v) for ts, u, v in rows],
-        "ts_s string, user_id bigint, value double"
-    ).selectExpr("CAST(ts_s AS TIMESTAMP) AS ts", "user_id", "value"
-                 ).coalesce(1).write.mode("append").parquet(path)
+        out, "event_id bigint, ts_s string, user_id bigint, value double"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+                 "value").coalesce(1).write.mode("append").parquet(path)
     import time
     time.sleep(1.1)
 
@@ -564,14 +575,23 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
         ("2024-01-01 00:00:00", 1, 10.0),
         ("2024-01-01 00:05:00", 2, 10.0),
     ])
+    # u5: SAME-ts pair arriving seq-inverted across batches — the fold
+    # must order by (ts, seq), not arrival: seq 1000 (v=15, d_hi=+3)
+    # then seq 1001 (v=7, d_hi=-5) → s_hi = max(0, 3) then max(0,-2)=0;
+    # arrival-order folding would give 0 then 3
     _write_vbatch(spark, src, [
+        (1001, "2024-01-01 00:05:00", 5, 7.0),
+    ])
+    _write_vbatch(spark, src, [
+        (1000, "2024-01-01 00:05:00", 5, 15.0),
         ("2024-01-01 00:05:00", 1, 25.0),       # earlier than batch-1 max
         ("2024-01-01 00:20:00", 1, 28.0),
         ("2024-01-01 00:20:00", 2, 11.0),
         ("2024-06-01 00:00:00", 99, 0.0),       # flush key, never emits
     ])
     stream = (spark.readStream
-              .schema("ts timestamp, user_id bigint, value double")
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "value double")
               .option("maxFilesPerTrigger", "1").parquet(src))
     q = (cusum_monitor(stream, target, slack, h, watermark="30 days")
          .writeStream.format("memory").queryName("cusum_t")
@@ -585,17 +605,19 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
         if (r["user_id"] not in last
                 or r["n_events"] > last[r["user_id"]]["n_events"]):
             last[r["user_id"]] = r
-    assert set(last) == {1, 2}
+    assert set(last) == {1, 2, 5}
+    assert last[5]["cusum_hi"] == 0.0      # (ts, seq) fold, not arrival
     batch = cusum_scores(
         spark.read.parquet(src).filter("user_id < 99"),
-        ["user_id"], "ts", "value", target, slack)
+        ["user_id"], "ts", "value", target, slack, seq_col="event_id")
     import pyspark.sql.functions as F2
     from pyspark.sql import Window as W2
     final = {r["user_id"]: r for r in batch.withColumn(
         "_rn", F2.row_number().over(
-            W2.partitionBy("user_id").orderBy(F2.desc("ts"))))
+            W2.partitionBy("user_id").orderBy(F2.desc("ts"),
+                                              F2.desc("event_id"))))
         .filter("_rn = 1").collect()}
-    for uid in (1, 2):
+    for uid in (1, 2, 5):
         assert last[uid]["cusum_hi"] == final[uid]["cusum_hi"]
         assert last[uid]["cusum_lo"] == final[uid]["cusum_lo"]
     # u1 fold: d_hi = v-12 → 0-2→0, 25-12=13, 30-12=18→31, 28-12=16→47
@@ -797,6 +819,85 @@ def test_ivf_cell_stats(spark, tmp_path):
     assert st["min_cell"] >= 1
     assert abs(st["mean_cell"] - 6.0) < 1e-9
     assert st["imbalance"] == round(st["max_cell"] / 6.0, 3)
+
+
+def test_forget_in_ivfpq_index_purges_pending_tail(spark, tmp_path):
+    """A forgotten doc must not keep serving through
+    ivfpq_topk(tail=...) nor be re-encoded by the next flush."""
+    from flink_rag_spark.operators.index import (load_ivf_tail,
+                                                 stage_pending)
+    from flink_rag_spark.operators.maintenance import forget_in_ivfpq_index
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              flush_pending_ivfpq)
+
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb.filter("vec_id < 20"), idx,
+                      n_centroids=4, m=4, kc=4, iters=3)
+    stage_pending(spark, emb.filter(F.col("vec_id").isin(25, 26)), idx)
+    removed = forget_in_ivfpq_index(spark, idx, [25])
+    assert removed == 1                       # tail row only
+    assert {r["vec_id"] for r in
+            load_ivf_tail(spark, idx).collect()} == {26}
+    assert flush_pending_ivfpq(spark, idx) == 1
+    ids = {r["vec_id"] for r in
+           spark.read.parquet(f"{idx}/cells").collect()}
+    assert 25 not in ids and 26 in ids
+
+
+def test_forget_retry_after_store_delete_falls_back_to_find_scan(
+        spark, tmp_path):
+    """A retried forget whose store delete already removed the rows
+    fetches NO vectors — the index pass must fall back to the find
+    scan instead of silently under-deleting (empty probe set)."""
+    from flink_rag_spark.operators.index import build_ivf_index
+    from flink_rag_spark.operators.maintenance import forget_documents
+    from flink_rag_spark.operators.pq import build_ivfpq_index
+    from flink_rag_spark.streaming.ingest import STORE_BUCKETS
+
+    emb = _clustered(spark)
+    store = str(tmp_path / "store")
+    (emb.withColumn("bucket", F.pmod(F.col("vec_id"),
+                                     F.lit(STORE_BUCKETS)).cast("int"))
+     .repartition("bucket").write.partitionBy("bucket").parquet(store))
+    ivf, ivfpq = str(tmp_path / "ivf"), str(tmp_path / "ivfpq")
+    build_ivf_index(spark, emb, ivf, n_centroids=4)
+    build_ivfpq_index(spark, emb, ivfpq, n_centroids=4, m=4, kc=4,
+                      iters=3)
+    # first pass: store only (simulates a crash before the index passes)
+    out1 = forget_documents(spark, [3, 17], store_path=store)
+    assert out1 == {"store_rows": 2}
+    # retry: store yields no vectors for the ids — find-scan fallback
+    out2 = forget_documents(spark, [3, 17], store_path=store,
+                            ivf_index_path=ivf, ivfpq_index_path=ivfpq)
+    assert out2["store_rows"] == 0
+    assert out2["ivf_rows"] == 2 and out2["ivfpq_rows"] == 2
+    for path in (ivf, ivfpq):
+        ids = {r["vec_id"] for r in
+               spark.read.parquet(f"{path}/cells").collect()}
+        assert not ({3, 17} & ids)
+
+
+def test_rewrite_flat_dir_recovers_from_crashed_swap(spark, tmp_path):
+    """A leftover .forget.old with the live dir missing (crash between
+    the renames) is restored and the delete re-runs; completed-swap
+    leftovers are dropped."""
+    import os
+
+    from flink_rag_spark.operators.maintenance import _rewrite_flat_dir
+
+    path = str(tmp_path / "pending")
+    spark.createDataFrame([(i,) for i in range(6)],
+                          "vec_id bigint").write.parquet(path)
+    # simulate the crash: live dir renamed away, tmp half-written
+    os.rename(path, path + ".forget.old")
+    os.makedirs(path + ".forget.tmp")
+    removed = _rewrite_flat_dir(spark, path, [2], "vec_id")
+    assert removed == 1
+    ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert ids == {0, 1, 3, 4, 5}
+    assert not os.path.exists(path + ".forget.old")
+    assert not os.path.exists(path + ".forget.tmp")
 
 
 # -------------------------------------------------- composition
