@@ -37,6 +37,8 @@ maintainer owns a view path at a time.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -223,3 +225,70 @@ def apply_dim_update(spark: SparkSession, changed_dims: DataFrame,
     finally:
         changed.unpersist()
         existing.unpersist()
+
+
+def upsert_facts(spark: SparkSession, changed_facts: DataFrame,
+                 dims: DataFrame, path: str, fact_pk: str,
+                 fact_key: str, dim_key: str, part_src: str) -> list[str]:
+    """Fact-side UPSERT maintenance — the delta class ``append_facts``
+    (insert-only) and ``apply_dim_update`` (dim-side) don't cover:
+    changed or replacement fact rows keyed by ``fact_pk`` overwrite
+    their old view rows, and brand-new keys insert. This is also the
+    documented route for DIM INSERTS (module header): replaying the
+    affected fact rows here with the updated ``dims`` restores rows the
+    inner-join build once dropped.
+
+    ΔV algebra: old versions leave (anti join on the PK), ΔF ⋈ D rows
+    enter. Touched partitions = the old versions' pmonths (found via a
+    column-pruned (pk, pmonth) scan) ∪ the new rows' pmonths — a row
+    whose ``part_src`` moved rewrites BOTH months. Idempotent by
+    construction (a keyed replace replayed lands identically), so no
+    batch markers are needed; existing markers in touched partitions
+    are preserved. A partition emptied entirely by the upsert is
+    removed explicitly (dynamic overwrite only replaces partitions
+    PRESENT in the write). Returns the rewritten pmonths."""
+    import shutil as _sh
+
+    delta = _enriched(changed_facts, dims, fact_key, dim_key,
+                      part_src).persist()
+    try:
+        raw = _read_raw(spark, path)
+        pks = delta.select(F.col(fact_pk).alias("_pk")).distinct()
+        old_months = (raw.filter(F.col("bids").isNull())
+                      .join(pks, F.col(fact_pk) == F.col("_pk"),
+                            "left_semi")
+                      .select("pmonth").distinct())
+        new_months = delta.select("pmonth").distinct()
+        touched = sorted(r["pmonth"] for r in
+                         old_months.union(new_months).distinct()
+                         .collect())
+        if not touched:
+            return []
+        existing = raw.filter(F.col("pmonth").isin(touched)).persist()
+        try:
+            kept = (existing.filter(F.col("bids").isNull())
+                    .join(pks, F.col(fact_pk) == F.col("_pk"),
+                          "left_anti"))
+            out = (kept
+                   .unionByName(delta.withColumn(
+                       "bids", F.lit(None).cast("array<bigint>"))
+                       .select(*kept.columns))
+                   .unionByName(existing.filter(F.col("bids").isNotNull()))
+                   .localCheckpoint())
+            prev = spark.conf.get(_OVERWRITE_MODE, "static")
+            spark.conf.set(_OVERWRITE_MODE, "dynamic")
+            try:
+                (out.repartition("pmonth").write.mode("overwrite")
+                 .partitionBy("pmonth").parquet(path))
+            finally:
+                spark.conf.set(_OVERWRITE_MODE, prev)
+            written = {r["pmonth"] for r in
+                       out.select("pmonth").distinct().collect()}
+            for p in set(touched) - written:
+                _sh.rmtree(os.path.join(path, f"pmonth={p}"),
+                           ignore_errors=True)
+            return list(touched)
+        finally:
+            existing.unpersist()
+    finally:
+        delta.unpersist()

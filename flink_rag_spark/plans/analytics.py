@@ -326,6 +326,75 @@ def decayed_at_latest_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVM_RELOCATE_MOD = 97
 
 
+IVM_UPSERT_MOD = 191  # orderkeys rewritten by the fact-upsert demo
+
+
+def ivm_upserted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side UPSERT maintenance (operators/ivm.py upsert_facts —
+    the delta class append/dim-update don't cover): build the view from
+    pre-1997 history, then one upsert batch that (a) REWRITES every
+    orderkey % 191 == 0 row with a higher price and a +40-day date —
+    rows that MOVE between month partitions — and (b) INSERTS all
+    1997-01 orders as brand-new keys; replayed once to prove keyed
+    idempotency. Oracle = the from-scratch join over the equivalently
+    modified fact set."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_rag_spark.operators.ivm import (build_join_view,
+                                               read_join_view,
+                                               upsert_facts)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("c_custkey", "c_mktsegment", "n_name"))
+    hist = o.filter(F.col("o_orderdate") < "1997-01-01")
+    path = tempfile.mkdtemp(prefix="ivm_up_") + "/view"
+    build_join_view(spark, hist, dims, path, "o_custkey", "c_custkey",
+                    "o_orderdate")
+    changed = (hist.filter(F.col("o_orderkey") % IVM_UPSERT_MOD == 0)
+               .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+               .withColumn("o_orderdate",
+                           F.expr("o_orderdate + INTERVAL 40 DAYS")))
+    inserts = o.filter((F.col("o_orderdate") >= "1997-01-01")
+                       & (F.col("o_orderdate") < "1997-02-01"))
+    batch = changed.unionByName(inserts)
+    upsert_facts(spark, batch, dims, path, "o_orderkey", "o_custkey",
+                 "c_custkey", "o_orderdate")
+    upsert_facts(spark, batch, dims, path, "o_orderkey", "o_custkey",
+                 "c_custkey", "o_orderdate")  # replay: keyed no-op
+    out = (read_join_view(spark, path).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "c_mktsegment", "n_name", "pmonth").localCheckpoint())
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+ORACLE_IVM_UPSERT = f"""
+WITH facts AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % {'{m}'} = 0
+              THEN o_orderdate + INTERVAL 40 DAY ELSE o_orderdate END
+           AS o_orderdate,
+         CASE WHEN o_orderkey % {'{m}'} = 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+    AND o_orderdate < DATE '1997-02-01')
+SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, f.o_totalprice,
+       c.c_mktsegment, n.n_name, strftime(f.o_orderdate, '%Y-%m') AS pmonth
+FROM facts f
+JOIN customer c ON f.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""".replace("{m}", str(IVM_UPSERT_MOD))
+
+
 def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (operators/ivm.py): build the
     enriched-orders view (orders ⋈ customer-dims) from pre-1997 history,

@@ -1600,6 +1600,11 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # change as a CASE (operators/ivm.py)
         ("ivm_enriched_orders", A.ivm_enriched_orders,
          A.ORACLE_IVM_ENRICHED, ("ivm", "join", "incremental")),
+        # round-9: fact-side UPSERT maintenance — keyed replace with
+        # cross-partition row moves + inserts, replayed to prove keyed
+        # idempotency; oracle = from-scratch join over the modified set
+        ("ivm_upserted_orders", A.ivm_upserted_orders,
+         A.ORACLE_IVM_UPSERT, ("ivm", "join", "incremental", "upsert")),
         # round-8e wave 2: degree-oriented triangle counting + local
         # clustering coefficient (operators/graph.py triangle_counts;
         # the oracle counts via the canonical three-way join)

@@ -900,6 +900,76 @@ def test_rewrite_flat_dir_recovers_from_crashed_swap(spark, tmp_path):
     assert not os.path.exists(path + ".forget.tmp")
 
 
+# ------------------------------------------------ IVM fact upsert
+
+def test_upsert_facts_moves_rows_and_cleans_emptied_partitions(
+        spark, tmp_path):
+    import os
+    from datetime import date
+
+    from flink_rag_spark.operators.ivm import (build_join_view,
+                                               read_join_view,
+                                               upsert_facts)
+    facts = spark.createDataFrame(
+        [(1, 10, date(2024, 1, 5), 100.0),
+         (2, 10, date(2024, 1, 9), 200.0),
+         (3, 20, date(2024, 2, 1), 300.0)],
+        "pk bigint, fk bigint, d date, v double")
+    dims = spark.createDataFrame([(10, "A"), (20, "B"), (30, "C")],
+                                 "k bigint, attr string")
+    path = str(tmp_path / "view")
+    build_join_view(spark, facts, dims, path, "fk", "k", "d")
+
+    # pk 3 moves Feb -> Mar (2024-02 empties), pk 1 updates in place,
+    # pk 4 is a brand-new key joining dim 30
+    batch = spark.createDataFrame(
+        [(3, 20, date(2024, 3, 2), 333.0),
+         (1, 10, date(2024, 1, 5), 111.0),
+         (4, 30, date(2024, 1, 20), 400.0)],
+        "pk bigint, fk bigint, d date, v double")
+    touched = upsert_facts(spark, batch, dims, path, "pk", "fk", "k", "d")
+    assert sorted(touched) == ["2024-01", "2024-02", "2024-03"]
+    got = {r["pk"]: (r["v"], r["attr"], r["pmonth"]) for r in
+           read_join_view(spark, path).collect()}
+    assert got == {1: (111.0, "A", "2024-01"),
+                   2: (200.0, "A", "2024-01"),
+                   3: (333.0, "B", "2024-03"),
+                   4: (400.0, "C", "2024-01")}
+    assert not os.path.exists(os.path.join(path, "pmonth=2024-02"))
+
+    # keyed idempotency: the replay rewrites to the identical state
+    upsert_facts(spark, batch, dims, path, "pk", "fk", "k", "d")
+    again = {r["pk"]: (r["v"], r["attr"], r["pmonth"]) for r in
+             read_join_view(spark, path).collect()}
+    assert again == got
+
+
+def test_upsert_facts_is_the_dim_insert_route(spark, tmp_path):
+    """A fact whose dim key was missing at build time (inner join
+    dropped it) is restored by replaying it through upsert_facts with
+    the updated dims — the module's documented dim-insert contract."""
+    from datetime import date
+
+    from flink_rag_spark.operators.ivm import (build_join_view,
+                                               read_join_view,
+                                               upsert_facts)
+    facts = spark.createDataFrame(
+        [(1, 10, date(2024, 1, 5), 100.0),
+         (2, 99, date(2024, 1, 9), 200.0)],     # dim 99 missing at build
+        "pk bigint, fk bigint, d date, v double")
+    dims0 = spark.createDataFrame([(10, "A")], "k bigint, attr string")
+    path = str(tmp_path / "view")
+    build_join_view(spark, facts, dims0, path, "fk", "k", "d")
+    assert read_join_view(spark, path).count() == 1
+    dims1 = spark.createDataFrame([(10, "A"), (99, "Z")],
+                                  "k bigint, attr string")
+    upsert_facts(spark, facts.filter("pk = 2"), dims1, path,
+                 "pk", "fk", "k", "d")
+    got = {r["pk"]: r["attr"] for r in
+           read_join_view(spark, path).collect()}
+    assert got == {1: "A", 2: "Z"}
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
