@@ -299,7 +299,7 @@ def main() -> None:
              "phrase_matched_documents", "golden_part_entities",
              "order_value_histogram", "lineitem_corr_matrix",
              "basket_pair_rules", "purchase_attribution",
-             "user_sessions", "fk_audit_all"]
+             "user_sessions", "fk_audit_all", "ivm_upserted_orders"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -487,7 +487,14 @@ def main() -> None:
                             "factor 1.15 — every figure at or better "
                             "than the r8 levels; new-op k=10 factors "
                             "kleene 1.92, communities 2.61, phrase "
-                            "1.64 (all decisively sub-linear)"),
+                            "1.64 (all decisively sub-linear); second "
+                            "full run after the review fixes + late "
+                            "families: total 13.28, qps "
+                            "265/707/214/324, probe factor 1.10 — "
+                            "flat, all figures inside the noise band; "
+                            "fk_audit_all 4.6s median is five full "
+                            "anti-join count jobs (a load-gate audit, "
+                            "not a serving query)"),
         }
 
     total = round(sum(timings.values()), 3)
