@@ -139,6 +139,26 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     rag_qps_ann = round(n_q / sorted(runs)[2], 1)
     cells.unpersist()
+    # IVF-PQ ADC tier (round 9) — the cheapest serving path: codes scan
+    # pruned to the probed cells, exact re-rank only on the finalists;
+    # index built once (timed), probes amortize it
+    from flink_rag_spark.operators.pq import build_ivfpq_index  # noqa: PLC0415
+    emb_t = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb_t.select("embedding").first()["embedding"])
+    pq_m = next((m for m in (8, 7, 4, 2, 1) if dim % m == 0), 1)
+    t0 = time.perf_counter()
+    pq_path = tempfile.mkdtemp(prefix="bench_ivfpq_") + "/ivfpq"
+    build_ivfpq_index(spark, emb_t, pq_path, m=pq_m)
+    ivfpq_index_build_sec = round(time.perf_counter() - t0, 2)
+    force(rag_answer(spark, sf_dir, questions=qs, retrieval="ivfpq",
+                     ann_index=pq_path))
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(rag_answer(spark, sf_dir, questions=qs, retrieval="ivfpq",
+                         ann_index=pq_path))
+        runs.append(time.perf_counter() - t0)
+    rag_qps_ivfpq = round(n_q / sorted(runs)[2], 1)
     # hybrid tier (BM25 arm + cosine arm, RRF-fused per question)
     force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
     runs = []
@@ -513,9 +533,11 @@ def main() -> None:
         # methodology
         "extra_medians": extra_timings,
         "rag_qps": {"exact": rag_qps, "ann": rag_qps_ann,
+                    "ivfpq": rag_qps_ivfpq,
                     "hybrid": rag_qps_hybrid,
                     "hybrid_indexed": rag_qps_hybrid_indexed},
         "index_build_sec": {"ann": ann_index_build_sec,
+                            "ivfpq": ivfpq_index_build_sec,
                             "dedup": dedup_index_build_sec,
                             "text": text_index_build_sec},
         "probe": {
@@ -538,6 +560,8 @@ def main() -> None:
         "repeats": REPEATS,
         "rag_questions_per_sec": rag_qps,
         "rag_questions_per_sec_ann": rag_qps_ann,
+        "rag_questions_per_sec_ivfpq": rag_qps_ivfpq,
+        "ivfpq_index_build_sec": ivfpq_index_build_sec,
         "rag_questions_per_sec_hybrid": rag_qps_hybrid,
         "rag_questions_per_sec_hybrid_indexed": rag_qps_hybrid_indexed,
         "text_index_build_sec": text_index_build_sec,

@@ -454,3 +454,135 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
                   .agg(F.max("approx_score").alias("approx_score")))
     return _rerank_exact(approx, rerank_with, query_vec, k,
                          rerank_factor, vec_col, id_col)
+
+
+def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
+                   k: int = 10, n_probe: int = 4,
+                   rerank_factor: int = PQ_RERANK_FACTOR,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   qid_col: str = "query_id",
+                   tail: DataFrame | None = None) -> DataFrame:
+    """Batch IVF-PQ retrieval — the serving tier: one plan answers a
+    whole query batch against the persisted index. ``driver_queries``
+    is ``(qids, Q)`` with Q an (|Q|, d) float array on the driver (the
+    RAG contract shared with ``ivf_knn_join(driver_queries=...)``:
+    query batches are broadcast-sized, and probing needs the vectors
+    driver-side anyway).
+
+    The per-query ADC tables factor so the broadcast stays small:
+
+    - ``ad``  (qid, s, c → q_s·r̂)      — |Q|·m·k rows, query-dependent
+      but CELL-independent;
+    - ``bdn2`` (cell, s, c → cent_s·r̂, ‖r̂‖²) — |cells|·m·k rows,
+      query-independent;
+    - ``consts`` (qid, cell → q·cent, ‖cent‖²) and the (qid, cell)
+      probe pairs — |Q|·n_probe rows.
+
+    All four are numpy-built in one shot and broadcast; the code scan
+    is pruned to the UNION of probed cells, fans out per probing query
+    through the tiny probe-pair join, and one partial+final aggregate
+    folds each (qid, id) ADC score. The top ``rerank_factor·k`` per
+    query re-rank EXACTLY against ``rerank_with`` with knn_join's
+    rounding and (score DESC, id) tie-break, so results align with the
+    exact tier wherever recall holds. ``tail`` (un-flushed vectors)
+    joins the rerank pool exactly like the single-query path. Returns
+    (qid, id, score, rank)."""
+    from pyspark.sql import Window
+
+    from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
+
+    qids, Q = driver_queries
+    Q = np.asarray(Q, dtype=np.float64)
+    cents, codebook = _load_geometry(path)
+    m, dsub = len(codebook), len(codebook[0][0])
+    kc = len(codebook[0])
+    C = np.asarray(cents, dtype=np.float64)           # (cells, d)
+    P = np.asarray(codebook, dtype=np.float64)        # (m, kc, dsub)
+    nq, d = Q.shape
+    # probes: n_probe nearest cells per query (stable argsort)
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    import pandas as pd_
+    pair_rows = pd_.DataFrame({
+        qid_col: np.repeat(qids, n_probe),
+        "cell": probes.reshape(-1).astype("int32")})
+    qc = np.einsum("qd,cd->qc", Q, C)
+    cn = (C * C).sum(axis=1)
+    const_rows = pd_.DataFrame({
+        qid_col: np.repeat(qids, n_probe),
+        "cell": probes.reshape(-1).astype("int32"),
+        "qc": np.take_along_axis(qc, probes, axis=1).reshape(-1),
+        "cn": cn[probes.reshape(-1)]})
+    Qs = Q.reshape(nq, m, dsub)
+    ad = np.einsum("qmd,mkd->qmk", Qs, P)             # (nq, m, kc)
+    ad_rows = pd_.DataFrame({
+        qid_col: np.repeat(qids, m * kc),
+        "s": np.tile(np.repeat(np.arange(m), kc), nq).astype("int32"),
+        "c": np.tile(np.arange(kc), nq * m).astype("int32"),
+        "ad": ad.reshape(-1)})
+    probed = sorted({int(x) for x in probes.reshape(-1)})
+    Cs = C[probed].reshape(len(probed), m, dsub)
+    bd = np.einsum("cmd,mkd->cmk", Cs, P)             # (|probed|, m, kc)
+    n2 = (P * P).sum(axis=2)                          # (m, kc)
+    bdn2_rows = pd_.DataFrame({
+        "cell": np.repeat(np.asarray(probed, dtype="int32"), m * kc),
+        "s": np.tile(np.repeat(np.arange(m), kc),
+                     len(probed)).astype("int32"),
+        "c": np.tile(np.arange(kc), len(probed) * m).astype("int32"),
+        "bd": bd.reshape(-1),
+        "n2": np.tile(n2.reshape(-1), len(probed))})
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qn_rows = pd_.DataFrame({qid_col: qids, "qn": qn})
+    qvec_rows = pd_.DataFrame({qid_col: qids,
+                               "query_vec": [list(map(float, v))
+                                             for v in Q]})
+
+    import os
+    codes = (spark.read.parquet(os.path.join(path, "cells"))
+             .filter(F.col("cell").isin(probed)))
+    approx = (codes
+              .join(F.broadcast(spark.createDataFrame(pair_rows)),
+                    on="cell")
+              .select(qid_col, id_col, "cell",
+                      F.posexplode("codes").alias("s", "c"))
+              .join(F.broadcast(spark.createDataFrame(ad_rows)),
+                    on=[qid_col, "s", "c"])
+              .join(F.broadcast(spark.createDataFrame(bdn2_rows)),
+                    on=["cell", "s", "c"])
+              .groupBy(qid_col, id_col, "cell")
+              .agg(F.sum("ad").alias("_a"), F.sum("bd").alias("_b"),
+                   F.sum("n2").alias("_n"))
+              .join(F.broadcast(spark.createDataFrame(const_rows)),
+                    on=[qid_col, "cell"])
+              .join(F.broadcast(spark.createDataFrame(qn_rows)),
+                    on=qid_col)
+              .select(qid_col, id_col, (
+                  (F.col("qc") + F.col("_a"))
+                  / (F.col("qn") * F.sqrt(F.greatest(
+                      F.col("cn") + 2 * F.col("_b") + F.col("_n"),
+                      F.lit(1e-12))))).alias("approx_score")))
+    qvecs = F.broadcast(spark.createDataFrame(qvec_rows))
+    if tail is not None:
+        tail_scored = (tail.crossJoin(qvecs)
+                       .select(qid_col, id_col,
+                               F.expr(cosine_expr(vec_col, "query_vec"))
+                               .alias("approx_score")))
+        approx = (approx.unionByName(tail_scored)
+                  .groupBy(qid_col, id_col)
+                  .agg(F.max("approx_score").alias("approx_score")))
+    w_cand = Window.partitionBy(qid_col).orderBy(
+        F.desc("approx_score"), F.asc(id_col))
+    cand = (approx.withColumn("_r", F.row_number().over(w_cand))
+            .filter(F.col("_r") <= rerank_factor * k)
+            .select(qid_col, id_col))
+    exact = (F.broadcast(cand)
+             .join(rerank_with.select(id_col, vec_col), on=id_col)
+             .join(qvecs, on=qid_col)
+             .select(qid_col, id_col,
+                     F.round(F.expr(cosine_expr(vec_col, "query_vec")),
+                             ROUND_DP).alias("score")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"),
+                                            F.col(id_col))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -199,6 +199,31 @@ def rag_answer(spark: SparkSession, sf_dir: str,
                             query_id="question_id", cfg=cfg,
                             centroids=cents, cells=cells,
                             driver_queries=driver_q, tail=ann_tail)
+    elif retrieval == "ivfpq":
+        # IVF-PQ ADC retrieval — the cheapest serving tier: the probe
+        # reads n_probe/n_cells of the index directories × ~1/32 of the
+        # bytes (codes, not vectors); only the finalists' full vectors
+        # are fetched for the exact re-rank. ann_index must be the PATH
+        # of a persisted build_ivfpq_index layout; freshness comes from
+        # the index's own pending tail (run_ingest(ivfpq_index=...)).
+        from flink_rag_spark.operators.index import load_ivf_tail
+        from flink_rag_spark.operators.pq import ivfpq_knn_join
+        if not isinstance(ann_index, str):
+            raise ValueError("retrieval='ivfpq' needs ann_index=<path> "
+                             "of a persisted build_ivfpq_index layout")
+        if question_texts is None or \
+                len(question_texts) > cfg.max_driver_queries:
+            raise ValueError("retrieval='ivfpq' serves driver-side "
+                             "question batches (the RAG contract — "
+                             "probing needs the vectors on the driver)")
+        import numpy as _np  # noqa: PLC0415
+        import pandas as _pd  # noqa: PLC0415
+        vecs = provider.embed_batch(_pd.Series(question_texts))
+        Q = _np.asarray(list(vecs), dtype=_np.float32).astype(_np.float64)
+        hits = ivfpq_knn_join(
+            spark, ann_index, (list(range(len(question_texts))), Q),
+            emb, k=cfg.retrieval_k, qid_col="question_id",
+            tail=load_ivf_tail(spark, ann_index))
     elif retrieval == "hybrid":
         # lexical BM25 arm + exact cosine arm, RRF-fused per question —
         # the hybrid query the reference's OpenSearch backend serves

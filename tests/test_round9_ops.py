@@ -970,6 +970,55 @@ def test_upsert_facts_is_the_dim_insert_route(spark, tmp_path):
     assert got == {1: "A", 2: "Z"}
 
 
+# ------------------------------------------ batch IVF-PQ serving
+
+def test_ivfpq_knn_join_matches_single_query_path(spark, tmp_path):
+    """The batch join must produce, per query, exactly what the
+    single-query ivfpq_topk produces (same probes, same ADC algebra,
+    same rerank budget and tie-break)."""
+    import numpy as np
+
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              ivfpq_knn_join, ivfpq_topk)
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb, idx, n_centroids=4, m=4, kc=4, iters=3)
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id").isin(4, 21)).collect()}
+    qids = sorted(qvecs)
+    Q = np.asarray([qvecs[i] for i in qids])
+    batch = {(r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+             for r in ivfpq_knn_join(spark, idx, (qids, Q), emb, k=5,
+                                     n_probe=2).collect()}
+    for qid in qids:
+        single = {r["rank"]: (r["vec_id"], r["score"]) for r in
+                  ivfpq_topk(spark, idx, qvecs[qid], emb, k=5,
+                             n_probe=2).collect()}
+        for rank, want in single.items():
+            assert batch[(qid, rank)] == want, (qid, rank)
+
+
+def test_rag_answer_ivfpq_tier(spark, tmp_path, sf_oracle):
+    """rag_answer(retrieval='ivfpq'): the serving tier answers a
+    question batch through the persisted IVF-PQ index and stays
+    consistent with the exact tier's top answer context shape."""
+    from flink_rag_spark.operators.pq import build_ivfpq_index
+    from flink_rag_spark.plans.rag import rag_answer
+    from flink_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    # embeddings are 7-dim at this SF: m must divide d — pad via m=7
+    dim = len(emb.first()["embedding"])
+    m = 7 if dim == 7 else (4 if dim % 4 == 0 else 1)
+    build_ivfpq_index(spark, emb, idx, n_centroids=4, m=m, kc=4, iters=3)
+    qs = ["What do I do if it is dark?", "How do I sort a big table?"]
+    out = rag_answer(spark, sf_oracle, questions=qs, retrieval="ivfpq",
+                     ann_index=idx).collect()
+    assert len(out) == 2
+    assert all(r["answer"] for r in out)
+
+
 # -------------------------------------------------- composition
 
 def test_forget_documents_spans_vector_indexes(spark, tmp_path):
