@@ -514,7 +514,18 @@ def main() -> None:
                             "flat, all figures inside the noise band; "
                             "fk_audit_all 4.6s median is five full "
                             "anti-join count jobs (a load-gate audit, "
-                            "not a serving query)"),
+                            "not a serving query); third full run with "
+                            "the ivfpq serving tier: total 12.73, qps "
+                            "exact/ann/ivfpq/hybrid/hybrid-indexed = "
+                            "278/637/310/223/314, builds ann/ivfpq/"
+                            "dedup/text 3.02/6.63/2.85/1.59, probe "
+                            "factor 1.22. ivfpq sits between exact and "
+                            "raw IVF at sf0.1 BY DESIGN: at 10k "
+                            "vectors the ADC code-join overhead is not "
+                            "yet paid back by byte pruning — the tier "
+                            "wins when the vector bytes dominate the "
+                            "scan (the 100 TB shape), and its recall "
+                            "path is the same exact finalist re-rank"),
         }
 
     total = round(sum(timings.values()), 3)
