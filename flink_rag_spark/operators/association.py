@@ -108,8 +108,13 @@ FROM grid
 RULE_DP = 6
 
 
+MAX_BASKET_ITEMS = 512  # hub-basket guard: pairs/basket ≤ C(512,2)
+
+
 def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
-                       min_pair_count: int = 2) -> DataFrame:
+                       min_pair_count: int = 2,
+                       max_basket_items: int | None = MAX_BASKET_ITEMS,
+                       ) -> DataFrame:
     """Market-basket association rules over item PAIRS (the depth-2
     slice of Apriori — at corpus scale pair rules are what basket
     analyses actually ship; deeper itemsets explode combinatorially
@@ -124,18 +129,40 @@ def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
     frame is persisted, because four consumers (basket count, item
     supports, both self-join sides) would otherwise each re-run the
     scan + distinct shuffle; the pair frame is the degree-bounded
-    self-join on the basket key (the triangle/co-purchase shape — hub
-    baskets are the skew bound, and the min count prunes before the
-    rule math); item supports are one |items|-bounded aggregate joined
-    back on the item key (AQE broadcasts when the catalog is small);
-    N is a 1-row broadcast. Exact integer counts; ratios rounded at
-    6dp. The pruned pair table and the tiny support frames are
-    checkpointed so ``bi`` can be unpersisted before returning."""
+    self-join on the basket key (the triangle/co-purchase shape);
+    item supports are one |items|-bounded aggregate joined back on the
+    item key (AQE broadcasts when the catalog is small); N is a 1-row
+    broadcast. Exact integer counts; ratios rounded at 6dp. The pruned
+    pair table and the tiny support frames are checkpointed so ``bi``
+    can be unpersisted before returning.
+
+    **Hub-basket guard** (the skew bound the self-join needs — one
+    pathological 10^5-item basket would otherwise materialize ~10^10
+    pair rows on a single key, and ``min_pair_count`` prunes only
+    AFTER enumeration): a basket holding more than ``max_basket_items``
+    distinct items is deterministically capped to its
+    ``max_basket_items`` lowest-(poly_hash, item) members BEFORE any
+    counting — the hash-ordered take-N is an unbiased-in-expectation
+    sample that both engines replay bit-identically (the shared
+    polynomial hash, ``functions/hashing.py``), mirroring
+    ``dedup.span_pairs``'s ``max_span_docs`` star-reduction line. The
+    cap bounds pairs-per-basket at C(cap, 2) and applies to the WHOLE
+    analysis (basket count, supports, pairs) so the reported ratios
+    stay internally consistent. ``None`` disables."""
     from pyspark.storagelevel import StorageLevel
+
+    from flink_rag_spark.functions.hashing import poly_hash_expr
 
     bi = (df.select(F.col(basket_col).alias("b"),
                     F.col(item_col).alias("i"))
-          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+          .distinct())
+    if max_basket_items is not None:
+        from pyspark.sql import Window
+        h = F.expr(poly_hash_expr("cast(i as string)"))
+        w = Window.partitionBy("b").orderBy(h.asc(), F.col("i").asc())
+        bi = (bi.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= max_basket_items).drop("_rk"))
+    bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_baskets = (bi.select(F.countDistinct("b").alias("_nb"))
                      .localCheckpoint(eager=True))
@@ -173,11 +200,27 @@ def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
 
 def itemset_pair_rules_duck(inner_sql: str, basket_col: str,
                             item_col: str,
-                            min_pair_count: int = 2) -> str:
-    """DuckDB mirror of :func:`itemset_pair_rules`."""
+                            min_pair_count: int = 2,
+                            max_basket_items: int | None = MAX_BASKET_ITEMS,
+                            ) -> str:
+    """DuckDB mirror of :func:`itemset_pair_rules` — same hash-ordered
+    hub-basket cap (shared polynomial hash), same exact counts."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+
+    if max_basket_items is None:
+        bi_cte = (f"bi AS (SELECT DISTINCT {basket_col} AS b, "
+                  f"{item_col} AS i FROM ({inner_sql}))")
+    else:
+        h = poly_hash_duck("CAST(i AS VARCHAR)")
+        bi_cte = f"""bi AS (
+  SELECT b, i FROM (
+    SELECT b, i,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY {h}, i) AS rk
+    FROM (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
+          FROM ({inner_sql})))
+  WHERE rk <= {max_basket_items})"""
     return f"""
-WITH bi AS (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
-            FROM ({inner_sql})),
+WITH {bi_cte},
 nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
 item_n AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
 pairs AS (

@@ -195,12 +195,17 @@ LEFT JOIN (
             if ts_col is None:
                 raise ValueError(f"rule 'latest' for {col!r} needs ts_col")
             tb = f", {tiebreak} DESC" if tiebreak else ""
+            # the value column is the FINAL tie-breaker: the Spark side
+            # is a struct-max over (ts, tiebreak, value), which resolves
+            # rows tied on (ts, tiebreak) by the LARGER value — without
+            # `{col} DESC` here the row_number pick among such ties
+            # would be arbitrary and the mirror flaky
             joins.append(f"""
 LEFT JOIN (
   SELECT {entity_col}, {col} FROM (
     SELECT {entity_col}, {col},
            ROW_NUMBER() OVER (PARTITION BY {entity_col}
-                              ORDER BY {ts_col} DESC{tb}) AS r
+                              ORDER BY {ts_col} DESC{tb}, {col} DESC) AS r
     FROM src WHERE {col} IS NOT NULL)
   WHERE r = 1) AS lt_{col} USING ({entity_col})""")
         else:

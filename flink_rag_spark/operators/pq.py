@@ -324,11 +324,18 @@ def append_to_ivfpq_index(spark, new_vectors: DataFrame, path: str,
     if not touched:
         return 0
     cells_path = os.path.join(path, "cells")
-    existing = (spark.read.parquet(cells_path)
-                .filter(F.col("cell").isin(touched))
-                .select(id_col))
-    fresh = (assigned.join(existing, on=id_col, how="left_anti")
-             .persist())  # counted AND encoded
+    if os.path.exists(cells_path):
+        # replay guard: partition-pruned read of the touched cells only
+        existing = (spark.read.parquet(cells_path)
+                    .filter(F.col("cell").isin(touched))
+                    .select(id_col))
+        fresh = assigned.join(existing, on=id_col, how="left_anti")
+    else:
+        # geometry JSON without code partitions (e.g. a partially
+        # restored index): treat as empty — the same guard
+        # index._forget_cells applies — instead of failing the read
+        fresh = assigned
+    fresh = fresh.persist()  # counted AND encoded
     try:
         n = fresh.count()
         if not n:
@@ -499,7 +506,12 @@ def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
     C = np.asarray(cents, dtype=np.float64)           # (cells, d)
     P = np.asarray(codebook, dtype=np.float64)        # (m, kc, dsub)
     nq, d = Q.shape
-    # probes: n_probe nearest cells per query (stable argsort)
+    # probes: n_probe nearest cells per query (stable argsort); an
+    # index with fewer cells than n_probe yields fewer probe columns,
+    # so clamp — the repeat counts below assume exactly n_probe and
+    # would otherwise raise on the length mismatch (the single-query
+    # ivfpq_topk degrades gracefully on the same input)
+    n_probe = min(n_probe, len(C))
     d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
     import pandas as pd_

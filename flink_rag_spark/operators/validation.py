@@ -91,26 +91,36 @@ def fk_integrity_audit(relations) -> "DataFrame":
     row per relationship — (relation, n_rows, n_null_keys, n_orphans,
     orphan_rate).
 
-    Plan: each relationship is one anti join on its key (AQE broadcasts
-    dimension-sized sides) + a count — |relations| bounded jobs whose
-    results union into a |relations|-row frame."""
+    Plan: per relationship, ONE left join of the fact keys onto the
+    DISTINCT dimension keys (AQE broadcasts the dimension side) feeding
+    ONE fused aggregate — total rows, NULL keys and orphans are three
+    conditional counts over the same pass, so each relation costs one
+    fact scan instead of three, and the per-relation 1-row frames union
+    LAZILY: Spark schedules all |relations| branches inside a single
+    job rather than |relations|×3 driver-serialized actions (the
+    round-9 plan this replaces ran facts.count(), a null-filter count
+    and an anti-join count per relation)."""
     import pyspark.sql.functions as F
 
     out = None
     for name, facts, fact_key, dims, dim_key in relations:
-        n_rows = facts.count()
-        n_null = facts.filter(F.col(fact_key).isNull()).count()
-        orphans = (facts.filter(F.col(fact_key).isNotNull())
-                   .join(dims.select(F.col(dim_key).alias("_dk"))
-                         .distinct(),
-                         F.col(fact_key) == F.col("_dk"), "left_anti")
-                   .count())
-        spark = facts.sparkSession
-        row = spark.createDataFrame(
-            [(name, n_rows, n_null, orphans,
-              round(orphans / n_rows, 6) if n_rows else 0.0)],
-            "relation string, n_rows bigint, n_null_keys bigint, "
-            "n_orphans bigint, orphan_rate double")
+        dk = dims.select(F.col(dim_key).alias("_dk")).distinct()
+        joined = (facts.select(F.col(fact_key).alias("_fk"))
+                  .join(dk, F.col("_fk") == F.col("_dk"), "left"))
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("_fk").isNull(), 1))
+             .alias("n_null_keys"),
+            F.count(F.when(F.col("_fk").isNotNull()
+                           & F.col("_dk").isNull(), 1))
+             .alias("n_orphans"))
+        row = agg.select(
+            F.lit(name).alias("relation"),
+            "n_rows", "n_null_keys", "n_orphans",
+            F.when(F.col("n_rows") > 0,
+                   F.round(F.col("n_orphans")
+                           / F.col("n_rows").cast("double"), 6))
+             .otherwise(F.lit(0.0)).alias("orphan_rate"))
         out = row if out is None else out.unionByName(row)
     return out
 
