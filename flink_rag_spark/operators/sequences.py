@@ -287,6 +287,164 @@ SELECT {key_col}, {t_cols} FROM {src} GROUP BY {key_col}
 """
 
 
+def negated_funnel_times(events: DataFrame, steps: list[str | Column],
+                         negations: dict[int, str | Column],
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type",
+                         seq_col: str = "event_id",
+                         within_seconds: int | None = None) -> DataFrame:
+    """``funnel_times`` with ABSENCE constraints — FlinkCEP's
+    ``notFollowedBy`` / MATCH_RECOGNIZE patterns with a negated step:
+    "step i then step i+1 with NO forbidden event between them".
+    ``negations`` maps a gap index i (1-based, 1 ≤ i < len(steps)) to
+    the event type (or Column predicate) that must NOT occur strictly
+    between t_i and t_{i+1}.
+
+    Semantics (the family's documented greedy first-entry discipline,
+    the same clock `within_seconds` uses): anchors are the earliest
+    completions; a gap is violated when the earliest forbidden event
+    strictly after t_i lands strictly before t_{i+1}. Violation is
+    MONOTONE — every later step-(i+1) candidate is also after that
+    forbidden event — so validating the earliest completion against the
+    earliest forbidden event decides the pattern exactly; no retry from
+    a later anchor can succeed under a fixed anchor chain. Output:
+    (key, t1..tk) where t_j is NULL unless steps 1..j completed AND
+    every negated gap before j is clean — plus one ``cN_i`` column per
+    negated gap (the earliest forbidden instant after t_i; NULL =
+    never) so callers can audit WHY a pattern was rejected.
+
+    Scale shape — unchanged from the flat funnel: each negated gap adds
+    ONE anti-window layer (the running min of forbidden-after-r_i) over
+    the SAME (key, ts, seq) exchange and sort; the prefilter widens to
+    the forbidden types but the plan still has exactly one shuffle. The
+    running value _c_i converges to "earliest forbidden event after the
+    true t_i" for every row at ts ≥ that instant, because all evidence
+    for t_i occurs at timestamps ≤ t_i (the funnel's running-min
+    convergence argument, which the Kleene expansion also leans on)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    for i in negations:
+        if not (1 <= i < k):
+            raise ValueError(
+                f"negation gap {i} out of range (1..{k - 1})")
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
+    neg_conds = {i: (F.col(type_col) == s if isinstance(s, str) else s)
+                 for i, s in negations.items()}
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if all(isinstance(s, str) for s in steps) and \
+            all(isinstance(s, str) for s in negations.values()):
+        types = list(steps) + [s for s in negations.values()]
+        df = (events.filter(F.col(type_col).isin(types))
+              .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_row = conds[0]
+        for c in list(conds[1:]) + list(neg_conds.values()):
+            any_row = any_row | c
+        df = events.filter(any_row)
+    for i, (step, cond) in enumerate(zip(steps, conds), start=1):
+        if i > 1:
+            cond = cond & (F.col(ts_col) > F.col(f"_r{i - 1}"))
+        if within_seconds is not None and i > 1:
+            cond = cond & (F.col(ts_col) <= F.col("_r1")
+                           + F.expr(f"INTERVAL {within_seconds} SECOND"))
+        df = df.withColumn(
+            f"_r{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        if i in neg_conds:
+            df = df.withColumn(
+                f"_c{i}",
+                F.min(F.when(neg_conds[i]
+                             & (F.col(ts_col) > F.col(f"_r{i}")),
+                             F.col(ts_col))).over(w))
+    agg = df.groupBy(key_col).agg(
+        *([F.min(f"_r{i}").alias(f"_t{i}") for i in range(1, k + 1)]
+          + [F.min(f"_c{i}").alias(f"_cn{i}") for i in sorted(neg_conds)]))
+    # cascade: t_j survives only while every negated gap before it is
+    # clean (violated = forbidden instant strictly inside (t_i, t_{i+1}))
+    out_cols = [F.col("_t1").alias("t1")]
+    ok = F.lit(True)
+    for j in range(2, k + 1):
+        if (j - 1) in neg_conds:
+            ok = ok & ~(F.col(f"_cn{j - 1}").isNotNull()
+                        & (F.col(f"_cn{j - 1}") < F.col(f"_t{j}")))
+        out_cols.append(
+            F.when(ok, F.col(f"_t{j}")).alias(f"t{j}"))
+    out_cols += [F.col(f"_cn{i}").alias(f"c{i}") for i in sorted(neg_conds)]
+    return agg.select(key_col, *out_cols)
+
+
+def negated_funnel_times_duck(steps: list[str], negations: dict[int, str],
+                              within_seconds: int | None = None,
+                              key_col: str = "user_id", ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              seq_col: str = "event_id",
+                              table: str = "events") -> str:
+    """DuckDB mirror of :func:`negated_funnel_times` — the same stacked
+    running-min layers plus one anti layer per negated gap, the same
+    monotone post-validation cascade. String steps only (the family's
+    Column caveat)."""
+    bad = [s for s in list(steps) + list(negations.values())
+           if not isinstance(s, str)]
+    if bad:
+        raise TypeError(
+            "negated_funnel_times_duck only mirrors string steps; "
+            f"got: {bad!r}")
+    k = len(steps)
+    types = list(steps) + list(negations.values())
+    in_list = ", ".join(f"'{s}'" for s in dict.fromkeys(types))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    layers = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    li = 0
+    for i, step in enumerate(steps, start=1):
+        cond = f"{type_col} = '{step}'"
+        if i > 1:
+            cond += f" AND {ts_col} > _r{i - 1}"
+            if within_seconds is not None:
+                cond += (f" AND {ts_col} <= _r1 + "
+                         f"INTERVAL {within_seconds} SECOND")
+        li += 1
+        layers.append(
+            f"l{li} AS (SELECT {prev_cols}, "
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} AS _r{i} "
+            f"FROM {src})")
+        prev_cols += f", _r{i}"
+        src = f"l{li}"
+        if i in negations:
+            ncond = (f"{type_col} = '{negations[i]}' "
+                     f"AND {ts_col} > _r{i}")
+            li += 1
+            layers.append(
+                f"l{li} AS (SELECT {prev_cols}, "
+                f"MIN(CASE WHEN {ncond} THEN {ts_col} END) {over} AS _c{i} "
+                f"FROM {src})")
+            prev_cols += f", _c{i}"
+            src = f"l{li}"
+    t_aggs = ", ".join(
+        [f"MIN(_r{i}) AS _t{i}" for i in range(1, k + 1)]
+        + [f"MIN(_c{i}) AS _cn{i}" for i in sorted(negations)])
+    sel = ["_t1 AS t1"]
+    ok_terms: list[str] = []
+    for j in range(2, k + 1):
+        if (j - 1) in negations:
+            ok_terms.append(
+                f"NOT (_cn{j - 1} IS NOT NULL AND _cn{j - 1} < _t{j})")
+        cond = " AND ".join(ok_terms) if ok_terms else "TRUE"
+        sel.append(f"CASE WHEN {cond} THEN _t{j} END AS t{j}")
+    sel += [f"_cn{i} AS c{i}" for i in sorted(negations)]
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(layers)},
+ft AS (SELECT {key_col}, {t_aggs} FROM {src} GROUP BY {key_col})
+SELECT {key_col}, {", ".join(sel)} FROM ft
+"""
+
+
 def event_transitions(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       seq_col: str = "event_id") -> DataFrame:

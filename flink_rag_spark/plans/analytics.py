@@ -244,6 +244,24 @@ def fk_audit_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fk_integrity_audit(rels)
 
 
+#: the negated funnel the graded query runs: view → click → purchase
+#: with NO error event strictly between the click and the purchase
+NEG_FUNNEL_STEPS = ["view", "click", "purchase"]
+NEG_FUNNEL_GAPS = {2: "error"}
+
+
+def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern (operators/sequences.py negated_funnel_times
+    — FlinkCEP ``notFollowedBy``): per-user earliest view → click →
+    purchase completion, voided when an error lands strictly between
+    the click and the purchase; the earliest offending error instant is
+    reported per user. One exchange — the anti layer rides the funnel's
+    window sort."""
+    from flink_rag_spark.operators.sequences import negated_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
+
+
 #: attribution model: purchases credit the most recent prior touch
 ATTR_TOUCHES = ["view", "click", "signup"]
 ATTR_CONVERSION = "purchase"

@@ -1123,7 +1123,14 @@ _GRADED: list[QueryDef] = [
     # stays graded via retention_weekly_cohorts + funnel_view_click_
     # purchase (the same per-user time-ordered machinery); pytest
     # oracle kept, streaming twin still tested in test_streaming.py
-    QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3, ("join", "topk")),
+    # q3_top_revenue_orders rotated to the non-graded tail (round 10,
+    # for the round-9 analytics families): graded green in every round
+    # since round 1; the filtered-scan + shuffle-join + TakeOrdered
+    # shape stays graded via customer_status_as_of (filtered dimension
+    # read), purchase_attribution / user_sessions (key-partitioned
+    # sequence joins) and fk_audit_all (five fact⋈dim joins in one
+    # frame); the TakeOrderedAndProject plan assertion lives in pytest
+    # regardless; DuckDB oracle kept in the sweep
     # q5_region_revenue rotated to the non-graded tail (round 8e, for
     # the round-8e analytics families): the multi-way dimension-join +
     # agg shape stays graded via q3 (join+topk), q4 (semi),
@@ -1360,7 +1367,58 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: asof, interval, session_windows, json_map_events,
 #: udtf_token_positions, text_features — every one keeps its DuckDB
 #: oracle in pytest's sweep.
+#: Round 10 promotes the twelve swept round-9 families so each earns a
+#: driver CORRECTNESS row (r9 verdict item 1), plus the brand-new CEP
+#: negation family (r9 verdict item 5): LPA communities, CUSUM
+#: change-points, SCD2 time travel, positional phrase search,
+#: golden-record survivorship, equi-width histogram, exact-sum
+#: correlation matrix, hub-bounded basket pair rules, last-touch
+#: attribution, explicit sessionization, the fused FK-integrity audit,
+#: IVM fact upsert, and negated_funnel_users (notFollowedBy). Thirteen
+#: redundantly-covered slots rotate to the tail, every one keeping its
+#: DuckDB oracle in pytest's sweep: q3_top_revenue_orders (note at its
+#: former _GRADED site) and twelve twice-graded-GREEN rows —
+#: funnel_view_click_purchase + retention_weekly_cohorts (the sequence
+#: family stays graded FOUR ways: kleene_funnel_users desugars onto the
+#: same flat-funnel layers, negated_funnel_users adds the anti layer,
+#: event_transition_matrix the lag shape, purchase_attribution +
+#: user_sessions the same single-exchange machinery),
+#: dataset_manifest_docs + snapshot_diff_docs (integrity stays graded
+#: via incremental_manifest_docs — the SAME manifest build plus
+#: appends — and the keyed-replace diff machinery inside the graded
+#: ivm_upserted_orders; released_corpus_manifest still graded),
+#: temperature_mixture_docs (the weighted-threshold sampling stage runs
+#: INSIDE the graded curated_packed_training_set),
+#: normalized_documents (scalar text normalization; the text surface
+#: stays graded via keywords_tfidf_docs + phrase_matched_documents +
+#: ngram_novelty_docs), percolated_documents (broadcast standing
+#: predicates — the same reverse-match shape phrase_matched_documents
+#: grades with positions), auc_label_centroid (evaluation stays graded
+#: via retrieval_eval_metrics + rag_answer_grounding),
+#: pmi_collocations_docs (pair-count + log-ratio machinery graded via
+#: basket_pair_rules' support/lift and association_segment_region's
+#: column-level PMI grid), psi_value_drift (distribution monitoring
+#: stays graded via ks_order_price_regions + the promoted
+#: cusum_user_value_shifts; the streaming drift monitor stays pinned
+#: ≡ batch in pytest), hard_negatives_vec7 (kNN-band mining — the
+#: similarity machinery is graded via ann_methods_vec7's four-tier
+#: contract + diversified_retrieval), and vocab_coverage_docs (vocab
+#: induction + OOV audit — the capped-vocab machinery is graded via
+#: keywords_tfidf_docs; BPE/encoding keep their pytest contracts).
 _PROMOTED = [
+    "negated_funnel_users",
+    "part_communities",
+    "cusum_user_value_shifts",
+    "customer_status_as_of",
+    "phrase_matched_documents",
+    "golden_part_entities",
+    "order_value_histogram",
+    "lineitem_corr_matrix",
+    "basket_pair_rules",
+    "purchase_attribution",
+    "user_sessions",
+    "fk_audit_all",
+    "ivm_upserted_orders",
     "kleene_funnel_users",
     "event_transition_matrix",
     "rm3_expanded_bm25_docs",
@@ -1378,29 +1436,17 @@ _PROMOTED = [
     "decayed_at_latest_user_value",
     "keywords_tfidf_docs",
     "k_anonymity_customers",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
     "dsir_selected_docs",
-    "auc_label_centroid",
-    "percolated_documents",
     "resolved_part_entities",
     "pagerank_copurchase",
-    "normalized_documents",
     "curriculum_ordered_docs",
     "decontamination_report_docs",
     "released_corpus_manifest",
-    "pmi_collocations_docs",
-    "vocab_coverage_docs",
-    "psi_value_drift",
-    "hard_negatives_vec7",
     "fuzzy_decontaminated_docs",
     "retrieval_eval_metrics",
-    "snapshot_diff_docs",
-    "dataset_manifest_docs",
     "skew_profile_orders",
     "winsorized_order_prices",
     "ngram_novelty_docs",
-    "temperature_mixture_docs",
     "rollup_hll_users_hourly",
     "curated_packed_training_set",
     "rag_reranked_answer",
@@ -1419,6 +1465,10 @@ GRADED_QUERIES: list[QueryDef] = (
 QUERIES: list[QueryDef] = GRADED_QUERIES + [
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),
+    # demoted from the graded window in the round-10 rotation (notes at
+    # its former _GRADED site); stays oracle-swept here
+    QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3,
+             ("join", "topk")),
     # demoted from the graded window in the round-6 rotation (shape still
     # graded via q3_top_revenue_orders); stays oracle-swept here
     QueryDef("q10_returned_items", R2.q10_returned_items,

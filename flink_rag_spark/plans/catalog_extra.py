@@ -81,6 +81,7 @@ def extra_queries() -> list[tuple]:
         event_transitions_duck,
         funnel_summary_duck,
         last_touch_attribution_duck,
+        negated_funnel_times_duck,
         quantified_funnel_times_duck,
         session_stats_duck,
     )
@@ -1645,6 +1646,15 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("fk_audit_all", A.fk_audit_all,
          fk_integrity_audit_duck(A.FK_RELATIONS),
          ("validation", "join", "audit")),
+        # round-10: CEP negation (FlinkCEP notFollowedBy) — absence
+        # steps as anti-window layers over the funnel's single
+        # exchange; violation is monotone, so validating the earliest
+        # completion against the earliest forbidden instant decides the
+        # pattern exactly (operators/sequences.py negated_funnel_times)
+        ("negated_funnel_users", A.negated_funnel_users,
+         negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
+                                   A.NEG_FUNNEL_GAPS),
+         ("streaming", "cep", "window", "negation")),
         # round-9: last-touch revenue attribution — one funnel-family
         # exchange carrying last(touch, ignorenulls), DECIMAL sums
         ("purchase_attribution", A.purchase_attribution,

@@ -111,6 +111,108 @@ def test_append_to_ivfpq_index_missing_cells_dir(spark, tmp_path):
     assert ids == list(range(20, 30))
 
 
+# --------------------------------------- CEP negation (notFollowedBy)
+
+def test_negated_funnel_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import negated_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean A->B->C, error only BEFORE the funnel: matches
+        (0, t(0), 1, "error"), (1, t(1), 1, "view"), (2, t(2), 1, "click"),
+        (3, t(3), 1, "purchase"),
+        # u2: error strictly between click and purchase: voided at t3
+        (4, t(1), 2, "view"), (5, t(2), 2, "click"), (6, t(3), 2, "error"),
+        (7, t(4), 2, "purchase"),
+        # u3: error AFTER the purchase: matches
+        (8, t(1), 3, "view"), (9, t(2), 3, "click"),
+        (10, t(3), 3, "purchase"), (11, t(4), 3, "error"),
+        # u4: error at the SAME instant as the purchase: strict
+        # "between" — not voided (the family's no-simultaneity tie rule)
+        (12, t(1), 4, "view"), (13, t(2), 4, "click"),
+        (14, t(3), 4, "error"), (15, t(3), 4, "purchase"),
+        # u5: funnel never completes (no purchase)
+        (16, t(1), 5, "view"), (17, t(2), 5, "click"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    out = {r["user_id"]: r for r in negated_funnel_times(
+        e, ["view", "click", "purchase"], {2: "error"}).collect()}
+    assert out[1]["t3"] == t(3) and out[1]["c2"] is None
+    assert out[2]["t3"] is None          # voided by the error at t(3)
+    assert out[2]["t2"] == t(2)          # earlier steps stand
+    assert out[2]["c2"] == t(3)          # the offending instant reported
+    assert out[3]["t3"] == t(3) and out[3]["c2"] == t(4)
+    assert out[4]["t3"] == t(3)          # same-instant error: not between
+    assert out[5]["t3"] is None and out[5]["c2"] is None
+
+
+def test_negated_funnel_cascade_and_gap1(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import negated_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # gap-1 violation voids t2 AND t3 (cascade), c1 reported
+        (0, t(0), 1, "view"), (1, t(1), 1, "error"), (2, t(2), 1, "click"),
+        (3, t(3), 1, "purchase"),
+        # clean user: both gaps clean
+        (4, t(0), 2, "view"), (5, t(1), 2, "click"),
+        (6, t(2), 2, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    out = {r["user_id"]: r for r in negated_funnel_times(
+        e, ["view", "click", "purchase"],
+        {1: "error", 2: "error"}).collect()}
+    assert out[1]["t1"] == t(0)
+    assert out[1]["t2"] is None and out[1]["t3"] is None
+    assert out[1]["c1"] == t(1)
+    assert out[2]["t3"] == t(2)
+    assert out[2]["c1"] is None and out[2]["c2"] is None
+
+
+def test_negated_funnel_duck_mirror_parity(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import (
+        negated_funnel_times, negated_funnel_times_duck)
+    import random
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [(i, datetime(2024, 1, 1, rng.randrange(24),
+                         rng.randrange(60)),
+             rng.randrange(12), rng.choice(types))
+            for i in range(300)]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    sp = negated_funnel_times(
+        e, ["view", "click", "purchase"], {1: "signup", 2: "error"}
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    du = con.execute(negated_funnel_times_duck(
+        ["view", "click", "purchase"],
+        {1: "signup", 2: "error"})).fetchdf()
+    assert canon(sp) == canon(du)
+
+
+def test_negated_funnel_validates_inputs(spark):
+    from flink_rag_spark.operators.sequences import (
+        negated_funnel_times, negated_funnel_times_duck)
+    e = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string")
+    with pytest.raises(ValueError, match="out of range"):
+        negated_funnel_times(e, ["a", "b"], {2: "c"})
+    with pytest.raises(TypeError, match="string steps"):
+        negated_funnel_times_duck(["a", "b"], {1: 42})  # type: ignore
+
+
 # ------------------------------------------- fused FK audit (r9 verdict)
 
 def test_fk_integrity_audit_empty_facts(spark):
