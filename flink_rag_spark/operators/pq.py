@@ -233,8 +233,7 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
     import json
     import os
 
-    from flink_rag_spark.operators.similarity import (ivf_centroids,
-                                                      with_ivf_cells)
+    from flink_rag_spark.operators.similarity import ivf_centroids
     if coarse_centroids is not None:
         cents = [[float(x) for x in c] for c in coarse_centroids]
     else:
@@ -242,9 +241,30 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
             if n_centroids is None else \
             ivf_centroids(embeddings, n_centroids=n_centroids,
                           vec_col=vec_col)
-    cent_df = spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
-        "cell int, _cent array<double>")
+    codebook = _encode_cells(spark, embeddings, cents, codebook,
+                             os.path.join(path, "cells"),
+                             m, kc, iters, vec_col, id_col)
+    os.makedirs(path, exist_ok=True)
+    for fname, obj in ((IVFPQ_CENTROIDS_FILE, cents),
+                       (IVFPQ_CODEBOOK_FILE, codebook)):
+        tmp = os.path.join(path, fname + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, os.path.join(path, fname))
+
+
+def _encode_cells(spark, embeddings: DataFrame, cents: list,
+                  codebook: list | None, cells_path: str, m: int,
+                  kc: int, iters: int, vec_col: str,
+                  id_col: str) -> list:
+    """Assign → residual → (train if needed) → encode → write the cell
+    partitions to ``cells_path``; returns the codebook. The ONE encode
+    body build_ivfpq_index and promote_next_ivfpq_geometry share — so
+    a promotion is bit-identical to a fresh build under the same
+    geometry by construction."""
+    from flink_rag_spark.operators.similarity import with_ivf_cells
+
+    cent_df = _cent_df(spark, cents)
     res = (with_ivf_cells(embeddings, cents, vec_col)
            .join(F.broadcast(cent_df), on="cell")
            .select(id_col, "cell",
@@ -259,22 +279,21 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
                  .join(res.select(id_col, "cell"), on=id_col))
         (codes.repartition(len(cents), F.col("cell"))
          .write.mode("overwrite").partitionBy("cell")
-         .parquet(os.path.join(path, "cells")))
+         .parquet(cells_path))
     finally:
         res.unpersist()
-    os.makedirs(path, exist_ok=True)
-    for fname, obj in ((IVFPQ_CENTROIDS_FILE, cents),
-                       (IVFPQ_CODEBOOK_FILE, codebook)):
-        tmp = os.path.join(path, fname + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, os.path.join(path, fname))
+    return codebook
 
 
 def _load_geometry(path: str) -> tuple[list, list]:
     import json
     import os
 
+    # every reader/maintainer funnels through here, so a crashed
+    # promotion (intent marker present) is finished BEFORE any geometry
+    # read — probes can never observe cells and geometry from
+    # different generations (the index.py _recover_promote discipline)
+    _recover_promote_ivfpq(path)
     with open(os.path.join(path, IVFPQ_CENTROIDS_FILE)) as f:
         cents = json.load(f)
     with open(os.path.join(path, IVFPQ_CODEBOOK_FILE)) as f:
@@ -387,6 +406,155 @@ def compact_ivfpq_index(spark, path: str, files_per_cell: int = 1) -> int:
     from flink_rag_spark.operators.index import compact_ivf_index
 
     return compact_ivf_index(spark, path, files_per_cell)
+
+
+# -------------------------------- staged-geometry maintenance (IVF-PQ)
+
+IVFPQ_PROMOTE_INTENT = "promote.intent.ivfpq.json"
+
+
+def _recover_promote_ivfpq(path: str) -> None:
+    """Finish an interrupted :func:`promote_next_ivfpq_geometry` — the
+    two-file twin of ``index._recover_promote``. The intent marker is
+    written only AFTER the re-encoded cells are fully on disk, so its
+    presence means the staged (coarse centroids, PQ codebook) pair is
+    authoritative and every remaining step is an idempotent rename/
+    replace; without it, a leftover ``cells.rebuilding`` is pre-commit
+    garbage the next promote overwrites. Both geometry files commit
+    from the SAME intent payload, so a crash between the two replaces
+    is redone as a unit — the mixed-generation window index.py's
+    single-file protocol never has, doubled here, still never
+    observable (readers recover before reading)."""
+    import json
+    import os
+    import shutil
+
+    intent = os.path.join(path, IVFPQ_PROMOTE_INTENT)
+    if not os.path.exists(intent):
+        return
+    with open(intent) as f:
+        staged = json.load(f)
+    cells_live = os.path.join(path, "cells")
+    cells_new = os.path.join(path, "cells.rebuilding")
+    old = os.path.join(path, "cells.old")
+    if os.path.exists(cells_new):
+        if os.path.exists(cells_live):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(cells_live, old)
+        os.rename(cells_new, cells_live)
+    for fname, obj in ((IVFPQ_CENTROIDS_FILE, staged["centroids"]),
+                       (IVFPQ_CODEBOOK_FILE, staged["codebook"])):
+        tmp = os.path.join(path, fname + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, os.path.join(path, fname))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+    nxt = os.path.join(path, NEXT_CODEBOOK)
+    if os.path.exists(nxt):
+        os.remove(nxt)
+    os.remove(intent)
+
+
+def maintain_ivfpq_geometry(spark, batch: DataFrame, path: str,
+                            batch_id: int | None = None,
+                            stream_id: str | None = None,
+                            vec_col: str = "embedding") -> float | None:
+    """Warm-start coarse-geometry maintenance for an IVF-PQ index — the
+    discipline plain IVF already has (``index.maintain_codebook``),
+    closing round 9's staged-geometry gap: absorb a micro-batch into a
+    staged NEXT coarse-centroid set beside the live geometry
+    (running-mean mini-batch k-means; the serving centroids, codebook
+    and cells are NEVER touched), returning the ``drift`` signal (max
+    coarse-centroid L2 displacement vs live) a maintenance loop
+    thresholds to trigger :func:`promote_next_ivfpq_geometry`.
+
+    Delegates to ``index.maintain_codebook`` — the IVF-PQ layout shares
+    the ``centroids.json`` coarse file and the ``next_codebook.json``
+    staging slot, so the replay guard ((stream_id, batch_id) in the
+    staged JSON), the k-mismatch reseed and the empty-batch fast path
+    are literally the same code; only the recovery hook differs (the
+    two-file intent protocol above). The PQ codebook does NOT stream-
+    update: it is trained on residuals, whose distribution only shifts
+    when the coarse geometry moves — so it retrains once, inside the
+    promotion, never per batch. No-op (None) before the first
+    ``build_ivfpq_index``."""
+    import os
+
+    _recover_promote_ivfpq(path)
+    if not os.path.exists(os.path.join(path, IVFPQ_CODEBOOK_FILE)):
+        return None  # coarse file alone is a plain-IVF (or absent) index
+    from flink_rag_spark.operators.index import maintain_codebook
+    return maintain_codebook(spark, batch, path, batch_id=batch_id,
+                             stream_id=stream_id, vec_col=vec_col)
+
+
+def ivfpq_geometry_drift(path: str) -> float | None:
+    """The staged coarse geometry's displacement vs the live one (None
+    when nothing is staged) — the promotion-trigger signal, same read
+    as ``index.codebook_drift``."""
+    from flink_rag_spark.operators.index import codebook_drift
+    _recover_promote_ivfpq(path)
+    return codebook_drift(path)
+
+
+def promote_next_ivfpq_geometry(spark, embeddings: DataFrame, path: str,
+                                iters: int = PQ_ITERS,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> tuple[list, list]:
+    """Rebuild the IVF-PQ index under the staged coarse centroids — the
+    drift-triggered warm-start rebuild, mirroring
+    ``index.promote_next_codebook``: coarse training is SKIPPED (the
+    stream already did it incrementally via
+    :func:`maintain_ivfpq_geometry`); the PQ codebook retrains on the
+    residuals against the NEW coarse geometry (the Jégou discipline —
+    residual distributions shift exactly when the coarse cells move,
+    so the codebook refresh belongs here, not per batch); every vector
+    re-encodes in one assignment + encode pass into
+    ``cells.rebuilding``.
+
+    Crash-safe: the re-encoded cells land beside the live ones, then
+    the ``promote.intent.ivfpq.json`` marker (atomic write, carrying
+    BOTH new geometry files) is the commit point — from there every
+    step is an idempotent rename/replace that ``_recover_promote_ivfpq``
+    (invoked by every reader through ``_load_geometry``) redoes after
+    a crash. Serving stays on the OLD (cells, centroids, codebook)
+    triple until the swap instant. Returns the live (centroids,
+    codebook) after the call — the staged pair if promoted, the
+    current pair when nothing was staged or the staged shape no longer
+    matches (discarded, like index.py's guard)."""
+    import json
+    import os
+    import shutil
+
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+
+    _recover_promote_ivfpq(path)
+    nxt_file = os.path.join(path, NEXT_CODEBOOK)
+    live_cents, live_cb = _load_geometry(path)
+    if not os.path.exists(nxt_file):
+        return live_cents, live_cb
+    with open(nxt_file) as f:
+        cents = json.load(f)["centroids"]
+    if len(cents) != len(live_cents) or (
+            cents and live_cents and len(cents[0]) != len(live_cents[0])):
+        os.remove(nxt_file)
+        return live_cents, live_cb
+    m, kc = len(live_cb), len(live_cb[0])
+    cells_new = os.path.join(path, "cells.rebuilding")
+    if os.path.exists(cells_new):
+        shutil.rmtree(cells_new)
+    codebook = _encode_cells(spark, embeddings, cents, None, cells_new,
+                             m, kc, iters, vec_col, id_col)
+    intent = os.path.join(path, IVFPQ_PROMOTE_INTENT)
+    tmp = intent + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cents, "codebook": codebook}, f)
+    os.replace(tmp, intent)            # commit point
+    _recover_promote_ivfpq(path)       # the swap itself, crash-redoable
+    return cents, codebook
 
 
 def ivfpq_topk(spark, path: str, query_vec: list[float],

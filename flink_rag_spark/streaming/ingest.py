@@ -269,6 +269,7 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                ivf_codebook: bool = False,
                ivfpq_index: str | None = None,
                ivfpq_append_every: int = 1,
+               ivfpq_geometry: bool = False,
                text_index: str | None = None,
                text_compact_every: int | None = None):
     """Wire source → [chunk] → embed → [near-dup filter] → idempotent
@@ -320,6 +321,14 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     rebuild — which then skips centroid training entirely. Requires
     ``ivf_index``.
 
+    ``ivfpq_geometry=True`` is the IVF-PQ twin (pq.maintain_ivfpq_
+    geometry): the same store-NEW-rows hook stages the coarse
+    centroids' drift beside the live IVF-PQ geometry; a maintenance
+    loop thresholds ``pq.ivfpq_geometry_drift`` and calls
+    ``pq.promote_next_ivfpq_geometry`` — which skips coarse training
+    and retrains the residual PQ codebook once, inside the
+    crash-recoverable swap. Requires ``ivfpq_index``.
+
     ``text_index=<path>`` keeps the persisted BM25 inverted index fresh
     from the same stream (ranking.maintain_text_index): each batch's
     genuinely-NEW docs (vs the store — the upsert's own anti-join, so the
@@ -340,6 +349,10 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
     if ivf_codebook and ivf_index is None:
         raise ValueError("ivf_codebook=True requires ivf_index=<path> — "
                          "the staged codebook lives inside the index")
+    if ivfpq_geometry and ivfpq_index is None:
+        raise ValueError("ivfpq_geometry=True requires ivfpq_index="
+                         "<path> — the staged geometry lives inside "
+                         "the index")
     if text_index is not None:
         import os
         if not os.path.exists(os.path.join(text_index, "stats.json")):
@@ -413,6 +426,19 @@ def run_ingest(spark: SparkSession, source: DataFrame, store_path: str,
                         new_rows.select("vec_id", "embedding"),
                         ivf_index, batch_id=_bid, stream_id=checkpoint)
                 hooks.append(_codebook_hook)
+            if ivfpq_index is not None and ivfpq_geometry:
+                # IVF-PQ twin of the codebook hook: stage the coarse
+                # geometry's drift from store-NEW rows only; serving
+                # geometry and cells untouched until a promotion
+                def _ivfpq_geometry_hook(new_rows, _bid=_id):
+                    from flink_rag_spark.operators.pq import (
+                        maintain_ivfpq_geometry,
+                    )
+                    maintain_ivfpq_geometry(
+                        new_rows.sparkSession,
+                        new_rows.select("vec_id", "embedding"),
+                        ivfpq_index, batch_id=_bid, stream_id=checkpoint)
+                hooks.append(_ivfpq_geometry_hook)
             on_new = None
             if hooks:
                 def on_new(new_rows, _hooks=tuple(hooks)):

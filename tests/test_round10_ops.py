@@ -111,6 +111,154 @@ def test_append_to_ivfpq_index_missing_cells_dir(spark, tmp_path):
     assert ids == list(range(20, 30))
 
 
+# ----------------------- IVF-PQ staged-geometry promotion (r9 verdict)
+
+def _geometry(path):
+    import json
+
+    from flink_rag_spark.operators.pq import (IVFPQ_CENTROIDS_FILE,
+                                              IVFPQ_CODEBOOK_FILE)
+    return (json.load(open(f"{path}/{IVFPQ_CENTROIDS_FILE}")),
+            json.load(open(f"{path}/{IVFPQ_CODEBOOK_FILE}")))
+
+
+def _codes(spark, path):
+    return sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in
+        spark.read.parquet(f"{path}/cells").collect())
+
+
+def test_ivfpq_geometry_drift_and_promotion_equals_fresh_rebuild(
+        spark, tmp_path):
+    """Drift-triggered promotion under load ≡ a fresh build of the full
+    corpus under the staged coarse geometry (codebook retrained on the
+    new residuals in BOTH paths — shared encode body)."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              ivfpq_geometry_drift,
+                                              maintain_ivfpq_geometry,
+                                              promote_next_ivfpq_geometry)
+    emb = _clustered(spark)
+    base = emb.filter("vec_id < 20")
+    fresh_rows = emb.filter("vec_id >= 20")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, base, idx, n_centroids=4, m=4, kc=4, iters=3)
+    live0 = _geometry(idx)
+    assert ivfpq_geometry_drift(idx) is None       # nothing staged yet
+
+    d1 = maintain_ivfpq_geometry(spark, fresh_rows, idx, batch_id=0,
+                                 stream_id="s")
+    assert d1 is not None and d1 > 0.0
+    assert ivfpq_geometry_drift(idx) == d1
+    # replay of the same batch id: stored drift, no double absorption
+    assert maintain_ivfpq_geometry(spark, fresh_rows, idx, batch_id=0,
+                                   stream_id="s") == d1
+    # serving untouched until the swap: live geometry identical
+    assert _geometry(idx) == live0
+
+    # promote over the full corpus, then fresh-build under the SAME
+    # staged coarse centroids — artifacts must be bit-identical
+    import json
+    import os
+
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+    staged = json.load(open(os.path.join(idx, NEXT_CODEBOOK)))["centroids"]
+    cents, cb = promote_next_ivfpq_geometry(spark, emb, idx, iters=3)
+    assert cents == staged
+    assert not os.path.exists(os.path.join(idx, NEXT_CODEBOOK))
+    fresh = str(tmp_path / "fresh")
+    build_ivfpq_index(spark, emb, fresh, coarse_centroids=staged,
+                      m=4, kc=4, iters=3)
+    assert _geometry(idx) == _geometry(fresh)
+    assert _codes(spark, idx) == _codes(spark, fresh)
+    # idempotent: a second promote with nothing staged is a no-op
+    assert promote_next_ivfpq_geometry(spark, emb, idx, iters=3) \
+        == (cents, cb)
+
+
+def test_ivfpq_promote_crash_recovers_on_next_read(spark, tmp_path):
+    """A crash between the intent commit and the swap must be finished
+    by the NEXT reader (probes funnel through _load_geometry), leaving
+    cells and both geometry files from the same generation."""
+    import json
+    import os
+
+    from flink_rag_spark.operators.pq import (IVFPQ_PROMOTE_INTENT,
+                                              _encode_cells,
+                                              build_ivfpq_index,
+                                              ivfpq_topk)
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb.filter("vec_id < 20"), idx,
+                      n_centroids=4, m=4, kc=4, iters=3)
+    # manufacture the exact crash state: re-encoded cells staged, the
+    # intent marker committed, the swap NOT performed
+    want = str(tmp_path / "want")
+    build_ivfpq_index(spark, emb, want, n_centroids=4, m=4, kc=4, iters=3)
+    cents, cb = _geometry(want)
+    _encode_cells(spark, emb, cents, cb, f"{idx}/cells.rebuilding",
+                  4, 4, 3, "embedding", "vec_id")
+    with open(os.path.join(idx, IVFPQ_PROMOTE_INTENT), "w") as f:
+        json.dump({"centroids": cents, "codebook": cb}, f)
+
+    qv = [r["embedding"] for r in
+          emb.filter("vec_id = 25").collect()][0]
+    got = ivfpq_topk(spark, idx, qv, emb, k=3, n_probe=2).collect()
+    assert got  # the probe itself finished the promotion
+    assert not os.path.exists(os.path.join(idx, IVFPQ_PROMOTE_INTENT))
+    assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
+    assert _geometry(idx) == (cents, cb)
+    assert _codes(spark, idx) == _codes(spark, want)
+
+
+def test_run_ingest_stages_ivfpq_geometry(spark, tmp_path):
+    """run_ingest(ivfpq_index=..., ivfpq_geometry=True) absorbs
+    store-new rows into the staged coarse geometry without touching
+    the serving files."""
+    import os
+
+    import pytest as _pytest
+
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              ivfpq_geometry_drift)
+    from flink_rag_spark.sources.streams import file_string_source
+    from flink_rag_spark.streaming.ingest import run_ingest
+
+    with _pytest.raises(ValueError, match="ivfpq_geometry"):
+        run_ingest(spark, None, "s", "c", ivfpq_geometry=True)
+
+    idx, store = str(tmp_path / "ivfpq"), str(tmp_path / "store")
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    (seed / "s.txt").write_text(
+        "".join(f"seed fact number {i} about topic {i % 4}\n"
+                for i in range(16)))
+    q = run_ingest(spark, file_string_source(spark, str(seed)), store,
+                   str(tmp_path / "c0"), available_now=True)
+    assert q.awaitTermination(120)
+    emb0 = spark.read.parquet(store).select("vec_id", "embedding")
+    dim = len(emb0.first()["embedding"])
+    m = 4 if dim % 4 == 0 else (2 if dim % 2 == 0 else 1)
+    build_ivfpq_index(spark, emb0, idx, n_centroids=4, m=m, kc=4,
+                      iters=3)
+    live0 = _geometry(idx)
+
+    newdir = tmp_path / "new"
+    newdir.mkdir()
+    (newdir / "n.txt").write_text(
+        "fresh streamed fact about entirely new topics\n")
+    q = run_ingest(spark, file_string_source(spark, str(newdir)), store,
+                   str(tmp_path / "c1"), available_now=True,
+                   ivfpq_index=idx, ivfpq_geometry=True)
+    assert q.awaitTermination(180)
+    assert os.path.exists(os.path.join(idx, NEXT_CODEBOOK))
+    d = ivfpq_geometry_drift(idx)
+    assert d is not None and d > 0.0
+    assert _geometry(idx) == live0    # serving untouched until promote
+
+
 # --------------------------------------- CEP negation (notFollowedBy)
 
 def test_negated_funnel_hand_values(spark):
