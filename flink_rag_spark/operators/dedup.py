@@ -375,6 +375,83 @@ def span_pairs(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count(F.lit(1)).alias("n_spans")))
 
 
+CONTAINMENT_DP = 6
+
+
+def span_containment(df: DataFrame, text_col: str, id_col: str,
+                     span_tokens: int = 8, max_span_docs: int = 64,
+                     min_containment: float = 0.5) -> DataFrame:
+    """Doc-in-doc detection: directional span CONTAINMENT, the measure
+    Jaccard-family dedup structurally misses — a short document quoted
+    verbatim inside a much longer one has tiny Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1 on the short side.
+    For every pair sharing ≥1 identical ``span_tokens``-token run:
+
+        containment_a = shared_spans / n_a   (share of a's distinct
+        spans that b also has), and symmetrically containment_b
+
+    keeping pairs where EITHER direction reaches ``min_containment``
+    (the quote/subset signal). Returns (id_a, id_b, shared_spans, n_a,
+    n_b, containment_a, containment_b).
+
+    Plan: the pair frame IS ``span_pairs`` (same hashes, same hot-span
+    star-reduction — shared counts for star-reduced spans are bounded
+    below, documented there); per-doc distinct-span counts are a pure
+    SCAN-side expression (size ∘ array_distinct — no explode, no extra
+    shuffle) joined onto the k-bounded pair frame."""
+    pairs = span_pairs(df, text_col, id_col, span_tokens, max_span_docs)
+    counts = widen_if_narrow(df).select(
+        F.col(id_col),
+        F.expr(f"size(array_distinct("
+               f"{shingle_hashes_expr(text_col, span_tokens)}))")
+        .cast("bigint").alias("_n"))
+    joined = (pairs
+              .join(counts.select(F.col(id_col).alias("id_a"),
+                                  F.col("_n").alias("n_a")), on="id_a")
+              .join(counts.select(F.col(id_col).alias("id_b"),
+                                  F.col("_n").alias("n_b")), on="id_b"))
+    # threshold on the RAW ratios (the oracle does too) — filtering on
+    # the rounded output would diverge on boundary-adjacent pairs
+    return (joined
+            .filter(F.greatest(F.col("n_spans") / F.col("n_a"),
+                               F.col("n_spans") / F.col("n_b"))
+                    >= F.lit(min_containment))
+            .select("id_a", "id_b",
+                    F.col("n_spans").alias("shared_spans"), "n_a", "n_b",
+                    F.round(F.col("n_spans") / F.col("n_a"),
+                            CONTAINMENT_DP).alias("containment_a"),
+                    F.round(F.col("n_spans") / F.col("n_b"),
+                            CONTAINMENT_DP).alias("containment_b")))
+
+
+def span_containment_duck(table: str, text_col: str, id_col: str,
+                          span_tokens: int = 8, max_span_docs: int = 64,
+                          min_containment: float = 0.5) -> str:
+    """DuckDB mirror of :func:`span_containment` — the span_pairs
+    mirror joined with the same scan-side distinct-span counts."""
+    from flink_rag_spark.functions.hashing import shingle_hashes_duck
+    sh = shingle_hashes_duck(text_col, span_tokens)
+    base = span_pairs_duck(table, text_col, id_col, span_tokens,
+                           max_span_docs)
+    return f"""
+WITH shared AS ({base}),
+counts AS (
+  SELECT {id_col}, CAST(len(list_distinct({sh})) AS BIGINT) AS n
+  FROM {table})
+SELECT s.id_a, s.id_b, CAST(s.n_spans AS BIGINT) AS shared_spans,
+       ca.n AS n_a, cb.n AS n_b,
+       ROUND(s.n_spans / CAST(ca.n AS DOUBLE), {CONTAINMENT_DP})
+         AS containment_a,
+       ROUND(s.n_spans / CAST(cb.n AS DOUBLE), {CONTAINMENT_DP})
+         AS containment_b
+FROM shared s
+JOIN counts ca ON ca.{id_col} = s.id_a
+JOIN counts cb ON cb.{id_col} = s.id_b
+WHERE GREATEST(s.n_spans / CAST(ca.n AS DOUBLE),
+               s.n_spans / CAST(cb.n AS DOUBLE)) >= {min_containment}
+"""
+
+
 def span_pairs_duck(table: str, text_col: str, id_col: str,
                     span_tokens: int = 8,
                     max_span_docs: int = 64) -> str:

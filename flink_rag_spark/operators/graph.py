@@ -435,6 +435,84 @@ def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS) -> str:
             + f"\nSELECT node, label FROM l{iters}")
 
 
+KCORE_ITERS = 6
+
+
+def kcore_nodes(pairs: DataFrame, k: int, id_a: str = "u",
+                id_b: str = "v", iters: int = KCORE_ITERS) -> DataFrame:
+    """k-core decomposition (Seidman 1983, "Network structure and
+    minimum degree") by SYNCHRONOUS peeling: each round simultaneously
+    removes every node whose degree in the CURRENT subgraph is below
+    ``k``, plus its edges; survivors after ``iters`` rounds are
+    reported with their in-core degree — (node, core_degree). The
+    k-core is the engagement/robustness view the community family
+    lacks: LPA says WHICH region a node belongs to, the core says how
+    deeply embedded it is (spam/bot rings and cohesive buyer groups
+    are high-core; stragglers peel off).
+
+    Deterministic by construction — the peel set is a pure predicate
+    of the current degrees (no tie-breaks at all), so the oracle
+    replays every round as chained MATERIALIZED CTEs (the LPA
+    discipline). A fixed ``iters`` is part of the contract: peeling is
+    monotone (nodes only ever leave), so iters rounds give the exact
+    k-core whenever the peel cascade is shorter than iters, and a
+    well-defined intermediate subgraph otherwise — the same stance as
+    ``community_labels``' fixed rounds.
+
+    Scale shape: one |E|-bounded symmetric frame; each round is ONE
+    degree aggregate + two semi joins (both endpoints must survive) on
+    the node key; the edge frame localCheckpoints per round (constant
+    plan depth, the PageRank/LPA discipline). No driver-side graph
+    state; the per-round work shrinks with the surviving subgraph."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(pairs.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v")))
+           .distinct().localCheckpoint())
+    try:
+        e = sym
+        for _ in range(iters):
+            keep = (e.groupBy(F.col("u").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                    .filter(F.col("deg") >= k).select("node"))
+            nxt = (e.join(keep.withColumnRenamed("node", "u"), on="u",
+                          how="left_semi")
+                   .join(keep.withColumnRenamed("node", "v"), on="v",
+                         how="left_semi")
+                   .select("u", "v").localCheckpoint())
+            e.unpersist()
+            e = nxt
+        return (e.groupBy(F.col("u").alias("node"))
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("core_degree")))
+    except Exception:
+        sym.unpersist()
+        raise
+
+
+def kcore_nodes_duck(edges_sql: str, k: int,
+                     iters: int = KCORE_ITERS) -> str:
+    """DuckDB mirror of :func:`kcore_nodes` — the same synchronous peel
+    rounds unrolled as chained MATERIALIZED CTEs; ``edges_sql`` yields
+    (u, v) one row per undirected edge."""
+    cte = [f"e0raw AS MATERIALIZED ({edges_sql})",
+           "e0 AS MATERIALIZED (SELECT u, v FROM e0raw UNION "
+           "SELECT v, u FROM e0raw)"]
+    for i in range(1, iters + 1):
+        p = f"e{i - 1}"
+        cte.append(
+            f"k{i} AS (SELECT u AS node FROM {p} "
+            f"GROUP BY u HAVING COUNT(*) >= {k})")
+        cte.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {p} e "
+            f"JOIN k{i} a ON e.u = a.node "
+            f"JOIN k{i} b ON e.v = b.node)")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT u AS node, CAST(COUNT(*) AS BIGINT) "
+              f"AS core_degree FROM e{iters} GROUP BY u")
+
+
 def triangle_counts(pairs: DataFrame, x: str = "u",
                     y: str = "v") -> DataFrame:
     """Per-node triangle counts + local clustering coefficient — the

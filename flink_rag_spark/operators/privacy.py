@@ -58,6 +58,45 @@ def suppress_below_k(df: DataFrame, qi_cols: list[str],
     return df.join(risky, cond, "left_anti")
 
 
+def l_diversity_audit(df: DataFrame, qi_cols: list[str],
+                      sensitive_col: str, l: int) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a QI group can be large (k-anonymous) yet
+    still leak if every member shares the SAME sensitive value, so each
+    combination must contain at least ``l`` DISTINCT sensitive values.
+    Returns (qi..., group_size, n_sensitive, at_risk) with ``at_risk``
+    marking combinations whose sensitive diversity is below ``l``.
+
+    NULL QI values are audited as their own combination (the k-anon
+    stance); NULL SENSITIVE values add no diversity (count(DISTINCT)
+    skips NULLs identically in both engines — an unknown diagnosis
+    doesn't protect the known ones). The table's l-diversity level is
+    ``min(n_sensitive)`` over this result.
+
+    Plan at 100 TB: ONE partial+final aggregate over the QI columns —
+    count + exact countDistinct share the grouping; the distinct
+    expansion is bounded by rows, and at extreme sensitive cardinality
+    the documented swap is approx_count_distinct (the evaluation then
+    becomes an accuracy contract, like the HLL rollup)."""
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.countDistinct(F.col(sensitive_col))
+                 .cast("bigint").alias("n_sensitive"))
+            .withColumn("at_risk", F.col("n_sensitive") < l))
+
+
+def l_diversity_audit_duck(inner_sql: str, qi_cols: list[str],
+                           sensitive_col: str, l: int) -> str:
+    """DuckDB mirror of :func:`l_diversity_audit`."""
+    qs = ", ".join(qi_cols)
+    return f"""
+SELECT {qs}, COUNT(*) AS group_size,
+       CAST(COUNT(DISTINCT {sensitive_col}) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT {sensitive_col}) < {l} AS at_risk
+FROM ({inner_sql}) GROUP BY {qs}
+"""
+
+
 def k_anonymity_audit_duck(inner_sql: str, qi_cols: list[str],
                            k: int) -> str:
     """DuckDB mirror of :func:`k_anonymity_audit`."""

@@ -153,6 +153,130 @@ def hybrid_topk(docs: DataFrame, embeddings: DataFrame,
     return rrf_fuse([lex, vec], id_col=doc_id, k0=k0, k=k)
 
 
+# ------------------------------------------- Dirichlet query-likelihood
+
+#: Dirichlet smoothing pseudo-count (Zhai & Lafferty 2004's reference
+#: default) — at corpus avgdl ≪ μ the background dominates, which is the
+#: documented behavior, not a bug
+LM_MU = 2000.0
+
+
+def lm_dirichlet_scores(docs: DataFrame, query_terms: list[str],
+                        text_col: str = "text", id_col: str = "doc_id",
+                        mu: float = LM_MU) -> DataFrame:
+    """(id, score) — Dirichlet-smoothed query-likelihood language-model
+    retrieval (Zhai & Lafferty 2004, "A study of smoothing methods for
+    language models applied to information retrieval"), the OTHER
+    classical lexical model beside BM25 (Lucene's LMDirichletSimilarity):
+
+        score(q, d) = Σ_{w ∈ q} ln( (tf(w,d) + μ·P(w|C)) / (|d| + μ) )
+
+    with P(w|C) = cf(w)/|C| (collection term frequency over total corpus
+    tokens). The sum runs over ALL query terms — absent terms contribute
+    the background ln(μ·P(w|C)/(|d|+μ)), which is what makes document
+    LENGTH matter; ranking only present-term contributions is a known
+    wrong shortcut. Candidates are documents matching ≥1 query term (a
+    no-term document scores pure background for every term — a constant
+    given its length, never competitive — the standard candidate prune
+    BM25 uses too). Terms with cf = 0 (absent from the corpus) are
+    skipped, mirroring Lucene (ln 0 is undefined and the term carries no
+    signal).
+
+    Plan shape (the bm25_scores discipline): tokens explode ONCE,
+    filtered to the query's terms before the (id, term) aggregate;
+    |C| and per-term cf ride as broadcast ≤|Q|-row frames; candidates
+    cross-join the |Q|-row term table (broadcast) and LEFT-join their
+    postings so absent terms hit the background branch. One shuffle on
+    the id; everything else is codegen."""
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    tokens = docs.select(F.col(id_col),
+                         F.explode(F.expr(toks)).alias("term"))
+    matched = tokens.filter(F.col("term").isin(terms))
+    postings = (matched.groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tf")))
+    dl = docs.select(F.col(id_col),
+                     F.expr(f"size({toks})").cast("double").alias("dl"))
+    total = docs.agg(F.sum(F.expr(f"size({toks})"))
+                     .cast("double").alias("c_len"))
+    cf = (matched.groupBy("term")
+          .agg(F.count(F.lit(1)).cast("double").alias("cf")))
+    cand = postings.select(id_col).distinct()
+    grid = (cand.join(F.broadcast(cf), how="cross")  # |cand|·|terms ∩ C|
+            .join(postings, on=[id_col, "term"], how="left")
+            .join(dl, on=id_col)
+            .crossJoin(F.broadcast(total)))
+    p_bg = F.col("cf") / F.col("c_len")
+    term_score = F.log((F.coalesce(F.col("tf"), F.lit(0))
+                        + F.lit(mu) * p_bg)
+                       / (F.col("dl") + F.lit(mu)))
+    return (grid.withColumn("_ts", term_score)
+            .groupBy(id_col)
+            .agg(F.round(F.sum("_ts"), ROUND_DP).alias("score")))
+
+
+def lm_dirichlet_topk(docs: DataFrame, query_terms: list[str],
+                      k: int = 10, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      mu: float = LM_MU) -> DataFrame:
+    """Top-k by Dirichlet query likelihood, deterministic tie-break on
+    id — (id, score, rank), the LM twin of ``bm25_topk``."""
+    scored = lm_dirichlet_scores(docs, query_terms, text_col, id_col, mu)
+    topk = scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.col(id_col))))
+
+
+def lm_dirichlet_topk_duck(query_terms: list[str], k: int = 10,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", mu: float = LM_MU,
+                           table: str = "documents") -> str:
+    """DuckDB mirror of :func:`lm_dirichlet_topk` — same tokens, same
+    full-query sum with background branches, same rounding/tie-break."""
+    terms = _norm_terms(query_terms)
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    in_list = (", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+               or "NULL")
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({toks}) AS term FROM {table}
+),
+matched AS (SELECT {id_col}, term FROM tok WHERE term IN ({in_list})),
+postings AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM matched
+  GROUP BY {id_col}, term
+),
+dl AS (
+  SELECT {id_col}, CAST(len({toks}) AS DOUBLE) AS dl FROM {table}
+),
+total AS (
+  SELECT CAST(SUM(len({toks})) AS DOUBLE) AS c_len FROM {table}
+),
+cf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS cf FROM matched
+       GROUP BY term),
+cand AS (SELECT DISTINCT {id_col} FROM postings),
+scored AS (
+  SELECT c.{id_col},
+         ROUND(SUM(ln(
+           (COALESCE(p.tf, 0) + {mu} * (f.cf / t.c_len))
+           / (d.dl + {mu}))), {ROUND_DP}) AS score
+  FROM cand c
+  CROSS JOIN cf f
+  LEFT JOIN postings p ON p.{id_col} = c.{id_col} AND p.term = f.term
+  JOIN dl d ON d.{id_col} = c.{id_col}
+  CROSS JOIN total t
+  GROUP BY c.{id_col}
+)
+SELECT {id_col}, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col}) AS BIGINT)
+         AS "rank"
+FROM (SELECT * FROM scored
+      ORDER BY score DESC, {id_col} LIMIT {k}) t
+"""
+
+
 # ---------------------------------------------------------------- oracles
 
 

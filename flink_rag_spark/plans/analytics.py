@@ -309,6 +309,45 @@ def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_labels(_copurchase_pairs(spark, sf_dir), "u", "v")
 
 
+KCORE_K = 3
+
+
+def part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py kcore_nodes) of the
+    part co-purchase graph: nodes surviving 6 synchronous peel rounds
+    at k=3 with their in-core degrees — the embeddedness view beside
+    part_communities' region labels and part_triangle_stats' density."""
+    from flink_rag_spark.operators.graph import kcore_nodes
+    return kcore_nodes(_copurchase_pairs(spark, sf_dir), k=KCORE_K)
+
+
+L_DIVERSITY_L = 5
+
+
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py) over the customer
+    quasi-identifier (market segment, nation) with the account-balance
+    thousand-band as the sensitive attribute: per-combination sizes,
+    distinct-band counts and the below-l risk flag — k-anonymity's
+    necessary complement on the same QI."""
+    from flink_rag_spark.operators.privacy import l_diversity_audit
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .withColumn("acct_band",
+                     F.floor(F.col("c_acctbal") / 1000).cast("bigint")))
+    return l_diversity_audit(j, ["c_mktsegment", "n_name"], "acct_band",
+                             L_DIVERSITY_L)
+
+
+#: the l-diversity oracle's inner relation — same join, same band
+_L_DIVERSITY_SQL = """
+SELECT c.c_mktsegment, n.n_name,
+       CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS acct_band
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit (operators/privacy.py) over the customer
     quasi-identifier (market segment, nation): per-combination group

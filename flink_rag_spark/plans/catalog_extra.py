@@ -86,7 +86,8 @@ def extra_queries() -> list[tuple]:
         session_stats_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
-    from flink_rag_spark.operators.dedup import span_pairs_duck
+    from flink_rag_spark.operators.dedup import (span_containment_duck,
+                                                 span_pairs_duck)
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.evaluation import (
         answer_grounding_duck,
@@ -121,10 +122,14 @@ def extra_queries() -> list[tuple]:
         itemset_pair_rules_duck,
     )
     from flink_rag_spark.operators.graph import (community_labels_duck,
+                                                 kcore_nodes_duck,
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
-    from flink_rag_spark.operators.privacy import k_anonymity_audit_duck
+    from flink_rag_spark.operators.privacy import (
+        k_anonymity_audit_duck,
+        l_diversity_audit_duck,
+    )
     from flink_rag_spark.operators.regression import (corr_matrix_duck,
                                                       group_ols_duck)
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
@@ -163,7 +168,10 @@ def extra_queries() -> list[tuple]:
     )
 
     from flink_rag_spark.operators.quality import repetition_signals_duck
-    from flink_rag_spark.operators.ranking import rm3_expanded_topk_duck
+    from flink_rag_spark.operators.ranking import (
+        lm_dirichlet_topk_duck,
+        rm3_expanded_topk_duck,
+    )
     from flink_rag_spark.operators.redaction import (
         pii_counts_duck,
         redact_duck,
@@ -958,6 +966,12 @@ SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
         # lexical ranking (the BM25 arm of the graded hybrid_rrf_vec7)
         ("bm25_topk_docs", llm.bm25_topk_docs, _oracle_bm25(15),
          ("ranking", "text")),
+        # round-10: the OTHER classical lexical model — Dirichlet
+        # query-likelihood LM (Lucene LMDirichletSimilarity; Zhai &
+        # Lafferty 2004) with absent-term background branches
+        ("lm_dirichlet_topk_docs", llm.lm_dirichlet_topk_docs,
+         lm_dirichlet_topk_duck(llm.BM25_QUERY_TERMS, k=15),
+         ("ranking", "text", "lm")),
         # the persisted-inverted-index READ path under oracle coverage:
         # build in a tempdir, probe, compare to the same inline-BM25 SQL
         # (indexed scoring is bit-identical — r7 verdict item #7)
@@ -1155,6 +1169,13 @@ FROM documents WHERE doc_id % 97 = 0
          span_pairs_duck("documents", "text", "doc_id",
                          llm.SPAN_TOKENS, llm.SPAN_MAX_DOCS),
          ("dedup", "span", "substring")),
+        # round-10: doc-in-doc detection — directional span containment
+        # (quote/subset signal Jaccard misses; dedup.span_containment)
+        ("span_containment_docs", llm.span_containment_docs,
+         span_containment_duck("documents", "text", "doc_id",
+                               llm.SPAN_TOKENS, llm.SPAN_MAX_DOCS,
+                               llm.CONTAINMENT_MIN),
+         ("dedup", "span", "containment")),
         # round-7: model-based quality scoring — add-α unigram LM
         # (CCNet perplexity proxy), self-trained; vocabulary order,
         # scoring identity and rounding replay exactly in SQL
@@ -1618,6 +1639,19 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("part_communities", A.part_communities,
          community_labels_duck(A._TRIANGLE_EDGES_SQL),
          ("graph", "iterative", "analytics")),
+        # round-10: k-core decomposition — synchronous peel rounds,
+        # deterministic (pure degree predicate, no tie-breaks), oracle
+        # unrolls every round as MATERIALIZED CTEs (graph.kcore_nodes)
+        ("part_kcore", A.part_kcore,
+         kcore_nodes_duck(A._TRIANGLE_EDGES_SQL, A.KCORE_K),
+         ("graph", "iterative", "analytics")),
+        # round-10: l-diversity audit — k-anonymity's sensitive-value
+        # complement on the same QI (privacy.l_diversity_audit)
+        ("l_diversity_customers", A.l_diversity_customers,
+         l_diversity_audit_duck(A._L_DIVERSITY_SQL,
+                                ["c_mktsegment", "n_name"], "acct_band",
+                                A.L_DIVERSITY_L),
+         ("privacy", "agg", "audit")),
         # round-9: CUSUM change-point detection — the max(0, s+d)
         # recurrence as its running-sum − running-min closed form over
         # DECIMAL-quantized deviations (anomaly.cusum_first_alarms)

@@ -804,6 +804,19 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def lm_dirichlet_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classical lexical model (Lucene LMDirichletSimilarity
+    beside BM25): Dirichlet-smoothed query-likelihood top-15 for the
+    shared term query — full-query sum including absent-term background
+    branches, so document length matters (operators/ranking.py
+    lm_dirichlet_topk, Zhai & Lafferty 2004)."""
+    from flink_rag_spark.operators.ranking import lm_dirichlet_topk
+    d = load_table(spark, sf_dir, "documents")
+    out = lm_dirichlet_topk(d, BM25_QUERY_TERMS, k=15)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING-shape lexical path: BM25 top-15 answered from a
     PERSISTED inverted index (term-hash-pruned postings + doclens +
@@ -983,6 +996,21 @@ def span_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.dedup import span_pairs
     d = load_table(spark, sf_dir, "documents")
     return span_pairs(d, "text", "doc_id", SPAN_TOKENS, SPAN_MAX_DOCS)
+
+
+#: the directional-containment floor for doc-in-doc detection — the
+#: quote/subset signal threshold
+CONTAINMENT_MIN = 0.5
+
+
+def span_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc detection (dedup.span_containment): directional span
+    containment over document pairs — the quote/subset measure Jaccard
+    misses when a short document sits verbatim inside a long one."""
+    from flink_rag_spark.operators.dedup import span_containment
+    d = load_table(spark, sf_dir, "documents")
+    return span_containment(d, "text", "doc_id", SPAN_TOKENS,
+                            SPAN_MAX_DOCS, CONTAINMENT_MIN)
 
 
 #: small vocabulary so the synthetic corpus (whose token inventory is tiny

@@ -259,6 +259,97 @@ def test_run_ingest_stages_ivfpq_geometry(spark, tmp_path):
     assert _geometry(idx) == live0    # serving untouched until promote
 
 
+# ----------------------------------------- k-core / l-diversity (r10)
+
+def test_kcore_peels_cascade_and_keeps_clique(spark):
+    from flink_rag_spark.operators.graph import kcore_nodes
+    # K4 (1,2,3,4) + a pendant chain 4-5-6-7: the chain peels over
+    # THREE cascading rounds (7 first, then 6, then 5); K4 survives
+    # at core_degree 3
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    out = {r["node"]: r["core_degree"]
+           for r in kcore_nodes(df, k=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the chain still peels (tree), K4 intact
+    out2 = {r["node"]: r["core_degree"]
+            for r in kcore_nodes(df, k=2).collect()}
+    assert out2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everything (degree >= 1 after dedup)
+    assert len(kcore_nodes(df, k=1).collect()) == 7
+    with pytest.raises(ValueError, match=">= 1"):
+        kcore_nodes(df, k=0)
+
+
+def test_l_diversity_hand_values(spark):
+    from flink_rag_spark.operators.privacy import l_diversity_audit
+    rows = [
+        ("a", "x", "s1"), ("a", "x", "s2"), ("a", "x", "s3"),
+        ("a", "y", "s1"), ("a", "y", "s1"), ("a", "y", "s1"),
+        ("b", "x", "s1"), ("b", "x", None), ("b", "x", None),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s string")
+    out = {(r["q1"], r["q2"]): r for r in
+           l_diversity_audit(df, ["q1", "q2"], "s", l=2).collect()}
+    assert out[("a", "x")]["n_sensitive"] == 3
+    assert not out[("a", "x")]["at_risk"]
+    # same size, zero diversity: the leak k-anonymity misses
+    assert out[("a", "y")]["group_size"] == 3
+    assert out[("a", "y")]["n_sensitive"] == 1
+    assert out[("a", "y")]["at_risk"]
+    # NULL sensitive adds no diversity
+    assert out[("b", "x")]["n_sensitive"] == 1
+    assert out[("b", "x")]["at_risk"]
+
+
+# ----------------------------------- span containment doc-in-doc (r10)
+
+def test_span_containment_quote_detection(spark):
+    from flink_rag_spark.operators.dedup import span_containment
+    quote = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc),
+         (3, "totally unrelated words nothing shared here at all")],
+        "doc_id bigint, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in span_containment(
+        docs, "text", "doc_id", span_tokens=8,
+        min_containment=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # the quote is FULLY contained: every one of d1's spans is in d2
+    assert r["n_a"] == 1 and r["containment_a"] == 1.0
+    # while d2's containment (the Jaccard-ish view) is tiny
+    assert r["containment_b"] < 0.1
+    # threshold respected: raising it past 1.0 empties the result
+    assert span_containment(docs, "text", "doc_id", span_tokens=8,
+                            min_containment=1.01).count() == 0
+
+
+# ------------------------------- Dirichlet query-likelihood LM (r10)
+
+def test_lm_dirichlet_hand_values(spark):
+    import math
+
+    from flink_rag_spark.operators.ranking import lm_dirichlet_topk
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id bigint, text string")
+    # |C| = 8 tokens; cf(a)=3, cf(b)=1; 'zzz' absent from the corpus is
+    # SKIPPED (Lucene's stance); d3 matches no query term → pure
+    # background for every term, never a candidate
+    out = {r["doc_id"]: r for r in lm_dirichlet_topk(
+        docs, ["a", "b", "zzz"], k=10, mu=10.0).collect()}
+    assert set(out) == {1, 2}
+    s1 = math.log((2 + 10 * 3 / 8) / 13) + math.log((1 + 10 / 8) / 13)
+    # d2 has NO 'b': the absent-term BACKGROUND branch must apply
+    s2 = math.log((1 + 10 * 3 / 8) / 12) + math.log((0 + 10 / 8) / 12)
+    assert out[1]["score"] == round(s1, 6)
+    assert out[2]["score"] == round(s2, 6)
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+
+
 # --------------------------------------- CEP negation (notFollowedBy)
 
 def test_negated_funnel_hand_values(spark):
