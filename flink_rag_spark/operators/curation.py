@@ -584,6 +584,67 @@ WHERE {u} < p.p
 """
 
 
+def stratified_sample(df: DataFrame, strata_cols: list[str],
+                      quota: int, key_col: str,
+                      seed: int = 0) -> DataFrame:
+    """Exact-quota stratified sampling: up to ``quota`` rows PER
+    STRATUM, chosen as the stratum's lowest seeded-hash keys — the
+    balanced-subset primitive (per-language eval slices, per-source
+    caps, class-balanced finetuning sets) that a global `sample()`
+    can't give: fractions under-fill small strata and over-fill big
+    ones, and RNG sampling isn't reproducible across layouts.
+
+    Selection is h = (poly_hash(key)·a_seed + b_seed) mod P ranked per
+    stratum (ties on h break by key) — the minhash universal-hash
+    scramble, NOT a seed-prefix concat: prefixing a same-length seed
+    onto the linear polynomial hash only ADDS a constant (order-
+    preserving except at the rare mod-P wrap), so two seeds would pick
+    nearly the same rows; the multiplicative (a, b) pair genuinely
+    permutes the order per seed. Deterministic, layout-independent,
+    uniformly random-in-expectation within each stratum — the same
+    hash-ordered take-N idiom as the pair-rules hub cap. Strata with
+    fewer than ``quota`` rows are kept whole.
+
+    Plan at 100 TB: one window on the strata key (rank within stratum
+    by (h, key)) over one exchange; the filter is scan-shaped after
+    that. No collects, no per-stratum jobs."""
+    from pyspark.sql import Window
+
+    from flink_rag_spark.functions.hashing import minhash_params
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    a, b = minhash_params(1, seed)[0]
+    h = F.expr(
+        f"(({poly_hash_expr(f'cast({key_col} as string)')}) "
+        f"* {a} + {b}) % {POLY_P}")
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(F.col("_h"), F.col(key_col)))
+    return (df.withColumn("_h", h)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= quota)
+            .drop("_h", "_rk"))
+
+
+def stratified_sample_duck(inner_sql: str, strata_cols: list[str],
+                           quota: int, key_col: str,
+                           seed: int = 0) -> str:
+    """DuckDB mirror of :func:`stratified_sample` — same universal-hash
+    scramble, same per-stratum (h, key) rank cut."""
+    from flink_rag_spark.functions.hashing import (POLY_P, minhash_params,
+                                                   poly_hash_duck)
+    a, b = minhash_params(1, seed)[0]
+    h = (f"(({poly_hash_duck(f'CAST({key_col} AS VARCHAR)')}) "
+         f"* {a} + {b}) % {POLY_P}")
+    parts = ", ".join(strata_cols)
+    return f"""
+SELECT * EXCLUDE (_rk) FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY {parts}
+                               ORDER BY {h}, {key_col}) AS _rk
+  FROM ({inner_sql}))
+WHERE _rk <= {quota}
+"""
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, seed: int = 0,
                           buckets: int = 1024) -> DataFrame:
     """Seeded, layout-independent global shuffle order for training:

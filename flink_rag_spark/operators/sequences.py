@@ -185,6 +185,131 @@ FROM s
 """
 
 
+def funnel_conversion_stats(events: DataFrame, steps: list[str],
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            within_seconds: int | None = None
+                            ) -> DataFrame:
+    """HOW LONG conversions take — the funnel report's missing axis
+    (funnel_summary says how many keys reach each step; this says how
+    fast): per consecutive step transition, the distribution of per-key
+    time between the two earliest completions. Output one row per
+    transition: (step, from_type, to_type, n_converted, min_gap_s,
+    median_gap_s, p90_gap_s, max_gap_s).
+
+    Percentiles are TYPE-1 (the value at rank ceil(q·n) — no
+    interpolation): interpolated percentiles mix engine-specific
+    formulas ((1−g)·a+g·b vs a+(b−a)·g differ in the last ulp) and can
+    land on rounding boundaries; the rank-picked value is an exact
+    per-key gap both engines reproduce bit-identically. Gaps are exact
+    integer MICROSECONDS (the sessionize discipline — NTZ-safe,
+    DST-free) converted to seconds by one shared /1e6.
+
+    Plan: funnel_times' single exchange; the per-key gap frame unpivots
+    scan-side (k−1 structs per key), one window per transition ranks
+    the gaps (partitioned on the transition id — k−1 partitions of
+    |converted keys|), one final k−1-row aggregate."""
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion_stats needs >= 2 steps")
+    ft = funnel_times(events, steps, key_col, ts_col, type_col,
+                      seq_col, within_seconds)
+    k = len(steps)
+    labels = [s if isinstance(s, str) else f"step{i}"
+              for i, s in enumerate(steps, start=1)]
+    entries = []
+    for i in range(1, k):
+        entries.append(
+            f"named_struct('step', {i}, "
+            f"'from_type', '{labels[i - 1]}', "
+            f"'to_type', '{labels[i]}', "
+            f"'gap_us', timestampdiff(MICROSECOND, t{i}, t{i + 1}))")
+    gaps = (ft.select(F.explode(F.array(
+        *[F.expr(e) for e in entries])).alias("g"))
+        .select("g.*")
+        .filter(F.col("gap_us").isNotNull()))
+    w = Window.partitionBy("step").orderBy("gap_us")
+    ranked = (gaps
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(
+                  Window.partitionBy("step"))))
+    pick = lambda q: F.min(F.when(  # noqa: E731
+        F.col("_rn") == F.ceil(F.col("_n") * q), F.col("gap_us")))
+    agg = (ranked.groupBy("step", "from_type", "to_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+                F.min("gap_us").alias("_mn"),
+                pick(0.5).alias("_md"), pick(0.9).alias("_p90"),
+                F.max("gap_us").alias("_mx")))
+    return agg.select(
+        "step", "from_type", "to_type", "n_converted",
+        (F.col("_mn") / 1e6).alias("min_gap_s"),
+        (F.col("_md") / 1e6).alias("median_gap_s"),
+        (F.col("_p90") / 1e6).alias("p90_gap_s"),
+        (F.col("_mx") / 1e6).alias("max_gap_s"))
+
+
+def funnel_conversion_stats_duck(steps: list[str],
+                                 within_seconds: int | None = None,
+                                 key_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 seq_col: str = "event_id",
+                                 table: str = "events") -> str:
+    """DuckDB mirror of :func:`funnel_conversion_stats` — the funnel
+    layer replay feeding the same type-1 rank picks."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("funnel_conversion_stats_duck only mirrors "
+                        f"string steps; got: {bad!r}")
+    k = len(steps)
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    layers = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    for i, step in enumerate(steps, start=1):
+        cond = f"{type_col} = '{step}'"
+        if i > 1:
+            cond += f" AND {ts_col} > _r{i - 1}"
+            if within_seconds is not None:
+                cond += (f" AND {ts_col} <= _r1 + "
+                         f"INTERVAL {within_seconds} SECOND")
+        layers.append(
+            f"l{i} AS (SELECT {prev_cols}, "
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} AS _r{i} "
+            f"FROM {src})")
+        prev_cols += f", _r{i}"
+        src = f"l{i}"
+    t_cols = ", ".join(f"MIN(_r{i}) AS t{i}" for i in range(1, k + 1))
+    gap_rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{steps[i - 1]}' AS from_type, "
+        f"'{steps[i]}' AS to_type, "
+        f"date_diff('microsecond', t{i}, t{i + 1}) AS gap_us "
+        f"FROM ft WHERE t{i + 1} IS NOT NULL"
+        for i in range(1, k))
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(layers)},
+ft AS (SELECT {key_col}, {t_cols} FROM {src} GROUP BY {key_col}),
+gaps AS ({gap_rows}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY step ORDER BY gap_us) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM gaps)
+SELECT step, from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       MIN(gap_us) / 1e6 AS min_gap_s,
+       MIN(CASE WHEN rn = CEIL(n * 0.5) THEN gap_us END) / 1e6
+         AS median_gap_s,
+       MIN(CASE WHEN rn = CEIL(n * 0.9) THEN gap_us END) / 1e6
+         AS p90_gap_s,
+       MAX(gap_us) / 1e6 AS max_gap_s
+FROM ranked GROUP BY step, from_type, to_type
+"""
+
+
 def expand_quantified_steps(steps: list) -> tuple[list, list[int]]:
     """Desugar quantified pattern entries — FlinkCEP ``times(n)`` /
     ``timesOrMore(n)`` / ``oneOrMore`` (MATCH_RECOGNIZE ``B{n,}`` /
@@ -635,6 +760,116 @@ SELECT touch_type, n_conversions,
        CAST(sv AS DOUBLE) AS attributed_value,
        ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
 FROM agg
+"""
+
+
+def linear_attribution(events: DataFrame, touch_types: list[str],
+                       conversion_type: str,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       seq_col: str = "event_id",
+                       value_col: str = "value") -> DataFrame:
+    """Linear multi-touch attribution — last-touch's fairness
+    complement: each conversion's value splits EQUALLY across the
+    DISTINCT touch TYPES the key has seen before converting (the
+    type-level linear model; with T touch types the denominators are
+    1..T, so per-conversion credits stay exactly representable where an
+    every-event split's 1/n could land on a rounding boundary).
+    Conversions with no prior touch land in the NULL bucket intact.
+    Output: (touch_type, n_conversions, attributed_value, value_share)
+    — ``n_conversions`` counts conversions the type received credit
+    from (the NULL row counts unattributed conversions).
+
+    Plan: the funnel family's single (key, ts, seq) exchange — one
+    running MAX per touch type marks "seen so far" (|T| bounded window
+    columns, like the funnel's layers); per-conversion credits quantize
+    to DECIMAL(20,6) (term-level rounding, the decay discipline) and
+    fold in ONE aggregate; the |T|+1-row report unpivots via stack."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    relevant = events.filter(
+        F.col(type_col).isin(list(touch_types) + [conversion_type]))
+    for i, t in enumerate(touch_types):
+        relevant = relevant.withColumn(
+            f"_s{i}",
+            F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).over(w))
+    n_seen = sum(F.col(f"_s{i}") for i in range(len(touch_types)))
+    conv = (relevant.filter(F.col(type_col) == conversion_type)
+            .withColumn("_n", n_seen))
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for i, t in enumerate(touch_types):
+        credit = F.when(
+            F.col(f"_s{i}") == 1,
+            F.round(v / F.col("_n"), 6).cast(ATTR_DEC))
+        aggs += [F.sum(credit).alias(f"_v{i}"),
+                 F.count(F.when(F.col(f"_s{i}") == 1, 1))
+                 .alias(f"_c{i}")]
+    un = F.when(F.col("_n") == 0, v.cast(ATTR_DEC))
+    aggs += [F.sum(un).alias("_vn"),
+             F.count(F.when(F.col("_n") == 0, 1)).alias("_cn")]
+    one = conv.agg(*aggs)
+    # keep the sums DECIMAL through the share math (exact,
+    # order-independent) — the last_touch discipline
+    pairs = ", ".join(
+        [f"'{t}', _c{i}, _v{i}" for i, t in enumerate(touch_types)]
+        + ["CAST(NULL AS STRING), _cn, _vn"])
+    rows = one.select(F.expr(
+        f"stack({len(touch_types) + 1}, {pairs}) "
+        "as (touch_type, n_conversions, _av)"))
+    w_tot = Window.partitionBy()
+    return (rows.filter(F.col("n_conversions") > 0)
+            .select("touch_type",
+                    F.col("n_conversions").cast("bigint")
+                    .alias("n_conversions"),
+                    F.col("_av").cast("double").alias("attributed_value"),
+                    F.round((F.col("_av") / F.sum("_av").over(w_tot))
+                            .cast("double"), 6).alias("value_share")))
+
+
+def linear_attribution_duck(touch_types: list[str],
+                            conversion_type: str,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            value_col: str = "value",
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`linear_attribution` — same running
+    seen-flags, same per-term DECIMAL quantization, same unpivot."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    seen = ", ".join(
+        f"MAX(CASE WHEN {type_col} = '{t}' THEN 1 ELSE 0 END) {over} "
+        f"AS s{i}" for i, t in enumerate(touch_types))
+    n = " + ".join(f"s{i}" for i in range(len(touch_types)))
+    agg_cols = ", ".join(
+        [f"SUM(CASE WHEN s{i} = 1 THEN CAST(ROUND(v / n, 6) "
+         f"AS DECIMAL(20,6)) END) AS v{i}, "
+         f"COUNT(CASE WHEN s{i} = 1 THEN 1 END) AS c{i}"
+         for i in range(len(touch_types))]
+        + ["SUM(CASE WHEN n = 0 THEN CAST(v AS DECIMAL(20,6)) END) AS vn",
+           "COUNT(CASE WHEN n = 0 THEN 1 END) AS cn"])
+    rows = " UNION ALL ".join(
+        [f"SELECT '{t}' AS touch_type, c{i} AS n_conversions, "
+         f"v{i} AS av FROM agg"
+         for i, t in enumerate(touch_types)]
+        + ["SELECT NULL, cn, vn FROM agg"])
+    return f"""
+WITH rel AS (
+  SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {type_col} IN ({touches}, '{conversion_type}')),
+seen AS (SELECT *, {seen} FROM rel),
+conv AS (SELECT *, {n} AS n FROM seen
+         WHERE {type_col} = '{conversion_type}'),
+agg AS (SELECT {agg_cols} FROM conv),
+rows_ AS ({rows})
+SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,
+       CAST(av AS DOUBLE) AS attributed_value,
+       ROUND(CAST(av / SUM(av) OVER () AS DOUBLE), 6) AS value_share
+FROM rows_ WHERE n_conversions > 0
 """
 
 

@@ -278,6 +278,31 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
 
 
+def purchase_attribution_linear(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (operators/sequences.py
+    linear_attribution): every purchase's value split equally across
+    the distinct prior touch types — last-touch's fairness complement
+    on the same single funnel-family exchange."""
+    from flink_rag_spark.operators.sequences import linear_attribution
+    e = load_table(spark, sf_dir, "events")
+    return linear_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
+
+
+#: the conversion-speed funnel the stats query reports on
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-speed report (operators/sequences.py
+    funnel_conversion_stats): per funnel transition, type-1 (rank-picked,
+    interpolation-free) min/median/p90/max of the per-user time between
+    earliest step completions — the HOW-FAST axis funnel_summary lacks."""
+    from flink_rag_spark.operators.sequences import funnel_conversion_stats
+    e = load_table(spark, sf_dir, "events")
+    return funnel_conversion_stats(e, FUNNEL_STEPS)
+
+
 #: CUSUM tuning for the per-user event-value monitor: target ≈ the
 #: corpus mean, slack = half a σ-ish allowance, h = the decision bound
 CUSUM_TARGET = 50.0

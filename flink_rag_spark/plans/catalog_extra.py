@@ -70,6 +70,7 @@ def extra_queries() -> list[tuple]:
         fuzzy_decontaminate_duck,
         mixture_sample_duck,
         split_assignments_duck,
+        stratified_sample_duck,
         temperature_mixture_duck,
     )
     from flink_rag_spark.operators.drift import psi_drift_duck
@@ -79,8 +80,10 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.sequences import (
         cohort_retention_duck,
         event_transitions_duck,
+        funnel_conversion_stats_duck,
         funnel_summary_duck,
         last_touch_attribution_duck,
+        linear_attribution_duck,
         negated_funnel_times_duck,
         quantified_funnel_times_duck,
         session_stats_duck,
@@ -1193,6 +1196,13 @@ FROM documents WHERE doc_id % 97 = 0
          ("curation", "sampling", "mixture")),
         # round-7: deterministic corpus shuffle — seeded
         # (bucket, pos) coordinates, layout-independent, no global sort
+        # round-10: exact-quota stratified sampling — seeded hash rank
+        # per stratum (curation.stratified_sample)
+        ("stratified_sampled_docs", llm.stratified_sampled_docs,
+         stratified_sample_duck("SELECT * FROM documents", ["lang"],
+                                llm.STRATA_QUOTA, "doc_id",
+                                llm.STRATA_SEED),
+         ("curation", "sampling", "window")),
         ("shuffled_documents", llm.shuffled_documents,
          deterministic_shuffle_duck("documents", "doc_id",
                                     llm.SHUFFLE_SEED, llm.SHUFFLE_BUCKETS,
@@ -1689,6 +1699,18 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
                                    A.NEG_FUNNEL_GAPS),
          ("streaming", "cep", "window", "negation")),
+        # round-10: linear multi-touch attribution — per-conversion
+        # credit split across distinct prior touch types, term-level
+        # DECIMAL quantization (sequences.linear_attribution)
+        ("purchase_attribution_linear", A.purchase_attribution_linear,
+         linear_attribution_duck(A.ATTR_TOUCHES, A.ATTR_CONVERSION),
+         ("sequence", "attribution", "window")),
+        # round-10: conversion-speed stats — type-1 rank-picked gap
+        # percentiles per funnel transition (no interpolation — the
+        # engine-portable percentile; sequences.funnel_conversion_stats)
+        ("funnel_time_to_convert", A.funnel_time_to_convert,
+         funnel_conversion_stats_duck(A.FUNNEL_STEPS),
+         ("sequence", "cep", "window", "stats")),
         # round-9: last-touch revenue attribution — one funnel-family
         # exchange carrying last(touch, ignorenulls), DECIMAL sums
         ("purchase_attribution", A.purchase_attribution,

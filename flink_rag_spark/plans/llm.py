@@ -1002,6 +1002,22 @@ def span_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: quote/subset signal threshold
 CONTAINMENT_MIN = 0.5
 
+#: per-language quota for the stratified eval-slice demo (en has 4×
+#: the rows of the other languages — a fraction sample can't balance)
+STRATA_QUOTA = 40
+STRATA_SEED = 7
+
+
+def stratified_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (curation.stratified_sample): up
+    to 40 documents per language, chosen by seeded hash rank — the
+    balanced-subset stage (per-language eval slices) a fraction-based
+    sample can't deliver."""
+    from flink_rag_spark.operators.curation import stratified_sample
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], STRATA_QUOTA, "doc_id",
+                             seed=STRATA_SEED)
+
 
 def span_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-in-doc detection (dedup.span_containment): directional span

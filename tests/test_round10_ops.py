@@ -452,6 +452,101 @@ def test_negated_funnel_validates_inputs(spark):
         negated_funnel_times_duck(["a", "b"], {1: 42})  # type: ignore
 
 
+# -------------------------- linear attribution / conversion stats (r10)
+
+def test_linear_attribution_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import linear_attribution
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view + click seen -> purchase 12 splits 6/6
+        (0, t(0), 1, "view", 0.0), (1, t(1), 1, "click", 0.0),
+        (2, t(2), 1, "purchase", 12.0),
+        # u2: only view seen -> full 10 to view
+        (3, t(0), 2, "view", 0.0), (4, t(1), 2, "purchase", 10.0),
+        # u3: no prior touch -> unattributed bucket
+        (5, t(0), 3, "purchase", 7.0),
+        # u4: click-only purchase (4), then view arrives; second
+        # purchase (6) splits 3/3 — seen-sets grow over time
+        (6, t(0), 4, "click", 0.0), (7, t(1), 4, "purchase", 4.0),
+        (8, t(2), 4, "view", 0.0), (9, t(3), 4, "purchase", 6.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    out = {r["touch_type"]: r for r in linear_attribution(
+        e, ["view", "click"], "purchase").collect()}
+    assert out["view"]["attributed_value"] == 6 + 10 + 3
+    assert out["click"]["attributed_value"] == 6 + 4 + 3
+    assert out[None]["attributed_value"] == 7.0
+    assert out["view"]["n_conversions"] == 3
+    assert out["click"]["n_conversions"] == 3
+    assert out[None]["n_conversions"] == 1
+    total = 39.0
+    assert out["view"]["value_share"] == round(19 / total, 6)
+    assert abs(sum(r["value_share"] for r in out.values()) - 1.0) < 2e-6
+
+
+def test_funnel_conversion_stats_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import funnel_conversion_stats
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1: view->click 60s, click->purchase... seconds capped at 59,
+        # use minute arithmetic via datetime(…, minute)
+    ]
+    tm = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows = [
+        (0, tm(0), 1, "view"), (1, tm(1), 1, "click"),
+        (2, tm(3), 1, "purchase"),                      # gaps 60s, 120s
+        (3, tm(0), 2, "view"), (4, tm(0, 30), 2, "click"),  # gap 30s
+        (5, tm(0), 3, "purchase"),                      # never in funnel
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    out = {r["step"]: r for r in funnel_conversion_stats(
+        e, ["view", "click", "purchase"]).collect()}
+    s1 = out[1]
+    assert s1["from_type"] == "view" and s1["to_type"] == "click"
+    assert s1["n_converted"] == 2
+    assert s1["min_gap_s"] == 30.0 and s1["max_gap_s"] == 60.0
+    assert s1["median_gap_s"] == 30.0      # type-1: rank ceil(0.5*2)=1
+    assert s1["p90_gap_s"] == 60.0         # rank ceil(0.9*2)=2
+    s2 = out[2]
+    assert s2["n_converted"] == 1
+    assert s2["median_gap_s"] == 120.0 == s2["p90_gap_s"]
+    with pytest.raises(ValueError, match=">= 2"):
+        funnel_conversion_stats(e, ["view"])
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from flink_rag_spark.operators.curation import stratified_sample
+    rows = [(i, "big") for i in range(100)] + [(100 + i, "small")
+                                               for i in range(3)]
+    df = spark.createDataFrame(rows, "k bigint, stratum string")
+    out = stratified_sample(df, ["stratum"], quota=10, key_col="k",
+                            seed=1)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["stratum"], set()).add(r["k"])
+    assert len(by["big"]) == 10        # exact quota on the big stratum
+    assert by["small"] == {100, 101, 102}  # under-quota kept whole
+    # deterministic: identical reruns, seed changes the selection
+    again = stratified_sample(df, ["stratum"], quota=10, key_col="k",
+                              seed=1)
+    assert {r["k"] for r in again.collect()} == \
+        {r["k"] for r in out.collect()}
+    other = stratified_sample(df, ["stratum"], quota=10, key_col="k",
+                              seed=2)
+    assert {r["k"] for r in other.collect() if r["stratum"] == "big"} \
+        != by["big"]
+    with pytest.raises(ValueError, match=">= 1"):
+        stratified_sample(df, ["stratum"], quota=0, key_col="k")
+
+
 # ------------------------------------------- fused FK audit (r9 verdict)
 
 def test_fk_integrity_audit_empty_facts(spark):
