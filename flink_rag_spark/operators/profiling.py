@@ -344,3 +344,102 @@ SELECT bins.bin,
        CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM bins LEFT JOIN c USING (bin)
 """
+
+
+# ---------------------------------------- mergeable quantile partials
+
+def quantile_partials(events: DataFrame, ts_col: str, value_col: str,
+                      bucket: str, step: float) -> DataFrame:
+    """Quantized-histogram QUANTILE partials for continuous aggregates —
+    the percentile twin of the rollup family's HLL sketch partials
+    (operators/rollup.py): per time bucket, counts of values quantized
+    to fixed ``step``-wide bins. (bucket_ts, qbin, cnt) rows are plain
+    integer counts, so they MERGE like the rollup's ``cnt`` — sum per
+    (bucket, qbin) is commutative/associative and bit-identical to a
+    from-scratch build under any batch split — and they PERSIST through
+    the existing rollup store unmodified (``build_rollup(...,
+    keys=["qbin"])`` — the marker/replay/cascade machinery applies as
+    is; proven in tests). Quantiles finalized from these bins carry a
+    bounded quantization error < ``step`` and are EXACTLY reproducible
+    (the quantization is part of the contract — what lets the driver
+    hash-grade a percentile, where interpolated sketches could not be).
+
+    Plan: one scan-side bin expression + one partial+final count; the
+    shuffle carries ≤ |buckets|·|bins| rows, never raw events."""
+    if step <= 0:
+        raise ValueError(f"step must be > 0, got {step}")
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket_ts")
+    qbin = F.floor(F.col(value_col).cast("double") / F.lit(step)) \
+        .cast("bigint").alias("qbin")
+    return (events.filter(F.col(value_col).isNotNull())
+            .groupBy(b, qbin)
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantiles_from_bins(bins: DataFrame, group_cols: list[str],
+                        qs: list[float], step: float) -> DataFrame:
+    """Finalize quantiles from (group..., qbin, cnt) bins: for each
+    requested q, the LOWER EDGE of the first bin whose cumulative count
+    reaches rank ceil(q·n) — a type-1 (rank-picked) quantile quantized
+    down by < ``step``, deterministic in both engines (no
+    interpolation; the funnel-stats stance). Output one row per
+    (group..., q): (group..., q, quantile_lb, n).
+
+    Plan: one cumulative window over qbin order per group (≤ |bins|
+    rows) + one |groups|-row aggregate."""
+    from pyspark.sql import Window
+    w_cum = (Window.partitionBy(*group_cols).orderBy("qbin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    cum = (bins
+           .withColumn("_cum", F.sum("cnt").over(w_cum))
+           .withColumn("_n", F.sum("cnt").over(w_all)))
+    picks = []
+    for q in qs:
+        picks.append(
+            F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * q),
+                         F.col("qbin"))).alias(f"_q{int(q * 1000)}"))
+    picks.append(F.max("_n").cast("bigint").alias("_nn"))
+    one = cum.groupBy(*group_cols).agg(*picks)
+    entries = ", ".join(
+        f"CAST({q!r} AS DOUBLE), "
+        f"CAST(_q{int(q * 1000)} * {step!r} AS DOUBLE)"
+        for q in qs)
+    return (one.select(
+        *group_cols,
+        F.expr(f"stack({len(qs)}, {entries}) as (q, quantile_lb)"),
+        F.col("_nn").alias("n"))
+        .select(*group_cols, "q", "quantile_lb", "n"))
+
+
+def quantile_rollup_duck(inner_sql: str, ts_col: str, value_col: str,
+                         bucket_expr: str, qs: list[float],
+                         step: float) -> str:
+    """DuckDB mirror of ``quantile_partials`` cascaded + finalized by
+    :func:`quantiles_from_bins`: ``bucket_expr`` is the DuckDB bucket
+    over {ts} (e.g. ``time_bucket(INTERVAL 1 day, {ts})``) — the mirror
+    replays quantize → count → cumulative rank pick exactly."""
+    b = bucket_expr.format(ts=ts_col)
+    q_rows = " UNION ALL ".join(f"SELECT {q!r} AS q" for q in qs)
+    return f"""
+WITH src AS (SELECT * FROM ({inner_sql}) WHERE {value_col} IS NOT NULL),
+bins AS (
+  SELECT {b} AS bucket_ts,
+         CAST(FLOOR(CAST({value_col} AS DOUBLE) / {step!r}) AS BIGINT)
+           AS qbin,
+         COUNT(*) AS cnt
+  FROM src GROUP BY 1, 2),
+cum AS (
+  SELECT bucket_ts, qbin, cnt,
+         SUM(cnt) OVER (PARTITION BY bucket_ts ORDER BY qbin
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY bucket_ts) AS n
+  FROM bins),
+qs_ AS ({q_rows})
+SELECT c.bucket_ts, q.q,
+       CAST(MIN(CASE WHEN c.c >= CEIL(c.n * q.q) THEN c.qbin END)
+            * {step!r} AS DOUBLE) AS quantile_lb,
+       CAST(MAX(c.n) AS BIGINT) AS n
+FROM cum c CROSS JOIN qs_ q
+GROUP BY c.bucket_ts, q.q
+"""

@@ -324,6 +324,30 @@ def cusum_user_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
                               h=CUSUM_H, seq_col="event_id")
 
 
+#: quantile-rollup contract: 5-unit value bins (events.value spans
+#: 0–~500 → ≤100 bins), daily p50/p90/p99 served from hourly partials
+QROLL_STEP = 5.0
+QROLL_QS = [0.5, 0.9, 0.99]
+
+
+def daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile partials in continuous aggregates (operators/
+    profiling.py quantile_partials — the percentile twin of the HLL
+    rollup): HOURLY quantized-bin counts cascade to DAILY bins by plain
+    summation (exact, order-independent), then p50/p90/p99 finalize as
+    rank-picked bin lower edges — a percentile the driver can hash-grade
+    because the quantization is the contract."""
+    from flink_rag_spark.operators.profiling import (quantile_partials,
+                                                     quantiles_from_bins)
+    e = load_table(spark, sf_dir, "events")
+    hourly = quantile_partials(e, "ts", "value", "1 hour", QROLL_STEP)
+    daily = (hourly.groupBy(
+        F.window("bucket_ts", "1 day")["start"].alias("bucket_ts"),
+        "qbin").agg(F.sum("cnt").alias("cnt")))
+    return quantiles_from_bins(daily, ["bucket_ts"], QROLL_QS,
+                               QROLL_STEP)
+
+
 def part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection (operators/graph.py community_labels —
     deterministic synchronous label propagation, Raghavan et al. 2007)

@@ -129,6 +129,7 @@ def extra_queries() -> list[tuple]:
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
+    from flink_rag_spark.operators.profiling import quantile_rollup_duck
     from flink_rag_spark.operators.privacy import (
         k_anonymity_audit_duck,
         l_diversity_audit_duck,
@@ -1649,6 +1650,16 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("part_communities", A.part_communities,
          community_labels_duck(A._TRIANGLE_EDGES_SQL),
          ("graph", "iterative", "analytics")),
+        # round-10: quantile partials in continuous aggregates — the
+        # percentile twin of the HLL rollup: hourly quantized bins
+        # cascade to daily by summation, rank-picked finalize
+        # (profiling.quantile_partials/quantiles_from_bins)
+        ("daily_value_quantiles", A.daily_value_quantiles,
+         quantile_rollup_duck(
+             "SELECT ts, value FROM events", "ts", "value",
+             "time_bucket(INTERVAL 1 day, {ts})", A.QROLL_QS,
+             A.QROLL_STEP),
+         ("rollup", "quantile", "incremental")),
         # round-10: k-core decomposition — synchronous peel rounds,
         # deterministic (pure degree predicate, no tie-breaks), oracle
         # unrolls every round as MATERIALIZED CTEs (graph.kcore_nodes)

@@ -131,6 +131,141 @@ def _make_funnel_fn(steps: list[str], within_us: int | None):
     return fn
 
 
+def _make_negated_funnel_fn(steps: list[str], negations: dict[int, str],
+                            within_us: int | None):
+    """The funnel fold extended with absence gaps — the streaming twin
+    of ``sequences.negated_funnel_times``. Per negated gap i the state
+    tracks ``negs[i]`` = earliest forbidden event strictly after
+    mins[i] (the event-time-ordered fold makes the same convergence
+    argument as batch: when a forbidden event at t folds, mins[i] is
+    already final for every t > t_i). Violation is decided EXACTLY
+    once per the monotone argument: with negs[i] set, a completion
+    candidate for step i+1 either exists (compare directly) or can
+    only arrive with ts > watermark ≥ negs[i] — later than the
+    forbidden instant either way — so the key is dead and is marked
+    done WITHOUT emitting (batch's NULLed t_{i+1})."""
+    k = len(steps)
+    neg_types = {i - 1: t for i, t in negations.items()}  # 0-based gap
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins, negs, buf_ts, buf_type, wm_us, done = state.get
+            mins, negs = list(mins), list(negs)
+            buf_ts, buf_type = list(buf_ts), list(buf_type)
+        else:
+            mins, negs, buf_ts, buf_type, wm_us, done = \
+                [_NONE] * k, [_NONE] * k, [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:  # boundary rule: see funnel fn
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                for s in range(k):
+                    if typ == steps[s]:
+                        if s == 0:
+                            if mins[0] == _NONE or t < mins[0]:
+                                mins[0] = t
+                        elif mins[s - 1] != _NONE and t > mins[s - 1]:
+                            if (within_us is not None
+                                    and t > mins[0] + within_us):
+                                continue
+                            if mins[s] == _NONE or t < mins[s]:
+                                mins[s] = t
+                for g, ntyp in neg_types.items():
+                    if (typ == ntyp and mins[g] != _NONE
+                            and t > mins[g]
+                            and (negs[g] == _NONE or t < negs[g])):
+                        negs[g] = t
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+
+        if not done:
+            for g in neg_types:
+                if negs[g] != _NONE and (mins[g + 1] == _NONE
+                                         or negs[g] < mins[g + 1]):
+                    # dead key: every (remaining) step-(g+1) candidate is
+                    # after the forbidden instant — batch voids it too
+                    done = True
+                    buf_ts, buf_type = [], []
+                    break
+
+        if not done and mins[k - 1] != _NONE:
+            done = True
+            buf_ts, buf_type = [], []
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                **{f"t{i + 1}": [pd.Timestamp(mins[i], unit="us")]
+                   for i in range(k)}})
+
+        state.update((mins, negs, buf_ts, buf_type, wm_us, done))
+        if buf_ts and not done:
+            state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
+
+    return fn
+
+
+def negated_funnel_monitor(events: DataFrame, steps: list[str],
+                           negations: dict[int, str],
+                           watermark: str = "10 minutes",
+                           within_seconds: int | None = None,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type") -> DataFrame:
+    """Streaming CEP with absence steps (FlinkCEP ``notFollowedBy``):
+    one append-mode row per key at its earliest completion of ``steps``
+    where no ``negations[i]`` event lies strictly between t_i and
+    t_{i+1}; a key whose pattern is voided by a forbidden event emits
+    NOTHING and its state collapses to the done marker. Emissions ≡
+    the batch ``negated_funnel_times`` rows with t_k non-NULL, under
+    the family's watermark-bounded-disorder contract (pinned by
+    test)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    for i in negations:
+        if not (1 <= i < len(steps)):
+            raise ValueError(
+                f"negation gap {i} out of range (1..{len(steps) - 1})")
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    types = list(steps) + list(negations.values())
+    filtered = (events.filter(F.col(type_col).isin(types))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_negated_funnel_fn(steps, negations, within_us),
+                outputStructType=_funnel_out_schema(len(steps), key_type),
+                stateStructType=_negated_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def _negated_state_schema() -> str:
+    return ("mins array<bigint>, negs array<bigint>, "
+            "buf_ts array<bigint>, buf_type array<string>, "
+            "wm_us bigint, done boolean")
+
+
 def funnel_monitor(events: DataFrame, steps: list[str],
                    watermark: str = "10 minutes",
                    within_seconds: int | None = None,

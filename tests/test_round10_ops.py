@@ -452,6 +452,79 @@ def test_negated_funnel_validates_inputs(spark):
         negated_funnel_times_duck(["a", "b"], {1: 42})  # type: ignore
 
 
+# -------------------------------- quantile rollup partials (r10)
+
+def test_quantiles_from_bins_hand_values(spark):
+    from flink_rag_spark.operators.profiling import quantiles_from_bins
+    # one group, values quantized at step=10: bins 0(×3), 1(×1), 5(×1)
+    bins = spark.createDataFrame(
+        [("g", 0, 3), ("g", 1, 1), ("g", 5, 1)],
+        "grp string, qbin bigint, cnt bigint")
+    out = {r["q"]: r for r in quantiles_from_bins(
+        bins, ["grp"], [0.5, 0.9], step=10.0).collect()}
+    # n=5: rank ceil(2.5)=3 → cum 3 at bin 0; rank ceil(4.5)=5 → bin 5
+    assert out[0.5]["quantile_lb"] == 0.0
+    assert out[0.9]["quantile_lb"] == 50.0
+    assert out[0.5]["n"] == 5
+
+
+def test_quantile_partials_merge_equals_full(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.profiling import quantile_partials
+    from flink_rag_spark.sources.tables import load_table
+    e = load_table(spark, sf_oracle, "events")
+    full = quantile_partials(e, "ts", "value", "1 hour", 5.0)
+    halves = [quantile_partials(e.filter(f"event_id % 2 = {i}"),
+                                "ts", "value", "1 hour", 5.0)
+              for i in (0, 1)]
+    merged = (halves[0].unionByName(halves[1])
+              .groupBy("bucket_ts", "qbin")
+              .agg(F.sum("cnt").alias("cnt")))
+    assert canon(merged.toPandas()) == canon(full.toPandas())
+
+
+def test_quantile_partials_ride_rollup_store(spark, sf_oracle, tmp_path):
+    """The persistence contract: qbin as a rollup key rides the
+    existing store's build/append/replay machinery unchanged, and the
+    maintained bins finalize to the same quantiles as a from-scratch
+    pass."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.profiling import (quantile_partials,
+                                                     quantiles_from_bins)
+    from flink_rag_spark.operators.rollup import (append_to_rollup,
+                                                  build_rollup,
+                                                  read_rollup)
+    from flink_rag_spark.sources.tables import load_table
+    e = (load_table(spark, sf_oracle, "events")
+         .withColumn("qbin", F.floor(F.col("value").cast("double") / 5.0)
+                     .cast("bigint")))
+    hist = e.filter("event_id % 10 != 0")
+    fresh = e.filter("event_id % 10 = 0")
+    path = str(tmp_path / "qroll")
+    build_rollup(spark, hist, path, ts_col="ts", keys=["qbin"],
+                 value_col="value")
+    append_to_rollup(spark, fresh, path, ts_col="ts", keys=["qbin"],
+                     value_col="value", batch_id=1)
+    # replay: idempotent, no double counts
+    append_to_rollup(spark, fresh, path, ts_col="ts", keys=["qbin"],
+                     value_col="value", batch_id=1)
+    stored = (read_rollup(spark, path, keys=["qbin"], finalize=False)
+              .select("bucket_ts", "qbin", "cnt"))
+    want = quantile_partials(e, "ts", "value", "1 hour", 5.0)
+    assert canon(stored.toPandas()) == canon(want.toPandas())
+    got_q = quantiles_from_bins(
+        stored.groupBy(F.window("bucket_ts", "1 day")["start"]
+                       .alias("bucket_ts"), "qbin")
+        .agg(F.sum("cnt").alias("cnt")), ["bucket_ts"], [0.5], 5.0)
+    want_q = quantiles_from_bins(
+        want.groupBy(F.window("bucket_ts", "1 day")["start"]
+                     .alias("bucket_ts"), "qbin")
+        .agg(F.sum("cnt").alias("cnt")), ["bucket_ts"], [0.5], 5.0)
+    assert canon(got_q.toPandas()) == canon(want_q.toPandas())
+
+
 # -------------------------- linear attribution / conversion stats (r10)
 
 def test_linear_attribution_hand_values(spark):
@@ -545,6 +618,78 @@ def test_stratified_sample_quota_and_determinism(spark):
         != by["big"]
     with pytest.raises(ValueError, match=">= 1"):
         stratified_sample(df, ["stratum"], quota=0, key_col="k")
+
+
+# ------------------------------- streaming CEP negation (r10 twin)
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, u, t) for i, (ts, u, t) in enumerate(rows)],
+        "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                 "user_id", "event_type"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    import time
+    time.sleep(1.1)
+
+
+def test_streaming_negated_funnel_matches_batch(spark, tmp_path):
+    """Streaming emissions ≡ batch negated_funnel_times completions
+    (t_k non-NULL) under bounded disorder; voided keys emit nothing."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.sequences import negated_funnel_times
+    from flink_rag_spark.streaming.cep import negated_funnel_monitor
+    src = str(tmp_path / "negcep_src")
+    steps = ["view", "click", "purchase"]
+    negs = {2: "error"}
+    # u1 completes clean; u2 has an error between click and purchase
+    # (voided — and the error arrives out of order in batch 2); u3's
+    # error lands AFTER the purchase (clean); u4's error is BEFORE the
+    # funnel (clean)
+    _write_batch(spark, src, [
+        ("2024-01-01 00:01:00", 1, "view"),
+        ("2024-01-01 00:02:00", 1, "click"),
+        ("2024-01-01 00:03:00", 1, "purchase"),
+        ("2024-01-01 00:01:00", 2, "view"),
+        ("2024-01-01 00:02:00", 2, "click"),
+        ("2024-01-01 00:30:00", 2, "purchase"),
+        ("2024-01-01 00:01:00", 3, "view"),
+        ("2024-01-01 00:02:00", 3, "click"),
+        ("2024-01-01 00:03:00", 3, "purchase"),
+        ("2024-01-01 00:04:00", 3, "error"),
+        ("2024-01-01 00:00:30", 4, "error"),
+        ("2024-01-01 00:01:00", 4, "view"),
+        ("2024-01-01 00:02:00", 4, "click"),
+        ("2024-01-01 00:03:00", 4, "purchase"),
+    ])
+    _write_batch(spark, src, [
+        ("2024-01-01 00:10:00", 2, "error"),   # the voiding instant
+        ("2024-01-10 00:00:00", 99, "view"),   # watermark flush
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (negated_funnel_monitor(stream, steps, negs, watermark="1 hour")
+         .writeStream.format("memory").queryName("negcep_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_negcep"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"])
+           for r in spark.sql("select * from negcep_t").collect()}
+    batch = (negated_funnel_times(spark.read.parquet(src), steps, negs)
+             .filter(F.col("t3").isNotNull()).collect())
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in batch}
+    assert got == want
+    assert {u for u, *_ in got} == {1, 3, 4}   # u2 voided, no emission
+
+
+def test_streaming_negated_funnel_validates(spark):
+    from flink_rag_spark.streaming.cep import negated_funnel_monitor
+    with pytest.raises(ValueError, match="out of range"):
+        negated_funnel_monitor(None, ["a", "b"], {2: "c"})
 
 
 # ------------------------------------------- fused FK audit (r9 verdict)
