@@ -319,7 +319,17 @@ def main() -> None:
              "phrase_matched_documents", "golden_part_entities",
              "order_value_histogram", "lineitem_corr_matrix",
              "basket_pair_rules", "purchase_attribution",
-             "user_sessions", "fk_audit_all", "ivm_upserted_orders"]
+             "user_sessions", "fk_audit_all", "ivm_upserted_orders",
+             # round-10: CEP negation (anti layer on the funnel
+             # exchange), k-core peeling, l-diversity audit,
+             # Dirichlet-LM ranking, span containment, linear
+             # attribution, conversion-time stats, stratified quotas,
+             # quantile rollup cascade
+             "negated_funnel_users", "part_kcore",
+             "l_diversity_customers", "lm_dirichlet_topk_docs",
+             "span_containment_docs", "purchase_attribution_linear",
+             "funnel_time_to_convert", "stratified_sampled_docs",
+             "daily_value_quantiles"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -381,7 +391,15 @@ def main() -> None:
                # plans (CUSUM shares the funnel's window shape; the
                # as-of read is one filtered scan)
                "kleene_funnel_users", "part_communities",
-               "phrase_matched_documents"]
+               "phrase_matched_documents",
+               # round-10: the negation anti-layer must stay per-row
+               # arithmetic on the funnel's exchange; k-core's
+               # per-round degree + semi-joins, the LM grid join, the
+               # span-containment count join and the quantile bin
+               # cascade are the other scale-sensitive new plans
+               "negated_funnel_users", "part_kcore",
+               "lm_dirichlet_topk_docs", "span_containment_docs",
+               "daily_value_quantiles"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
