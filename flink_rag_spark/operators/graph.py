@@ -435,6 +435,81 @@ def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS) -> str:
             + f"\nSELECT node, label FROM l{iters}")
 
 
+def bfs_hops(pairs: DataFrame, source_ids: list[int], max_hops: int,
+             id_a: str = "u", id_b: str = "v") -> DataFrame:
+    """Multi-source BFS over an undirected edge list: (node, hops) —
+    the MINIMUM hop distance from any of ``source_ids``, for every node
+    within ``max_hops``. The reachability-with-distance view the graph
+    family lacked (connected_components says WHETHER, this says HOW
+    FAR): blast-radius of a bad upstream record, entity-neighborhood
+    expansion around seed entities, n-hop ego networks for features.
+
+    Deterministic: frontier expansion is a pure set operation per
+    round. Scale shape — the LPA/PageRank discipline: the symmetric
+    edge frame persists once; each round is ONE frontier⋈edges shuffle
+    join + an anti join against the visited set; visited and frontier
+    localCheckpoint per round (constant plan depth, frontier-bounded
+    state). ``max_hops`` bounds the rounds (part of the contract, the
+    kcore stance), so the oracle unrolls them as chained CTEs."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not source_ids:
+        raise ValueError("source_ids must be non-empty")
+    spark = pairs.sparkSession
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(pairs.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v")))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        nodes = sym.select("u").distinct()
+        frontier = (nodes.filter(F.col("u").isin(source_ids))
+                    .select(F.col("u").alias("node"))
+                    .localCheckpoint())
+        visited = frontier.select(
+            "node", F.lit(0).cast("int").alias("hops")).localCheckpoint()
+        for h in range(1, max_hops + 1):
+            nxt = (sym.join(frontier, sym["u"] == frontier["node"])
+                   .select(F.col("v").alias("node")).distinct()
+                   .join(visited.select("node"), on="node",
+                         how="left_anti")
+                   .localCheckpoint())
+            frontier.unpersist()
+            frontier = nxt
+            grown = frontier.select(
+                "node", F.lit(h).cast("int").alias("hops"))
+            nv = visited.unionByName(grown).localCheckpoint()
+            visited.unpersist()
+            visited = nv
+        frontier.unpersist()
+        return visited
+    finally:
+        sym.unpersist()
+
+
+def bfs_hops_duck(edges_sql: str, source_ids: list[int],
+                  max_hops: int) -> str:
+    """DuckDB mirror of :func:`bfs_hops` — the same frontier rounds
+    unrolled as chained MATERIALIZED CTEs."""
+    srcs = ", ".join(str(int(s)) for s in source_ids)
+    cte = [f"e0raw AS MATERIALIZED ({edges_sql})",
+           "e AS MATERIALIZED (SELECT u, v FROM e0raw UNION "
+           "SELECT v, u FROM e0raw)",
+           f"v0 AS MATERIALIZED (SELECT DISTINCT u AS node, 0 AS hops "
+           f"FROM e WHERE u IN ({srcs}))",
+           "f0 AS (SELECT node FROM v0)"]
+    for h in range(1, max_hops + 1):
+        cte.append(
+            f"f{h} AS MATERIALIZED ("
+            f"SELECT DISTINCT e.v AS node FROM e "
+            f"JOIN f{h - 1} f ON e.u = f.node "
+            f"WHERE e.v NOT IN (SELECT node FROM v{h - 1}))")
+        cte.append(
+            f"v{h} AS MATERIALIZED (SELECT node, hops FROM v{h - 1} "
+            f"UNION ALL SELECT node, {h} AS hops FROM f{h})")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node, CAST(hops AS INT) AS hops FROM v{max_hops}")
+
+
 KCORE_ITERS = 6
 
 

@@ -292,3 +292,61 @@ def upsert_facts(spark: SparkSession, changed_facts: DataFrame,
             existing.unpersist()
     finally:
         delta.unpersist()
+
+
+def delete_facts(spark: SparkSession, deleted_pks: DataFrame, path: str,
+                 fact_pk: str) -> list[str]:
+    """Fact-side DELETE maintenance — the fourth delta class, completing
+    append / dim-update / upsert: every view row whose ``fact_pk`` is in
+    ``deleted_pks`` (a one-column frame) leaves the view. This is the
+    relational-view arm of the right-to-be-forgotten surface
+    (``maintenance.forget_documents`` does the same for the store and
+    the vector/text indexes): a purged fact must vanish from the
+    denormalized view too, without re-joining history.
+
+    ΔV algebra: V ← V − σ_pk∈D(V). Touched partitions come from a
+    column-pruned (pk, pmonth) scan semi-joined against the delete set
+    — untouched months are never read or written; within a touched
+    month the survivors rewrite via dynamic overwrite, markers are
+    preserved, and a month emptied entirely is removed explicitly (the
+    upsert discipline). Idempotent by construction — deleting an absent
+    key is a no-op, so replays land identically and no batch markers
+    are needed. Returns the rewritten pmonths."""
+    import shutil as _sh
+
+    pks = (deleted_pks.select(F.col(deleted_pks.columns[0]).alias("_pk"))
+           .distinct().persist())
+    try:
+        raw = _read_raw(spark, path)
+        touched = sorted(r["pmonth"] for r in
+                         (raw.filter(F.col("bids").isNull())
+                          .join(pks, F.col(fact_pk) == F.col("_pk"),
+                                "left_semi")
+                          .select("pmonth").distinct().collect()))
+        if not touched:
+            return []
+        existing = raw.filter(F.col("pmonth").isin(touched)).persist()
+        try:
+            kept = (existing.filter(F.col("bids").isNull())
+                    .join(pks, F.col(fact_pk) == F.col("_pk"),
+                          "left_anti"))
+            out = (kept
+                   .unionByName(existing.filter(F.col("bids").isNotNull()))
+                   .localCheckpoint())
+            prev = spark.conf.get(_OVERWRITE_MODE, "static")
+            spark.conf.set(_OVERWRITE_MODE, "dynamic")
+            try:
+                (out.repartition("pmonth").write.mode("overwrite")
+                 .partitionBy("pmonth").parquet(path))
+            finally:
+                spark.conf.set(_OVERWRITE_MODE, prev)
+            written = {r["pmonth"] for r in
+                       out.select("pmonth").distinct().collect()}
+            for p in set(touched) - written:
+                _sh.rmtree(os.path.join(path, f"pmonth={p}"),
+                           ignore_errors=True)
+            return list(touched)
+        finally:
+            existing.unpersist()
+    finally:
+        pks.unpersist()

@@ -501,6 +501,69 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 """.replace("{m}", str(IVM_UPSERT_MOD))
 
 
+IVM_DELETE_MOD = 173  # orderkeys purged by the fact-delete demo
+
+
+def ivm_deleted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side DELETE maintenance (operators/ivm.py delete_facts —
+    the fourth delta class, the view's right-to-be-forgotten arm):
+    build the view from pre-1997 history, purge every orderkey % 173
+    == 0 row, replay the purge to prove idempotency, read back. The
+    oracle is the from-scratch join excluding the deleted keys."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_rag_spark.operators.ivm import (build_join_view,
+                                               delete_facts,
+                                               read_join_view)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("c_custkey", "c_mktsegment", "n_name"))
+    hist = o.filter(F.col("o_orderdate") < "1997-01-01")
+    path = tempfile.mkdtemp(prefix="ivm_del_") + "/view"
+    build_join_view(spark, hist, dims, path, "o_custkey", "c_custkey",
+                    "o_orderdate")
+    doomed = (hist.filter(F.col("o_orderkey") % IVM_DELETE_MOD == 0)
+              .select("o_orderkey"))
+    delete_facts(spark, doomed, path, "o_orderkey")
+    delete_facts(spark, doomed, path, "o_orderkey")  # replay: no-op
+    out = (read_join_view(spark, path).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "c_mktsegment", "n_name", "pmonth").localCheckpoint())
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+ORACLE_IVM_DELETE = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+       c.c_mktsegment, n.n_name, strftime(o.o_orderdate, '%Y-%m') AS pmonth
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate < DATE '1997-01-01'
+  AND o.o_orderkey % {IVM_DELETE_MOD} <> 0
+"""
+
+
+#: BFS seeds for the co-purchase blast-radius demo — part keys 1 and 2
+#: exist at every SF
+BFS_SOURCES = [1, 2]
+BFS_MAX_HOPS = 3
+
+
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances (operators/graph.py bfs_hops) over
+    the part co-purchase graph: minimum hop count from the seed parts
+    within 3 hops — the blast-radius/ego-network view beside
+    reachability (connected_components) and embeddedness (k-core)."""
+    from flink_rag_spark.operators.graph import bfs_hops
+    return bfs_hops(_copurchase_pairs(spark, sf_dir), BFS_SOURCES,
+                    BFS_MAX_HOPS)
+
+
 def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained JOIN view (operators/ivm.py): build the
     enriched-orders view (orders ⋈ customer-dims) from pre-1997 history,

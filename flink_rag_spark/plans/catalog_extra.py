@@ -124,7 +124,8 @@ def extra_queries() -> list[tuple]:
         categorical_association_duck,
         itemset_pair_rules_duck,
     )
-    from flink_rag_spark.operators.graph import (community_labels_duck,
+    from flink_rag_spark.operators.graph import (bfs_hops_duck,
+                                                 community_labels_duck,
                                                  kcore_nodes_duck,
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
@@ -1638,6 +1639,11 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # idempotency; oracle = from-scratch join over the modified set
         ("ivm_upserted_orders", A.ivm_upserted_orders,
          A.ORACLE_IVM_UPSERT, ("ivm", "join", "incremental", "upsert")),
+        # round-10: fact-side DELETE — the fourth delta class, the
+        # view's RTBF arm; purge replayed to prove idempotency
+        # (operators/ivm.py delete_facts)
+        ("ivm_deleted_orders", A.ivm_deleted_orders,
+         A.ORACLE_IVM_DELETE, ("ivm", "join", "incremental", "delete")),
         # round-8e wave 2: degree-oriented triangle counting + local
         # clustering coefficient (operators/graph.py triangle_counts;
         # the oracle counts via the canonical three-way join)
@@ -1660,6 +1666,12 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "time_bucket(INTERVAL 1 day, {ts})", A.QROLL_QS,
              A.QROLL_STEP),
          ("rollup", "quantile", "incremental")),
+        # round-10: multi-source BFS hop distances — frontier rounds
+        # unrolled as MATERIALIZED CTEs (graph.bfs_hops)
+        ("part_bfs_hops", A.part_bfs_hops,
+         bfs_hops_duck(A._TRIANGLE_EDGES_SQL, A.BFS_SOURCES,
+                       A.BFS_MAX_HOPS),
+         ("graph", "iterative", "analytics")),
         # round-10: k-core decomposition — synchronous peel rounds,
         # deterministic (pure degree predicate, no tie-breaks), oracle
         # unrolls every round as MATERIALIZED CTEs (graph.kcore_nodes)

@@ -350,6 +350,68 @@ def test_lm_dirichlet_hand_values(spark):
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
 
 
+# ----------------------------------- IVM delete / BFS hops (r10)
+
+def test_delete_facts_prunes_cleans_and_replays(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.ivm import (append_facts,
+                                               build_join_view,
+                                               delete_facts,
+                                               read_join_view)
+    facts = spark.createDataFrame(
+        [(1, 10, "2024-01-05", 5.0), (2, 10, "2024-01-20", 6.0),
+         (3, 20, "2024-02-05", 7.0), (4, 20, "2024-03-05", 8.0)],
+        "pk bigint, fk bigint, d string, v double"
+    ).withColumn("d", F.col("d").cast("date"))
+    dims = spark.createDataFrame([(10, "a"), (20, "b")],
+                                 "k bigint, attr string")
+    path = str(tmp_path / "view")
+    build_join_view(spark, facts.filter("pk <= 3"), dims, path,
+                    "fk", "k", "d")
+    # a marker-carrying append, so the delete must preserve markers
+    append_facts(spark, facts.filter("pk = 4"), dims, path, "fk", "k",
+                 "d", batch_id=7)
+    # delete pk 2 (partial month) and pk 3 (EMPTIES 2024-02)
+    doomed = spark.createDataFrame([(2,), (3,), (999,)], "pk bigint")
+    touched = delete_facts(spark, doomed, path, "pk")
+    assert sorted(touched) == ["2024-01", "2024-02"]
+    got = {r["pk"] for r in read_join_view(spark, path).collect()}
+    assert got == {1, 4}
+    assert not os.path.exists(os.path.join(path, "pmonth=2024-02"))
+    # replay: idempotent no-op (nothing left to touch)
+    assert delete_facts(spark, doomed, path, "pk") == []
+    # the append's marker survived the January rewrite
+    raw = spark.read.parquet(path)
+    marks = raw.filter(F.col("bids").isNotNull()).collect()
+    assert any(7 in r["bids"] for r in marks)
+    # a subsequent replayed append still no-ops off its marker
+    assert append_facts(spark, facts.filter("pk = 4"), dims, path,
+                        "fk", "k", "d", batch_id=7) == []
+
+
+def test_bfs_hops_hand_values(spark):
+    from flink_rag_spark.operators.graph import bfs_hops
+    # path graph 1-2-3-4-5 plus an isolated edge 8-9
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    out = {r["node"]: r["hops"]
+           for r in bfs_hops(df, [1], max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}       # 5 is beyond the bound
+    # multi-source: minimum distance wins
+    out2 = {r["node"]: r["hops"]
+            for r in bfs_hops(df, [1, 5], max_hops=2).collect()}
+    assert out2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+    # hops=0 returns just the (present) sources
+    assert {r["node"] for r in bfs_hops(df, [1, 77], 0).collect()} == {1}
+    with pytest.raises(ValueError, match=">= 0"):
+        bfs_hops(df, [1], -1)
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_hops(df, [], 2)
+
+
 # --------------------------------------- CEP negation (notFollowedBy)
 
 def test_negated_funnel_hand_values(spark):
