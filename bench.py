@@ -329,7 +329,11 @@ def main() -> None:
              "l_diversity_customers", "lm_dirichlet_topk_docs",
              "span_containment_docs", "purchase_attribution_linear",
              "funnel_time_to_convert", "stratified_sampled_docs",
-             "daily_value_quantiles"]
+             "daily_value_quantiles",
+             # round-10 wave 2: IVM delete (lifecycle demo), BFS hops,
+             # A/B z-test, co-visitation top-N
+             "ivm_deleted_orders", "part_bfs_hops",
+             "ab_user_conversion", "part_covisitation"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -399,7 +403,11 @@ def main() -> None:
                # cascade are the other scale-sensitive new plans
                "negated_funnel_users", "part_kcore",
                "lm_dirichlet_topk_docs", "span_containment_docs",
-               "daily_value_quantiles"]
+               "daily_value_quantiles",
+             # round-10 wave 2: IVM delete (lifecycle demo), BFS hops,
+             # A/B z-test, co-visitation top-N
+             "ivm_deleted_orders", "part_bfs_hops",
+             "ab_user_conversion", "part_covisitation"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

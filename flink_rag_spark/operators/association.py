@@ -241,3 +241,125 @@ FROM directed d
 JOIN item_n na ON na.i = d.item_a
 JOIN item_n nbi ON nbi.i = d.item_b, nb
 """
+
+
+# ----------------------------------------- co-visitation recommendations
+
+COVIS_DP = 6
+
+
+def covisitation_topn(df: DataFrame, basket_col: str, item_col: str,
+                      top_n: int = 10, min_pair_count: int = 2,
+                      max_basket_items: int | None = MAX_BASKET_ITEMS,
+                      ) -> DataFrame:
+    """Item-item co-visitation recommendations — the "people also
+    bought" primitive mined straight from interaction logs: for every
+    item, its top-N neighbors by cosine over co-occurrence counts,
+
+        cosine(i, j) = n_ij / sqrt(n_i · n_j)
+
+    which normalizes away item popularity (raw co-counts just recommend
+    bestsellers; the rules view in :func:`itemset_pair_rules` reads the
+    same counts as support/confidence/lift). Output: (item_a, item_b,
+    n_pair, cosine, rank), rank 1..top_n per item_a by (rounded cosine
+    DESC, item_b) — a total order both engines replay.
+
+    Plan: the pair-rules machinery verbatim — ONE persisted distinct
+    (basket, item) frame (hub-capped: the same deterministic
+    hash-ordered take-N bound), the basket-key self-join, one
+    |items|-bounded support aggregate — plus one per-item top-N window
+    over the min-count-pruned pair frame. Never a global sort."""
+    from pyspark.sql import Window
+
+    from flink_rag_spark.functions.hashing import poly_hash_expr
+
+    bi = (df.select(F.col(basket_col).alias("b"),
+                    F.col(item_col).alias("i"))
+          .distinct())
+    if max_basket_items is not None:
+        h = F.expr(poly_hash_expr("cast(i as string)"))
+        w = Window.partitionBy("b").orderBy(h.asc(), F.col("i").asc())
+        bi = (bi.withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= max_basket_items).drop("_rk"))
+    bi = bi.persist()
+    try:
+        item_n = (bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
+                  .localCheckpoint(eager=True))
+        a = bi.select(F.col("b"), F.col("i").alias("item_a"))
+        b = bi.select(F.col("b"), F.col("i").alias("item_b"))
+        pairs = (a.join(b, on="b")
+                 .filter(F.col("item_a") < F.col("item_b"))
+                 .groupBy("item_a", "item_b")
+                 .agg(F.count(F.lit(1)).alias("n_pair"))
+                 .filter(F.col("n_pair") >= min_pair_count)
+                 .localCheckpoint(eager=True))
+    finally:
+        bi.unpersist()
+    directed = pairs.unionByName(
+        pairs.select(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b"), "n_pair"))
+    scored = (directed
+              .join(item_n.select(F.col("i").alias("item_a"),
+                                  F.col("n_item").alias("_na")), "item_a")
+              .join(item_n.select(F.col("i").alias("item_b"),
+                                  F.col("n_item").alias("_nb")), "item_b")
+              .select("item_a", "item_b",
+                      F.col("n_pair").cast("bigint").alias("n_pair"),
+                      F.round(F.col("n_pair")
+                              / F.sqrt(F.col("_na").cast("double")
+                                       * F.col("_nb").cast("double")),
+                              COVIS_DP).alias("cosine")))
+    w_top = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine"), F.asc("item_b"))
+    return (scored.withColumn("rank", F.row_number().over(w_top)
+                              .cast("bigint"))
+            .filter(F.col("rank") <= top_n))
+
+
+def covisitation_topn_duck(inner_sql: str, basket_col: str,
+                           item_col: str, top_n: int = 10,
+                           min_pair_count: int = 2,
+                           max_basket_items: int | None = MAX_BASKET_ITEMS,
+                           ) -> str:
+    """DuckDB mirror of :func:`covisitation_topn` — same hub cap, same
+    counts, same rounded-cosine total order."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+
+    if max_basket_items is None:
+        bi_cte = (f"bi AS (SELECT DISTINCT {basket_col} AS b, "
+                  f"{item_col} AS i FROM ({inner_sql}))")
+    else:
+        h = poly_hash_duck("CAST(i AS VARCHAR)")
+        bi_cte = f"""bi AS (
+  SELECT b, i FROM (
+    SELECT b, i,
+           ROW_NUMBER() OVER (PARTITION BY b ORDER BY {h}, i) AS rk
+    FROM (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
+          FROM ({inner_sql})))
+  WHERE rk <= {max_basket_items})"""
+    return f"""
+WITH {bi_cte},
+item_n AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_pair
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_count}),
+directed AS (
+  SELECT item_a, item_b, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_pair FROM pairs),
+scored AS (
+  SELECT d.item_a, d.item_b, CAST(d.n_pair AS BIGINT) AS n_pair,
+         ROUND(d.n_pair / SQRT(CAST(na.n_item AS DOUBLE)
+                               * CAST(nb.n_item AS DOUBLE)),
+               {COVIS_DP}) AS cosine
+  FROM directed d
+  JOIN item_n na ON na.i = d.item_a
+  JOIN item_n nb ON nb.i = d.item_b)
+SELECT item_a, item_b, n_pair, cosine,
+       CAST("rank" AS BIGINT) AS "rank"
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+                                   ORDER BY cosine DESC, item_b) AS "rank"
+      FROM scored)
+WHERE "rank" <= {top_n}
+"""

@@ -164,3 +164,92 @@ SELECT ROUND(MAX(ABS(fa - fb)), {KS_DP}) AS ks_d,
          AS reject
 FROM cdf
 """
+
+
+# ------------------------------------------ two-proportion z-test (A/B)
+
+Z_CRIT = 1.959963984540054  # two-sided 5% critical value, Φ⁻¹(0.975)
+AB_DP = 6
+
+
+def ab_proportion_test(df: DataFrame, group_col: str, success_col: str,
+                       group_a, group_b,
+                       z_crit: float = Z_CRIT) -> DataFrame:
+    """Two-proportion z-test — the A/B-experiment readout (conversion
+    rate A vs B) beside the KS test's distribution comparison: pooled
+    standard error, z statistic, and the two-sided 5% verdict.
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled
+
+    ``success_col`` is a boolean column (NULL = not a success).
+    Output: ONE row — (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift,
+    z, significant). The p-value is deliberately a threshold verdict,
+    not a number: neither engine ships erf, and a hand-rolled normal
+    CDF would be the kind of per-engine float divergence this repo
+    bans — the z statistic itself is exact shared arithmetic and any
+    α's critical value can be passed in.
+
+    Plan at 100 TB: ONE conditional-count aggregate over the scan (the
+    validate() discipline) — no join, no shuffle beyond the single
+    final-aggregation exchange."""
+    g = F.col(group_col)
+    s = F.coalesce(F.col(success_col).cast("boolean"), F.lit(False))
+    one = df.filter(g.isin([group_a, group_b])).agg(
+        F.count(F.when(g == group_a, 1)).alias("n_a"),
+        F.count(F.when(g == group_b, 1)).alias("n_b"),
+        F.count(F.when((g == group_a) & s, 1)).alias("conv_a"),
+        F.count(F.when((g == group_b) & s, 1)).alias("conv_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a") / na
+    pb = F.col("conv_b") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")) / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    # zero pooled variance (nobody or everybody converted) has no z —
+    # NULL statistic, not-significant verdict (the corr_matrix
+    # zero-variance contract; ANSI mode would otherwise divide by zero)
+    z = F.when(se > 0, (pa - pb) / se)
+    return one.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(pa, AB_DP).alias("rate_a"),
+        F.round(pb, AB_DP).alias("rate_b"),
+        F.round(pa - pb, AB_DP).alias("lift"),
+        F.round(z, AB_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def ab_proportion_test_duck(inner_sql: str, group_col: str,
+                            success_expr: str, group_a, group_b,
+                            z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`ab_proportion_test`. ``success_expr`` is
+    the boolean SQL expression; group literals interpolate via repr."""
+    ga, gb = repr(group_a), repr(group_b)
+    return f"""
+WITH src AS (
+  SELECT {group_col} AS g,
+         COALESCE(CAST({success_expr} AS BOOLEAN), FALSE) AS s
+  FROM ({inner_sql}) WHERE {group_col} IN ({ga}, {gb})),
+agg AS (
+  SELECT COUNT(CASE WHEN g = {ga} THEN 1 END) AS n_a,
+         COUNT(CASE WHEN g = {gb} THEN 1 END) AS n_b,
+         COUNT(CASE WHEN g = {ga} AND s THEN 1 END) AS conv_a,
+         COUNT(CASE WHEN g = {gb} AND s THEN 1 END) AS conv_b
+  FROM src),
+se AS (
+  SELECT *, SQRT(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / n_a + 1.0 / n_b)) AS s
+  FROM agg)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(conv_a / CAST(n_a AS DOUBLE), {AB_DP}) AS rate_a,
+       ROUND(conv_b / CAST(n_b AS DOUBLE), {AB_DP}) AS rate_b,
+       ROUND(conv_a / CAST(n_a AS DOUBLE)
+             - conv_b / CAST(n_b AS DOUBLE), {AB_DP}) AS lift,
+       ROUND(CASE WHEN s > 0 THEN
+               (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+               / s END, {AB_DP}) AS z,
+       COALESCE(ABS(CASE WHEN s > 0 THEN
+           (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+           / s END) > {z_crit}, FALSE) AS significant
+FROM se
+"""

@@ -289,6 +289,45 @@ def purchase_attribution_linear(spark: SparkSession,
     return linear_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
 
 
+def ab_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (operators/hypothesis.py
+    ab_proportion_test): per-user purchase conversion compared across
+    the deterministic even/odd user split — the A/B experiment readout
+    beside the KS test's distribution comparison. One per-user
+    aggregate + one conditional-count aggregate."""
+    from flink_rag_spark.operators.hypothesis import ab_proportion_test
+    e = load_table(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(F.col("event_type") == "purchase")
+                     .alias("converted"))
+                .withColumn("grp", F.pmod(F.col("user_id"), F.lit(2))))
+    return ab_proportion_test(per_user, "grp", "converted", 0, 1)
+
+
+_AB_USERS_SQL = """
+SELECT user_id % 2 AS grp,
+       MAX(CASE WHEN event_type = 'purchase' THEN TRUE ELSE FALSE END)
+         AS converted
+FROM events GROUP BY user_id
+"""
+
+
+COVIS_TOP_N = 5
+
+
+def part_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-visitation recommendations (operators/
+    association.py covisitation_topn): each part's top-5 co-purchase
+    neighbors by popularity-normalized cosine — the "people also
+    bought" serving table mined from the same hub-capped basket
+    machinery as the pair rules."""
+    from flink_rag_spark.operators.association import covisitation_topn
+    li = load_table(spark, sf_dir, "lineitem")
+    return covisitation_topn(li, "l_orderkey", "l_partkey",
+                             top_n=COVIS_TOP_N,
+                             min_pair_count=RULES_MIN_PAIR)
+
+
 #: the conversion-speed funnel the stats query reports on
 FUNNEL_STEPS = ["view", "click", "purchase"]
 

@@ -122,13 +122,17 @@ def extra_queries() -> list[tuple]:
                                                    robust_outliers_duck)
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
+        covisitation_topn_duck,
         itemset_pair_rules_duck,
     )
     from flink_rag_spark.operators.graph import (bfs_hops_duck,
                                                  community_labels_duck,
                                                  kcore_nodes_duck,
                                                  triangle_counts_duck)
-    from flink_rag_spark.operators.hypothesis import ks_two_sample_duck
+    from flink_rag_spark.operators.hypothesis import (
+        ab_proportion_test_duck,
+        ks_two_sample_duck,
+    )
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
     from flink_rag_spark.operators.privacy import (
@@ -1699,6 +1703,23 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("lineitem_corr_matrix", A.lineitem_corr_matrix,
          corr_matrix_duck("SELECT * FROM lineitem", A.CORR_COLS),
          ("stats", "agg", "profiling")),
+        # round-10: two-proportion z-test (A/B readout) — one
+        # conditional-count aggregate; verdict at the passed critical
+        # value since neither engine ships erf
+        # (hypothesis.ab_proportion_test)
+        ("ab_user_conversion", A.ab_user_conversion,
+         ab_proportion_test_duck(A._AB_USERS_SQL, "grp", "converted",
+                                 0, 1),
+         ("hypothesis", "agg", "experiment")),
+        # round-10: item-item co-visitation recommendations — the
+        # pair-rules machinery under a popularity-normalized cosine
+        # + per-item top-N (association.covisitation_topn)
+        ("part_covisitation", A.part_covisitation,
+         covisitation_topn_duck("SELECT l_orderkey, l_partkey "
+                                "FROM lineitem",
+                                "l_orderkey", "l_partkey",
+                                A.COVIS_TOP_N, A.RULES_MIN_PAIR),
+         ("association", "mining", "recommendation")),
         ("basket_pair_rules", A.basket_pair_rules,
          itemset_pair_rules_duck("SELECT l_orderkey, l_partkey "
                                  "FROM lineitem",

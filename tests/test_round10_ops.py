@@ -350,6 +350,53 @@ def test_lm_dirichlet_hand_values(spark):
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
 
 
+# ------------------------- A/B z-test / co-visitation recs (r10)
+
+def test_ab_proportion_test_hand_values(spark):
+    import math
+
+    from flink_rag_spark.operators.hypothesis import ab_proportion_test
+    rows = ([("A", True)] * 6 + [("A", False)] * 4
+            + [("B", True)] * 2 + [("B", False)] * 7 + [("B", None)])
+    df = spark.createDataFrame(rows, "grp string, ok boolean")
+    r = ab_proportion_test(df, "grp", "ok", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert (r["conv_a"], r["conv_b"]) == (6, 2)  # NULL ≠ success
+    assert r["rate_a"] == 0.6 and r["rate_b"] == 0.2
+    se = math.sqrt(0.4 * 0.6 * 0.2)
+    assert r["z"] == round(0.4 / se, 6)
+    assert not r["significant"]          # |z| ≈ 1.83 < 1.96
+    # a lower critical value flips the verdict
+    r2 = ab_proportion_test(df, "grp", "ok", "A", "B",
+                            z_crit=1.5).collect()[0]
+    assert r2["significant"]
+    # degenerate: everybody converts → zero pooled variance → NULL z
+    all_c = spark.createDataFrame(
+        [("A", True), ("B", True)], "grp string, ok boolean")
+    r3 = ab_proportion_test(all_c, "grp", "ok", "A", "B").collect()[0]
+    assert r3["z"] is None and not r3["significant"]
+
+
+def test_covisitation_topn_hand_values(spark):
+    import math
+
+    from flink_rag_spark.operators.association import covisitation_topn
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"), (4, "b")]
+    df = spark.createDataFrame(rows, "b bigint, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in covisitation_topn(
+        df, "b", "i", top_n=10, min_pair_count=2).collect()}
+    # popularity-normalized: a-c (2/sqrt(3*2)) beats a-b (2/sqrt(3*3))
+    assert out[("a", "c")]["cosine"] == round(2 / math.sqrt(6), 6)
+    assert out[("a", "b")]["cosine"] == round(2 / math.sqrt(9), 6)
+    assert out[("a", "c")]["rank"] == 1 and out[("a", "b")]["rank"] == 2
+    assert ("b", "c") not in out          # pruned at min_pair_count=2
+    # top_n enforced
+    only1 = covisitation_topn(df, "b", "i", top_n=1, min_pair_count=2)
+    assert {(r["item_a"], r["rank"]) for r in only1.collect()} == \
+        {("a", 1), ("b", 1), ("c", 1)}
+
+
 # ----------------------------------- IVM delete / BFS hops (r10)
 
 def test_delete_facts_prunes_cleans_and_replays(spark, tmp_path):
