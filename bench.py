@@ -333,7 +333,8 @@ def main() -> None:
              # round-10 wave 2: IVM delete (lifecycle demo), BFS hops,
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
-             "ab_user_conversion", "part_covisitation"]
+             "ab_user_conversion", "part_covisitation",
+             "part_link_prediction"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -407,7 +408,8 @@ def main() -> None:
              # round-10 wave 2: IVM delete (lifecycle demo), BFS hops,
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
-             "ab_user_conversion", "part_covisitation"]
+             "ab_user_conversion", "part_covisitation",
+             "part_link_prediction"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -435,6 +435,136 @@ def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS) -> str:
             + f"\nSELECT node, label FROM l{iters}")
 
 
+LP_MAX_DEGREE = 256
+LP_TERM_DEC = "decimal(18,9)"
+
+
+def link_prediction(pairs: DataFrame, top_n: int = 10,
+                    max_degree: int = LP_MAX_DEGREE,
+                    id_a: str = "u", id_b: str = "v") -> DataFrame:
+    """Link prediction over an undirected graph — common-neighbor count
+    and Adamic–Adar (Adamic & Adar 2003: Σ_w 1/ln(deg w) over shared
+    neighbors w, down-weighting promiscuous hubs) for NON-adjacent node
+    pairs, top-N per node: the "which edge forms next" view that closes
+    the graph family (communities say where, k-core how deep, BFS how
+    far, co-visitation scores EXISTING co-occurrence — this scores
+    ABSENT edges). Output: (node, candidate, common_neighbors,
+    adamic_adar, rank), rank by (rounded AA DESC, candidate).
+
+    Determinism: AA terms 1/ln(deg w) quantize to DECIMAL(18,9) before
+    summing (the decay/attribution discipline — a double Σ is
+    order-dependent; 1/ln of an integer is never boundary-exact at
+    9dp), so the aggregate is bit-stable under any partitioning and the
+    oracle replays it.
+
+    Scale shape: wedge enumeration at each CENTER node is C(deg, 2) —
+    the hub blow-up the triangle counter dodges with degree orientation
+    doesn't apply here (a prediction needs ALL wedges at w), so the
+    hub bound is the basket-cap idiom: centers keep their
+    ``max_degree`` lowest-(poly_hash, neighbor) adjacency rows for
+    ENUMERATION (deterministic, oracle-replayed) while the AA weight
+    keeps the TRUE degree — scores at capped hubs are bounded-below
+    under-counts, documented, never O(hub²) rows. One adjacency
+    exchange feeds degrees, the cap window and both wedge sides; the
+    existing-edge exclusion is one anti join."""
+    from pyspark.sql import Window
+
+    from flink_rag_spark.functions.hashing import poly_hash_expr
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .union(pairs.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v")))
+           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        deg = (sym.groupBy(F.col("u").alias("node"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+               .localCheckpoint(eager=True))
+        h = F.expr(poly_hash_expr("cast(v as string)"))
+        w_cap = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
+        adj = (sym.withColumn("_rk", F.row_number().over(w_cap))
+               .filter(F.col("_rk") <= max_degree).drop("_rk"))
+        # wedges at center w: (a, b) unordered neighbor pairs; the AA
+        # term rides the center's TRUE degree
+        ctr = (adj.select(F.col("u").alias("w"), F.col("v").alias("n"))
+               .join(deg.select(F.col("node").alias("w"),
+                                F.col("degree").alias("_dw")), on="w"))
+        a = ctr.select("w", F.col("n").alias("a"), "_dw")
+        b = ctr.select("w", F.col("n").alias("b"))
+        term = F.round(1.0 / F.log(F.col("_dw").cast("double")), 9) \
+            .cast(LP_TERM_DEC)
+        scored = (a.join(b, on="w")
+                  .filter(F.col("a") < F.col("b"))
+                  .select("a", "b", term.alias("_t"))
+                  .groupBy("a", "b")
+                  .agg(F.count(F.lit(1)).cast("bigint")
+                       .alias("common_neighbors"),
+                       F.sum("_t").alias("_aa")))
+        # absent edges only: predictions must not re-score known edges
+        cand = scored.join(
+            sym.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            on=["a", "b"], how="left_anti")
+        directed = cand.unionByName(
+            cand.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                        "common_neighbors", "_aa"))
+        w_top = Window.partitionBy("a").orderBy(
+            F.desc(F.round(F.col("_aa"), 6)), F.asc("b"))
+        return (directed
+                .withColumn("rank", F.row_number().over(w_top)
+                            .cast("bigint"))
+                .filter(F.col("rank") <= top_n)
+                .select(F.col("a").alias("node"),
+                        F.col("b").alias("candidate"),
+                        "common_neighbors",
+                        F.round(F.col("_aa"), 6).cast("double")
+                        .alias("adamic_adar"), "rank"))
+    finally:
+        sym.unpersist()
+
+
+def link_prediction_duck(edges_sql: str, top_n: int = 10,
+                         max_degree: int = LP_MAX_DEGREE) -> str:
+    """DuckDB mirror of :func:`link_prediction` — same hash-ordered
+    adjacency cap, same DECIMAL-quantized AA terms, same total order."""
+    from flink_rag_spark.functions.hashing import poly_hash_duck
+    h = poly_hash_duck("CAST(v AS VARCHAR)")
+    return f"""
+WITH e0 AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY u),
+adj AS (
+  SELECT u, v FROM (
+    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+                                    ORDER BY {h}, v) AS rk
+    FROM sym) WHERE rk <= {max_degree}),
+ctr AS (SELECT a.u AS w, a.v AS n, d.degree AS dw
+        FROM adj a JOIN deg d ON d.node = a.u),
+scored AS (
+  SELECT x.n AS a, y.n AS b,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         SUM(CAST(ROUND(1.0 / LN(CAST(x.dw AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))) AS aa
+  FROM ctr x JOIN ctr y ON x.w = y.w AND x.n < y.n
+  GROUP BY x.n, y.n),
+cand AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.u = s.a AND sym.v = s.b)),
+directed AS (
+  SELECT a, b, common_neighbors, aa FROM cand
+  UNION ALL
+  SELECT b, a, common_neighbors, aa FROM cand)
+SELECT a AS node, b AS candidate, common_neighbors,
+       CAST(ROUND(aa, 6) AS DOUBLE) AS adamic_adar,
+       CAST("rank" AS BIGINT) AS "rank"
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+                                   ORDER BY ROUND(aa, 6) DESC, b) AS "rank"
+      FROM directed)
+WHERE "rank" <= {top_n}
+"""
+
+
 def bfs_hops(pairs: DataFrame, source_ids: list[int], max_hops: int,
              id_a: str = "u", id_b: str = "v") -> DataFrame:
     """Multi-source BFS over an undirected edge list: (node, hops) —

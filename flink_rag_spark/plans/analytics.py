@@ -593,6 +593,19 @@ BFS_SOURCES = [1, 2]
 BFS_MAX_HOPS = 3
 
 
+LINKPRED_TOP_N = 5
+
+
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/graph.py link_prediction): top-5
+    Adamic–Adar candidates per part over the co-purchase graph —
+    scoring ABSENT edges where part_covisitation scores existing
+    co-occurrence."""
+    from flink_rag_spark.operators.graph import link_prediction
+    return link_prediction(_copurchase_pairs(spark, sf_dir),
+                           top_n=LINKPRED_TOP_N)
+
+
 def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS distances (operators/graph.py bfs_hops) over
     the part co-purchase graph: minimum hop count from the seed parts

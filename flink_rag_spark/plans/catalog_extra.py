@@ -128,6 +128,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.graph import (bfs_hops_duck,
                                                  community_labels_duck,
                                                  kcore_nodes_duck,
+                                                 link_prediction_duck,
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
@@ -1670,6 +1671,12 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "time_bucket(INTERVAL 1 day, {ts})", A.QROLL_QS,
              A.QROLL_STEP),
          ("rollup", "quantile", "incremental")),
+        # round-10: link prediction — common neighbors + Adamic–Adar
+        # over absent edges, hub-capped wedge enumeration, DECIMAL-
+        # quantized AA terms (graph.link_prediction)
+        ("part_link_prediction", A.part_link_prediction,
+         link_prediction_duck(A._TRIANGLE_EDGES_SQL, A.LINKPRED_TOP_N),
+         ("graph", "join", "recommendation")),
         # round-10: multi-source BFS hop distances — frontier rounds
         # unrolled as MATERIALIZED CTEs (graph.bfs_hops)
         ("part_bfs_hops", A.part_bfs_hops,

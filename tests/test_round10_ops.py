@@ -350,6 +350,34 @@ def test_lm_dirichlet_hand_values(spark):
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
 
 
+# ------------------------------------------- link prediction (r10)
+
+def test_link_prediction_hand_values(spark):
+    import math
+
+    from flink_rag_spark.operators.graph import link_prediction
+    # 4-cycle 1-2-3-4: the only absent edges are the diagonals (1,3)
+    # and (2,4) — two common neighbors each, all degrees 2
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    out = {(r["node"], r["candidate"]): r
+           for r in link_prediction(df, top_n=3).collect()}
+    aa = round(2 * round(1 / math.log(2), 9), 6)
+    assert set(out) == {(1, 3), (3, 1), (2, 4), (4, 2)}
+    assert all(r["common_neighbors"] == 2 for r in out.values())
+    assert all(r["adamic_adar"] == aa for r in out.values())
+    assert all(r["rank"] == 1 for r in out.values())
+    # path 1-2-3: one wedge at center 2 (degree 2)
+    p = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
+    got = {(r["node"], r["candidate"]): r
+           for r in link_prediction(p, top_n=3).collect()}
+    assert set(got) == {(1, 3), (3, 1)}
+    assert got[(1, 3)]["common_neighbors"] == 1
+    assert got[(1, 3)]["adamic_adar"] == round(round(1 / math.log(2), 9), 6)
+    with pytest.raises(ValueError, match=">= 1"):
+        link_prediction(p, top_n=0)
+
+
 # ------------------------- A/B z-test / co-visitation recs (r10)
 
 def test_ab_proportion_test_hand_values(spark):
