@@ -594,6 +594,13 @@ def stratified_sample(df: DataFrame, strata_cols: list[str],
     can't give: fractions under-fill small strata and over-fill big
     ones, and RNG sampling isn't reproducible across layouts.
 
+    Sibling of :func:`stratified_cap`, which draws by CONTENT hash (one
+    fixed, content-stable draw — re-ingesting identical text keeps the
+    same survivors): this one draws by a SEEDED key hash, so repeated
+    experiments get independent balanced subsets from the same corpus
+    by changing ``seed`` — the capability the content-hash cap can't
+    express (its draw has exactly one realization).
+
     Selection is h = (poly_hash(key)·a_seed + b_seed) mod P ranked per
     stratum (ties on h break by key) — the minhash universal-hash
     scramble, NOT a seed-prefix concat: prefixing a same-length seed
