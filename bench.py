@@ -334,7 +334,7 @@ def main() -> None:
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
              "ab_user_conversion", "part_covisitation",
-             "part_link_prediction"]
+             "part_link_prediction", "part_ppr_relevance"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -409,7 +409,7 @@ def main() -> None:
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
              "ab_user_conversion", "part_covisitation",
-             "part_link_prediction"]
+             "part_link_prediction", "part_ppr_relevance"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -351,6 +351,118 @@ def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
             + f"\nSELECT node, ROUND(pr, 6) AS pr FROM pr{iters}")
 
 
+def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
+                          src: str = "src", dst: str = "dst",
+                          iters: int = PR_ITERS,
+                          damping: float = PR_DAMPING) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the relevance-
+    propagation view behind "related to THESE seeds" recommendations):
+    the teleport vector concentrates on ``seed_ids`` instead of
+    spreading uniformly —
+
+        pr' = d·(Σ_in pr/out_deg) + [node ∈ S]·(1−d + d·dangling)/|S|
+
+    with dangling mass returning to the seeds (the standard PPR
+    formulation: ALL non-link mass restarts at the personalization
+    set). Ranks measure proximity to the seeds, complementing
+    ``bfs_hops``' hop counts (PPR weighs PATH MULTIPLICITY, not just
+    distance) and global ``pagerank`` (which answers "important
+    overall", not "relevant to these"). Seeds absent from the graph
+    are ignored; at least one must be present. Deterministic given the
+    graph; fixed ``iters`` is the contract, unrolled by the oracle.
+
+    Scale shape: identical to ``pagerank`` — per iteration one
+    edges⋈ranks shuffle + a partial-aggregated contribution sum + a
+    1-row dangling aggregate, ranks localCheckpoint'ed; the
+    node-dependent teleport is a scan-side CASE, no extra exchange."""
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().persist())
+    try:
+        seeds = [int(s) for s in seed_ids]
+        n_seeds = nodes.filter(F.col("node").isin(seeds)).count()
+        if n_seeds == 0:
+            raise ValueError("no seed_ids present in the graph")
+        is_seed = F.col("node").isin(seeds)
+        deg = (edges.groupBy(F.col(src).alias("node"))
+               .agg(F.count(F.lit(1)).alias("out_deg")).persist())
+        has_dangling = (nodes.join(deg, on="node", how="left_anti")
+                        .limit(1).count() > 0)
+        ranks = nodes.select(
+            "node",
+            F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+            .alias("pr")).localCheckpoint()
+        try:
+            for _ in range(iters):
+                with_deg = ranks.join(deg, on="node", how="left")
+                if has_dangling:
+                    [drow] = (with_deg.filter(F.col("out_deg").isNull())
+                              .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                                   .alias("dm")).collect())
+                    dangling = float(drow["dm"])
+                else:
+                    dangling = 0.0
+                contrib = (with_deg.filter(F.col("out_deg").isNotNull())
+                           .join(edges, on=[with_deg["node"]
+                                            == edges[src]])
+                           .select(F.col(dst).alias("node"),
+                                   (F.col("pr") / F.col("out_deg"))
+                                   .alias("c"))
+                           .groupBy("node").agg(F.sum("c").alias("s")))
+                teleport = (1.0 - damping
+                            + damping * dangling) / n_seeds
+                nxt = (nodes.join(contrib, on="node", how="left")
+                       .select("node",
+                               (F.when(is_seed, F.lit(teleport))
+                                .otherwise(F.lit(0.0))
+                                + F.lit(damping)
+                                * F.coalesce("s", F.lit(0.0)))
+                               .alias("pr"))).localCheckpoint()
+                ranks.unpersist()
+                ranks = nxt
+            return ranks.select("node", F.round("pr", 6).alias("ppr"))
+        except Exception:
+            ranks.unpersist()
+            raise
+    finally:
+        nodes.unpersist()
+
+
+def personalized_pagerank_duck(edges_sql: str, seed_ids: list[int],
+                               iters: int = PR_ITERS,
+                               damping: float = PR_DAMPING) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank` — the pagerank
+    unrolled-CTE replay with the seed-concentrated teleport CASE."""
+    d = damping
+    srcs = ", ".join(str(int(s)) for s in seed_ids)
+    cte = [f"e AS MATERIALIZED ({edges_sql})",
+           "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION "
+           "SELECT dst FROM e)",
+           f"ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes "
+           f"WHERE node IN ({srcs}))",
+           "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg "
+           "FROM e GROUP BY 1)",
+           f"pr0 AS (SELECT node, CASE WHEN node IN ({srcs}) "
+           f"THEN 1.0 / ns.n ELSE 0.0 END AS pr FROM nodes, ns)"]
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        cte.append(
+            f"dm{i} AS (SELECT COALESCE(SUM(pr), 0.0) AS m FROM {p} "
+            f"LEFT JOIN deg USING (node) WHERE out_deg IS NULL)")
+        cte.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(p.pr / deg.out_deg) "
+            f"AS s FROM {p} p JOIN deg ON p.node = deg.node "
+            f"JOIN e ON e.src = p.node GROUP BY 1)")
+        cte.append(
+            f"pr{i} AS (SELECT nodes.node, "
+            f"CASE WHEN nodes.node IN ({srcs}) THEN "
+            f"(1.0 - {d!r} + {d!r} * dm{i}.m) / ns.n ELSE 0.0 END "
+            f"+ {d!r} * COALESCE(c{i}.s, 0.0) AS pr "
+            f"FROM nodes LEFT JOIN c{i} USING (node), ns, dm{i})")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node, ROUND(pr, 6) AS ppr FROM pr{iters}")
+
+
 LPA_ITERS = 4
 
 

@@ -151,6 +151,12 @@ WHERE o.o_orderdate >= DATE '{TRIANGLE_SINCE}'
 """
 
 
+#: the PPR oracle's symmetric DIRECTED edge relation — UNION dedups,
+#: matching the Spark side's distinct-pairs-both-directions frame
+_PPR_EDGES_SQL = (f"SELECT u AS src, v AS dst FROM ({_TRIANGLE_EDGES_SQL}) "
+                  f"UNION SELECT v, u FROM ({_TRIANGLE_EDGES_SQL})")
+
+
 def _copurchase_pairs(spark: SparkSession, sf_dir: str):
     """The shared part co-purchase edge list (parts sharing a recent
     order, u < v) — feeds triangles AND community labels."""
@@ -591,6 +597,23 @@ WHERE o.o_orderdate < DATE '1997-01-01'
 #: exist at every SF
 BFS_SOURCES = [1, 2]
 BFS_MAX_HOPS = 3
+
+
+PPR_ITERS = 4
+
+
+def part_ppr_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank)
+    from the seed parts over the co-purchase graph: seed-proximity
+    scores weighing path multiplicity where part_bfs_hops counts hops —
+    the "related to THESE" relevance view. Oracle replays all four
+    power iterations as unrolled CTEs."""
+    from flink_rag_spark.operators.graph import personalized_pagerank
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+             .union(pairs.select(F.col("v").alias("src"),
+                                 F.col("u").alias("dst"))))
+    return personalized_pagerank(edges, BFS_SOURCES, iters=PPR_ITERS)
 
 
 LINKPRED_TOP_N = 5

@@ -129,6 +129,7 @@ def extra_queries() -> list[tuple]:
                                                  community_labels_duck,
                                                  kcore_nodes_duck,
                                                  link_prediction_duck,
+                                                 personalized_pagerank_duck,
                                                  triangle_counts_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
@@ -1671,6 +1672,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "time_bucket(INTERVAL 1 day, {ts})", A.QROLL_QS,
              A.QROLL_STEP),
          ("rollup", "quantile", "incremental")),
+        # round-10: personalized PageRank — seed-concentrated teleport
+        # incl. dangling restart; all four iterations unrolled in the
+        # oracle (graph.personalized_pagerank)
+        ("part_ppr_relevance", A.part_ppr_relevance,
+         personalized_pagerank_duck(A._PPR_EDGES_SQL, A.BFS_SOURCES,
+                                    iters=A.PPR_ITERS),
+         ("graph", "iterative", "recommendation")),
         # round-10: link prediction — common neighbors + Adamic–Adar
         # over absent edges, hub-capped wedge enumeration, DECIMAL-
         # quantized AA terms (graph.link_prediction)

@@ -350,6 +350,37 @@ def test_lm_dirichlet_hand_values(spark):
     assert out[1]["rank"] == 1 and out[2]["rank"] == 2
 
 
+# ----------------------------------- personalized PageRank (r10)
+
+def test_personalized_pagerank_matches_python_replica(spark):
+    from flink_rag_spark.operators.graph import personalized_pagerank
+    # directed: 1->2, 2->1, 2->3; 3 is dangling (its mass restarts at
+    # the seeds, NOT uniformly)
+    edges = [(1, 2), (2, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    d, iters, seeds = 0.85, 4, [1]
+    out_edges = {1: [2], 2: [1, 3], 3: []}
+    pr = {1: 1.0, 2: 0.0, 3: 0.0}
+    for _ in range(iters):
+        dangling = sum(pr[n] for n, o in out_edges.items() if not o)
+        nxt = {n: 0.0 for n in pr}
+        for n, outs in out_edges.items():
+            for m in outs:
+                nxt[m] += d * pr[n] / len(outs)
+        for s in seeds:
+            nxt[s] += (1 - d + d * dangling) / len(seeds)
+        pr = nxt
+    got = {r["node"]: r["ppr"] for r in personalized_pagerank(
+        df, seeds, iters=iters).collect()}
+    assert got == {n: round(v, 6) for n, v in pr.items()}
+    assert abs(sum(got.values()) - 1.0) < 1e-5   # mass conserved
+    # the dangling leaf is clearly farthest; 1 vs 2 oscillate (1's
+    # whole mass funnels to 2 each step on this tiny cycle)
+    assert got[2] > got[3] and got[1] > got[3]
+    with pytest.raises(ValueError, match="no seed_ids"):
+        personalized_pagerank(df, [99], iters=2)
+
+
 # ------------------------------------------- link prediction (r10)
 
 def test_link_prediction_hand_values(spark):
