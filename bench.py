@@ -586,7 +586,22 @@ def main() -> None:
                             "like the known span/text factors "
                             "(replication also inflates span-group "
                             "sizes below the star-reduction line), "
-                            "none near 10"),
+                            "none near 10; final round-10 run with all "
+                            "15 new families in the extras: total "
+                            "12.63 (the build's best), qps 299/552/317/"
+                            "239/311, builds 2.79/7.05/2.92/1.68, "
+                            "probe 2.67/2.99 factor 1.12, rehearsal "
+                            "factors reconfirmed (negation 1.97, "
+                            "quantiles 1.96, LM 2.92). "
+                            "part_ppr_relevance 6.6s is 4 power "
+                            "iterations against an unrolled-CTE "
+                            "oracle — iteration-count-priced like "
+                            "pagerank_copurchase (10.6s/6 iters), the "
+                            "per-iteration shape is one shuffle join "
+                            "+ partial agg; part_link_prediction 4.9s "
+                            "is the hub-capped wedge join — C(deg,2) "
+                            "work by definition, bounded by the "
+                            "max_degree cap, not a plan flaw"),
         }
 
     total = round(sum(timings.values()), 3)
