@@ -585,54 +585,57 @@ def link_prediction(pairs: DataFrame, top_n: int = 10,
 
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
+    # localCheckpoint, NOT persist-and-unpersist-in-finally: the
+    # RETURNED frame's lineage reads sym four ways (degrees, the cap
+    # window, both wedge sides via adj, the anti join) — an unpersisted
+    # sym would recompute its distinct+union per consumer at the
+    # caller's action (observed: 49 exchanges); the checkpoint
+    # materializes it once (the bfs/kcore discipline)
     sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
            .union(pairs.select(F.col(id_b).alias("u"),
                                F.col(id_a).alias("v")))
-           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    try:
-        deg = (sym.groupBy(F.col("u").alias("node"))
-               .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-               .localCheckpoint(eager=True))
-        h = F.expr(poly_hash_expr("cast(v as string)"))
-        w_cap = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
-        adj = (sym.withColumn("_rk", F.row_number().over(w_cap))
-               .filter(F.col("_rk") <= max_degree).drop("_rk"))
-        # wedges at center w: (a, b) unordered neighbor pairs; the AA
-        # term rides the center's TRUE degree
-        ctr = (adj.select(F.col("u").alias("w"), F.col("v").alias("n"))
-               .join(deg.select(F.col("node").alias("w"),
-                                F.col("degree").alias("_dw")), on="w"))
-        a = ctr.select("w", F.col("n").alias("a"), "_dw")
-        b = ctr.select("w", F.col("n").alias("b"))
-        term = F.round(1.0 / F.log(F.col("_dw").cast("double")), 9) \
-            .cast(LP_TERM_DEC)
-        scored = (a.join(b, on="w")
-                  .filter(F.col("a") < F.col("b"))
-                  .select("a", "b", term.alias("_t"))
-                  .groupBy("a", "b")
-                  .agg(F.count(F.lit(1)).cast("bigint")
-                       .alias("common_neighbors"),
-                       F.sum("_t").alias("_aa")))
-        # absent edges only: predictions must not re-score known edges
-        cand = scored.join(
-            sym.select(F.col("u").alias("a"), F.col("v").alias("b")),
-            on=["a", "b"], how="left_anti")
-        directed = cand.unionByName(
-            cand.select(F.col("b").alias("a"), F.col("a").alias("b"),
-                        "common_neighbors", "_aa"))
-        w_top = Window.partitionBy("a").orderBy(
-            F.desc(F.round(F.col("_aa"), 6)), F.asc("b"))
-        return (directed
-                .withColumn("rank", F.row_number().over(w_top)
-                            .cast("bigint"))
-                .filter(F.col("rank") <= top_n)
-                .select(F.col("a").alias("node"),
-                        F.col("b").alias("candidate"),
-                        "common_neighbors",
-                        F.round(F.col("_aa"), 6).cast("double")
-                        .alias("adamic_adar"), "rank"))
-    finally:
-        sym.unpersist()
+           .distinct().localCheckpoint())
+    deg = (sym.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+           .localCheckpoint(eager=True))
+    h = F.expr(poly_hash_expr("cast(v as string)"))
+    w_cap = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
+    adj = (sym.withColumn("_rk", F.row_number().over(w_cap))
+           .filter(F.col("_rk") <= max_degree).drop("_rk"))
+    # wedges at center w: (a, b) unordered neighbor pairs; the AA
+    # term rides the center's TRUE degree
+    ctr = (adj.select(F.col("u").alias("w"), F.col("v").alias("n"))
+           .join(deg.select(F.col("node").alias("w"),
+                            F.col("degree").alias("_dw")), on="w"))
+    a = ctr.select("w", F.col("n").alias("a"), "_dw")
+    b = ctr.select("w", F.col("n").alias("b"))
+    term = F.round(1.0 / F.log(F.col("_dw").cast("double")), 9) \
+        .cast(LP_TERM_DEC)
+    scored = (a.join(b, on="w")
+              .filter(F.col("a") < F.col("b"))
+              .select("a", "b", term.alias("_t"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("common_neighbors"),
+                   F.sum("_t").alias("_aa")))
+    # absent edges only: predictions must not re-score known edges
+    cand = scored.join(
+        sym.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        on=["a", "b"], how="left_anti")
+    directed = cand.unionByName(
+        cand.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                    "common_neighbors", "_aa"))
+    w_top = Window.partitionBy("a").orderBy(
+        F.desc(F.round(F.col("_aa"), 6)), F.asc("b"))
+    return (directed
+            .withColumn("rank", F.row_number().over(w_top)
+                        .cast("bigint"))
+            .filter(F.col("rank") <= top_n)
+            .select(F.col("a").alias("node"),
+                    F.col("b").alias("candidate"),
+                    "common_neighbors",
+                    F.round(F.col("_aa"), 6).cast("double")
+                    .alias("adamic_adar"), "rank"))
 
 
 def link_prediction_duck(edges_sql: str, top_n: int = 10,
