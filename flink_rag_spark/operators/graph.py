@@ -313,6 +313,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             raise
     finally:
         nodes.unpersist()
+        try:
+            deg.unpersist()   # persisted per call; ranks are
+        except NameError:     # checkpointed, so nothing downstream
+            pass              # reads it (deg unset on the n==0 path)
 
 
 def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
@@ -426,6 +430,10 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
             raise
     finally:
         nodes.unpersist()
+        try:
+            deg.unpersist()   # persisted per call; ranks are
+        except NameError:     # checkpointed, so nothing downstream
+            pass              # reads it (deg unset on the n==0 path)
 
 
 def personalized_pagerank_duck(edges_sql: str, seed_ids: list[int],
