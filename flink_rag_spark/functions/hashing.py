@@ -148,3 +148,19 @@ def shingle_hashes_duck(text: str, k: int) -> str:
         f"th -> list_transform(range(1, greatest(len(th) - {k - 1}, 1) + 1), "
         f"i -> {comb}))[1]"
     )
+
+
+def hash_capped_sql(inner_sql: str, group_col: str, item_col: str,
+                    cap: int) -> str:
+    """DuckDB twin of ``operators.util.hash_capped_groups`` — the ONE
+    SQL rendering of the per-group hash-ordered take-N hub bound, so a
+    cap change moves every mirror together. ``inner_sql`` must yield
+    columns named ``group_col`` and ``item_col``."""
+    h = poly_hash_duck(f"CAST({item_col} AS VARCHAR)")
+    return f"""
+SELECT {group_col}, {item_col} FROM (
+  SELECT {group_col}, {item_col},
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {h}, {item_col}) AS _hc_rk
+  FROM ({inner_sql}))
+WHERE _hc_rk <= {cap}"""

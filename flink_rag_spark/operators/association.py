@@ -151,17 +151,13 @@ def itemset_pair_rules(df: DataFrame, basket_col: str, item_col: str,
     stay internally consistent. ``None`` disables."""
     from pyspark.storagelevel import StorageLevel
 
-    from flink_rag_spark.functions.hashing import poly_hash_expr
+    from flink_rag_spark.operators.util import hash_capped_groups
 
     bi = (df.select(F.col(basket_col).alias("b"),
                     F.col(item_col).alias("i"))
           .distinct())
     if max_basket_items is not None:
-        from pyspark.sql import Window
-        h = F.expr(poly_hash_expr("cast(i as string)"))
-        w = Window.partitionBy("b").orderBy(h.asc(), F.col("i").asc())
-        bi = (bi.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") <= max_basket_items).drop("_rk"))
+        bi = hash_capped_groups(bi, "b", "i", max_basket_items)
     bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n_baskets = (bi.select(F.countDistinct("b").alias("_nb"))
@@ -205,20 +201,15 @@ def itemset_pair_rules_duck(inner_sql: str, basket_col: str,
                             ) -> str:
     """DuckDB mirror of :func:`itemset_pair_rules` — same hash-ordered
     hub-basket cap (shared polynomial hash), same exact counts."""
-    from flink_rag_spark.functions.hashing import poly_hash_duck
+    from flink_rag_spark.functions.hashing import hash_capped_sql
 
+    distinct_bi = (f"SELECT DISTINCT {basket_col} AS b, {item_col} AS i "
+                   f"FROM ({inner_sql})")
     if max_basket_items is None:
-        bi_cte = (f"bi AS (SELECT DISTINCT {basket_col} AS b, "
-                  f"{item_col} AS i FROM ({inner_sql}))")
+        bi_cte = f"bi AS ({distinct_bi})"
     else:
-        h = poly_hash_duck("CAST(i AS VARCHAR)")
-        bi_cte = f"""bi AS (
-  SELECT b, i FROM (
-    SELECT b, i,
-           ROW_NUMBER() OVER (PARTITION BY b ORDER BY {h}, i) AS rk
-    FROM (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
-          FROM ({inner_sql})))
-  WHERE rk <= {max_basket_items})"""
+        bi_cte = "bi AS (" + hash_capped_sql(
+            distinct_bi, "b", "i", max_basket_items) + ")"
     return f"""
 WITH {bi_cte},
 nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
@@ -271,16 +262,13 @@ def covisitation_topn(df: DataFrame, basket_col: str, item_col: str,
     over the min-count-pruned pair frame. Never a global sort."""
     from pyspark.sql import Window
 
-    from flink_rag_spark.functions.hashing import poly_hash_expr
+    from flink_rag_spark.operators.util import hash_capped_groups
 
     bi = (df.select(F.col(basket_col).alias("b"),
                     F.col(item_col).alias("i"))
           .distinct())
     if max_basket_items is not None:
-        h = F.expr(poly_hash_expr("cast(i as string)"))
-        w = Window.partitionBy("b").orderBy(h.asc(), F.col("i").asc())
-        bi = (bi.withColumn("_rk", F.row_number().over(w))
-              .filter(F.col("_rk") <= max_basket_items).drop("_rk"))
+        bi = hash_capped_groups(bi, "b", "i", max_basket_items)
     bi = bi.persist()
     try:
         item_n = (bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_item"))
@@ -323,20 +311,15 @@ def covisitation_topn_duck(inner_sql: str, basket_col: str,
                            ) -> str:
     """DuckDB mirror of :func:`covisitation_topn` — same hub cap, same
     counts, same rounded-cosine total order."""
-    from flink_rag_spark.functions.hashing import poly_hash_duck
+    from flink_rag_spark.functions.hashing import hash_capped_sql
 
+    distinct_bi = (f"SELECT DISTINCT {basket_col} AS b, {item_col} AS i "
+                   f"FROM ({inner_sql})")
     if max_basket_items is None:
-        bi_cte = (f"bi AS (SELECT DISTINCT {basket_col} AS b, "
-                  f"{item_col} AS i FROM ({inner_sql}))")
+        bi_cte = f"bi AS ({distinct_bi})"
     else:
-        h = poly_hash_duck("CAST(i AS VARCHAR)")
-        bi_cte = f"""bi AS (
-  SELECT b, i FROM (
-    SELECT b, i,
-           ROW_NUMBER() OVER (PARTITION BY b ORDER BY {h}, i) AS rk
-    FROM (SELECT DISTINCT {basket_col} AS b, {item_col} AS i
-          FROM ({inner_sql})))
-  WHERE rk <= {max_basket_items})"""
+        bi_cte = "bi AS (" + hash_capped_sql(
+            distinct_bi, "b", "i", max_basket_items) + ")"
     return f"""
 WITH {bi_cte},
 item_n AS (SELECT i, COUNT(*) AS n_item FROM bi GROUP BY i),

@@ -589,7 +589,7 @@ def link_prediction(pairs: DataFrame, top_n: int = 10,
     existing-edge exclusion is one anti join."""
     from pyspark.sql import Window
 
-    from flink_rag_spark.functions.hashing import poly_hash_expr
+    from flink_rag_spark.operators.util import hash_capped_groups
 
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
@@ -606,10 +606,7 @@ def link_prediction(pairs: DataFrame, top_n: int = 10,
     deg = (sym.groupBy(F.col("u").alias("node"))
            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
            .localCheckpoint(eager=True))
-    h = F.expr(poly_hash_expr("cast(v as string)"))
-    w_cap = Window.partitionBy("u").orderBy(h.asc(), F.col("v").asc())
-    adj = (sym.withColumn("_rk", F.row_number().over(w_cap))
-           .filter(F.col("_rk") <= max_degree).drop("_rk"))
+    adj = hash_capped_groups(sym, "u", "v", max_degree)
     # wedges at center w: (a, b) unordered neighbor pairs; the AA
     # term rides the center's TRUE degree
     ctr = (adj.select(F.col("u").alias("w"), F.col("v").alias("n"))
@@ -650,18 +647,15 @@ def link_prediction_duck(edges_sql: str, top_n: int = 10,
                          max_degree: int = LP_MAX_DEGREE) -> str:
     """DuckDB mirror of :func:`link_prediction` — same hash-ordered
     adjacency cap, same DECIMAL-quantized AA terms, same total order."""
-    from flink_rag_spark.functions.hashing import poly_hash_duck
-    h = poly_hash_duck("CAST(v AS VARCHAR)")
+    from flink_rag_spark.functions.hashing import hash_capped_sql
+    adj_body = hash_capped_sql("SELECT u, v FROM sym", "u", "v",
+                               max_degree)
     return f"""
 WITH e0 AS MATERIALIZED ({edges_sql}),
 sym AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
 deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
         FROM sym GROUP BY u),
-adj AS (
-  SELECT u, v FROM (
-    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
-                                    ORDER BY {h}, v) AS rk
-    FROM sym) WHERE rk <= {max_degree}),
+adj AS ({adj_body}),
 ctr AS (SELECT a.u AS w, a.v AS n, d.degree AS dw
         FROM adj a JOIN deg d ON d.node = a.u),
 scored AS (
@@ -794,12 +788,11 @@ def kcore_nodes(pairs: DataFrame, k: int, id_a: str = "u",
     state; the per-round work shrinks with the surviving subgraph."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-           .union(pairs.select(F.col(id_b).alias("u"),
-                               F.col(id_a).alias("v")))
-           .distinct().localCheckpoint())
+    e = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .union(pairs.select(F.col(id_b).alias("u"),
+                             F.col(id_a).alias("v")))
+         .distinct().localCheckpoint())
     try:
-        e = sym
         for _ in range(iters):
             keep = (e.groupBy(F.col("u").alias("node"))
                     .agg(F.count(F.lit(1)).alias("deg"))
@@ -815,7 +808,10 @@ def kcore_nodes(pairs: DataFrame, k: int, id_a: str = "u",
                 .agg(F.count(F.lit(1)).cast("bigint")
                      .alias("core_degree")))
     except Exception:
-        sym.unpersist()
+        # release the LIVE round's checkpoint, not the long-gone
+        # symmetric frame (each round already unpersisted its
+        # predecessor — the bfs_hops shape)
+        e.unpersist()
         raise
 
 

@@ -221,8 +221,16 @@ def ab_proportion_test_duck(inner_sql: str, group_col: str,
                             success_expr: str, group_a, group_b,
                             z_crit: float = Z_CRIT) -> str:
     """DuckDB mirror of :func:`ab_proportion_test`. ``success_expr`` is
-    the boolean SQL expression; group literals interpolate via repr."""
-    ga, gb = repr(group_a), repr(group_b)
+    the boolean SQL expression; group literals render through a proper
+    SQL quoter (repr() is NOT one: a string containing a single quote
+    would produce broken SQL, and bool/Decimal reprs aren't SQL)."""
+    def _lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+    ga, gb = _lit(group_a), _lit(group_b)
     return f"""
 WITH src AS (
   SELECT {group_col} AS g,

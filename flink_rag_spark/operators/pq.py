@@ -232,8 +232,26 @@ def build_ivfpq_index(spark, embeddings: DataFrame, path: str,
     path (same use as build_ivf_index's ``centroids=``)."""
     import json
     import os
+    import shutil
 
     from flink_rag_spark.operators.similarity import ivf_centroids
+
+    # settle any in-flight promotion FIRST (index.build_ivf_index's
+    # documented 'reproduced' failure mode applies here doubled: a
+    # crashed promote's intent + staged cells left beside a fresh
+    # rebuild would be replayed by the next reader's recovery hook,
+    # silently reverting the rebuild to the stale geometry), then clear
+    # pre-commit rebuild garbage and the staged coarse set — both are
+    # staged against the pre-rebuild geometry this overwrite supersedes
+    _recover_promote_ivfpq(path)
+    for stale in ("cells.rebuilding",):
+        sp = os.path.join(path, stale)
+        if os.path.exists(sp):
+            shutil.rmtree(sp)
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+    nxt = os.path.join(path, NEXT_CODEBOOK)
+    if os.path.exists(nxt):
+        os.remove(nxt)
     if coarse_centroids is not None:
         cents = [[float(x) for x in c] for c in coarse_centroids]
     else:

@@ -394,17 +394,20 @@ def quantiles_from_bins(bins: DataFrame, group_cols: list[str],
     cum = (bins
            .withColumn("_cum", F.sum("cnt").over(w_cum))
            .withColumn("_n", F.sum("cnt").over(w_all)))
+    # POSITIONAL aliases — a value-derived name like _q{int(q*1000)}
+    # would collide for quantiles agreeing to 3 decimals (0.999 vs
+    # 0.9995) and break the stack reference with an ambiguous column
     picks = []
-    for q in qs:
+    for i, q in enumerate(qs):
         picks.append(
             F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * q),
-                         F.col("qbin"))).alias(f"_q{int(q * 1000)}"))
+                         F.col("qbin"))).alias(f"_qi{i}"))
     picks.append(F.max("_n").cast("bigint").alias("_nn"))
     one = cum.groupBy(*group_cols).agg(*picks)
     entries = ", ".join(
         f"CAST({q!r} AS DOUBLE), "
-        f"CAST(_q{int(q * 1000)} * {step!r} AS DOUBLE)"
-        for q in qs)
+        f"CAST(_qi{i} * {step!r} AS DOUBLE)"
+        for i, q in enumerate(qs))
     return (one.select(
         *group_cols,
         F.expr(f"stack({len(qs)}, {entries}) as (q, quantile_lb)"),

@@ -108,3 +108,22 @@ def widen_if_narrow(df: DataFrame) -> DataFrame:
     if est is not None and est < target:
         return df.repartition(target)
     return df
+
+
+def hash_capped_groups(df: DataFrame, group_col: str, item_col: str,
+                       cap: int) -> DataFrame:
+    """The hub-skew bound shared by the basket-pair family and link
+    prediction: keep each group's ``cap`` lowest-(poly_hash(item),
+    item) rows — a deterministic, unbiased-in-expectation take-N that
+    both engines replay bit-identically (the shared polynomial hash;
+    SQL twin: ``functions.hashing.hash_capped_sql``). One window on
+    the group key; everything else scan-shaped."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flink_rag_spark.functions.hashing import poly_hash_expr
+    h = F.expr(poly_hash_expr(f"cast({item_col} as string)"))
+    w = (Window.partitionBy(group_col)
+         .orderBy(h.asc(), F.col(item_col).asc()))
+    return (df.withColumn("_hc_rk", F.row_number().over(w))
+            .filter(F.col("_hc_rk") <= cap).drop("_hc_rk"))

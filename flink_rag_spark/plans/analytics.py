@@ -152,9 +152,12 @@ WHERE o.o_orderdate >= DATE '{TRIANGLE_SINCE}'
 
 
 #: the PPR oracle's symmetric DIRECTED edge relation — UNION dedups,
-#: matching the Spark side's distinct-pairs-both-directions frame
-_PPR_EDGES_SQL = (f"SELECT u AS src, v AS dst FROM ({_TRIANGLE_EDGES_SQL}) "
-                  f"UNION SELECT v, u FROM ({_TRIANGLE_EDGES_SQL})")
+#: matching the Spark side's distinct-pairs-both-directions frame; the
+#: heavy lineitem self-join materializes ONCE via a nested CTE (the
+#: e0raw pattern the sibling graph mirrors use), not once per branch
+_PPR_EDGES_SQL = (f"WITH raw AS MATERIALIZED ({_TRIANGLE_EDGES_SQL}) "
+                  f"SELECT u AS src, v AS dst FROM raw "
+                  f"UNION SELECT v, u FROM raw")
 
 
 def _copurchase_pairs(spark: SparkSession, sf_dir: str):

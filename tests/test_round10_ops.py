@@ -212,6 +212,55 @@ def test_ivfpq_promote_crash_recovers_on_next_read(spark, tmp_path):
     assert _codes(spark, idx) == _codes(spark, want)
 
 
+def test_build_ivfpq_index_settles_crashed_promotion(spark, tmp_path):
+    """A rebuild over a path holding a crashed promotion's intent +
+    staged cells must SUPERSEDE them (index.build_ivf_index's
+    'reproduced' failure mode): without settling first, the next
+    reader's recovery hook would swap the stale staged cells in over
+    the fresh rebuild and revert the geometry."""
+    import json
+    import os
+
+    from flink_rag_spark.operators.index import NEXT_CODEBOOK
+    from flink_rag_spark.operators.pq import (IVFPQ_PROMOTE_INTENT,
+                                              _encode_cells,
+                                              build_ivfpq_index,
+                                              ivfpq_topk)
+    emb = _clustered(spark)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb.filter("vec_id < 20"), idx,
+                      n_centroids=4, m=4, kc=4, iters=3)
+    # manufacture the crash: a STALE promotion staged over the old
+    # corpus, intent committed, swap not performed — plus a stale
+    # staged coarse set
+    stale_cents, stale_cb = _geometry(idx)
+    _encode_cells(spark, emb.filter("vec_id < 10"), stale_cents,
+                  stale_cb, f"{idx}/cells.rebuilding", 4, 4, 3,
+                  "embedding", "vec_id")
+    with open(os.path.join(idx, IVFPQ_PROMOTE_INTENT), "w") as f:
+        json.dump({"centroids": stale_cents, "codebook": stale_cb}, f)
+    with open(os.path.join(idx, NEXT_CODEBOOK), "w") as f:
+        json.dump({"centroids": stale_cents, "counts": [1] * 4,
+                   "drift": 9.9}, f)
+
+    # the fresh rebuild over the FULL corpus must supersede all of it
+    build_ivfpq_index(spark, emb, idx, n_centroids=4, m=4, kc=4, iters=3)
+    fresh = _geometry(idx)
+    assert not os.path.exists(os.path.join(idx, IVFPQ_PROMOTE_INTENT))
+    assert not os.path.exists(os.path.join(idx, "cells.rebuilding"))
+    assert not os.path.exists(os.path.join(idx, NEXT_CODEBOOK))
+    # a probe (whose _load_geometry runs the recovery hook) must see
+    # the fresh 30-vector index, not the resurrected 10-vector one
+    qv = [r["embedding"] for r in
+          emb.filter("vec_id = 25").collect()][0]
+    got = ivfpq_topk(spark, idx, qv, emb, k=3, n_probe=2).collect()
+    assert got and got[0]["vec_id"] == 25
+    assert _geometry(idx) == fresh
+    ids = sorted(r["vec_id"] for r in
+                 spark.read.parquet(f"{idx}/cells").collect())
+    assert ids == list(range(30))
+
+
 def test_run_ingest_stages_ivfpq_geometry(spark, tmp_path):
     """run_ingest(ivfpq_index=..., ivfpq_geometry=True) absorbs
     store-new rows into the staged coarse geometry without touching
