@@ -601,7 +601,15 @@ def main() -> None:
                             "+ partial agg; part_link_prediction 4.9s "
                             "is the hub-capped wedge join — C(deg,2) "
                             "work by definition, bounded by the "
-                            "max_degree cap, not a plan flaw"),
+                            "max_degree cap, not a plan flaw; fourth "
+                            "run after the self-review fixes: total "
+                            "15.5 / probe factor 1.47 — a NOISY run "
+                            "(single-run 10x probe; all four runs "
+                            "12.63-15.48 sit inside the documented "
+                            "±20-40% band), while link_prediction "
+                            "dropped 4.9->4.3 after its edge-frame "
+                            "lineage fix (was recomputing the "
+                            "distinct+union per consumer)"),
         }
 
     total = round(sum(timings.values()), 3)
