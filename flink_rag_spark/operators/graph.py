@@ -749,7 +749,8 @@ def bfs_hops_duck(edges_sql: str, source_ids: list[int],
             f"f{h} AS MATERIALIZED ("
             f"SELECT DISTINCT e.v AS node FROM e "
             f"JOIN f{h - 1} f ON e.u = f.node "
-            f"WHERE e.v NOT IN (SELECT node FROM v{h - 1}))")
+            f"WHERE NOT EXISTS (SELECT 1 FROM v{h - 1} p "
+            f"WHERE p.node = e.v))")
         cte.append(
             f"v{h} AS MATERIALIZED (SELECT node, hops FROM v{h - 1} "
             f"UNION ALL SELECT node, {h} AS hops FROM f{h})")

@@ -224,12 +224,7 @@ def ab_proportion_test_duck(inner_sql: str, group_col: str,
     the boolean SQL expression; group literals render through a proper
     SQL quoter (repr() is NOT one: a string containing a single quote
     would produce broken SQL, and bool/Decimal reprs aren't SQL)."""
-    def _lit(v):
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
-            return str(v)
-        return "'" + str(v).replace("'", "''") + "'"
+    from flink_rag_spark.operators.util import sql_str_lit as _lit
     ga, gb = _lit(group_a), _lit(group_b)
     return f"""
 WITH src AS (

@@ -556,8 +556,11 @@ def promote_next_ivfpq_geometry(spark, embeddings: DataFrame, path: str,
         return live_cents, live_cb
     with open(nxt_file) as f:
         cents = json.load(f)["centroids"]
-    if len(cents) != len(live_cents) or (
+    if not live_cb or len(cents) != len(live_cents) or (
             cents and live_cents and len(cents[0]) != len(live_cents[0])):
+        # an empty live codebook has no (m, kc) geometry to re-train
+        # against — discard the staged candidate like a shape mismatch
+        # instead of raising IndexError on live_cb[0]
         os.remove(nxt_file)
         return live_cents, live_cb
     m, kc = len(live_cb), len(live_cb[0])

@@ -44,6 +44,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from flink_rag_spark.operators.util import sql_str_lit as _q
+
 ROUND_DP = 6
 
 
@@ -141,14 +143,14 @@ def funnel_summary_duck(steps: list[str], within_seconds: int | None = None,
         raise TypeError(
             "funnel_summary_duck only mirrors string (event-type) steps; "
             f"got non-string steps: {bad!r}")
-    in_list = ", ".join(f"'{s}'" for s in steps)
+    in_list = ", ".join(_q(s) for s in steps)
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
     layers = []
     prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
     src = "e"
     for i, step in enumerate(steps, start=1):
-        cond = f"{type_col} = '{step}'"
+        cond = f"{type_col} = {_q(step)}"
         if i > 1:
             cond += f" AND {ts_col} > _r{i - 1}"
             if within_seconds is not None:
@@ -165,7 +167,7 @@ def funnel_summary_duck(steps: list[str], within_seconds: int | None = None,
     t_cols = ", ".join(f"MIN(_r{i}) AS t{i}"
                        for i in range(1, len(steps) + 1))
     step_rows = " UNION ALL ".join(
-        f"SELECT {i} AS step, '{steps[i - 1]}' AS step_type, "
+        f"SELECT {i} AS step, {_q(steps[i - 1])} AS step_type, "
         f"n{i} AS n_keys, n{max(i - 1, 1)} AS _n_prev, n1 AS _n1 FROM c"
         for i in range(1, len(steps) + 1))
     return f"""
@@ -221,8 +223,8 @@ def funnel_conversion_stats(events: DataFrame, steps: list[str],
     for i in range(1, k):
         entries.append(
             f"named_struct('step', {i}, "
-            f"'from_type', '{labels[i - 1]}', "
-            f"'to_type', '{labels[i]}', "
+            f"'from_type', {_q(labels[i - 1])}, "
+            f"'to_type', {_q(labels[i])}, "
             f"'gap_us', timestampdiff(MICROSECOND, t{i}, t{i + 1}))")
     gaps = (ft.select(F.explode(F.array(
         *[F.expr(e) for e in entries])).alias("g"))
@@ -262,14 +264,14 @@ def funnel_conversion_stats_duck(steps: list[str],
         raise TypeError("funnel_conversion_stats_duck only mirrors "
                         f"string steps; got: {bad!r}")
     k = len(steps)
-    in_list = ", ".join(f"'{s}'" for s in steps)
+    in_list = ", ".join(_q(s) for s in steps)
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
     layers = []
     prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
     src = "e"
     for i, step in enumerate(steps, start=1):
-        cond = f"{type_col} = '{step}'"
+        cond = f"{type_col} = {_q(step)}"
         if i > 1:
             cond += f" AND {ts_col} > _r{i - 1}"
             if within_seconds is not None:
@@ -283,8 +285,8 @@ def funnel_conversion_stats_duck(steps: list[str],
         src = f"l{i}"
     t_cols = ", ".join(f"MIN(_r{i}) AS t{i}" for i in range(1, k + 1))
     gap_rows = " UNION ALL ".join(
-        f"SELECT {i} AS step, '{steps[i - 1]}' AS from_type, "
-        f"'{steps[i]}' AS to_type, "
+        f"SELECT {i} AS step, {_q(steps[i - 1])} AS from_type, "
+        f"{_q(steps[i])} AS to_type, "
         f"date_diff('microsecond', t{i}, t{i + 1}) AS gap_us "
         f"FROM ft WHERE t{i + 1} IS NOT NULL"
         for i in range(1, k))
@@ -383,14 +385,14 @@ def quantified_funnel_times_duck(steps: list,
         raise TypeError(
             "quantified_funnel_times_duck only mirrors string steps; "
             f"got non-string steps: {bad!r}")
-    in_list = ", ".join(f"'{s}'" for s in set(flat))
+    in_list = ", ".join(_q(s) for s in set(flat))
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
     layers = []
     prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
     src = "e"
     for i, step in enumerate(flat, start=1):
-        cond = f"{type_col} = '{step}'"
+        cond = f"{type_col} = {_q(step)}"
         if i > 1:
             cond += f" AND {ts_col} > _r{i - 1}"
             if within_seconds is not None:
@@ -518,7 +520,7 @@ def negated_funnel_times_duck(steps: list[str], negations: dict[int, str],
             f"got: {bad!r}")
     k = len(steps)
     types = list(steps) + list(negations.values())
-    in_list = ", ".join(f"'{s}'" for s in dict.fromkeys(types))
+    in_list = ", ".join(_q(s) for s in dict.fromkeys(types))
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
     layers = []
@@ -526,7 +528,7 @@ def negated_funnel_times_duck(steps: list[str], negations: dict[int, str],
     src = "e"
     li = 0
     for i, step in enumerate(steps, start=1):
-        cond = f"{type_col} = '{step}'"
+        cond = f"{type_col} = {_q(step)}"
         if i > 1:
             cond += f" AND {ts_col} > _r{i - 1}"
             if within_seconds is not None:
@@ -540,7 +542,7 @@ def negated_funnel_times_duck(steps: list[str], negations: dict[int, str],
         prev_cols += f", _r{i}"
         src = f"l{li}"
         if i in negations:
-            ncond = (f"{type_col} = '{negations[i]}' "
+            ncond = (f"{type_col} = {_q(negations[i])} "
                      f"AND {ts_col} > _r{i}")
             li += 1
             layers.append(
@@ -660,7 +662,7 @@ def cohort_retention_duck(signup_type: str = "signup",
     both engines; day-level date difference floored to weeks)."""
     return f"""
 WITH a AS (SELECT {key_col}, MIN({ts_col}) AS _t0
-           FROM {table} WHERE {type_col} = '{signup_type}'
+           FROM {table} WHERE {type_col} = {_q(signup_type)}
            GROUP BY {key_col}),
 act AS (
   SELECT date_trunc('week', a._t0) AS cohort_week,
@@ -739,13 +741,13 @@ def last_touch_attribution_duck(touch_types: list[str],
                                 value_col: str = "value",
                                 table: str = "events") -> str:
     """DuckDB mirror of :func:`last_touch_attribution`."""
-    touches = ", ".join(f"'{t}'" for t in touch_types)
+    touches = ", ".join(_q(t) for t in touch_types)
     return f"""
 WITH rel AS (
   SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
          CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS v
   FROM {table}
-  WHERE {type_col} IN ({touches}, '{conversion_type}')),
+  WHERE {type_col} IN ({touches}, {_q(conversion_type)})),
 tagged AS (
   SELECT *, LAST_VALUE(CASE WHEN {type_col} IN ({touches})
                             THEN {type_col} END IGNORE NULLS)
@@ -755,7 +757,7 @@ tagged AS (
 agg AS (
   SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
          SUM(v) AS sv
-  FROM tagged WHERE {type_col} = '{conversion_type}' GROUP BY 1)
+  FROM tagged WHERE {type_col} = {_q(conversion_type)} GROUP BY 1)
 SELECT touch_type, n_conversions,
        CAST(sv AS DOUBLE) AS attributed_value,
        ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
@@ -812,7 +814,7 @@ def linear_attribution(events: DataFrame, touch_types: list[str],
     # keep the sums DECIMAL through the share math (exact,
     # order-independent) — the last_touch discipline
     pairs = ", ".join(
-        [f"'{t}', _c{i}, _v{i}" for i, t in enumerate(touch_types)]
+        [f"{_q(t)}, _c{i}, _v{i}" for i, t in enumerate(touch_types)]
         + ["CAST(NULL AS STRING), _cn, _vn"])
     rows = one.select(F.expr(
         f"stack({len(touch_types) + 1}, {pairs}) "
@@ -836,11 +838,11 @@ def linear_attribution_duck(touch_types: list[str],
                             table: str = "events") -> str:
     """DuckDB mirror of :func:`linear_attribution` — same running
     seen-flags, same per-term DECIMAL quantization, same unpivot."""
-    touches = ", ".join(f"'{t}'" for t in touch_types)
+    touches = ", ".join(_q(t) for t in touch_types)
     over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
             "ROWS UNBOUNDED PRECEDING)")
     seen = ", ".join(
-        f"MAX(CASE WHEN {type_col} = '{t}' THEN 1 ELSE 0 END) {over} "
+        f"MAX(CASE WHEN {type_col} = {_q(t)} THEN 1 ELSE 0 END) {over} "
         f"AS s{i}" for i, t in enumerate(touch_types))
     n = " + ".join(f"s{i}" for i in range(len(touch_types)))
     agg_cols = ", ".join(
@@ -851,7 +853,7 @@ def linear_attribution_duck(touch_types: list[str],
         + ["SUM(CASE WHEN n = 0 THEN CAST(v AS DECIMAL(20,6)) END) AS vn",
            "COUNT(CASE WHEN n = 0 THEN 1 END) AS cn"])
     rows = " UNION ALL ".join(
-        [f"SELECT '{t}' AS touch_type, c{i} AS n_conversions, "
+        [f"SELECT {_q(t)} AS touch_type, c{i} AS n_conversions, "
          f"v{i} AS av FROM agg"
          for i, t in enumerate(touch_types)]
         + ["SELECT NULL, cn, vn FROM agg"])
@@ -860,10 +862,10 @@ WITH rel AS (
   SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
          CAST({value_col} AS DOUBLE) AS v
   FROM {table}
-  WHERE {type_col} IN ({touches}, '{conversion_type}')),
+  WHERE {type_col} IN ({touches}, {_q(conversion_type)})),
 seen AS (SELECT *, {seen} FROM rel),
 conv AS (SELECT *, {n} AS n FROM seen
-         WHERE {type_col} = '{conversion_type}'),
+         WHERE {type_col} = {_q(conversion_type)}),
 agg AS (SELECT {agg_cols} FROM conv),
 rows_ AS ({rows})
 SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,

@@ -17,6 +17,22 @@ def _max_partition_bytes(spark) -> int:
     return int(digits) if digits else _DEFAULT_MAX_PARTITION_BYTES
 
 
+def sql_str_lit(v) -> str:
+    """Render a Python value as a SQL literal, safely.
+
+    ``repr()`` is NOT a SQL quoter (bool/Decimal reprs aren't SQL, and a
+    string containing a single quote produces broken SQL); neither is a
+    bare f-string ``'{v}'``. One shared rendering for every operator that
+    interpolates user-supplied strings (event types, funnel steps, touch
+    labels, group values) into Spark ``F.expr`` strings or DuckDB oracle
+    SQL — both engines use the same ``''`` escape."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many partitions the input scan yields, WITHOUT touching
     ``df.rdd`` (which forces a logical→RDD plan conversion per call and is
