@@ -423,7 +423,11 @@ def quantile_rollup_duck(inner_sql: str, ts_col: str, value_col: str,
     over {ts} (e.g. ``time_bucket(INTERVAL 1 day, {ts})``) — the mirror
     replays quantize → count → cumulative rank pick exactly."""
     b = bucket_expr.format(ts=ts_col)
-    q_rows = " UNION ALL ".join(f"SELECT {q!r} AS q" for q in qs)
+    # CAST to DOUBLE: bare 0.5/0.9/0.99 literals infer DECIMAL(3,2) in
+    # DuckDB while the Spark side emits DOUBLE q — keep the DESCRIBE
+    # dtypes aligned for the driver's dtype-sensitive value hash
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in qs)
     return f"""
 WITH src AS (SELECT * FROM ({inner_sql}) WHERE {value_col} IS NOT NULL),
 bins AS (

@@ -572,6 +572,211 @@ SELECT {key_col}, {", ".join(sel)} FROM ft
 """
 
 
+def _strict_blocks(k: int, contiguity: list[str]) -> list[tuple[int, int]]:
+    """Split steps 1..k into maximal strict runs: gap i ('next') glues
+    step i to step i+1 into one block; relaxed gaps ('followedBy')
+    separate blocks. Returns 1-based inclusive (start, end) pairs."""
+    blocks, start = [], 1
+    for i, g in enumerate(contiguity, start=1):
+        if g == "followedBy":
+            blocks.append((start, i))
+            start = i + 1
+    blocks.append((start, k))
+    return blocks
+
+
+def strict_funnel_times(events: DataFrame, steps: list[str | Column],
+                        contiguity: list[str] | None = None,
+                        not_next: dict[int, str | Column] | None = None,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        seq_col: str = "event_id",
+                        within_seconds: int | None = None) -> DataFrame:
+    """``funnel_times`` with STRICT-CONTIGUITY gaps — FlinkCEP's
+    ``next`` / ``notNext`` (MATCH_RECOGNIZE without a skip clause;
+    reference parity: FlinkCEP is the Flink capability the reference's
+    stack ships alongside the pipeline in AiJob.java):
+    ``contiguity[i-1]`` is ``'next'`` (step i+1 must be the key's
+    IMMEDIATELY following event after the matched step i — any
+    intervening event of any type breaks the match) or ``'followedBy'``
+    (the family's skip-till-next default). ``not_next`` maps a step i
+    to a predicate its immediately-following event must NOT satisfy
+    (``notNext``; a missing next event passes — the bounded-input
+    reading); it attaches only where step i ends a strict run (a
+    ``'next'`` gap at i would pin that very event to step i+1).
+
+    Unlike the relaxed funnel, the earliest step-1 anchor is NOT always
+    extendable under strict gaps (A A B matches A→next→B only from the
+    SECOND A), so fixed-anchor layering is wrong here. Instead each
+    maximal strict run of steps becomes a BLOCK matched per anchor row
+    with ``lead()`` adjacency (every anchor is tried — FlinkCEP's NFA
+    does exactly this), and blocks chain with the relaxed running-min
+    layers. Convergence: a block's end ts is ``lead(ts, L-1)`` of its
+    anchor, anchors and ends sort identically per key, so the running
+    min of matched step-i ts converges exactly like the flat funnel's
+    r_i (all anchors with end ts ≤ T sit at rows ≤ the row of T).
+
+    Output: (key, t1..tk) — t_i the matched ts of step i in the
+    earliest valid chain, NULL from the first incomplete block on.
+
+    Scale shape: adjacency is over the key's RAW event stream, so the
+    scan cannot pre-filter to step types (an intervening non-step event
+    must break strict gaps) — it projects (key, seq, ts, type) only;
+    every lead and running-min layer shares ONE (key, ts, seq) exchange
+    and sort. ``within_seconds`` bounds every block end against the
+    block-1 anchor (_t1), the family's greedy first-entry clock."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    contiguity = contiguity or ["followedBy"] * (k - 1)
+    if len(contiguity) != k - 1:
+        raise ValueError(f"contiguity needs {k - 1} gaps, "
+                         f"got {len(contiguity)}")
+    bad = [g for g in contiguity if g not in ("next", "followedBy")]
+    if bad:
+        raise ValueError(f"unknown contiguity values: {bad!r}")
+    not_next = not_next or {}
+    for i in not_next:
+        if not (1 <= i <= k):
+            raise ValueError(f"not_next step {i} out of range (1..{k})")
+        if i < k and contiguity[i - 1] == "next":
+            raise ValueError(
+                f"not_next at step {i} conflicts with its 'next' gap — "
+                "the immediately-following event is already step "
+                f"{i + 1}")
+    blocks = _strict_blocks(k, contiguity)
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
+    xconds = {i: (F.col(type_col) == s if isinstance(s, str) else s)
+              for i, s in not_next.items()}
+    df = events.select(key_col, seq_col, ts_col, type_col) \
+        if all(isinstance(s, str) for s in steps) and \
+        all(isinstance(s, str) for s in not_next.values()) else events
+    for i, c in enumerate(conds, start=1):
+        df = df.withColumn(f"_m{i}", c)
+    for i, c in xconds.items():
+        df = df.withColumn(f"_x{i}", c)
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)
+    prev_end = None
+    for b, (a, e) in enumerate(blocks, start=1):
+        ln = e - a + 1
+        # materialize the anchor-relative lead timestamps FIRST — a
+        # lead() inside a running min() would be an (illegal) nested
+        # window expression; as plain columns both share the one sort
+        for d in range(1, ln):
+            df = df.withColumn(f"_lt{b}_{d}",
+                               F.lead(ts_col, d).over(w_ord))
+        end_col = F.col(f"_lt{b}_{ln - 1}") if ln > 1 else F.col(ts_col)
+        match = F.col(f"_m{a}")
+        for d in range(1, ln):
+            match = match & F.coalesce(
+                F.lead(f"_m{a + d}", d).over(w_ord), F.lit(False))
+        if e in xconds:
+            match = match & ~F.coalesce(
+                F.lead(f"_x{e}", ln).over(w_ord), F.lit(False))
+        cond = match
+        if prev_end is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_end))
+        if within_seconds is not None:
+            bound = F.col("_t1") if b > 1 else F.col(ts_col)
+            cond = cond & (end_col <= bound
+                           + F.expr(f"INTERVAL {within_seconds} SECOND"))
+        df = df.withColumn(f"_ok{b}", cond)
+        # _t{a} doubles as the block anchor min and (at d = ln-1) the
+        # block-end min the next block chains on — no separate _s/_e
+        for d in range(ln):
+            step_ts = F.col(f"_lt{b}_{d}") if d > 0 else F.col(ts_col)
+            df = df.withColumn(f"_t{a + d}", F.min(
+                F.when(F.col(f"_ok{b}"), step_ts)).over(w_run))
+        prev_end = f"_t{e}"
+    return df.groupBy(key_col).agg(*[
+        F.min(f"_t{i}").alias(f"t{i}") for i in range(1, k + 1)])
+
+
+def strict_funnel_times_duck(steps: list[str],
+                             contiguity: list[str] | None = None,
+                             not_next: dict[int, str] | None = None,
+                             within_seconds: int | None = None,
+                             key_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             seq_col: str = "event_id",
+                             table: str = "events") -> str:
+    """DuckDB mirror of :func:`strict_funnel_times` — the same per-row
+    lead-adjacency block matches chained by the same running-min
+    layers (leads materialized a layer ahead of the mins, the nested-
+    window rule again). String steps only (the family's Column
+    caveat)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    bad = [s for s in list(steps) + list((not_next or {}).values())
+           if not isinstance(s, str)]
+    if bad:
+        raise TypeError("strict_funnel_times_duck only mirrors string "
+                        f"steps; got: {bad!r}")
+    k = len(steps)
+    contiguity = contiguity or ["followedBy"] * (k - 1)
+    not_next = not_next or {}
+    blocks = _strict_blocks(k, contiguity)
+    over = f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col})"
+    run = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+           "ROWS UNBOUNDED PRECEDING)")
+    flags = ", ".join(
+        [f"({type_col} = {_q(s)}) AS _m{i}"
+         for i, s in enumerate(steps, start=1)]
+        + [f"({type_col} = {_q(s)}) AS _x{i}"
+           for i, s in not_next.items()])
+    layers = [f"f AS (SELECT {key_col}, {seq_col}, {ts_col}, {flags} "
+              f"FROM {table})"]
+    mcols = ", ".join([f"_m{i}" for i in range(1, k + 1)]
+                      + [f"_x{i}" for i in not_next])
+    base_cols = f"{key_col}, {seq_col}, {ts_col}, {mcols}"
+    carry = ""  # accumulated _t columns
+    src, li, prev_end = "f", 0, None
+    for b, (a, e) in enumerate(blocks, start=1):
+        ln = e - a + 1
+        # layer 1: materialize leads + the block-match flag
+        terms = [f"_m{a}"]
+        terms += [f"COALESCE(LEAD(_m{a + d}, {d}) {over}, FALSE)"
+                  for d in range(1, ln)]
+        if e in not_next:
+            terms.append(
+                f"NOT COALESCE(LEAD(_x{e}, {ln}) {over}, FALSE)")
+        lts = "".join(f", LEAD({ts_col}, {d}) {over} AS _lt{b}_{d}"
+                      for d in range(1, ln))
+        end_ts = f"_lt{b}_{ln - 1}" if ln > 1 else ts_col
+        cond = " AND ".join(terms)
+        if prev_end is not None:
+            cond += f" AND {ts_col} > {prev_end}"
+        if within_seconds is not None:
+            bound = "_t1" if b > 1 else ts_col
+            cond += (f" AND {end_ts} <= {bound} + "
+                     f"INTERVAL {within_seconds} SECOND")
+        li += 1
+        layers.append(
+            f"l{li} AS (SELECT {base_cols}{carry}{lts}, "
+            f"({cond}) AS _ok{b} FROM {src})")
+        src = f"l{li}"
+        # layer 2: the running-min picks over the materialized leads
+        picks = []
+        for d in range(ln):
+            sts = f"_lt{b}_{d}" if d > 0 else ts_col
+            picks.append(f"MIN(CASE WHEN _ok{b} THEN {sts} END) "
+                         f"{run} AS _t{a + d}")
+        li += 1
+        layers.append(
+            f"l{li} AS (SELECT {base_cols}{carry}, "
+            + ", ".join(picks) + f" FROM {src})")
+        carry += "".join(f", _t{a + d}" for d in range(ln))
+        src = f"l{li}"
+        prev_end = f"_t{e}"
+    t_aggs = ", ".join(f"MIN(_t{i}) AS t{i}" for i in range(1, k + 1))
+    return (f"WITH {', '.join(layers)}\n"
+            f"SELECT {key_col}, {t_aggs} FROM {src} "
+            f"GROUP BY {key_col}")
+
+
 def event_transitions(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       seq_col: str = "event_id") -> DataFrame:

@@ -271,6 +271,31 @@ def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
 
 
+#: the strict-contiguity pattern the graded query runs: a view whose
+#: IMMEDIATELY next event is a click (FlinkCEP ``next``), whose own
+#: immediately-next event is NOT an error (``notNext``), then
+#: eventually a purchase (``followedBy``)
+STRICT_FUNNEL_STEPS = ["view", "click", "purchase"]
+STRICT_FUNNEL_CONTIG = ["next", "followedBy"]
+STRICT_FUNNEL_NOT_NEXT = {2: "error"}
+
+
+def strict_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity CEP (operators/sequences.py
+    strict_funnel_times — FlinkCEP ``next``/``notNext``): per-user
+    earliest view→click→purchase chain where the click is the view's
+    immediately following event, the click's immediate successor is not
+    an error, and the purchase follows anywhere later. Per-anchor
+    lead-adjacency block matching (earliest anchor is NOT always
+    extendable under strict gaps) on the funnel family's single
+    exchange."""
+    from flink_rag_spark.operators.sequences import strict_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return strict_funnel_times(e, STRICT_FUNNEL_STEPS,
+                               STRICT_FUNNEL_CONTIG,
+                               STRICT_FUNNEL_NOT_NEXT)
+
+
 #: attribution model: purchases credit the most recent prior touch
 ATTR_TOUCHES = ["view", "click", "signup"]
 ATTR_CONVERSION = "purchase"

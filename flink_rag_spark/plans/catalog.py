@@ -1405,7 +1405,65 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: contract + diversified_retrieval), and vocab_coverage_docs (vocab
 #: induction + OOV audit — the capped-vocab machinery is graded via
 #: keywords_tfidf_docs; BPE/encoding keep their pytest contracts).
+#: Round 11 promotes the fourteen swept round-10 families so each earns
+#: a driver CORRECTNESS row (r10 verdict item 1), plus the brand-new
+#: strict-contiguity CEP family (r10 verdict item 3): k-core
+#: decomposition, l-diversity audit, LM-Dirichlet retrieval, span
+#: containment, linear multi-touch attribution, funnel conversion-time
+#: stats, stratified exact-quota sampling, quantile rollup partials,
+#: IVM fact delete, multi-source BFS, two-proportion z-test,
+#: co-visitation recommendations, Adamic–Adar link prediction,
+#: personalized PageRank, and strict_funnel_users (FlinkCEP
+#: next/notNext — per-anchor lead-adjacency blocks). Fifteen
+#: twice-or-thrice-graded-GREEN slots rotate to the tail, every one
+#: keeping its DuckDB oracle in pytest's sweep:
+#: event_transition_matrix (the sequence family stays graded SIX ways —
+#: kleene + negated + strict + attribution + sessions + the incoming
+#: conversion-time stats), rm3_expanded_bm25_docs (lexical serving
+#: stays graded via bm25_topk_indexed_docs + the incoming
+#: lm_dirichlet_topk_docs), diversified_retrieval (the retrieve-rank
+#: surface stays graded via rag_reranked_answer + ann_methods_vec7),
+#: incremental_manifest_docs (integrity stays graded via
+#: released_corpus_manifest's manifest build + both IVM rows' keyed
+#: maintenance), fuzzy_part_name_matches (linkage stays graded via
+#: golden_part_entities + resolved_part_entities — it is the verify
+#: sub-stage of the latter), association_segment_region (the
+#: association grid's pair machinery stays graded via basket_pair_rules
+#: + the incoming part_covisitation), decayed_user_event_value
+#: (fixed-reference decay is the simpler sibling of the still-graded
+#: anchored decayed_at_latest_user_value), event_value_outliers
+#: (anomaly stays graded via cusum_user_value_shifts),
+#: rag_answer_grounding (evaluation stays graded via
+#: retrieval_eval_metrics), skew_profile_orders +
+#: winsorized_order_prices (profiling stays graded via
+#: order_value_histogram + the incoming daily_value_quantiles),
+#: curriculum_ordered_docs (curation ordering machinery runs INSIDE the
+#: graded curated_packed_training_set; the incoming
+#: stratified_sampled_docs grades the sampling side),
+#: decontamination_report_docs (decontamination stays graded via
+#: fuzzy_decontaminated_docs + the curated pipeline's decontamination
+#: stage), k_anonymity_customers (the incoming l_diversity_customers is
+#: the strictly-richer privacy audit — same quasi-identifier grouping
+#: plus sensitive-value diversity), and part_triangle_stats (the graph
+#: family gains FOUR graded rows this round — kcore, bfs, link
+#: prediction, ppr — alongside the still-graded pagerank_copurchase +
+#: part_communities).
 _PROMOTED = [
+    "strict_funnel_users",
+    "part_kcore",
+    "l_diversity_customers",
+    "lm_dirichlet_topk_docs",
+    "span_containment_docs",
+    "purchase_attribution_linear",
+    "funnel_time_to_convert",
+    "stratified_sampled_docs",
+    "daily_value_quantiles",
+    "ivm_deleted_orders",
+    "part_bfs_hops",
+    "ab_user_conversion",
+    "part_covisitation",
+    "part_link_prediction",
+    "part_ppr_relevance",
     "negated_funnel_users",
     "part_communities",
     "cusum_user_value_shifts",
@@ -1420,32 +1478,17 @@ _PROMOTED = [
     "fk_audit_all",
     "ivm_upserted_orders",
     "kleene_funnel_users",
-    "event_transition_matrix",
-    "rm3_expanded_bm25_docs",
-    "diversified_retrieval",
-    "incremental_manifest_docs",
-    "fuzzy_part_name_matches",
-    "association_segment_region",
-    "decayed_user_event_value",
-    "event_value_outliers",
-    "rag_answer_grounding",
     "trend_nation_order_value",
     "scd2_customer_status_history",
     "ks_order_price_regions",
-    "part_triangle_stats",
     "decayed_at_latest_user_value",
     "keywords_tfidf_docs",
-    "k_anonymity_customers",
     "dsir_selected_docs",
     "resolved_part_entities",
     "pagerank_copurchase",
-    "curriculum_ordered_docs",
-    "decontamination_report_docs",
     "released_corpus_manifest",
     "fuzzy_decontaminated_docs",
     "retrieval_eval_metrics",
-    "skew_profile_orders",
-    "winsorized_order_prices",
     "ngram_novelty_docs",
     "rollup_hll_users_hourly",
     "curated_packed_training_set",

@@ -87,6 +87,7 @@ def extra_queries() -> list[tuple]:
         negated_funnel_times_duck,
         quantified_funnel_times_duck,
         session_stats_duck,
+        strict_funnel_times_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import (span_containment_duck,
@@ -1758,6 +1759,16 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
                                    A.NEG_FUNNEL_GAPS),
          ("streaming", "cep", "window", "negation")),
+        # round-11: strict-contiguity CEP (FlinkCEP next/notNext) —
+        # per-anchor lead-adjacency block matches chained by the
+        # relaxed running-min layers; earliest anchor is NOT always
+        # extendable under strict gaps, so every anchor is tried
+        # (operators/sequences.py strict_funnel_times)
+        ("strict_funnel_users", A.strict_funnel_users,
+         strict_funnel_times_duck(A.STRICT_FUNNEL_STEPS,
+                                  A.STRICT_FUNNEL_CONTIG,
+                                  A.STRICT_FUNNEL_NOT_NEXT),
+         ("cep", "window", "strict", "sequence")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level
         # DECIMAL quantization (sequences.linear_attribution)

@@ -1,0 +1,167 @@
+"""Round-11 operator tests: strict-contiguity CEP (next/notNext)."""
+
+import duckdb
+import pytest
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+
+
+def test_strict_funnel_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import strict_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view immediately followed by click, purchase later: match
+        (0, t(1), 1, "view"), (1, t(2), 1, "click"),
+        (2, t(5), 1, "purchase"),
+        # u2: a signup intervenes between view and click: strict gap
+        # broken, no match even though the relaxed funnel would match
+        (3, t(1), 2, "view"), (4, t(2), 2, "signup"),
+        (5, t(3), 2, "click"), (6, t(4), 2, "purchase"),
+        # u3: FIRST view not followed by click, SECOND is — the match
+        # must come from the later anchor (fixed-anchor layering would
+        # miss it; FlinkCEP's NFA tries every anchor)
+        (7, t(1), 3, "view"), (8, t(2), 3, "error"),
+        (9, t(3), 3, "view"), (10, t(4), 3, "click"),
+        (11, t(5), 3, "purchase"),
+        # u4: click's immediate successor IS an error (notNext
+        # violated) and no later clean anchor exists: no match
+        (12, t(1), 4, "view"), (13, t(2), 4, "click"),
+        (14, t(3), 4, "error"), (15, t(4), 4, "purchase"),
+        # u5: first anchor voided by notNext, later clean view->click
+        # matches
+        (16, t(1), 5, "view"), (17, t(2), 5, "click"),
+        (18, t(3), 5, "error"), (19, t(4), 5, "view"),
+        (20, t(5), 5, "click"), (21, t(6), 5, "purchase"),
+        # u6: click is the key's LAST event — no next event, notNext
+        # passes (bounded-input reading), but then no purchase either
+        (22, t(1), 6, "view"), (23, t(2), 6, "click"),
+    ]
+    out = {r["user_id"]: r for r in strict_funnel_times(
+        _ev(spark, rows), ["view", "click", "purchase"],
+        ["next", "followedBy"], {2: "error"}).collect()}
+    assert out[1]["t3"] == t(5) and out[1]["t1"] == t(1)
+    assert out[2]["t1"] is None and out[2]["t3"] is None
+    assert out[3]["t1"] == t(3) and out[3]["t2"] == t(4) \
+        and out[3]["t3"] == t(5)
+    assert out[4]["t1"] is None and out[4]["t3"] is None
+    assert out[5]["t1"] == t(4) and out[5]["t3"] == t(6)
+    assert out[6]["t1"] == t(1) and out[6]["t2"] == t(2) \
+        and out[6]["t3"] is None
+
+
+def test_strict_funnel_all_strict_and_within(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import strict_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: three consecutive rows in order: all-strict matches
+        (0, t(1), 1, "view"), (1, t(2), 1, "click"),
+        (2, t(3), 1, "purchase"),
+        # u2: purchase not adjacent to click: all-strict fails
+        (3, t(1), 2, "view"), (4, t(2), 2, "click"),
+        (5, t(3), 2, "error"), (6, t(4), 2, "purchase"),
+        # u3: completes but only 30 min after the anchor
+        (7, t(1), 3, "view"), (8, t(2), 3, "click"),
+        (9, t(31), 3, "purchase"),
+    ]
+    e = _ev(spark, rows)
+    strict = {r["user_id"]: r for r in strict_funnel_times(
+        e, ["view", "click", "purchase"], ["next", "next"]).collect()}
+    assert strict[1]["t3"] == t(3)
+    assert strict[2]["t3"] is None
+    bounded = {r["user_id"]: r for r in strict_funnel_times(
+        e, ["view", "click", "purchase"], ["next", "followedBy"],
+        within_seconds=600).collect()}
+    assert bounded[1]["t3"] == t(3)
+    assert bounded[3]["t3"] is None      # 30 min > the 10-min window
+    assert bounded[3]["t2"] == t(2)      # block 1 itself was in bound
+
+
+def test_strict_funnel_relaxed_equals_flat_funnel(spark):
+    from datetime import datetime
+    import random
+
+    from flink_rag_spark.operators.sequences import (funnel_times,
+                                                     strict_funnel_times)
+    rng = random.Random(11)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [(i, datetime(2024, 1, 1, rng.randrange(24),
+                         rng.randrange(60)),
+             rng.randrange(15), rng.choice(types))
+            for i in range(400)]
+    e = _ev(spark, rows)
+    steps = ["view", "click", "purchase"]
+    flat = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in funnel_times(e, steps).collect()}
+    strict = {r["user_id"]: (r["t1"], r["t2"], r["t3"])
+              for r in strict_funnel_times(
+                  e, steps, ["followedBy", "followedBy"]).collect()}
+    assert flat == strict
+
+
+def test_strict_funnel_duck_mirror_parity(spark):
+    from datetime import datetime
+    import random
+
+    from flink_rag_spark.operators.sequences import (
+        strict_funnel_times, strict_funnel_times_duck)
+    rng = random.Random(23)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [(i, datetime(2024, 1, 1, rng.randrange(24),
+                         rng.randrange(60)),
+             rng.randrange(12), rng.choice(types))
+            for i in range(300)]
+    e = _ev(spark, rows)
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    for cont, nn, wn in [(["next", "followedBy"], {2: "error"}, None),
+                         (["next", "next"], None, None),
+                         (["followedBy", "next"], {1: "signup"}, None),
+                         (["next", "followedBy"], {2: "error"}, 3600),
+                         (["followedBy", "followedBy"],
+                          {1: "error", 3: "view"}, None)]:
+        sp = strict_funnel_times(
+            e, ["view", "click", "purchase"], cont, nn,
+            within_seconds=wn).toPandas()
+        du = con.execute(strict_funnel_times_duck(
+            ["view", "click", "purchase"], cont, nn,
+            within_seconds=wn)).fetchdf()
+        sp = sp.sort_values("user_id").reset_index(drop=True)
+        du = du.sort_values("user_id").reset_index(drop=True)
+        assert list(sp.columns) == list(du.columns), (cont, nn)
+        for c in sp.columns:
+            a, b = sp[c].tolist(), du[c].tolist()
+            assert [(x if x == x else None) for x in a] == \
+                   [(x if x == x else None) for x in b], (cont, nn, c)
+
+
+def test_strict_funnel_quoted_type_and_validation(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import (
+        strict_funnel_times, strict_funnel_times_duck)
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(0, t(1), 1, "it's a view"), (1, t(2), 1, "click")]
+    e = _ev(spark, rows)
+    out = strict_funnel_times(e, ["it's a view", "click"],
+                              ["next"]).collect()
+    assert out[0]["t2"] == t(2)
+    sql = strict_funnel_times_duck(["it's a view", "click"], ["next"])
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    du = con.execute(sql).fetchdf()
+    assert du["t2"][0] is not None
+    with pytest.raises(ValueError):
+        strict_funnel_times(e, ["view", "click"], ["bogus"])
+    with pytest.raises(ValueError):
+        strict_funnel_times(e, ["view", "click"], ["next"],
+                            {1: "error"})  # notNext inside a strict gap
+    with pytest.raises(ValueError):
+        strict_funnel_times(e, ["view", "click"], ["next", "next"])
