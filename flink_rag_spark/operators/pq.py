@@ -583,7 +583,8 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
                rerank_factor: int = PQ_RERANK_FACTOR,
                vec_col: str = "embedding",
                id_col: str = "vec_id",
-               tail: DataFrame | None = None) -> DataFrame:
+               tail: DataFrame | None = None, where=None,
+               filter_overfetch: int = 4) -> DataFrame:
     """Probe the IVF-PQ index: ADC-score the codes of the ``n_probe``
     nearest cells (partition-pruned scan), keep rerank_factor·k, re-rank
     those exactly against ``rerank_with`` (the full-precision store —
@@ -597,7 +598,18 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     partitions (``index.load_ivf_tail`` over this index's pending dirs)
     — scored EXACTLY and merged into the rerank candidate pool, the
     same freshness contract as ``ivf_knn_join``'s tail. Tail ids must
-    resolve in ``rerank_with`` (they do: it is the live store)."""
+    resolve in ``rerank_with`` (they do: it is the live store).
+
+    ``where``: metadata filter over ``rerank_with``'s columns (the
+    store carries the metadata; the code partitions carry only ids).
+    Served FILTER-THEN-SCORE: the allowed-id set semi-joins the probed
+    code scan BEFORE the ADC cut, so the rerank pool is all-filtered
+    and the classic post-filter under-fill (top rerank_factor·k cut
+    first, filter second, < k survivors) cannot happen. The probe
+    budget widens ×``filter_overfetch`` to chase filtered neighbors
+    into farther cells; at selectivity s ≲ k·n_cells/(N·n_probe·
+    overfetch) prefer exact ``cosine_topk(store, ..., where=...)`` —
+    the filtered scan is then about one cell's worth of vectors."""
     import os
 
     cents, codebook = _load_geometry(path)
@@ -605,6 +617,9 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     C = np.asarray(cents, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.linalg.norm(q)) or 1.0
+    if where is not None:
+        n_probe = n_probe * max(filter_overfetch, 1)
+    n_probe = min(n_probe, len(C))
     probe = ((C - q) ** 2).sum(axis=1).argsort(kind="stable")[:n_probe]
     lut, consts = [], []
     for c in probe.tolist():
@@ -622,6 +637,11 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     const_df = spark.createDataFrame(consts, "cell int, qc double, cn double")
     codes = (spark.read.parquet(os.path.join(path, "cells"))
              .filter(F.col("cell").isin([int(x) for x in probe])))
+    if where is not None:
+        allowed = rerank_with.filter(where).select(id_col)
+        codes = codes.join(allowed, on=id_col, how="leftsemi")
+        if tail is not None:
+            tail = tail.join(allowed, on=id_col, how="leftsemi")
     approx = (codes
               .select(id_col, "cell",
                       F.posexplode("codes").alias("s", "c"))
@@ -657,7 +677,8 @@ def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
                    rerank_factor: int = PQ_RERANK_FACTOR,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    qid_col: str = "query_id",
-                   tail: DataFrame | None = None) -> DataFrame:
+                   tail: DataFrame | None = None, where=None,
+                   filter_overfetch: int = 4) -> DataFrame:
     """Batch IVF-PQ retrieval — the serving tier: one plan answers a
     whole query batch against the persisted index. ``driver_queries``
     is ``(qids, Q)`` with Q an (|Q|, d) float array on the driver (the
@@ -682,7 +703,13 @@ def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
     rounding and (score DESC, id) tie-break, so results align with the
     exact tier wherever recall holds. ``tail`` (un-flushed vectors)
     joins the rerank pool exactly like the single-query path. Returns
-    (qid, id, score, rank)."""
+    (qid, id, score, rank).
+
+    ``where``: metadata filter over ``rerank_with``, served
+    filter-then-score with a ×``filter_overfetch`` probe widening —
+    the ``ivfpq_topk`` contract batched (allowed ids semi-join the
+    pruned code scan before the per-query ADC cut; the tail is
+    filtered the same way; no post-filter under-fill)."""
     from pyspark.sql import Window
 
     from flink_rag_spark.functions.vector import ROUND_DP, cosine_expr
@@ -700,6 +727,8 @@ def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
     # so clamp — the repeat counts below assume exactly n_probe and
     # would otherwise raise on the length mismatch (the single-query
     # ivfpq_topk degrades gracefully on the same input)
+    if where is not None:
+        n_probe = n_probe * max(filter_overfetch, 1)
     n_probe = min(n_probe, len(C))
     d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
@@ -742,6 +771,11 @@ def ivfpq_knn_join(spark, path: str, driver_queries, rerank_with: DataFrame,
     import os
     codes = (spark.read.parquet(os.path.join(path, "cells"))
              .filter(F.col("cell").isin(probed)))
+    if where is not None:
+        allowed = rerank_with.filter(where).select(id_col)
+        codes = codes.join(allowed, on=id_col, how="leftsemi")
+        if tail is not None:
+            tail = tail.join(allowed, on=id_col, how="leftsemi")
     approx = (codes
               .join(F.broadcast(spark.createDataFrame(pair_rows)),
                     on="cell")

@@ -43,15 +43,24 @@ HIGH_DIM_LITERAL_MAX = 512
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 min_score: float = 0.0, vec_col: str = "embedding",
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id", where=None) -> DataFrame:
     """Exact cosine top-k of one query vector. Deterministic tie-break on id
     (FIXTURES.md §C). Returns (id, score, rank).
+
+    ``where`` (Column or SQL string) is a metadata filter applied BEFORE
+    scoring — the exact tier's filtered k-NN is trivially pre-filter
+    (Catalyst pushes the predicate to the scan), so the result is the
+    true top-k of the filtered set at any selectivity. This is also the
+    fallback the approximate tiers' docstrings point to when a
+    predicate is too selective for probe-overfetch to hold recall.
 
     Low dims (≤ HIGH_DIM_LITERAL_MAX): the query is a literal array and the
     cosine runs as a Catalyst HOF expression — no Python in the plan, and
     the exact arithmetic the DuckDB oracle mirrors. High dims: the query
     ships once per executor via sparkContext.broadcast and each Arrow batch
     is one numpy matvec — same rounded scores, no giant literal tree."""
+    if where is not None:
+        embeddings = embeddings.filter(where)
     if len(query_vec) > HIGH_DIM_LITERAL_MAX:
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.linalg.norm(q)
@@ -116,8 +125,13 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
              query_id: str = "query_id", query_vec: str = "query_vec",
              vec_col: str = "embedding", id_col: str = "vec_id",
              min_score: float = 0.0, partial_topk: bool | None = None,
-             cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+             cfg: EngineConfig = DEFAULT_CONFIG, where=None) -> DataFrame:
     """Exact k-NN for every row of `queries` (assumed small → broadcast).
+
+    ``where`` pre-filters the embeddings side before scoring (exact
+    filtered k-NN — see ``cosine_topk``); the pushed-down predicate
+    SHRINKS the scan, so a selective filter makes this path faster,
+    not slower.
 
     The cross join is broadcast-nested-loop with the QUERY side broadcast:
     the embeddings table is scanned once, never shuffled. On large corpora a
@@ -132,6 +146,8 @@ def knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     Either way the result is bit-identical. For query sets too large to
     broadcast use ann_knn_join instead.
     """
+    if where is not None:
+        embeddings = embeddings.filter(where)
     scored = _widen_if_narrow(embeddings).crossJoin(broadcast(queries)).select(
         F.col(query_id),
         F.col(id_col),
@@ -294,21 +310,45 @@ def with_ivf_cells(embeddings: DataFrame, centroids: list[list[float]],
     return embeddings.withColumn("cell", _cell(F.col(vec_col)))
 
 
+#: extra cells probed per configured probe when a metadata filter is on
+#: — the pre-/post-filter recall mitigation (see ann_ivf_topk)
+FILTER_OVERFETCH = 4
+
+
 def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  n_probe: int = 4, centroids: list[list[float]] | None = None,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                 cfg: EngineConfig = DEFAULT_CONFIG, where=None,
+                 filter_overfetch: int = FILTER_OVERFETCH) -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest cells, exact re-rank
     inside. Candidates shrink ~n_centroids/n_probe-fold; recall rises with
-    n_probe. Bench path — the oracle checks the exact operators."""
+    n_probe. Bench path — the oracle checks the exact operators.
+
+    ``where`` is a metadata filter served FILTER-THEN-SCORE: the
+    predicate applies to the probed cells' scan (pushed down with the
+    cell filter) BEFORE the exact re-rank, so every returned row
+    satisfies it and the top-k never mixes post-filter drop-outs — the
+    classic post-filter under-fill is structurally impossible. What a
+    filter CAN still lose is recall: the filtered true neighbors may
+    live in un-probed cells, so the probe budget widens to
+    ``n_probe × filter_overfetch`` (capped at all cells) whenever a
+    filter is on. Rule of thumb at selectivity s: probed filtered
+    candidates ≈ s·N·(n_probe·overfetch/n_cells); when that falls
+    near k (s ≲ k·n_cells / (N·n_probe·overfetch)) prefer the exact
+    ``cosine_topk(..., where=...)`` — at that selectivity its filtered
+    scan is about the size of one probed cell anyway."""
     import numpy as _np
     if centroids is None:
         centroids = ivf_centroids(embeddings, vec_col=vec_col, cfg=cfg)
     cent = _np.asarray(centroids, dtype=_np.float64)
     q = _np.asarray(query_vec, dtype=_np.float64)
-    probe = ((cent - q) ** 2).sum(axis=1).argsort()[:n_probe].tolist()
+    eff = n_probe if where is None else n_probe * max(filter_overfetch, 1)
+    eff = min(eff, len(centroids))
+    probe = ((cent - q) ** 2).sum(axis=1).argsort()[:eff].tolist()
     cells = with_ivf_cells(embeddings, centroids, vec_col)
     cand = cells.filter(F.col("cell").isin([int(c) for c in probe]))
+    if where is not None:
+        cand = cand.filter(where)
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
@@ -391,7 +431,8 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
                  cells: DataFrame | None = None,
                  n_probe: int | None = None,
                  driver_queries: tuple[list, "np.ndarray"] | None = None,
-                 tail: DataFrame | None = None) -> DataFrame:
+                 tail: DataFrame | None = None, where=None,
+                 filter_overfetch: int = FILTER_OVERFETCH) -> DataFrame:
     """Approximate k-NN for a query batch via IVF: probe the n_probe nearest
     cells per query, exact re-rank inside.
 
@@ -434,7 +475,17 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     directly — a collect whose only purpose is to round-trip ~1000 array
     rows through the JVM costs ~1 s of pure serialization. ``queries``
     may then be None; qid dtype is inferred from the ids (int→long,
-    else string)."""
+    else string).
+
+    ``where``: metadata filter served FILTER-THEN-SCORE (the
+    ``ann_ivf_topk`` discipline — predicate applied to the probed-cell
+    scan and to the tail before scoring, never post-filtered from a
+    top-k), with the probe budget widened ×``filter_overfetch``. The
+    predicate's columns must exist on the ``cells`` frame — an inline
+    ``with_ivf_cells`` keeps every embeddings column; a persisted index
+    that stored only (id, vec, cell) needs the metadata joined in (or
+    use the exact path). See ``ann_ivf_topk`` for the selectivity
+    threshold below which exact filtered search wins."""
     import math as _math
 
     if centroids is None:
@@ -449,10 +500,18 @@ def ivf_knn_join(queries: DataFrame, embeddings: DataFrame, k: int = 10,
     if n_probe is None:
         n_probe = max(cfg.ivf_n_probe,
                       int(round(len(centroids) * cfg.ivf_probe_frac)))
+    if where is not None:
+        n_probe = n_probe * max(filter_overfetch, 1)
     n_probe = min(n_probe, len(cent))
     if cells is None:
         cells = with_ivf_cells(embeddings, centroids, vec_col)
     cells = _widen_if_narrow(cells)
+    if where is not None:
+        # filter-then-score: the predicate rides the probed-cell scan
+        # (and the tail) so no post-filter under-fill is possible
+        cells = cells.filter(where)
+        if tail is not None:
+            tail = tail.filter(where)
     if tail is not None:
         # the UN-INDEXED TAIL (operators/index.py: vectors ingested since
         # the last index build) enters under sentinel cell -1, which EVERY
@@ -594,12 +653,18 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  cfg: EngineConfig = DEFAULT_CONFIG,
                  multiprobe: int = 1,
-                 bucketed: DataFrame | None = None) -> DataFrame:
+                 bucketed: DataFrame | None = None,
+                 where=None) -> DataFrame:
     """Approximate top-k: candidates = union over hash tables of the query's
     bucket (multiprobe adds the 1-bit-flip neighbor buckets per table),
     exact cosine re-rank inside. Pass a persisted `bucketed` table to skip
     re-hashing (the at-scale shape). Bench path — the oracle checks the
-    exact operators."""
+    exact operators.
+
+    ``where``: metadata filter on the candidate scan (filter-then-
+    score, the ann_ivf_topk discipline); LSH's recall mitigation under
+    a filter is raising ``multiprobe`` — more flipped buckets play the
+    role IVF's probe overfetch plays."""
     if bucketed is None:
         bucketed = with_ann_buckets(embeddings, vec_col, cfg, len(query_vec))
     conds = None
@@ -610,4 +675,6 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         c = F.col(f"bucket_{t}").isin([int(x) for x in probe])
         conds = c if conds is None else (conds | c)
     cand = bucketed.filter(conds)
+    if where is not None:
+        cand = cand.filter(where)
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)

@@ -182,9 +182,17 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the same floors tests/test_similarity.py::test_ann_recall pins (≥ 5/10).
 #: ivfpq_batch is the persisted-index batch ADC serving tier
 #: (operators/pq.ivfpq_knn_join) — the round-9 bench headline, now
-#: value-graded by the driver through this contract.
+#: value-graded by the driver through this contract. ivfpq_filtered is
+#: the METADATA-FILTERED probe of the same index (where=label<3,
+#: filter-then-score with probe overfetch — operators/pq.ivfpq_topk's
+#: where contract); its recall is measured against the exact FILTERED
+#: top-10, so the row grades both the under-fill fix (n_results = k
+#: under a ~30% predicate) and filtered recall.
 ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.5, "pq": 0.5,
-                     "ivfpq_batch": 0.5}
+                     "ivfpq_batch": 0.5, "ivfpq_filtered": 0.5}
+
+#: the metadata predicate the filtered contract row serves under
+ANN_FILTER_PREDICATE = "label < 3"
 
 
 def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +214,7 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_rag_spark.operators.pq import (ann_pq_topk,
                                               build_ivfpq_index,
-                                              ivfpq_knn_join)
+                                              ivfpq_knn_join, ivfpq_topk)
     from flink_rag_spark.operators.similarity import (ann_ivf_topk,
                                                       ann_lsh_topk,
                                                       cosine_topk)
@@ -216,39 +224,58 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, qv, k=k)
     # bounded driver steps: each collect is ≤ k rows by construction
     exact_ids = {r["vec_id"] for r in exact.collect()}
+    # the filtered tier grades against the exact FILTERED top-k — the
+    # correct reference under a predicate (unfiltered neighbors that
+    # fail the filter must NOT count for OR against it)
+    exact_filtered_ids = {r["vec_id"] for r in cosine_topk(
+        emb, qv, k=k, where=ANN_FILTER_PREDICATE).collect()}
+
+    # ONE persisted IVF-PQ index serves both the batch ADC row and the
+    # metadata-filtered row (m must divide the embedding dim — 7 at
+    # the shipped SFs); built and probed inside the graded query (the
+    # IVM demos' lifecycle-in-query shape)
+    dim = len(qv)
+    m = 7 if dim % 7 == 0 else (4 if dim % 4 == 0 else 1)
+    idx = tempfile.mkdtemp(prefix="annvec7_ivfpq_")
 
     def ivfpq_batch_ids() -> list[int]:
-        # the persisted-index batch ADC tier, built and probed inside
-        # the graded query (the IVM demos' lifecycle-in-query shape);
-        # m must divide the embedding dim (7 at the shipped SFs)
-        dim = len(qv)
-        m = 7 if dim % 7 == 0 else (4 if dim % 4 == 0 else 1)
-        idx = tempfile.mkdtemp(prefix="annvec7_ivfpq_")
-        try:
-            build_ivfpq_index(spark, emb, idx, n_centroids=4, m=m,
-                              kc=4, iters=3)
-            out = ivfpq_knn_join(
-                spark, idx, ([7], np.asarray([qv])), emb, k=k,
-                n_probe=2)
-            return [r["vec_id"] for r in out.collect()]
-        finally:
-            shutil.rmtree(idx, ignore_errors=True)
+        out = ivfpq_knn_join(
+            spark, idx, ([7], np.asarray([qv])), emb, k=k, n_probe=2)
+        return [r["vec_id"] for r in out.collect()]
+
+    def ivfpq_filtered_ids() -> list[int]:
+        # filter-then-score with probe overfetch (pq.ivfpq_topk where
+        # contract): allowed ids semi-join the pruned code scan before
+        # the ADC cut — no post-filter under-fill
+        out = ivfpq_topk(spark, idx, qv, emb, k=k, n_probe=2,
+                         where=ANN_FILTER_PREDICATE)
+        return [r["vec_id"] for r in out.collect()]
 
     contract_rows = []
-    for method, ids_fn in (
-            ("lsh", lambda: [r["vec_id"] for r in
-                             ann_lsh_topk(emb, qv, k=k).collect()]),
-            ("ivf", lambda: [r["vec_id"] for r in
-                             ann_ivf_topk(emb, qv, k=k).collect()]),
-            ("pq", lambda: [r["vec_id"] for r in
-                            ann_pq_topk(emb, qv, k=k).collect()]),
-            ("ivfpq_batch", ivfpq_batch_ids)):
-        ids = ids_fn()
-        recall = len(set(ids) & exact_ids) / float(k)
-        floor = ANN_RECALL_FLOORS[method]
-        contract_rows.append(
-            (method, None, None, None, float(floor),
-             bool(recall >= floor), len(ids)))
+    try:
+        build_ivfpq_index(spark, emb, idx, n_centroids=4, m=m,
+                          kc=4, iters=3)
+        for method, ids_fn, ref_ids in (
+                ("lsh", lambda: [r["vec_id"] for r in
+                                 ann_lsh_topk(emb, qv, k=k).collect()],
+                 exact_ids),
+                ("ivf", lambda: [r["vec_id"] for r in
+                                 ann_ivf_topk(emb, qv, k=k).collect()],
+                 exact_ids),
+                ("pq", lambda: [r["vec_id"] for r in
+                                ann_pq_topk(emb, qv, k=k).collect()],
+                 exact_ids),
+                ("ivfpq_batch", ivfpq_batch_ids, exact_ids),
+                ("ivfpq_filtered", ivfpq_filtered_ids,
+                 exact_filtered_ids)):
+            ids = ids_fn()
+            recall = len(set(ids) & ref_ids) / float(k)
+            floor = ANN_RECALL_FLOORS[method]
+            contract_rows.append(
+                (method, None, None, None, float(floor),
+                 bool(recall >= floor), len(ids)))
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     schema = ("method string, rank long, vec_id long, score double, "
               "recall_floor double, meets_floor boolean, n_results long")
     contract = spark.createDataFrame(contract_rows, schema=schema)

@@ -1,7 +1,97 @@
-"""Round-11 operator tests: strict-contiguity CEP (next/notNext)."""
+"""Round-11 operator tests: strict-contiguity CEP (next/notNext) and
+metadata-filtered k-NN across the serving tiers."""
 
 import duckdb
 import pytest
+
+
+def _load_emb(spark, sf):
+    from flink_rag_spark.sources.tables import load_table
+    return load_table(spark, sf, "embeddings")
+
+
+def test_filtered_exact_knn(spark, sf_oracle):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.similarity import cosine_topk, knn_join
+    emb = _load_emb(spark, sf_oracle)
+    qv = list(emb.filter("vec_id = 7").first()["embedding"])
+    got = cosine_topk(emb, qv, k=10, where="label < 3").collect()
+    ref = cosine_topk(emb.filter("label < 3"), qv, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == \
+           [(r["vec_id"], r["score"]) for r in ref]
+    labels = {r["label"] for r in emb.join(
+        spark.createDataFrame([(r["vec_id"],) for r in got],
+                              "vec_id bigint"), "vec_id").collect()}
+    assert labels <= {0, 1, 2}
+    # batch path: filtered knn_join ≡ knn_join over the filtered corpus
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    got_b = knn_join(q, emb, k=5, where="label >= 5").collect()
+    ref_b = knn_join(q, emb.filter("label >= 5"), k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(key(r), r["vec_id"]) for r in got_b]) == \
+           sorted([(key(r), r["vec_id"]) for r in ref_b])
+
+
+def test_filtered_ivf_and_lsh_fill_k(spark, sf_oracle):
+    from flink_rag_spark.operators.similarity import (ann_ivf_topk,
+                                                      ann_lsh_topk,
+                                                      cosine_topk)
+    emb = _load_emb(spark, sf_oracle)
+    qv = list(emb.filter("vec_id = 7").first()["embedding"])
+    exact = {r["vec_id"] for r in cosine_topk(
+        emb, qv, k=10, where="label < 3").collect()}
+    got = ann_ivf_topk(emb, qv, k=10, where="label < 3").collect()
+    # filter-then-score: always k rows (the filtered set is >> k), all
+    # satisfying the predicate, recall ≥ the contract floor
+    assert len(got) == 10
+    ids = [r["vec_id"] for r in got]
+    lab = dict(emb.select("vec_id", "label").collect()
+               if False else [(r["vec_id"], r["label"])
+                              for r in emb.select("vec_id",
+                                                  "label").collect()])
+    assert all(lab[i] < 3 for i in ids)
+    assert len(set(ids) & exact) / 10.0 >= 0.5
+    got_l = ann_lsh_topk(emb, qv, k=10, where="label < 3").collect()
+    assert all(lab[r["vec_id"]] < 3 for r in got_l)
+
+
+def test_filtered_ivfpq_no_underfill(spark, sf_oracle, tmp_path):
+    import numpy as np
+
+    from flink_rag_spark.operators.pq import (build_ivfpq_index,
+                                              ivfpq_knn_join, ivfpq_topk)
+    from flink_rag_spark.operators.similarity import cosine_topk
+    emb = _load_emb(spark, sf_oracle)
+    qv = list(emb.filter("vec_id = 7").first()["embedding"])
+    idx = str(tmp_path / "ivfpq_filtered")
+    build_ivfpq_index(spark, emb, idx, n_centroids=4, m=4, kc=4, iters=3)
+    lab = {r["vec_id"]: r["label"]
+           for r in emb.select("vec_id", "label").collect()}
+    # a ~10%-selective predicate: the post-filter approach (cut top
+    # rerank_factor*k first, filter second) would underfill k here;
+    # the semi-join-before-cut contract must return exactly k matches
+    pred = "label = 5"
+    exact = {r["vec_id"] for r in cosine_topk(
+        emb, qv, k=10, where=pred).collect()}
+    got = ivfpq_topk(spark, idx, qv, emb, k=10, n_probe=2,
+                     where=pred).collect()
+    assert len(got) == 10
+    assert all(lab[r["vec_id"]] == 5 for r in got)
+    assert len({r["vec_id"] for r in got} & exact) / 10.0 >= 0.5
+    # batch twin under the same predicate
+    got_b = ivfpq_knn_join(spark, idx, ([7], np.asarray([qv])), emb,
+                           k=10, n_probe=2, where=pred).collect()
+    assert len(got_b) == 10
+    assert all(lab[r["vec_id"]] == 5 for r in got_b)
+    # and the demonstration that POST-filtering the unfiltered top-k
+    # underfills (the failure mode the contract exists to prevent)
+    unfiltered = ivfpq_topk(spark, idx, qv, emb, k=10,
+                            n_probe=2).collect()
+    post = [r for r in unfiltered if lab[r["vec_id"]] == 5]
+    assert len(post) < 10
 
 
 def _ev(spark, rows):
