@@ -334,7 +334,14 @@ def main() -> None:
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
              "ab_user_conversion", "part_covisitation",
-             "part_link_prediction", "part_ppr_relevance"]
+             "part_link_prediction", "part_ppr_relevance",
+             # round-11: strict-contiguity CEP (lead-adjacency blocks on
+             # the funnel exchange), LM-Dirichlet served from the
+             # persisted text index (build + probe, the *_indexed demo
+             # pricing), and the weighted graph pair (pr·w/Σw rank flow;
+             # bounded min-plus relaxation)
+             "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
+             "part_pagerank_weighted", "part_weighted_distances"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -409,7 +416,14 @@ def main() -> None:
              # A/B z-test, co-visitation top-N
              "ivm_deleted_orders", "part_bfs_hops",
              "ab_user_conversion", "part_covisitation",
-             "part_link_prediction", "part_ppr_relevance"]
+             "part_link_prediction", "part_ppr_relevance",
+             # round-11: the strict blocks' lead columns must stay
+             # per-row arithmetic on the funnel exchange (no new
+             # shuffle), the indexed LM probe must stay
+             # postings-bounded as the corpus grows, and the weighted
+             # graph rounds must stay one-shuffle-per-iteration
+             "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
+             "part_pagerank_weighted", "part_weighted_distances"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
@@ -424,6 +438,7 @@ def main() -> None:
         d1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         probe_batch = d1.filter(F.col("doc_id") % 20 == 0)
         probe_secs: dict[str, float] = {}
+        probe_runs: dict[str, list[float]] = {}
         for label, src in (("1x", sf_dir), (f"{k}x", dst)):
             dcorp = (load_table(spark, src, "documents")
                      .select("doc_id", "text")
@@ -432,7 +447,7 @@ def main() -> None:
             build_dedup_index(spark, dcorp, "text", "doc_id", pidx,
                               n_parts=32)
             runs = []
-            for i in range(3):
+            for i in range(4):
                 t0 = time.perf_counter()
                 out = incremental_neardup_pairs(
                     spark, probe_batch, "text", "doc_id", pidx,
@@ -440,7 +455,8 @@ def main() -> None:
                 force(out)
                 unpersist_cached_deps(out)
                 if i > 0:  # drop the warm-up
-                    runs.append(time.perf_counter() - t0)
+                    runs.append(round(time.perf_counter() - t0, 3))
+            probe_runs[label] = runs
             probe_secs[label] = round(min(runs), 3)
             shutil.rmtree(pidx, ignore_errors=True)
 
@@ -456,6 +472,15 @@ def main() -> None:
             "dedup_probe_same_batch_sec": probe_secs,
             "dedup_probe_corpus_factor": round(
                 probe_secs[f"{k}x"] / max(probe_secs["1x"], 1e-9), 2),
+            # r10 verdict item 5: the min-of-2 ratio flapped 1.05-1.47
+            # across five same-code runs (denominator noise) — report
+            # the MEDIAN of 3 paired per-run ratios, with the raw pairs,
+            # as the round-over-round comparison number
+            "dedup_probe_runs_sec": probe_runs,
+            "dedup_probe_median_factor": round(sorted(
+                b / max(a, 1e-9)
+                for a, b in zip(probe_runs["1x"],
+                                probe_runs[f"{k}x"]))[1], 2),
             # round-7 audit of the two worst round-6 factors: both are
             # compute-bound saturation, not partition cliffs — at 10x,
             # text_quality_stats runs its regex scan 32-wide (paired
@@ -645,6 +670,12 @@ def main() -> None:
                 "dedup_probe_same_batch_sec"),
             "corpus_factor": (scale_rehearsal or {}).get(
                 "dedup_probe_corpus_factor"),
+            # the de-noised comparison number (r10 verdict item 5):
+            # median of 3 paired per-run ratios, raw pairs alongside
+            "median_factor": (scale_rehearsal or {}).get(
+                "dedup_probe_median_factor"),
+            "runs_sec": (scale_rehearsal or {}).get(
+                "dedup_probe_runs_sec"),
         } if scale_rehearsal else None,
     }
     print(json.dumps({

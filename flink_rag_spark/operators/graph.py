@@ -249,12 +249,21 @@ PR_ITERS = 10
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = PR_ITERS,
-             damping: float = PR_DAMPING) -> DataFrame:
+             damping: float = PR_DAMPING,
+             weight: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, pr)
     after ``iters`` power iterations of
     pr' = (1−d)/N + d·(Σ_in pr/out_deg + dangling_mass/N),
     with dangling nodes (no out-edges) redistributing their rank
     uniformly — the classic formulation, deterministic given the graph.
+
+    ``weight`` names an edge-weight column: contributions become
+    pr·w/Σ_out w (the weighted random surfer — a co-purchase edge seen
+    40 times carries 40× the rank of a one-off). Weights must be
+    positive; INTEGER weights keep the per-node strength sums exact
+    (the oracle replays them bit-identically — a float-weight strength
+    sum would be ordering-sensitive in the last ulp). Dangling remains
+    "no out-EDGES" — with positive weights the two definitions agree.
 
     Scale shape (Pregel-lite on DataFrames): node and degree frames are
     |V|-bounded and persisted once; each iteration is ONE edges⋈ranks
@@ -273,8 +282,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         n = nodes.count()
         if n == 0:
             return nodes.select("node", F.lit(0.0).alias("pr"))
+        wsum = (F.count(F.lit(1)) if weight is None
+                else F.sum(F.col(weight)))
         deg = (edges.groupBy(F.col(src).alias("node"))
-               .agg(F.count(F.lit(1)).alias("out_deg")).persist())
+               .agg(wsum.alias("out_deg")).persist())
         # one |V|-bounded check up front: a graph with NO dangling nodes
         # (every node has out-edges — e.g. any symmetric graph) skips
         # the per-iteration dangling-mass job entirely
@@ -292,11 +303,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     dangling = float(drow["dm"])
                 else:
                     dangling = 0.0
+                w_num = (F.lit(1.0) if weight is None
+                         else F.col(weight))
                 contrib = (with_deg.filter(F.col("out_deg").isNotNull())
                            .join(edges, on=[with_deg["node"]
                                             == edges[src]])
                            .select(F.col(dst).alias("node"),
-                                   (F.col("pr") / F.col("out_deg"))
+                                   (F.col("pr") * w_num
+                                    / F.col("out_deg"))
                                    .alias("c"))
                            .groupBy("node").agg(F.sum("c").alias("s")))
                 base = (1.0 - damping) / n + damping * dangling / n
@@ -320,7 +334,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
-                  damping: float = PR_DAMPING) -> str:
+                  damping: float = PR_DAMPING,
+                  weighted: bool = False) -> str:
     """DuckDB mirror: the SAME power iterations unrolled as ``iters``
     chained CTEs (pr0..prN) — each iteration's dangling mass, degree
     division, and damping replayed value-exact, so the oracle checks
@@ -334,16 +349,19 @@ def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
            "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION "
            "SELECT dst FROM e)",
            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-           "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg "
-           "FROM e GROUP BY 1)",
+           ("deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS out_deg "
+            "FROM e GROUP BY 1)" if weighted else
+            "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg "
+            "FROM e GROUP BY 1)"),
            "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"]
     for i in range(1, iters + 1):
         p = f"pr{i - 1}"
         cte.append(
             f"dm{i} AS (SELECT COALESCE(SUM(pr), 0.0) AS m FROM {p} "
             f"LEFT JOIN deg USING (node) WHERE out_deg IS NULL)")
+        wnum = "e.w * " if weighted else ""
         cte.append(
-            f"c{i} AS (SELECT e.dst AS node, SUM(p.pr / deg.out_deg) "
+            f"c{i} AS (SELECT e.dst AS node, SUM({wnum}p.pr / deg.out_deg) "
             f"AS s FROM {p} p JOIN deg ON p.node = deg.node "
             f"JOIN e ON e.src = p.node GROUP BY 1)")
         cte.append(
@@ -358,7 +376,8 @@ def pagerank_duck(edges_sql: str, iters: int = PR_ITERS,
 def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
                           src: str = "src", dst: str = "dst",
                           iters: int = PR_ITERS,
-                          damping: float = PR_DAMPING) -> DataFrame:
+                          damping: float = PR_DAMPING,
+                          weight: str | None = None) -> DataFrame:
     """Personalized PageRank (Page et al. 1999 §6; the relevance-
     propagation view behind "related to THESE seeds" recommendations):
     the teleport vector concentrates on ``seed_ids`` instead of
@@ -388,8 +407,10 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
         if n_seeds == 0:
             raise ValueError("no seed_ids present in the graph")
         is_seed = F.col("node").isin(seeds)
+        wsum = (F.count(F.lit(1)) if weight is None
+                else F.sum(F.col(weight)))
         deg = (edges.groupBy(F.col(src).alias("node"))
-               .agg(F.count(F.lit(1)).alias("out_deg")).persist())
+               .agg(wsum.alias("out_deg")).persist())
         has_dangling = (nodes.join(deg, on="node", how="left_anti")
                         .limit(1).count() > 0)
         ranks = nodes.select(
@@ -406,11 +427,14 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
                     dangling = float(drow["dm"])
                 else:
                     dangling = 0.0
+                w_num = (F.lit(1.0) if weight is None
+                         else F.col(weight))
                 contrib = (with_deg.filter(F.col("out_deg").isNotNull())
                            .join(edges, on=[with_deg["node"]
                                             == edges[src]])
                            .select(F.col(dst).alias("node"),
-                                   (F.col("pr") / F.col("out_deg"))
+                                   (F.col("pr") * w_num
+                                    / F.col("out_deg"))
                                    .alias("c"))
                            .groupBy("node").agg(F.sum("c").alias("s")))
                 teleport = (1.0 - damping
@@ -438,7 +462,8 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
 
 def personalized_pagerank_duck(edges_sql: str, seed_ids: list[int],
                                iters: int = PR_ITERS,
-                               damping: float = PR_DAMPING) -> str:
+                               damping: float = PR_DAMPING,
+                               weighted: bool = False) -> str:
     """DuckDB mirror of :func:`personalized_pagerank` — the pagerank
     unrolled-CTE replay with the seed-concentrated teleport CASE."""
     d = damping
@@ -448,8 +473,10 @@ def personalized_pagerank_duck(edges_sql: str, seed_ids: list[int],
            "SELECT dst FROM e)",
            f"ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes "
            f"WHERE node IN ({srcs}))",
-           "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg "
-           "FROM e GROUP BY 1)",
+           ("deg AS MATERIALIZED (SELECT src AS node, SUM(w) AS out_deg "
+            "FROM e GROUP BY 1)" if weighted else
+            "deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS out_deg "
+            "FROM e GROUP BY 1)"),
            f"pr0 AS (SELECT node, CASE WHEN node IN ({srcs}) "
            f"THEN 1.0 / ns.n ELSE 0.0 END AS pr FROM nodes, ns)"]
     for i in range(1, iters + 1):
@@ -457,8 +484,9 @@ def personalized_pagerank_duck(edges_sql: str, seed_ids: list[int],
         cte.append(
             f"dm{i} AS (SELECT COALESCE(SUM(pr), 0.0) AS m FROM {p} "
             f"LEFT JOIN deg USING (node) WHERE out_deg IS NULL)")
+        wnum = "e.w * " if weighted else ""
         cte.append(
-            f"c{i} AS (SELECT e.dst AS node, SUM(p.pr / deg.out_deg) "
+            f"c{i} AS (SELECT e.dst AS node, SUM({wnum}p.pr / deg.out_deg) "
             f"AS s FROM {p} p JOIN deg ON p.node = deg.node "
             f"JOIN e ON e.src = p.node GROUP BY 1)")
         cte.append(
@@ -756,6 +784,80 @@ def bfs_hops_duck(edges_sql: str, source_ids: list[int],
             f"UNION ALL SELECT node, {h} AS hops FROM f{h})")
     return ("WITH " + ",\n".join(cte)
             + f"\nSELECT node, CAST(hops AS INT) AS hops FROM v{max_hops}")
+
+
+def weighted_shortest_paths(edges: DataFrame, source_ids: list[int],
+                            max_rounds: int, src: str = "u",
+                            dst: str = "v",
+                            weight: str = "w") -> DataFrame:
+    """Bounded-round min-plus BFS (Bellman–Ford relaxation) over a
+    DIRECTED weighted edge list: (node, dist) — the minimum total edge
+    weight from any of ``source_ids`` along paths of at most
+    ``max_rounds`` edges. The weighted generalization of
+    :func:`bfs_hops` (hops = all-weights-1): "how strongly connected",
+    not just "how many steps". Non-negative weights assumed (the
+    Dijkstra precondition; with ``max_rounds`` bounded the result is
+    still well-defined for any weights, but reads as "cheapest ≤ h-edge
+    path"). Undirected graphs pass both edge directions, the bfs_hops
+    convention.
+
+    Determinism: each candidate distance is the left-to-right float sum
+    along one concrete path, identical in any engine; MIN over an
+    identical set is exact, so rounds replay bit-for-bit and the
+    terminal 6-dp round is cosmetic.
+
+    Scale shape — the bfs/pagerank discipline: one dist⋈edges shuffle
+    join + one min-aggregate per round over a |reached-nodes|-bounded
+    frame, localCheckpoint per round (constant plan depth);
+    ``max_rounds`` is part of the contract so the oracle unrolls it."""
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    if not source_ids:
+        raise ValueError("source_ids must be non-empty")
+    srcs = [int(s) for s in source_ids]
+    e = (edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"),
+                      F.col(weight).cast("double").alias("_w"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        dist = (e.select(F.col("_u").alias("node"))
+                .union(e.select(F.col("_v").alias("node")))
+                .distinct()
+                .filter(F.col("node").isin(srcs))
+                .select("node", F.lit(0.0).alias("dist"))
+                .localCheckpoint())
+        for _ in range(max_rounds):
+            cand = (dist.join(e, dist["node"] == e["_u"])
+                    .select(F.col("_v").alias("node"),
+                            (F.col("dist") + F.col("_w")).alias("dist")))
+            nxt = (dist.unionByName(cand)
+                   .groupBy("node").agg(F.min("dist").alias("dist"))
+                   .localCheckpoint())
+            dist.unpersist()
+            dist = nxt
+        return dist.select("node", F.round("dist", 6).alias("dist"))
+    finally:
+        e.unpersist()
+
+
+def weighted_shortest_paths_duck(edges_sql: str, source_ids: list[int],
+                                 max_rounds: int) -> str:
+    """DuckDB mirror of :func:`weighted_shortest_paths` — the same
+    relaxation rounds unrolled as chained MATERIALIZED CTEs.
+    ``edges_sql`` yields DIRECTED (u, v, w)."""
+    srcs = ", ".join(str(int(s)) for s in source_ids)
+    cte = [f"e AS MATERIALIZED ({edges_sql})",
+           f"d0 AS MATERIALIZED (SELECT node, 0.0 AS dist FROM ("
+           f"SELECT u AS node FROM e UNION SELECT v FROM e) "
+           f"WHERE node IN ({srcs}))"]
+    for h in range(1, max_rounds + 1):
+        cte.append(
+            f"d{h} AS MATERIALIZED (SELECT node, MIN(dist) AS dist "
+            f"FROM (SELECT node, dist FROM d{h - 1} "
+            f"UNION ALL "
+            f"SELECT e.v AS node, d.dist + e.w AS dist "
+            f"FROM d{h - 1} d JOIN e ON e.u = d.node) GROUP BY node)")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT node, ROUND(dist, 6) AS dist FROM d{max_rounds}")
 
 
 KCORE_ITERS = 6

@@ -687,6 +687,71 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
         F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id"))))
 
 
+def lm_dirichlet_topk_indexed(spark, path: str, query_terms: list[str],
+                              k: int = 10,
+                              mu: float = LM_MU) -> DataFrame:
+    """Dirichlet query-likelihood top-k against the persisted text index
+    — the LM twin of ``bm25_topk_indexed`` (r10 verdict: the inline
+    ``lm_dirichlet_scores`` re-tokenizes the corpus per query to get |C|
+    and doc lengths; at 100 TB those are statistics the index already
+    stores). Everything LM-Dirichlet needs is already committed:
+
+    - per-term cf = SUM(tf) over the term's postings (partition-pruned
+      to the query's term hashes — O(postings of the query's terms));
+    - |C| = ``stats.json``'s mergeable ``total_len`` (exact integer
+      sums, so append/maintain keep it bit-identical to a rebuild);
+    - per-doc |d| = ``doclens/``, pre-filtered by a broadcast semi join
+      on the matched ids.
+
+    Terms absent from the postings (cf = 0) drop out of the broadcast
+    cf frame — the same Lucene-mirroring skip as the inline operator —
+    and absent-but-in-corpus terms hit the background branch through
+    the left join. Results are bit-identical to the inline
+    ``lm_dirichlet_topk`` (pinned in tests/test_ranking.py)."""
+    import json
+    import os
+
+    terms = _norm_terms(query_terms)
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    n_parts = int(st["n_parts"])
+    tps = [r["tp"] for r in spark.range(1).select(
+        F.explode(F.array(*[
+            F.pmod(F.hash(F.lit(t)), F.lit(n_parts)) for t in terms]))
+        .alias("tp")).distinct().collect()]
+    postings = (spark.read.parquet(os.path.join(path, "postings"))
+                .filter(F.col("tp").isin(tps))
+                .filter(F.col("term").isin(terms)))
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    if st.get("dedup_on_read"):
+        # the bm25_topk_indexed crash-window contract: a replayed batch
+        # may have duplicated postings rows — collapse after pruning
+        postings = postings.dropDuplicates(["doc_id", "term"])
+    cf = (postings.groupBy("term")
+          .agg(F.sum("tf").cast("double").alias("cf")))
+    matched_ids = postings.select("doc_id").distinct()
+    doclens = doclens.join(F.broadcast(matched_ids),
+                           on="doc_id", how="left_semi")
+    if st.get("dedup_on_read"):
+        doclens = doclens.dropDuplicates(["doc_id"])
+    grid = (matched_ids.join(F.broadcast(cf), how="cross")
+            .join(postings.select("doc_id", "term", "tf"),
+                  on=["doc_id", "term"], how="left")
+            .join(doclens, on="doc_id"))
+    c_len = float(st["total_len"])
+    term_score = F.log((F.coalesce(F.col("tf"), F.lit(0))
+                        + F.lit(mu) * (F.col("cf") / F.lit(c_len)))
+                       / (F.col("dl") + F.lit(mu)))
+    topk = (grid.withColumn("_ts", term_score)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("_ts"), ROUND_DP).alias("score"))
+            .orderBy(F.desc("score"), F.col("doc_id")).limit(k))
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.col("doc_id"))))
+
+
 # ------------------------------------------------------------ batch form
 
 

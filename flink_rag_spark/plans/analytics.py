@@ -177,6 +177,79 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str):
             .select("u", "v").distinct())
 
 
+def _copurchase_weighted(spark: SparkSession, sf_dir: str):
+    """(u, v, w): the co-purchase graph with its natural edge WEIGHT —
+    the number of sharing (order, lineitem-pair) combinations, the
+    co-occurrence strength the unweighted ops discard (r10 verdict
+    item 6). Integer counts keep every strength sum exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (li.join(o.filter(F.col("o_orderdate") >= TRIANGLE_SINCE)
+                    .select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .select("l_orderkey", "l_partkey"))
+    a = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("u"))
+    b = keys.select(F.col("l_orderkey").alias("k"),
+                    F.col("l_partkey").alias("v"))
+    return (a.join(b, "k").filter(F.col("u") < F.col("v"))
+            .groupBy("u", "v").agg(F.count(F.lit(1)).alias("w")))
+
+
+#: the weighted mirrors' shared (u, v, w) edge relation
+_WEDGES_SQL = (f"WITH raw0 AS MATERIALIZED ({_TRIANGLE_EDGES_SQL}) "
+               f"SELECT u, v, COUNT(*) AS w FROM raw0 GROUP BY 1, 2")
+#: symmetric directed weighted edges for the pagerank mirror
+_WPR_EDGES_SQL = (f"WITH raw0 AS MATERIALIZED ({_TRIANGLE_EDGES_SQL}), "
+                  f"wed AS MATERIALIZED (SELECT u, v, COUNT(*) AS w "
+                  f"FROM raw0 GROUP BY 1, 2) "
+                  f"SELECT u AS src, v AS dst, w FROM wed "
+                  f"UNION ALL SELECT v, u, w FROM wed")
+#: inverse-strength distances for the min-plus mirror (strongly
+#: co-purchased = close); CAST keeps both engines in DOUBLE
+_WSP_EDGES_SQL = (f"WITH raw0 AS MATERIALIZED ({_TRIANGLE_EDGES_SQL}), "
+                  f"wed AS MATERIALIZED (SELECT u, v, COUNT(*) AS w "
+                  f"FROM raw0 GROUP BY 1, 2) "
+                  f"SELECT u, v, CAST(1.0 AS DOUBLE) / w AS w FROM wed "
+                  f"UNION ALL "
+                  f"SELECT v, u, CAST(1.0 AS DOUBLE) / w FROM wed")
+
+WPR_ITERS = 4
+WSP_ROUNDS = 3
+
+
+def part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (operators/graph.py pagerank with
+    weight=): rank flows in proportion to co-purchase strength
+    (pr·w/Σw) instead of splitting uniformly — the weighted random
+    surfer over the part graph. Integer weights keep strength sums
+    exact; the oracle unrolls all four iterations."""
+    from flink_rag_spark.operators.graph import pagerank
+    wed = _copurchase_weighted(spark, sf_dir)
+    edges = (wed.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                        "w")
+             .unionByName(wed.select(F.col("v").alias("src"),
+                                     F.col("u").alias("dst"), "w")))
+    return pagerank(edges, iters=WPR_ITERS, weight="w")
+
+
+def part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths (operators/graph.py
+    weighted_shortest_paths — min-plus BFS): cheapest ≤3-edge path from
+    the seed parts under inverse co-purchase strength, so strongly
+    co-bought parts read as CLOSE — the weighted complement of
+    part_bfs_hops' hop counts. Oracle unrolls the relaxation rounds."""
+    from flink_rag_spark.operators.graph import weighted_shortest_paths
+    wed = _copurchase_weighted(spark, sf_dir).withColumn(
+        "iw", F.lit(1.0) / F.col("w"))
+    edges = (wed.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                        F.col("iw"))
+             .unionByName(wed.select(F.col("v").alias("a"),
+                                     F.col("u").alias("b"), F.col("iw"))))
+    return weighted_shortest_paths(edges, BFS_SOURCES, WSP_ROUNDS,
+                                   src="a", dst="b", weight="iw")
+
+
 #: pinned histogram bounds (order totals at any SF live inside them) —
 #: pinning makes the fleet-wide binning reproducible AND lets the
 #: oracle replay without the 1-row min/max aggregate

@@ -130,8 +130,10 @@ def extra_queries() -> list[tuple]:
                                                  community_labels_duck,
                                                  kcore_nodes_duck,
                                                  link_prediction_duck,
+                                                 pagerank_duck as pr_duck,
                                                  personalized_pagerank_duck,
-                                                 triangle_counts_duck)
+                                                 triangle_counts_duck,
+                                                 weighted_shortest_paths_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
         ks_two_sample_duck,
@@ -981,6 +983,14 @@ SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
         # round-10: the OTHER classical lexical model — Dirichlet
         # query-likelihood LM (Lucene LMDirichletSimilarity; Zhai &
         # Lafferty 2004) with absent-term background branches
+        # round-11: the same LM scoring answered from the PERSISTED
+        # text index (cf from term-pruned postings, |C| from the
+        # mergeable total_len) — bit-identical to inline, so it shares
+        # the inline oracle (the bm25_topk_indexed_docs discipline)
+        ("lm_dirichlet_topk_indexed_docs",
+         llm.lm_dirichlet_topk_indexed_docs,
+         lm_dirichlet_topk_duck(llm.BM25_QUERY_TERMS, k=15),
+         ("ranking", "lm", "index", "serving")),
         ("lm_dirichlet_topk_docs", llm.lm_dirichlet_topk_docs,
          lm_dirichlet_topk_duck(llm.BM25_QUERY_TERMS, k=15),
          ("ranking", "text", "lm")),
@@ -1680,6 +1690,19 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          personalized_pagerank_duck(A._PPR_EDGES_SQL, A.BFS_SOURCES,
                                     iters=A.PPR_ITERS),
          ("graph", "iterative", "recommendation")),
+        # round-11: edge-weighted PageRank — pr·w/Σw contributions over
+        # the co-purchase strengths; integer weights keep strength sums
+        # exact; all four iterations unrolled (graph.pagerank weight=)
+        ("part_pagerank_weighted", A.part_pagerank_weighted,
+         pr_duck(A._WPR_EDGES_SQL, iters=A.WPR_ITERS, weighted=True),
+         ("graph", "iterative", "weighted")),
+        # round-11: bounded-round min-plus shortest paths — cheapest
+        # ≤3-edge path under inverse co-purchase strength, relaxation
+        # rounds unrolled (graph.weighted_shortest_paths)
+        ("part_weighted_distances", A.part_weighted_distances,
+         weighted_shortest_paths_duck(A._WSP_EDGES_SQL, A.BFS_SOURCES,
+                                      A.WSP_ROUNDS),
+         ("graph", "iterative", "weighted")),
         # round-10: link prediction — common neighbors + Adamic–Adar
         # over absent edges, hub-capped wedge enumeration, DECIMAL-
         # quantized AA terms (graph.link_prediction)

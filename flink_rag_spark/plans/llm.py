@@ -867,6 +867,30 @@ def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def lm_dirichlet_topk_indexed_docs(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """LM-Dirichlet served from the PERSISTED text index
+    (operators/ranking.py lm_dirichlet_topk_indexed — the r10 verdict's
+    'stop re-tokenizing |C| per query' item): cf from the term-pruned
+    postings, |C| from the index's mergeable total_len, doc lengths
+    from doclens/. Indexed scoring is bit-identical to the inline
+    ``lm_dirichlet_topk`` (pinned in tests/test_ranking.py), so it
+    shares lm_dirichlet_topk_docs' DuckDB oracle — the
+    bm25_topk_indexed_docs discipline."""
+    import tempfile
+
+    from flink_rag_spark.operators.ranking import (
+        build_text_index,
+        lm_dirichlet_topk_indexed,
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="lm_idx_") + "/tix"
+    build_text_index(spark, d, path, n_parts=16)
+    out = lm_dirichlet_topk_indexed(spark, path, BM25_QUERY_TERMS, k=15)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def hybrid_rrf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval — the OpenSearch hybrid-query shape the reference's
     backend serves in production (lexical BM25 + k-NN over the same corpus,

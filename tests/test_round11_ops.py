@@ -100,6 +100,111 @@ def _ev(spark, rows):
               "event_type string")
 
 
+def test_weighted_pagerank_hand_values(spark):
+    from flink_rag_spark.operators.graph import pagerank
+    # star: 1 -> 2 (w=3), 1 -> 3 (w=1); 2,3 dangling
+    e = spark.createDataFrame([(1, 2, 3), (1, 3, 1)],
+                              "src bigint, dst bigint, w bigint")
+    out = {r["node"]: r["pr"] for r in
+           pagerank(e, iters=1, damping=0.85, weight="w").collect()}
+    # pr0 = 1/3 each; dangling mass = 2/3 (nodes 2,3)
+    base = 0.15 / 3 + 0.85 * (2 / 3) / 3
+    assert abs(out[1] - round(base, 6)) < 1e-9
+    assert abs(out[2] - round(base + 0.85 * (1 / 3) * (3 / 4), 6)) < 1e-9
+    assert abs(out[3] - round(base + 0.85 * (1 / 3) * (1 / 4), 6)) < 1e-9
+    # uniform weights ≡ unweighted (the weight path degenerates exactly)
+    import pyspark.sql.functions as F
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src bigint, dst bigint")
+    uw = {r["node"]: r["pr"] for r in pagerank(e2, iters=3).collect()}
+    ww = {r["node"]: r["pr"] for r in pagerank(
+        e2.withColumn("w", F.lit(1)), iters=3, weight="w").collect()}
+    assert uw == ww
+
+
+def test_weighted_shortest_paths_hand_and_mirror(spark):
+    from flink_rag_spark.operators.graph import (
+        weighted_shortest_paths, weighted_shortest_paths_duck)
+    # cheapest path ≠ fewest hops: 1->4 direct costs 10, 1->2->3->4
+    # costs 3; node 5 unreachable within rounds; 6 disconnected
+    rows = [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0),
+            (4, 5, 1.0), (6, 7, 1.0)]
+    e = spark.createDataFrame(rows, "u bigint, v bigint, w double")
+    out = {r["node"]: r["dist"] for r in
+           weighted_shortest_paths(e, [1], 3).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 2.0
+    assert out[4] == 3.0            # relaxed below the direct 10.0
+    # node 5 at 3 rounds only via the EXPENSIVE 1->4->5 prefix (the
+    # cheap chain needs 4 edges); 6 is disconnected from the seed
+    assert out[5] == 11.0 and 6 not in out
+    # one more round relaxes node 5 through the cheap chain
+    out4 = {r["node"]: r["dist"] for r in
+            weighted_shortest_paths(e, [1], 4).collect()}
+    assert out4[4] == 3.0 and out4[5] == 4.0
+    # mirror parity on a fuzzed graph
+    import random
+    rng = random.Random(31)
+    fuzz = [(rng.randrange(20), rng.randrange(20),
+             round(rng.uniform(0.5, 5.0), 3)) for _ in range(80)]
+    ef = spark.createDataFrame(fuzz, "u bigint, v bigint, w double")
+    sp = {(r["node"], r["dist"]) for r in
+          weighted_shortest_paths(ef, [0, 1], 3).collect()}
+    con = duckdb.connect()
+    con.register("edges", ef.toPandas())
+    du = con.execute(weighted_shortest_paths_duck(
+        "SELECT u, v, w FROM edges", [0, 1], 3)).fetchdf()
+    assert sp == {(int(r.node), float(r.dist))
+                  for r in du.itertuples()}
+    with pytest.raises(ValueError):
+        weighted_shortest_paths(e, [], 3)
+    with pytest.raises(ValueError):
+        weighted_shortest_paths(e, [1], -1)
+
+
+def test_lm_dirichlet_indexed_matches_inline_and_prunes(spark, sf_oracle,
+                                                        tmp_path):
+    """The persisted-index LM-Dirichlet path must return bit-identical
+    top-k to the inline operator (same formula, cf from postings, |C|
+    from stats), partition-prune the postings scan, and stay identical
+    after an append (the mergeable-stats contract)."""
+    from flink_rag_spark.operators.ranking import (
+        append_to_text_index,
+        build_text_index,
+        lm_dirichlet_topk,
+        lm_dirichlet_topk_indexed,
+    )
+    from flink_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    terms = ["spark", "join", "vector", "window"]
+    path = str(tmp_path / "lmidx")
+    build_text_index(spark, d, path, n_parts=16)
+    inline = [(r["doc_id"], r["score"], r["rank"]) for r in
+              lm_dirichlet_topk(d, terms, k=15).collect()]
+    indexed = [(r["doc_id"], r["score"], r["rank"]) for r in
+               lm_dirichlet_topk_indexed(spark, path, terms,
+                                         k=15).collect()]
+    assert inline == indexed and len(inline) == 15
+    plan = lm_dirichlet_topk_indexed(
+        spark, path, terms, k=15)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tp" in plan.split("PartitionFilters")[1][:200]
+    # incremental: append half the corpus again under shifted ids; the
+    # maintained index must equal a fresh rebuild of the grown corpus
+    import pyspark.sql.functions as F
+    extra = (d.filter("doc_id % 2 = 0")
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    append_to_text_index(spark, extra, path)
+    grown = d.unionByName(extra)
+    inline2 = [(r["doc_id"], r["score"], r["rank"]) for r in
+               lm_dirichlet_topk(grown, terms, k=15).collect()]
+    indexed2 = [(r["doc_id"], r["score"], r["rank"]) for r in
+                lm_dirichlet_topk_indexed(spark, path, terms,
+                                          k=15).collect()]
+    assert inline2 == indexed2
+
+
 def test_strict_funnel_hand_values(spark):
     from datetime import datetime
 
