@@ -1,0 +1,118 @@
+"""Kaplan–Meier survival analysis — time-to-event with right censoring.
+
+The retention/conversion question cohort_retention and the funnel
+family answer in buckets ("how many converted by week w") has a
+principled estimator when observation windows are UNEQUAL: subjects
+still unconverted at the end of the observation window are CENSORED —
+they contribute to the at-risk denominator up to their censoring time
+and then drop out, instead of being miscounted as never-converting.
+Kaplan & Meier 1958 ("Nonparametric estimation from incomplete
+observations"): at each distinct event time t_i with d_i events among
+n_i at-risk subjects,
+
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+Engine-portability: d_i and n_i are exact integer counts, so each
+factor is one double division — identical in any engine. The running
+product is computed as EXP(Σ ln factor) over the NON-ZERO factors with
+a separate running zero-factor count (DuckDB refuses LN(0); a d_i = n_i
+step zeroes the curve from there on), and the terminal 6-dp round
+absorbs ln/exp last-ulp drift.
+
+Scale shape: ONE (group, t) aggregate over the subject frame, then
+three window functions sharing one (group) partitioning — the reverse
+cumulative at-risk sum, the running zero count, the running log sum.
+Output is |distinct event times| rows per group. No joins, no
+per-subject state.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+ROUND_DP = 6
+
+
+def km_survival(subjects: DataFrame, duration_col: str, event_col: str,
+                group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., t, n_risk, n_events, n_censored, survival) — the
+    Kaplan–Meier curve per group, one row per distinct duration at
+    which ≥1 EVENT occurred (the standard step presentation; censoring
+    times without events shrink later risk sets but emit no row).
+
+    ``subjects`` has one row per subject: ``duration_col`` (numeric,
+    time to event or to censoring), ``event_col`` (1/true = the event
+    was observed, 0/false = censored at that duration). NULL durations
+    are excluded (no observation at all)."""
+    groups = list(group_cols or [])
+    ev = F.col(event_col).cast("int")
+    agg = (subjects
+           .filter(F.col(duration_col).isNotNull())
+           .groupBy(*groups, F.col(duration_col).alias("t"))
+           .agg(F.sum(ev).alias("d"),
+                F.sum(1 - ev).alias("c")))
+    w_rev = (Window.partitionBy(*groups).orderBy("t")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_run = (Window.partitionBy(*groups).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risk = agg.withColumn("n_risk", F.sum(F.col("d") + F.col("c"))
+                          .over(w_rev))
+    factor_ln = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+    ).otherwise(F.lit(0.0))
+    steps = (risk
+             .withColumn("_zeros", F.sum(
+                 F.when(F.col("d") == F.col("n_risk"), 1)
+                 .otherwise(0)).over(w_run))
+             .withColumn("_ls", F.sum(factor_ln).over(w_run)))
+    return (steps.filter(F.col("d") > 0)
+            .select(*groups,
+                    F.col("t"),
+                    F.col("n_risk").cast("bigint").alias("n_risk"),
+                    F.col("d").cast("bigint").alias("n_events"),
+                    F.col("c").cast("bigint").alias("n_censored"),
+                    F.when(F.col("_zeros") > 0, F.lit(0.0))
+                    .otherwise(F.round(F.exp("_ls"), ROUND_DP))
+                    .alias("survival")))
+
+
+def km_survival_duck(subjects_sql: str, duration_col: str,
+                     event_col: str,
+                     group_cols: list[str] | None = None) -> str:
+    """DuckDB mirror of :func:`km_survival` — the same aggregate,
+    reverse-cumulative risk window, zero-count and log-sum replay.
+    ``subjects_sql`` yields one row per subject."""
+    groups = list(group_cols or [])
+    g = ", ".join(groups)
+    gpfx = f"{g}, " if groups else ""
+    part = f"PARTITION BY {g} " if groups else ""
+    return f"""
+WITH subs AS ({subjects_sql}),
+agg AS (
+  SELECT {gpfx}{duration_col} AS t,
+         SUM(CASE WHEN CAST({event_col} AS INT) = 1 THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN CAST({event_col} AS INT) = 1 THEN 0 ELSE 1 END) AS c
+  FROM subs WHERE {duration_col} IS NOT NULL
+  GROUP BY {gpfx}t),
+risk AS (
+  SELECT {gpfx}t, d, c,
+         SUM(d + c) OVER ({part}ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM agg),
+steps AS (
+  SELECT {gpfx}t, d, c, n_risk,
+         SUM(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER ({part}ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeros,
+         SUM(CASE WHEN d > 0 AND d < n_risk
+                  THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                  ELSE 0.0 END)
+           OVER ({part}ORDER BY t ROWS UNBOUNDED PRECEDING) AS ls
+  FROM risk)
+SELECT {gpfx}t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       CASE WHEN zeros > 0 THEN 0.0 ELSE ROUND(EXP(ls), {ROUND_DP}) END
+         AS survival
+FROM steps WHERE d > 0
+"""

@@ -344,6 +344,55 @@ def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
 
 
+#: survival demo: time from first signup to the first SUBSEQUENT
+#: purchase, right-censored at the pinned corpus horizon (the testdata
+#: generator's month end) — censored users count in the at-risk sets up
+#: to the horizon instead of being miscounted as never-converting
+KM_HORIZON = "2024-02-01 00:00:00"
+
+
+def signup_purchase_survival(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves (operators/survival.py km_survival
+    — Kaplan & Meier 1958) per signup-week cohort: S(t) = P(still not
+    purchased t µs after signup), with users lacking a post-signup
+    purchase right-censored at the horizon. Exact integer-µs durations
+    (the sessionize discipline); one aggregate + three windows on one
+    cohort partitioning."""
+    from flink_rag_spark.operators.survival import km_survival
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (s.join(e.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("p_ts")),
+                "user_id")
+         .filter(F.col("p_ts") > F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("p_ts").alias("p_ts")))
+    subj = (s.join(p, "user_id", "left")
+            .select(F.date_trunc("week", F.col("s_ts")).alias("cohort"),
+                    F.expr("timestampdiff(MICROSECOND, s_ts, "
+                           f"coalesce(p_ts, TIMESTAMP '{KM_HORIZON}'))")
+                    .alias("duration_us"),
+                    F.col("p_ts").isNotNull().cast("int")
+                    .alias("event")))
+    return km_survival(subj, "duration_us", "event", ["cohort"])
+
+
+_KM_SUBJECTS_SQL = f"""
+WITH sgn AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+pur AS (SELECT sgn.user_id, MIN(e.ts) AS p_ts
+        FROM sgn JOIN events e ON e.user_id = sgn.user_id
+         AND e.event_type = 'purchase' AND e.ts > sgn.s_ts GROUP BY 1)
+SELECT date_trunc('week', sgn.s_ts) AS cohort,
+       date_diff('microsecond', sgn.s_ts,
+                 COALESCE(pur.p_ts, TIMESTAMP '{KM_HORIZON}'))
+         AS duration_us,
+       CASE WHEN pur.p_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+FROM sgn LEFT JOIN pur USING (user_id)
+"""
+
+
 #: the strict-contiguity pattern the graded query runs: a view whose
 #: IMMEDIATELY next event is a click (FlinkCEP ``next``), whose own
 #: immediately-next event is NOT an error (``notNext``), then

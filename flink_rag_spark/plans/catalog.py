@@ -45,6 +45,7 @@ from flink_rag_spark.plans.rag import (
     rag_answer,
     rag_answer_oracle,
     rag_context_assembly,
+    rag_filtered_answer,
 )
 
 
@@ -320,11 +321,18 @@ def _sql_str(s: str) -> str:
 _RAG_T_PRE, _RAG_T_REST = CFG.prompt_template.split("{question}")
 _RAG_T_MID, _RAG_T_POST = _RAG_T_REST.split("{information}")
 _RAG_IDS = ", ".join(str(i) for i in RAG_ORACLE_QUERY_IDS)
-ORACLE_RAG_ASSEMBLY = f"""
+
+
+def _oracle_rag_assembly(where_sql: str = "") -> str:
+    """The assembly oracle, optionally under a corpus-side metadata
+    filter (the filtered-retrieval variant — predicate applied BEFORE
+    scoring, the knn_join ``where`` contract)."""
+    w = f" WHERE {where_sql}" if where_sql else ""
+    return f"""
 WITH q AS (SELECT vec_id AS question_id, embedding AS query_vec
            FROM embeddings WHERE vec_id IN ({_RAG_IDS})),
 scored AS (SELECT q.question_id, e.vec_id, ROUND({_COS_B}, 6) AS score
-           FROM embeddings e CROSS JOIN q),
+           FROM embeddings e CROSS JOIN q{w}),
 ranked AS (SELECT question_id, vec_id,
                   ROW_NUMBER() OVER (PARTITION BY question_id
                                      ORDER BY score DESC, vec_id) AS rnk
@@ -341,6 +349,9 @@ SELECT c.question_id, d.text AS question, c.information,
 FROM ctx c JOIN documents d ON d.doc_id = c.question_id
 """
 
+
+ORACLE_RAG_ASSEMBLY = _oracle_rag_assembly()
+
 # the FULL chain: assembly + the deterministic chat step (A11). The local
 # provider's reply is a pure string function of the prompt
 # (functions/providers.py:85-89), so DuckDB mirrors it exactly: md5() hashes
@@ -351,6 +362,16 @@ SELECT question_id, question, information, prompt,
        '[answer:' || substr(md5(prompt), 1, 8) || '] '
          || substr(prompt, 1, 200) AS answer
 FROM ({ORACLE_RAG_ASSEMBLY})
+"""
+
+# the METADATA-FILTERED chain (tenant isolation / source filters — the
+# OpenSearch filtered-k-NN shape): identical pipeline, retrieval
+# restricted to label < 3 corpus vectors BEFORE scoring
+ORACLE_RAG_FILTERED_ANSWER = f"""
+SELECT question_id, question, information, prompt,
+       '[answer:' || substr(md5(prompt), 1, 8) || '] '
+         || substr(prompt, 1, 200) AS answer
+FROM ({_oracle_rag_assembly("e.label < 3")})
 """
 
 # the hybrid twin of ORACLE_RAG_ASSEMBLY (plans/rag.rag_hybrid_context):
@@ -1508,6 +1529,11 @@ GRADED_QUERIES: list[QueryDef] = (
 QUERIES: list[QueryDef] = GRADED_QUERIES + [
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),
+    # round-11: the full chain under a corpus metadata filter (tenant
+    # isolation — the filtered-k-NN serving shape), hash-verified like
+    # the unfiltered chain
+    QueryDef("rag_filtered_answer", rag_filtered_answer,
+             ORACLE_RAG_FILTERED_ANSWER, ("rag", "similarity", "filter")),
     # demoted from the graded window in the round-10 rotation (notes at
     # its former _GRADED site); stays oracle-swept here
     QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3,

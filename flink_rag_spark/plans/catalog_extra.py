@@ -146,6 +146,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.regression import (corr_matrix_duck,
                                                       group_ols_duck)
+    from flink_rag_spark.operators.survival import km_survival_duck
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
@@ -1782,6 +1783,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
                                    A.NEG_FUNNEL_GAPS),
          ("streaming", "cep", "window", "negation")),
+        # round-11: Kaplan–Meier survival — time-to-event with right
+        # censoring; exact integer counts per factor, running product
+        # as EXP(Σ ln) + a zero-factor flag (operators/survival.py)
+        ("signup_purchase_survival", A.signup_purchase_survival,
+         km_survival_duck(A._KM_SUBJECTS_SQL, "duration_us", "event",
+                          ["cohort"]),
+         ("survival", "window", "analytics")),
         # round-11: strict-contiguity CEP (FlinkCEP next/notNext) —
         # per-anchor lead-adjacency block matches chained by the
         # relaxed running-min layers; earliest anchor is NOT always

@@ -35,7 +35,8 @@ RAG_ORACLE_QUERY_IDS = (0, 7, 13, 21, 42)
 
 
 def rag_context_assembly(spark: SparkSession, sf_dir: str,
-                         cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+                         cfg: EngineConfig = DEFAULT_CONFIG,
+                         where=None) -> DataFrame:
     """The flagship's retrieval+assembly chain from PRE-EMBEDDED query
     vectors — the SQL-expressible core of ``rag_answer`` (everything
     downstream of the question embedding), hash-verified against DuckDB.
@@ -45,16 +46,23 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str,
     ``\\n\\n`` concat, and two-slot template fill (A10). ``rag_answer_batch``
     stays rows-only because its query vectors come from a provider UDF; this
     entry pins the same downstream plan with vectors taken from the
-    ``embeddings`` table (the query doc's own text acts as the question)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ``embeddings`` table (the query doc's own text acts as the question).
+
+    ``where``: corpus-side metadata filter on the retrieval (tenant
+    isolation / source filters — knn_join's filtered-k-NN contract);
+    the QUESTION vectors come from the unfiltered table (a tenant's
+    query may be any document)."""
+    emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "text")
     ids = list(RAG_ORACLE_QUERY_IDS)
     queries = (emb.filter(F.col("vec_id").isin(ids))
                .select(F.col("vec_id").alias("question_id"),
                        F.col("embedding").alias("query_vec")))
+    if where is None:
+        emb = emb.select("vec_id", "embedding")
     hits = knn_join(queries, emb, k=cfg.retrieval_k, query_id="question_id",
-                    min_score=cfg.min_score)
+                    min_score=cfg.min_score, where=where)
     # hits is tiny (questions × k) — broadcast it against the corpus text
     with_text = broadcast(hits.select("question_id", "vec_id", "rank")) \
         .join(docs, on="vec_id")
@@ -91,6 +99,25 @@ def rag_answer_oracle(spark: SparkSession, sf_dir: str,
     SQL-expressible span."""
     provider = LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
     return (rag_context_assembly(spark, sf_dir, cfg)
+            .withColumn("answer", chat_col(provider, cfg)(F.col("prompt"))))
+
+
+#: the filtered chain's corpus predicate (tenant-isolation demo)
+RAG_FILTER_PREDICATE = "label < 3"
+
+
+def rag_filtered_answer(spark: SparkSession, sf_dir: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The FULL RAG chain under a corpus metadata filter — the tenant-
+    isolation / source-filter serving shape (OpenSearch's filtered
+    k-NN, the capability the round-11 ``where=`` tiers map): identical
+    to ``rag_answer_oracle`` but retrieval sees only ``label < 3``
+    vectors, filter-then-score, so every retrieved context chunk
+    satisfies the predicate and the context is still exactly k chunks.
+    Hash-verified end to end like the unfiltered chain."""
+    provider = LocalDeterministicProvider(cfg.embedding_dims, cfg.seed)
+    return (rag_context_assembly(spark, sf_dir, cfg,
+                                 where=RAG_FILTER_PREDICATE)
             .withColumn("answer", chat_col(provider, cfg)(F.col("prompt"))))
 
 

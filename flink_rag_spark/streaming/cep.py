@@ -292,3 +292,198 @@ def funnel_monitor(events: DataFrame, steps: list[str],
                 stateStructType=_funnel_state_schema(),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ------------------------------------------------ strict contiguity
+
+
+def _strict_state_schema() -> str:
+    return ("mins array<bigint>, bi int, "
+            "tail_ts array<bigint>, tail_seq array<bigint>, "
+            "tail_type array<string>, "
+            "pend_blk int, pend_ts array<bigint>, "
+            "buf_ts array<bigint>, buf_seq array<bigint>, "
+            "buf_type array<string>, wm_us bigint, done boolean")
+
+
+def _make_strict_funnel_fn(steps: list[str], blocks: list[tuple[int, int]],
+                           not_next: dict[int, str],
+                           within_us: int | None):
+    """The strict-contiguity fold — the streaming twin of
+    ``sequences.strict_funnel_times``. Events finalize in (ts, seq)
+    order; the state keeps the last max-block-length finalized events
+    (the adjacency window), the per-step matched timestamps, the index
+    of the first unmatched block, and at most ONE pending
+    notNext candidate (only an anchor whose block ends at the newest
+    event is undecided — every earlier anchor was decided by the event
+    after it). Why first-match is final: anchors are decided in end-
+    event order, so the first committed block-b match has the minimum
+    end ts — exactly the batch running-min convergence."""
+    k = len(steps)
+    max_l = max(e - a + 1 for a, e in blocks)
+    nn = dict(not_next or {})
+
+    def _feed(ev, mins, bi, tail, pend):
+        """Advance the automaton by one finalized (ts, seq, type)."""
+        ts, seq, typ = ev
+        if pend[0] != _NONE:
+            b = pend[0]
+            a, e = blocks[b]
+            if typ != nn[e]:
+                for d, t in enumerate(pend[1]):
+                    mins[a - 1 + d] = t
+                bi = b + 1
+            pend[0], pend[1] = _NONE, []
+        if bi < len(blocks):
+            tail.append(ev)
+            if len(tail) > max_l:
+                tail.pop(0)
+            a, e = blocks[bi]
+            ln = e - a + 1
+            if len(tail) >= ln:
+                cand = tail[-ln:]
+                ok = all(cand[d][2] == steps[a - 1 + d]
+                         for d in range(ln))
+                if ok and bi > 0:
+                    prev_e = mins[blocks[bi - 1][1] - 1]
+                    ok = prev_e != _NONE and cand[0][0] > prev_e
+                if ok and within_us is not None:
+                    bound = cand[0][0] if bi == 0 else mins[0]
+                    ok = cand[-1][0] <= bound + within_us
+                if ok:
+                    if e in nn:
+                        pend[0] = bi
+                        pend[1] = [c[0] for c in cand]
+                    else:
+                        for d in range(ln):
+                            mins[a - 1 + d] = cand[d][0]
+                        bi += 1
+        return bi
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (mins, bi, tail_ts, tail_seq, tail_type, pend_blk, pend_ts,
+             buf_ts, buf_seq, buf_type, wm_us, done) = state.get
+            mins = list(mins)
+            tail = list(zip(tail_ts, tail_seq, tail_type))
+            pend = [pend_blk, list(pend_ts)]
+            buf = list(zip(buf_ts, buf_seq, buf_type))
+        else:
+            mins, bi, tail, pend, buf, wm_us, done = \
+                [_NONE] * k, 0, [], [_NONE, []], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, s, typ in zip(ts_us, pdf["event_id"],
+                                     pdf["event_type"]):
+                    if int(t) >= wm_us:  # boundary rule: see funnel fn
+                        buf.append((int(t), int(s), str(typ)))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        if new_wm_us > wm_us and buf and not done:
+            buf.sort()
+            keep = []
+            for ev in buf:
+                if ev[0] > new_wm_us:
+                    keep.append(ev)
+                elif bi < len(blocks) or pend[0] != _NONE:
+                    bi = _feed(ev, mins, bi, tail, pend)
+            buf = keep
+        wm_us = max(wm_us, new_wm_us)
+
+        if (state.hasTimedOut and not buf and pend[0] != _NONE
+                and not done):
+            # the watermark passed every buffered event and the pending
+            # notNext anchor is still waiting for an immediately-
+            # following event: resolve PASS — the bounded-disorder
+            # reading of batch's "no next event passes" (an adjacent
+            # successor, when one exists, arrives within the watermark
+            # horizon of its predecessor)
+            b = pend[0]
+            a, e = blocks[b]
+            for d, t in enumerate(pend[1]):
+                mins[a - 1 + d] = t
+            bi = b + 1
+            pend = [_NONE, []]
+
+        if not done and bi == len(blocks):
+            done = True
+            tail, buf, pend = [], [], [_NONE, []]
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                **{f"t{i + 1}": [pd.Timestamp(mins[i], unit="us")]
+                   for i in range(k)}})
+
+        state.update((
+            mins, bi,
+            [e[0] for e in tail], [e[1] for e in tail],
+            [e[2] for e in tail],
+            pend[0], pend[1],
+            [e[0] for e in buf], [e[1] for e in buf],
+            [e[2] for e in buf], wm_us, done))
+        if not done and (buf or pend[0] != _NONE):
+            wake = min(e[0] for e in buf) // 1000 if buf else wm_ms
+            state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+
+    return fn
+
+
+def strict_funnel_monitor(events: DataFrame, steps: list[str],
+                          contiguity: list[str] | None = None,
+                          not_next: dict[int, str] | None = None,
+                          watermark: str = "10 minutes",
+                          within_seconds: int | None = None,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          seq_col: str = "event_id") -> DataFrame:
+    """Streaming strict-contiguity CEP (FlinkCEP ``next``/``notNext``):
+    one append-mode row per key — (key, t1..tk) — at its earliest chain
+    where each ``'next'`` gap is satisfied by the key's IMMEDIATELY
+    following event. Adjacency is positional over the key's full event
+    stream, so the stream is NOT type-pre-filtered (the batch twin's
+    contract); events buffer until the watermark and finalize in
+    (ts, seq) order. Emissions ≡ the batch ``strict_funnel_times`` rows
+    with t_k non-NULL under two documented readings: per-key disorder
+    within the watermark delay, and a trailing notNext anchor resolves
+    PASS once the watermark passes its end with no successor buffered
+    (batch's bounded-input "no next event passes")."""
+    from flink_rag_spark.operators.sequences import _strict_blocks
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    contiguity = contiguity or ["followedBy"] * (k - 1)
+    if len(contiguity) != k - 1:
+        raise ValueError(f"contiguity needs {k - 1} gaps, "
+                         f"got {len(contiguity)}")
+    bad = [g for g in contiguity if g not in ("next", "followedBy")]
+    if bad:
+        raise ValueError(f"unknown contiguity values: {bad!r}")
+    not_next = not_next or {}
+    for i in not_next:
+        if not (1 <= i <= k):
+            raise ValueError(f"not_next step {i} out of range (1..{k})")
+        if i < k and contiguity[i - 1] == "next":
+            raise ValueError(
+                f"not_next at step {i} conflicts with its 'next' gap")
+    blocks = _strict_blocks(k, contiguity)
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    sel = events.select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(seq_col).alias("event_id"),
+                        F.col(type_col).alias("event_type"))
+    return (sel.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_strict_funnel_fn(steps, blocks, not_next,
+                                       within_us),
+                outputStructType=_funnel_out_schema(len(steps), key_type),
+                stateStructType=_strict_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -360,3 +360,159 @@ def test_strict_funnel_quoted_type_and_validation(spark):
                             {1: "error"})  # notNext inside a strict gap
     with pytest.raises(ValueError):
         strict_funnel_times(e, ["view", "click"], ["next", "next"])
+
+
+def _write_strict_batch(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, type) — explicit ids because
+    strict adjacency is positional (ids must be globally unique)."""
+    spark.createDataFrame(
+        rows, "event_id bigint, ts_s string, user_id bigint, "
+              "event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                 "user_id", "event_type"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    import time
+    time.sleep(1.1)
+
+
+def test_streaming_strict_funnel_matches_batch(spark, tmp_path):
+    """Streaming emissions ≡ batch strict_funnel_times completions
+    (t_k non-NULL) under bounded disorder, incl. a strict gap broken by
+    an out-of-order intervening event and a notNext anchor voided
+    cross-batch."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.sequences import strict_funnel_times
+    from flink_rag_spark.streaming.cep import strict_funnel_monitor
+    src = str(tmp_path / "strictcep_src")
+    steps = ["view", "click", "purchase"]
+    cont = ["next", "followedBy"]
+    nn = {2: "error"}
+    _write_strict_batch(spark, src, [
+        # u1: clean view->click adjacency, later purchase: emits
+        (0, "2024-01-01 00:01:00", 1, "view"),
+        (1, "2024-01-01 00:02:00", 1, "click"),
+        (2, "2024-01-01 00:05:00", 1, "purchase"),
+        # u2: view ... click with a signup BETWEEN them arriving in
+        # batch 2 OUT OF ORDER — the strict gap must break
+        (3, "2024-01-01 00:01:00", 2, "view"),
+        (4, "2024-01-01 00:03:00", 2, "click"),
+        (5, "2024-01-01 00:04:00", 2, "purchase"),
+        # u3: first anchor's click followed by error (notNext, the
+        # error arrives cross-batch), later clean anchor completes
+        (6, "2024-01-01 00:01:00", 3, "view"),
+        (7, "2024-01-01 00:02:00", 3, "click"),
+        (8, "2024-01-01 00:10:00", 3, "view"),
+        (9, "2024-01-01 00:11:00", 3, "click"),
+        (10, "2024-01-01 00:20:00", 3, "purchase"),
+        # u4: all-relaxed would match; strict breaks it (error between)
+        (11, "2024-01-01 00:01:00", 4, "view"),
+        (12, "2024-01-01 00:01:30", 4, "error"),
+        (13, "2024-01-01 00:02:00", 4, "click"),
+        (14, "2024-01-01 00:03:00", 4, "purchase"),
+    ])
+    _write_strict_batch(spark, src, [
+        (15, "2024-01-01 00:02:00", 2, "signup"),   # breaks u2's gap
+        (16, "2024-01-01 00:02:30", 3, "error"),    # voids u3 anchor 1
+        (17, "2024-01-10 00:00:00", 99, "view"),    # watermark flush
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (strict_funnel_monitor(stream, steps, cont, nn,
+                               watermark="1 hour")
+         .writeStream.format("memory").queryName("strictcep_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_strict"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"])
+           for r in spark.sql("select * from strictcep_t").collect()}
+    batch = (strict_funnel_times(spark.read.parquet(src), steps, cont,
+                                 nn)
+             .filter(F.col("t3").isNotNull()).collect())
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in batch}
+    assert got == want
+    assert {u for u, *_ in got} == {1, 3}   # u2 broken, u4 broken
+
+
+def test_streaming_strict_funnel_trailing_not_next(spark, tmp_path):
+    """A trailing notNext anchor (no successor event ever arrives)
+    resolves PASS once the watermark passes it — the bounded-input
+    reading of batch's 'no next event passes'."""
+    from flink_rag_spark.streaming.cep import strict_funnel_monitor
+    src = str(tmp_path / "strictnn_src")
+    # pattern: view ->next click (notNext error after click), k=2;
+    # u1's click is their LAST event — must still emit after the
+    # watermark passes
+    _write_strict_batch(spark, src, [
+        (0, "2024-01-01 00:01:00", 1, "view"),
+        (1, "2024-01-01 00:02:00", 1, "click"),
+    ])
+    _write_strict_batch(spark, src, [
+        (2, "2024-01-10 00:00:00", 99, "view"),    # watermark flush
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (strict_funnel_monitor(stream, ["view", "click"], ["next"],
+                               {2: "error"}, watermark="1 hour")
+         .writeStream.format("memory").queryName("strictnn_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_strictnn"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    rows = spark.sql("select * from strictnn_t").collect()
+    assert [(r["user_id"],) for r in rows] == [(1,)]
+
+
+def test_streaming_strict_funnel_validates(spark):
+    from flink_rag_spark.streaming.cep import strict_funnel_monitor
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS ts", "value AS event_id",
+        "'view' AS event_type")
+    with pytest.raises(ValueError):
+        strict_funnel_monitor(df, [])
+    with pytest.raises(ValueError):
+        strict_funnel_monitor(df, ["a", "b"], ["bogus"])
+    with pytest.raises(ValueError):
+        strict_funnel_monitor(df, ["a", "b"], ["next"], {1: "x"})
+
+
+def test_km_survival_hand_values(spark):
+    from flink_rag_spark.operators.survival import (km_survival,
+                                                    km_survival_duck)
+    rows = [("a", 5, 1), ("a", 5, 0), ("a", 8, 1), ("a", 10, 1),
+            ("a", 10, 1), ("a", 12, 0), ("a", 15, 0),
+            ("b", 3, 1), ("b", 3, 1), ("b", 3, 1), ("b", 9, 0),
+            # group c: the last at-risk subject has the event — the
+            # curve must hit exactly 0.0 (the LN(0) branch)
+            ("c", 1, 1), ("c", 2, 1),
+            # NULL duration: excluded entirely
+            ("a", None, 1)]
+    df = spark.createDataFrame(rows, "g string, dur int, ev int")
+    out = {(r["g"], r["t"]): (r["n_risk"], r["n_events"],
+                              r["n_censored"], r["survival"])
+           for r in km_survival(df, "dur", "ev", ["g"]).collect()}
+    assert out[("a", 5)] == (7, 1, 1, 0.857143)
+    assert out[("a", 8)] == (5, 1, 0, 0.685714)
+    assert out[("a", 10)] == (4, 2, 0, 0.342857)
+    assert ("a", 12) not in out and ("a", 15) not in out  # censor-only
+    assert out[("b", 3)] == (4, 3, 0, 0.25)
+    assert out[("c", 1)] == (2, 1, 0, 0.5)
+    assert out[("c", 2)] == (1, 1, 0, 0.0)      # zeroed, not ln(0)
+    # duck mirror parity (incl. the zero branch)
+    con = duckdb.connect()
+    con.register("subs_tbl", df.toPandas())
+    du = con.execute(km_survival_duck(
+        "SELECT g, dur, ev FROM subs_tbl", "dur", "ev",
+        ["g"])).fetchdf()
+    got = {(r.g, int(r.t)): (int(r.n_risk), int(r.n_events),
+                             int(r.n_censored), float(r.survival))
+           for r in du.itertuples()}
+    assert got == {k: v for k, v in out.items()}
+    # ungrouped variant runs too
+    one = km_survival(df.filter("g = 'b'"), "dur", "ev").collect()
+    assert [(r["t"], r["survival"]) for r in one] == [(3, 0.25)]
