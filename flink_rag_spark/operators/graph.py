@@ -504,7 +504,8 @@ LPA_ITERS = 4
 
 def community_labels(pairs: DataFrame, id_a: str = "id_a",
                      id_b: str = "id_b",
-                     iters: int = LPA_ITERS) -> DataFrame:
+                     iters: int = LPA_ITERS,
+                     weight: str | None = None) -> DataFrame:
     """Community detection via SYNCHRONOUS label propagation (Raghavan
     et al. 2007, "Near linear time algorithm to detect community
     structures") over an undirected edge list: (node, label) after
@@ -528,10 +529,18 @@ def community_labels(pairs: DataFrame, id_a: str = "id_a",
     each round is ONE labels⋈edges shuffle join + a (node, label)
     partial+final count + a struct-max argmax — all partitioned on the
     node id; labels localCheckpoint per round (constant plan depth, the
-    PageRank discipline)."""
-    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    PageRank discipline).
+
+    ``weight`` names an edge-weight column: neighbor votes sum the
+    weights instead of counting edges (a 40-order co-purchase tie pulls
+    40x harder than a one-off). INTEGER weights keep the vote sums
+    exact, so the (votes DESC, label ASC) total order replays
+    bit-identically in the oracle."""
+    wcols = [F.col(weight).alias("w")] if weight else []
+    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"),
+                        *wcols)
            .union(pairs.select(F.col(id_b).alias("u"),
-                               F.col(id_a).alias("v")))
+                               F.col(id_a).alias("v"), *wcols))
            .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     try:
         labels = (sym.select(F.col("u").alias("node")).distinct()
@@ -539,11 +548,13 @@ def community_labels(pairs: DataFrame, id_a: str = "id_a",
                   .localCheckpoint())
         try:
             for _ in range(iters):
+                vote = (F.count(F.lit(1)) if weight is None
+                        else F.sum(F.col("w")))
                 votes = (sym.join(labels,
                                   sym["v"] == labels["node"])
                          .groupBy(F.col("u").alias("n"),
                                   F.col("label").alias("l"))
-                         .agg(F.count(F.lit(1)).alias("c")))
+                         .agg(vote.alias("c")))
                 nxt = (votes.groupBy(F.col("n").alias("node"))
                        .agg(F.max(F.struct(F.col("c"),
                                            (-F.col("l")).alias("nl")))
@@ -560,20 +571,25 @@ def community_labels(pairs: DataFrame, id_a: str = "id_a",
         sym.unpersist()
 
 
-def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS) -> str:
+def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS,
+                          weighted: bool = False) -> str:
     """DuckDB mirror: the SAME synchronous rounds unrolled as chained
     MATERIALIZED CTEs (l0..lN), most-frequent-neighbor argmax replayed
     with the identical (count DESC, label ASC) total order — the oracle
     checks every round, not just the fixed point. ``edges_sql`` yields
     (u, v) one row per undirected edge."""
+    ecols = "u, v, w" if weighted else "u, v"
+    esym = ("SELECT u, v, w FROM e0 UNION SELECT v, u, w FROM e0"
+            if weighted else
+            "SELECT u, v FROM e0 UNION SELECT v, u FROM e0")
+    vote = "SUM(e.w)" if weighted else "COUNT(*)"
     cte = [f"e0 AS MATERIALIZED ({edges_sql})",
-           "e AS MATERIALIZED (SELECT u, v FROM e0 UNION "
-           "SELECT v, u FROM e0)",
+           f"e AS MATERIALIZED ({esym})",
            "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"]
     for i in range(1, iters + 1):
         p = f"l{i - 1}"
         cte.append(
-            f"v{i} AS (SELECT e.u AS n, p.label AS l, COUNT(*) AS c "
+            f"v{i} AS (SELECT e.u AS n, p.label AS l, {vote} AS c "
             f"FROM e JOIN {p} p ON e.v = p.node GROUP BY 1, 2)")
         cte.append(
             f"l{i} AS MATERIALIZED (SELECT n AS node, l AS label FROM ("

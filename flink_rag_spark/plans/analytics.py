@@ -233,6 +233,32 @@ def part_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=WPR_ITERS, weight="w")
 
 
+def part_ppr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted personalized PageRank (graph.personalized_pagerank
+    weight=): seed-relevance where rank flows in proportion to
+    co-purchase strength — the weighted twin of part_ppr_relevance on
+    the same seeds."""
+    from flink_rag_spark.operators.graph import personalized_pagerank
+    wed = _copurchase_weighted(spark, sf_dir)
+    edges = (wed.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                        "w")
+             .unionByName(wed.select(F.col("v").alias("src"),
+                                     F.col("u").alias("dst"), "w")))
+    return personalized_pagerank(edges, BFS_SOURCES, iters=WPR_ITERS,
+                                 weight="w")
+
+
+def part_communities_weighted(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Edge-weighted label propagation (graph.community_labels
+    weight=): neighbor votes sum co-purchase strengths instead of
+    counting edges — a 40-order tie pulls 40× harder; integer weights
+    keep the (votes DESC, label ASC) argmax order exact."""
+    from flink_rag_spark.operators.graph import community_labels
+    return community_labels(_copurchase_weighted(spark, sf_dir),
+                            id_a="u", id_b="v", weight="w")
+
+
 def part_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-round weighted shortest paths (operators/graph.py
     weighted_shortest_paths — min-plus BFS): cheapest ≤3-edge path from

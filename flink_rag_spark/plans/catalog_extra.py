@@ -1704,6 +1704,17 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          weighted_shortest_paths_duck(A._WSP_EDGES_SQL, A.BFS_SOURCES,
                                       A.WSP_ROUNDS),
          ("graph", "iterative", "weighted")),
+        # round-11: weighted PPR — seed teleport over strength-
+        # proportional rank flow (the weighted twin of ppr_relevance)
+        ("part_ppr_weighted", A.part_ppr_weighted,
+         personalized_pagerank_duck(A._WPR_EDGES_SQL, A.BFS_SOURCES,
+                                    iters=A.WPR_ITERS, weighted=True),
+         ("graph", "iterative", "weighted")),
+        # round-11: weighted LPA — votes sum co-purchase strengths;
+        # integer weights keep the argmax order exact
+        ("part_communities_weighted", A.part_communities_weighted,
+         community_labels_duck(A._WEDGES_SQL, weighted=True),
+         ("graph", "iterative", "weighted")),
         # round-10: link prediction — common neighbors + Adamic–Adar
         # over absent edges, hub-capped wedge enumeration, DECIMAL-
         # quantized AA terms (graph.link_prediction)

@@ -516,3 +516,35 @@ def test_km_survival_hand_values(spark):
     # ungrouped variant runs too
     one = km_survival(df.filter("g = 'b'"), "dur", "ev").collect()
     assert [(r["t"], r["survival"]) for r in one] == [(3, 0.25)]
+
+
+def test_weighted_lpa_hand_values(spark):
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.graph import (community_labels,
+                                                 community_labels_duck)
+    # two triangles bridged by ONE heavy edge: unweighted LPA keeps the
+    # triangles separate; a heavy enough bridge pulls node 3 toward the
+    # other side's label in round 1
+    edges = [(1, 2, 1), (1, 3, 1), (2, 3, 1),
+             (4, 5, 1), (4, 6, 1), (5, 6, 1),
+             (3, 4, 10)]
+    df = spark.createDataFrame(edges, "u bigint, v bigint, w bigint")
+    uw = {r["node"]: r["label"] for r in community_labels(
+        df, id_a="u", id_b="v", iters=2).collect()}
+    ww = {r["node"]: r["label"] for r in community_labels(
+        df, id_a="u", id_b="v", iters=2, weight="w").collect()}
+    assert uw != ww          # the heavy bridge changes the outcome
+    # uniform weights ≡ unweighted
+    w1 = {r["node"]: r["label"] for r in community_labels(
+        df.withColumn("w", F.lit(1)), id_a="u", id_b="v", iters=2,
+        weight="w").collect()}
+    assert w1 == uw
+    # duck mirror parity for the weighted rounds
+    con = duckdb.connect()
+    con.register("wedges", df.toPandas())
+    du = con.execute(community_labels_duck(
+        "SELECT u, v, w FROM wedges", iters=2,
+        weighted=True)).fetchdf()
+    assert {(int(r.node), int(r.label)) for r in du.itertuples()} == \
+           {(n, l) for n, l in ww.items()}
