@@ -623,26 +623,22 @@ def compact_text_index(spark, path: str) -> dict[str, int]:
     return counts
 
 
-def bm25_topk_indexed(spark, path: str, query_terms: list[str],
-                      k: int = 10, k1: float = BM25_K1,
-                      b: float = BM25_B) -> DataFrame:
-    """BM25 top-k against the persisted index: work is O(postings of the
-    query's terms) — the postings scan partition-prunes on the terms' hash
-    partitions, df per term is a tiny aggregate over those postings, and
-    the doclen join is pre-filtered by a broadcast semi join on the
-    matched doc ids (bounded by the matched postings). Results are
-    bit-identical to the inline ``bm25_topk`` (asserted in
-    tests/test_ranking.py)."""
+def _pruned_postings_doclens(spark, path: str, terms: list[str]):
+    """Shared index-read scaffolding for every indexed scorer (BM25,
+    LM-Dirichlet): load stats.json, prune the postings scan to the
+    query terms' hash partitions (the JVM-hash one-row job — a
+    driver-side mirror of pmod(hash(term), n_parts) does not exist),
+    apply the dedup_on_read crash-window collapse, and pre-filter
+    doclens by a broadcast semi join on the matched ids (with the same
+    dedup guard). Returns (stats, postings, doclens, matched_ids) —
+    fix the pruning or dedup rules HERE and every indexed scorer moves
+    together."""
     import json
     import os
 
-    terms = _norm_terms(query_terms)
     with open(os.path.join(path, "stats.json")) as f:
         st = json.load(f)
     n_parts = int(st["n_parts"])
-    # driver-side mirror of pmod(hash(term), n_parts) is not available
-    # without the JVM hash — prune with a one-row Spark job instead
-    # (bounded: |terms| values)
     tps = [r["tp"] for r in spark.range(1).select(
         F.explode(F.array(*[
             F.pmod(F.hash(F.lit(t)), F.lit(n_parts)) for t in terms]))
@@ -652,11 +648,11 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
                 .filter(F.col("term").isin(terms)))
     doclens = spark.read.parquet(os.path.join(path, "doclens"))
     if st.get("dedup_on_read"):
-        # streaming-maintained index that hasn't compacted since a crash
-        # window may hold exact-duplicate rows from one replayed batch
-        # (maintain_text_index contract) — collapse the postings AFTER
-        # the tp/term pruning filters, so that aggregate is bounded by
-        # the query's matched postings
+        # streaming-maintained index that hasn't compacted since a
+        # crash window may hold exact-duplicate rows from one replayed
+        # batch (maintain_text_index contract) — collapse the postings
+        # AFTER the tp/term pruning filters, so that aggregate is
+        # bounded by the query's matched postings
         postings = postings.dropDuplicates(["doc_id", "term"])
     matched_ids = postings.select("doc_id").distinct()
     doclens = doclens.join(F.broadcast(matched_ids),
@@ -667,6 +663,22 @@ def bm25_topk_indexed(spark, path: str, query_terms: list[str],
         # bounded cost explicit rather than relying on Catalyst to push
         # the join below a dedup aggregate over the full corpus
         doclens = doclens.dropDuplicates(["doc_id"])
+    return st, postings, doclens, matched_ids
+
+
+def bm25_topk_indexed(spark, path: str, query_terms: list[str],
+                      k: int = 10, k1: float = BM25_K1,
+                      b: float = BM25_B) -> DataFrame:
+    """BM25 top-k against the persisted index: work is O(postings of the
+    query's terms) — the postings scan partition-prunes on the terms' hash
+    partitions, df per term is a tiny aggregate over those postings, and
+    the doclen join is pre-filtered by a broadcast semi join on the
+    matched doc ids (bounded by the matched postings). Results are
+    bit-identical to the inline ``bm25_topk`` (asserted in
+    tests/test_ranking.py)."""
+    terms = _norm_terms(query_terms)
+    st, postings, doclens, _ = _pruned_postings_doclens(spark, path,
+                                                        terms)
     dfreq = (postings.groupBy("term")
              .agg(F.count(F.lit(1)).cast("double").alias("df")))
     scored = (postings
@@ -700,40 +712,20 @@ def lm_dirichlet_topk_indexed(spark, path: str, query_terms: list[str],
       to the query's term hashes — O(postings of the query's terms));
     - |C| = ``stats.json``'s mergeable ``total_len`` (exact integer
       sums, so append/maintain keep it bit-identical to a rebuild);
-    - per-doc |d| = ``doclens/``, pre-filtered by a broadcast semi join
-      on the matched ids.
+    - per-doc |d| = ``doclens/``, via the shared
+      ``_pruned_postings_doclens`` scaffolding (same pruning + same
+      dedup_on_read crash-window contract as BM25).
 
     Terms absent from the postings (cf = 0) drop out of the broadcast
     cf frame — the same Lucene-mirroring skip as the inline operator —
     and absent-but-in-corpus terms hit the background branch through
     the left join. Results are bit-identical to the inline
-    ``lm_dirichlet_topk`` (pinned in tests/test_ranking.py)."""
-    import json
-    import os
-
+    ``lm_dirichlet_topk`` (pinned in tests/test_round11_ops.py)."""
     terms = _norm_terms(query_terms)
-    with open(os.path.join(path, "stats.json")) as f:
-        st = json.load(f)
-    n_parts = int(st["n_parts"])
-    tps = [r["tp"] for r in spark.range(1).select(
-        F.explode(F.array(*[
-            F.pmod(F.hash(F.lit(t)), F.lit(n_parts)) for t in terms]))
-        .alias("tp")).distinct().collect()]
-    postings = (spark.read.parquet(os.path.join(path, "postings"))
-                .filter(F.col("tp").isin(tps))
-                .filter(F.col("term").isin(terms)))
-    doclens = spark.read.parquet(os.path.join(path, "doclens"))
-    if st.get("dedup_on_read"):
-        # the bm25_topk_indexed crash-window contract: a replayed batch
-        # may have duplicated postings rows — collapse after pruning
-        postings = postings.dropDuplicates(["doc_id", "term"])
+    st, postings, doclens, matched_ids = _pruned_postings_doclens(
+        spark, path, terms)
     cf = (postings.groupBy("term")
           .agg(F.sum("tf").cast("double").alias("cf")))
-    matched_ids = postings.select("doc_id").distinct()
-    doclens = doclens.join(F.broadcast(matched_ids),
-                           on="doc_id", how="left_semi")
-    if st.get("dedup_on_read"):
-        doclens = doclens.dropDuplicates(["doc_id"])
     grid = (matched_ids.join(F.broadcast(cf), how="cross")
             .join(postings.select("doc_id", "term", "tf"),
                   on=["doc_id", "term"], how="left")

@@ -618,6 +618,9 @@ def strict_funnel_times(events: DataFrame, steps: list[str | Column],
 
     Output: (key, t1..tk) — t_i the matched ts of step i in the
     earliest valid chain, NULL from the first incomplete block on.
+    Keys with NO step-type event are omitted (funnel_times' key
+    universe — enforced at the aggregate since the scan itself cannot
+    pre-filter).
 
     Scale shape: adjacency is over the key's RAW event stream, so the
     scan cannot pre-filter to step types (an intervening non-step event
@@ -691,8 +694,19 @@ def strict_funnel_times(events: DataFrame, steps: list[str | Column],
             df = df.withColumn(f"_t{a + d}", F.min(
                 F.when(F.col(f"_ok{b}"), step_ts)).over(w_run))
         prev_end = f"_t{e}"
-    return df.groupBy(key_col).agg(*[
-        F.min(f"_t{i}").alias(f"t{i}") for i in range(1, k + 1)])
+    # key universe parity with funnel_times: the scan can't pre-filter
+    # (adjacency needs every event), so drop keys with NO step-TYPE
+    # event at the aggregate instead — otherwise every key in the
+    # events table would emit an all-NULL row the relaxed funnel omits
+    any_step = F.col("_m1")
+    for i in range(2, k + 1):
+        any_step = any_step | F.col(f"_m{i}")
+    return (df.groupBy(key_col)
+            .agg(*([F.min(f"_t{i}").alias(f"t{i}")
+                    for i in range(1, k + 1)]
+                   + [F.max(F.when(any_step, 1)).alias("_any")]))
+            .filter(F.col("_any") == 1)
+            .drop("_any"))
 
 
 def strict_funnel_times_duck(steps: list[str],
@@ -772,9 +786,14 @@ def strict_funnel_times_duck(steps: list[str],
         src = f"l{li}"
         prev_end = f"_t{e}"
     t_aggs = ", ".join(f"MIN(_t{i}) AS t{i}" for i in range(1, k + 1))
-    return (f"WITH {', '.join(layers)}\n"
-            f"SELECT {key_col}, {t_aggs} FROM {src} "
-            f"GROUP BY {key_col}")
+    any_step = " OR ".join(f"_m{i}" for i in range(1, k + 1))
+    return (f"WITH {', '.join(layers)},\n"
+            f"agg AS (SELECT {key_col}, {t_aggs}, "
+            f"MAX(CASE WHEN {any_step} THEN 1 ELSE 0 END) AS _any "
+            f"FROM {src} GROUP BY {key_col})\n"
+            f"SELECT {key_col}, "
+            + ", ".join(f"t{i}" for i in range(1, k + 1))
+            + " FROM agg WHERE _any = 1")
 
 
 def event_transitions(events: DataFrame, key_col: str = "user_id",

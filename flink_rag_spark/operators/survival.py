@@ -43,12 +43,15 @@ def km_survival(subjects: DataFrame, duration_col: str, event_col: str,
 
     ``subjects`` has one row per subject: ``duration_col`` (numeric,
     time to event or to censoring), ``event_col`` (1/true = the event
-    was observed, 0/false = censored at that duration). NULL durations
-    are excluded (no observation at all)."""
+    was observed, 0/false = censored at that duration). Rows with a
+    NULL duration OR a NULL event flag are excluded on BOTH sides (a
+    NULL flag is an unknown outcome, not a censoring — counting it as
+    censored would silently inflate every risk set)."""
     groups = list(group_cols or [])
     ev = F.col(event_col).cast("int")
     agg = (subjects
-           .filter(F.col(duration_col).isNotNull())
+           .filter(F.col(duration_col).isNotNull()
+                   & F.col(event_col).isNotNull())
            .groupBy(*groups, F.col(duration_col).alias("t"))
            .agg(F.sum(ev).alias("d"),
                 F.sum(1 - ev).alias("c")))
@@ -89,12 +92,13 @@ def km_survival_duck(subjects_sql: str, duration_col: str,
     gpfx = f"{g}, " if groups else ""
     part = f"PARTITION BY {g} " if groups else ""
     return f"""
-WITH subs AS ({subjects_sql}),
+WITH km_subj0 AS ({subjects_sql}),
 agg AS (
   SELECT {gpfx}{duration_col} AS t,
          SUM(CASE WHEN CAST({event_col} AS INT) = 1 THEN 1 ELSE 0 END) AS d,
          SUM(CASE WHEN CAST({event_col} AS INT) = 1 THEN 0 ELSE 1 END) AS c
-  FROM subs WHERE {duration_col} IS NOT NULL
+  FROM km_subj0
+  WHERE {duration_col} IS NOT NULL AND {event_col} IS NOT NULL
   GROUP BY {gpfx}t),
 risk AS (
   SELECT {gpfx}t, d, c,

@@ -389,7 +389,15 @@ def _make_strict_funnel_fn(steps: list[str], blocks: list[tuple[int, int]],
             buf.sort()
             keep = []
             for ev in buf:
-                if ev[0] > new_wm_us:
+                # STRICTLY below the watermark — stricter than the
+                # relaxed funnel's <= rule, deliberately: its "equal-ts
+                # events never interact" safety argument fails for
+                # POSITIONAL adjacency (a boundary-equal (ts, seq-4)
+                # sibling of an already-finalized (ts, seq-5) event
+                # would fold out of order and fabricate an adjacency);
+                # holding everything at ts == wm keeps equal-ts
+                # siblings together until a later advance
+                if ev[0] >= new_wm_us:
                     keep.append(ev)
                 elif bi < len(blocks) or pend[0] != _NONE:
                     bi = _feed(ev, mins, bi, tail, pend)

@@ -48,10 +48,8 @@ def test_filtered_ivf_and_lsh_fill_k(spark, sf_oracle):
     # satisfying the predicate, recall ≥ the contract floor
     assert len(got) == 10
     ids = [r["vec_id"] for r in got]
-    lab = dict(emb.select("vec_id", "label").collect()
-               if False else [(r["vec_id"], r["label"])
-                              for r in emb.select("vec_id",
-                                                  "label").collect()])
+    lab = {r["vec_id"]: r["label"]
+           for r in emb.select("vec_id", "label").collect()}
     assert all(lab[i] < 3 for i in ids)
     assert len(set(ids) & exact) / 10.0 >= 0.5
     got_l = ann_lsh_topk(emb, qv, k=10, where="label < 3").collect()
@@ -548,3 +546,81 @@ def test_weighted_lpa_hand_values(spark):
         weighted=True)).fetchdf()
     assert {(int(r.node), int(r.label)) for r in du.itertuples()} == \
            {(n, l) for n, l in ww.items()}
+
+
+def test_km_survival_null_event_excluded(spark):
+    """A NULL event flag is an unknown outcome — excluded on BOTH
+    sides, never counted as censored (review finding: the mirror's
+    CASE treated NULL as censored, inflating every risk set)."""
+    from flink_rag_spark.operators.survival import (km_survival,
+                                                    km_survival_duck)
+    rows = [(10, 1), (10, 0), (20, 1), (20, None)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r["t"]: (r["n_risk"], r["survival"])
+           for r in km_survival(df, "dur", "ev").collect()}
+    assert out[10] == (3, 0.666667)     # NULL-event subject excluded
+    assert out[20] == (1, 0.0)
+    con = duckdb.connect()
+    con.register("subs_tbl", df.toPandas())
+    du = {int(r.t): (int(r.n_risk), float(r.survival))
+          for r in con.execute(km_survival_duck(
+              "SELECT dur, ev FROM subs_tbl", "dur", "ev")).fetchdf()
+          .itertuples()}
+    assert du == out
+
+
+def test_strict_funnel_key_universe_matches_flat(spark):
+    """Keys with NO step-type event are omitted (funnel_times' key
+    universe), not emitted as all-NULL rows."""
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import (
+        funnel_times, strict_funnel_times, strict_funnel_times_duck)
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(0, t(1), 1, "view"), (1, t(2), 1, "click"),
+            # user 2 has ONLY non-step events
+            (2, t(1), 2, "error"), (3, t(2), 2, "signup")]
+    e = _ev(spark, rows)
+    strict = strict_funnel_times(e, ["view", "click"], ["next"]).collect()
+    assert {r["user_id"] for r in strict} == {1}
+    flat = funnel_times(e, ["view", "click"]).collect()
+    assert {r["user_id"] for r in flat} == {1}
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    du = con.execute(strict_funnel_times_duck(
+        ["view", "click"], ["next"])).fetchdf()
+    assert set(du["user_id"]) == {1}
+
+
+def test_streaming_strict_boundary_equal_sibling(spark, tmp_path):
+    """An equal-ts sibling delivered across the watermark boundary must
+    NOT fold out of (ts, seq) order and fabricate an adjacency (review
+    finding: the relaxed funnel's <= finalize rule is unsafe for
+    positional adjacency — strict holds events AT the watermark)."""
+    from flink_rag_spark.streaming.cep import strict_funnel_monitor
+    src = str(tmp_path / "strictbd_src")
+    # batch 1: view@T with seq 5; a sentinel exactly one watermark
+    # delay later pins the watermark to T itself
+    _write_strict_batch(spark, src, [
+        (5, "2024-01-01 00:05:00", 1, "view"),
+        (6, "2024-01-01 01:05:00", 98, "signup"),
+    ])
+    # batch 2: click@T with seq 4 — in (ts, seq) order it PRECEDES the
+    # view, so view->next->click must NOT match; then flush far ahead
+    _write_strict_batch(spark, src, [
+        (4, "2024-01-01 00:05:00", 1, "click"),
+        (7, "2024-01-10 00:00:00", 99, "signup"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (strict_funnel_monitor(stream, ["view", "click"], ["next"],
+                               watermark="1 hour")
+         .writeStream.format("memory").queryName("strictbd_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_bd"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    rows = spark.sql("select * from strictbd_t").collect()
+    assert rows == []     # no fabricated adjacency
