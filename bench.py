@@ -341,7 +341,9 @@ def main() -> None:
              # pricing), and the weighted graph pair (pr·w/Σw rank flow;
              # bounded min-plus relaxation)
              "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
-             "part_pagerank_weighted", "part_weighted_distances"]
+             "part_pagerank_weighted", "part_weighted_distances",
+             # round-11 wave 2: KM survival + SES forecast
+             "signup_purchase_survival", "user_value_ses_forecast"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -423,7 +425,10 @@ def main() -> None:
              # postings-bounded as the corpus grows, and the weighted
              # graph rounds must stay one-shuffle-per-iteration
              "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
-             "part_pagerank_weighted", "part_weighted_distances"]
+             "part_pagerank_weighted", "part_weighted_distances",
+             # round-11 wave 2: the KM risk windows and the SES weight
+             # join must stay one-exchange as series lengthen
+             "signup_purchase_survival", "user_value_ses_forecast"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -314,3 +314,115 @@ SELECT {ks}, COUNT(*) AS n_events,
        MAX(ts) AS last_ts
 FROM terms GROUP BY {ks}
 """
+
+
+#: SES default smoothing factor (the classic 0.3 — responsive but not
+#: noise-chasing; callers tune per series)
+SES_ALPHA = 0.3
+#: weight-table quantization: 12 dp keeps ~80 non-zero lags at α = 0.3
+SES_W_DP = 12
+
+
+def _ses_weights(alpha: float) -> list[tuple[int, str, str]]:
+    """(lag k, first-obs weight (1−α)^k, mid weight α·(1−α)^k) as
+    12-dp DECIMAL STRINGS, computed ONCE in Python — both engines parse
+    the same literals, so the weights are identical by construction
+    (engine POWER agrees only to the last ulp, which round-11 measured
+    landing a term exactly on a 6-dp boundary). The table ends where
+    both weights quantize to zero; longer lags contribute exactly 0."""
+    out = []
+    k = 0
+    while True:
+        wf = round((1.0 - alpha) ** k, SES_W_DP)
+        wm = round(alpha * (1.0 - alpha) ** k, SES_W_DP)
+        if wf == 0.0 and wm == 0.0:
+            break
+        out.append((k, f"{wf:.{SES_W_DP}f}", f"{wm:.{SES_W_DP}f}"))
+        k += 1
+        if k > 200_000:  # unreachable for alpha in (0, 1]; safety stop
+            break
+    return out
+
+
+def ses_forecast(df: DataFrame, keys: list[str], ts_col: str,
+                 value_col: str, seq_col: str,
+                 alpha: float = SES_ALPHA,
+                 value_scale: int = 2) -> DataFrame:
+    """Simple exponential smoothing per key — the one-step-ahead
+    forecast s_n (Brown 1956; the level-only member of the Holt-Winters
+    family): s_t = α·x_t + (1−α)·s_{t−1} with s_1 = x_1, over the key's
+    observations ordered by (ts, seq). The recurrence has the CLOSED
+    FORM
+
+        s_n = (1−α)^(n−1)·x_1 + Σ_{i=2..n} α·(1−α)^(n−i)·x_i
+
+    so the whole forecast is one window (row_number + count over the
+    key) + one broadcast weight join + one aggregate — no iteration,
+    no UDF.
+
+    Exactness contract: values quantize to ``value_scale`` decimals and
+    weights to 12 dp (a Python-precomputed DECIMAL literal table —
+    engine POWER differs in the last ulp, measured to flip a 6-dp
+    boundary), so every term is an EXACT decimal product, the sum is
+    order-independent, and the final 6-dp round happens in decimal
+    space (the decimal-boundary discipline). Lags beyond the table
+    contribute exactly 0 — the weight a 12-dp SES assigns them anyway.
+
+    Returns (keys..., n_obs, forecast). ``alpha`` must be in (0, 1]."""
+    from decimal import Decimal
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    spark = df.sparkSession
+    wtab = F.broadcast(spark.createDataFrame(
+        [(k, Decimal(wf), Decimal(wm))
+         for k, wf, wm in _ses_weights(alpha)],
+        f"_k int, _wf decimal(14,{SES_W_DP}), "
+        f"_wm decimal(14,{SES_W_DP})"))
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    w_key = Window.partitionBy(*keys)
+    src = (df.withColumn("_rn", F.row_number().over(w_ord))
+           .withColumn("_n", F.count(F.lit(1)).over(w_key))
+           .withColumn("_k", (F.col("_n") - F.col("_rn")).cast("int")))
+    vdec = F.col(value_col).cast(f"decimal(24,{value_scale})")
+    weight = F.coalesce(
+        F.when(F.col("_rn") == 1, F.col("_wf")).otherwise(F.col("_wm")),
+        F.lit(0).cast(f"decimal(14,{SES_W_DP})"))
+    return (src.join(wtab, on="_k", how="left")
+            .select(*keys, (vdec * weight).alias("_t"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                 F.round(F.sum("_t"), 6).cast("double")
+                 .alias("forecast")))
+
+
+def ses_forecast_duck(inner_sql: str, keys: list[str], ts_col: str,
+                      value_col: str, seq_col: str,
+                      alpha: float = SES_ALPHA,
+                      value_scale: int = 2) -> str:
+    """DuckDB mirror of :func:`ses_forecast` — the SAME Python-rendered
+    decimal weight literals, exact decimal products and decimal-space
+    final round."""
+    ks = ", ".join(keys)
+    wrows = " UNION ALL ".join(
+        f"SELECT {k} AS _k, CAST('{wf}' AS DECIMAL(14,{SES_W_DP})) "
+        f"AS _wf, CAST('{wm}' AS DECIMAL(14,{SES_W_DP})) AS _wm"
+        for k, wf, wm in _ses_weights(alpha))
+    return f"""
+WITH src AS (
+  SELECT {ks},
+         CAST({value_col} AS DECIMAL(24,{value_scale})) AS x,
+         ROW_NUMBER() OVER (PARTITION BY {ks}
+                            ORDER BY {ts_col}, {seq_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {ks}) AS n
+  FROM ({inner_sql})),
+wt AS ({wrows}),
+terms AS (
+  SELECT {ks},
+         x * COALESCE(CASE WHEN rn = 1 THEN _wf ELSE _wm END,
+                      CAST(0 AS DECIMAL(14,{SES_W_DP}))) AS t
+  FROM src LEFT JOIN wt ON wt._k = n - rn)
+SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(ROUND(SUM(t), 6) AS DOUBLE) AS forecast
+FROM terms GROUP BY {ks}
+"""

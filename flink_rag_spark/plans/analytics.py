@@ -370,6 +370,21 @@ def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
 
 
+def user_value_ses_forecast(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-user simple-exponential-smoothing forecast
+    (operators/timeseries.py ses_forecast — Brown 1956, the level-only
+    Holt-Winters member) of the next event value: the closed-form
+    weighted sum over each user's (ts, event_id)-ordered value series,
+    one window + one aggregate, no iteration. The forecasting
+    complement of the decay family's 'how much weight remains'
+    aggregates."""
+    from flink_rag_spark.operators.timeseries import ses_forecast
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ses_forecast(e, ["user_id"], "ts", "value", "event_id")
+
+
 #: survival demo: time from first signup to the first SUBSEQUENT
 #: purchase, right-censored at the pinned corpus horizon (the testdata
 #: generator's month end) — censored users count in the at-risk sets up

@@ -150,6 +150,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
+        ses_forecast_duck,
         time_decayed_at_latest_duck,
         time_decayed_stats_duck,
     )
@@ -1794,6 +1795,16 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
                                    A.NEG_FUNNEL_GAPS),
          ("streaming", "cep", "window", "negation")),
+        # round-11: simple-exponential-smoothing forecast — the closed
+        # form makes the recurrence one window + one aggregate; per-term
+        # DECIMAL quantization absorbs POWER's last-ulp engine drift
+        # (operators/timeseries.py ses_forecast)
+        ("user_value_ses_forecast", A.user_value_ses_forecast,
+         ses_forecast_duck(
+             "SELECT user_id, ts, event_id, value FROM events "
+             "WHERE value IS NOT NULL",
+             ["user_id"], "ts", "value", "event_id"),
+         ("timeseries", "forecast", "window")),
         # round-11: Kaplan–Meier survival — time-to-event with right
         # censoring; exact integer counts per factor, running product
         # as EXP(Σ ln) + a zero-factor flag (operators/survival.py)

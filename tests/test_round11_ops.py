@@ -624,3 +624,48 @@ def test_streaming_strict_boundary_equal_sibling(spark, tmp_path):
     assert q.awaitTermination(120), "stream did not drain in time"
     rows = spark.sql("select * from strictbd_t").collect()
     assert rows == []     # no fabricated adjacency
+
+
+def test_ses_forecast_matches_recurrence(spark):
+    from flink_rag_spark.operators.timeseries import (ses_forecast,
+                                                      ses_forecast_duck)
+    from datetime import datetime
+    import random
+    rng = random.Random(41)
+    rows, refs = [], {}
+    for k in range(6):
+        xs = [round(rng.uniform(5, 20), 3)
+              for _ in range(rng.randrange(1, 40))]
+        s = xs[0]
+        for x in xs[1:]:
+            s = 0.3 * x + 0.7 * s
+        refs[k] = s
+        rows += [(i + 1000 * k, datetime(2024, 1, 1, 0, 0, i), k, x)
+                 for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, k bigint, value double")
+    out = {r["k"]: (r["forecast"], r["n_obs"]) for r in
+           ses_forecast(df, ["k"], "ts", "value", "event_id",
+                        value_scale=3).collect()}
+    for k, s in refs.items():
+        # closed form ≡ recurrence up to the 12dp weight quantization
+        assert abs(out[k][0] - s) < 1e-6, (k, out[k][0], s)
+    # constant series: forecast is the constant exactly (weights sum 1)
+    const = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 0, 0, i), 1, 7.5) for i in range(10)],
+        "event_id bigint, ts timestamp, k bigint, value double")
+    [row] = ses_forecast(const, ["k"], "ts", "value",
+                         "event_id").collect()
+    assert abs(row["forecast"] - 7.5) < 1e-6
+    # duck parity
+    con = duckdb.connect()
+    con.register("obs_tbl", df.toPandas())
+    du = {int(r.k): (float(r.forecast), int(r.n_obs))
+          for r in con.execute(ses_forecast_duck(
+              "SELECT * FROM obs_tbl", ["k"], "ts", "value",
+              "event_id", value_scale=3)).fetchdf().itertuples()}
+    assert du == out
+    with pytest.raises(ValueError):
+        ses_forecast(df, ["k"], "ts", "value", "event_id", alpha=0.0)
+    with pytest.raises(ValueError):
+        ses_forecast(df, ["k"], "ts", "value", "event_id", alpha=1.5)
