@@ -342,8 +342,10 @@ def main() -> None:
              # bounded min-plus relaxation)
              "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
              "part_pagerank_weighted", "part_weighted_distances",
-             # round-11 wave 2: KM survival + SES forecast
-             "signup_purchase_survival", "user_value_ses_forecast"]
+             # round-11 wave 2: KM survival + SES forecast + seasonal
+             # baseline anomalies
+             "signup_purchase_survival", "user_value_ses_forecast",
+             "hourly_value_anomalies"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -426,9 +428,11 @@ def main() -> None:
              # graph rounds must stay one-shuffle-per-iteration
              "strict_funnel_users", "lm_dirichlet_topk_indexed_docs",
              "part_pagerank_weighted", "part_weighted_distances",
-             # round-11 wave 2: the KM risk windows and the SES weight
-             # join must stay one-exchange as series lengthen
-             "signup_purchase_survival", "user_value_ses_forecast"]
+             # round-11 wave 2: the KM risk windows, the SES weight
+             # join and the seasonal 24-row broadcast must stay
+             # one-exchange as series lengthen
+             "signup_purchase_survival", "user_value_ses_forecast",
+             "hourly_value_anomalies"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -210,3 +210,96 @@ SELECT {ks},
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
 FROM s GROUP BY {ks}
 """
+
+
+def seasonal_baseline_outliers(df: DataFrame, ts_col: str,
+                               value_col: str, phase: str = "hour",
+                               z_thresh: float = DEFAULT_Z,
+                               value_scale: int = 2) -> DataFrame:
+    """Rows whose value is unusual FOR ITS TIME PHASE — the seasonal
+    complement of :func:`robust_outliers` (which asks "unusual for this
+    key"): a 3am value judged against the 3am baseline, not the global
+    one. ``phase`` is ``'hour'`` (hour of day) or ``'dow'`` (day of
+    week). Output: the flagged rows with (phase, phase_n, phase_mean,
+    phase_sd, z), z = (x − μ_phase)/σ_phase rounded at 6 dp.
+
+    Determinism: the phase moments come from EXACT decimal sums — the
+    corr_matrix discipline: values quantize to ``value_scale`` decimals
+    so Σx and Σx² are exact under any partitioning; mean/variance/z are
+    then quotients of identical doubles (never boundary-exact, the
+    repo's quotient stance). Phases with fewer than 2 rows or zero
+    variance flag nothing.
+
+    Plan: ONE ≤|phases|-row aggregate + a broadcast join back + a
+    scan-side filter — two passes over the column, no window."""
+    if phase == "hour":
+        ph = F.hour(F.col(ts_col))
+    elif phase == "dow":
+        ph = F.dayofweek(F.col(ts_col))
+    else:
+        raise ValueError(f"phase must be 'hour' or 'dow', got {phase!r}")
+    v = F.col(value_col).cast("double")
+    vdec = F.col(value_col).cast(f"decimal(24,{value_scale})")
+    src = df.filter(v.isNotNull()).withColumn("phase", ph)
+    mom = (src.groupBy("phase")
+           .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                F.sum(vdec).cast("double").alias("_sx"),
+                F.sum(vdec * vdec).cast("double").alias("_sx2")))
+    mean = F.col("_sx") / F.col("_n")
+    var = ((F.col("_sx2") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+           / (F.col("_n") - 1))
+    stats = mom.select(
+        "phase", F.col("_n").cast("bigint").alias("phase_n"),
+        F.round(mean, 6).alias("phase_mean"),
+        F.when((F.col("_n") > 1) & (var > 0), F.round(F.sqrt(var), 6))
+        .alias("phase_sd"),
+        mean.alias("_mu"),
+        F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var)).alias("_sd"))
+    out = (src.join(F.broadcast(stats), on="phase")
+           .withColumn("z", F.round((v - F.col("_mu")) / F.col("_sd"),
+                                    6)))
+    return (out.filter(F.abs(F.col("z")) > z_thresh)
+            .drop("_mu", "_sd"))
+
+
+def seasonal_baseline_outliers_duck(inner_sql: str, ts_col: str,
+                                    value_col: str, phase: str = "hour",
+                                    z_thresh: float = DEFAULT_Z,
+                                    value_scale: int = 2) -> str:
+    """DuckDB mirror of :func:`seasonal_baseline_outliers` — the same
+    exact decimal sums, quotient moments and 6-dp z."""
+    if phase == "hour":
+        ph = f"CAST(hour({ts_col}) AS INT)"
+    elif phase == "dow":
+        # Spark dayofweek: 1 = Sunday; DuckDB dayofweek: 0 = Sunday
+        ph = f"CAST(dayofweek({ts_col}) + 1 AS INT)"
+    else:
+        raise ValueError(f"phase must be 'hour' or 'dow', got {phase!r}")
+    return f"""
+WITH src AS (
+  SELECT *, {ph} AS phase,
+         CAST({value_col} AS DECIMAL(24,{value_scale})) AS _vd
+  FROM ({inner_sql}) WHERE {value_col} IS NOT NULL),
+mom AS (
+  SELECT phase,
+         CAST(COUNT(*) AS DOUBLE) AS _n,
+         CAST(SUM(_vd) AS DOUBLE) AS _sx,
+         CAST(SUM(_vd * _vd) AS DOUBLE) AS _sx2
+  FROM src GROUP BY phase),
+stats AS (
+  SELECT phase, CAST(_n AS BIGINT) AS phase_n,
+         ROUND(_sx / _n, 6) AS phase_mean,
+         CASE WHEN _n > 1 AND (_sx2 - _sx * _sx / _n) / (_n - 1) > 0
+              THEN ROUND(SQRT((_sx2 - _sx * _sx / _n) / (_n - 1)), 6)
+         END AS phase_sd,
+         _sx / _n AS _mu,
+         CASE WHEN _n > 1 AND (_sx2 - _sx * _sx / _n) / (_n - 1) > 0
+              THEN SQRT((_sx2 - _sx * _sx / _n) / (_n - 1))
+         END AS _sd
+  FROM mom)
+SELECT * FROM (
+  SELECT src.* EXCLUDE (_vd), s.phase_n, s.phase_mean, s.phase_sd,
+         ROUND((CAST(src.{value_col} AS DOUBLE) - s._mu) / s._sd, 6) AS z
+  FROM src JOIN stats s USING (phase))
+WHERE ABS(z) > {z_thresh!r}
+"""

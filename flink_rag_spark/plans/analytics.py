@@ -370,6 +370,20 @@ def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
 
 
+def hourly_value_anomalies(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Seasonal baseline anomalies (operators/anomaly.py
+    seasonal_baseline_outliers): event values unusual FOR THEIR HOUR OF
+    DAY — a 3am spike judged against the 3am baseline, the seasonal
+    complement of the per-user MAD outliers. Exact decimal phase
+    moments, one 24-row aggregate + a broadcast join."""
+    from flink_rag_spark.operators.anomaly import (
+        seasonal_baseline_outliers)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    return seasonal_baseline_outliers(e, "ts", "value", phase="hour")
+
+
 def user_value_ses_forecast(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Per-user simple-exponential-smoothing forecast

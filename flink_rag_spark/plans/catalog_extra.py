@@ -119,8 +119,11 @@ def extra_queries() -> list[tuple]:
         quantile_bins_duck,
         winsorized_stats_duck,
     )
-    from flink_rag_spark.operators.anomaly import (cusum_first_alarms_duck,
-                                                   robust_outliers_duck)
+    from flink_rag_spark.operators.anomaly import (
+        cusum_first_alarms_duck,
+        robust_outliers_duck,
+        seasonal_baseline_outliers_duck,
+    )
     from flink_rag_spark.operators.association import (
         categorical_association_duck,
         covisitation_topn_duck,
@@ -1795,6 +1798,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          negated_funnel_times_duck(A.NEG_FUNNEL_STEPS,
                                    A.NEG_FUNNEL_GAPS),
          ("streaming", "cep", "window", "negation")),
+        # round-11: seasonal (hour-of-day) baseline anomalies — exact
+        # decimal phase moments, quotient z, rounded-z threshold on
+        # both sides (operators/anomaly.py seasonal_baseline_outliers)
+        ("hourly_value_anomalies", A.hourly_value_anomalies,
+         seasonal_baseline_outliers_duck(
+             "SELECT event_id, ts, user_id, value FROM events",
+             "ts", "value", phase="hour"),
+         ("anomaly", "seasonal", "analytics")),
         # round-11: simple-exponential-smoothing forecast — the closed
         # form makes the recurrence one window + one aggregate; per-term
         # DECIMAL quantization absorbs POWER's last-ulp engine drift

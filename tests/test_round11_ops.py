@@ -669,3 +669,44 @@ def test_ses_forecast_matches_recurrence(spark):
         ses_forecast(df, ["k"], "ts", "value", "event_id", alpha=0.0)
     with pytest.raises(ValueError):
         ses_forecast(df, ["k"], "ts", "value", "event_id", alpha=1.5)
+
+
+def test_seasonal_baseline_outliers_hand(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.anomaly import (
+        seasonal_baseline_outliers, seasonal_baseline_outliers_duck)
+    rows = []
+    eid = 0
+    # hour 3: tight cluster at 10.00 ± 0.02 with one wild 50.00 spike
+    # (n must exceed ~z²: a single in-moment outlier's z is capped at
+    # (n-1)/sqrt(n) — self-masking); hour 12: wide spread so the SAME
+    # 50.00 is NOT flagged there
+    for d in range(1, 21):
+        rows.append((eid, datetime(2024, 1, d, 3, 0), 1, 10.00
+                     + (0.02 if d % 2 else -0.02))); eid += 1
+        rows.append((eid, datetime(2024, 1, d, 12, 0), 1,
+                     float(10 * d))); eid += 1
+    rows.append((eid, datetime(2024, 1, 21, 3, 0), 1, 50.00)); eid += 1
+    rows.append((eid, datetime(2024, 1, 21, 12, 0), 1, 50.00)); eid += 1
+    # hour 7: a single row (n=1) — never flagged
+    rows.append((eid, datetime(2024, 1, 1, 7, 0), 1, 999.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "value double")
+    out = seasonal_baseline_outliers(df, "ts", "value",
+                                     phase="hour").collect()
+    flagged = {(r["event_id"], r["phase"]) for r in out}
+    assert (40, 3) in flagged           # the 3am spike
+    assert all(ph != 12 for _, ph in flagged)   # wide noon: not flagged
+    assert all(ph != 7 for _, ph in flagged)    # n=1 phase: never
+    # duck mirror parity (full row set)
+    con = duckdb.connect()
+    con.register("ev_tbl", df.toPandas())
+    du = con.execute(seasonal_baseline_outliers_duck(
+        "SELECT * FROM ev_tbl", "ts", "value", phase="hour")).fetchdf()
+    sp = {(r["event_id"], r["z"]) for r in out}
+    assert {(int(r.event_id), float(r.z)) for r in du.itertuples()} == sp
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        seasonal_baseline_outliers(df, "ts", "value", phase="month")
