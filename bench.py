@@ -643,7 +643,26 @@ def main() -> None:
                             "±20-40% band), while link_prediction "
                             "dropped 4.9->4.3 after its edge-frame "
                             "lineage fix (was recomputing the "
-                            "distinct+union per consumer)"),
+                            "distinct+union per consumer); round-11 "
+                            "methodology change: probe.median_factor "
+                            "(median of 3 paired per-run ratios, raw "
+                            "pairs in probe.runs_sec) is the r-over-r "
+                            "comparison number — the min-of-2 "
+                            "corpus_factor flapped 1.05-1.47 across "
+                            "five same-code r10 runs and is kept only "
+                            "for continuity; two full r11 sf0.1 runs: "
+                            "total 12.19 (best ever) / 14.42, qps "
+                            "284/678/317/257/344 and 226/538/295/173/"
+                            "247, builds ~2.8-3.5/6.5-8.1/2.6-2.7/"
+                            "1.6-2.0, probe median_factor 1.18 / 1.08 "
+                            "— all inside the band; r11 new-family "
+                            "k=10 factors (both runs): strict funnel "
+                            "1.75-1.97, LM-indexed 1.65-2.07 (the "
+                            "postings-bounded probe), weighted "
+                            "pagerank 1.63-1.85, weighted distances "
+                            "1.73-2.27, KM survival 1.73, SES 1.69, "
+                            "seasonal anomalies 2.11 — every one "
+                            "decisively sub-linear"),
         }
 
     total = round(sum(timings.values()), 3)
