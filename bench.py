@@ -345,7 +345,7 @@ def main() -> None:
              # round-11 wave 2: KM survival + SES forecast + seasonal
              # baseline anomalies
              "signup_purchase_survival", "user_value_ses_forecast",
-             "hourly_value_anomalies"]
+             "hourly_value_anomalies", "until_funnel_users"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -432,7 +432,7 @@ def main() -> None:
              # join and the seasonal 24-row broadcast must stay
              # one-exchange as series lengthen
              "signup_purchase_survival", "user_value_ses_forecast",
-             "hourly_value_anomalies"]
+             "hourly_value_anomalies", "until_funnel_users"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -1175,3 +1175,88 @@ SELECT {key_col}, CAST(session_id AS BIGINT) AS session_id,
              / 1e6, 6) AS duration_s
 FROM s GROUP BY {key_col}, session_id
 """
+
+
+def _until_desugar(steps: list, until: dict) -> tuple[list, dict, list]:
+    """Shared desugaring for the Spark and Duck ``until`` renderings:
+    expand the quantifiers, map each until'd ORIGINAL step to negations
+    on its expansion's INTERNAL gaps. Returns (flat, negations, last)."""
+    flat, last = expand_quantified_steps(steps)
+    starts = [1] + [li + 1 for li in last[:-1]]
+    negations: dict = {}
+    for j, stop in until.items():
+        if not (1 <= j <= len(steps)):
+            raise ValueError(f"until step {j} out of range "
+                             f"(1..{len(steps)})")
+        s, e = starts[j - 1], last[j - 1]
+        if e - s < 1:
+            raise ValueError(
+                f"until at step {j} needs a quantifier of 2+ "
+                "repetitions — under earliest-completion semantics a "
+                "single-repetition loop finishes at its first match, "
+                "so a stop condition can never interleave (vacuous)")
+        for g in range(s, e):
+            negations[g] = stop
+    return flat, negations, last
+
+
+def until_funnel_times(events: DataFrame, steps: list,
+                       until: dict[int, str | Column],
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       seq_col: str = "event_id",
+                       within_seconds: int | None = None) -> DataFrame:
+    """Quantified funnel with FlinkCEP's ``until`` stop condition:
+    ``until[j]`` is an event type (or Column predicate) that must NOT
+    occur while quantified step j's loop is collecting — i.e. strictly
+    inside ANY gap of its repetition chain (between the 1st and the
+    n-th accepted repetition). The last uncovered FlinkCEP pattern
+    construct, expressed as pure COMPOSITION: the quantifier expansion
+    feeds ``negated_funnel_times`` with one absence layer per internal
+    loop gap — no new window machinery, same single exchange, same
+    monotone-violation argument deciding each gap exactly.
+
+    Output: one t_j per ORIGINAL step (the quantified collapse) plus
+    ``c{j}`` per until'd step — the earliest stop instant that voided
+    (or, if the pattern completed, trailed) step j's loop; NULL = the
+    stop condition never fired inside the loop window."""
+    if not until:
+        raise ValueError("until must be non-empty — use "
+                         "quantified_funnel_times without a stop "
+                         "condition")
+    flat, negations, last = _until_desugar(steps, until)
+    nf = negated_funnel_times(events, flat, negations, key_col, ts_col,
+                              type_col, seq_col, within_seconds)
+    starts = [1] + [li + 1 for li in last[:-1]]
+    cols = [F.col(f"t{li}").alias(f"t{j}")
+            for j, li in enumerate(last, start=1)]
+    for j in sorted(until):
+        gaps = range(starts[j - 1], last[j - 1])
+        cols.append(F.least(*[F.col(f"c{g}") for g in gaps])
+                    .alias(f"c{j}") if len(list(gaps)) > 1
+                    else F.col(f"c{starts[j - 1]}").alias(f"c{j}"))
+    return nf.select(key_col, *cols)
+
+
+def until_funnel_times_duck(steps: list, until: dict[int, str],
+                            within_seconds: int | None = None,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`until_funnel_times` — the negated-funnel
+    replay of the same desugaring, collapsed the same way (LEAST skips
+    NULLs in both engines — verified)."""
+    flat, negations, last = _until_desugar(steps, until)
+    inner = negated_funnel_times_duck(flat, negations, within_seconds,
+                                      key_col, ts_col, type_col,
+                                      seq_col, table)
+    starts = [1] + [li + 1 for li in last[:-1]]
+    sel = [f"t{li} AS t{j}" for j, li in enumerate(last, start=1)]
+    for j in sorted(until):
+        gaps = list(range(starts[j - 1], last[j - 1]))
+        expr = (f"LEAST({', '.join(f'c{g}' for g in gaps)})"
+                if len(gaps) > 1 else f"c{gaps[0]}")
+        sel.append(f"{expr} AS c{j}")
+    return (f"SELECT {key_col}, {', '.join(sel)} "
+            f"FROM ({inner}) _until_inner")

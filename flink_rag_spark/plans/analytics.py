@@ -370,6 +370,24 @@ def negated_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negated_funnel_times(e, NEG_FUNNEL_STEPS, NEG_FUNNEL_GAPS)
 
 
+#: the until pattern the swept query runs: a view, then THREE clicks
+#: with no error interleaving the click loop, then a purchase
+UNTIL_STEPS = ["view", ("click", 3), "purchase"]
+UNTIL_STOPS = {2: "error"}
+
+
+def until_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP ``until`` on a looping step (operators/sequences.py
+    until_funnel_times — the last uncovered pattern construct,
+    expressed as composition: quantifier expansion + per-internal-gap
+    absence layers): per-user earliest view → 3×click → purchase where
+    no error interleaves the click loop; the earliest offending error
+    instant is reported. Still one funnel-family exchange."""
+    from flink_rag_spark.operators.sequences import until_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return until_funnel_times(e, UNTIL_STEPS, UNTIL_STOPS)
+
+
 def hourly_value_anomalies(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Seasonal baseline anomalies (operators/anomaly.py

@@ -88,6 +88,7 @@ def extra_queries() -> list[tuple]:
         quantified_funnel_times_duck,
         session_stats_duck,
         strict_funnel_times_duck,
+        until_funnel_times_duck,
     )
     from flink_rag_spark.operators.phrases import pmi_collocations_duck
     from flink_rag_spark.operators.dedup import (span_containment_duck,
@@ -1823,6 +1824,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          km_survival_duck(A._KM_SUBJECTS_SQL, "duration_us", "event",
                           ["cohort"]),
          ("survival", "window", "analytics")),
+        # round-11: FlinkCEP `until` on a looping step — the quantifier
+        # expansion composed with per-internal-gap absence layers
+        # (sequences.until_funnel_times); one exchange, oracle replays
+        # the same desugaring
+        ("until_funnel_users", A.until_funnel_users,
+         until_funnel_times_duck(A.UNTIL_STEPS, A.UNTIL_STOPS),
+         ("cep", "window", "negation", "quantifier")),
         # round-11: strict-contiguity CEP (FlinkCEP next/notNext) —
         # per-anchor lead-adjacency block matches chained by the
         # relaxed running-min layers; earliest anchor is NOT always

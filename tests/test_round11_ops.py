@@ -710,3 +710,69 @@ def test_seasonal_baseline_outliers_hand(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         seasonal_baseline_outliers(df, "ts", "value", phase="month")
+
+
+def test_until_funnel_hand_values(spark):
+    from datetime import datetime
+
+    from flink_rag_spark.operators.sequences import until_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    steps = ["view", ("click", 3), "purchase"]
+    rows = [
+        # u1: clean 3-click loop, purchase: matches
+        (0, t(1), 1, "view"), (1, t(2), 1, "click"), (2, t(3), 1, "click"),
+        (3, t(4), 1, "click"), (4, t(5), 1, "purchase"),
+        # u2: error between clicks 2 and 3 — the loop is voided
+        (5, t(1), 2, "view"), (6, t(2), 2, "click"), (7, t(3), 2, "click"),
+        (8, t(4), 2, "error"), (9, t(5), 2, "click"),
+        (10, t(6), 2, "purchase"),
+        # u3: error BEFORE the loop's first click — until not yet
+        # active, matches
+        (11, t(1), 3, "view"), (12, t(2), 3, "error"),
+        (13, t(3), 3, "click"), (14, t(4), 3, "click"),
+        (15, t(5), 3, "click"), (16, t(6), 3, "purchase"),
+        # u4: error AFTER the loop completed (between loop and
+        # purchase — NOT an until gap): matches
+        (17, t(1), 4, "view"), (18, t(2), 4, "click"),
+        (19, t(3), 4, "click"), (20, t(4), 4, "click"),
+        (21, t(5), 4, "error"), (22, t(6), 4, "purchase"),
+    ]
+    e = _ev(spark, rows)
+    out = {r["user_id"]: r for r in until_funnel_times(
+        e, steps, {2: "error"}).collect()}
+    assert out[1]["t3"] == t(5) and out[1]["c2"] is None
+    assert out[2]["t3"] is None and out[2]["c2"] == t(4)
+    assert out[3]["t3"] == t(6)         # pre-loop error is irrelevant
+    assert out[4]["t3"] == t(6)         # post-loop error is irrelevant
+    with pytest.raises(ValueError):
+        until_funnel_times(e, ["view", "click"], {2: "error"})  # no loop
+    with pytest.raises(ValueError):
+        until_funnel_times(e, steps, {})
+
+
+def test_until_funnel_duck_mirror_parity(spark):
+    from datetime import datetime
+    import random
+
+    from flink_rag_spark.operators.sequences import (
+        until_funnel_times, until_funnel_times_duck)
+    rng = random.Random(47)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows = [(i, datetime(2024, 1, 1, rng.randrange(24),
+                         rng.randrange(60)),
+             rng.randrange(12), rng.choice(types))
+            for i in range(400)]
+    e = _ev(spark, rows)
+    steps = ["view", ("click", 3), "purchase"]
+    sp = until_funnel_times(e, steps, {2: "error"}).toPandas()
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    du = con.execute(until_funnel_times_duck(
+        steps, {2: "error"})).fetchdf()
+    sp = sp.sort_values("user_id").reset_index(drop=True)
+    du = du.sort_values("user_id").reset_index(drop=True)
+    assert list(sp.columns) == list(du.columns)
+    for c in sp.columns:
+        a, b = sp[c].tolist(), du[c].tolist()
+        assert [(x if x == x else None) for x in a] == \
+               [(x if x == x else None) for x in b], c
