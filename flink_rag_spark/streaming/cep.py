@@ -495,3 +495,30 @@ def strict_funnel_monitor(events: DataFrame, steps: list[str],
                 stateStructType=_strict_state_schema(),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def until_funnel_monitor(events: DataFrame, steps: list,
+                         until: dict[int, str],
+                         watermark: str = "10 minutes",
+                         within_seconds: int | None = None,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """Streaming FlinkCEP ``until`` — the same composition as the batch
+    twin (``sequences.until_funnel_times``): the quantifier expansion
+    feeds the negated-funnel monitor with one absence gap per internal
+    loop repetition, then the emitted flat completions collapse to one
+    t per ORIGINAL step. Voided loops emit nothing (the negation
+    monitor's dead-key discipline); emissions ≡ the batch rows with
+    t_k non-NULL under the family's watermark-bounded-disorder
+    contract (pinned by test)."""
+    from flink_rag_spark.operators.sequences import _until_desugar
+    if not until:
+        raise ValueError("until must be non-empty — use funnel_monitor "
+                         "without a stop condition")
+    flat, negations, last = _until_desugar(steps, until)
+    inner = negated_funnel_monitor(events, flat, negations, watermark,
+                                   within_seconds, key_col, ts_col,
+                                   type_col)
+    return inner.select(
+        "user_id", *[F.col(f"t{li}").alias(f"t{j}")
+                     for j, li in enumerate(last, start=1)])

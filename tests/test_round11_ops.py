@@ -776,3 +776,87 @@ def test_until_funnel_duck_mirror_parity(spark):
         a, b = sp[c].tolist(), du[c].tolist()
         assert [(x if x == x else None) for x in a] == \
                [(x if x == x else None) for x in b], c
+
+
+def test_streaming_until_funnel_matches_batch(spark, tmp_path):
+    """Streaming until emissions ≡ batch until_funnel_times completions
+    (t_k non-NULL) — the composition's streaming twin, incl. a
+    mid-loop stop arriving cross-batch out of order."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.sequences import until_funnel_times
+    from flink_rag_spark.streaming.cep import until_funnel_monitor
+    src = str(tmp_path / "untilcep_src")
+    steps = ["view", ("click", 3), "purchase"]
+    stops = {2: "error"}
+    _write_strict_batch(spark, src, [
+        # u1: clean 3-click loop + purchase
+        (0, "2024-01-01 00:01:00", 1, "view"),
+        (1, "2024-01-01 00:02:00", 1, "click"),
+        (2, "2024-01-01 00:03:00", 1, "click"),
+        (3, "2024-01-01 00:04:00", 1, "click"),
+        (4, "2024-01-01 00:05:00", 1, "purchase"),
+        # u2: loop voided by an error that arrives IN BATCH 2, out of
+        # order, landing between clicks 2 and 3
+        (5, "2024-01-01 00:01:00", 2, "view"),
+        (6, "2024-01-01 00:02:00", 2, "click"),
+        (7, "2024-01-01 00:03:00", 2, "click"),
+        (8, "2024-01-01 00:20:00", 2, "click"),
+        (9, "2024-01-01 00:21:00", 2, "purchase"),
+        # u3: error after the loop completes — irrelevant, matches
+        (10, "2024-01-01 00:01:00", 3, "view"),
+        (11, "2024-01-01 00:02:00", 3, "click"),
+        (12, "2024-01-01 00:03:00", 3, "click"),
+        (13, "2024-01-01 00:04:00", 3, "click"),
+        (14, "2024-01-01 00:05:00", 3, "error"),
+        (15, "2024-01-01 00:06:00", 3, "purchase"),
+    ])
+    _write_strict_batch(spark, src, [
+        (16, "2024-01-01 00:10:00", 2, "error"),   # the voiding instant
+        (17, "2024-01-10 00:00:00", 99, "view"),   # watermark flush
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (until_funnel_monitor(stream, steps, stops, watermark="1 hour")
+         .writeStream.format("memory").queryName("untilcep_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_until"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"])
+           for r in spark.sql("select * from untilcep_t").collect()}
+    batch = (until_funnel_times(spark.read.parquet(src), steps, stops)
+             .filter(F.col("t3").isNotNull()).collect())
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in batch}
+    assert got == want
+    assert {u for u, *_ in got} == {1, 3}   # u2's loop voided
+    from flink_rag_spark.streaming.cep import until_funnel_monitor as m
+    with pytest.raises(ValueError):
+        m(stream, steps, {})
+
+
+def test_strict_funnel_column_predicate_steps(spark):
+    """Column-predicate steps work through the strict machinery (the
+    general MATCH_RECOGNIZE shape): the adjacency and notNext flags are
+    materialized per row, so any boolean predicate composes."""
+    from datetime import datetime
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.sequences import strict_funnel_times
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [(0, t(1), 1, "view", 5.0), (1, t(2), 1, "click", 50.0),
+            (2, t(3), 1, "purchase", 5.0),
+            # u2: the click is too cheap for the predicate step
+            (3, t(1), 2, "view", 5.0), (4, t(2), 2, "click", 1.0),
+            (5, t(3), 2, "purchase", 5.0)]
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    steps = ["view",
+             (F.col("event_type") == "click") & (F.col("value") > 10)]
+    out = {r["user_id"]: r for r in strict_funnel_times(
+        e, steps, ["next"]).collect()}
+    assert out[1]["t2"] == t(2)
+    assert 2 not in out or out[2]["t2"] is None
