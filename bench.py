@@ -660,9 +660,14 @@ def main() -> None:
                             "1.75-1.97, LM-indexed 1.65-2.07 (the "
                             "postings-bounded probe), weighted "
                             "pagerank 1.63-1.85, weighted distances "
-                            "1.73-2.27, KM survival 1.73, SES 1.69, "
-                            "seasonal anomalies 2.11 — every one "
-                            "decisively sub-linear"),
+                            "1.73-2.27, KM survival 1.73-2.2, SES "
+                            "1.69-2.09, seasonal anomalies 2.11-3.29, "
+                            "until 2.08 — every one decisively "
+                            "sub-linear; third full r11 run (all 10 "
+                            "new families in the extras): total 11.18 "
+                            "— the build's best, qps 312/686/350/247/"
+                            "297, probe median_factor 1.17 — three "
+                            "runs 11.18/12.19/14.42 bracket the band"),
         }
 
     total = round(sum(timings.values()), 3)
