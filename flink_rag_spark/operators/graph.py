@@ -247,6 +247,33 @@ PR_DAMPING = 0.85
 PR_ITERS = 10
 
 
+def _require_weights(edges: DataFrame, weight: str, op: str,
+                     allow_zero: bool = False) -> None:
+    """Validate the edge-weight precondition with ONE cheap two-scalar
+    aggregate (min + null count) before any iteration runs. Without
+    this, a node whose weights sum to 0 gets out_deg = 0 (non-NULL, so
+    it is NOT treated as dangling) and pr·w/out_deg becomes
+    Infinity/NaN, silently corrupting every rank — fail loudly
+    instead. NULL weights are equally poisonous (SUM skips them, so a
+    node's out-strength understates its out-edges) and are rejected
+    too. ``allow_zero`` relaxes to the min-plus precondition
+    (non-negative), where zero-weight edges are harmless."""
+    [row] = edges.agg(
+        F.min(F.col(weight)).alias("mn"),
+        F.sum(F.when(F.col(weight).isNull(), 1).otherwise(0))
+        .alias("nulls")).collect()
+    if row["nulls"] and int(row["nulls"]) > 0:
+        raise ValueError(f"{op}: weight column {weight!r} contains "
+                         f"{int(row['nulls'])} NULL value(s)")
+    mn = row["mn"]
+    if mn is None:            # no edges at all — nothing to corrupt
+        return
+    if (mn < 0) if allow_zero else (mn <= 0):
+        bound = "non-negative" if allow_zero else "positive"
+        raise ValueError(f"{op}: weights must be {bound}, "
+                         f"min({weight}) = {mn}")
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = PR_ITERS,
              damping: float = PR_DAMPING,
@@ -275,6 +302,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     end, so iteration arithmetic matches the oracle's unrolled-CTE
     replay bit-for-bit up to float-sum ordering, absorbed by the
     terminal 6-dp round."""
+    if weight is not None:
+        _require_weights(edges, weight, "pagerank")
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().persist())
@@ -398,6 +427,8 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
     edges⋈ranks shuffle + a partial-aggregated contribution sum + a
     1-row dangling aggregate, ranks localCheckpoint'ed; the
     node-dependent teleport is a scan-side CASE, no extra exchange."""
+    if weight is not None:
+        _require_weights(edges, weight, "personalized_pagerank")
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().persist())
@@ -535,13 +566,33 @@ def community_labels(pairs: DataFrame, id_a: str = "id_a",
     weights instead of counting edges (a 40-order co-purchase tie pulls
     40x harder than a one-off). INTEGER weights keep the vote sums
     exact, so the (votes DESC, label ASC) total order replays
-    bit-identically in the oracle."""
-    wcols = [F.col(weight).alias("w")] if weight else []
-    sym = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"),
-                        *wcols)
-           .union(pairs.select(F.col(id_b).alias("u"),
-                               F.col(id_a).alias("v"), *wcols))
-           .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    bit-identically in the oracle. Parallel edges COMBINE: duplicate
+    (u,v[,reversed]) rows pre-aggregate to one undirected edge whose
+    weight is their sum (positive weights required, validated), so the
+    weighted path keeps the unweighted contract of one vote edge per
+    neighbor pair — a bare ``.distinct()`` over (u,v,w) would let
+    parallel edges with differing weights double-vote, and a reversed
+    duplicate vote asymmetrically."""
+    if weight is not None:
+        _require_weights(pairs, weight, "community_labels")
+        und = pairs.select(F.least(id_a, id_b).alias("lo"),
+                           F.greatest(id_a, id_b).alias("hi"),
+                           F.col(weight).alias("w"))
+        agg = und.groupBy("lo", "hi").agg(F.sum("w").alias("w"))
+        # the symmetric union duplicates only self-loops (lo == hi),
+        # and those duplicates carry the identical summed weight, so
+        # distinct() collapses exactly them — same as unweighted
+        sym = (agg.select(F.col("lo").alias("u"),
+                          F.col("hi").alias("v"), "w")
+               .union(agg.select(F.col("hi").alias("u"),
+                                 F.col("lo").alias("v"), "w"))
+               .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    else:
+        sym = (pairs.select(F.col(id_a).alias("u"),
+                            F.col(id_b).alias("v"))
+               .union(pairs.select(F.col(id_b).alias("u"),
+                                   F.col(id_a).alias("v")))
+               .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     try:
         labels = (sym.select(F.col("u").alias("node")).distinct()
                   .select("node", F.col("node").alias("label"))
@@ -578,13 +629,20 @@ def community_labels_duck(edges_sql: str, iters: int = LPA_ITERS,
     with the identical (count DESC, label ASC) total order — the oracle
     checks every round, not just the fixed point. ``edges_sql`` yields
     (u, v) one row per undirected edge."""
-    ecols = "u, v, w" if weighted else "u, v"
-    esym = ("SELECT u, v, w FROM e0 UNION SELECT v, u, w FROM e0"
+    # weighted: parallel edges pre-aggregate to one undirected edge
+    # with the summed weight (the Spark side's contract); the symmetric
+    # UNION (distinct) then collapses only self-loop duplicates
+    esym = ("SELECT lo AS u, hi AS v, w FROM eu "
+            "UNION SELECT hi, lo, w FROM eu"
             if weighted else
             "SELECT u, v FROM e0 UNION SELECT v, u FROM e0")
     vote = "SUM(e.w)" if weighted else "COUNT(*)"
-    cte = [f"e0 AS MATERIALIZED ({edges_sql})",
-           f"e AS MATERIALIZED ({esym})",
+    cte = [f"e0 AS MATERIALIZED ({edges_sql})"]
+    if weighted:
+        cte.append("eu AS (SELECT LEAST(u, v) AS lo, "
+                   "GREATEST(u, v) AS hi, SUM(w) AS w "
+                   "FROM e0 GROUP BY 1, 2)")
+    cte += [f"e AS MATERIALIZED ({esym})",
            "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"]
     for i in range(1, iters + 1):
         p = f"l{i - 1}"
@@ -830,6 +888,12 @@ def weighted_shortest_paths(edges: DataFrame, source_ids: list[int],
         raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
     if not source_ids:
         raise ValueError("source_ids must be non-empty")
+    # min-plus tolerates zero weights but not negative ones (a negative
+    # edge under a ROUND bound silently reads as "cheapest path" when
+    # it is not even bounded below) — validate the documented
+    # precondition instead of corrupting distances
+    _require_weights(edges, weight, "weighted_shortest_paths",
+                     allow_zero=True)
     srcs = [int(s) for s in source_ids]
     e = (edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"),
                       F.col(weight).cast("double").alias("_w"))

@@ -28,6 +28,11 @@ def sql_str_lit(v) -> str:
     SQL — both engines use the same ``''`` escape."""
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # bare inf/nan are not valid SQL literals in either engine —
+        # fail loudly rather than emit broken SQL from a future
+        # numeric call site
+        raise ValueError(f"non-finite float is not a SQL literal: {v!r}")
     if isinstance(v, (int, float)):
         return str(v)
     return "'" + str(v).replace("'", "''") + "'"

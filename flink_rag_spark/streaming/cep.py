@@ -510,7 +510,16 @@ def until_funnel_monitor(events: DataFrame, steps: list,
     t per ORIGINAL step. Voided loops emit nothing (the negation
     monitor's dead-key discipline); emissions ≡ the batch rows with
     t_k non-NULL under the family's watermark-bounded-disorder
-    contract (pinned by test)."""
+    contract (pinned by test).
+
+    Schema note: the batch twin additionally emits ``c{j}`` stop-instant
+    AUDIT columns (earliest stop seen inside step j's loop window);
+    the streaming monitor deliberately OMITS them — the underlying
+    negated monitor tracks absence as a boolean void decision, never
+    materializing the stop instants, and a voided key emits nothing at
+    all (there is no row to carry a rejection audit on). Callers
+    porting batch code that reads ``c{j}`` must recompute it batch-side
+    over the matched keys."""
     from flink_rag_spark.operators.sequences import _until_desugar
     if not until:
         raise ValueError("until must be non-empty — use funnel_monitor "
