@@ -1227,6 +1227,13 @@ WHERE id_a % 20 = 0 OR id_b % 20 = 0""",
     # (iterative connected components, DuckDB recursive-CTE oracle)
     QueryDef("dedup_group_assignment", llm.dedup_group_assignment,
              _oracle_dedup_groups(), ("dedup", "graph", "iterative")),
+    # round-12 promotion (r11 verdict item 1): the full RAG chain under
+    # a corpus metadata filter (tenant isolation — the filtered-k-NN
+    # serving shape), hash-verified like the unfiltered chain; declared
+    # here rather than in catalog_extra, so it joins the graded window
+    # directly instead of via _PROMOTED
+    QueryDef("rag_filtered_answer", rag_filtered_answer,
+             ORACLE_RAG_FILTERED_ANSWER, ("rag", "similarity", "filter")),
     # text analysis (north star): quality + lang-ID + fingerprints, one scan
     # registered-UDF + array-function surface
     # udf_array_stats rotated to the non-graded tail (round 8c): the
@@ -1469,7 +1476,50 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: family gains FOUR graded rows this round — kcore, bfs, link
 #: prediction, ppr — alongside the still-graded pagerank_copurchase +
 #: part_communities).
+#: Round 12 promotes the ten swept round-11 families so each earns a
+#: driver CORRECTNESS row (r11 verdict item 1): FlinkCEP `until` on
+#: looping steps, weighted PageRank, weighted shortest paths, weighted
+#: personalized PageRank, weighted label propagation, Kaplan–Meier
+#: survival, SES forecasting, seasonal-baseline anomalies, indexed
+#: LM-Dirichlet serving, and the filtered end-to-end RAG chain
+#: (rag_filtered_answer lives in _GRADED directly — it is declared in
+#: this module, not catalog_extra). Ten long-stable multi-round-graded
+#: slots rotate to the tail, every one keeping its DuckDB oracle in
+#: pytest's sweep: trend_nation_order_value (per-group trend fitting
+#: stays graded via the incoming user_value_ses_forecast's closed-form
+#: level math over the same grouped time series, and the exact-sum
+#: aggregate discipline via lineitem_corr_matrix's still-swept oracle;
+#: graded green r8e-r11), ks_order_price_regions (distribution comparison stays
+#: graded via ab_user_conversion's two-sample z plus the incoming
+#: hourly_value_anomalies; graded green r8e-r11),
+#: scd2_customer_status_history + customer_status_as_of (the SCD2
+#: build and its time-travel read are graded green r8e-r11; keyed
+#: validity-interval machinery stays graded via both IVM rows'
+#: keyed maintenance), order_value_histogram + lineitem_corr_matrix
+#: (profiling stays graded via daily_value_quantiles +
+#: l_diversity_customers' grouped audits; both graded green r9-r11),
+#: golden_part_entities (survivorship is the tail stage of the
+#: still-graded resolved_part_entities pipeline; graded green
+#: r9-r11), phrase_matched_documents (positional phrase search stays
+#: covered via keywords_tfidf_docs + ngram_novelty_docs on the same
+#: token machinery; graded green r9-r11), cusum_user_value_shifts
+#: (change detection stays graded via the incoming
+#: hourly_value_anomalies + user_value_ses_forecast residual
+#: machinery; graded green r9-r11), and part_communities (the graph
+#: family keeps SIX graded rows — pagerank_copurchase, kcore, bfs,
+#: link prediction, ppr, plus the four incoming weighted rows; the
+#: unweighted LPA is the degenerate uniform-weight case of the
+#: incoming part_communities_weighted, pinned ≡ by test).
 _PROMOTED = [
+    "until_funnel_users",
+    "part_pagerank_weighted",
+    "part_weighted_distances",
+    "part_ppr_weighted",
+    "part_communities_weighted",
+    "signup_purchase_survival",
+    "user_value_ses_forecast",
+    "hourly_value_anomalies",
+    "lm_dirichlet_topk_indexed_docs",
     "strict_funnel_users",
     "part_kcore",
     "l_diversity_customers",
@@ -1486,22 +1536,12 @@ _PROMOTED = [
     "part_link_prediction",
     "part_ppr_relevance",
     "negated_funnel_users",
-    "part_communities",
-    "cusum_user_value_shifts",
-    "customer_status_as_of",
-    "phrase_matched_documents",
-    "golden_part_entities",
-    "order_value_histogram",
-    "lineitem_corr_matrix",
     "basket_pair_rules",
     "purchase_attribution",
     "user_sessions",
     "fk_audit_all",
     "ivm_upserted_orders",
     "kleene_funnel_users",
-    "trend_nation_order_value",
-    "scd2_customer_status_history",
-    "ks_order_price_regions",
     "decayed_at_latest_user_value",
     "keywords_tfidf_docs",
     "dsir_selected_docs",
@@ -1529,11 +1569,6 @@ GRADED_QUERIES: list[QueryDef] = (
 QUERIES: list[QueryDef] = GRADED_QUERIES + [
     QueryDef("rag_answer_batch",
              lambda spark, sf_dir: rag_answer(spark, sf_dir), None, ("rag",)),
-    # round-11: the full chain under a corpus metadata filter (tenant
-    # isolation — the filtered-k-NN serving shape), hash-verified like
-    # the unfiltered chain
-    QueryDef("rag_filtered_answer", rag_filtered_answer,
-             ORACLE_RAG_FILTERED_ANSWER, ("rag", "similarity", "filter")),
     # demoted from the graded window in the round-10 rotation (notes at
     # its former _GRADED site); stays oracle-swept here
     QueryDef("q3_top_revenue_orders", R.q3_top_revenue_orders, ORACLE_Q3,
