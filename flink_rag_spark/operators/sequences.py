@@ -796,6 +796,277 @@ def strict_funnel_times_duck(steps: list[str],
             + " FROM agg WHERE _any = 1")
 
 
+# --------------------------------------------- all-matches emission
+
+
+def all_funnel_matches(events: DataFrame, steps: list[str | Column],
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       within_seconds: int | None = None) -> DataFrame:
+    """EVERY completed funnel match, one row per step-1 anchor EVENT —
+    FlinkCEP's default ``AfterMatchSkipStrategy.noSkip()`` with relaxed
+    contiguity (``followedBy``): each anchor continues greedily (the
+    FIRST step-i event strictly after the matched step i−1 — relaxed
+    contiguity matches the first qualifying event; ``followedByAny``'s
+    full cross product is deliberately out of scope, it is exponential
+    by construction), so a key with m completing anchors emits m rows
+    where ``funnel_times`` min-collapses them to one. Output:
+    (key, t1..tk); anchors whose chain never completes emit nothing.
+    Two anchors at the SAME timestamp both emit (identical rows — one
+    per EVENT, FlinkCEP's per-event match identity).
+
+    Semantics are value-based: chains advance on STRICT timestamp
+    order (the family's tie rule), so the result is independent of any
+    sequence column — matching is over microsecond instants, and
+    equal-instant events share one fate.
+
+    ``within_seconds`` keeps a match only when t_k ≤ t1 + within. The
+    greedy chain MINIMIZES t_k over all chains from its anchor (the
+    exchange argument: taking the earliest available step-i event never
+    shrinks the candidate set for step i+1), so filtering the greedy
+    chain is exact — an anchor passes iff ANY chain from it would.
+
+    Scale shape — the funnel discipline, still ONE shuffle: the scan
+    pre-filters to step types (relaxed contiguity never inspects
+    intervening events) and projects (key, ts, type); the k−1 chain
+    layers are struct-valued running mins over strictly-after RANGE
+    frames sharing one (key, us) exchange and sort, each layer
+    materialized before the next references it (the nested-window
+    rule). The chain struct for step i carries (u_i..u_k), built
+    BACKWARD from step k: a step-i row's chain = its own instant + the
+    chain of the earliest VALID step-(i+1) row strictly after it — the
+    struct min is ordered by u_i first, and equal-u_i candidates carry
+    identical continuations (frames depend only on the instant), so
+    the pick is deterministic. Output is |step-1 events|-bounded."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
+    if all(isinstance(s, str) for s in steps):
+        df = (events.filter(F.col(type_col).isin(steps))
+              .select(key_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    # timestamp_diff/timestamp_add accept both TIMESTAMP and
+    # TIMESTAMP_NTZ (events loads as NTZ under the oracle harness),
+    # unlike unix_micros which rejects NTZ outright — the decay
+    # family's idiom
+    epoch = F.lit("1970-01-01 00:00:00").cast(dict(df.dtypes)[ts_col])
+    df = df.withColumn(
+        "_us", F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col)))
+    for i, c in enumerate(conds, start=1):
+        df = df.withColumn(f"_m{i}", c)
+    w_after = (Window.partitionBy(key_col).orderBy("_us")
+               .rangeBetween(1, Window.unboundedFollowing))
+    if k >= 2:
+        df = df.withColumn(
+            f"_ch{k}",
+            F.min(F.when(F.col(f"_m{k}"),
+                         F.struct(F.col("_us").alias(f"u{k}"))))
+            .over(w_after))
+        for i in range(k - 1, 1, -1):
+            fields = [F.col("_us").alias(f"u{i}")] + [
+                F.col(f"_ch{i + 1}.u{j}").alias(f"u{j}")
+                for j in range(i + 1, k + 1)]
+            df = df.withColumn(
+                f"_ch{i}",
+                F.min(F.when(F.col(f"_m{i}")
+                             & F.col(f"_ch{i + 1}").isNotNull(),
+                             F.struct(*fields)))
+                .over(w_after))
+    anchors = df.filter(F.col("_m1")) if k == 1 else \
+        df.filter(F.col("_m1") & F.col("_ch2").isNotNull())
+    if within_seconds is not None and k >= 2:
+        anchors = anchors.filter(
+            F.col(f"_ch2.u{k}") - F.col("_us")
+            <= within_seconds * 1_000_000)
+    back = lambda c: F.timestamp_add("MICROSECOND", c, epoch)  # noqa: E731
+    tcols = [back(F.col("_us")).alias("t1")] + [
+        back(F.col(f"_ch2.u{j}")).alias(f"t{j}")
+        for j in range(2, k + 1)]
+    return anchors.select(key_col, *tcols)
+
+
+def _all_matches_core_duck(steps: list[str],
+                           within_seconds: int | None = None,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           table: str = "events") -> str:
+    """The microsecond-level core of the :func:`all_funnel_matches`
+    mirror: (key, u1..uk) BIGINT per completed anchor — shared by the
+    timestamp-emitting mirror and the skip-past-last oracle's rounds.
+    String steps only (the family's Column caveat)."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("the all-matches mirror only handles string "
+                        f"steps; got: {bad!r}")
+    k = len(steps)
+    in_list = ", ".join(_q(s) for s in set(steps))
+    flags = ", ".join(f"({type_col} = {_q(s)}) AS _m{i}"
+                      for i, s in enumerate(steps, start=1))
+    aft = (f"OVER (PARTITION BY {key_col} ORDER BY _us "
+           "RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+    layers = [f"f AS (SELECT {key_col}, "
+              f"epoch_us(CAST({ts_col} AS TIMESTAMP)) AS _us, {flags} "
+              f"FROM {table} WHERE {type_col} IN ({in_list}))"]
+    src = "f"
+    if k >= 2:
+        layers.append(
+            f"c{k} AS (SELECT *, MIN(CASE WHEN _m{k} THEN "
+            f"{{'u{k}': _us}} END) {aft} AS _ch{k} FROM {src})")
+        src = f"c{k}"
+        for i in range(k - 1, 1, -1):
+            fields = ", ".join(
+                [f"'u{i}': _us"]
+                + [f"'u{j}': _ch{i + 1}.u{j}"
+                   for j in range(i + 1, k + 1)])
+            layers.append(
+                f"c{i} AS (SELECT *, MIN(CASE WHEN _m{i} AND "
+                f"_ch{i + 1} IS NOT NULL THEN {{{fields}}} END) "
+                f"{aft} AS _ch{i} FROM {src})")
+            src = f"c{i}"
+    ucols = ["_us AS u1"] + [f"_ch2.u{j} AS u{j}"
+                             for j in range(2, k + 1)]
+    where = "_m1" if k == 1 else "_m1 AND _ch2 IS NOT NULL"
+    if within_seconds is not None and k >= 2:
+        where += f" AND _ch2.u{k} - _us <= {within_seconds * 1_000_000}"
+    return (f"WITH {', '.join(layers)} "
+            f"SELECT {key_col}, {', '.join(ucols)} "
+            f"FROM {src} WHERE {where}")
+
+
+def all_funnel_matches_duck(steps: list[str],
+                            within_seconds: int | None = None,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`all_funnel_matches` — the same backward
+    struct-chain layers over the same strictly-after RANGE frames
+    (struct MIN is lexicographic in both engines, u_i leading)."""
+    k = len(steps)
+    core = _all_matches_core_duck(steps, within_seconds, key_col,
+                                  ts_col, type_col, table)
+    tcols = ", ".join(f"make_timestamp(u{j}) AS t{j}"
+                      for j in range(1, k + 1))
+    return f"SELECT {key_col}, {tcols} FROM ({core}) _am"
+
+
+def consumed_funnel_matches(events: DataFrame, steps: list[str | Column],
+                            max_matches: int,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            within_seconds: int | None = None
+                            ) -> DataFrame:
+    """Non-overlapping funnel matches — FlinkCEP's
+    ``AfterMatchSkipStrategy.skipPastLastEvent()``: once a match emits,
+    its events are CONSUMED, and the next match must start strictly
+    after the previous match's last event. Output: (key, t1..tk,
+    match_idx) with match_idx 1-based in time order, at most
+    ``max_matches`` rows per key (the bounded-rounds contract, like the
+    graph family's fixed iterations — selection is inherently
+    sequential per key, so the round count is part of the operator's
+    semantics and the oracle unrolls it). Simultaneous anchors collapse
+    to one selected match per round (equal-instant chains are
+    identical — the family's tie rule).
+
+    Selection replays FlinkCEP's greedy leftmost discipline: round r
+    picks each key's earliest (by (u1..uk) lexicographic order — u1
+    ties carry identical chains) surviving match with t1 strictly
+    after round r−1's t_k.
+
+    Scale shape: the candidate set is :func:`all_funnel_matches`'s
+    |step-1 events|-bounded output, persisted once; each round is ONE
+    key-partitioned join + partial-aggregated struct-min over it,
+    localCheckpoint'ed (the PageRank discipline), with an early exit
+    when every key is exhausted."""
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    k = len(steps)
+    m = all_funnel_matches(events, steps, key_col, ts_col, type_col,
+                           within_seconds)
+    epoch = F.lit("1970-01-01 00:00:00").cast(dict(m.dtypes)["t1"])
+    mu = m.select(key_col, *[
+        F.timestamp_diff("MICROSECOND", epoch, F.col(f"t{i}"))
+        .alias(f"u{i}")
+        for i in range(1, k + 1)]).persist()
+    try:
+        picked: list[DataFrame] = []
+        frontier = None      # (key, _T): last consumed instant per key
+        for r in range(1, max_matches + 1):
+            if r == 1:
+                cand = mu
+            else:
+                cand = (mu.join(frontier, on=key_col)
+                        .filter(F.col("u1") > F.col("_T")))
+            sel = (cand.groupBy(key_col)
+                   .agg(F.min(F.struct(*[F.col(f"u{i}")
+                                         for i in range(1, k + 1)]))
+                        .alias("_s"))
+                   .select(key_col,
+                           *[F.col(f"_s.u{i}").alias(f"u{i}")
+                             for i in range(1, k + 1)],
+                           F.lit(r).alias("match_idx"))
+                   .localCheckpoint())
+            if sel.isEmpty():
+                break
+            picked.append(sel)
+            frontier = sel.select(key_col, F.col(f"u{k}").alias("_T"))
+        if not picked:
+            return m.select(key_col, *[f"t{i}" for i in range(1, k + 1)],
+                            F.lit(1).alias("match_idx")).limit(0)
+        out = picked[0]
+        for p in picked[1:]:
+            out = out.unionByName(p)
+        return out.select(key_col, *[
+            F.timestamp_add("MICROSECOND", F.col(f"u{i}"), epoch)
+            .alias(f"t{i}")
+            for i in range(1, k + 1)], "match_idx")
+    finally:
+        mu.unpersist()
+
+
+def consumed_funnel_matches_duck(steps: list[str], max_matches: int,
+                                 within_seconds: int | None = None,
+                                 key_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 table: str = "events") -> str:
+    """DuckDB mirror of :func:`consumed_funnel_matches` — the same
+    greedy leftmost rounds unrolled as chained MATERIALIZED CTEs over
+    the all-matches core (the graph-oracle discipline)."""
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    k = len(steps)
+    core = _all_matches_core_duck(steps, within_seconds, key_col,
+                                  ts_col, type_col, table)
+    us = ", ".join(f"u{i}" for i in range(1, k + 1))
+    order = ", ".join(f"u{i}" for i in range(1, k + 1))
+    cte = [f"m AS MATERIALIZED ({core})",
+           f"s1 AS MATERIALIZED (SELECT {key_col}, {us} FROM m "
+           f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {key_col} "
+           f"ORDER BY {order}) = 1)"]
+    for r in range(2, max_matches + 1):
+        prev = f"s{r - 1}"
+        mus = ", ".join(f"m.u{i}" for i in range(1, k + 1))
+        morder = ", ".join(f"m.u{i}" for i in range(1, k + 1))
+        cte.append(
+            f"s{r} AS MATERIALIZED (SELECT m.{key_col}, {mus} "
+            f"FROM m JOIN {prev} ON m.{key_col} = {prev}.{key_col} "
+            f"WHERE m.u1 > {prev}.u{k} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY m.{key_col} "
+            f"ORDER BY {morder}) = 1)")
+    tcols = ", ".join(f"make_timestamp(u{i}) AS t{i}"
+                      for i in range(1, k + 1))
+    parts = [f"SELECT {key_col}, {tcols}, {r} AS match_idx FROM s{r}"
+             for r in range(1, max_matches + 1)]
+    return ("WITH " + ",\n".join(cte) + "\n"
+            + "\nUNION ALL\n".join(parts))
+
+
 def event_transitions(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       seq_col: str = "event_id") -> DataFrame:

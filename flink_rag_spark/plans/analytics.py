@@ -491,6 +491,45 @@ def strict_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                STRICT_FUNNEL_NOT_NEXT)
 
 
+#: the all-matches pattern the graded query runs: EVERY completed
+#: view → click → purchase chain (one row per completing view EVENT —
+#: FlinkCEP's default AfterMatchSkipStrategy.noSkip()), and its
+#: non-overlapping twin consumes matched events (skipPastLastEvent),
+#: at most 5 matches per user (the bounded-rounds contract)
+ALL_MATCHES_STEPS = ["view", "click", "purchase"]
+CONSUMED_MAX_MATCHES = 5
+
+
+def all_funnel_matches_users(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """All-matches CEP emission (operators/sequences.py
+    all_funnel_matches — FlinkCEP AfterMatchSkipStrategy.noSkip(), the
+    engine default): every completed view→click→purchase match per
+    user, one row per completing view event with its greedy earliest
+    continuation, where funnel_times min-collapses to one row per user.
+    Backward struct-chain window layers on the funnel family's single
+    exchange."""
+    from flink_rag_spark.operators.sequences import all_funnel_matches
+    e = load_table(spark, sf_dir, "events")
+    return all_funnel_matches(e, ALL_MATCHES_STEPS)
+
+
+def consumed_funnel_matches_users(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Non-overlapping CEP matches (operators/sequences.py
+    consumed_funnel_matches — FlinkCEP
+    AfterMatchSkipStrategy.skipPastLastEvent()): greedy leftmost
+    view→click→purchase matches per user where each match CONSUMES its
+    events — the next match starts strictly after the previous match's
+    purchase; at most 5 matches per user (bounded rounds, oracle
+    unrolled)."""
+    from flink_rag_spark.operators.sequences import (
+        consumed_funnel_matches)
+    e = load_table(spark, sf_dir, "events")
+    return consumed_funnel_matches(e, ALL_MATCHES_STEPS,
+                                   CONSUMED_MAX_MATCHES)
+
+
 #: attribution model: purchases credit the most recent prior touch
 ATTR_TOUCHES = ["view", "click", "signup"]
 ATTR_CONVERSION = "purchase"

@@ -1510,7 +1510,16 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: link prediction, ppr, plus the four incoming weighted rows; the
 #: unweighted LPA is the degenerate uniform-weight case of the
 #: incoming part_communities_weighted, pinned ≡ by test).
+#: Round 12 additionally promotes the brand-new all-matches CEP family
+#: (r11 verdict item 2 — FlinkCEP AfterMatchSkipStrategy.noSkip(), one
+#: row per completing anchor event) in place of
+#: decayed_at_latest_user_value (graded green r8e-r11 — four rounds;
+#: anchored decay's time math stays covered by its fixed-reference
+#: sibling's swept oracle and the incoming SES forecast's
+#: closed-form weighting, which exercises the same per-key
+#: exponential-weight machinery under a richer contract).
 _PROMOTED = [
+    "all_funnel_matches_users",
     "until_funnel_users",
     "part_pagerank_weighted",
     "part_weighted_distances",
@@ -1542,7 +1551,6 @@ _PROMOTED = [
     "fk_audit_all",
     "ivm_upserted_orders",
     "kleene_funnel_users",
-    "decayed_at_latest_user_value",
     "keywords_tfidf_docs",
     "dsir_selected_docs",
     "resolved_part_entities",

@@ -78,7 +78,9 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.linkage import (fuzzy_self_pairs_duck,
                                                    golden_records_duck)
     from flink_rag_spark.operators.sequences import (
+        all_funnel_matches_duck,
         cohort_retention_duck,
+        consumed_funnel_matches_duck,
         event_transitions_duck,
         funnel_conversion_stats_duck,
         funnel_summary_duck,
@@ -1841,6 +1843,21 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                   A.STRICT_FUNNEL_CONTIG,
                                   A.STRICT_FUNNEL_NOT_NEXT),
          ("cep", "window", "strict", "sequence")),
+        # round-12: all-matches CEP emission (FlinkCEP's default
+        # AfterMatchSkipStrategy.noSkip()) — one row per completing
+        # step-1 anchor EVENT, greedy earliest continuation via
+        # backward struct-chain window layers; the oracle replays the
+        # same layers (sequences.all_funnel_matches)
+        ("all_funnel_matches_users", A.all_funnel_matches_users,
+         all_funnel_matches_duck(A.ALL_MATCHES_STEPS),
+         ("sequence", "cep", "window", "all-matches")),
+        # round-12: skipPastLastEvent — greedy leftmost non-overlapping
+        # matches, matched events consumed; bounded selection rounds
+        # unrolled by the oracle (sequences.consumed_funnel_matches)
+        ("consumed_funnel_matches_users", A.consumed_funnel_matches_users,
+         consumed_funnel_matches_duck(A.ALL_MATCHES_STEPS,
+                                      A.CONSUMED_MAX_MATCHES),
+         ("sequence", "cep", "iterative", "all-matches")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level
         # DECIMAL quantization (sequences.linear_attribution)

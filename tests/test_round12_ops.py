@@ -76,3 +76,151 @@ def test_sql_str_lit_rejects_non_finite():
     for bad in (float("inf"), float("-inf"), float("nan")):
         with pytest.raises(ValueError):
             sql_str_lit(bad)
+
+
+# ------------------------------------- all-matches CEP (noSkip /
+# ------------------------------------- skipPastLastEvent)
+
+
+def _ev(spark, rows):
+    """(event_id, ts_str, user_id, event_type) → events frame."""
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_all_funnel_matches_hand_values(spark):
+    from flink_rag_spark.operators.sequences import (all_funnel_matches,
+                                                     funnel_times)
+    rows = [(1, "2024-01-01 00:00:01", 1, "A"),
+            (2, "2024-01-01 00:00:02", 1, "A"),
+            (3, "2024-01-01 00:00:03", 1, "B"),
+            (4, "2024-01-01 00:00:04", 1, "B"),
+            (5, "2024-01-01 00:00:05", 1, "C"),
+            (6, "2024-01-01 00:00:06", 1, "A")]   # anchor, never done
+    e = _ev(spark, rows)
+    out = sorted((str(r["t1"]), str(r["t2"]), str(r["t3"])) for r in
+                 all_funnel_matches(e, ["A", "B", "C"]).collect())
+    # BOTH anchors emit; each continues greedily (first B after the
+    # anchor, first C after that B); the trailing A emits nothing
+    assert out == [
+        ("2024-01-01 00:00:01", "2024-01-01 00:00:03",
+         "2024-01-01 00:00:05"),
+        ("2024-01-01 00:00:02", "2024-01-01 00:00:03",
+         "2024-01-01 00:00:05")]
+    # min over anchors == funnel_times' single completion
+    ft = funnel_times(e, ["A", "B", "C"]).collect()[0]
+    assert (str(ft["t1"]), str(ft["t2"]), str(ft["t3"])) == out[0]
+    # within: the greedy chain is t_k-minimal, so the filter is exact
+    within = all_funnel_matches(e, ["A", "B", "C"], within_seconds=3)
+    got = [str(r["t1"]) for r in within.collect()]
+    assert got == ["2024-01-01 00:00:02"]     # 5s-1s > 3s, 5s-2s = 3s
+    # k = 1: every step-1 event is a match
+    assert all_funnel_matches(e, ["A"]).count() == 3
+    with pytest.raises(ValueError):
+        all_funnel_matches(e, [])
+
+
+def test_all_funnel_matches_equal_instants(spark):
+    """Two anchors at the same microsecond both emit (per-EVENT match
+    identity); equal-instant step events never chain to themselves
+    (strict value order)."""
+    from flink_rag_spark.operators.sequences import all_funnel_matches
+    rows = [(1, "2024-01-01 00:00:01", 1, "A"),
+            (2, "2024-01-01 00:00:01", 1, "A"),
+            (3, "2024-01-01 00:00:01", 1, "B"),   # NOT after the As
+            (4, "2024-01-01 00:00:02", 1, "B"),
+            (5, "2024-01-01 00:00:03", 1, "C")]
+    out = all_funnel_matches(_ev(spark, rows), ["A", "B", "C"]).collect()
+    assert len(out) == 2
+    assert {str(r["t2"]) for r in out} == {"2024-01-01 00:00:02"}
+
+
+def test_consumed_funnel_matches_hand_values(spark):
+    from flink_rag_spark.operators.sequences import (
+        consumed_funnel_matches)
+    rows = [(1, "2024-01-01 00:00:01", 1, "A"),
+            (2, "2024-01-01 00:00:02", 1, "A"),
+            (3, "2024-01-01 00:00:03", 1, "B"),
+            (4, "2024-01-01 00:00:04", 1, "C"),
+            (5, "2024-01-01 00:00:05", 1, "A"),
+            (6, "2024-01-01 00:00:06", 1, "B"),
+            (7, "2024-01-01 00:00:07", 1, "C"),
+            # second user: one match only
+            (8, "2024-01-01 00:00:01", 2, "A"),
+            (9, "2024-01-01 00:00:02", 2, "B"),
+            (10, "2024-01-01 00:00:03", 2, "C")]
+    e = _ev(spark, rows)
+    out = {(r["user_id"], r["match_idx"]):
+           (str(r["t1"]), str(r["t2"]), str(r["t3"]))
+           for r in consumed_funnel_matches(e, ["A", "B", "C"],
+                                            max_matches=4).collect()}
+    # user 1: match 1 from the EARLIEST anchor (00:01); the 00:02
+    # anchor overlaps it (t1 < consumed 00:04) and is skipped; match 2
+    # starts at 00:05
+    assert out == {
+        (1, 1): ("2024-01-01 00:00:01", "2024-01-01 00:00:03",
+                 "2024-01-01 00:00:04"),
+        (1, 2): ("2024-01-01 00:00:05", "2024-01-01 00:00:06",
+                 "2024-01-01 00:00:07"),
+        (2, 1): ("2024-01-01 00:00:01", "2024-01-01 00:00:02",
+                 "2024-01-01 00:00:03")}
+    # max_matches truncates
+    one = consumed_funnel_matches(e, ["A", "B", "C"], max_matches=1)
+    assert {r["user_id"] for r in one.collect()} == {1, 2}
+    assert one.count() == 2
+    with pytest.raises(ValueError):
+        consumed_funnel_matches(e, ["A", "B", "C"], max_matches=0)
+
+
+def test_all_matches_fuzz_mirror_parity(spark, sf_oracle):
+    """Both operators replay bit-identically in DuckDB over fuzzed
+    event streams (30 random graphs — the strict-CEP discipline) and
+    over the real events table."""
+    import random
+
+    import pandas as pd
+
+    from flink_rag_spark.operators.sequences import (
+        all_funnel_matches, all_funnel_matches_duck,
+        consumed_funnel_matches, consumed_funnel_matches_duck)
+    from tests.oracle_check import canon
+    rng = random.Random(12)
+    rows, eid = [], 0
+    for _ in range(30):
+        user = rng.randrange(40)
+        for _ in range(rng.randrange(1, 14)):
+            eid += 1
+            rows.append((eid,
+                         f"2024-01-01 00:00:{rng.randrange(50):02d}",
+                         user, rng.choice(["A", "B", "C", "Z"])))
+    e = _ev(spark, rows)
+    pdf = e.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+    for within in (None, 20):
+        sp = all_funnel_matches(e, ["A", "B", "C"],
+                                within_seconds=within).toPandas()
+        du = con.execute(all_funnel_matches_duck(
+            ["A", "B", "C"], within_seconds=within)).fetchdf()
+        assert canon(sp) == canon(du), f"all-matches within={within}"
+    sp = consumed_funnel_matches(e, ["A", "B", "C"], 3).toPandas()
+    du = con.execute(
+        consumed_funnel_matches_duck(["A", "B", "C"], 3)).fetchdf()
+    assert canon(sp) == canon(du)
+    # every consumed match IS an all-matches row, and consecutive
+    # matches never overlap
+    am = {tuple(r) for r in all_funnel_matches(
+        e, ["A", "B", "C"]).collect()}
+    byu = {}
+    for r in sorted(sp.itertuples(index=False),
+                    key=lambda r: (r.user_id, r.match_idx)):
+        assert (r.user_id, pd.Timestamp(r.t1), pd.Timestamp(r.t2),
+                pd.Timestamp(r.t3)) in {
+            (u, pd.Timestamp(a), pd.Timestamp(b), pd.Timestamp(c))
+            for u, a, b, c in am}
+        if r.user_id in byu:
+            assert pd.Timestamp(r.t1) > byu[r.user_id]
+        byu[r.user_id] = pd.Timestamp(r.t3)
