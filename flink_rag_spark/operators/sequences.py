@@ -796,6 +796,103 @@ def strict_funnel_times_duck(steps: list[str],
             + " FROM agg WHERE _any = 1")
 
 
+def _consecutive_desugar(steps: list, consecutive) -> tuple[list,
+                                                            list[str],
+                                                            list[int]]:
+    """Shared desugaring for FlinkCEP ``consecutive()`` — strict
+    contiguity INSIDE looping pattern steps: expand the quantifiers
+    (``expand_quantified_steps``) and build the flat contiguity vector
+    where every gap internal to a ``consecutive`` loop is ``'next'``
+    and every other gap stays ``'followedBy'`` (FlinkCEP's default —
+    ``consecutive()`` binds to the looping pattern only, never to the
+    gaps between pattern steps). Returns (flat_steps, contiguity,
+    last_layer_per_original_step)."""
+    cons = set(consecutive)
+    k = len(steps)
+    for j in cons:
+        if not (1 <= j <= k):
+            raise ValueError(f"consecutive step {j} out of range "
+                             f"(1..{k})")
+        s = steps[j - 1]
+        if not (isinstance(s, tuple) and s[1] >= 2):
+            # a single-repetition loop has no internal gap — under the
+            # family's earliest-completion semantics oneOrMore()
+            # completes at its FIRST repetition, so consecutive() on it
+            # would be silently vacuous (the `until` discipline: refuse
+            # rather than ignore)
+            raise ValueError(
+                f"consecutive on step {j} is vacuous: it needs a "
+                f"(step, n>=2) quantifier, got {s!r}")
+    flat, last = expand_quantified_steps(steps)
+    contiguity: list[str] = []
+    pos = 0
+    for j, s in enumerate(steps, start=1):
+        n = s[1] if isinstance(s, tuple) else 1
+        if pos > 0:
+            contiguity.append("followedBy")   # gap BETWEEN steps
+        contiguity.extend(
+            ["next" if j in cons else "followedBy"] * (n - 1))
+        pos += n
+    assert len(contiguity) == len(flat) - 1
+    return flat, contiguity, last
+
+
+def consecutive_funnel_times(events: DataFrame, steps: list,
+                             consecutive,
+                             key_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             seq_col: str = "event_id",
+                             within_seconds: int | None = None
+                             ) -> DataFrame:
+    """``quantified_funnel_times`` with FlinkCEP's ``consecutive()``
+    on chosen looping steps: ``steps`` is the quantified pattern
+    (plain steps and ``(step, n)`` loops), ``consecutive`` the 1-based
+    ORIGINAL step indices whose n repetitions must be strictly
+    contiguous EVENTS — ``times(n).consecutive()`` /
+    ``oneOrMore().consecutive()``: any intervening event of ANY type
+    between two repetitions breaks the run. Gaps between original
+    steps stay relaxed (FlinkCEP's default — ``consecutive()`` binds
+    to its looping pattern only).
+
+    Pure composition: the quantifier expansion feeds
+    :func:`strict_funnel_times` with a contiguity vector marking every
+    internal gap of a consecutive loop ``'next'``; output collapses to
+    one t per ORIGINAL step (a loop's t = its last repetition's
+    instant, the quantified family's convention). The strict engine's
+    per-anchor block matching does the real work — an n-rep consecutive
+    loop is exactly a length-n strict block, every anchor tried (the
+    A-A-B lesson). Same scale shape: the whole pattern is ONE
+    (key, ts, seq) exchange; adjacency needs the raw stream, so the
+    scan projects but cannot type-prefilter (the strict family's
+    documented cost)."""
+    flat, contiguity, last = _consecutive_desugar(steps, consecutive)
+    st = strict_funnel_times(events, flat, contiguity, None, key_col,
+                             ts_col, type_col, seq_col, within_seconds)
+    return st.select(key_col, *[
+        F.col(f"t{li}").alias(f"t{j}")
+        for j, li in enumerate(last, start=1)])
+
+
+def consecutive_funnel_times_duck(steps: list, consecutive,
+                                  within_seconds: int | None = None,
+                                  key_col: str = "user_id",
+                                  ts_col: str = "ts",
+                                  type_col: str = "event_type",
+                                  seq_col: str = "event_id",
+                                  table: str = "events") -> str:
+    """DuckDB mirror of :func:`consecutive_funnel_times` — the same
+    desugaring feeding the strict mirror, collapsed to one t per
+    original step. String steps only (the family's Column caveat)."""
+    flat, contiguity, last = _consecutive_desugar(steps, consecutive)
+    inner = strict_funnel_times_duck(flat, contiguity, None,
+                                     within_seconds, key_col, ts_col,
+                                     type_col, seq_col, table)
+    t_cols = ", ".join(f"t{li} AS t{j}"
+                       for j, li in enumerate(last, start=1))
+    return (f"SELECT {key_col}, {t_cols} "
+            f"FROM ({inner}) _consecutive_inner")
+
+
 # --------------------------------------------- all-matches emission
 
 

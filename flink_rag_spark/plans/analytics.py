@@ -491,6 +491,26 @@ def strict_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                STRICT_FUNNEL_NOT_NEXT)
 
 
+#: the consecutive() pattern the swept query runs: a view, then TWO
+#: back-to-back clicks (strictly contiguous events — any intervening
+#: event of any type breaks the run), then eventually a purchase
+CONSEC_STEPS = ["view", ("click", 2), "purchase"]
+CONSEC_LOOPS = {2}
+
+
+def consecutive_funnel_users(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """FlinkCEP ``times(n).consecutive()`` — strict contiguity INSIDE a
+    looping step (operators/sequences.py consecutive_funnel_times, pure
+    composition: quantifier expansion feeding the strict engine's
+    per-anchor block matching): per-user earliest view → 2 back-to-back
+    clicks → purchase. One funnel-family exchange."""
+    from flink_rag_spark.operators.sequences import (
+        consecutive_funnel_times)
+    e = load_table(spark, sf_dir, "events")
+    return consecutive_funnel_times(e, CONSEC_STEPS, CONSEC_LOOPS)
+
+
 #: the all-matches pattern the graded query runs: EVERY completed
 #: view → click → purchase chain (one row per completing view EVENT —
 #: FlinkCEP's default AfterMatchSkipStrategy.noSkip()), and its

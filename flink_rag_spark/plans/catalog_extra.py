@@ -80,6 +80,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.sequences import (
         all_funnel_matches_duck,
         cohort_retention_duck,
+        consecutive_funnel_times_duck,
         consumed_funnel_matches_duck,
         event_transitions_duck,
         funnel_conversion_stats_duck,
@@ -1843,6 +1844,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
                                   A.STRICT_FUNNEL_CONTIG,
                                   A.STRICT_FUNNEL_NOT_NEXT),
          ("cep", "window", "strict", "sequence")),
+        # round-12: FlinkCEP times(n).consecutive() — strict contiguity
+        # inside a looping step, the quantifier expansion composed with
+        # the strict engine's per-anchor block matching
+        # (sequences.consecutive_funnel_times)
+        ("consecutive_funnel_users", A.consecutive_funnel_users,
+         consecutive_funnel_times_duck(A.CONSEC_STEPS, A.CONSEC_LOOPS),
+         ("sequence", "cep", "strict", "quantifier")),
         # round-12: all-matches CEP emission (FlinkCEP's default
         # AfterMatchSkipStrategy.noSkip()) — one row per completing
         # step-1 anchor EVENT, greedy earliest continuation via

@@ -175,6 +175,82 @@ def test_consumed_funnel_matches_hand_values(spark):
         consumed_funnel_matches(e, ["A", "B", "C"], max_matches=0)
 
 
+def test_consecutive_funnel_hand_values(spark):
+    from flink_rag_spark.operators.sequences import (
+        consecutive_funnel_times, quantified_funnel_times)
+    rows = [  # user 1: clean back-to-back clicks
+        (1, "2024-01-01 00:00:01", 1, "A"),
+        (2, "2024-01-01 00:00:02", 1, "B"),
+        (3, "2024-01-01 00:00:03", 1, "B"),
+        (4, "2024-01-01 00:00:04", 1, "C"),
+        # user 2: an interloper breaks the first run; the second
+        # run (B@4, B@5) completes the loop
+        (5, "2024-01-01 00:00:01", 2, "A"),
+        (6, "2024-01-01 00:00:02", 2, "B"),
+        (7, "2024-01-01 00:00:03", 2, "Z"),
+        (8, "2024-01-01 00:00:04", 2, "B"),
+        (9, "2024-01-01 00:00:05", 2, "B"),
+        (10, "2024-01-01 00:00:06", 2, "C"),
+        # user 3: no contiguous run at all
+        (11, "2024-01-01 00:00:01", 3, "A"),
+        (12, "2024-01-01 00:00:02", 3, "B"),
+        (13, "2024-01-01 00:00:03", 3, "Z"),
+        (14, "2024-01-01 00:00:04", 3, "B"),
+        (15, "2024-01-01 00:00:05", 3, "C")]
+    e = _ev(spark, rows)
+    out = {r["user_id"]: (str(r["t1"]), str(r["t2"]), str(r["t3"]))
+           for r in consecutive_funnel_times(
+               e, ["A", ("B", 2), "C"], {2}).collect()}
+    assert out[1] == ("2024-01-01 00:00:01", "2024-01-01 00:00:03",
+                      "2024-01-01 00:00:04")
+    assert out[2] == ("2024-01-01 00:00:01", "2024-01-01 00:00:05",
+                      "2024-01-01 00:00:06")
+    assert out[3][0] == "2024-01-01 00:00:01"
+    assert out[3][1] == "None" and out[3][2] == "None"
+    # empty consecutive set degenerates to the relaxed quantified form
+    a = consecutive_funnel_times(e, ["A", ("B", 2), "C"], set())
+    b = quantified_funnel_times(e, ["A", ("B", 2), "C"])
+    assert sorted(map(tuple, a.collect())) == \
+           sorted(map(tuple, b.collect()))
+    # vacuous consecutive targets are refused (the `until` discipline)
+    for bad_steps, cons in ((["A", "B", "C"], {2}),
+                            (["A", ("B", 1), "C"], {2})):
+        with pytest.raises(ValueError):
+            consecutive_funnel_times(e, bad_steps, cons)
+    with pytest.raises(ValueError):
+        consecutive_funnel_times(e, ["A", ("B", 2)], {5})
+
+
+def test_consecutive_funnel_fuzz_mirror_parity(spark):
+    """Engine parity over 30 fuzzed event streams (the strict family's
+    discipline) for the composed consecutive() desugaring."""
+    import random
+
+    from flink_rag_spark.operators.sequences import (
+        consecutive_funnel_times, consecutive_funnel_times_duck)
+    from tests.oracle_check import canon
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for _ in range(30):
+        user = rng.randrange(40)
+        for _ in range(rng.randrange(1, 16)):
+            eid += 1
+            rows.append((eid,
+                         f"2024-01-01 00:00:{rng.randrange(55):02d}",
+                         user, rng.choice(["A", "B", "B", "C", "Z"])))
+    e = _ev(spark, rows)
+    con = duckdb.connect()
+    con.register("events", e.toPandas())
+    for steps, cons, within in ((["A", ("B", 2), "C"], {2}, None),
+                                (["A", ("B", 3), "C"], {2}, None),
+                                ((["A", ("B", 2), "C"], {2}, 30))):
+        sp = consecutive_funnel_times(e, steps, cons,
+                                      within_seconds=within).toPandas()
+        du = con.execute(consecutive_funnel_times_duck(
+            steps, cons, within_seconds=within)).fetchdf()
+        assert canon(sp) == canon(du), (steps, cons, within)
+
+
 def test_all_matches_fuzz_mirror_parity(spark, sf_oracle):
     """Both operators replay bit-identically in DuckDB over fuzzed
     event streams (30 random graphs — the strict-CEP discipline) and
