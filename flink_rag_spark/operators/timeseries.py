@@ -396,6 +396,191 @@ def ses_forecast(df: DataFrame, keys: list[str], ts_col: str,
                  .alias("forecast")))
 
 
+#: Holt defaults: conventional smoothing levels (level like SES; the
+#: trend updates slowly — β ≪ α is the standard guidance)
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def _holt_weights(alpha: float, beta: float) -> list[tuple]:
+    """Per-lag weight rows for Holt's linear method, 12-dp DECIMAL
+    STRINGS computed ONCE in Python (the SES discipline — both engines
+    parse identical literals, so engine POWER/matmul drift cannot
+    exist by construction).
+
+    Holt with seeds l_1 = x_1, b_1 = x_2 − x_1 is LINEAR in the
+    observations: with state z_t = (l_t, b_t),
+
+        z_t = M·z_{t−1} + u·x_t,  M = [[1−α, 1−α], [−αβ, 1−αβ]],
+                                  u = (α, αβ)ᵀ
+
+    and the seeds collapse to z_2 = (x_2, x_2 − x_1) exactly, so
+
+        z_n = x_1·M^{n−2}(0,−1)ᵀ + x_2·M^{n−2}(1,1)ᵀ
+              + Σ_{t=3..n} x_t·M^{n−t}·u.
+
+    Row k carries the three weight PAIRS keyed by lag k = n − rn:
+    (wl_m, wt_m) = M^k·u for mid observations (rn ≥ 3),
+    (wl_s, wt_s) = M^k·(1,1)ᵀ for the second observation (rn = 2),
+    (wl_f, wt_f) = M^{k−1}·(0,−1)ᵀ for the first (rn = 1; its matrix
+    power is one less than its lag — zeros at k = 0, never joined).
+    det(M) = 1−α, so ρ(M) ≤ √(1−α) < 1 and the table terminates; the
+    eigenvalues can be COMPLEX (damped oscillation — weights may pass
+    through zero and return), so termination tests the matrix norm,
+    never a single row of zeros."""
+    dp = SES_W_DP
+    m = [[1.0 - alpha, 1.0 - alpha],
+         [-alpha * beta, 1.0 - alpha * beta]]
+    pk = [[1.0, 0.0], [0.0, 1.0]]          # M^k, starting at k = 0
+    out = []
+    k = 0
+    while True:
+        wl_m = round(pk[0][0] * alpha + pk[0][1] * alpha * beta, dp)
+        wt_m = round(pk[1][0] * alpha + pk[1][1] * alpha * beta, dp)
+        wl_s = round(pk[0][0] + pk[0][1], dp)
+        wt_s = round(pk[1][0] + pk[1][1], dp)
+        if k == 0:
+            wl_f = wt_f = 0.0              # rn = 1 ⇒ k = n−1 ≥ 1
+        else:
+            wl_f = round(-pm[0][1], dp)    # M^{k−1}·(0,−1)ᵀ
+            wt_f = round(-pm[1][1], dp)
+        out.append((k,) + tuple(f"{w:.{dp}f}" for w in
+                                (wl_f, wt_f, wl_s, wt_s, wl_m, wt_m)))
+        fro = (pk[0][0] ** 2 + pk[0][1] ** 2
+               + pk[1][0] ** 2 + pk[1][1] ** 2) ** 0.5
+        # two digits below the quantum: M is non-normal, so ‖M^{k+j}‖
+        # can transiently exceed ‖M^k‖·ρ^j — the margin absorbs any
+        # such overshoot past the stop point
+        if fro * 4.0 < 10.0 ** -(dp + 2):
+            break
+        pm = pk
+        pk = [[pm[0][0] * m[0][0] + pm[0][1] * m[1][0],
+               pm[0][0] * m[0][1] + pm[0][1] * m[1][1]],
+              [pm[1][0] * m[0][0] + pm[1][1] * m[1][0],
+               pm[1][0] * m[0][1] + pm[1][1] * m[1][1]]]
+        k += 1
+        if k > 200_000:                    # unreachable; safety stop
+            break
+    return out
+
+
+def holt_forecast(df: DataFrame, keys: list[str], ts_col: str,
+                  value_col: str, seq_col: str,
+                  alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA,
+                  horizon: int = 1,
+                  value_scale: int = 2) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key (Holt 1957 —
+    the level+trend member of the Holt-Winters family; SES tracks a
+    level, this also tracks where it is HEADING):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    with the standard seeds l_1 = x_1, b_1 = x_2 − x_1, forecast
+    ŷ_{n+h} = l_n + h·b_n. Both recurrences are linear in history, so
+    the whole fit is the SES closed-form plan — one window (row_number
+    + count per key) + one broadcast join against a Python-precomputed
+    per-lag DECIMAL weight table (two weight vectors now: level and
+    trend) + one aggregate. No iteration, no UDF.
+
+    Exactness contract (the SES discipline): values quantize to
+    ``value_scale`` decimals, weights to 12 dp, every term is an exact
+    decimal product, sums are order-independent, and the final 6-dp
+    rounds happen in decimal space. Keys with a SINGLE observation are
+    OMITTED (b_1 needs x_2 — Holt is undefined on singletons; fall
+    back to :func:`ses_forecast` for those).
+
+    Returns (keys..., n_obs, level, trend, forecast)."""
+    from decimal import Decimal
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 < beta <= 1.0):
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    dp = SES_W_DP
+    spark = df.sparkSession
+    wtab = F.broadcast(spark.createDataFrame(
+        [(k,) + tuple(Decimal(w) for w in ws)
+         for k, *ws in _holt_weights(alpha, beta)],
+        "_k int, " + ", ".join(
+            f"_{c} decimal(14,{dp})"
+            for c in ("wlf", "wtf", "wls", "wts", "wlm", "wtm"))))
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    w_key = Window.partitionBy(*keys)
+    src = (df.withColumn("_rn", F.row_number().over(w_ord))
+           .withColumn("_n", F.count(F.lit(1)).over(w_key))
+           .filter(F.col("_n") >= 2)
+           .withColumn("_k", (F.col("_n") - F.col("_rn")).cast("int")))
+    vdec = F.col(value_col).cast(f"decimal(24,{value_scale})")
+    zero = F.lit(0).cast(f"decimal(14,{dp})")
+    wl = F.coalesce(
+        F.when(F.col("_rn") == 1, F.col("_wlf"))
+        .when(F.col("_rn") == 2, F.col("_wls"))
+        .otherwise(F.col("_wlm")), zero)
+    wt = F.coalesce(
+        F.when(F.col("_rn") == 1, F.col("_wtf"))
+        .when(F.col("_rn") == 2, F.col("_wts"))
+        .otherwise(F.col("_wtm")), zero)
+    return (src.join(wtab, on="_k", how="left")
+            .select(*keys, (vdec * wl).alias("_tl"),
+                    (vdec * wt).alias("_tt"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                 F.round(F.sum("_tl"), 6).cast("double").alias("level"),
+                 F.round(F.sum("_tt"), 6).cast("double").alias("trend"),
+                 F.round(F.sum("_tl")
+                         + F.lit(horizon) * F.sum("_tt"), 6)
+                 .cast("double").alias("forecast")))
+
+
+def holt_forecast_duck(inner_sql: str, keys: list[str], ts_col: str,
+                       value_col: str, seq_col: str,
+                       alpha: float = HOLT_ALPHA,
+                       beta: float = HOLT_BETA,
+                       horizon: int = 1,
+                       value_scale: int = 2) -> str:
+    """DuckDB mirror of :func:`holt_forecast` — the SAME
+    Python-rendered decimal weight literals, exact decimal products and
+    decimal-space final rounds."""
+    dp = SES_W_DP
+    ks = ", ".join(keys)
+    cols = ("wlf", "wtf", "wls", "wts", "wlm", "wtm")
+    wrows = " UNION ALL ".join(
+        f"SELECT {k} AS _k, " + ", ".join(
+            f"CAST('{w}' AS DECIMAL(14,{dp})) AS _{c}"
+            for c, w in zip(cols, ws))
+        for k, *ws in _holt_weights(alpha, beta))
+    zero = f"CAST(0 AS DECIMAL(14,{dp}))"
+    return f"""
+WITH src AS (
+  SELECT {ks},
+         CAST({value_col} AS DECIMAL(24,{value_scale})) AS x,
+         ROW_NUMBER() OVER (PARTITION BY {ks}
+                            ORDER BY {ts_col}, {seq_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {ks}) AS n
+  FROM ({inner_sql})
+  QUALIFY n >= 2),
+wt AS ({wrows}),
+terms AS (
+  SELECT {ks},
+         x * COALESCE(CASE WHEN rn = 1 THEN _wlf
+                           WHEN rn = 2 THEN _wls
+                           ELSE _wlm END, {zero}) AS tl,
+         x * COALESCE(CASE WHEN rn = 1 THEN _wtf
+                           WHEN rn = 2 THEN _wts
+                           ELSE _wtm END, {zero}) AS tt
+  FROM src LEFT JOIN wt ON wt._k = n - rn)
+SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(ROUND(SUM(tl), 6) AS DOUBLE) AS level,
+       CAST(ROUND(SUM(tt), 6) AS DOUBLE) AS trend,
+       CAST(ROUND(SUM(tl) + {horizon} * SUM(tt), 6) AS DOUBLE)
+         AS forecast
+FROM terms GROUP BY {ks}
+"""
+
+
 def ses_forecast_duck(inner_sql: str, keys: list[str], ts_col: str,
                       value_col: str, seq_col: str,
                       alpha: float = SES_ALPHA,

@@ -417,6 +417,19 @@ def user_value_ses_forecast(spark: SparkSession,
     return ses_forecast(e, ["user_id"], "ts", "value", "event_id")
 
 
+def user_value_holt_forecast(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-user Holt linear-trend forecast (operators/timeseries.py
+    holt_forecast — Holt 1957, the level+trend extension of the SES
+    member): next-event value as level + trend, both recurrences
+    closed-formed into one window + one broadcast decimal-weight join +
+    one aggregate (the SES exactness discipline, two weight vectors)."""
+    from flink_rag_spark.operators.timeseries import holt_forecast
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return holt_forecast(e, ["user_id"], "ts", "value", "event_id")
+
+
 #: survival demo: time from first signup to the first SUBSEQUENT
 #: purchase, right-censored at the pinned corpus horizon (the testdata
 #: generator's month end) — censored users count in the at-risk sets up

@@ -157,6 +157,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
+        holt_forecast_duck,
         ses_forecast_duck,
         time_decayed_at_latest_duck,
         time_decayed_stats_duck,
@@ -1816,6 +1817,15 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # (operators/timeseries.py ses_forecast)
         ("user_value_ses_forecast", A.user_value_ses_forecast,
          ses_forecast_duck(
+             "SELECT user_id, ts, event_id, value FROM events "
+             "WHERE value IS NOT NULL",
+             ["user_id"], "ts", "value", "event_id"),
+         ("timeseries", "forecast", "window")),
+        # round-12: Holt linear-trend forecast — level + trend as TWO
+        # Python-precomputed decimal weight tables over the SES plan
+        # shape (operators/timeseries.py holt_forecast)
+        ("user_value_holt_forecast", A.user_value_holt_forecast,
+         holt_forecast_duck(
              "SELECT user_id, ts, event_id, value FROM events "
              "WHERE value IS NOT NULL",
              ["user_id"], "ts", "value", "event_id"),

@@ -175,6 +175,94 @@ def test_consumed_funnel_matches_hand_values(spark):
         consumed_funnel_matches(e, ["A", "B", "C"], max_matches=0)
 
 
+# ------------------------------------------------- Holt forecasting
+
+
+def test_holt_forecast_hand_values(spark):
+    """α = β = 0.5 over a perfectly linear series tracks the trend
+    exactly (hand-unrolled recurrence: l = x_n, b = slope), and the
+    closed-form weight table reproduces the recurrence on an
+    arbitrary series."""
+    from flink_rag_spark.operators.timeseries import holt_forecast
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", 1, float(i))
+            for i in range(1, 4)]                 # x = 1, 2, 3
+    rows += [(10 + i, f"2024-01-01 00:00:{i:02d}", 2, v)
+             for i, v in enumerate([4.0, 1.0, 7.0, 2.0], start=1)]
+    rows += [(20, "2024-01-01 00:00:01", 3, 9.0)]  # singleton: omitted
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, value double")
+    import pyspark.sql.functions as F
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in holt_forecast(
+        df, ["user_id"], "ts", "value", "event_id",
+        alpha=0.5, beta=0.5).collect()}
+    assert set(out) == {1, 2}                     # singleton dropped
+    assert out[1]["level"] == 3.0 and out[1]["trend"] == 1.0
+    assert out[1]["forecast"] == 4.0
+    # recurrence replay for user 2 (x = 4, 1, 7, 2), α = β = 0.5:
+    # l1=4 b1=-3; l2=1 b2=-3; l3=.5*7+.5*(1-3)=2.5 b3=.5*1.5+.5*(-3)
+    # =-0.75; l4=.5*2+.5*1.75=1.875 b4=.5*(-.625)+.5*(-.75)=-0.6875
+    assert abs(out[2]["level"] - 1.875) < 1e-9
+    assert abs(out[2]["trend"] - (-0.6875)) < 1e-9
+    assert abs(out[2]["forecast"] - 1.1875) < 1e-9
+    # horizon scales the trend term
+    h3 = {r["user_id"]: r["forecast"] for r in holt_forecast(
+        df, ["user_id"], "ts", "value", "event_id",
+        alpha=0.5, beta=0.5, horizon=3).collect()}
+    assert h3[1] == 6.0
+    import pytest as _pt
+    for kw in ({"alpha": 0.0}, {"beta": 1.5}, {"horizon": 0}):
+        with _pt.raises(ValueError):
+            holt_forecast(df, ["user_id"], "ts", "value", "event_id",
+                          **kw)
+
+
+def test_holt_forecast_matches_float_recurrence_and_mirror(spark):
+    """The quantized closed form stays within quantization error of the
+    float recurrence on fuzzed series, and replays bit-identically in
+    DuckDB (default α, β — complex eigenvalues, oscillating weights)."""
+    import random
+
+    from flink_rag_spark.operators.timeseries import (holt_forecast,
+                                                      holt_forecast_duck)
+    from tests.oracle_check import canon
+    rng = random.Random(42)
+    rows, eid = [], 0
+    series = {}
+    for u in range(12):
+        n = rng.randrange(2, 60)
+        xs = [round(rng.uniform(-50, 150), 2) for _ in range(n)]
+        series[u] = xs
+        for i, x in enumerate(xs):
+            eid += 1
+            rows.append((eid, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                         u, x))
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in holt_forecast(
+        df, ["user_id"], "ts", "value", "event_id").collect()}
+    a, b = 0.3, 0.1
+    for u, xs in series.items():
+        le, tr = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = a * x + (1 - a) * (le + tr)
+            tr = b * (nl - le) + (1 - b) * tr
+            le = nl
+        tol = 5e-7 * max(1.0, len(xs))   # 12-dp weights × |x| ≤ 150
+        assert abs(out[u]["level"] - le) < tol, u
+        assert abs(out[u]["trend"] - tr) < tol, u
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    du = con.execute(holt_forecast_duck(
+        "SELECT user_id, ts, event_id, value FROM events",
+        ["user_id"], "ts", "value", "event_id")).fetchdf()
+    sp = holt_forecast(df, ["user_id"], "ts", "value",
+                       "event_id").toPandas()
+    assert canon(sp) == canon(du)
+
+
 def test_consecutive_funnel_hand_values(spark):
     from flink_rag_spark.operators.sequences import (
         consecutive_funnel_times, quantified_funnel_times)
