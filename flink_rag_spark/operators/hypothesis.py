@@ -256,3 +256,161 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            / s END) > {z_crit}, FALSE) AS significant
 FROM se
 """
+
+
+# --------------------------------------------- two-cohort log-rank test
+
+LOGRANK_TERM_DP = 9
+LOGRANK_DP = 6
+
+
+def logrank_test(subjects: DataFrame, duration_col: str, event_col: str,
+                 group_col: str, group_a, group_b,
+                 z_crit: float = Z_CRIT) -> DataFrame:
+    """Two-cohort log-rank test (Mantel 1966, "Evaluation of survival
+    data…") — "are these two survival curves the same?", the hypothesis
+    complement of :func:`~flink_rag_spark.operators.survival.km_survival`
+    (KM draws each cohort's curve; this tests the difference). Input is
+    the KM subject frame plus a cohort column: at each distinct time t
+    with d_t events among n_t at-risk subjects (n_at of them in cohort
+    A, d_at of A's),
+
+        O_A = Σ d_at                        (observed A events)
+        E_A = Σ d_t · n_at / n_t            (expected under H0)
+        V   = Σ d_t (n_at/n_t)(1 − n_at/n_t)(n_t − d_t)/(n_t − 1)
+
+    and z = (O_A − E_A)/√V (χ² = z², 1 df). Like the z/KS tests the
+    p-value is a threshold VERDICT at ``z_crit`` — neither engine ships
+    erf, and the statistic itself is exact shared arithmetic.
+
+    Exactness: every count is an exact integer; the E and V terms are
+    double quotients of integers quantized to 9-dp DECIMAL before
+    summing (the link-prediction discipline — a double Σ is
+    order-dependent; an integer-ratio term is never boundary-exact at
+    9 dp because the boundary value k.5e-9 is non-dyadic), so the sums
+    are bit-stable under any partitioning and the oracle replays them.
+    NULL durations/event flags are excluded (the KM contract); V = 0
+    (no comparable event times) yields a NULL z and a False verdict
+    (the z-test's zero-variance contract). Risk-set terms at n_t = 1
+    are 0 by the (n_t − d_t)/(n_t − 1) guard.
+
+    Output: ONE row — (n_a, n_b, o_a, e_a, v, z, chi2, significant).
+
+    Scale shape: one (t)-grouped aggregate over the subject scan, one
+    ordered window pass over the |distinct durations|-bounded step
+    frame (single-partition by construction — the step frame is tiny,
+    the subject scan is not), one final aggregate."""
+    g = F.col(group_col)
+    ev = F.col(event_col).cast("int")
+    src = subjects.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+        & g.isin([group_a, group_b]))
+    agg = (src.groupBy(F.col(duration_col).alias("t"))
+           .agg(F.sum(F.when(g == group_a, ev).otherwise(0)).alias("da"),
+                F.sum(F.when(g == group_b, ev).otherwise(0)).alias("db"),
+                F.count(F.when(g == group_a, 1)).alias("sa"),
+                F.count(F.when(g == group_b, 1)).alias("sb")))
+    w_rev = (Window.orderBy("t")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    risk = (agg.withColumn("na", F.sum("sa").over(w_rev))
+            .withColumn("nb", F.sum("sb").over(w_rev))
+            .filter(F.col("da") + F.col("db") > 0))
+    n = (F.col("na") + F.col("nb")).cast("double")
+    d = (F.col("da") + F.col("db")).cast("double")
+    p = F.col("na").cast("double") / n
+    dec = f"decimal(28,{LOGRANK_TERM_DP})"
+    e_term = F.round(d * p, LOGRANK_TERM_DP).cast(dec)
+    v_term = F.when(
+        F.col("na") + F.col("nb") > 1,
+        F.round(d * p * (F.lit(1.0) - p) * (n - d) / (n - F.lit(1.0)),
+                LOGRANK_TERM_DP)).otherwise(F.lit(0.0)).cast(dec)
+    tot = risk.agg(
+        F.sum("da").cast("bigint").alias("o_a"),
+        F.sum(e_term).alias("_e"),
+        F.sum(v_term).alias("_v"))
+    counts = src.agg(
+        F.count(F.when(g == group_a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(g == group_b, 1)).cast("bigint").alias("n_b"))
+    ed = F.col("_e").cast("double")
+    vd = F.col("_v").cast("double")
+    z = F.when(vd > 0, (F.col("o_a").cast("double") - ed) / F.sqrt(vd))
+    # e_a/v round IN DECIMAL SPACE (the decimal-boundary discipline — a
+    # 9-dp decimal sum CAN land exactly on the 6-dp boundary, where the
+    # engines' double rounding disagrees); z/chi2 are never
+    # boundary-exact (irrational sqrt in the denominator)
+    return (counts.crossJoin(tot)  # 1 row × 1 row
+            .select("n_a", "n_b", "o_a",
+                    F.round(F.col("_e"), LOGRANK_DP).cast("double")
+                    .alias("e_a"),
+                    F.round(F.col("_v"), LOGRANK_DP).cast("double")
+                    .alias("v"),
+                    F.round(z, LOGRANK_DP).alias("z"),
+                    F.round(z * z, LOGRANK_DP).alias("chi2"),
+                    F.coalesce(F.abs(z) > z_crit, F.lit(False))
+                    .alias("significant")))
+
+
+def logrank_test_duck(subjects_sql: str, duration_col: str,
+                      event_col: str, group_col: str, group_a, group_b,
+                      z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`logrank_test` — same aggregate, same
+    reverse-cumulative risk windows, same 9-dp DECIMAL term
+    quantization and final rounds."""
+    from flink_rag_spark.operators.util import sql_str_lit as _lit
+    ga, gb = _lit(group_a), _lit(group_b)
+    dp, odp = LOGRANK_TERM_DP, LOGRANK_DP
+    return f"""
+WITH lr_subj0 AS ({subjects_sql}),
+src AS (
+  SELECT {duration_col} AS t, {group_col} AS g,
+         CAST({event_col} AS INT) AS ev
+  FROM lr_subj0
+  WHERE {duration_col} IS NOT NULL AND {event_col} IS NOT NULL
+    AND {group_col} IN ({ga}, {gb})),
+agg AS (
+  SELECT t,
+         SUM(CASE WHEN g = {ga} THEN ev ELSE 0 END) AS da,
+         SUM(CASE WHEN g = {gb} THEN ev ELSE 0 END) AS db,
+         COUNT(CASE WHEN g = {ga} THEN 1 END) AS sa,
+         COUNT(CASE WHEN g = {gb} THEN 1 END) AS sb
+  FROM src GROUP BY t),
+risk AS (
+  SELECT *, SUM(sa) OVER rev AS na, SUM(sb) OVER rev AS nb
+  FROM agg
+  WINDOW rev AS (ORDER BY t
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+terms AS (
+  SELECT da,
+         CAST(ROUND(CAST(da + db AS DOUBLE)
+                    * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)),
+                    {dp}) AS DECIMAL(28,{dp})) AS e_term,
+         CAST(CASE WHEN na + nb > 1 THEN
+            ROUND(CAST(da + db AS DOUBLE)
+                  * (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * (1.0 - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                  * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                  / (CAST(na + nb AS DOUBLE) - 1.0), {dp})
+            ELSE 0.0 END AS DECIMAL(28,{dp})) AS v_term
+  FROM risk WHERE da + db > 0),
+tot AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS o_a,
+         CAST(ROUND(SUM(e_term), {odp}) AS DOUBLE) AS e_r,
+         CAST(ROUND(SUM(v_term), {odp}) AS DOUBLE) AS v_r,
+         CAST(SUM(e_term) AS DOUBLE) AS e,
+         CAST(SUM(v_term) AS DOUBLE) AS v
+  FROM terms),
+cnt AS (
+  SELECT CAST(COUNT(CASE WHEN g = {ga} THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN g = {gb} THEN 1 END) AS BIGINT) AS n_b
+  FROM src),
+zz AS (
+  SELECT *, CASE WHEN v > 0 THEN (o_a - e) / SQRT(v) END AS z0
+  FROM cnt, tot)
+SELECT n_a, n_b, o_a,
+       e_r AS e_a,
+       v_r AS v,
+       ROUND(z0, {odp}) AS z,
+       ROUND(z0 * z0, {odp}) AS chi2,
+       COALESCE(ABS(z0) > {z_crit}, FALSE) AS significant
+FROM zz
+"""

@@ -478,6 +478,52 @@ SELECT date_trunc('week', sgn.s_ts) AS cohort,
 FROM sgn LEFT JOIN pur USING (user_id)
 """
 
+#: the log-rank comparison's two cohorts: early-month vs late-month
+#: first signups, same durations/censoring as the KM curve
+_LOGRANK_SUBJECTS_SQL = f"""
+WITH sgn AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+pur AS (SELECT sgn.user_id, MIN(e.ts) AS p_ts
+        FROM sgn JOIN events e ON e.user_id = sgn.user_id
+         AND e.event_type = 'purchase' AND e.ts > sgn.s_ts GROUP BY 1)
+SELECT CASE WHEN day(sgn.s_ts) <= 15 THEN 'early' ELSE 'late' END
+         AS grp,
+       date_diff('microsecond', sgn.s_ts,
+                 COALESCE(pur.p_ts, TIMESTAMP '{KM_HORIZON}'))
+         AS duration_us,
+       CASE WHEN pur.p_ts IS NOT NULL THEN 1 ELSE 0 END AS event
+FROM sgn LEFT JOIN pur USING (user_id)
+"""
+
+
+def signup_purchase_logrank(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank test (operators/hypothesis.py logrank_test —
+    Mantel 1966): do early-month signups convert to purchase on a
+    different survival curve than late-month signups? Same subject
+    frame as the KM query, one grouped aggregate + one step-frame
+    window pass + a 1-row verdict (exact integer risk sets, 9-dp
+    decimal term sums)."""
+    from flink_rag_spark.operators.hypothesis import logrank_test
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (s.join(e.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("p_ts")),
+                "user_id")
+         .filter(F.col("p_ts") > F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("p_ts").alias("p_ts")))
+    subj = (s.join(p, "user_id", "left")
+            .select(F.when(F.dayofmonth("s_ts") <= 15, "early")
+                    .otherwise("late").alias("grp"),
+                    F.expr("timestampdiff(MICROSECOND, s_ts, "
+                           f"coalesce(p_ts, TIMESTAMP '{KM_HORIZON}'))")
+                    .alias("duration_us"),
+                    F.col("p_ts").isNotNull().cast("int")
+                    .alias("event")))
+    return logrank_test(subj, "duration_us", "event", "grp",
+                        "early", "late")
+
 
 #: the strict-contiguity pattern the graded query runs: a view whose
 #: IMMEDIATELY next event is a click (FlinkCEP ``next``), whose own

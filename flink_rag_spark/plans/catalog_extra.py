@@ -143,6 +143,7 @@ def extra_queries() -> list[tuple]:
                                                  weighted_shortest_paths_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
+        logrank_test_duck,
         ks_two_sample_duck,
     )
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
@@ -1830,6 +1831,13 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "WHERE value IS NOT NULL",
              ["user_id"], "ts", "value", "event_id"),
          ("timeseries", "forecast", "window")),
+        # round-12: two-cohort log-rank test — observed-vs-expected
+        # event counts over the shared risk-set timeline, 9-dp decimal
+        # term sums, threshold verdict (hypothesis.logrank_test)
+        ("signup_purchase_logrank", A.signup_purchase_logrank,
+         logrank_test_duck(A._LOGRANK_SUBJECTS_SQL, "duration_us",
+                           "event", "grp", "early", "late"),
+         ("survival", "hypothesis", "experiment")),
         # round-11: Kaplan–Meier survival — time-to-event with right
         # censoring; exact integer counts per factor, running product
         # as EXP(Σ ln) + a zero-factor flag (operators/survival.py)

@@ -175,6 +175,59 @@ def test_consumed_funnel_matches_hand_values(spark):
         consumed_funnel_matches(e, ["A", "B", "C"], max_matches=0)
 
 
+# ------------------------------------------------- log-rank test
+
+
+def test_logrank_hand_values(spark):
+    """Hand-computed Mantel 1966 table: O_A = 2, E_A = 1.5, V = 0.65
+    (the t=20 risk set has n=1 — its variance term is 0 by the guard),
+    z = 0.5/sqrt(0.65)."""
+    from flink_rag_spark.operators.hypothesis import logrank_test
+    rows = [("a", 5, 1), ("a", 10, 1), ("a", 15, 0),
+            ("b", 5, 1), ("b", 12, 0), ("b", 20, 1),
+            ("a", None, 1), ("a", 7, None)]       # excluded
+    df = spark.createDataFrame(rows, "grp string, dur int, ev int")
+    [r] = logrank_test(df, "dur", "ev", "grp", "a", "b").collect()
+    assert (r["n_a"], r["n_b"], r["o_a"]) == (3, 3, 2)
+    assert r["e_a"] == 1.5 and r["v"] == 0.65
+    assert abs(r["z"] - 0.5 / 0.65 ** 0.5) < 1e-6
+    assert abs(r["chi2"] - r["z"] ** 2) < 1e-5
+    assert r["significant"] is False
+    # a permissive critical value flips the verdict on the same z
+    [r2] = logrank_test(df, "dur", "ev", "grp", "a", "b",
+                        z_crit=0.1).collect()
+    assert r2["significant"] is True
+    # identical curves: z = 0 exactly
+    same = spark.createDataFrame(
+        [("a", 5, 1), ("a", 9, 1), ("b", 5, 1), ("b", 9, 1)],
+        "grp string, dur int, ev int")
+    [r3] = logrank_test(same, "dur", "ev", "grp", "a", "b").collect()
+    assert r3["z"] == 0.0 and r3["significant"] is False
+    # no comparable events → NULL z, False verdict
+    empty = spark.createDataFrame([("a", 5, 0), ("b", 6, 0)],
+                                  "grp string, dur int, ev int")
+    [r4] = logrank_test(empty, "dur", "ev", "grp", "a", "b").collect()
+    assert r4["z"] is None and r4["significant"] is False
+
+
+def test_logrank_fuzz_mirror_parity(spark):
+    from flink_rag_spark.operators.hypothesis import (logrank_test,
+                                                      logrank_test_duck)
+    from tests.oracle_check import canon
+    import random
+    rng = random.Random(5)
+    rows = [(rng.choice(["x", "y"]), rng.randrange(1, 40),
+             rng.randrange(2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "grp string, dur int, ev int")
+    sp = logrank_test(df, "dur", "ev", "grp", "x", "y").toPandas()
+    con = duckdb.connect()
+    con.register("subj", df.toPandas())
+    du = con.execute(logrank_test_duck(
+        "SELECT grp, dur, ev FROM subj", "dur", "ev", "grp",
+        "x", "y")).fetchdf()
+    assert canon(sp) == canon(du)
+
+
 # ------------------------------------------------- Holt forecasting
 
 
