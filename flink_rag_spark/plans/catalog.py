@@ -1117,8 +1117,9 @@ _GRADED: list[QueryDef] = [
     # sweep; the grouped-map shape stays graded via packed_documents
     # (applyInPandas) and the UDF surface via udf_array_stats /
     # udaf_geomean_price / udtf_token_positions
-    # both ANN tiers as an oracle-checked accuracy contract (exact top-10
-    # hash-verified; recall floors + result-size graded via boolean rows)
+    # every ANN tier as an oracle-checked accuracy contract (exact top-10
+    # hash-verified; recall floors + result-size graded via boolean rows —
+    # six rows incl. the round-12 NSW graph tier)
     QueryDef("ann_methods_vec7", llm.ann_methods_vec7, ORACLE_ANN_METHODS,
              ("similarity", "ann")),
     # --- relational surface (SURVEY.md §2.2 Tier B) ---

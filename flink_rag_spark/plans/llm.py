@@ -188,19 +188,25 @@ def ann_ivf_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: where contract); its recall is measured against the exact FILTERED
 #: top-10, so the row grades both the under-fill fix (n_results = k
 #: under a ~30% predicate) and filtered recall.
+#: nsw is the graph-ANN tier (operators/nsw.py — the round-12 answer to
+#: OpenSearch's default HNSW engine): bounded-hop beam search over a
+#: persisted, bucket-pruned neighbor table, recall graded against the
+#: same exact top-10.
 ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.5, "pq": 0.5,
-                     "ivfpq_batch": 0.5, "ivfpq_filtered": 0.5}
+                     "ivfpq_batch": 0.5, "ivfpq_filtered": 0.5,
+                     "nsw": 0.5}
 
 #: the metadata predicate the filtered contract row serves under
 ANN_FILTER_PREDICATE = "label < 3"
 
 
 def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN tiers graded as an ORACLE-CHECKABLE accuracy
+    """Every ANN tier graded as an ORACLE-CHECKABLE accuracy
     contract (the trick that flipped approx_distinct_users in round 3):
     the output carries (a) the exact top-10 for the query vector — rank,
     id, rounded score, all DuckDB-recomputable — and (b) one contract row
-    per ANN method (LSH, IVF, PQ-ADC) stating the recall@10 floor and
+    per ANN method (LSH, IVF, PQ-ADC, batch/filtered IVF-PQ, and the
+    round-12 NSW graph tier) stating the recall@10 floor and
     whether the method's result met it plus returned exactly k rows.
     DuckDB computes the identical exact top-k (same formula as
     ORACLE_KNN_BATCH) and the identical expected contract (meets_floor
@@ -212,6 +218,7 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
+    from flink_rag_spark.operators.nsw import build_nsw_index, nsw_topk
     from flink_rag_spark.operators.pq import (ann_pq_topk,
                                               build_ivfpq_index,
                                               ivfpq_knn_join, ivfpq_topk)
@@ -237,6 +244,11 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(qv)
     m = 7 if dim % 7 == 0 else (4 if dim % 4 == 0 else 1)
     idx = tempfile.mkdtemp(prefix="annvec7_ivfpq_")
+    nsw_idx = tempfile.mkdtemp(prefix="annvec7_nsw_")
+
+    def nsw_ids() -> list[int]:
+        out = nsw_topk(spark, nsw_idx, qv, k=k)
+        return [r["vec_id"] for r in out.collect()]
 
     def ivfpq_batch_ids() -> list[int]:
         out = ivfpq_knn_join(
@@ -255,6 +267,7 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         build_ivfpq_index(spark, emb, idx, n_centroids=4, m=m,
                           kc=4, iters=3)
+        build_nsw_index(spark, emb, nsw_idx)
         for method, ids_fn, ref_ids in (
                 ("lsh", lambda: [r["vec_id"] for r in
                                  ann_lsh_topk(emb, qv, k=k).collect()],
@@ -267,7 +280,8 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
                  exact_ids),
                 ("ivfpq_batch", ivfpq_batch_ids, exact_ids),
                 ("ivfpq_filtered", ivfpq_filtered_ids,
-                 exact_filtered_ids)):
+                 exact_filtered_ids),
+                ("nsw", nsw_ids, exact_ids)):
             ids = ids_fn()
             recall = len(set(ids) & ref_ids) / float(k)
             floor = ANN_RECALL_FLOORS[method]
@@ -276,6 +290,7 @@ def ann_methods_vec7(spark: SparkSession, sf_dir: str) -> DataFrame:
                  bool(recall >= floor), len(ids)))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(nsw_idx, ignore_errors=True)
     schema = ("method string, rank long, vec_id long, score double, "
               "recall_floor double, meets_floor boolean, n_results long")
     contract = spark.createDataFrame(contract_rows, schema=schema)

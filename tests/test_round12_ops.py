@@ -441,3 +441,112 @@ def test_all_matches_fuzz_mirror_parity(spark, sf_oracle):
         if r.user_id in byu:
             assert pd.Timestamp(r.t1) > byu[r.user_id]
         byu[r.user_id] = pd.Timestamp(r.t3)
+
+
+# ------------------------------------------------------ NSW graph ANN
+
+
+@pytest.fixture(scope="module")
+def nsw_index(spark, sf_smoke, tmp_path_factory):
+    """One persisted NSW index over the smoke embeddings, shared by the
+    graph-ANN tests (build is the expensive half)."""
+    from flink_rag_spark.operators.nsw import build_nsw_index
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("nsw_idx"))
+    meta = build_nsw_index(spark, emb, path)
+    return path, meta, emb
+
+
+def test_nsw_recall_and_fill(spark, nsw_index):
+    """Beam search must meet the contract floor (and in practice lands
+    near exact recall on this corpus) and always fill to k."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.nsw import nsw_topk
+    from flink_rag_spark.operators.similarity import cosine_topk
+    path, _, emb = nsw_index
+    for qid in (7, 100, 333):
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        approx = [r["vec_id"] for r in nsw_topk(spark, path, qv, k=10)
+                  .collect()]
+        exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+        assert len(approx) == 10
+        assert len(set(approx) & exact) / 10.0 >= 0.5
+        # the result frame carries the exact tier's schema and ordering
+        rows = nsw_topk(spark, path, qv, k=10).collect()
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_nsw_deterministic_rebuild(spark, nsw_index, tmp_path):
+    """Seeded centroids + deterministic tie-breaks: a second build of the
+    same corpus probes identically."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.nsw import build_nsw_index, nsw_topk
+    path, meta, emb = nsw_index
+    path2 = str(tmp_path / "nsw2")
+    meta2 = build_nsw_index(spark, emb, path2)
+    assert meta2["entry_ids"] == meta["entry_ids"]
+    qv = list(emb.filter(F.col("vec_id") == 42).first()["embedding"])
+    a = [(r["vec_id"], r["score"]) for r in
+         nsw_topk(spark, path, qv, k=10).collect()]
+    b = [(r["vec_id"], r["score"]) for r in
+         nsw_topk(spark, path2, qv, k=10).collect()]
+    assert a == b
+
+
+def test_nsw_graph_shape(spark, nsw_index):
+    """Degree cap (≤ 2M out-edges per node), no self-loops, and every
+    edge endpoint is a real vector id."""
+    import pyspark.sql.functions as F
+    path, meta, emb = nsw_index
+    edges = spark.read.parquet(f"{path}/edges")
+    m = meta["m_neighbors"]
+    deg = edges.groupBy("src_id").count()
+    assert deg.agg(F.max("count")).first()[0] <= 2 * m
+    assert edges.filter(F.col("src_id") == F.col("dst_id")).count() == 0
+    ids = emb.select(F.col("vec_id").alias("dst_id"))
+    assert edges.join(ids, "dst_id", "left_anti").count() == 0
+
+
+def test_nsw_hop_scans_prune(spark, nsw_index):
+    """The per-hop edge fetch and vector fetch must reach
+    PartitionFilters — bounded I/O per hop is the tier's scale story."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+    path, meta, _ = nsw_index
+    nb = meta["n_buckets"]
+    edges = spark.read.parquet(f"{path}/edges")
+    frontier = meta["entry_ids"][:4]
+    bks = sorted({i % nb for i in frontier})
+    plan_df = edges.filter(F.col("src_bucket").isin(bks)
+                           & F.col("src_id").isin(frontier))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "src_bucket" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_nsw_bounded_hops_and_validation(spark, nsw_index):
+    """max_hops bounds the walk (0 hops = entry points only) and bad
+    arguments fail loudly."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.nsw import build_nsw_index, nsw_topk
+    path, meta, emb = nsw_index
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    zero = [r["vec_id"] for r in
+            nsw_topk(spark, path, qv, k=10, max_hops=0).collect()]
+    assert set(zero) <= set(meta["entry_ids"])
+    with pytest.raises(ValueError):
+        nsw_topk(spark, path, qv, k=0)
+    with pytest.raises(ValueError):
+        build_nsw_index(spark, emb, "/tmp/never", m_neighbors=0)
+    with pytest.raises(ValueError):
+        build_nsw_index(spark, emb, "/tmp/never", n_probe=0)
