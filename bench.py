@@ -159,6 +159,23 @@ def main() -> None:
                          ann_index=pq_path))
         runs.append(time.perf_counter() - t0)
     rag_qps_ivfpq = round(n_q / sorted(runs)[2], 1)
+    # NSW graph tier (round 12): build the neighbor graph once (timed —
+    # the self-join M-NN build is this tier's cost center), then time
+    # single-vector beam probes (the tier serves point lookups; batch
+    # shapes stay with IVF-PQ)
+    from flink_rag_spark.operators.nsw import build_nsw_index, nsw_topk  # noqa: PLC0415
+    qv0 = list(emb_t.select("embedding").first()["embedding"])
+    t0 = time.perf_counter()
+    nsw_path = tempfile.mkdtemp(prefix="bench_nsw_") + "/nsw"
+    build_nsw_index(spark, emb_t, nsw_path)
+    nsw_index_build_sec = round(time.perf_counter() - t0, 2)
+    force(nsw_topk(spark, nsw_path, qv0, k=10))  # warm-up (UDF codegen)
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        force(nsw_topk(spark, nsw_path, qv0, k=10))
+        runs.append(time.perf_counter() - t0)
+    nsw_probe_sec = round(sorted(runs)[2], 3)
     # hybrid tier (BM25 arm + cosine arm, RRF-fused per question)
     force(rag_answer(spark, sf_dir, questions=qs, retrieval="hybrid"))
     runs = []
@@ -345,7 +362,20 @@ def main() -> None:
              # round-11 wave 2: KM survival + SES forecast + seasonal
              # baseline anomalies
              "signup_purchase_survival", "user_value_ses_forecast",
-             "hourly_value_anomalies", "until_funnel_users"]
+             "hourly_value_anomalies", "until_funnel_users",
+             # round-12: all-matches CEP (per-anchor chains kept, not
+             # min-collapsed), skipPastLastEvent selection rounds,
+             # consecutive() strict-loop desugaring, Holt's two-vector
+             # weight join, the log-rank risk windows
+             "all_funnel_matches_users", "consumed_funnel_matches_users",
+             "consecutive_funnel_users", "user_value_holt_forecast",
+             "signup_purchase_logrank",
+             # round-12 wave 2: chi-square grid, MWU prefix-sum ranks,
+             # per-region Gini window, ACF lead-pass, Benford digits,
+             # U-shaped attribution
+             "chi2_segment_region", "mwu_order_price_regions",
+             "gini_order_value_regions", "user_value_acf",
+             "benford_order_prices", "purchase_attribution_ushaped"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -432,7 +462,22 @@ def main() -> None:
              # join and the seasonal 24-row broadcast must stay
              # one-exchange as series lengthen
              "signup_purchase_survival", "user_value_ses_forecast",
-             "hourly_value_anomalies", "until_funnel_users"]
+             "hourly_value_anomalies", "until_funnel_users",
+             # round-12: the all-matches layers must stay per-row
+             # arithmetic on the funnel exchange even though anchors
+             # are KEPT (output grows with completions, the contract);
+             # the consumed-match selection rounds must stay
+             # join+aggregate over the persisted candidate frame; the
+             # log-rank step frame must stay |distinct durations|-
+             # bounded; Holt shares SES's weight-join shape
+             "all_funnel_matches_users", "consumed_funnel_matches_users",
+             "user_value_holt_forecast", "signup_purchase_logrank",
+             # round-12 wave 2: the MWU prefix sum must stay
+             # range-partitioned (no global sort), the ACF lead pass
+             # must stay two exchanges regardless of lag count, the
+             # per-region Gini window must stay one exchange
+             "mwu_order_price_regions", "user_value_acf",
+             "gini_order_value_regions"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
@@ -697,7 +742,9 @@ def main() -> None:
         "index_build_sec": {"ann": ann_index_build_sec,
                             "ivfpq": ivfpq_index_build_sec,
                             "dedup": dedup_index_build_sec,
-                            "text": text_index_build_sec},
+                            "text": text_index_build_sec,
+                            "nsw": nsw_index_build_sec},
+        "nsw_probe_sec": nsw_probe_sec,
         "probe": {
             "same_batch_sec": (scale_rehearsal or {}).get(
                 "dedup_probe_same_batch_sec"),

@@ -414,3 +414,263 @@ SELECT n_a, n_b, o_a,
        COALESCE(ABS(z0) > {z_crit}, FALSE) AS significant
 FROM zz
 """
+
+# --------------------------------- chi-square test of independence
+
+CHI2_TERM_DP = 9
+CHI2_DP = 6
+
+
+def chi2_independence(df: DataFrame, row_col: str, col_col: str,
+                      chi2_crit: float) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — "does segment depend on region?", the whole-table
+    complement of the per-cell PMI association grid
+    (``operators/association.py`` scores each cell; this tests the
+    table):
+
+        chi2 = Σ_rc (O_rc − E_rc)² / E_rc,   E_rc = rt_r · ct_c / n
+
+    over the FULL r × c grid — unobserved combinations contribute their
+    whole expectation (O = 0 ⇒ term = E), which a naive groupBy of
+    observed pairs silently drops. ``chi2_crit`` is the caller's
+    critical value at their α and the table's dof (neither engine ships
+    an inverse-chi2 — the z-test threshold-verdict discipline); the
+    verdict compares the UNROUNDED decimal sum against it.
+
+    Exactness: O, rt, ct, n are exact integers; E and each term are
+    integer-ratio doubles quantized to ``CHI2_TERM_DP``-dp DECIMAL
+    before summing (the log-rank discipline — order-independent sums,
+    never boundary-exact because the quotients are non-dyadic), final
+    rounds in decimal space.
+
+    NULL categories are excluded (a NULL is a missing label, not a
+    level). Output ONE row: (n, n_rows, n_cols, dof, chi2,
+    significant).
+
+    Plan at 100 TB: one (r, c)-grouped count over the scan — the only
+    full-data exchange — then everything runs on the |R|·|C|-bounded
+    grid (two tiny aggregates of it, one broadcast cross join, one
+    final aggregate; the log-rank step-frame discipline)."""
+    r, c = F.col(row_col), F.col(col_col)
+    obs = (df.filter(r.isNotNull() & c.isNotNull())
+           .groupBy(r.alias("r"), c.alias("cc"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    rows = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cc").agg(F.sum("o").alias("ct"))
+    # full grid: |R| × |C| rows, both sides tiny — broadcast cross join;
+    # n = Σ o over the grid (each observed cell appears exactly once)
+    grid = (rows.crossJoin(F.broadcast(cols))
+            .join(obs, ["r", "cc"], "left")
+            .withColumn("o", F.coalesce(F.col("o"), F.lit(0))))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    g = grid.withColumn("n", F.sum("o").over(w_all))
+    od = F.col("o").cast("double")
+    # rt·ct in DOUBLE (matching the mirror's expression tree exactly):
+    # a BIGINT product would overflow at rt·ct > 2^63 long before the
+    # double loses the determinism that matters here
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    dec = f"decimal(28,{CHI2_TERM_DP})"
+    term = F.round((od - e) * (od - e) / e, CHI2_TERM_DP).cast(dec)
+    out = g.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("n_rows"),
+        F.countDistinct("cc").cast("bigint").alias("n_cols"),
+        F.sum(term).alias("_chi2"))
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    return out.select(
+        "n", "n_rows", "n_cols", dof.cast("bigint").alias("dof"),
+        F.round(F.col("_chi2"), CHI2_DP).cast("double").alias("chi2"),
+        (F.col("_chi2") > F.lit(chi2_crit)).alias("significant"))
+
+
+def chi2_independence_duck(inner_sql: str, row_col: str, col_col: str,
+                           chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`chi2_independence` — same full-grid
+    construction, same 9-dp DECIMAL term quantization, same final
+    decimal-space rounds."""
+    dp, odp = CHI2_TERM_DP, CHI2_DP
+    return f"""
+WITH c2_src AS (
+  SELECT {row_col} AS r, {col_col} AS cc FROM ({inner_sql})
+  WHERE {row_col} IS NOT NULL AND {col_col} IS NOT NULL),
+obs AS (SELECT r, cc, COUNT(*) AS o FROM c2_src GROUP BY r, cc),
+rt AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY r),
+ct AS (SELECT cc, SUM(o) AS ct FROM obs GROUP BY cc),
+grid AS (
+  SELECT rt.r, ct.cc, rt.rt, ct.ct, COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.r = rt.r AND obs.cc = ct.cc),
+tot AS (SELECT SUM(o) AS n FROM grid),
+terms AS (
+  SELECT g.r, g.cc, g.o, g.rt, g.ct, t.n,
+         CAST(ROUND(
+           (CAST(g.o AS DOUBLE)
+            - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+           * (CAST(g.o AS DOUBLE)
+              - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+           / (CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE)
+              / CAST(t.n AS DOUBLE)),
+           {dp}) AS DECIMAL(28,{dp})) AS term
+  FROM grid g, tot t)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cc) AS BIGINT) AS n_cols,
+       CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT cc) - 1)
+            AS BIGINT) AS dof,
+       CAST(ROUND(SUM(term), {odp}) AS DOUBLE) AS chi2,
+       SUM(term) > {chi2_crit} AS significant
+FROM terms
+"""
+
+
+# ------------------------------------ Mann-Whitney U test (rank-sum)
+
+MWU_DP = 6
+
+
+def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str,
+                   z_crit: float = Z_CRIT,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Two-sample Mann–Whitney U test (Mann & Whitney 1947) — "is one
+    sample stochastically larger?", the location complement of the KS
+    test's shape comparison (KS rejects on ANY distribution difference;
+    MWU targets shift). Normal approximation with tie correction:
+
+        U_A = Σ_a Σ_b [a > b] + ½ [a = b]
+        μ = n_a n_b / 2
+        σ² = (n_a n_b / 12) · ((n+1) − Σ(t³−t) / (n(n−1)))
+
+    The p-value stays a threshold verdict at ``z_crit`` (no erf — the
+    z-test discipline); the normal approximation is the standard large-
+    sample form, which is the only regime this engine targets anyway.
+
+    Exactness: U computes as the exact INTEGER 2U = Σ_v n_a(v)·(2·C_b(v)
+    + n_b(v)) over distinct values v with C_b the exclusive below-count
+    — no per-row ranks, no average-rank doubles. The tie term Σ(t³−t)
+    sums exactly in DECIMAL(38,0) (a BIGINT cube overflows at t > 2·10⁶
+    ties). Every downstream double op is the same IEEE expression in
+    both engines. σ² = 0 (all values tied) yields NULL z and a False
+    verdict (the zero-variance contract).
+
+    NULL values are excluded from both samples. Output ONE row:
+    (n_a, n_b, u_a, mu_u, sigma_u, z, significant).
+
+    Plan at 100 TB: the raw rows collapse to one row per DISTINCT value
+    (the only full-data shuffle), then the below-counts are the KS
+    distributed prefix sum — range-repartition, per-partition cumsum,
+    broadcast per-partition offsets; one final aggregate. No global
+    single-task sort, no collect."""
+    tagged = (
+        a.select(F.col(value_col).alias("v"),
+                 F.lit(1).alias("wa"), F.lit(0).alias("wb"))
+        .unionAll(
+            b.select(F.col(value_col).alias("v"),
+                     F.lit(0).alias("wa"), F.lit(1).alias("wb"))))
+    spark = tagged.sparkSession
+    nparts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    per_v = (tagged.filter(F.col("v").isNotNull())
+             .groupBy("v").agg(
+                 F.sum("wa").alias("na"), F.sum("wb").alias("nb")))
+    part = (per_v.repartitionByRange(nparts, "v")
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    w_pid = Window.orderBy("pid")
+    offs = (part.groupBy("pid")
+            .agg(F.sum("nb").alias("pb"))
+            .select("pid",
+                    F.coalesce(F.sum("pb").over(
+                        w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0)).alias("off_b")))
+    w_local = (Window.partitionBy("pid").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # exclusive below-count of B at v: inclusive cumsum − own count
+    cb = (part
+          .join(F.broadcast(offs), "pid")
+          .withColumn("cb", F.sum("nb").over(w_local) + F.col("off_b")
+                      - F.col("nb")))
+    d12 = "decimal(12,0)"
+    t = (F.col("na") + F.col("nb")).cast(d12)
+    u2_term = (F.col("na").cast(d12)
+               * (F.lit(2) * F.col("cb") + F.col("nb")).cast("decimal(13,0)"))
+    tie_term = t * t * t - t.cast("decimal(38,0)")
+    agg = cb.agg(
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum(u2_term).alias("_u2"),
+        F.sum(tie_term).alias("_ties"))
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nd = nad + nbd
+    ua = F.col("_u2").cast("double") / F.lit(2.0)
+    mu = nad * nbd / F.lit(2.0)
+    sig2 = F.when(
+        nd > 1,
+        nad * nbd / F.lit(12.0)
+        * ((nd + F.lit(1.0))
+           - F.col("_ties").cast("double") / (nd * (nd - F.lit(1.0)))))
+    z = F.when(sig2 > 0, (ua - mu) / F.sqrt(sig2))
+    return agg.select(
+        "n_a", "n_b",
+        ua.alias("u_a"),
+        mu.alias("mu_u"),
+        F.round(F.when(sig2 > 0, F.sqrt(sig2)), MWU_DP).alias("sigma_u"),
+        F.round(z, MWU_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def mann_whitney_u_duck(a_sql: str, b_sql: str, value_col: str,
+                        z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`mann_whitney_u` — one global exclusive-
+    prefix window (the single-node equivalent of the distributed prefix
+    sum), the same exact-integer 2U and DECIMAL tie sum."""
+    dp = MWU_DP
+    return f"""
+WITH mwu_tagged AS (
+  SELECT {value_col} AS v, 1 AS wa, 0 AS wb FROM ({a_sql})
+  UNION ALL
+  SELECT {value_col} AS v, 0 AS wa, 1 AS wb FROM ({b_sql})),
+per_v AS (
+  SELECT v, SUM(wa) AS na, SUM(wb) AS nb
+  FROM mwu_tagged WHERE v IS NOT NULL GROUP BY v),
+cum AS (
+  SELECT na, nb,
+         COALESCE(SUM(nb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cb
+  FROM per_v),
+agg AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nb) AS BIGINT) AS n_b,
+         SUM(CAST(na AS DECIMAL(12,0))
+             * CAST(2 * cb + nb AS DECIMAL(13,0))) AS u2,
+         SUM(CAST(na + nb AS DECIMAL(12,0))
+             * CAST(na + nb AS DECIMAL(12,0))
+             * CAST(na + nb AS DECIMAL(12,0))
+             - CAST(na + nb AS DECIMAL(38,0))) AS ties
+  FROM cum),
+stat AS (
+  SELECT n_a, n_b,
+         CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu_u,
+         CASE WHEN n_a + n_b > 1 THEN
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+              - CAST(ties AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+         END AS sig2
+  FROM agg)
+SELECT n_a, n_b, u_a, mu_u,
+       ROUND(CASE WHEN sig2 > 0 THEN SQRT(sig2) END, {dp}) AS sigma_u,
+       ROUND(CASE WHEN sig2 > 0 THEN (u_a - mu_u) / SQRT(sig2) END, {dp})
+         AS z,
+       COALESCE(ABS(CASE WHEN sig2 > 0 THEN (u_a - mu_u) / SQRT(sig2) END)
+                > {z_crit}, FALSE) AS significant
+FROM stat
+"""

@@ -30,7 +30,7 @@ corrupt numeric extremes), so one output schema fits every column type.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None,
@@ -449,4 +449,219 @@ SELECT c.bucket_ts, q.q,
        CAST(MAX(c.n) AS BIGINT) AS n
 FROM cum c CROSS JOIN qs_ q
 GROUP BY c.bucket_ts, q.q
+"""
+
+
+# --------------------------------------- Gini concentration (Lorenz)
+
+GINI_DP = 6
+
+
+def gini_concentration(df: DataFrame, value_col: str,
+                       group_cols: list[str]) -> DataFrame:
+    """Per-group Gini coefficient of ``value_col`` — "how concentrated
+    is order value within each region?", the one-number Lorenz-curve
+    summary (0 = perfectly even, →1 = one row holds everything). The
+    sorted-rank identity:
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)
+
+    with x ascending and i the 1-based rank. Ties need no canonical
+    order: a run of equal x contributes x·Σi over the run whatever the
+    within-run order, so the statistic is deterministic even though
+    row_number's tie order is not.
+
+    Exactness: x stays DECIMAL end to end — i·x is an exact decimal
+    product, all three sums are exact decimals, and only the final
+    quotient drops to double (rounded ``GINI_DP``). Negative values are
+    rejected up front (one cheap min-aggregate — Gini is undefined
+    below zero); NULLs are excluded. Groups with n = 0 or Σx = 0 emit
+    NULL gini.
+
+    Output: (group_cols…, n, total, gini).
+
+    Plan at 100 TB: one per-group ranking window + one per-group
+    aggregate on the same partitioning — the winsorized-stats shape. A
+    group's rows sort within one task (the per-key window contract
+    documented across this module); for a single global group use a
+    one-literal group column and accept the sort, or pre-aggregate to
+    distinct values first."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (add a literal "
+                         "column for a global coefficient)")
+    x = F.col(value_col)
+    src = df.filter(x.isNotNull()).select(*group_cols, value_col)
+    neg = src.agg(F.min(x).alias("mn")).first()
+    if neg["mn"] is not None and neg["mn"] < 0:
+        raise ValueError(
+            f"gini_concentration requires non-negative {value_col}; "
+            f"found min={neg['mn']}")
+    w = Window.partitionBy(*group_cols).orderBy(x)
+    d12 = "decimal(12,0)"
+    ranked = src.withColumn(
+        "_ix", F.row_number().over(w).cast(d12) * x)
+    out = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value_col).alias("_s"),
+        F.sum("_ix").alias("_is"))
+    g = ((F.lit(2) * F.col("_is")
+          - (F.col("n") + F.lit(1)).cast(d12) * F.col("_s")).cast("double")
+         / (F.col("n").cast("double") * F.col("_s").cast("double")))
+    return out.select(
+        *group_cols, "n",
+        F.col("_s").alias("total"),
+        F.round(F.when(F.col("_s") != 0, g), GINI_DP).alias("gini"))
+
+
+def gini_concentration_duck(inner_sql: str, value_col: str,
+                            group_cols: list[str]) -> str:
+    """DuckDB mirror of :func:`gini_concentration` — same rank identity,
+    same exact-decimal sums, same final rounding."""
+    gc = ", ".join(group_cols)
+    return f"""
+WITH gini_src AS (
+  SELECT {gc}, {value_col} AS x FROM ({inner_sql})
+  WHERE {value_col} IS NOT NULL),
+ranked AS (
+  SELECT {gc}, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY x)
+              AS DECIMAL(12,0)) * x AS ix
+  FROM gini_src),
+agg AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(ix) AS i_s
+  FROM ranked GROUP BY {gc})
+SELECT {gc}, n, s AS total,
+       ROUND(CASE WHEN s != 0 THEN
+         CAST(2 * i_s - CAST(n + 1 AS DECIMAL(12,0)) * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END, {GINI_DP}) AS gini
+FROM agg
+"""
+
+
+# ------------------------------------------ Benford first-digit audit
+
+BENFORD_DP = 6
+BENFORD_TERM_DP = 9
+BENFORD_P_DP = 12
+
+
+def _benford_p() -> list[tuple[int, str]]:
+    """(digit, p) with p = log10(1 + 1/d) quantized to 12-dp literals —
+    Python-precomputed so neither engine's log10 enters the plan (the
+    SES weight-table discipline)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+    return [(d, str(Decimal(math.log10(1.0 + 1.0 / d))
+                    .quantize(Decimal(f"1e-{BENFORD_P_DP}"),
+                              rounding=ROUND_HALF_UP)))
+            for d in range(1, 10)]
+
+
+def benford_audit(df: DataFrame, value_col: str,
+                  chi2_crit: float) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated-data screen (Benford 1938; Nigrini 1996 for
+    the audit use): natural multiplicative data puts digit d first with
+    probability log10(1 + 1/d); invented numbers don't.
+
+    The first significant digit comes from the value's DECIMAL string
+    (``regexp_extract(CAST(x AS STRING), '[1-9]', 0)``) — positional
+    notation is identical in both engines, where a floor(log10)
+    formulation would hinge on libm's last ulp at exact powers of ten.
+    The input column must therefore be DECIMAL (the caller casts;
+    doubles stringify differently per engine and are rejected).
+    Values ≤ 0 and NULLs are excluded (no first significant digit).
+
+    The goodness-of-fit chi-square uses Python-precomputed 12-dp
+    literals for the Benford shares (neither engine's log10 runs), all
+    NINE digits always present (a digit with zero observations
+    contributes its whole expectation), terms quantized to 9-dp DECIMAL
+    before the bounded 9-row sum, verdict at the caller's ``chi2_crit``
+    (dof = 8 for the standard α=0.05 value 15.507).
+
+    Output: 9 rows — (digit, n_d, share, benford_p, chi2, significant)
+    with the table-level chi2/verdict repeated per row (the ann-contract
+    shape: every column DuckDB-recomputable).
+
+    Plan at 100 TB: one digit-grouped count over the scan (the only
+    full-data exchange), then a ≤9-row grid join + bounded window."""
+    dt = dict(df.dtypes)[value_col]
+    if not dt.startswith("decimal"):
+        raise ValueError(
+            f"benford_audit needs a DECIMAL column (got {dt}): double "
+            "stringification is engine-dependent; cast explicitly")
+    spark = df.sparkSession
+    obs = (df.filter(F.col(value_col) > 0)
+           .withColumn("_d", F.regexp_extract(
+               F.col(value_col).cast("string"), "[1-9]", 0).cast("int"))
+           .groupBy("_d").agg(F.count(F.lit(1)).alias("n_d")))
+    p_case = None
+    for d, p in _benford_p():
+        p_case = (F.when(F.col("digit") == d, F.lit(float(p)))
+                  if p_case is None
+                  else p_case.when(F.col("digit") == d, F.lit(float(p))))
+    grid = (spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+            .join(obs.withColumnRenamed("_d", "digit"), "digit", "left")
+            .withColumn("n_d", F.coalesce(F.col("n_d"), F.lit(0)))
+            .withColumn("p", p_case))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    g = grid.withColumn("n", F.sum("n_d").over(w_all))
+    nd = F.col("n_d").cast("double")
+    e = F.col("n").cast("double") * F.col("p")
+    dec = f"decimal(28,{BENFORD_TERM_DP})"
+    term = F.round((nd - e) * (nd - e) / e, BENFORD_TERM_DP).cast(dec)
+    g = g.withColumn("_chi2", F.sum(term).over(w_all))
+    return (g.select(
+        "digit",
+        F.col("n_d").cast("bigint").alias("n_d"),
+        F.round(F.when(F.col("n") > 0, nd / F.col("n").cast("double")),
+                BENFORD_DP).alias("share"),
+        F.col("p").alias("benford_p"),
+        F.round(F.col("_chi2"), BENFORD_DP).cast("double").alias("chi2"),
+        F.coalesce(F.col("_chi2") > F.lit(chi2_crit), F.lit(False))
+        .alias("significant"))
+        .orderBy("digit"))
+
+
+def benford_audit_duck(inner_sql: str, value_col: str,
+                       chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`benford_audit` — same string digit
+    extraction, same 12-dp Benford literals, same 9-dp term
+    quantization."""
+    dp, odp = BENFORD_TERM_DP, BENFORD_DP
+    p_case = " ".join(f"WHEN {d} THEN {p}" for d, p in _benford_p())
+    return f"""
+WITH bf_src AS (
+  SELECT CAST(regexp_extract(CAST({value_col} AS VARCHAR), '[1-9]', 0)
+              AS INT) AS digit
+  FROM ({inner_sql}) WHERE {value_col} > 0),
+obs AS (SELECT digit, COUNT(*) AS n_d FROM bf_src GROUP BY digit),
+grid AS (
+  SELECT g.digit, COALESCE(obs.n_d, 0) AS n_d,
+         CASE g.digit {p_case} END AS p
+  FROM (SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit) g
+  LEFT JOIN obs ON obs.digit = g.digit),
+tot AS (SELECT SUM(n_d) AS n FROM grid),
+terms AS (
+  SELECT g.digit, g.n_d, g.p, t.n,
+         CAST(ROUND(
+           (CAST(g.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * g.p)
+           * (CAST(g.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * g.p)
+           / (CAST(t.n AS DOUBLE) * g.p), {dp}) AS DECIMAL(28,{dp}))
+           AS term
+  FROM grid g, tot t),
+x AS (SELECT SUM(term) AS chi2u FROM terms)
+SELECT t.digit,
+       CAST(t.n_d AS BIGINT) AS n_d,
+       ROUND(CASE WHEN t.n > 0
+             THEN CAST(t.n_d AS DOUBLE) / CAST(t.n AS DOUBLE) END, {odp})
+         AS share,
+       t.p AS benford_p,
+       CAST(ROUND(x.chi2u, {odp}) AS DOUBLE) AS chi2,
+       COALESCE(x.chi2u > {chi2_crit}, FALSE) AS significant
+FROM terms t, x
+ORDER BY t.digit
 """

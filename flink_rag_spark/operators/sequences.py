@@ -1467,6 +1467,157 @@ FROM rows_ WHERE n_conversions > 0
 """
 
 
+
+def ushaped_attribution(events: DataFrame, touch_types: list[str],
+                        conversion_type: str,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        seq_col: str = "event_id",
+                        value_col: str = "value") -> DataFrame:
+    """Position-based (U-shaped / 40-20-40) multi-touch attribution —
+    the standard middle ground between last-touch (all credit to
+    recency) and linear (no position signal): per conversion, the FIRST
+    prior touch EVENT's type gets 40%, the LAST prior touch event's
+    type gets 40%, and the remaining 20% splits equally across the
+    middle touch events (credited to their types; repeated types
+    accumulate). The small-path conventions every analytics product
+    uses: one touch → 100%, two touches → 50/50, none → the NULL
+    bucket intact. Same output contract as the siblings:
+    (touch_type, n_conversions, attributed_value, value_share).
+
+    Unlike :func:`linear_attribution` (which splits across distinct
+    touch TYPES), position weights are inherently EVENT-level — the
+    first and last are events, and middle credit is per middle event —
+    so a type touched five times mid-path earns five middle shares.
+
+    Plan: the funnel family's single (key, ts, seq) exchange — per
+    touch type one running COUNT (the linear operator's seen-flags,
+    counting), plus one running first-touch and last-touch type column,
+    all on the same window; per-conversion per-type credits quantize to
+    DECIMAL(20,6) (term-level rounding, the decay discipline) and fold
+    in ONE aggregate; the |T|+1-row report unpivots via stack."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    relevant = events.filter(
+        F.col(type_col).isin(list(touch_types) + [conversion_type]))
+    is_touch = F.col(type_col).isin(touch_types)
+    tagged = (relevant
+              .withColumn("_first", F.first(
+                  F.when(is_touch, F.col(type_col)),
+                  ignorenulls=True).over(w))
+              .withColumn("_last", F.last(
+                  F.when(is_touch, F.col(type_col)),
+                  ignorenulls=True).over(w)))
+    for i, t in enumerate(touch_types):
+        tagged = tagged.withColumn(
+            f"_k{i}",
+            F.sum(F.when(F.col(type_col) == t, 1).otherwise(0)).over(w))
+    n_ev = sum(F.col(f"_k{i}") for i in range(len(touch_types)))
+    conv = (tagged.filter(F.col(type_col) == conversion_type)
+            .withColumn("_n", n_ev))
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for i, t in enumerate(touch_types):
+        first_i = (F.col("_first") == t).cast("int")
+        last_i = (F.col("_last") == t).cast("int")
+        mid_i = F.col(f"_k{i}") - first_i - last_i
+        share = (F.when(F.col("_n") == 1,
+                        first_i.cast("double"))
+                 .when(F.col("_n") == 2,
+                       (first_i + last_i).cast("double") * 0.5)
+                 .when(F.col("_n") >= 3,
+                       (first_i + last_i).cast("double") * 0.4
+                       + mid_i.cast("double") * 0.2
+                       / (F.col("_n") - 2).cast("double")))
+        credit = F.when(share > 0,
+                        F.round(v * share, 6).cast(ATTR_DEC))
+        aggs += [F.sum(credit).alias(f"_v{i}"),
+                 F.count(credit).alias(f"_c{i}")]
+    un = F.when(F.col("_n") == 0, v.cast(ATTR_DEC))
+    aggs += [F.sum(un).alias("_vn"),
+             F.count(F.when(F.col("_n") == 0, 1)).alias("_cn")]
+    one = conv.agg(*aggs)
+    pairs = ", ".join(
+        [f"{_q(t)}, _c{i}, _v{i}" for i, t in enumerate(touch_types)]
+        + ["CAST(NULL AS STRING), _cn, _vn"])
+    rows = one.select(F.expr(
+        f"stack({len(touch_types) + 1}, {pairs}) "
+        "as (touch_type, n_conversions, _av)"))
+    w_tot = Window.partitionBy()
+    return (rows.filter(F.col("n_conversions") > 0)
+            .select("touch_type",
+                    F.col("n_conversions").cast("bigint")
+                    .alias("n_conversions"),
+                    F.col("_av").cast("double").alias("attributed_value"),
+                    F.round((F.col("_av") / F.sum("_av").over(w_tot))
+                            .cast("double"), 6).alias("value_share")))
+
+
+def ushaped_attribution_duck(touch_types: list[str],
+                             conversion_type: str,
+                             key_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             seq_col: str = "event_id",
+                             value_col: str = "value",
+                             table: str = "events") -> str:
+    """DuckDB mirror of :func:`ushaped_attribution` — same running
+    first/last/count columns, same position-weight CASE ladder, same
+    per-term DECIMAL quantization."""
+    touches = ", ".join(_q(t) for t in touch_types)
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    kcols = ", ".join(
+        f"SUM(CASE WHEN {type_col} = {_q(t)} THEN 1 ELSE 0 END) {over} "
+        f"AS k{i}" for i, t in enumerate(touch_types))
+    n = " + ".join(f"k{i}" for i in range(len(touch_types)))
+    agg_parts = []
+    for i, t in enumerate(touch_types):
+        fi = f"CASE WHEN f = {_q(t)} THEN 1 ELSE 0 END"
+        la = f"CASE WHEN l = {_q(t)} THEN 1 ELSE 0 END"
+        share = (f"CASE WHEN n = 1 THEN CAST({fi} AS DOUBLE) "
+                 f"WHEN n = 2 THEN CAST({fi} + {la} AS DOUBLE) * 0.5 "
+                 f"WHEN n >= 3 THEN CAST({fi} + {la} AS DOUBLE) * 0.4 "
+                 f"+ CAST(k{i} - ({fi}) - ({la}) AS DOUBLE) * 0.2 "
+                 f"/ CAST(n - 2 AS DOUBLE) END")
+        agg_parts.append(
+            f"SUM(CASE WHEN {share} > 0 THEN CAST(ROUND(v * ({share}), 6) "
+            f"AS DECIMAL(20,6)) END) AS v{i}")
+        agg_parts.append(
+            f"COUNT(CASE WHEN {share} > 0 THEN 1 END) AS c{i}")
+    agg_parts.append(
+        "SUM(CASE WHEN n = 0 THEN CAST(v AS DECIMAL(20,6)) END) AS vn")
+    agg_parts.append("COUNT(CASE WHEN n = 0 THEN 1 END) AS cn")
+    agg_cols = ", ".join(agg_parts)
+    rows = " UNION ALL ".join(
+        [f"SELECT {_q(t)} AS touch_type, c{i} AS n_conversions, "
+         f"v{i} AS av FROM agg"
+         for i, t in enumerate(touch_types)]
+        + ["SELECT NULL, cn, vn FROM agg"])
+    return f"""
+WITH rel AS (
+  SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {type_col} IN ({touches}, {_q(conversion_type)})),
+pos AS (
+  SELECT *,
+         FIRST_VALUE(CASE WHEN {type_col} IN ({touches})
+                          THEN {type_col} END IGNORE NULLS) {over} AS f,
+         LAST_VALUE(CASE WHEN {type_col} IN ({touches})
+                         THEN {type_col} END IGNORE NULLS) {over} AS l,
+         {kcols}
+  FROM rel),
+conv AS (SELECT *, {n} AS n FROM pos
+         WHERE {type_col} = {_q(conversion_type)}),
+agg AS (SELECT {agg_cols} FROM conv),
+rows_ AS ({rows})
+SELECT touch_type, CAST(n_conversions AS BIGINT) AS n_conversions,
+       CAST(av AS DOUBLE) AS attributed_value,
+       ROUND(CAST(av / SUM(av) OVER () AS DOUBLE), 6) AS value_share
+FROM rows_ WHERE n_conversions > 0
+"""
+
+
 # ------------------------------------------------------ sessionization
 
 def sessionize(events: DataFrame, gap_seconds: int,

@@ -611,3 +611,130 @@ SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_obs,
        CAST(ROUND(SUM(t), 6) AS DOUBLE) AS forecast
 FROM terms GROUP BY {ks}
 """
+
+
+# ------------------------------------------ autocorrelation (ACF)
+
+ACF_DP = 6
+ACF_DEC = "decimal(20,6)"
+
+
+def autocorrelation(df: DataFrame, keys: list[str], ts_col: str,
+                    value_col: str, max_lag: int,
+                    seq_col: str | None = None) -> DataFrame:
+    """Per-key autocorrelation function — Pearson r between the series
+    and itself ``k`` steps later, for k = 1..max_lag: "does this user's
+    hourly value echo its recent past?" — the diagnostic that says
+    whether the SES/Holt forecasts (this module) have structure left to
+    model and which seasonal period the anomaly baselines
+    (``operators/anomaly.py``) should phase on.
+
+    Each lag's r is the plain Pearson correlation of the PAIRED sample
+    (x_t, x_{t+k}) — the definition both engines can replay from exact
+    sums (the textbook ACF that reuses the full-series mean differs by
+    O(k/n) and would drag engine-float x̄ into every product).
+
+    Exactness (the corr_matrix discipline): values quantize to
+    DECIMAL(20,6) once; Σa, Σb, Σab, Σa², Σb² accumulate as exact
+    decimal sums inside ONE partial+final aggregate, so r is bit-stable
+    under any partitioning; the n·Σab − Σa·Σb quotient drops to double
+    at the end (rounded ``ACF_DP``), zero-variance lags emit NULL.
+
+    ``seq_col`` breaks timestamp ties deterministically (same contract
+    as the funnel family); without it, equal-timestamp rows make the
+    lead pairing engine-dependent. NULL values and NULL timestamps are
+    excluded BEFORE pairing (a NULL is a missing observation — lag k
+    spans it, the longest-run reading).
+
+    Output: (keys…, lag, n, acf) — one row per key per lag with at
+    least one pair.
+
+    Plan at 100 TB: one per-key ordered window materializes all
+    max_lag leads in a single pass (no self-join — the lag-join
+    formulation shuffles the table max_lag times), one explode, one
+    partial+final aggregate. Two exchanges total, independent of
+    max_lag."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    x = F.col(value_col)
+    src = df.filter(x.isNotNull() & F.col(ts_col).isNotNull())
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    a = x.cast("double").cast(ACF_DEC)
+    # leads materialize in their own projection first — a window
+    # expression is illegal inside the Generate (explode) operator
+    leads = src.select(
+        *keys, a.alias("a"),
+        *[F.lead(a, k).over(w).alias(f"_b{k}")
+          for k in range(1, max_lag + 1)])
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col("a").alias("a"),
+                 F.col(f"_b{k}").alias("b"))
+        for k in range(1, max_lag + 1)])).alias("p")
+    ex = (leads.select(*keys, pairs)
+          .select(*keys, "p.lag", "p.a", "p.b")
+          .filter(F.col("b").isNotNull()))
+    agg = ex.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").alias("_sa"), F.sum("b").alias("_sb"),
+        F.sum(F.col("a") * F.col("b")).alias("_sab"),
+        F.sum(F.col("a") * F.col("a")).alias("_saa"),
+        F.sum(F.col("b") * F.col("b")).alias("_sbb"))
+    n = F.col("n").cast("double")
+
+    def _c(name):
+        return F.col(name).cast("double")
+
+    cov = n * _c("_sab") - _c("_sa") * _c("_sb")
+    va = n * _c("_saa") - _c("_sa") * _c("_sa")
+    vb = n * _c("_sbb") - _c("_sb") * _c("_sb")
+    r = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+    return agg.select(*keys, F.col("lag").cast("int").alias("lag"), "n",
+                      F.round(r, ACF_DP).alias("acf"))
+
+
+def autocorrelation_duck(inner_sql: str, keys: list[str], ts_col: str,
+                         value_col: str, max_lag: int,
+                         seq_col: str | None = None) -> str:
+    """DuckDB mirror of :func:`autocorrelation` — same lead windows,
+    same DECIMAL(20,6) quantization, same n·Σab − ΣaΣb forms."""
+    ks = ", ".join(keys)
+    ob = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    dec = f"CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))"
+    lead_cols = ",\n         ".join(
+        f"LEAD({dec}, {k}) OVER (PARTITION BY {ks} ORDER BY {ob}) AS b{k}"
+        for k in range(1, max_lag + 1))
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {ks}, {k} AS lag, a, b{k} AS b FROM leads "
+        f"WHERE b{k} IS NOT NULL"
+        for k in range(1, max_lag + 1))
+    return f"""
+WITH acf_src AS (
+  SELECT * FROM ({inner_sql})
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+leads AS (
+  SELECT {ks}, {dec} AS a,
+         {lead_cols}
+  FROM acf_src),
+ex AS (
+{arms}),
+agg AS (
+  SELECT {ks}, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM ex GROUP BY {ks}, lag)
+SELECT {ks}, CAST(lag AS INT) AS lag, n,
+       ROUND(CASE WHEN
+           CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+             - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+           AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+             - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+         THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+              / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+         END, {ACF_DP}) AS acf
+FROM agg
+"""

@@ -1060,3 +1060,100 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.anomaly import robust_outliers
     e = load_table(spark, sf_dir, "events")
     return robust_outliers(e, ["event_type"], "value")
+
+
+#: chi-square critical values at alpha = 0.05 for the catalog queries'
+#: fixed tables (neither engine ships an inverse-chi2 — the z-test
+#: threshold-verdict discipline; values from the standard table)
+CHI2_CRIT_DOF16 = 26.296   # 5 segments x 5 regions -> dof 16
+CHI2_CRIT_DOF8 = 15.507    # Benford's 9 digits -> dof 8
+
+
+def chi2_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (operators/hypothesis.py
+    chi2_independence): is market segment independent of region? The
+    whole-table verdict over the same contingency the PMI grid
+    (association_segment_region) scores cell by cell — one grouped
+    count, a |5×5|-bounded grid with unobserved cells contributing
+    their full expectation, 9-dp decimal term sums, threshold verdict
+    at the dof-16 critical value."""
+    from flink_rag_spark.operators.hypothesis import chi2_independence
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return chi2_independence(j, "c_mktsegment", "r_name",
+                             CHI2_CRIT_DOF16)
+
+
+def mwu_order_price_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (operators/hypothesis.py
+    mann_whitney_u): are EUROPE order prices stochastically larger than
+    ASIA's? The location complement of the KS query's shape comparison
+    — exact-integer 2U over distinct values via the distributed prefix
+    sum, DECIMAL tie correction, threshold verdict."""
+    from flink_rag_spark.operators.hypothesis import mann_whitney_u
+    j = _orders_with_region(spark, sf_dir)
+    return mann_whitney_u(
+        j.filter(F.col("r_name") == "EUROPE").select("o_totalprice"),
+        j.filter(F.col("r_name") == "ASIA").select("o_totalprice"),
+        "o_totalprice")
+
+
+def gini_order_value_regions(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-region Gini coefficient of order value
+    (operators/profiling.py gini_concentration): how concentrated is
+    spend within each region — the one-number Lorenz summary beside the
+    histogram/winsorized profiles. One per-region ranking window + one
+    aggregate, exact decimal sums."""
+    from flink_rag_spark.operators.profiling import gini_concentration
+    j = _orders_with_region(spark, sf_dir)
+    return gini_concentration(j, "o_totalprice", ["r_name"])
+
+
+#: ACF lags the catalog query reports (hourly-ish event series; lag 3
+#: is enough to expose echo structure without padding the output)
+ACF_MAX_LAG = 3
+
+
+def user_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation function (operators/timeseries.py
+    autocorrelation): does a user's event-value series echo its recent
+    past? Lags 1..3 from one lead-window pass + one exact-decimal
+    aggregate — the structure diagnostic for the SES/Holt forecasts on
+    the same series."""
+    from flink_rag_spark.operators.timeseries import autocorrelation
+    e = load_table(spark, sf_dir, "events")
+    return autocorrelation(e.filter(F.col("value").isNotNull()),
+                           ["user_id"], "ts", "value", ACF_MAX_LAG,
+                           seq_col="event_id")
+
+
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/profiling.py
+    benford_audit): do order prices' leading digits follow Benford's
+    law? String digit extraction from the DECIMAL column (identical in
+    both engines), Python-literal Benford shares, all nine digits
+    present, goodness-of-fit verdict at the dof-8 critical value."""
+    from flink_rag_spark.operators.profiling import benford_audit
+    o = load_table(spark, sf_dir, "orders")
+    # the stored column is DOUBLE; both engines nearest-round the same
+    # IEEE value to the same DECIMAL(18,2), giving identical positional
+    # strings (the operator rejects raw doubles by contract)
+    o = o.withColumn("_price_dec",
+                     F.col("o_totalprice").cast("decimal(18,2)"))
+    return benford_audit(o, "_price_dec", CHI2_CRIT_DOF8)
+
+
+def purchase_attribution_ushaped(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40-20-40) attribution
+    (operators/sequences.py ushaped_attribution): first and last prior
+    touches carry 40% each, middles split the 20% — the position-aware
+    member of the attribution family, on the same single
+    funnel-family exchange."""
+    from flink_rag_spark.operators.sequences import ushaped_attribution
+    e = load_table(spark, sf_dir, "events")
+    return ushaped_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)

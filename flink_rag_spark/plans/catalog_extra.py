@@ -80,6 +80,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.sequences import (
         all_funnel_matches_duck,
         cohort_retention_duck,
+        ushaped_attribution_duck,
         consecutive_funnel_times_duck,
         consumed_funnel_matches_duck,
         event_transitions_duck,
@@ -117,7 +118,9 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.validation import validate_duck
     from flink_rag_spark.operators.profiling import (
+        benford_audit_duck,
         equiwidth_histogram_duck,
+        gini_concentration_duck,
         key_skew_profile_duck,
         profile_columns_duck,
         quantile_bins_duck,
@@ -143,8 +146,10 @@ def extra_queries() -> list[tuple]:
                                                  weighted_shortest_paths_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
+        chi2_independence_duck,
         logrank_test_duck,
         ks_two_sample_duck,
+        mann_whitney_u_duck,
     )
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
@@ -158,6 +163,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
+        autocorrelation_duck,
         holt_forecast_duck,
         ses_forecast_duck,
         time_decayed_at_latest_duck,
@@ -1838,6 +1844,60 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
          logrank_test_duck(A._LOGRANK_SUBJECTS_SQL, "duration_us",
                            "event", "grp", "early", "late"),
          ("survival", "hypothesis", "experiment")),
+        # round-12: chi-square test of independence — the whole-table
+        # verdict over the segment×region contingency the PMI grid
+        # scores cell by cell; full grid incl. unobserved cells, 9-dp
+        # decimal term sums (hypothesis.chi2_independence)
+        ("chi2_segment_region", A.chi2_segment_region,
+         chi2_independence_duck(
+             """SELECT c.c_mktsegment, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey""",
+             "c_mktsegment", "r_name", A.CHI2_CRIT_DOF16),
+         ("hypothesis", "stats", "association")),
+        # round-12: Mann–Whitney U rank-sum — exact-integer 2U over
+        # distinct values via the KS distributed prefix sum, DECIMAL
+        # tie correction, threshold verdict (hypothesis.mann_whitney_u)
+        ("mwu_order_price_regions", A.mwu_order_price_regions,
+         mann_whitney_u_duck(
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'EUROPE'",
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'ASIA'",
+             "o_totalprice"),
+         ("hypothesis", "stats", "window")),
+        # round-12: per-region Gini concentration — the sorted-rank
+        # Lorenz identity from exact decimal sums
+        # (profiling.gini_concentration)
+        ("gini_order_value_regions", A.gini_order_value_regions,
+         gini_concentration_duck(_ORDERS_REGION_SQL, "o_totalprice",
+                                 ["r_name"]),
+         ("profiling", "stats", "window")),
+        # round-12: per-user autocorrelation (lags 1..3) — one
+        # lead-window pass + exact DECIMAL(20,6) product sums, the
+        # corr_matrix discipline per lag (timeseries.autocorrelation)
+        ("user_value_acf", A.user_value_acf,
+         autocorrelation_duck(
+             "SELECT user_id, ts, event_id, value FROM events",
+             ["user_id"], "ts", "value", A.ACF_MAX_LAG, "event_id"),
+         ("timeseries", "stats", "window")),
+        # round-12: Benford first-digit audit — string digit extraction
+        # from the DECIMAL column, Python-literal Benford shares, GOF
+        # verdict at dof 8 (profiling.benford_audit)
+        ("benford_order_prices", A.benford_order_prices,
+         benford_audit_duck(
+             "SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS _price_dec "
+             "FROM orders",
+             "_price_dec", A.CHI2_CRIT_DOF8),
+         ("profiling", "quality", "hypothesis")),
+        # round-12: U-shaped (40-20-40) position-based attribution —
+        # first/last touch events carry 40% each, middles split 20%;
+        # per-term DECIMAL quantization on the funnel exchange
+        # (sequences.ushaped_attribution)
+        ("purchase_attribution_ushaped", A.purchase_attribution_ushaped,
+         ushaped_attribution_duck(A.ATTR_TOUCHES, A.ATTR_CONVERSION),
+         ("sequence", "attribution", "window")),
         # round-11: Kaplan–Meier survival — time-to-event with right
         # censoring; exact integer counts per factor, running product
         # as EXP(Σ ln) + a zero-factor flag (operators/survival.py)

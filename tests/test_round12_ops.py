@@ -550,3 +550,210 @@ def test_nsw_bounded_hops_and_validation(spark, nsw_index):
         build_nsw_index(spark, emb, "/tmp/never", m_neighbors=0)
     with pytest.raises(ValueError):
         build_nsw_index(spark, emb, "/tmp/never", n_probe=0)
+
+
+# --------------------------------------------- round-12 wave 2: stats
+
+
+def test_chi2_independence_hand_values(spark):
+    """2×2 with dependence: O=[[10,20],[20,10]] → E=15 everywhere,
+    chi2 = 4·(25/15) = 6.666667, significant at 3.841 (dof 1). NULL
+    categories excluded; an unobserved cell contributes its whole
+    expectation."""
+    from flink_rag_spark.operators.hypothesis import (
+        chi2_independence, chi2_independence_duck)
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 20
+            + [("b", "y")] * 10 + [(None, "x")] * 3 + [("a", None)] * 2)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c", 3.841).collect()[0]
+    assert (out["n"], out["n_rows"], out["n_cols"], out["dof"]) \
+        == (60, 2, 2, 1)
+    assert out["chi2"] == 6.666667
+    assert out["significant"]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({'NULL' if r is None else repr(r)}, "
+        f"{'NULL' if c is None else repr(c)})" for r, c in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(r, c)")
+    d = con.execute(chi2_independence_duck(
+        "SELECT r, c FROM t", "r", "c", 3.841)).fetchdf()
+    assert d["chi2"][0] == 6.666667 and bool(d["significant"][0])
+    # unobserved cells: O=[[5,0],[0,5]] → all E=2.5, chi2 = 4·2.5 = 10
+    df2 = spark.createDataFrame([("a", "x")] * 5 + [("b", "y")] * 5,
+                                "r string, c string")
+    out2 = chi2_independence(df2, "r", "c", 3.841).collect()[0]
+    assert out2["chi2"] == 10.0 and out2["significant"]
+
+
+def test_mann_whitney_hand_values_and_ties(spark):
+    """A=[1,2,3,3,5], B=[3,4,5,6]: U_A = Σ[a>b] + ½Σ[a=b] = 3.5,
+    μ=10, tie groups {3:3, 5:2} → Σ(t³−t)=30, σ=3.996526,
+    z=−1.626412. All-tied input → NULL z, False verdict."""
+    from flink_rag_spark.operators.hypothesis import (
+        mann_whitney_u, mann_whitney_u_duck)
+    A = [1.0, 2.0, 3.0, 3.0, 5.0]
+    B = [3.0, 4.0, 5.0, 6.0]
+    a = spark.createDataFrame([(x,) for x in A], "x double")
+    b = spark.createDataFrame([(x,) for x in B], "x double")
+    out = mann_whitney_u(a, b, "x").collect()[0]
+    assert out["u_a"] == 3.5 and out["mu_u"] == 10.0
+    assert out["sigma_u"] == 3.996526
+    assert out["z"] == -1.626412 and not out["significant"]
+    brute = sum((1.0 if x > y else 0.5 if x == y else 0.0)
+                for x in A for y in B)
+    assert out["u_a"] == brute
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE ta AS SELECT UNNEST({A}) AS x")
+    con.execute(f"CREATE TABLE tb AS SELECT UNNEST({B}) AS x")
+    d = con.execute(mann_whitney_u_duck(
+        "SELECT x FROM ta", "SELECT x FROM tb", "x")).fetchdf()
+    assert d["z"][0] == -1.626412 and d["u_a"][0] == 3.5
+    tied = spark.createDataFrame([(1.0,)] * 3, "x double")
+    t = mann_whitney_u(tied, tied, "x").collect()[0]
+    assert t["z"] is None and not t["significant"]
+    assert t["u_a"] == t["mu_u"] == 4.5
+
+
+def test_gini_hand_values_and_validation(spark):
+    """Perfect evenness → 0; one row holding everything of three →
+    G=(2·27−4·9)/27 = 2/3; negative values rejected; all-NULL group
+    absent; empty group_cols rejected."""
+    from decimal import Decimal
+
+    from flink_rag_spark.operators.profiling import (
+        gini_concentration, gini_concentration_duck)
+    rows = [("a", Decimal("1.00"))] * 3 + \
+           [("b", Decimal("0.00")), ("b", Decimal("0.00")),
+            ("b", Decimal("9.00"))] + [("c", None)]
+    df = spark.createDataFrame(rows, "g string, v decimal(15,2)")
+    out = {r["g"]: r for r in
+           gini_concentration(df, "v", ["g"]).collect()}
+    assert out["a"]["gini"] == 0.0
+    assert out["b"]["gini"] == 0.666667
+    assert "c" not in out
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "('a',1.00),('a',1.00),('a',1.00),"
+                "('b',0.00),('b',0.00),('b',9.00),('c',NULL)) v(g,v)")
+    d = con.execute(gini_concentration_duck(
+        "SELECT g, CAST(v AS DECIMAL(15,2)) AS v FROM t", "v", ["g"])
+        + " ORDER BY g").fetchdf()
+    assert list(d["gini"]) == [0.0, 0.666667]
+    import pyspark.sql.functions as F
+    neg = df.withColumn("v", F.lit(Decimal("-1.00")).cast("decimal(15,2)"))
+    with pytest.raises(ValueError):
+        gini_concentration(neg, "v", ["g"])
+    with pytest.raises(ValueError):
+        gini_concentration(df, "v", [])
+
+
+def test_autocorrelation_hand_values(spark):
+    """A strictly alternating series has acf(1) = −1, acf(2) = +1,
+    acf(3) = −1 exactly; constant series → NULL (zero variance);
+    max_lag < 1 rejected; NULL values drop before pairing."""
+    from flink_rag_spark.operators.timeseries import (
+        autocorrelation, autocorrelation_duck)
+    rows = [("u", i, i, float(v))
+            for i, v in enumerate([1, 2, 1, 2, 1, 2, 1, 2])]
+    df = spark.createDataFrame(
+        rows, "k string, t bigint, sq bigint, v double")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, ["k"], "t", "v", 3, seq_col="sq")
+           .collect()}
+    assert (out[1]["acf"], out[2]["acf"], out[3]["acf"]) \
+        == (-1.0, 1.0, -1.0)
+    assert (out[1]["n"], out[2]["n"], out[3]["n"]) == (7, 6, 5)
+    con = duckdb.connect()
+    vals = ", ".join(f"('u',{i},{i},{v})" for _, i, _, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(autocorrelation_duck(
+        "SELECT k, t, sq, v FROM t", ["k"], "t", "v", 3, "sq")
+        + " ORDER BY lag").fetchdf()
+    assert list(d["acf"]) == [-1.0, 1.0, -1.0]
+    const = spark.createDataFrame([("u", i, i, 5.0) for i in range(4)],
+                                  "k string, t bigint, sq bigint, v double")
+    c = autocorrelation(const, ["k"], "t", "v", 1).collect()[0]
+    assert c["acf"] is None
+    with pytest.raises(ValueError):
+        autocorrelation(df, ["k"], "t", "v", 0)
+    # NULLs drop before pairing: lag spans the gap
+    import pyspark.sql.functions as F
+    holey = df.withColumn(
+        "v", F.when(F.col("t") == 3, None).otherwise(F.col("v")))
+    h = {r["lag"]: r for r in
+         autocorrelation(holey, ["k"], "t", "v", 1, seq_col="sq")
+         .collect()}
+    assert h[1]["n"] == 6  # 7 values -> 6 adjacent pairs in the gapped order
+
+
+def test_benford_hand_values(spark):
+    """Digits extract from the DECIMAL string (sub-1 values use their
+    first NONZERO digit), zero-count digits still contribute their
+    expectation, raw doubles are rejected."""
+    from decimal import Decimal
+
+    from flink_rag_spark.operators.profiling import (
+        benford_audit, benford_audit_duck)
+    vals = [Decimal("123.45"), Decimal("0.19"), Decimal("1999.00"),
+            Decimal("2.50"), Decimal("31.00"), Decimal("-5.00"),
+            Decimal("0.00"), None, Decimal("9000.01")]
+    df = spark.createDataFrame([(v,) for v in vals], "v decimal(15,2)")
+    out = benford_audit(df, "v", 15.507).collect()
+    by_d = {r["digit"]: r for r in out}
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert by_d[1]["n_d"] == 3          # 123.45, 0.19 (digit 1), 1999.00
+    assert by_d[2]["n_d"] == 1 and by_d[3]["n_d"] == 1
+    assert by_d[9]["n_d"] == 1          # 9000.01; -5, 0, NULL excluded
+    assert by_d[4]["n_d"] == 0 and by_d[4]["share"] == 0.0
+    assert len({r["chi2"] for r in out}) == 1   # table-level, repeated
+    con = duckdb.connect()
+    vv = ", ".join("(NULL)" if v is None else f"({v})" for v in vals)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vv}) x(v)")
+    d = con.execute(benford_audit_duck(
+        "SELECT CAST(v AS DECIMAL(15,2)) AS v FROM t", "v",
+        15.507)).fetchdf()
+    assert list(d["n_d"]) == [r["n_d"] for r in out]
+    assert d["chi2"][0] == out[0]["chi2"]
+    dbl = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError):
+        benford_audit(dbl, "v", 15.507)
+
+
+def test_ushaped_attribution_hand_values(spark):
+    """Four paths: 4-touch (40/20-split/40), single touch (100%),
+    no touch (NULL bucket), two touches (50/50)."""
+    from flink_rag_spark.operators.sequences import (
+        ushaped_attribution, ushaped_attribution_duck)
+    rows = [
+        ("u1", 1, "view", 0.0), ("u1", 2, "click", 0.0),
+        ("u1", 3, "view", 0.0), ("u1", 4, "email", 0.0),
+        ("u1", 5, "purchase", 100.0),
+        ("u2", 1, "click", 0.0), ("u2", 2, "purchase", 10.0),
+        ("u3", 1, "purchase", 5.0),
+        ("u4", 1, "view", 0.0), ("u4", 2, "click", 0.0),
+        ("u4", 3, "purchase", 20.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, i, i, t, v) for (u, i, t, v) in rows],
+        "user_id string, ts bigint, event_id bigint, "
+        "event_type string, value double")
+    out = {r["touch_type"]: r for r in ushaped_attribution(
+        df, ["view", "click", "email"], "purchase").collect()}
+    # u1: first=view(.4→40), last=email(.4→40), middles click+view
+    # (.1→10 each); u2: click 10; u4: view 10, click 10
+    assert out["view"]["attributed_value"] == 60.0
+    assert out["click"]["attributed_value"] == 30.0
+    assert out["email"]["attributed_value"] == 40.0
+    assert out[None]["attributed_value"] == 5.0
+    assert out["view"]["n_conversions"] == 2
+    assert out["click"]["n_conversions"] == 3
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}',{i},{i},'{t}',{v})" for (u, i, t, v) in rows)
+    con.execute(f"CREATE TABLE events AS SELECT * FROM (VALUES {vals}) "
+                "x(user_id, ts, event_id, event_type, value)")
+    d = con.execute(ushaped_attribution_duck(
+        ["view", "click", "email"], "purchase")).fetchdf()
+    got = dict(zip(d["touch_type"], d["attributed_value"]))
+    assert got["view"] == 60.0 and got["click"] == 30.0
+    assert got["email"] == 40.0
