@@ -375,7 +375,8 @@ def main() -> None:
              # U-shaped attribution
              "chi2_segment_region", "mwu_order_price_regions",
              "gini_order_value_regions", "user_value_acf",
-             "benford_order_prices", "purchase_attribution_ushaped"]
+             "benford_order_prices", "purchase_attribution_ushaped",
+             "user_value_hw_forecast"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -477,7 +478,11 @@ def main() -> None:
              # must stay two exchanges regardless of lag count, the
              # per-region Gini window must stay one exchange
              "mwu_order_price_regions", "user_value_acf",
-             "gini_order_value_regions"]
+             "gini_order_value_regions",
+             # the HW weight join must stay broadcast + one exchange
+             # as series lengthen (tables are convergence-bounded, not
+             # length-bounded)
+             "user_value_hw_forecast"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -738,3 +738,231 @@ SELECT {ks}, CAST(lag AS INT) AS lag, n,
          END, {ACF_DP}) AS acf
 FROM agg
 """
+
+
+# ---------------------------- Holt-Winters additive seasonal forecast
+
+HW_ALPHA = 0.4
+HW_BETA = 0.1
+HW_GAMMA = 0.4
+#: weight-table safety cap: (alpha, beta, gamma, m) combos whose
+#: transition powers have not quantized to zero by here are rejected
+#: (the stability contract — slow-decaying geometries would otherwise
+#: broadcast unboundedly growing tables)
+HW_MAX_K = 30_000
+
+
+def _hw_matrices(alpha: float, beta: float, gamma: float, m: int):
+    """(M, u, S) for the additive Holt-Winters state recurrence
+    z_t = M z_{t−1} + u x_t over z = (l, b, s_t, s_{t−1}, …, s_{t−m+1})
+    and the classical seed map z_m = S · (x_1..x_{2m}):
+    l_m = mean(x_1..m), b_m = (mean(x_{m+1..2m}) − mean(x_1..m))/m,
+    s_i = x_i − l_m."""
+    import numpy as np
+    d = m + 2
+    M = np.zeros((d, d))
+    u = np.zeros(d)
+    el = np.zeros(d); el[0] = 1.0
+    eb = np.zeros(d); eb[1] = 1.0
+    esm1 = np.zeros(d); esm1[2 + m - 1] = 1.0
+    row_l = (1 - alpha) * (el + eb) - alpha * esm1
+    M[0] = row_l
+    M[1] = beta * row_l - beta * el + (1 - beta) * eb
+    M[2] = -gamma * row_l + (1 - gamma) * esm1
+    u[0], u[1], u[2] = alpha, beta * alpha, gamma * (1 - alpha)
+    for i in range(1, m):
+        M[2 + i, 2 + i - 1] = 1.0
+    S = np.zeros((d, 2 * m))
+    S[0, :m] = 1.0 / m
+    S[1, :m] = -1.0 / m ** 2
+    S[1, m:2 * m] = 1.0 / m ** 2
+    for p in range(m):               # slot p holds s_{m−p} = x_{m−p} − l_m
+        S[2 + p, m - p - 1] += 1.0
+        S[2 + p, :m] -= 1.0 / m
+    return M, u, S
+
+
+def _hw_weights(alpha: float, beta: float, gamma: float, m: int,
+                horizon: int) -> tuple[list[tuple], list[tuple]]:
+    """Python-precomputed 12-dp weight tables for the TREND and
+    FORECAST functionals of additive Holt-Winters (the SES/Holt
+    discipline — identical literals in both engines, no engine matmul).
+
+    mid rows: (k, wb, wf) — weight of observation j = n−k for j > m
+    (the post-seed recurrence term w·M^k·u).
+    seed rows: (k2, j, wb, wf) — weight of observation j ≤ 2m through
+    the seed state, keyed by k2 = n − m (w·M^{k2}·S[:, j−1]).
+
+    Only these two functionals CONVERGE: M has a unit eigenvalue along
+    (l+c, b, s−c) — the classical level/seasonal non-identifiability —
+    so per-observation weights for level or a seasonal component alone
+    approach nonzero constants and no finite exact table exists, while
+    ŷ_{n+h} = l + h·b + s_{slot} and b are invariant along that
+    direction and their weights decay geometrically (checked here by
+    the row-vector norm, with the Holt margin for non-normal
+    transients). Raises if the combo has not quantized to zero within
+    ``HW_MAX_K`` steps."""
+    import numpy as np
+    dp = SES_W_DP
+    M, u, S = _hw_matrices(alpha, beta, gamma, m)
+    r = m * ((horizon + m - 1) // m) - horizon   # seasonal slot for n+h
+    wf = np.zeros(m + 2); wf[0] = 1.0; wf[1] = float(horizon)
+    wf[2 + r] += 1.0
+    wb = np.zeros(m + 2); wb[1] = 1.0
+    xf, xb = wf.copy(), wb.copy()
+    mid, seed = [], []
+    fmt = f"{{:.{dp}f}}".format
+    k = 0
+    while True:
+        mb, mf = round(float(xb @ u), dp), round(float(xf @ u), dp)
+        if mb != 0.0 or mf != 0.0:
+            mid.append((k, fmt(mb), fmt(mf)))
+        sb, sf = xb @ S, xf @ S
+        for j in range(2 * m):
+            b_, f_ = round(float(sb[j]), dp), round(float(sf[j]), dp)
+            if b_ != 0.0 or f_ != 0.0:
+                seed.append((k, j + 1, fmt(b_), fmt(f_)))
+        nrm = max(np.abs(xf).max(), np.abs(xb).max())
+        if nrm * 4.0 < 10.0 ** -(dp + 2):
+            break
+        if k >= HW_MAX_K:
+            raise ValueError(
+                f"holt_winters weights not converged after {HW_MAX_K} "
+                f"steps for alpha={alpha} beta={beta} gamma={gamma} "
+                f"m={m} — pick a faster-decaying geometry")
+        xf = xf @ M
+        xb = xb @ M
+        k += 1
+    return mid, seed
+
+
+def holt_winters_forecast(df: DataFrame, keys: list[str], ts_col: str,
+                          value_col: str, seq_col: str, period: int,
+                          alpha: float = HW_ALPHA, beta: float = HW_BETA,
+                          gamma: float = HW_GAMMA, horizon: int = 1,
+                          value_scale: int = 2) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing; Winters
+    1960) per key — the seasonal member completing the SES → Holt
+    family: level + trend + an m-phase additive seasonal, forecast
+    ŷ_{n+h} = l_n + h·b_n + s_{n+h−m⌈h/m⌉}. Classical seeds over the
+    first two seasons (l_m = first-season mean, b_m = season-mean
+    difference / m, s_i = x_i − l_m).
+
+    The whole fit is STILL the SES closed-form plan — one window
+    (row_number + count per key) + two broadcast joins against
+    Python-precomputed 12-dp DECIMAL weight tables (per-lag recurrence
+    weights; per-(n−m, j) seed weights for the first 2m observations)
+    + one aggregate. No iteration, no UDF.
+
+    Output: (keys…, n_obs, trend, forecast) — deliberately WITHOUT a
+    separate level or seasonal column: the HW recurrence map has a unit
+    eigenvalue along (l+c, b, s−c) (adding a constant to the level and
+    subtracting it from every seasonal changes nothing observable), so
+    level and seasonal components alone are not convergent linear
+    functionals of the data — their per-observation weights tend to
+    nonzero constants and no finite exact table can exist — while the
+    forecast and trend are invariant along that direction and truncate
+    cleanly. Keys with fewer than 2·period observations are OMITTED
+    (the seeds need two full seasons — the Holt singleton discipline).
+
+    Exactness contract (the SES discipline): values quantize to
+    ``value_scale`` decimals, weights to 12 dp, every term is an exact
+    decimal product, sums are order-independent, final 6-dp rounds in
+    decimal space."""
+    from decimal import Decimal
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 < beta <= 1.0):
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    if not (0.0 < gamma <= 1.0):
+        raise ValueError(f"gamma must be in (0, 1], got {gamma}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    dp = SES_W_DP
+    spark = df.sparkSession
+    mid, seed = _hw_weights(alpha, beta, gamma, period, horizon)
+    wdec = f"decimal(14,{dp})"
+    midt = F.broadcast(spark.createDataFrame(
+        [(k, Decimal(b), Decimal(f)) for k, b, f in mid],
+        f"_k int, _mwb {wdec}, _mwf {wdec}"))
+    seedt = F.broadcast(spark.createDataFrame(
+        [(k2, j, Decimal(b), Decimal(f)) for k2, j, b, f in seed],
+        f"_k2 int, _rn int, _swb {wdec}, _swf {wdec}"))
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    w_key = Window.partitionBy(*keys)
+    src = (df.withColumn("_rn", F.row_number().over(w_ord))
+           .withColumn("_n", F.count(F.lit(1)).over(w_key))
+           .filter(F.col("_n") >= 2 * period)
+           .withColumn("_k", (F.col("_n") - F.col("_rn")).cast("int"))
+           .withColumn("_k2", (F.col("_n") - F.lit(period)).cast("int")))
+    vdec = F.col(value_col).cast(f"decimal(24,{value_scale})")
+    zero = F.lit(0).cast(wdec)
+    # mid weights apply to post-seed observations only (j > m); seed
+    # weights joined on (n−m, j) cover j ≤ 2m — an observation in
+    # (m, 2m] legitimately carries BOTH
+    wb = (F.coalesce(F.when(F.col("_rn") > period, F.col("_mwb")), zero)
+          + F.coalesce(F.col("_swb"), zero))
+    wf = (F.coalesce(F.when(F.col("_rn") > period, F.col("_mwf")), zero)
+          + F.coalesce(F.col("_swf"), zero))
+    return (src.join(midt, on="_k", how="left")
+            .join(seedt, on=["_k2", "_rn"], how="left")
+            .select(*keys, (vdec * wb).alias("_tb"),
+                    (vdec * wf).alias("_tf"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+                 F.round(F.sum("_tb"), 6).cast("double").alias("trend"),
+                 F.round(F.sum("_tf"), 6).cast("double")
+                 .alias("forecast")))
+
+
+def holt_winters_forecast_duck(inner_sql: str, keys: list[str],
+                               ts_col: str, value_col: str, seq_col: str,
+                               period: int,
+                               alpha: float = HW_ALPHA,
+                               beta: float = HW_BETA,
+                               gamma: float = HW_GAMMA,
+                               horizon: int = 1,
+                               value_scale: int = 2) -> str:
+    """DuckDB mirror of :func:`holt_winters_forecast` — the SAME
+    Python-generated weight literals as VALUES tables, same joins,
+    same decimal products and final rounds."""
+    dp = SES_W_DP
+    mid, seed = _hw_weights(alpha, beta, gamma, period, horizon)
+    ks = ", ".join(keys)
+    midv = ", ".join(f"({k}, {b}, {f})" for k, b, f in mid)
+    seedv = ", ".join(f"({k2}, {j}, {b}, {f})" for k2, j, b, f in seed)
+    wdec = f"DECIMAL(14,{dp})"
+    return f"""
+WITH hw_src0 AS ({inner_sql}),
+midw (k, mwb, mwf) AS (SELECT k, CAST(b AS {wdec}), CAST(f AS {wdec})
+                       FROM (VALUES {midv}) t(k, b, f)),
+seedw (k2, rn, swb, swf) AS (SELECT k2, rn, CAST(b AS {wdec}),
+                                    CAST(f AS {wdec})
+                             FROM (VALUES {seedv}) t(k2, rn, b, f)),
+rows_ AS (
+  SELECT {ks},
+         CAST({value_col} AS DECIMAL(24,{value_scale})) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {ks}
+                            ORDER BY {ts_col}, {seq_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {ks}) AS n
+  FROM hw_src0),
+terms AS (
+  SELECT r.{", r.".join(keys)}, r.v,
+         COALESCE(CASE WHEN r.rn > {period} THEN m.mwb END,
+                  CAST(0 AS {wdec}))
+           + COALESCE(s.swb, CAST(0 AS {wdec})) AS wb,
+         COALESCE(CASE WHEN r.rn > {period} THEN m.mwf END,
+                  CAST(0 AS {wdec}))
+           + COALESCE(s.swf, CAST(0 AS {wdec})) AS wf
+  FROM rows_ r
+  LEFT JOIN midw m ON m.k = r.n - r.rn
+  LEFT JOIN seedw s ON s.k2 = r.n - {period} AND s.rn = r.rn
+  WHERE r.n >= {2 * period})
+SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(ROUND(SUM(v * wb), 6) AS DOUBLE) AS trend,
+       CAST(ROUND(SUM(v * wf), 6) AS DOUBLE) AS forecast
+FROM terms GROUP BY {ks}
+"""

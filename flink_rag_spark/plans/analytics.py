@@ -1157,3 +1157,24 @@ def purchase_attribution_ushaped(spark: SparkSession,
     from flink_rag_spark.operators.sequences import ushaped_attribution
     e = load_table(spark, sf_dir, "events")
     return ushaped_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
+
+
+#: Holt-Winters seasonal period for the catalog query: a 4-phase cycle
+#: over each user's ordered event-value sequence (the ses/holt family's
+#: ordered-sequence convention)
+HW_PERIOD = 4
+
+
+def user_value_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast (operators/timeseries.py
+    holt_winters_forecast): level + trend + 4-phase seasonal over each
+    user's event-value series, via the SES closed-form discipline (two
+    Python-precomputed decimal weight tables, one window + two
+    broadcast joins + one aggregate — no iteration). Emits the
+    convergent functionals only (trend, forecast) — see the operator's
+    identifiability note."""
+    from flink_rag_spark.operators.timeseries import holt_winters_forecast
+    e = load_table(spark, sf_dir, "events")
+    return holt_winters_forecast(
+        e.filter(F.col("value").isNotNull()),
+        ["user_id"], "ts", "value", "event_id", period=HW_PERIOD)

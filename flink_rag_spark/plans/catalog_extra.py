@@ -165,6 +165,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.timeseries import (
         autocorrelation_duck,
         holt_forecast_duck,
+        holt_winters_forecast_duck,
         ses_forecast_duck,
         time_decayed_at_latest_duck,
         time_decayed_stats_duck,
@@ -1837,6 +1838,17 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "WHERE value IS NOT NULL",
              ["user_id"], "ts", "value", "event_id"),
          ("timeseries", "forecast", "window")),
+        # round-12: additive Holt-Winters — level+trend+seasonal via
+        # TWO Python-precomputed decimal weight tables (recurrence +
+        # seed); emits only the convergent functionals (trend,
+        # forecast) — the unit-eigenvalue identifiability note in
+        # timeseries.holt_winters_forecast
+        ("user_value_hw_forecast", A.user_value_hw_forecast,
+         holt_winters_forecast_duck(
+             "SELECT user_id, ts, event_id, value FROM events "
+             "WHERE value IS NOT NULL",
+             ["user_id"], "ts", "value", "event_id", A.HW_PERIOD),
+         ("timeseries", "forecast", "seasonal", "window")),
         # round-12: two-cohort log-rank test — observed-vs-expected
         # event counts over the shared risk-set timeline, 9-dp decimal
         # term sums, threshold verdict (hypothesis.logrank_test)

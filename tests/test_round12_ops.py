@@ -757,3 +757,79 @@ def test_ushaped_attribution_hand_values(spark):
     got = dict(zip(d["touch_type"], d["attributed_value"]))
     assert got["view"] == 60.0 and got["click"] == 30.0
     assert got["email"] == 40.0
+
+
+def _hw_float_recurrence(xs, m, a, b, g, h):
+    """Textbook additive Holt-Winters in plain floats — the reference
+    the decimal weight tables must reproduce to 4+ decimals."""
+    lvl = sum(xs[:m]) / m
+    tr = (sum(xs[m:2 * m]) - sum(xs[:m])) / m ** 2
+    s = [x - lvl for x in xs[:m]]
+    for t in range(m, len(xs)):
+        x = xs[t]
+        sm = s[t - m]
+        l_new = a * (x - sm) + (1 - a) * (lvl + tr)
+        tr = b * (l_new - lvl) + (1 - b) * tr
+        s.append(g * (x - l_new) + (1 - g) * sm)
+        lvl = l_new
+    r = m * ((h + m - 1) // m) - h
+    return tr, lvl + h * tr + s[len(xs) - 1 - r]
+
+
+def test_holt_winters_matches_recurrence_and_mirror(spark):
+    """The closed-form decimal weight tables reproduce the textbook
+    float recurrence (to the quantization budget), match the DuckDB
+    mirror bit-exactly, omit keys shorter than two seasons, and reject
+    bad parameters."""
+    import random
+
+    from flink_rag_spark.operators.timeseries import (
+        holt_winters_forecast, holt_winters_forecast_duck)
+    m, a, b, g, h = 4, 0.4, 0.1, 0.4, 1
+    random.seed(7)
+    rows, expected = [], {}
+    for key, n in (("u1", 17), ("u2", 9), ("u3", 8)):
+        xs = [round(10 + 3 * ((i % m) == 1) + random.random() * 2, 2)
+              for i in range(n)]
+        rows += [(key, i, i, x) for i, x in enumerate(xs)]
+        expected[key] = _hw_float_recurrence(xs, m, a, b, g, h)
+    rows += [("short", i, i, 5.0) for i in range(2 * m - 1)]
+    df = spark.createDataFrame(
+        rows, "k string, t bigint, sq bigint, v double")
+    out = {r["k"]: r for r in holt_winters_forecast(
+        df, ["k"], "t", "v", "sq", period=m, horizon=h).collect()}
+    assert "short" not in out
+    for key, (tr, fc) in expected.items():
+        assert abs(out[key]["trend"] - tr) < 5e-4
+        assert abs(out[key]["forecast"] - fc) < 5e-4
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}',{i},{i2},{v})" for k, i, i2, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(holt_winters_forecast_duck(
+        "SELECT k, t, sq, v FROM t", ["k"], "t", "v", "sq", m)).fetchdf()
+    got = {r["k"]: r for _, r in d.iterrows()}
+    for key in expected:
+        assert got[key]["trend"] == out[key]["trend"]
+        assert got[key]["forecast"] == out[key]["forecast"]
+    with pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "v", "sq", period=1)
+    with pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "v", "sq", period=m,
+                              alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_winters_forecast(df, ["k"], "t", "v", "sq", period=m,
+                              horizon=0)
+
+
+def test_holt_winters_weight_convergence_guard():
+    """A geometry whose powers decay too slowly to quantize within the
+    cap is rejected up front — the stability contract."""
+    from flink_rag_spark.operators.timeseries import _hw_weights
+    with pytest.raises(ValueError):
+        # alpha/gamma near zero: seasonal roots sit just inside the
+        # unit circle and the table cannot quantize to zero in budget
+        _hw_weights(0.001, 0.001, 0.001, 12, 1)
+    # and the shipped defaults DO converge with finite tables
+    mid, seed = _hw_weights(0.4, 0.1, 0.4, 4, 1)
+    assert 0 < len(mid) < 1000 and 0 < len(seed) < 5000
