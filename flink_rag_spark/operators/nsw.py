@@ -217,7 +217,13 @@ def nsw_topk(spark: SparkSession, path: str, query_vec: list[float],
     standard termination, reached well before max_hops on navigable
     graphs). Each hop reads only the frontier's edge buckets and the
     new candidates' vector buckets: bounded I/O per hop no matter the
-    corpus size."""
+    corpus size.
+
+    No ``where=`` metadata filtering on this tier (graph navigation
+    must walk UNFILTERED nodes to stay connected, and collecting only
+    filtered results re-opens the under-fill problem the other tiers
+    solved) — filtered k-NN is served by the exact / IVF / IVF-PQ
+    tiers' filter-then-score paths."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     with open(os.path.join(path, "meta.json")) as f:

@@ -612,7 +612,12 @@ def benford_audit(df: DataFrame, value_col: str,
     nd = F.col("n_d").cast("double")
     e = F.col("n").cast("double") * F.col("p")
     dec = f"decimal(28,{BENFORD_TERM_DP})"
-    term = F.round((nd - e) * (nd - e) / e, BENFORD_TERM_DP).cast(dec)
+    # n = 0 (no positive values) would make every term 0/0 — NaN, which
+    # Spark's decimal cast nulls but DuckDB's ERRORS on; gate the term
+    # so both engines emit NULL chi2 and a False verdict
+    term = F.when(F.col("n") > 0,
+                  F.round((nd - e) * (nd - e) / e, BENFORD_TERM_DP)
+                  .cast(dec))
     g = g.withColumn("_chi2", F.sum(term).over(w_all))
     return (g.select(
         "digit",
@@ -647,11 +652,11 @@ grid AS (
 tot AS (SELECT SUM(n_d) AS n FROM grid),
 terms AS (
   SELECT g.digit, g.n_d, g.p, t.n,
-         CAST(ROUND(
+         CASE WHEN t.n > 0 THEN CAST(ROUND(
            (CAST(g.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * g.p)
            * (CAST(g.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * g.p)
            / (CAST(t.n AS DOUBLE) * g.p), {dp}) AS DECIMAL(28,{dp}))
-           AS term
+         END AS term
   FROM grid g, tot t),
 x AS (SELECT SUM(term) AS chi2u FROM terms)
 SELECT t.digit,

@@ -718,6 +718,20 @@ def test_benford_hand_values(spark):
     dbl = spark.createDataFrame([(1.5,)], "v double")
     with pytest.raises(ValueError):
         benford_audit(dbl, "v", 15.507)
+    # zero qualifying rows: every term is 0/0 — both engines must emit
+    # NULL chi2 and a False verdict (an unguarded NaN->DECIMAL cast
+    # nulls in Spark but ERRORS in DuckDB)
+    empty = spark.createDataFrame(
+        [(Decimal("-1.00"),), (None,)], "v decimal(15,2)")
+    e = benford_audit(empty, "v", 15.507).collect()
+    assert e[0]["chi2"] is None and not e[0]["significant"]
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE t2 AS SELECT * FROM (VALUES (-1.00), "
+                 "(NULL)) x(v)")
+    d2 = con2.execute(benford_audit_duck(
+        "SELECT CAST(v AS DECIMAL(15,2)) AS v FROM t2", "v",
+        15.507)).fetchdf()
+    assert not bool(d2["significant"][0])
 
 
 def test_ushaped_attribution_hand_values(spark):
