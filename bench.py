@@ -376,7 +376,8 @@ def main() -> None:
              "chi2_segment_region", "mwu_order_price_regions",
              "gini_order_value_regions", "user_value_acf",
              "benford_order_prices", "purchase_attribution_ushaped",
-             "user_value_hw_forecast"]
+             "user_value_hw_forecast",
+             "purchase_attribution_first", "purchase_attribution_decay"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -482,7 +483,11 @@ def main() -> None:
              # the HW weight join must stay broadcast + one exchange
              # as series lengthen (tables are convergence-bounded, not
              # length-bounded)
-             "user_value_hw_forecast"]
+             "user_value_hw_forecast",
+             # the decay-attribution pairing join is the family's one
+             # join-shaped member — rehearse that the window predicate
+             # keeps the pair count bounded as the corpus replicates
+             "purchase_attribution_decay"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

@@ -1468,6 +1468,232 @@ FROM rows_ WHERE n_conversions > 0
 
 
 
+def first_touch_attribution(events: DataFrame, touch_types: list[str],
+                            conversion_type: str,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            value_col: str = "value") -> DataFrame:
+    """First-touch revenue attribution — the acquisition-credit twin of
+    :func:`last_touch_attribution` (which its docstring promised: "the
+    same plan with ``first`` over the frame"): every conversion's value
+    is credited to the key's EARLIEST prior touch event. Identical
+    output contract, identical single-exchange plan."""
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    relevant = events.filter(
+        F.col(type_col).isin(list(touch_types) + [conversion_type]))
+    tagged = relevant.withColumn(
+        "_touch",
+        F.first(F.when(F.col(type_col).isin(touch_types),
+                       F.col(type_col)),
+                ignorenulls=True).over(w))
+    conv = (tagged.filter(F.col(type_col) == conversion_type)
+            .select(F.col("_touch").alias("touch_type"),
+                    F.col(value_col).cast("double").cast(ATTR_DEC)
+                    .alias("_v")))
+    agg = (conv.groupBy("touch_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+                F.sum("_v").alias("_sv")))
+    w_tot = Window.partitionBy()
+    return agg.select(
+        "touch_type", "n_conversions",
+        F.col("_sv").cast("double").alias("attributed_value"),
+        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+                6).alias("value_share"))
+
+
+def first_touch_attribution_duck(touch_types: list[str],
+                                 conversion_type: str,
+                                 key_col: str = "user_id",
+                                 ts_col: str = "ts",
+                                 type_col: str = "event_type",
+                                 seq_col: str = "event_id",
+                                 value_col: str = "value",
+                                 table: str = "events") -> str:
+    """DuckDB mirror of :func:`first_touch_attribution`."""
+    touches = ", ".join(_q(t) for t in touch_types)
+    return f"""
+WITH rel AS (
+  SELECT {key_col}, {ts_col}, {seq_col}, {type_col},
+         CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS v
+  FROM {table}
+  WHERE {type_col} IN ({touches}, {_q(conversion_type)})),
+tagged AS (
+  SELECT *, FIRST_VALUE(CASE WHEN {type_col} IN ({touches})
+                             THEN {type_col} END IGNORE NULLS)
+            OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col}
+                  ROWS UNBOUNDED PRECEDING) AS touch_type
+  FROM rel),
+agg AS (
+  SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         SUM(v) AS sv
+  FROM tagged WHERE {type_col} = {_q(conversion_type)} GROUP BY 1)
+SELECT touch_type, n_conversions,
+       CAST(sv AS DOUBLE) AS attributed_value,
+       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+FROM agg
+"""
+
+
+#: decimal places for decayed attribution weight terms (the decay
+#: family's quantization — weights are O(1), so 9 dp absorbs engine
+#: POWER ulp drift before the order-independent sum)
+DECAY_ATTR_W_DP = 9
+
+
+def time_decay_attribution(events: DataFrame, touch_types: list[str],
+                           conversion_type: str,
+                           half_life_seconds: float,
+                           window_seconds: int,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           seq_col: str = "event_id",
+                           value_col: str = "value") -> DataFrame:
+    """Time-decay multi-touch attribution — recency-weighted credit:
+    each conversion splits its value across its prior touch EVENTS in
+    proportion to 2^(−Δt/half_life), Δt the touch-to-conversion gap.
+    The standard "recent touches matter more" model between last-touch
+    (δ at Δt=0) and linear (flat). Touches older than
+    ``window_seconds`` get zero credit (the attribution window every
+    analytics product applies); conversions with NO in-window touch
+    land in the NULL bucket intact. Output contract identical to the
+    siblings: (touch_type, n_conversions, attributed_value,
+    value_share).
+
+    Unlike the window-based siblings this kernel is not expressible as
+    a running aggregate (2^(−Δt/hl) does not factorize into bounded
+    per-row state — the telescoped form overflows doubles across long
+    histories), so the plan PAIRS conversions with their in-window
+    touches: one equi-join on the key with the window riding the join
+    condition as a range predicate. Per-key cost is |conversions| ×
+    |in-window touches| — bounded by the window, the documented hazard
+    being power keys with dense touch streams (shrink the window, or
+    pre-aggregate touches to coarser buckets, before blaming the join).
+
+    Exactness (the decay-family discipline): weights are O(1) doubles
+    quantized to 9-dp DECIMAL before summing (engine POWER ulp drift
+    dies in the quantization), shares are decimal-ratio doubles, and
+    per-conversion credits round at 6 dp into DECIMAL for the final
+    order-independent sum."""
+    if half_life_seconds <= 0:
+        raise ValueError(
+            f"half_life_seconds must be > 0, got {half_life_seconds}")
+    if window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be > 0, got {window_seconds}")
+    hl_us = float(half_life_seconds) * 1e6
+    conv = (events.filter(F.col(type_col) == conversion_type)
+            .select(F.col(key_col).alias("_k"),
+                    F.col(ts_col).alias("_cts"),
+                    F.col(seq_col).alias("_cseq"),
+                    F.col(value_col).cast("double").alias("_v")))
+    touch = (events.filter(F.col(type_col).isin(touch_types))
+             .select(F.col(key_col).alias("_k"),
+                     F.col(ts_col).alias("_tts"),
+                     F.col(type_col).alias("_ttype")))
+    d_us = F.timestamp_diff("MICROSECOND", F.col("_tts"), F.col("_cts"))
+    # the window predicate rides the LEFT JOIN CONDITION (exactly like
+    # the mirror's ON clause): a post-join filter would silently drop
+    # conversions whose only touches are out-of-window instead of
+    # null-extending them into the unattributed bucket
+    pairs = conv.join(
+        touch,
+        on=[conv["_k"] == touch["_k"],
+            touch["_tts"] < conv["_cts"],
+            d_us <= F.lit(int(window_seconds) * 1_000_000)],
+        how="left")
+    wdec = f"decimal(20,{DECAY_ATTR_W_DP})"
+    wq = F.when(
+        F.col("_tts").isNotNull(),
+        F.round(F.pow(F.lit(0.5), d_us.cast("double") / F.lit(hl_us)),
+                DECAY_ATTR_W_DP).cast(wdec))
+    per_type = (pairs
+                .select(conv["_k"].alias("_k"), "_cseq", "_v", "_ttype",
+                        wq.alias("_w"))
+                .groupBy("_k", "_cseq", "_v", "_ttype")
+                .agg(F.sum("_w").alias("_wt")))
+    w_conv = Window.partitionBy("_k", "_cseq")
+    credited = per_type.withColumn("_tot", F.sum("_wt").over(w_conv))
+    credit = F.when(
+        F.col("_tot").isNotNull(),
+        F.round(F.col("_v") * (F.col("_wt") / F.col("_tot"))
+                .cast("double"), 6).cast(ATTR_DEC))
+    un = F.when(F.col("_tot").isNull(), F.col("_v").cast(ATTR_DEC))
+    agg = (credited
+           .select(F.when(F.col("_tot").isNotNull(), F.col("_ttype"))
+                   .alias("touch_type"),
+                   F.coalesce(credit, un).alias("_av"))
+           .groupBy("touch_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+                F.sum("_av").alias("_sv")))
+    w_tot = Window.partitionBy()
+    return agg.select(
+        "touch_type", "n_conversions",
+        F.col("_sv").cast("double").alias("attributed_value"),
+        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+                6).alias("value_share"))
+
+
+def time_decay_attribution_duck(touch_types: list[str],
+                                conversion_type: str,
+                                half_life_seconds: float,
+                                window_seconds: int,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                type_col: str = "event_type",
+                                seq_col: str = "event_id",
+                                value_col: str = "value",
+                                table: str = "events") -> str:
+    """DuckDB mirror of :func:`time_decay_attribution` — same pairing,
+    same 9-dp weight quantization, same per-conversion credit rounds."""
+    touches = ", ".join(_q(t) for t in touch_types)
+    hl_us = float(half_life_seconds) * 1e6
+    dp = DECAY_ATTR_W_DP
+    return f"""
+WITH conv AS (
+  SELECT {key_col} AS k, {ts_col} AS cts, {seq_col} AS cseq,
+         CAST({value_col} AS DOUBLE) AS v
+  FROM {table} WHERE {type_col} = {_q(conversion_type)}),
+touch AS (
+  SELECT {key_col} AS k, {ts_col} AS tts, {type_col} AS ttype
+  FROM {table} WHERE {type_col} IN ({touches})),
+pairs AS (
+  SELECT c.k, c.cseq, c.v, t.ttype,
+         CASE WHEN t.tts IS NOT NULL THEN
+           CAST(ROUND(POWER(0.5,
+               CAST(epoch_us(c.cts) - epoch_us(t.tts) AS DOUBLE)
+               / {hl_us!r}), {dp}) AS DECIMAL(20,{dp})) END AS w
+  FROM conv c
+  LEFT JOIN touch t ON t.k = c.k AND t.tts < c.cts
+    AND epoch_us(c.cts) - epoch_us(t.tts)
+        <= {int(window_seconds) * 1_000_000}),
+per_type AS (
+  SELECT k, cseq, v, ttype, SUM(w) AS wt
+  FROM pairs GROUP BY k, cseq, v, ttype),
+credited AS (
+  SELECT *, SUM(wt) OVER (PARTITION BY k, cseq) AS tot
+  FROM per_type),
+rows_ AS (
+  SELECT CASE WHEN tot IS NOT NULL THEN ttype END AS touch_type,
+         COALESCE(
+           CASE WHEN tot IS NOT NULL THEN
+             CAST(ROUND(v * CAST(wt / tot AS DOUBLE), 6)
+                  AS DECIMAL(20,6)) END,
+           CASE WHEN tot IS NULL THEN CAST(v AS DECIMAL(20,6)) END)
+           AS av
+  FROM credited),
+agg AS (
+  SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         SUM(av) AS sv
+  FROM rows_ GROUP BY touch_type)
+SELECT touch_type, n_conversions,
+       CAST(sv AS DOUBLE) AS attributed_value,
+       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+FROM agg
+"""
+
+
 def ushaped_attribution(events: DataFrame, touch_types: list[str],
                         conversion_type: str,
                         key_col: str = "user_id", ts_col: str = "ts",

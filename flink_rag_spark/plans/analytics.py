@@ -1178,3 +1178,35 @@ def user_value_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_forecast(
         e.filter(F.col("value").isNotNull()),
         ["user_id"], "ts", "value", "event_id", period=HW_PERIOD)
+
+
+#: time-decay attribution knobs for the catalog query: credit halves
+#: per day of touch-to-purchase gap; touches older than 7 days get none
+DECAY_ATTR_HALF_LIFE_S = 86_400.0
+DECAY_ATTR_WINDOW_S = 7 * 86_400
+
+
+def purchase_attribution_first(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution (operators/sequences.py
+    first_touch_attribution): every purchase's value credited to the
+    user's EARLIEST prior touch — the acquisition-credit twin of the
+    graded last-touch query, same single funnel-family exchange."""
+    from flink_rag_spark.operators.sequences import first_touch_attribution
+    e = load_table(spark, sf_dir, "events")
+    return first_touch_attribution(e, ATTR_TOUCHES, ATTR_CONVERSION)
+
+
+def purchase_attribution_decay(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Time-decay attribution (operators/sequences.py
+    time_decay_attribution): purchase value split across prior touches
+    in proportion to 2^(−gap/1 day) within a 7-day window — the
+    recency-weighted member of the attribution family; one key
+    equi-join with the window riding the join condition."""
+    from flink_rag_spark.operators.sequences import time_decay_attribution
+    e = load_table(spark, sf_dir, "events")
+    return time_decay_attribution(
+        e, ATTR_TOUCHES, ATTR_CONVERSION,
+        half_life_seconds=DECAY_ATTR_HALF_LIFE_S,
+        window_seconds=DECAY_ATTR_WINDOW_S)

@@ -80,6 +80,8 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.sequences import (
         all_funnel_matches_duck,
         cohort_retention_duck,
+        first_touch_attribution_duck,
+        time_decay_attribution_duck,
         ushaped_attribution_duck,
         consecutive_funnel_times_duck,
         consumed_funnel_matches_duck,
@@ -1910,6 +1912,19 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("purchase_attribution_ushaped", A.purchase_attribution_ushaped,
          ushaped_attribution_duck(A.ATTR_TOUCHES, A.ATTR_CONVERSION),
          ("sequence", "attribution", "window")),
+        # round-12: first-touch — the acquisition-credit twin of the
+        # graded last-touch query (sequences.first_touch_attribution)
+        ("purchase_attribution_first", A.purchase_attribution_first,
+         first_touch_attribution_duck(A.ATTR_TOUCHES, A.ATTR_CONVERSION),
+         ("sequence", "attribution", "window")),
+        # round-12: time-decay attribution — recency-weighted credit
+        # 2^(−gap/half_life) within an attribution window riding the
+        # join condition (sequences.time_decay_attribution)
+        ("purchase_attribution_decay", A.purchase_attribution_decay,
+         time_decay_attribution_duck(
+             A.ATTR_TOUCHES, A.ATTR_CONVERSION,
+             A.DECAY_ATTR_HALF_LIFE_S, A.DECAY_ATTR_WINDOW_S),
+         ("sequence", "attribution", "decay")),
         # round-11: Kaplan–Meier survival — time-to-event with right
         # censoring; exact integer counts per factor, running product
         # as EXP(Σ ln) + a zero-factor flag (operators/survival.py)

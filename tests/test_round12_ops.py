@@ -847,3 +847,60 @@ def test_holt_winters_weight_convergence_guard():
     # and the shipped defaults DO converge with finite tables
     mid, seed = _hw_weights(0.4, 0.1, 0.4, 4, 1)
     assert 0 < len(mid) < 1000 and 0 < len(seed) < 5000
+
+
+def test_first_touch_and_time_decay_attribution(spark):
+    """First-touch credits the earliest prior touch; time-decay splits
+    2^(−gap/half_life) within the window, and a conversion whose only
+    touches are OUT of window lands in the NULL bucket (the left-join
+    condition, not a post-filter — the failure mode found in review)."""
+    import datetime as dt
+
+    from flink_rag_spark.operators.sequences import (
+        first_touch_attribution, first_touch_attribution_duck,
+        time_decay_attribution, time_decay_attribution_duck)
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: view t=0, click t=100, purchase(90) t=200 — with hl=100 s
+        # the weights are 0.25 / 0.5 → credits 30 / 60
+        ("u1", ts(0), 1, "view", 0.0), ("u1", ts(100), 2, "click", 0.0),
+        ("u1", ts(200), 3, "purchase", 90.0),
+        # u2: only touch is outside the 1000 s window → NULL bucket
+        ("u2", ts(0), 4, "view", 0.0), ("u2", ts(5000), 5, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id bigint, "
+        "event_type string, value double")
+    td = {r["touch_type"]: r for r in time_decay_attribution(
+        df, ["view", "click"], "purchase",
+        half_life_seconds=100, window_seconds=1000).collect()}
+    assert td["view"]["attributed_value"] == 30.0
+    assert td["click"]["attributed_value"] == 60.0
+    assert td[None]["attributed_value"] == 7.0
+    ft = {r["touch_type"]: r["attributed_value"]
+          for r in first_touch_attribution(
+              df, ["view", "click"], "purchase").collect()}
+    assert ft == {"view": 97.0}   # both conversions' first touch is view
+    con = duckdb.connect()
+    vals = ", ".join(f"('{u}', TIMESTAMP '{t}', {i}, '{ty}', {v})"
+                     for (u, t, i, ty, v) in rows)
+    con.execute(f"CREATE TABLE events AS SELECT * FROM (VALUES {vals}) "
+                "x(user_id, ts, event_id, event_type, value)")
+    d = con.execute(time_decay_attribution_duck(
+        ["view", "click"], "purchase", 100, 1000)).fetchdf()
+    got = dict(zip(d["touch_type"], d["attributed_value"]))
+    assert got["view"] == 30.0 and got["click"] == 60.0
+    d2 = con.execute(first_touch_attribution_duck(
+        ["view", "click"], "purchase")).fetchdf()
+    assert dict(zip(d2["touch_type"], d2["attributed_value"])) \
+        == {"view": 97.0}
+    with pytest.raises(ValueError):
+        time_decay_attribution(df, ["view"], "purchase",
+                               half_life_seconds=0, window_seconds=10)
+    with pytest.raises(ValueError):
+        time_decay_attribution(df, ["view"], "purchase",
+                               half_life_seconds=10, window_seconds=0)
