@@ -377,7 +377,8 @@ def main() -> None:
              "gini_order_value_regions", "user_value_acf",
              "benford_order_prices", "purchase_attribution_ushaped",
              "user_value_hw_forecast",
-             "purchase_attribution_first", "purchase_attribution_decay"]
+             "purchase_attribution_first", "purchase_attribution_decay",
+             "spearman_quantity_price"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -487,7 +488,10 @@ def main() -> None:
              # the decay-attribution pairing join is the family's one
              # join-shaped member — rehearse that the window predicate
              # keeps the pair count bounded as the corpus replicates
-             "purchase_attribution_decay"]
+             "purchase_attribution_decay",
+             # spearman's rank machinery must stay range-partitioned
+             # prefix sums + equi-joins (no global sort)
+             "spearman_quantity_price"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

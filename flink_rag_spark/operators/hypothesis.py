@@ -674,3 +674,147 @@ SELECT n_a, n_b, u_a, mu_u,
                 > {z_crit}, FALSE) AS significant
 FROM stat
 """
+
+
+# ------------------------------------- Spearman rank correlation
+
+SPEARMAN_DP = 6
+
+
+def _avg_ranks(df: DataFrame, col: str, out: str,
+               n_partitions: int) -> DataFrame:
+    """(value, avg_rank) for a column — midrank over ties, computed as
+    exclusive-below-count + (t+1)/2 via the KS distributed prefix sum.
+    Ranks are exact half-integers, carried as DECIMAL(24,1)."""
+    per_v = (df.groupBy(F.col(col).alias("_v"))
+             .agg(F.count(F.lit(1)).alias("_t")))
+    part = (per_v.repartitionByRange(n_partitions, "_v")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    w_pid = Window.orderBy("_pid")
+    offs = (part.groupBy("_pid").agg(F.sum("_t").alias("_pt"))
+            .select("_pid",
+                    F.coalesce(F.sum("_pt").over(
+                        w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0)).alias("_off")))
+    w_local = (Window.partitionBy("_pid").orderBy("_v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    two = "decimal(24,1)"
+    return (part.join(F.broadcast(offs), "_pid")
+            .withColumn("_below",
+                        F.sum("_t").over(w_local) + F.col("_off")
+                        - F.col("_t"))
+            .select(F.col("_v").alias(col),
+                    (F.col("_below").cast(two)
+                     + (F.col("_t").cast(two) + F.lit(1)) / F.lit(2))
+                    .cast(two).alias(out)))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  z_crit: float = Z_CRIT,
+                  n_partitions: int | None = None) -> DataFrame:
+    """Spearman rank correlation of two columns — monotone association
+    where the exact-sum Pearson matrix (``regression.corr_matrix``)
+    measures LINEAR association: ρ = Pearson over midranks, ties
+    handled by average ranks. Rows with a NULL in either column are
+    excluded (the corr_matrix complete-case contract). Output ONE row:
+    (n, rho, z, significant) — the large-sample H0 normal
+    approximation z = ρ·√(n−1) with the threshold verdict at
+    ``z_crit`` (no erf — the z-test discipline).
+
+    Exactness: midranks are exact HALF-INTEGERS (exclusive below-count
+    + (t+1)/2 — DECIMAL(24,1), never a float rank), so every product in
+    the Pearson sums is an exact decimal and ρ is bit-stable under any
+    partitioning; the quotient drops to double at the end (rounded
+    ``SPEARMAN_DP``). Zero rank variance (a constant column) yields
+    NULL ρ.
+
+    Plan at 100 TB: each column collapses to its DISTINCT values (two
+    partial+final aggregates), ranks come from the KS distributed
+    prefix sum (range partitions + broadcast offsets — no global
+    sort), and rows re-acquire their ranks through two value
+    equi-joins (Catalyst broadcasts a small distinct side on its own);
+    one final aggregate."""
+    spark = df.sparkSession
+    nparts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = df.filter(F.col(x_col).isNotNull()
+                    & F.col(y_col).isNotNull()).select(x_col, y_col)
+    rx = _avg_ranks(src, x_col, "_rx", nparts)
+    ry = _avg_ranks(src, y_col, "_ry", nparts)
+    ranked = src.join(rx, x_col).join(ry, y_col)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"))
+    n = F.col("n").cast("double")
+
+    def _c(c):
+        return F.col(c).cast("double")
+
+    cov = n * _c("_sxy") - _c("_sx") * _c("_sy")
+    vx = n * _c("_sxx") - _c("_sx") * _c("_sx")
+    vy = n * _c("_syy") - _c("_sy") * _c("_sy")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    z = F.when(n > 1, rho * F.sqrt(n - F.lit(1.0)))
+    return agg.select(
+        "n", F.round(rho, SPEARMAN_DP).alias("rho"),
+        F.round(z, SPEARMAN_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def spearman_corr_duck(inner_sql: str, x_col: str, y_col: str,
+                       z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`spearman_corr` — global windows stand in
+    for the distributed prefix sum, same half-integer midranks, same
+    exact decimal sums."""
+    dp = SPEARMAN_DP
+
+    def ranks(col, out):
+        return f"""
+  SELECT {col},
+         CAST(CAST(COALESCE(SUM(t) OVER (ORDER BY {col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS DECIMAL(24,1))
+              + (CAST(t AS DECIMAL(24,1)) + 1) / 2
+              AS DECIMAL(24,1)) AS {out}
+  FROM (SELECT {col}, COUNT(*) AS t FROM sp_src GROUP BY {col}) g"""
+    return f"""
+WITH sp_src AS (
+  SELECT {x_col}, {y_col} FROM ({inner_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+rx AS ({ranks(x_col, "_rx")}),
+ry AS ({ranks(y_col, "_ry")}),
+ranked AS (
+  SELECT rx._rx, ry._ry
+  FROM sp_src s JOIN rx ON rx.{x_col} = s.{x_col}
+  JOIN ry ON ry.{y_col} = s.{y_col}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(_rx) AS sx, SUM(_ry) AS sy, SUM(_rx * _ry) AS sxy,
+         SUM(_rx * _rx) AS sxx, SUM(_ry * _ry) AS syy
+  FROM ranked),
+stat AS (
+  SELECT n,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+               AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END AS rho
+  FROM agg)
+SELECT n, ROUND(rho, {dp}) AS rho,
+       ROUND(CASE WHEN n > 1 THEN rho * SQRT(CAST(n AS DOUBLE) - 1.0)
+             END, {dp}) AS z,
+       COALESCE(ABS(CASE WHEN n > 1 THEN
+           rho * SQRT(CAST(n AS DOUBLE) - 1.0) END) > {z_crit}, FALSE)
+         AS significant
+FROM stat
+"""

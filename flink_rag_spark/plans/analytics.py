@@ -1210,3 +1210,14 @@ def purchase_attribution_decay(spark: SparkSession,
         e, ATTR_TOUCHES, ATTR_CONVERSION,
         half_life_seconds=DECAY_ATTR_HALF_LIFE_S,
         window_seconds=DECAY_ATTR_WINDOW_S)
+
+
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/hypothesis.py
+    spearman_corr): is line-item quantity monotonically associated with
+    extended price? The nonparametric complement of the exact-sum
+    Pearson matrix — midranks from the KS distributed prefix sum, exact
+    half-integer decimal ranks, one final aggregate."""
+    from flink_rag_spark.operators.hypothesis import spearman_corr
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")

@@ -152,6 +152,7 @@ def extra_queries() -> list[tuple]:
         logrank_test_duck,
         ks_two_sample_duck,
         mann_whitney_u_duck,
+        spearman_corr_duck,
     )
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
@@ -1880,6 +1881,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
              "WHERE r_name = 'ASIA'",
              "o_totalprice"),
+         ("hypothesis", "stats", "window")),
+        # round-12: Spearman rank correlation — midranks via the KS
+        # distributed prefix sum, exact half-integer decimal ranks,
+        # Pearson over ranks (hypothesis.spearman_corr)
+        ("spearman_quantity_price", A.spearman_quantity_price,
+         spearman_corr_duck(
+             "SELECT l_quantity, l_extendedprice FROM lineitem",
+             "l_quantity", "l_extendedprice"),
          ("hypothesis", "stats", "window")),
         # round-12: per-region Gini concentration — the sorted-rank
         # Lorenz identity from exact decimal sums

@@ -904,3 +904,33 @@ def test_first_touch_and_time_decay_attribution(spark):
     with pytest.raises(ValueError):
         time_decay_attribution(df, ["view"], "purchase",
                                half_life_seconds=10, window_seconds=0)
+
+
+def test_spearman_hand_values(spark):
+    """Monotone-nonlinear association scores near 1 (exactly 1 without
+    ties); anti-monotone scores −1; a constant column yields NULL;
+    NULL pairs are excluded. Matches the DuckDB mirror exactly
+    (half-integer decimal midranks)."""
+    from flink_rag_spark.operators.hypothesis import (spearman_corr,
+                                                      spearman_corr_duck)
+    rows = [(1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0),
+            (2.0, 8.5), (None, 9.9), (5.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()[0]
+    assert out["n"] == 5 and out["rho"] == 0.974679
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({'NULL' if a is None else a}, {'NULL' if b is None else b})"
+        for a, b in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(x,y)")
+    d = con.execute(spearman_corr_duck(
+        "SELECT x, y FROM t", "x", "y")).fetchdf()
+    assert d["rho"][0] == out["rho"] and d["z"][0] == out["z"]
+    anti = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (4.0, 1.0)],
+        "x double, y double")
+    assert spearman_corr(anti, "x", "y").collect()[0]["rho"] == -1.0
+    const = spark.createDataFrame([(1.0, 2.0), (2.0, 2.0)],
+                                  "x double, y double")
+    c = spearman_corr(const, "x", "y").collect()[0]
+    assert c["rho"] is None and not c["significant"]
