@@ -378,7 +378,7 @@ def main() -> None:
              "benford_order_prices", "purchase_attribution_ushaped",
              "user_value_hw_forecast",
              "purchase_attribution_first", "purchase_attribution_decay",
-             "spearman_quantity_price"]
+             "spearman_quantity_price", "user_value_decomposition"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

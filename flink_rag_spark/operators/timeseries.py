@@ -966,3 +966,178 @@ SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_obs,
        CAST(ROUND(SUM(v * wf), 6) AS DOUBLE) AS forecast
 FROM terms GROUP BY {ks}
 """
+
+
+# ----------------------------- classical seasonal decomposition
+
+DECOMP_SCALE = 1_000_000  # fixed-point 1e-6 units
+
+
+def seasonal_decompose(df: DataFrame, keys: list[str], ts_col: str,
+                       value_col: str, seq_col: str, period: int,
+                       value_scale: int = 2) -> DataFrame:
+    """Classical additive decomposition per key (the moving-average
+    method, Macaulay 1931 — the diagnostic DECOMPOSITION beside the
+    Holt-Winters FORECAST): x = trend + seasonal + remainder, with
+
+    * trend — the centered moving average: a plain m-MA for odd
+      ``period``, the standard 2×m-MA for even (half weight on the two
+      outermost points); NULL on the ⌊m/2⌋ edge rows where the window
+      is incomplete,
+    * seasonal — per-phase means of the detrended series, centered to
+      sum to zero over one cycle (one value per (key, phase), repeated),
+    * remainder — what's left; NULL wherever trend is.
+
+    Output: one row per input row — (keys…, ts, seq, value, trend,
+    seasonal, remainder). Phases follow observation ORDER ((rn−1) mod
+    m, the quantified family's ordered-sequence convention). Keys
+    shorter than m+1 observations pass through with NULL
+    trend/seasonal/remainder (the decomposition degrades, it never
+    drops rows).
+
+    Exactness — FIXED-POINT INTEGERS end to end: values scale to 1e-6
+    units as exact BIGINTs, the MA works on doubled units (so the even
+    case's half weights stay integral), and every mean is an explicit
+    half-away-from-zero integer division ((2·|S| + D) DIV (2·D),
+    signed) — the one construction BOTH engines evaluate identically,
+    where rounding a double quotient flips at representable .5
+    boundaries (Spark rounds the exact binary expansion, DuckDB the
+    shortest decimal — they disagree exactly ON the boundary, and a
+    6-dp mean of 6-dp values lands on it structurally). The final
+    /1e6 happens once, on exact integers. BIGINT headroom: |values| ≤
+    ~9·10^12 at 1e6-row keys; larger keys should pre-aggregate buckets
+    first.
+
+    Plan at 100 TB: ONE per-key ordered window materializes all
+    2⌊m/2⌋ lead/lag columns (the ACF discipline — no self-joins), one
+    (key, phase)-grouped aggregate (≤ m rows per key), one join back
+    on (key, phase)."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    m = period
+    h = m // 2
+    even = (m % 2 == 0)
+    S = DECOMP_SCALE
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    xi = (F.col(value_col).cast(f"decimal(24,{value_scale})")
+          * F.lit(S)).cast("bigint")
+    base = df.select(*[df[c] for c in df.columns], xi.alias("_xi"),
+                     F.row_number().over(w_ord).alias("_rn"))
+    lead_cols = {}
+    for d in range(-h, h + 1):
+        if d == 0:
+            continue
+        name = f"_o{d:+d}".replace("+", "p").replace("-", "n")
+        expr = (F.lead(F.col("_xi"), d).over(w_ord) if d > 0
+                else F.lag(F.col("_xi"), -d).over(w_ord))
+        lead_cols[d] = name
+        base = base.withColumn(name, expr)
+    # MA numerator in DOUBLED units so the even case's half weights
+    # stay integral: full-weight points contribute 2·x_i, the two even
+    # ends contribute x_i; denominator is 2m
+    terms = []
+    for d in range(-h, h + 1):
+        c = F.col("_xi") if d == 0 else F.col(lead_cols[d])
+        terms.append(c if even and abs(d) == h else c * F.lit(2))
+    num2 = terms[0]
+    for t in terms[1:]:
+        num2 = num2 + t
+
+    def _half_up(numer, denom):
+        """sign(numer) · ((2|numer| + denom) DIV (2·denom)) — exact
+        half-away-from-zero integer division, positives only inside."""
+        a = F.abs(numer)
+        q = (F.lit(2) * a + denom).cast("bigint") / (F.lit(2) * denom)
+        q = F.floor(q).cast("bigint")
+        return F.when(numer < 0, -q).otherwise(q)
+
+    base = base.withColumn("_ti", F.when(num2.isNotNull(),
+                                         _half_up(num2, F.lit(2 * m))))
+    base = (base
+            .withColumn("_di", F.col("_xi") - F.col("_ti"))
+            .withColumn("_phase", (F.col("_rn") - 1) % F.lit(m)))
+    ph = (base.groupBy(*keys, "_phase")
+          .agg(F.sum("_di").alias("_sd"),
+               F.count("_di").alias("_cd")))
+    w_key = Window.partitionBy(*keys)
+    ph = (ph.withColumn("_spi", F.when(
+              F.col("_cd") > 0, _half_up(F.col("_sd"), F.col("_cd"))))
+          .withColumn("_ssum", F.sum("_spi").over(w_key))
+          .withColumn("_adj", F.when(F.col("_ssum").isNotNull(),
+                                     _half_up(F.col("_ssum"), F.lit(m))))
+          .select(*keys, "_phase",
+                  (F.col("_spi") - F.col("_adj")).alias("_si")))
+    out = base.join(ph, on=[*keys, "_phase"], how="left")
+    dbl = F.lit(float(S))
+    return out.select(
+        *keys, ts_col, seq_col,
+        F.col(value_col).alias("value"),
+        (F.col("_ti").cast("double") / dbl).alias("trend"),
+        (F.col("_si").cast("double") / dbl).alias("seasonal"),
+        ((F.col("_xi") - F.col("_ti") - F.col("_si")).cast("double")
+         / dbl).alias("remainder"))
+
+
+def seasonal_decompose_duck(inner_sql: str, keys: list[str], ts_col: str,
+                            value_col: str, seq_col: str, period: int,
+                            value_scale: int = 2) -> str:
+    """DuckDB mirror of :func:`seasonal_decompose` — the same
+    fixed-point integers and the same explicit half-away-from-zero
+    integer divisions (`//` on positives ≡ Spark's floored DIV)."""
+    m = period
+    h = m // 2
+    even = (m % 2 == 0)
+    S = DECOMP_SCALE
+    ks = ", ".join(keys)
+    ob = f"{ts_col}, {seq_col}"
+    offs = []
+    for d in range(-h, h + 1):
+        if d == 0:
+            expr = "xi"
+        elif d > 0:
+            expr = (f"LEAD(xi, {d}) OVER (PARTITION BY {ks} "
+                    f"ORDER BY {ob})")
+        else:
+            expr = (f"LAG(xi, {-d}) OVER (PARTITION BY {ks} "
+                    f"ORDER BY {ob})")
+        offs.append(f"({expr})" if even and abs(d) == h
+                    else f"2 * ({expr})")
+    num2 = " + ".join(offs)
+
+    def half_up(numer, denom):
+        return (f"(CASE WHEN ({numer}) < 0 THEN -1 ELSE 1 END) * "
+                f"((2 * ABS({numer}) + ({denom})) // (2 * ({denom})))")
+
+    return f"""
+WITH sd_src AS (
+  SELECT *, CAST(CAST({value_col} AS DECIMAL(24,{value_scale}))
+                 * {S} AS BIGINT) AS xi,
+         ROW_NUMBER() OVER (PARTITION BY {ks} ORDER BY {ob}) AS rn
+  FROM ({inner_sql})),
+ma AS (
+  SELECT *, {half_up(num2, 2 * m)} AS ti
+  FROM sd_src),
+dq AS (
+  SELECT *, xi - ti AS di, (rn - 1) % {m} AS phase
+  FROM ma),
+ph0 AS (
+  SELECT {ks}, phase, SUM(di) AS sd, COUNT(di) AS cd
+  FROM dq GROUP BY {ks}, phase),
+ph1 AS (
+  SELECT {ks}, phase,
+         CASE WHEN cd > 0 THEN {half_up("sd", "cd")} END AS spi
+  FROM ph0),
+ph AS (
+  SELECT {ks}, phase,
+         spi - {half_up(f"SUM(spi) OVER (PARTITION BY {ks})", m)}
+           AS si
+  FROM ph1)
+SELECT d.{", d.".join(keys)}, d.{ts_col}, d.{seq_col},
+       d.{value_col} AS value,
+       CAST(d.ti AS DOUBLE) / {float(S)} AS trend,
+       CAST(p.si AS DOUBLE) / {float(S)} AS seasonal,
+       CAST(d.xi - d.ti - p.si AS DOUBLE) / {float(S)} AS remainder
+FROM dq d
+LEFT JOIN ph p ON {" AND ".join(f"p.{k} = d.{k}" for k in keys)}
+              AND p.phase = d.phase
+"""

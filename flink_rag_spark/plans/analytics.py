@@ -1221,3 +1221,18 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.hypothesis import spearman_corr
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def user_value_decomposition(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/timeseries.py
+    seasonal_decompose): each user's event-value series split into
+    centered-MA trend + zero-sum 4-phase seasonal + remainder — the
+    diagnostic complement of the Holt-Winters forecast on the same
+    series. One ordered window + one phase aggregate + one join-back."""
+    from flink_rag_spark.operators.timeseries import seasonal_decompose
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_decompose(
+        e.filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value"),
+        ["user_id"], "ts", "value", "event_id", period=HW_PERIOD)

@@ -168,6 +168,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.timeseries import (
         autocorrelation_duck,
         holt_forecast_duck,
+        seasonal_decompose_duck,
         holt_winters_forecast_duck,
         ses_forecast_duck,
         time_decayed_at_latest_duck,
@@ -1852,6 +1853,16 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              "WHERE value IS NOT NULL",
              ["user_id"], "ts", "value", "event_id", A.HW_PERIOD),
          ("timeseries", "forecast", "seasonal", "window")),
+        # round-12: classical additive decomposition — centered 2x4-MA
+        # trend, zero-sum phase seasonal, remainder; 6-dp decimal
+        # re-quantization keeps every sum order-independent
+        # (timeseries.seasonal_decompose)
+        ("user_value_decomposition", A.user_value_decomposition,
+         seasonal_decompose_duck(
+             "SELECT user_id, ts, event_id, value FROM events "
+             "WHERE value IS NOT NULL",
+             ["user_id"], "ts", "value", "event_id", A.HW_PERIOD),
+         ("timeseries", "seasonal", "window")),
         # round-12: two-cohort log-rank test — observed-vs-expected
         # event counts over the shared risk-set timeline, 9-dp decimal
         # term sums, threshold verdict (hypothesis.logrank_test)

@@ -934,3 +934,75 @@ def test_spearman_hand_values(spark):
                                   "x double, y double")
     c = spearman_corr(const, "x", "y").collect()[0]
     assert c["rho"] is None and not c["significant"]
+
+
+def test_seasonal_decompose_hand_values(spark):
+    """A linear trend + zero-sum 4-phase seasonal decomposes EXACTLY
+    (fixed-point integers end to end): trend = the line, seasonal = the
+    injected phases, remainder = 0; edge rows NULL; short keys pass
+    through NULL; duck mirror bit-identical."""
+    from flink_rag_spark.operators.timeseries import (
+        seasonal_decompose, seasonal_decompose_duck)
+    s = [2.0, -1.0, -2.0, 1.0]
+    xs = [round(10 + i + s[i % 4], 2) for i in range(12)]
+    rows = [("u", i, i, x) for i, x in enumerate(xs)]
+    rows += [("short", i, i, 5.0) for i in range(3)]
+    df = spark.createDataFrame(rows,
+                               "k string, t bigint, sq bigint, v double")
+    out = sorted([r.asDict() for r in
+                  seasonal_decompose(df, ["k"], "t", "v", "sq", 4)
+                  .filter("k = 'u'").collect()],
+                 key=lambda r: r["t"])
+    for i in range(2, 10):          # interior rows: full MA window
+        assert out[i]["trend"] == 10.0 + i
+        assert out[i]["seasonal"] == s[i % 4]
+        assert out[i]["remainder"] == 0.0
+    assert out[0]["trend"] is None and out[0]["remainder"] is None
+    assert out[11]["trend"] is None
+    sh = seasonal_decompose(df, ["k"], "t", "v", "sq", 4) \
+        .filter("k = 'short'").collect()
+    assert all(r["trend"] is None and r["remainder"] is None for r in sh)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}',{i},{i2},{v})" for k, i, i2, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(seasonal_decompose_duck(
+        "SELECT k, t, sq, v FROM t", ["k"], "t", "v", "sq", 4)
+        + " ORDER BY d.k DESC, d.t").fetchdf()
+    du = d[d["k"] == "u"].reset_index(drop=True)
+    for i in range(12):
+        for col in ("trend", "seasonal", "remainder"):
+            a, b = out[i][col], du[col][i]
+            assert (a is None and b != b) or a == b
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, ["k"], "t", "v", "sq", 1)
+
+
+def test_seasonal_decompose_halfup_boundary(spark):
+    """Phase means that land EXACTLY on the 6-dp .5 boundary round
+    half-away-from-zero identically in both engines — the integer
+    (2|S|+D) DIV 2D construction, immune to the double-ROUND
+    disagreement that flipped the first implementation."""
+    from flink_rag_spark.operators.timeseries import (
+        seasonal_decompose, seasonal_decompose_duck)
+    # period 2, detrended values engineered so a phase mean hits x.5
+    # in 1e-6 units: values at 3 dp force odd scaled sums over cnt 2
+    xs = [1.001, 2.0, 3.0, 4.002, 5.0, 6.0]
+    rows = [("u", i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows,
+                               "k string, t bigint, sq bigint, v double")
+    out = sorted([r.asDict() for r in
+                  seasonal_decompose(df, ["k"], "t", "v", "sq", 2,
+                                     value_scale=3).collect()],
+                 key=lambda r: r["t"])
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}',{i},{i2},{v})" for k, i, i2, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(seasonal_decompose_duck(
+        "SELECT k, t, sq, v FROM t", ["k"], "t", "v", "sq", 2,
+        value_scale=3) + " ORDER BY t").fetchdf()
+    for i in range(len(xs)):
+        for col in ("trend", "seasonal", "remainder"):
+            a, b = out[i][col], d[col][i]
+            assert (a is None and b != b) or a == b, (i, col, a, b)
