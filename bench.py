@@ -378,7 +378,8 @@ def main() -> None:
              "benford_order_prices", "purchase_attribution_ushaped",
              "user_value_hw_forecast",
              "purchase_attribution_first", "purchase_attribution_decay",
-             "spearman_quantity_price", "user_value_decomposition"]
+             "spearman_quantity_price", "user_value_decomposition",
+             "kw_order_price_regions"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

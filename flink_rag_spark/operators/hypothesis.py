@@ -818,3 +818,169 @@ SELECT n, ROUND(rho, {dp}) AS rho,
          AS significant
 FROM stat
 """
+
+
+# ------------------------------------- Kruskal-Wallis k-group test
+
+KW_TERM_DP = 9
+KW_DP = 6
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
+                   chi2_crit: float,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Kruskal–Wallis rank test across k groups — "does ANY of these
+    segments' value distributions sit elsewhere?", the k-group
+    generalization of :func:`mann_whitney_u` (and the nonparametric
+    ANOVA):
+
+        H = [ 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1) ] / C,
+        C = 1 − Σ(t³−t)/(n³−n)            (tie correction)
+
+    with R_g the group's midrank sum. ``chi2_crit`` is the caller's
+    critical value at k−1 dof (the chi-square threshold-verdict
+    discipline); the verdict compares the UNROUNDED statistic.
+
+    Exactness: midranks are exact half-integers from the KS distributed
+    prefix sum (DECIMAL, never float ranks), so every R_g is an exact
+    decimal; the per-group R_g²/n_g terms are integer-ratio doubles
+    quantized to 9-dp DECIMAL before the k-row sum (the log-rank
+    discipline), and the tie term Σ(t³−t) sums exactly in
+    DECIMAL(38,0) once per distinct value (the MWU discipline). NULL
+    groups and NULL values are excluded. All values tied ⇒ C = 0 ⇒
+    NULL H, False verdict.
+
+    Output ONE row: (n, n_groups, h, significant).
+
+    Plan at 100 TB: one (value, group) collapse (the only full-data
+    shuffle), the prefix-sum rank pass over distinct values, one
+    k-row rank-sum aggregate, one 1-row fold. No global sort, no
+    per-row ranks."""
+    spark = df.sparkSession
+    nparts = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    src = (df.filter(F.col(group_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+           .select(F.col(group_col).alias("_g"),
+                   F.col(value_col).alias("_v")))
+    per_vg = src.groupBy("_v", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    w_v = Window.partitionBy("_v")
+    per_vg = per_vg.withColumn("_t", F.sum("_c").over(w_v))
+    part = (per_vg.repartitionByRange(nparts, "_v")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    w_pid = Window.orderBy("_pid")
+    offs = (part.groupBy("_pid").agg(F.sum("_c").alias("_pc"))
+            .select("_pid",
+                    F.coalesce(F.sum("_pc").over(
+                        w_pid.rowsBetween(Window.unboundedPreceding, -1)),
+                        F.lit(0)).alias("_off")))
+    # exclusive below-count of ALL observations at v: running total of
+    # the per-(v, g) counts over the value order, peeled back by v's
+    # own tie size (the max over v's rows makes the running total
+    # independent of the within-value row order)
+    w_local = (Window.partitionBy("_pid").orderBy("_v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_vmax = Window.partitionBy("_pid", "_v")
+    two = "decimal(24,1)"
+    ranked = (part.join(F.broadcast(offs), "_pid")
+              .withColumn("_cum", F.max(F.sum("_c").over(w_local))
+                          .over(w_vmax))
+              .withColumn("_below",
+                          F.col("_cum") + F.col("_off") - F.col("_t"))
+              .withColumn("_mid",
+                          (F.col("_below").cast(two)
+                           + (F.col("_t").cast(two) + F.lit(1))
+                           / F.lit(2)).cast(two)))
+    d12 = "decimal(12,0)"
+    by_g = (ranked.groupBy("_g")
+            .agg(F.sum(F.col("_mid") * F.col("_c").cast(d12))
+                 .alias("_rg"),
+                 F.sum("_c").alias("_ng")))
+    dec9 = f"decimal(30,{KW_TERM_DP})"
+    term = F.round((F.col("_rg").cast("double")
+                    * F.col("_rg").cast("double"))
+                   / F.col("_ng").cast("double"),
+                   KW_TERM_DP).cast(dec9)
+    folded = by_g.agg(
+        F.sum("_ng").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(term).alias("_x"))
+    t = F.col("_t").cast(d12)
+    ties = (ranked.groupBy("_v").agg(F.first("_t").alias("_t"))
+            .agg(F.sum(t * t * t - F.col("_t").cast("decimal(38,0)"))
+                 .alias("_ties")))
+    one = folded.crossJoin(ties)  # 1 row × 1 row
+    nd = F.col("n").cast("double")
+    x = F.col("_x").cast("double")
+    raw = F.lit(12.0) / (nd * (nd + 1.0)) * x - 3.0 * (nd + 1.0)
+    c_corr = (F.lit(1.0)
+              - F.col("_ties").cast("double") / (nd * nd * nd - nd))
+    h = F.when((nd > 1) & (c_corr > 0), raw / c_corr)
+    return one.select(
+        "n", "n_groups",
+        F.round(h, KW_DP).alias("h"),
+        F.coalesce(h > F.lit(chi2_crit), F.lit(False))
+        .alias("significant"))
+
+
+def kruskal_wallis_duck(inner_sql: str, group_col: str, value_col: str,
+                        chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`kruskal_wallis` — same midranks via a
+    global window, same 9-dp term quantization, same tie fold."""
+    dp = KW_TERM_DP
+    return f"""
+WITH kw_src AS (
+  SELECT {group_col} AS g, {value_col} AS v FROM ({inner_sql})
+  WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL),
+per_vg AS (SELECT v, g, COUNT(*) AS c FROM kw_src GROUP BY v, g),
+per_v AS (
+  SELECT *, SUM(c) OVER (PARTITION BY v) AS t FROM per_vg),
+ranked AS (
+  SELECT *,
+         COALESCE(SUM(t_once) OVER (ORDER BY v, g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below0
+  FROM (SELECT *, CASE WHEN ROW_NUMBER() OVER
+               (PARTITION BY v ORDER BY g) = 1 THEN t ELSE 0 END
+               AS t_once
+        FROM per_v) q),
+mids AS (
+  SELECT g, c, t,
+         CAST(CAST(MIN(below0) OVER (PARTITION BY v) AS DECIMAL(24,1))
+              + (CAST(t AS DECIMAL(24,1)) + 1) / 2
+              AS DECIMAL(24,1)) AS mid,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY g) AS gi
+  FROM ranked),
+by_g AS (
+  SELECT g, SUM(mid * CAST(c AS DECIMAL(12,0))) AS rg, SUM(c) AS ng
+  FROM mids GROUP BY g),
+folded AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         SUM(CAST(ROUND(CAST(rg AS DOUBLE) * CAST(rg AS DOUBLE)
+                        / CAST(ng AS DOUBLE), {dp})
+                  AS DECIMAL(30,{dp}))) AS x
+  FROM by_g),
+ties AS (
+  SELECT SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+             * CAST(t AS DECIMAL(12,0))
+             - CAST(t AS DECIMAL(38,0))) AS tt
+  FROM mids WHERE gi = 1),
+stat AS (
+  SELECT n, n_groups,
+         CASE WHEN n > 1 AND
+              1.0 - CAST(tt AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+         THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               * CAST(x AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+              / (1.0 - CAST(tt AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+         END AS h
+  FROM folded, ties)
+SELECT n, n_groups, ROUND(h, {KW_DP}) AS h,
+       COALESCE(h > {chi2_crit}, FALSE) AS significant
+FROM stat
+"""

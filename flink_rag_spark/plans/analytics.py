@@ -1236,3 +1236,18 @@ def user_value_decomposition(spark: SparkSession,
         e.filter(F.col("value").isNotNull())
         .select("user_id", "ts", "event_id", "value"),
         ["user_id"], "ts", "value", "event_id", period=HW_PERIOD)
+
+
+#: chi-square critical value at alpha = 0.05, dof 4 (5 regions − 1)
+CHI2_CRIT_DOF4 = 9.488
+
+
+def kw_order_price_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test (operators/hypothesis.py
+    kruskal_wallis): do the five regions' order-price distributions
+    differ anywhere? The k-group generalization of the MWU pair test —
+    midranks via the distributed prefix sum, 9-dp decimal rank-sum
+    terms, tie-corrected H, verdict at the dof-4 critical value."""
+    from flink_rag_spark.operators.hypothesis import kruskal_wallis
+    j = _orders_with_region(spark, sf_dir)
+    return kruskal_wallis(j, "r_name", "o_totalprice", CHI2_CRIT_DOF4)

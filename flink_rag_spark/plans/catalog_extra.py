@@ -151,6 +151,7 @@ def extra_queries() -> list[tuple]:
         chi2_independence_duck,
         logrank_test_duck,
         ks_two_sample_duck,
+        kruskal_wallis_duck,
         mann_whitney_u_duck,
         spearman_corr_duck,
     )
@@ -1896,6 +1897,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # round-12: Spearman rank correlation — midranks via the KS
         # distributed prefix sum, exact half-integer decimal ranks,
         # Pearson over ranks (hypothesis.spearman_corr)
+        # round-12: Kruskal-Wallis k-group rank test — midranks via
+        # the distributed prefix sum, tie-corrected H, threshold
+        # verdict (hypothesis.kruskal_wallis)
+        ("kw_order_price_regions", A.kw_order_price_regions,
+         kruskal_wallis_duck(
+             f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "r_name", "o_totalprice", A.CHI2_CRIT_DOF4),
+         ("hypothesis", "stats", "window")),
         ("spearman_quantity_price", A.spearman_quantity_price,
          spearman_corr_duck(
              "SELECT l_quantity, l_extendedprice FROM lineitem",

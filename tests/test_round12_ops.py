@@ -1006,3 +1006,33 @@ def test_seasonal_decompose_halfup_boundary(spark):
         for col in ("trend", "seasonal", "remainder"):
             a, b = out[i][col], d[col][i]
             assert (a is None and b != b) or a == b, (i, col, a, b)
+
+
+def test_kruskal_wallis_hand_values(spark):
+    """Three groups with cross-group ties: midranks 1, 2.5, 2.5, 4, 5,
+    6.5, 6.5, 8, 9, 10 → R = (7.5, 14, 33.5), tie groups {2:2, 5:2} →
+    Σ(t³−t) = 12, tie-corrected H ≈ 6.8627 — significant at the dof-2
+    5% critical value 5.991. NULLs excluded; all-tied input → NULL H,
+    False verdict; mirror bit-identical."""
+    from flink_rag_spark.operators.hypothesis import (kruskal_wallis,
+                                                      kruskal_wallis_duck)
+    rows = ([("a", x) for x in (1.0, 2.0, 3.0)]
+            + [("b", x) for x in (2.0, 4.0, 5.0)]
+            + [("c", x) for x in (5.0, 6.0, 7.0, 8.0)]
+            + [(None, 1.0), ("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v", 5.991).collect()[0]
+    assert (out["n"], out["n_groups"]) == (10, 3)
+    assert abs(out["h"] - 6.8627) < 1e-3 and out["significant"]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({'NULL' if g is None else repr(g)}, "
+        f"{'NULL' if v is None else v})" for g, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(g,v)")
+    d = con.execute(kruskal_wallis_duck(
+        "SELECT g, v FROM t", "g", "v", 5.991)).fetchdf()
+    assert d["h"][0] == out["h"] and bool(d["significant"][0])
+    tied = spark.createDataFrame([("a", 1.0), ("b", 1.0)],
+                                 "g string, v double")
+    t = kruskal_wallis(tied, "g", "v", 5.991).collect()[0]
+    assert t["h"] is None and not t["significant"]
