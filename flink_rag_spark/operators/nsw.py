@@ -110,6 +110,12 @@ def build_nsw_index(spark: SparkSession, embeddings: DataFrame, path: str,
     NOT a hash — so `nsw_topk` can turn a driver-held id list into a
     partition filter without shipping a hash function.
 
+    ``n_buckets`` is the probe's I/O granularity and must SCALE WITH
+    THE CORPUS: a hop reads the frontier's buckets in full, so size
+    buckets to one scan unit (corpus_bytes / n_buckets ≈ 128-512 MB —
+    e.g. 100 TB of edges → ~500k buckets), exactly the IVF cell-count
+    rule. The default 32 fits the test corpus only.
+
     The within-cell pair join computes each pair's cosine once per
     shared cell (≤ n_probe co-occurrences) and collapses duplicates with
     a (src, dst) max — recomputing a score is map-side-cheap next to
@@ -261,3 +267,139 @@ def nsw_topk(spark: SparkSession, path: str, query_vec: list[float],
                          & F.col("id").isin(top_ids))
     return (cosine_topk(sub, query_vec, k=k, vec_col="vec", id_col="id")
             .withColumnRenamed("id", id_col))
+
+
+def _score_ids_batch(vectors: DataFrame, ids: list[int],
+                     Qn: "object", n_buckets: int) -> dict:
+    """{id: [score_per_query]} for a bounded id list — ONE
+    partition-pruned scan, one Arrow-batched numpy matmul per batch
+    against the broadcast normalized query matrix (the
+    _fused_probe_topk discipline). Scores are ROUND_DP-rounded so beam
+    ordering matches the exact tier's."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(Qn, dtype=np.float64))
+
+    @F.pandas_udf("array<double>")
+    def _scores(vs: pd.Series) -> pd.Series:
+        import numpy as np_
+        import pandas as pd_
+        if len(vs) == 0:
+            return pd_.Series([], dtype="object")
+        q = bc.value
+        x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
+        n = np_.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        s = np_.round((x / n[:, None]) @ q.T, 6)
+        return pd_.Series([row.tolist() for row in s])
+
+    bks = sorted({int(i) % n_buckets for i in ids})
+    sub = (vectors.filter(F.col("id_bucket").isin(bks)
+                          & F.col("id").isin([int(i) for i in ids]))
+           .select("id", _scores(F.col("vec")).alias("_s")))
+    return {int(r["id"]): list(r["_s"]) for r in sub.collect()}
+
+
+def nsw_knn_join(spark: SparkSession, path: str, queries,
+                 k: int = 10, ef: int | None = None, max_hops: int = 6,
+                 query_id: str = "query_id",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Batch beam search — :func:`nsw_topk` for a SET of queries
+    (assumed small, the knn_join broadcast contract): every hop shares
+    ONE partition-pruned edge scan over the union of all live beams'
+    frontiers and ONE pruned vector scan scoring the union of new
+    candidates against the whole query matrix (a single Arrow matmul —
+    per-query scans would pay the job overhead |Q| times).
+
+    ``queries`` is ``(ids, matrix)`` — a list of query ids and the
+    row-aligned vector matrix (the ivfpq_knn_join convention).
+
+    Returns (query_id, vec_id, score, rank): the final candidates are
+    re-served through the exact scorer (cosine HOF on the pruned
+    vector scan + per-query rank window), so scores, tie-breaks and
+    schema match the exact tier row-for-row. Beam state stays bounded
+    driver metadata per query — |Q| × (entries + max_hops·ef·2M)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qids, qmat = queries
+    Q = np.asarray(qmat, dtype=np.float64)
+    if len(qids) != Q.shape[0]:
+        raise ValueError(f"{len(qids)} query ids for {Q.shape[0]} rows")
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    ef = max(ef if ef is not None else 3 * k, k)
+    edges = spark.read.parquet(os.path.join(path, "edges"))
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    ent = _score_ids_batch(vectors, meta["entry_ids"], Qn, n_buckets)
+    visited = [dict() for _ in qids]           # per query: id -> score
+    for vid, scores in ent.items():
+        for qi in range(len(qids)):
+            visited[qi][vid] = scores[qi]
+    expanded = [set() for _ in qids]
+    hops = 0
+    while hops < max_hops:
+        frontiers = []
+        for qi in range(len(qids)):
+            beam = sorted(visited[qi].items(),
+                          key=lambda t: (-t[1], t[0]))[:ef]
+            frontiers.append([i for i, _ in beam
+                              if i not in expanded[qi]])
+        union = sorted({i for f in frontiers for i in f})
+        if not union:
+            break
+        hops += 1
+        bks = sorted({i % n_buckets for i in union})
+        adj = (edges.filter(F.col("src_bucket").isin(bks)
+                            & F.col("src_id").isin(union))
+               .select("src_id", "dst_id").collect())
+        nbrs: dict[int, list[int]] = {}
+        for r in adj:
+            nbrs.setdefault(int(r["src_id"]), []).append(int(r["dst_id"]))
+        new_per_q: list[set] = []
+        union_new: set[int] = set()
+        for qi in range(len(qids)):
+            cand = {d for s in frontiers[qi] for d in nbrs.get(s, ())
+                    if d not in visited[qi]}
+            expanded[qi].update(frontiers[qi])
+            new_per_q.append(cand)
+            union_new.update(cand)
+        if not union_new:
+            continue
+        scored = _score_ids_batch(vectors, sorted(union_new), Qn,
+                                  n_buckets)
+        for qi in range(len(qids)):
+            for vid in new_per_q[qi]:
+                if vid in scored:
+                    visited[qi][vid] = scored[vid][qi]
+    pairs = []
+    for qi, qid in enumerate(qids):
+        top = sorted(visited[qi].items(), key=lambda t: (-t[1], t[0]))[:k]
+        pairs += [(int(qid), int(vid)) for vid, _ in top]
+    if not pairs:
+        return spark.createDataFrame(
+            [], f"{query_id} long, {id_col} long, score double, rank int")
+    allowed = spark.createDataFrame(pairs, f"{query_id} long, _vid long")
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in Q[i]])
+         for i, qid in enumerate(qids)],
+        f"{query_id} long, _qv array<double>")
+    union_ids = sorted({p[1] for p in pairs})
+    bks = sorted({i % n_buckets for i in union_ids})
+    sub = vectors.filter(F.col("id_bucket").isin(bks)
+                         & F.col("id").isin(union_ids))
+    score = F.round(F.expr(cosine_expr("vec", "_qv")), ROUND_DP)
+    return (sub.join(F.broadcast(allowed), sub["id"] == F.col("_vid"))
+            .join(F.broadcast(qdf), query_id)
+            .select(query_id, F.col("id").alias(id_col),
+                    score.alias("score"))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy(query_id)
+                .orderBy(F.desc("score"), F.col(id_col)))))

@@ -1036,3 +1036,36 @@ def test_kruskal_wallis_hand_values(spark):
                                  "g string, v double")
     t = kruskal_wallis(tied, "g", "v", 5.991).collect()[0]
     assert t["h"] is None and not t["significant"]
+
+
+def test_nsw_batch_join_matches_single(spark, nsw_index):
+    """nsw_knn_join's vectorized beams reproduce nsw_topk per query
+    (ids AND exact-tier scores/ranks), meet the recall floor, and fill
+    to k — every hop shares one pruned edge scan and one pruned vector
+    scan across all queries."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.nsw import nsw_knn_join, nsw_topk
+    from flink_rag_spark.operators.similarity import cosine_topk
+    path, _, emb = nsw_index
+    qids = [7, 100, 333]
+    qvs = {q: list(emb.filter(F.col("vec_id") == q).first()["embedding"])
+           for q in qids}
+    out = nsw_knn_join(spark, path,
+                       (qids, np.asarray([qvs[q] for q in qids])), k=10)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["score"]))
+    for q in qids:
+        batch = [(v, s) for _, v, s in sorted(by_q[q])]
+        single = [(r["vec_id"], r["score"]) for r in
+                  nsw_topk(spark, path, qvs[q], k=10).collect()]
+        assert batch == single
+        exact = {r["vec_id"] for r in cosine_topk(emb, qvs[q],
+                                                  k=10).collect()}
+        assert len({v for v, _ in batch} & exact) / 10.0 >= 0.5
+        assert len(batch) == 10
+    with pytest.raises(ValueError):
+        nsw_knn_join(spark, path, (qids, np.zeros((2, 4))), k=10)
