@@ -727,7 +727,24 @@ def main() -> None:
                             "new families in the extras): total 11.18 "
                             "— the build's best, qps 312/686/350/247/"
                             "297, probe median_factor 1.17 — three "
-                            "runs 11.18/12.19/14.42 bracket the band"),
+                            "runs 11.18/12.19/14.42 bracket the band; "
+                            "r12 uncontended run: total 16.16, qps "
+                            "256/506/210/182/250, builds ann/ivfpq/"
+                            "dedup/text/nsw 8.8/9.8/5.2/2.8/10.0, nsw "
+                            "single-probe 3.0 (6 bounded hops, each 2 "
+                            "pruned scans — job-count-priced at this "
+                            "SF, I/O-priced at scale), probe "
+                            "median_factor 1.09; r12 new-family k=10 "
+                            "factors: all-matches 1.81, consumed 1.77, "
+                            "holt 1.36, logrank 1.61, hw 1.63, "
+                            "decay-attribution 2.77 (the window-bounded "
+                            "pair join), acf 2.45, and the rank/sort "
+                            "trio mwu 3.66 / gini 3.23 / spearman 4.06 "
+                            "— prefix sums and per-group sorts over "
+                            "10x the distinct values, still well "
+                            "under linear; an earlier CONTENDED r12 "
+                            "run (concurrent pytest) read 23.96 total "
+                            "— disregard, methodology note only"),
         }
 
     total = round(sum(timings.values()), 3)
