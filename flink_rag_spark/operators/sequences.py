@@ -1844,6 +1844,86 @@ FROM rows_ WHERE n_conversions > 0
 """
 
 
+
+# ------------------------------------------------- frequent event paths
+
+
+def frequent_paths(events: DataFrame, path_len: int,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   seq_col: str = "event_id",
+                   top_n: int = 20, sep: str = ">") -> DataFrame:
+    """Most common length-``path_len`` CONSECUTIVE event-type paths —
+    "what do users actually do in three steps?", the exploratory
+    complement of the funnel family (funnels test a GIVEN pattern;
+    this surfaces the patterns worth testing). Every window of
+    ``path_len`` consecutive events per key contributes one path
+    (types joined by ``sep``); output is the global top-``top_n`` by
+    (count DESC, path ASC) with the distinct-key reach alongside:
+    (path, n_occurrences, n_keys, rank).
+
+    Paths cross session boundaries by design — pre-filter to one
+    session (operators/sequences.py sessionization) for within-session
+    paths. Timestamp ties order by ``seq_col`` (the family's tie rule).
+
+    Plan at 100 TB: ONE per-key ordered window materializes the
+    path_len−1 leads (the ACF discipline — no self-joins), one
+    (path)-grouped count+distinct aggregate, and a
+    TakeOrderedAndProject top-N — no global sort of the path
+    universe."""
+    if path_len < 2:
+        raise ValueError(f"path_len must be >= 2, got {path_len}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    leads = events.select(
+        key_col, F.col(type_col).alias("_t0"),
+        *[F.lead(type_col, d).over(w).alias(f"_t{d}")
+          for d in range(1, path_len)])
+    path = F.concat_ws(sep, *[F.col(f"_t{d}")
+                              for d in range(path_len)])
+    agg = (leads.filter(F.col(f"_t{path_len - 1}").isNotNull())
+           .select(key_col, path.alias("path"))
+           .groupBy("path")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+                F.countDistinct(key_col).cast("bigint").alias("n_keys")))
+    top = (agg.orderBy(F.desc("n_occurrences"), F.col("path"))
+           .limit(top_n))
+    return top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("n_occurrences"), F.col("path"))))
+
+
+def frequent_paths_duck(path_len: int, key_col: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type",
+                        seq_col: str = "event_id", top_n: int = 20,
+                        sep: str = ">", table: str = "events") -> str:
+    """DuckDB mirror of :func:`frequent_paths`."""
+    over = f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col})"
+    leads = ", ".join(
+        f"LEAD({type_col}, {d}) {over} AS t{d}"
+        for d in range(1, path_len))
+    parts = ", ".join(["t0"] + [f"t{d}" for d in range(1, path_len)])
+    return f"""
+WITH leads AS (
+  SELECT {key_col}, {type_col} AS t0, {leads}
+  FROM {table}),
+paths AS (
+  SELECT {key_col}, concat_ws({_q(sep)}, {parts}) AS path
+  FROM leads WHERE t{path_len - 1} IS NOT NULL),
+agg AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT {key_col}) AS BIGINT) AS n_keys
+  FROM paths GROUP BY path)
+SELECT path, n_occurrences, n_keys,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+            AS INT) AS rank
+FROM agg
+ORDER BY n_occurrences DESC, path
+LIMIT {top_n}
+"""
+
+
 # ------------------------------------------------------ sessionization
 
 def sessionize(events: DataFrame, gap_seconds: int,

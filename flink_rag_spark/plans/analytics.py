@@ -1251,3 +1251,19 @@ def kw_order_price_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.hypothesis import kruskal_wallis
     j = _orders_with_region(spark, sf_dir)
     return kruskal_wallis(j, "r_name", "o_totalprice", CHI2_CRIT_DOF4)
+
+
+#: path length + report size for the frequent-paths catalog query
+PATHS_LEN = 3
+PATHS_TOP_N = 25
+
+
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event paths (operators/sequences.py frequent_paths):
+    the 25 most common 3-step consecutive event-type sequences — the
+    exploratory complement of the funnel family (surfaces the patterns
+    worth funnel-testing). One ordered window + one grouped count +
+    TakeOrderedAndProject."""
+    from flink_rag_spark.operators.sequences import frequent_paths
+    e = load_table(spark, sf_dir, "events")
+    return frequent_paths(e, PATHS_LEN, top_n=PATHS_TOP_N)

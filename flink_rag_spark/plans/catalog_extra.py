@@ -81,6 +81,7 @@ def extra_queries() -> list[tuple]:
         all_funnel_matches_duck,
         cohort_retention_duck,
         first_touch_attribution_duck,
+        frequent_paths_duck,
         time_decay_attribution_duck,
         ushaped_attribution_duck,
         consecutive_funnel_times_duck,
@@ -1949,6 +1950,12 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # round-12: time-decay attribution — recency-weighted credit
         # 2^(−gap/half_life) within an attribution window riding the
         # join condition (sequences.time_decay_attribution)
+        # round-12: frequent event paths — consecutive event-type
+        # n-grams, the exploratory complement of the funnel family
+        # (sequences.frequent_paths)
+        ("frequent_event_paths", A.frequent_event_paths,
+         frequent_paths_duck(A.PATHS_LEN, top_n=A.PATHS_TOP_N),
+         ("sequence", "window", "topk")),
         ("purchase_attribution_decay", A.purchase_attribution_decay,
          time_decay_attribution_duck(
              A.ATTR_TOUCHES, A.ATTR_CONVERSION,

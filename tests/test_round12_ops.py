@@ -1069,3 +1069,35 @@ def test_nsw_batch_join_matches_single(spark, nsw_index):
         assert len(batch) == 10
     with pytest.raises(ValueError):
         nsw_knn_join(spark, path, (qids, np.zeros((2, 4))), k=10)
+
+
+def test_frequent_paths_hand_values(spark):
+    """Consecutive event-type n-grams counted globally with
+    distinct-key reach; (count DESC, path ASC) ranking; paths need the
+    full window (trailing events emit nothing); validation."""
+    from flink_rag_spark.operators.sequences import (frequent_paths,
+                                                     frequent_paths_duck)
+    rows = [(1, 1, "u1", "A"), (2, 2, "u1", "B"), (3, 3, "u1", "C"),
+            (4, 4, "u1", "A"), (5, 5, "u1", "B"),
+            (6, 1, "u2", "A"), (7, 2, "u2", "B"), (8, 3, "u2", "X")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, user_id string, "
+        "event_type string")
+    out = [(r["path"], r["n_occurrences"], r["n_keys"], r["rank"])
+           for r in frequent_paths(df, 2, top_n=5).collect()]
+    assert out == [("A>B", 3, 2, 1), ("B>C", 1, 1, 2),
+                   ("B>X", 1, 1, 3), ("C>A", 1, 1, 4)]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i},{t},'{u}','{ty}')" for (i, t, u, ty) in rows)
+    con.execute(f"CREATE TABLE events AS SELECT * FROM (VALUES {vals}) "
+                "x(event_id, ts, user_id, event_type)")
+    d = con.execute(frequent_paths_duck(2, top_n=5)).fetchdf()
+    assert [(r.path, r.n_occurrences, r.n_keys, r.rank)
+            for r in d.itertuples()] == out
+    # length-3 paths: u1 has A>B>C, B>C>A, C>A>B; u2 has A>B>X
+    p3 = {r["path"] for r in frequent_paths(df, 3, top_n=10).collect()}
+    assert p3 == {"A>B>C", "B>C>A", "C>A>B", "A>B>X"}
+    with pytest.raises(ValueError):
+        frequent_paths(df, 1)
+    with pytest.raises(ValueError):
+        frequent_paths(df, 2, top_n=0)
