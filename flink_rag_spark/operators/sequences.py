@@ -1875,6 +1875,10 @@ def frequent_paths(events: DataFrame, path_len: int,
         raise ValueError(f"path_len must be >= 2, got {path_len}")
     if top_n < 1:
         raise ValueError(f"top_n must be >= 1, got {top_n}")
+    # NULL-typed events drop BEFORE the lead pass: concat_ws silently
+    # skips NULLs, which would otherwise count a shortened (L−1)-path
+    # as a full L-path
+    events = events.filter(F.col(type_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
     leads = events.select(
         key_col, F.col(type_col).alias("_t0"),
@@ -1907,7 +1911,7 @@ def frequent_paths_duck(path_len: int, key_col: str = "user_id",
     return f"""
 WITH leads AS (
   SELECT {key_col}, {type_col} AS t0, {leads}
-  FROM {table}),
+  FROM {table} WHERE {type_col} IS NOT NULL),
 paths AS (
   SELECT {key_col}, concat_ws({_q(sep)}, {parts}) AS path
   FROM leads WHERE t{path_len - 1} IS NOT NULL),

@@ -1097,6 +1097,14 @@ def test_frequent_paths_hand_values(spark):
     # length-3 paths: u1 has A>B>C, B>C>A, C>A>B; u2 has A>B>X
     p3 = {r["path"] for r in frequent_paths(df, 3, top_n=10).collect()}
     assert p3 == {"A>B>C", "B>C>A", "C>A>B", "A>B>X"}
+    # NULL-typed events drop BEFORE pairing: concat_ws would otherwise
+    # silently shorten the path and count it as full-length
+    holey = spark.createDataFrame(
+        [(1, 1, "u", "A"), (2, 2, "u", None), (3, 3, "u", "B")],
+        "event_id bigint, ts bigint, user_id string, event_type string")
+    hp = [(r["path"], r["n_occurrences"]) for r in
+          frequent_paths(holey, 2, top_n=5).collect()]
+    assert hp == [("A>B", 1)]   # never a bare "A" or "B" pseudo-path
     with pytest.raises(ValueError):
         frequent_paths(df, 1)
     with pytest.raises(ValueError):
