@@ -379,7 +379,8 @@ def main() -> None:
              "user_value_hw_forecast",
              "purchase_attribution_first", "purchase_attribution_decay",
              "spearman_quantity_price", "user_value_decomposition",
-             "kw_order_price_regions", "frequent_event_paths"]
+             "kw_order_price_regions", "frequent_event_paths",
+             "embedding_drift_labels"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -149,3 +149,145 @@ SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
        ROUND(SUM(psi_term) OVER (), {ROUND_DP}) AS psi_total
 FROM terms
 """
+
+
+# ------------------------------------ embedding-space (semantic) drift
+
+EMB_DRIFT_TERM_DP = 9
+EMB_DRIFT_DP = 6
+EMB_DRIFT_DEC = "decimal(20,6)"
+
+
+def embedding_drift(ref: DataFrame, cur: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Semantic drift between two embedded corpus slices — "did the
+    MEANING of the corpus move?", the vector-space complement of PSI's
+    scalar binning and the KS test's scalar ECDF (a corpus can drift
+    semantically while every scalar feature's distribution holds):
+
+    * ``centroid_cosine`` — cosine between the two slices' mean
+      vectors (1 = same direction; the headline drift number),
+    * ``centroid_l2`` — the Euclidean distance between the centroids,
+    * ``mean_norm_ref`` / ``mean_norm_cur`` — the centroid magnitudes
+      (a shrinking centroid with stable norms = rising dispersion).
+
+    Output ONE row: (n_ref, n_cur, centroid_cosine, centroid_l2,
+    mean_norm_ref, mean_norm_cur).
+
+    Exactness: vector components quantize to DECIMAL(20,6) (the
+    corr_matrix discipline) and the per-dimension sums are exact
+    decimals inside ONE posexplode + aggregate per side, so the
+    centroids are bit-stable under any partitioning; the |dims|-row
+    dot/norm terms quantize to 9-dp DECIMAL before their bounded sums,
+    and the final quotients round at 6 dp. NULL and empty vectors are
+    excluded; mixed dimensionalities raise (a dims mismatch between
+    slices means the comparison is meaningless).
+
+    Plan at 100 TB: one narrow posexplode + partial+final aggregate
+    per slice (the only full-data work — |dims|·n rows but each row is
+    (int, decimal)), then everything runs on a ≤|dims|-row frame."""
+    def _dim_sums(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(vec_col)
+        ex = (df.filter(v.isNotNull() & (F.size(v) > 0))
+              .select(F.posexplode(v).alias("dim", "_x")))
+        return (ex.groupBy("dim")
+                .agg(F.sum(F.col("_x").cast("double")
+                           .cast(EMB_DRIFT_DEC)).alias(f"_s_{side}"),
+                     F.count(F.lit(1)).alias(f"_n_{side}")))
+    a = _dim_sums(ref, "a")
+    b = _dim_sums(cur, "b")
+    j = a.join(b, "dim", "full")
+    # a dim present on one side only = mixed dimensionality
+    bad = j.filter(F.col("_s_a").isNull() | F.col("_s_b").isNull())
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "embedding_drift: slices have different dimensionalities")
+    na = F.col("_n_a").cast("double")
+    nb = F.col("_n_b").cast("double")
+    ma = F.col("_s_a").cast("double") / na
+    mb = F.col("_s_b").cast("double") / nb
+    dec9 = f"decimal(30,{EMB_DRIFT_TERM_DP})"
+    terms = j.select(
+        F.col("_n_a").alias("_na"), F.col("_n_b").alias("_nb"),
+        F.round(ma * mb, EMB_DRIFT_TERM_DP).cast(dec9).alias("_ab"),
+        F.round(ma * ma, EMB_DRIFT_TERM_DP).cast(dec9).alias("_aa"),
+        F.round(mb * mb, EMB_DRIFT_TERM_DP).cast(dec9).alias("_bb"),
+        F.round((ma - mb) * (ma - mb), EMB_DRIFT_TERM_DP).cast(dec9)
+        .alias("_d2"))
+    agg = terms.agg(
+        F.max("_na").cast("bigint").alias("n_ref"),
+        F.max("_nb").cast("bigint").alias("n_cur"),
+        F.sum("_ab").alias("_sab"), F.sum("_aa").alias("_saa"),
+        F.sum("_bb").alias("_sbb"), F.sum("_d2").alias("_sd2"))
+    saa = F.col("_saa").cast("double")
+    sbb = F.col("_sbb").cast("double")
+    cos = F.when((saa > 0) & (sbb > 0),
+                 F.col("_sab").cast("double") / F.sqrt(saa * sbb))
+    return agg.select(
+        "n_ref", "n_cur",
+        F.round(cos, EMB_DRIFT_DP).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_sd2").cast("double")), EMB_DRIFT_DP)
+        .alias("centroid_l2"),
+        F.round(F.sqrt(saa), EMB_DRIFT_DP).alias("mean_norm_ref"),
+        F.round(F.sqrt(sbb), EMB_DRIFT_DP).alias("mean_norm_cur"))
+
+
+def embedding_drift_duck(ref_sql: str, cur_sql: str,
+                         vec_col: str = "embedding") -> str:
+    """DuckDB mirror of :func:`embedding_drift` — same DECIMAL(20,6)
+    component quantization, same 9-dp centroid-term quantization."""
+    dp, odp = EMB_DRIFT_TERM_DP, EMB_DRIFT_DP
+
+    def dim_sums(sql, side):
+        # the catalog's positional-unnest idiom (WITH ORDINALITY is
+        # unimplemented in this DuckDB): a lateral index range +
+        # 1-based list subscript
+        return f"""
+  SELECT i.dim,
+         SUM(CAST(CAST(t.{vec_col}[i.dim] AS DOUBLE)
+                  AS DECIMAL(20,6))) AS s_{side},
+         COUNT(*) AS n_{side}
+  FROM ({sql}) t,
+       LATERAL (SELECT UNNEST(range(1, len(t.{vec_col}) + 1))
+                AS dim) i
+  WHERE t.{vec_col} IS NOT NULL AND len(t.{vec_col}) > 0
+  GROUP BY i.dim"""
+    return f"""
+WITH da AS ({dim_sums(ref_sql, "a")}),
+db AS ({dim_sums(cur_sql, "b")}),
+j AS (SELECT da.dim, s_a, n_a, s_b, n_b
+      FROM da JOIN db ON da.dim = db.dim),
+terms AS (
+  SELECT n_a, n_b,
+         CAST(ROUND((CAST(s_a AS DOUBLE) / n_a)
+                    * (CAST(s_b AS DOUBLE) / n_b), {dp})
+              AS DECIMAL(30,{dp})) AS ab,
+         CAST(ROUND((CAST(s_a AS DOUBLE) / n_a)
+                    * (CAST(s_a AS DOUBLE) / n_a), {dp})
+              AS DECIMAL(30,{dp})) AS aa,
+         CAST(ROUND((CAST(s_b AS DOUBLE) / n_b)
+                    * (CAST(s_b AS DOUBLE) / n_b), {dp})
+              AS DECIMAL(30,{dp})) AS bb,
+         CAST(ROUND((CAST(s_a AS DOUBLE) / n_a
+                     - CAST(s_b AS DOUBLE) / n_b)
+                    * (CAST(s_a AS DOUBLE) / n_a
+                       - CAST(s_b AS DOUBLE) / n_b), {dp})
+              AS DECIMAL(30,{dp})) AS d2
+  FROM j),
+agg AS (
+  SELECT CAST(MAX(n_a) AS BIGINT) AS n_ref,
+         CAST(MAX(n_b) AS BIGINT) AS n_cur,
+         SUM(ab) AS sab, SUM(aa) AS saa, SUM(bb) AS sbb,
+         SUM(d2) AS sd2
+  FROM terms)
+SELECT n_ref, n_cur,
+       ROUND(CASE WHEN CAST(saa AS DOUBLE) > 0
+                   AND CAST(sbb AS DOUBLE) > 0
+             THEN CAST(sab AS DOUBLE)
+                  / SQRT(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))
+             END, {odp}) AS centroid_cosine,
+       ROUND(SQRT(CAST(sd2 AS DOUBLE)), {odp}) AS centroid_l2,
+       ROUND(SQRT(CAST(saa AS DOUBLE)), {odp}) AS mean_norm_ref,
+       ROUND(SQRT(CAST(sbb AS DOUBLE)), {odp}) AS mean_norm_cur
+FROM agg
+"""

@@ -1267,3 +1267,15 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rag_spark.operators.sequences import frequent_paths
     e = load_table(spark, sf_dir, "events")
     return frequent_paths(e, PATHS_LEN, top_n=PATHS_TOP_N)
+
+
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) drift (operators/drift.py
+    embedding_drift): did the low-label half of the corpus embed
+    somewhere else than the high-label half? Centroid cosine + L2 from
+    exact per-dimension decimal sums — the vector-space complement of
+    PSI/KS scalar drift."""
+    from flink_rag_spark.operators.drift import embedding_drift
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(e.filter(F.col("label") < 5),
+                           e.filter(F.col("label") >= 5))

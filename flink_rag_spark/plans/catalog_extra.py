@@ -73,7 +73,8 @@ def extra_queries() -> list[tuple]:
         stratified_sample_duck,
         temperature_mixture_duck,
     )
-    from flink_rag_spark.operators.drift import psi_drift_duck
+    from flink_rag_spark.operators.drift import (embedding_drift_duck,
+                                                 psi_drift_duck)
     from flink_rag_spark.operators.importance import dsir_select_duck
     from flink_rag_spark.operators.linkage import (fuzzy_self_pairs_duck,
                                                    golden_records_duck)
@@ -1901,6 +1902,14 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # round-12: Kruskal-Wallis k-group rank test — midranks via
         # the distributed prefix sum, tie-corrected H, threshold
         # verdict (hypothesis.kruskal_wallis)
+        # round-12: embedding-space drift — centroid cosine/L2 from
+        # exact per-dimension decimal sums; the vector-space complement
+        # of PSI/KS scalar drift (drift.embedding_drift)
+        ("embedding_drift_labels", A.embedding_drift_labels,
+         embedding_drift_duck(
+             "SELECT embedding FROM embeddings WHERE label < 5",
+             "SELECT embedding FROM embeddings WHERE label >= 5"),
+         ("drift", "similarity", "stats")),
         ("kw_order_price_regions", A.kw_order_price_regions,
          kruskal_wallis_duck(
              f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",

@@ -1109,3 +1109,36 @@ def test_frequent_paths_hand_values(spark):
         frequent_paths(df, 1)
     with pytest.raises(ValueError):
         frequent_paths(df, 2, top_n=0)
+
+
+def test_embedding_drift_hand_values(spark):
+    """Orthogonal centroids score cosine 0 with L2 = √5; identical
+    slices score cosine 1 with L2 = 0; NULL vectors excluded; a
+    dimensionality mismatch raises; duck mirror identical."""
+    from flink_rag_spark.operators.drift import (embedding_drift,
+                                                 embedding_drift_duck)
+    ref = spark.createDataFrame([([1.0, 0.0],), ([1.0, 0.0],), (None,)],
+                                "embedding array<double>")
+    cur = spark.createDataFrame([([0.0, 2.0],)],
+                                "embedding array<double>")
+    out = embedding_drift(ref, cur).collect()[0]
+    assert (out["n_ref"], out["n_cur"]) == (2, 1)
+    assert out["centroid_cosine"] == 0.0
+    assert out["centroid_l2"] == 2.236068      # sqrt(5)
+    assert out["mean_norm_ref"] == 1.0 and out["mean_norm_cur"] == 2.0
+    same = embedding_drift(ref, ref).collect()[0]
+    assert same["centroid_cosine"] == 1.0 and same["centroid_l2"] == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r AS SELECT * FROM (VALUES ([1.0,0.0]),"
+                "([1.0,0.0]),(NULL)) t(embedding)")
+    con.execute("CREATE TABLE c AS SELECT * FROM (VALUES ([0.0,2.0])) "
+                "t(embedding)")
+    d = con.execute(embedding_drift_duck(
+        "SELECT embedding FROM r",
+        "SELECT embedding FROM c")).fetchdf()
+    assert d["centroid_cosine"][0] == 0.0
+    assert d["centroid_l2"][0] == 2.236068
+    bad = spark.createDataFrame([([1.0, 0.0, 3.0],)],
+                                "embedding array<double>")
+    with pytest.raises(ValueError):
+        embedding_drift(ref, bad)
