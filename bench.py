@@ -380,7 +380,7 @@ def main() -> None:
              "purchase_attribution_first", "purchase_attribution_decay",
              "spearman_quantity_price", "user_value_decomposition",
              "kw_order_price_regions", "frequent_event_paths",
-             "embedding_drift_labels"]
+             "embedding_drift_labels", "rbo_bm25_vs_lm"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

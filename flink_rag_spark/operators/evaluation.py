@@ -264,3 +264,125 @@ SELECT s.{id_col},
 FROM (SELECT DISTINCT {id_col} FROM src) s
 LEFT JOIN agg a USING ({id_col})
 """
+
+
+# --------------------------------------- rank-biased overlap (RBO)
+
+RBO_P = 0.9
+RBO_W_DP = 12
+RBO_DP = 6
+
+
+def _rbo_weights(p: float, k: int) -> list[tuple[int, str]]:
+    """(depth, weight) with weight = (1−p)·p^{d−1}/d quantized to
+    12-dp literals — Python-precomputed so neither engine's POWER runs
+    (the SES weight-table discipline)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    out = []
+    for d in range(1, k + 1):
+        w = (1.0 - p) * (p ** (d - 1)) / d
+        out.append((d, str(Decimal(w).quantize(
+            Decimal(f"1e-{RBO_W_DP}"), rounding=ROUND_HALF_UP))))
+    return out
+
+
+def rbo_overlap(run_a: DataFrame, run_b: DataFrame, depth: int,
+                p: float = RBO_P,
+                query_id: str = "query_id", id_col: str = "doc_id",
+                rank_col: str = "rank") -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    per-query rankings — "how similar are these two retrieval tiers'
+    result LISTS?", where recall@k (``eval_ranking``) scores each
+    against ground truth and set overlap ignores order. The truncated
+    lower bound RBO_min = Σ_{d≤depth} (1−p)·p^{d−1}·|A_:d ∩ B_:d|/d —
+    top-weighted (p the persistence: 0.9 ≈ the top 10 carry ~86% of
+    the weight), 1 = identical prefixes, 0 = disjoint.
+
+    Output: (query_id, rbo) per query present in EITHER run.
+
+    Exactness: an id's contribution switches on at depth
+    m = max(rank_a, rank_b) — so overlap-at-depth is one cumulative
+    count over the ≤depth-row m-frame, and RBO = Σ_d w_d·C(d) with
+    Python-precomputed 12-dp DECIMAL weights (no engine POWER): every
+    term is an exact decimal product, rounded at 6 dp in decimal
+    space.
+
+    Plan at 100 TB: one full-outer id join of the two runs (both ≤
+    depth rows per query), one ≤depth-row-per-query cumulative window,
+    one broadcast weight join, one aggregate — all on the query-id
+    partitioning."""
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    from decimal import Decimal
+    spark = run_a.sparkSession
+    wdec = f"decimal(14,{RBO_W_DP})"
+    wtab = F.broadcast(spark.createDataFrame(
+        [(d, Decimal(w)) for d, w in _rbo_weights(p, depth)],
+        f"_d int, _w {wdec}"))
+    a = (run_a.filter(F.col(rank_col) <= depth)
+         .select(query_id, id_col, F.col(rank_col).alias("_ra")))
+    b = (run_b.filter(F.col(rank_col) <= depth)
+         .select(query_id, id_col, F.col(rank_col).alias("_rb")))
+    m = (a.join(b, [query_id, id_col], "full")
+         .select(query_id,
+                 F.greatest(F.coalesce("_ra", F.lit(depth + 1)),
+                            F.coalesce("_rb", F.lit(depth + 1)))
+                 .alias("_m"))
+         .filter(F.col("_m") <= depth)
+         .groupBy(query_id, "_m").agg(F.count(F.lit(1)).alias("_c")))
+    # C(d) = Σ_{m ≤ d} cnt(m): join the ≤depth weight frame and count
+    # every m ≤ d — one bounded join per query instead of a window +
+    # per-depth densification
+    contrib = (m.join(wtab, m["_m"] <= wtab["_d"])
+               .select(query_id,
+                       (F.col("_w") * F.col("_c").cast("decimal(10,0)"))
+                       .alias("_t")))
+    # queries in either run but with zero overlap still emit rbo = 0
+    qs = (a.select(query_id).unionByName(b.select(query_id)).distinct())
+    out = (qs.join(contrib.groupBy(query_id)
+                   .agg(F.sum("_t").alias("_s")), query_id, "left"))
+    return out.select(
+        query_id,
+        F.round(F.coalesce(F.col("_s"),
+                           F.lit(0).cast(f"decimal(14,{RBO_W_DP})")),
+                RBO_DP).cast("double").alias("rbo"))
+
+
+def rbo_overlap_duck(a_sql: str, b_sql: str, depth: int,
+                     p: float = RBO_P,
+                     query_id: str = "query_id", id_col: str = "doc_id",
+                     rank_col: str = "rank") -> str:
+    """DuckDB mirror of :func:`rbo_overlap` — the same literal weight
+    table, the same max-rank switch-on depths."""
+    wvals = ", ".join(f"({d}, {w})" for d, w in _rbo_weights(p, depth))
+    dp = RBO_W_DP
+    return f"""
+WITH rbo_w (d, w) AS (
+  SELECT d, CAST(w AS DECIMAL(14,{dp}))
+  FROM (VALUES {wvals}) t(d, w)),
+ra AS (SELECT {query_id}, {id_col}, {rank_col} AS r FROM ({a_sql})
+       WHERE {rank_col} <= {depth}),
+rb AS (SELECT {query_id}, {id_col}, {rank_col} AS r FROM ({b_sql})
+       WHERE {rank_col} <= {depth}),
+m AS (
+  SELECT COALESCE(ra.{query_id}, rb.{query_id}) AS {query_id},
+         GREATEST(COALESCE(ra.r, {depth + 1}),
+                  COALESCE(rb.r, {depth + 1})) AS m
+  FROM ra FULL JOIN rb
+    ON ra.{query_id} = rb.{query_id} AND ra.{id_col} = rb.{id_col}),
+cnt AS (
+  SELECT {query_id}, m, COUNT(*) AS c FROM m
+  WHERE m <= {depth} GROUP BY {query_id}, m),
+contrib AS (
+  SELECT {query_id}, SUM(w.w * CAST(c.c AS DECIMAL(10,0))) AS s
+  FROM cnt c JOIN rbo_w w ON c.m <= w.d
+  GROUP BY {query_id}),
+qs AS (SELECT DISTINCT {query_id} FROM ra
+       UNION SELECT DISTINCT {query_id} FROM rb)
+SELECT qs.{query_id},
+       CAST(ROUND(COALESCE(contrib.s, CAST(0 AS DECIMAL(14,{dp}))),
+                  {RBO_DP}) AS DOUBLE) AS rbo
+FROM qs LEFT JOIN contrib ON contrib.{query_id} = qs.{query_id}
+"""

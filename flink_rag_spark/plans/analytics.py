@@ -1279,3 +1279,25 @@ def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_drift(e.filter(F.col("label") < 5),
                            e.filter(F.col("label") >= 5))
+
+
+#: RBO depth + persistence for the scorer-agreement catalog query
+RBO_DEPTH = 15
+
+
+def rbo_bm25_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (operators/evaluation.py rbo_overlap)
+    between the BM25 and LM-Dirichlet top-15 lists for the shared term
+    query — "do the two lexical scorers agree, weighted toward the
+    top?"; the list-similarity complement of eval_ranking's
+    ground-truth metrics. Both rankings are exact and SQL-replayable,
+    so the whole composition hash-verifies."""
+    from flink_rag_spark.operators.evaluation import rbo_overlap
+    from flink_rag_spark.plans import llm
+    a = (llm.bm25_topk_docs(spark, sf_dir)
+         .select(F.lit(1).cast("bigint").alias("query_id"),
+                 "doc_id", "rank"))
+    b = (llm.lm_dirichlet_topk_docs(spark, sf_dir)
+         .select(F.lit(1).cast("bigint").alias("query_id"),
+                 "doc_id", "rank"))
+    return rbo_overlap(a, b, depth=RBO_DEPTH)

@@ -104,6 +104,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.diffing import snapshot_diff_duck
     from flink_rag_spark.operators.evaluation import (
         answer_grounding_duck,
+        rbo_overlap_duck,
         roc_auc_duck,
     )
     from flink_rag_spark.operators.graph import pagerank_duck
@@ -914,6 +915,10 @@ SELECT query_id, doc_id FROM ranked WHERE er <= {llm.EVAL_K}""")
         run_sql = (base + f"""
 SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
         return eval_ranking_duck(run_sql, qrels_sql, k=llm.EVAL_K)
+
+    from flink_rag_spark.operators.ranking import lm_dirichlet_topk_duck
+    _oracle_bm25_15 = _oracle_bm25(15)
+    _lm_duck_15 = lm_dirichlet_topk_duck(llm.BM25_QUERY_TERMS, k=15)
 
     return [
         ("agg_orders_by_status", R.agg_orders_by_status,
@@ -1905,6 +1910,17 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         # round-12: embedding-space drift — centroid cosine/L2 from
         # exact per-dimension decimal sums; the vector-space complement
         # of PSI/KS scalar drift (drift.embedding_drift)
+        # round-12: rank-biased overlap — top-weighted list agreement
+        # between the two exact lexical scorers; Python-literal RBO
+        # weights, max-rank switch-on depths (evaluation.rbo_overlap)
+        ("rbo_bm25_vs_lm", A.rbo_bm25_vs_lm,
+         rbo_overlap_duck(
+             "SELECT 1 AS query_id, doc_id, \"rank\" FROM ("
+             + _oracle_bm25_15 + ")",
+             "SELECT 1 AS query_id, doc_id, \"rank\" FROM ("
+             + _lm_duck_15 + ")",
+             A.RBO_DEPTH, rank_col='"rank"'),
+         ("evaluation", "ranking", "stats")),
         ("embedding_drift_labels", A.embedding_drift_labels,
          embedding_drift_duck(
              "SELECT embedding FROM embeddings WHERE label < 5",

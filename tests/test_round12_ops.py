@@ -1142,3 +1142,35 @@ def test_embedding_drift_hand_values(spark):
                                 "embedding array<double>")
     with pytest.raises(ValueError):
         embedding_drift(ref, bad)
+
+
+def test_rbo_hand_values(spark):
+    """Identical prefixes → Σ(1−p)p^{d−1}; disjoint → 0; a top-2 swap
+    switches its ids on at depth 2 (C = 0, 2, 3 → exactly 0.375 at
+    p = 0.5, depth 3); queries present in either run always emit;
+    validation; duck parity."""
+    from flink_rag_spark.operators.evaluation import (rbo_overlap,
+                                                      rbo_overlap_duck)
+    schema = "query_id long, doc_id long, rank long"
+    a = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (1, 103, 3)], schema)
+    same = rbo_overlap(a, a, 3, p=0.5).collect()[0]
+    assert same["rbo"] == 0.875              # 0.5 + 0.25 + 0.125
+    disj = spark.createDataFrame(
+        [(1, 201, 1), (1, 202, 2), (1, 203, 3)], schema)
+    assert rbo_overlap(a, disj, 3, p=0.5).collect()[0]["rbo"] == 0.0
+    perm = spark.createDataFrame(
+        [(1, 102, 1), (1, 101, 2), (1, 103, 3)], schema)
+    assert rbo_overlap(a, perm, 3, p=0.5).collect()[0]["rbo"] == 0.375
+    con = duckdb.connect()
+    con.execute("CREATE TABLE A AS SELECT * FROM (VALUES (1,101,1),"
+                "(1,102,2),(1,103,3)) t(query_id, doc_id, rank)")
+    con.execute("CREATE TABLE B AS SELECT * FROM (VALUES (1,102,1),"
+                "(1,101,2),(1,103,3)) t(query_id, doc_id, rank)")
+    d = con.execute(rbo_overlap_duck(
+        "SELECT * FROM A", "SELECT * FROM B", 3, p=0.5)).fetchdf()
+    assert d["rbo"][0] == 0.375
+    with pytest.raises(ValueError):
+        rbo_overlap(a, a, 0)
+    with pytest.raises(ValueError):
+        rbo_overlap(a, a, 3, p=1.0)
