@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 
 ROUND_DP = 6
 PSI_EPS = 1e-6
@@ -196,10 +197,16 @@ def embedding_drift(ref: DataFrame, cur: DataFrame,
                      F.count(F.lit(1)).alias(f"_n_{side}")))
     a = _dim_sums(ref, "a")
     b = _dim_sums(cur, "b")
-    j = a.join(b, "dim", "full")
+    # persist the ≤|dims|-row joined frame BEFORE the eager
+    # dimensionality check: without it the check would execute both
+    # full-data posexplode aggregates and the returned DataFrame would
+    # re-run them — doubling the documented one-pass-per-slice plan
+    j = (a.join(b, "dim", "full")
+         .persist(StorageLevel.MEMORY_AND_DISK))
     # a dim present on one side only = mixed dimensionality
     bad = j.filter(F.col("_s_a").isNull() | F.col("_s_b").isNull())
     if bad.limit(1).count() > 0:
+        j.unpersist()
         raise ValueError(
             "embedding_drift: slices have different dimensionalities")
     na = F.col("_n_a").cast("double")
@@ -255,13 +262,21 @@ def embedding_drift_duck(ref_sql: str, cur_sql: str,
     return f"""
 WITH da AS ({dim_sums(ref_sql, "a")}),
 db AS ({dim_sums(cur_sql, "b")}),
-j AS (SELECT da.dim, s_a, n_a, s_b, n_b
-      FROM da JOIN db ON da.dim = db.dim),
+j AS (SELECT COALESCE(da.dim, db.dim) AS dim, s_a, n_a, s_b, n_b
+      FROM da FULL JOIN db ON da.dim = db.dim),
 terms AS (
+  -- a one-sided dim = mixed dimensionality; surface it as an error
+  -- exactly like the Spark contract instead of silently dropping
+  -- dims. The guard lives INSIDE ab (which feeds the output's sab)
+  -- so the optimizer cannot prune it away unevaluated.
   SELECT n_a, n_b,
+         CASE WHEN s_a IS NULL OR s_b IS NULL
+              THEN error('embedding_drift: slices have different '
+                         || 'dimensionalities')
+         ELSE
          CAST(ROUND((CAST(s_a AS DOUBLE) / n_a)
                     * (CAST(s_b AS DOUBLE) / n_b), {dp})
-              AS DECIMAL(30,{dp})) AS ab,
+              AS DECIMAL(30,{dp})) END AS ab,
          CAST(ROUND((CAST(s_a AS DOUBLE) / n_a)
                     * (CAST(s_a AS DOUBLE) / n_a), {dp})
               AS DECIMAL(30,{dp})) AS aa,

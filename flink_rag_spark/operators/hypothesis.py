@@ -598,7 +598,7 @@ def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str,
     d12 = "decimal(12,0)"
     t = (F.col("na") + F.col("nb")).cast(d12)
     u2_term = (F.col("na").cast(d12)
-               * (F.lit(2) * F.col("cb") + F.col("nb")).cast("decimal(13,0)"))
+               * (F.lit(2) * F.col("cb") + F.col("nb")).cast("decimal(20,0)"))
     tie_term = t * t * t - t.cast("decimal(38,0)")
     agg = cb.agg(
         F.sum("na").cast("bigint").alias("n_a"),
@@ -648,7 +648,7 @@ agg AS (
   SELECT CAST(SUM(na) AS BIGINT) AS n_a,
          CAST(SUM(nb) AS BIGINT) AS n_b,
          SUM(CAST(na AS DECIMAL(12,0))
-             * CAST(2 * cb + nb AS DECIMAL(13,0))) AS u2,
+             * CAST(2 * cb + nb AS DECIMAL(20,0))) AS u2,
          SUM(CAST(na + nb AS DECIMAL(12,0))
              * CAST(na + nb AS DECIMAL(12,0))
              * CAST(na + nb AS DECIMAL(12,0))

@@ -292,7 +292,12 @@ def _score_ids_batch(vectors: DataFrame, ids: list[int],
         x = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in vs])
         n = np_.linalg.norm(x, axis=1)
         n[n == 0] = 1.0
-        s = np_.round((x / n[:, None]) @ q.T, 6)
+        s = (x / n[:, None]) @ q.T
+        # half-AWAY-FROM-ZERO at ROUND_DP, matching F.round's rule on
+        # the exact tier (np.round is half-to-even and a hardcoded 6
+        # would silently drift if ROUND_DP changed)
+        scale = 10.0 ** ROUND_DP
+        s = np_.sign(s) * np_.floor(np_.abs(s) * scale + 0.5) / scale
         return pd_.Series([row.tolist() for row in s])
 
     bks = sorted({int(i) % n_buckets for i in ids})

@@ -1045,10 +1045,19 @@ def seasonal_decompose(df: DataFrame, keys: list[str], ts_col: str,
 
     def _half_up(numer, denom):
         """sign(numer) · ((2|numer| + denom) DIV (2·denom)) — exact
-        half-away-from-zero integer division, positives only inside."""
-        a = F.abs(numer)
-        q = (F.lit(2) * a + denom).cast("bigint") / (F.lit(2) * denom)
-        q = F.floor(q).cast("bigint")
+        half-away-from-zero integer division, positives only inside.
+        The quotient runs through Spark's integral `div` on
+        DECIMAL(38,0) operands (truncation ≡ floor on positives), NOT
+        float division + floor: floor-of-double equals true integer
+        division only below ~2^53, and per-phase fixed-point sums
+        clear that well inside the documented value headroom. The
+        DECIMAL(38,0) arithmetic also keeps 2·|numer| itself exact
+        where BIGINT doubling would overflow."""
+        d38 = "decimal(38,0)"
+        a = F.abs(numer).cast(d38)
+        n2 = F.lit(2).cast(d38) * a + denom.cast(d38)
+        d2 = F.lit(2).cast(d38) * denom.cast(d38)
+        q = F.call_function("div", n2, d2)
         return F.when(numer < 0, -q).otherwise(q)
 
     base = base.withColumn("_ti", F.when(num2.isNotNull(),

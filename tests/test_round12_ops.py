@@ -1008,6 +1008,40 @@ def test_seasonal_decompose_halfup_boundary(spark):
             assert (a is None and b != b) or a == b, (i, col, a, b)
 
 
+def test_seasonal_decompose_large_magnitude_exact(spark):
+    """Fixed-point numerators PAST 2^53 still divide exactly: the
+    half-up quotient runs through integral `div` on DECIMAL(38,0), not
+    floor-of-double (which silently loses ulps above ~9e15 — the r12
+    ADVICE finding). Values ~5e9 at 1e-6 scale put the doubled MA
+    numerator at ~4e16; Spark must still match the mirror's integer
+    `//` bit for bit."""
+    from flink_rag_spark.operators.timeseries import (
+        seasonal_decompose, seasonal_decompose_duck)
+    # odd 1e-6-unit sums so quotients are NOT trivially exact in double
+    xs = [5000000000.000001 + i + (1 if i % 2 else -1)
+          for i in range(8)]
+    # express values exactly: build from integers to dodge repr noise
+    xs = [round(x, 6) for x in xs]
+    rows = [("u", i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows,
+                               "k string, t bigint, sq bigint, v double")
+    out = sorted([r.asDict() for r in
+                  seasonal_decompose(df, ["k"], "t", "v", "sq", 2,
+                                     value_scale=6).collect()],
+                 key=lambda r: r["t"])
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}',{i},{i2},{v!r})" for k, i, i2, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(seasonal_decompose_duck(
+        "SELECT k, t, sq, v FROM t", ["k"], "t", "v", "sq", 2,
+        value_scale=6) + " ORDER BY t").fetchdf()
+    for i in range(len(xs)):
+        for col in ("trend", "seasonal", "remainder"):
+            a, b = out[i][col], d[col][i]
+            assert (a is None and b != b) or a == b, (i, col, a, b)
+
+
 def test_kruskal_wallis_hand_values(spark):
     """Three groups with cross-group ties: midranks 1, 2.5, 2.5, 4, 5,
     6.5, 6.5, 8, 9, 10 → R = (7.5, 14, 33.5), tie groups {2:2, 5:2} →
@@ -1142,6 +1176,14 @@ def test_embedding_drift_hand_values(spark):
                                 "embedding array<double>")
     with pytest.raises(ValueError):
         embedding_drift(ref, bad)
+    # the mirror surfaces a dimensionality mismatch as an ERROR too
+    # (FULL join + error() guard), never by silently dropping dims
+    con.execute("CREATE TABLE b AS SELECT * FROM "
+                "(VALUES ([1.0,0.0,3.0])) t(embedding)")
+    with pytest.raises(Exception, match="dimensionalities"):
+        con.execute(embedding_drift_duck(
+            "SELECT embedding FROM r",
+            "SELECT embedding FROM b")).fetchdf()
 
 
 def test_rbo_hand_values(spark):
