@@ -492,17 +492,101 @@ def forget_in_ivfpq_index(spark: SparkSession, path: str, ids: list[int],
     return int(removed)
 
 
+def forget_in_nsw_index(spark: SparkSession, path: str,
+                        ids: list[int]) -> int:
+    """Remove documents from a persisted NSW graph index
+    (``nsw.build_nsw_index`` layout) so later probes can NEVER serve
+    them:
+
+    * their rows leave ``vectors/`` — the scoring surface; a candidate
+      with no vector row gets no score and cannot enter the beam or
+      the final top-k. ``id_bucket = pmod(id, n_buckets)`` makes the
+      touched partitions computable from the id list alone — no find
+      scan, the IVF-pass pruning discipline;
+    * their OUTGOING adjacency rows (and any dst-side rows co-located
+      in the same ``src_bucket=`` partitions) leave ``edges/`` — same
+      computable buckets;
+    * forgotten ENTRY points leave ``meta.json``; if the deletion
+      empties the entry list, the smallest surviving ids are promoted
+      (deterministic, bounded) so the graph stays probeable.
+
+    Dst-side edges in OTHER buckets stay DANGLING until the normal
+    rebuild cadence (`nsw.py` module docstring): a dangling neighbor
+    costs one wasted candidate lookup per hop — graceful recall/IO
+    degradation, never a served forgotten id. Reentrant: every pass is
+    a no-op on ids already gone. Returns rows removed
+    (vectors + edges)."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    ensure_runtime_confs(spark)
+    if not ids:
+        return 0
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    id_list = sorted({int(i) for i in ids})
+    bks = sorted({i % n_buckets for i in id_list})
+    removed = 0
+    vec_path = os.path.join(path, "vectors")
+    live_v = [b for b in bks
+              if os.path.exists(os.path.join(vec_path, f"id_bucket={b}"))]
+    if live_v:
+        hit = (spark.read.parquet(vec_path)
+               .filter(F.col("id_bucket").isin(live_v)))
+        n_before = hit.count()
+        kept = (hit.filter(~F.col("id").isin(id_list))
+                .repartition("id_bucket").localCheckpoint(eager=True))
+        n_kept = kept.count()
+        if n_kept < n_before:
+            removed += n_before - n_kept
+            _overwrite_partitions(spark, kept, vec_path, "id_bucket",
+                                  live_v)
+    edge_path = os.path.join(path, "edges")
+    live_e = [b for b in bks
+              if os.path.exists(os.path.join(edge_path, f"src_bucket={b}"))]
+    if live_e:
+        ehit = (spark.read.parquet(edge_path)
+                .filter(F.col("src_bucket").isin(live_e)))
+        n_before = ehit.count()
+        kept_e = (ehit.filter(~F.col("src_id").isin(id_list)
+                              & ~F.col("dst_id").isin(id_list))
+                  .repartition("src_bucket").localCheckpoint(eager=True))
+        n_kept = kept_e.count()
+        if n_kept < n_before:
+            removed += n_before - n_kept
+            _overwrite_partitions(spark, kept_e, edge_path, "src_bucket",
+                                  live_e)
+    gone = set(id_list)
+    entries = [int(e) for e in meta["entry_ids"] if int(e) not in gone]
+    if not entries and os.path.exists(vec_path):
+        entries = [int(r["id"]) for r in
+                   (spark.read.parquet(vec_path).select("id")
+                    .orderBy("id")
+                    .limit(max(1, len(meta["entry_ids"]))).collect())]
+    if entries != [int(e) for e in meta["entry_ids"]]:
+        meta["entry_ids"] = entries
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+    return int(removed)
+
+
 def forget_documents(spark: SparkSession, ids: list[int],
                      store_path: str | None = None,
                      text_index_path: str | None = None,
                      dedup_index_path: str | None = None,
                      ivf_index_path: str | None = None,
                      ivfpq_index_path: str | None = None,
+                     nsw_index_path: str | None = None,
                      store_id_col: str = "vec_id",
                      n_parts: int | None = None) -> dict[str, int]:
     """Right-to-be-forgotten across EVERY artifact holding a document:
     the bucketed vector store, the inverted text index, the dedup
-    index, and the IVF / IVF-PQ vector indexes — one call, each pass
+    index, and the IVF / IVF-PQ / NSW vector indexes — one call, each pass
     touching only the partitions that can contain the ids (see the
     per-artifact functions for the exact pruning). When the store is
     part of the call, the ids' vectors are fetched from it (bucket-
@@ -541,4 +625,6 @@ def forget_documents(spark: SparkSession, ids: list[int],
     if ivfpq_index_path is not None:
         out["ivfpq_rows"] = forget_in_ivfpq_index(spark, ivfpq_index_path,
                                                   ids, vectors)
+    if nsw_index_path is not None:
+        out["nsw_rows"] = forget_in_nsw_index(spark, nsw_index_path, ids)
     return out

@@ -40,7 +40,13 @@ budget to cross. Where it loses: build cost (the M-NN graph is a
 self-join; IVF assignment is a linear pass) and update locality
 (appends need neighbor recomputation; IVF appends are one cell each).
 Rebuild cadence therefore follows the compaction cadence
-(operators/maintenance.py), exactly like the IVF index.
+(operators/maintenance.py), exactly like the IVF index. Deletion does
+NOT wait for a rebuild: ``maintenance.forget_in_nsw_index`` removes the
+ids' vector rows (the scoring surface — an id with no vector row can
+never enter the beam or the top-k), their outgoing adjacency, and
+their entry-point slots, all bucket-pruned; dst-side edges in other
+buckets stay dangling until the rebuild — one wasted candidate lookup
+per hop, graceful degradation, never a served forgotten id.
 
 Determinism: centroid training is seeded (`ivf_centroids`), assignment
 argmins break ties by cell id, per-src ranking breaks ties by
