@@ -1164,6 +1164,174 @@ def consumed_funnel_matches_duck(steps: list[str], max_matches: int,
             + "\nUNION ALL\n".join(parts))
 
 
+def _skip_phys_index(steps: list, skip_step: int, position: str
+                     ) -> tuple[list, list[int], int]:
+    """Resolve a ``skipToFirst(p)`` / ``skipToLast(p)`` reference to a
+    PHYSICAL layer index over the quantifier expansion: first = the
+    step's first repetition, last = its n-th. Shared by the operator
+    and its mirror so both resolve identically. Raises the FlinkCEP
+    infinite-loop guard when the skip target IS the match's own anchor
+    (physical index 1): every round would re-anchor at the same event
+    and selection could never advance — FlinkCEP's
+    AfterMatchSkipStrategy throws for that configuration too."""
+    flat, last = expand_quantified_steps(steps)
+    k = len(steps)
+    if not 1 <= skip_step <= k:
+        raise ValueError(
+            f"skip_step must be in 1..{k}, got {skip_step}")
+    if position not in ("first", "last"):
+        raise ValueError(
+            f"position must be 'first' or 'last', got {position!r}")
+    first_phys = 1 if skip_step == 1 else last[skip_step - 2] + 1
+    skip_idx = first_phys if position == "first" else last[skip_step - 1]
+    if skip_idx == 1:
+        raise ValueError(
+            "the skip target resolves to the match's own anchor "
+            "(physical step 1) — selection could never advance; "
+            "FlinkCEP rejects skipToFirst on the first pattern element "
+            "for the same reason. Use skip_step >= 2, or a quantified "
+            "first step with position='last'.")
+    return flat, last, skip_idx
+
+
+def skip_to_funnel_matches(events: DataFrame, steps: list,
+                           skip_step: int, max_matches: int,
+                           position: str = "first",
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           within_seconds: int | None = None
+                           ) -> DataFrame:
+    """Re-anchored funnel matches — FlinkCEP's
+    ``AfterMatchSkipStrategy.skipToFirst(p)`` (``position='first'``) /
+    ``skipToLast(p)`` (``position='last'``), completing the
+    strategy enum beside noSkip (:func:`all_funnel_matches`, whose
+    greedy earliest continuation also realizes skipToNext's
+    one-match-per-anchor) and skipPastLastEvent
+    (:func:`consumed_funnel_matches`): after a match emits, partial
+    matches that started BEFORE the named step's matched event are
+    discarded, and the next match may re-anchor AT that event or later
+    (non-strict — runs starting at the skip point survive in FlinkCEP).
+
+    ``steps`` accepts the quantified entries of
+    :func:`expand_quantified_steps` (``(step, n)`` = n+ repetitions),
+    which is where first vs last genuinely differ: for a quantified
+    step, ``first`` re-anchors at its FIRST repetition, ``last`` at
+    its n-th. ``skip_step`` is the 1-based ORIGINAL step index.
+    Output: (key, t1..tk, match_idx) — one t per ORIGINAL step (a
+    quantified step reports its completion instant, the quantified
+    family's convention), match_idx 1-based in time order, at most
+    ``max_matches`` per key (the bounded-rounds contract of
+    :func:`consumed_funnel_matches`, which this operator shares —
+    selection is inherently sequential per key, so the round count is
+    part of the semantics and the oracle unrolls it).
+
+    Selection replays the family's greedy leftmost discipline: round r
+    picks each key's earliest (lexicographic (u1..uK) over the
+    physical layers) surviving match with u1 ≥ round r−1's skip
+    instant. Progress is guaranteed: the skip index resolves to a
+    physical layer ≥ 2 (the guard in :func:`_skip_phys_index`), whose
+    instant is strictly after the selected anchor, so anchors strictly
+    increase across rounds.
+
+    Scale shape: identical to :func:`consumed_funnel_matches` — the
+    candidate set is :func:`all_funnel_matches` over the quantifier
+    expansion (|step-1 events|-bounded, persisted once); each round is
+    ONE key-partitioned join + partial-aggregated struct-min,
+    localCheckpoint'ed, early exit when every key is exhausted."""
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    flat, last, skip_idx = _skip_phys_index(steps, skip_step, position)
+    K = len(flat)
+    k = len(steps)
+    m = all_funnel_matches(events, flat, key_col, ts_col, type_col,
+                           within_seconds)
+    epoch = F.lit("1970-01-01 00:00:00").cast(dict(m.dtypes)["t1"])
+    mu = m.select(key_col, *[
+        F.timestamp_diff("MICROSECOND", epoch, F.col(f"t{i}"))
+        .alias(f"u{i}")
+        for i in range(1, K + 1)]).persist()
+    try:
+        picked: list[DataFrame] = []
+        frontier = None      # (key, _T): the skip instant per key
+        for r in range(1, max_matches + 1):
+            if r == 1:
+                cand = mu
+            else:
+                cand = (mu.join(frontier, on=key_col)
+                        .filter(F.col("u1") >= F.col("_T")))
+            sel = (cand.groupBy(key_col)
+                   .agg(F.min(F.struct(*[F.col(f"u{i}")
+                                         for i in range(1, K + 1)]))
+                        .alias("_s"))
+                   .select(key_col,
+                           *[F.col(f"_s.u{i}").alias(f"u{i}")
+                             for i in range(1, K + 1)],
+                           F.lit(r).alias("match_idx"))
+                   .localCheckpoint())
+            if sel.isEmpty():
+                break
+            picked.append(sel)
+            frontier = sel.select(key_col,
+                                  F.col(f"u{skip_idx}").alias("_T"))
+        tcols = lambda src: [  # noqa: E731
+            F.timestamp_add("MICROSECOND",
+                            F.col(f"u{last[j - 1]}"), epoch)
+            .alias(f"t{j}") for j in range(1, k + 1)]
+        if not picked:
+            return mu.select(key_col, *tcols(mu),
+                             F.lit(1).alias("match_idx")).limit(0)
+        out = picked[0]
+        for p in picked[1:]:
+            out = out.unionByName(p)
+        return out.select(key_col, *tcols(out), "match_idx")
+    finally:
+        mu.unpersist()
+
+
+def skip_to_funnel_matches_duck(steps: list, skip_step: int,
+                                max_matches: int,
+                                position: str = "first",
+                                within_seconds: int | None = None,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                type_col: str = "event_type",
+                                table: str = "events") -> str:
+    """DuckDB mirror of :func:`skip_to_funnel_matches` — the same
+    greedy re-anchored rounds unrolled as chained MATERIALIZED CTEs
+    over the all-matches core on the quantifier expansion (the
+    consumed-matches oracle discipline), with the non-strict
+    ``u1 >= skip instant`` re-anchor rule."""
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    flat, last, skip_idx = _skip_phys_index(steps, skip_step, position)
+    K = len(flat)
+    k = len(steps)
+    core = _all_matches_core_duck(flat, within_seconds, key_col,
+                                  ts_col, type_col, table)
+    us = ", ".join(f"u{i}" for i in range(1, K + 1))
+    order = ", ".join(f"u{i}" for i in range(1, K + 1))
+    cte = [f"m AS MATERIALIZED ({core})",
+           f"s1 AS MATERIALIZED (SELECT {key_col}, {us} FROM m "
+           f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {key_col} "
+           f"ORDER BY {order}) = 1)"]
+    for r in range(2, max_matches + 1):
+        prev = f"s{r - 1}"
+        mus = ", ".join(f"m.u{i}" for i in range(1, K + 1))
+        morder = ", ".join(f"m.u{i}" for i in range(1, K + 1))
+        cte.append(
+            f"s{r} AS MATERIALIZED (SELECT m.{key_col}, {mus} "
+            f"FROM m JOIN {prev} ON m.{key_col} = {prev}.{key_col} "
+            f"WHERE m.u1 >= {prev}.u{skip_idx} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY m.{key_col} "
+            f"ORDER BY {morder}) = 1)")
+    tcols = ", ".join(f"make_timestamp(u{last[j - 1]}) AS t{j}"
+                      for j in range(1, k + 1))
+    parts = [f"SELECT {key_col}, {tcols}, {r} AS match_idx FROM s{r}"
+             for r in range(1, max_matches + 1)]
+    return ("WITH " + ",\n".join(cte) + "\n"
+            + "\nUNION ALL\n".join(parts))
+
+
 def event_transitions(events: DataFrame, key_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       seq_col: str = "event_id") -> DataFrame:

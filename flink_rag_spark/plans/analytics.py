@@ -609,6 +609,39 @@ def consumed_funnel_matches_users(spark: SparkSession,
                                    CONSUMED_MAX_MATCHES)
 
 
+#: skipToFirst/skipToLast pattern: the quantified click step is where
+#: first (its 1st repetition) and last (its 2nd) genuinely differ
+SKIP_TO_STEPS = ["view", ("click", 2), "purchase"]
+SKIP_TO_STEP = 2
+SKIP_TO_MAX_MATCHES = 4
+
+
+def skip_to_first_funnel_users(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Re-anchored CEP matches (operators/sequences.py
+    skip_to_funnel_matches — FlinkCEP
+    AfterMatchSkipStrategy.skipToFirst(click)): after each
+    view→click{2,}→purchase match, the next match may re-anchor at the
+    matched click step's FIRST repetition or later; at most 4 matches
+    per user (bounded rounds, oracle unrolled)."""
+    from flink_rag_spark.operators.sequences import skip_to_funnel_matches
+    e = load_table(spark, sf_dir, "events")
+    return skip_to_funnel_matches(e, SKIP_TO_STEPS, SKIP_TO_STEP,
+                                  SKIP_TO_MAX_MATCHES, position="first")
+
+
+def skip_to_last_funnel_users(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """skipToLast(click) sibling of :func:`skip_to_first_funnel_users`:
+    re-anchoring waits for the matched click step's LAST (2nd)
+    repetition — strictly coarser selection than skipToFirst on the
+    same pattern."""
+    from flink_rag_spark.operators.sequences import skip_to_funnel_matches
+    e = load_table(spark, sf_dir, "events")
+    return skip_to_funnel_matches(e, SKIP_TO_STEPS, SKIP_TO_STEP,
+                                  SKIP_TO_MAX_MATCHES, position="last")
+
+
 #: attribution model: purchases credit the most recent prior touch
 ATTR_TOUCHES = ["view", "click", "signup"]
 ATTR_CONVERSION = "purchase"

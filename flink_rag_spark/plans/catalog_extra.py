@@ -87,6 +87,7 @@ def extra_queries() -> list[tuple]:
         ushaped_attribution_duck,
         consecutive_funnel_times_duck,
         consumed_funnel_matches_duck,
+        skip_to_funnel_matches_duck,
         event_transitions_duck,
         funnel_conversion_stats_duck,
         funnel_summary_duck,
@@ -2031,6 +2032,18 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
         ("consumed_funnel_matches_users", A.consumed_funnel_matches_users,
          consumed_funnel_matches_duck(A.ALL_MATCHES_STEPS,
                                       A.CONSUMED_MAX_MATCHES),
+         ("sequence", "cep", "iterative", "all-matches")),
+        # round-13: skipToFirst(p) / skipToLast(p) — re-anchored greedy
+        # rounds over the all-matches core on the quantifier expansion;
+        # the quantified click step is where first vs last differ
+        # (sequences.skip_to_funnel_matches)
+        ("skip_to_first_funnel_users", A.skip_to_first_funnel_users,
+         skip_to_funnel_matches_duck(A.SKIP_TO_STEPS, A.SKIP_TO_STEP,
+                                     A.SKIP_TO_MAX_MATCHES, "first"),
+         ("sequence", "cep", "iterative", "all-matches")),
+        ("skip_to_last_funnel_users", A.skip_to_last_funnel_users,
+         skip_to_funnel_matches_duck(A.SKIP_TO_STEPS, A.SKIP_TO_STEP,
+                                     A.SKIP_TO_MAX_MATCHES, "last"),
          ("sequence", "cep", "iterative", "all-matches")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level

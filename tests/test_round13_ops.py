@@ -5,6 +5,108 @@ import duckdb
 import pytest
 
 
+# ------------------------------------- skipToFirst / skipToLast CEP
+
+
+def _skip_events(spark):
+    """One user, pattern a (b,2) c. All-matches over the expansion
+    (a,b,b,c): anchors 1,2,3,6 complete as (1,2,3,4), (2,3,5,7),
+    (3,5,6,7), (6,8,9,10)."""
+    rows = [("u", 1, "a"), ("u", 2, "b"), ("u", 3, "b"), ("u", 4, "c"),
+            ("u", 2, "a"), ("u", 3, "a"), ("u", 5, "b"), ("u", 6, "b"),
+            ("u", 7, "c"), ("u", 6, "a"), ("u", 8, "b"), ("u", 9, "b"),
+            ("u", 10, "c")]
+    import pyspark.sql.functions as F
+    return (spark.createDataFrame(rows,
+                                  "user_id string, s bigint, "
+                                  "event_type string")
+            .select("user_id",
+                    F.timestamp_seconds(F.col("s")).alias("ts"),
+                    "event_type"))
+
+
+def _t_secs(rows, k):
+    out = []
+    for r in sorted(rows, key=lambda r: r["match_idx"]):
+        out.append(tuple(
+            int(r[f"t{j}"].timestamp()) for j in range(1, k + 1))
+            + (r["match_idx"],))
+    return out
+
+
+def test_skip_to_first_and_last_hand_values(spark):
+    """skipToFirst(b) re-anchors at the matched b-step's FIRST
+    repetition (anchors 1,2,3,6 all emit); skipToLast(b) waits for its
+    SECOND (anchors 1,3,6) — the enum members genuinely differ on the
+    quantified step. Output collapses to one t per ORIGINAL step
+    (anchor, b completion, c)."""
+    from flink_rag_spark.operators.sequences import skip_to_funnel_matches
+    e = _skip_events(spark)
+    steps = ["a", ("b", 2), "c"]
+    first = skip_to_funnel_matches(e, steps, 2, 6,
+                                   position="first").collect()
+    assert _t_secs(first, 3) == [(1, 3, 4, 1), (2, 5, 7, 2),
+                                 (3, 6, 7, 3), (6, 9, 10, 4)]
+    last = skip_to_funnel_matches(e, steps, 2, 6,
+                                  position="last").collect()
+    assert _t_secs(last, 3) == [(1, 3, 4, 1), (3, 6, 7, 2),
+                                (6, 9, 10, 3)]
+    # max_matches truncates the rounds
+    trunc = skip_to_funnel_matches(e, steps, 2, 2,
+                                   position="first").collect()
+    assert _t_secs(trunc, 3) == [(1, 3, 4, 1), (2, 5, 7, 2)]
+    # skipping to a LATER plain step (c): first ≡ last there
+    for pos in ("first", "last"):
+        byc = skip_to_funnel_matches(e, steps, 3, 6,
+                                     position=pos).collect()
+        assert _t_secs(byc, 3) == [(1, 3, 4, 1), (6, 9, 10, 2)]
+
+
+def test_skip_to_guards_and_duck_parity(spark):
+    """The FlinkCEP infinite-loop configuration (skip target = the
+    match's own anchor) raises; a quantified FIRST step with
+    position='last' is legal; validation; duck mirror replays the
+    rounds bit-identically."""
+    import pytest as _pytest
+
+    from flink_rag_spark.operators.sequences import (
+        skip_to_funnel_matches, skip_to_funnel_matches_duck)
+    e = _skip_events(spark)
+    steps = ["a", ("b", 2), "c"]
+    with _pytest.raises(ValueError, match="anchor"):
+        skip_to_funnel_matches(e, steps, 1, 3, position="first")
+    with _pytest.raises(ValueError, match="anchor"):
+        skip_to_funnel_matches(e, ["a", "b"], 1, 3, position="last")
+    # quantified FIRST step: position='last' resolves to layer 2 — legal
+    q = skip_to_funnel_matches(e, [("a", 2), "c"], 1, 3,
+                               position="last")
+    assert q.count() >= 0
+    with _pytest.raises(ValueError):
+        skip_to_funnel_matches(e, steps, 4, 3)
+    with _pytest.raises(ValueError):
+        skip_to_funnel_matches(e, steps, 2, 0)
+    with _pytest.raises(ValueError):
+        skip_to_funnel_matches(e, steps, 2, 3, position="mid")
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('u', make_timestamp({s * 1_000_000}), '{t}')"
+        for _, s, t in [(r[0], r[1], r[2]) for r in [
+            ("u", 1, "a"), ("u", 2, "b"), ("u", 3, "b"), ("u", 4, "c"),
+            ("u", 2, "a"), ("u", 3, "a"), ("u", 5, "b"), ("u", 6, "b"),
+            ("u", 7, "c"), ("u", 6, "a"), ("u", 8, "b"), ("u", 9, "b"),
+            ("u", 10, "c")]])
+    con.execute("CREATE TABLE events AS SELECT * FROM (VALUES "
+                f"{vals}) t(user_id, ts, event_type)")
+    for pos in ("first", "last"):
+        d = con.execute(skip_to_funnel_matches_duck(
+            steps, 2, 6, pos) + " ORDER BY match_idx").fetchdf()
+        got = [tuple(int(d[f"t{j}"][i].timestamp()) for j in (1, 2, 3))
+               + (int(d["match_idx"][i]),) for i in range(len(d))]
+        want = _t_secs(skip_to_funnel_matches(
+            e, steps, 2, 6, position=pos).collect(), 3)
+        assert got == want, (pos, got, want)
+
+
 # ------------------------------------------------------ NSW RTBF
 
 
