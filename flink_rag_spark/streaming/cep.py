@@ -497,6 +497,303 @@ def strict_funnel_monitor(events: DataFrame, steps: list[str],
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+# ------------------------- all-matches (noSkip) / consumed matches
+
+
+def _all_matches_state_schema() -> str:
+    return ("anch array<bigint>, buf_ts array<bigint>, "
+            "buf_type array<string>, wm_us bigint")
+
+
+def _consumed_state_schema() -> str:
+    return ("anch array<bigint>, frontier bigint, n_matches int, "
+            "buf_ts array<bigint>, buf_type array<string>, "
+            "wm_us bigint, done boolean")
+
+
+def _prog(ch: list[int]) -> int:
+    """Progress of an open anchor chain = index of its first unfilled
+    slot (open anchors always have one)."""
+    return ch.index(_NONE)
+
+
+def _advance_anchors(anch: list[list[int]], t: int, typ: str,
+                     steps: list[str], within_us: int | None,
+                     k: int) -> list[list[int]]:
+    """Fold ONE finalized event into the open-anchor set in place:
+    every anchor whose NEXT step matches ``typ`` strictly after its
+    last matched instant advances greedily (the event-time-ordered fold
+    makes this the batch backward-chain's greedy earliest
+    continuation); an anchor whose greedy instant exceeds its within
+    bound dies — by the t_k-minimality exchange argument its minimal
+    completion would exceed the bound too, exactly batch's final t_k
+    filter. Returns the chains this event COMPLETED (removed from
+    ``anch``); anchor CREATION is the caller's job (a new anchor can
+    never use its own event — strictly-after)."""
+    completed: list[list[int]] = []
+    keep: list[list[int]] = []
+    for ch in anch:
+        p = _prog(ch)
+        if steps[p] == typ and t > ch[p - 1]:
+            if within_us is not None and t > ch[0] + within_us:
+                continue                      # dead: bound exceeded
+            ch[p] = t
+            if p + 1 == k:
+                completed.append(ch)
+                continue
+        keep.append(ch)
+    anch[:] = keep
+    return completed
+
+
+def _make_all_matches_fn(steps: list[str], within_us: int | None):
+    """The noSkip fold — the streaming twin of
+    ``sequences.all_funnel_matches``. State per key is the OPEN
+    anchors' partial chains (k slots each) plus the event buffer; a
+    step-1 event opens an anchor, each later finalized event advances
+    every waiting anchor greedily, and an anchor emits (one row per
+    completing anchor EVENT — FlinkCEP's per-event match identity) the
+    moment its chain completes. With ``within`` the anchor set is
+    watermark-bounded (an anchor dies once wm passes t1 + within);
+    without it, open anchors persist exactly as FlinkCEP partial
+    matches do without ``within()``."""
+    k = len(steps)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            flat, buf_ts, buf_type, wm_us = state.get
+            anch = [list(flat[i:i + k]) for i in range(0, len(flat), k)]
+            buf_ts, buf_type = list(buf_ts), list(buf_type)
+        else:
+            anch, buf_ts, buf_type, wm_us = [], [], [], _NONE
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:  # boundary rule: see funnel fn
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        done_rows: list[list[int]] = []
+        if new_wm_us > wm_us and buf_ts:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                done_rows.extend(
+                    _advance_anchors(anch, t, typ, steps, within_us, k))
+                if typ == steps[0]:
+                    if k == 1:
+                        done_rows.append([t])
+                    else:
+                        anch.append([t] + [_NONE] * (k - 1))
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+        if within_us is not None:
+            # reclaim dead anchors: every future qualifying instant is
+            # >= wm, so an anchor whose bound fell below wm cannot
+            # advance again
+            anch = [ch for ch in anch if ch[0] + within_us >= wm_us]
+
+        if done_rows:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(done_rows),
+                **{f"t{i + 1}": [pd.Timestamp(ch[i], unit="us")
+                                 for ch in done_rows]
+                   for i in range(k)}})
+
+        state.update(([v for ch in anch for v in ch],
+                      buf_ts, buf_type, wm_us))
+        if buf_ts:
+            state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
+        elif within_us is not None and anch:
+            # wake when the earliest anchor's bound expires so its
+            # state reclaims even if the key never sees another event
+            wake = (min(ch[0] for ch in anch) + within_us) // 1000
+            state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+
+    return fn
+
+
+def _make_consumed_fn(steps: list[str], within_us: int | None,
+                      max_matches: int):
+    """The skipPastLastEvent fold — the streaming twin of
+    ``sequences.consumed_funnel_matches``: the all-matches anchor
+    machinery plus a consumed-frontier timestamp per key. Anchors open
+    only strictly after the frontier; at the first completion (anchors
+    complete in t_k order, and among same-instant completions the
+    lexicographically smallest chain is the earliest anchor's — chain
+    monotonicity — exactly batch's min-(u1..uk) round pick) the match
+    emits, the frontier jumps to its t_k, and EVERY open anchor dies
+    (all have t1 < t_k ≤ frontier — batch's u1 > T round filter).
+    ``max_matches`` caps emissions (the bounded-rounds contract); the
+    key then collapses to a done marker."""
+    k = len(steps)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (flat, frontier, n_matches, buf_ts, buf_type, wm_us,
+             done) = state.get
+            anch = [list(flat[i:i + k]) for i in range(0, len(flat), k)]
+            buf_ts, buf_type = list(buf_ts), list(buf_type)
+        else:
+            anch, frontier, n_matches, buf_ts, buf_type, wm_us, done = \
+                [], _NONE, 0, [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:  # boundary rule: see funnel fn
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        rows: list[tuple[list[int], int]] = []
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                completed = _advance_anchors(anch, t, typ, steps,
+                                             within_us, k)
+                if typ == steps[0] and (frontier == _NONE
+                                        or t > frontier):
+                    if k == 1:
+                        completed.append([t])
+                    else:
+                        anch.append([t] + [_NONE] * (k - 1))
+                if completed:
+                    best = min(completed)
+                    n_matches += 1
+                    rows.append((best, n_matches))
+                    frontier = best[k - 1]
+                    anch = []        # consumed: every open anchor dies
+                    if n_matches >= max_matches:
+                        done = True
+                        keep_ts, keep_type = [], []
+                        break
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+        if within_us is not None:
+            anch = [ch for ch in anch if ch[0] + within_us >= wm_us]
+
+        if rows:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(rows),
+                **{f"t{i + 1}": [pd.Timestamp(ch[i], unit="us")
+                                 for ch, _ in rows]
+                   for i in range(k)},
+                "match_idx": [m for _, m in rows]})
+
+        state.update(([v for ch in anch for v in ch], frontier,
+                      n_matches, buf_ts, buf_type, wm_us, done))
+        if not done:
+            if buf_ts:
+                state.setTimeoutTimestamp(
+                    max(min(buf_ts) // 1000, wm_ms + 1))
+            elif within_us is not None and anch:
+                wake = (min(ch[0] for ch in anch) + within_us) // 1000
+                state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+
+    return fn
+
+
+def all_matches_monitor(events: DataFrame, steps: list[str],
+                        watermark: str = "10 minutes",
+                        within_seconds: int | None = None,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """Streaming all-matches CEP (FlinkCEP
+    ``AfterMatchSkipStrategy.noSkip()``, the engine default): one
+    append-mode row per COMPLETING STEP-1 ANCHOR EVENT — (key,
+    t1..tk), each anchor with its greedy earliest continuation — where
+    :func:`funnel_monitor` emits only each key's earliest completion.
+    Emissions ≡ the batch ``all_funnel_matches`` rows under the
+    family's watermark-bounded-disorder contract (pinned by test).
+
+    State per key: the OPEN anchors' partial chains (k BIGINTs each)
+    plus the watermark-bounded event buffer. ``within_seconds`` bounds
+    the anchor set too (an anchor is reclaimed once the watermark
+    passes t1 + within); without it open anchors persist — FlinkCEP
+    partial matches without ``within()`` behave identically, which is
+    why production noSkip jobs run with a ``within`` horizon."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    filtered = (events.filter(F.col(type_col).isin(steps))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_all_matches_fn(steps, within_us),
+                outputStructType=_funnel_out_schema(len(steps), key_type),
+                stateStructType=_all_matches_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def consumed_matches_monitor(events: DataFrame, steps: list[str],
+                             max_matches: int,
+                             watermark: str = "10 minutes",
+                             within_seconds: int | None = None,
+                             key_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type") -> DataFrame:
+    """Streaming non-overlapping CEP (FlinkCEP
+    ``AfterMatchSkipStrategy.skipPastLastEvent()``): append-mode rows
+    (key, t1..tk, match_idx) — greedy leftmost matches where each
+    match CONSUMES its events and the next must anchor strictly after
+    the previous match's t_k; at most ``max_matches`` per key (the
+    batch twin's bounded-rounds contract — the key then collapses to a
+    done marker). Emissions ≡ the batch ``consumed_funnel_matches``
+    rows under the family's watermark-bounded-disorder contract
+    (pinned by test). State adds one consumed-frontier timestamp and a
+    match counter to the all-matches anchor machinery; consumption
+    CLEARS the anchor set, so state stays small even without
+    ``within``."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = (_funnel_out_schema(len(steps), key_type)
+                  + ", match_idx int")
+    filtered = (events.filter(F.col(type_col).isin(steps))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_consumed_fn(steps, within_us, max_matches),
+                outputStructType=out_schema,
+                stateStructType=_consumed_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def until_funnel_monitor(events: DataFrame, steps: list,
                          until: dict[int, str],
                          watermark: str = "10 minutes",

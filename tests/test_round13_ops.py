@@ -107,6 +107,209 @@ def test_skip_to_guards_and_duck_parity(spark):
         assert got == want, (pos, got, want)
 
 
+# --------------------- streaming all-matches / consumed monitors
+
+
+def _write_cep_batch(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, u, t) for i, (ts, u, t) in enumerate(rows)],
+        "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                 "user_id", "event_type"
+                 ).coalesce(1).write.mode("append").parquet(path)
+    import time
+    time.sleep(1.1)
+
+
+def _drain(df, tmp_path, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(180), "stream did not drain in time"
+    return df.sparkSession.sql(f"select * from {name}")
+
+
+def test_streaming_all_matches_matches_batch(spark, tmp_path):
+    """noSkip streaming ≡ batch all_funnel_matches under cross-batch
+    disorder: every completing anchor emits its own row (two anchors
+    per key here — where funnel_monitor emits once), late-but-in-
+    watermark events fold correctly, and a second completion in a
+    LATER batch still emits (no done marker in the noSkip world)."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.sequences import all_funnel_matches
+    from flink_rag_spark.streaming.cep import all_matches_monitor
+    src = str(tmp_path / "am_src")
+    steps = ["view", "click", "purchase"]
+    # u1: two anchors sharing one continuation, click arrives EARLY
+    # (batch 1) relative to its first view (batch 2) — bounded disorder
+    _write_cep_batch(spark, src, [
+        ("2024-01-01 00:10:00", 1, "click"),
+        ("2024-01-01 00:20:00", 1, "purchase"),
+        ("2024-01-01 00:05:00", 2, "view"),
+        ("2024-01-01 00:06:00", 2, "click"),
+        ("2024-01-01 00:07:00", 2, "purchase"),
+        ("2024-01-01 00:01:00", 3, "view"),
+    ])
+    _write_cep_batch(spark, src, [
+        ("2024-01-01 00:02:00", 1, "view"),
+        ("2024-01-01 00:04:00", 1, "view"),
+        ("2024-01-02 00:00:00", 99, "view"),
+    ])
+    # batch 3: u2 completes a SECOND anchor long after its first match
+    _write_cep_batch(spark, src, [
+        ("2024-01-02 01:00:00", 2, "view"),
+        ("2024-01-02 01:01:00", 2, "click"),
+        ("2024-01-02 01:02:00", 2, "purchase"),
+        ("2024-01-10 00:00:00", 99, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in
+           _drain(all_matches_monitor(stream, steps, watermark="1 hour"),
+                  tmp_path, "am_t").collect()}
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"]) for r in
+            all_funnel_matches(spark.read.parquet(src), steps).collect()}
+    assert got == want
+    # u1 contributes TWO rows (both views), u2 three (01:05 chains via
+    # 01:06+01:07; 00:05+00:06 anchor... exact set already pinned above)
+    assert len([g for g in got if g[0] == 1]) == 2
+
+
+def test_streaming_all_matches_within_bound(spark, tmp_path):
+    """`within` kills anchors whose minimal completion exceeds the
+    bound — streaming ≡ batch with within_seconds on the same events."""
+    from flink_rag_spark.operators.sequences import all_funnel_matches
+    from flink_rag_spark.streaming.cep import all_matches_monitor
+    src = str(tmp_path / "amw_src")
+    steps = ["view", "purchase"]
+    _write_cep_batch(spark, src, [
+        ("2024-01-01 00:00:00", 1, "view"),      # completes at +60s: in
+        ("2024-01-01 00:01:00", 1, "purchase"),
+        ("2024-01-01 00:10:00", 1, "view"),      # completes at +20m: out
+        ("2024-01-01 00:30:00", 1, "purchase"),
+        ("2024-01-02 00:00:00", 99, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    got = {(r["user_id"], r["t1"], r["t2"]) for r in
+           _drain(all_matches_monitor(stream, steps, watermark="1 hour",
+                                      within_seconds=120),
+                  tmp_path, "amw_t").collect()}
+    want = {(r["user_id"], r["t1"], r["t2"]) for r in
+            all_funnel_matches(spark.read.parquet(src), steps,
+                               within_seconds=120).collect()}
+    assert got == want and len(got) == 1
+
+
+def test_streaming_consumed_matches_batch(spark, tmp_path):
+    """skipPastLastEvent streaming ≡ batch consumed_funnel_matches
+    (rows AND match_idx) under cross-batch disorder; an anchor whose
+    events overlap a consumed match never emits; max_matches caps the
+    key and later completions stay silent (done marker)."""
+    from flink_rag_spark.operators.sequences import consumed_funnel_matches
+    from flink_rag_spark.streaming.cep import consumed_matches_monitor
+    src = str(tmp_path / "cm_src")
+    steps = ["view", "click", "purchase"]
+    # u1: anchors at 00:01 and 00:03 overlap (share the 00:04 chain
+    # tail region): match 1 = (01,02,04); the 00:03 anchor's chain
+    # (03,05,06) starts before 00:04 → consumed, never emits; next
+    # match anchors at 00:05+ — none completes until batch 2
+    _write_cep_batch(spark, src, [
+        ("2024-01-01 00:01:00", 1, "view"),
+        ("2024-01-01 00:02:00", 1, "click"),
+        ("2024-01-01 00:03:00", 1, "view"),
+        ("2024-01-01 00:04:00", 1, "purchase"),
+        ("2024-01-01 00:05:00", 1, "click"),
+        ("2024-01-01 00:06:00", 1, "purchase"),
+    ])
+    # batch 2: a second full match for u1, delivered with internal
+    # disorder (purchase before its view in arrival order)
+    _write_cep_batch(spark, src, [
+        ("2024-01-01 00:40:00", 1, "purchase"),
+        ("2024-01-01 00:20:00", 1, "view"),
+        ("2024-01-01 00:30:00", 1, "click"),
+        ("2024-01-10 00:00:00", 99, "view"),
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    got = {(r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+           for r in _drain(consumed_matches_monitor(
+               stream, steps, max_matches=5, watermark="1 hour"),
+               tmp_path, "cm_t").collect()}
+    want = {(r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+            for r in consumed_funnel_matches(
+                spark.read.parquet(src), steps, 5).collect()}
+    assert got == want and len(got) == 2
+    assert {g[4] for g in got} == {1, 2}
+    # max_matches=1: only the first match emits even though a second
+    # completes later
+    got1 = {(r["user_id"], r["match_idx"]) for r in
+            _drain(consumed_matches_monitor(
+                stream, steps, max_matches=1, watermark="1 hour"),
+                tmp_path, "cm1_t").collect()}
+    assert got1 == {(1, 1)}
+
+
+def test_streaming_cep_emission_modes_fuzzed(spark, tmp_path):
+    """Randomized per-key event soups split across three disordered
+    micro-batches (disorder within the watermark): both new monitors
+    reproduce their batch twins exactly."""
+    import random
+
+    from flink_rag_spark.operators.sequences import (
+        all_funnel_matches, consumed_funnel_matches)
+    from flink_rag_spark.streaming.cep import (all_matches_monitor,
+                                               consumed_matches_monitor)
+    rng = random.Random(13)
+    steps = ["a", "b", "c"]
+    rows = []
+    for u in range(1, 9):
+        n = rng.randint(4, 14)
+        ts = sorted(rng.sample(range(1, 3000), n))
+        for t in ts:
+            rows.append((f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}",
+                         u, rng.choice(steps)))
+    rng.shuffle(rows)
+    # three batches; arrival order random but the 1h watermark swallows
+    # every disorder on this 50-minute spread
+    src = str(tmp_path / "fz_src")
+    third = len(rows) // 3
+    _write_cep_batch(spark, src, rows[:third])
+    _write_cep_batch(spark, src, rows[third:2 * third])
+    _write_cep_batch(spark, src, rows[2 * third:]
+                     + [("2024-01-10 00:00:00", 99, "a")])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    ev = spark.read.parquet(src)
+    got_am = sorted(
+        ((r["user_id"], r["t1"], r["t2"], r["t3"]) for r in
+         _drain(all_matches_monitor(stream, steps, watermark="1 hour"),
+                tmp_path, "fz_am").collect()))
+    want_am = sorted(
+        ((r["user_id"], r["t1"], r["t2"], r["t3"]) for r in
+         all_funnel_matches(ev, steps).collect()))
+    assert got_am == want_am
+    got_cm = sorted(
+        ((r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+         for r in _drain(consumed_matches_monitor(
+             stream, steps, max_matches=4, watermark="1 hour"),
+             tmp_path, "fz_cm").collect()))
+    want_cm = sorted(
+        ((r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+         for r in consumed_funnel_matches(ev, steps, 4).collect()))
+    assert got_cm == want_cm
+
+
 # ------------------------------------------------------ NSW RTBF
 
 
