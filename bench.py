@@ -745,7 +745,26 @@ def main() -> None:
                             "10x the distinct values, still well "
                             "under linear; an earlier CONTENDED r12 "
                             "run (concurrent pytest) read 23.96 total "
-                            "— disregard, methodology note only"),
+                            "— disregard, methodology note only; "
+                            "r13 uncontended run: total 16.62, qps "
+                            "256/523/236/154/186, builds ann/ivfpq/"
+                            "dedup/text/nsw 6.5/8.7/3.8/2.3/8.9, nsw "
+                            "single-probe 3.4, probe median_factor "
+                            "1.28 — flat vs r12's 16.16 but still "
+                            "above the r11 11.2-14.4 band, so the r12 "
+                            "verdict's drift bisect was run: the "
+                            "UNCHANGED r11-boundary code (worktree at "
+                            "the round-11 record commit) replayed its "
+                            "own 21-query headline loop on TODAY'S "
+                            "host at 18.22s total — above both r12 "
+                            "and r13 readings of the CURRENT code. "
+                            "The band shift is the HOST (sandbox VM "
+                            "slowed ~30-40% between the r11 and r12 "
+                            "rounds, every query and index build "
+                            "moving together); like-for-like on one "
+                            "host the current code is FASTER than the "
+                            "r11 code, so no demotion or plan change "
+                            "is indicated"),
         }
 
     total = round(sum(timings.values()), 3)

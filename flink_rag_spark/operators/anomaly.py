@@ -27,7 +27,7 @@ flagged — a zero-spread group's contract.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 MAD_SIGMA = 1.4826          # MAD → normal-σ consistency constant
 DEFAULT_Z = 3.5             # Iglewicz–Hoaglin threshold
@@ -302,4 +302,216 @@ SELECT * FROM (
          ROUND((CAST(src.{value_col} AS DOUBLE) - s._mu) / s._sd, 6) AS z
   FROM src JOIN stats s USING (phase))
 WHERE ABS(z) > {z_thresh!r}
+"""
+
+
+# --------------------------------------------- EWMA control chart
+
+EWMA_W_DP = 12
+EWMA_DP = 6
+EWMA_DEC = "decimal(20,6)"
+EWMA_MAX_LAGS = 512
+
+
+def _ewma_weights(lam: float) -> list[tuple[int, str, str]]:
+    """Per-lag EWMA weight rows, 12-dp DECIMAL STRINGS computed once in
+    Python (the SES discipline — engine POWER drifts in the last ulp).
+    The recurrence z_t = λx_t + (1−λ)z_{t−1}, z_1 = x_1 has the closed
+    form z_t = Σ_{j=0..t−2} λr^j·x_{t−j} + r^{t−1}·x_1 with r = 1−λ;
+    row k carries (r^k, λr^k) — the seed (rn = 1) and regular weights
+    at lag k. The table stops at the first lag whose r^k quantizes to
+    0 at 12 dp: later lags contribute EXACTLY nothing under the
+    quantized-weight semantics, so the bounded pair join below is the
+    exact operator, not an approximation. Raises when the geometry
+    needs more than EWMA_MAX_LAGS lags (λ too small — the HW
+    convergence-guard stance)."""
+    if not (0.0 < lam <= 1.0):
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    dp = EWMA_W_DP
+    r = 1.0 - lam
+    out, k, rk = [], 0, 1.0
+    while round(rk, dp) > 0.0:
+        out.append((k, f"{round(rk, dp):.{dp}f}",
+                    f"{round(lam * rk, dp):.{dp}f}"))
+        rk *= r
+        k += 1
+        if k > EWMA_MAX_LAGS:
+            raise ValueError(
+                f"lam={lam} needs > {EWMA_MAX_LAGS} lags to converge at "
+                f"{dp} dp; raise lam or pre-aggregate the series")
+    return out
+
+
+def _ewma_limit_factors(lam: float) -> tuple[list[tuple[int, str]], str]:
+    """(t, √(λ/(2−λ)·(1−r^{2t}))) 12-dp rows for the widening control
+    limits, plus the asymptotic factor √(λ/(2−λ)) the table converges
+    to (rows stop once 1−r^{2t} is 1 at 12 dp; later t use the
+    asymptote)."""
+    dp = EWMA_W_DP
+    r = 1.0 - lam
+    base = lam / (2.0 - lam)
+    out, t, r2t = [], 1, r * r
+    while round(1.0 - r2t, dp) < 1.0:
+        out.append((t, f"{round((base * (1.0 - r2t)) ** 0.5, dp):.{dp}f}"))
+        r2t *= r * r
+        t += 1
+        if t > 2 * EWMA_MAX_LAGS:
+            break
+    return out, f"{round(base ** 0.5, dp):.{dp}f}"
+
+
+def ewma_control(df: DataFrame, keys: list[str], ts_col: str,
+                 value_col: str, seq_col: str, lam: float = 0.2,
+                 n_sigma: float = 3.0) -> DataFrame:
+    """EWMA control chart per key (Roberts 1959; the drift-sensitive
+    member of the control-chart family beside the MAD outlier rule's
+    point shocks and CUSUM's level shifts): each observation's
+    exponentially weighted moving average is compared against widening
+    control limits
+
+        z_t = λx_t + (1−λ)z_{t−1},   UCL/LCL_t = μ₀ ± Lσ·√(λ/(2−λ)·(1−(1−λ)^{2t}))
+
+    with μ₀/σ the retrospective (Phase-I) mean and sample standard
+    deviation of the key's own series. Output: one row per input row —
+    (keys…, ts, seq, value, ewma, center, ucl, lcl, breach). Keys with
+    n < 2 emit NULL limits and breach = false (no σ). NULL values are
+    excluded up front.
+
+    Exactness: values quantize to DECIMAL(20,6), weights and limit
+    factors are Python-literal 12-dp DECIMALs (broadcast tables — the
+    SES discipline), so every z_t term is an exact decimal product and
+    the per-row sum is order-independent; μ₀/σ come from exact decimal
+    sums, and every double expression after them is identical in both
+    engines. The weight table's 12-dp floor truncates lags that
+    contribute exactly 0 under quantization — the operator is DEFINED
+    as that quantized-weight chart (document-stable, engine-portable).
+
+    Plan at 100 TB: the closed form does not factorize into bounded
+    running state (the time-decay-attribution argument), so each row
+    pairs with its ≤W predecessors via ONE key-partitioned self-join
+    whose lag bound rides the weight-table inner join (W = O(ln 1e−12 /
+    ln(1−λ)) — 124 at λ = 0.2), then one grouped sum rebuilds z_t; per
+    key the work is n·W pair rows, the documented chart cost. One
+    |keys|-bounded stats aggregate joins back broadcast-style."""
+    from decimal import Decimal
+
+    if n_sigma <= 0:
+        raise ValueError(f"n_sigma must be > 0, got {n_sigma}")
+    spark = df.sparkSession
+    wrows = _ewma_weights(lam)
+    frows, asym = _ewma_limit_factors(lam)
+    wdp = EWMA_W_DP
+    wtab = F.broadcast(spark.createDataFrame(
+        [(k, Decimal(ws), Decimal(wr)) for k, ws, wr in wrows],
+        f"_k int, _ws decimal(14,{wdp}), _wr decimal(14,{wdp})"))
+    ftab = F.broadcast(spark.createDataFrame(
+        [(t, Decimal(fs)) for t, fs in frows] or
+        [(0, Decimal(asym))],      # λ = 1: empty table, asymptote only
+        f"_rn int, _f decimal(14,{wdp})"))
+    w_ord = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    src = (df.filter(F.col(value_col).isNotNull())
+           .withColumn("_rn", F.row_number().over(w_ord).cast("int")))
+    xdec = F.col(value_col).cast("double").cast(EWMA_DEC)
+    right = src.select(
+        *[F.col(c).alias(f"_r_{c}") for c in keys],
+        F.col("_rn").alias("_sn"), xdec.alias("_x"))
+    on = None
+    for c in keys:
+        e = F.col(c) == F.col(f"_r_{c}")
+        on = e if on is None else (on & e)
+    # the W lag bound rides the JOIN CONDITION (the decay-attribution
+    # lesson): bounding only via the weight-table join would let the
+    # pair join materialize n²/2 rows per key first
+    W = wrows[-1][0]
+    pairs = (src.join(right, on & (F.col("_sn") <= F.col("_rn"))
+                      & (F.col("_sn") >= F.col("_rn") - F.lit(W)))
+             .join(wtab, F.col("_k") == F.col("_rn") - F.col("_sn"))
+             .withColumn("_w", F.when(F.col("_sn") == 1, F.col("_ws"))
+                         .otherwise(F.col("_wr"))))
+    z = (pairs.groupBy(*keys, "_rn", ts_col, seq_col, value_col)
+         .agg(F.sum(F.col("_w") * F.col("_x")).alias("_z")))
+    stats = (src.groupBy(*keys)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(xdec).alias("_s"),
+                  F.sum(xdec * xdec).alias("_q")))
+    n = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / n
+    sig = F.when(F.col("_n") >= 2, F.sqrt(
+        (F.col("_q").cast("double")
+         - F.col("_s").cast("double") * F.col("_s").cast("double") / n)
+        / (n - F.lit(1.0))))
+    half = F.lit(float(n_sigma)) * sig \
+        * F.coalesce(F.col("_f"), F.lit(Decimal(asym))).cast("double")
+    zd = F.col("_z").cast("double")
+    return (z.join(F.broadcast(stats), on=keys)
+            .join(ftab, on="_rn", how="left")
+            .select(*keys, ts_col, seq_col,
+                    F.col(value_col).alias("value"),
+                    # round in DECIMAL space BEFORE the double cast:
+                    # z_t is an exact decimal, and rounding its double
+                    # image hits the engines' .5-boundary ROUND
+                    # disagreement (the seasonal_decompose lesson —
+                    # measured: 9/10000 rows off by 1 ulp at 6 dp)
+                    F.round(F.col("_z"), EWMA_DP).cast("double")
+                    .alias("ewma"),
+                    F.round(mu, EWMA_DP).alias("center"),
+                    F.round(mu + half, EWMA_DP).alias("ucl"),
+                    F.round(mu - half, EWMA_DP).alias("lcl"),
+                    F.coalesce((zd > mu + half) | (zd < mu - half),
+                               F.lit(False)).alias("breach")))
+
+
+def ewma_control_duck(inner_sql: str, keys: list[str], ts_col: str,
+                      value_col: str, seq_col: str, lam: float = 0.2,
+                      n_sigma: float = 3.0) -> str:
+    """DuckDB mirror of :func:`ewma_control` — the same literal weight
+    and limit-factor tables, the same pair join and stats forms."""
+    wrows = _ewma_weights(lam)
+    frows, asym = _ewma_limit_factors(lam)
+    dp = EWMA_W_DP
+    ks = ", ".join(keys)
+    wvals = ", ".join(f"({k}, {ws}, {wr})" for k, ws, wr in wrows)
+    fvals = (", ".join(f"({t}, {fs})" for t, fs in frows)
+             or f"(0, {asym})")
+    on = " AND ".join(f"s.{c} = d.{c}" for c in keys)
+    dks = ", ".join(f"d.{c}" for c in keys)
+    return f"""
+WITH ew0 AS (
+  SELECT *, CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY {ks}
+              ORDER BY {ts_col}, {seq_col}) AS INT) AS rn
+  FROM ({inner_sql}) WHERE {value_col} IS NOT NULL),
+wt(k, ws, wr) AS (VALUES {wvals}),
+ft(frn, f) AS (VALUES {fvals}),
+z AS (
+  SELECT {dks}, d.rn, d.{ts_col}, d.{seq_col},
+         d.{value_col} AS value,
+         SUM(CASE WHEN s.rn = 1 THEN CAST(ws AS DECIMAL(14,{dp}))
+                  ELSE CAST(wr AS DECIMAL(14,{dp})) END * s.x) AS zt
+  FROM ew0 d
+  JOIN ew0 s ON {on} AND s.rn <= d.rn AND s.rn >= d.rn - {wrows[-1][0]}
+  JOIN wt ON wt.k = d.rn - s.rn
+  GROUP BY {dks}, d.rn, d.{ts_col}, d.{seq_col}, d.{value_col}),
+stats AS (
+  SELECT {ks}, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+  FROM ew0 GROUP BY {ks}),
+lim AS (
+  SELECT z.*,
+         CAST(s AS DOUBLE) / n AS mu,
+         CASE WHEN n >= 2 THEN SQRT(
+           (CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (CAST(n AS DOUBLE) - 1.0)) END
+           * {n_sigma!r} * CAST(COALESCE(f, {asym}) AS DOUBLE) AS half
+  FROM z
+  JOIN stats USING ({ks})
+  LEFT JOIN ft ON ft.frn = z.rn)
+SELECT {ks}, {ts_col}, {seq_col}, value,
+       CAST(ROUND(zt, {EWMA_DP}) AS DOUBLE) AS ewma,
+       ROUND(mu, {EWMA_DP}) AS center,
+       ROUND(mu + half, {EWMA_DP}) AS ucl,
+       ROUND(mu - half, {EWMA_DP}) AS lcl,
+       COALESCE(CAST(zt AS DOUBLE) > mu + half
+                OR CAST(zt AS DOUBLE) < mu - half, FALSE) AS breach
+FROM lim
 """

@@ -1110,3 +1110,120 @@ SELECT d.node, d.degree,
              END, 6) AS clustering_coeff
 FROM deg d LEFT JOIN cnt c ON c.node = d.node
 """
+
+
+# ------------------------------------------- HITS hubs & authorities
+
+HITS_ITERS = 8
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = HITS_ITERS) -> DataFrame:
+    """HITS / hubs-and-authorities (Kleinberg 1999) — the BIPARTITE
+    centrality beside PageRank's single score: a node is a good HUB
+    when it points at good authorities and a good AUTHORITY when good
+    hubs point at it — the natural readout on directed who-references-
+    whom graphs (curation sources citing documents, sessions touching
+    items) where "important" splits into the two roles.
+
+        a'(v) = Σ_{u→v} h(u),   h'(u) = Σ_{u→v} a'(v)
+
+    with L1 normalization after each half-step (the sum-normalized
+    variant — same fixed-point ranking as Kleinberg's L2, one
+    aggregate instead of a sqrt; documented contract). Fixed ``iters``
+    is the contract (the PageRank discipline), unrolled by the oracle.
+    Nodes with no in-edges get authority 0, no out-edges hub 0; output
+    (node, hub, authority) rounded at 6 dp.
+
+    Scale shape: node frame |V|-bounded and persisted; each half-step
+    is ONE edges⋈scores shuffle join + a partial-aggregated groupBy
+    sum + a 1-row normalization aggregate (the dangling-mass
+    discipline — a bounded scalar to the driver, never data rows);
+    scores localCheckpoint per iteration (constant-depth plan)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().persist())
+    try:
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("hub"),
+                                F.lit(0.0).alias("authority"))
+        e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        hub = nodes.select("node", F.lit(1.0 / n).alias("h")) \
+            .localCheckpoint()
+        auth = None
+        for _ in range(iters):
+            a_raw = (e.join(hub.withColumnRenamed("node", "_u"), on="_u")
+                     .groupBy(F.col("_v").alias("node"))
+                     .agg(F.sum("h").alias("a")))
+            auth = (nodes.join(a_raw, on="node", how="left")
+                    .select("node", F.coalesce(F.col("a"), F.lit(0.0))
+                            .alias("a")))
+            [arow] = auth.agg(F.sum("a").alias("s")).collect()
+            sa = float(arow["s"])
+            if sa > 0:
+                auth = auth.select("node", (F.col("a") / sa).alias("a"))
+            auth = auth.localCheckpoint()
+            h_raw = (e.join(auth.withColumnRenamed("node", "_v"), on="_v")
+                     .groupBy(F.col("_u").alias("node"))
+                     .agg(F.sum("a").alias("h")))
+            hub = (nodes.join(h_raw, on="node", how="left")
+                   .select("node", F.coalesce(F.col("h"), F.lit(0.0))
+                           .alias("h")))
+            [hrow] = hub.agg(F.sum("h").alias("s")).collect()
+            sh = float(hrow["s"])
+            if sh > 0:
+                hub = hub.select("node", (F.col("h") / sh).alias("h"))
+            hub = hub.localCheckpoint()
+        return (nodes.join(hub, on="node").join(auth, on="node")
+                .select("node", F.round("h", 6).alias("hub"),
+                        F.round("a", 6).alias("authority")))
+    finally:
+        nodes.unpersist()
+
+
+def hits_duck(edges_sql: str, iters: int = HITS_ITERS) -> str:
+    """DuckDB mirror of :func:`hits` — the same half-steps unrolled as
+    chained MATERIALIZED CTEs with the same L1 normalizations, so the
+    oracle checks the ITERATIVE computation (the pagerank-oracle
+    discipline). ``edges_sql`` yields (src, dst)."""
+    # every per-iteration CTE is MATERIALIZED: ar{i}/a{i} are each
+    # referenced twice (normalizer + consumer), so plain CTE inlining
+    # would re-evaluate the whole chain ~4^iters times (measured as a
+    # multi-minute hang at 6 iterations; the pagerank-oracle lesson,
+    # one level deeper)
+    cte = [f"e AS MATERIALIZED ({edges_sql})",
+           "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION "
+           "SELECT dst FROM e)",
+           "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+           "FROM nodes)",
+           "h0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS h "
+           "FROM nodes, nn)"]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        cte.append(
+            f"ar{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(s.a, 0.0) AS a FROM nodes LEFT JOIN "
+            f"(SELECT e.dst AS node, SUM(p.h) AS a FROM {p} p "
+            f"JOIN e ON e.src = p.node GROUP BY 1) s USING (node))")
+        cte.append(
+            f"an{i} AS MATERIALIZED (SELECT SUM(a) AS s FROM ar{i})")
+        cte.append(
+            f"a{i} AS MATERIALIZED (SELECT node, CASE WHEN an{i}.s > 0 "
+            f"THEN a / an{i}.s ELSE a END AS a FROM ar{i}, an{i})")
+        cte.append(
+            f"hr{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"COALESCE(s.h, 0.0) AS h FROM nodes LEFT JOIN "
+            f"(SELECT e.src AS node, SUM(p.a) AS h FROM a{i} p "
+            f"JOIN e ON e.dst = p.node GROUP BY 1) s USING (node))")
+        cte.append(
+            f"hn{i} AS MATERIALIZED (SELECT SUM(h) AS s FROM hr{i})")
+        cte.append(
+            f"h{i} AS MATERIALIZED (SELECT node, CASE WHEN hn{i}.s > 0 "
+            f"THEN h / hn{i}.s ELSE h END AS h FROM hr{i}, hn{i})")
+    return ("WITH " + ",\n".join(cte)
+            + f"\nSELECT h{iters}.node, ROUND(h{iters}.h, 6) AS hub, "
+            f"ROUND(a{iters}.a, 6) AS authority "
+            f"FROM h{iters} JOIN a{iters} USING (node)")

@@ -984,3 +984,225 @@ SELECT n, n_groups, ROUND(h, {KW_DP}) AS h,
        COALESCE(h > {chi2_crit}, FALSE) AS significant
 FROM stat
 """
+
+
+# ------------------------------------------- one-way ANOVA F-test
+
+ANOVA_TERM_DP = 9
+ANOVA_DP = 6
+ANOVA_DEC = "decimal(20,6)"
+
+
+def anova_f(df: DataFrame, group_col: str, value_col: str,
+            f_crit: float) -> DataFrame:
+    """One-way ANOVA — the PARAMETRIC k-group mean comparison beside
+    Kruskal–Wallis's rank test (KW asks "same distribution location?",
+    this asks "same mean?" under the normal-errors model):
+
+        F = (SSB / (k−1)) / (SSW / (N−k))
+
+    with SSB = Σ_g S_g²/n_g − S²/N and SSW = Q − Σ_g S_g²/n_g from the
+    per-group sums S_g = Σv and raw Q = Σv². Output ONE row:
+    (n, n_groups, ss_between, ss_within, f, significant) — the
+    threshold verdict at the caller's dof-(k−1, N−k) critical value
+    (no inverse-F in either engine, the z-test discipline). NULL group
+    or value rows are excluded; k < 2, N ≤ k, or zero within-group
+    variance ⇒ NULL F, False verdict (the KW all-tied contract).
+
+    Exactness: values quantize to DECIMAL(20,6) and S_g / Q accumulate
+    as exact decimal sums (the corr_matrix discipline); the S_g²/n_g
+    integer-ratio doubles quantize to 9-dp DECIMAL before their k-row
+    sum, so every float expression is identical in both engines.
+
+    Plan at 100 TB: ONE grouped partial+final aggregate over the scan
+    (k rows out), then arithmetic on the k-row frame — no join, no
+    second pass."""
+    v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+    g = (df.filter(F.col(group_col).isNotNull()
+                   & F.col(value_col).isNotNull())
+         .groupBy(group_col)
+         .agg(F.count(F.lit(1)).alias("ng"),
+              F.sum(v).alias("sg"),
+              F.sum(v * v).alias("qg")))
+    dec9 = f"decimal(30,{ANOVA_TERM_DP})"
+    term = F.round(F.col("sg").cast("double")
+                   * F.col("sg").cast("double") / F.col("ng"),
+                   ANOVA_TERM_DP).cast(dec9)
+    agg = g.agg(F.sum("ng").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum("sg").alias("_s"),
+                F.sum("qg").alias("_q"),
+                F.sum(term).alias("_t"))
+    n = F.col("n").cast("double")
+    k = F.col("n_groups").cast("double")
+    t = F.col("_t").cast("double")
+    ssb = t - (F.col("_s").cast("double")
+               * F.col("_s").cast("double") / n)
+    ssw = F.col("_q").cast("double") - t
+    f_stat = F.when(
+        (F.col("n_groups") >= 2) & (F.col("n") > F.col("n_groups"))
+        & (ssw > 0),
+        (ssb / (k - F.lit(1.0))) / (ssw / (n - k)))
+    return agg.select(
+        "n", "n_groups",
+        F.round(ssb, ANOVA_DP).alias("ss_between"),
+        F.round(ssw, ANOVA_DP).alias("ss_within"),
+        F.round(f_stat, ANOVA_DP).alias("f"),
+        F.coalesce(f_stat > f_crit, F.lit(False)).alias("significant"))
+
+
+def anova_f_duck(inner_sql: str, group_col: str, value_col: str,
+                 f_crit: float) -> str:
+    """DuckDB mirror of :func:`anova_f` — identical quantization,
+    identical float expressions."""
+    dp, odp = ANOVA_TERM_DP, ANOVA_DP
+    return f"""
+WITH av AS (
+  SELECT {group_col} AS g,
+         CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS v
+  FROM ({inner_sql})
+  WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL),
+per_g AS (
+  SELECT g, COUNT(*) AS ng, SUM(v) AS sg, SUM(v * v) AS qg
+  FROM av GROUP BY g),
+agg AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         SUM(sg) AS s, SUM(qg) AS q,
+         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng,
+                        {dp}) AS DECIMAL(30,{dp}))) AS t
+  FROM per_g),
+stat AS (
+  SELECT n, n_groups,
+         CAST(t AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ssb,
+         CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw
+  FROM agg),
+f AS (
+  SELECT *, CASE WHEN n_groups >= 2 AND n > n_groups AND ssw > 0
+            THEN (ssb / (CAST(n_groups AS DOUBLE) - 1.0))
+                 / (ssw / (CAST(n AS DOUBLE)
+                           - CAST(n_groups AS DOUBLE))) END AS fs
+  FROM stat)
+SELECT n, n_groups,
+       ROUND(ssb, {odp}) AS ss_between,
+       ROUND(ssw, {odp}) AS ss_within,
+       ROUND(fs, {odp}) AS f,
+       COALESCE(fs > {f_crit}, FALSE) AS significant
+FROM f
+"""
+
+
+# ------------------------------------------- Welch's unequal-variance t
+
+WELCH_DP = 6
+
+
+def welch_t(a: DataFrame, b: DataFrame, value_col: str,
+            t_crit: float) -> DataFrame:
+    """Welch's two-sample t-test — the unequal-variance mean comparison
+    beside Mann–Whitney's rank test (the default two-sample t in
+    modern practice; Student's pooled form is its equal-variance
+    special case):
+
+        t = (m_a − m_b) / √(s_a²/n_a + s_b²/n_b)
+
+    with Welch–Satterthwaite degrees of freedom
+    ν = (s_a²/n_a + s_b²/n_b)² / ((s_a²/n_a)²/(n_a−1) +
+    (s_b²/n_b)²/(n_b−1)). Output ONE row: (n_a, n_b, mean_a, mean_b,
+    t, dof, significant) — threshold verdict at the caller's critical
+    value (pick it for ν ≈ min(n_a, n_b) − 1 or the normal limit; no
+    inverse-t in either engine). Either side with n < 2 or both
+    variances zero ⇒ NULL t/dof, False verdict.
+
+    Exactness: per-side Σv / Σv² in DECIMAL(20,6) (the corr_matrix
+    discipline); every expression after them is the same IEEE double
+    form in both engines.
+
+    Plan at 100 TB: one 1-row aggregate per side (each a scan-shaped
+    partial+final), crossed into one row — no shuffle of data rows."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+        return (df.filter(F.col(value_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                     F.sum(v).alias(f"_s_{tag}"),
+                     F.sum(v * v).alias(f"_q_{tag}")))
+    # broadcast keeps the 1-row × 1-row cross as BroadcastNestedLoop,
+    # never a CartesianProduct (the sweep's plan lint bans it)
+    one = side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"_s_{tag}").cast("double")
+        q = F.col(f"_q_{tag}").cast("double")
+        mean = s / n
+        var = F.when(F.col(f"n_{tag}") >= 2,
+                     (q - s * s / n) / (n - F.lit(1.0)))
+        return n, mean, var
+
+    na, ma, va = stats("a")
+    nb, mb, vb = stats("b")
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = F.when(se2 > 0, (ma - mb) / F.sqrt(se2))
+    dof = F.when(se2 > 0,
+                 se2 * se2 / (sea * sea / (na - F.lit(1.0))
+                              + seb * seb / (nb - F.lit(1.0))))
+    return one.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ma, WELCH_DP).alias("mean_a"),
+        F.round(mb, WELCH_DP).alias("mean_b"),
+        F.round(t, WELCH_DP).alias("t"),
+        F.round(dof, WELCH_DP).alias("dof"),
+        F.coalesce(F.abs(t) > t_crit, F.lit(False)).alias("significant"))
+
+
+def welch_t_duck(a_sql: str, b_sql: str, value_col: str,
+                 t_crit: float) -> str:
+    """DuckDB mirror of :func:`welch_t` — identical decimal sums and
+    double expressions."""
+    dp = WELCH_DP
+
+    def side(sql, tag):
+        return f"""
+  SELECT COUNT(*) AS n_{tag},
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))) AS s_{tag},
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))
+             * CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+           AS q_{tag}
+  FROM ({sql}) WHERE {value_col} IS NOT NULL"""
+    var = lambda tag: (  # noqa: E731
+        f"CASE WHEN n_{tag} >= 2 THEN "
+        f"(CAST(q_{tag} AS DOUBLE) - CAST(s_{tag} AS DOUBLE) "
+        f"* CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE)) "
+        f"/ (CAST(n_{tag} AS DOUBLE) - 1.0) END")
+    return f"""
+WITH sa AS ({side(a_sql, "a")}),
+sb AS ({side(b_sql, "b")}),
+j AS (SELECT * FROM sa, sb),
+parts AS (
+  SELECT *,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         ({var("a")}) / CAST(n_a AS DOUBLE) AS sea,
+         ({var("b")}) / CAST(n_b AS DOUBLE) AS seb
+  FROM j),
+stat AS (
+  SELECT *, sea + seb AS se2,
+         CASE WHEN sea + seb > 0
+              THEN (ma - mb) / SQRT(sea + seb) END AS t,
+         CASE WHEN sea + seb > 0
+              THEN (sea + seb) * (sea + seb)
+                   / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                      + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) END
+           AS dof
+  FROM parts)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(ma, {dp}) AS mean_a, ROUND(mb, {dp}) AS mean_b,
+       ROUND(t, {dp}) AS t, ROUND(dof, {dp}) AS dof,
+       COALESCE(ABS(t) > {t_crit}, FALSE) AS significant
+FROM stat
+"""

@@ -17,7 +17,7 @@ k · |at-risk combinations|. No window, no second full shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def k_anonymity_audit(df: DataFrame, qi_cols: list[str],
@@ -122,4 +122,130 @@ sizes AS (SELECT {gs}, COUNT(*) AS __grp_n FROM src GROUP BY {gs})
 SELECT src.* FROM src
 JOIN sizes ON {on}
 WHERE sizes.__grp_n >= {k}
+"""
+
+
+# ------------------------------------------------- t-closeness audit
+
+TCLOSE_TERM_DP = 9
+TCLOSE_DP = 6
+
+
+def t_closeness_audit(df: DataFrame, qi_cols: list[str],
+                      sensitive_col: str, t: float,
+                      ordered: bool = True) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distributional tightening of :func:`l_diversity_audit`: a QI group
+    can be l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION skews far from the table's (all-but-one member with
+    the same diagnosis). Each combination's Earth Mover's Distance to
+    the GLOBAL sensitive distribution must stay ≤ t:
+
+    * ``ordered=True`` (numeric/ordinal sensitive values): the 1-D EMD
+      closed form EMD = Σ_i |Σ_{j≤i}(p_g − p)| / (m−1) over the m
+      distinct values in order — mass moves along the value axis;
+    * ``ordered=False`` (categorical): equal ground distance, EMD =
+      total-variation Σ|p_g − p| / 2.
+
+    Output: (qi..., group_size, emd, at_risk) with at_risk = emd > t.
+    NULL QI values audit as their own combination (the k-anon stance);
+    NULL sensitive rows are excluded from BOTH the group and global
+    distributions (an unknown outcome carries no disclosure mass —
+    the l-diversity stance). A single distinct sensitive value ⇒ every
+    distribution is identical ⇒ emd = 0.
+
+    Exactness: the p_g(v) − p(v) integer-ratio doubles quantize to
+    9-dp DECIMAL per grid cell, so the cumulative and absolute sums
+    are exact decimal arithmetic; the final /(m−1) (or /2) and 6-dp
+    round are identical double expressions in both engines.
+
+    Plan at 100 TB: one m-bounded global value frame (broadcast), one
+    (|groups|·m)-bounded grid via crossJoin against it, one left join
+    of the grouped counts onto the grid (absent cells carry p_g = 0 —
+    dropping them is the classic wrong answer), one ordered window per
+    group over m rows, one final |groups|-row aggregate. The full-data
+    work is the two grouped counts."""
+    src = df.filter(F.col(sensitive_col).isNotNull())
+    v = F.col(sensitive_col).alias("_v")
+    vals = src.groupBy(v).agg(F.count(F.lit(1)).alias("_nv"))
+    tot = vals.agg(F.sum("_nv").alias("_N"),
+                   F.count(F.lit(1)).alias("_m"))
+    groups = src.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_ng"))
+    cells = src.groupBy(*qi_cols, v).agg(F.count(F.lit(1)).alias("_ngv"))
+    grid = (groups.crossJoin(F.broadcast(vals))
+            .crossJoin(F.broadcast(tot)))
+    cond = F.col("_v").eqNullSafe(F.col("_cv"))
+    for c in qi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+    cells_r = cells.select(
+        *[F.col(c).alias(f"_c_{c}") for c in qi_cols],
+        F.col("_v").alias("_cv"), "_ngv")
+    dec9 = f"decimal(30,{TCLOSE_TERM_DP})"
+    diff = F.round(
+        F.coalesce(F.col("_ngv"), F.lit(0)).cast("double")
+        / F.col("_ng")
+        - F.col("_nv").cast("double") / F.col("_N"),
+        TCLOSE_TERM_DP).cast(dec9)
+    j = (grid.join(cells_r, cond, "left")
+         .select(*qi_cols, "_v", "_ng", "_m", diff.alias("_d")))
+    w_cum = (Window.partitionBy(*qi_cols).orderBy("_v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = j.withColumn("_cum", F.sum("_d").over(w_cum))
+    term = F.abs(F.col("_cum")) if ordered else F.abs(F.col("_d"))
+    per_g = (j.groupBy(*qi_cols)
+             .agg(F.max("_ng").cast("bigint").alias("group_size"),
+                  F.max("_m").alias("_m"),
+                  F.sum(term).alias("_e")))
+    denom = (F.col("_m") - F.lit(1)).cast("double") if ordered \
+        else F.lit(2.0)
+    emd = F.when(F.col("_m") <= 1, F.lit(0.0)) \
+        .otherwise(F.col("_e").cast("double") / denom)
+    return per_g.select(
+        *qi_cols, "group_size",
+        F.round(emd, TCLOSE_DP).alias("emd"),
+        (emd > t).alias("at_risk"))
+
+
+def t_closeness_audit_duck(inner_sql: str, qi_cols: list[str],
+                           sensitive_col: str, t: float,
+                           ordered: bool = True) -> str:
+    """DuckDB mirror of :func:`t_closeness_audit` — the same full grid,
+    9-dp cell quantization, and cumulative/total-variation fold."""
+    dp, odp = TCLOSE_TERM_DP, TCLOSE_DP
+    qs = ", ".join(qi_cols)
+    on = " AND ".join(
+        [f"c.{q} IS NOT DISTINCT FROM g.{q}" for q in qi_cols]
+        + ["c._v IS NOT DISTINCT FROM v._v"])
+    term = "ABS(cum)" if ordered else "ABS(d)"
+    denom = "(CAST(m AS DOUBLE) - 1.0)" if ordered else "2.0"
+    return f"""
+WITH tc0 AS (SELECT * FROM ({inner_sql})
+             WHERE {sensitive_col} IS NOT NULL),
+v AS (SELECT {sensitive_col} AS _v, COUNT(*) AS nv
+      FROM tc0 GROUP BY 1),
+tot AS (SELECT SUM(nv) AS N, COUNT(*) AS m FROM v),
+g AS (SELECT {qs}, COUNT(*) AS ng FROM tc0 GROUP BY {qs}),
+c AS (SELECT {qs}, {sensitive_col} AS _v, COUNT(*) AS ngv
+      FROM tc0 GROUP BY {qs}, {sensitive_col}),
+grid AS (
+  SELECT g.*, v._v, v.nv, tot.N, tot.m,
+         CAST(ROUND(COALESCE(c.ngv, 0) / CAST(g.ng AS DOUBLE)
+                    - v.nv / CAST(tot.N AS DOUBLE), {dp})
+              AS DECIMAL(30,{dp})) AS d
+  FROM g CROSS JOIN v CROSS JOIN tot
+  LEFT JOIN c ON {on}),
+cum AS (
+  SELECT *, SUM(d) OVER (PARTITION BY {qs} ORDER BY _v
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM grid),
+per_g AS (
+  SELECT {qs}, CAST(MAX(ng) AS BIGINT) AS group_size,
+         MAX(m) AS m, SUM({term}) AS e
+  FROM cum GROUP BY {qs})
+SELECT {qs}, group_size,
+       ROUND(CASE WHEN m <= 1 THEN 0.0
+             ELSE CAST(e AS DOUBLE) / {denom} END, {odp}) AS emd,
+       (CASE WHEN m <= 1 THEN 0.0
+        ELSE CAST(e AS DOUBLE) / {denom} END) > {t!r} AS at_risk
+FROM per_g
 """

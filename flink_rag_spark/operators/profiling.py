@@ -670,3 +670,132 @@ SELECT t.digit,
 FROM terms t, x
 ORDER BY t.digit
 """
+
+
+# ----------------------------------- categorical entropy / impurity
+
+ENTROPY_TERM_DP = 9
+ENTROPY_DP = 6
+
+
+def column_entropy(df: DataFrame, value_col: str,
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Shannon entropy + Gini impurity of a categorical column, per
+    group — the information-content profile beside the histogram's
+    shape and gini_concentration's magnitude inequality ("how
+    SPREAD are the categories?" — a near-constant partition key is a
+    skew hazard, a near-uniform one shards well; the same number is
+    the split-quality score a feature audit reads):
+
+        H = ln N − (Σ n_i·ln n_i)/N          (nats)
+        H_norm = H / ln m                    (m = distinct values)
+        gini_impurity = 1 − Σ (n_i/N)²
+
+    Output: (group..., n, n_distinct, entropy, entropy_norm,
+    gini_impurity); a single-valued group has entropy 0 with NULL
+    entropy_norm (ln 1 = 0 — normalization undefined, the zero-variance
+    contract). NULL values are excluded (the l-diversity stance — an
+    unknown category carries no identifiable mass); all-NULL groups
+    vanish with them.
+
+    Exactness: counts are exact integers; each n_i·ln n_i and
+    (n_i/N)² term quantizes to 9-dp DECIMAL before its per-group sum
+    (the chi2 discipline — order-independent), and the final ln/ratio
+    expressions are identical IEEE forms in both engines, rounded at
+    6 dp.
+
+    Plan at 100 TB: ONE (group, value) partial+final aggregate over
+    the scan, then a (group)-grouped fold over the value frame —
+    everything after the first aggregate is |groups|·m-bounded."""
+    groups = list(group_cols or [])
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(*groups, F.col(value_col).alias("_v"))
+              .agg(F.count(F.lit(1)).alias("_c")))
+    dec9 = f"decimal(30,{ENTROPY_TERM_DP})"
+    nlogn = F.round(F.col("_c").cast("double")
+                    * F.log(F.col("_c").cast("double")),
+                    ENTROPY_TERM_DP).cast(dec9)
+    agg = (counts.groupBy(*groups)
+           .agg(F.sum("_c").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                F.sum(nlogn).alias("_sl")))
+    # the squared-share terms need N first — so the shares fold
+    # re-reads the m-bounded counts frame joined (broadcast,
+    # NULL-safe on the group keys — a NULL group is its own group)
+    # against the |groups|-row totals
+    n = F.col("n").cast("double")
+    ent = F.when(F.col("n") > 0,
+                 F.log(n) - F.col("_sl").cast("double") / n)
+    base = agg.select(*groups, "n", "n_distinct", ent.alias("_h"))
+
+    def _nullsafe_join(left, right):
+        if not groups:
+            return left.crossJoin(F.broadcast(right))
+        r = right.select(
+            *[F.col(c).alias(f"_j_{c}") for c in groups],
+            *[c for c in right.columns if c not in groups])
+        cond = None
+        for c in groups:
+            e = left[c].eqNullSafe(F.col(f"_j_{c}"))
+            cond = e if cond is None else (cond & e)
+        return (left.join(F.broadcast(r), cond)
+                .drop(*[f"_j_{c}" for c in groups]))
+
+    sq = F.round(
+        (F.col("_c").cast("double") / F.col("n"))
+        * (F.col("_c").cast("double") / F.col("n")),
+        ENTROPY_TERM_DP).cast(dec9)
+    gini = (_nullsafe_join(counts, base.select(*groups, "n"))
+            .groupBy(*groups).agg(F.sum(sq).alias("_sq")))
+    out = _nullsafe_join(base, gini.select(*groups, "_sq")) \
+        if groups else base.crossJoin(F.broadcast(gini))
+    hnorm = F.when(F.col("n_distinct") > 1,
+                   F.col("_h") / F.log(F.col("n_distinct")
+                                       .cast("double")))
+    return out.select(
+        *groups, "n", "n_distinct",
+        F.round(F.col("_h"), ENTROPY_DP).alias("entropy"),
+        F.round(hnorm, ENTROPY_DP).alias("entropy_norm"),
+        F.round(F.lit(1.0) - F.col("_sq").cast("double"),
+                ENTROPY_DP).alias("gini_impurity"))
+
+
+def column_entropy_duck(inner_sql: str, value_col: str,
+                        group_cols: list[str] | None = None) -> str:
+    """DuckDB mirror of :func:`column_entropy` — identical 9-dp term
+    quantization and ln forms."""
+    dp, odp = ENTROPY_TERM_DP, ENTROPY_DP
+    groups = list(group_cols or [])
+    gs = ", ".join(groups)
+    gpfx = f"{gs}, " if groups else ""
+    gby = f"GROUP BY {gs}" if groups else ""
+    on = (" ON " + " AND ".join(
+        f"c.{g} IS NOT DISTINCT FROM a.{g}" for g in groups)
+        if groups else " ON TRUE")
+    return f"""
+WITH ce0 AS (SELECT * FROM ({inner_sql})
+             WHERE {value_col} IS NOT NULL),
+c AS (SELECT {gpfx}{value_col} AS _v, COUNT(*) AS _c
+      FROM ce0 GROUP BY {gpfx}{value_col}),
+a AS (SELECT {gpfx}CAST(SUM(_c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(ROUND(_c * LN(CAST(_c AS DOUBLE)), {dp})
+                      AS DECIMAL(30,{dp}))) AS sl
+      FROM c {gby}),
+g AS (SELECT {("a." + ", a.".join(groups) + ", ") if groups else ""}
+             SUM(CAST(ROUND((c._c / CAST(a.n AS DOUBLE))
+                            * (c._c / CAST(a.n AS DOUBLE)), {dp})
+                      AS DECIMAL(30,{dp}))) AS sq
+      FROM c JOIN a{on}
+      {("GROUP BY a." + ", a.".join(groups)) if groups else ""}),
+j AS (SELECT a.*, g.sq FROM a JOIN g{on.replace("c.", "g.")})
+SELECT {gpfx}n, n_distinct,
+       ROUND(LN(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / n, {odp})
+         AS entropy,
+       ROUND(CASE WHEN n_distinct > 1
+             THEN (LN(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / n)
+                  / LN(CAST(n_distinct AS DOUBLE)) END, {odp})
+         AS entropy_norm,
+       ROUND(1.0 - CAST(sq AS DOUBLE), {odp}) AS gini_impurity
+FROM j
+"""

@@ -1334,3 +1334,153 @@ def rbo_bm25_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.lit(1).cast("bigint").alias("query_id"),
                  "doc_id", "rank"))
     return rbo_overlap(a, b, depth=RBO_DEPTH)
+
+
+# ----------------------------------------------- round-13 additions
+
+#: one-way ANOVA on five regions: F critical value at dof (4, inf),
+#: alpha 0.05 — the same large-sample stance as the z/chi2 verdicts
+ANOVA_F_CRIT_DOF4 = 2.372
+
+
+def anova_order_price_regions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """One-way ANOVA (operators/hypothesis.py anova_f): do the five
+    regions' MEAN order prices differ anywhere? The parametric
+    complement of the Kruskal–Wallis rank test on the same grouping —
+    exact decimal Σv/Σv² per region, 9-dp quantized between-group
+    terms, threshold verdict at the dof-(4, ∞) critical value."""
+    from flink_rag_spark.operators.hypothesis import anova_f
+    j = _orders_with_region(spark, sf_dir)
+    return anova_f(j, "r_name", "o_totalprice", ANOVA_F_CRIT_DOF4)
+
+
+#: Welch verdict at the normal-limit critical value (both samples are
+#: thousands of orders — ν is effectively infinite)
+WELCH_T_CRIT = 1.959963984540054
+
+
+def welch_order_price_regions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/hypothesis.py
+    welch_t): is EUROPE's MEAN order price different from ASIA's? The
+    parametric complement of the MWU rank test on the same pair —
+    exact decimal side sums, Welch–Satterthwaite dof, threshold
+    verdict."""
+    from flink_rag_spark.operators.hypothesis import welch_t
+    j = _orders_with_region(spark, sf_dir)
+    return welch_t(
+        j.filter(F.col("r_name") == "EUROPE").select("o_totalprice"),
+        j.filter(F.col("r_name") == "ASIA").select("o_totalprice"),
+        "o_totalprice", WELCH_T_CRIT)
+
+
+def signup_purchase_hazard(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (operators/survival.py
+    nelson_aalen) per signup-week cohort on the SAME subjects as the
+    KM curve: accumulated purchase intensity H(t) plus the
+    Fleming–Harrington survival exp(−H) — the hazard-scale readout of
+    the signup→purchase process, with exact 9-dp decimal hazard prefix
+    sums where KM's product needs ln/exp."""
+    from flink_rag_spark.operators.survival import nelson_aalen
+    e = load_table(spark, sf_dir, "events")
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (s.join(e.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("p_ts")),
+                "user_id")
+         .filter(F.col("p_ts") > F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("p_ts").alias("p_ts")))
+    subj = (s.join(p, "user_id", "left")
+            .select(F.date_trunc("week", F.col("s_ts")).alias("cohort"),
+                    F.expr("timestampdiff(MICROSECOND, s_ts, "
+                           f"coalesce(p_ts, TIMESTAMP '{KM_HORIZON}'))")
+                    .alias("duration_us"),
+                    F.col("p_ts").isNotNull().cast("int")
+                    .alias("event")))
+    return nelson_aalen(subj, "duration_us", "event", ["cohort"])
+
+
+#: EWMA chart geometry: λ = 0.25 keeps the exact weight table at ~96
+#: lags; 3σ limits — the textbook Roberts configuration
+EWMA_LAM = 0.25
+EWMA_L = 3.0
+
+
+def user_value_ewma_chart(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """EWMA control chart (operators/anomaly.py ewma_control) over each
+    user's event-value series: per-observation smoothed value vs
+    widening 3σ control limits around the user's own Phase-I mean —
+    the drift-sensitive member of the anomaly family (MAD catches
+    point shocks, CUSUM level shifts, EWMA slow drifts). Literal
+    decimal weight/limit tables, one bounded-lag pair join."""
+    from flink_rag_spark.operators.anomaly import ewma_control
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ewma_control(e, ["user_id"], "ts", "value", "event_id",
+                        lam=EWMA_LAM, n_sigma=EWMA_L)
+
+
+#: t-closeness threshold on the acct-band EMD (standard demo value)
+T_CLOSENESS_T = 0.2
+
+
+def t_closeness_customers(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/privacy.py t_closeness_audit) on
+    the SAME customer quasi-identifier and sensitive banding as the
+    k-anonymity / l-diversity audits: per-(segment, nation) Earth
+    Mover's Distance between the group's account-balance-band
+    distribution and the table's (ordered 1-D EMD — balance bands are
+    ordinal), flagged above t. Completes the privacy-audit ladder:
+    size (k) → diversity (l) → distribution (t)."""
+    from flink_rag_spark.operators.privacy import t_closeness_audit
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .withColumn("acct_band",
+                     F.floor(F.col("c_acctbal") / 1000).cast("bigint")))
+    return t_closeness_audit(j, ["c_mktsegment", "n_name"], "acct_band",
+                             T_CLOSENESS_T, ordered=True)
+
+
+def entropy_order_priority_regions(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity (operators/profiling.py
+    column_entropy) of the order-priority mix per region: how spread
+    is each region's priority distribution — the information-content
+    profile beside the histogram's shape and the association grid's
+    pairwise PMI. One (region, priority) aggregate + a bounded fold."""
+    from flink_rag_spark.operators.profiling import column_entropy
+    j = _orders_with_region(spark, sf_dir)
+    return column_entropy(j, "o_orderpriority", ["r_name"])
+
+
+#: HITS demo depth — the pagerank-oracle unrolled-CTE stance
+HITS_DEMO_ITERS = 6
+
+
+def part_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits) over the
+    DIRECTED customer→supplier purchase graph (distinct pairs from
+    lineitem⋈orders): hub customers buy from authoritative suppliers,
+    authoritative suppliers are bought by hub customers — the
+    two-role centrality PageRank's single score conflates (the
+    symmetric pagerank_copurchase view cannot separate them). The
+    oracle unrolls all six half-step pairs with their L1
+    normalizations."""
+    from flink_rag_spark.operators.graph import hits
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+             .select(F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    return (hits(edges, iters=HITS_DEMO_ITERS)
+            .orderBy(F.desc("authority"), F.desc("hub"), "node"))

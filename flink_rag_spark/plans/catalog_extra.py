@@ -126,6 +126,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.profiling import (
         benford_audit_duck,
         equiwidth_histogram_duck,
+        column_entropy_duck,
         gini_concentration_duck,
         key_skew_profile_duck,
         profile_columns_duck,
@@ -134,6 +135,7 @@ def extra_queries() -> list[tuple]:
     )
     from flink_rag_spark.operators.anomaly import (
         cusum_first_alarms_duck,
+        ewma_control_duck,
         robust_outliers_duck,
         seasonal_baseline_outliers_duck,
     )
@@ -146,28 +148,33 @@ def extra_queries() -> list[tuple]:
                                                  community_labels_duck,
                                                  kcore_nodes_duck,
                                                  link_prediction_duck,
+                                                 hits_duck,
                                                  pagerank_duck as pr_duck,
                                                  personalized_pagerank_duck,
                                                  triangle_counts_duck,
                                                  weighted_shortest_paths_duck)
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
+        anova_f_duck,
         chi2_independence_duck,
         logrank_test_duck,
         ks_two_sample_duck,
         kruskal_wallis_duck,
         mann_whitney_u_duck,
         spearman_corr_duck,
+        welch_t_duck,
     )
     from flink_rag_spark.operators.keywords import tfidf_keywords_duck
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
     from flink_rag_spark.operators.privacy import (
         k_anonymity_audit_duck,
         l_diversity_audit_duck,
+        t_closeness_audit_duck,
     )
     from flink_rag_spark.operators.regression import (corr_matrix_duck,
                                                       group_ols_duck)
-    from flink_rag_spark.operators.survival import km_survival_duck
+    from flink_rag_spark.operators.survival import (km_survival_duck,
+                                                     nelson_aalen_duck)
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
@@ -1932,6 +1939,68 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
              "r_name", "o_totalprice", A.CHI2_CRIT_DOF4),
          ("hypothesis", "stats", "window")),
+        # round-13: one-way ANOVA — the parametric k-group mean test
+        # beside KW's rank test; exact decimal Σv/Σv², 9-dp quantized
+        # between-group terms (hypothesis.anova_f)
+        ("anova_order_price_regions", A.anova_order_price_regions,
+         anova_f_duck(
+             f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "r_name", "o_totalprice", A.ANOVA_F_CRIT_DOF4),
+         ("hypothesis", "stats", "agg")),
+        # round-13: Welch's unequal-variance t — the parametric pair
+        # test beside MWU; Welch–Satterthwaite dof (hypothesis.welch_t)
+        ("welch_order_price_regions", A.welch_order_price_regions,
+         welch_t_duck(
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'EUROPE'",
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'ASIA'",
+             "o_totalprice", A.WELCH_T_CRIT),
+         ("hypothesis", "stats", "agg")),
+        # round-13: Nelson–Aalen cumulative hazard — the hazard-scale
+        # companion of the KM curve on the same subjects; exact 9-dp
+        # decimal hazard prefix sums (survival.nelson_aalen)
+        ("signup_purchase_hazard", A.signup_purchase_hazard,
+         nelson_aalen_duck(A._KM_SUBJECTS_SQL, "duration_us", "event",
+                           ["cohort"]),
+         ("survival", "window", "analytics")),
+        # round-13: EWMA control chart — per-row smoothed value vs
+        # widening 3σ limits; literal decimal weight/limit-factor
+        # tables, bounded-lag pair join (anomaly.ewma_control)
+        ("user_value_ewma_chart", A.user_value_ewma_chart,
+         ewma_control_duck(
+             "SELECT user_id, ts, event_id, value FROM events "
+             "WHERE value IS NOT NULL",
+             ["user_id"], "ts", "value", "event_id",
+             lam=A.EWMA_LAM, n_sigma=A.EWMA_L),
+         ("anomaly", "timeseries", "window")),
+        # round-13: t-closeness — per-QI-group EMD to the global
+        # sensitive distribution on the k-anon/l-div QI; full grid,
+        # 9-dp quantized cells (privacy.t_closeness_audit)
+        ("t_closeness_customers", A.t_closeness_customers,
+         t_closeness_audit_duck(A._L_DIVERSITY_SQL,
+                                ["c_mktsegment", "n_name"], "acct_band",
+                                A.T_CLOSENESS_T, ordered=True),
+         ("privacy", "agg", "audit")),
+        # round-13: per-region Shannon entropy + Gini impurity of the
+        # order-priority mix — 9-dp quantized n·ln n and share² terms
+        # (profiling.column_entropy)
+        ("entropy_order_priority_regions",
+         A.entropy_order_priority_regions,
+         column_entropy_duck(
+             f"SELECT r_name, o_orderpriority FROM ({_ORDERS_REGION_SQL})",
+             "o_orderpriority", ["r_name"]),
+         ("profiling", "stats", "agg")),
+        # round-13: HITS hubs & authorities over the DIRECTED
+        # customer→supplier purchase graph — the oracle unrolls all six
+        # half-step pairs with their L1 normalizations (graph.hits)
+        ("part_hits_copurchase", A.part_hits_copurchase,
+         hits_duck(
+             "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+             "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+             iters=A.HITS_DEMO_ITERS),
+         ("graph", "iterative", "join")),
         ("spearman_quantity_price", A.spearman_quantity_price,
          spearman_corr_duck(
              "SELECT l_quantity, l_extendedprice FROM lineitem",

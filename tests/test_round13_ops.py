@@ -392,3 +392,241 @@ def test_nsw_forget_all_entries_promotes_survivors(spark, tmp_path):
     out = nsw_topk(spark, path, [1.0, 1.0, 1.0], k=5).collect()
     assert 0 < len(out) <= 5
     assert not ({r["vec_id"] for r in out} & set(meta["entry_ids"]))
+
+
+# ------------------------------------------ round-13 stats operators
+
+
+def test_anova_f_hand_values(spark):
+    """Two clean groups: SSB = 13.5, SSW = 4 → F = 13.5 exactly; NULL
+    rows excluded; zero within-variance and single-group inputs yield
+    NULL F with a False verdict; duck mirror bit-identical."""
+    from flink_rag_spark.operators.hypothesis import anova_f, anova_f_duck
+    rows = ([("a", x) for x in (1.0, 2.0, 3.0)]
+            + [("b", x) for x in (4.0, 5.0, 6.0)]
+            + [(None, 9.0), ("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anova_f(df, "g", "v", 7.71).collect()[0]
+    assert (out["n"], out["n_groups"]) == (6, 2)
+    assert out["ss_between"] == 13.5 and out["ss_within"] == 4.0
+    assert out["f"] == 13.5 and out["significant"]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({'NULL' if g is None else repr(g)}, "
+        f"{'NULL' if v is None else v})" for g, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(g,v)")
+    d = con.execute(anova_f_duck("SELECT g, v FROM t", "g", "v",
+                                 7.71)).fetchdf()
+    assert d["f"][0] == out["f"] and bool(d["significant"][0])
+    assert d["ss_between"][0] == 13.5 and d["ss_within"][0] == 4.0
+    flat = spark.createDataFrame([("a", 1.0), ("b", 1.0), ("a", 1.0)],
+                                 "g string, v double")
+    z = anova_f(flat, "g", "v", 7.71).collect()[0]
+    assert z["f"] is None and not z["significant"]
+    one = anova_f(spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                                        "g string, v double"),
+                  "g", "v", 7.71).collect()[0]
+    assert one["f"] is None and not one["significant"]
+
+
+def test_welch_t_hand_values(spark):
+    """a = 1..4 vs constant b: se² = var_a/4, t = 0.5/√(5/12),
+    Satterthwaite dof = 3; a zero-variance PAIR yields NULL t; NULLs
+    excluded; duck parity."""
+    from flink_rag_spark.operators.hypothesis import welch_t, welch_t_duck
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,), (None,)],
+                              "v double")
+    b = spark.createDataFrame([(2.0,), (2.0,), (2.0,), (2.0,)],
+                              "v double")
+    out = welch_t(a, b, "v", 1.96).collect()[0]
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+    assert out["mean_a"] == 2.5 and out["mean_b"] == 2.0
+    assert out["t"] == round(0.5 / (5.0 / 12.0) ** 0.5, 6)
+    assert out["dof"] == 3.0 and not out["significant"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a AS SELECT * FROM (VALUES (1.0),(2.0),"
+                "(3.0),(4.0),(NULL)) t(v)")
+    con.execute("CREATE TABLE b AS SELECT * FROM (VALUES (2.0),(2.0),"
+                "(2.0),(2.0)) t(v)")
+    d = con.execute(welch_t_duck("SELECT v FROM a", "SELECT v FROM b",
+                                 "v", 1.96)).fetchdf()
+    assert d["t"][0] == out["t"] and d["dof"][0] == 3.0
+    both = welch_t(b, b, "v", 1.96).collect()[0]
+    assert both["t"] is None and not both["significant"]
+
+
+def test_nelson_aalen_hand_values(spark):
+    """Risk sets 5 → 2: H = 2/5, then 2/5 + 1/2; censoring-only times
+    emit no row but shrink later risk sets; survival_fh = exp(−H);
+    duck parity."""
+    from flink_rag_spark.operators.survival import (nelson_aalen,
+                                                    nelson_aalen_duck)
+    rows = [(1.0, 1), (1.0, 1), (2.0, 0), (3.0, 1), (4.0, 0)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    out = {r["t"]: r for r in
+           nelson_aalen(df, "dur", "ev").collect()}
+    assert set(out) == {1.0, 3.0}
+    assert (out[1.0]["n_risk"], out[1.0]["n_events"]) == (5, 2)
+    assert out[1.0]["cum_hazard"] == 0.4
+    assert (out[3.0]["n_risk"], out[3.0]["n_events"]) == (2, 1)
+    assert out[3.0]["cum_hazard"] == 0.9
+    assert out[3.0]["survival_fh"] == round(2.718281828459045 ** -0.9, 6)
+    con = duckdb.connect()
+    vals = ", ".join(f"({d}, {e})" for d, e in rows)
+    con.execute(f"CREATE TABLE s AS SELECT * FROM (VALUES {vals}) "
+                "x(dur, ev)")
+    d = con.execute(nelson_aalen_duck("SELECT dur, ev FROM s", "dur",
+                                      "ev") + " ORDER BY t").fetchdf()
+    assert list(d["cum_hazard"]) == [0.4, 0.9]
+    assert list(d["survival_fh"]) == [out[1.0]["survival_fh"],
+                                      out[3.0]["survival_fh"]]
+
+
+def test_ewma_control_hand_values(spark):
+    """λ = 0.5 on [10, 12, 8, 14]: z = [10, 11, 9.5, 11.75] exactly;
+    the t = 1 limit factor is exactly 0.5 (√(⅓·¾)); a singleton key
+    emits NULL limits and never breaches; λ guards; duck parity."""
+    from flink_rag_spark.operators.anomaly import (ewma_control,
+                                                   ewma_control_duck)
+    rows = [("u", i, i, x) for i, x in enumerate([10.0, 12.0, 8.0, 14.0])]
+    rows.append(("solo", 1, 1, 5.0))
+    df = spark.createDataFrame(rows,
+                               "k string, t bigint, sq bigint, v double")
+    out = sorted([r.asDict() for r in
+                  ewma_control(df, ["k"], "t", "v", "sq", lam=0.5)
+                  .filter("k = 'u'").collect()], key=lambda r: r["t"])
+    assert [r["ewma"] for r in out] == [10.0, 11.0, 9.5, 11.75]
+    mu = 11.0
+    sig = (20.0 / 3.0) ** 0.5
+    assert out[0]["center"] == 11.0
+    assert out[0]["ucl"] == round(mu + 3.0 * sig * 0.5, 6)
+    assert not any(r["breach"] for r in out)
+    solo = ewma_control(df, ["k"], "t", "v", "sq", lam=0.5) \
+        .filter("k = 'solo'").collect()[0]
+    assert solo["ucl"] is None and not solo["breach"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ewma_control(df, ["k"], "t", "v", "sq", lam=0.0)
+    with _pytest.raises(ValueError):
+        ewma_control(df, ["k"], "t", "v", "sq", lam=0.01)  # > max lags
+    with _pytest.raises(ValueError):
+        ewma_control(df, ["k"], "t", "v", "sq", n_sigma=0.0)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{k}',{t},{s},{v})" for k, t, s, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, t, sq, v)")
+    d = con.execute(ewma_control_duck("SELECT k, t, sq, v FROM t",
+                                      ["k"], "t", "v", "sq", lam=0.5)
+                    + " ORDER BY k DESC, t").fetchdf()
+    for i, r in enumerate(out):
+        for c in ("ewma", "center", "ucl", "lcl"):
+            assert d[c][i] == r[c], (i, c)
+        assert bool(d["breach"][i]) == r["breach"]
+
+
+def test_t_closeness_hand_values(spark):
+    """Ordered EMD per QI group against the global distribution:
+    g1 ([1,1,2] vs global [.5,.25,.25]) scores 5/24, g2 (all mass on
+    3) scores 0.625 — only g2 breaches t = 0.3; the categorical
+    variant scores g1 at total-variation 0.25; single-valued table ⇒
+    EMD 0; NULL sensitive rows excluded; duck parity."""
+    from flink_rag_spark.operators.privacy import (t_closeness_audit,
+                                                   t_closeness_audit_duck)
+    rows = [("g1", 1), ("g1", 1), ("g1", 2), ("g2", 3), ("g1", None)]
+    df = spark.createDataFrame(rows, "q string, v int")
+    out = {r["q"]: r for r in
+           t_closeness_audit(df, ["q"], "v", 0.3).collect()}
+    assert out["g1"]["group_size"] == 3
+    assert out["g1"]["emd"] == round((1.0 / 6 + 1.0 / 4) / 2, 6)
+    assert not out["g1"]["at_risk"]
+    assert out["g2"]["emd"] == 0.625 and out["g2"]["at_risk"]
+    cat = {r["q"]: r for r in
+           t_closeness_audit(df, ["q"], "v", 0.3,
+                             ordered=False).collect()}
+    assert cat["g1"]["emd"] == 0.25
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{q}', {'NULL' if v is None else v})" for q, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(q,v)")
+    for ordered, ref in ((True, out), (False, cat)):
+        d = con.execute(t_closeness_audit_duck(
+            "SELECT q, v FROM t", ["q"], "v", 0.3, ordered=ordered)
+            + " ORDER BY q").fetchdf()
+        for i, q in enumerate(("g1", "g2")):
+            assert d["emd"][i] == ref[q]["emd"], (ordered, q)
+            assert bool(d["at_risk"][i]) == ref[q]["at_risk"]
+    single = t_closeness_audit(
+        spark.createDataFrame([("a", 1), ("b", 1)], "q string, v int"),
+        ["q"], "v", 0.1).collect()
+    assert all(r["emd"] == 0.0 and not r["at_risk"] for r in single)
+
+
+def test_column_entropy_hand_values(spark):
+    """Uniform two-category column: entropy ln 2, normalized 1, Gini
+    impurity 0.5; a constant column: entropy 0, NULL normalization,
+    impurity 0; NULL values excluded; NULL group keys survive the
+    fold; duck parity."""
+    import math
+
+    from flink_rag_spark.operators.profiling import (column_entropy,
+                                                     column_entropy_duck)
+    rows = [("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"), ("g", None),
+            ("c", "x"), ("c", "x"), (None, "y"), (None, "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r["k"]: r for r in
+           column_entropy(df, "v", ["k"]).collect()}
+    assert out["g"]["n"] == 4 and out["g"]["n_distinct"] == 2
+    assert out["g"]["entropy"] == round(math.log(2), 6)
+    assert out["g"]["entropy_norm"] == 1.0
+    assert out["g"]["gini_impurity"] == 0.5
+    assert out["c"]["entropy"] == 0.0
+    assert out["c"]["entropy_norm"] is None
+    assert out["c"]["gini_impurity"] == 0.0
+    assert out[None]["n"] == 2 and out[None]["entropy_norm"] == 1.0
+    # ungrouped: whole-column fold
+    whole = column_entropy(df, "v").collect()[0]
+    assert whole["n"] == 8 and whole["n_distinct"] == 5
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({'NULL' if k is None else repr(k)}, "
+        f"{'NULL' if v is None else repr(v)})" for k, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(k,v)")
+    d = con.execute(column_entropy_duck("SELECT k, v FROM t", "v", ["k"])
+                    + " ORDER BY k NULLS LAST").fetchdf()
+    for i, k in enumerate(("c", "g", None)):
+        r = out[k]
+        assert d["entropy"][i] == r["entropy"], k
+        gi = d["gini_impurity"][i]
+        assert gi == r["gini_impurity"], k
+    dw = con.execute(column_entropy_duck(
+        "SELECT k, v FROM t", "v")).fetchdf()
+    assert dw["entropy"][0] == whole["entropy"]
+    assert dw["gini_impurity"][0] == whole["gini_impurity"]
+
+
+def test_hits_hand_values_and_duck_parity(spark):
+    """One-iteration hand case on 1→3, 2→3, 3→4: authorities (⅔, ⅓)
+    on {3, 4}, hubs (0.4, 0.4, 0.2) on {1, 2, 3}; deeper runs pin
+    against the unrolled duck mirror; validation."""
+    from flink_rag_spark.operators.graph import hits, hits_duck
+    edges = spark.createDataFrame([(1, 3), (2, 3), (3, 4)],
+                                  "src bigint, dst bigint")
+    one = {r["node"]: r for r in hits(edges, iters=1).collect()}
+    assert one[3]["authority"] == round(2.0 / 3, 6)
+    assert one[4]["authority"] == round(1.0 / 3, 6)
+    assert one[1]["hub"] == 0.4 and one[2]["hub"] == 0.4
+    assert one[3]["hub"] == 0.2 and one[4]["hub"] == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hits(edges, iters=0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges_t AS SELECT * FROM (VALUES "
+                "(1,3),(2,3),(3,4)) t(src, dst)")
+    for iters in (1, 4):
+        got = {r["node"]: (r["hub"], r["authority"]) for r in
+               hits(edges, iters=iters).collect()}
+        d = con.execute(hits_duck("SELECT src, dst FROM edges_t",
+                                  iters=iters)).fetchdf()
+        want = {int(d["node"][i]): (d["hub"][i], d["authority"][i])
+                for i in range(len(d))}
+        assert got == want, iters
