@@ -211,3 +211,147 @@ def corr_matrix_duck(inner_sql: str, cols: list[str]) -> str:
 WITH s AS (SELECT {", ".join(sums)} FROM ({inner_sql}) WHERE {nn})
 {rows}
 """
+
+
+# -------------------------------- Mann–Kendall trend + Theil–Sen slope
+
+MK_DP = 6
+MK_Z_CRIT = 1.959963984540054
+
+
+def mann_kendall_trend(df: DataFrame, keys: list[str], x: Column | str,
+                       y: Column | str,
+                       z_crit: float = MK_Z_CRIT) -> DataFrame:
+    """Per-group Mann–Kendall trend test with the Theil–Sen slope —
+    the ROBUST trend pair beside :func:`group_ols`'s least squares
+    (OLS asks "what line fits?" and one outlier drags it; MK asks "is
+    there a monotone trend at all?" from pairwise signs, and Sen's
+    slope is the median pairwise slope — both with the median's
+    breakdown resistance; Mann 1945, Kendall 1948, Sen 1968):
+
+        S = Σ_{i<j} sign(y_j − y_i)   (pairs ordered by x)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (y-tie term)
+        z = (S∓1)/√Var  (continuity-corrected; 0 at S = 0)
+        sen_slope = median{ (y_j − y_i)/(x_j − x_i) }
+
+    Output: (keys..., n_points, s_stat, z, significant, sen_slope).
+    Call with ONE observation per (key, x) — a pre-aggregated series
+    (daily/monthly totals): the classical variance assumes distinct
+    times, so a group containing duplicate x values emits NULL
+    statistics with a False verdict (detected exactly via n vs
+    distinct-x counts — loud degrade, never a silently wrong z).
+    Groups with n < 2, all-tied y (zero variance), or duplicate x ⇒
+    NULL z/slope, False verdict. NULL x or y rows are excluded.
+
+    Exactness: S is an exact integer (sign of a DECIMAL(20,6)
+    difference), the variance comes from exact integer counts, the
+    pairwise slopes are identical IEEE double ratios in both engines,
+    and the median is the same interpolated percentile the robust
+    family already pairs with DuckDB's quantile_cont.
+
+    Plan at 100 TB: the pair frame is ONE key-partitioned self-join —
+    C(n,2) per group BY DEFINITION (the triangle/link-prediction
+    stance), bounded because groups are pre-aggregated time series;
+    at extreme series length, coarsen x (that is the knob, exactly as
+    documented on the operator's catalog entry). The tie and
+    duplicate-x audits are two |groups|-bounded aggregates sharing
+    the same exchange keys."""
+    xb = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yraw = F.col(y) if isinstance(y, str) else y
+    yd = yraw.cast("double").cast(CORR_DEC)
+    base = (df.filter(xb.isNotNull() & yraw.isNotNull())
+            .select(*keys, xb.alias("_x"), yd.alias("_y")))
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("_x").alias("_ndx"))
+    tt = (base.groupBy(*keys, "_y")
+          .agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy(*keys)
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1)
+                     * (2 * F.col("_t") + 5)).alias("_tt")))
+    b = base.select(
+        *[F.col(c).alias(f"_r_{c}") for c in keys],
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    cond = F.col("_x2") > F.col("_x")
+    for c in keys:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    sgn = (F.when(F.col("_y2") > F.col("_y"), 1)
+           .when(F.col("_y2") < F.col("_y"), -1).otherwise(0))
+    slope = ((F.col("_y2") - F.col("_y")).cast("double")
+             / (F.col("_x2") - F.col("_x")).cast("double"))
+    ps = (base.join(b, cond)
+          .withColumn("_slope_", slope)
+          .groupBy(*keys)
+          .agg(F.sum(sgn).cast("bigint").alias("_s"),
+               F.expr("percentile(_slope_, 0.5)").alias("_sen")))
+    out = (g.join(tt, on=keys, how="left")
+           .join(ps, on=keys, how="left"))
+    n = F.col("_n").cast("double")
+    var = (n * (n - 1) * (2 * n + 5)
+           - F.coalesce(F.col("_tt"), F.lit(0)).cast("double")) \
+        / F.lit(18.0)
+    ok = ((F.col("_n") == F.col("_ndx")) & (F.col("_n") >= 2)
+          & (var > 0))
+    s = F.col("_s").cast("double")
+    z = F.when(ok & (F.col("_s") > 0), (s - 1) / F.sqrt(var)) \
+        .when(ok & (F.col("_s") < 0), (s + 1) / F.sqrt(var)) \
+        .when(ok, F.lit(0.0))
+    return out.select(
+        *keys,
+        F.col("_n").cast("bigint").alias("n_points"),
+        F.when(ok, F.col("_s")).alias("s_stat"),
+        F.round(z, MK_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"),
+        F.round(F.when(ok, F.col("_sen")), MK_DP).alias("sen_slope"))
+
+
+def mann_kendall_trend_duck(inner_sql: str, keys: list[str],
+                            x_expr: str, y_expr: str,
+                            z_crit: float = MK_Z_CRIT) -> str:
+    """DuckDB mirror of :func:`mann_kendall_trend` — the same pair
+    join, exact sign/tie sums, and quantile_cont median."""
+    ks = ", ".join(keys)
+    on = " AND ".join(f"b.{k} = a.{k}" for k in keys)
+    aks = ", ".join(f"a.{k}" for k in keys)
+    return f"""
+WITH mk0 AS (
+  SELECT {ks}, CAST({x_expr} AS BIGINT) AS x,
+         CAST(CAST({y_expr} AS DOUBLE) AS DECIMAL(20,6)) AS y
+  FROM ({inner_sql})
+  WHERE ({x_expr}) IS NOT NULL AND ({y_expr}) IS NOT NULL),
+g AS (SELECT {ks}, COUNT(*) AS n, COUNT(DISTINCT x) AS ndx
+      FROM mk0 GROUP BY {ks}),
+tt AS (SELECT {ks}, SUM(t * (t - 1) * (2 * t + 5)) AS tt
+       FROM (SELECT {ks}, y, COUNT(*) AS t FROM mk0
+             GROUP BY {ks}, y) GROUP BY {ks}),
+ps AS (
+  SELECT {aks}, CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                              WHEN b.y < a.y THEN -1
+                              ELSE 0 END) AS BIGINT) AS s,
+         quantile_cont(CAST(b.y - a.y AS DOUBLE)
+                       / CAST(b.x - a.x AS DOUBLE), 0.5) AS sen
+  FROM mk0 a JOIN mk0 b ON {on} AND b.x > a.x
+  GROUP BY {aks}),
+j AS (
+  SELECT g.*, tt.tt, ps.s, ps.sen,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+          - CAST(COALESCE(tt.tt, 0) AS DOUBLE)) / 18.0 AS var,
+         (n = ndx AND n >= 2) AS base_ok
+  FROM g
+  LEFT JOIN tt USING ({ks})
+  LEFT JOIN ps USING ({ks})),
+stat AS (
+  SELECT *, base_ok AND var > 0 AS ok,
+         CASE WHEN base_ok AND var > 0 AND s > 0
+                THEN (CAST(s AS DOUBLE) - 1) / SQRT(var)
+              WHEN base_ok AND var > 0 AND s < 0
+                THEN (CAST(s AS DOUBLE) + 1) / SQRT(var)
+              WHEN base_ok AND var > 0 THEN 0.0 END AS z
+  FROM j)
+SELECT {ks}, CAST(n AS BIGINT) AS n_points,
+       CASE WHEN ok THEN s END AS s_stat,
+       ROUND(z, {MK_DP}) AS z,
+       COALESCE(ABS(z) > {z_crit!r}, FALSE) AS significant,
+       ROUND(CASE WHEN ok THEN sen END, {MK_DP}) AS sen_slope
+FROM stat
+"""

@@ -1484,3 +1484,22 @@ def part_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct())
     return (hits(edges, iters=HITS_DEMO_ITERS)
             .orderBy(F.desc("authority"), F.desc("hub"), "node"))
+
+
+def mk_nation_monthly_trend(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test + Theil–Sen slope
+    (operators/regression.py mann_kendall_trend) on each nation's
+    MONTHLY order totals: is spend monotonically trending, and at what
+    robust per-month rate? The outlier-resistant complement of
+    trend_nation_order_value's OLS line — pairwise signs and the
+    median pairwise slope over the pre-aggregated (one row per month)
+    series the operator's distinct-x contract requires."""
+    from flink_rag_spark.operators.regression import mann_kendall_trend
+    j = _orders_with_region(spark, sf_dir)
+    m = (j.groupBy("n_name",
+                   (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                   .alias("month_idx"))
+         .agg(F.sum("o_totalprice").alias("monthly_value")))
+    return mann_kendall_trend(m, ["n_name"], "month_idx",
+                              "monthly_value")

@@ -171,8 +171,11 @@ def extra_queries() -> list[tuple]:
         l_diversity_audit_duck,
         t_closeness_audit_duck,
     )
-    from flink_rag_spark.operators.regression import (corr_matrix_duck,
-                                                      group_ols_duck)
+    from flink_rag_spark.operators.regression import (
+        corr_matrix_duck,
+        group_ols_duck,
+        mann_kendall_trend_duck,
+    )
     from flink_rag_spark.operators.survival import (km_survival_duck,
                                                      nelson_aalen_duck)
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
@@ -1991,6 +1994,17 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              f"SELECT r_name, o_orderpriority FROM ({_ORDERS_REGION_SQL})",
              "o_orderpriority", ["r_name"]),
          ("profiling", "stats", "agg")),
+        # round-13: Mann-Kendall trend + Theil-Sen slope — robust
+        # monotone-trend verdict + median pairwise slope per nation's
+        # monthly series (regression.mann_kendall_trend)
+        ("mk_nation_monthly_trend", A.mk_nation_monthly_trend,
+         mann_kendall_trend_duck(
+             "SELECT n_name, CAST(year(o_orderdate) * 12 "
+             "+ month(o_orderdate) AS BIGINT) AS month_idx, "
+             "SUM(o_totalprice) AS monthly_value "
+             f"FROM ({_ORDERS_REGION_SQL}) GROUP BY 1, 2",
+             ["n_name"], "month_idx", "monthly_value"),
+         ("hypothesis", "regression", "stats")),
         # round-13: HITS hubs & authorities over the DIRECTED
         # customer→supplier purchase graph — the oracle unrolls all six
         # half-step pairs with their L1 normalizations (graph.hits)

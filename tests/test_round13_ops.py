@@ -630,3 +630,51 @@ def test_hits_hand_values_and_duck_parity(spark):
         want = {int(d["node"][i]): (d["hub"][i], d["authority"][i])
                 for i in range(len(d))}
         assert got == want, iters
+
+
+def test_mann_kendall_hand_values(spark):
+    """Strictly increasing series: S = C(5,2) = 10, z = 9/√(50/3),
+    Sen slope exactly the line's slope; a tied-y case hits the tie
+    correction and the interpolated slope median; duplicate x ⇒ NULL
+    stats with False verdict (the loud-degrade contract); all-tied y ⇒
+    NULL; duck parity."""
+    from flink_rag_spark.operators.regression import (
+        mann_kendall_trend, mann_kendall_trend_duck)
+    rows = ([("up", i, 2.0 * i) for i in range(1, 6)]
+            + [("tie", 1, 1.0), ("tie", 2, 1.0), ("tie", 3, 2.0)]
+            + [("dup", 1, 1.0), ("dup", 1, 2.0), ("dup", 2, 3.0)]
+            + [("flat", 1, 7.0), ("flat", 2, 7.0), ("flat", 3, 7.0)]
+            + [("up", None, 1.0), ("up", 9, None)])
+    df = spark.createDataFrame(rows, "k string, x bigint, v double")
+    out = {r["k"]: r for r in
+           mann_kendall_trend(df, ["k"], "x", "v").collect()}
+    up = out["up"]
+    assert (up["n_points"], up["s_stat"]) == (5, 10)
+    assert up["z"] == round(9.0 / (50.0 / 3.0) ** 0.5, 6)
+    assert up["significant"] and up["sen_slope"] == 2.0
+    tie = out["tie"]
+    assert tie["s_stat"] == 2
+    assert tie["z"] == round(1.0 / (48.0 / 18.0) ** 0.5, 6)
+    assert tie["sen_slope"] == 0.5 and not tie["significant"]
+    dup = out["dup"]
+    assert dup["s_stat"] is None and dup["z"] is None
+    assert dup["sen_slope"] is None and not dup["significant"]
+    flat = out["flat"]
+    assert flat["z"] is None and not flat["significant"]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{k}', {'NULL' if x is None else x}, "
+        f"{'NULL' if v is None else v})" for k, x, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "x(k, x, v)")
+    d = con.execute(mann_kendall_trend_duck(
+        "SELECT k, x, v FROM t", ["k"], "x", "v")
+        + " ORDER BY k").fetchdf()
+    for i in range(len(d)):
+        k = d["k"][i]
+        r = out[k]
+        for c in ("z", "sen_slope"):
+            a = r[c]
+            b = d[c][i]
+            assert (a is None and b != b) or a == b, (k, c, a, b)
+        assert bool(d["significant"][i]) == r["significant"], k
