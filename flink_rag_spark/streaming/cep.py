@@ -715,6 +715,186 @@ def _make_consumed_fn(steps: list[str], within_us: int | None,
     return fn
 
 
+def _skip_to_state_schema() -> str:
+    return ("anch array<bigint>, cand array<bigint>, frontier bigint, "
+            "n_matches int, buf_ts array<bigint>, buf_type array<string>, "
+            "wm_us bigint, done boolean")
+
+
+def _make_skip_to_fn(steps: list[str], skip_idx: int,
+                     within_us: int | None, max_matches: int):
+    """The skipToFirst/skipToLast fold — the streaming twin of
+    ``sequences.skip_to_funnel_matches`` over the flat (quantifier-
+    expanded) steps. Beyond the consumed fold's frontier it keeps a
+    RETAINED-CANDIDATE set: a match that completes but is not selected
+    stays eligible while its anchor is at-or-after the frontier (the
+    batch rounds may pick it later — non-strict re-anchor is the
+    FlinkCEP survivor rule), where skipPastLastEvent's strict rule
+    kills every same-instant sibling. Selection still happens at each
+    completion event: chain monotonicity (earlier anchor ⇒ componentwise
+    ≤ chain) means no FUTURE completion can beat the present candidates
+    on (u1..uK) order, so picking min(retained ∪ new) replays the batch
+    round exactly. Candidate/anchor state is watermark-bounded under
+    ``within`` (the all-matches contract); max_matches collapses the
+    key to a done marker."""
+    k = len(steps)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (aflat, cflat, frontier, n_matches, buf_ts, buf_type,
+             wm_us, done) = state.get
+            anch = [list(aflat[i:i + k]) for i in range(0, len(aflat), k)]
+            cand = [list(cflat[i:i + k]) for i in range(0, len(cflat), k)]
+            buf_ts, buf_type = list(buf_ts), list(buf_type)
+        else:
+            anch, cand, frontier, n_matches = [], [], _NONE, 0
+            buf_ts, buf_type, wm_us, done = [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:  # boundary rule: see funnel fn
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        rows: list[tuple[list[int], int]] = []
+
+        def _drain():
+            """Select every currently-selectable candidate, batch-round
+            order. Safe at ANY point: chain monotonicity guarantees no
+            still-open anchor (nor future completion) can beat a
+            present candidate on (u1..uK) order — an earlier-anchored
+            chain would already have completed."""
+            nonlocal cand, anch, frontier, n_matches, done
+            while cand and not done:
+                best = min(cand)
+                n_matches += 1
+                rows.append((best, n_matches))
+                frontier = best[skip_idx - 1]
+                # non-strict survivor rule: candidates and partial runs
+                # anchored AT the skip instant or later live on
+                cand = [c for c in cand
+                        if c != best and c[0] >= frontier]
+                anch = [ch for ch in anch if ch[0] >= frontier]
+                if n_matches >= max_matches:
+                    done = True
+                    cand = []
+
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                cand.extend(_advance_anchors(anch, t, typ, steps,
+                                             within_us, k))
+                if typ == steps[0] and (frontier == _NONE
+                                        or t >= frontier):
+                    if k == 1:
+                        cand.append([t])
+                    else:
+                        anch.append([t] + [_NONE] * (k - 1))
+                # drain per event so frontier is current for the NEXT
+                # event's anchor-creation decision
+                _drain()
+                if done:
+                    keep_ts, keep_type = [], []
+                    break
+            buf_ts, buf_type = keep_ts, keep_type
+        # timeout / empty-batch path: retained candidates stay
+        # selectable without any new event (batch rounds don't wait)
+        if not done:
+            _drain()
+            if done:
+                buf_ts, buf_type = [], []
+        wm_us = max(wm_us, new_wm_us)
+        if within_us is not None:
+            anch = [ch for ch in anch if ch[0] + within_us >= wm_us]
+
+        if rows:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(rows),
+                **{f"t{i + 1}": [pd.Timestamp(ch[i], unit="us")
+                                 for ch, _ in rows]
+                   for i in range(k)},
+                "match_idx": [m for _, m in rows]})
+
+        state.update(([v for ch in anch for v in ch],
+                      [v for ch in cand for v in ch], frontier,
+                      n_matches, buf_ts, buf_type, wm_us, done))
+        if not done:
+            if buf_ts:
+                state.setTimeoutTimestamp(
+                    max(min(buf_ts) // 1000, wm_ms + 1))
+            elif within_us is not None and anch:
+                wake = (min(ch[0] for ch in anch) + within_us) // 1000
+                state.setTimeoutTimestamp(max(wake, wm_ms + 1))
+
+    return fn
+
+
+def skip_to_matches_monitor(events: DataFrame, steps: list,
+                            skip_step: int, max_matches: int,
+                            position: str = "first",
+                            watermark: str = "10 minutes",
+                            within_seconds: int | None = None,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type") -> DataFrame:
+    """Streaming ``skipToFirst(p)`` / ``skipToLast(p)`` — completes the
+    AfterMatchSkipStrategy enum ON STREAMS beside
+    :func:`all_matches_monitor` (noSkip) and
+    :func:`consumed_matches_monitor` (skipPastLastEvent): append-mode
+    rows (key, t1..tk, match_idx) where after each selected match the
+    next may re-anchor AT the named step's matched event or later.
+    ``steps`` accepts the batch twin's quantified ``(step, n)``
+    entries; output collapses to one t per ORIGINAL step (the
+    quantified family's convention). Emissions ≡ the batch
+    ``skip_to_funnel_matches`` rows under the family's
+    watermark-bounded-disorder contract (pinned by test); the
+    never-advancing configuration raises exactly like the batch
+    twin."""
+    from flink_rag_spark.operators.sequences import _skip_phys_index
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if max_matches < 1:
+        raise ValueError(f"max_matches must be >= 1, got {max_matches}")
+    flat, last, skip_idx = _skip_phys_index(steps, skip_step, position)
+    bad = [s for s in flat if not isinstance(s, str)]
+    if bad:
+        raise TypeError("skip_to_matches_monitor needs string steps; "
+                        f"got: {bad!r}")
+    K = len(flat)
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = (_funnel_out_schema(K, key_type) + ", match_idx int")
+    filtered = (events.filter(F.col(type_col).isin(flat))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    inner = (filtered.withWatermark("ts", watermark)
+             .groupBy("user_id")
+             .applyInPandasWithState(
+                 _make_skip_to_fn(flat, skip_idx, within_us, max_matches),
+                 outputStructType=out_schema,
+                 stateStructType=_skip_to_state_schema(),
+                 outputMode="append",
+                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+    return inner.select(
+        "user_id", *[F.col(f"t{li}").alias(f"t{j}")
+                     for j, li in enumerate(last, start=1)],
+        "match_idx")
+
+
 def all_matches_monitor(events: DataFrame, steps: list[str],
                         watermark: str = "10 minutes",
                         within_seconds: int | None = None,

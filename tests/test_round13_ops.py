@@ -678,3 +678,54 @@ def test_mann_kendall_hand_values(spark):
             b = d[c][i]
             assert (a is None and b != b) or a == b, (k, c, a, b)
         assert bool(d["significant"][i]) == r["significant"], k
+
+
+def test_streaming_skip_to_matches_batch(spark, tmp_path):
+    """skipToFirst/skipToLast streaming ≡ batch skip_to_funnel_matches
+    (rows AND match_idx) on the quantified a (b,2) c pattern under
+    cross-batch disorder — including the same-completion-instant
+    double selection (two candidates at one fold event, selected in
+    anchor order with the non-strict survivor rule) and the
+    retained-candidate drain on a later watermark advance."""
+    from flink_rag_spark.operators.sequences import skip_to_funnel_matches
+    from flink_rag_spark.streaming.cep import skip_to_matches_monitor
+    steps = ["a", ("b", 2), "c"]
+    # the hand-test scenario: anchors 1,2,3,6 complete as (1,2,3,4),
+    # (2,3,5,7), (3,5,6,7), (6,8,9,10) — b@3 arrives LATE (batch 2)
+    base = "2024-01-01 00:00:0"
+    ev = [(1, "a"), (2, "b"), (4, "c"), (2, "a"), (3, "a"),
+          (5, "b"), (6, "b"), (7, "c"), (6, "a"), (8, "b"),
+          (9, "b")]
+    late = [(3, "b")]
+    tail = [(10, "c")]
+    def rows(pairs):
+        return [(f"2024-01-01 00:00:{s:02d}", 7, t) for s, t in pairs]
+    src = str(tmp_path / "sk_src")
+    _write_cep_batch(spark, src, rows(ev))
+    _write_cep_batch(spark, src, rows(late))
+    _write_cep_batch(spark, src, rows(tail)
+                     + [("2024-01-10 00:00:00", 99, "a")])
+    for pos, qn in (("first", "sk_f"), ("last", "sk_l")):
+        stream = (spark.readStream
+                  .schema("event_id bigint, ts timestamp, "
+                          "user_id bigint, event_type string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        got = sorted(
+            (r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+            for r in _drain(skip_to_matches_monitor(
+                stream, steps, 2, 6, position=pos, watermark="1 hour"),
+                tmp_path, qn).collect())
+        want = sorted(
+            (r["user_id"], r["t1"], r["t2"], r["t3"], r["match_idx"])
+            for r in skip_to_funnel_matches(
+                spark.read.parquet(src), steps, 2, 6,
+                position=pos).collect())
+        assert got == want, (pos, got, want)
+    assert len({w[4] for w in want}) == 3      # skipToLast: 3 matches
+    import pytest as _pytest
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    with _pytest.raises(ValueError, match="anchor"):
+        skip_to_matches_monitor(stream, ["a", "b"], 1, 3)
