@@ -1206,3 +1206,187 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        COALESCE(ABS(t) > {t_crit}, FALSE) AS significant
 FROM stat
 """
+
+
+# --------------------------------------- Jarque–Bera normality test
+
+JB_TERM_DP = 9
+JB_DP = 6
+#: chi-square dof-2 critical value at alpha = 0.05
+JB_CRIT = 5.991
+
+
+def jarque_bera(df: DataFrame, value_col: str,
+                group_cols: list[str] | None = None,
+                crit: float = JB_CRIT) -> DataFrame:
+    """Jarque–Bera normality test per group — the ASSUMPTION CHECK for
+    the parametric members of this family (ANOVA/Welch lean on
+    normal-ish errors; a failing JB says reach for KW/MWU instead):
+
+        JB = n/6 · (S² + K²/4),  S = m₃/m₂^{3/2}, K = m₄/m₂² − 3
+
+    from the central moments m_j = Σ(x−x̄)^j / n. Output: (group...,
+    n, skewness, kurtosis_excess, jb, significant) with the usual
+    threshold verdict at the chi²(2) critical value (significant =
+    normality REJECTED). Groups with n < 4 or zero variance emit NULL
+    statistics and a False verdict; NULL values are excluded.
+
+    Exactness: pass 1 computes exact DECIMAL(20,6) sums → group means
+    (identical double ratios); pass 2 quantizes each row's (x−x̄)²/³/⁴
+    to 9-dp DECIMAL before the group sums, so the moment sums are
+    order-independent and every expression after them is the same IEEE
+    form in both engines.
+
+    Plan at 100 TB: two grouped partial+final aggregates over the scan
+    with the |groups|-row means broadcast back between them — the
+    robust-outlier two-pass shape, no window, no sort."""
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    vdec = v.cast("decimal(20,6)")
+    src = df.filter(F.col(value_col).isNotNull())
+    means = (src.groupBy(*groups)
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum(vdec).alias("_s")))
+    if groups:
+        r = means.select(
+            *[F.col(c).alias(f"_j_{c}") for c in groups], "_n", "_s")
+        cond = None
+        for c in groups:
+            e = src[c].eqNullSafe(F.col(f"_j_{c}"))
+            cond = e if cond is None else (cond & e)
+        j = src.join(F.broadcast(r), cond)
+    else:
+        j = src.crossJoin(F.broadcast(means))
+    mu = F.col("_s").cast("double") / F.col("_n").cast("double")
+    d = v - mu
+    # (38,9): the fourth-power terms need the full width — |d| ~ 3e5
+    # already puts d^4 at ~8e21, past DECIMAL(30,9)'s 1e21 integer
+    # capacity (measured overflow on order prices). Headroom contract:
+    # n·max|d|^4 < 1e29; larger-magnitude columns should pre-scale.
+    dec9 = f"decimal(38,{JB_TERM_DP})"
+    agg = (j.groupBy(*groups)
+           .agg(F.max("_n").cast("bigint").alias("n"),
+                F.sum(F.round(d * d, JB_TERM_DP).cast(dec9)).alias("_m2"),
+                F.sum(F.round(d * d * d, JB_TERM_DP).cast(dec9))
+                .alias("_m3"),
+                F.sum(F.round(d * d * d * d, JB_TERM_DP).cast(dec9))
+                .alias("_m4")))
+    n = F.col("n").cast("double")
+    m2 = F.col("_m2").cast("double") / n
+    m3 = F.col("_m3").cast("double") / n
+    m4 = F.col("_m4").cast("double") / n
+    ok = (F.col("n") >= 4) & (m2 > 0)
+    skew = F.when(ok, m3 / F.sqrt(m2 * m2 * m2))
+    kurt = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(ok, n / F.lit(6.0)
+                * (skew * skew + kurt * kurt / F.lit(4.0)))
+    return agg.select(
+        *groups, "n",
+        F.round(skew, JB_DP).alias("skewness"),
+        F.round(kurt, JB_DP).alias("kurtosis_excess"),
+        F.round(jb, JB_DP).alias("jb"),
+        F.coalesce(jb > crit, F.lit(False)).alias("significant"))
+
+
+def jarque_bera_duck(inner_sql: str, value_col: str,
+                     group_cols: list[str] | None = None,
+                     crit: float = JB_CRIT) -> str:
+    """DuckDB mirror of :func:`jarque_bera` — the same two passes and
+    9-dp central-moment quantization."""
+    dp, odp = JB_TERM_DP, JB_DP
+    groups = list(group_cols or [])
+    gs = ", ".join(groups)
+    gpfx = f"{gs}, " if groups else ""
+    gby = f"GROUP BY {gs}" if groups else ""
+    on = (" ON " + " AND ".join(
+        f"s.{g} IS NOT DISTINCT FROM m.{g}" for g in groups)
+        if groups else " ON TRUE")
+    return f"""
+WITH jb0 AS (SELECT * FROM ({inner_sql})
+             WHERE {value_col} IS NOT NULL),
+m AS (SELECT {gpfx}COUNT(*) AS n,
+             SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+               AS s
+      FROM jb0 {gby}),
+d AS (SELECT {("m." + ", m.".join(groups) + ", ") if groups else ""}
+             m.n,
+             CAST(s.{value_col} AS DOUBLE)
+               - CAST(m.s AS DOUBLE) / m.n AS dd
+      FROM jb0 s JOIN m{on}),
+agg AS (
+  SELECT {gpfx}CAST(MAX(n) AS BIGINT) AS n,
+         SUM(CAST(ROUND(dd * dd, {dp}) AS DECIMAL(38,{dp}))) AS m2s,
+         SUM(CAST(ROUND(dd * dd * dd, {dp}) AS DECIMAL(38,{dp})))
+           AS m3s,
+         SUM(CAST(ROUND(dd * dd * dd * dd, {dp}) AS DECIMAL(38,{dp})))
+           AS m4s
+  FROM d {gby}),
+stat AS (
+  SELECT *, CAST(m2s AS DOUBLE) / n AS m2,
+         CAST(m3s AS DOUBLE) / n AS m3,
+         CAST(m4s AS DOUBLE) / n AS m4,
+         (n >= 4 AND CAST(m2s AS DOUBLE) / n > 0) AS ok
+  FROM agg),
+sk AS (
+  SELECT *,
+         CASE WHEN ok THEN m3 / SQRT(m2 * m2 * m2) END AS skew,
+         CASE WHEN ok THEN m4 / (m2 * m2) - 3.0 END AS kurt
+  FROM stat)
+SELECT {gpfx}n,
+       ROUND(skew, {odp}) AS skewness,
+       ROUND(kurt, {odp}) AS kurtosis_excess,
+       ROUND(CASE WHEN ok THEN CAST(n AS DOUBLE) / 6.0
+             * (skew * skew + kurt * kurt / 4.0) END, {odp}) AS jb,
+       COALESCE(CASE WHEN ok THEN CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + kurt * kurt / 4.0) END > {crit!r},
+                FALSE) AS significant
+FROM sk
+"""
+
+
+# ---------------------------------- Brown–Forsythe equal-variance test
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   f_crit: float) -> DataFrame:
+    """Brown–Forsythe equal-variance test — ANOVA's OTHER assumption
+    check (homoscedasticity; Levene's test with the MEDIAN center —
+    the robust variant that is the modern default): a one-way ANOVA F
+    on the absolute deviations z = |x − median_g| from each group's
+    own median. Same output contract as :func:`anova_f` (a significant
+    verdict = variances DIFFER ⇒ prefer Welch over pooled
+    comparisons).
+
+    Pure composition: per-group interpolated medians (the robust
+    family's percentile ↔ quantile_cont pairing) joined back
+    broadcast-style, then the exact-decimal ANOVA machinery on z.
+
+    Plan at 100 TB: one grouped percentile aggregate + one broadcast
+    join + :func:`anova_f`'s single grouped aggregate."""
+    src = df.filter(F.col(group_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+    med = (src.groupBy(group_col)
+           .agg(F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)")
+                .alias("_med")))
+    j = (src.join(F.broadcast(med.withColumnRenamed(group_col, "_g")),
+                  src[group_col].eqNullSafe(F.col("_g")))
+         .withColumn("_z", F.abs(F.col(value_col).cast("double")
+                                 - F.col("_med"))))
+    return anova_f(j, group_col, "_z", f_crit)
+
+
+def brown_forsythe_duck(inner_sql: str, group_col: str, value_col: str,
+                        f_crit: float) -> str:
+    """DuckDB mirror of :func:`brown_forsythe` — quantile_cont medians
+    feeding the anova mirror."""
+    inner = f"""
+SELECT s.{group_col}, ABS(CAST(s.{value_col} AS DOUBLE) - m._med) AS _z
+FROM ({inner_sql}) s
+JOIN (SELECT {group_col} AS _g,
+             quantile_cont(CAST({value_col} AS DOUBLE), 0.5) AS _med
+      FROM ({inner_sql})
+      WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+      GROUP BY 1) m
+  ON s.{group_col} IS NOT DISTINCT FROM m._g
+WHERE s.{group_col} IS NOT NULL AND s.{value_col} IS NOT NULL"""
+    return anova_f_duck(inner, group_col, "_z", f_crit)

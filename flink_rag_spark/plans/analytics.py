@@ -1503,3 +1503,29 @@ def mk_nation_monthly_trend(spark: SparkSession,
          .agg(F.sum("o_totalprice").alias("monthly_value")))
     return mann_kendall_trend(m, ["n_name"], "month_idx",
                               "monthly_value")
+
+
+def jb_order_price_regions(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality audit (operators/hypothesis.py
+    jarque_bera) of order prices per region: skewness + excess
+    kurtosis + the chi²(2) verdict — the assumption check that says
+    whether the region's ANOVA/Welch verdicts should be trusted or the
+    rank tests (KW/MWU) preferred. Two grouped passes, 9-dp quantized
+    central moments."""
+    from flink_rag_spark.operators.hypothesis import jarque_bera
+    j = _orders_with_region(spark, sf_dir)
+    return jarque_bera(j, "o_totalprice", ["r_name"])
+
+
+def bf_order_price_regions(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equal-variance test (operators/hypothesis.py
+    brown_forsythe) across the five regions' order prices: ANOVA's
+    homoscedasticity check — the median-centered Levene variant, a
+    one-way F on |x − median_g| composed from the robust-median and
+    exact-decimal ANOVA machinery."""
+    from flink_rag_spark.operators.hypothesis import brown_forsythe
+    j = _orders_with_region(spark, sf_dir)
+    return brown_forsythe(j, "r_name", "o_totalprice",
+                          ANOVA_F_CRIT_DOF4)

@@ -156,7 +156,9 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.hypothesis import (
         ab_proportion_test_duck,
         anova_f_duck,
+        brown_forsythe_duck,
         chi2_independence_duck,
+        jarque_bera_duck,
         logrank_test_duck,
         ks_two_sample_duck,
         kruskal_wallis_duck,
@@ -1994,6 +1996,21 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              f"SELECT r_name, o_orderpriority FROM ({_ORDERS_REGION_SQL})",
              "o_orderpriority", ["r_name"]),
          ("profiling", "stats", "agg")),
+        # round-13: Jarque-Bera normality audit — two-pass 9-dp
+        # quantized central moments, chi2(2) verdict
+        # (hypothesis.jarque_bera)
+        ("jb_order_price_regions", A.jb_order_price_regions,
+         jarque_bera_duck(
+             f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "o_totalprice", ["r_name"]),
+         ("hypothesis", "stats", "profiling")),
+        # round-13: Brown-Forsythe equal-variance test — median-centered
+        # Levene as ANOVA-on-|x - med_g| (hypothesis.brown_forsythe)
+        ("bf_order_price_regions", A.bf_order_price_regions,
+         brown_forsythe_duck(
+             f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "r_name", "o_totalprice", A.ANOVA_F_CRIT_DOF4),
+         ("hypothesis", "stats", "agg")),
         # round-13: Mann-Kendall trend + Theil-Sen slope — robust
         # monotone-trend verdict + median pairwise slope per nation's
         # monthly series (regression.mann_kendall_trend)

@@ -729,3 +729,69 @@ def test_streaming_skip_to_matches_batch(spark, tmp_path):
               .option("maxFilesPerTrigger", "1").parquet(src))
     with _pytest.raises(ValueError, match="anchor"):
         skip_to_matches_monitor(stream, ["a", "b"], 1, 3)
+
+
+def test_jarque_bera_hand_values(spark):
+    """Symmetric two-point mass: skew 0, excess kurtosis −2, JB = n/6
+    exactly; n < 4 and constant groups emit NULL with False verdicts;
+    NULLs excluded; duck parity (grouped AND whole-column)."""
+    from flink_rag_spark.operators.hypothesis import (jarque_bera,
+                                                      jarque_bera_duck)
+    rows = ([("g", x) for x in (0.0, 0.0, 2.0, 2.0)]
+            + [("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0)]
+            + [("const", 5.0)] * 4 + [("g", None)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r for r in
+           jarque_bera(df, "v", ["k"]).collect()}
+    g = out["g"]
+    assert g["n"] == 4 and g["skewness"] == 0.0
+    assert g["kurtosis_excess"] == -2.0
+    assert g["jb"] == round(4.0 / 6.0, 6) and not g["significant"]
+    assert out["tiny"]["jb"] is None and not out["tiny"]["significant"]
+    assert out["const"]["jb"] is None
+    whole = jarque_bera(df, "v").collect()[0]
+    assert whole["n"] == 11
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{k}', {'NULL' if v is None else v})" for k, v in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(k,v)")
+    d = con.execute(jarque_bera_duck("SELECT k, v FROM t", "v", ["k"])
+                    + " ORDER BY k").fetchdf()
+    for i, k in enumerate(("const", "g", "tiny")):
+        r = out[k]
+        for c in ("skewness", "kurtosis_excess", "jb"):
+            a, b = r[c], d[c][i]
+            assert (a is None and b != b) or a == b, (k, c, a, b)
+    dw = con.execute(jarque_bera_duck(
+        "SELECT k, v FROM t", "v")).fetchdf()
+    assert dw["jb"][0] == whole["jb"]
+
+
+def test_brown_forsythe_hand_values(spark):
+    """Two groups with IDENTICAL deviation profiles around their own
+    medians score F = 0 (equal spread); blowing one group's spread up
+    makes the verdict significant; duck parity."""
+    from flink_rag_spark.operators.hypothesis import (brown_forsythe,
+                                                      brown_forsythe_duck)
+    eq = ([("a", x) for x in (0.0, 2.0, 7.0)]
+          + [("b", x) for x in (10.0, 12.0, 17.0)])
+    df = spark.createDataFrame(eq, "g string, v double")
+    out = brown_forsythe(df, "g", "v", 7.71).collect()[0]
+    assert out["f"] == 0.0 and not out["significant"]
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', {v})" for g, v in eq)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) x(g,v)")
+    d = con.execute(brown_forsythe_duck("SELECT g, v FROM t", "g", "v",
+                                        7.71)).fetchdf()
+    assert d["f"][0] == 0.0 and not bool(d["significant"][0])
+    uneq = ([("a", x) for x in (0.0, 1.0, 2.0, 1.0, 0.0, 2.0)]
+            + [("b", x) for x in (0.0, 50.0, 100.0, 40.0, 60.0, 110.0)])
+    df2 = spark.createDataFrame(uneq, "g string, v double")
+    o2 = brown_forsythe(df2, "g", "v", 7.71).collect()[0]
+    assert o2["significant"]
+    vals2 = ", ".join(f"('{g}', {v})" for g, v in uneq)
+    con.execute("CREATE TABLE t2 AS SELECT * FROM (VALUES "
+                f"{vals2}) x(g,v)")
+    d2 = con.execute(brown_forsythe_duck("SELECT g, v FROM t2", "g",
+                                         "v", 7.71)).fetchdf()
+    assert d2["f"][0] == o2["f"]
