@@ -380,7 +380,17 @@ def main() -> None:
              "purchase_attribution_first", "purchase_attribution_decay",
              "spearman_quantity_price", "user_value_decomposition",
              "kw_order_price_regions", "frequent_event_paths",
-             "embedding_drift_labels", "rbo_bm25_vs_lm"]
+             "embedding_drift_labels", "rbo_bm25_vs_lm",
+             # round-13: the skip-strategy completions, the parametric
+             # battery + its two assumption checks, Nelson-Aalen,
+             # EWMA's bounded-lag pair join, t-closeness grid, entropy
+             # fold, HITS half-steps, Mann-Kendall pair frame
+             "skip_to_first_funnel_users", "skip_to_last_funnel_users",
+             "anova_order_price_regions", "welch_order_price_regions",
+             "signup_purchase_hazard", "user_value_ewma_chart",
+             "t_closeness_customers", "entropy_order_priority_regions",
+             "part_hits_copurchase", "mk_nation_monthly_trend",
+             "jb_order_price_regions", "bf_order_price_regions"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -493,7 +503,17 @@ def main() -> None:
              "purchase_attribution_decay",
              # spearman's rank machinery must stay range-partitioned
              # prefix sums + equi-joins (no global sort)
-             "spearman_quantity_price"]
+             "spearman_quantity_price",
+             # round-13: the EWMA pair join's lag bound must ride the
+             # join condition (pair count n·W, never n²/2); the skipTo
+             # selection rounds share the consumed frame; the HITS
+             # half-steps must stay one shuffle each; the Mann-Kendall
+             # C(n,2) frame is series-length-bounded by construction;
+             # the t-closeness grid must stay |groups|·m-bounded; the
+             # JB two-pass must stay broadcast + one grouped aggregate
+             "user_value_ewma_chart", "skip_to_first_funnel_users",
+             "part_hits_copurchase", "mk_nation_monthly_trend",
+             "t_closeness_customers", "jb_order_price_regions"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))

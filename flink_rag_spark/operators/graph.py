@@ -1142,46 +1142,63 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     scores localCheckpoint per iteration (constant-depth plan)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    from pyspark.storagelevel import StorageLevel
+
+    # the edge frame feeds TWO joins per iteration (2·iters jobs);
+    # persisting it computes any upstream derivation (a join+distinct
+    # in the catalog query) ONCE instead of per job — measured 57s →
+    # ~14s at sf0.1. Spill-safe (MEMORY_AND_DISK), |E|-bounded like
+    # pagerank's deg frame is |V|-bounded.
+    e = (edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("_u").alias("node"))
+             .union(e.select(F.col("_v").alias("node")))
              .distinct().persist())
     try:
         n = nodes.count()
         if n == 0:
             return nodes.select("node", F.lit(0.0).alias("hub"),
                                 F.lit(0.0).alias("authority"))
-        e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         hub = nodes.select("node", F.lit(1.0 / n).alias("h")) \
             .localCheckpoint()
         auth = None
+        # per half-step: checkpoint the RAW grouped frame FIRST, read
+        # the normalization scalar off the checkpointed data, divide
+        # lazily. Iteration frames carry only NON-ZERO nodes — a
+        # zero-score node contributes nothing to the edge joins or the
+        # normalization sums, so the |V| zero-fill join runs ONCE at
+        # the end, not per half-step (collect-before-checkpoint +
+        # per-step zero fill measured 54.7s → ~14s at sf0.1; the
+        # mirror's per-step zeros are value-inert, so parity holds)
         for _ in range(iters):
-            a_raw = (e.join(hub.withColumnRenamed("node", "_u"), on="_u")
+            a_raw = (e.join(hub.withColumnRenamed("node", "_u"),
+                            on="_u")
                      .groupBy(F.col("_v").alias("node"))
-                     .agg(F.sum("h").alias("a")))
-            auth = (nodes.join(a_raw, on="node", how="left")
-                    .select("node", F.coalesce(F.col("a"), F.lit(0.0))
-                            .alias("a")))
-            [arow] = auth.agg(F.sum("a").alias("s")).collect()
-            sa = float(arow["s"])
-            if sa > 0:
-                auth = auth.select("node", (F.col("a") / sa).alias("a"))
-            auth = auth.localCheckpoint()
-            h_raw = (e.join(auth.withColumnRenamed("node", "_v"), on="_v")
+                     .agg(F.sum("h").alias("a"))
+                     .localCheckpoint())
+            [arow] = a_raw.agg(F.sum("a").alias("s")).collect()
+            sa = float(arow["s"] or 0.0)
+            auth = a_raw if sa <= 0 else \
+                a_raw.select("node", (F.col("a") / sa).alias("a"))
+            h_raw = (e.join(auth.withColumnRenamed("node", "_v"),
+                            on="_v")
                      .groupBy(F.col("_u").alias("node"))
-                     .agg(F.sum("a").alias("h")))
-            hub = (nodes.join(h_raw, on="node", how="left")
-                   .select("node", F.coalesce(F.col("h"), F.lit(0.0))
-                           .alias("h")))
-            [hrow] = hub.agg(F.sum("h").alias("s")).collect()
-            sh = float(hrow["s"])
-            if sh > 0:
-                hub = hub.select("node", (F.col("h") / sh).alias("h"))
-            hub = hub.localCheckpoint()
-        return (nodes.join(hub, on="node").join(auth, on="node")
-                .select("node", F.round("h", 6).alias("hub"),
-                        F.round("a", 6).alias("authority")))
+                     .agg(F.sum("a").alias("h"))
+                     .localCheckpoint())
+            [hrow] = h_raw.agg(F.sum("h").alias("s")).collect()
+            sh = float(hrow["s"] or 0.0)
+            hub = h_raw if sh <= 0 else \
+                h_raw.select("node", (F.col("h") / sh).alias("h"))
+        return (nodes.join(hub, on="node", how="left")
+                .join(auth, on="node", how="left")
+                .select("node",
+                        F.round(F.coalesce("h", F.lit(0.0)), 6)
+                        .alias("hub"),
+                        F.round(F.coalesce("a", F.lit(0.0)), 6)
+                        .alias("authority")))
     finally:
         nodes.unpersist()
+        e.unpersist()
 
 
 def hits_duck(edges_sql: str, iters: int = HITS_ITERS) -> str:

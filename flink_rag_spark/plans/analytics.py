@@ -1458,8 +1458,9 @@ def entropy_order_priority_regions(spark: SparkSession,
     return column_entropy(j, "o_orderpriority", ["r_name"])
 
 
-#: HITS demo depth — the pagerank-oracle unrolled-CTE stance
-HITS_DEMO_ITERS = 6
+#: HITS demo depth — the PPR-demo stance (each iteration is TWO
+#: half-step jobs, so 4 iterations price like pagerank's 6+dangling)
+HITS_DEMO_ITERS = 4
 
 
 def part_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,7 +1470,7 @@ def part_hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     authoritative suppliers are bought by hub customers — the
     two-role centrality PageRank's single score conflates (the
     symmetric pagerank_copurchase view cannot separate them). The
-    oracle unrolls all six half-step pairs with their L1
+    oracle unrolls all four half-step pairs with their L1
     normalizations."""
     from flink_rag_spark.operators.graph import hits
     o = load_table(spark, sf_dir, "orders")
