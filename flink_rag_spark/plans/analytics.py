@@ -1530,3 +1530,30 @@ def bf_order_price_regions(spark: SparkSession,
     j = _orders_with_region(spark, sf_dir)
     return brown_forsythe(j, "r_name", "o_totalprice",
                           ANOVA_F_CRIT_DOF4)
+
+
+#: CUPED demo: pre-period = first half of the corpus month (the
+#: covariate), experiment metric = second-half value; arms by user
+#: parity (a deterministic randomization stand-in)
+CUPED_SPLIT_DAY = 16
+
+
+def cuped_user_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (operators/hypothesis.py
+    cuped_ab_test — Deng et al. 2013): each user's second-half event
+    value adjusted by their own first-half value before the arms
+    compare — the experiment-sensitivity layer over
+    ab_user_conversion's plain z. Reports θ, the variance bought, the
+    adjusted means/lift and the Welch-form verdict."""
+    from flink_rag_spark.operators.hypothesis import cuped_ab_test
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    units = (e.groupBy("user_id")
+             .agg(F.sum(F.when(F.dayofmonth("ts") < CUPED_SPLIT_DAY,
+                               F.col("value"))).alias("pre_value"),
+                  F.sum(F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY,
+                               F.col("value"))).alias("post_value"))
+             .withColumn("arm", F.when(F.col("user_id") % 2 == 0, "A")
+                         .otherwise("B")))
+    return cuped_ab_test(units, "arm", "post_value", "pre_value",
+                         "A", "B")

@@ -158,6 +158,7 @@ def extra_queries() -> list[tuple]:
         anova_f_duck,
         brown_forsythe_duck,
         chi2_independence_duck,
+        cuped_ab_test_duck,
         jarque_bera_duck,
         logrank_test_duck,
         ks_two_sample_duck,
@@ -1996,6 +1997,19 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
              f"SELECT r_name, o_orderpriority FROM ({_ORDERS_REGION_SQL})",
              "o_orderpriority", ["r_name"]),
          ("profiling", "stats", "agg")),
+        # round-13: CUPED variance-reduced A/B — pre-period covariate
+        # adjustment before the arm comparison (hypothesis.cuped_ab_test)
+        ("cuped_user_value_ab", A.cuped_user_value_ab,
+         cuped_ab_test_duck(
+             f"""SELECT user_id,
+       SUM(CASE WHEN day(ts) < {A.CUPED_SPLIT_DAY} THEN value END)
+         AS pre_value,
+       SUM(CASE WHEN day(ts) >= {A.CUPED_SPLIT_DAY} THEN value END)
+         AS post_value,
+       CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+FROM events WHERE value IS NOT NULL GROUP BY user_id""",
+             "arm", "post_value", "pre_value", "A", "B"),
+         ("hypothesis", "experiment", "stats")),
         # round-13: Jarque-Bera normality audit — two-pass 9-dp
         # quantized central moments, chi2(2) verdict
         # (hypothesis.jarque_bera)

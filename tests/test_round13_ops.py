@@ -795,3 +795,44 @@ def test_brown_forsythe_hand_values(spark):
     d2 = con.execute(brown_forsythe_duck("SELECT g, v FROM t2", "g",
                                          "v", 7.71)).fetchdf()
     assert d2["f"][0] == o2["f"]
+
+
+def test_cuped_ab_hand_values(spark):
+    """θ = cov/var = 2 exactly on the engineered covariate; adjusted
+    means 37/3 vs 34/3 (lift 1), Welch-form z = 3/√2 significant where
+    the RAW comparison's variance would swamp it; var_reduction =
+    12/13; zero covariate variance degrades to θ = 0; NULL units
+    excluded; duck parity."""
+    from flink_rag_spark.operators.hypothesis import (cuped_ab_test,
+                                                      cuped_ab_test_duck)
+    rows = [("A", 10.0, 5.0), ("A", 14.0, 7.0), ("A", 13.0, 6.0),
+            ("B", 9.0, 5.0), ("B", 13.0, 7.0), ("B", 12.0, 6.0),
+            ("A", None, 1.0), ("B", 5.0, None), ("C", 99.0, 99.0)]
+    df = spark.createDataFrame(rows, "arm string, y double, x double")
+    out = cuped_ab_test(df, "arm", "y", "x", "A", "B").collect()[0]
+    assert (out["n_a"], out["n_b"]) == (3, 3)
+    assert out["theta"] == 2.0
+    assert out["mean_a"] == round(37.0 / 3, 6)
+    assert out["mean_b"] == round(34.0 / 3, 6)
+    assert out["lift"] == 1.0
+    assert out["z"] == round(1.0 / (2.0 / 9.0) ** 0.5, 6)
+    assert out["significant"]
+    assert out["var_reduction"] == round(12.0 / 13, 6)
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"('{a}', {'NULL' if y is None else y}, "
+        f"{'NULL' if x is None else x})" for a, y, x in rows)
+    con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) "
+                "u(arm, y, x)")
+    d = con.execute(cuped_ab_test_duck("SELECT arm, y, x FROM t",
+                                       "arm", "y", "x", "A",
+                                       "B")).fetchdf()
+    for c in ("theta", "var_reduction", "mean_a", "mean_b", "lift", "z"):
+        assert d[c][0] == out[c], c
+    assert bool(d["significant"][0]) == out["significant"]
+    # constant covariate: theta 0, test degrades to the plain compare
+    const = spark.createDataFrame(
+        [("A", 1.0, 3.0), ("A", 2.0, 3.0), ("B", 4.0, 3.0),
+         ("B", 6.0, 3.0)], "arm string, y double, x double")
+    o2 = cuped_ab_test(const, "arm", "y", "x", "A", "B").collect()[0]
+    assert o2["theta"] == 0.0 and o2["var_reduction"] == 0.0
