@@ -415,9 +415,13 @@ def ewma_control(df: DataFrame, keys: list[str], ts_col: str,
     right = src.select(
         *[F.col(c).alias(f"_r_{c}") for c in keys],
         F.col("_rn").alias("_sn"), xdec.alias("_x"))
+    # eqNullSafe: row_number partitions treat a NULL key as a real
+    # series, so the pair and stats joins must too — plain equality
+    # silently dropped NULL-key rows from the chart (the
+    # mann_kendall / jarque_bera convention)
     on = None
     for c in keys:
-        e = F.col(c) == F.col(f"_r_{c}")
+        e = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
         on = e if on is None else (on & e)
     # the W lag bound rides the JOIN CONDITION (the decay-attribution
     # lesson): bounding only via the weight-table join would let the
@@ -443,7 +447,12 @@ def ewma_control(df: DataFrame, keys: list[str], ts_col: str,
     half = F.lit(float(n_sigma)) * sig \
         * F.coalesce(F.col("_f"), F.lit(Decimal(asym))).cast("double")
     zd = F.col("_z").cast("double")
-    return (z.join(F.broadcast(stats), on=keys)
+    stats2 = stats.select(
+        *[F.col(c).alias(f"_s_{c}") for c in keys], "_n", "_s", "_q")
+    js = F.lit(True)
+    for c in keys:
+        js = js & F.col(c).eqNullSafe(F.col(f"_s_{c}"))
+    return (z.join(F.broadcast(stats2), js)
             .join(ftab, on="_rn", how="left")
             .select(*keys, ts_col, seq_col,
                     F.col(value_col).alias("value"),
@@ -473,7 +482,10 @@ def ewma_control_duck(inner_sql: str, keys: list[str], ts_col: str,
     wvals = ", ".join(f"({k}, {ws}, {wr})" for k, ws, wr in wrows)
     fvals = (", ".join(f"({t}, {fs})" for t, fs in frows)
              or f"(0, {asym})")
-    on = " AND ".join(f"s.{c} = d.{c}" for c in keys)
+    on = " AND ".join(
+        f"s.{c} IS NOT DISTINCT FROM d.{c}" for c in keys)
+    on_st = " AND ".join(
+        f"z.{c} IS NOT DISTINCT FROM stats.{c}" for c in keys)
     dks = ", ".join(f"d.{c}" for c in keys)
     return f"""
 WITH ew0 AS (
@@ -504,7 +516,7 @@ lim AS (
            / (CAST(n AS DOUBLE) - 1.0)) END
            * {n_sigma!r} * CAST(COALESCE(f, {asym}) AS DOUBLE) AS half
   FROM z
-  JOIN stats USING ({ks})
+  JOIN stats ON {on_st}
   LEFT JOIN ft ON ft.frn = z.rn)
 SELECT {ks}, {ts_col}, {seq_col}, value,
        CAST(ROUND(zt, {EWMA_DP}) AS DOUBLE) AS ewma,

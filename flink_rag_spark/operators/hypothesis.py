@@ -1419,7 +1419,11 @@ def cuped_ab_test(df: DataFrame, group_col: str, metric_col: str,
     1 − var(y*)/var(y) pooled (how much CUPED bought). Units with a
     NULL metric or covariate are excluded; zero covariate variance ⇒
     θ = 0 (adjustment degrades to the plain test, never a division
-    blow-up); zero adjusted variance ⇒ NULL z, False verdict.
+    blow-up); zero adjusted variance ⇒ NULL z, False verdict; an EMPTY
+    arm still emits the one row — NULL mean/z for that side and a
+    False verdict (the welch_t degraded contract, kept by computing
+    both arms in ONE conditional global aggregate instead of a
+    per-group cross join that would emit zero rows).
 
     Exactness: the θ/x̄ pass accumulates exact DECIMAL(20,6) sums of
     x, y, x², xy in ONE aggregate; the second pass quantizes each
@@ -1458,20 +1462,20 @@ def cuped_ab_test(df: DataFrame, group_col: str, metric_col: str,
     adj = y - F.col("_theta") * (x - F.col("_xbar"))
     dec9 = f"decimal(38,{LOGRANK_TERM_DP})"
     q = lambda c: F.round(c, LOGRANK_TERM_DP).cast(dec9)  # noqa: E731
-    per_g = (j.groupBy(g.alias("_g"))
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(q(adj)).alias("s"),
-                  F.sum(q(adj * adj)).alias("q2"),
-                  F.sum(q(y)).alias("sy"),
-                  F.sum(q(y * y)).alias("qy"),
-                  F.max("_theta").alias("th")))
-    a = per_g.filter(F.col("_g") == group_a).select(
-        *[F.col(c).alias(f"{c}_a") for c in
-          ("n", "s", "q2", "sy", "qy", "th")])
-    b = per_g.filter(F.col("_g") == group_b).select(
-        *[F.col(c).alias(f"{c}_b") for c in
-          ("n", "s", "q2", "sy", "qy")])
-    one = a.crossJoin(F.broadcast(b))
+
+    # ONE conditional global aggregate, not per-group-then-cross-join:
+    # a global agg emits a row even when an arm (or both) is empty, so
+    # the operator degrades to one row of NULL stats with a False
+    # verdict — the welch_t contract — instead of zero rows
+    def arm(tag: str, w):
+        return [F.count(F.when(w, F.lit(1))).alias(f"n_{tag}"),
+                F.sum(F.when(w, q(adj))).alias(f"s_{tag}"),
+                F.sum(F.when(w, q(adj * adj))).alias(f"q2_{tag}"),
+                F.sum(F.when(w, q(y))).alias(f"sy_{tag}"),
+                F.sum(F.when(w, q(y * y))).alias(f"qy_{tag}")]
+
+    one = j.agg(*arm("a", g == group_a), *arm("b", g == group_b),
+                F.max("_theta").alias("th_a"))
 
     def stats(s, q2, n):
         nd = F.col(n).cast("double")
@@ -1539,35 +1543,52 @@ c AS (
          ELSE 0.0 END AS theta,
          CAST(sx AS DOUBLE) / n AS xbar
   FROM p1),
-per_g AS (
-  SELECT g, COUNT(*) AS n,
-         SUM(CAST(ROUND(y - theta * (x - xbar), {dp})
-                  AS DECIMAL(38,{dp}))) AS s,
-         SUM(CAST(ROUND((y - theta * (x - xbar))
+per AS (
+  -- one conditional global aggregate (always one row, even when an
+  -- arm is empty — the welch_t degraded contract)
+  SELECT COUNT(CASE WHEN g = {ga} THEN 1 END) AS n_a,
+         COUNT(CASE WHEN g = {gb} THEN 1 END) AS n_b,
+         SUM(CASE WHEN g = {ga} THEN
+             CAST(ROUND(y - theta * (x - xbar), {dp})
+                  AS DECIMAL(38,{dp})) END) AS s_a,
+         SUM(CASE WHEN g = {gb} THEN
+             CAST(ROUND(y - theta * (x - xbar), {dp})
+                  AS DECIMAL(38,{dp})) END) AS s_b,
+         SUM(CASE WHEN g = {ga} THEN
+             CAST(ROUND((y - theta * (x - xbar))
                         * (y - theta * (x - xbar)), {dp})
-                  AS DECIMAL(38,{dp}))) AS q2,
-         SUM(CAST(ROUND(y, {dp}) AS DECIMAL(38,{dp}))) AS syr,
-         SUM(CAST(ROUND(y * y, {dp}) AS DECIMAL(38,{dp}))) AS qyr,
+                  AS DECIMAL(38,{dp})) END) AS q2_a,
+         SUM(CASE WHEN g = {gb} THEN
+             CAST(ROUND((y - theta * (x - xbar))
+                        * (y - theta * (x - xbar)), {dp})
+                  AS DECIMAL(38,{dp})) END) AS q2_b,
+         SUM(CASE WHEN g = {ga} THEN
+             CAST(ROUND(y, {dp}) AS DECIMAL(38,{dp})) END) AS sy_a,
+         SUM(CASE WHEN g = {gb} THEN
+             CAST(ROUND(y, {dp}) AS DECIMAL(38,{dp})) END) AS sy_b,
+         SUM(CASE WHEN g = {ga} THEN
+             CAST(ROUND(y * y, {dp}) AS DECIMAL(38,{dp})) END) AS qy_a,
+         SUM(CASE WHEN g = {gb} THEN
+             CAST(ROUND(y * y, {dp}) AS DECIMAL(38,{dp})) END) AS qy_b,
          MAX(theta) AS th
-  FROM cu0 CROSS JOIN c GROUP BY g),
+  FROM cu0 CROSS JOIN c),
 w AS (
-  SELECT a.n AS n_a, b.n AS n_b, a.th,
-         CAST(a.s AS DOUBLE) / a.n AS ma,
-         CAST(b.s AS DOUBLE) / b.n AS mb,
-         CASE WHEN a.n >= 2 THEN (CAST(a.q2 AS DOUBLE)
-           - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n)
-           / (CAST(a.n AS DOUBLE) - 1.0) END AS va,
-         CASE WHEN b.n >= 2 THEN (CAST(b.q2 AS DOUBLE)
-           - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
-           / (CAST(b.n AS DOUBLE) - 1.0) END AS vb,
-         CASE WHEN a.n >= 2 THEN (CAST(a.qyr AS DOUBLE)
-           - CAST(a.syr AS DOUBLE) * CAST(a.syr AS DOUBLE) / a.n)
-           / (CAST(a.n AS DOUBLE) - 1.0) END AS vya,
-         CASE WHEN b.n >= 2 THEN (CAST(b.qyr AS DOUBLE)
-           - CAST(b.syr AS DOUBLE) * CAST(b.syr AS DOUBLE) / b.n)
-           / (CAST(b.n AS DOUBLE) - 1.0) END AS vyb
-  FROM (SELECT * FROM per_g WHERE g = {ga}) a
-  CROSS JOIN (SELECT * FROM per_g WHERE g = {gb}) b),
+  SELECT n_a, n_b, th,
+         CAST(s_a AS DOUBLE) / n_a AS ma,
+         CAST(s_b AS DOUBLE) / n_b AS mb,
+         CASE WHEN n_a >= 2 THEN (CAST(q2_a AS DOUBLE)
+           - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+           / (CAST(n_a AS DOUBLE) - 1.0) END AS va,
+         CASE WHEN n_b >= 2 THEN (CAST(q2_b AS DOUBLE)
+           - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+           / (CAST(n_b AS DOUBLE) - 1.0) END AS vb,
+         CASE WHEN n_a >= 2 THEN (CAST(qy_a AS DOUBLE)
+           - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE) / n_a)
+           / (CAST(n_a AS DOUBLE) - 1.0) END AS vya,
+         CASE WHEN n_b >= 2 THEN (CAST(qy_b AS DOUBLE)
+           - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE) / n_b)
+           / (CAST(n_b AS DOUBLE) - 1.0) END AS vyb
+  FROM per),
 stat AS (
   SELECT *, va / n_a + vb / n_b AS se2,
          va * (n_a - 1) + vb * (n_b - 1) AS pa,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import DecimalType
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None,
@@ -473,10 +474,14 @@ def gini_concentration(df: DataFrame, value_col: str,
 
     Exactness: x stays DECIMAL end to end — i·x is an exact decimal
     product, all three sums are exact decimals, and only the final
-    quotient drops to double (rounded ``GINI_DP``). Negative values are
-    rejected up front (one cheap min-aggregate — Gini is undefined
-    below zero); NULLs are excluded. Groups with n = 0 or Σx = 0 emit
-    NULL gini.
+    quotient drops to double (rounded ``GINI_DP``). The contract is
+    ENFORCED: a non-decimal ``value_col`` raises — a double input would
+    make ``total`` an order-dependent float64 sum that differs between
+    engines at the last ulp (the round-13 driver-hash failure), so the
+    caller must cast (the Benford pattern: ``decimal(18,2)``).
+    Negative values are rejected up front (one cheap min-aggregate —
+    Gini is undefined below zero); NULLs are excluded. Groups with
+    n = 0 or Σx = 0 emit NULL gini.
 
     Output: (group_cols…, n, total, gini).
 
@@ -489,6 +494,12 @@ def gini_concentration(df: DataFrame, value_col: str,
     if not group_cols:
         raise ValueError("group_cols must be non-empty (add a literal "
                          "column for a global coefficient)")
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, DecimalType):
+        raise TypeError(
+            f"gini_concentration requires a DECIMAL {value_col} (got "
+            f"{vtype.simpleString()}): cast at the caller so every sum "
+            "is exact and order-independent")
     x = F.col(value_col)
     src = df.filter(x.isNotNull()).select(*group_cols, value_col)
     neg = src.agg(F.min(x).alias("mn")).first()
@@ -507,9 +518,13 @@ def gini_concentration(df: DataFrame, value_col: str,
     g = ((F.lit(2) * F.col("_is")
           - (F.col("n") + F.lit(1)).cast(d12) * F.col("_s")).cast("double")
          / (F.col("n").cast("double") * F.col("_s").cast("double")))
+    # total: exact decimal sum cast to double AT OUTPUT (the
+    # attribution-family pattern) — identical exact decimals cast to
+    # identical doubles in both engines, unlike a float64 running sum
+    # whose partial-aggregation order differs
     return out.select(
         *group_cols, "n",
-        F.col("_s").alias("total"),
+        F.col("_s").cast("double").alias("total"),
         F.round(F.when(F.col("_s") != 0, g), GINI_DP).alias("gini"))
 
 
@@ -531,7 +546,7 @@ agg AS (
   SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n,
          SUM(x) AS s, SUM(ix) AS i_s
   FROM ranked GROUP BY {gc})
-SELECT {gc}, n, s AS total,
+SELECT {gc}, n, CAST(s AS DOUBLE) AS total,
        ROUND(CASE WHEN s != 0 THEN
          CAST(2 * i_s - CAST(n + 1 AS DECIMAL(12,0)) * s AS DOUBLE)
          / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END, {GINI_DP}) AS gini

@@ -272,9 +272,13 @@ def mann_kendall_trend(df: DataFrame, keys: list[str], x: Column | str,
     b = base.select(
         *[F.col(c).alias(f"_r_{c}") for c in keys],
         F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    # eqNullSafe: row_number/groupBy treat a NULL key as a real group,
+    # so the pair join must too — plain equality would leave NULL-key
+    # groups with NULL _s/_sen and a bogus z=0 (the jarque_bera /
+    # t_closeness convention)
     cond = F.col("_x2") > F.col("_x")
     for c in keys:
-        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_r_{c}"))
     sgn = (F.when(F.col("_y2") > F.col("_y"), 1)
            .when(F.col("_y2") < F.col("_y"), -1).otherwise(0))
     slope = ((F.col("_y2") - F.col("_y")).cast("double")
@@ -284,8 +288,15 @@ def mann_kendall_trend(df: DataFrame, keys: list[str], x: Column | str,
           .groupBy(*keys)
           .agg(F.sum(sgn).cast("bigint").alias("_s"),
                F.expr("percentile(_slope_, 0.5)").alias("_sen")))
-    out = (g.join(tt, on=keys, how="left")
-           .join(ps, on=keys, how="left"))
+    tt2 = tt.select(*[F.col(c).alias(f"_t_{c}") for c in keys], "_tt")
+    ps2 = ps.select(*[F.col(c).alias(f"_p_{c}") for c in keys],
+                    "_s", "_sen")
+    jt = F.lit(True)
+    jp = F.lit(True)
+    for c in keys:
+        jt = jt & F.col(c).eqNullSafe(F.col(f"_t_{c}"))
+        jp = jp & F.col(c).eqNullSafe(F.col(f"_p_{c}"))
+    out = (g.join(tt2, jt, "left").join(ps2, jp, "left"))
     n = F.col("_n").cast("double")
     var = (n * (n - 1) * (2 * n + 5)
            - F.coalesce(F.col("_tt"), F.lit(0)).cast("double")) \
@@ -311,7 +322,11 @@ def mann_kendall_trend_duck(inner_sql: str, keys: list[str],
     """DuckDB mirror of :func:`mann_kendall_trend` — the same pair
     join, exact sign/tie sums, and quantile_cont median."""
     ks = ", ".join(keys)
-    on = " AND ".join(f"b.{k} = a.{k}" for k in keys)
+    on = " AND ".join(f"b.{k} IS NOT DISTINCT FROM a.{k}" for k in keys)
+    on_tt = " AND ".join(
+        f"g.{k} IS NOT DISTINCT FROM tt.{k}" for k in keys)
+    on_ps = " AND ".join(
+        f"g.{k} IS NOT DISTINCT FROM ps.{k}" for k in keys)
     aks = ", ".join(f"a.{k}" for k in keys)
     return f"""
 WITH mk0 AS (
@@ -338,8 +353,8 @@ j AS (
           - CAST(COALESCE(tt.tt, 0) AS DOUBLE)) / 18.0 AS var,
          (n = ndx AND n >= 2) AS base_ok
   FROM g
-  LEFT JOIN tt USING ({ks})
-  LEFT JOIN ps USING ({ks})),
+  LEFT JOIN tt ON {on_tt}
+  LEFT JOIN ps ON {on_ps}),
 stat AS (
   SELECT *, base_ok AND var > 0 AS ok,
          CASE WHEN base_ok AND var > 0 AND s > 0

@@ -1488,7 +1488,8 @@ def last_touch_attribution(events: DataFrame, touch_types: list[str],
     return agg.select(
         "touch_type", "n_conversions",
         F.col("_sv").cast("double").alias("attributed_value"),
-        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+        F.round(F.col("_sv").cast("double")
+                / F.sum("_sv").over(w_tot).cast("double"),
                 6).alias("value_share"))
 
 
@@ -1520,7 +1521,8 @@ agg AS (
   FROM tagged WHERE {type_col} = {_q(conversion_type)} GROUP BY 1)
 SELECT touch_type, n_conversions,
        CAST(sv AS DOUBLE) AS attributed_value,
-       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+       ROUND(CAST(sv AS DOUBLE) / CAST(SUM(sv) OVER () AS DOUBLE), 6)
+         AS value_share
 FROM agg
 """
 
@@ -1667,7 +1669,8 @@ def first_touch_attribution(events: DataFrame, touch_types: list[str],
     return agg.select(
         "touch_type", "n_conversions",
         F.col("_sv").cast("double").alias("attributed_value"),
-        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+        F.round(F.col("_sv").cast("double")
+                / F.sum("_sv").over(w_tot).cast("double"),
                 6).alias("value_share"))
 
 
@@ -1699,7 +1702,8 @@ agg AS (
   FROM tagged WHERE {type_col} = {_q(conversion_type)} GROUP BY 1)
 SELECT touch_type, n_conversions,
        CAST(sv AS DOUBLE) AS attributed_value,
-       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+       ROUND(CAST(sv AS DOUBLE) / CAST(SUM(sv) OVER () AS DOUBLE), 6)
+         AS value_share
 FROM agg
 """
 
@@ -1783,10 +1787,16 @@ def time_decay_attribution(events: DataFrame, touch_types: list[str],
                 .agg(F.sum("_w").alias("_wt")))
     w_conv = Window.partitionBy("_k", "_cseq")
     credited = per_type.withColumn("_tot", F.sum("_wt").over(w_conv))
+    # the share divides double÷double, NOT decimal÷decimal-then-cast:
+    # both engines agree on the 9-dp decimal inputs, so IEEE division
+    # of the identical doubles gives an identical quotient/product/
+    # round, whereas each engine's decimal division resolves at its own
+    # result scale and the 6-dp round can flip at the 1e-7 boundary
     credit = F.when(
         F.col("_tot").isNotNull(),
-        F.round(F.col("_v") * (F.col("_wt") / F.col("_tot"))
-                .cast("double"), 6).cast(ATTR_DEC))
+        F.round(F.col("_v") * (F.col("_wt").cast("double")
+                               / F.col("_tot").cast("double")),
+                6).cast(ATTR_DEC))
     un = F.when(F.col("_tot").isNull(), F.col("_v").cast(ATTR_DEC))
     agg = (credited
            .select(F.when(F.col("_tot").isNotNull(), F.col("_ttype"))
@@ -1799,7 +1809,8 @@ def time_decay_attribution(events: DataFrame, touch_types: list[str],
     return agg.select(
         "touch_type", "n_conversions",
         F.col("_sv").cast("double").alias("attributed_value"),
-        F.round((F.col("_sv") / F.sum("_sv").over(w_tot)).cast("double"),
+        F.round(F.col("_sv").cast("double")
+                / F.sum("_sv").over(w_tot).cast("double"),
                 6).alias("value_share"))
 
 
@@ -1846,8 +1857,8 @@ rows_ AS (
   SELECT CASE WHEN tot IS NOT NULL THEN ttype END AS touch_type,
          COALESCE(
            CASE WHEN tot IS NOT NULL THEN
-             CAST(ROUND(v * CAST(wt / tot AS DOUBLE), 6)
-                  AS DECIMAL(20,6)) END,
+             CAST(ROUND(v * (CAST(wt AS DOUBLE) / CAST(tot AS DOUBLE)),
+                        6) AS DECIMAL(20,6)) END,
            CASE WHEN tot IS NULL THEN CAST(v AS DECIMAL(20,6)) END)
            AS av
   FROM credited),
@@ -1857,7 +1868,8 @@ agg AS (
   FROM rows_ GROUP BY touch_type)
 SELECT touch_type, n_conversions,
        CAST(sv AS DOUBLE) AS attributed_value,
-       ROUND(CAST(sv / SUM(sv) OVER () AS DOUBLE), 6) AS value_share
+       ROUND(CAST(sv AS DOUBLE) / CAST(SUM(sv) OVER () AS DOUBLE), 6)
+         AS value_share
 FROM agg
 """
 

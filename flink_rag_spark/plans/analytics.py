@@ -1140,9 +1140,12 @@ def gini_order_value_regions(spark: SparkSession,
     (operators/profiling.py gini_concentration): how concentrated is
     spend within each region — the one-number Lorenz summary beside the
     histogram/winsorized profiles. One per-region ranking window + one
-    aggregate, exact decimal sums."""
+    aggregate, exact decimal sums — the DOUBLE fixture column is cast
+    to DECIMAL(18,2) first (the Benford pattern) so ``total`` is an
+    order-independent exact sum in both engines."""
     from flink_rag_spark.operators.profiling import gini_concentration
-    j = _orders_with_region(spark, sf_dir)
+    j = _orders_with_region(spark, sf_dir).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
     return gini_concentration(j, "o_totalprice", ["r_name"])
 
 

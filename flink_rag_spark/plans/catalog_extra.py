@@ -2037,8 +2037,9 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
              ["n_name"], "month_idx", "monthly_value"),
          ("hypothesis", "regression", "stats")),
         # round-13: HITS hubs & authorities over the DIRECTED
-        # customer→supplier purchase graph — the oracle unrolls all six
-        # half-step pairs with their L1 normalizations (graph.hits)
+        # customer→supplier purchase graph — the oracle unrolls all
+        # HITS_DEMO_ITERS (4) half-step pairs with their L1
+        # normalizations (graph.hits)
         ("part_hits_copurchase", A.part_hits_copurchase,
          hits_duck(
              "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
@@ -2052,11 +2053,14 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
              "l_quantity", "l_extendedprice"),
          ("hypothesis", "stats", "window")),
         # round-12: per-region Gini concentration — the sorted-rank
-        # Lorenz identity from exact decimal sums
-        # (profiling.gini_concentration)
+        # Lorenz identity from exact decimal sums; the DOUBLE fixture
+        # price is cast to DECIMAL(18,2) in BOTH engines so `total` is
+        # an order-independent exact sum (profiling.gini_concentration)
         ("gini_order_value_regions", A.gini_order_value_regions,
-         gini_concentration_duck(_ORDERS_REGION_SQL, "o_totalprice",
-                                 ["r_name"]),
+         gini_concentration_duck(
+             "SELECT r_name, CAST(o_totalprice AS DECIMAL(18,2)) "
+             "AS o_totalprice FROM (" + _ORDERS_REGION_SQL + ")",
+             "o_totalprice", ["r_name"]),
          ("profiling", "stats", "window")),
         # round-12: per-user autocorrelation (lags 1..3) — one
         # lead-window pass + exact DECIMAL(20,6) product sums, the

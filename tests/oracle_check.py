@@ -29,14 +29,15 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        # normalize -0.0 and float noise at a precision far below the
-        # catalog's own ROUND()ing, far above double noise. The "f:"
-        # prefix keeps float 75042.0 distinct from int 75042: the
-        # driver's stricter hash distinguishes them (DuckDB HUGEINT →
-        # float64 while Spark emits int64), so the replica must too —
-        # this exact class slipped through round 7 when %.9g collapsed
-        # both to "75042".
-        return f"f:{v + 0.0:.9g}"
+        # FULL float64 precision (17 significant digits round-trips
+        # every double): the driver hashes raw values, so the replica
+        # must distinguish everything the driver does — %.9g let two
+        # last-ulp engine divergences (gini total, decay-attribution
+        # credits) reach the round-13 driver undetected. `v + 0.0`
+        # still normalizes -0.0. The "f:" prefix keeps float 75042.0
+        # distinct from int 75042 (DuckDB HUGEINT → float64 while
+        # Spark emits int64 — the round-7 class).
+        return f"f:{v + 0.0:.17g}"
     if isinstance(v, bool) or isinstance(v, np.bool_):
         return str(bool(v))
     if isinstance(v, (int, np.integer)):
