@@ -195,6 +195,11 @@ def hash_sample_duck(key_col: str, keep_pct: int, buckets: int = 100) -> str:
 #: rows) stops being "driver comfort" and the quantile two-pass kicks in
 TWO_PASS_SAMPLE_MIN_N = 100_000
 
+#: decimal places the A-Res sampling key is quantized to — engine ln()
+#: implementations disagree at the last ulp, and 12 dp is far below any
+#: real weight resolution while far above double noise
+SAMPLE_KEY_DP = 12
+
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
                     n: int, id_col: str | None = None,
@@ -226,7 +231,12 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
     jobs (count + quantile sketch), the standard trade at corpus scale.
     """
     u = f"(({poly_hash_expr(key_col)}) + 1) / CAST({POLY_P + 1} AS DOUBLE)"
-    k = F.expr(f"ln({u})") / F.col(weight_col)
+    # the key is quantized to SAMPLE_KEY_DP: ln is a libm transcendental
+    # whose last ulp differs between the JVM and other engines, so the
+    # raw double is NOT engine-portable — the 12-dp round keeps ~9
+    # significant digits on the smallest keys (|key| ≤ ln(P+1)/w) while
+    # the id tiebreak keeps the order deterministic under any ties
+    k = F.round(F.expr(f"ln({u})") / F.col(weight_col), SAMPLE_KEY_DP)
     out = df.withColumn("samp_key", k)
     order = [F.desc("samp_key")] + ([F.col(id_col)] if id_col else [])
     if two_pass is None:
@@ -244,10 +254,12 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
 
 
 def weighted_sample_key_duck(key_col: str, weight_col: str) -> str:
-    """DuckDB mirror of weighted_sample's ranking key."""
+    """DuckDB mirror of weighted_sample's ranking key — same 12-dp
+    quantization killing the engines' ln() ulp disagreement."""
     from flink_rag_spark.functions.hashing import poly_hash_duck
-    return (f"ln((({poly_hash_duck(key_col)}) + 1) "
-            f"/ CAST({POLY_P + 1} AS DOUBLE)) / {weight_col}")
+    return (f"ROUND(ln((({poly_hash_duck(key_col)}) + 1) "
+            f"/ CAST({POLY_P + 1} AS DOUBLE)) / {weight_col}, "
+            f"{SAMPLE_KEY_DP})")
 
 
 def mixture_sample(df: DataFrame, domain_col: str, key_col: str,

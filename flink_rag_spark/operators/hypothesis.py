@@ -29,6 +29,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
+from flink_rag_spark.operators.util import dec_to_double, dec_to_double_duck
+
 #: KS critical-value coefficient at alpha = 0.05: sqrt(-ln(alpha/2)/2)
 KS_ALPHA = 0.05
 KS_DP = 6
@@ -992,6 +994,12 @@ ANOVA_TERM_DP = 9
 ANOVA_DP = 6
 ANOVA_DEC = "decimal(20,6)"
 
+#: decimal places Brown–Forsythe quantizes each group median to —
+#: interpolated-median expressions differ between engines at the last
+#: ulp, and the raw double would shift every |x − med| across the
+#: 6-dp cast grid
+BF_MED_DP = 6
+
 
 def anova_f(df: DataFrame, group_col: str, value_col: str,
             f_crit: float) -> DataFrame:
@@ -1011,8 +1019,14 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
 
     Exactness: values quantize to DECIMAL(20,6) and S_g / Q accumulate
     as exact decimal sums (the corr_matrix discipline); the S_g²/n_g
-    integer-ratio doubles quantize to 9-dp DECIMAL before their k-row
-    sum, so every float expression is identical in both engines.
+    terms are EXACT 9-dp fixed-point integers via half-up integral
+    division on the unscaled sums (the seasonal_decompose discipline —
+    ROUND(double, 9) is NOT engine-portable above ~4.5e6, where the
+    double's ulp crosses the 1e-9 grid: measured 68-99 % divergence
+    between the engines' rounding of IDENTICAL doubles, the round-13
+    brown_forsythe failure); the final decimal→double casts floor-split
+    through util.dec_to_double. Headroom: |S_g| ≤ 1e13 (u² inside
+    DECIMAL(38,0)/int128).
 
     Plan at 100 TB: ONE grouped partial+final aggregate over the scan
     (k rows out), then arithmetic on the k-row frame — no join, no
@@ -1024,21 +1038,35 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
          .agg(F.count(F.lit(1)).alias("ng"),
               F.sum(v).alias("sg"),
               F.sum(v * v).alias("qg")))
-    dec9 = f"decimal(30,{ANOVA_TERM_DP})"
-    term = F.round(F.col("sg").cast("double")
-                   * F.col("sg").cast("double") / F.col("ng"),
-                   ANOVA_TERM_DP).cast(dec9)
+    # sg²/ng as an EXACT 9-dp fixed-point integer: u = unscaled(sg)
+    # (·10⁶), term·10⁹ = half-up(u², ng·10³) = (2u² + d) fdiv (2d).
+    # The floor division is (a − a%b)/b on DECIMAL(38,0) — decimal %
+    # is exact and an exactly-divisible decimal quotient is exact —
+    # NOT Spark's `div`, whose BIGINT return wraps above 2^63 (these
+    # quotients reach ~1e23); all operands non-negative
+    d38 = "decimal(38,0)"
+    u = (F.col("sg") * F.lit(1_000_000)).cast(d38)
+    dnm = F.col("ng").cast(d38) * F.lit(1000).cast(d38)
+    num = F.lit(2).cast(d38) * u * u + dnm
+    den = F.lit(2).cast(d38) * dnm
+    term9 = ((num - num % den) / den).cast(d38)
     agg = g.agg(F.sum("ng").cast("bigint").alias("n"),
                 F.count(F.lit(1)).cast("bigint").alias("n_groups"),
                 F.sum("sg").alias("_s"),
                 F.sum("qg").alias("_q"),
-                F.sum(term).alias("_t"))
+                F.sum(term9).alias("_t9"))
+    # floor-split decimal→double (util.dec_to_double): the direct cast
+    # of these high-scale sums is NOT engine-identical above 2^53 —
+    # DuckDB's q cast measured 1 ulp off correctly-rounded, the
+    # round-13 ss_within hash failure
     n = F.col("n").cast("double")
     k = F.col("n_groups").cast("double")
-    t = F.col("_t").cast("double")
-    ssb = t - (F.col("_s").cast("double")
-               * F.col("_s").cast("double") / n)
-    ssw = F.col("_q").cast("double") - t
+    # _t9 is a scale-0 decimal (single-rounding cast in both engines);
+    # /1e9 is one IEEE op on an exact power-of-ten literal
+    t = F.col("_t9").cast("double") / F.lit(1e9)
+    s_d = dec_to_double(F.col("_s"))
+    ssb = t - s_d * s_d / n
+    ssw = dec_to_double(F.col("_q")) - t
     f_stat = F.when(
         (F.col("n_groups") >= 2) & (F.col("n") > F.col("n_groups"))
         & (ssw > 0),
@@ -1066,18 +1094,22 @@ per_g AS (
   SELECT g, COUNT(*) AS ng, SUM(v) AS sg, SUM(v * v) AS qg
   FROM av GROUP BY g),
 agg AS (
+  -- term·10⁹ = half-up(u², ng·10³) on int128, u = unscaled(sg) —
+  -- exact fixed-point (ROUND(double, 9) is not engine-portable here)
   SELECT CAST(SUM(ng) AS BIGINT) AS n,
          CAST(COUNT(*) AS BIGINT) AS n_groups,
          SUM(sg) AS s, SUM(qg) AS q,
-         SUM(CAST(ROUND(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng,
-                        {dp}) AS DECIMAL(30,{dp}))) AS t
+         SUM((2 * CAST(sg * 1000000 AS HUGEINT)
+                * CAST(sg * 1000000 AS HUGEINT)
+              + CAST(ng AS HUGEINT) * 1000)
+             // (2 * CAST(ng AS HUGEINT) * 1000)) AS t9
   FROM per_g),
 stat AS (
   SELECT n, n_groups,
-         CAST(t AS DOUBLE)
-           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         CAST(t9 AS DOUBLE) / 1e9
+           - {dec_to_double_duck('s')} * {dec_to_double_duck('s')}
              / CAST(n AS DOUBLE) AS ssb,
-         CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw
+         {dec_to_double_duck('q')} - CAST(t9 AS DOUBLE) / 1e9 AS ssw
   FROM agg),
 f AS (
   SELECT *, CASE WHEN n_groups >= 2 AND n > n_groups AND ssw > 0
@@ -1360,14 +1392,21 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
     Pure composition: per-group interpolated medians (the robust
     family's percentile ↔ quantile_cont pairing) joined back
     broadcast-style, then the exact-decimal ANOVA machinery on z.
+    The median is quantized to ``BF_MED_DP`` before the deviations:
+    the engines' interpolation expressions differ at the last ulp, and
+    an un-quantized median shifts EVERY z in its group across
+    anova_f's 6-dp cast boundaries (caught by the 17-digit sweep) —
+    the operator is DEFINED as the quantized-median chart, the EWMA
+    weight-table discipline.
 
     Plan at 100 TB: one grouped percentile aggregate + one broadcast
     join + :func:`anova_f`'s single grouped aggregate."""
     src = df.filter(F.col(group_col).isNotNull()
                     & F.col(value_col).isNotNull())
     med = (src.groupBy(group_col)
-           .agg(F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)")
-                .alias("_med")))
+           .agg(F.round(
+               F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)"),
+               BF_MED_DP).alias("_med")))
     j = (src.join(F.broadcast(med.withColumnRenamed(group_col, "_g")),
                   src[group_col].eqNullSafe(F.col("_g")))
          .withColumn("_z", F.abs(F.col(value_col).cast("double")
@@ -1383,7 +1422,8 @@ def brown_forsythe_duck(inner_sql: str, group_col: str, value_col: str,
 SELECT s.{group_col}, ABS(CAST(s.{value_col} AS DOUBLE) - m._med) AS _z
 FROM ({inner_sql}) s
 JOIN (SELECT {group_col} AS _g,
-             quantile_cont(CAST({value_col} AS DOUBLE), 0.5) AS _med
+             ROUND(quantile_cont(CAST({value_col} AS DOUBLE), 0.5),
+                   {BF_MED_DP}) AS _med
       FROM ({inner_sql})
       WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
       GROUP BY 1) m

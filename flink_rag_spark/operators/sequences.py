@@ -2269,3 +2269,211 @@ def until_funnel_times_duck(steps: list, until: dict[int, str],
         sel.append(f"{expr} AS c{j}")
     return (f"SELECT {key_col}, {', '.join(sel)} "
             f"FROM ({inner}) _until_inner")
+
+
+# --------------------------------------------- optional() pattern steps
+
+#: cap on the number of optional steps per pattern: the desugaring is
+#: 2^m layers by construction (each optional step doubles the variant
+#: count), so the bound keeps the plan's window-column stack honest
+OPTIONAL_MAX = 6
+
+
+def _optional_layers(k: int, optional: list[int]
+                     ) -> list[tuple[tuple[int, ...], list[int]]]:
+    """Desugar FlinkCEP ``optional()`` steps into include/exclude
+    LAYERS: one funnel variant per subset of the optional set, every
+    variant keeping all required steps in order. Returns
+    (inclusion_bits, included_original_indices) pairs in PREFERENCE
+    order — more included steps first, then the variant including the
+    earliest-indexed optional steps — the deterministic tie-break the
+    pick stage applies when two variants complete at the same instant.
+    Shared by the operator and its mirror so both desugar identically.
+
+    Parity note (reference FlinkCEP semantics, Pattern.optional() —
+    flink-cep's Pattern.java): a pattern with optional elements matches
+    with or without those events; under this family's single-match
+    earliest-completion semantics the reported match is the variant
+    completing FIRST, and including an event never loses to skipping it
+    at the same completion instant."""
+    import itertools
+
+    opts = sorted(set(optional))
+    if not opts:
+        raise ValueError("optional must be non-empty — use "
+                         "funnel_times for a plain pattern")
+    if opts[0] < 1 or opts[-1] > k:
+        raise ValueError(f"optional indices must be in 1..{k}, "
+                         f"got {optional!r}")
+    if len(opts) > OPTIONAL_MAX:
+        raise ValueError(
+            f"at most {OPTIONAL_MAX} optional steps per pattern "
+            f"(2^m desugared layers), got {len(opts)}")
+    if len(opts) == k:
+        raise ValueError("at least one step must be required — an "
+                         "all-optional pattern matches the empty "
+                         "sequence (FlinkCEP rejects it too)")
+    layers = []
+    for bits in itertools.product((1, 0), repeat=len(opts)):
+        chosen = {j for j, b in zip(opts, bits) if b}
+        inc = [j for j in range(1, k + 1)
+               if j not in opts or j in chosen]
+        layers.append((bits, inc))
+    # itertools.product((1, 0), ...) already yields all-included first
+    # and prefers including earlier optional steps among equal counts;
+    # the sort makes the more-steps-first preference explicit
+    layers.sort(key=lambda p: (-len(p[1]),
+                               tuple(1 - b for b in p[0])))
+    return layers
+
+
+def optional_funnel_times(events: DataFrame, steps: list[str | Column],
+                          optional: list[int],
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          seq_col: str = "event_id",
+                          within_seconds: int | None = None
+                          ) -> DataFrame:
+    """``funnel_times`` with FlinkCEP ``optional()`` steps (the last
+    pattern-construct straggler beside the covered strict / negation /
+    quantifier / until / skip-strategy surface): ``optional`` lists the
+    1-based step indices that may be SKIPPED. Per key, every
+    include/exclude variant of the optional set runs as its own
+    running-min layer stack over the SAME single (key, ts) exchange —
+    2^m column layers, never another shuffle — and the reported match
+    is the variant whose FINAL step completes earliest, ties preferring
+    the variant that includes more steps (skipping an event never beats
+    matching it at the same instant), then the earliest-indexed
+    inclusion. Output: (key, t1..tk) — a skipped optional step reports
+    NULL t while later steps still report their variant's instants; a
+    key matching no variant reports all-NULL.
+
+    ``within_seconds`` anchors each VARIANT at its own first included
+    step (a skipped optional step 1 re-anchors the window at step 2 —
+    the FlinkCEP reading, where the window spans the matched events).
+
+    Scale shape: identical to the flat funnel — the layers are window
+    columns over one exchange, so ``m`` optional steps cost 2^m × k
+    running-min columns on one sort (bounded by ``OPTIONAL_MAX``), not
+    2^m scans or joins."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    layers = _optional_layers(k, optional)
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if all(isinstance(s, str) for s in steps):
+        df = (events.filter(F.col(type_col).isin(list(steps)))
+              .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    for li, (_bits, inc) in enumerate(layers):
+        for pos, j in enumerate(inc, start=1):
+            cond = conds[j - 1]
+            if pos > 1:
+                cond = cond & (F.col(ts_col) > F.col(f"_o{li}r{pos - 1}"))
+                if within_seconds is not None:
+                    cond = cond & (
+                        F.col(ts_col) <= F.col(f"_o{li}r1")
+                        + F.expr(f"INTERVAL {within_seconds} SECOND"))
+            df = df.withColumn(
+                f"_o{li}r{pos}",
+                F.min(F.when(cond, F.col(ts_col))).over(w))
+    agg = df.groupBy(key_col).agg(*[
+        F.min(f"_o{li}r{pos}").alias(f"_m{li}p{pos}")
+        for li, (_b, inc) in enumerate(layers)
+        for pos in range(1, len(inc) + 1)])
+    finals = [F.col(f"_m{li}p{len(inc)}")
+              for li, (_b, inc) in enumerate(layers)]
+    best = finals[0] if len(finals) == 1 else F.least(*finals)
+    pick = None
+    for li, (_b, inc) in enumerate(layers):
+        c = F.col(f"_m{li}p{len(inc)}").isNotNull() & \
+            (F.col(f"_m{li}p{len(inc)}") == best)
+        pick = (F.when(c, F.lit(li)) if pick is None
+                else pick.when(c, F.lit(li)))
+    out_cols = []
+    for j in range(1, k + 1):
+        tj = None
+        for li, (_b, inc) in enumerate(layers):
+            if j not in inc:
+                continue
+            pos = inc.index(j) + 1
+            c = pick == F.lit(li)
+            tj = (F.when(c, F.col(f"_m{li}p{pos}")) if tj is None
+                  else tj.when(c, F.col(f"_m{li}p{pos}")))
+        out_cols.append(tj.alias(f"t{j}"))
+    return agg.select(key_col, *out_cols)
+
+
+def optional_funnel_times_duck(steps: list[str], optional: list[int],
+                               within_seconds: int | None = None,
+                               key_col: str = "user_id",
+                               ts_col: str = "ts",
+                               type_col: str = "event_type",
+                               seq_col: str = "event_id",
+                               table: str = "events") -> str:
+    """DuckDB mirror of :func:`optional_funnel_times` — the same layer
+    desugaring as stacked running-min CTEs, the same earliest-final /
+    most-inclusive pick (LEAST skips NULLs in both engines). String
+    steps only (the flat mirror's Column caveat)."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("optional_funnel_times_duck only mirrors "
+                        f"string steps; got: {bad!r}")
+    k = len(steps)
+    layers = _optional_layers(k, optional)
+    in_list = ", ".join(_q(s) for s in sorted(set(steps)))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    ctes = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    n = 0
+    for li, (_b, inc) in enumerate(layers):
+        for pos, j in enumerate(inc, start=1):
+            cond = f"{type_col} = {_q(steps[j - 1])}"
+            if pos > 1:
+                cond += f" AND {ts_col} > _o{li}r{pos - 1}"
+                if within_seconds is not None:
+                    cond += (f" AND {ts_col} <= _o{li}r1 + "
+                             f"INTERVAL {within_seconds} SECOND")
+            n += 1
+            ctes.append(
+                f"l{n} AS (SELECT {prev_cols}, "
+                f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} "
+                f"AS _o{li}r{pos} FROM {src})")
+            prev_cols += f", _o{li}r{pos}"
+            src = f"l{n}"
+    mins = ", ".join(
+        f"MIN(_o{li}r{pos}) AS _m{li}p{pos}"
+        for li, (_b, inc) in enumerate(layers)
+        for pos in range(1, len(inc) + 1))
+    finals = [f"_m{li}p{len(inc)}" for li, (_b, inc) in enumerate(layers)]
+    best = finals[0] if len(finals) == 1 else f"LEAST({', '.join(finals)})"
+    pick = "CASE " + " ".join(
+        f"WHEN _m{li}p{len(inc)} IS NOT NULL "
+        f"AND _m{li}p{len(inc)} = _best THEN {li}"
+        for li, (_b, inc) in enumerate(layers)) + " END"
+    t_sel = []
+    for j in range(1, k + 1):
+        arms = []
+        for li, (_b, inc) in enumerate(layers):
+            if j in inc:
+                pos = inc.index(j) + 1
+                arms.append(f"WHEN _pick = {li} THEN _m{li}p{pos}")
+        t_sel.append(f"CASE {' '.join(arms)} END AS t{j}")
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(ctes)},
+per_key AS (SELECT {key_col}, {mins} FROM {src} GROUP BY {key_col}),
+picked AS (SELECT *, {best} AS _best FROM per_key),
+chosen AS (SELECT *, {pick} AS _pick FROM picked)
+SELECT {key_col}, {", ".join(t_sel)} FROM chosen
+"""

@@ -38,6 +38,32 @@ def sql_str_lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def dec_to_double(c):
+    """Engine-portable DECIMAL→DOUBLE cast, floor-split:
+
+        double(floor(d)) + double(d − floor(d))
+
+    A direct high-scale cast is NOT identical across engines once the
+    unscaled value exceeds 2^53: DuckDB converts the int128 to double
+    and then divides by 10^scale (two roundings — measured 1 ulp off
+    correctly-rounded on DECIMAL(38,12) at ~3e14, the round-13
+    brown_forsythe ss_within failure), while Java's BigDecimal cast is
+    correctly rounded. Splitting makes every step a SINGLE identical
+    IEEE operation in both engines: the scale-0 floor converts int→
+    double (correctly rounded everywhere), the sub-unit fraction
+    converts exactly, and the final add is one IEEE op. Pair with
+    :func:`dec_to_double_duck` in the oracle mirror."""
+    import pyspark.sql.functions as F
+    fl = F.floor(c)
+    return fl.cast("double") + (c - fl).cast("double")
+
+
+def dec_to_double_duck(expr: str) -> str:
+    """DuckDB mirror of :func:`dec_to_double` — same floor-split."""
+    return (f"(CAST(FLOOR({expr}) AS DOUBLE) "
+            f"+ CAST(({expr}) - FLOOR({expr}) AS DOUBLE))")
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Estimate how many partitions the input scan yields, WITHOUT touching
     ``df.rdd`` (which forces a logical→RDD plan conversion per call and is

@@ -376,6 +376,27 @@ UNTIL_STEPS = ["view", ("click", 3), "purchase"]
 UNTIL_STOPS = {2: "error"}
 
 
+#: the optional() pattern the swept query runs: a view, an OPTIONAL
+#: click, then a purchase — the click is reported when one landed
+#: before the completing purchase, skipped otherwise
+OPTIONAL_STEPS = ["view", "click", "purchase"]
+OPTIONAL_IDX = [2]
+
+
+def optional_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP ``optional()`` steps (operators/sequences.py
+    optional_funnel_times — the last pattern-construct straggler,
+    desugared as include/exclude variant layers over the funnel
+    family's single exchange): per-user earliest view → [click] →
+    purchase where the click may be skipped; the reported match is the
+    earliest-completing variant, ties preferring the one that includes
+    the click. Mirrors FlinkCEP Pattern.optional()
+    (reference runs FlinkCEP 1.18; cf. RAG.java's pipeline frame)."""
+    from flink_rag_spark.operators.sequences import optional_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return optional_funnel_times(e, OPTIONAL_STEPS, OPTIONAL_IDX)
+
+
 def until_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlinkCEP ``until`` on a looping step (operators/sequences.py
     until_funnel_times — the last uncovered pattern construct,

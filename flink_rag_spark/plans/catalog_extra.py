@@ -94,6 +94,7 @@ def extra_queries() -> list[tuple]:
         last_touch_attribution_duck,
         linear_attribution_duck,
         negated_funnel_times_duck,
+        optional_funnel_times_duck,
         quantified_funnel_times_duck,
         session_stats_duck,
         strict_funnel_times_duck,
@@ -2163,6 +2164,12 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
          skip_to_funnel_matches_duck(A.SKIP_TO_STEPS, A.SKIP_TO_STEP,
                                      A.SKIP_TO_MAX_MATCHES, "last"),
          ("sequence", "cep", "iterative", "all-matches")),
+        # round-14: optional() pattern steps — include/exclude variant
+        # layers over the single funnel exchange, earliest-final /
+        # most-inclusive pick (sequences.optional_funnel_times)
+        ("optional_funnel_users", A.optional_funnel_users,
+         optional_funnel_times_duck(A.OPTIONAL_STEPS, A.OPTIONAL_IDX),
+         ("sequence", "cep", "window")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level
         # DECIMAL quantization (sequences.linear_attribution)

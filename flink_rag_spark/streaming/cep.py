@@ -1008,3 +1008,144 @@ def until_funnel_monitor(events: DataFrame, steps: list,
     return inner.select(
         "user_id", *[F.col(f"t{li}").alias(f"t{j}")
                      for j, li in enumerate(last, start=1)])
+
+
+# ------------------------------------------------ optional() steps
+
+
+def _optional_state_schema() -> str:
+    return ("mins array<bigint>, buf_ts array<bigint>, "
+            "buf_type array<string>, wm_us bigint, done boolean")
+
+
+def _make_optional_fn(steps: list[str],
+                      layers: list[tuple[tuple[int, ...], list[int]]],
+                      within_us: int | None):
+    """applyInPandasWithState body for the optional() monitor: one flat
+    ``mins`` array holding every layer's running chain back-to-back
+    (offsets captured in the closure), folded exactly like the plain
+    funnel per layer. Emission: the first fold after which ANY layer's
+    final min is set — every event at or before that instant is already
+    watermark-final (mins only fold finalized events), so no layer can
+    later complete earlier, and the batch twin's earliest-final /
+    most-inclusive pick is decidable immediately."""
+    k = len(steps)
+    sizes = [len(inc) for _b, inc in layers]
+    offs = [sum(sizes[:i]) for i in range(len(sizes))]
+    total = sum(sizes)
+    # per layer, per position: the ORIGINAL step index it matches
+    layer_steps = [[j - 1 for j in inc] for _b, inc in layers]
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mins, buf_ts, buf_type, wm_us, done = state.get
+            mins, buf_ts, buf_type = list(mins), list(buf_ts), list(buf_type)
+        else:
+            mins, buf_ts, buf_type, wm_us, done = \
+                [_NONE] * total, [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                for li in range(len(layers)):
+                    o = offs[li]
+                    for pos, sj in enumerate(layer_steps[li]):
+                        if typ != steps[sj]:
+                            continue
+                        if pos == 0:
+                            if mins[o] == _NONE or t < mins[o]:
+                                mins[o] = t
+                        elif (mins[o + pos - 1] != _NONE
+                              and t > mins[o + pos - 1]):
+                            if (within_us is not None
+                                    and t > mins[o] + within_us):
+                                continue
+                            if mins[o + pos] == _NONE \
+                                    or t < mins[o + pos]:
+                                mins[o + pos] = t
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+
+        finals = [mins[offs[li] + sizes[li] - 1]
+                  for li in range(len(layers))]
+        if not done and any(f != _NONE for f in finals):
+            done = True
+            buf_ts, buf_type = [], []
+            best = min(f for f in finals if f != _NONE)
+            # layers arrive in the batch twin's preference order, so
+            # the first layer hitting `best` IS the pick
+            pick = next(li for li, f in enumerate(finals) if f == best)
+            _b, inc = layers[pick]
+            o = offs[pick]
+            row = {"user_id": [key[0]]}
+            for j in range(1, k + 1):
+                if j in inc:
+                    v = mins[o + inc.index(j)]
+                    row[f"t{j}"] = [pd.Timestamp(v, unit="us")]
+                else:
+                    row[f"t{j}"] = [pd.NaT]
+            yield pd.DataFrame(row)
+
+        state.update((mins, buf_ts, buf_type, wm_us, done))
+        if buf_ts and not done:
+            state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
+
+    return fn
+
+
+def optional_funnel_monitor(events: DataFrame, steps: list[str],
+                            optional: list[int],
+                            watermark: str = "10 minutes",
+                            within_seconds: int | None = None,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type") -> DataFrame:
+    """Streaming FlinkCEP ``optional()`` — the batch
+    ``sequences.optional_funnel_times`` twin: every include/exclude
+    variant of the optional set folds as its own running chain inside
+    ONE stateful operator, and a key emits once, at the earliest
+    instant ANY variant completes, reporting the earliest-final /
+    most-inclusive variant's per-step instants (skipped steps NULL).
+    Emissions ≡ the batch rows with t_final non-NULL under the family's
+    watermark-bounded-disorder contract (pinned by test)."""
+    from flink_rag_spark.operators.sequences import _optional_layers
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("optional_funnel_monitor takes string steps; "
+                        f"got: {bad!r}")
+    layers = _optional_layers(len(steps), optional)
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    filtered = (events.filter(F.col(type_col).isin(list(steps)))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_optional_fn(steps, layers, within_us),
+                outputStructType=_funnel_out_schema(len(steps), key_type),
+                stateStructType=_optional_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
