@@ -1569,7 +1569,49 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: oracles; keyed maintenance stays graded via both IVM rows; graded
 #: r8-r12), and user_sessions (sessionization shares the graded funnel
 #: family's single-exchange machinery; graded r9-r12).
+#: Round 14 promotes the twelve swept round-13 families so each earns a
+#: driver CORRECTNESS row (r13 verdict item 2), all re-proven under the
+#: tightened 17-significant-digit replica first (r13 item 1):
+#: skipToFirst/skipToLast matches (completing the AfterMatchSkipStrategy
+#: enum's graded presence), ANOVA F + Welch's t + Jarque–Bera +
+#: Brown–Forsythe (the parametric battery beside the graded
+#: chi²/MWU/Spearman/KW ranks), Nelson–Aalen hazard, the EWMA control
+#: chart, t-closeness, column entropy, HITS, and Mann–Kendall/Theil–Sen.
+#: Twelve long-stable multi-round-graded slots rotate to the tail, every
+#: one keeping its DuckDB oracle in pytest's sweep: part_ppr_weighted +
+#: part_communities_weighted + part_weighted_distances (the graph family
+#: keeps FIVE graded rows — pagerank_copurchase, weighted pagerank,
+#: part_ppr_relevance, part_link_prediction, plus the incoming
+#: part_hits_copurchase; all three graded green r11-r13),
+#: signup_purchase_survival (survival stays graded via the incoming
+#: Nelson–Aalen hazard on the SAME cohort frame plus the graded
+#: log-rank; graded r11-r13), user_value_ses_forecast (forecasting keeps
+#: Holt + Holt-Winters graded, which subsume SES's single-parameter
+#: recursion; graded r11-r13), hourly_value_anomalies (anomaly detection
+#: stays graded via the incoming EWMA chart's richer limit machinery;
+#: graded r11-r13), lm_dirichlet_topk_indexed_docs (lexical serving
+#: stays graded via bm25_topk_indexed_docs on the same persisted index;
+#: graded r11-r13), until_funnel_users + kleene_funnel_users +
+#: negated_funnel_users (the sequence family keeps SEVEN graded rows —
+#: strict, all-matches, consumed, consecutive, the incoming skipTo pair,
+#: and attribution ×4 + frequent paths; all graded green r9/r10/r11-r13),
+#: basket_pair_rules (association keeps its swept oracle; co-visitation
+#: shares the pair machinery; graded r9-r13), and fk_audit_all
+#: (validation keeps its swept oracle; the audit is compositional over
+#: the graded IVM rows' keyed joins; graded r9-r13).
 _PROMOTED = [
+    "skip_to_first_funnel_users",
+    "skip_to_last_funnel_users",
+    "anova_order_price_regions",
+    "welch_order_price_regions",
+    "signup_purchase_hazard",
+    "user_value_ewma_chart",
+    "t_closeness_customers",
+    "entropy_order_priority_regions",
+    "part_hits_copurchase",
+    "mk_nation_monthly_trend",
+    "jb_order_price_regions",
+    "bf_order_price_regions",
     "consumed_funnel_matches_users",
     "consecutive_funnel_users",
     "user_value_holt_forecast",
@@ -1590,24 +1632,12 @@ _PROMOTED = [
     "embedding_drift_labels",
     "rbo_bm25_vs_lm",
     "all_funnel_matches_users",
-    "until_funnel_users",
     "part_pagerank_weighted",
-    "part_weighted_distances",
-    "part_ppr_weighted",
-    "part_communities_weighted",
-    "signup_purchase_survival",
-    "user_value_ses_forecast",
-    "hourly_value_anomalies",
-    "lm_dirichlet_topk_indexed_docs",
     "strict_funnel_users",
     "part_link_prediction",
     "part_ppr_relevance",
-    "negated_funnel_users",
-    "basket_pair_rules",
     "purchase_attribution",
-    "fk_audit_all",
     "ivm_upserted_orders",
-    "kleene_funnel_users",
     "resolved_part_entities",
     "pagerank_copurchase",
     "rollup_hll_users_hourly",
