@@ -2279,16 +2279,20 @@ def until_funnel_times_duck(steps: list, until: dict[int, str],
 OPTIONAL_MAX = 6
 
 
-def _optional_layers(k: int, optional: list[int]
+def _optional_layers(k: int, optional: list
                      ) -> list[tuple[tuple[int, ...], list[int]]]:
     """Desugar FlinkCEP ``optional()`` steps into include/exclude
     LAYERS: one funnel variant per subset of the optional set, every
-    variant keeping all required steps in order. Returns
-    (inclusion_bits, included_original_indices) pairs in PREFERENCE
-    order — more included steps first, then the variant including the
-    earliest-indexed optional steps — the deterministic tie-break the
-    pick stage applies when two variants complete at the same instant.
-    Shared by the operator and its mirror so both desugar identically.
+    variant keeping all required steps in order. An ``optional`` entry
+    is a 1-based step index, or a TUPLE of indices that toggle as one
+    UNIT (an optional pattern GROUP — ``Pattern.begin(group)
+    .optional()`` skips or keeps the whole subsequence, never part of
+    it). Returns (inclusion_bits, included_original_indices) pairs in
+    PREFERENCE order — more included steps first, then the variant
+    including the earliest-indexed optional units — the deterministic
+    tie-break the pick stage applies when two variants complete at the
+    same instant. Shared by the operator and its mirror so both
+    desugar identically.
 
     Parity note (reference FlinkCEP semantics, Pattern.optional() —
     flink-cep's Pattern.java): a pattern with optional elements matches
@@ -2298,29 +2302,36 @@ def _optional_layers(k: int, optional: list[int]
     at the same completion instant."""
     import itertools
 
-    opts = sorted(set(optional))
-    if not opts:
+    units = [tuple(sorted(set(u))) if isinstance(u, (tuple, list))
+             else (u,) for u in optional]
+    units = sorted(set(units))
+    if not units:
         raise ValueError("optional must be non-empty — use "
                          "funnel_times for a plain pattern")
-    if opts[0] < 1 or opts[-1] > k:
+    flat_opt = [j for u in units for j in u]
+    if len(flat_opt) != len(set(flat_opt)):
+        raise ValueError(
+            f"optional units must not overlap, got {optional!r}")
+    if min(flat_opt) < 1 or max(flat_opt) > k:
         raise ValueError(f"optional indices must be in 1..{k}, "
                          f"got {optional!r}")
-    if len(opts) > OPTIONAL_MAX:
+    if len(units) > OPTIONAL_MAX:
         raise ValueError(
-            f"at most {OPTIONAL_MAX} optional steps per pattern "
-            f"(2^m desugared layers), got {len(opts)}")
-    if len(opts) == k:
+            f"at most {OPTIONAL_MAX} optional units per pattern "
+            f"(2^m desugared layers), got {len(units)}")
+    if len(flat_opt) == k:
         raise ValueError("at least one step must be required — an "
                          "all-optional pattern matches the empty "
                          "sequence (FlinkCEP rejects it too)")
+    opt_of = {j: u for u in units for j in u}
     layers = []
-    for bits in itertools.product((1, 0), repeat=len(opts)):
-        chosen = {j for j, b in zip(opts, bits) if b}
+    for bits in itertools.product((1, 0), repeat=len(units)):
+        chosen = {j for u, b in zip(units, bits) if b for j in u}
         inc = [j for j in range(1, k + 1)
-               if j not in opts or j in chosen]
+               if j not in opt_of or j in chosen]
         layers.append((bits, inc))
     # itertools.product((1, 0), ...) already yields all-included first
-    # and prefers including earlier optional steps among equal counts;
+    # and prefers including earlier optional units among equal counts;
     # the sort makes the more-steps-first preference explicit
     layers.sort(key=lambda p: (-len(p[1]),
                                tuple(1 - b for b in p[0])))
@@ -2466,6 +2477,229 @@ def optional_funnel_times_duck(steps: list[str], optional: list[int],
         for li, (_b, inc) in enumerate(layers):
             if j in inc:
                 pos = inc.index(j) + 1
+                arms.append(f"WHEN _pick = {li} THEN _m{li}p{pos}")
+        t_sel.append(f"CASE {' '.join(arms)} END AS t{j}")
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(ctes)},
+per_key AS (SELECT {key_col}, {mins} FROM {src} GROUP BY {key_col}),
+picked AS (SELECT *, {best} AS _best FROM per_key),
+chosen AS (SELECT *, {pick} AS _pick FROM picked)
+SELECT {key_col}, {", ".join(t_sel)} FROM chosen
+"""
+
+
+# ------------------------------------------------- pattern groups
+
+
+class Group:
+    """A FlinkCEP pattern GROUP — ``Pattern.begin(Pattern)`` — as a
+    funnel entry: a subsequence of steps treated as one unit, with the
+    group-level modifiers the reference's engine family composes on it
+    (``times(n)`` repeats the WHOLE subsequence n times back-to-back;
+    ``optional()`` skips or keeps the whole subsequence, never part of
+    it). ``times`` follows the step-quantifier collapse: under
+    earliest-completion semantics ``times(n)``/``timesOrMore(n)``
+    complete at the same instant (the n-th repetition), so one
+    expansion serves both."""
+
+    __slots__ = ("steps", "times", "optional")
+
+    def __init__(self, steps: list, times: int = 1,
+                 optional: bool = False):
+        if not steps:
+            raise ValueError("a pattern group needs at least one step")
+        if not isinstance(times, int) or times < 1:
+            raise ValueError(f"times must be an int >= 1, got {times!r}")
+        self.steps = list(steps)
+        self.times = times
+        self.optional = bool(optional)
+
+
+def expand_group_entries(entries: list) -> tuple[list, list[int], list]:
+    """Desugar a mixed entry list — plain steps, ``(step, n)``
+    quantifiers, and :class:`Group` subpatterns — into the flat
+    strict-after expansion the window layers run. Returns
+    (flat_steps, last_flat_index_per_original_entry, optional_units)
+    where each optional unit is the tuple of flat indices an optional
+    group toggles as one (feeding :func:`_optional_layers`). Shared by
+    the operator and its mirror."""
+    flat: list = []
+    last: list[int] = []
+    units: list = []
+    for e in entries:
+        if isinstance(e, Group):
+            start = len(flat) + 1
+            for _ in range(e.times):
+                for s in e.steps:
+                    if isinstance(s, tuple):
+                        step, n = s
+                        if not isinstance(n, int) or n < 1:
+                            raise ValueError(
+                                f"quantifier must be an int >= 1, "
+                                f"got {n!r}")
+                        flat.extend([step] * n)
+                    else:
+                        flat.append(s)
+            if e.optional:
+                units.append(tuple(range(start, len(flat) + 1)))
+        elif isinstance(e, tuple):
+            step, n = e
+            if not isinstance(n, int) or n < 1:
+                raise ValueError(
+                    f"quantifier must be an int >= 1, got {n!r}")
+            flat.extend([step] * n)
+        else:
+            flat.append(e)
+        last.append(len(flat))
+    return flat, last, units
+
+
+def group_funnel_times(events: DataFrame, entries: list,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       seq_col: str = "event_id",
+                       within_seconds: int | None = None) -> DataFrame:
+    """``funnel_times`` over FlinkCEP pattern GROUPS
+    (``Pattern.begin(Pattern)``): each :class:`Group` entry is a
+    subsequence composed as one unit — ``times(n)`` unrolls it n times
+    back-to-back on the same strict-after chain (the quantified-step
+    collapse, so ``timesOrMore`` completes identically), and
+    ``optional()`` desugars into with/without variant LAYERS toggling
+    the WHOLE subsequence (via :func:`_optional_layers` units — 2 per
+    optional group, not 2^|group|). Output: (key, t1..tE) — ONE column
+    per original ENTRY, an entry completing at its expansion's final
+    step (a skipped optional group reports NULL, later entries their
+    variant's instants).
+
+    Scale shape: identical to the quantified/optional funnels — the
+    expansion adds window LAYERS over the single (key, ts) exchange
+    (2^g stacks for g optional groups, bounded by ``OPTIONAL_MAX``),
+    never another shuffle."""
+    flat, last, units = expand_group_entries(entries)
+    if not flat:
+        raise ValueError("entries must be non-empty")
+    if not units:
+        ft = funnel_times(events, flat, key_col, ts_col, type_col,
+                          seq_col, within_seconds)
+        return ft.select(key_col, *[
+            F.col(f"t{li}").alias(f"t{j}")
+            for j, li in enumerate(last, start=1)])
+    K = len(flat)
+    layers = _optional_layers(K, units)
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in flat]
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if all(isinstance(s, str) for s in flat):
+        df = (events.filter(F.col(type_col).isin(list(set(flat))))
+              .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    for li, (_b, inc) in enumerate(layers):
+        for pos, j in enumerate(inc, start=1):
+            cond = conds[j - 1]
+            if pos > 1:
+                cond = cond & (F.col(ts_col) > F.col(f"_g{li}r{pos - 1}"))
+                if within_seconds is not None:
+                    cond = cond & (
+                        F.col(ts_col) <= F.col(f"_g{li}r1")
+                        + F.expr(f"INTERVAL {within_seconds} SECOND"))
+            df = df.withColumn(
+                f"_g{li}r{pos}",
+                F.min(F.when(cond, F.col(ts_col))).over(w))
+    agg = df.groupBy(key_col).agg(*[
+        F.min(f"_g{li}r{pos}").alias(f"_m{li}p{pos}")
+        for li, (_b, inc) in enumerate(layers)
+        for pos in range(1, len(inc) + 1)])
+    finals = [F.col(f"_m{li}p{len(inc)}")
+              for li, (_b, inc) in enumerate(layers)]
+    best = finals[0] if len(finals) == 1 else F.least(*finals)
+    pick = None
+    for li, (_b, inc) in enumerate(layers):
+        c = F.col(f"_m{li}p{len(inc)}").isNotNull() & \
+            (F.col(f"_m{li}p{len(inc)}") == best)
+        pick = (F.when(c, F.lit(li)) if pick is None
+                else pick.when(c, F.lit(li)))
+    out_cols = []
+    for j, li_flat in enumerate(last, start=1):
+        tj = None
+        for li, (_b, inc) in enumerate(layers):
+            if li_flat not in inc:
+                continue
+            pos = inc.index(li_flat) + 1
+            c = pick == F.lit(li)
+            tj = (F.when(c, F.col(f"_m{li}p{pos}")) if tj is None
+                  else tj.when(c, F.col(f"_m{li}p{pos}")))
+        out_cols.append(tj.alias(f"t{j}"))
+    return agg.select(key_col, *out_cols)
+
+
+def group_funnel_times_duck(entries: list,
+                            within_seconds: int | None = None,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`group_funnel_times` — the same group
+    desugaring feeding the layered running-min CTE stack and pick.
+    String steps only."""
+    flat, last, units = expand_group_entries(entries)
+    bad = [s for s in flat if not isinstance(s, str)]
+    if bad:
+        raise TypeError("group_funnel_times_duck only mirrors string "
+                        f"steps; got: {bad!r}")
+    if not units:
+        inner = quantified_funnel_times_duck(
+            [(s, 1) for s in flat], within_seconds, key_col, ts_col,
+            type_col, seq_col, table)
+        sel = ", ".join(f"t{li} AS t{j}"
+                        for j, li in enumerate(last, start=1))
+        return (f"SELECT {key_col}, {sel} FROM ({inner}) _grp_inner")
+    K = len(flat)
+    layers = _optional_layers(K, units)
+    in_list = ", ".join(_q(s) for s in sorted(set(flat)))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    ctes = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    n = 0
+    for li, (_b, inc) in enumerate(layers):
+        for pos, j in enumerate(inc, start=1):
+            cond = f"{type_col} = {_q(flat[j - 1])}"
+            if pos > 1:
+                cond += f" AND {ts_col} > _g{li}r{pos - 1}"
+                if within_seconds is not None:
+                    cond += (f" AND {ts_col} <= _g{li}r1 + "
+                             f"INTERVAL {within_seconds} SECOND")
+            n += 1
+            ctes.append(
+                f"l{n} AS (SELECT {prev_cols}, "
+                f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} "
+                f"AS _g{li}r{pos} FROM {src})")
+            prev_cols += f", _g{li}r{pos}"
+            src = f"l{n}"
+    mins = ", ".join(
+        f"MIN(_g{li}r{pos}) AS _m{li}p{pos}"
+        for li, (_b, inc) in enumerate(layers)
+        for pos in range(1, len(inc) + 1))
+    finals = [f"_m{li}p{len(inc)}" for li, (_b, inc) in enumerate(layers)]
+    best = finals[0] if len(finals) == 1 else f"LEAST({', '.join(finals)})"
+    pick = "CASE " + " ".join(
+        f"WHEN _m{li}p{len(inc)} IS NOT NULL "
+        f"AND _m{li}p{len(inc)} = _best THEN {li}"
+        for li, (_b, inc) in enumerate(layers)) + " END"
+    t_sel = []
+    for j, li_flat in enumerate(last, start=1):
+        arms = []
+        for li, (_b, inc) in enumerate(layers):
+            if li_flat in inc:
+                pos = inc.index(li_flat) + 1
                 arms.append(f"WHEN _pick = {li} THEN _m{li}p{pos}")
         t_sel.append(f"CASE {' '.join(arms)} END AS t{j}")
     return f"""

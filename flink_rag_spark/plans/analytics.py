@@ -397,6 +397,22 @@ def optional_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return optional_funnel_times(e, OPTIONAL_STEPS, OPTIONAL_IDX)
 
 
+def group_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP pattern GROUPS (operators/sequences.py
+    group_funnel_times — ``Pattern.begin(Pattern)`` composition):
+    per-user earliest signup → [(view → click) × 2] → purchase where
+    the doubled view→click subsequence is OPTIONAL as a unit —
+    a repeated group AND an optional group in one pattern, the two
+    group modifiers FlinkCEP composes. Mirrors the engine family the
+    reference ships (FlinkCEP 1.18)."""
+    from flink_rag_spark.operators.sequences import (Group,
+                                                     group_funnel_times)
+    e = load_table(spark, sf_dir, "events")
+    return group_funnel_times(
+        e, ["signup", Group(["view", "click"], times=2, optional=True),
+            "purchase"])
+
+
 def until_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlinkCEP ``until`` on a looping step (operators/sequences.py
     until_funnel_times — the last uncovered pattern construct,

@@ -93,6 +93,8 @@ def extra_queries() -> list[tuple]:
         funnel_summary_duck,
         last_touch_attribution_duck,
         linear_attribution_duck,
+        Group,
+        group_funnel_times_duck,
         negated_funnel_times_duck,
         optional_funnel_times_duck,
         quantified_funnel_times_duck,
@@ -2169,6 +2171,14 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
         # most-inclusive pick (sequences.optional_funnel_times)
         ("optional_funnel_users", A.optional_funnel_users,
          optional_funnel_times_duck(A.OPTIONAL_STEPS, A.OPTIONAL_IDX),
+         ("sequence", "cep", "window")),
+        # round-14: pattern groups — Pattern.begin(Pattern) with
+        # times(2) AND optional() on the same subsequence, desugared to
+        # unit-toggled variant layers (sequences.group_funnel_times)
+        ("group_funnel_users", A.group_funnel_users,
+         group_funnel_times_duck(
+             ["signup", Group(["view", "click"], times=2, optional=True),
+              "purchase"]),
          ("sequence", "cep", "window")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level

@@ -165,3 +165,94 @@ def test_streaming_optional_matches_batch(spark, tmp_path):
     by_u = {u: (t1, t2, t3) for u, t1, t2, t3 in got}
     assert by_u[1][1] is not None   # late click still reported
     assert by_u[2][1] is None       # skip variant won
+
+
+# ---------------------------------------------- pattern groups
+
+
+def test_group_funnel_hand_values(spark):
+    """Group(times=2) unrolls the subsequence back-to-back on one
+    strict-after chain; Group(optional=True) toggles the WHOLE unit
+    (2 layers, not 2^|group|); a required tail completes either way."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.sequences import (Group,
+                                                     group_funnel_times)
+    rows = [
+        # g1: full a (b c b c) d — inclusive variant ties at d@6? No:
+        # with-group completes at d@6, skip-group at d@2 is impossible
+        # (no d before 6)... d@6 both → inclusive reported
+        ("g1", 1, "a"), ("g1", 2, "b"), ("g1", 3, "c"), ("g1", 4, "b"),
+        ("g1", 5, "c"), ("g1", 6, "d"),
+        # g2: a then d with only ONE b c — group can't double, skipped
+        ("g2", 1, "a"), ("g2", 2, "b"), ("g2", 3, "c"), ("g2", 4, "d"),
+        # g3: no a — nothing
+        ("g3", 2, "b"), ("g3", 3, "c"),
+    ]
+    e = (spark.createDataFrame(
+        [(u, s, t, i) for i, (u, s, t) in enumerate(rows)],
+        "user_id string, s bigint, event_type string, event_id bigint")
+        .select("user_id", "event_id",
+                F.timestamp_seconds(F.col("s")).alias("ts"),
+                "event_type"))
+    entries = ["a", Group(["b", "c"], times=2, optional=True), "d"]
+    out = {r["user_id"]: r for r in
+           group_funnel_times(e, entries).collect()}
+    assert (_t(out["g1"], 1), _t(out["g1"], 2), _t(out["g1"], 3)) == \
+        (1, 5, 6)
+    assert (_t(out["g2"], 1), _t(out["g2"], 2), _t(out["g2"], 3)) == \
+        (1, None, 4)
+    assert (_t(out["g3"], 1), _t(out["g3"], 2), _t(out["g3"], 3)) == \
+        (None, None, None)
+    # required group times=2, no optional: pure quantified collapse
+    req = {r["user_id"]: r for r in group_funnel_times(
+        e, ["a", Group(["b", "c"], times=2), "d"]).collect()}
+    assert (_t(req["g1"], 1), _t(req["g1"], 2), _t(req["g1"], 3)) == \
+        (1, 5, 6)
+    assert _t(req["g2"], 3) is None         # can't double -> no d
+
+
+def test_group_funnel_guards_and_expand():
+    """Group validation + the desugaring's flat/last/units contract."""
+    from flink_rag_spark.operators.sequences import (
+        Group, expand_group_entries)
+    with pytest.raises(ValueError, match="at least one step"):
+        Group([])
+    with pytest.raises(ValueError, match="times"):
+        Group(["a"], times=0)
+    flat, last, units = expand_group_entries(
+        ["x", Group(["a", ("b", 2)], times=2, optional=True), ("y", 3)])
+    assert flat == ["x", "a", "b", "b", "a", "b", "b", "y", "y", "y"]
+    assert last == [1, 7, 10]
+    assert units == [(2, 3, 4, 5, 6, 7)]
+
+
+def test_group_funnel_duck_parity(spark):
+    """Mirror parity on the hand fixture, both group shapes."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.sequences import (
+        Group, group_funnel_times, group_funnel_times_duck)
+    rows = [("g1", 1, "a"), ("g1", 2, "b"), ("g1", 3, "c"),
+            ("g1", 4, "b"), ("g1", 5, "c"), ("g1", 6, "d"),
+            ("g2", 1, "a"), ("g2", 2, "b"), ("g2", 3, "c"),
+            ("g2", 4, "d"), ("g3", 2, "b"), ("g3", 3, "c")]
+    e = (spark.createDataFrame(
+        [(u, s, t, i) for i, (u, s, t) in enumerate(rows)],
+        "user_id string, s bigint, event_type string, event_id bigint")
+        .select("user_id", "event_id",
+                F.timestamp_seconds(F.col("s")).alias("ts"),
+                "event_type"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events AS SELECT * FROM (VALUES "
+                + ", ".join(
+                    f"('{u}', {i}, to_timestamp({s}), '{t}')"
+                    for i, (u, s, t) in enumerate(rows))
+                + ") v(user_id, event_id, ts, event_type)")
+    for entries in (["a", Group(["b", "c"], times=2, optional=True), "d"],
+                    ["a", Group(["b", "c"], times=2), "d"]):
+        sp = {r["user_id"]: (_t(r, 1), _t(r, 2), _t(r, 3))
+              for r in group_funnel_times(e, entries).collect()}
+        du = {r[0]: tuple(None if v is None else int(v.timestamp())
+                          for v in r[1:])
+              for r in con.execute(
+                  group_funnel_times_duck(entries)).fetchall()}
+        assert sp == du, entries
