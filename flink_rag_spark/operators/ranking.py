@@ -1057,3 +1057,194 @@ ranked AS (
   FROM comb)
 SELECT {id_col}, score, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- fuzzy term search
+
+#: edit-distance cap for fuzzy term search — OpenSearch's fuzziness
+#: AUTO tops out at 2 edits (the backend the reference's text tier
+#: delegates to; RAG.java:51's match query accepts `fuzziness`)
+FUZZY_MAX_DISTANCE = 2
+
+
+def _fuzzy_prefix_chars(term: str, max_distance: int) -> str:
+    """The query characters a candidate's (d+1)-char prefix must
+    intersect: in any alignment with ≤ d edits, at least one of the
+    candidate's first d+1 characters is COPIED from the query (d+1
+    positions cannot all be inserts/substitutions under d edits), and a
+    copied character at candidate position i ≤ d comes from query
+    position j ≤ i + d ≤ 2d — so from the query's first 2d+1
+    characters. Exact-preserving by construction; shared by operator
+    and mirror."""
+    return term[:2 * max_distance + 1]
+
+
+def fuzzy_match_terms(vocab: DataFrame, term: str,
+                      max_distance: int = FUZZY_MAX_DISTANCE
+                      ) -> DataFrame:
+    """Filter a one-column ``(term)`` vocabulary frame to the terms
+    within ``max_distance`` edits of ``term`` (lowercased) — the
+    OpenSearch ``fuzziness`` term class. Three stages, cheapest first:
+    a LENGTH BAND (|len(c) − len(q)| ≤ d — each length change costs an
+    edit), the PREFIX-CHARACTER prune of :func:`_fuzzy_prefix_chars`,
+    then Spark's thresholded ``levenshtein`` (early-abandons above d —
+    the linkage.py discipline). Output: (term, distance)."""
+    q = term.strip().lower()
+    if not q:
+        raise ValueError("term must be non-empty")
+    if not 1 <= max_distance <= FUZZY_MAX_DISTANCE:
+        raise ValueError(
+            f"max_distance must be in 1..{FUZZY_MAX_DISTANCE} "
+            f"(the OpenSearch fuzziness cap), got {max_distance}")
+    d = max_distance
+    out = vocab.filter(
+        (F.length("term") >= F.lit(len(q) - d))
+        & (F.length("term") <= F.lit(len(q) + d)))
+    if len(q) > d:
+        # the prune only applies when a (d+1)-prefix must contain a
+        # copied char — always true here since len(candidate) ≥
+        # len(q) − d ≥ 1 and d+1 candidate positions can't all be edits
+        chars = sorted(set(_fuzzy_prefix_chars(q, d)))
+        cond = None
+        for ch in chars:
+            e = F.substring("term", 1, d + 1).contains(ch)
+            cond = e if cond is None else (cond | e)
+        out = out.filter(cond)
+    dist = F.levenshtein(F.col("term"), F.lit(q), d)
+    return (out.withColumn("distance", dist)
+            .filter(F.col("distance") >= 0)
+            .select("term", F.col("distance").cast("int").alias("distance")))
+
+
+def fuzzy_term_topk(docs: DataFrame, term: str,
+                    max_distance: int = FUZZY_MAX_DISTANCE,
+                    k: int = 10, text_col: str = "text",
+                    id_col: str = "doc_id", k1: float = BM25_K1,
+                    b: float = BM25_B) -> DataFrame:
+    """Inline fuzzy term search: BM25 top-k over every vocabulary term
+    within ``max_distance`` edits of ``term`` — the one Lucene query
+    class the text tier lacked (OpenSearch fuzzy term matching; the
+    reference's backend accepts ``fuzziness`` on its match query,
+    RAG.java:51). The matched variants form the effective query — each
+    contributes its own idf·tf, exactly a multi-term BM25 over the
+    data-dependent term frame (the bm25_scores DataFrame-terms path).
+    Output: (doc_id, score, rank).
+
+    The inline vocabulary is a distinct-terms aggregate over the corpus
+    tokens — right for ad-hoc; the serving path is
+    :func:`fuzzy_term_topk_indexed` (vocabulary from the persisted
+    postings, already term-deduped per partition)."""
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    vocab = (docs.select(F.explode(F.expr(toks)).alias("term"))
+             .filter(F.col("term") != "").distinct())
+    matched = fuzzy_match_terms(vocab, term, max_distance)
+    scored = bm25_scores(docs, matched.select("term"), text_col,
+                         id_col, k1, b)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return (scored
+            .orderBy(F.desc("score"), F.col(id_col)).limit(k)
+            .withColumn("rank", F.row_number().over(w)))
+
+
+def fuzzy_term_topk_indexed(spark, path: str, term: str,
+                            max_distance: int = FUZZY_MAX_DISTANCE,
+                            k: int = 10, k1: float = BM25_K1,
+                            b: float = BM25_B) -> DataFrame:
+    """Fuzzy term search served from the PERSISTED text index: the
+    vocabulary is the postings' term column (column-pruned scan — a
+    fuzzy query cannot hash-prune partitions, so the honest cost is one
+    vocabulary-bounded distinct + the matched terms' postings), the
+    length-band/prefix/levenshtein cascade of :func:`fuzzy_match_terms`
+    picks the variants, and BM25 runs over ONLY their postings with df
+    from those postings and N/avgdl from stats.json — bit-identical to
+    the inline :func:`fuzzy_term_topk` (pinned in tests)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    postings_all = spark.read.parquet(os.path.join(path, "postings"))
+    vocab = postings_all.select("term").distinct()
+    matched = fuzzy_match_terms(vocab, term, max_distance)
+    postings = postings_all.join(F.broadcast(matched.select("term")),
+                                 on="term")
+    if st.get("dedup_on_read"):
+        postings = postings.dropDuplicates(["doc_id", "term"])
+    doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    matched_ids = postings.select("doc_id").distinct()
+    doclens = doclens.join(F.broadcast(matched_ids),
+                           on="doc_id", how="left_semi")
+    if st.get("dedup_on_read"):
+        doclens = doclens.dropDuplicates(["doc_id"])
+    dfreq = (postings.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("double").alias("df")))
+    scored = (postings
+              .join(doclens, on="doc_id")
+              .join(F.broadcast(dfreq), on="term"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(st["n_docs"]) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)
+               / (F.col("tf")
+                  + k1 * (1.0 - b + b * F.col("dl") / F.lit(st["avgdl"]))))
+    topk = (scored.withColumn("term_score", idf * tf_part)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), ROUND_DP).alias("score"))
+            .orderBy(F.desc("score"), F.col("doc_id")).limit(k))
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.col("doc_id"))))
+
+
+def fuzzy_term_topk_duck(term: str,
+                         max_distance: int = FUZZY_MAX_DISTANCE,
+                         k: int = 10, text_col: str = "text",
+                         id_col: str = "doc_id", k1: float = BM25_K1,
+                         b: float = BM25_B,
+                         table: str = "documents") -> str:
+    """DuckDB mirror of :func:`fuzzy_term_topk` — the same length band
+    and levenshtein threshold pick the variants (the prefix prune is
+    exact-preserving, so the mirror may skip it), then the bm25 mirror
+    formula over the matched terms."""
+    q = term.strip().lower().replace("'", "''")
+    d = max_distance
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, UNNEST({toks}) AS term FROM {table}),
+toks_ne AS (SELECT * FROM toks WHERE term <> ''),
+matched AS (
+  SELECT DISTINCT term FROM toks_ne
+  WHERE LENGTH(term) BETWEEN {len(q) - d} AND {len(q) + d}
+    AND levenshtein(term, '{q}') <= {d}),
+tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM toks_ne t JOIN matched m ON t.term = m.term
+  GROUP BY doc_id, t.term),
+dl AS (
+  SELECT {id_col} AS doc_id,
+         CAST(LENGTH({toks}) AS DOUBLE) AS dl
+  FROM {table}),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+          FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         LN(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl)))
+           AS term_score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq f ON tf.term = f.term
+  CROSS JOIN stats s),
+topk AS (
+  SELECT doc_id, ROUND(SUM(term_score), {ROUND_DP}) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {k})
+SELECT doc_id, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM topk
+"""

@@ -226,6 +226,7 @@ def extra_queries() -> list[tuple]:
 
     from flink_rag_spark.operators.quality import repetition_signals_duck
     from flink_rag_spark.operators.ranking import (
+        fuzzy_term_topk_duck,
         lm_dirichlet_topk_duck,
         rm3_expanded_topk_duck,
     )
@@ -1046,6 +1047,13 @@ SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
         # (indexed scoring is bit-identical — r7 verdict item #7)
         ("bm25_topk_indexed_docs", llm.bm25_topk_indexed_docs,
          _oracle_bm25(15), ("ranking", "text", "index")),
+        # round-14: OpenSearch-style fuzzy term matching served from
+        # the persisted index — length-band + prefix prune +
+        # thresholded levenshtein over the postings vocabulary, BM25
+        # over the matched variants (ranking.fuzzy_term_topk_indexed)
+        ("fuzzy_term_topk_docs", llm.fuzzy_term_topk_docs,
+         fuzzy_term_topk_duck(llm.FUZZY_QUERY_TERM, 2, k=15),
+         ("ranking", "text", "index", "fuzzy")),
         # batch hybrid retrieval (the OpenSearch hybrid shape for a
         # question batch; per-query BM25 arm + cosine arm, RRF-fused)
         ("hybrid_batch_retrieval", llm.hybrid_batch_retrieval,

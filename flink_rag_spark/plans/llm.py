@@ -859,6 +859,34 @@ def lm_dirichlet_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+#: the misspelled fuzzy query the swept entry serves: "sport" matches
+#: vocabulary terms sort (1 edit) and spark (2 edits)
+FUZZY_QUERY_TERM = "sport"
+
+
+def fuzzy_term_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch-style fuzzy term matching served from the PERSISTED
+    text index (operators/ranking.py fuzzy_term_topk_indexed — the one
+    Lucene query class the text tier lacked; the reference's backend
+    accepts `fuzziness` on its match query, RAG.java:51): BM25 top-15
+    for the misspelled query "sport", whose edit-distance-2 variants
+    sort + spark form the effective term set. Length-band + prefix
+    prune + thresholded levenshtein over the postings vocabulary;
+    indexed scoring is pinned bit-identical to the inline scan."""
+    import tempfile
+
+    from flink_rag_spark.operators.ranking import (
+        build_text_index,
+        fuzzy_term_topk_indexed,
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="fuzzy_idx_") + "/tix"
+    build_text_index(spark, d, path, n_parts=16)
+    out = fuzzy_term_topk_indexed(spark, path, FUZZY_QUERY_TERM, 2, k=15)
+    return out.select("doc_id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def bm25_topk_indexed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING-shape lexical path: BM25 top-15 answered from a
     PERSISTED inverted index (term-hash-pruned postings + doclens +

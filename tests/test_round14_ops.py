@@ -256,3 +256,58 @@ def test_group_funnel_duck_parity(spark):
               for r in con.execute(
                   group_funnel_times_duck(entries)).fetchall()}
         assert sp == du, entries
+
+
+# ---------------------------------------------- fuzzy term search
+
+
+def test_fuzzy_match_terms_cascade(spark):
+    """Length band and prefix prune are exact-preserving; the
+    thresholded levenshtein decides: 'sport' at d=2 matches sort(1) and
+    spark(2), never scan(3) or join; d=1 keeps only sort."""
+    from flink_rag_spark.operators.ranking import fuzzy_match_terms
+    vocab = spark.createDataFrame(
+        [("sort",), ("spark",), ("scan",), ("join",), ("sports",),
+         ("sp",), ("s",)], "term string")
+    got = {r["term"]: r["distance"] for r in
+           fuzzy_match_terms(vocab, "sport", 2).collect()}
+    assert got == {"sort": 1, "spark": 2, "sports": 1}
+    got1 = {r["term"]: r["distance"] for r in
+            fuzzy_match_terms(vocab, "sport", 1).collect()}
+    assert got1 == {"sort": 1, "sports": 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        fuzzy_match_terms(vocab, "  ", 2)
+    with pytest.raises(ValueError, match="fuzziness cap"):
+        fuzzy_match_terms(vocab, "sport", 3)
+
+
+def test_fuzzy_prefix_prune_never_drops_matches(spark):
+    """Adversarial prefix cases — edits AT the start (insert, delete,
+    substitute position 0) must all survive the prefix-character
+    prune."""
+    from flink_rag_spark.operators.ranking import fuzzy_match_terms
+    vocab = spark.createDataFrame(
+        [("xab",), ("bc",), ("zbc",), ("abc",), ("ab",)], "term string")
+    got = {r["term"] for r in
+           fuzzy_match_terms(vocab, "abc", 2).collect()}
+    # xab: insert x + delete c = 2; bc: delete a = 1; zbc: sub a->z = 1
+    assert got == {"xab", "bc", "zbc", "abc", "ab"}
+
+
+def test_fuzzy_term_topk_indexed_matches_inline(spark, sf_oracle,
+                                                tmp_path):
+    """The serving path (persisted index, vocabulary from postings) is
+    bit-identical to the inline corpus scan."""
+    from flink_rag_spark.operators.ranking import (
+        build_text_index, fuzzy_term_topk, fuzzy_term_topk_indexed)
+    from flink_rag_spark.sources.tables import load_table
+    d = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    path = str(tmp_path / "fuzzy_tix")
+    build_text_index(spark, d, path, n_parts=8)
+    inline = [(r["doc_id"], r["score"], r["rank"]) for r in
+              fuzzy_term_topk(d, "sport", 2, k=15).collect()]
+    indexed = [(r["doc_id"], r["score"], r["rank"]) for r in
+               fuzzy_term_topk_indexed(spark, path, "sport", 2,
+                                       k=15).collect()]
+    assert inline == indexed
+    assert len(inline) == 15
