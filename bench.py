@@ -390,7 +390,18 @@ def main() -> None:
              "signup_purchase_hazard", "user_value_ewma_chart",
              "t_closeness_customers", "entropy_order_priority_regions",
              "part_hits_copurchase", "mk_nation_monthly_trend",
-             "jb_order_price_regions", "bf_order_price_regions"]
+             "jb_order_price_regions", "bf_order_price_regions",
+             # round-14: optional() variant layers, pattern groups
+             # (times+optional on one subsequence), CUPED's two passes,
+             # fuzzy term matching (index build + vocabulary cascade)
+             "optional_funnel_users", "group_funnel_users",
+             "cuped_user_value_ab", "fuzzy_term_topk_docs",
+             # round-14 wave 2: Page-Hinkley window layers, HHI's two
+             # aggregates, Kendall's bounded cell-pair grid, G-test's
+             # observed grid, TextRank's banded co-occurrence pagerank
+             "user_value_ph_drift", "hhi_customer_value_regions",
+             "kendall_quantity_linenumber", "gtest_segment_region",
+             "textrank_keywords_docs", "user_value_stationarity"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
@@ -513,7 +524,16 @@ def main() -> None:
              # JB two-pass must stay broadcast + one grouped aggregate
              "user_value_ewma_chart", "skip_to_first_funnel_users",
              "part_hits_copurchase", "mk_nation_monthly_trend",
-             "t_closeness_customers", "jb_order_price_regions"]
+             "t_closeness_customers", "jb_order_price_regions",
+             # round-14: the optional/group variant layers must stay
+             # per-row window arithmetic on ONE funnel exchange (2^m
+             # column stacks, never 2^m scans); Page-Hinkley's four
+             # window layers likewise; Kendall's pair frame is cell-
+             # bounded (ordinal grid), not row-bounded; the fuzzy
+             # vocabulary cascade must stay term-count-bounded
+             "optional_funnel_users", "group_funnel_users",
+             "user_value_ph_drift", "kendall_quantity_linenumber",
+             "fuzzy_term_topk_docs"]
         for name in rehearse:
             t0 = time.perf_counter()
             force(fns[name](spark, dst))
@@ -792,7 +812,32 @@ def main() -> None:
                             "decisively sub-linear; no "
                             "approx-percentile swap needed at this "
                             "scale (the swap remains documented for "
-                            "extreme cardinality)"),
+                            "extreme cardinality); "
+                            "r14 host audit: two uncontended runs of "
+                            "the CURRENT code read totals 27.74/26.75 "
+                            "(qps exact/ann/ivfpq/hybrid/hyb-idx "
+                            "247/570/250/210/267 and 185/469/263/115/"
+                            "169 — ±35% run spread on this host), vs "
+                            "r13's 16.62 record; the r12-verdict "
+                            "bisect methodology was repeated — the "
+                            "UNCHANGED r13-record code (worktree at "
+                            "38cc351) replayed its own bench on "
+                            "TODAY'S host at 28.73 total with builds "
+                            "ann/nsw 13.1/12.0 — SLOWER than both r14 "
+                            "runs of the current code. The 16.6→~27 "
+                            "band shift is the HOST again (every "
+                            "family moved together; the VM has slowed "
+                            "~65% since the r13 record, on top of the "
+                            "r11→r12 30-40% step), and like-for-like "
+                            "on one host the current code remains "
+                            "FASTER than the previous round's; "
+                            "per-query r13code-vs-r14 deltas are "
+                            "noise-dominated in BOTH directions "
+                            "(sub-2s queries swing ±50% run-to-run "
+                            "here), so no query is flagged at the "
+                            "×1.4 rule against the r13 medians — the "
+                            "rule applies within-host, and the r14 "
+                            "anchor for next round is 26.75"),
         }
 
     total = round(sum(timings.values()), 3)

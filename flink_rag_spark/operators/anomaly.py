@@ -527,3 +527,137 @@ SELECT {ks}, {ts_col}, {seq_col}, value,
                 OR CAST(zt AS DOUBLE) < mu - half, FALSE) AS breach
 FROM lim
 """
+
+
+# ------------------------------------------ Page-Hinkley drift test
+
+PH_TERM_DP = 9
+PH_DP = 6
+
+
+def page_hinkley_scores(df: DataFrame, keys: list[str], ts_col: str,
+                        value_col: str, delta: float,
+                        seq_col: str | None = None) -> DataFrame:
+    """Two-sided Page–Hinkley drift statistics per key (Page 1954 §5,
+    Hinkley 1971; the MEAN-DRIFT member of the change family — CUSUM
+    tests deviation from a KNOWN target, PH tests deviation from the
+    series' OWN running mean, so no target parameter):
+
+        m_t = Σ_{i≤t} (x_i − x̄_i − δ),   x̄_i = (1/i) Σ_{j≤i} x_j
+        PH_t = m_t − min_{s≤t} m_s        (upward; mirrored for down)
+
+    fully declarative: one exact-decimal prefix sum gives every x̄_i,
+    the quantized terms prefix-sum again, and the running min closes
+    the statistic — four window layers on ONE (key, ts)-ordered
+    exchange, the CUSUM shape.
+
+    Exactness: x quantizes to DECIMAL(20,6); the prefix sum is exact
+    and crosses to double via the floor-split cast
+    (``util.dec_to_double`` — engine-identical at any magnitude); each
+    term x − x̄ − δ rounds at ``PH_TERM_DP`` dp into DECIMAL before the
+    second prefix sum (order-independent). Portable while
+    |x − x̄ − δ| ≲ 1e6 (the 9-dp grid vs double-ulp bound measured in
+    round 14) — rescale larger-valued series first.
+
+    Returns the input rows plus (ph_hi, ph_lo) rounded to 6 dp."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = (Window.partitionBy(*keys).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_row = Window.partitionBy(*keys).orderBy(*order)
+    xdec = F.col(value_col).cast("double").cast("decimal(20,6)")
+    tdec = f"decimal(24,{PH_TERM_DP})"
+    out = (df.withColumn("_ph_s", F.sum(xdec).over(w))
+           .withColumn("_ph_i", F.row_number().over(w_row)))
+    xbar = dec_to_double(F.col("_ph_s")) / F.col("_ph_i").cast("double")
+    xd = xdec.cast("double")
+    for name, term in (("hi", xd - xbar - F.lit(float(delta))),
+                       ("lo", xbar - xd - F.lit(float(delta)))):
+        out = out.withColumn(
+            f"_ph_t_{name}",
+            F.round(term, PH_TERM_DP).cast(tdec))
+        out = out.withColumn(f"_ph_m_{name}",
+                             F.sum(f"_ph_t_{name}").over(w))
+        out = out.withColumn(
+            f"ph_{name}",
+            F.round((F.col(f"_ph_m_{name}")
+                     - F.min(f"_ph_m_{name}").over(w)).cast("double"),
+                    PH_DP))
+    return out.drop("_ph_s", "_ph_i", "_ph_t_hi", "_ph_t_lo",
+                    "_ph_m_hi", "_ph_m_lo")
+
+
+def page_hinkley_alarms(df: DataFrame, keys: list[str], ts_col: str,
+                        value_col: str, delta: float, lam: float,
+                        seq_col: str | None = None) -> DataFrame:
+    """Per-key Page–Hinkley drift summary over
+    :func:`page_hinkley_scores` — the :func:`cusum_first_alarms`
+    contract on the target-free statistic: (keys..., first_hi_ts,
+    first_lo_ts, max_ph_hi, max_ph_lo, n_alarms), alarm = PH > λ.
+    One aggregate over the scored frame."""
+    scored = page_hinkley_scores(df, keys, ts_col, value_col, delta,
+                                 seq_col)
+    hi = F.col("ph_hi") > lam
+    lo = F.col("ph_lo") > lam
+    return (scored.groupBy(*keys).agg(
+        F.min(F.when(hi, F.col(ts_col))).alias("first_hi_ts"),
+        F.min(F.when(lo, F.col(ts_col))).alias("first_lo_ts"),
+        F.max("ph_hi").alias("max_ph_hi"),
+        F.max("ph_lo").alias("max_ph_lo"),
+        F.sum(F.when(hi | lo, 1).otherwise(0)).cast("bigint")
+        .alias("n_alarms")))
+
+
+def page_hinkley_alarms_duck(inner_sql: str, keys: list[str],
+                             ts_col: str, value_col: str, delta: float,
+                             lam: float,
+                             seq_col: str | None = None) -> str:
+    """DuckDB mirror of :func:`page_hinkley_alarms` — the same
+    quantized terms over the same floor-split running mean."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    ks = ", ".join(keys)
+    order = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    over = (f"OVER (PARTITION BY {ks} ORDER BY {order} "
+            "ROWS UNBOUNDED PRECEDING)")
+    s_d = dec_to_double_duck("ph_s")
+    dp = PH_TERM_DP
+    return f"""
+WITH ph_src AS (SELECT * FROM ({inner_sql})),
+ph_b AS (
+  SELECT *,
+         CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS ph_x,
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+           {over} AS ph_s,
+         ROW_NUMBER() {over.replace(' ROWS UNBOUNDED PRECEDING', '')}
+           AS ph_i
+  FROM ph_src),
+ph_t AS (
+  SELECT *,
+         CAST(ROUND(CAST(ph_x AS DOUBLE)
+                    - {s_d} / CAST(ph_i AS DOUBLE)
+                    - {delta!r}, {dp}) AS DECIMAL(24,{dp})) AS t_hi,
+         CAST(ROUND({s_d} / CAST(ph_i AS DOUBLE)
+                    - CAST(ph_x AS DOUBLE)
+                    - {delta!r}, {dp}) AS DECIMAL(24,{dp})) AS t_lo
+  FROM ph_b),
+ph_m AS (
+  SELECT *, SUM(t_hi) {over} AS m_hi, SUM(t_lo) {over} AS m_lo
+  FROM ph_t),
+ph_st AS (
+  SELECT *,
+         ROUND(CAST(m_hi - MIN(m_hi) {over} AS DOUBLE), {PH_DP})
+           AS ph_hi,
+         ROUND(CAST(m_lo - MIN(m_lo) {over} AS DOUBLE), {PH_DP})
+           AS ph_lo
+  FROM ph_m)
+SELECT {ks},
+       MIN(CASE WHEN ph_hi > {lam!r} THEN {ts_col} END) AS first_hi_ts,
+       MIN(CASE WHEN ph_lo > {lam!r} THEN {ts_col} END) AS first_lo_ts,
+       MAX(ph_hi) AS max_ph_hi,
+       MAX(ph_lo) AS max_ph_lo,
+       CAST(SUM(CASE WHEN ph_hi > {lam!r} OR ph_lo > {lam!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+FROM ph_st GROUP BY {ks}
+"""

@@ -1646,3 +1646,259 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                 > {z_crit!r}, FALSE) AS significant
 FROM stat
 """
+
+
+# -------------------------------------- Kendall's tau-b (grid form)
+
+KENDALL_DP = 6
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str,
+                z_crit: float = Z_CRIT) -> DataFrame:
+    """Kendall's τ-b rank correlation — the concordance twin of
+    :func:`spearman_corr` (Spearman correlates midranks; τ counts
+    concordant vs discordant PAIRS, the statistic behind
+    :func:`~flink_rag_spark.operators.regression.mann_kendall_trend`'s
+    S generalized to two arbitrary ordinals):
+
+        τ_b = (C − D) / √((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2,  n1 = Σ_x t(t−1)/2,  n2 = Σ_y u(u−1)/2
+
+    with the tie-corrected normal approximation (Kendall 1970, the
+    scipy ASYMPTOTIC form):
+
+        Var(S) = (v0 − vt − vu)/18
+                 + vtt·vuu3 / (9n(n−1)(n−2)) + vt2·vu2 / (2n(n−1))
+
+    where v0 = n(n−1)(2n+5), vt/vu the (2t+5) tie sums, vtt/vuu3 the
+    t(t−1)(t−2) sums and vt2/vu2 the t(t−1) sums. Output ONE row:
+    (n, tau, z, significant). NULL-in-either rows are excluded; zero
+    denominator (a constant column) ⇒ NULL τ, False verdict.
+
+    GRID CONTRACT (the chi²/t-closeness stance): rows collapse to
+    DISTINCT (x, y) cells first, and the pair frame is cells × cells —
+    C(m,2) BY DEFINITION, bounded because the inputs are ordinals
+    (priorities, grades, bucketed measures). For a continuous column,
+    bin it first (``profiling.quantile_bins``) — that is the knob, not
+    a bigger cluster.
+
+    Exactness: C, D and every tie sum are exact integers (cell-count
+    products summed as DECIMAL(38,0)); the variance and τ are double
+    expressions over those integers — identical in both engines."""
+    src = (df.filter(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+           .select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
+    d38 = "decimal(38,0)"
+    cells = (src.groupBy("_x", "_y")
+             .agg(F.count(F.lit(1)).cast(d38).alias("_c")))
+    b = cells.select(F.col("_x").alias("_x2"),
+                     F.col("_y").alias("_y2"),
+                     F.col("_c").alias("_c2"))
+    # explicit broadcast: the pure-inequality pair join has no equi
+    # keys, and an aggregated frame's size estimate can push Catalyst
+    # to CartesianProduct — the grid contract makes cells broadcastable
+    # BY CONSTRUCTION
+    pairs = cells.join(F.broadcast(b), F.col("_x2") > F.col("_x"))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("_y2") > F.col("_y"),
+                     F.col("_c") * F.col("_c2"))).alias("_conc"),
+        F.sum(F.when(F.col("_y2") < F.col("_y"),
+                     F.col("_c") * F.col("_c2"))).alias("_disc"))
+    tx = (cells.groupBy("_x").agg(F.sum("_c").alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1)).alias("_t2"),
+               F.sum(F.col("_t") * (F.col("_t") - 1)
+                     * (2 * F.col("_t") + 5)).alias("_t25"),
+               F.sum(F.col("_t") * (F.col("_t") - 1)
+                     * (F.col("_t") - 2)).alias("_t3")))
+    ty = (cells.groupBy("_y").agg(F.sum("_c").alias("_u"))
+          .agg(F.sum(F.col("_u") * (F.col("_u") - 1)).alias("_u2"),
+               F.sum(F.col("_u") * (F.col("_u") - 1)
+                     * (2 * F.col("_u") + 5)).alias("_u25"),
+               F.sum(F.col("_u") * (F.col("_u") - 1)
+                     * (F.col("_u") - 2)).alias("_u3")))
+    ntot = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    one = (ntot.crossJoin(F.broadcast(cd))
+           .crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty)))
+    n = F.col("n").cast("double")
+    conc = F.coalesce(F.col("_conc"), F.lit(0).cast(d38)).cast("double")
+    disc = F.coalesce(F.col("_disc"), F.lit(0).cast(d38)).cast("double")
+    s = conc - disc
+    t2 = F.coalesce(F.col("_t2").cast("double"), F.lit(0.0))
+    u2 = F.coalesce(F.col("_u2").cast("double"), F.lit(0.0))
+    t25 = F.coalesce(F.col("_t25").cast("double"), F.lit(0.0))
+    u25 = F.coalesce(F.col("_u25").cast("double"), F.lit(0.0))
+    t3 = F.coalesce(F.col("_t3").cast("double"), F.lit(0.0))
+    u3 = F.coalesce(F.col("_u3").cast("double"), F.lit(0.0))
+    n0x2 = n * (n - 1)                          # 2·n0
+    den = F.sqrt((n0x2 / 2 - t2 / 2) * (n0x2 / 2 - u2 / 2))
+    tau = F.when(den > 0, s / den)
+    v0 = n * (n - 1) * (2 * n + 5)
+    var = ((v0 - t25 - u25) / F.lit(18.0)
+           + F.when(n > 2, t3 * u3 / (9.0 * n * (n - 1) * (n - 2)))
+           .otherwise(F.lit(0.0))
+           + t2 * u2 / (2.0 * n * (n - 1)))
+    z = F.when((den > 0) & (var > 0), s / F.sqrt(var))
+    return one.select(
+        "n",
+        F.round(tau, KENDALL_DP).alias("tau"),
+        F.round(z, KENDALL_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def kendall_tau_duck(inner_sql: str, x_col: str, y_col: str,
+                     z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`kendall_tau` — same cell grid, exact
+    integer sums, identical double expressions."""
+    dp = KENDALL_DP
+    return f"""
+WITH kt0 AS (
+  SELECT {x_col} AS x, {y_col} AS y FROM ({inner_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM kt0 GROUP BY x, y),
+cd AS (
+  SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c END) AS conc,
+         SUM(CASE WHEN b.y < a.y THEN a.c * b.c END) AS disc
+  FROM cells a JOIN cells b ON b.x > a.x),
+tx AS (
+  SELECT SUM(t * (t - 1)) AS t2,
+         SUM(t * (t - 1) * (2 * t + 5)) AS t25,
+         SUM(t * (t - 1) * (t - 2)) AS t3
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)),
+ty AS (
+  SELECT SUM(u * (u - 1)) AS u2,
+         SUM(u * (u - 1) * (2 * u + 5)) AS u25,
+         SUM(u * (u - 1) * (u - 2)) AS u3
+  FROM (SELECT SUM(c) AS u FROM cells GROUP BY y)),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kt0),
+j AS (
+  SELECT n,
+         CAST(COALESCE(conc, 0) AS DOUBLE) AS conc,
+         CAST(COALESCE(disc, 0) AS DOUBLE) AS disc,
+         CAST(COALESCE(t2, 0) AS DOUBLE) AS t2,
+         CAST(COALESCE(u2, 0) AS DOUBLE) AS u2,
+         CAST(COALESCE(t25, 0) AS DOUBLE) AS t25,
+         CAST(COALESCE(u25, 0) AS DOUBLE) AS u25,
+         CAST(COALESCE(t3, 0) AS DOUBLE) AS t3,
+         CAST(COALESCE(u3, 0) AS DOUBLE) AS u3
+  FROM nt CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty),
+stat AS (
+  SELECT n, conc - disc AS s,
+         SQRT((CAST(n AS DOUBLE) * (n - 1) / 2 - t2 / 2)
+              * (CAST(n AS DOUBLE) * (n - 1) / 2 - u2 / 2)) AS den,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - t25 - u25) / 18.0
+           + CASE WHEN n > 2 THEN t3 * u3
+               / (9.0 * CAST(n AS DOUBLE) * (n - 1) * (n - 2))
+             ELSE 0.0 END
+           + t2 * u2 / (2.0 * CAST(n AS DOUBLE) * (n - 1)) AS var
+  FROM j)
+SELECT n,
+       ROUND(CASE WHEN den > 0 THEN s / den END, {dp}) AS tau,
+       ROUND(CASE WHEN den > 0 AND var > 0 THEN s / SQRT(var) END,
+             {dp}) AS z,
+       COALESCE(ABS(CASE WHEN den > 0 AND var > 0
+                    THEN s / SQRT(var) END) > {z_crit!r}, FALSE)
+         AS significant
+FROM stat
+"""
+
+
+# --------------------------------------- G-test of independence
+
+GTEST_LN_DP = 9
+GTEST_DP = 6
+
+
+def g_test_independence(df: DataFrame, row_col: str, col_col: str,
+                        chi2_crit: float) -> DataFrame:
+    """Likelihood-ratio (G) test of independence — chi-square's
+    log-likelihood twin on the same r × c grid (preferred when any
+    O·ln(O/E) term dominates, additively decomposable across margins):
+
+        G = 2 Σ_rc O_rc · ln(O_rc / E_rc),   E_rc = rt_r · ct_c / n
+
+    summed over OBSERVED cells only (O = 0 contributes 0 — the
+    x·ln x → 0 limit, unlike chi²'s O=0 cells which carry E). G is
+    asymptotically chi²(dof) under H0, so ``chi2_crit`` is the same
+    caller-supplied critical value as :func:`chi2_independence`.
+    Output ONE row: (n, n_rows, n_cols, dof, g, significant).
+
+    Exactness: O, rt, ct, n exact integers; each ln runs on an
+    IEEE-identical double ratio and QUANTIZES to 9-dp DECIMAL before
+    the multiply (|ln| ≤ ~40 ⇒ ulp ~1e-15 ≪ the 1e-9 grid — portable,
+    unlike rounding the full O·ln term whose magnitude breaks the
+    grid), so O·ln is an exact decimal product and the sum is
+    order-independent.
+
+    Plan at 100 TB: the chi² shape minus the full-grid expansion — one
+    (r, c)-grouped count, two margin aggregates of the grid, one final
+    aggregate."""
+    r, c = F.col(row_col), F.col(col_col)
+    obs = (df.filter(r.isNotNull() & c.isNotNull())
+           .groupBy(r.alias("r"), c.alias("cc"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    rows = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cc").agg(F.sum("o").alias("ct"))
+    g = (obs.join(F.broadcast(rows), "r")
+         .join(F.broadcast(cols), "cc"))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    g = g.withColumn("n", F.sum("o").over(w_all))
+    od = F.col("o").cast("double")
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    lndec = f"decimal(14,{GTEST_LN_DP})"
+    ln_q = F.round(F.log(od / e), GTEST_LN_DP).cast(lndec)
+    term = F.col("o").cast("decimal(20,0)") * ln_q
+    out = g.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("n_rows"),
+        F.countDistinct("cc").cast("bigint").alias("n_cols"),
+        F.sum(term).alias("_g2"))
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    gstat = F.lit(2).cast("decimal(2,0)") * F.col("_g2")
+    return out.select(
+        "n", "n_rows", "n_cols", dof.cast("bigint").alias("dof"),
+        F.round(gstat, GTEST_DP).cast("double").alias("g"),
+        (gstat > F.lit(chi2_crit)).alias("significant"))
+
+
+def g_test_independence_duck(inner_sql: str, row_col: str,
+                             col_col: str, chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`g_test_independence` — same observed
+    cells, same 9-dp ln quantization, same exact decimal term sum."""
+    dp, odp = GTEST_LN_DP, GTEST_DP
+    return f"""
+WITH g_src AS (
+  SELECT {row_col} AS r, {col_col} AS cc FROM ({inner_sql})
+  WHERE {row_col} IS NOT NULL AND {col_col} IS NOT NULL),
+obs AS (
+  SELECT r, cc, COUNT(*) AS o FROM g_src GROUP BY r, cc),
+rt AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY r),
+ct AS (SELECT cc, SUM(o) AS ct FROM obs GROUP BY cc),
+j AS (
+  SELECT obs.o, rt.rt, ct.ct,
+         SUM(obs.o) OVER () AS n
+  FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.cc = ct.cc),
+terms AS (
+  SELECT o, n,
+         CAST(o AS DECIMAL(20,0))
+           * CAST(ROUND(LN(CAST(o AS DOUBLE)
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))), {dp})
+             AS DECIMAL(14,{dp})) AS term
+  FROM j),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols,
+         SUM(term) AS g2
+  FROM terms)
+SELECT n, n_rows, n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       CAST(ROUND(2 * g2, {odp}) AS DOUBLE) AS g,
+       (2 * g2 > {chi2_crit!r}) AS significant
+FROM agg
+"""

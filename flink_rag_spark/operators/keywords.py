@@ -115,3 +115,126 @@ SELECT {id_col}, token, tf, doc_freq, ROUND(score, {SCORE_DP}) AS score,
        CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {top_n}
 """
+
+
+# ---------------------------------------------- TextRank keywords
+
+TEXTRANK_WINDOW = 2
+TEXTRANK_ITERS = 4
+TEXTRANK_DP = 6
+
+
+def textrank_cooccurrence_edges(docs: DataFrame, text_col: str,
+                                id_col: str,
+                                window: int = TEXTRANK_WINDOW
+                                ) -> DataFrame:
+    """The TextRank word graph (Mihalcea & Tarau 2004): directed
+    co-occurrence edges between distinct terms whose positions in a
+    document lie within ``window`` tokens, weight = corpus-wide
+    co-occurrence count (INTEGER — the weighted-pagerank exactness
+    contract). Both directions are emitted, so the graph is symmetric
+    and never dangling. One posexplode + one per-doc self-join whose
+    position band rides as EQUI-join keys (each position explodes its
+    ≤ ``window`` offsets, joining on p₂ = p₁ + δ — exactly n·window
+    pairs per doc by construction, never an n² enumerate-then-filter)
+    + one count aggregate."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    pos = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.expr(toks)).alias("_p", "_t")).filter(
+        F.col("_t") != "")
+    right = pos.select(F.col("_d").alias("_d2"),
+                       F.col("_p").alias("_p2"),
+                       F.col("_t").alias("_t2"))
+    offs = F.explode(F.array(*[F.lit(i) for i in
+                               range(1, window + 1)]))
+    left = (pos.select("_d", "_p", "_t", offs.alias("_o"))
+            .withColumn("_tp", F.col("_p") + F.col("_o")))
+    pairs = left.join(
+        right,
+        (F.col("_d") == F.col("_d2"))
+        & (F.col("_tp") == F.col("_p2"))
+        & (F.col("_t") != F.col("_t2")))
+    und = pairs.select(F.col("_t").alias("src"),
+                       F.col("_t2").alias("dst"))
+    both = und.union(und.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    return both.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w"))
+
+
+def textrank_keywords(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 20,
+                      window: int = TEXTRANK_WINDOW,
+                      iters: int = TEXTRANK_ITERS) -> DataFrame:
+    """Corpus-level TextRank keywords — the GRAPH-centrality
+    complement of :func:`tfidf_keywords` (TF-IDF scores terms by
+    rarity-weighted frequency; TextRank scores them by how central
+    they sit in the co-occurrence graph): weighted PageRank
+    (``graph.pagerank`` — the same power iterations, dangling check
+    short-circuited by the symmetric construction) over the word
+    graph, top-k terms by rank. Output: (term, pr, rank) — pr rounded
+    at the pagerank family's terminal 6 dp, ties broken by term.
+
+    Pure composition: the edge builder + the existing iterative
+    pagerank; the oracle replays the same edges SQL through the
+    unrolled pagerank mirror. Classic TextRank ranks per document —
+    at corpus scale the aggregated graph is the useful variant
+    (corpus salience for tagging/stopword mining); a per-doc run is
+    the same composition grouped by id."""
+    from flink_rag_spark.operators.graph import pagerank
+    edges = textrank_cooccurrence_edges(docs, text_col, id_col, window)
+    pr = pagerank(edges, iters=iters, weight="w")
+    w = Window.orderBy(F.desc("pr"), F.col("node"))
+    return (pr.orderBy(F.desc("pr"), F.col("node")).limit(k)
+            .select(F.col("node").alias("term"), "pr")
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("pr"), F.col("term")))))
+
+
+def textrank_edges_duck(text_col: str, id_col: str,
+                        window: int = TEXTRANK_WINDOW,
+                        table: str = "documents") -> str:
+    """The edge builder's DuckDB rendering — (src, dst, w)."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    return f"""
+SELECT src, dst, COUNT(*) AS w FROM (
+  SELECT a.t AS src, b.t AS dst
+  FROM (SELECT {id_col} AS d, UNNEST({toks}) AS t,
+               generate_subscripts({toks}, 1) AS p FROM {table}) a
+  JOIN (SELECT {id_col} AS d, UNNEST({toks}) AS t,
+               generate_subscripts({toks}, 1) AS p FROM {table}) b
+    ON a.d = b.d AND b.p > a.p AND b.p <= a.p + {window}
+   AND a.t <> b.t AND a.t <> '' AND b.t <> ''
+  UNION ALL
+  SELECT b.t AS src, a.t AS dst
+  FROM (SELECT {id_col} AS d, UNNEST({toks}) AS t,
+               generate_subscripts({toks}, 1) AS p FROM {table}) a
+  JOIN (SELECT {id_col} AS d, UNNEST({toks}) AS t,
+               generate_subscripts({toks}, 1) AS p FROM {table}) b
+    ON a.d = b.d AND b.p > a.p AND b.p <= a.p + {window}
+   AND a.t <> b.t AND a.t <> '' AND b.t <> ''
+) GROUP BY src, dst
+"""
+
+
+def textrank_keywords_duck(text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 20,
+                           window: int = TEXTRANK_WINDOW,
+                           iters: int = TEXTRANK_ITERS,
+                           table: str = "documents") -> str:
+    """DuckDB mirror of :func:`textrank_keywords` — the same edges SQL
+    through the unrolled weighted-pagerank mirror, same top-k tie
+    order."""
+    from flink_rag_spark.operators.graph import pagerank_duck
+    inner = pagerank_duck(
+        textrank_edges_duck(text_col, id_col, window, table),
+        iters=iters, weighted=True)
+    return f"""
+SELECT node AS term, pr,
+       ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rank
+FROM ({inner}) _tr
+ORDER BY pr DESC, term LIMIT {k}
+"""

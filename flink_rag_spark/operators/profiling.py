@@ -814,3 +814,95 @@ SELECT {gpfx}n, n_distinct,
        ROUND(1.0 - CAST(sq AS DOUBLE), {odp}) AS gini_impurity
 FROM j
 """
+
+
+# --------------------------------- Herfindahl-Hirschman concentration
+
+HHI_DP = 6
+
+
+def hhi_concentration(df: DataFrame, value_col: str,
+                      member_cols: list[str],
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group Herfindahl–Hirschman index — the market-concentration
+    twin of :func:`gini_concentration` (Gini asks "how UNEVEN?", HHI
+    asks "how FEW hold it?"): members are the ``member_cols``
+    combinations inside each group, shares are their value fractions,
+
+        HHI = Σ_m share_m²  =  Σ_m v_m² / (Σ_m v_m)²   ∈ (1/M, 1]
+
+    plus the size-adjusted normalized form
+    (HHI − 1/M) / (1 − 1/M) for M ≥ 2 (NULL at M = 1 — a one-member
+    group is degenerately concentrated). NULL member values are
+    excluded; groups whose total is 0 emit NULL hhi.
+
+    Exactness (the gini contract, ENFORCED the same way): ``value_col``
+    must be DECIMAL, so v_m and both sums are exact decimals; the
+    single division runs on floor-split doubles
+    (``util.dec_to_double``) — engine-identical at any magnitude.
+
+    Plan at 100 TB: two chained partial+final aggregates on prefixes of
+    one grouping key (members, then groups) — no window, no join."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    if not member_cols or not group_cols:
+        raise ValueError("member_cols and group_cols must be non-empty")
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, DecimalType):
+        raise TypeError(
+            f"hhi_concentration requires a DECIMAL {value_col} (got "
+            f"{vtype.simpleString()}): cast at the caller so the share "
+            "sums are exact and order-independent")
+    x = F.col(value_col)
+    members = (df.filter(x.isNotNull())
+               .groupBy(*group_cols, *member_cols)
+               .agg(F.sum(value_col).alias("_v")))
+    g = members.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"))
+    s_d = dec_to_double(F.col("_s"))
+    hhi = F.when(F.col("_s") != 0,
+                 dec_to_double(F.col("_q")) / (s_d * s_d))
+    m = F.col("n_members").cast("double")
+    norm = F.when(F.col("n_members") >= 2,
+                  (hhi - 1.0 / m) / (1.0 - 1.0 / m))
+    return g.select(
+        *group_cols, "n_members",
+        F.round(hhi, HHI_DP).alias("hhi"),
+        F.round(norm, HHI_DP).alias("hhi_normalized"))
+
+
+def hhi_concentration_duck(inner_sql: str, value_col: str,
+                           member_cols: list[str],
+                           group_cols: list[str]) -> str:
+    """DuckDB mirror of :func:`hhi_concentration` — same exact decimal
+    sums, same floor-split double division."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    gc = ", ".join(group_cols)
+    mc = ", ".join(member_cols)
+    s_d = dec_to_double_duck("s")
+    q_d = dec_to_double_duck("q")
+    return f"""
+WITH hhi_src AS (
+  SELECT {gc}, {mc}, {value_col} AS x FROM ({inner_sql})
+  WHERE {value_col} IS NOT NULL),
+members AS (
+  SELECT {gc}, {mc}, SUM(x) AS v
+  FROM hhi_src GROUP BY {gc}, {mc}),
+g AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_members,
+         SUM(v) AS s, SUM(v * v) AS q
+  FROM members GROUP BY {gc}),
+stat AS (
+  SELECT {gc}, n_members,
+         CASE WHEN s != 0 THEN {q_d} / ({s_d} * {s_d}) END AS hhi
+  FROM g)
+SELECT {gc}, n_members,
+       ROUND(hhi, {HHI_DP}) AS hhi,
+       ROUND(CASE WHEN n_members >= 2 THEN
+         (hhi - 1.0 / n_members) / (1.0 - 1.0 / n_members) END,
+         {HHI_DP}) AS hhi_normalized
+FROM stat
+"""

@@ -1150,3 +1150,133 @@ FROM dq d
 LEFT JOIN ph p ON {" AND ".join(f"p.{k} = d.{k}" for k in keys)}
               AND p.phase = d.phase
 """
+
+
+# ---------------------------------- Dickey-Fuller stationarity test
+
+ADF_DP = 6
+#: 5%% critical value of the Dickey-Fuller tau_mu distribution
+#: (constant, no trend; Fuller 1976 table 8.5.2, large-n) — callers
+#: pass their own for other alphas/specs
+ADF_CRIT_5PCT = -2.86
+
+
+def dickey_fuller(df: DataFrame, keys: list[str], ts_col: str,
+                  value_col: str, crit: float = ADF_CRIT_5PCT,
+                  seq_col: str | None = None) -> DataFrame:
+    """Per-key Dickey-Fuller unit-root test (Dickey & Fuller 1979; the
+    constant-only specification without lagged differences — the ADF(0)
+    member) — IS this series stationary, the question underneath every
+    forecast this module ships (SES/Holt assume a level to track; a
+    unit root means there is none):
+
+        Δy_t = α + β·y_{t−1} + ε_t,   DF = β̂ / SE(β̂)
+
+    with β̂ from the OLS closed form over centered exact sums and the
+    verdict ``DF < crit`` (unit root REJECTED ⇒ stationary) at the
+    caller's critical value from the Dickey-Fuller tau distribution
+    (no tau CDF in either engine — the z-test threshold discipline;
+    default the 5% constant-only large-n value). Output: (keys…,
+    n_diffs, beta, df_stat, stationary). Groups with n_diffs < 3, zero
+    lag variance, or zero residual variance emit NULL stats with a
+    False verdict. NULL values/timestamps are excluded before pairing
+    (the ACF longest-run reading); ``seq_col`` breaks timestamp ties.
+
+    Exactness: the (x = y_{t−1}, d = Δy) pairs come from ONE lag
+    window; x, d quantize to DECIMAL(20,6) and all five sums (Σx, Σd,
+    Σx², Σxd, Σd²) accumulate exactly in one partial+final aggregate;
+    every quotient runs on floor-split doubles (``util.dec_to_double``)
+    — engine-identical at any magnitude.
+
+    Plan at 100 TB: one per-key ordered window + one grouped aggregate
+    — two exchanges, the ACF shape with max_lag = 1."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    x = F.col(value_col)
+    src = df.filter(x.isNotNull() & F.col(ts_col).isNotNull())
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    a = x.cast("double").cast("decimal(20,6)")
+    lagged = src.select(
+        *keys, a.alias("_y"), F.lag(a, 1).over(w).alias("_x"))
+    p = (lagged.filter(F.col("_x").isNotNull())
+         .withColumn("_dd", F.col("_y") - F.col("_x")))
+    g = p.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_diffs"),
+        F.sum("_x").alias("_sx"), F.sum("_dd").alias("_sd"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_dd")).alias("_sxd"),
+        F.sum(F.col("_dd") * F.col("_dd")).alias("_sdd"))
+    n = F.col("n_diffs").cast("double")
+    sx = dec_to_double(F.col("_sx"))
+    sd = dec_to_double(F.col("_sd"))
+    sxx_c = dec_to_double(F.col("_sxx")) - sx * sx / n
+    sxd_c = dec_to_double(F.col("_sxd")) - sx * sd / n
+    sdd_c = dec_to_double(F.col("_sdd")) - sd * sd / n
+    beta = F.when((F.col("n_diffs") >= 3) & (sxx_c > 0), sxd_c / sxx_c)
+    rss = sdd_c - beta * sxd_c
+    se = F.when(rss > 0,
+                F.sqrt((rss / (n - F.lit(2.0))) / sxx_c))
+    stat = beta / se
+    return g.select(
+        *keys, "n_diffs",
+        F.round(beta, ADF_DP).alias("beta"),
+        F.round(stat, ADF_DP).alias("df_stat"),
+        F.coalesce(stat < F.lit(float(crit)), F.lit(False))
+        .alias("stationary"))
+
+
+def dickey_fuller_duck(inner_sql: str, keys: list[str], ts_col: str,
+                       value_col: str, crit: float = ADF_CRIT_5PCT,
+                       seq_col: str | None = None) -> str:
+    """DuckDB mirror of :func:`dickey_fuller` — the same lag pairing,
+    exact decimal sums and floor-split quotients."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    ks = ", ".join(keys)
+    order = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    sx = dec_to_double_duck("sx")
+    sd = dec_to_double_duck("sd")
+    sxx = dec_to_double_duck("sxx")
+    sxd = dec_to_double_duck("sxd")
+    sdd = dec_to_double_duck("sdd")
+    return f"""
+WITH adf0 AS (
+  SELECT {ks},
+         CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)) AS y,
+         LAG(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+           OVER (PARTITION BY {ks} ORDER BY {order}) AS x
+  FROM ({inner_sql})
+  WHERE {value_col} IS NOT NULL AND {ts_col} IS NOT NULL),
+adf_p AS (SELECT {ks}, x, y - x AS dd FROM adf0 WHERE x IS NOT NULL),
+adf_g AS (
+  SELECT {ks}, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+         SUM(x) AS sx, SUM(dd) AS sd, SUM(x * x) AS sxx,
+         SUM(x * dd) AS sxd, SUM(dd * dd) AS sdd
+  FROM adf_p GROUP BY {ks}),
+adf_c AS (
+  SELECT {ks}, n_diffs,
+         {sxx} - {sx} * {sx} / CAST(n_diffs AS DOUBLE) AS sxx_c,
+         {sxd} - {sx} * {sd} / CAST(n_diffs AS DOUBLE) AS sxd_c,
+         {sdd} - {sd} * {sd} / CAST(n_diffs AS DOUBLE) AS sdd_c
+  FROM adf_g),
+adf_s AS (
+  SELECT {ks}, n_diffs,
+         CASE WHEN n_diffs >= 3 AND sxx_c > 0
+              THEN sxd_c / sxx_c END AS beta,
+         sxx_c, sxd_c, sdd_c
+  FROM adf_c),
+adf_t AS (
+  SELECT {ks}, n_diffs, beta,
+         sdd_c - beta * sxd_c AS rss, sxx_c
+  FROM adf_s)
+SELECT {ks}, n_diffs,
+       ROUND(beta, {ADF_DP}) AS beta,
+       ROUND(CASE WHEN rss > 0 THEN beta
+               / SQRT((rss / (CAST(n_diffs AS DOUBLE) - 2.0)) / sxx_c)
+             END, {ADF_DP}) AS df_stat,
+       COALESCE(CASE WHEN rss > 0 THEN beta
+                  / SQRT((rss / (CAST(n_diffs AS DOUBLE) - 2.0))
+                         / sxx_c) END < {crit!r}, FALSE) AS stationary
+FROM adf_t
+"""

@@ -1597,3 +1597,101 @@ def cuped_user_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .otherwise("B")))
     return cuped_ab_test(units, "arm", "post_value", "pre_value",
                          "A", "B")
+
+
+# ------------------------------------------------ round-14 wave 2
+
+#: Page-Hinkley drift parameters for the per-user event-value series:
+#: tolerance delta absorbs in-control noise around the running mean,
+#: lambda is the drift decision threshold
+PH_DELTA = 10.0
+PH_LAMBDA = 400.0
+
+
+def user_value_ph_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detection (operators/anomaly.py
+    page_hinkley_alarms — the target-FREE member of the change family
+    beside CUSUM's known-target shifts): per-user earliest upward /
+    downward drift alarms of event value against the series' own
+    running mean, statistic peaks and alarm counts. Four window layers
+    on one exchange, exact-decimal prefix sums, floor-split running
+    mean."""
+    from flink_rag_spark.operators.anomaly import page_hinkley_alarms
+    e = load_table(spark, sf_dir, "events")
+    return page_hinkley_alarms(e, ["user_id"], "ts", "value",
+                               delta=PH_DELTA, lam=PH_LAMBDA,
+                               seq_col="event_id")
+
+
+def hhi_customer_value_regions(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration (operators/profiling.py
+    hhi_concentration): how FEW customers hold each region's order
+    value — the market-concentration twin of the graded per-region
+    Gini (Gini measures unevenness, HHI measures fewness), plus the
+    member-count-adjusted normalized index. Two chained aggregates,
+    exact decimal share sums, floor-split division."""
+    from flink_rag_spark.operators.profiling import hhi_concentration
+    j = _orders_with_region(spark, sf_dir).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)"))
+    return hhi_concentration(j, "o_totalprice", ["o_custkey"],
+                             ["r_name"])
+
+
+def kendall_quantity_linenumber(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation (operators/hypothesis.py
+    kendall_tau): concordance between line-item quantity and line
+    number — the pair-counting complement of the graded Spearman,
+    under the grid contract (quantity is a 50-level ordinal, the line
+    number a 7-level one, so the cell pair frame is C(350,2)-bounded
+    by construction; heavy ties exercise the full tie-corrected
+    variance)."""
+    from flink_rag_spark.operators.hypothesis import kendall_tau
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_linenumber")
+    return kendall_tau(li, "l_quantity", "l_linenumber")
+
+
+def gtest_segment_region(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """G-test of independence (operators/hypothesis.py
+    g_test_independence): the likelihood-ratio twin of the graded
+    chi-square on the same segment x region contingency — observed
+    cells only, 9-dp-quantized ln ratios into exact decimal term sums,
+    the same dof-16 critical value (G is asymptotically chi-square)."""
+    from flink_rag_spark.operators.hypothesis import g_test_independence
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return g_test_independence(j, "c_mktsegment", "r_name",
+                               CHI2_CRIT_DOF16)
+
+
+def textrank_keywords_docs(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (operators/keywords.py
+    textrank_keywords, Mihalcea & Tarau 2004): top-20 terms by
+    weighted PageRank over the window-2 co-occurrence word graph —
+    the graph-centrality complement of the TF-IDF keywords on the
+    same corpus; pure composition with graph.pagerank's iterative
+    machinery (4 iterations, oracle-unrolled)."""
+    from flink_rag_spark.operators.keywords import textrank_keywords
+    d = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(d, "text", "doc_id", k=20)
+
+
+def user_value_stationarity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (operators/timeseries.py
+    dickey_fuller, ADF(0) constant-only): is each user's event-value
+    series stationary — the assumption check underneath the graded
+    SES/Holt/Holt-Winters forecasts and the decomposition on the same
+    series. One lag window + one exact-decimal aggregate, verdict at
+    the 5% tau_mu critical value."""
+    from flink_rag_spark.operators.timeseries import dickey_fuller
+    e = load_table(spark, sf_dir, "events")
+    return dickey_fuller(e, ["user_id"], "ts", "value",
+                         seq_col="event_id")

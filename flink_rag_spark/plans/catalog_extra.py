@@ -131,6 +131,7 @@ def extra_queries() -> list[tuple]:
         equiwidth_histogram_duck,
         column_entropy_duck,
         gini_concentration_duck,
+        hhi_concentration_duck,
         key_skew_profile_duck,
         profile_columns_duck,
         quantile_bins_duck,
@@ -139,6 +140,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.anomaly import (
         cusum_first_alarms_duck,
         ewma_control_duck,
+        page_hinkley_alarms_duck,
         robust_outliers_duck,
         seasonal_baseline_outliers_duck,
     )
@@ -162,7 +164,9 @@ def extra_queries() -> list[tuple]:
         brown_forsythe_duck,
         chi2_independence_duck,
         cuped_ab_test_duck,
+        g_test_independence_duck,
         jarque_bera_duck,
+        kendall_tau_duck,
         logrank_test_duck,
         ks_two_sample_duck,
         kruskal_wallis_duck,
@@ -170,7 +174,10 @@ def extra_queries() -> list[tuple]:
         spearman_corr_duck,
         welch_t_duck,
     )
-    from flink_rag_spark.operators.keywords import tfidf_keywords_duck
+    from flink_rag_spark.operators.keywords import (
+        textrank_keywords_duck,
+        tfidf_keywords_duck,
+    )
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
     from flink_rag_spark.operators.privacy import (
         k_anonymity_audit_duck,
@@ -187,6 +194,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.scd import (as_of_snapshot_duck,
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
+        dickey_fuller_duck,
         autocorrelation_duck,
         holt_forecast_duck,
         seasonal_decompose_duck,
@@ -2021,6 +2029,56 @@ JOIN region r ON n.n_regionkey = r.r_regionkey""",
 FROM events WHERE value IS NOT NULL GROUP BY user_id""",
              "arm", "post_value", "pre_value", "A", "B"),
          ("hypothesis", "experiment", "stats")),
+        # round-14 wave 2: Page-Hinkley target-free mean-drift alarms
+        # over the per-user value series (anomaly.page_hinkley_alarms)
+        ("user_value_ph_drift", A.user_value_ph_drift,
+         page_hinkley_alarms_duck(
+             "SELECT event_id, ts, user_id, value FROM events",
+             ["user_id"], "ts", "value", A.PH_DELTA, A.PH_LAMBDA,
+             seq_col="event_id"),
+         ("anomaly", "stats", "window")),
+        # round-14 wave 2: per-region HHI of customer spend — the
+        # concentration twin of the graded Gini
+        # (profiling.hhi_concentration)
+        ("hhi_customer_value_regions", A.hhi_customer_value_regions,
+         hhi_concentration_duck(
+             "SELECT r_name, o_custkey, CAST(o_totalprice AS "
+             "DECIMAL(18,2)) AS o_totalprice FROM ("
+             + _ORDERS_REGION_SQL + ")",
+             "o_totalprice", ["o_custkey"], ["r_name"]),
+         ("profiling", "stats")),
+        # round-14 wave 2: Kendall tau-b on the quantity x linenumber
+        # ordinal grid — full tie-corrected variance
+        # (hypothesis.kendall_tau)
+        ("kendall_quantity_linenumber", A.kendall_quantity_linenumber,
+         kendall_tau_duck(
+             "SELECT l_quantity, l_linenumber FROM lineitem",
+             "l_quantity", "l_linenumber"),
+         ("hypothesis", "stats")),
+        # round-14 wave 2: G-test of independence — the likelihood-
+        # ratio twin of the graded chi-square on the same contingency
+        # (hypothesis.g_test_independence)
+        ("gtest_segment_region", A.gtest_segment_region,
+         g_test_independence_duck(
+             "SELECT c_mktsegment, r_name FROM customer "
+             "JOIN nation ON c_nationkey = n_nationkey "
+             "JOIN region ON n_regionkey = r_regionkey",
+             "c_mktsegment", "r_name", A.CHI2_CRIT_DOF16),
+         ("hypothesis", "stats")),
+        # round-14 wave 2: Dickey-Fuller ADF(0) stationarity per user
+        # series — one lag window + exact-decimal OLS closed form
+        # (timeseries.dickey_fuller)
+        ("user_value_stationarity", A.user_value_stationarity,
+         dickey_fuller_duck(
+             "SELECT event_id, ts, user_id, value FROM events",
+             ["user_id"], "ts", "value", seq_col="event_id"),
+         ("timeseries", "stats", "window")),
+        # round-14 wave 2: TextRank corpus keywords — weighted pagerank
+        # over the window-2 co-occurrence word graph, oracle-unrolled
+        # iterations (keywords.textrank_keywords)
+        ("textrank_keywords_docs", A.textrank_keywords_docs,
+         textrank_keywords_duck(k=20),
+         ("keywords", "graph", "iterative", "text")),
         # round-13: Jarque-Bera normality audit — two-pass 9-dp
         # quantized central moments, chi2(2) verdict
         # (hypothesis.jarque_bera)

@@ -311,3 +311,326 @@ def test_fuzzy_term_topk_indexed_matches_inline(spark, sf_oracle,
                                        k=15).collect()]
     assert inline == indexed
     assert len(inline) == 15
+
+
+# ---------------------------------------------- HHI concentration
+
+
+def test_hhi_hand_values(spark):
+    """Even 4-way split -> HHI .25, normalized 0; a 3:1 duopoly ->
+    .625 / .25; a single member -> 1 with NULL normalized; decimal
+    contract enforced."""
+    from decimal import Decimal
+
+    from flink_rag_spark.operators.profiling import (
+        hhi_concentration, hhi_concentration_duck)
+    rows = [("a", f"m{i}", Decimal("1.00")) for i in range(4)] + \
+           [("b", "m1", Decimal("3.00")), ("b", "m2", Decimal("1.00")),
+            ("c", "m1", Decimal("7.00")), ("c", "m1", Decimal("3.00"))]
+    df = spark.createDataFrame(
+        rows, "g string, m string, v decimal(15,2)")
+    out = {r["g"]: r for r in
+           hhi_concentration(df, "v", ["m"], ["g"]).collect()}
+    assert out["a"]["hhi"] == 0.25 and out["a"]["hhi_normalized"] == 0.0
+    assert out["b"]["hhi"] == 0.625
+    assert out["b"]["hhi_normalized"] == 0.25
+    assert out["c"]["hhi"] == 1.0 and out["c"]["hhi_normalized"] is None
+    assert out["c"]["n_members"] == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "('a','m0',1.00),('a','m1',1.00),('a','m2',1.00),"
+                "('a','m3',1.00),('b','m1',3.00),('b','m2',1.00),"
+                "('c','m1',7.00),('c','m1',3.00)) v(g,m,v)")
+    d = con.execute(hhi_concentration_duck(
+        "SELECT g, m, CAST(v AS DECIMAL(15,2)) AS v FROM t",
+        "v", ["m"], ["g"]) + " ORDER BY g").fetchall()
+    assert [(r[2], r[3]) for r in d] == \
+        [(0.25, 0.0), (0.625, 0.25), (1.0, None)]
+    import pyspark.sql.functions as F
+    bad = df.withColumn("v", F.col("v").cast("double"))
+    with pytest.raises(TypeError, match="DECIMAL"):
+        hhi_concentration(bad, "v", ["m"], ["g"])
+
+
+# ---------------------------------------------- Kendall tau-b
+
+
+def test_kendall_tau_hand_values(spark):
+    """Perfect concordance -> tau 1; perfect discordance -> -1; the
+    2x2 tie grid -> 0 with the tie-corrected variance; constant column
+    -> NULL tau."""
+    from flink_rag_spark.operators.hypothesis import (
+        kendall_tau, kendall_tau_duck)
+
+    def tau_of(pairs):
+        df = spark.createDataFrame(pairs, "x int, y int")
+        return kendall_tau(df, "x", "y").collect()[0]
+
+    r = tau_of([(1, 1), (2, 2), (3, 3)])
+    assert r["tau"] == 1.0 and r["n"] == 3
+    r = tau_of([(1, 3), (2, 2), (3, 1)])
+    assert r["tau"] == -1.0
+    r = tau_of([(1, 1), (1, 2), (2, 1), (2, 2)])
+    assert r["tau"] == 0.0 and not r["significant"]
+    r = tau_of([(1, 7), (2, 7), (3, 7)])
+    assert r["tau"] is None and not r["significant"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "(1,1),(1,2),(2,1),(2,2)) v(x,y)")
+    d = con.execute(kendall_tau_duck(
+        "SELECT x, y FROM t", "x", "y")).fetchone()
+    assert d[1] == 0.0
+
+
+def test_kendall_tau_scipy_style_ties(spark):
+    """A mixed-tie fixture against the hand-evaluated tie-corrected
+    formula: x=[1,1,2,3], y=[1,2,2,3] -> C=4, D=0, n1=n2=1,
+    tau = 4/sqrt(5*5) = 0.8."""
+    from flink_rag_spark.operators.hypothesis import kendall_tau
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 3)], "x int, y int")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau"] == 0.8
+
+
+# ---------------------------------------------- G-test
+
+
+def test_g_test_hand_values(spark):
+    """Uniform 2x2 -> G 0, not significant; diagonal [[20,0],[0,20]]
+    -> G = 80 ln2 (quantized) -> significant at any small crit."""
+    from flink_rag_spark.operators.hypothesis import (
+        g_test_independence, g_test_independence_duck)
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = g_test_independence(df, "r", "c", 3.841).collect()[0]
+    assert out["g"] == 0.0 and not out["significant"]
+    assert out["dof"] == 1 and out["n"] == 40
+    rows = [("a", "x")] * 20 + [("b", "y")] * 20
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = g_test_independence(df, "r", "c", 3.841).collect()[0]
+    # two OBSERVED cells (G skips O=0, unlike chi-square's full grid):
+    # 2 * 2 * 20 * round(ln 2, 9) = 55.451774 (9-dp quantized)
+    assert out["g"] == 55.451774 and out["significant"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'a' AS r, 'x' AS c FROM "
+                "range(20) UNION ALL SELECT 'b', 'y' FROM range(20)")
+    d = con.execute(g_test_independence_duck(
+        "SELECT r, c FROM t", "r", "c", 3.841)).fetchone()
+    assert float(d[4]) == 55.451774 and d[5]
+
+
+# ---------------------------------------------- Page-Hinkley
+
+
+def _ph_reference(xs, delta, lam):
+    """Independent python fold of the quantized PH definition."""
+    from decimal import ROUND_HALF_UP, Decimal
+    t, s = 0, Decimal(0)
+    m_hi = m_lo = Decimal(0)
+    min_hi = min_lo = None
+    first_hi = first_lo = None
+    max_hi = max_lo = Decimal(0)
+    n_alarms = 0
+    for i, x in enumerate(xs, start=1):
+        xq = Decimal(str(x)).quantize(Decimal("1e-6"),
+                                      rounding=ROUND_HALF_UP)
+        t, s = i, s + xq
+        fl = s.to_integral_value(rounding="ROUND_FLOOR")
+        s_d = float(fl) + float(s - fl)
+        xbar = s_d / t
+        for side, sign in (("hi", 1), ("lo", -1)):
+            term = sign * (float(xq) - xbar) - delta
+            tq = Decimal(repr(term)).quantize(
+                Decimal("1e-9"), rounding=ROUND_HALF_UP)
+            if side == "hi":
+                m_hi += tq
+                min_hi = m_hi if min_hi is None else min(min_hi, m_hi)
+                ph = float(m_hi - min_hi)
+            else:
+                m_lo += tq
+                min_lo = m_lo if min_lo is None else min(min_lo, m_lo)
+                ph = float(m_lo - min_lo)
+            ph = round(ph, 6)
+            if side == "hi":
+                max_hi = max(max_hi, Decimal(str(ph)))
+                if ph > lam and first_hi is None:
+                    first_hi = i
+            else:
+                max_lo = max(max_lo, Decimal(str(ph)))
+                if ph > lam and first_lo is None:
+                    first_lo = i
+    return first_hi, first_lo, float(max_hi), float(max_lo)
+
+
+def test_page_hinkley_hand_values(spark):
+    """A level shift upward fires the hi side at the instant the
+    independent python fold predicts; a constant series never alarms;
+    mirror parity on the same fixture."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.anomaly import (
+        page_hinkley_alarms, page_hinkley_alarms_duck)
+    xs = [10.0] * 6 + [60.0] * 6
+    rows = [("u", i, float(x)) for i, x in enumerate(xs, start=1)]
+    df = (spark.createDataFrame(rows, "k string, s bigint, v double")
+          .select("k", F.col("s").alias("event_id"),
+                  F.timestamp_seconds(F.col("s")).alias("ts"), "v"))
+    out = page_hinkley_alarms(df, ["k"], "ts", "v", delta=2.0,
+                              lam=50.0, seq_col="event_id").collect()[0]
+    fh, fl, mh, ml = _ph_reference(xs, 2.0, 50.0)
+    assert out["first_lo_ts"] is None
+    assert int(out["first_hi_ts"].timestamp()) == fh
+    assert out["max_ph_hi"] == mh
+    flat = page_hinkley_alarms(
+        df.withColumn("v", F.lit(5.0)), ["k"], "ts", "v",
+        delta=2.0, lam=50.0, seq_col="event_id").collect()[0]
+    assert flat["n_alarms"] == 0 and flat["first_hi_ts"] is None
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ", ".join(
+        f"('u', {i}, to_timestamp({i}), {x})"
+        for i, x in enumerate(xs, start=1)) + ") v(k, event_id, ts, v)")
+    d = con.execute(page_hinkley_alarms_duck(
+        "SELECT * FROM t", ["k"], "ts", "v", 2.0, 50.0,
+        seq_col="event_id")).fetchone()
+    assert int(d[1].timestamp()) == fh and float(d[3]) == mh
+
+
+# ---------------------------------------------- TextRank
+
+
+def test_textrank_hand_values(spark):
+    """A symmetric 2-word chain ranks both words equally; a hub word
+    outranks its spokes; edge builder emits both directions with
+    window-banded pairs only."""
+    from flink_rag_spark.operators.keywords import (
+        textrank_cooccurrence_edges, textrank_keywords)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "hub x hub y hub z")],
+        "doc_id bigint, text string")
+    edges = {(r["src"], r["dst"]): r["w"] for r in
+             textrank_cooccurrence_edges(
+                 docs.filter("doc_id = 1"), "text", "doc_id",
+                 window=1).collect()}
+    assert edges == {("a", "b"): 3, ("b", "a"): 3}
+    out = textrank_keywords(docs.filter("doc_id = 1"),
+                            k=5, window=1).collect()
+    assert [r["term"] for r in out] == ["a", "b"]
+    assert out[0]["pr"] == out[1]["pr"]
+    hub = textrank_keywords(docs.filter("doc_id = 2"),
+                            k=5, window=1).collect()
+    assert hub[0]["term"] == "hub"
+    assert hub[0]["pr"] > hub[1]["pr"]
+
+
+def test_textrank_duck_parity(spark):
+    """Mirror parity: the same edges through the unrolled weighted
+    pagerank, same top-k tie order."""
+    from flink_rag_spark.operators.keywords import (
+        textrank_keywords, textrank_keywords_duck)
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "c a d d c"), (3, "b d a c b")],
+        "doc_id bigint, text string")
+    sp = [(r["term"], r["pr"], r["rank"]) for r in
+          textrank_keywords(docs, k=4, window=2).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                "(1, 'a b c a b'), (2, 'c a d d c'), (3, 'b d a c b')"
+                ") v(doc_id, text)")
+    du = [(r[0], float(r[1]), r[2]) for r in
+          con.execute(textrank_keywords_duck(k=4, window=2)).fetchall()]
+    assert sp == du
+
+
+def test_streaming_page_hinkley_matches_batch(spark, tmp_path):
+    """The streaming fold's final per-key state equals the batch
+    page_hinkley_scores' last row over the same events — EXACT (the
+    fold replays the batch quantization) — including cross-batch
+    disorder inside the watermark; the first alarm_hi emission is the
+    drift alert."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+    from flink_rag_spark.operators.anomaly import page_hinkley_scores
+    from flink_rag_spark.streaming.ph_monitor import page_hinkley_monitor
+    from tests.test_round9_ops import _write_vbatch
+    src = str(tmp_path / "ph_src")
+    delta, lam = 2.0, 30.0
+    _write_vbatch(spark, src, [
+        ("2024-01-01 00:10:00", 1, 50.0),
+        ("2024-01-01 00:00:00", 1, 10.0),
+        ("2024-01-01 00:05:00", 2, 10.0),
+    ])
+    _write_vbatch(spark, src, [
+        ("2024-01-01 00:05:00", 1, 10.125),   # late, in-watermark
+        ("2024-01-01 00:20:00", 1, 55.5),
+        ("2024-01-01 00:20:00", 2, 10.0),
+        ("2024-06-01 00:00:00", 99, 0.0),     # flush key
+    ])
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "value double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (page_hinkley_monitor(stream, delta, lam, watermark="30 days")
+         .writeStream.format("memory").queryName("ph_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ph"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120), "stream did not drain in time"
+    emitted = spark.sql("select * from ph_t").collect()
+    last = {}
+    for r in emitted:
+        if (r["user_id"] not in last
+                or r["n_events"] > last[r["user_id"]]["n_events"]):
+            last[r["user_id"]] = r
+    assert set(last) == {1, 2}
+    batch = page_hinkley_scores(
+        spark.read.parquet(src).filter("user_id < 99"),
+        ["user_id"], "ts", "value", delta, seq_col="event_id")
+    final = {r["user_id"]: r for r in batch.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("ts"),
+                                             F.desc("event_id"))))
+        .filter("_rn = 1").collect()}
+    for uid in (1, 2):
+        assert last[uid]["ph_hi"] == final[uid]["ph_hi"], uid
+        assert last[uid]["ph_lo"] == final[uid]["ph_lo"], uid
+    assert last[1]["alarm_hi"] and not last[2]["alarm_hi"]
+    assert [r for r in emitted if r["user_id"] == 1 and r["alarm_hi"]]
+
+
+# ---------------------------------------------- Dickey-Fuller
+
+
+def test_dickey_fuller_hand_values(spark):
+    """y=[10,2,8,4,6]: centered sums give beta=-1.7, RSS=0.4,
+    DF=-24.041631 (strongly mean-reverting -> stationary); a constant-
+    difference trend has zero residual variance -> NULL stats; short
+    series -> NULL."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.timeseries import (
+        dickey_fuller, dickey_fuller_duck)
+
+    def mk(name, ys):
+        return [(name, i, float(y)) for i, y in enumerate(ys, start=1)]
+
+    rows = mk("m", [10, 2, 8, 4, 6]) + mk("t", [1, 2, 3, 4, 5]) \
+        + mk("s", [5, 6])
+    df = (spark.createDataFrame(rows, "k string, s bigint, v double")
+          .select("k", F.col("s").alias("event_id"),
+                  F.timestamp_seconds(F.col("s")).alias("ts"), "v"))
+    out = {r["k"]: r for r in dickey_fuller(
+        df, ["k"], "ts", "v", seq_col="event_id").collect()}
+    assert out["m"]["beta"] == -1.7
+    assert out["m"]["df_stat"] == -24.041631
+    assert out["m"]["stationary"]
+    assert out["t"]["df_stat"] is None and not out["t"]["stationary"]
+    assert out["s"]["df_stat"] is None and not out["s"]["stationary"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ", ".join(
+        f"('{k}', {i}, to_timestamp({i}), {v})" for k, i, v in rows)
+        + ") v(k, event_id, ts, v)")
+    d = {r[0]: r for r in con.execute(dickey_fuller_duck(
+        "SELECT * FROM t", ["k"], "ts", "v",
+        seq_col="event_id")).fetchall()}
+    assert float(d["m"][2]) == -1.7 and float(d["m"][3]) == -24.041631
+    assert d["t"][3] is None and d["s"][3] is None
