@@ -401,7 +401,8 @@ def main() -> None:
              # observed grid, TextRank's banded co-occurrence pagerank
              "user_value_ph_drift", "hhi_customer_value_regions",
              "kendall_quantity_linenumber", "gtest_segment_region",
-             "textrank_keywords_docs", "user_value_stationarity"]
+             "textrank_keywords_docs", "user_value_stationarity",
+             "rfm_customer_segments"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -906,3 +906,130 @@ SELECT {gc}, n_members,
          {HHI_DP}) AS hhi_normalized
 FROM stat
 """
+
+
+# --------------------------------------------------- RFM segmentation
+
+RFM_TILES = 5
+
+
+def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
+               value_col: str, n_tiles: int = RFM_TILES) -> DataFrame:
+    """RFM customer segmentation — the classic recency / frequency /
+    monetary scoring every marketing pipeline starts from: each key's
+    three dimensions score 1..``n_tiles`` by VALUE-QUANTILE position,
+
+        score(v) = ⌈ n_tiles · |{keys with dim ≤ v}| / N ⌉
+
+    (higher = better on every dimension — later last-activity, more
+    events, more value; ties share a value so they share a score — the
+    deterministic tie contract, unlike ntile's arbitrary tie split).
+    Output: (key, recency_ts, frequency, monetary, r_score, f_score,
+    m_score, rfm_segment) with the segment as the "RFM" digit string.
+
+    Exactness: frequency is an integer, monetary an exact decimal sum
+    (value quantized to 6 dp) emitted through the floor-split double
+    cast; every score is PURE INTEGER arithmetic — ceil(a/b) as
+    (a + b − 1) div b on exact cumulative counts — so the whole frame
+    is engine-identical by construction.
+
+    Plan at 100 TB: one per-key aggregate, then per DIMENSION a
+    |distinct values|-bounded count frame ranked by the KS distributed
+    prefix sum (range partitions + broadcast offsets — the spearman
+    machinery, no global sort) and joined back on the value. Three
+    small joins on an aggregate-sized frame."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vdec = F.col(value_col).cast("double").cast("decimal(20,6)")
+    stats = (df.filter(F.col(key_col).isNotNull())
+             .groupBy(F.col(key_col).alias("key"))
+             .agg(F.max(ts_col).alias("recency_ts"),
+                  F.count(F.lit(1)).cast("bigint").alias("frequency"),
+                  F.sum(vdec).alias("_mon")))
+
+    def cum_scores(dim: str, out: str) -> DataFrame:
+        per_v = (stats.groupBy(F.col(dim).alias("_v"))
+                 .agg(F.count(F.lit(1)).alias("_t")))
+        part = (per_v.repartitionByRange(nparts, "_v")
+                .withColumn("_pid", F.spark_partition_id())
+                .persist())
+        w_pid = Window.orderBy("_pid")
+        offs = (part.groupBy("_pid").agg(F.sum("_t").alias("_pt"))
+                .select("_pid",
+                        F.coalesce(F.sum("_pt").over(
+                            w_pid.rowsBetween(Window.unboundedPreceding,
+                                              -1)),
+                            F.lit(0)).alias("_off"),
+                        F.sum("_pt").over(
+                            w_pid.rowsBetween(Window.unboundedPreceding,
+                                              Window.unboundedFollowing))
+                        .alias("_n")))
+        w_local = (Window.partitionBy("_pid").orderBy("_v")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+        cum = F.sum("_t").over(w_local) + F.col("_off")
+        # integer ceil: (k·cum + N − 1) div N — Spark's `/` on bigints
+        # is double division, exact here (products ≪ 2^53), floored
+        score = F.floor((F.lit(n_tiles).cast("bigint") * cum
+                         + F.col("_n") - F.lit(1))
+                        / F.col("_n")).cast("int")
+        return (part.join(F.broadcast(offs), "_pid")
+                .select(F.col("_v").alias(dim), score.alias(out)))
+
+    out = stats
+    for dim, sc in (("recency_ts", "r_score"), ("frequency", "f_score"),
+                    ("_mon", "m_score")):
+        out = out.join(cum_scores(dim, sc), on=dim)
+    return out.select(
+        "key", "recency_ts", "frequency",
+        F.round(dec_to_double(F.col("_mon")), 2).alias("monetary"),
+        "r_score", "f_score", "m_score",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")).alias("rfm_segment"))
+
+
+def rfm_scores_duck(inner_sql: str, key_col: str, ts_col: str,
+                    value_col: str, n_tiles: int = RFM_TILES) -> str:
+    """DuckDB mirror of :func:`rfm_scores` — global windows stand in
+    for the distributed prefix sums, same integer-ceil scores."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    mon_d = dec_to_double_duck("_mon")
+
+    def dim_cte(dim, name):
+        return f"""
+{name} AS (
+  SELECT _v, CAST(FLOOR((CAST({n_tiles} AS BIGINT) * cum + n - 1)
+                        / CAST(n AS DOUBLE)) AS INT) AS score
+  FROM (
+    SELECT _v,
+           SUM(_t) OVER (ORDER BY _v ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(_t) OVER () AS n
+    FROM (SELECT {dim} AS _v, COUNT(*) AS _t
+          FROM rfm_stats GROUP BY {dim})))"""
+    return f"""
+WITH rfm_stats AS (
+  SELECT {key_col} AS key, MAX({ts_col}) AS recency_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+           AS _mon
+  FROM ({inner_sql}) WHERE {key_col} IS NOT NULL
+  GROUP BY {key_col}),
+{dim_cte("recency_ts", "rs")},
+{dim_cte("frequency", "fs")},
+{dim_cte("_mon", "ms")}
+SELECT s.key, s.recency_ts, s.frequency,
+       ROUND({mon_d}, 2) AS monetary,
+       rs.score AS r_score, fs.score AS f_score, ms.score AS m_score,
+       CAST(rs.score AS VARCHAR) || CAST(fs.score AS VARCHAR)
+         || CAST(ms.score AS VARCHAR) AS rfm_segment
+FROM rfm_stats s
+JOIN rs ON s.recency_ts = rs._v
+JOIN fs ON s.frequency = fs._v
+JOIN ms ON s._mon = ms._v
+"""

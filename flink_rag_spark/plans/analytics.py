@@ -1695,3 +1695,16 @@ def user_value_stationarity(spark: SparkSession,
     e = load_table(spark, sf_dir, "events")
     return dickey_fuller(e, ["user_id"], "ts", "value",
                          seq_col="event_id")
+
+
+def rfm_customer_segments(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/profiling.py rfm_scores):
+    every customer scored 1-5 on order recency / frequency / monetary
+    value by value-quantile position — pure integer arithmetic over
+    exact cumulative counts, the deterministic ties-share-a-score
+    contract. One per-customer aggregate + three distributed-prefix
+    rank joins."""
+    from flink_rag_spark.operators.profiling import rfm_scores
+    o = load_table(spark, sf_dir, "orders")
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")

@@ -132,6 +132,7 @@ def extra_queries() -> list[tuple]:
         column_entropy_duck,
         gini_concentration_duck,
         hhi_concentration_duck,
+        rfm_scores_duck,
         key_skew_profile_duck,
         profile_columns_duck,
         quantile_bins_duck,
@@ -2073,6 +2074,14 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
              "SELECT event_id, ts, user_id, value FROM events",
              ["user_id"], "ts", "value", seq_col="event_id"),
          ("timeseries", "stats", "window")),
+        # round-14 wave 2: RFM segmentation — integer-exact
+        # value-quantile scores over per-customer aggregates
+        # (profiling.rfm_scores)
+        ("rfm_customer_segments", A.rfm_customer_segments,
+         rfm_scores_duck("SELECT o_custkey, o_orderdate, o_totalprice "
+                         "FROM orders",
+                         "o_custkey", "o_orderdate", "o_totalprice"),
+         ("profiling", "curation", "window")),
         # round-14 wave 2: TextRank corpus keywords — weighted pagerank
         # over the window-2 co-occurrence word graph, oracle-unrolled
         # iterations (keywords.textrank_keywords)

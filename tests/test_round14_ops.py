@@ -634,3 +634,47 @@ def test_dickey_fuller_hand_values(spark):
         seq_col="event_id")).fetchall()}
     assert float(d["m"][2]) == -1.7 and float(d["m"][3]) == -24.041631
     assert d["t"][3] is None and d["s"][3] is None
+
+
+# ---------------------------------------------- RFM segmentation
+
+
+def test_rfm_hand_values(spark):
+    """Four keys over engineered dimensions: scores follow
+    ceil(5·cum/N) with ties sharing a score; segment digits concat;
+    mirror parity."""
+    import pyspark.sql.functions as F
+    from flink_rag_spark.operators.profiling import (
+        rfm_scores, rfm_scores_duck)
+    # k1: 1 event @t1 v=10; k2: 2 events @t2 v=20 total;
+    # k3: 2 events @t3 v=40 total; k4: 1 event @t4 v=40
+    rows = [("k1", 1, 10.0), ("k2", 2, 5.0), ("k2", 2, 15.0),
+            ("k3", 3, 20.0), ("k3", 3, 20.0), ("k4", 4, 40.0)]
+    df = (spark.createDataFrame(rows, "k string, s bigint, v double")
+          .select("k", F.timestamp_seconds(F.col("s")).alias("ts"),
+                  "v"))
+    out = {r["key"]: r for r in
+           rfm_scores(df, "k", "ts", "v", n_tiles=4).collect()}
+    # recency: distinct ts 1<2<3<4 -> cum 1..4 of N=4 -> scores 1..4
+    assert [out[f"k{i}"]["r_score"] for i in (1, 2, 3, 4)] == \
+        [1, 2, 3, 4]
+    # frequency: 1(x2 keys),2(x2): cum(1)=2 -> ceil(8/4)=2;
+    # cum(2)=4 -> 4 — ties share
+    assert [out[f"k{i}"]["f_score"] for i in (1, 2, 3, 4)] == \
+        [2, 4, 4, 2]
+    # monetary: 10<20<40(tie x2): cum 1,2,4 -> scores 1,2,4
+    assert [out[f"k{i}"]["m_score"] for i in (1, 2, 3, 4)] == \
+        [1, 2, 4, 4]
+    assert out["k3"]["rfm_segment"] == "344"
+    assert out["k3"]["monetary"] == 40.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ", ".join(
+        f"('{k}', to_timestamp({s}), {v})" for k, s, v in rows)
+        + ") v(k, ts, v)")
+    du = {r[0]: r for r in con.execute(rfm_scores_duck(
+        "SELECT * FROM t", "k", "ts", "v", n_tiles=4)).fetchall()}
+    for k, r in out.items():
+        assert (du[k][4], du[k][5], du[k][6], du[k][7]) == \
+            (r["r_score"], r["f_score"], r["m_score"], r["rfm_segment"])
+    with pytest.raises(ValueError, match="n_tiles"):
+        rfm_scores(df, "k", "ts", "v", n_tiles=1)
