@@ -402,7 +402,8 @@ def main() -> None:
              "user_value_ph_drift", "hhi_customer_value_regions",
              "kendall_quantity_linenumber", "gtest_segment_region",
              "textrank_keywords_docs", "user_value_stationarity",
-             "rfm_customer_segments"]
+             "rfm_customer_segments",
+             "association_strength_segment_region", "mi_segment_region"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

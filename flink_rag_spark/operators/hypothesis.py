@@ -1902,3 +1902,177 @@ SELECT n, n_rows, n_cols,
        (2 * g2 > {chi2_crit!r}) AS significant
 FROM agg
 """
+
+
+# ---------------------------------- association effect sizes
+
+CRAMER_DP = 6
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str,
+              chi2_crit: float) -> DataFrame:
+    """Cramér's V (and φ) — the EFFECT-SIZE companion to
+    :func:`chi2_independence`'s verdict (chi² says "dependent?", V
+    says "how strongly", on the comparable 0..1 scale):
+
+        φ = √(χ²/n),   V = √(χ² / (n·min(r−1, c−1)))
+
+    Pure composition: the chi² pipeline's one row, plus two double
+    expressions over its 6-dp-rounded statistic (the determinism is
+    inherited — V is DEFINED from the rounded χ², the quantized-input
+    discipline). Output ONE row: (n, n_rows, n_cols, dof, chi2, phi,
+    cramers_v, significant)."""
+    base = chi2_independence(df, row_col, col_col, chi2_crit)
+    n = F.col("n").cast("double")
+    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1) \
+        .cast("double")
+    phi = F.sqrt(F.col("chi2") / n)
+    v = F.when(mindim > 0, F.sqrt(F.col("chi2") / (n * mindim)))
+    return base.select(
+        "n", "n_rows", "n_cols", "dof", "chi2",
+        F.round(phi, CRAMER_DP).alias("phi"),
+        F.round(v, CRAMER_DP).alias("cramers_v"),
+        "significant")
+
+
+def cramers_v_duck(inner_sql: str, row_col: str, col_col: str,
+                   chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`cramers_v` — the chi² mirror wrapped
+    with the same rounded-statistic effect sizes."""
+    inner = chi2_independence_duck(inner_sql, row_col, col_col,
+                                   chi2_crit)
+    return f"""
+SELECT n, n_rows, n_cols, dof, chi2,
+       ROUND(SQRT(chi2 / CAST(n AS DOUBLE)), {CRAMER_DP}) AS phi,
+       ROUND(CASE WHEN LEAST(n_rows - 1, n_cols - 1) > 0 THEN
+         SQRT(chi2 / (CAST(n AS DOUBLE)
+                      * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)))
+         END, {CRAMER_DP}) AS cramers_v,
+       significant
+FROM ({inner}) _cv
+"""
+
+
+MI_DP = 6
+
+
+def mutual_information(df: DataFrame, x_col: str,
+                       y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    √(H(X)·H(Y))-normalized NMI — the INFORMATION-theoretic strength
+    measure beside Cramér's V (V is χ²-shaped; MI is the KL divergence
+    from independence, MI = G/(2n) of :func:`g_test_independence`):
+
+        MI  = Σ_xy (O/n)·ln(n·O / (rt·ct)),
+        NMI = MI / √(H(X)·H(Y))   (NULL when either entropy is 0)
+
+    Output ONE row: (n, mi, h_x, h_y, nmi), nats. NULL categories are
+    excluded.
+
+    Exactness (the G-test discipline): every ln runs on IEEE-identical
+    double ratios and quantizes to 9-dp DECIMAL before multiplying by
+    the exact integer count, so the MI and entropy sums are
+    order-independent exact decimals; the final /n divisions run on
+    floor-split doubles."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    r, c = F.col(x_col), F.col(y_col)
+    obs = (df.filter(r.isNotNull() & c.isNotNull())
+           .groupBy(r.alias("r"), c.alias("cc"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    rows = obs.groupBy("r").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("cc").agg(F.sum("o").alias("ct"))
+    g = (obs.join(F.broadcast(rows), "r")
+         .join(F.broadcast(cols), "cc"))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    g = g.withColumn("n", F.sum("o").over(w_all))
+    lndec = f"decimal(14,{GTEST_LN_DP})"
+    nd = F.col("n").cast("double")
+    ln_mi = F.round(F.log(nd * F.col("o").cast("double")
+                          / (F.col("rt").cast("double")
+                             * F.col("ct").cast("double"))),
+                    GTEST_LN_DP).cast(lndec)
+    dint = "decimal(20,0)"
+    mi_term = F.col("o").cast(dint) * ln_mi
+    agg = g.agg(F.max("n").cast("bigint").alias("n"),
+                F.sum(mi_term).alias("_mi"))
+
+    def _entropy(margin: DataFrame, cnt: str):
+        tot = (Window.orderBy(F.lit(1))
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+        m = margin.withColumn("_n", F.sum(cnt).over(tot))
+        lnq = F.round(F.log(F.col(cnt).cast("double")
+                            / F.col("_n").cast("double")),
+                      GTEST_LN_DP).cast(lndec)
+        return m.agg(F.sum(F.col(cnt).cast(dint) * lnq).alias("_h"))
+
+    hx = _entropy(rows, "rt").select(F.col("_h").alias("_hx"))
+    hy = _entropy(cols, "ct").select(F.col("_h").alias("_hy"))
+    one = (agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy)))
+    n_d = F.col("n").cast("double")
+    mi = dec_to_double(F.col("_mi")) / n_d
+    hxd = -dec_to_double(F.col("_hx")) / n_d
+    hyd = -dec_to_double(F.col("_hy")) / n_d
+    nmi = F.when((hxd > 0) & (hyd > 0), mi / F.sqrt(hxd * hyd))
+    return one.select(
+        "n",
+        F.round(mi, MI_DP).alias("mi"),
+        F.round(hxd, MI_DP).alias("h_x"),
+        F.round(hyd, MI_DP).alias("h_y"),
+        F.round(nmi, MI_DP).alias("nmi"))
+
+
+def mutual_information_duck(inner_sql: str, x_col: str,
+                            y_col: str) -> str:
+    """DuckDB mirror of :func:`mutual_information` — same quantized
+    ln terms, exact decimal sums, floor-split divisions."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    dp = GTEST_LN_DP
+    mi_d = dec_to_double_duck("mi_s")
+    hx_d = dec_to_double_duck("hx_s")
+    hy_d = dec_to_double_duck("hy_s")
+    return f"""
+WITH mi_src AS (
+  SELECT {x_col} AS r, {y_col} AS cc FROM ({inner_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+obs AS (SELECT r, cc, COUNT(*) AS o FROM mi_src GROUP BY r, cc),
+rt AS (SELECT r, SUM(o) AS rt FROM obs GROUP BY r),
+ct AS (SELECT cc, SUM(o) AS ct FROM obs GROUP BY cc),
+j AS (
+  SELECT obs.o, rt.rt, ct.ct, SUM(obs.o) OVER () AS n
+  FROM obs JOIN rt ON obs.r = rt.r JOIN ct ON obs.cc = ct.cc),
+mi_agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         SUM(CAST(o AS DECIMAL(20,0))
+             * CAST(ROUND(LN(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))), {dp})
+               AS DECIMAL(14,{dp}))) AS mi_s
+  FROM j),
+hx AS (
+  SELECT SUM(CAST(rt AS DECIMAL(20,0))
+             * CAST(ROUND(LN(CAST(rt AS DOUBLE)
+                 / CAST(nn AS DOUBLE)), {dp})
+               AS DECIMAL(14,{dp}))) AS hx_s
+  FROM (SELECT rt, SUM(rt) OVER () AS nn FROM rt)),
+hy AS (
+  SELECT SUM(CAST(ct AS DECIMAL(20,0))
+             * CAST(ROUND(LN(CAST(ct AS DOUBLE)
+                 / CAST(nn AS DOUBLE)), {dp})
+               AS DECIMAL(14,{dp}))) AS hy_s
+  FROM (SELECT ct, SUM(ct) OVER () AS nn FROM ct)),
+s AS (
+  SELECT n,
+         {mi_d} / CAST(n AS DOUBLE) AS mi,
+         -({hx_d}) / CAST(n AS DOUBLE) AS hxd,
+         -({hy_d}) / CAST(n AS DOUBLE) AS hyd
+  FROM mi_agg CROSS JOIN hx CROSS JOIN hy)
+SELECT n, ROUND(mi, {MI_DP}) AS mi,
+       ROUND(hxd, {MI_DP}) AS h_x, ROUND(hyd, {MI_DP}) AS h_y,
+       ROUND(CASE WHEN hxd > 0 AND hyd > 0
+             THEN mi / SQRT(hxd * hyd) END, {MI_DP}) AS nmi
+FROM s
+"""

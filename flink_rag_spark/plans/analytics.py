@@ -1708,3 +1708,33 @@ def rfm_customer_segments(spark: SparkSession,
     from flink_rag_spark.operators.profiling import rfm_scores
     o = load_table(spark, sf_dir, "orders")
     return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def association_strength_segment_region(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Cramér's V + φ effect sizes (operators/hypothesis.py cramers_v):
+    HOW STRONGLY does market segment associate with region — the 0..1
+    strength companion to the graded chi-square verdict on the same
+    contingency, composed from its own pipeline."""
+    from flink_rag_spark.operators.hypothesis import cramers_v
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return cramers_v(j, "c_mktsegment", "r_name", CHI2_CRIT_DOF16)
+
+
+def mi_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + NMI (operators/hypothesis.py
+    mutual_information): the information-theoretic strength of the
+    segment x region association — MI = G/(2n) of the graded G-test,
+    normalized by the marginal entropies; quantized-ln exact decimal
+    sums."""
+    from flink_rag_spark.operators.hypothesis import mutual_information
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey))
+    return mutual_information(j, "c_mktsegment", "r_name")

@@ -165,6 +165,7 @@ def extra_queries() -> list[tuple]:
         brown_forsythe_duck,
         chi2_independence_duck,
         cuped_ab_test_duck,
+        cramers_v_duck,
         g_test_independence_duck,
         jarque_bera_duck,
         kendall_tau_duck,
@@ -172,6 +173,7 @@ def extra_queries() -> list[tuple]:
         ks_two_sample_duck,
         kruskal_wallis_duck,
         mann_whitney_u_duck,
+        mutual_information_duck,
         spearman_corr_duck,
         welch_t_duck,
     )
@@ -2082,6 +2084,24 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
                          "FROM orders",
                          "o_custkey", "o_orderdate", "o_totalprice"),
          ("profiling", "curation", "window")),
+        # round-14 wave 2: association effect sizes — Cramér's V/phi
+        # from the chi-square pipeline, MI/NMI from the quantized-ln
+        # grid (hypothesis.cramers_v, mutual_information)
+        ("association_strength_segment_region",
+         A.association_strength_segment_region,
+         cramers_v_duck(
+             "SELECT c_mktsegment, r_name FROM customer "
+             "JOIN nation ON c_nationkey = n_nationkey "
+             "JOIN region ON n_regionkey = r_regionkey",
+             "c_mktsegment", "r_name", A.CHI2_CRIT_DOF16),
+         ("hypothesis", "stats")),
+        ("mi_segment_region", A.mi_segment_region,
+         mutual_information_duck(
+             "SELECT c_mktsegment, r_name FROM customer "
+             "JOIN nation ON c_nationkey = n_nationkey "
+             "JOIN region ON n_regionkey = r_regionkey",
+             "c_mktsegment", "r_name"),
+         ("hypothesis", "stats")),
         # round-14 wave 2: TextRank corpus keywords — weighted pagerank
         # over the window-2 co-occurrence word graph, oracle-unrolled
         # iterations (keywords.textrank_keywords)

@@ -678,3 +678,52 @@ def test_rfm_hand_values(spark):
             (r["r_score"], r["f_score"], r["m_score"], r["rfm_segment"])
     with pytest.raises(ValueError, match="n_tiles"):
         rfm_scores(df, "k", "ts", "v", n_tiles=1)
+
+
+# ---------------------------------------------- effect sizes
+
+
+def test_cramers_v_hand_values(spark):
+    """Perfect 2x2 association -> phi = V = 1; independence -> 0."""
+    from flink_rag_spark.operators.hypothesis import (
+        cramers_v, cramers_v_duck)
+    rows = [("a", "x")] * 20 + [("b", "y")] * 20
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = cramers_v(df, "r", "c", 3.841).collect()[0]
+    assert out["phi"] == 1.0 and out["cramers_v"] == 1.0
+    assert out["significant"]
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = cramers_v(df, "r", "c", 3.841).collect()[0]
+    assert out["cramers_v"] == 0.0 and not out["significant"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'a' AS r, 'x' AS c FROM "
+                "range(20) UNION ALL SELECT 'b', 'y' FROM range(20)")
+    d = con.execute(cramers_v_duck(
+        "SELECT r, c FROM t", "r", "c", 3.841)).fetchone()
+    assert float(d[6]) == 1.0
+
+
+def test_mutual_information_hand_values(spark):
+    """Perfect 2x2 association: MI = H(X) = H(Y) = ln 2, NMI = 1;
+    independence: MI 0, NMI 0."""
+    from flink_rag_spark.operators.hypothesis import (
+        mutual_information, mutual_information_duck)
+    rows = [("a", "x")] * 20 + [("b", "y")] * 20
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = mutual_information(df, "r", "c").collect()[0]
+    ln2_q = 0.693147  # round(round(ln 2, 9), 6)
+    assert out["mi"] == ln2_q and out["h_x"] == ln2_q
+    assert out["h_y"] == ln2_q and out["nmi"] == 1.0
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = mutual_information(df, "r", "c").collect()[0]
+    assert out["mi"] == 0.0 and out["nmi"] == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'a' AS r, 'x' AS c FROM "
+                "range(20) UNION ALL SELECT 'b', 'y' FROM range(20)")
+    d = con.execute(mutual_information_duck(
+        "SELECT r, c FROM t", "r", "c")).fetchone()
+    assert float(d[1]) == ln2_q and float(d[4]) == 1.0
