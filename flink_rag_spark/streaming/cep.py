@@ -1020,7 +1020,8 @@ def _optional_state_schema() -> str:
 
 def _make_optional_fn(steps: list[str],
                       layers: list[tuple[tuple[int, ...], list[int]]],
-                      within_us: int | None):
+                      within_us: int | None,
+                      out_map: list[int] | None = None):
     """applyInPandasWithState body for the optional() monitor: one flat
     ``mins`` array holding every layer's running chain back-to-back
     (offsets captured in the closure), folded exactly like the plain
@@ -1028,8 +1029,13 @@ def _make_optional_fn(steps: list[str],
     final min is set — every event at or before that instant is already
     watermark-final (mins only fold finalized events), so no layer can
     later complete earlier, and the batch twin's earliest-final /
-    most-inclusive pick is decidable immediately."""
+    most-inclusive pick is decidable immediately.
+
+    ``out_map`` lists the flat step indices to EMIT as t1..tE (default
+    every step) — the group monitor passes each original entry's final
+    flat index, the batch ``group_funnel_times`` collapse."""
     k = len(steps)
+    emit = out_map or list(range(1, k + 1))
     sizes = [len(inc) for _b, inc in layers]
     offs = [sum(sizes[:i]) for i in range(len(sizes))]
     total = sum(sizes)
@@ -1097,12 +1103,12 @@ def _make_optional_fn(steps: list[str],
             _b, inc = layers[pick]
             o = offs[pick]
             row = {"user_id": [key[0]]}
-            for j in range(1, k + 1):
+            for e, j in enumerate(emit, start=1):
                 if j in inc:
                     v = mins[o + inc.index(j)]
-                    row[f"t{j}"] = [pd.Timestamp(v, unit="us")]
+                    row[f"t{e}"] = [pd.Timestamp(v, unit="us")]
                 else:
-                    row[f"t{j}"] = [pd.NaT]
+                    row[f"t{e}"] = [pd.NaT]
             yield pd.DataFrame(row)
 
         state.update((mins, buf_ts, buf_type, wm_us, done))
@@ -1146,6 +1152,48 @@ def optional_funnel_monitor(events: DataFrame, steps: list[str],
             .applyInPandasWithState(
                 _make_optional_fn(steps, layers, within_us),
                 outputStructType=_funnel_out_schema(len(steps), key_type),
+                stateStructType=_optional_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def group_funnel_monitor(events: DataFrame, entries: list,
+                         watermark: str = "10 minutes",
+                         within_seconds: int | None = None,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """Streaming FlinkCEP pattern GROUPS — the batch
+    ``sequences.group_funnel_times`` twin: the group desugaring
+    (``times(n)`` unrolled flat, optional groups as unit-toggled
+    layers) feeds the optional monitor's layered fold, emitting one t
+    per ORIGINAL entry (the quantified collapse) at the earliest
+    instant any variant completes. Emissions ≡ the batch rows with the
+    picked variant complete, under the family's watermark-bounded
+    disorder contract (pinned by test)."""
+    from flink_rag_spark.operators.sequences import (_optional_layers,
+                                                     expand_group_entries)
+    flat, last, units = expand_group_entries(entries)
+    bad = [s for s in flat if not isinstance(s, str)]
+    if bad:
+        raise TypeError("group_funnel_monitor takes string steps; "
+                        f"got: {bad!r}")
+    if units:
+        layers = _optional_layers(len(flat), units)
+    else:
+        layers = [((), list(range(1, len(flat) + 1)))]
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    filtered = (events.filter(F.col(type_col).isin(list(set(flat))))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_optional_fn(flat, layers, within_us,
+                                  out_map=list(last)),
+                outputStructType=_funnel_out_schema(len(last), key_type),
                 stateStructType=_optional_state_schema(),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -727,3 +727,47 @@ def test_mutual_information_hand_values(spark):
     d = con.execute(mutual_information_duck(
         "SELECT r, c FROM t", "r", "c")).fetchone()
     assert float(d[1]) == ln2_q and float(d[4]) == 1.0
+
+
+def test_streaming_group_matches_batch(spark, tmp_path):
+    """Pattern-group streaming ≡ batch completions under cross-batch
+    disorder: the doubled optional (b c)×2 group reports inclusively
+    when it fits before the completing d, skips when it can't."""
+    from flink_rag_spark.operators.sequences import (Group,
+                                                     group_funnel_times)
+    from flink_rag_spark.streaming.cep import group_funnel_monitor
+    from tests.test_round13_ops import _drain, _write_cep_batch
+    entries = ["a", Group(["b", "c"], times=2, optional=True), "d"]
+    ev = [("2024-01-01 00:00:01", 1, "a"),
+          ("2024-01-01 00:00:02", 1, "b"),
+          ("2024-01-01 00:00:04", 1, "b"),
+          ("2024-01-01 00:00:05", 1, "c"),
+          ("2024-01-01 00:00:06", 1, "d"),
+          ("2024-01-01 00:00:01", 2, "a"),
+          ("2024-01-01 00:00:02", 2, "b"),
+          ("2024-01-01 00:00:03", 2, "c"),
+          ("2024-01-01 00:00:04", 2, "d")]
+    late = [("2024-01-01 00:00:03", 1, "c")]   # completes g1's group
+    tail = [("2024-01-10 00:00:00", 99, "a")]
+    src = str(tmp_path / "grp_src")
+    _write_cep_batch(spark, src, ev)
+    _write_cep_batch(spark, src, late)
+    _write_cep_batch(spark, src, tail)
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    got = sorted(
+        (r["user_id"], r["t1"], r["t2"], r["t3"])
+        for r in _drain(group_funnel_monitor(
+            stream, entries, watermark="1 hour"),
+            tmp_path, "grp_m").collect())
+    want = sorted(
+        (r["user_id"], r["t1"], r["t2"], r["t3"])
+        for r in group_funnel_times(
+            spark.read.parquet(src), entries).collect()
+        if r["t3"] is not None)
+    assert got == want
+    by_u = {u: (t1, t2, t3) for u, t1, t2, t3 in got}
+    assert by_u[1][1] is not None    # doubled group fits (late c)
+    assert by_u[2][1] is None        # can't double -> group skipped
