@@ -838,8 +838,20 @@ def main() -> None:
                             "(sub-2s queries swing ±50% run-to-run "
                             "here), so no query is flagged at the "
                             "×1.4 rule against the r13 medians — the "
-                            "rule applies within-host, and the r14 "
-                            "anchor for next round is 26.75"),
+                            "rule applies within-host; a third "
+                            "uncontended run after the full suite "
+                            "read 24.21 total (qps 177/299/195/188/"
+                            "267), so the r14 anchor band for next "
+                            "round is 24.2-27.7 with ~±15% intra-day "
+                            "drift; the round-14 families' 10x "
+                            "rehearsals all ran decisively sub-linear "
+                            "(optional 2.03, group 1.38, "
+                            "page-hinkley 2.15, kendall 1.24, fuzzy "
+                            "1.97 vs k=10 — the variant layers stay "
+                            "window arithmetic on one exchange, the "
+                            "kendall pair frame stays cell-bounded, "
+                            "the fuzzy cascade stays "
+                            "vocabulary-bounded)"),
         }
 
     total = round(sum(timings.values()), 3)
