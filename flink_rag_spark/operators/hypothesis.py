@@ -29,7 +29,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
-from flink_rag_spark.operators.util import dec_to_double, dec_to_double_duck
+from flink_rag_spark.operators.util import (
+    dec_to_double,
+    dec_to_double_duck,
+    track_cached_deps,
+)
 
 #: KS critical-value coefficient at alpha = 0.05: sqrt(-ln(alpha/2)/2)
 KS_ALPHA = 0.05
@@ -124,12 +128,12 @@ def _ks_from_tagged(tagged: DataFrame,
     d = F.max(F.abs(F.col("fa") - F.col("fb")))
     crit = (F.sqrt(F.lit(-1.0) * F.log(F.lit(KS_ALPHA / 2.0)) / F.lit(2.0))
             * F.sqrt((nad + nbd) / (nad * nbd)))
-    return cdf.agg(
+    return track_cached_deps(cdf.agg(
         F.round(d, KS_DP).alias("ks_d"),
         F.max("n_a").alias("n_a"),
         F.max("n_b").alias("n_b"),
         F.round(crit, KS_DP).alias("crit_value"),
-        (d > crit).alias("reject"))
+        (d > crit).alias("reject")), [part])
 
 
 def ks_two_sample_duck(a_sql: str, b_sql: str, value_col: str) -> str:
@@ -617,13 +621,14 @@ def mann_whitney_u(a: DataFrame, b: DataFrame, value_col: str,
         * ((nd + F.lit(1.0))
            - F.col("_ties").cast("double") / (nd * (nd - F.lit(1.0)))))
     z = F.when(sig2 > 0, (ua - mu) / F.sqrt(sig2))
-    return agg.select(
+    return track_cached_deps(agg.select(
         "n_a", "n_b",
         ua.alias("u_a"),
         mu.alias("mu_u"),
         F.round(F.when(sig2 > 0, F.sqrt(sig2)), MWU_DP).alias("sigma_u"),
         F.round(z, MWU_DP).alias("z"),
-        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant")),
+        [part])
 
 
 def mann_whitney_u_duck(a_sql: str, b_sql: str, value_col: str,
@@ -702,14 +707,16 @@ def _avg_ranks(df: DataFrame, col: str, out: str,
     w_local = (Window.partitionBy("_pid").orderBy("_v")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     two = "decimal(24,1)"
-    return (part.join(F.broadcast(offs), "_pid")
-            .withColumn("_below",
-                        F.sum("_t").over(w_local) + F.col("_off")
-                        - F.col("_t"))
-            .select(F.col("_v").alias(col),
-                    (F.col("_below").cast(two)
-                     + (F.col("_t").cast(two) + F.lit(1)) / F.lit(2))
-                    .cast(two).alias(out)))
+    return track_cached_deps(
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn("_below",
+                    F.sum("_t").over(w_local) + F.col("_off")
+                    - F.col("_t"))
+        .select(F.col("_v").alias(col),
+                (F.col("_below").cast(two)
+                 + (F.col("_t").cast(two) + F.lit(1)) / F.lit(2))
+                .cast(two).alias(out)),
+        [part])
 
 
 def spearman_corr(df: DataFrame, x_col: str, y_col: str,
@@ -761,10 +768,13 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     vy = n * _c("_syy") - _c("_sy") * _c("_sy")
     rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     z = F.when(n > 1, rho * F.sqrt(n - F.lit(1.0)))
-    return agg.select(
-        "n", F.round(rho, SPEARMAN_DP).alias("rho"),
-        F.round(z, SPEARMAN_DP).alias("z"),
-        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+    return track_cached_deps(
+        agg.select(
+            "n", F.round(rho, SPEARMAN_DP).alias("rho"),
+            F.round(z, SPEARMAN_DP).alias("z"),
+            F.coalesce(F.abs(z) > z_crit, F.lit(False))
+            .alias("significant")),
+        getattr(rx, "_cached_deps", []) + getattr(ry, "_cached_deps", []))
 
 
 def spearman_corr_duck(inner_sql: str, x_col: str, y_col: str,
@@ -919,11 +929,13 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
     c_corr = (F.lit(1.0)
               - F.col("_ties").cast("double") / (nd * nd * nd - nd))
     h = F.when((nd > 1) & (c_corr > 0), raw / c_corr)
-    return one.select(
-        "n", "n_groups",
-        F.round(h, KW_DP).alias("h"),
-        F.coalesce(h > F.lit(chi2_crit), F.lit(False))
-        .alias("significant"))
+    return track_cached_deps(
+        one.select(
+            "n", "n_groups",
+            F.round(h, KW_DP).alias("h"),
+            F.coalesce(h > F.lit(chi2_crit), F.lit(False))
+            .alias("significant")),
+        [part])
 
 
 def kruskal_wallis_duck(inner_sql: str, group_col: str, value_col: str,
@@ -1025,8 +1037,13 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
     double's ulp crosses the 1e-9 grid: measured 68-99 % divergence
     between the engines' rounding of IDENTICAL doubles, the round-13
     brown_forsythe failure); the final decimal→double casts floor-split
-    through util.dec_to_double. Headroom: |S_g| ≤ 1e13 (u² inside
-    DECIMAL(38,0)/int128).
+    through util.dec_to_double. Headroom: the 9-dp term S_g²·10⁹/n_g —
+    computed via a q/r split so no intermediate squares the raw unscaled
+    sum — must fit DECIMAL(38,0)/int128, i.e. Σ_g S_g²/n_g ≤ 1e29
+    (per-group |S_g| ≤ 3.1e14·√n_g), and Q = Σv² must fit its
+    DECIMAL(38,12) sum (≤ 1e26). Beyond either bound Spark raises
+    NUMERIC_VALUE_OUT_OF_RANGE (ANSI, the session default) rather than
+    silently nulling.
 
     Plan at 100 TB: ONE grouped partial+final aggregate over the scan
     (k rows out), then arithmetic on the k-row frame — no join, no
@@ -1039,17 +1056,28 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
               F.sum(v).alias("sg"),
               F.sum(v * v).alias("qg")))
     # sg²/ng as an EXACT 9-dp fixed-point integer: u = unscaled(sg)
-    # (·10⁶), term·10⁹ = half-up(u², ng·10³) = (2u² + d) fdiv (2d).
-    # The floor division is (a − a%b)/b on DECIMAL(38,0) — decimal %
-    # is exact and an exactly-divisible decimal quotient is exact —
-    # NOT Spark's `div`, whose BIGINT return wraps above 2^63 (these
-    # quotients reach ~1e23); all operands non-negative
+    # (·10⁶), term·10⁹ = half-up(u², D) with D = ng·10³. A direct 2u²
+    # already overflows DECIMAL(38,0) at |sg| > ~7e12, and Spark types
+    # an exact decimal quotient as DECIMAL(38,6) (overflow at 1e32), so
+    # split u = q·D + r (q = trunc quotient, r = trunc remainder, both
+    # exact):  u²/D = q²·D + 2qr + r²/D  — the first two terms are exact
+    # integers, and only the remainder term needs the half-up division
+    #   half-up(r², D) = (2r² + D) fdiv (2D) = (a − a%b)/b
+    # whose operands stay ≤ ~2D² (r² < D²). The trunc quotient is
+    # (u − u%D)/D — decimal % is exact, an exactly-divisible decimal
+    # quotient is exact, and the identity holds for negative u too
+    # (r ≤ 0 there, 2qr ≥ 0, r² < D²) — NOT Spark's `div`, whose BIGINT
+    # return wraps above 2^63. Headroom is now the term itself fitting
+    # DECIMAL(38,0): sg²·10⁹/ng ≤ 1e38 (see docstring).
     d38 = "decimal(38,0)"
     u = (F.col("sg") * F.lit(1_000_000)).cast(d38)
     dnm = F.col("ng").cast(d38) * F.lit(1000).cast(d38)
-    num = F.lit(2).cast(d38) * u * u + dnm
+    q0 = ((u - u % dnm) / dnm).cast(d38)
+    r0 = (u % dnm).cast(d38)
+    num = F.lit(2).cast(d38) * r0 * r0 + dnm
     den = F.lit(2).cast(d38) * dnm
-    term9 = ((num - num % den) / den).cast(d38)
+    rem9 = ((num - num % den) / den).cast(d38)
+    term9 = q0 * q0 * dnm + F.lit(2).cast(d38) * q0 * r0 + rem9
     agg = g.agg(F.sum("ng").cast("bigint").alias("n"),
                 F.count(F.lit(1)).cast("bigint").alias("n_groups"),
                 F.sum("sg").alias("_s"),
@@ -1093,17 +1121,25 @@ WITH av AS (
 per_g AS (
   SELECT g, COUNT(*) AS ng, SUM(v) AS sg, SUM(v * v) AS qg
   FROM av GROUP BY g),
+split AS (
+  -- term·10⁹ = half-up(u², D) on int128, u = unscaled(sg), D = ng·10³
+  -- — exact fixed-point (ROUND(double, 9) is not engine-portable
+  -- here), via the same q/r split as the Spark side so both engines
+  -- share the q²D + 2qr + half-up(r², D) headroom (u² alone would
+  -- overflow int128 at |sg| > ~1.3e13; // and % truncate identically
+  -- in both engines)
+  SELECT ng, sg, qg,
+         CAST(sg * 1000000 AS HUGEINT) AS u,
+         CAST(ng AS HUGEINT) * 1000 AS d
+  FROM per_g),
 agg AS (
-  -- term·10⁹ = half-up(u², ng·10³) on int128, u = unscaled(sg) —
-  -- exact fixed-point (ROUND(double, 9) is not engine-portable here)
   SELECT CAST(SUM(ng) AS BIGINT) AS n,
          CAST(COUNT(*) AS BIGINT) AS n_groups,
          SUM(sg) AS s, SUM(qg) AS q,
-         SUM((2 * CAST(sg * 1000000 AS HUGEINT)
-                * CAST(sg * 1000000 AS HUGEINT)
-              + CAST(ng AS HUGEINT) * 1000)
-             // (2 * CAST(ng AS HUGEINT) * 1000)) AS t9
-  FROM per_g),
+         SUM((u // d) * (u // d) * d
+             + 2 * (u // d) * (u % d)
+             + (2 * (u % d) * (u % d) + d) // (2 * d)) AS t9
+  FROM split),
 stat AS (
   SELECT n, n_groups,
          CAST(t9 AS DOUBLE) / 1e9

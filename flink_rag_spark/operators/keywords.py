@@ -187,7 +187,6 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text",
     from flink_rag_spark.operators.graph import pagerank
     edges = textrank_cooccurrence_edges(docs, text_col, id_col, window)
     pr = pagerank(edges, iters=iters, weight="w")
-    w = Window.orderBy(F.desc("pr"), F.col("node"))
     return (pr.orderBy(F.desc("pr"), F.col("node")).limit(k)
             .select(F.col("node").alias("term"), "pr")
             .withColumn("rank", F.row_number().over(

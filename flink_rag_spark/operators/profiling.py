@@ -927,6 +927,14 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
     Output: (key, recency_ts, frequency, monetary, r_score, f_score,
     m_score, rfm_segment) with the segment as the "RFM" digit string.
 
+    NULL contract: NULL keys are excluded, and a key whose recency
+    (all timestamps NULL) or monetary (all values NULL) dimension is
+    NULL is EXCLUDED from the output — a NULL dimension has no quantile
+    position, and both engines' equi-joins drop it identically (the
+    gini/hhi explicit-NULL-handling discipline). Pre-filter or
+    COALESCE upstream to score such keys.
+
+
     Exactness: frequency is an integer, monetary an exact decimal sum
     (value quantized to 6 dp) emitted through the floor-split double
     cast; every score is PURE INTEGER arithmetic — ceil(a/b) as
@@ -937,7 +945,10 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
     |distinct values|-bounded count frame ranked by the KS distributed
     prefix sum (range partitions + broadcast offsets — the spearman
     machinery, no global sort) and joined back on the value. Three
-    small joins on an aggregate-sized frame."""
+    small joins on an aggregate-sized frame. The three rank frames
+    persist for the plan's duration; call
+    ``operators.util.unpersist_cached_deps(result)`` after
+    materializing (looping callers — bench does)."""
     from flink_rag_spark.operators.util import dec_to_double
 
     if n_tiles < 2:
@@ -951,12 +962,15 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
                   F.count(F.lit(1)).cast("bigint").alias("frequency"),
                   F.sum(vdec).alias("_mon")))
 
+    pinned: list[DataFrame] = []
+
     def cum_scores(dim: str, out: str) -> DataFrame:
         per_v = (stats.groupBy(F.col(dim).alias("_v"))
                  .agg(F.count(F.lit(1)).alias("_t")))
         part = (per_v.repartitionByRange(nparts, "_v")
                 .withColumn("_pid", F.spark_partition_id())
                 .persist())
+        pinned.append(part)
         w_pid = Window.orderBy("_pid")
         offs = (part.groupBy("_pid").agg(F.sum("_t").alias("_pt"))
                 .select("_pid",
@@ -984,13 +998,15 @@ def rfm_scores(df: DataFrame, key_col: str, ts_col: str,
     for dim, sc in (("recency_ts", "r_score"), ("frequency", "f_score"),
                     ("_mon", "m_score")):
         out = out.join(cum_scores(dim, sc), on=dim)
-    return out.select(
+    from flink_rag_spark.operators.util import track_cached_deps
+    return track_cached_deps(out.select(
         "key", "recency_ts", "frequency",
         F.round(dec_to_double(F.col("_mon")), 2).alias("monetary"),
         "r_score", "f_score", "m_score",
         F.concat(F.col("r_score").cast("string"),
                  F.col("f_score").cast("string"),
-                 F.col("m_score").cast("string")).alias("rfm_segment"))
+                 F.col("m_score").cast("string")).alias("rfm_segment")),
+        pinned)
 
 
 def rfm_scores_duck(inner_sql: str, key_col: str, ts_col: str,

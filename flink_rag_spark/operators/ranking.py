@@ -1171,9 +1171,15 @@ def fuzzy_term_topk_indexed(spark, path: str, term: str,
     if st.get("dedup_on_read"):
         postings = postings.dropDuplicates(["doc_id", "term"])
     doclens = spark.read.parquet(os.path.join(path, "doclens"))
+    # the matched DOC-ID set must never carry a broadcast hint: a fuzzy
+    # neighborhood that reaches a common vocabulary term matches O(corpus)
+    # docs, and a forced broadcast of that set kills the driver at scale.
+    # The TERM-side frames (matched, dfreq) are vocabulary-bounded —
+    # |Σ^(len±d)| edit ball ∩ vocab — so their hints stay; the doc-id
+    # semi-join is left to AQE, which broadcasts it only when it measures
+    # small.
     matched_ids = postings.select("doc_id").distinct()
-    doclens = doclens.join(F.broadcast(matched_ids),
-                           on="doc_id", how="left_semi")
+    doclens = doclens.join(matched_ids, on="doc_id", how="left_semi")
     if st.get("dedup_on_read"):
         doclens = doclens.dropDuplicates(["doc_id"])
     dfreq = (postings.groupBy("term")

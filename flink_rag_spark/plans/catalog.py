@@ -1599,7 +1599,54 @@ _EXTRA: list[QueryDef] = [QueryDef(*t) for t in extra_queries()]
 #: shares the pair machinery; graded r9-r13), and fk_audit_all
 #: (validation keeps its swept oracle; the audit is compositional over
 #: the graded IVM rows' keyed joins; graded r9-r13).
+#: Round 15 promotes the thirteen swept round-14 families so each earns a
+#: driver CORRECTNESS row (r14 verdict item 1, all oracle-green at %.17g):
+#: optional() CEP, pattern groups, fuzzy term search, Page–Hinkley drift,
+#: HHI concentration, Kendall τ-b, the G-test, TextRank keywords,
+#: Dickey–Fuller stationarity, RFM segmentation, Cramér's V/φ, mutual
+#: information, and CUPED (skipped two rounds running — the thirteenth
+#: slot). Thirteen long-stable multi-round-graded slots rotate to the
+#: tail, every one keeping its DuckDB oracle in pytest's sweep:
+#: purchase_attribution (last-touch; attribution keeps the first-touch /
+#: time-decay / U-shaped graded trio on the same per-journey machinery;
+#: graded r09-r14), strict_funnel_users + frequent_event_paths (the
+#: sequence family keeps SIX graded rows — all-matches, consumed,
+#: consecutive, the skipTo pair, plus the incoming optional/group pair
+#: that desugars onto the same layers; graded r11-r14 / r12-r14),
+#: pagerank_copurchase (the graph family keeps part_pagerank_weighted +
+#: part_hits_copurchase graded, and the incoming textrank_keywords_docs
+#: COMPOSES the same pagerank iterations over the word graph; graded
+#: r08d-r14), part_link_prediction + part_ppr_relevance (same graph
+#: coverage argument; graded r10/r11-r14), chi2_segment_region (the
+#: contingency machinery stays graded THREE ways — the incoming G-test
+#: shares the observed/expected grid, Cramér's V derives from the same
+#: chi² statistic, and MI folds the same cell frame; graded r12-r14),
+#: mwu_order_price_regions + spearman_quantity_price (the rank battery
+#: keeps kw_order_price_regions graded and gains Kendall τ-b — the
+#: concordant/discordant-pair rank correlation that subsumes Spearman's
+#: monotone-association role; graded r12-r14), user_value_holt_forecast
+#: (forecasting keeps Holt–Winters graded, which subsumes Holt's
+#: level+trend recursion; graded r12-r14), signup_purchase_logrank
+#: (survival keeps the Nelson–Aalen hazard graded on the same cohort
+#: frame; graded r12-r14), user_value_acf (the lag machinery is the
+#: sub-stage of the incoming Dickey–Fuller regression; decomposition
+#: stays graded; graded r12-r14), and benford_order_prices (profiling
+#: keeps gini + entropy + t-closeness graded and gains HHI + RFM; graded
+#: r12-r14).
 _PROMOTED = [
+    "optional_funnel_users",
+    "group_funnel_users",
+    "fuzzy_term_topk_docs",
+    "user_value_ph_drift",
+    "hhi_customer_value_regions",
+    "kendall_quantity_linenumber",
+    "gtest_segment_region",
+    "textrank_keywords_docs",
+    "user_value_stationarity",
+    "rfm_customer_segments",
+    "association_strength_segment_region",
+    "mi_segment_region",
+    "cuped_user_value_ab",
     "skip_to_first_funnel_users",
     "skip_to_last_funnel_users",
     "anova_order_price_regions",
@@ -1614,32 +1661,19 @@ _PROMOTED = [
     "bf_order_price_regions",
     "consumed_funnel_matches_users",
     "consecutive_funnel_users",
-    "user_value_holt_forecast",
     "user_value_hw_forecast",
     "user_value_decomposition",
-    "user_value_acf",
-    "signup_purchase_logrank",
-    "chi2_segment_region",
-    "mwu_order_price_regions",
-    "spearman_quantity_price",
     "kw_order_price_regions",
     "gini_order_value_regions",
-    "benford_order_prices",
     "purchase_attribution_first",
     "purchase_attribution_decay",
     "purchase_attribution_ushaped",
-    "frequent_event_paths",
     "embedding_drift_labels",
     "rbo_bm25_vs_lm",
     "all_funnel_matches_users",
     "part_pagerank_weighted",
-    "strict_funnel_users",
-    "part_link_prediction",
-    "part_ppr_relevance",
-    "purchase_attribution",
     "ivm_upserted_orders",
     "resolved_part_entities",
-    "pagerank_copurchase",
     "rollup_hll_users_hourly",
     "curated_packed_training_set",
     "rag_reranked_answer",

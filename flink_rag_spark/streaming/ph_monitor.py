@@ -119,8 +119,15 @@ def _make_ph_fn(delta: float, lam: float):
         wm_us = max(wm_us, new_wm_us)
 
         if folded:
-            ph_hi = round(float(m_hi - min_hi), 6)
-            ph_lo = round(float(m_lo - min_lo), 6)
+            # the batch emission is F.round((m − min).cast(double), 6):
+            # decimal→double cast, then HALF_UP on the double's shortest
+            # repr. Python's round() is half-EVEN on the binary double —
+            # at a 6-dp midpoint (e.g. 5e-7) the two disagree — so
+            # quantize the repr exactly like _fold_one does.
+            ph_hi = float(Decimal(repr(float(m_hi - min_hi)))
+                          .quantize(_Q6, rounding=ROUND_HALF_UP))
+            ph_lo = float(Decimal(repr(float(m_lo - min_lo)))
+                          .quantize(_Q6, rounding=ROUND_HALF_UP))
             yield pd.DataFrame({
                 "user_id": [key[0]],
                 "ph_hi": [ph_hi],

@@ -28,9 +28,12 @@ def _plan_lint(df, name: str) -> None:
 
 @pytest.mark.parametrize("qdef", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
 def test_oracle_parity(spark, sf_oracle, qdef):
+    from flink_rag_spark.operators.util import unpersist_cached_deps
+
     df = qdef.fn(spark, sf_oracle)
     _plan_lint(df, qdef.name)
     res = compare(df, qdef.oracle, sf_oracle)
+    unpersist_cached_deps(df)
     assert res["rows_match"], res
     assert res["cols_match"], res
     assert res["values_match"], {k: v for k, v in res.items() if k != "values_match"}
