@@ -2711,3 +2711,190 @@ picked AS (SELECT *, {best} AS _best FROM per_key),
 chosen AS (SELECT *, {pick} AS _pick FROM picked)
 SELECT {key_col}, {", ".join(t_sel)} FROM chosen
 """
+
+
+# ------------------------------------------------- greedy() loops
+
+
+def _greedy_validate(steps: list, greedy: int, n: int) -> None:
+    """Shared argument contract for the greedy-loop pair."""
+    k = len(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if not isinstance(n, int) or n < 1:
+        raise ValueError(f"n must be an int >= 1, got {n!r}")
+    if not 1 <= greedy <= k:
+        raise ValueError(f"greedy step index must be in 1..{k}, "
+                         f"got {greedy}")
+    if greedy == k:
+        raise ValueError(
+            "a greedy loop cannot be the pattern's LAST step — with "
+            "nothing after it the absorption never closes (FlinkCEP "
+            "rejects a trailing greedy() for the same reason); use "
+            "timesOrMore via quantified_funnel_times instead")
+    s_loop, s_next = steps[greedy - 1], steps[greedy]
+    if (isinstance(s_loop, str) and isinstance(s_next, str)
+            and s_loop == s_next):
+        raise ValueError(
+            "the greedy loop's condition must not overlap the following "
+            f"step's ({s_loop!r} == {s_next!r}): greedy absorption would "
+            "steal the follower's events and the completion instant "
+            "becomes NFA-path-dependent; disjoint step conditions are "
+            "the caller's contract (only string equality is checkable)")
+
+
+def greedy_funnel_times(events: DataFrame, steps: list[str | Column],
+                        greedy: int, n: int = 1,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        seq_col: str = "event_id",
+                        within_seconds: int | None = None) -> DataFrame:
+    """``funnel_times`` with a GREEDY looping step — FlinkCEP's
+    ``times(n).greedy()`` / ``oneOrMore().greedy()`` (Pattern.java's
+    last loop modifier beside the covered quantifier / until /
+    consecutive surface; the reference runs FlinkCEP 1.18, cf.
+    RAG.java's pipeline frame): step ``greedy`` (1-based) repeats n or
+    more times and absorbs as MANY repetitions as possible before the
+    pattern advances.
+
+    Parity mapping (the documented contract a FlinkCEP port needs):
+    with the loop's condition disjoint from the following step's
+    (enforced for string steps), greedy absorption cannot steal the
+    follower's events, so every COMPLETION instant is identical to the
+    reluctant ``quantified_funnel_times`` chain — what changes is the
+    loop's ATTRIBUTION: the loop claims every qualifying event strictly
+    between the prefix completion and the first suffix instant
+    (FlinkCEP's getEventsForPattern for a greedy group), so
+
+    - ``t_greedy`` reports the LAST absorbed repetition (the reluctant
+      chain reports the n-th),
+    - ``absorbed`` counts the whole run (>= n when the match closes).
+
+    Output: (key, t1..tk, absorbed). While the first suffix event has
+    not arrived the run is still open — t_greedy and absorbed report
+    NULL (the streaming monitor's undecided state), earlier steps still
+    report their instants; keys with no qualifying events report
+    all-NULL like the flat funnel.
+
+    Scale shape: the flat funnel's — k+n-1 chained running-min layers
+    plus two per-key scalar windows and one conditional aggregate, all
+    on ONE (key, ts) exchange; no joins, no second shuffle (the final
+    groupBy reuses the window's hash partitioning)."""
+    _greedy_validate(steps, greedy, n)
+    k, g = len(steps), greedy
+    flat = list(steps[:g - 1]) + [steps[g - 1]] * n + list(steps[g:])
+    m = len(flat)
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in flat]
+    loop_cond = (F.col(type_col) == steps[g - 1]
+                 if isinstance(steps[g - 1], str) else steps[g - 1])
+    if all(isinstance(s, str) for s in steps):
+        df = (events.filter(F.col(type_col).isin(
+            [s for s in steps if isinstance(s, str)]))
+            .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    w = (Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for i in range(1, m + 1):
+        cond = conds[i - 1]
+        if i > 1:
+            cond = cond & (F.col(ts_col) > F.col(f"_gr{i - 1}"))
+            if within_seconds is not None:
+                cond = cond & (
+                    F.col(ts_col) <= F.col("_gr1")
+                    + F.expr(f"INTERVAL {within_seconds} SECOND"))
+        df = df.withColumn(f"_gr{i}",
+                           F.min(F.when(cond, F.col(ts_col))).over(w))
+    # per-key scalars: the chain columns are running mins, so their
+    # partition-wide min IS the chain value — an unordered window on
+    # the same key adds no shuffle
+    w_all = Window.partitionBy(key_col)
+    s1 = F.min(F.col(f"_gr{g + n}")).over(w_all)
+    absorb = loop_cond & s1.isNotNull() & (F.col(ts_col) < s1)
+    if g > 1:
+        pe = F.min(F.col(f"_gr{g - 1}")).over(w_all)
+        absorb = absorb & pe.isNotNull() & (F.col(ts_col) > pe)
+    df = df.withColumn("_gabs", F.when(absorb, F.col(ts_col)))
+    aggs = [F.min(f"_gr{i}").alias(f"_m{i}") for i in range(1, m + 1)]
+    aggs += [F.max("_gabs").alias("_gbend"),
+             F.count("_gabs").cast("bigint").alias("_gcnt")]
+    agg = df.groupBy(key_col).agg(*aggs)
+    out = []
+    for j in range(1, k + 1):
+        if j < g:
+            out.append(F.col(f"_m{j}").alias(f"t{j}"))
+        elif j == g:
+            out.append(F.col("_gbend").alias(f"t{j}"))
+        else:
+            out.append(F.col(f"_m{j + n - 1}").alias(f"t{j}"))
+    out.append(F.when(F.col("_gbend").isNotNull(), F.col("_gcnt"))
+               .alias("absorbed"))
+    return agg.select(key_col, *out)
+
+
+def greedy_funnel_times_duck(steps: list[str], greedy: int, n: int = 1,
+                             within_seconds: int | None = None,
+                             key_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             seq_col: str = "event_id",
+                             table: str = "events") -> str:
+    """DuckDB mirror of :func:`greedy_funnel_times` — the same flat
+    expansion as stacked running-min CTEs, the same per-key scalar
+    windows bounding the absorption, the same conditional aggregate.
+    String steps only (the flat mirror's Column caveat)."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("greedy_funnel_times_duck only mirrors string "
+                        f"steps; got: {bad!r}")
+    _greedy_validate(steps, greedy, n)
+    k, g = len(steps), greedy
+    flat = list(steps[:g - 1]) + [steps[g - 1]] * n + list(steps[g:])
+    m = len(flat)
+    in_list = ", ".join(_q(s) for s in sorted(set(steps)))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {seq_col} "
+            "ROWS UNBOUNDED PRECEDING)")
+    ctes = []
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    for i, step in enumerate(flat, start=1):
+        cond = f"{type_col} = {_q(step)}"
+        if i > 1:
+            cond += f" AND {ts_col} > _gr{i - 1}"
+            if within_seconds is not None:
+                cond += (f" AND {ts_col} <= _gr1 + "
+                         f"INTERVAL {within_seconds} SECOND")
+        ctes.append(
+            f"l{i} AS (SELECT {prev_cols}, "
+            f"MIN(CASE WHEN {cond} THEN {ts_col} END) {over} "
+            f"AS _gr{i} FROM {src})")
+        prev_cols += f", _gr{i}"
+        src = f"l{i}"
+    pw = f"OVER (PARTITION BY {key_col})"
+    pe_sel = (f"MIN(_gr{g - 1}) {pw} AS _pe, " if g > 1 else "")
+    absorb = (f"{type_col} = {_q(steps[g - 1])} "
+              f"AND _s1 IS NOT NULL AND {ts_col} < _s1")
+    if g > 1:
+        absorb += f" AND _pe IS NOT NULL AND {ts_col} > _pe"
+    t_sel = []
+    for j in range(1, k + 1):
+        if j < g:
+            t_sel.append(f"MIN(_gr{j}) AS t{j}")
+        elif j == g:
+            t_sel.append(f"MAX(_ga) AS t{j}")
+        else:
+            t_sel.append(f"MIN(_gr{j + n - 1}) AS t{j}")
+    return f"""
+WITH e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col}
+           FROM {table} WHERE {type_col} IN ({in_list})),
+{", ".join(ctes)},
+sc AS (SELECT *, {pe_sel}MIN(_gr{g + n}) {pw} AS _s1 FROM {src}),
+ab AS (SELECT *, CASE WHEN {absorb} THEN {ts_col} END AS _ga FROM sc)
+SELECT {key_col}, {", ".join(t_sel)},
+       CASE WHEN MAX(_ga) IS NOT NULL
+            THEN CAST(COUNT(_ga) AS BIGINT) END AS absorbed
+FROM ab GROUP BY {key_col}
+"""

@@ -413,6 +413,28 @@ def group_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase"])
 
 
+#: greedy() fixture — view, then a greedy click loop (1+ reps absorbing
+#: every click before the completing purchase), then purchase; the
+#: reported t2 is the run's LAST click and `absorbed` its length
+GREEDY_STEPS = ["view", "click", "purchase"]
+GREEDY_IDX = 2
+
+
+def greedy_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlinkCEP ``greedy()`` loop modifier (operators/sequences.py
+    greedy_funnel_times — the LAST Pattern.java loop construct beside
+    the covered quantifier / until / consecutive surface): per-user
+    earliest view → greedy click+ → purchase. Completion instants are
+    the reluctant chain's (disjoint step conditions); the loop claims
+    every click strictly between the view and the completing purchase,
+    so t2 reports the run's last click and ``absorbed`` its length.
+    Mirrors FlinkCEP Pattern.greedy() (the reference runs FlinkCEP
+    1.18; cf. RAG.java's pipeline frame)."""
+    from flink_rag_spark.operators.sequences import greedy_funnel_times
+    e = load_table(spark, sf_dir, "events")
+    return greedy_funnel_times(e, GREEDY_STEPS, GREEDY_IDX)
+
+
 def until_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlinkCEP ``until`` on a looping step (operators/sequences.py
     until_funnel_times — the last uncovered pattern construct,

@@ -94,6 +94,7 @@ def extra_queries() -> list[tuple]:
         last_touch_attribution_duck,
         linear_attribution_duck,
         Group,
+        greedy_funnel_times_duck,
         group_funnel_times_duck,
         negated_funnel_times_duck,
         optional_funnel_times_duck,
@@ -2274,6 +2275,14 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
          group_funnel_times_duck(
              ["signup", Group(["view", "click"], times=2, optional=True),
               "purchase"]),
+         ("sequence", "cep", "window")),
+        # round-15: greedy() loop modifier — the LAST Pattern.java loop
+        # construct: reluctant completion instants with maximal-run loop
+        # attribution (t_g = last absorbed rep + an absorbed count),
+        # bounded by the first suffix instant
+        # (sequences.greedy_funnel_times)
+        ("greedy_funnel_users", A.greedy_funnel_users,
+         greedy_funnel_times_duck(A.GREEDY_STEPS, A.GREEDY_IDX),
          ("sequence", "cep", "window")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level

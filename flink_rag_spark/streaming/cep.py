@@ -1197,3 +1197,155 @@ def group_funnel_monitor(events: DataFrame, entries: list,
                 stateStructType=_optional_state_schema(),
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ------------------------------------------------ greedy() loops
+
+
+def _greedy_state_schema() -> str:
+    return ("mins array<bigint>, loop_ts array<bigint>, "
+            "bend bigint, cnt bigint, buf_ts array<bigint>, "
+            "buf_type array<string>, wm_us bigint, done boolean")
+
+
+def _make_greedy_fn(steps: list[str], greedy: int, n: int,
+                    within_us: int | None):
+    """applyInPandasWithState body for the greedy-loop monitor: the
+    flat reluctant chain folds like the plain funnel (mins set once —
+    events arrive in finalized event-time order), while loop-step
+    events strictly after the prefix completion accumulate as
+    absorption candidates until the first suffix instant settles; at
+    that point the run freezes (candidates at or past the suffix
+    instant are the follower's, matching the batch ``ts < s1`` strict
+    bound) and the candidate list drops from state. State is the
+    chain mins + the open run — bounded by the absorbed run length,
+    the same events FlinkCEP's greedy NFA state holds."""
+    k, g = len(steps), greedy
+    flat = list(steps[:g - 1]) + [steps[g - 1]] * n + list(steps[g:])
+    m = len(flat)
+    loop_step = steps[g - 1]
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (mins, loop_ts, bend, cnt, buf_ts, buf_type,
+             wm_us, done) = state.get
+            mins, loop_ts = list(mins), list(loop_ts)
+            buf_ts, buf_type = list(buf_ts), list(buf_type)
+        else:
+            mins, loop_ts, bend, cnt = [_NONE] * m, [], _NONE, _NONE
+            buf_ts, buf_type, wm_us, done = [], [], _NONE, False
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if done:
+                    break
+                ts_us = pdf["ts"].astype("int64") // 1000
+                for t, typ in zip(ts_us, pdf["event_type"]):
+                    if int(t) >= wm_us:
+                        buf_ts.append(int(t))
+                        buf_type.append(str(typ))
+
+        wm_ms = state.getCurrentWatermarkMs()
+        new_wm_us = wm_ms * 1000
+        if new_wm_us > wm_us and buf_ts and not done:
+            order = sorted(range(len(buf_ts)), key=lambda i: buf_ts[i])
+            keep_ts, keep_type = [], []
+            for i in order:
+                t, typ = buf_ts[i], buf_type[i]
+                if t > new_wm_us:
+                    keep_ts.append(t)
+                    keep_type.append(typ)
+                    continue
+                # absorption candidates: loop events strictly after the
+                # prefix completion, while the first suffix instant is
+                # still open (in-order fold: anything folded before the
+                # suffix instant settles is strictly before it or ties)
+                if (typ == loop_step and mins[g + n - 1] == _NONE
+                        and (g == 1 or (mins[g - 2] != _NONE
+                                        and t > mins[g - 2]))):
+                    loop_ts.append(t)
+                # the reluctant chain fold (mins set once, in order)
+                for i2 in range(m):
+                    if typ != flat[i2]:
+                        continue
+                    if i2 == 0:
+                        if mins[0] == _NONE or t < mins[0]:
+                            mins[0] = t
+                    elif mins[i2 - 1] != _NONE and t > mins[i2 - 1]:
+                        if (within_us is not None
+                                and t > mins[0] + within_us):
+                            continue
+                        if mins[i2] == _NONE or t < mins[i2]:
+                            mins[i2] = t
+                # first suffix instant just settled -> freeze the run
+                if mins[g + n - 1] != _NONE and bend == _NONE:
+                    s1 = mins[g + n - 1]
+                    run = [x for x in loop_ts if x < s1]
+                    if run:
+                        bend, cnt = max(run), len(run)
+                    loop_ts = []
+            buf_ts, buf_type = keep_ts, keep_type
+        wm_us = max(wm_us, new_wm_us)
+
+        if not done and mins[m - 1] != _NONE:
+            done = True
+            buf_ts, buf_type, loop_ts = [], [], []
+            row = {"user_id": [key[0]]}
+            for j in range(1, k + 1):
+                if j < g:
+                    v = mins[j - 1]
+                elif j == g:
+                    v = bend
+                else:
+                    v = mins[j + n - 2]
+                row[f"t{j}"] = [pd.Timestamp(v, unit="us")
+                                if v != _NONE else pd.NaT]
+            row["absorbed"] = [cnt if bend != _NONE else None]
+            yield pd.DataFrame(row)
+
+        state.update((mins, loop_ts, bend, cnt, buf_ts, buf_type,
+                      wm_us, done))
+        if buf_ts and not done:
+            state.setTimeoutTimestamp(max(min(buf_ts) // 1000, wm_ms + 1))
+
+    return fn
+
+
+def greedy_funnel_monitor(events: DataFrame, steps: list[str],
+                          greedy: int, n: int = 1,
+                          watermark: str = "10 minutes",
+                          within_seconds: int | None = None,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          type_col: str = "event_type") -> DataFrame:
+    """Streaming FlinkCEP ``greedy()`` loops — the batch
+    ``sequences.greedy_funnel_times`` twin: the reluctant chain folds
+    per key inside one stateful operator, loop events accumulate as
+    absorption candidates until the first suffix instant settles, and
+    a key emits once at full completion, reporting (key, t1..tk,
+    absorbed) with t_greedy the run's LAST absorbed repetition.
+    Emissions ≡ the batch rows with t_k non-NULL under the family's
+    watermark-bounded-disorder contract (pinned by test)."""
+    from flink_rag_spark.operators.sequences import _greedy_validate
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("greedy_funnel_monitor takes string steps; "
+                        f"got: {bad!r}")
+    _greedy_validate(steps, greedy, n)
+    within_us = None if within_seconds is None \
+        else within_seconds * 1_000_000
+    key_type = dict(events.dtypes)[key_col]
+    filtered = (events.filter(F.col(type_col).isin(list(steps)))
+                .select(F.col(key_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("event_type")))
+    out_schema = (_funnel_out_schema(len(steps), key_type)
+                  + ", absorbed bigint")
+    return (filtered.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_greedy_fn(steps, greedy, n, within_us),
+                outputStructType=out_schema,
+                stateStructType=_greedy_state_schema(),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
