@@ -107,10 +107,13 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
                      F.round(p_cur, ROUND_DP).alias("p_cur"),
                      F.round((p_cur - p_ref) * F.log(p_cur / p_ref),
                              ROUND_DP).alias("psi_term")))
-    return terms.withColumn(
-        "psi_total",
-        F.round(F.sum("psi_term").over(
-            Window.partitionBy(F.lit(1))), ROUND_DP))
+    from flink_rag_spark.operators.util import track_cached_deps
+    return track_cached_deps(
+        terms.withColumn(
+            "psi_total",
+            F.round(F.sum("psi_term").over(
+                Window.partitionBy(F.lit(1))), ROUND_DP)),
+        [j])
 
 
 def psi_drift_duck(ref_sql: str, cur_sql: str, value_col: str,
@@ -305,4 +308,135 @@ SELECT n_ref, n_cur,
        ROUND(SQRT(CAST(saa AS DOUBLE)), {odp}) AS mean_norm_ref,
        ROUND(SQRT(CAST(sbb AS DOUBLE)), {odp}) AS mean_norm_cur
 FROM agg
+"""
+
+
+# ---------------------- distribution distances: JSD / Hellinger / TV
+
+DIST_TERM_DP = 9
+
+
+def distribution_distance(ref: DataFrame, cur: DataFrame,
+                          value_col: str, n_bins: int = 10,
+                          exact: bool = True) -> DataFrame:
+    """Bounded two-sample distribution distances over the PSI bin
+    frame — the three a drift consumer wants when PSI's unbounded
+    log-ratio (and its ε floor) is the wrong shape:
+
+        JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2   (∈ [0, ln 2])
+        Hellinger = √(1 − Σ√(p·q))                   (∈ [0, 1])
+        TV  = ½·Σ|p − q|                             (∈ [0, 1])
+
+    all ZERO-SAFE (an empty bin contributes its x·ln x → 0 limit —
+    no ε floor, unlike PSI). Boundaries are ``ref``'s equal-frequency
+    quantiles (the psi_drift pattern, broadcast driver metadata).
+    Output ONE row: (n_ref, n_cur, n_bins_occupied, jsd, hellinger,
+    tv); an empty side yields NULL distances.
+
+    Exactness: bin counts are exact integers; each per-bin term
+    quantizes to ``DIST_TERM_DP``-dp DECIMAL before the bin-bounded
+    sum (order-independent), the G-test discipline.
+
+    Plan at 100 TB: two binned one-scan aggregates (≤ n_bins rows
+    each), one tiny full join, a 1-row fold."""
+    from flink_rag_spark.operators.util import dec_to_double
+
+    bounds = quantile_boundaries(ref, value_col, n_bins, exact=exact)
+    rc = binned_counts(ref, value_col, bounds, "n_ref")
+    cc = binned_counts(cur, value_col, bounds, "n_cur")
+    j = (rc.join(cc, on="bin", how="full")
+         .select("bin",
+                 F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = j.agg(F.sum("n_ref").cast("double").alias("t_ref"),
+                F.sum("n_cur").cast("double").alias("t_cur"))
+    g = j.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref") / F.col("t_ref")
+    q = F.col("n_cur") / F.col("t_cur")
+    tdec = f"decimal(24,{DIST_TERM_DP})"
+
+    def t9(c):
+        return F.round(c, DIST_TERM_DP).cast(tdec)
+
+    jsd_term = (F.when(F.col("n_ref") > 0,
+                       p * F.log(F.lit(2.0) * p / (p + q)))
+                .otherwise(F.lit(0.0)) * F.lit(0.5)
+                + F.when(F.col("n_cur") > 0,
+                         q * F.log(F.lit(2.0) * q / (p + q)))
+                .otherwise(F.lit(0.0)) * F.lit(0.5))
+    agg = g.agg(
+        F.max("t_ref").alias("_tr"), F.max("t_cur").alias("_tc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+        F.sum(t9(jsd_term)).alias("_jsd"),
+        F.sum(t9(F.sqrt(p * q))).alias("_bc"),
+        F.sum(t9(F.abs(p - q))).alias("_tv"))
+    ok = (F.col("_tr") > 0) & (F.col("_tc") > 0)
+    return agg.select(
+        F.col("_tr").cast("bigint").alias("n_ref"),
+        F.col("_tc").cast("bigint").alias("n_cur"),
+        "n_bins_occupied",
+        F.round(F.when(ok, dec_to_double(F.col("_jsd"))), ROUND_DP)
+        .alias("jsd"),
+        F.round(F.when(ok, F.sqrt(F.greatest(
+            F.lit(1.0) - dec_to_double(F.col("_bc")), F.lit(0.0)))),
+            ROUND_DP).alias("hellinger"),
+        F.round(F.when(ok, dec_to_double(F.col("_tv")) / F.lit(2.0)),
+                ROUND_DP).alias("tv"))
+
+
+def distribution_distance_duck(ref_sql: str, cur_sql: str,
+                               value_col: str,
+                               n_bins: int = 10) -> str:
+    """DuckDB mirror of :func:`distribution_distance` — quantile_cont
+    boundaries, same strict-> binning, same quantized terms."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    ps = [i / n_bins for i in range(1, n_bins)]
+    bs = ", ".join(f"quantile_cont({value_col}, {p!r}) AS _qb{i}"
+                   for i, p in enumerate(ps))
+    terms = " + ".join(
+        f"(CASE WHEN {value_col} > _qb{i} THEN 1 ELSE 0 END)"
+        for i in range(len(ps)))
+    dp = DIST_TERM_DP
+    pp = "(n_ref / t_ref)"
+    qq = "(n_cur / t_cur)"
+    jsd = (f"0.5 * (CASE WHEN n_ref > 0 THEN {pp} * LN(2.0 * {pp} "
+           f"/ ({pp} + {qq})) ELSE 0.0 END) "
+           f"+ 0.5 * (CASE WHEN n_cur > 0 THEN {qq} * LN(2.0 * {qq} "
+           f"/ ({pp} + {qq})) ELSE 0.0 END)")
+    return f"""
+WITH dd_ref AS ({ref_sql}), dd_cur AS ({cur_sql}),
+dd_b AS (SELECT {bs} FROM dd_ref),
+dd_rc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_ref
+          FROM dd_ref, dd_b WHERE {value_col} IS NOT NULL GROUP BY 1),
+dd_cc AS (SELECT CAST(1 + {terms} AS INT) AS bin, COUNT(*) AS n_cur
+          FROM dd_cur, dd_b WHERE {value_col} IS NOT NULL GROUP BY 1),
+dd_j AS (SELECT COALESCE(dd_rc.bin, dd_cc.bin) AS bin,
+                COALESCE(n_ref, 0) AS n_ref,
+                COALESCE(n_cur, 0) AS n_cur
+         FROM dd_rc FULL JOIN dd_cc ON dd_rc.bin = dd_cc.bin),
+dd_t AS (SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+                CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+         FROM dd_j),
+dd_g AS (SELECT * FROM dd_j CROSS JOIN dd_t),
+dd_agg AS (
+  SELECT MAX(t_ref) AS tr, MAX(t_cur) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_occupied,
+         SUM(CAST(ROUND({jsd}, {dp}) AS DECIMAL(24,{dp}))) AS jsd_s,
+         SUM(CAST(ROUND(SQRT({pp} * {qq}), {dp})
+                  AS DECIMAL(24,{dp}))) AS bc_s,
+         SUM(CAST(ROUND(ABS({pp} - {qq}), {dp})
+                  AS DECIMAL(24,{dp}))) AS tv_s
+  FROM dd_g)
+SELECT CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+       n_bins_occupied,
+       ROUND(CASE WHEN tr > 0 AND tc > 0
+             THEN {dec_to_double_duck('jsd_s')} END, {ROUND_DP}) AS jsd,
+       ROUND(CASE WHEN tr > 0 AND tc > 0
+             THEN SQRT(GREATEST(1.0 - {dec_to_double_duck('bc_s')},
+                                0.0)) END, {ROUND_DP}) AS hellinger,
+       ROUND(CASE WHEN tr > 0 AND tc > 0
+             THEN {dec_to_double_duck('tv_s')} / 2.0 END, {ROUND_DP})
+         AS tv
+FROM dd_agg
 """

@@ -1004,7 +1004,13 @@ FROM stat
 
 ANOVA_TERM_DP = 9
 ANOVA_DP = 6
-ANOVA_DEC = "decimal(20,6)"
+#: DECIMAL(16,6), not (20,6): Spark's (20,6)x(20,6) product exceeds 38
+#: digits and gets precision-loss-ADJUSTED to scale 9 - a 6-dp input's
+#: square has 12 true decimals, so sum-of-squares would silently round
+#: where DuckDB keeps the exact scale-12 product (the round-15 levene
+#: divergence). (16,6)^2 types as (33,12) - exact in both engines.
+#: Headroom: |v| < 1e10 per row.
+ANOVA_DEC = "decimal(16,6)"
 
 #: decimal places Brown–Forsythe quantizes each group median to —
 #: interpolated-median expressions differ between engines at the last
@@ -1089,9 +1095,18 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
     # round-13 ss_within hash failure
     n = F.col("n").cast("double")
     k = F.col("n_groups").cast("double")
-    # _t9 is a scale-0 decimal (single-rounding cast in both engines);
-    # /1e9 is one IEEE op on an exact power-of-ten literal
-    t = F.col("_t9").cast("double") / F.lit(1e9)
+    # _t9 is a scale-0 decimal that can exceed 2^53 (it reaches ~1e24
+    # on a 15k-row region frame) — and DuckDB's raw int128→double cast
+    # is NOT correctly rounded up there (measured 1 ulp off vs Java's
+    # BigDecimal cast, the round-15 levene ss_between divergence). So
+    # split at 10^15: both halves convert EXACTLY (each < 2^53) and
+    # every later step is one identical IEEE op in both engines — the
+    # dec_to_double philosophy for scale-0 magnitudes.
+    p15 = F.lit(10 ** 15).cast(d38)
+    t9c = F.col("_t9")
+    t9_hi = ((t9c - t9c % p15) / p15).cast(d38).cast("double")
+    t9_lo = (t9c % p15).cast("double")
+    t = (t9_hi * F.lit(1e15) + t9_lo) / F.lit(1e9)
     s_d = dec_to_double(F.col("_s"))
     ssb = t - s_d * s_d / n
     ssw = dec_to_double(F.col("_q")) - t
@@ -1099,10 +1114,15 @@ def anova_f(df: DataFrame, group_col: str, value_col: str,
         (F.col("n_groups") >= 2) & (F.col("n") > F.col("n_groups"))
         & (ssw > 0),
         (ssb / (k - F.lit(1.0))) / (ssw / (n - k)))
+    # ss_* emit UNROUNDED: both engines compute the identical IEEE
+    # double (every step above is one shared IEEE op), while ROUND(x, 6)
+    # itself diverges between engines once |x| > ~9e9 (double ulp
+    # crosses the 1e-6 grid — the round-15 levene finding; DuckDB
+    # rounds via a 1e6 multiply, Spark via the shortest repr)
     return agg.select(
         "n", "n_groups",
-        F.round(ssb, ANOVA_DP).alias("ss_between"),
-        F.round(ssw, ANOVA_DP).alias("ss_within"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
         F.round(f_stat, ANOVA_DP).alias("f"),
         F.coalesce(f_stat > f_crit, F.lit(False)).alias("significant"))
 
@@ -1142,10 +1162,12 @@ agg AS (
   FROM split),
 stat AS (
   SELECT n, n_groups,
-         CAST(t9 AS DOUBLE) / 1e9
+         -- split int128->double at 1e15 (raw cast not correctly
+         -- rounded above 2^53; the Spark side splits identically)
+         (CAST(t9 // 1000000000000000 AS DOUBLE) * 1e15 + CAST(t9 % 1000000000000000 AS DOUBLE)) / 1e9
            - {dec_to_double_duck('s')} * {dec_to_double_duck('s')}
              / CAST(n AS DOUBLE) AS ssb,
-         {dec_to_double_duck('q')} - CAST(t9 AS DOUBLE) / 1e9 AS ssw
+         {dec_to_double_duck('q')} - (CAST(t9 // 1000000000000000 AS DOUBLE) * 1e15 + CAST(t9 % 1000000000000000 AS DOUBLE)) / 1e9 AS ssw
   FROM agg),
 f AS (
   SELECT *, CASE WHEN n_groups >= 2 AND n > n_groups AND ssw > 0
@@ -1154,8 +1176,8 @@ f AS (
                            - CAST(n_groups AS DOUBLE))) END AS fs
   FROM stat)
 SELECT n, n_groups,
-       ROUND(ssb, {odp}) AS ss_between,
-       ROUND(ssw, {odp}) AS ss_within,
+       ssb AS ss_between,
+       ssw AS ss_within,
        ROUND(fs, {odp}) AS f,
        COALESCE(fs > {f_crit}, FALSE) AS significant
 FROM f
@@ -2111,4 +2133,773 @@ SELECT n, ROUND(mi, {MI_DP}) AS mi,
        ROUND(CASE WHEN hxd > 0 AND hyd > 0
              THEN mi / SQRT(hxd * hyd) END, {MI_DP}) AS nmi
 FROM s
+"""
+
+
+# ---------------------------------------- Levene's test (mean center)
+
+LEVENE_MEAN_DP = 6
+
+
+def levene_test(df: DataFrame, group_col: str, value_col: str,
+                f_crit: float) -> DataFrame:
+    """Levene's equal-variance test with the classical MEAN center —
+    :func:`brown_forsythe` is this test with the median center (the
+    robust modern default); the mean form is the textbook original
+    (Levene 1960) and the one a user porting legacy SPSS/R
+    ``center='mean'`` output needs. A one-way ANOVA F on
+    z = |x − mean_g|; same output contract as :func:`anova_f`.
+
+    Pure composition: per-group means from EXACT decimal sums through
+    the floor-split cast, quantized to ``LEVENE_MEAN_DP`` before the
+    deviations (the brown_forsythe quantized-center discipline — an
+    un-quantized mean shifts every z across anova_f's 6-dp cast grid),
+    broadcast back, then the exact-decimal ANOVA machinery.
+
+    Plan at 100 TB: one grouped aggregate + one broadcast join +
+    anova_f's single grouped aggregate."""
+    src = df.filter(F.col(group_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+    mean = (src.groupBy(group_col)
+            .agg(F.round(dec_to_double(F.sum(v))
+                         / F.count(F.lit(1)).cast("double"),
+                         LEVENE_MEAN_DP).alias("_mean")))
+    j = (src.join(F.broadcast(mean.withColumnRenamed(group_col, "_g")),
+                  src[group_col].eqNullSafe(F.col("_g")))
+         .withColumn("_z", F.abs(F.col(value_col).cast("double")
+                                 - F.col("_mean"))))
+    return anova_f(j, group_col, "_z", f_crit)
+
+
+def levene_test_duck(inner_sql: str, group_col: str, value_col: str,
+                     f_crit: float) -> str:
+    """DuckDB mirror of :func:`levene_test` — exact-decimal means
+    feeding the anova mirror."""
+    s = f"SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))"
+    inner = f"""
+SELECT s.{group_col}, ABS(CAST(s.{value_col} AS DOUBLE) - m._mean) AS _z
+FROM ({inner_sql}) s
+JOIN (SELECT {group_col} AS _g,
+             ROUND({dec_to_double_duck(s)}
+                   / CAST(COUNT(*) AS DOUBLE), {LEVENE_MEAN_DP}) AS _mean
+      FROM ({inner_sql})
+      WHERE {group_col} IS NOT NULL AND {value_col} IS NOT NULL
+      GROUP BY 1) m
+  ON s.{group_col} IS NOT DISTINCT FROM m._g
+WHERE s.{group_col} IS NOT NULL AND s.{value_col} IS NOT NULL"""
+    return anova_f_duck(inner, group_col, "_z", f_crit)
+
+
+# ----------------------------------- Cohen's d / Hedges' g effect size
+
+EFFECT_DP = 6
+
+
+def cohens_d(a: DataFrame, b: DataFrame, value_col: str) -> DataFrame:
+    """Cohen's d with the Hedges' g small-sample correction — the
+    standardized effect SIZE companion to :func:`welch_t`'s verdict
+    (a significant t says the difference exists; d says whether it is
+    worth acting on — the 0.2/0.5/0.8 small/medium/large convention):
+
+        d = (m_a − m_b) / s_p,
+        s_p = sqrt(((n_a−1)s_a² + (n_b−1)s_b²) / (n_a+n_b−2)),
+        g = d · (1 − 3/(4(n_a+n_b) − 9))
+
+    Output ONE row: (n_a, n_b, mean_a, mean_b, pooled_sd, d, g).
+    Either side n < 2, or zero pooled variance ⇒ NULL d/g.
+
+    Exactness: the welch_t discipline — per-side exact DECIMAL(20,6)
+    Σv / Σv², every later expression the same IEEE double form.
+
+    Plan at 100 TB: one 1-row aggregate per side crossed broadcast-
+    style — no shuffle of data rows."""
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+        return (df.filter(F.col(value_col).isNotNull())
+                .agg(F.count(F.lit(1)).alias(f"n_{tag}"),
+                     F.sum(v).alias(f"_s_{tag}"),
+                     F.sum(v * v).alias(f"_q_{tag}")))
+    one = side(a, "a").crossJoin(F.broadcast(side(b, "b")))
+
+    def stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"_s_{tag}").cast("double")
+        q = F.col(f"_q_{tag}").cast("double")
+        ss = F.when(F.col(f"n_{tag}") >= 2, q - s * s / n)
+        return n, s / n, ss
+
+    na, ma, ssa = stats("a")
+    nb, mb, ssb = stats("b")
+    sp2 = F.when((na >= 2) & (nb >= 2),
+                 (ssa + ssb) / (na + nb - F.lit(2.0)))
+    d = F.when(sp2 > 0, (ma - mb) / F.sqrt(sp2))
+    g = d * (F.lit(1.0) - F.lit(3.0) / (4.0 * (na + nb) - F.lit(9.0)))
+    return one.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(ma, EFFECT_DP).alias("mean_a"),
+        F.round(mb, EFFECT_DP).alias("mean_b"),
+        F.round(F.when(sp2 > 0, F.sqrt(sp2)), EFFECT_DP)
+        .alias("pooled_sd"),
+        F.round(d, EFFECT_DP).alias("d"),
+        F.round(g, EFFECT_DP).alias("g"))
+
+
+def cohens_d_duck(a_sql: str, b_sql: str, value_col: str) -> str:
+    """DuckDB mirror of :func:`cohens_d` — identical decimal sums and
+    double expressions."""
+    dp = EFFECT_DP
+
+    def side(sql, tag):
+        return f"""
+  SELECT COUNT(*) AS n_{tag},
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))) AS s_{tag},
+         SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))
+             * CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))
+           AS q_{tag}
+  FROM ({sql}) WHERE {value_col} IS NOT NULL"""
+
+    def ss(tag):
+        return (f"CASE WHEN n_{tag} >= 2 THEN "
+                f"CAST(q_{tag} AS DOUBLE) "
+                f"- CAST(s_{tag} AS DOUBLE) * CAST(s_{tag} AS DOUBLE) "
+                f"/ CAST(n_{tag} AS DOUBLE) END")
+    return f"""
+WITH sa AS ({side(a_sql, 'a')}), sb AS ({side(b_sql, 'b')}),
+one AS (SELECT * FROM sa CROSS JOIN sb),
+st AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+           (({ss('a')}) + ({ss('b')}))
+           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) END AS sp2
+  FROM one),
+eff AS (
+  SELECT *,
+         CASE WHEN sp2 > 0 THEN (ma - mb) / SQRT(sp2) END AS d
+  FROM st)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(ma, {dp}) AS mean_a, ROUND(mb, {dp}) AS mean_b,
+       ROUND(CASE WHEN sp2 > 0 THEN SQRT(sp2) END, {dp}) AS pooled_sd,
+       ROUND(d, {dp}) AS d,
+       ROUND(d * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)) - 9.0)),
+             {dp}) AS g
+FROM eff
+"""
+
+
+# -------------------------------------- point-biserial correlation
+
+
+def point_biserial(df: DataFrame, flag_col, value_col: str,
+                   z_crit: float = Z_CRIT) -> DataFrame:
+    """Point-biserial correlation — Pearson r between a BINARY flag
+    and a continuous value (the effect-size form of the two-sample
+    comparison; ``flag_col`` may be a boolean column name or a Column
+    predicate):
+
+        r_pb = (m_1 − m_0)/s_n · sqrt(n_1·n_0/n²)
+
+    with s_n the population (n-denominator) standard deviation of the
+    whole sample. Output ONE row: (n, n_1, n_0, mean_1, mean_0, r_pb,
+    z, significant) — z = r·√(n−1), the large-sample normal
+    approximation with the threshold verdict. Either class empty or
+    zero variance ⇒ NULL r/z, False verdict. NULL flags or values are
+    excluded.
+
+    Exactness: ONE grouped-by-flag aggregate of exact DECIMAL(20,6)
+    sums folded to a single row — the welch_t discipline, one scan.
+
+    Plan at 100 TB: one partial+final aggregate (2 rows) + a 1-row
+    fold; no joins."""
+    flag = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+    g = (df.filter(flag.isNotNull() & F.col(value_col).isNotNull())
+         .groupBy(flag.cast("boolean").alias("_f"))
+         .agg(F.count(F.lit(1)).alias("_n"),
+              F.sum(v).alias("_s"),
+              F.sum(v * v).alias("_q")))
+    one = g.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("_f"), F.col("_n"))).cast("bigint")
+        .alias("n_1"),
+        F.sum(F.when(~F.col("_f"), F.col("_n"))).cast("bigint")
+        .alias("n_0"),
+        F.sum(F.when(F.col("_f"), F.col("_s"))).alias("_s1"),
+        F.sum(F.when(~F.col("_f"), F.col("_s"))).alias("_s0"),
+        F.sum("_s").alias("_s"),
+        F.sum("_q").alias("_q"))
+    n = F.col("n").cast("double")
+    n1 = F.col("n_1").cast("double")
+    n0 = F.col("n_0").cast("double")
+    m1 = F.col("_s1").cast("double") / n1
+    m0 = F.col("_s0").cast("double") / n0
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    var_n = (q - s * s / n) / n
+    r = F.when((F.col("n_1") > 0) & (F.col("n_0") > 0) & (var_n > 0),
+               (m1 - m0) / F.sqrt(var_n) * F.sqrt(n1 * n0 / (n * n)))
+    z = F.when(n > 1, r * F.sqrt(n - F.lit(1.0)))
+    return one.select(
+        "n", "n_1", "n_0",
+        F.round(m1, EFFECT_DP).alias("mean_1"),
+        F.round(m0, EFFECT_DP).alias("mean_0"),
+        F.round(r, EFFECT_DP).alias("r_pb"),
+        F.round(z, EFFECT_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def point_biserial_duck(inner_sql: str, flag_sql: str, value_col: str,
+                        z_crit: float = Z_CRIT) -> str:
+    """DuckDB mirror of :func:`point_biserial` — ``flag_sql`` is the
+    boolean expression rendering of the caller's flag."""
+    dp = EFFECT_DP
+    vdec = f"CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6))"
+    return f"""
+WITH pb_g AS (
+  SELECT CAST({flag_sql} AS BOOLEAN) AS f, COUNT(*) AS cn,
+         SUM({vdec}) AS cs, SUM({vdec} * {vdec}) AS cq
+  FROM ({inner_sql})
+  WHERE ({flag_sql}) IS NOT NULL AND {value_col} IS NOT NULL
+  GROUP BY 1),
+pb_one AS (
+  SELECT CAST(SUM(cn) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN f THEN cn END) AS BIGINT) AS n_1,
+         CAST(SUM(CASE WHEN NOT f THEN cn END) AS BIGINT) AS n_0,
+         SUM(CASE WHEN f THEN cs END) AS s1,
+         SUM(CASE WHEN NOT f THEN cs END) AS s0,
+         SUM(cs) AS s, SUM(cq) AS q
+  FROM pb_g),
+pb_st AS (
+  SELECT n, n_1, n_0,
+         CAST(s1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS m1,
+         CAST(s0 AS DOUBLE) / CAST(n_0 AS DOUBLE) AS m0,
+         (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+           AS var_n
+  FROM pb_one),
+pb_r AS (
+  SELECT *,
+         CASE WHEN n_1 > 0 AND n_0 > 0 AND var_n > 0 THEN
+           (m1 - m0) / SQRT(var_n)
+           * SQRT(CAST(n_1 AS DOUBLE) * CAST(n_0 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END AS r
+  FROM pb_st)
+SELECT n, n_1, n_0,
+       ROUND(m1, {dp}) AS mean_1,
+       ROUND(m0, {dp}) AS mean_0,
+       ROUND(r, {dp}) AS r_pb,
+       ROUND(CASE WHEN n > 1 THEN r * SQRT(CAST(n AS DOUBLE) - 1.0) END,
+             {dp}) AS z,
+       COALESCE(ABS(CASE WHEN n > 1
+                    THEN r * SQRT(CAST(n AS DOUBLE) - 1.0) END)
+                > {z_crit}, FALSE) AS significant
+FROM pb_r
+"""
+
+
+# --------------------------------------------- Friedman rank test
+
+FRIEDMAN_DP = 6
+FRIEDMAN_CELL_DP = 6
+
+
+def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
+                  value_col: str, chi2_crit: float) -> DataFrame:
+    """Friedman test — the REPEATED-MEASURES member of the rank
+    battery (Kruskal–Wallis compares independent groups; Friedman
+    ranks k treatments WITHIN each block, removing block-level
+    variation — the nonparametric two-way-ANOVA-by-ranks):
+
+        T = (k−1)·(ΣR_j² − k·n²(k+1)²/4) / (A − n·k(k+1)²/4)
+
+    over the within-block midranks r_ij (Conover's tie-corrected
+    form; A = Σ r_ij², R_j the treatment rank sums). Output ONE row:
+    (n_blocks, k, q, significant) — threshold verdict at the caller's
+    dof-(k−1) critical value. Contract: replicated (block, treatment)
+    observations pre-average to one cell (exact-decimal mean quantized
+    to ``FRIEDMAN_CELL_DP`` — the quantized-center discipline);
+    INCOMPLETE blocks (missing any treatment) are EXCLUDED, k being
+    the GLOBAL distinct-treatment count; fewer than 1 complete block,
+    k < 2, or all-tied ranks (zero denominator) ⇒ NULL q, False.
+
+    Exactness: midranks enter DOUBLED — dr = 2·rank + t − 1 is an
+    exact INTEGER (rank = min rank, t = tie size), so 4ΣR_j² = Σ(Σdr)²
+    and 4A = Σdr² are exact DECIMAL(38,0) sums and T's quotient is one
+    double expression over exact integers, engine-identical.
+
+    Plan at 100 TB: one (block, treatment) collapse (the only
+    full-data shuffle), per-BLOCK rank windows (k rows per block — no
+    global sort), one treatment aggregate (k rows) + one 1-row fold."""
+    src = df.filter(F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()
+                    & F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double").cast(ANOVA_DEC)
+    cells = (src.groupBy(F.col(block_col).alias("_b"),
+                         F.col(treatment_col).alias("_t"))
+             .agg(F.round(dec_to_double(F.sum(v))
+                          / F.count(F.lit(1)).cast("double"),
+                          FRIEDMAN_CELL_DP).alias("_v")))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    w_blk = Window.partitionBy("_b")
+    cells = (cells
+             .withColumn("_k", F.size(F.collect_set("_t").over(w_all)))
+             .withColumn("_bk", F.count(F.lit(1)).over(w_blk))
+             .filter(F.col("_bk") == F.col("_k")))
+    w_rank = Window.partitionBy("_b").orderBy("_v")
+    w_tie = Window.partitionBy("_b", "_v")
+    d38 = "decimal(38,0)"
+    # doubled midrank: 2·(minrank + (t−1)/2) = 2·rank + t − 1, integer
+    ranked = cells.withColumn(
+        "_dr", (F.lit(2) * F.rank().over(w_rank)
+                + F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast(d38))
+    by_t = (ranked.groupBy("_t")
+            .agg(F.sum("_dr").alias("_rj"),
+                 F.sum(F.col("_dr") * F.col("_dr")).alias("_a2"),
+                 F.count(F.lit(1)).alias("_nb")))
+    one = by_t.agg(
+        F.max("_nb").cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("_rj") * F.col("_rj")).alias("_sr2"),
+        F.sum("_a2").alias("_sa2"))
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k").cast("double")
+    kp1 = k + F.lit(1.0)
+    num = (F.col("_sr2").cast("double") - k * n * n * kp1 * kp1)
+    den = (F.col("_sa2").cast("double") - n * k * kp1 * kp1)
+    q = F.when((F.col("k") >= 2) & (F.col("n_blocks") >= 1) & (den > 0),
+               (k - F.lit(1.0)) * num / den)
+    return one.select(
+        "n_blocks", "k",
+        F.round(q, FRIEDMAN_DP).alias("q"),
+        F.coalesce(q > F.lit(chi2_crit), F.lit(False))
+        .alias("significant"))
+
+
+def friedman_test_duck(inner_sql: str, block_col: str,
+                       treatment_col: str, value_col: str,
+                       chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`friedman_test` — same cell averaging,
+    complete-block filter, doubled-midrank integers."""
+    s = f"SUM(CAST(CAST({value_col} AS DOUBLE) AS DECIMAL(20,6)))"
+    return f"""
+WITH fr_src AS (
+  SELECT {block_col} AS b, {treatment_col} AS t, {value_col} AS v
+  FROM ({inner_sql})
+  WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+    AND {value_col} IS NOT NULL),
+fr_cells AS (
+  SELECT b, t,
+         ROUND({dec_to_double_duck(s.replace(value_col, 'v'))}
+               / CAST(COUNT(*) AS DOUBLE), {FRIEDMAN_CELL_DP}) AS v
+  FROM fr_src GROUP BY b, t),
+fr_k AS (SELECT COUNT(DISTINCT t) AS k FROM fr_cells),
+fr_complete AS (
+  SELECT c.* FROM fr_cells c
+  JOIN (SELECT b, COUNT(*) AS bk FROM fr_cells GROUP BY b) g
+    ON c.b = g.b
+  CROSS JOIN fr_k WHERE g.bk = fr_k.k),
+fr_ranked AS (
+  SELECT b, t,
+         CAST(2 * RANK() OVER (PARTITION BY b ORDER BY v)
+              + COUNT(*) OVER (PARTITION BY b, v) - 1
+              AS DECIMAL(38,0)) AS dr
+  FROM fr_complete),
+fr_by_t AS (
+  SELECT t, SUM(dr) AS rj, SUM(dr * dr) AS a2, COUNT(*) AS nb
+  FROM fr_ranked GROUP BY t),
+fr_one AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(rj * rj) AS sr2, SUM(a2) AS sa2
+  FROM fr_by_t),
+fr_q AS (
+  SELECT *,
+         CASE WHEN k >= 2 AND n_blocks >= 1
+                   AND (CAST(sa2 AS DOUBLE)
+                        - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                          * (CAST(k AS DOUBLE) + 1.0)
+                          * (CAST(k AS DOUBLE) + 1.0)) > 0 THEN
+           (CAST(k AS DOUBLE) - 1.0)
+           * (CAST(sr2 AS DOUBLE)
+              - CAST(k AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+                * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+                * (CAST(k AS DOUBLE) + 1.0))
+           / (CAST(sa2 AS DOUBLE)
+              - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                * (CAST(k AS DOUBLE) + 1.0) * (CAST(k AS DOUBLE) + 1.0))
+         END AS q
+  FROM fr_one)
+SELECT n_blocks, k, ROUND(q, {FRIEDMAN_DP}) AS q,
+       COALESCE(q > {chi2_crit}, FALSE) AS significant
+FROM fr_q
+"""
+
+
+# ------------------------------------------------- Cochran's Q test
+
+
+def cochran_q(df: DataFrame, block_col: str, treatment_col: str,
+              success_col, chi2_crit: float) -> DataFrame:
+    """Cochran's Q — the BINARY-outcome member of the repeated-
+    measures family (Friedman ranks values; Q compares k SUCCESS
+    RATES measured on the same blocks — "did conversion differ across
+    the k variants each cohort saw?"):
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+
+    with C_j treatment success totals, R_i block success totals, N
+    total successes, all over COMPLETE blocks only. Output ONE row:
+    (n_blocks, k, q, significant) — threshold verdict at dof k−1.
+    Contract: replicated cells collapse by MAX (any success counts —
+    document upstream if another fold is wanted); incomplete blocks
+    are excluded; zero denominator (every block all-success or
+    all-failure) ⇒ NULL q, False.
+
+    Exactness: PURE INTEGER sums end to end (DECIMAL(38,0) squares);
+    one double quotient at the end.
+
+    Plan at 100 TB: one (block, treatment) collapse, one block
+    aggregate + one treatment aggregate on it, a 1-row fold."""
+    succ = (F.col(success_col) if isinstance(success_col, str)
+            else success_col)
+    src = df.filter(F.col(block_col).isNotNull()
+                    & F.col(treatment_col).isNotNull()
+                    & succ.isNotNull())
+    cells = (src.groupBy(F.col(block_col).alias("_b"),
+                         F.col(treatment_col).alias("_t"))
+             .agg(F.max(succ.cast("boolean")).cast("int").alias("_x")))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    w_blk = Window.partitionBy("_b")
+    cells = (cells
+             .withColumn("_k", F.size(F.collect_set("_t").over(w_all)))
+             .withColumn("_bk", F.count(F.lit(1)).over(w_blk))
+             .filter(F.col("_bk") == F.col("_k")))
+    d38 = "decimal(38,0)"
+    by_b = (cells.groupBy("_b")
+            .agg(F.sum("_x").cast(d38).alias("_ri")))
+    by_t = (cells.groupBy("_t")
+            .agg(F.sum("_x").cast(d38).alias("_cj"),
+                 F.count(F.lit(1)).alias("_nb")))
+    tt = by_t.agg(
+        F.max("_nb").cast("bigint").alias("n_blocks"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("_cj") * F.col("_cj")).alias("_sc2"),
+        F.sum("_cj").alias("_n"))
+    bb = by_b.agg(F.sum(F.col("_ri") * F.col("_ri")).alias("_sr2"))
+    one = tt.crossJoin(F.broadcast(bb))
+    k = F.col("k").cast("double")
+    nn = F.col("_n").cast("double")
+    num = k * F.col("_sc2").cast("double") - nn * nn
+    den = k * nn - F.coalesce(F.col("_sr2").cast("double"), F.lit(0.0))
+    q = F.when((F.col("k") >= 2) & (den > 0),
+               (k - F.lit(1.0)) * num / den)
+    return one.select(
+        "n_blocks", "k",
+        F.round(q, FRIEDMAN_DP).alias("q"),
+        F.coalesce(q > F.lit(chi2_crit), F.lit(False))
+        .alias("significant"))
+
+
+def cochran_q_duck(inner_sql: str, block_col: str, treatment_col: str,
+                   success_sql: str, chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`cochran_q` — ``success_sql`` is the
+    boolean expression rendering of the caller's flag."""
+    return f"""
+WITH cq_src AS (
+  SELECT {block_col} AS b, {treatment_col} AS t,
+         CAST({success_sql} AS BOOLEAN) AS x
+  FROM ({inner_sql})
+  WHERE {block_col} IS NOT NULL AND {treatment_col} IS NOT NULL
+    AND ({success_sql}) IS NOT NULL),
+cq_cells AS (
+  SELECT b, t, CAST(MAX(x) AS INT) AS x FROM cq_src GROUP BY b, t),
+cq_k AS (SELECT COUNT(DISTINCT t) AS k FROM cq_cells),
+cq_complete AS (
+  SELECT c.* FROM cq_cells c
+  JOIN (SELECT b, COUNT(*) AS bk FROM cq_cells GROUP BY b) g
+    ON c.b = g.b
+  CROSS JOIN cq_k WHERE g.bk = cq_k.k),
+cq_b AS (SELECT b, CAST(SUM(x) AS DECIMAL(38,0)) AS ri
+         FROM cq_complete GROUP BY b),
+cq_t AS (SELECT t, CAST(SUM(x) AS DECIMAL(38,0)) AS cj,
+                COUNT(*) AS nb
+         FROM cq_complete GROUP BY t),
+cq_tt AS (
+  SELECT CAST(MAX(nb) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(cj * cj) AS sc2, SUM(cj) AS n
+  FROM cq_t),
+cq_bb AS (SELECT SUM(ri * ri) AS sr2 FROM cq_b),
+cq_one AS (SELECT * FROM cq_tt CROSS JOIN cq_bb),
+cq_q AS (
+  SELECT *,
+         CASE WHEN k >= 2
+                   AND (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)
+                        - COALESCE(CAST(sr2 AS DOUBLE), 0.0)) > 0 THEN
+           (CAST(k AS DOUBLE) - 1.0)
+           * (CAST(k AS DOUBLE) * CAST(sc2 AS DOUBLE)
+              - CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(n AS DOUBLE)
+              - COALESCE(CAST(sr2 AS DOUBLE), 0.0)) END AS q
+  FROM cq_one)
+SELECT n_blocks, k, ROUND(q, {FRIEDMAN_DP}) AS q,
+       COALESCE(q > {chi2_crit}, FALSE) AS significant
+FROM cq_q
+"""
+
+
+# --------------------------- ordinal association: gamma / Somers / τ-c
+
+ORDASSOC_DP = 6
+
+
+def ordinal_association(df: DataFrame, x_col: str,
+                        y_col: str) -> DataFrame:
+    """The concordance-family ordinal-association coefficients beside
+    :func:`kendall_tau`'s τ-b — the three a cross-tab consumer asks
+    for next, all from the SAME concordant/discordant pair counts
+    (same grid contract: rows collapse to distinct (x, y) cells, pairs
+    are C(m,2) over cells — bin continuous columns first):
+
+        gamma       = (C − D) / (C + D)          (Goodman–Kruskal)
+        somers_d_yx = (C − D) / (n0 − n1)        (y predicted by x)
+        somers_d_xy = (C − D) / (n0 − n2)        (x predicted by y)
+        tau_c       = 2m(C − D) / (n²(m − 1))    (Stuart; m = min(r,c))
+
+    with n0 = n(n−1)/2, n1/n2 the x/y tie-pair counts, r/c the
+    distinct x/y counts. Output ONE row: (n, gamma, somers_d_yx,
+    somers_d_xy, tau_c). Zero denominators ⇒ NULL for that
+    coefficient; NULL-in-either rows are excluded.
+
+    Exactness: the kendall discipline — C, D, tie sums and distinct
+    counts are exact integers; each coefficient is one double
+    expression over them."""
+    src = (df.filter(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+           .select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y")))
+    d38 = "decimal(38,0)"
+    cells = (src.groupBy("_x", "_y")
+             .agg(F.count(F.lit(1)).cast(d38).alias("_c")))
+    b = cells.select(F.col("_x").alias("_x2"),
+                     F.col("_y").alias("_y2"),
+                     F.col("_c").alias("_c2"))
+    # broadcast by the grid contract (the kendall rationale)
+    pairs = cells.join(F.broadcast(b), F.col("_x2") > F.col("_x"))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("_y2") > F.col("_y"),
+                     F.col("_c") * F.col("_c2"))).alias("_conc"),
+        F.sum(F.when(F.col("_y2") < F.col("_y"),
+                     F.col("_c") * F.col("_c2"))).alias("_disc"))
+    tx = (cells.groupBy("_x").agg(F.sum("_c").alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1)).alias("_t2"),
+               F.count(F.lit(1)).cast("bigint").alias("_r")))
+    ty = (cells.groupBy("_y").agg(F.sum("_c").alias("_u"))
+          .agg(F.sum(F.col("_u") * (F.col("_u") - 1)).alias("_u2"),
+               F.count(F.lit(1)).cast("bigint").alias("_cc")))
+    ntot = src.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    one = (ntot.crossJoin(F.broadcast(cd))
+           .crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty)))
+    n = F.col("n").cast("double")
+    conc = F.coalesce(F.col("_conc"), F.lit(0).cast(d38)).cast("double")
+    disc = F.coalesce(F.col("_disc"), F.lit(0).cast(d38)).cast("double")
+    s = conc - disc
+    t2 = F.coalesce(F.col("_t2").cast("double"), F.lit(0.0))
+    u2 = F.coalesce(F.col("_u2").cast("double"), F.lit(0.0))
+    n0x2 = n * (n - 1)                          # 2·n0
+    gamma = F.when(conc + disc > 0, s / (conc + disc))
+    dyx = F.when(n0x2 - t2 > 0, 2 * s / (n0x2 - t2))
+    dxy = F.when(n0x2 - u2 > 0, 2 * s / (n0x2 - u2))
+    m = F.least(F.col("_r"), F.col("_cc")).cast("double")
+    tau_c = F.when((m > 1) & (n > 0),
+                   2 * m * s / (n * n * (m - F.lit(1.0))))
+    return one.select(
+        "n",
+        F.round(gamma, ORDASSOC_DP).alias("gamma"),
+        F.round(dyx, ORDASSOC_DP).alias("somers_d_yx"),
+        F.round(dxy, ORDASSOC_DP).alias("somers_d_xy"),
+        F.round(tau_c, ORDASSOC_DP).alias("tau_c"))
+
+
+def ordinal_association_duck(inner_sql: str, x_col: str,
+                             y_col: str) -> str:
+    """DuckDB mirror of :func:`ordinal_association` — same cell grid,
+    exact integer sums, identical double expressions."""
+    dp = ORDASSOC_DP
+    return f"""
+WITH oa0 AS (
+  SELECT {x_col} AS x, {y_col} AS y FROM ({inner_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL),
+oa_cells AS (
+  SELECT x, y, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM oa0 GROUP BY x, y),
+oa_cd AS (
+  SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c END) AS conc,
+         SUM(CASE WHEN b.y < a.y THEN a.c * b.c END) AS disc
+  FROM oa_cells a JOIN oa_cells b ON b.x > a.x),
+oa_tx AS (
+  SELECT SUM(t * (t - 1)) AS t2, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT SUM(c) AS t FROM oa_cells GROUP BY x)),
+oa_ty AS (
+  SELECT SUM(u * (u - 1)) AS u2, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (SELECT SUM(c) AS u FROM oa_cells GROUP BY y)),
+oa_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM oa0),
+oa_one AS (
+  SELECT * FROM oa_n CROSS JOIN oa_cd CROSS JOIN oa_tx CROSS JOIN oa_ty),
+oa_st AS (
+  SELECT n,
+         COALESCE(CAST(conc AS DOUBLE), 0.0) AS conc,
+         COALESCE(CAST(disc AS DOUBLE), 0.0) AS disc,
+         COALESCE(CAST(t2 AS DOUBLE), 0.0) AS t2,
+         COALESCE(CAST(u2 AS DOUBLE), 0.0) AS u2,
+         CAST(LEAST(r, cc) AS DOUBLE) AS m,
+         CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) AS n0x2
+  FROM oa_one)
+SELECT n,
+       ROUND(CASE WHEN conc + disc > 0
+             THEN (conc - disc) / (conc + disc) END, {dp}) AS gamma,
+       ROUND(CASE WHEN n0x2 - t2 > 0
+             THEN 2 * (conc - disc) / (n0x2 - t2) END, {dp})
+         AS somers_d_yx,
+       ROUND(CASE WHEN n0x2 - u2 > 0
+             THEN 2 * (conc - disc) / (n0x2 - u2) END, {dp})
+         AS somers_d_xy,
+       ROUND(CASE WHEN m > 1 AND n > 0
+             THEN 2 * m * (conc - disc)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (m - 1.0))
+             END, {dp}) AS tau_c
+FROM oa_st
+"""
+
+
+# ------------------------------------------------- Cohen's kappa
+
+KAPPA_DP = 6
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two label
+    columns (two raters, two model versions, label-vs-heuristic audit
+    — the agreement complement of the association grid family):
+
+        po = Σ_l O_ll / n,   pe = Σ_l rt_l·ct_l / n²,
+        kappa = (po − pe) / (1 − pe)
+
+    Output ONE row: (n, po, pe, kappa) — pe = 1 (both raters constant
+    and equal) ⇒ NULL kappa. NULL-in-either rows are excluded.
+
+    Exactness: the grid discipline — O, margins and Σ rt·ct are exact
+    integers (DECIMAL(38,0) products); po/pe/kappa are one double
+    expression each.
+
+    Plan at 100 TB: one (a, b) collapse, two margin aggregates on the
+    grid, one broadcast margin equi-join, a 1-row fold."""
+    src = (df.filter(F.col(a_col).isNotNull()
+                     & F.col(b_col).isNotNull())
+           .select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b")))
+    d38 = "decimal(38,0)"
+    obs = (src.groupBy("_a", "_b")
+           .agg(F.count(F.lit(1)).cast(d38).alias("_o")))
+    diag = obs.agg(F.sum(F.when(F.col("_a") == F.col("_b"),
+                                F.col("_o"))).alias("_diag"),
+                   F.sum("_o").alias("_n"))
+    rows = obs.groupBy("_a").agg(F.sum("_o").alias("_rt"))
+    cols = (obs.groupBy("_b").agg(F.sum("_o").alias("_ct"))
+            .withColumnRenamed("_b", "_a"))
+    pe = (rows.join(F.broadcast(cols), "_a")
+          .agg(F.sum(F.col("_rt") * F.col("_ct")).alias("_pe_num")))
+    one = diag.crossJoin(F.broadcast(pe))
+    n = F.col("_n").cast("double")
+    po = F.coalesce(F.col("_diag").cast("double"), F.lit(0.0)) / n
+    ped = (F.coalesce(F.col("_pe_num").cast("double"), F.lit(0.0))
+           / (n * n))
+    kappa = F.when(ped < 1, (po - ped) / (F.lit(1.0) - ped))
+    return one.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(po, KAPPA_DP).alias("po"),
+        F.round(ped, KAPPA_DP).alias("pe"),
+        F.round(kappa, KAPPA_DP).alias("kappa"))
+
+
+def cohen_kappa_duck(inner_sql: str, a_col: str, b_col: str) -> str:
+    """DuckDB mirror of :func:`cohen_kappa` — same exact-integer grid."""
+    dp = KAPPA_DP
+    return f"""
+WITH ck0 AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM ({inner_sql})
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL),
+ck_obs AS (
+  SELECT a, b, CAST(COUNT(*) AS DECIMAL(38,0)) AS o
+  FROM ck0 GROUP BY a, b),
+ck_diag AS (
+  SELECT SUM(CASE WHEN a = b THEN o END) AS diag, SUM(o) AS n
+  FROM ck_obs),
+ck_pe AS (
+  SELECT SUM(r.rt * c.ct) AS pe_num
+  FROM (SELECT a, SUM(o) AS rt FROM ck_obs GROUP BY a) r
+  JOIN (SELECT b AS a, SUM(o) AS ct FROM ck_obs GROUP BY b) c
+    ON r.a = c.a),
+ck_one AS (SELECT * FROM ck_diag CROSS JOIN ck_pe),
+ck_st AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         COALESCE(CAST(diag AS DOUBLE), 0.0) / CAST(n AS DOUBLE) AS po,
+         COALESCE(CAST(pe_num AS DOUBLE), 0.0)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM ck_one)
+SELECT n, ROUND(po, {dp}) AS po, ROUND(pe, {dp}) AS pe,
+       ROUND(CASE WHEN pe < 1 THEN (po - pe) / (1.0 - pe) END, {dp})
+         AS kappa
+FROM ck_st
+"""
+
+
+# --------------------------------- Theil's uncertainty coefficient
+
+
+def uncertainty_coefficient(df: DataFrame, x_col: str,
+                            y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient — the ASYMMETRIC normalization
+    of :func:`mutual_information` ("what fraction of X's entropy does
+    knowing Y remove?" — NMI is the symmetric geometric-mean form):
+
+        U(X|Y) = I(X;Y) / H(X),   U(Y|X) = I(X;Y) / H(Y),
+        U_sym  = 2·I / (H(X) + H(Y))
+
+    Output ONE row: (n, mi, h_x, h_y, u_x_given_y, u_y_given_x,
+    u_symmetric) — zero entropies ⇒ NULL for the affected ratio.
+
+    DEFINED over :func:`mutual_information`'s 6-dp-rounded outputs
+    (the Cramér's-V composition discipline — determinism inherited
+    from the graded MI pipeline), so the ratios are one double
+    division each."""
+    base = mutual_information(df, x_col, y_col)
+    mi, hx, hy = F.col("mi"), F.col("h_x"), F.col("h_y")
+    return base.select(
+        "n", "mi", "h_x", "h_y",
+        F.round(F.when(hx > 0, mi / hx), MI_DP).alias("u_x_given_y"),
+        F.round(F.when(hy > 0, mi / hy), MI_DP).alias("u_y_given_x"),
+        F.round(F.when(hx + hy > 0, 2 * mi / (hx + hy)), MI_DP)
+        .alias("u_symmetric"))
+
+
+def uncertainty_coefficient_duck(inner_sql: str, x_col: str,
+                                 y_col: str) -> str:
+    """DuckDB mirror of :func:`uncertainty_coefficient` — composes the
+    MI mirror identically."""
+    return f"""
+SELECT n, mi, h_x, h_y,
+       ROUND(CASE WHEN h_x > 0 THEN mi / h_x END, {MI_DP})
+         AS u_x_given_y,
+       ROUND(CASE WHEN h_y > 0 THEN mi / h_y END, {MI_DP})
+         AS u_y_given_x,
+       ROUND(CASE WHEN h_x + h_y > 0 THEN 2 * mi / (h_x + h_y) END,
+             {MI_DP}) AS u_symmetric
+FROM ({mutual_information_duck(inner_sql, x_col, y_col)})
 """

@@ -237,3 +237,125 @@ SELECT node AS term, pr,
 FROM ({inner}) _tr
 ORDER BY pr DESC, term LIMIT {k}
 """
+
+
+# ------------------------------------------------ Zipf-law fit
+
+ZIPF_LN_DP = 9
+ZIPF_DP = 6
+ZIPF_TOP_N = 1000
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text",
+             top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf-law fit of the corpus term-frequency distribution — the
+    text-quality diagnostic beside the per-doc scores (natural text's
+    rank-frequency plot is near-linear in log-log with slope ≈ −1;
+    templated/generated/boilerplate corpora bend it — a cheap
+    corpus-level generated-text smell):
+
+        ln f_r = intercept + slope · ln r      (OLS over the top-N)
+
+    Output ONE row: (n_terms, slope, intercept, r2). Ranks tie-break
+    by (count DESC, term ASC) — deterministic.
+
+    Exactness: the top-N cut is a TakeOrderedAndProject (K-bounded —
+    the tfidf_keywords broadcast-bound pattern, never a global sort);
+    ln r and ln f quantize to ``ZIPF_LN_DP``-dp DECIMAL (the G-test
+    discipline), the OLS sums are exact decimal products, and the
+    closed form runs on floor-split doubles.
+
+    Plan at 100 TB: one token-count aggregate (the only full-data
+    shuffle), a K-row ordered cut, one K-row fold."""
+    from flink_rag_spark.functions.textfns import TOKENS_SPARK
+    from flink_rag_spark.operators.util import dec_to_double
+
+    if top_n < 3:
+        raise ValueError(f"top_n must be >= 3, got {top_n}")
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    counts = (docs.select(F.explode(F.expr(toks)).alias("term"))
+              .filter(F.col("term") != "")
+              .groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+              .orderBy(F.desc("f"), F.asc("term")).limit(top_n))
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    # (14,9) so the OLS cross products type exactly (29,18) in Spark
+    # instead of being precision-loss-adjusted (the ANOVA_DEC note)
+    lndec = f"decimal(14,{ZIPF_LN_DP})"
+    g = (counts.withColumn("_r", F.row_number().over(w))
+         .select(
+             F.round(F.log(F.col("_r").cast("double")), ZIPF_LN_DP)
+             .cast(lndec).alias("_x"),
+             F.round(F.log(F.col("f").cast("double")), ZIPF_LN_DP)
+             .cast(lndec).alias("_y")))
+    agg = g.agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                F.sum(F.col("_y") * F.col("_y")).alias("_syy"))
+    n = F.col("n_terms").cast("double")
+
+    def d(c):
+        return dec_to_double(F.col(c))
+
+    vx = n * d("_sxx") - d("_sx") * d("_sx")
+    vy = n * d("_syy") - d("_sy") * d("_sy")
+    cov = n * d("_sxy") - d("_sx") * d("_sy")
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(vx > 0, (d("_sy") - slope * d("_sx")) / n)
+    r2 = F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+    return agg.select(
+        "n_terms",
+        F.round(slope, ZIPF_DP).alias("slope"),
+        F.round(intercept, ZIPF_DP).alias("intercept"),
+        F.round(r2, ZIPF_DP).alias("r2"))
+
+
+def zipf_fit_duck(text_col: str = "text", top_n: int = ZIPF_TOP_N,
+                  table: str = "documents") -> str:
+    """DuckDB mirror of :func:`zipf_fit` — same deterministic cut,
+    quantized lns, exact decimal OLS sums."""
+    from flink_rag_spark.functions.textfns import TOKENS_DUCK
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    dp, odp = ZIPF_LN_DP, ZIPF_DP
+    d = dec_to_double_duck
+    return f"""
+WITH zf_t AS (
+  SELECT UNNEST({toks}) AS term FROM {table}),
+zf_c AS (
+  SELECT term, COUNT(*) AS f FROM zf_t WHERE term <> ''
+  GROUP BY term ORDER BY f DESC, term ASC LIMIT {top_n}),
+zf_g AS (
+  SELECT CAST(ROUND(LN(CAST(ROW_NUMBER() OVER
+                (ORDER BY f DESC, term ASC) AS DOUBLE)), {dp})
+              AS DECIMAL(14,{dp})) AS x,
+         CAST(ROUND(LN(CAST(f AS DOUBLE)), {dp})
+              AS DECIMAL(14,{dp})) AS y
+  FROM zf_c),
+zf_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM zf_g),
+zf_s AS (
+  SELECT n_terms,
+         CAST(n_terms AS DOUBLE) AS n,
+         {d('sx')} AS sxd, {d('sy')} AS syd, {d('sxy')} AS sxyd,
+         {d('sxx')} AS sxxd, {d('syy')} AS syyd
+  FROM zf_a),
+zf_f AS (
+  SELECT n_terms, n,
+         n * sxxd - sxd * sxd AS vx,
+         n * syyd - syd * syd AS vy,
+         n * sxyd - sxd * syd AS cov,
+         sxd, syd
+  FROM zf_s)
+SELECT n_terms,
+       ROUND(CASE WHEN vx > 0 THEN cov / vx END, {odp}) AS slope,
+       ROUND(CASE WHEN vx > 0
+             THEN (syd - (cov / vx) * sxd) / n END, {odp}) AS intercept,
+       ROUND(CASE WHEN vx > 0 AND vy > 0
+             THEN cov * cov / (vx * vy) END, {odp}) AS r2
+FROM zf_f
+"""

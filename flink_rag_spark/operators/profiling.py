@@ -1049,3 +1049,140 @@ JOIN rs ON s.recency_ts = rs._v
 JOIN fs ON s.frequency = fs._v
 JOIN ms ON s._mon = ms._v
 """
+
+
+# ------------------------------- Theil / Atkinson inequality indexes
+
+THEIL_TERM_DP = 9
+THEIL_MEAN_DP = 6
+
+
+def inequality_indexes(df: DataFrame, value_col: str,
+                       group_cols: list[str]) -> DataFrame:
+    """Per-group Theil index and Atkinson index (ε = 1) — the
+    ENTROPY-family inequality measures beside the graded Gini (Gini
+    weights transfers by rank distance; Theil is additively
+    decomposable across subgroups, Atkinson carries an explicit
+    inequality-aversion welfare reading):
+
+        Theil    T = (1/n)·Σ (x/μ)·ln(x/μ)        (0 = even)
+        Atkinson A = 1 − geomean(x)/μ             (ε = 1 form)
+
+    Output: (group_cols…, n, mean, theil, atkinson). The DECIMAL
+    contract is ENFORCED like gini (cast at the caller); negative
+    values are rejected up front (one cheap min-aggregate — both
+    indexes are undefined below zero); NULLs are excluded; zero values
+    contribute their x·ln x → 0 limit to Theil and force the geomean
+    to 0 (A = 1, flagged by construction); an all-zero group (μ = 0)
+    emits NULL indexes.
+
+    Exactness: μ is the quantized-center chart — exact decimal sum
+    through the floor-split cast, rounded ``THEIL_MEAN_DP`` BEFORE the
+    per-row terms (the brown_forsythe discipline); each term quantizes
+    to ``THEIL_TERM_DP``-dp DECIMAL before the group sum
+    (order-independent, the jarque_bera discipline).
+
+    Plan at 100 TB: one grouped aggregate (means), one broadcast join
+    back, one grouped term aggregate — two scans, no window."""
+    from pyspark.sql.types import DecimalType
+
+    from flink_rag_spark.operators.util import dec_to_double
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (add a literal "
+                         "column for global indexes)")
+    vtype = df.schema[value_col].dataType
+    if not isinstance(vtype, DecimalType):
+        raise TypeError(
+            f"inequality_indexes requires a DECIMAL {value_col} (got "
+            f"{vtype.simpleString()}): cast at the caller so the mean's "
+            "sum is exact and order-independent (the gini contract)")
+    x = F.col(value_col)
+    src = df.filter(x.isNotNull()).select(*group_cols, value_col)
+    neg = src.agg(F.min(x).alias("mn")).first()
+    if neg["mn"] is not None and neg["mn"] < 0:
+        raise ValueError(
+            f"inequality_indexes requires non-negative {value_col}; "
+            f"found min={neg['mn']}")
+    means = (src.groupBy(*group_cols)
+             .agg(F.round(dec_to_double(F.sum(x))
+                          / F.count(F.lit(1)).cast("double"),
+                          THEIL_MEAN_DP).alias("_mu")))
+    ren = means
+    for g in group_cols:
+        ren = ren.withColumnRenamed(g, f"_g_{g}")
+    cond = None
+    for g in group_cols:
+        c = src[g].eqNullSafe(F.col(f"_g_{g}"))
+        cond = c if cond is None else (cond & c)
+    j = src.join(F.broadcast(ren), cond)
+    xd = x.cast("double")
+    mu = F.col("_mu")
+    tdec = f"decimal(24,{THEIL_TERM_DP})"
+    theil_term = F.when((xd > 0) & (mu > 0),
+                        F.round((xd / mu) * F.log(xd / mu),
+                                THEIL_TERM_DP)).otherwise(F.lit(0.0))
+    ln_term = F.when(xd > 0, F.round(F.log(xd), THEIL_TERM_DP))
+    out = j.groupBy(*[F.col(f"_g_{g}").alias(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("_mu").alias("_mean"),
+        F.sum(theil_term.cast(tdec)).alias("_t"),
+        F.sum(ln_term.cast(tdec)).alias("_ln"),
+        F.sum(F.when(xd <= 0, 1).otherwise(0)).alias("_nz"))
+    n = F.col("n").cast("double")
+    mu_o = F.col("_mean")
+    theil = F.when(mu_o > 0, dec_to_double(F.col("_t")) / n)
+    geo = F.when(F.col("_nz") > 0, F.lit(0.0)).otherwise(
+        F.exp(dec_to_double(F.coalesce(
+            F.col("_ln"), F.lit(0).cast(tdec))) / n))
+    atk = F.when(mu_o > 0, F.lit(1.0) - geo / mu_o)
+    return out.select(
+        *group_cols, "n",
+        mu_o.alias("mean"),
+        F.round(theil, GINI_DP).alias("theil"),
+        F.round(atk, GINI_DP).alias("atkinson"))
+
+
+def inequality_indexes_duck(inner_sql: str, value_col: str,
+                            group_cols: list[str]) -> str:
+    """DuckDB mirror of :func:`inequality_indexes` — same quantized
+    mean, quantized terms, zero/NULL contracts."""
+    from flink_rag_spark.operators.util import dec_to_double_duck
+
+    gc = ", ".join(group_cols)
+    on = " AND ".join(
+        f"s.{g} IS NOT DISTINCT FROM m.{g}" for g in group_cols)
+    mgc = ", ".join(f"m.{g}" for g in group_cols)
+    dp, odp = THEIL_TERM_DP, GINI_DP
+    return f"""
+WITH iq_src AS (
+  SELECT {gc}, {value_col} AS x FROM ({inner_sql})
+  WHERE {value_col} IS NOT NULL),
+iq_mu AS (
+  SELECT {gc},
+         ROUND({dec_to_double_duck('SUM(x)')}
+               / CAST(COUNT(*) AS DOUBLE), {THEIL_MEAN_DP}) AS mu
+  FROM iq_src GROUP BY {gc}),
+iq_j AS (
+  SELECT {mgc}, m.mu, CAST(s.x AS DOUBLE) AS xd
+  FROM iq_src s JOIN iq_mu m ON {on}),
+iq_agg AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n, MAX(mu) AS mu,
+         SUM(CAST(CASE WHEN xd > 0 AND mu > 0
+                  THEN ROUND((xd / mu) * LN(xd / mu), {dp})
+                  ELSE 0.0 END AS DECIMAL(24,{dp}))) AS t,
+         SUM(CAST(CASE WHEN xd > 0 THEN ROUND(LN(xd), {dp}) END
+                  AS DECIMAL(24,{dp}))) AS lns,
+         SUM(CASE WHEN xd <= 0 THEN 1 ELSE 0 END) AS nz
+  FROM iq_j GROUP BY {gc})
+SELECT {gc}, n, mu AS mean,
+       ROUND(CASE WHEN mu > 0
+             THEN {dec_to_double_duck('t')} / CAST(n AS DOUBLE) END,
+             {odp}) AS theil,
+       ROUND(CASE WHEN mu > 0 THEN
+         1.0 - (CASE WHEN nz > 0 THEN 0.0 ELSE
+                EXP({dec_to_double_duck("COALESCE(lns, CAST(0 AS DECIMAL(24," + str(dp) + ")))")}
+                    / CAST(n AS DOUBLE)) END) / mu END, {odp})
+         AS atkinson
+FROM iq_agg
+"""

@@ -1280,3 +1280,139 @@ SELECT {ks}, n_diffs,
                          / sxx_c) END < {crit!r}, FALSE) AS stationary
 FROM adf_t
 """
+
+
+# --------------------------------------- Wald–Wolfowitz runs test
+
+RUNS_MED_DP = 6
+RUNS_DP = 6
+
+
+def runs_test(df: DataFrame, keys: list[str], ts_col: str,
+              value_col: str, z_crit: float = 1.96,
+              seq_col: str | None = None) -> DataFrame:
+    """Wald–Wolfowitz runs test per key — the RANDOMNESS check beside
+    the trend (Mann–Kendall) and drift (Page–Hinkley) members of the
+    series battery: is the sequence of above/below-median signs random,
+    or does it cluster (too few runs — trend/regime) or alternate (too
+    many — overcorrection)?
+
+        R = number of sign runs,   E[R] = 2·n₁n₀/n + 1,
+        Var = 2n₁n₀(2n₁n₀ − n) / (n²(n−1)),   z = (R − E)/√Var
+
+    over the signs v > median_key (values EQUAL to the median are
+    dropped — the classical treatment). Output one row per key:
+    (keys…, n, n_above, n_below, runs, expected_runs, z, significant);
+    an empty class or zero variance ⇒ NULL z, False verdict.
+
+    Exactness: the median is the quantized-center chart (interpolated
+    percentile rounded ``RUNS_MED_DP`` — the brown_forsythe
+    discipline); R/n₁/n₀ are exact integers from one lag window; E,
+    Var, z are the same IEEE expression in both engines.
+
+    Plan at 100 TB: one per-key percentile aggregate + broadcast join
+    back + one (key, ts)-ordered lag window + one per-key fold — one
+    data shuffle on the key."""
+    src = df.filter(F.col(value_col).isNotNull())
+    med = (src.groupBy(*keys)
+           .agg(F.round(
+               F.expr(f"percentile(CAST({value_col} AS DOUBLE), 0.5)"),
+               RUNS_MED_DP).alias("_med")))
+    ren = med
+    for g in keys:
+        ren = ren.withColumnRenamed(g, f"_g_{g}")
+    cond = None
+    for g in keys:
+        c = src[g].eqNullSafe(F.col(f"_g_{g}"))
+        cond = c if cond is None else (cond & c)
+    j = (src.join(F.broadcast(ren), cond)
+         .filter(F.col(value_col).cast("double") != F.col("_med"))
+         .withColumn("_sgn",
+                     (F.col(value_col).cast("double")
+                      > F.col("_med")).cast("int")))
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*[F.col(f"_g_{g}") for g in keys]).orderBy(*order)
+    j = j.withColumn(
+        "_new_run",
+        F.when(F.lag("_sgn").over(w).isNull()
+               | (F.lag("_sgn").over(w) != F.col("_sgn")), 1)
+        .otherwise(0))
+    agg = j.groupBy(*[F.col(f"_g_{g}").alias(g) for g in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_sgn").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("_sgn")).cast("bigint").alias("n_below"),
+        F.sum("_new_run").cast("bigint").alias("runs"))
+    n = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n0 = F.col("n_below").cast("double")
+    e = F.when((F.col("n_above") > 0) & (F.col("n_below") > 0),
+               2.0 * n1 * n0 / n + F.lit(1.0))
+    var = F.when(
+        (F.col("n_above") > 0) & (F.col("n_below") > 0) & (n > 1),
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n * n * (n - 1.0)))
+    z = F.when(var > 0, (F.col("runs").cast("double") - e) / F.sqrt(var))
+    return agg.select(
+        *keys, "n", "n_above", "n_below", "runs",
+        F.round(e, RUNS_DP).alias("expected_runs"),
+        F.round(z, RUNS_DP).alias("z"),
+        F.coalesce(F.abs(z) > z_crit, F.lit(False)).alias("significant"))
+
+
+def runs_test_duck(inner_sql: str, keys: list[str], ts_col: str,
+                   value_col: str, z_crit: float = 1.96,
+                   seq_col: str | None = None) -> str:
+    """DuckDB mirror of :func:`runs_test` — quantile_cont median, same
+    lag fold, identical double expressions."""
+    gc = ", ".join(keys)
+    on = " AND ".join(
+        f"s.{g} IS NOT DISTINCT FROM m.{g}" for g in keys)
+    mgc = ", ".join(f"m.{g}" for g in keys)
+    order = f"{ts_col}" + (f", {seq_col}" if seq_col else "")
+    dp = RUNS_DP
+    return f"""
+WITH rt_src AS (
+  SELECT * FROM ({inner_sql}) WHERE {value_col} IS NOT NULL),
+rt_med AS (
+  SELECT {gc},
+         ROUND(quantile_cont(CAST({value_col} AS DOUBLE), 0.5),
+               {RUNS_MED_DP}) AS med
+  FROM rt_src GROUP BY {gc}),
+rt_j AS (
+  SELECT {mgc}, s.{order.replace(', ', ', s.')},
+         CAST(CAST(s.{value_col} AS DOUBLE) > m.med AS INT) AS sgn
+  FROM rt_src s JOIN rt_med m ON {on}
+  WHERE CAST(s.{value_col} AS DOUBLE) <> m.med),
+rt_l AS (
+  SELECT *,
+         CASE WHEN LAG(sgn) OVER (PARTITION BY {gc} ORDER BY {order})
+                   IS NULL
+              OR LAG(sgn) OVER (PARTITION BY {gc} ORDER BY {order})
+                 <> sgn THEN 1 ELSE 0 END AS new_run
+  FROM rt_j),
+rt_agg AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(sgn) AS BIGINT) AS n_above,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+         CAST(SUM(new_run) AS BIGINT) AS runs
+  FROM rt_l GROUP BY {gc}),
+rt_st AS (
+  SELECT *,
+         CASE WHEN n_above > 0 AND n_below > 0 THEN
+           2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           / CAST(n AS DOUBLE) + 1.0 END AS e,
+         CASE WHEN n_above > 0 AND n_below > 0 AND n > 1 THEN
+           2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+              - CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * (CAST(n AS DOUBLE) - 1.0)) END AS var
+  FROM rt_agg)
+SELECT {gc}, n, n_above, n_below, runs,
+       ROUND(e, {dp}) AS expected_runs,
+       ROUND(CASE WHEN var > 0
+             THEN (CAST(runs AS DOUBLE) - e) / SQRT(var) END, {dp}) AS z,
+       COALESCE(ABS(CASE WHEN var > 0
+                    THEN (CAST(runs AS DOUBLE) - e) / SQRT(var) END)
+                > {z_crit}, FALSE) AS significant
+FROM rt_st
+"""

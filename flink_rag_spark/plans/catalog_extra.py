@@ -73,7 +73,9 @@ def extra_queries() -> list[tuple]:
         stratified_sample_duck,
         temperature_mixture_duck,
     )
-    from flink_rag_spark.operators.drift import (embedding_drift_duck,
+    from flink_rag_spark.operators.drift import (
+        distribution_distance_duck,
+        embedding_drift_duck,
                                                  psi_drift_duck)
     from flink_rag_spark.operators.importance import dsir_select_duck
     from flink_rag_spark.operators.linkage import (fuzzy_self_pairs_duck,
@@ -129,6 +131,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.validation import validate_duck
     from flink_rag_spark.operators.profiling import (
         benford_audit_duck,
+        inequality_indexes_duck,
         equiwidth_histogram_duck,
         column_entropy_duck,
         gini_concentration_duck,
@@ -166,7 +169,15 @@ def extra_queries() -> list[tuple]:
         brown_forsythe_duck,
         chi2_independence_duck,
         cuped_ab_test_duck,
+        cochran_q_duck,
+        cohen_kappa_duck,
+        cohens_d_duck,
         cramers_v_duck,
+        friedman_test_duck,
+        levene_test_duck,
+        ordinal_association_duck,
+        point_biserial_duck,
+        uncertainty_coefficient_duck,
         g_test_independence_duck,
         jarque_bera_duck,
         kendall_tau_duck,
@@ -181,6 +192,7 @@ def extra_queries() -> list[tuple]:
     from flink_rag_spark.operators.keywords import (
         textrank_keywords_duck,
         tfidf_keywords_duck,
+        zipf_fit_duck,
     )
     from flink_rag_spark.operators.profiling import quantile_rollup_duck
     from flink_rag_spark.operators.privacy import (
@@ -199,6 +211,7 @@ def extra_queries() -> list[tuple]:
                                                scd2_history_duck)
     from flink_rag_spark.operators.timeseries import (
         dickey_fuller_duck,
+        runs_test_duck,
         autocorrelation_duck,
         holt_forecast_duck,
         seasonal_decompose_duck,
@@ -2109,6 +2122,117 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
         ("textrank_keywords_docs", A.textrank_keywords_docs,
          textrank_keywords_duck(k=20),
          ("keywords", "graph", "iterative", "text")),
+        # round-15: Levene's equal-variance test, mean center — the
+        # textbook original beside the graded Brown-Forsythe median
+        # form (hypothesis.levene_test)
+        ("levene_order_price_regions", A.levene_order_price_regions,
+         levene_test_duck(
+             f"SELECT r_name, o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "r_name", "o_totalprice", A.ANOVA_F_CRIT_DOF4),
+         ("hypothesis", "stats", "agg")),
+        # round-15: Cohen's d + Hedges' g — standardized effect size
+        # beside the Welch/MWU verdicts (hypothesis.cohens_d)
+        ("cohens_d_order_price", A.cohens_d_order_price,
+         cohens_d_duck(
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'EUROPE'",
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'ASIA'",
+             "o_totalprice"),
+         ("hypothesis", "stats")),
+        # round-15: point-biserial correlation — binary flag x value in
+        # one grouped aggregate (hypothesis.point_biserial)
+        ("point_biserial_return_price", A.point_biserial_return_price,
+         point_biserial_duck(
+             "SELECT l_returnflag, l_extendedprice FROM lineitem",
+             "l_returnflag = 'R'", "l_extendedprice"),
+         ("hypothesis", "stats")),
+        # round-15: Friedman rank test — repeated-measures ranks within
+        # region blocks, doubled-midrank exact integers
+        # (hypothesis.friedman_test)
+        ("friedman_region_priority_price",
+         A.friedman_region_priority_price,
+         friedman_test_duck(
+             f"SELECT r_name, o_orderpriority, o_totalprice "
+             f"FROM ({_ORDERS_REGION_SQL})",
+             "r_name", "o_orderpriority", "o_totalprice",
+             A.CHI2_CRIT_DOF4),
+         ("hypothesis", "stats", "window")),
+        # round-15: Cochran's Q — binary repeated measures over nation
+        # blocks, pure-integer sums (hypothesis.cochran_q)
+        ("cochran_q_nation_priority", A.cochran_q_nation_priority,
+         cochran_q_duck(
+             "SELECT n_name, o_orderpriority, o_totalprice "
+             "FROM orders JOIN customer ON o_custkey = c_custkey "
+             "JOIN nation ON c_nationkey = n_nationkey",
+             "n_name", "o_orderpriority",
+             f"o_totalprice > {A.COCHRAN_BAR}", A.CHI2_CRIT_DOF4),
+         ("hypothesis", "stats")),
+        # round-15: ordinal-association battery — gamma, Somers' D both
+        # directions, Stuart's tau-c from the Kendall pair counts
+        # (hypothesis.ordinal_association)
+        ("ordinal_assoc_quantity_linenumber",
+         A.ordinal_assoc_quantity_linenumber,
+         ordinal_association_duck(
+             "SELECT l_quantity, l_linenumber FROM lineitem",
+             "l_quantity", "l_linenumber"),
+         ("hypothesis", "stats")),
+        # round-15: Cohen's kappa — chance-corrected label agreement,
+        # exact-integer grid (hypothesis.cohen_kappa)
+        ("kappa_priority_value_bands", A.kappa_priority_value_bands,
+         cohen_kappa_duck(
+             "SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+             " THEN 'high' ELSE 'low' END AS urgency, "
+             "CASE WHEN o_totalprice > 150000.0 THEN 'high' ELSE 'low' "
+             "END AS value_band FROM orders",
+             "urgency", "value_band"),
+         ("hypothesis", "stats")),
+        # round-15: Theil's uncertainty coefficient — asymmetric MI
+        # normalization over the graded segment x region grid
+        # (hypothesis.uncertainty_coefficient)
+        ("uncertainty_segment_region", A.uncertainty_segment_region,
+         uncertainty_coefficient_duck(
+             "SELECT c_mktsegment, r_name FROM customer "
+             "JOIN nation ON c_nationkey = n_nationkey "
+             "JOIN region ON n_regionkey = r_regionkey",
+             "c_mktsegment", "r_name"),
+         ("hypothesis", "stats")),
+        # round-15: Theil + Atkinson inequality — entropy-family
+        # inequality beside the graded Gini, quantized mean + terms
+        # (profiling.inequality_indexes)
+        ("inequality_order_value_regions",
+         A.inequality_order_value_regions,
+         inequality_indexes_duck(
+             f"SELECT r_name, CAST(o_totalprice AS DECIMAL(18,2)) "
+             f"AS o_totalprice FROM ({_ORDERS_REGION_SQL})",
+             "o_totalprice", ["r_name"]),
+         ("profiling", "stats", "agg")),
+        # round-15: bounded distribution distances — JSD / Hellinger /
+        # TV over the PSI bin machinery, zero-safe
+        # (drift.distribution_distance)
+        ("price_distribution_distance", A.price_distribution_distance,
+         distribution_distance_duck(
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'EUROPE'",
+             f"SELECT o_totalprice FROM ({_ORDERS_REGION_SQL}) "
+             "WHERE r_name = 'ASIA'",
+             "o_totalprice"),
+         ("drift", "stats")),
+        # round-15: Wald-Wolfowitz runs test — randomness of the daily
+        # order-value series around its median (timeseries.runs_test)
+        ("runs_daily_order_value", A.runs_daily_order_value,
+         runs_test_duck(
+             "SELECT o_orderdate, CAST(SUM(CAST(o_totalprice AS "
+             "DECIMAL(18,2))) AS DOUBLE) AS daily_value, "
+             "'daily' AS series FROM orders GROUP BY o_orderdate",
+             ["series"], "o_orderdate", "daily_value"),
+         ("timeseries", "stats", "window")),
+        # round-15: Zipf-law fit — log-log OLS of the corpus
+        # rank-frequency curve over the top-1000 terms
+        # (keywords.zipf_fit)
+        ("zipf_term_frequencies", A.zipf_term_frequencies,
+         zipf_fit_duck("text"),
+         ("text", "stats")),
         # round-13: Jarque-Bera normality audit — two-pass 9-dp
         # quantized central moments, chi2(2) verdict
         # (hypothesis.jarque_bera)

@@ -197,3 +197,242 @@ def test_flinkcep_porting_table_doc():
                 "consumed_matches_monitor", "skip_to_matches_monitor"):
         assert mon in table, f"porting table misses {mon}"
         assert hasattr(cep, mon), f"table names a ghost monitor {mon}"
+
+
+# ------------------------------------------ round-15 stats battery
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_levene_hand_values(spark):
+    """scipy levene(center='mean') on [1,5] vs [2,2,8] -> W = 0.6."""
+    from flink_rag_spark.operators.hypothesis import levene_test
+
+    df = _df(spark, [("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 2.0),
+                     ("b", 8.0)], "g string, v double")
+    r = levene_test(df, "g", "v", 5.0).collect()[0]
+    assert r["n"] == 5 and r["n_groups"] == 2
+    assert abs(r["f"] - 0.6) < 1e-6
+    assert abs(r["ss_between"] - 8.0 / 15) < 1e-6
+    assert not r["significant"]
+
+
+def test_cohens_d_hand_values(spark):
+    """[1,2,3] vs [4,6]: d = -3/sqrt(4/3), g = d * 8/11."""
+    from flink_rag_spark.operators.hypothesis import cohens_d
+
+    a = _df(spark, [(1.0,), (2.0,), (3.0,)], "v double")
+    b = _df(spark, [(4.0,), (6.0,)], "v double")
+    r = cohens_d(a, b, "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["mean_a"] == 2.0 and r["mean_b"] == 5.0
+    assert abs(r["d"] - (-2.598076)) < 1e-6
+    assert abs(r["g"] - (-2.598076 * 8 / 11)) < 1e-5
+    # a single-observation side has no variance -> NULL d
+    one = _df(spark, [(4.0,)], "v double")
+    r2 = cohens_d(a, one, "v").collect()[0]
+    assert r2["d"] is None and r2["pooled_sd"] is None
+
+
+def test_point_biserial_hand_values(spark):
+    """flag={2,4} vs {1,3}: r = 1/1.118034 * 0.5 = 0.447214."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.hypothesis import point_biserial
+
+    df = _df(spark, [(True, 2.0), (True, 4.0), (False, 1.0),
+                     (False, 3.0)], "f boolean, v double")
+    r = point_biserial(df, "f", "v").collect()[0]
+    assert (r["n"], r["n_1"], r["n_0"]) == (4, 2, 2)
+    assert r["mean_1"] == 3.0 and r["mean_0"] == 2.0
+    assert abs(r["r_pb"] - 0.447214) < 1e-6
+    assert abs(r["z"] - 0.774597) < 1e-6
+    # Column predicate form + constant values -> NULL r
+    flat = _df(spark, [(1, 5.0), (2, 5.0)], "k bigint, v double")
+    r2 = point_biserial(flat, F.col("k") == 1, "v").collect()[0]
+    assert r2["r_pb"] is None and not r2["significant"]
+
+
+def test_friedman_hand_values(spark):
+    """Three blocks ranking three treatments identically -> Q = 6
+    (the no-tie classic); an incomplete block is excluded."""
+    from flink_rag_spark.operators.hypothesis import friedman_test
+
+    rows = []
+    for b in ("b1", "b2", "b3"):
+        rows += [(b, "t1", 1.0), (b, "t2", 2.0), (b, "t3", 3.0)]
+    df = _df(spark, rows, "b string, t string, v double")
+    r = friedman_test(df, "b", "t", "v", 5.991).collect()[0]
+    assert (r["n_blocks"], r["k"]) == (3, 3)
+    assert abs(r["q"] - 6.0) < 1e-9
+    assert r["significant"]
+    # a block missing t3 drops out; Q unchanged
+    df2 = df.union(_df(spark, [("b4", "t1", 9.0), ("b4", "t2", 1.0)],
+                       "b string, t string, v double"))
+    r2 = friedman_test(df2, "b", "t", "v", 5.991).collect()[0]
+    assert (r2["n_blocks"], r2["k"]) == (3, 3)
+    assert abs(r2["q"] - 6.0) < 1e-9
+
+
+def test_cochran_q_hand_values(spark):
+    """Classic 4-block binary grid -> Q = 6.5."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.hypothesis import cochran_q
+
+    grid = {"b1": (1, 1, 0), "b2": (1, 1, 0), "b3": (0, 1, 0),
+            "b4": (1, 1, 0)}
+    rows = [(b, f"t{j+1}", bool(x)) for b, xs in grid.items()
+            for j, x in enumerate(xs)]
+    df = _df(spark, rows, "b string, t string, s boolean")
+    r = cochran_q(df, "b", "t", "s", 5.991).collect()[0]
+    assert (r["n_blocks"], r["k"]) == (4, 3)
+    assert abs(r["q"] - 6.5) < 1e-9
+    assert r["significant"]
+    # all-success blocks only -> zero denominator -> NULL
+    allsucc = _df(spark, [("b", f"t{j}", True) for j in range(3)],
+                  "b string, t string, s boolean")
+    r2 = cochran_q(allsucc, "b", "t", F.col("s"), 5.991).collect()[0]
+    assert r2["q"] is None and not r2["significant"]
+
+
+def test_ordinal_association_hand_values(spark):
+    from flink_rag_spark.operators.hypothesis import ordinal_association
+
+    df = _df(spark, [(1, 1), (1, 1), (2, 2)], "x int, y int")
+    r = ordinal_association(df, "x", "y").collect()[0]
+    assert r["n"] == 3
+    assert r["gamma"] == 1.0
+    assert r["somers_d_yx"] == 1.0 and r["somers_d_xy"] == 1.0
+    assert abs(r["tau_c"] - 8.0 / 9) < 1e-6
+    rev = _df(spark, [(1, 2), (2, 1)], "x int, y int")
+    r2 = ordinal_association(rev, "x", "y").collect()[0]
+    assert r2["gamma"] == -1.0 and r2["tau_c"] == -1.0
+    # constant x: no pairs at all -> NULL gamma/d_yx
+    flat = _df(spark, [(1, 1), (1, 2)], "x int, y int")
+    r3 = ordinal_association(flat, "x", "y").collect()[0]
+    assert r3["gamma"] is None and r3["somers_d_yx"] is None
+
+
+def test_cohen_kappa_hand_values(spark):
+    """po = 2/3, pe = 5/9 -> kappa = 0.25; constant raters -> NULL."""
+    from flink_rag_spark.operators.hypothesis import cohen_kappa
+
+    rows = ([("x", "x")] * 3 + [("x", "y")] + [("y", "y")]
+            + [("y", "x")])
+    df = _df(spark, rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 6
+    assert abs(r["po"] - 2 / 3) < 1e-6
+    assert abs(r["pe"] - 5 / 9) < 1e-6
+    assert abs(r["kappa"] - 0.25) < 1e-6
+    const = _df(spark, [("x", "x")] * 4, "a string, b string")
+    r2 = cohen_kappa(const, "a", "b").collect()[0]
+    assert r2["po"] == 1.0 and r2["pe"] == 1.0 and r2["kappa"] is None
+
+
+def test_uncertainty_coefficient_hand_values(spark):
+    """Perfect 2x2 association: U = 1 in every direction."""
+    from flink_rag_spark.operators.hypothesis import (
+        uncertainty_coefficient)
+
+    df = _df(spark, [("a", 1), ("a", 1), ("b", 2), ("b", 2)],
+             "x string, y int")
+    r = uncertainty_coefficient(df, "x", "y").collect()[0]
+    assert abs(r["mi"] - 0.693147) < 1e-6
+    assert r["u_x_given_y"] == 1.0
+    assert r["u_y_given_x"] == 1.0
+    assert r["u_symmetric"] == 1.0
+    # independent grid -> MI 0 -> U 0
+    ind = _df(spark, [("a", 1), ("a", 2), ("b", 1), ("b", 2)],
+              "x string, y int")
+    r2 = uncertainty_coefficient(ind, "x", "y").collect()[0]
+    assert r2["u_symmetric"] == 0.0
+
+
+def test_inequality_indexes_hand_values(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flink_rag_spark.operators.profiling import inequality_indexes
+
+    rows = ([("even", 1.0)] * 4
+            + [("two", 1.0), ("two", 3.0), ("zero", 0.0),
+               ("zero", 2.0)])
+    df = _df(spark, rows, "g string, v double").withColumn(
+        "v", F.col("v").cast("decimal(18,2)"))
+    out = {r["g"]: r for r in
+           inequality_indexes(df, "v", ["g"]).collect()}
+    assert out["even"]["theil"] == 0.0 and out["even"]["atkinson"] == 0.0
+    assert abs(out["two"]["theil"] - 0.130812) < 1e-6
+    assert abs(out["two"]["atkinson"] - 0.133975) < 1e-6
+    assert abs(out["zero"]["theil"] - 0.693147) < 1e-6
+    assert out["zero"]["atkinson"] == 1.0
+    with pytest.raises(TypeError, match="DECIMAL"):
+        inequality_indexes(_df(spark, [("g", 1.0)],
+                               "g string, v double"), "v", ["g"])
+    with pytest.raises(ValueError, match="non-negative"):
+        inequality_indexes(
+            _df(spark, [("g", -1.0)], "g string, v double")
+            .withColumn("v", F.col("v").cast("decimal(18,2)")),
+            "v", ["g"])
+
+
+def test_distribution_distance_hand_values(spark):
+    """Two-mass fixture: p = (.5, .5), q = (.9, .1) -> tv 0.4,
+    hellinger 0.32492, jsd 0.101749; identical samples -> zeros."""
+    from flink_rag_spark.operators.drift import distribution_distance
+
+    ref = _df(spark, [(0.0,)] * 5 + [(10.0,)] * 5, "v double")
+    cur = _df(spark, [(0.0,)] * 9 + [(10.0,)], "v double")
+    r = distribution_distance(ref, cur, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (10, 10)
+    assert r["tv"] == 0.4
+    assert abs(r["hellinger"] - 0.32492) < 1e-6
+    assert abs(r["jsd"] - 0.101749) < 1e-6
+    same = distribution_distance(ref, ref, "v").collect()[0]
+    assert (same["jsd"], same["hellinger"], same["tv"]) == (0.0, 0.0, 0.0)
+
+
+def test_runs_test_hand_values(spark):
+    """Perfect alternation -> z = +1.825742; perfect clustering ->
+    the mirror image; median-tied values drop."""
+    import pyspark.sql.functions as F
+
+    from flink_rag_spark.operators.timeseries import runs_test
+
+    def series(vals):
+        return _df(spark,
+                   [("s", i, float(v)) for i, v in enumerate(vals)],
+                   "k string, t bigint, v double").withColumn(
+            "ts", F.timestamp_seconds(F.col("t")))
+
+    alt = runs_test(series([1, 2, 1, 2, 1, 2]), ["k"], "ts",
+                    "v").collect()[0]
+    assert (alt["n"], alt["n_above"], alt["n_below"],
+            alt["runs"]) == (6, 3, 3, 6)
+    assert alt["expected_runs"] == 4.0
+    assert abs(alt["z"] - 1.825742) < 1e-6
+    clus = runs_test(series([1, 1, 1, 2, 2, 2]), ["k"], "ts",
+                     "v").collect()[0]
+    assert clus["runs"] == 2 and abs(clus["z"] + 1.825742) < 1e-6
+    # a value AT the median drops (classical treatment)
+    tied = runs_test(series([1, 1.5, 2]), ["k"], "ts",
+                     "v").collect()[0]
+    assert tied["n"] == 2 and tied["runs"] == 2
+
+
+def test_zipf_fit_hand_values(spark):
+    """An exactly-Zipfian corpus (counts 6/3/2) fits slope -1,
+    intercept ln 6, r2 = 1."""
+    from flink_rag_spark.operators.keywords import zipf_fit
+
+    text = " ".join(["alpha"] * 6 + ["beta"] * 3 + ["gamma"] * 2)
+    docs = _df(spark, [(1, text)], "doc_id bigint, text string")
+    r = zipf_fit(docs, "text").collect()[0]
+    assert r["n_terms"] == 3
+    assert r["slope"] == -1.0
+    assert abs(r["intercept"] - 1.791759) < 1e-6
+    assert r["r2"] == 1.0
