@@ -2898,3 +2898,173 @@ SELECT {key_col}, {", ".join(t_sel)},
             THEN CAST(COUNT(_ga) AS BIGINT) END AS absorbed
 FROM ab GROUP BY {key_col}
 """
+
+
+# ------------------------------------- followedByAny (bounded top-N)
+
+ANY_MATCHES_MAX = 50
+
+
+def any_funnel_matches(events: DataFrame, steps: list[str | Column],
+                       per_anchor: int = 5,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       seq_col: str = "event_id") -> DataFrame:
+    """FlinkCEP ``followedByAny`` — BOUNDED: each step after the first
+    may match ANY later qualifying event (not just the earliest), so a
+    key's match set is the full combination tree — exponential BY
+    SEMANTICS, which is why the unbounded form stayed documented out
+    of scope. This variant makes the bound explicit and deterministic:
+    per step-1 anchor EVENT, the first ``per_anchor`` completed
+    matches in lexicographic (t2, …, tk) timestamp order.
+
+    Correctness of the bound: a VIABLE prefix (every chosen event can
+    still be followed by a full suffix — the reverse max-chain check)
+    completes at least once, and the lex-top-N full tuples extend the
+    lex-top-N viable prefixes, so keeping only N viable prefixes per
+    anchor at EVERY stage loses nothing — the tree never materializes
+    beyond N rows per anchor per stage.
+
+    Output: one row per emitted match — (key, t1..tk, match_rank)
+    with match_rank 1-based in lex order per anchor; anchors with no
+    completion emit nothing (the all_funnel_matches contract).
+    ``within`` windows are NOT supported here (a deadline makes
+    viability anchor-relative and the stage bound unsound) — use
+    ``all_funnel_matches`` for the windowed single-match form.
+
+    Plan at 100 TB: k−1 per-key scalar viability windows on one
+    exchange, then k−1 key-equi-joins each bounded at N rows per
+    anchor by a (key, anchor) ranking window — cost N·|anchors| per
+    stage, never the combination tree."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("steps must have at least 2 entries")
+    if not 1 <= per_anchor <= ANY_MATCHES_MAX:
+        raise ValueError(
+            f"per_anchor must be in 1..{ANY_MATCHES_MAX}, "
+            f"got {per_anchor}")
+    conds = [F.col(type_col) == s if isinstance(s, str) else s
+             for s in steps]
+    if all(isinstance(s, str) for s in steps):
+        df = (events.filter(F.col(type_col).isin(list(steps)))
+              .select(key_col, seq_col, ts_col, type_col))
+    else:
+        any_step = conds[0]
+        for c in conds[1:]:
+            any_step = any_step | c
+        df = events.filter(any_step)
+    # reverse viability chain: v_k = max ts of step k; v_j = max ts of
+    # step j strictly before v_{j+1} — per-key scalars via running-max
+    # window layers mirrored from the funnel's running mins
+    w_desc = (Window.partitionBy(key_col)
+              .orderBy(F.desc(ts_col), F.desc(seq_col))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(key_col)
+    for j in range(k, 1, -1):
+        cond = conds[j - 1]
+        if j < k:
+            cond = cond & (F.col(ts_col) < F.col(f"_av{j + 1}"))
+        df = df.withColumn(f"_av{j}",
+                           F.max(F.when(cond, F.col(ts_col))).over(w_desc))
+    for j in range(2, k + 1):
+        df = df.withColumn(f"_av{j}",
+                           F.max(F.col(f"_av{j}")).over(w_all))
+    # anchors: every step-1 event with a viable step-2 after it
+    cur = (df.filter(conds[0] & (F.col(ts_col) < F.col("_av2")))
+           .select(F.col(key_col).alias("_k"),
+                   F.col(ts_col).alias("_t1"),
+                   F.col(seq_col).alias("_a")))
+    for j in range(2, k + 1):
+        viab = conds[j - 1]
+        if j < k:
+            viab = viab & (F.col(ts_col) < F.col(f"_av{j + 1}"))
+        ev = (df.filter(viab)
+              .select(F.col(key_col).alias("_k2"),
+                      F.col(ts_col).alias(f"_t{j}")))
+        cur = cur.join(ev, (F.col("_k") == F.col("_k2"))
+                       & (F.col(f"_t{j}") > F.col(f"_t{j - 1}"))
+                       ).drop("_k2")
+        w_rank = (Window.partitionBy("_k", "_a")
+                  .orderBy(*[F.col(f"_t{i}") for i in range(2, j + 1)]))
+        cur = (cur.withColumn("_r", F.row_number().over(w_rank))
+               .filter(F.col("_r") <= per_anchor).drop("_r"))
+    w_final = (Window.partitionBy("_k", "_a")
+               .orderBy(*[F.col(f"_t{i}") for i in range(2, k + 1)]))
+    return (cur.withColumn("match_rank",
+                           F.row_number().over(w_final))
+            .select(F.col("_k").alias(key_col),
+                    *[F.col(f"_t{i}").alias(f"t{i}")
+                      for i in range(1, k + 1)],
+                    "match_rank"))
+
+
+def any_funnel_matches_duck(steps: list[str], per_anchor: int = 5,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            seq_col: str = "event_id",
+                            table: str = "events") -> str:
+    """DuckDB mirror of :func:`any_funnel_matches` — the same reverse
+    viability chain as running-max CTEs and the same per-stage
+    QUALIFY bound. String steps only."""
+    bad = [s for s in steps if not isinstance(s, str)]
+    if bad:
+        raise TypeError("any_funnel_matches_duck only mirrors string "
+                        f"steps; got: {bad!r}")
+    k = len(steps)
+    if k < 2:
+        raise ValueError("steps must have at least 2 entries")
+    if not 1 <= per_anchor <= ANY_MATCHES_MAX:
+        raise ValueError(
+            f"per_anchor must be in 1..{ANY_MATCHES_MAX}, "
+            f"got {per_anchor}")
+    in_list = ", ".join(_q(s) for s in sorted(set(steps)))
+    over = (f"OVER (PARTITION BY {key_col} ORDER BY {ts_col} DESC, "
+            f"{seq_col} DESC ROWS UNBOUNDED PRECEDING)")
+    ctes = [f"e AS (SELECT {key_col}, {seq_col}, {ts_col}, {type_col} "
+            f"FROM {table} WHERE {type_col} IN ({in_list}))"]
+    prev_cols = f"{key_col}, {seq_col}, {ts_col}, {type_col}"
+    src = "e"
+    for j in range(k, 1, -1):
+        cond = f"{type_col} = {_q(steps[j - 1])}"
+        if j < k:
+            cond += f" AND {ts_col} < _av{j + 1}"
+        ctes.append(
+            f"rv{j} AS (SELECT {prev_cols}, "
+            f"MAX(CASE WHEN {cond} THEN {ts_col} END) {over} AS _av{j} "
+            f"FROM {src})")
+        prev_cols += f", _av{j}"
+        src = f"rv{j}"
+    scal = ", ".join(
+        f"MAX(_av{j}) OVER (PARTITION BY {key_col}) AS _av{j}"
+        for j in range(2, k + 1))
+    ctes.append(f"sc AS (SELECT {key_col}, {seq_col}, {ts_col}, "
+                f"{type_col}, {scal} FROM {src})")
+    # anchors
+    ctes.append(
+        f"s1 AS (SELECT {key_col} AS _k, {ts_col} AS _t1, "
+        f"{seq_col} AS _a FROM sc "
+        f"WHERE {type_col} = {_q(steps[0])} AND {ts_col} < _av2)")
+    src = "s1"
+    for j in range(2, k + 1):
+        viab = f"{type_col} = {_q(steps[j - 1])}"
+        if j < k:
+            viab += f" AND {ts_col} < _av{j + 1}"
+        order = ", ".join(f"_t{i}" for i in range(2, j + 1))
+        ctes.append(
+            f"s{j} AS (SELECT p.*, n.{ts_col} AS _t{j} "
+            f"FROM {src} p JOIN "
+            f"(SELECT {key_col} AS _k2, {ts_col} FROM sc WHERE {viab}) n "
+            f"ON p._k = n._k2 AND n.{ts_col} > p._t{j - 1} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY p._k, p._a "
+            f"ORDER BY {order}) <= {per_anchor})")
+        src = f"s{j}"
+    order = ", ".join(f"_t{i}" for i in range(2, k + 1))
+    t_cols = ", ".join(f"_t{i} AS t{i}" for i in range(1, k + 1))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT _k AS {key_col}, {t_cols},
+       CAST(ROW_NUMBER() OVER (PARTITION BY _k, _a ORDER BY {order})
+            AS BIGINT) AS match_rank
+FROM {src}
+"""

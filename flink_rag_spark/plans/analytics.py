@@ -1937,3 +1937,23 @@ def zipf_term_frequencies(spark: SparkSession,
     from flink_rag_spark.operators.keywords import zipf_fit
     d = load_table(spark, sf_dir, "documents")
     return zipf_fit(d, "text")
+
+
+#: followedByAny bound — first N lex-ordered completions per anchor
+ANY_MATCHES_PER_ANCHOR = 3
+
+
+def any_funnel_matches_users(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Bounded FlinkCEP ``followedByAny`` (operators/sequences.py
+    any_funnel_matches): per view-anchor, the first 3 completed
+    view → click → purchase combinations in lexicographic timestamp
+    order — each later step free to match ANY later event, the full
+    combination semantics the unbounded form makes exponential; the
+    per-stage lex-top-N viable-prefix bound keeps it N rows per
+    anchor per stage. Completes the relaxed-contiguity emission
+    surface beside noSkip / skipPastLastEvent / skipTo*."""
+    from flink_rag_spark.operators.sequences import any_funnel_matches
+    e = load_table(spark, sf_dir, "events")
+    return any_funnel_matches(e, ["view", "click", "purchase"],
+                              per_anchor=ANY_MATCHES_PER_ANCHOR)

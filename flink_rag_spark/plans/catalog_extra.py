@@ -89,6 +89,7 @@ def extra_queries() -> list[tuple]:
         ushaped_attribution_duck,
         consecutive_funnel_times_duck,
         consumed_funnel_matches_duck,
+        any_funnel_matches_duck,
         skip_to_funnel_matches_duck,
         event_transitions_duck,
         funnel_conversion_stats_duck,
@@ -2408,6 +2409,13 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
         ("greedy_funnel_users", A.greedy_funnel_users,
          greedy_funnel_times_duck(A.GREEDY_STEPS, A.GREEDY_IDX),
          ("sequence", "cep", "window")),
+        # round-15: bounded followedByAny — per-anchor lex-top-N
+        # combination matches, viable-prefix bound per stage
+        # (sequences.any_funnel_matches)
+        ("any_funnel_matches_users", A.any_funnel_matches_users,
+         any_funnel_matches_duck(["view", "click", "purchase"],
+                                 A.ANY_MATCHES_PER_ANCHOR),
+         ("sequence", "cep", "all-matches")),
         # round-10: linear multi-touch attribution — per-conversion
         # credit split across distinct prior touch types, term-level
         # DECIMAL quantization (sequences.linear_attribution)

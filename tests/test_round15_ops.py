@@ -436,3 +436,87 @@ def test_zipf_fit_hand_values(spark):
     assert r["slope"] == -1.0
     assert abs(r["intercept"] - 1.791759) < 1e-6
     assert r["r2"] == 1.0
+
+
+# --------------------------------------- bounded followedByAny
+
+
+def test_any_funnel_matches_hand_values(spark):
+    """Per-anchor lex-top-N combination matches: the B@6 past the last
+    C is not viable, two anchors each emit their own tree, N truncates
+    in (t2, t3) order."""
+    from flink_rag_spark.operators.sequences import any_funnel_matches
+
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, "B"), ("u1", 4, "C"),
+        ("u1", 5, "C"), ("u1", 6, "B"),
+        ("u2", 1, "A"), ("u2", 2, "C"),
+        ("u3", 1, "A"), ("u3", 2, "A"), ("u3", 3, "B"), ("u3", 4, "C"),
+    ]
+    e = (spark.createDataFrame(
+        [(u, s, t, i) for i, (u, s, t) in enumerate(rows)],
+        "user_id string, s bigint, event_type string, event_id bigint")
+        .select("user_id", "event_id",
+                F.timestamp_seconds(F.col("s")).alias("ts"),
+                "event_type"))
+    got = sorted(
+        (r["user_id"], _t(r, 1), _t(r, 2), _t(r, 3), r["match_rank"])
+        for r in any_funnel_matches(e, ["A", "B", "C"],
+                                    per_anchor=3).collect())
+    assert got == [
+        ("u1", 1, 2, 4, 1), ("u1", 1, 2, 5, 2), ("u1", 1, 3, 4, 3),
+        ("u3", 1, 3, 4, 1), ("u3", 2, 3, 4, 1)]
+    got2 = sorted(
+        (r["user_id"], _t(r, 2), _t(r, 3))
+        for r in any_funnel_matches(e, ["A", "B", "C"],
+                                    per_anchor=2).collect()
+        if r["user_id"] == "u1")
+    assert got2 == [("u1", 2, 4), ("u1", 2, 5)]
+
+
+def test_any_funnel_matches_duck_parity(spark):
+    import duckdb as ddb
+
+    from flink_rag_spark.operators.sequences import (
+        any_funnel_matches, any_funnel_matches_duck)
+
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "B"), ("u1", 3, "B"), ("u1", 4, "C"),
+        ("u1", 5, "C"), ("u1", 6, "B"),
+        ("u3", 1, "A"), ("u3", 2, "A"), ("u3", 3, "B"), ("u3", 4, "C"),
+    ]
+    e = (spark.createDataFrame(
+        [(u, s, t, i) for i, (u, s, t) in enumerate(rows)],
+        "user_id string, s bigint, event_type string, event_id bigint")
+        .select("user_id", "event_id",
+                F.timestamp_seconds(F.col("s")).alias("ts"),
+                "event_type"))
+    con = ddb.connect()
+    con.register("events", e.toPandas())
+    for n in (1, 2, 3, 5):
+        sp = sorted(
+            (r["user_id"], _t(r, 1), _t(r, 2), _t(r, 3),
+             r["match_rank"])
+            for r in any_funnel_matches(e, ["A", "B", "C"],
+                                        per_anchor=n).collect())
+        du = sorted(
+            (r[0],) + tuple(int(v.timestamp()) for v in r[1:4])
+            + (r[4],)
+            for r in con.sql(any_funnel_matches_duck(
+                ["A", "B", "C"], per_anchor=n)).fetchall())
+        assert sp == du, n
+
+
+def test_any_funnel_matches_validation():
+    import pytest as pt
+
+    from flink_rag_spark.operators.sequences import (
+        ANY_MATCHES_MAX, any_funnel_matches_duck)
+
+    with pt.raises(ValueError, match="at least 2"):
+        any_funnel_matches_duck(["A"])
+    with pt.raises(ValueError, match="per_anchor"):
+        any_funnel_matches_duck(["A", "B"], per_anchor=0)
+    with pt.raises(ValueError, match="per_anchor"):
+        any_funnel_matches_duck(["A", "B"],
+                                per_anchor=ANY_MATCHES_MAX + 1)
