@@ -62,8 +62,12 @@ def build_drift_reference(ref_df: DataFrame, value_col: str, path: str,
     total = float(sum(counts.values()))
     p_ref = [max(counts.get(b, 0) / total, eps)
              for b in range(1, n_bins + 1)]
+    # p_raw: the UN-floored probabilities — the bounded distances
+    # (batch_distances) are zero-safe by construction and must see the
+    # true zeros, not the PSI ε floor
+    p_raw = [counts.get(b, 0) / total for b in range(1, n_bins + 1)]
     ref = {"value_col": value_col, "n_bins": n_bins, "eps": eps,
-           "boundaries": bounds, "p_ref": p_ref}
+           "boundaries": bounds, "p_ref": p_ref, "p_raw": p_raw}
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, REFERENCE_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -98,6 +102,65 @@ def batch_psi(batch_df: DataFrame, ref: dict,
     return round(psi, ROUND_DP), n
 
 
+def batch_distances(batch_df: DataFrame, ref: dict,
+                    value_col: str | None = None
+                    ) -> tuple[float | None, float | None, float | None]:
+    """(jsd, hellinger, tv) of one frame against a loaded reference —
+    the streaming face of ``operators/drift.distribution_distance``:
+    same bins, same UN-floored probabilities (``p_raw``, stored since
+    round 15 — older artifacts without it report None), and the same
+    9-dp per-bin term quantization replayed EXACTLY (Decimal half-up
+    on the shortest float repr ≡ Spark's F.round — the ph_monitor
+    discipline), so a batch's distances equal the batch operator's on
+    the same two frames bit-for-bit (pinned by test). All None for an
+    empty frame."""
+    from decimal import ROUND_FLOOR, ROUND_HALF_UP, Decimal
+
+    if "p_raw" not in ref:
+        return None, None, None
+    vc = value_col or ref["value_col"]
+    counts = {r["bin"]: r["n"] for r in
+              binned_counts(batch_df, vc, ref["boundaries"]).collect()}
+    n = int(sum(counts.values()))
+    if n == 0:
+        return None, None, None
+    q9 = Decimal("1e-9")
+    q6 = Decimal("1e-6")
+
+    def quant9(x: float) -> Decimal:
+        return Decimal(repr(float(x))).quantize(q9,
+                                                rounding=ROUND_HALF_UP)
+
+    jsd_s = bc_s = tv_s = Decimal(0)
+    for b in range(1, ref["n_bins"] + 1):
+        cr = ref["p_raw"][b - 1]
+        cc = counts.get(b, 0)
+        if cr == 0 and cc == 0:
+            continue        # the batch op's full join never sees it
+        p = cr
+        q = cc / n
+        term = 0.0
+        if p > 0:
+            term += 0.5 * (p * math.log(2.0 * p / (p + q)))
+        if cc > 0:
+            term += 0.5 * (q * math.log(2.0 * q / (p + q)))
+        jsd_s += quant9(term)
+        bc_s += quant9(math.sqrt(p * q))
+        tv_s += quant9(abs(p - q))
+
+    def out6(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(
+            q6, rounding=ROUND_HALF_UP))
+
+    def dec2d(d: Decimal) -> float:
+        # the batch op's util.dec_to_double floor-split, replayed
+        fl = d.to_integral_value(rounding=ROUND_FLOOR)
+        return float(fl) + float(d - fl)
+
+    hell = math.sqrt(max(1.0 - dec2d(bc_s), 0.0))
+    return (out6(dec2d(jsd_s)), out6(hell), out6(dec2d(tv_s) / 2.0))
+
+
 def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
                       ref_path: str, metrics_path: str,
                       checkpoint_dir: str,
@@ -107,7 +170,8 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
                       value_col: str | None = None,
                       available_now: bool = False):
     """Monitor a streaming frame against the stored reference. Metrics
-    rows (batch_id, n_rows, n_scored, psi, drifted) land under
+    rows (batch_id, n_rows, n_scored, psi, jsd, hellinger, tv,
+    drifted) land under
     ``metrics_path`` partitioned by batch_id (replay-idempotent
     overwrite). ``n_rows`` is the batch's full row count; ``n_scored``
     is the rows that actually entered the PSI bins (non-NULL values) —
@@ -125,12 +189,14 @@ def run_drift_monitor(spark: SparkSession, stream_df: DataFrame,
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         psi, n_scored = batch_psi(batch_df, ref, value_col)
+        jsd, hell, tv = batch_distances(batch_df, ref, value_col)
         n_rows = batch_df.count()
         drifted = psi is not None and psi > threshold
         metrics = spark.createDataFrame(
-            [(int(n_rows), int(n_scored), psi, bool(drifted),
-              int(batch_id))],
-            "n_rows bigint, n_scored bigint, psi double, "
+            [(int(n_rows), int(n_scored), psi, jsd, hell, tv,
+              bool(drifted), int(batch_id))],
+            "n_rows bigint, n_scored bigint, psi double, jsd double, "
+            "hellinger double, tv double, "
             "drifted boolean, batch_id bigint")
         routed = batch_df.withColumn("batch_id", F.lit(batch_id))
         prev = spark.conf.get(_MODE, "static")

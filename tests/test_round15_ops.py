@@ -520,3 +520,47 @@ def test_any_funnel_matches_validation():
     with pt.raises(ValueError, match="per_anchor"):
         any_funnel_matches_duck(["A", "B"],
                                 per_anchor=ANY_MATCHES_MAX + 1)
+
+
+# ------------------------------ streaming bounded distances (drift)
+
+
+def test_streaming_distances_match_batch_operator(spark, tmp_path):
+    """The monitor's per-batch jsd/hellinger/tv equal the batch
+    distribution_distance on (reference frame, batch frame) exactly —
+    the stored p_raw profile + the replayed 9-dp term quantization."""
+    from flink_rag_spark.operators.drift import distribution_distance
+    from flink_rag_spark.streaming.drift_monitor import (
+        build_drift_reference,
+        run_drift_monitor,
+    )
+
+    ref_df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "value double")
+    ref_path = str(tmp_path / "ref")
+    build_drift_reference(ref_df, "value", ref_path, n_bins=5)
+    src = tmp_path / "src"
+    src.mkdir()
+    stable = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                   "value double")
+    shifted = spark.createDataFrame([(999.0,)] * 50, "value double")
+    stable.coalesce(1).write.parquet(str(src / "a"))
+    shifted.coalesce(1).write.parquet(str(src / "b"))
+    mets = str(tmp_path / "mets")
+    stream = (spark.readStream.schema(stable.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src / "*")))
+    q = run_drift_monitor(spark, stream, ref_path, mets,
+                          str(tmp_path / "cp"), available_now=True)
+    assert q.awaitTermination(120)
+    rows = spark.read.parquet(mets).collect()
+    assert len(rows) == 2
+    got = sorted((r["jsd"], r["hellinger"], r["tv"]) for r in rows)
+    want = sorted(
+        tuple(distribution_distance(ref_df, cur, "value", n_bins=5)
+              .collect()[0][c] for c in ("jsd", "hellinger", "tv"))
+        for cur in (stable, shifted))
+    assert got == want
+    # the stable batch reads as identical; the shifted one as disjoint
+    assert got[0] == (0.0, 0.0, 0.0)
+    assert got[1][2] == 0.8          # shifted mass shares only the top bin
