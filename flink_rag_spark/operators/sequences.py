@@ -2933,9 +2933,14 @@ def any_funnel_matches(events: DataFrame, steps: list[str | Column],
     ``all_funnel_matches`` for the windowed single-match form.
 
     Plan at 100 TB: k−1 per-key scalar viability windows on one
-    exchange, then k−1 key-equi-joins each bounded at N rows per
-    anchor by a (key, anchor) ranking window — cost N·|anchors| per
-    stage, never the combination tree."""
+    exchange; each stage then gives every viable step-j event a
+    per-key ORDINAL (one ranking window), computes — via a
+    union-window cumulative count — how many of them precede each
+    prefix, and EQUI-joins on (key, ordinal = c + i) after exploding
+    the N candidate ordinals: the join probes are exactly N per prefix
+    BY CONSTRUCTION, so a hot key never pays the |anchors| × |events|
+    pair block an inequality join would nested-loop inside the key
+    group; every window and join shares the key partitioning."""
     k = len(steps)
     if k < 2:
         raise ValueError("steps must have at least 2 entries")
@@ -2974,16 +2979,46 @@ def any_funnel_matches(events: DataFrame, steps: list[str | Column],
            .select(F.col(key_col).alias("_k"),
                    F.col(ts_col).alias("_t1"),
                    F.col(seq_col).alias("_a")))
+    js = F.array(*[F.lit(i) for i in range(1, per_anchor + 1)])
     for j in range(2, k + 1):
         viab = conds[j - 1]
         if j < k:
             viab = viab & (F.col(ts_col) < F.col(f"_av{j + 1}"))
         ev = (df.filter(viab)
-              .select(F.col(key_col).alias("_k2"),
-                      F.col(ts_col).alias(f"_t{j}")))
-        cur = cur.join(ev, (F.col("_k") == F.col("_k2"))
-                       & (F.col(f"_t{j}") > F.col(f"_t{j - 1}"))
-                       ).drop("_k2")
+              .select(F.col(key_col).alias("_k"),
+                      F.col(ts_col).alias("_ets")))
+        # per-key ordinal of each viable step-j event (tie order among
+        # equal instants is irrelevant: the selected VALUES are the
+        # instants, and the band keeps the same multiset either way)
+        ev_idx = ev.withColumn(
+            "_idx", F.row_number().over(
+                Window.partitionBy("_k").orderBy("_ets")))
+        # union-window cumulative count: each prefix learns how many
+        # viable step-j events sit at or before its frontier (events
+        # sort BEFORE probes at equal instants — candidates must be
+        # STRICTLY later, so equal-instant events are consumed into c)
+        null_cols = [F.lit(None).cast(cur.schema[c].dataType).alias(c)
+                     for c in cur.columns if c != "_k"]
+        pr = cur.select("*", F.col(f"_t{j - 1}").alias("_ets"),
+                        F.lit(0).alias("_is_ev"))
+        evu = ev.select(F.col("_k"), *null_cols, F.col("_ets"),
+                        F.lit(1).alias("_is_ev")).select(*pr.columns)
+        w_cum = (Window.partitionBy("_k")
+                 .orderBy(F.col("_ets"), F.desc("_is_ev"))
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        probes = (pr.unionByName(evu)
+                  .withColumn("_c", F.sum("_is_ev").over(w_cum))
+                  .filter(F.col("_is_ev") == 0).drop("_is_ev", "_ets"))
+        # exactly N candidate ordinals per prefix -> pure equi-join
+        cand = (probes.withColumn("_j", F.explode(js))
+                .withColumn("_cidx", F.col("_c") + F.col("_j"))
+                .drop("_c", "_j"))
+        cur = (cand.join(ev_idx.withColumnRenamed("_k", "_k2"),
+                         (F.col("_k") == F.col("_k2"))
+                         & (F.col("_cidx") == F.col("_idx")))
+               .withColumn(f"_t{j}", F.col("_ets"))
+               .drop("_k2", "_cidx", "_idx", "_ets"))
         w_rank = (Window.partitionBy("_k", "_a")
                   .orderBy(*[F.col(f"_t{i}") for i in range(2, j + 1)]))
         cur = (cur.withColumn("_r", F.row_number().over(w_rank))
