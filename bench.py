@@ -416,7 +416,8 @@ def main() -> None:
              "kappa_priority_value_bands", "uncertainty_segment_region",
              "inequality_order_value_regions",
              "price_distribution_distance", "runs_daily_order_value",
-             "zipf_term_frequencies", "any_funnel_matches_users"]
+             "zipf_term_frequencies", "any_funnel_matches_users",
+             "readability_documents"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

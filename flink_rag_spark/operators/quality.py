@@ -286,3 +286,82 @@ SELECT g.{id_col},
 FROM g JOIN dfc USING (_g)
 GROUP BY g.{id_col}
 """
+
+
+# ------------------------------------------- readability scoring
+
+READABILITY_DP = 6
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document readability — Flesch reading ease and
+    Flesch–Kincaid grade (the classic curation signal beside the
+    Gopher-style quality stats: templated/boilerplate text scores
+    abnormally easy, OCR soup abnormally hard):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    with W = whitespace tokens (the engine's tokenizer family),
+    S = max(1, runs of [.!?]) and Y = vowel-group runs ([aeiouy]+
+    over the lowercased text) — the standard DETERMINISTIC syllable
+    heuristic (true syllabification needs a dictionary; the vowel-run
+    estimate is the portable classic, stated as the contract).
+    Output: (id, n_words, n_sentences, n_syllables, flesch_ease,
+    fk_grade) — W = 0 (empty/whitespace text) emits NULL scores.
+
+    Exactness: W/S/Y are exact integers from one scan (regexp run
+    counts — identical POSIX classes in both engines); the two scores
+    are one double expression each, rounded ``READABILITY_DP``.
+
+    Plan at 100 TB: pure per-row projection over the scan — no
+    shuffle, no join, whole-stage codegen."""
+    toks = TOKENS_SPARK.format(s=f"lower({text_col})")
+    w = F.size(F.filter(F.expr(toks), lambda x: x != ""))
+    s = F.greatest(F.expr(f"regexp_count({text_col}, '[.!?]+')"),
+                   F.lit(1))
+    y = F.expr(f"regexp_count(lower({text_col}), '[aeiouy]+')")
+    wd = w.cast("double")
+    wps = wd / s.cast("double")
+    spw = y.cast("double") / wd
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        F.col(id_col),
+        w.cast("bigint").alias("n_words"),
+        s.cast("bigint").alias("n_sentences"),
+        y.cast("bigint").alias("n_syllables"),
+        F.round(F.when(w > 0, ease), READABILITY_DP)
+        .alias("flesch_ease"),
+        F.round(F.when(w > 0, grade), READABILITY_DP)
+        .alias("fk_grade"))
+
+
+def readability_scores_duck(text_col: str = "text",
+                            id_col: str = "doc_id",
+                            table: str = "documents") -> str:
+    """DuckDB mirror of :func:`readability_scores` — same tokenizer,
+    same regexp run counts, same double expressions."""
+    toks = TOKENS_DUCK.format(s=f"lower({text_col})")
+    dp = READABILITY_DP
+    return f"""
+WITH rd AS (
+  SELECT {id_col},
+         CAST(len(list_filter({toks}, x -> x <> '')) AS BIGINT) AS w,
+         CAST(GREATEST(len(regexp_extract_all({text_col}, '[.!?]+')),
+                       1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower({text_col}), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM {table})
+SELECT {id_col}, w AS n_words, s AS n_sentences, y AS n_syllables,
+       ROUND(CASE WHEN w > 0 THEN
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) END,
+         {dp}) AS flesch_ease,
+       ROUND(CASE WHEN w > 0 THEN
+         0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+         + 11.8 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59 END,
+         {dp}) AS fk_grade
+FROM rd
+"""

@@ -250,7 +250,10 @@ def extra_queries() -> list[tuple]:
         rag_reranked_answer_oracle,
     )
 
-    from flink_rag_spark.operators.quality import repetition_signals_duck
+    from flink_rag_spark.operators.quality import (
+        readability_scores_duck,
+        repetition_signals_duck,
+    )
     from flink_rag_spark.operators.ranking import (
         fuzzy_term_topk_duck,
         lm_dirichlet_topk_duck,
@@ -1096,6 +1099,11 @@ SELECT query_id, doc_id, pr AS rank FROM ranked WHERE pr <= {llm.EVAL_K}""")
         # Gopher-style repetition quality signals
         ("repetition_signals_docs", llm.repetition_signals_docs,
          repetition_signals_duck(), ("text", "curation", "quality")),
+        # round-15: readability scoring — Flesch ease + FK grade from
+        # deterministic regexp run counts, per-row projection
+        # (quality.readability_scores)
+        ("readability_documents", llm.readability_documents,
+         readability_scores_duck(), ("text", "curation", "quality")),
         # PII scrub pass (deterministically salted so the redaction and
         # counts are non-trivial on the PII-free synthetic corpus)
         ("pii_redacted_docs", llm.pii_redacted_docs,

@@ -959,6 +959,17 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(d)
 
 
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch-Kincaid grade
+    (operators/quality.py readability_scores) over the documents table
+    — the classic curation signal beside the Gopher-style stats,
+    deterministic vowel-run syllable heuristic, pure per-row
+    projection."""
+    from flink_rag_spark.operators.quality import readability_scores
+    d = load_table(spark, sf_dir, "documents")
+    return readability_scores(d)
+
+
 def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub pass (operators/redaction.py). The synthetic corpus is
     PII-free, so the entry INJECTS deterministic PII (an email + an IPv4

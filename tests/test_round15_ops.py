@@ -564,3 +564,44 @@ def test_streaming_distances_match_batch_operator(spark, tmp_path):
     # the stable batch reads as identical; the shifted one as disjoint
     assert got[0] == (0.0, 0.0, 0.0)
     assert got[1][2] == 0.8          # shifted mass shares only the top bin
+
+
+# ----------------------------------------------- readability
+
+
+def test_readability_hand_values(spark):
+    """'Hello world. This is a test!': W=6, S=2, Y=7 ->
+    ease 105.09, grade -0.653333; empty text -> NULL scores."""
+    from flink_rag_spark.operators.quality import readability_scores
+
+    d = spark.createDataFrame(
+        [(1, "Hello world. This is a test!"), (2, "   "),
+         (3, "no punctuation here")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           readability_scores(d).collect()}
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 7)
+    assert abs(r["flesch_ease"] - 105.09) < 1e-6
+    assert abs(r["fk_grade"] - (-0.653333)) < 1e-6
+    assert out[2]["n_words"] == 0 and out[2]["flesch_ease"] is None
+    # zero [.!?] runs floor to one sentence
+    assert out[3]["n_sentences"] == 1
+
+
+def test_readability_duck_parity(spark):
+    import duckdb as ddb
+
+    from flink_rag_spark.operators.quality import (
+        readability_scores, readability_scores_duck)
+
+    d = spark.createDataFrame(
+        [(1, "Hello world. This is a test!"), (2, "   "),
+         (3, "Queueing THEORY, y'all!!! Onomatopoeia abounds?")],
+        "doc_id bigint, text string")
+    sp = sorted(tuple(r) for r in readability_scores(d).collect())
+    con = ddb.connect()
+    con.register("documents", d.toPandas())
+    du = sorted(tuple(r) for r in
+                con.sql(readability_scores_duck()).fetchall())
+    assert sp == du
