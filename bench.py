@@ -417,7 +417,7 @@ def main() -> None:
              "inequality_order_value_regions",
              "price_distribution_distance", "runs_daily_order_value",
              "zipf_term_frequencies", "any_funnel_matches_users",
-             "readability_documents"]
+             "readability_documents", "mcnemar_urgency_value"]
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []

@@ -2903,3 +2903,82 @@ SELECT n, mi, h_x, h_y,
              {MI_DP}) AS u_symmetric
 FROM ({mutual_information_duck(inner_sql, x_col, y_col)})
 """
+
+
+# ------------------------------------------------- McNemar's test
+
+
+def mcnemar_test(df: DataFrame, a_col, b_col,
+                 chi2_crit: float) -> DataFrame:
+    """McNemar's test — the PAIRED 2×2 marginal-homogeneity check
+    beside :func:`cohen_kappa`'s agreement score (kappa asks "do the
+    two labelings agree?"; McNemar asks "do they disagree
+    ASYMMETRICALLY?" — did the new model flip more negatives to
+    positives than vice versa on the same rows; Cochran's Q is its
+    k-treatment generalization):
+
+        chi2 = (|b − c| − 1)² / (b + c)
+
+    with b/c the discordant counts (a∧¬b / ¬a∧b) and the classic
+    continuity correction. ``a_col``/``b_col`` are boolean column
+    names or Column predicates. Output ONE row: (n, n_discordant_ab,
+    n_discordant_ba, chi2, significant) — threshold verdict at the
+    caller's dof-1 critical value; b + c = 0 (no discordant pairs) ⇒
+    NULL chi2, False. NULL-in-either rows are excluded.
+
+    Exactness: pure integer counts from ONE aggregate; chi2 is one
+    double expression.
+
+    Plan at 100 TB: one scan-shaped partial+final aggregate — no
+    shuffle of data rows, no join."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    ab, bb = a.cast("boolean"), b.cast("boolean")
+    agg = (df.filter(ab.isNotNull() & bb.isNotNull())
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum((ab & ~bb).cast("long")).cast("bigint")
+                .alias("n_discordant_ab"),
+                F.sum((~ab & bb).cast("long")).cast("bigint")
+                .alias("n_discordant_ba")))
+    bd = F.col("n_discordant_ab").cast("double")
+    cd = F.col("n_discordant_ba").cast("double")
+    num = F.abs(bd - cd) - F.lit(1.0)
+    chi2 = F.when(bd + cd > 0, num * num / (bd + cd))
+    return agg.select(
+        "n", "n_discordant_ab", "n_discordant_ba",
+        F.round(chi2, ANOVA_DP).alias("chi2"),
+        F.coalesce(chi2 > F.lit(chi2_crit), F.lit(False))
+        .alias("significant"))
+
+
+def mcnemar_test_duck(inner_sql: str, a_sql: str, b_sql: str,
+                      chi2_crit: float) -> str:
+    """DuckDB mirror of :func:`mcnemar_test` — ``a_sql``/``b_sql`` are
+    the boolean expression renderings."""
+    return f"""
+WITH mn AS (
+  SELECT CAST({a_sql} AS BOOLEAN) AS a, CAST({b_sql} AS BOOLEAN) AS b
+  FROM ({inner_sql})
+  WHERE ({a_sql}) IS NOT NULL AND ({b_sql}) IS NOT NULL),
+mn_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant_ab,
+         CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant_ba
+  FROM mn),
+mn_st AS (
+  SELECT *,
+         CASE WHEN n_discordant_ab + n_discordant_ba > 0 THEN
+           (ABS(CAST(n_discordant_ab AS DOUBLE)
+                - CAST(n_discordant_ba AS DOUBLE)) - 1.0)
+           * (ABS(CAST(n_discordant_ab AS DOUBLE)
+                  - CAST(n_discordant_ba AS DOUBLE)) - 1.0)
+           / (CAST(n_discordant_ab AS DOUBLE)
+              + CAST(n_discordant_ba AS DOUBLE)) END AS chi2
+  FROM mn_agg)
+SELECT n, n_discordant_ab, n_discordant_ba,
+       ROUND(chi2, {ANOVA_DP}) AS chi2,
+       COALESCE(chi2 > {chi2_crit}, FALSE) AS significant
+FROM mn_st
+"""

@@ -1957,3 +1957,20 @@ def any_funnel_matches_users(spark: SparkSession,
     e = load_table(spark, sf_dir, "events")
     return any_funnel_matches(e, ["view", "click", "purchase"],
                               per_anchor=ANY_MATCHES_PER_ANCHOR)
+
+
+#: McNemar dof-1 critical value at alpha 0.05
+CHI2_CRIT_DOF1 = 3.841
+
+
+def mcnemar_urgency_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (operators/hypothesis.py mcnemar_test):
+    do the urgency-derived and value-derived order labels disagree
+    ASYMMETRICALLY — the marginal-homogeneity complement of the
+    kappa agreement score on the same paired labeling; one aggregate,
+    continuity-corrected chi-square at dof 1."""
+    from flink_rag_spark.operators.hypothesis import mcnemar_test
+    o = load_table(spark, sf_dir, "orders")
+    return mcnemar_test(
+        o, F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_totalprice") > 150_000.0, CHI2_CRIT_DOF1)

@@ -171,6 +171,7 @@ def extra_queries() -> list[tuple]:
         chi2_independence_duck,
         cuped_ab_test_duck,
         cochran_q_duck,
+        mcnemar_test_duck,
         cohen_kappa_duck,
         cohens_d_duck,
         cramers_v_duck,
@@ -2188,6 +2189,15 @@ FROM events WHERE value IS NOT NULL GROUP BY user_id""",
          ("hypothesis", "stats")),
         # round-15: Cohen's kappa — chance-corrected label agreement,
         # exact-integer grid (hypothesis.cohen_kappa)
+        # round-15: McNemar's paired test — asymmetric-disagreement
+        # complement of the kappa agreement on the same paired labels
+        # (hypothesis.mcnemar_test)
+        ("mcnemar_urgency_value", A.mcnemar_urgency_value,
+         mcnemar_test_duck(
+             "SELECT o_orderpriority, o_totalprice FROM orders",
+             "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+             "o_totalprice > 150000.0", A.CHI2_CRIT_DOF1),
+         ("hypothesis", "stats")),
         ("kappa_priority_value_bands", A.kappa_priority_value_bands,
          cohen_kappa_duck(
              "SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"

@@ -605,3 +605,30 @@ def test_readability_duck_parity(spark):
     du = sorted(tuple(r) for r in
                 con.sql(readability_scores_duck()).fetchall())
     assert sp == du
+
+
+# ----------------------------------------------- McNemar's test
+
+
+def test_mcnemar_hand_values(spark):
+    """b=3, c=1 discordant -> continuity-corrected chi2 = 1.0/4 = 0.25;
+    all-concordant -> NULL."""
+    from flink_rag_spark.operators.hypothesis import mcnemar_test
+
+    rows = ([(True, True)] * 4 + [(True, False)] * 3
+            + [(False, True)] * 1 + [(False, False)] * 2)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b", 3.841).collect()[0]
+    assert (r["n"], r["n_discordant_ab"], r["n_discordant_ba"]) == \
+        (10, 3, 1)
+    assert abs(r["chi2"] - 0.25) < 1e-9
+    assert not r["significant"]
+    conc = spark.createDataFrame([(True, True)] * 5,
+                                 "a boolean, b boolean")
+    r2 = mcnemar_test(conc, "a", "b", 3.841).collect()[0]
+    assert r2["chi2"] is None and not r2["significant"]
+    # heavy asymmetry is significant: b=20, c=0 -> (19)^2/20 = 18.05
+    asym = spark.createDataFrame([(True, False)] * 20,
+                                 "a boolean, b boolean")
+    r3 = mcnemar_test(asym, "a", "b", 3.841).collect()[0]
+    assert abs(r3["chi2"] - 18.05) < 1e-9 and r3["significant"]
