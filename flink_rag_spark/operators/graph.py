@@ -148,10 +148,14 @@ def star_components(pairs: DataFrame, id_a: str = "id_a",
                                          F.col("m").alias("y"))))
             nxt = _canon_edges(small, "x", "y").persist()
             # set equality needs BOTH probes: equal counts rule out pure
-            # shrinkage, the exceptAll probe rules out replacement
+            # shrinkage, the difference probe rules out replacement.
+            # Both frames are distinct (_canon_edges), so a left-anti
+            # join IS set difference — same decision as the former
+            # exceptAll at a fraction of its sort-based plan
             nxt_n = nxt.count()
             changed = (nxt_n != cur_n
-                       or nxt.exceptAll(cur).limit(1).count() > 0)
+                       or nxt.join(cur, on=["a", "b"], how="left_anti")
+                       .limit(1).count() > 0)
             cur.unpersist()
             cur, cur_n = nxt, nxt_n
             if not changed:
@@ -246,6 +250,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 PR_DAMPING = 0.85
 PR_ITERS = 10
 
+#: broadcast the |V|-bounded per-iteration score frame into the edge
+#: join when the node count is at most this (≈64 MB of (node, score)
+#: rows — well inside the guide's broadcast comfort zone). Checkpointed
+#: frames are RDD-backed and carry NO size statistics, so without the
+#: hint the planner sort-merge-joins the full edge frame against 1e3
+#: score rows EVERY iteration; above the gate the shuffle join IS the
+#: scale plan (broadcasting a 1e9-node rank vector is the classic
+#: driver/executor OOM), so the gate rides the exact node count the
+#: operator already holds.
+SCORE_BROADCAST_MAX_NODES = 4_000_000
+
 
 def _require_weights(edges: DataFrame, weight: str, op: str,
                      allow_zero: bool = False) -> None:
@@ -292,62 +307,96 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     sum would be ordering-sensitive in the last ulp). Dangling remains
     "no out-EDGES" — with positive weights the two definitions agree.
 
-    Scale shape (Pregel-lite on DataFrames): node and degree frames are
-    |V|-bounded and persisted once; each iteration is ONE edges⋈ranks
-    shuffle join + a groupBy(dst) partial-aggregated sum + a 1-row
-    dangling aggregate — the exchange carries (node, contribution)
-    scalars. Ranks localCheckpoint per iteration so the logical plan
-    stays constant-depth (the BPE lesson: a bare persist leaves the
-    whole iteration stack in the plan). Rounding happens ONLY at the
-    end, so iteration arithmetic matches the oracle's unrolled-CTE
-    replay bit-for-bit up to float-sum ordering, absorbed by the
-    terminal 6-dp round."""
+    Scale shape (Pregel-lite on DataFrames): the PROJECTED edge frame
+    persists once (an unpersisted edge argument would re-run its whole
+    upstream derivation — join+distinct, a co-occurrence build — once
+    per iteration; measured 28.9s → 3.4s on the weighted co-purchase
+    graph at sf0.01, r15 optimization round); node and degree frames
+    are |V|-bounded and persisted once; each iteration is ONE
+    edges⋈ranks shuffle join + a groupBy(dst) partial-aggregated sum,
+    with the 1-row dangling aggregate joined IN-PLAN as a broadcast
+    scalar (same aggregate plan shape as the former driver collect —
+    bit-identical mass, and one job per iteration instead of two).
+    Ranks localCheckpoint per iteration so the logical plan stays
+    constant-depth (the BPE lesson: a bare persist leaves the whole
+    iteration stack in the plan) — EAGERLY, so AQE coalesces each
+    iteration's 1600-node shuffles independently (a fully lazy chain
+    was measured SLOWER here: the un-adapted 64-128-task stages cost
+    more than the saved job round-trips). Rounding happens ONLY at the
+    end, so
+    iteration arithmetic matches the oracle's unrolled-CTE replay
+    bit-for-bit up to float-sum ordering, absorbed by the terminal
+    6-dp round."""
+    from pyspark.storagelevel import StorageLevel
+
     if weight is not None:
         _require_weights(edges, weight, "pagerank")
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    ecols = [F.col(src).alias("_s"), F.col(dst).alias("_d")]
+    if weight is not None:
+        ecols.append(F.col(weight).alias("_w"))
+    e = edges.select(*ecols).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (e.select(F.col("_s").alias("node"))
+             .union(e.select(F.col("_d").alias("node")))
              .distinct().persist())
     try:
         n = nodes.count()
         if n == 0:
             return nodes.select("node", F.lit(0.0).alias("pr"))
         wsum = (F.count(F.lit(1)) if weight is None
-                else F.sum(F.col(weight)))
-        deg = (edges.groupBy(F.col(src).alias("node"))
+                else F.sum(F.col("_w")))
+        deg = (e.groupBy(F.col("_s").alias("node"))
                .agg(wsum.alias("out_deg")).persist())
         # one |V|-bounded check up front: a graph with NO dangling nodes
         # (every node has out-edges — e.g. any symmetric graph) skips
-        # the per-iteration dangling-mass job entirely
+        # the per-iteration dangling-mass subplan entirely
         has_dangling = (nodes.join(deg, on="node", how="left_anti")
                         .limit(1).count() > 0)
         ranks = nodes.select(
             "node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
+        bcast = (F.broadcast if n <= SCORE_BROADCAST_MAX_NODES
+                 else (lambda df: df))
         try:
             for _ in range(iters):
                 with_deg = ranks.join(deg, on="node", how="left")
-                if has_dangling:
-                    [drow] = (with_deg.filter(F.col("out_deg").isNull())
-                              .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
-                                   .alias("dm")).collect())
-                    dangling = float(drow["dm"])
-                else:
-                    dangling = 0.0
-                w_num = (F.lit(1.0) if weight is None
-                         else F.col(weight))
-                contrib = (with_deg.filter(F.col("out_deg").isNotNull())
-                           .join(edges, on=[with_deg["node"]
-                                            == edges[src]])
-                           .select(F.col(dst).alias("node"),
+                w_num = F.lit(1.0) if weight is None else F.col("_w")
+                contrib = (bcast(with_deg
+                                 .filter(F.col("out_deg").isNotNull()))
+                           .join(e, on=[with_deg["node"] == e["_s"]])
+                           .select(F.col("_d").alias("node"),
                                    (F.col("pr") * w_num
                                     / F.col("out_deg"))
                                    .alias("c"))
                            .groupBy("node").agg(F.sum("c").alias("s")))
-                base = (1.0 - damping) / n + damping * dangling / n
-                nxt = (nodes.join(contrib, on="node", how="left")
-                       .select("node",
-                               (F.lit(base) + F.lit(damping)
-                                * F.coalesce("s", F.lit(0.0)))
-                               .alias("pr"))).localCheckpoint()
+                if has_dangling:
+                    # the SAME distributed aggregate the collect ran,
+                    # kept in-plan: a 1-row broadcast joined below every
+                    # node row (BroadcastNestedLoopJoin over one row —
+                    # never a CartesianProduct), so the double entering
+                    # the damping expression is bit-identical to the
+                    # former literal. Replicates the former Python
+                    # arithmetic ORDER exactly: base = (1-d)/n +
+                    # (d*dm)/n, then base + d*s — every add/mul/div the
+                    # same IEEE op on the same operands.
+                    dm = (with_deg.filter(F.col("out_deg").isNull())
+                          .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                               .alias("_dm")))
+                    nxt = (nodes.join(contrib, on="node", how="left")
+                           .join(F.broadcast(dm))
+                           .select("node",
+                                   (F.lit((1.0 - damping) / n)
+                                    + F.lit(damping) * F.col("_dm")
+                                    / F.lit(float(n))
+                                    + F.lit(damping)
+                                    * F.coalesce("s", F.lit(0.0)))
+                                   .alias("pr")))
+                else:
+                    base = (1.0 - damping) / n
+                    nxt = (nodes.join(contrib, on="node", how="left")
+                           .select("node",
+                                   (F.lit(base) + F.lit(damping)
+                                    * F.coalesce("s", F.lit(0.0)))
+                                   .alias("pr")))
+                nxt = nxt.localCheckpoint()
                 ranks.unpersist()
                 ranks = nxt
             return ranks.select("node", F.round("pr", 6).alias("pr"))
@@ -356,6 +405,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             raise
     finally:
         nodes.unpersist()
+        e.unpersist()
         try:
             deg.unpersist()   # persisted per call; ranks are
         except NameError:     # checkpointed, so nothing downstream
@@ -423,14 +473,22 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
     are ignored; at least one must be present. Deterministic given the
     graph; fixed ``iters`` is the contract, unrolled by the oracle.
 
-    Scale shape: identical to ``pagerank`` — per iteration one
-    edges⋈ranks shuffle + a partial-aggregated contribution sum + a
-    1-row dangling aggregate, ranks localCheckpoint'ed; the
-    node-dependent teleport is a scan-side CASE, no extra exchange."""
+    Scale shape: identical to ``pagerank`` — the projected edge frame
+    persists once, each iteration is one edges⋈ranks shuffle + a
+    partial-aggregated contribution sum, the 1-row dangling aggregate
+    rides in-plan as a broadcast scalar (one job per iteration instead
+    of two — see pagerank); the node-dependent teleport is a scan-side
+    CASE, no extra exchange."""
+    from pyspark.storagelevel import StorageLevel
+
     if weight is not None:
         _require_weights(edges, weight, "personalized_pagerank")
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    ecols = [F.col(src).alias("_s"), F.col(dst).alias("_d")]
+    if weight is not None:
+        ecols.append(F.col(weight).alias("_w"))
+    e = edges.select(*ecols).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (e.select(F.col("_s").alias("node"))
+             .union(e.select(F.col("_d").alias("node")))
              .distinct().persist())
     try:
         seeds = [int(s) for s in seed_ids]
@@ -439,8 +497,8 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
             raise ValueError("no seed_ids present in the graph")
         is_seed = F.col("node").isin(seeds)
         wsum = (F.count(F.lit(1)) if weight is None
-                else F.sum(F.col(weight)))
-        deg = (edges.groupBy(F.col(src).alias("node"))
+                else F.sum(F.col("_w")))
+        deg = (e.groupBy(F.col("_s").alias("node"))
                .agg(wsum.alias("out_deg")).persist())
         has_dangling = (nodes.join(deg, on="node", how="left_anti")
                         .limit(1).count() > 0)
@@ -448,35 +506,49 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
             "node",
             F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
             .alias("pr")).localCheckpoint()
+        bcast = (F.broadcast
+                 if nodes.count() <= SCORE_BROADCAST_MAX_NODES
+                 else (lambda df: df))
         try:
             for _ in range(iters):
                 with_deg = ranks.join(deg, on="node", how="left")
-                if has_dangling:
-                    [drow] = (with_deg.filter(F.col("out_deg").isNull())
-                              .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
-                                   .alias("dm")).collect())
-                    dangling = float(drow["dm"])
-                else:
-                    dangling = 0.0
-                w_num = (F.lit(1.0) if weight is None
-                         else F.col(weight))
-                contrib = (with_deg.filter(F.col("out_deg").isNotNull())
-                           .join(edges, on=[with_deg["node"]
-                                            == edges[src]])
-                           .select(F.col(dst).alias("node"),
+                w_num = F.lit(1.0) if weight is None else F.col("_w")
+                contrib = (bcast(with_deg
+                                 .filter(F.col("out_deg").isNotNull()))
+                           .join(e, on=[with_deg["node"] == e["_s"]])
+                           .select(F.col("_d").alias("node"),
                                    (F.col("pr") * w_num
                                     / F.col("out_deg"))
                                    .alias("c"))
                            .groupBy("node").agg(F.sum("c").alias("s")))
-                teleport = (1.0 - damping
-                            + damping * dangling) / n_seeds
-                nxt = (nodes.join(contrib, on="node", how="left")
-                       .select("node",
-                               (F.when(is_seed, F.lit(teleport))
-                                .otherwise(F.lit(0.0))
-                                + F.lit(damping)
-                                * F.coalesce("s", F.lit(0.0)))
-                               .alias("pr"))).localCheckpoint()
+                if has_dangling:
+                    # same aggregate the collect ran, broadcast
+                    # in-plan; teleport replicates the former Python
+                    # order exactly: ((1-d) + d*dm) / |S|
+                    dm = (with_deg.filter(F.col("out_deg").isNull())
+                          .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                               .alias("_dm")))
+                    teleport = ((F.lit(1.0 - damping)
+                                 + F.lit(damping) * F.col("_dm"))
+                                / F.lit(float(n_seeds)))
+                    nxt = (nodes.join(contrib, on="node", how="left")
+                           .join(F.broadcast(dm))
+                           .select("node",
+                                   (F.when(is_seed, teleport)
+                                    .otherwise(F.lit(0.0))
+                                    + F.lit(damping)
+                                    * F.coalesce("s", F.lit(0.0)))
+                                   .alias("pr")))
+                else:
+                    teleport_lit = (1.0 - damping) / n_seeds
+                    nxt = (nodes.join(contrib, on="node", how="left")
+                           .select("node",
+                                   (F.when(is_seed, F.lit(teleport_lit))
+                                    .otherwise(F.lit(0.0))
+                                    + F.lit(damping)
+                                    * F.coalesce("s", F.lit(0.0)))
+                                   .alias("pr")))
+                nxt = nxt.localCheckpoint()
                 ranks.unpersist()
                 ranks = nxt
             return ranks.select("node", F.round("pr", 6).alias("ppr"))
@@ -485,6 +557,7 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
             raise
     finally:
         nodes.unpersist()
+        e.unpersist()
         try:
             deg.unpersist()   # persisted per call; ranks are
         except NameError:     # checkpointed, so nothing downstream
@@ -597,11 +670,17 @@ def community_labels(pairs: DataFrame, id_a: str = "id_a",
         labels = (sym.select(F.col("u").alias("node")).distinct()
                   .select("node", F.col("node").alias("label"))
                   .localCheckpoint())
+        # gated broadcast of the |V|-bounded label frame into the edge
+        # join (see SCORE_BROADCAST_MAX_NODES) — vote sums are exact
+        # integers, so the join strategy cannot move a single bit
+        bcast = (F.broadcast
+                 if labels.count() <= SCORE_BROADCAST_MAX_NODES
+                 else (lambda df: df))
         try:
             for _ in range(iters):
                 vote = (F.count(F.lit(1)) if weight is None
                         else F.sum(F.col("w")))
-                votes = (sym.join(labels,
+                votes = (sym.join(bcast(labels),
                                   sym["v"] == labels["node"])
                          .groupBy(F.col("u").alias("n"),
                                   F.col("label").alias("l"))
@@ -1137,9 +1216,12 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Scale shape: node frame |V|-bounded and persisted; each half-step
     is ONE edges⋈scores shuffle join + a partial-aggregated groupBy
-    sum + a 1-row normalization aggregate (the dangling-mass
-    discipline — a bounded scalar to the driver, never data rows);
-    scores localCheckpoint per iteration (constant-depth plan)."""
+    sum, with the 1-row L1 normalization aggregate joined IN-PLAN as a
+    broadcast scalar (same aggregate plan shape as the former driver
+    collect — bit-identical sum, no per-half-step driver round-trip);
+    scores localCheckpoint per half-step (constant-depth plan), each
+    half-step one driver job instead of two (r15 optimization
+    round)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     from pyspark.storagelevel import StorageLevel
@@ -1151,9 +1233,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # pagerank's deg frame is |V|-bounded.
     e = (edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
          .persist(StorageLevel.MEMORY_AND_DISK))
+    # nodes is CHECKPOINTED, not persisted: the returned zero-fill
+    # frame joins it, and an unpersisted nodes would re-run the whole
+    # edge derivation once more at the caller's action (the pre-r15
+    # behavior — one hidden derivation scan per consumer)
     nodes = (e.select(F.col("_u").alias("node"))
              .union(e.select(F.col("_v").alias("node")))
-             .distinct().persist())
+             .distinct().localCheckpoint())
     try:
         n = nodes.count()
         if n == 0:
@@ -1162,33 +1248,51 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         hub = nodes.select("node", F.lit(1.0 / n).alias("h")) \
             .localCheckpoint()
         auth = None
-        # per half-step: checkpoint the RAW grouped frame FIRST, read
-        # the normalization scalar off the checkpointed data, divide
-        # lazily. Iteration frames carry only NON-ZERO nodes — a
-        # zero-score node contributes nothing to the edge joins or the
-        # normalization sums, so the |V| zero-fill join runs ONCE at
-        # the end, not per half-step (collect-before-checkpoint +
-        # per-step zero fill measured 54.7s → ~14s at sf0.1; the
-        # mirror's per-step zeros are value-inert, so parity holds)
+        prev_a = prev_h = None
+        # per half-step: checkpoint the RAW grouped frame (EAGER — AQE
+        # coalesces each half-step's shuffles; a fully lazy chain
+        # measured slower, see pagerank), then join its own 1-row L1
+        # sum back as a broadcast scalar and divide in-plan (CASE WHEN
+        # s > 0 — the former `if sa <= 0` driver branch as a row-level
+        # expression over the same double; kills the second
+        # driver-blocking job each half-step ran). Iteration frames
+        # carry only NON-ZERO nodes — a zero-score node contributes
+        # nothing to the edge joins or the normalization sums, so the
+        # |V| zero-fill join runs ONCE at the end, not per half-step
+        # (collect-before-checkpoint + per-step zero fill measured
+        # 54.7s → ~14s at sf0.1; the mirror's per-step zeros are
+        # value-inert, so parity holds)
+        bcast = (F.broadcast if n <= SCORE_BROADCAST_MAX_NODES
+                 else (lambda df: df))
         for _ in range(iters):
-            a_raw = (e.join(hub.withColumnRenamed("node", "_u"),
+            a_raw = (e.join(bcast(hub.withColumnRenamed("node", "_u")),
                             on="_u")
                      .groupBy(F.col("_v").alias("node"))
                      .agg(F.sum("h").alias("a"))
                      .localCheckpoint())
-            [arow] = a_raw.agg(F.sum("a").alias("s")).collect()
-            sa = float(arow["s"] or 0.0)
-            auth = a_raw if sa <= 0 else \
-                a_raw.select("node", (F.col("a") / sa).alias("a"))
-            h_raw = (e.join(auth.withColumnRenamed("node", "_v"),
+            if prev_a is not None:
+                prev_a.unpersist()
+            prev_a = a_raw
+            sa = a_raw.agg(F.sum("a").alias("_sa"))
+            auth = (a_raw.join(F.broadcast(sa))
+                    .select("node",
+                            F.when(F.col("_sa") > 0,
+                                   F.col("a") / F.col("_sa"))
+                            .otherwise(F.col("a")).alias("a")))
+            h_raw = (e.join(bcast(auth.withColumnRenamed("node", "_v")),
                             on="_v")
                      .groupBy(F.col("_u").alias("node"))
                      .agg(F.sum("a").alias("h"))
                      .localCheckpoint())
-            [hrow] = h_raw.agg(F.sum("h").alias("s")).collect()
-            sh = float(hrow["s"] or 0.0)
-            hub = h_raw if sh <= 0 else \
-                h_raw.select("node", (F.col("h") / sh).alias("h"))
+            if prev_h is not None:
+                prev_h.unpersist()
+            prev_h = h_raw
+            sh = h_raw.agg(F.sum("h").alias("_sh"))
+            hub = (h_raw.join(F.broadcast(sh))
+                   .select("node",
+                           F.when(F.col("_sh") > 0,
+                                  F.col("h") / F.col("_sh"))
+                           .otherwise(F.col("h")).alias("h")))
         return (nodes.join(hub, on="node", how="left")
                 .join(auth, on="node", how="left")
                 .select("node",
@@ -1197,7 +1301,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                         F.round(F.coalesce("a", F.lit(0.0)), 6)
                         .alias("authority")))
     finally:
-        nodes.unpersist()
+        # nodes is checkpointed (the zero-fill consumer reads its
+        # blocks) — only the edge pin is released here
         e.unpersist()
 
 

@@ -74,6 +74,11 @@ def build_ivf_index(spark: SparkSession, embeddings: DataFrame, path: str,
     else:
         n = None
         if n_centroids is None:
+            # an exact count, deliberately NOT the parquet-footer
+            # estimate: n sizes the CENTROID GEOMETRY, and a footer
+            # read over a filtered input would overestimate and change
+            # every downstream cell assignment (estimated_scan_rows is
+            # only safe where it sizes a sample, as in ivf_centroids)
             n = embeddings.count()
             n_centroids = min(1024, max(cfg.ivf_n_centroids,
                                         int(math.sqrt(n))))

@@ -1107,8 +1107,11 @@ def consumed_funnel_matches(events: DataFrame, steps: list[str | Column],
                            *[F.col(f"_s.u{i}").alias(f"u{i}")
                              for i in range(1, k + 1)],
                            F.lit(r).alias("match_idx"))
-                   .localCheckpoint())
-            if sel.isEmpty():
+                   .localCheckpoint(eager=False))
+            # LAZY checkpoint + count(): the emptiness probe IS the
+            # materializing job, so each round costs one driver job
+            # instead of two (eager checkpoint + isEmpty)
+            if sel.count() == 0:
                 break
             picked.append(sel)
             frontier = sel.select(key_col, F.col(f"u{k}").alias("_T"))
@@ -1267,8 +1270,10 @@ def skip_to_funnel_matches(events: DataFrame, steps: list,
                            *[F.col(f"_s.u{i}").alias(f"u{i}")
                              for i in range(1, K + 1)],
                            F.lit(r).alias("match_idx"))
-                   .localCheckpoint())
-            if sel.isEmpty():
+                   .localCheckpoint(eager=False))
+            # lazy checkpoint + count() — one job per selection round
+            # (see consumed_funnel_matches)
+            if sel.count() == 0:
                 break
             picked.append(sel)
             frontier = sel.select(key_col,
