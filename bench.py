@@ -418,13 +418,23 @@ def main() -> None:
              "price_distribution_distance", "runs_daily_order_value",
              "zipf_term_frequencies", "any_funnel_matches_users",
              "readability_documents", "mcnemar_urgency_value"]
+    # r16 measurement-hygiene fix (documented in OPTIMIZATION_r16.md):
+    # release operator-persisted dependencies BETWEEN repeats (outside
+    # the timed region). Without it, an operator that persists a shared
+    # intermediate (e.g. rm3's original-query frame) lets repeats 2-3
+    # reuse repeat 1's materialized blocks via the SQL cache manager's
+    # plan matching — the median then under-reports the per-run cost.
+    # Each timed run now computes from the parquet inputs alone.
+    from flink_rag_spark.operators.util import unpersist_cached_deps as _ucd
     extra_timings: dict[str, float] = {}
     for name in EXTRA:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            force(fns[name](spark, sf_dir))
+            out = fns[name](spark, sf_dir)
+            force(out)
             runs.append(time.perf_counter() - t0)
+            _ucd(out)
         extra_timings[name] = round(sorted(runs)[1], 3)
 
     # scale-curve rehearsal (round-5 verdict #6): run each headline query
@@ -915,6 +925,21 @@ def main() -> None:
         }
 
     total = round(sum(timings.values()), 3)
+    # r16 (verdict item 2): the headline set at sf0.1 is fixed-overhead-
+    # bound — every 8c/32c scaling ratio the driver measures is < 1, so
+    # parallel-plan changes are invisible. Surface the SAME queries at
+    # the rehearsal's k× scale as ADDED `<name>_10x` entries in the
+    # parsed `queries` dict (the contract allows additions, never
+    # removals/renames): the driver's low-core re-run then yields
+    # 8c/32c ratios at a size where scan/shuffle-bound queries actually
+    # saturate cores. The headline total (`value`) still sums ONLY the
+    # original 1× medians, so round-over-round totals stay comparable.
+    queries_out = dict(timings)
+    if scale_rehearsal:
+        for name in HEADLINE:
+            t10 = scale_rehearsal["queries"].get(name)
+            if t10 is not None:
+                queries_out[f"{name}_10x"] = t10
     # the round-over-round essentials in ONE compact dict, emitted both
     # FIRST and LAST in the printed JSON: the driver's BENCH_r{N}.json
     # capture truncates long lines to one end (r6 kept the head, r7 kept
@@ -962,7 +987,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "summary": summary,
-        "queries": timings,
+        "queries": queries_out,
         "queries_min": timings_min,
         "queries_spread": timings_spread,
         "curation_queries": curation_timings,
@@ -984,7 +1009,20 @@ def main() -> None:
                         "sub-2s runs show +-20-40% host noise, e.g. "
                         "367-613 q/s over 7 identical runs, so r5's 567 "
                         "vs r6's 500 was spread, not regression); "
-                        "curation/extra: median of 3"),
+                        "curation/extra: median of 3. r16 changes, both "
+                        "documented in OPTIMIZATION_r16.md: (a) `queries` "
+                        "gains ADDED `<name>_10x` entries (the rehearsal's "
+                        "single k=10 run of each headline query) so the "
+                        "driver's low-core re-run measures parallel "
+                        "scaling at a core-saturating size — the 1x "
+                        "medians and the headline total are untouched; "
+                        "(b) extra-loop repeats release operator-persisted "
+                        "deps between runs (outside the timed region), so "
+                        "repeats 2-3 can no longer reuse repeat 1's "
+                        "materialized blocks via cache-manager plan "
+                        "matching — affected medians (e.g. "
+                        "rm3_expanded_bm25_docs) now price a full "
+                        "from-parquet run"),
         "ann_index_build_sec": ann_index_build_sec,
         "dedup_index_build_sec": dedup_index_build_sec,
         "scale_rehearsal": scale_rehearsal,

@@ -258,7 +258,13 @@ PR_ITERS = 10
 #: score rows EVERY iteration; above the gate the shuffle join IS the
 #: scale plan (broadcasting a 1e9-node rank vector is the classic
 #: driver/executor OOM), so the gate rides the exact node count the
-#: operator already holds.
+#: operator already holds. Value contract across the gate: for
+#: integer-vote LPA the two plans are provably value-identical; for the
+#: float-scored operators (pagerank/ppr/hits) the join strategy can
+#: reorder rows feeding a double partial sum, so the guarantee is
+#: "identical up to float-sum ordering, absorbed by the terminal 6-dp
+#: round" (the family's documented contract), not bit identity of the
+#: unrounded doubles.
 SCORE_BROADCAST_MAX_NODES = 4_000_000
 
 
@@ -355,54 +361,53 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             "node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
         bcast = (F.broadcast if n <= SCORE_BROADCAST_MAX_NODES
                  else (lambda df: df))
-        try:
-            for _ in range(iters):
-                with_deg = ranks.join(deg, on="node", how="left")
-                w_num = F.lit(1.0) if weight is None else F.col("_w")
-                contrib = (bcast(with_deg
-                                 .filter(F.col("out_deg").isNotNull()))
-                           .join(e, on=[with_deg["node"] == e["_s"]])
-                           .select(F.col("_d").alias("node"),
-                                   (F.col("pr") * w_num
-                                    / F.col("out_deg"))
-                                   .alias("c"))
-                           .groupBy("node").agg(F.sum("c").alias("s")))
-                if has_dangling:
-                    # the SAME distributed aggregate the collect ran,
-                    # kept in-plan: a 1-row broadcast joined below every
-                    # node row (BroadcastNestedLoopJoin over one row —
-                    # never a CartesianProduct), so the double entering
-                    # the damping expression is bit-identical to the
-                    # former literal. Replicates the former Python
-                    # arithmetic ORDER exactly: base = (1-d)/n +
-                    # (d*dm)/n, then base + d*s — every add/mul/div the
-                    # same IEEE op on the same operands.
-                    dm = (with_deg.filter(F.col("out_deg").isNull())
-                          .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
-                               .alias("_dm")))
-                    nxt = (nodes.join(contrib, on="node", how="left")
-                           .join(F.broadcast(dm))
-                           .select("node",
-                                   (F.lit((1.0 - damping) / n)
-                                    + F.lit(damping) * F.col("_dm")
-                                    / F.lit(float(n))
-                                    + F.lit(damping)
-                                    * F.coalesce("s", F.lit(0.0)))
-                                   .alias("pr")))
-                else:
-                    base = (1.0 - damping) / n
-                    nxt = (nodes.join(contrib, on="node", how="left")
-                           .select("node",
-                                   (F.lit(base) + F.lit(damping)
-                                    * F.coalesce("s", F.lit(0.0)))
-                                   .alias("pr")))
-                nxt = nxt.localCheckpoint()
-                ranks.unpersist()
-                ranks = nxt
-            return ranks.select("node", F.round("pr", 6).alias("pr"))
-        except Exception:
-            ranks.unpersist()
-            raise
+        for _ in range(iters):
+            with_deg = ranks.join(deg, on="node", how="left")
+            w_num = F.lit(1.0) if weight is None else F.col("_w")
+            contrib = (bcast(with_deg
+                             .filter(F.col("out_deg").isNotNull()))
+                       .join(e, on=[with_deg["node"] == e["_s"]])
+                       .select(F.col("_d").alias("node"),
+                               (F.col("pr") * w_num
+                                / F.col("out_deg"))
+                               .alias("c"))
+                       .groupBy("node").agg(F.sum("c").alias("s")))
+            if has_dangling:
+                # the SAME distributed aggregate the collect ran,
+                # kept in-plan: a 1-row broadcast joined below every
+                # node row (BroadcastNestedLoopJoin over one row —
+                # never a CartesianProduct), so the double entering
+                # the damping expression is bit-identical to the
+                # former literal. Replicates the former Python
+                # arithmetic ORDER exactly: base = (1-d)/n +
+                # (d*dm)/n, then base + d*s — every add/mul/div the
+                # same IEEE op on the same operands.
+                dm = (with_deg.filter(F.col("out_deg").isNull())
+                      .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                           .alias("_dm")))
+                nxt = (nodes.join(contrib, on="node", how="left")
+                       .join(F.broadcast(dm))
+                       .select("node",
+                               (F.lit((1.0 - damping) / n)
+                                + F.lit(damping) * F.col("_dm")
+                                / F.lit(float(n))
+                                + F.lit(damping)
+                                * F.coalesce("s", F.lit(0.0)))
+                               .alias("pr")))
+            else:
+                base = (1.0 - damping) / n
+                nxt = (nodes.join(contrib, on="node", how="left")
+                       .select("node",
+                               (F.lit(base) + F.lit(damping)
+                                * F.coalesce("s", F.lit(0.0)))
+                               .alias("pr")))
+            # no explicit release of the superseded ranks frame:
+            # Dataset.unpersist is a no-op on localCheckpoint-backed
+            # frames (r15 ADVICE); the |V|-bounded blocks are freed
+            # by ContextCleaner when the reference drops here.
+            nxt = nxt.localCheckpoint()
+            ranks = nxt
+        return ranks.select("node", F.round("pr", 6).alias("pr"))
     finally:
         nodes.unpersist()
         e.unpersist()
@@ -492,10 +497,19 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
              .distinct().persist())
     try:
         seeds = [int(s) for s in seed_ids]
-        n_seeds = nodes.filter(F.col("node").isin(seeds)).count()
+        is_seed = F.col("node").isin(seeds)
+        # one |V|-bounded aggregate yields BOTH the seed-presence check
+        # and the broadcast-gate node count (r15 ADVICE: the gate ran a
+        # second nodes.count() job for a number this aggregate already
+        # touches every row to produce)
+        [_nrow] = nodes.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.when(is_seed, 1).otherwise(0)).alias("n_seeds")
+        ).collect()
+        n_nodes = int(_nrow["n_nodes"])
+        n_seeds = int(_nrow["n_seeds"] or 0)
         if n_seeds == 0:
             raise ValueError("no seed_ids present in the graph")
-        is_seed = F.col("node").isin(seeds)
         wsum = (F.count(F.lit(1)) if weight is None
                 else F.sum(F.col("_w")))
         deg = (e.groupBy(F.col("_s").alias("node"))
@@ -507,54 +521,53 @@ def personalized_pagerank(edges: DataFrame, seed_ids: list[int],
             F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
             .alias("pr")).localCheckpoint()
         bcast = (F.broadcast
-                 if nodes.count() <= SCORE_BROADCAST_MAX_NODES
+                 if n_nodes <= SCORE_BROADCAST_MAX_NODES
                  else (lambda df: df))
-        try:
-            for _ in range(iters):
-                with_deg = ranks.join(deg, on="node", how="left")
-                w_num = F.lit(1.0) if weight is None else F.col("_w")
-                contrib = (bcast(with_deg
-                                 .filter(F.col("out_deg").isNotNull()))
-                           .join(e, on=[with_deg["node"] == e["_s"]])
-                           .select(F.col("_d").alias("node"),
-                                   (F.col("pr") * w_num
-                                    / F.col("out_deg"))
-                                   .alias("c"))
-                           .groupBy("node").agg(F.sum("c").alias("s")))
-                if has_dangling:
-                    # same aggregate the collect ran, broadcast
-                    # in-plan; teleport replicates the former Python
-                    # order exactly: ((1-d) + d*dm) / |S|
-                    dm = (with_deg.filter(F.col("out_deg").isNull())
-                          .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
-                               .alias("_dm")))
-                    teleport = ((F.lit(1.0 - damping)
-                                 + F.lit(damping) * F.col("_dm"))
-                                / F.lit(float(n_seeds)))
-                    nxt = (nodes.join(contrib, on="node", how="left")
-                           .join(F.broadcast(dm))
-                           .select("node",
-                                   (F.when(is_seed, teleport)
-                                    .otherwise(F.lit(0.0))
-                                    + F.lit(damping)
-                                    * F.coalesce("s", F.lit(0.0)))
-                                   .alias("pr")))
-                else:
-                    teleport_lit = (1.0 - damping) / n_seeds
-                    nxt = (nodes.join(contrib, on="node", how="left")
-                           .select("node",
-                                   (F.when(is_seed, F.lit(teleport_lit))
-                                    .otherwise(F.lit(0.0))
-                                    + F.lit(damping)
-                                    * F.coalesce("s", F.lit(0.0)))
-                                   .alias("pr")))
-                nxt = nxt.localCheckpoint()
-                ranks.unpersist()
-                ranks = nxt
-            return ranks.select("node", F.round("pr", 6).alias("ppr"))
-        except Exception:
-            ranks.unpersist()
-            raise
+        for _ in range(iters):
+            with_deg = ranks.join(deg, on="node", how="left")
+            w_num = F.lit(1.0) if weight is None else F.col("_w")
+            contrib = (bcast(with_deg
+                             .filter(F.col("out_deg").isNotNull()))
+                       .join(e, on=[with_deg["node"] == e["_s"]])
+                       .select(F.col("_d").alias("node"),
+                               (F.col("pr") * w_num
+                                / F.col("out_deg"))
+                               .alias("c"))
+                       .groupBy("node").agg(F.sum("c").alias("s")))
+            if has_dangling:
+                # same aggregate the collect ran, broadcast
+                # in-plan; teleport replicates the former Python
+                # order exactly: ((1-d) + d*dm) / |S|
+                dm = (with_deg.filter(F.col("out_deg").isNull())
+                      .agg(F.coalesce(F.sum("pr"), F.lit(0.0))
+                           .alias("_dm")))
+                teleport = ((F.lit(1.0 - damping)
+                             + F.lit(damping) * F.col("_dm"))
+                            / F.lit(float(n_seeds)))
+                nxt = (nodes.join(contrib, on="node", how="left")
+                       .join(F.broadcast(dm))
+                       .select("node",
+                               (F.when(is_seed, teleport)
+                                .otherwise(F.lit(0.0))
+                                + F.lit(damping)
+                                * F.coalesce("s", F.lit(0.0)))
+                               .alias("pr")))
+            else:
+                teleport_lit = (1.0 - damping) / n_seeds
+                nxt = (nodes.join(contrib, on="node", how="left")
+                       .select("node",
+                               (F.when(is_seed, F.lit(teleport_lit))
+                                .otherwise(F.lit(0.0))
+                                + F.lit(damping)
+                                * F.coalesce("s", F.lit(0.0)))
+                               .alias("pr")))
+            # no explicit release of the superseded ranks frame:
+            # Dataset.unpersist is a no-op on localCheckpoint-backed
+            # frames (r15 ADVICE); the |V|-bounded blocks are freed
+            # by ContextCleaner when the reference drops here.
+            nxt = nxt.localCheckpoint()
+            ranks = nxt
+        return ranks.select("node", F.round("pr", 6).alias("ppr"))
     finally:
         nodes.unpersist()
         e.unpersist()
@@ -789,10 +802,22 @@ def link_prediction(pairs: DataFrame, top_n: int = 10,
            .localCheckpoint(eager=True))
     adj = hash_capped_groups(sym, "u", "v", max_degree)
     # wedges at center w: (a, b) unordered neighbor pairs; the AA
-    # term rides the center's TRUE degree
+    # term rides the center's TRUE degree. deg is |V|-bounded and
+    # checkpoint-backed (no stats), so without a hint Catalyst
+    # sort-merge-joins it against adj — re-shuffling the adjacency
+    # frame that the cap window just hash-partitioned by u. The gated
+    # broadcast (SCORE_BROADCAST_MAX_NODES, the r15 graph-family
+    # idiom) keeps adj's partitioning alive into the wedge self-join,
+    # which then needs no further exchange; above the gate the
+    # shuffle join remains the scale plan. Value-inert: degree is an
+    # exact integer and the AA term is quantized per row before the
+    # order-insensitive DECIMAL sum.
+    bcast = (F.broadcast if deg.count() <= SCORE_BROADCAST_MAX_NODES
+             else (lambda df: df))
     ctr = (adj.select(F.col("u").alias("w"), F.col("v").alias("n"))
-           .join(deg.select(F.col("node").alias("w"),
-                            F.col("degree").alias("_dw")), on="w"))
+           .join(bcast(deg.select(F.col("node").alias("w"),
+                                  F.col("degree").alias("_dw"))),
+                 on="w"))
     a = ctr.select("w", F.col("n").alias("a"), "_dw")
     b = ctr.select("w", F.col("n").alias("b"))
     term = F.round(1.0 / F.log(F.col("_dw").cast("double")), 9) \
@@ -1248,7 +1273,6 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         hub = nodes.select("node", F.lit(1.0 / n).alias("h")) \
             .localCheckpoint()
         auth = None
-        prev_a = prev_h = None
         # per half-step: checkpoint the RAW grouped frame (EAGER — AQE
         # coalesces each half-step's shuffles; a fully lazy chain
         # measured slower, see pagerank), then join its own 1-row L1
@@ -1264,15 +1288,18 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         # value-inert, so parity holds)
         bcast = (F.broadcast if n <= SCORE_BROADCAST_MAX_NODES
                  else (lambda df: df))
+        # NOTE on superseded half-step frames: Dataset.unpersist is a
+        # no-op for localCheckpoint-backed frames (the SQL cache manager
+        # holds no entry for a LogicalRDD plan — r15 ADVICE), so there is
+        # no explicit per-half-step release; the blocks are |V|-bounded
+        # non-zero-score rows and ContextCleaner reclaims each RDD as
+        # soon as the Python reference is dropped below.
         for _ in range(iters):
             a_raw = (e.join(bcast(hub.withColumnRenamed("node", "_u")),
                             on="_u")
                      .groupBy(F.col("_v").alias("node"))
                      .agg(F.sum("h").alias("a"))
                      .localCheckpoint())
-            if prev_a is not None:
-                prev_a.unpersist()
-            prev_a = a_raw
             sa = a_raw.agg(F.sum("a").alias("_sa"))
             auth = (a_raw.join(F.broadcast(sa))
                     .select("node",
@@ -1284,9 +1311,6 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                      .groupBy(F.col("_u").alias("node"))
                      .agg(F.sum("a").alias("h"))
                      .localCheckpoint())
-            if prev_h is not None:
-                prev_h.unpersist()
-            prev_h = h_raw
             sh = h_raw.agg(F.sum("h").alias("_sh"))
             hub = (h_raw.join(F.broadcast(sh))
                    .select("node",

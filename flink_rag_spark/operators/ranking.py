@@ -957,20 +957,19 @@ def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
     row_number windowed over only the k survivors, never an
     all-to-one-partition sort (same shape as ``bm25_topk``).
 
-    The original-query scored frame is PERSISTED (and recorded via
-    ``track_cached_deps`` for the looping-caller release contract):
-    it feeds two plan consumers (feedback selection + the final
-    combination join), and Catalyst does not dedupe repeated subtrees,
-    so an unpersisted frame would run the original-query corpus pass
-    twice (r15 optimization round; the frame is (id, score) scalars —
-    matched-doc-bounded, spill-safe)."""
-    from pyspark.storagelevel import StorageLevel
-
-    from flink_rag_spark.operators.util import track_cached_deps
-
+    The original-query scored frame feeds two plan consumers (feedback
+    selection + the final combination join). An r15 persist of that
+    frame was REVERTED in r16 after same-day paired medians (median of
+    3, noop sink, deps released between runs, both arm orders tried)
+    read the UNPERSISTED plan at 4.3-4.4 s steady-state vs 5.2-6.1 s
+    persisted at sf0.1/local[32]: the (id, score) frame is tiny, but
+    persisting it serializes the pipeline behind an InMemoryRelation
+    materialization barrier, while the duplicated subtree's shuffles
+    are cheap (and eligible for exchange reuse) — the r15 claim of
+    6.35→4.07 never reproduced in a driver capture (r15 verdict item
+    3). Values verified identical across the two shapes."""
     terms = _norm_terms(query_terms)
-    orig = bm25_scores(docs, terms, text_col, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    orig = bm25_scores(docs, terms, text_col, id_col)
     exp_terms = rm3_expansion_terms(docs, terms, n_fb, n_terms,
                                     text_col, id_col,
                                     scored=orig).select("term")
@@ -984,11 +983,10 @@ def rm3_expanded_topk(docs: DataFrame, query_terms: list[str],
                 + beta * F.coalesce(F.col("s_e"), F.lit(0.0)),
                 ROUND_DP).alias("score"))
     topk = comb.orderBy(F.desc("score"), F.col(id_col)).limit(k)
-    out = topk.withColumn(
+    return topk.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.desc("score"),
                                            F.col(id_col))))
-    return track_cached_deps(out, [orig])
 
 
 def rm3_expanded_topk_duck(query_terms: list[str], k: int = 10,

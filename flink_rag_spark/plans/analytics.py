@@ -1086,37 +1086,54 @@ def ivm_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from pyspark.storagelevel import StorageLevel
+
     from flink_rag_spark.operators.ivm import (
         append_facts, apply_dim_update, build_join_view, read_join_view)
-    o = load_table(spark, sf_dir, "orders")
+    # demo-lifecycle persist (r15 verdict item 5 / guide §5): the base
+    # fact read feeds FOUR eager writes (build + three appends) and the
+    # dim join FIVE consumers — each previously re-ran its parquet scan
+    # (and the customer⋈nation join) from scratch. Both frames are
+    # released before returning; every write still computes its own
+    # enrichment join, so the incremental-maintenance work being demoed
+    # is untouched.
+    o = (load_table(spark, sf_dir, "orders")
+         .persist(StorageLevel.MEMORY_AND_DISK))
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .select("c_custkey", "c_mktsegment", "n_name"))
-    path = tempfile.mkdtemp(prefix="ivm_view_") + "/view"
-    build_join_view(spark, o.filter(F.col("o_orderdate") < "1997-01-01"),
-                    dims, path, "o_custkey", "c_custkey", "o_orderdate")
-    b1 = o.filter((F.col("o_orderdate") >= "1997-01-01")
-                  & (F.col("o_orderdate") < "1998-01-01"))
-    append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
-                 "o_orderdate", batch_id=1)
-    append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
-                 "o_orderdate", batch_id=1)  # replay: must be a no-op
-    append_facts(spark, o.filter(F.col("o_orderdate") >= "1998-01-01"),
-                 dims, path, "o_custkey", "c_custkey",
-                 "o_orderdate", batch_id=2)
-    moved = (dims.filter(F.col("c_custkey") % IVM_RELOCATE_MOD == 0)
-             .withColumn("c_mktsegment", F.lit("RELOCATED")))
-    apply_dim_update(spark, moved, path, "o_custkey", "c_custkey")
-    out = (read_join_view(spark, path).select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
-        "c_mktsegment", "n_name", "pmonth")
-        # materialize before deleting the demo view directory — the
-        # returned frame must not depend on the tempdir (which would
-        # otherwise leak a full view copy per invocation)
-        .localCheckpoint())
-    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    return out
+            .select("c_custkey", "c_mktsegment", "n_name")
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        path = tempfile.mkdtemp(prefix="ivm_view_") + "/view"
+        build_join_view(spark,
+                        o.filter(F.col("o_orderdate") < "1997-01-01"),
+                        dims, path, "o_custkey", "c_custkey",
+                        "o_orderdate")
+        b1 = o.filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+        append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
+                     "o_orderdate", batch_id=1)
+        append_facts(spark, b1, dims, path, "o_custkey", "c_custkey",
+                     "o_orderdate", batch_id=1)  # replay: must be a no-op
+        append_facts(spark, o.filter(F.col("o_orderdate") >= "1998-01-01"),
+                     dims, path, "o_custkey", "c_custkey",
+                     "o_orderdate", batch_id=2)
+        moved = (dims.filter(F.col("c_custkey") % IVM_RELOCATE_MOD == 0)
+                 .withColumn("c_mktsegment", F.lit("RELOCATED")))
+        apply_dim_update(spark, moved, path, "o_custkey", "c_custkey")
+        out = (read_join_view(spark, path).select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+            "c_mktsegment", "n_name", "pmonth")
+            # materialize before deleting the demo view directory — the
+            # returned frame must not depend on the tempdir (which would
+            # otherwise leak a full view copy per invocation)
+            .localCheckpoint())
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+        return out
+    finally:
+        o.unpersist()
+        dims.unpersist()
 
 
 ORACLE_IVM_ENRICHED = f"""

@@ -1630,6 +1630,9 @@ def rm3_expanded_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified, not just the final scores."""
     from flink_rag_spark.operators.ranking import rm3_expanded_topk
     d = load_table(spark, sf_dir, "documents")
+    # no cached-deps re-attachment needed since r16: the operator's r15
+    # orig-frame persist was reverted (see rm3_expanded_topk's docstring
+    # — the unpersisted plan measured faster in same-day paired runs)
     return (rm3_expanded_topk(d, BM25_QUERY_TERMS, k=15)
             .orderBy("rank"))
 

@@ -8,6 +8,19 @@ from tests.oracle_check import compare
 
 WITH_ORACLE = [q for q in QUERIES if q.oracle is not None]
 
+# Two-tier split (r15 verdict item 1): the driver's default run keeps
+# oracle parity + plan lint for every GRADED query (the 50 driver
+# CORRECTNESS rows); the non-graded sweep tail is @slow — same tests,
+# same rigor, run via `pytest -m slow` before shipping operator changes.
+from flink_rag_spark.plans.catalog import GRADED_QUERIES  # noqa: E402
+
+_GRADED_NAMES = {q.name for q in GRADED_QUERIES}
+_PARAMS = [
+    q if q.name in _GRADED_NAMES
+    else pytest.param(q, marks=pytest.mark.slow)
+    for q in WITH_ORACLE
+]
+
 
 def _plan_lint(df, name: str) -> None:
     """Engine-wide physical-plan invariants, enforced on EVERY swept
@@ -26,7 +39,7 @@ def _plan_lint(df, name: str) -> None:
         f"{name}: row-at-a-time Python UDF in physical plan"
 
 
-@pytest.mark.parametrize("qdef", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
+@pytest.mark.parametrize("qdef", _PARAMS, ids=[q.name for q in WITH_ORACLE])
 def test_oracle_parity(spark, sf_oracle, qdef):
     from flink_rag_spark.operators.util import unpersist_cached_deps
 

@@ -3,22 +3,28 @@
 The r15 optimization round changed ITERATION MECHANICS, not math:
 pagerank/personalized_pagerank/hits/community_labels fold their driver
 scalars in-plan and broadcast the |V|-bounded score frame into the edge
-join behind a node-count gate (SCORE_BROADCAST_MAX_NODES), and
-rm3_expanded_topk persists its shared original-query frame. These tests
+join behind a node-count gate (SCORE_BROADCAST_MAX_NODES). These tests
 pin the invariants the optimizations must preserve:
 
-- both sides of the broadcast gate produce IDENTICAL rows (the gate is
-  a plan choice, never a value choice) — including on a graph WITH
-  dangling nodes, which exercises the in-plan dangling-mass broadcast;
-- the rm3 cache is recorded for the looping-caller release contract and
-  actually releases.
+- both sides of the broadcast gate produce IDENTICAL rows AT THE
+  OPERATORS' ROUNDED OUTPUT CONTRACT. For integer-vote LPA the gate is
+  provably value-inert; for the float-scored operators (pagerank, ppr,
+  hits) the broadcast-vs-shuffle join can reorder the rows feeding a
+  double partial sum, so last-ulp differences across the gate are
+  possible and are absorbed by the terminal 6-dp round these tests
+  compare (r15 ADVICE: a tie-boundary value could in principle flip a
+  rounded digit at scale — the gate's claim is "identical up to
+  float-sum ordering under the documented rounding", not bit identity
+  of the unrounded doubles). The dangling-graph case exercises the
+  in-plan dangling-mass broadcast;
+- rm3_expanded_topk leaves no persisted blocks behind (its r15 persist
+  was reverted in r16 — see its docstring for the paired numbers).
 """
 
 import pyspark.sql.functions as F
 import pytest
 
 from flink_rag_spark.operators import graph as G
-from flink_rag_spark.operators.util import unpersist_cached_deps
 
 
 def _dangling_edges(spark):
@@ -70,7 +76,11 @@ def test_lpa_broadcast_gate_value_inert(spark, monkeypatch):
     assert wide == narrow
 
 
-def test_rm3_records_and_releases_cache(spark):
+def test_rm3_leaves_no_persisted_blocks(spark):
+    """r16: the r15 orig-frame persist was REVERTED (same-day paired
+    medians read the unpersisted plan faster — see rm3_expanded_topk's
+    docstring). Pin the new contract: the operator neither records
+    cached deps nor leaves persisted RDDs behind after materializing."""
     from flink_rag_spark.operators.ranking import rm3_expanded_topk
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma doc{i} " + ("alpha " * (i % 3)))
@@ -78,9 +88,8 @@ def test_rm3_records_and_releases_cache(spark):
     out = rm3_expanded_topk(docs, ["alpha", "beta"], k=5)
     rows = out.collect()
     assert len(rows) == 5
-    assert getattr(out, "_cached_deps", []), \
-        "rm3 no longer records its persisted original-query frame"
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
-    unpersist_cached_deps(out, blocking=True)
-    after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after < before
+    assert not getattr(out, "_cached_deps", [])
+    # plan-based check (global persisted-RDD counts are racy under
+    # ContextCleaner): nothing in the rm3 plan reads a cached relation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
